@@ -1,13 +1,698 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{BillingOps, Dedup, Similarity, TextOps, Multimodal}
+import graft.streaming.StreamingOps
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-pipeline extensions), each with a DuckDB
+  * oracle in `oracleSql` where SQL-expressible.
+  *
+  * Determinism discipline (so Spark and DuckDB hash-match bit-for-bit):
+  *  - no ROUND anywhere (tie-rounding differs between engines);
+  *  - double sums go through exact DECIMAL accumulation, cast back to
+  *    double (`dsum`) — order-independent and exact;
+  *  - per-row arithmetic restricted to IEEE +,-,*,/ and sqrt;
+  *  - every query ends in a total ORDER BY on a unique key.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val D = "2024-01-15" // fixed business date for billing-parity queries
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The synthetic event log stores `ts` as parquet TIMESTAMP(NANOS),
+    * which Spark rejects by default. Read nanos as long (legacy conf) and
+    * rebuild a microsecond timestamp — same truncation DuckDB applies
+    * when it narrows ns → µs. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
+
+  /** Exact decimal-accumulated sum of a double column, returned as
+    * double: deterministic under any aggregation order. */
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  private def dsumExpr(c: Column, scale: Int = 6): Column =
+    sum(c.cast(DecimalType(22, scale))).cast("double")
+
+  // ---- shared billing-parity plan fragments ---------------------------
+
+  /** A1 over the synthetic event log: page views per user for date D. */
+  private def dailyViews(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .where(col("event_type") === "view" &&
+        to_date(col("ts")) === lit(D) && col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("event_count"))
+
+  /** J1+X6: customers (sessions stand-in) ⟕ daily views, charge calc. */
+  private def billingJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_custkey").as("shop_key"))
+      .join(broadcast(dailyViews(s, dir)),
+        col("shop_key") === col("user_id"), "left_outer")
+      .select(col("shop_key"),
+        coalesce(col("event_count"), lit(0L)).as("page_views"))
+      .withColumn("billing_amount",
+        col("page_views").cast("double") / lit(1000000) * lit(10))
+      .withColumn("rate_per_million", lit(10).cast("double"))
+
+  private val pvCte =
+    """SELECT user_id, count(*) AS event_count FROM events
+      | WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '2024-01-15'
+      |   AND user_id IS NOT NULL GROUP BY user_id""".stripMargin
+  private val billCte =
+    s"""SELECT c_custkey AS shop_key,
+       | COALESCE(event_count, 0) AS page_views,
+       | CAST(COALESCE(event_count, 0) AS DOUBLE) / 1000000 * 10 AS billing_amount,
+       | CAST(10 AS DOUBLE) AS rate_per_million
+       | FROM customer LEFT JOIN ($pvCte) pv ON c_custkey = user_id""".stripMargin
+
+  // =====================================================================
+
+  /** Flagship: the reference's dry-run pipeline (§3.2) end-to-end on
+    * sf0.001 — scan → filter → agg → broadcast join → charge calc. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val rawSessions = t(spark, dir, "customer").select(
+      concat(lit("shop-"), col("c_custkey")).as("shop"),
+      col("c_name").as("accessToken"),
+      lit("2024-01-01 00:00:00").cast("timestamp").as("createdAt"),
+      lit("2024-01-01 00:00:00").cast("timestamp").as("updatedAt"))
+    val rawEvents = events(spark, dir).select(
+      concat(lit("shop-"), col("user_id"), lit(".myshopify.com")).as("shop"),
+      when(col("event_type") === "view", "page_viewed")
+        .otherwise(col("event_type")).as("name"),
+      col("ts").as("created_at"))
+    val sessions = BillingOps.activeSessions(rawSessions)
+    val pageViews = BillingOps.pageViewsForDate(rawEvents, D)
+    BillingOps.billingRecords(sessions, pageViews, D)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.1/§2.2 scans, projections, filters ----
+    "s1_sessions_scan" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(concat(lit("shop-"), col("c_custkey")).as("shop"),
+          col("c_name").as("access_token"),
+          col("c_mktsegment").as("segment"))
+        .where(col("access_token").isNotNull && col("access_token") =!= "" &&
+          col("shop").isNotNull && col("shop") =!= "")
+        .withColumn("session_id", col("shop"))
+        .orderBy("shop")),
+
+    "p2_x9_shop_normalization" -> ((s, dir) => {
+      val raw = t(s, dir, "customer").select(col("c_custkey"),
+        when(col("c_custkey") % 2 === 0,
+          concat(lit("shop-"), col("c_custkey"), lit(".myshopify.com")))
+          .otherwise(concat(lit("shop-"), col("c_custkey"))).as("shop_raw"))
+      raw.select(col("c_custkey"), col("shop_raw"),
+          BillingOps.normalizeShop(col("shop_raw")).as("shop_norm"),
+          BillingOps.ensureShopSuffix(col("shop_raw")).as("shop_full"))
+        .orderBy("c_custkey")
+    }),
+
+    "f2_daily_event_filter" -> ((s, dir) =>
+      events(s, dir)
+        .where(col("event_type") === "view" &&
+          to_date(col("ts")) === lit(D) && col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .orderBy("event_id")),
+
+    // ---- §2.4 aggregations ----
+    "a1_daily_user_counts" -> ((s, dir) =>
+      dailyViews(s, dir).orderBy("user_id")),
+
+    "a2_totals" -> ((s, dir) =>
+      billingJoin(s, dir).agg(
+          count(lit(1)).as("record_count"),
+          sum(col("page_views")).as("total_page_views"))
+        .withColumn("total_billing_amount",
+          col("total_page_views").cast("double") / lit(1000000) * lit(10))),
+
+    "a4_status_histogram" -> ((s, dir) =>
+      billingJoin(s, dir).agg(
+        count(when(col("billing_amount") > 0, 1)).as("n_pending"),
+        count(when(col("billing_amount") <= 0, 1)).as("n_skipped"))),
+
+    "a5_latest_event_state" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), to_date(col("ts")))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), to_date(col("ts")).as("event_date"),
+          col("event_id"), col("event_type"), col("value"))
+        .orderBy("user_id", "event_date")
+    }),
+
+    // ---- §2.3 joins ----
+    "j1_billing_join" -> ((s, dir) => billingJoin(s, dir).orderBy("shop_key")),
+
+    "j3_enrich_outcomes" -> ((s, dir) => {
+      val bill = billingJoin(s, dir)
+      val outcomes = bill.where(col("billing_amount") > 0)
+        .select(col("shop_key").as("o_key"),
+          when(col("shop_key") % 10 === 3, "failed").otherwise("success")
+            .as("o_status"),
+          when(col("shop_key") % 10 === 3, lit(null).cast("string"))
+            .otherwise(concat(lit("ch-"), col("shop_key"))).as("charge_id"),
+          when(col("shop_key") % 10 === 3, "Rate limit exceeded")
+            .otherwise(lit(null).cast("string")).as("error"))
+      bill.join(broadcast(outcomes), col("shop_key") === col("o_key"),
+          "left_outer")
+        .select(col("shop_key"), col("page_views"),
+          coalesce(col("o_status"),
+            when(col("billing_amount") <= 0, "skipped").otherwise("pending"))
+            .as("status"),
+          col("charge_id"), col("error"))
+        .orderBy("shop_key")
+    }),
+
+    "join_semi_active_shops" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(dailyViews(s, dir),
+          col("c_custkey") === col("user_id"), "left_semi")
+        .select(col("c_custkey")).orderBy("c_custkey")),
+
+    "join_anti_inactive_shops" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(dailyViews(s, dir),
+          col("c_custkey") === col("user_id"), "left_anti")
+        .select(col("c_custkey")).orderBy("c_custkey")),
+
+    // ---- §2.7 set ops / §2.2 F5 split ----
+    "f5_split_routing" -> ((s, dir) => {
+      val bill = billingJoin(s, dir)
+      val charged = bill.where(col("billing_amount") > 0)
+        .withColumn("status", lit("pending"))
+      val skipped = bill.where(col("billing_amount") <= 0)
+        .withColumn("status", lit("skipped"))
+      charged.unionAll(skipped)
+        .select(col("shop_key"), col("page_views"), col("status"))
+        .orderBy("shop_key")
+    }),
+
+    "setop_nation_coverage" -> ((s, dir) => {
+      val custNations = t(s, dir, "customer")
+        .select(col("c_nationkey").as("nationkey")).distinct()
+      val suppNations = t(s, dir, "supplier")
+        .select(col("s_nationkey").as("nationkey")).distinct()
+      val both = custNations.intersect(suppNations)
+        .withColumn("tag", lit("both"))
+      val custOnly = custNations.except(suppNations)
+        .withColumn("tag", lit("cust_only"))
+      both.unionAll(custOnly).select(col("tag"), col("nationkey"))
+        .orderBy("tag", "nationkey")
+    }),
+
+    // ---- §2.6 sorts / limits / top-k ----
+    "l2_top_shops" -> ((s, dir) =>
+      billingJoin(s, dir).where(col("page_views") > 0)
+        .orderBy(col("billing_amount").desc, col("shop_key").asc)
+        .select(col("shop_key"), col("page_views"), col("billing_amount"))
+        .limit(10)),
+
+    "l3_recent_events" -> ((s, dir) =>
+      events(s, dir)
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .limit(10)),
+
+    // ---- §2.8 scalar functions ----
+    "x5_jst_business_date" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(to_date(col("ts") + expr("INTERVAL 9 HOURS"))
+          .as("jst_date"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("jst_date")),
+
+    "x13_json_props" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+
+    "x_scalar_suite" -> ((s, dir) =>
+      t(s, dir, "part").select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          length(col("p_name")).cast("long").as("name_len"),
+          substring(col("p_brand"), 1, 6).as("brand_prefix"),
+          (col("p_size") * 2).as("size_x2"),
+          abs(col("p_retailprice") - lit(1000).cast("double")).as("price_delta"),
+          when(col("p_size") >= 25, "large").when(col("p_size") >= 10, "medium")
+            .otherwise("small").as("size_class"))
+        .orderBy("p_partkey")),
+
+    // ---- TPC-H-style relational core (bench headliners) ----
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsumExpr(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          dsumExpr(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))).as("sum_charge"),
+          (sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double") /
+            count(lit(1))).as("avg_qty"),
+          (sum(col("l_extendedprice").cast(DecimalType(18, 4))).cast("double") /
+            count(lit(1))).as("avg_price"),
+          (sum(col("l_discount").cast(DecimalType(18, 4))).cast("double") /
+            count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1996-03-15 00:00:00").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1996-03-15 00:00:00").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsumExpr(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_local_supplier_volume" -> ((s, dir) => {
+      val asia = t(s, dir, "region").where(col("r_name") === "ASIA")
+      val nat = t(s, dir, "nation")
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val supp = t(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+          col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsumExpr(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "agg_nation_balance" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          dsum(col("c_acctbal"), 2).as("total_balance"))
+        .orderBy("r_name", "n_name")),
+
+    "cube_lineitem_counts" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // ---- §2.5 windows ----
+    "window_order_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "window_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- streaming twin (batch-equivalent tumbling window) ----
+    "stream_tumbling_counts" -> ((s, dir) =>
+      StreamingOps.tumblingCounts(events(s, dir), "1 hour")
+        .orderBy("window_start", "event_type")),
+
+    // ---- LLM-pipeline: dedup ----
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents")).orderBy("text_hash")),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), w = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), k = 8, bands = 4,
+        w = 3, threshold = 0.5).orderBy("id_a", "id_b")),
+
+    "dedup_simhash_signatures" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+        .orderBy("doc_id")),
+
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    // ---- LLM-pipeline: similarity search ----
+    "ann_bruteforce_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 8), k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
+          threshold = 0.42, idModulus = 2)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")),
+
+    "ann_lsh_topk" -> ((s, dir) => { // approx path: rows-only check
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 8), k = 5,
+          planes = 6)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "agg_approx_distinct_users" -> ((s, dir) => // HLL: rows-only check
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")),
+
+    // ---- LLM-pipeline: text analysis ----
+    "text_token_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
+          TextOps.charCount(col("text")).cast("long").as("n_chars_m"),
+          TextOps.punctCount(col("text")).cast("long").as("n_punct"))
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "text_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          TextOps.langId(col("text")).as("lang_pred"), col("lang"))
+        .orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          TextOps.contentFingerprint(col("text")).as("fingerprint"),
+          TextOps.rollingHash(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", "")).as("rolling_hash"))
+        .orderBy("doc_id")),
+
+    // ---- LLM-pipeline: multimodal plumbing ----
+    "mm_payload_metadata" -> ((s, dir) =>
+      Multimodal.payloadMetadata(
+          Multimodal.withBinaryPayload(t(s, dir, "documents")))
+        .withColumn("byte_len", col("byte_len").cast("long"))
+        .orderBy("media_id")),
+
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.withBinaryPayload(t(s, dir, "documents")), step = 10)
+        .orderBy("media_id", "frame_idx")),
+
+    "mm_decoded_features" -> ((s, dir) => { // stubbed decoder: rows-only
+      Multimodal.extractFeatures(s,
+          Multimodal.withBinaryPayload(t(s, dir, "documents")))
+        .toDF().orderBy("media_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_sessions_scan" ->
+      """SELECT 'shop-' || c_custkey AS shop, c_name AS access_token,
+        | c_mktsegment AS segment, 'shop-' || c_custkey AS session_id
+        | FROM customer
+        | WHERE c_name IS NOT NULL AND c_name != ''
+        | ORDER BY shop""".stripMargin,
+
+    "p2_x9_shop_normalization" ->
+      """WITH s AS (SELECT c_custkey, CASE WHEN c_custkey % 2 = 0
+        |  THEN 'shop-' || c_custkey || '.myshopify.com'
+        |  ELSE 'shop-' || c_custkey END AS shop_raw FROM customer)
+        |SELECT c_custkey, shop_raw,
+        | regexp_replace(shop_raw, '\.myshopify\.com$', '') AS shop_norm,
+        | CASE WHEN contains(shop_raw, '.myshopify.com') THEN shop_raw
+        |  ELSE shop_raw || '.myshopify.com' END AS shop_full
+        |FROM s ORDER BY c_custkey""".stripMargin,
+
+    "f2_daily_event_filter" ->
+      """SELECT event_id, user_id, ts FROM events
+        | WHERE event_type = 'view' AND CAST(ts AS DATE) = DATE '2024-01-15'
+        |  AND user_id IS NOT NULL
+        | ORDER BY event_id""".stripMargin,
+
+    "a1_daily_user_counts" ->
+      s"SELECT * FROM ($pvCte) ORDER BY user_id",
+
+    "a2_totals" ->
+      s"""SELECT record_count, total_page_views,
+         | CAST(total_page_views AS DOUBLE) / 1000000 * 10 AS total_billing_amount
+         | FROM (SELECT count(*) AS record_count,
+         |  CAST(SUM(page_views) AS BIGINT) AS total_page_views
+         |  FROM ($billCte))""".stripMargin,
+
+    "a4_status_histogram" ->
+      s"""SELECT count(CASE WHEN billing_amount > 0 THEN 1 END) AS n_pending,
+         | count(CASE WHEN billing_amount <= 0 THEN 1 END) AS n_skipped
+         | FROM ($billCte)""".stripMargin,
+
+    "a5_latest_event_state" ->
+      """SELECT user_id, event_date, event_id, event_type, value FROM (
+        | SELECT user_id, CAST(ts AS DATE) AS event_date, event_id,
+        |  event_type, value,
+        |  row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |   ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1
+        | ORDER BY user_id, event_date""".stripMargin,
+
+    "j1_billing_join" ->
+      s"SELECT * FROM ($billCte) ORDER BY shop_key",
+
+    "j3_enrich_outcomes" ->
+      s"""WITH bill AS ($billCte),
+         |outcomes AS (SELECT shop_key AS o_key,
+         | CASE WHEN shop_key % 10 = 3 THEN 'failed' ELSE 'success' END AS o_status,
+         | CASE WHEN shop_key % 10 = 3 THEN NULL
+         |  ELSE 'ch-' || shop_key END AS charge_id,
+         | CASE WHEN shop_key % 10 = 3 THEN 'Rate limit exceeded'
+         |  ELSE NULL END AS error
+         | FROM bill WHERE billing_amount > 0)
+         |SELECT b.shop_key, b.page_views,
+         | COALESCE(o.o_status, CASE WHEN b.billing_amount <= 0
+         |  THEN 'skipped' ELSE 'pending' END) AS status,
+         | o.charge_id, o.error
+         |FROM bill b LEFT JOIN outcomes o ON b.shop_key = o.o_key
+         |ORDER BY shop_key""".stripMargin,
+
+    "join_semi_active_shops" ->
+      s"""SELECT c_custkey FROM customer
+         | WHERE EXISTS (SELECT 1 FROM ($pvCte) pv WHERE pv.user_id = c_custkey)
+         | ORDER BY c_custkey""".stripMargin,
+
+    "join_anti_inactive_shops" ->
+      s"""SELECT c_custkey FROM customer
+         | WHERE NOT EXISTS (SELECT 1 FROM ($pvCte) pv WHERE pv.user_id = c_custkey)
+         | ORDER BY c_custkey""".stripMargin,
+
+    "f5_split_routing" ->
+      s"""WITH bill AS ($billCte)
+         |SELECT * FROM (
+         | SELECT shop_key, page_views, 'pending' AS status FROM bill
+         |  WHERE billing_amount > 0
+         | UNION ALL
+         | SELECT shop_key, page_views, 'skipped' AS status FROM bill
+         |  WHERE billing_amount <= 0)
+         |ORDER BY shop_key""".stripMargin,
+
+    "setop_nation_coverage" ->
+      """SELECT * FROM (
+        | SELECT 'both' AS tag, nationkey FROM (
+        |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |  INTERSECT
+        |  SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        | UNION ALL
+        | SELECT 'cust_only' AS tag, nationkey FROM (
+        |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |  EXCEPT
+        |  SELECT DISTINCT s_nationkey AS nationkey FROM supplier))
+        |ORDER BY tag, nationkey""".stripMargin,
+
+    "l2_top_shops" ->
+      s"""SELECT shop_key, page_views, billing_amount FROM ($billCte)
+         | WHERE page_views > 0
+         | ORDER BY billing_amount DESC, shop_key ASC LIMIT 10""".stripMargin,
+
+    "l3_recent_events" ->
+      """SELECT event_id, user_id, event_type, ts FROM events
+        | ORDER BY ts DESC, event_id DESC LIMIT 10""".stripMargin,
+
+    "x5_jst_business_date" ->
+      """SELECT CAST(ts + INTERVAL 9 HOUR AS DATE) AS jst_date,
+        | count(*) AS n FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x13_json_props" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        | FROM events ORDER BY event_id""".stripMargin,
+
+    "x_scalar_suite" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | substr(p_brand, 1, 6) AS brand_prefix,
+        | p_size * 2 AS size_x2,
+        | abs(p_retailprice - CAST(1000 AS DOUBLE)) AS price_delta,
+        | CASE WHEN p_size >= 25 THEN 'large' WHEN p_size >= 10 THEN 'medium'
+        |  ELSE 'small' END AS size_class
+        | FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(22,6))) AS DOUBLE) AS sum_charge,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+        | CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+        | o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        | AND l_orderkey = o_orderkey
+        | AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+        | AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        | AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        | AND r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "agg_nation_balance" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+        |FROM customer, nation, region
+        |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "cube_lineitem_counts" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        | l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "window_order_rank" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "window_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "stream_tumbling_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | count(*) AS n FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        | count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    "text_token_stats" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars_m,
+        | CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS BIGINT) AS n_punct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_payload_metadata" ->
+      """SELECT doc_id AS media_id,
+        | CAST(strlen(text) AS BIGINT) AS byte_len,
+        | md5(text) AS payload_md5,
+        | 'image/fake' AS media_type
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """SELECT media_id, n_frames, unnest(range(0, greatest(n_frames, 1), 10)) AS frame_idx
+        |FROM (SELECT doc_id AS media_id,
+        |  CAST(floor(CAST(strlen(text) AS DOUBLE) / 16) AS BIGINT) AS n_frames
+        |  FROM documents)
+        |ORDER BY media_id, frame_idx""".stripMargin
+  )
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline surface: tokenizing,
+  * quality scoring, language ID, fingerprinting. All pure `functions._`
+  * compositions — codegen'd, no UDFs, shuffle-free (per-row), so they
+  * stream through a 100 TB `documents` scan at parquet-read speed.
+  *
+  * Determinism contract: only exact string/integer ops and IEEE +,-,*,/
+  * so results hash-match a DuckDB oracle bit-for-bit.
+  */
+object TextOps {
+
+  /** Whitespace tokens of trimmed, lowercased text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word segmentation: runs of letters, runs of digits, or a
+    * single other non-space symbol — the classic pre-tokenizer split. */
+  val BpeTokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeTokenPattern), lit(0))
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  /** Quality components (all exact or single-IEEE-op ratios). */
+  def charCount(text: Column): Column = length(text)
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\.,;:!\\?]"), lit(0)))
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(stopwords)))
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  /** Composite quality score ∈ [0, ~1]: mean-word-length band + low
+    * punctuation density + nonzero-ish stopword presence. Purely
+    * arithmetic; thresholds chosen for the classic "is this prose"
+    * heuristic. */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val chars = charCount(text).cast("double")
+    val meanWordLen = chars / greatest(n, lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(chars, lit(1.0))
+    val stopRatio =
+      stopwordCount(text, EnglishStopwords).cast("double") / greatest(n, lit(1.0))
+    val lenOk = when(n >= 5 && n <= 100000, lit(1.0)).otherwise(lit(0.0))
+    val wordOk = when(meanWordLen >= 2.0 && meanWordLen <= 12.0, lit(1.0))
+      .otherwise(lit(0.0))
+    val punctOk = when(punctRatio <= 0.2, lit(1.0)).otherwise(lit(0.0))
+    (lenOk * 0.25) + (wordOk * 0.25) + (punctOk * 0.25) +
+      (least(stopRatio * 5.0, lit(1.0)) * 0.25)
+  }
+
+  /** Tiny per-language marker lexicons for n-gram/stopword language ID.
+    * Deliberately minimal — the operator shape (score-per-language,
+    * argmax with lexicographic tie-break) is what scales; swap lexicons
+    * for real ones in production. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des"))
+
+  /** Language-ID: hit-count per lexicon, argmax, ties → lexicographically
+    * first language, zero hits → "und" (undetermined). */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = LangMarkers.map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isInCollection(words))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // max by (hits, reversed-lang) == argmax hits with lexicographic
+    // tie-break via two-pass: take max hits, then min lang among maxes
+    val hitsArr = array(scored: _*)
+    val maxHits = array_max(transform(hitsArr, s => s.getField("hits")))
+    val winners = filter(hitsArr, s => s.getField("hits") === maxHits)
+    when(maxHits <= 0, lit("und"))
+      .otherwise(array_min(transform(winners, s => s.getField("lang"))))
+  }
+
+  /** Polynomial rolling hash over the code points of lowercased text:
+    * `h = fold(chars, 0, (a, c) -> (a * 31 + codepoint(c)) mod 2^31)`.
+    * Sequential left fold (`aggregate`) ⇒ deterministic; int64 never
+    * overflows (a < 2^31, a*31 + c < 2^36). */
+  def rollingHash(text: Column): Column =
+    aggregate(split(lower(text), ""), lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch)) % 2147483647L)
+
+  /** Order-insensitive content fingerprint: md5 of the sorted distinct
+    * token multiset — catches shuffled near-identical docs. */
+  def contentFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+}

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming twin of the daily batch aggregation (SURVEY
+  * §2.9): the reference consumes its event log in daily batch slices;
+  * the same aggregation expressed as a watermarked windowed streaming
+  * query is the engine's incremental path. Not needed for parity — the
+  * batch `tumblingCounts` below is the oracle-checkable equivalent and
+  * shares the groupBy shape with the streaming plan.
+  */
+object StreamingOps {
+
+  /** Batch-equivalent tumbling-window counts (shares semantics with the
+    * streaming query below; oracle: date_trunc on the window start). */
+  def tumblingCounts(events: DataFrame, window: String = "1 hour"): DataFrame =
+    events
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window)
+        .as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Streaming source → watermarked tumbling agg. Caller starts the
+    * returned frame with `writeStream`. */
+  def streamingTumblingCounts(spark: SparkSession, sourceDir: String,
+      schema: StructType, window: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+
+  /** Run a streaming frame to completion against a static source (memory
+    * sink), returning the materialized result — the local smoke path. */
+  def runToMemory(spark: SparkSession, streaming: DataFrame,
+      name: String): DataFrame = {
+    val q: StreamingQuery = streaming.writeStream
+      .outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

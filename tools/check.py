@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: for each query dumped
+by graft.Verify, run the DuckDB oracle SQL over the same parquet tables
+and compare (columns sorted by name, rows sorted, values hashed).
+
+Usage: python3 tools/check.py [verify_out_dir] [sf_dir]
+"""
+import json, sys, math
+
+import duckdb
+
+VERIFY_OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
+SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision
+    if isinstance(v, bool):
+        return str(v)
+    return str(v)
+
+
+def main():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    oracle = json.load(open(f"{VERIFY_OUT}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{VERIFY_OUT}/{name}/*.parquet'").fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}")
+            n_bad += 1
+            continue
+        try:
+            exp = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_bad += 1
+            continue
+        gc, ec = sorted(got.columns), sorted(exp.columns)
+        if gc != ec:
+            print(f"FAIL {name}: columns {gc} != {ec}")
+            n_bad += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            n_bad += 1
+            continue
+        g = got[gc].values.tolist()
+        e = exp[ec].values.tolist()
+        g = sorted([tuple(canon(v) for v in row) for row in g])
+        e = sorted([tuple(canon(v) for v in row) for row in e])
+        if g != e:
+            bad = [(i, a, b) for i, (a, b) in enumerate(zip(g, e)) if a != b]
+            print(f"FAIL {name}: {len(bad)}/{len(g)} rows differ; first: "
+                  f"{bad[0] if bad else '(order only)'}")
+            n_bad += 1
+            continue
+        print(f"ok   {name} ({len(g)} rows)")
+        n_ok += 1
+    # rows-only queries (no oracle): just confirm non-error dump exists
+    import os
+    for d in sorted(os.listdir(VERIFY_OUT)):
+        path = os.path.join(VERIFY_OUT, d)
+        if os.path.isdir(path) and d not in oracle:
+            try:
+                n = con.execute(
+                    f"SELECT count(*) FROM '{path}/*.parquet'").fetchone()[0]
+                print(f"rows {d} ({n} rows, no oracle)")
+            except Exception as e:
+                print(f"FAIL {d}: rows-only dump unreadable: {e}")
+                n_bad += 1
+    print(f"\n{n_ok} ok, {n_bad} failed, "
+          f"{len(oracle)} oracle queries")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()

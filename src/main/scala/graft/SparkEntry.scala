@@ -184,13 +184,13 @@ object SparkEntry {
 
     "join_semi_active_shops" -> ((s, dir) =>
       t(s, dir, "customer")
-        .join(dailyViews(s, dir),
+        .join(broadcast(dailyViews(s, dir)),
           col("c_custkey") === col("user_id"), "left_semi")
         .select(col("c_custkey")).orderBy("c_custkey")),
 
     "join_anti_inactive_shops" -> ((s, dir) =>
       t(s, dir, "customer")
-        .join(dailyViews(s, dir),
+        .join(broadcast(dailyViews(s, dir)),
           col("c_custkey") === col("user_id"), "left_anti")
         .select(col("c_custkey")).orderBy("c_custkey")),
 
@@ -385,26 +385,23 @@ object SparkEntry {
         w = 3, threshold = 0.5).orderBy("id_a", "id_b")),
 
     "dedup_simhash_signatures" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
-        .orderBy("doc_id")),
+      Dedup.simhashSignatures(t(s, dir, "documents")).orderBy("doc_id")),
 
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("int"))
         .orderBy("id_a", "id_b")),
 
     // ---- LLM-pipeline: similarity search ----
     "ann_bruteforce_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 8), k = 5)
-        .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy("query_id", "rank")
     }),
 
     "dedup_embedding_cosine" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
           threshold = 0.42, idModulus = 2)
-        .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")),
 
     "ann_lsh_topk" -> ((s, dir) => { // approx path: rows-only check
@@ -466,6 +463,61 @@ object SparkEntry {
         .toDF().orderBy("media_id")
     })
   )
+
+  // ---- DuckDB oracle snippet builders for the extension operators ----
+
+  /** Sequential left-fold dot product in double — replicates VecDot's
+    * accumulation order bit-for-bit. */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+    s"list_transform(list_zip($a, $b), " +
+    s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (p,q) -> p + q)"
+
+  /** Long-form (doc_id, sh) shingle-digest relation — replicates
+    * Dedup.docShingles (w=3). */
+  private val duckShingles =
+    """toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+      |  FROM documents),
+      |shl AS (SELECT doc_id, unnest(list_distinct(
+      |  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |  ELSE list_transform(range(1, len(w)-1),
+      |    i -> array_to_string(w[i:i+2], ' ')) END)) AS s FROM toks),
+      |shm AS (SELECT doc_id, md5(s) AS sh FROM shl)""".stripMargin
+
+  /** Jaccard over candidate pairs, from the shm relation. */
+  private def duckJaccard(candidates: String, threshold: Double): String =
+    s"""sizes AS (SELECT doc_id, count(*) AS n_sh FROM shm GROUP BY doc_id),
+       |common AS (SELECT c.ia, c.ib, count(*) AS n_common
+       |  FROM ($candidates) c
+       |  JOIN shm a ON c.ia = a.doc_id
+       |  JOIN shm b ON c.ib = b.doc_id AND a.sh = b.sh
+       |  GROUP BY c.ia, c.ib)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT common.ia AS id_a, common.ib AS id_b,
+       |   CAST(n_common AS DOUBLE) /
+       |     CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+       |  FROM common
+       |  JOIN sizes sa ON common.ia = sa.doc_id
+       |  JOIN sizes sb ON common.ib = sb.doc_id)
+       |WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
+
+  /** 32-bit shingle simhash signature CTEs (→ relation sig(doc_id, sig))
+    * — replicates Dedup.simhashSignatures. */
+  private val duckSimhashCtes: String = {
+    val sums = (0 until 32).map { j =>
+      val pos = j / 4 + 1
+      val k = 3 - (j % 4)
+      s"CAST(SUM((((strpos('0123456789abcdef', substr(sh, $pos, 1)) - 1) >> $k) % 2) * 2 - 1) AS BIGINT) AS s$j"
+    }.mkString(", ")
+    val bits = (0 until 32).map { j =>
+      s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    s"""sums AS (SELECT doc_id, $sums FROM shm GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $bits AS sig FROM sums)""".stripMargin
+  }
+
+  private val duckTokens =
+    "string_split_regex(trim(lower(text)), '\\s+')"
 
   def oracleSql: Map[String, String] = Map(
     "s1_sessions_scan" ->
@@ -693,6 +745,108 @@ object SparkEntry {
         |FROM (SELECT doc_id AS media_id,
         |  CAST(floor(CAST(strlen(text) AS DOUBLE) / 16) AS BIGINT) AS n_frames
         |  FROM documents)
-        |ORDER BY media_id, frame_idx""".stripMargin
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // ---- LLM-pipeline extension oracles ----
+
+    "text_quality" -> {
+      val stops = TextOps.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, text, $duckTokens AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |  CAST(len(toks) AS DOUBLE) AS n,
+         |  CAST(length(text) AS DOUBLE) AS chars,
+         |  CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) AS punct,
+         |  CAST(len(list_filter(toks, tk -> list_contains($stops, tk))) AS DOUBLE) AS stop
+         |  FROM t)
+         |SELECT doc_id,
+         | (CASE WHEN n >= 5 AND n <= 100000 THEN 1e0 ELSE 0e0 END) * 0.25e0
+         | + (CASE WHEN chars / greatest(n, 1e0) >= 2e0
+         |      AND chars / greatest(n, 1e0) <= 12e0 THEN 1e0 ELSE 0e0 END) * 0.25e0
+         | + (CASE WHEN punct / greatest(chars, 1e0) <= 0.2e0 THEN 1e0 ELSE 0e0 END) * 0.25e0
+         | + least(stop / greatest(n, 1e0) * 5e0, 1e0) * 0.25e0 AS quality
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
+    "text_langid" -> {
+      val hitCols = TextOps.LangMarkers.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(toks, tk -> list_contains($lst, tk))) AS h_$lang"
+      }.mkString(", ")
+      val langs = TextOps.LangMarkers.map(_._1)
+      val m = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN h_$l = m THEN '$l'").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, $duckTokens AS toks FROM documents),
+         |h AS (SELECT doc_id, lang, $hitCols FROM t),
+         |hm AS (SELECT *, $m AS m FROM h)
+         |SELECT doc_id,
+         | CASE WHEN m <= 0 THEN 'und' $cases END AS lang_pred, lang
+         |FROM hm ORDER BY doc_id""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         | md5(array_to_string(list_sort(list_distinct($duckTokens)), ' ')) AS fingerprint,
+         | list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |   list_transform(
+         |     string_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ''),
+         |     c -> CAST(unicode(c) AS BIGINT))),
+         |   (a, b) -> (a * 31 + b) % 2147483647) AS rolling_hash
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $duckShingles,
+         |${duckJaccard(
+           "SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib FROM shm a " +
+           "JOIN shm b ON a.sh = b.sh AND a.doc_id < b.doc_id", 0.5)}""".stripMargin,
+
+    "dedup_minhash_lsh" -> {
+      val mh = (0 until 8).map(i => s"min(md5('$i|' || sh)) AS m$i").mkString(", ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(m${2 * b} || '|' || m${2 * b + 1}) AS bh FROM mh")
+        .mkString(" UNION ALL ")
+      s"""WITH $duckShingles,
+         |mh AS (SELECT doc_id, $mh FROM shm GROUP BY doc_id),
+         |bands AS ($bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |${duckJaccard("SELECT ia, ib FROM cand", 0.5)}""".stripMargin
+    },
+
+    "dedup_simhash_signatures" ->
+      s"""WITH $duckShingles,
+         |$duckSimhashCtes
+         |SELECT doc_id, sig FROM sig ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH $duckShingles,
+         |$duckSimhashCtes
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_bruteforce_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+         |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id != q.vec_id),
+         |r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM p)
+         |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id % 2 = 0),
+         |n AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${duckDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= CAST(0.42 AS DOUBLE)
+         |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -9,18 +9,21 @@ import org.apache.spark.sql.functions._
   *  - exact + fingerprint dedup: one hash-groupBy — the shuffle key is the
   *    16-byte digest, not the document body, so 100 TB of text shuffles
   *    only ~(n_docs × 16 B).
-  *  - MinHash/LSH: shingle → k minhashes → b bands; candidate generation
-  *    is a self-join on (band_id, band_hash) — documents only meet if
-  *    they collide in a band, so the join fan-out is data-dependent and
-  *    tiny compared to the n² brute force. The verify step recomputes
-  *    exact Jaccard ONLY for candidates.
-  *  - SimHash: per-doc 16-bit signature, near-dups = Hamming ≤ r; banding
-  *    on signature halves gives the scale path (pigeonhole: distance ≤ 1
-  *    pairs share at least one half).
+  *  - MinHash/LSH: ONE explode pass builds the long-form (doc, shingle)
+  *    relation; k seeded re-hashes aggregate to k minhashes in a single
+  *    groupBy (no per-column shingle recomputation); candidate pairs come
+  *    from a self-join on (band, band_hash) — documents only meet if they
+  *    collide in a band; exact Jaccard is recomputed ONLY for candidates.
+  *  - n-gram Jaccard: inverted-index self-join on a 64-bit shingle key
+  *    (8-byte shuffle key, not the shingle text).
+  *  - SimHash: 32-bit signature; candidate pairs via 4×8-bit band
+  *    self-join (pigeonhole: Hamming ≤ 3 ⇒ at least one band equal),
+  *    exact Hamming verified on candidates.
   *
-  * Determinism contract for oracle parity: hashes are md5 hex strings
-  * (identical bytes in every engine), mins/maxes are lexicographic on
-  * hex, and all ratios are single IEEE divisions of exact integers.
+  * Determinism contract for oracle parity: emitted hashes are md5 hex
+  * strings, mins are lexicographic on hex, ratios are single IEEE
+  * divisions of exact integers. (Internal join keys may use xxhash64 —
+  * they never appear in output.)
   */
 object Dedup {
 
@@ -34,6 +37,23 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(w))))))
   }
 
+  /** Long-form distinct shingle digests: one row per (doc_id, sh) with
+    * sh = md5(shingle). Single explode pass, shared by every near-dup
+    * operator. The token array is materialized as a column BEFORE the
+    * shingle lambda — otherwise the regex split re-executes per lambda
+    * element (O(words²) regex work per document). */
+  def docShingles(documents: DataFrame, w: Int = 3): DataFrame = {
+    val toks = col("toks")
+    documents
+      .select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("toks"))
+      .select(col("doc_id"), explode(array_distinct(
+        when(size(toks) < w, array(concat_ws(" ", toks)))
+          .otherwise(transform(sequence(lit(0), size(toks) - w),
+            i => concat_ws(" ", slice(toks, i + 1, lit(w))))))).as("shingle"))
+      .select(col("doc_id"), md5(col("shingle")).as("sh"))
+  }
+
   /** Exact dedup: group identical bodies by digest; emit one keeper (min
     * doc_id) + duplicate count per distinct text. */
   def exact(documents: DataFrame): DataFrame =
@@ -42,25 +62,22 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("dup_count"))
 
-  /** MinHash signature columns: minhash_i = lexicographic min over
-    * shingles of md5(i || '|' || shingle). Seeded re-hashing gives k
-    * independent permutations without any RNG. */
-  def withMinhashes(documents: DataFrame, k: Int = 8, w: Int = 3): DataFrame = {
-    val sh = shingles(col("text"), w)
-    val cols = (0 until k).map { i =>
-      array_min(transform(sh, s => md5(concat(lit(s"$i|"), s))))
-        .as(s"minhash_$i")
+  /** MinHash signatures in ONE aggregation over the long form:
+    * minhash_i = lexicographic min over shingles of md5(i || '|' || sh).
+    * Seeded re-hashing simulates k independent permutations without RNG. */
+  def withMinhashes(docSh: DataFrame, k: Int = 8): DataFrame = {
+    val aggs = (0 until k).map { i =>
+      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"minhash_$i")
     }
-    documents.select(col("doc_id") +: cols: _*)
+    docSh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs from banded minhashes: b bands of r rows
-    * (k = b*r); a pair is a candidate iff some band's concatenated
-    * minhashes collide. Returns (band, band_hash, doc_id) long-form,
-    * ready for the self-join. */
+  /** LSH band buckets: b bands of r rows (k = b*r); band hash = md5 of
+    * the concatenated minhashes. Long-form (doc_id, band, band_hash). */
   def lshBuckets(minhashed: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"minhash_${b * rowsPerBand + r}"))
+      val parts =
+        (0 until rowsPerBand).map(r => col(s"minhash_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("band_hash"))
     }
     minhashed
@@ -69,13 +86,12 @@ object Dedup {
         col("bb.band_hash").as("band_hash"))
   }
 
-  /** MinHash-LSH near-dup pairs, verified with exact Jaccard ≥ threshold.
-    * The self-join key is (band, band_hash); the Jaccard verify joins the
-    * (distinct) candidate pairs back to per-doc shingle sets. */
+  /** MinHash-LSH near-dup pairs, verified with exact Jaccard ≥ threshold. */
   def minhashLshPairs(documents: DataFrame, k: Int = 8, bands: Int = 4,
-      w: Int = 3, threshold: Double = 0.7): DataFrame = {
-    val r = k / bands
-    val buckets = lshBuckets(withMinhashes(documents, k, w), bands, r)
+      w: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val docSh = docShingles(documents, w).cache()
+    // minhashes cached: the bucket self-join consumes it on both sides
+    val buckets = lshBuckets(withMinhashes(docSh, k).cache(), bands, k / bands)
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") &&
@@ -83,23 +99,21 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    verifyJaccard(documents, candidates, w, threshold)
+    jaccardOf(docSh, candidates).where(col("jaccard") >= threshold)
   }
 
   /** Exact n-gram Jaccard over ALL co-shingled pairs (no LSH): pairs that
     * share ≥1 shingle, scored |∩| / |∪|. The inverted-index self-join on
-    * the shingle hash avoids the n² cross product — only docs sharing a
-    * shingle ever meet. */
+    * a 64-bit shingle key avoids the n² cross product — only docs sharing
+    * a shingle ever meet. */
   def ngramJaccardPairs(documents: DataFrame, w: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val docShingles = documents
-      .select(col("doc_id"), explode(shingles(col("text"), w)).as("sh"))
-      .select(col("doc_id"), md5(col("sh")).as("sh"))
-    val sizes = docShingles.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_sh"))
-    val common = docShingles.as("a")
-      .join(docShingles.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+    val docSh = docShingles(documents, w)
+      .select(col("doc_id"), xxhash64(col("sh")).as("shk")).cache()
+    val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = docSh.as("a")
+      .join(docSh.as("b"),
+        col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
     common
@@ -112,15 +126,13 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  private def verifyJaccard(documents: DataFrame, candidates: DataFrame,
-      w: Int, threshold: Double): DataFrame = {
-    val docShingles = documents
-      .select(col("doc_id"), explode(shingles(col("text"), w)).as("sh"))
-      .select(col("doc_id"), md5(col("sh")).as("sh"))
-    val sizes = docShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+  /** Exact Jaccard for given candidate pairs, from the shared long-form
+    * shingle relation. */
+  private def jaccardOf(docSh: DataFrame, candidates: DataFrame): DataFrame = {
+    val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = candidates
-      .join(docShingles.as("a"), col("id_a") === col("a.doc_id"))
-      .join(docShingles.as("b"),
+      .join(docSh.as("a"), col("id_a") === col("a.doc_id"))
+      .join(docSh.as("b"),
         col("id_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -131,39 +143,53 @@ object Dedup {
         (col("n_common").cast("double") /
           (col("sa.n_sh") + col("sb.n_sh") - col("n_common")).cast("double"))
           .as("jaccard"))
-      .where(col("jaccard") >= threshold)
   }
 
-  /** 16-bit SimHash from the first 4 hex chars of each token's md5:
-    * bit_j = sign of Σ_tokens (±1 by token-hash bit j). Portable bit
-    * extraction: hex digit value via strpos, bit via div/mod. */
-  def simhash(text: Column): Column = {
-    val toks = array_distinct(split(trim(lower(text)), "\\s+"))
-    // Σ over tokens per bit, then sign → bit j of the signature
-    val sums = (0 until 16).map { j =>
-      aggregate(toks, lit(0),
-        (acc, t) => {
-          val hexChar = substring(md5(t), j / 4 + 1, 1)
-          val hexVal = conv(hexChar, 16, 10).cast("int")
-          val bit = shiftright(hexVal, 3 - (j % 4)) % 2
-          acc + (bit * 2 - 1)
-        })
+  /** 32-bit SimHash over the document's SHINGLE set (shingles, not bare
+    * tokens, so the signature reflects word order/locality — bare-token
+    * simhash degenerates on small vocabularies): bit_j = sign of
+    * Σ_shingles (±1 by bit j of the shingle digest). Computed from the
+    * long-form (doc, sh) relation in one aggregation pass; bit values
+    * come from hex digits of md5 via base conversion — reproducible in
+    * any engine with md5. */
+  def simhashSignatures(documents: DataFrame, w: Int = 3,
+      bits: Int = 32): DataFrame = {
+    val contribs = (0 until bits).map { j =>
+      val hexChar = substring(col("sh"), j / 4 + 1, 1)
+      val hexVal = conv(hexChar, 16, 10).cast("int")
+      val bit = shiftright(hexVal, 3 - (j % 4)) % 2
+      sum(bit * 2 - 1).as(s"s$j")
     }
-    sums.zipWithIndex.map { case (s, j) =>
-      when(s > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    docShingles(documents, w)
+      .groupBy(col("doc_id"))
+      .agg(contribs.head, contribs.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map { j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _).as("sig"))
   }
 
-  /** SimHash near-dup pairs: signatures within Hamming distance ≤ r.
-    * Brute signature-pair compare here (signatures are tiny);
-    * the banding-on-halves trick is the scale path and is exercised by
-    * the LSH operators above. */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 2): DataFrame = {
-    val sigs = documents.select(col("doc_id"),
-      simhash(col("text")).as("sig"))
-    sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3 for
+    * completeness with 4 bands). Candidates via 4×8-bit band self-join —
+    * pigeonhole guarantees any pair within Hamming ≤ 3 shares at least
+    * one band — then exact Hamming verify. */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band bucketing is only complete for Hamming <= 3")
+    val sigs = simhashSignatures(documents).cache()
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bval"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"),
+        col("bb.bval").as("bval"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+        col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
       .where(col("hamming") <= maxHamming)
   }
 }

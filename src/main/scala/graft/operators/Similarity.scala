@@ -4,44 +4,51 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions.{vec_dot, vec_norm}
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Scale design: brute-force top-k is the correctness baseline — a
   * broadcast of the (small) query set against a full scan of the corpus,
   * embarrassingly parallel, no shuffle until the final per-query top-k
-  * (`Window` + rank, which AQE executes as a partial top-k per partition).
-  * The LSH variant (random-hyperplane signs) buckets the corpus so each
-  * query only scans its bucket — the 100 TB path; hyperplanes are
-  * deterministic (md5-parity pseudo-signs), so results are reproducible.
+  * (`Window` + rank, executed as partial top-k per partition). Norms are
+  * precomputed ONCE per vector (not per pair), and the pairwise dot
+  * product is the native codegen'd [[graft.functions.VecDot]] — the
+  * n×m hot loop does exactly one fused multiply-add pass per pair.
+  * The LSH variant (deterministic random-hyperplane signs) buckets the
+  * corpus so each query only scans its bucket — the 100 TB path.
   *
-  * Determinism: floats are widened to double BEFORE any multiply, the
-  * dot product is a sequential left fold (`aggregate`), and `sqrt` is
-  * IEEE-correctly-rounded — identical bits in any engine that does the
-  * same.
+  * Determinism: floats widen to double before multiply, dot accumulates
+  * sequentially in index order, `sqrt` is IEEE-correctly-rounded —
+  * identical bits in any engine that does the same.
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float vectors in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product in double (native codegen). */
+  def dot(a: Column, b: Column): Column = vec_dot(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = vec_norm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
+      vec_norm(col("embedding")).as("nrm"))
+
+  private def pairCos: Column =
+    vec_dot(col("q.embedding"), col("c.embedding")) /
+      (col("q.nrm") * col("c.nrm"))
+
   /** Brute-force cosine top-k: every query row (broadcast) against the
     * whole corpus; per-query rank with deterministic tie-break on
-    * neighbor id. Output: (query_id, rank, neighbor_id, cosine). */
+    * neighbor id. Output: (query_id, rank, neighbor_id, cos). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       k: Int = 5): DataFrame = {
-    val joined = corpus.as("c")
-      .join(broadcast(queries.as("q")),
+    val joined = withNorm(corpus).as("c")
+      .join(broadcast(withNorm(queries).as("q")),
         col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"),
-        col("c.vec_id").as("neighbor_id"),
-        cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+        col("c.vec_id").as("neighbor_id"), pairCos.as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     joined.withColumn("rank", row_number().over(w))
@@ -75,17 +82,16 @@ object Similarity {
     * path for 100 TB corpora (bucket count grows 2^planes). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       planes: Int = 8): DataFrame = {
-    val sigCorpus = corpus.withColumn("sig",
-      lshSignature(col("embedding"), planes))
-    val sigQueries = queries.withColumn("sig",
-      lshSignature(col("embedding"), planes))
+    val sigCorpus = withNorm(corpus)
+      .withColumn("sig", lshSignature(col("embedding"), planes))
+    val sigQueries = withNorm(queries)
+      .withColumn("sig", lshSignature(col("embedding"), planes))
     val joined = sigCorpus.as("c")
       .join(broadcast(sigQueries.as("q")),
         col("q.sig") === col("c.sig") &&
         col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"),
-        col("c.vec_id").as("neighbor_id"),
-        cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+        col("c.vec_id").as("neighbor_id"), pairCos.as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     joined.withColumn("rank", row_number().over(w))
@@ -94,14 +100,14 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs within a deterministic id
-    * subset (`idFilter`), cosine ≥ threshold. Brute pairwise on the
-    * subset — the LSH variant above is the scale path. */
+    * subset (`vec_id % idModulus == 0`), cosine ≥ threshold. Brute
+    * pairwise on the subset — the LSH variant above is the scale path. */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
       idModulus: Int = 1): DataFrame = {
-    val sub = embeddings.where(col("vec_id") % idModulus === 0)
-    sub.as("a").join(sub.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+    val sub = withNorm(embeddings.where(col("vec_id") % idModulus === 0))
+    sub.as("q").join(sub.as("c"), col("q.vec_id") < col("c.vec_id"))
+      .select(col("q.vec_id").as("id_a"), col("c.vec_id").as("id_b"),
+        pairCos.as("cos"))
       .where(col("cos") >= threshold)
   }
 }

@@ -1,0 +1,101 @@
+package graft.driver
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.catalog.AppendStore
+import graft.model.{BillingConfig, Schemas}
+import graft.operators.BillingOps
+import graft.sinks.{ChargeSink, CollectingReportSink, FakeChargeClient}
+
+/** End-to-end §3.1/§3.2 behavior over inline fixtures: write-ahead
+  * ordering, append-only state, latest-record-wins reads, charge
+  * outcomes, report accounting, empty-session guard, dry-run purity. */
+class BillingJobSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val D = "2024-01-15"
+  // rate chosen so 2 views yield a chargeable 2-dp amount
+  private val cfg = BillingConfig(ratePerMillion = 10000.0)
+
+  private def sessions = Seq(
+    ("shop-ok", "tok-ok", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00")),
+    ("shop-idle", "tok-idle", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00")),
+    ("shop-bad", "bad-token", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00")),
+    ("shop-filtered", null, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"))
+  ).toDF("shop", "accessToken", "createdAt", "updatedAt")
+
+  private def eventsDf = Seq(
+    ("shop-ok.myshopify.com", "page_viewed", ts("2024-01-15 10:00:00")),
+    ("shop-ok.myshopify.com", "page_viewed", ts("2024-01-15 11:00:00")),
+    ("shop-bad.myshopify.com", "page_viewed", ts("2024-01-15 12:00:00")),
+    ("shop-ok.myshopify.com", "page_viewed", ts("2024-01-16 10:00:00"))
+  ).toDF("shop", "name", "created_at")
+
+  private def newJob() = {
+    val store = new AppendStore(spark,
+      Files.createTempDirectory("graft-job").toString + "/usage")
+    val reports = new CollectingReportSink
+    val sink = new ChargeSink(() => new FakeChargeClient(
+      failTokens = Set("bad-token")), concurrency = 2, sleep = _ => ())
+    (new BillingJob(spark, store, sink, reports, cfg), store, reports)
+  }
+
+  test("processDailyBilling: write-ahead + final append, outcomes, report") {
+    val (job, store, reports) = newJob()
+    val report = job.processDailyBilling(sessions, eventsDf, D)
+
+    // append-only: 3 active sessions x (pending + final) = 6 rows
+    val all = store.readOrEmpty(Schemas.usageRecords)
+    assert(all.count() == 6)
+
+    // latest-wins view shows final statuses
+    val state = BillingOps.latestUsageState(all)
+      .select("shop", "shopify_billing_status")
+      .as[(String, String)].collect().toMap
+    assert(state == Map(
+      "shop-ok" -> "success",   // 2 views -> 0.02 at rate 10000
+      "shop-bad" -> "failed",   // invalid token
+      "shop-idle" -> "skipped"  // zero views -> zero amount
+    ))
+
+    assert(report.sessionCount == 3 && report.recordCount == 3)
+    assert(report.totalPageViews == 3) // 2 + 1 on the target date
+    assert((report.successful, report.failed, report.skipped) == ((1L, 1L, 1L)))
+    assert(!report.success) // one failed charge
+    assert(reports.reports.size == 1)
+  }
+
+  test("guard: zero active sessions -> skipped result, nothing written") {
+    val (job, store, reports) = newJob()
+    val empty = sessions.where($"shop" === "no-such")
+    val report = job.processDailyBilling(empty, eventsDf, D)
+    assert(!report.success &&
+      report.error.contains("No active sessions found"))
+    assert(store.readOrEmpty(Schemas.usageRecords).count() == 0)
+    assert(reports.reports.size == 1)
+  }
+
+  test("dry run: same plan, no writes, no charges") {
+    val (job, store, _) = newJob()
+    val out = job.testBillingForDate(sessions, eventsDf, D)
+    val byShop = out.select("shop", "page_views", "billing_amount")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(byShop == Map(
+      "shop-ok" -> ((2L, 0.02)),
+      "shop-bad" -> ((1L, 0.01)),
+      "shop-idle" -> ((0L, 0.0))))
+    assert(store.readOrEmpty(Schemas.usageRecords).count() == 0,
+      "dry run must not write")
+  }
+
+  test("flagship entry() returns rows") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.VectorFunctions.{vec_dot, vec_norm}
+
+/** Dedup / similarity / text operators over crafted micro-fixtures. */
+class ExtensionOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"), // near dup of 0
+    (3L, "completely different content about spark engines and parquet files")
+  ).toDF("doc_id", "text")
+
+  test("dedup exact: identical bodies collapse to one keeper") {
+    val out = Dedup.exact(docs).select("keep_id", "dup_count")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("shingles: w-grams of tokens, distinct, short-doc fallback") {
+    val out = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+      .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq("a b c", "b c d"))
+    assert(out(2L) == Seq("a b")) // shorter than w -> whole text
+  }
+
+  test("minhash LSH: exact dup pair found with jaccard 1.0; near dup scored") {
+    val pairs = Dedup.minhashLshPairs(docs, threshold = 0.0)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    // identical minhash signatures guarantee the 0-1 candidate; 0-2 may or
+    // may not collide in a band, but if present must score below 1
+    pairs.get((0L, 2L)).foreach(j => assert(j > 0 && j < 1))
+  }
+
+  test("ngram jaccard: dup pair 1.0; near pair in (0,1); disjoint absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.0)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) > 0.3 &&
+      pairs((0L, 2L)) < 1.0)
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs share signatures; hamming 0 pair found") {
+    val sigs = Dedup.simhashSignatures(docs)
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(1L))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((0L, 1L)) == 0)
+  }
+
+  test("vec_dot / vec_norm: codegen expression matches manual math") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))
+    ).toDF("a", "b")
+    val (d, na) = df.select(vec_dot($"a", $"b"), vec_norm($"a"))
+      .as[(Double, Double)].head()
+    assert(d == 32.0)
+    assert(na == math.sqrt(14.0))
+  }
+
+  test("cosine: self-similarity is 1, orthogonal is 0, ranking sane") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, emb.where($"vec_id" === 0), k = 3)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toMap
+    assert(top(1) == 1L) // identical vector first (cos 1)
+    assert(top(2) == 3L) // then the close one
+    assert(top(3) == 2L) // orthogonal last
+    val nd = Similarity.cosineNearDupPairs(emb, threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nd == Set((0L, 1L)))
+  }
+
+  test("LSH topk: buckets preserve identical vectors together") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.5f, -0.25f)), (1L, Array(1.0f, 0.5f, -0.25f)),
+      (2L, Array(-1.0f, -0.5f, 0.25f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(emb, emb.where($"vec_id" === 0), k = 2,
+      planes = 4).select("neighbor_id").as[Long].collect().toSet
+    assert(out.contains(1L), "identical vector must share the bucket")
+    assert(!out.contains(2L), "opposite vector must hash to another bucket")
+  }
+
+  test("text ops: token counts, quality bounds, langid, rolling hash") {
+    val df = Seq(
+      (0L, "The quick brown fox, it jumps over the lazy dog!"),
+      (1L, "el la de y que los camino de la montana"),
+      (2L, "zz")
+    ).toDF("doc_id", "text")
+    val stats = df.select($"doc_id",
+      TextOps.tokenCount($"text").as("n"),
+      TextOps.qualityScore($"text").as("q"),
+      TextOps.langId($"text").as("lang"))
+      .as[(Long, Int, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(stats(0L)._1 == 10)
+    assert(stats(0L)._2 >= 0.75, "clean English prose scores high")
+    assert(stats(0L)._3 == "en")
+    assert(stats(1L)._3 == "es")
+    assert(stats(2L)._3 == "und")
+    assert(stats.values.forall(v => v._2 >= 0.0 && v._2 <= 1.0))
+
+    // rolling hash: deterministic and matches a manual fold
+    val h = df.where($"doc_id" === 2)
+      .select(TextOps.rollingHash($"text")).as[Long].head()
+    val expected = "zz".foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 2147483647L)
+    assert(h == expected)
+  }
+
+  test("multimodal: payload metadata + frame sampling shapes") {
+    val docs2 = Seq((7L, "0123456789abcdef" * 4)).toDF("doc_id", "text") // 64 bytes
+    val media = Multimodal.withBinaryPayload(docs2)
+    val meta = Multimodal.payloadMetadata(media)
+      .select("media_id", "byte_len").as[(Long, Int)].head()
+    assert(meta == ((7L, 64)))
+    val frames = Multimodal.sampleFrames(media, step = 2)
+      .select("frame_idx").as[Long].collect()
+    assert(frames.toSeq == Seq(0L, 2L)) // n_frames = 4 -> idx 0,2
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.length == 1 && feats.head.byte_len == 64 &&
+      feats.head.width >= 64 && feats.head.feature_hash.length == 32)
+  }
+}

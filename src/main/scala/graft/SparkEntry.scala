@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{BillingOps, Dedup, Similarity, TextOps, Multimodal}
+import graft.operators.{BillingOps, Dedup, MergeOps, Multimodal, PipelineOps, Similarity, TextOps}
 import graft.streaming.StreamingOps
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -461,7 +461,81 @@ object SparkEntry {
       Multimodal.extractFeatures(s,
           Multimodal.withBinaryPayload(t(s, dir, "documents")))
         .toDF().orderBy("media_id")
-    })
+    }),
+
+    // ---- pipeline ops: sessionization, vocab, sampling, histograms ----
+    "pipe_sessionize" -> ((s, dir) =>
+      PipelineOps.sessionize(events(s, dir), gapMinutes = 30)
+        .orderBy("user_id", "session_idx")),
+
+    "pipe_vocabulary" -> ((s, dir) =>
+      PipelineOps.vocabulary(t(s, dir, "documents"), topN = 100)),
+
+    "pipe_hash_sample" -> ((s, dir) =>
+      PipelineOps.hashSample(t(s, dir, "documents"), "doc_id", "14")
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")),
+
+    "pipe_stratified_sample" -> ((s, dir) =>
+      PipelineOps.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+          perStratum = 20)
+        .select(col("doc_id"), col("lang")).orderBy("lang", "doc_id")),
+
+    "pipe_value_histogram" -> ((s, dir) =>
+      PipelineOps.histogram(events(s, dir), "value", 5.0)
+        .orderBy("bucket")),
+
+    "merge_latest_state" -> ((s, dir) => {
+      val cur = billingJoin(s, dir)
+        .select(col("shop_key"), col("page_views"), lit("pending").as("status"))
+      val upd = billingJoin(s, dir).where(col("page_views") > 0)
+        .select(col("shop_key"), col("page_views"), lit("charged").as("status"))
+      MergeOps.mergeByKey(cur, upd, Seq("shop_key")).orderBy("shop_key")
+    }),
+
+    // ---- more relational surface ----
+    "rollup_order_stats" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("yr").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)),
+
+    "agg_distinct_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_orderstatus")).as("n_statuses"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_orderdate")).as("first_order"),
+          max(col("o_orderdate")).as("last_order"))
+        .orderBy("o_custkey")),
+
+    "x_string_suite" -> ((s, dir) =>
+      t(s, dir, "part").select(
+          col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("brand_lpad"),
+          rpad(col("p_brand"), 12, ".").as("brand_rpad"),
+          regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+          reverse(col("p_type")).as("type_rev"),
+          repeat(substring(col("p_brand"), 1, 2), 2).as("brand_rep"),
+          instr(col("p_name"), "a").cast("long").as("first_a"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey")),
+
+    "x_date_suite" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dy"),
+          quarter(col("o_orderdate")).as("qtr"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("plus_week"),
+          last_day(col("o_orderdate")).as("month_end"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+            .as("days_since_epoch"))
+        .orderBy("o_orderkey"))
   )
 
   // ---- DuckDB oracle snippet builders for the extension operators ----
@@ -847,6 +921,99 @@ object SparkEntry {
          |  ${duckDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos FROM p WHERE cos >= CAST(0.42 AS DOUBLE)
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // ---- pipeline ops ----
+
+    "pipe_sessionize" ->
+      """WITH m AS (SELECT user_id, event_id, ts,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev FROM events),
+        |s AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 1800000000
+        |    THEN 1 ELSE 0 END AS is_new FROM m),
+        |x AS (SELECT user_id, ts,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_idx FROM s)
+        |SELECT user_id, session_idx, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events
+        |FROM x GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    "pipe_vocabulary" ->
+      """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM (
+        | SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |  AS token FROM documents)
+        |GROUP BY token ORDER BY tf DESC, token ASC LIMIT 100""".stripMargin,
+
+    "pipe_hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+        | WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '14'
+        | ORDER BY doc_id""".stripMargin,
+
+    "pipe_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        | SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM documents) WHERE rn <= 20
+        |ORDER BY lang, doc_id""".stripMargin,
+
+    "pipe_value_histogram" ->
+      """SELECT CAST(floor(value / 5e0) AS BIGINT) AS bucket,
+        | count(*) AS n,
+        | CAST(floor(value / 5e0) AS BIGINT) * 5e0 AS bucket_low
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "merge_latest_state" ->
+      s"""WITH bill AS ($billCte)
+         |SELECT * FROM (
+         | SELECT shop_key, page_views, 'pending' AS status FROM bill
+         |  WHERE page_views <= 0
+         | UNION ALL
+         | SELECT shop_key, page_views, 'charged' AS status FROM bill
+         |  WHERE page_views > 0)
+         |ORDER BY shop_key""".stripMargin,
+
+    // ---- more relational surface ----
+
+    "rollup_order_stats" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderstatus,
+        | count(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), o_orderstatus)
+        |ORDER BY yr ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "agg_distinct_orders" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        | count(DISTINCT o_orderstatus) AS n_statuses,
+        | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        | min(o_orderdate) AS first_order, max(o_orderdate) AS last_order
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "x_string_suite" ->
+      """SELECT p_partkey,
+        | lpad(p_brand, 12, '*') AS brand_lpad,
+        | rpad(p_brand, 12, '.') AS brand_rpad,
+        | regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
+        | reverse(p_type) AS type_rev,
+        | repeat(substr(p_brand, 1, 2), 2) AS brand_rep,
+        | CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+        | concat_ws('-', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "x_date_suite" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INTEGER) AS yr,
+        | CAST(month(o_orderdate) AS INTEGER) AS mo,
+        | CAST(day(o_orderdate) AS INTEGER) AS dy,
+        | CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        | date_trunc('month', o_orderdate) AS month_start,
+        | o_orderdate + INTERVAL 7 DAY AS plus_week,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |  AS INTEGER) AS days_since_epoch
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.GraftFunctions
+import graft.streaming.StreamingOps
+
+class MergeStreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("S5 merge: updates replace by key, others survive") {
+    val cur = Seq(("a", 1, "pending"), ("b", 2, "pending"), ("c", 3, "pending"))
+      .toDF("shop", "views", "status")
+    val upd = Seq(("a", 1, "success"), ("c", 3, "failed"))
+      .toDF("shop", "views", "status")
+    val out = MergeOps.mergeByKey(cur, upd, Seq("shop"))
+      .as[(String, Int, String)].collect().toSet
+    assert(out == Set(("a", 1, "success"), ("b", 2, "pending"),
+      ("c", 3, "failed")))
+  }
+
+  test("S5 replaceTable: atomic swap rewrites the table in place") {
+    val path = Files.createTempDirectory("graft-merge").toString + "/t"
+    val v1 = Seq(("a", 1)).toDF("k", "v")
+    MergeOps.replaceTable(spark, v1, path)
+    assert(spark.read.parquet(path).count() == 1)
+    val v2 = Seq(("a", 2), ("b", 3)).toDF("k", "v")
+    MergeOps.replaceTable(spark, v2, path)
+    val out = spark.read.parquet(path).as[(String, Int)].collect().toSet
+    assert(out == Set(("a", 2), ("b", 3)))
+  }
+
+  test("streaming: watermarked tumbling agg matches the batch twin") {
+    val dir = Files.createTempDirectory("graft-stream").toString + "/events"
+    val events = Seq(
+      (0L, Timestamp.valueOf("2024-01-15 10:05:00"), "view"),
+      (1L, Timestamp.valueOf("2024-01-15 10:55:00"), "view"),
+      (2L, Timestamp.valueOf("2024-01-15 11:05:00"), "view"),
+      (3L, Timestamp.valueOf("2024-01-15 11:10:00"), "click")
+    ).toDF("event_id", "ts", "event_type")
+    events.write.parquet(dir)
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    val streaming = StreamingOps.streamingTumblingCounts(spark, dir, schema)
+    val got = StreamingOps.runToMemory(spark, streaming, "stream_out")
+      .select("window_start", "event_type", "n")
+      .as[(Timestamp, String, Long)].collect().toSet
+
+    val batch = StreamingOps.tumblingCounts(events)
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(got == batch)
+    assert(batch == Set(
+      (Timestamp.valueOf("2024-01-15 10:00:00"), "view", 2L),
+      (Timestamp.valueOf("2024-01-15 11:00:00"), "view", 1L),
+      (Timestamp.valueOf("2024-01-15 11:00:00"), "click", 1L)))
+  }
+
+  test("vec_dot registered for SQL users") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Double].head()
+    assert(got == 11.0)
+  }
+
+  test("pipeline ops: sessionize splits on gaps; samplers deterministic") {
+    val ev = Seq(
+      (0L, Timestamp.valueOf("2024-01-15 10:00:00"), 1L),
+      (1L, Timestamp.valueOf("2024-01-15 10:10:00"), 1L),
+      (2L, Timestamp.valueOf("2024-01-15 11:00:00"), 1L), // 50 min gap -> new
+      (3L, Timestamp.valueOf("2024-01-15 10:00:00"), 2L)
+    ).toDF("event_id", "ts", "user_id")
+    val sess = PipelineOps.sessionize(ev, gapMinutes = 30)
+      .select("user_id", "session_idx", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sess == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+
+    val docs = (0L until 100L).map(i => (i, s"lang${i % 3}"))
+      .toDF("doc_id", "lang")
+    val s1 = PipelineOps.hashSample(docs, "doc_id", "14")
+      .as[(Long, String)].collect().toSet
+    val s2 = PipelineOps.hashSample(docs, "doc_id", "14")
+      .as[(Long, String)].collect().toSet
+    assert(s1 == s2 && s1.nonEmpty && s1.size < 100)
+    val strat = PipelineOps.stratifiedSample(docs, "lang", "doc_id", 5)
+    assert(strat.groupBy("lang").count().as[(String, Long)]
+      .collect().forall(_._2 == 5))
+  }
+}

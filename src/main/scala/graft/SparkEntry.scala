@@ -49,13 +49,34 @@ object SparkEntry {
   private def dsumExpr(c: Column, scale: Int = 6): Column =
     sum(c.cast(DecimalType(22, scale))).cast("double")
 
+  /** Daily slice of the event log with the date predicate expressed on
+    * the RAW nanosecond column, BEFORE the timestamp rebuild — so it
+    * pushes down to parquet row-group stats as two long comparisons
+    * (`to_date(timestamp_micros(ts))` would not). At 100 TB this is the
+    * difference between pruning to one day and scanning the full log. */
+  private def eventsOnDate(s: SparkSession, dir: String,
+      date: String): DataFrame = {
+    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType =>
+        val day = java.time.LocalDate.parse(date)
+        val startNs = day.atStartOfDay(java.time.ZoneOffset.UTC)
+          .toInstant.getEpochSecond * 1000000000L
+        val endNs = startNs + 86400L * 1000000000L
+        df.where(col("ts") >= startNs && col("ts") < endNs)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df.where(to_date(col("ts")) === lit(date))
+    }
+  }
+
   // ---- shared billing-parity plan fragments ---------------------------
 
   /** A1 over the synthetic event log: page views per user for date D. */
   private def dailyViews(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
-      .where(col("event_type") === "view" &&
-        to_date(col("ts")) === lit(D) && col("user_id").isNotNull)
+    eventsOnDate(s, dir, D)
+      .where(col("event_type") === "view" && col("user_id").isNotNull)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("event_count"))
 
@@ -126,9 +147,8 @@ object SparkEntry {
     }),
 
     "f2_daily_event_filter" -> ((s, dir) =>
-      events(s, dir)
-        .where(col("event_type") === "view" &&
-          to_date(col("ts")) === lit(D) && col("user_id").isNotNull)
+      eventsOnDate(s, dir, D)
+        .where(col("event_type") === "view" && col("user_id").isNotNull)
         .select(col("event_id"), col("user_id"), col("ts"))
         .orderBy("event_id")),
 
@@ -535,7 +555,37 @@ object SparkEntry {
           last_day(col("o_orderdate")).as("month_end"),
           datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
             .as("days_since_epoch"))
-        .orderBy("o_orderkey"))
+        .orderBy("o_orderkey")),
+
+    "window_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "x_array_suite" -> ((s, dir) => {
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          size(toks).cast("long").as("n"),
+          array_contains(toks, "the").as("has_the"),
+          element_at(toks, 1).as("first_tok"),
+          element_at(toks, -1).as("last_tok"),
+          concat_ws("|", slice(toks, 1, 3)).as("first3"),
+          concat_ws("|", array_sort(array_distinct(toks))).as("sorted_distinct"))
+        .orderBy("doc_id")
+    }),
+
+    "agg_quantiles" -> ((s, dir) => // approximate: rows-only check
+      events(s, dir).groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
+          percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95"))
+        .orderBy("event_type"))
   )
 
   // ---- DuckDB oracle snippet builders for the extension operators ----
@@ -1014,6 +1064,28 @@ object SparkEntry {
         | last_day(CAST(o_orderdate AS DATE)) AS month_end,
         | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
         |  AS INTEGER) AS days_since_epoch
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | lead(o_totalprice, 1) OVER w AS next_price,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "x_array_suite" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(len(toks) AS BIGINT) AS n,
+        | list_contains(toks, 'the') AS has_the,
+        | toks[1] AS first_tok,
+        | toks[-1] AS last_tok,
+        | array_to_string(toks[1:3], '|') AS first3,
+        | array_to_string(list_sort(list_distinct(toks)), '|') AS sorted_distinct
+        |FROM t ORDER BY doc_id""".stripMargin
   )
 }

@@ -189,7 +189,10 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .distinct()
+      // Hamming verify BEFORE distinct: the per-row bit_count is nearly
+      // free, so only true near-dups reach the dedup shuffle (band
+      // collisions can be numerous on self-similar corpora)
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -36,6 +36,23 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"))
 
+  /** The streaming twin of the reference's daily page-view aggregation
+    * (SURVEY §2.9): watermarked 1-day tumbling window over the event
+    * log, per normalized shop — `getPageViewsForDate` as an incremental
+    * query. Late events within the watermark update their day; beyond
+    * it they are dropped, which is the streaming analogue of the
+    * reference's re-runnable closed business day. */
+  def streamingDailyPageViews(spark: SparkSession, sourceDir: String,
+      schema: StructType, watermark: String = "1 hour"): DataFrame =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .where(col("name") === "page_viewed" &&
+        col("shop").isNotNull && col("shop") =!= "")
+      .withWatermark("created_at", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("created_at"), "1 day"),
+        graft.operators.BillingOps.normalizeShop(col("shop")).as("shop"))
+      .agg(count(lit(1)).as("event_count"))
+      .select(col("window.start").as("day"), col("shop"), col("event_count"))
+
   /** Run a streaming frame to completion against a static source (memory
     * sink), returning the materialized result — the local smoke path. */
   def runToMemory(spark: SparkSession, streaming: DataFrame,

@@ -1,0 +1,68 @@
+package graft.sinks
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.StreamingOps
+
+class ReportSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("S7: canonical report JSON is byte-stable (golden)") {
+    val report = BatchReport(success = true, targetDate = "2024-01-15",
+      scheduled = true, sessionCount = 3, recordCount = 3,
+      totalPageViews = 1234, totalBillingAmount = 12.345,
+      successful = 2, failed = 0, skipped = 1,
+      topShops = Seq(
+        ShopReportRow("shop-a", 1000, 10.0, "success"),
+        ShopReportRow("shop\"b", 234, 2.345, "success")),
+      remainderShops = 0, error = None)
+    val golden =
+      """{"success":true,"targetDate":"2024-01-15","scheduled":true,""" +
+      """"sessionCount":3,"recordCount":3,"totalPageViews":1234,""" +
+      """"totalBillingAmount":12.35,"successful":2,"failed":0,"skipped":1,""" +
+      """"topShops":[{"shop":"shop-a","pageViews":1000,"billingAmount":10.00,"status":"success"},""" +
+      """{"shop":"shop\"b","pageViews":234,"billingAmount":2.35,"status":"success"}],""" +
+      """"remainderShops":0,"error":null}"""
+    assert(report.toJson == golden)
+  }
+
+  test("X11/X12: error truncation and status labels") {
+    assert(ReportOps.truncateError("x" * 2000).length == 1000)
+    assert(ReportOps.truncateError(null) == "")
+    assert(ReportOps.statusLabel("success") == "Charged")
+    assert(ReportOps.statusLabel("skipped") == "Skipped (no usage)")
+    assert(ReportOps.statusLabel("weird") == "weird")
+  }
+
+  test("streaming daily page views == batch pageViewsForDate") {
+    val dir = Files.createTempDirectory("graft-spv").toString + "/ev"
+    val rows = Seq(
+      ("shop-a.myshopify.com", "page_viewed", Timestamp.valueOf("2024-01-15 10:00:00")),
+      ("shop-a.myshopify.com", "page_viewed", Timestamp.valueOf("2024-01-15 12:00:00")),
+      ("shop-b.myshopify.com", "page_viewed", Timestamp.valueOf("2024-01-15 13:00:00")),
+      ("shop-b.myshopify.com", "clicked", Timestamp.valueOf("2024-01-15 13:30:00")),
+      ("shop-c.myshopify.com", "page_viewed", Timestamp.valueOf("2024-01-16 01:00:00"))
+    ).toDF("shop", "name", "created_at")
+    rows.write.parquet(dir)
+
+    val schema = StructType(Seq(StructField("shop", StringType),
+      StructField("name", StringType),
+      StructField("created_at", TimestampType)))
+    val streamed = StreamingOps.runToMemory(spark,
+      StreamingOps.streamingDailyPageViews(spark, dir, schema), "spv_out")
+      .where($"day" === Timestamp.valueOf("2024-01-15 00:00:00"))
+      .select("shop", "event_count").as[(String, Long)].collect().toSet
+
+    val batch = graft.operators.BillingOps
+      .pageViewsForDate(rows, "2024-01-15")
+      .as[(String, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch == Set(("shop-a", 2L), ("shop-b", 1L)))
+  }
+}

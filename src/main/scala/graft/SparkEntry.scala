@@ -585,7 +585,25 @@ object SparkEntry {
       events(s, dir).groupBy(col("event_type"))
         .agg(percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
           percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    "pivot_event_counts" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = events(s, dir).groupBy(col("user_id"))
+        .pivot("event_type", types).agg(count(lit(1)))
+      types.foldLeft(p)((df, ty) =>
+          df.withColumn(ty, coalesce(col(ty), lit(0L))))
+        .orderBy("user_id")
+    }),
+
+    "x_null_suite" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_tax"), lit(0.0).cast("double")).as("tax_or_null"),
+          coalesce(nullif(col("l_tax"), lit(0.0).cast("double")),
+            lit(-1.0).cast("double")).as("tax_or_default"),
+          isnull(nullif(col("l_returnflag"), lit("N"))).as("is_n_flag"))
+        .orderBy("l_orderkey", "l_linenumber"))
   )
 
   // ---- DuckDB oracle snippet builders for the extension operators ----
@@ -1086,6 +1104,22 @@ object SparkEntry {
         | toks[-1] AS last_tok,
         | array_to_string(toks[1:3], '|') AS first3,
         | array_to_string(list_sort(list_distinct(toks)), '|') AS sorted_distinct
-        |FROM t ORDER BY doc_id""".stripMargin
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "pivot_event_counts" -> {
+      val cols = Seq("click", "error", "purchase", "signup", "view").map(ty =>
+        s"count(CASE WHEN event_type = '$ty' THEN 1 END) AS \"$ty\"")
+        .mkString(", ")
+      s"""SELECT user_id, $cols FROM events
+         |GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+
+    "x_null_suite" ->
+      """SELECT l_orderkey, l_linenumber,
+        | nullif(l_tax, CAST(0 AS DOUBLE)) AS tax_or_null,
+        | coalesce(nullif(l_tax, CAST(0 AS DOUBLE)), CAST(-1 AS DOUBLE))
+        |  AS tax_or_default,
+        | (nullif(l_returnflag, 'N') IS NULL) AS is_n_flag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

@@ -1,9 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
 import org.apache.spark.sql.types.StructType
+
+/** Cumulative page-view state per shop, emitted by the stateful stream. */
+final case class ShopTotal(shop: String, total: Long)
 
 /** Structured-Streaming twin of the daily batch aggregation (SURVEY
   * §2.9): the reference consumes its event log in daily batch slices;
@@ -53,12 +56,35 @@ object StreamingOps {
       .agg(count(lit(1)).as("event_count"))
       .select(col("window.start").as("day"), col("shop"), col("event_count"))
 
+  /** Custom streaming state via `mapGroupsWithState`: a per-shop
+    * running page-view total that survives across micro-batches — the
+    * stateful building block the windowed aggregations can't express
+    * (monotone lifetime counters, session carts, etc.). State is one
+    * Long per shop: at 100 TB/day the state store stays
+    * O(number-of-shops), not O(events). */
+  def statefulRunningCounts(spark: SparkSession, sourceDir: String,
+      schema: StructType): Dataset[ShopTotal] = {
+    import spark.implicits._
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .where(col("name") === "page_viewed" &&
+        col("shop").isNotNull && col("shop") =!= "")
+      .select(graft.operators.BillingOps.normalizeShop(col("shop"))
+        .as("shop")).as[String]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (shop: String, rows: Iterator[String], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          ShopTotal(shop, total)
+      }
+  }
+
   /** Run a streaming frame to completion against a static source (memory
     * sink), returning the materialized result — the local smoke path. */
   def runToMemory(spark: SparkSession, streaming: DataFrame,
-      name: String): DataFrame = {
+      name: String, outputMode: String = "complete"): DataFrame = {
     val q: StreamingQuery = streaming.writeStream
-      .outputMode("complete").format("memory").queryName(name).start()
+      .outputMode(outputMode).format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
     spark.table(name)

@@ -65,4 +65,33 @@ class ReportSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(batch == Set(("shop-a", 2L), ("shop-b", 1L)))
   }
+
+  test("stateful streaming: per-shop totals accumulate across micro-batches") {
+    val dir = Files.createTempDirectory("graft-state").toString + "/ev"
+    val schema = StructType(Seq(StructField("shop", StringType),
+      StructField("name", StringType),
+      StructField("created_at", TimestampType)))
+    def batch(rows: (String, String, String)*) =
+      rows.map { case (s, n, t) => (s, n, Timestamp.valueOf(t)) }
+        .toDF("shop", "name", "created_at")
+
+    batch(("shop-a.myshopify.com", "page_viewed", "2024-01-15 10:00:00"),
+      ("shop-b.myshopify.com", "page_viewed", "2024-01-15 10:01:00"))
+      .write.mode("append").parquet(dir)
+
+    val q = StreamingOps.statefulRunningCounts(spark, dir, schema)
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("state_out").start()
+    q.processAllAvailable()
+    // second micro-batch: shop-a views again -> cumulative total 2
+    batch(("shop-a.myshopify.com", "page_viewed", "2024-01-15 11:00:00"))
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("state_out").as[(String, Long)].collect().toSet
+    assert(rows.contains(("shop-a", 1L)) && rows.contains(("shop-a", 2L)),
+      s"expected cumulative updates, got $rows")
+    assert(rows.contains(("shop-b", 1L)))
+  }
 }

@@ -432,6 +432,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivf_topk" -> ((s, dir) => { // approx path: rows-only check
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8), k = 5,
+          nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "emb_norms" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(col("vec_id"),
+          graft.functions.VectorFunctions.vec_norm(col("embedding"))
+            .as("nrm"))
+        .orderBy("vec_id")),
+
     "agg_approx_distinct_users" -> ((s, dir) => // HLL: rows-only check
       events(s, dir)
         .groupBy(col("event_type"))
@@ -990,6 +1004,12 @@ object SparkEntry {
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos FROM p WHERE cos >= CAST(0.42 AS DOUBLE)
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "emb_norms" ->
+      s"""SELECT vec_id, sqrt(${duckDot(
+           "CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")})
+         |  AS nrm
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     // ---- pipeline ops ----
 

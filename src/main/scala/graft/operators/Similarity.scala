@@ -77,21 +77,74 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** LSH-bucketed approximate top-k: queries only meet corpus vectors in
-    * the same signature bucket. Recall < 1 by construction; the scale
-    * path for 100 TB corpora (bucket count grows 2^planes). */
+  /** Multi-probe LSH approximate top-k: corpus vectors bucket by their
+    * sign signature; each query probes its own bucket plus every bucket
+    * at Hamming distance 1 (flip one plane) — the standard multi-probe
+    * trick that recovers most of the recall a near-boundary hyperplane
+    * costs, while still touching only (planes+1)/2^planes of the
+    * corpus. Recall < 1 by construction; the scale path for 100 TB
+    * corpora (bucket count grows 2^planes, probes stay linear). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       planes: Int = 8): DataFrame = {
     val sigCorpus = withNorm(corpus)
       .withColumn("sig", lshSignature(col("embedding"), planes))
     val sigQueries = withNorm(queries)
-      .withColumn("sig", lshSignature(col("embedding"), planes))
+      .withColumn("sig0", lshSignature(col("embedding"), planes))
+      .withColumn("sig", explode(array(
+        col("sig0") +: (0 until planes).map(p =>
+          col("sig0").bitwiseXOR(lit(1 << p))): _*)))
+      .drop("sig0")
     val joined = sigCorpus.as("c")
       .join(broadcast(sigQueries.as("q")),
         col("q.sig") === col("c.sig") &&
         col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"), pairCos.as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** IVF-style approximate top-k: a deterministic coarse quantizer (the
+    * first `nCells` corpus vectors act as centroids), every vector
+    * assigned to its nearest centroid, and each query probing only its
+    * `nProbe` closest cells. The inverted-file structure is the classic
+    * billion-scale ANN layout: the corpus partitions by cell, a query
+    * touches nProbe/nCells of the data. Deterministic by construction
+    * (no trained k-means), so results are reproducible run-to-run. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = broadcast(withNorm(corpus)
+      .orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm")))
+    // corpus side: best cell per vector
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("cell_id").asc)
+    val assigned = withNorm(corpus).join(centroids)
+      .withColumn("c_cos", vec_dot(col("embedding"), col("c_emb")) /
+        (col("nrm") * col("c_nrm")))
+      .withColumn("__r", row_number().over(wAssign))
+      .where(col("__r") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell_id"))
+    // query side: nProbe closest cells each
+    val probes = withNorm(queries).join(centroids)
+      .withColumn("c_cos", vec_dot(col("embedding"), col("c_emb")) /
+        (col("nrm") * col("c_nrm")))
+      .withColumn("__r", row_number().over(wAssign))
+      .where(col("__r") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell_id"))
+    val joined = assigned.as("c")
+      .join(broadcast(probes).as("q"),
+        col("q.cell_id") === col("c.cell_id") &&
+        col("q.q_id") =!= col("c.vec_id"))
+      .select(col("q.q_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        (vec_dot(col("q.q_emb"), col("c.embedding")) /
+          (col("q.q_nrm") * col("c.nrm"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     joined.withColumn("rank", row_number().over(w))

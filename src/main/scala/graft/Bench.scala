@@ -23,7 +23,11 @@ object Bench {
       // prune the projections away and benchmark nothing)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop per-query caches so later queries aren't taxed by this
+      // one's leftover blocks (GC noise across 59 queries otherwise)
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -463,13 +463,18 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "text_quality" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-          TextOps.qualityScore(col("text")).as("quality"))
+      t(s, dir, "documents")
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"),
+          TextOps.qualityScoreFromTokens(col("text"), col("toks"))
+            .as("quality"))
         .orderBy("doc_id")),
 
     "text_langid" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-          TextOps.langId(col("text")).as("lang_pred"), col("lang"))
+      t(s, dir, "documents")
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"),
+          TextOps.langIdFromTokens(col("toks")).as("lang_pred"), col("lang"))
         .orderBy("doc_id")),
 
     "text_fingerprint" -> ((s, dir) =>

@@ -89,9 +89,13 @@ object Dedup {
   /** MinHash-LSH near-dup pairs, verified with exact Jaccard ≥ threshold. */
   def minhashLshPairs(documents: DataFrame, k: Int = 8, bands: Int = 4,
       w: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val docSh = docShingles(documents, w).cache()
-    // minhashes cached: the bucket self-join consumes it on both sides
-    val buckets = lshBuckets(withMinhashes(docSh, k).cache(), bands, k / bands)
+    // eager materialization (not lazy .cache()): the bucket self-join
+    // and the Jaccard verify consume these on multiple branches at once,
+    // and concurrent first-touch cache fills race badly at high
+    // parallelism; localCheckpoint(eager) fills blocks exactly once
+    val docSh = docShingles(documents, w).localCheckpoint(true)
+    val buckets = lshBuckets(withMinhashes(docSh, k).localCheckpoint(true),
+      bands, k / bands)
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") &&
@@ -109,7 +113,8 @@ object Dedup {
   def ngramJaccardPairs(documents: DataFrame, w: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val docSh = docShingles(documents, w)
-      .select(col("doc_id"), xxhash64(col("sh")).as("shk")).cache()
+      .select(col("doc_id"), xxhash64(col("sh")).as("shk"))
+      .localCheckpoint(true)
     val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = docSh.as("a")
       .join(docSh.as("b"),
@@ -175,7 +180,7 @@ object Dedup {
     * one band — then exact Hamming verify. */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band bucketing is only complete for Hamming <= 3")
-    val sigs = simhashSignatures(documents).cache()
+    val sigs = simhashSignatures(documents).localCheckpoint(true)
     val bands = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

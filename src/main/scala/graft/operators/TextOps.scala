@@ -13,7 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens of trimmed, lowercased text. */
+  /** Whitespace tokens of trimmed, lowercased text.
+    *
+    * NOTE for hot paths: expressions that reference `tokens(text)` more
+    * than once re-execute the regex split per reference (Catalyst does
+    * not CSE across lambda boundaries). Materialize the token array as
+    * a column first (`df.withColumn("toks", tokens(col) )`) and use the
+    * `...FromTokens` variants below. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -39,13 +45,18 @@ object TextOps {
     * punctuation density + nonzero-ish stopword presence. Purely
     * arithmetic; thresholds chosen for the classic "is this prose"
     * heuristic. */
-  def qualityScore(text: Column): Column = {
-    val n = tokenCount(text).cast("double")
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, tokens(text))
+
+  /** Hot-path variant: `toks` should be a materialized column. */
+  def qualityScoreFromTokens(text: Column, toks: Column): Column = {
+    val n = size(toks).cast("double")
     val chars = charCount(text).cast("double")
     val meanWordLen = chars / greatest(n, lit(1.0))
     val punctRatio = punctCount(text).cast("double") / greatest(chars, lit(1.0))
     val stopRatio =
-      stopwordCount(text, EnglishStopwords).cast("double") / greatest(n, lit(1.0))
+      size(filter(toks, t => t.isInCollection(EnglishStopwords)))
+        .cast("double") / greatest(n, lit(1.0))
     val lenOk = when(n >= 5 && n <= 100000, lit(1.0)).otherwise(lit(0.0))
     val wordOk = when(meanWordLen >= 2.0 && meanWordLen <= 12.0, lit(1.0))
       .otherwise(lit(0.0))
@@ -66,8 +77,10 @@ object TextOps {
 
   /** Language-ID: hit-count per lexicon, argmax, ties → lexicographically
     * first language, zero hits → "und" (undetermined). */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  /** Hot-path variant: `toks` should be a materialized column. */
+  def langIdFromTokens(toks: Column): Column = {
     val scored = LangMarkers.map { case (lang, words) =>
       struct(size(filter(toks, t => t.isInCollection(words))).as("hits"),
         lit(lang).as("lang"))

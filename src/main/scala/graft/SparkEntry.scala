@@ -615,6 +615,30 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "x_posexplode" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .where(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(split(trim(lower(col("text"))), "\\s+")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("token"))
+        .orderBy("doc_id", "pos")),
+
+    "sql_q6_revenue_delta" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(22,6)))
+                 AS DOUBLE) AS revenue_delta,
+               COUNT(*) AS n
+        FROM v_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= CAST(0.05 AS DOUBLE)
+          AND l_discount <= CAST(0.07 AS DOUBLE)
+          AND l_quantity < 24
+      """)
+    }),
+
     "x_null_suite" -> ((s, dir) =>
       t(s, dir, "lineitem").select(
           col("l_orderkey"), col("l_linenumber"),
@@ -1138,6 +1162,24 @@ object SparkEntry {
       s"""SELECT user_id, $cols FROM events
          |GROUP BY user_id ORDER BY user_id""".stripMargin
     },
+
+    "x_posexplode" ->
+      """SELECT doc_id,
+        | CAST(unnest(generate_series(1, len(toks))) AS BIGINT) AS pos,
+        | unnest(toks) AS token FROM (
+        | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        | FROM documents WHERE doc_id < 20) t
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "sql_q6_revenue_delta" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(22,6)))
+        |  AS DOUBLE) AS revenue_delta, count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        | AND l_discount >= CAST(0.05 AS DOUBLE)
+        | AND l_discount <= CAST(0.07 AS DOUBLE)
+        | AND l_quantity < 24""".stripMargin,
 
     "x_null_suite" ->
       """SELECT l_orderkey, l_linenumber,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{BillingOps, Dedup, MergeOps, Multimodal, PipelineOps, Similarity, TextOps}
+import graft.operators.{BillingOps, Dedup, MergeOps, Multimodal, PipelineOps, RelationalOps, Similarity, TextOps}
 import graft.streaming.StreamingOps
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -646,7 +646,149 @@ object SparkEntry {
           coalesce(nullif(col("l_tax"), lit(0.0).cast("double")),
             lit(-1.0).cast("double")).as("tax_or_default"),
           isnull(nullif(col("l_returnflag"), lit("N"))).as("is_n_flag"))
-        .orderBy("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- as-of / range joins (engine-grown verbs, survey §2.3 note) ----
+    "join_asof_last_view" -> ((s, dir) => {
+      val ev = events(s, dir)
+      RelationalOps.asofBackward(
+          ev.where(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          ev.where(col("event_type") === "view")
+            .select(col("user_id"), col("ts")),
+          key = "user_id", ts = "ts", pick = "ts", outCol = "last_view_ts")
+        .orderBy("event_id")
+    }),
+
+    "join_range_price_bands" -> ((s, dir) => {
+      import s.implicits._
+      // small non-uniform band dimension → broadcast theta join: the
+      // right plan for interval lookup against a dim of any skew
+      val bands = Seq(
+        (0, "sub1k", 0d, 1000d), (1, "1k-5k", 1000d, 5000d),
+        (2, "5k-20k", 5000d, 20000d), (3, "20k-50k", 20000d, 50000d),
+        (4, "50kplus", 50000d, 200000d))
+        .toDF("band_id", "band", "lo", "hi")
+      t(s, dir, "lineitem")
+        .join(broadcast(bands),
+          col("l_extendedprice") >= col("lo") &&
+          col("l_extendedprice") < col("hi"))
+        .groupBy("band_id", "band")
+        .agg(count(lit(1)).as("n"),
+          dsumExpr(col("l_extendedprice")).as("total"))
+        .orderBy("band_id")
+    }),
+
+    // ---- grouping sets / subqueries (Catalyst expand + decorrelation) ----
+    "groupingsets_order_mix" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+          count(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) AS DOUBLE) AS total
+        FROM v_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+          (o_orderstatus, o_orderpriority), ())
+        ORDER BY gid, o_orderstatus, o_orderpriority
+      """)
+    }),
+
+    "subq_exists_returns" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      // EXISTS decorrelates to a left-semi hash join — no per-row subquery
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS order_count FROM v_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM v_lineitem
+            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+      """)
+    }),
+
+    "subq_scalar_q17" -> ((s, dir) => {
+      // decorrelated form of TPC-H Q17's scalar subquery: per-part avg
+      // once via groupBy, then a broadcast join back — not a per-row probe
+      val flt = t(s, dir, "part")
+        .where(col("p_brand") === "Brand#4" && col("p_size") < 15)
+        .select("p_partkey")
+      val liP = t(s, dir, "lineitem")
+        .join(broadcast(flt), col("p_partkey") === col("l_partkey"))
+      val avgQ = liP.groupBy(col("l_partkey").as("ak"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      liP.join(broadcast(avgQ), col("l_partkey") === col("ak"))
+        .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((dsumExpr(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- window frames: value frames, interval range frames, ranks ----
+    "window_frame_suite" -> ((s, dir) => {
+      val w1 = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wFull = w1.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          first(col("o_orderkey")).over(w1).as("first_key"),
+          last(col("o_orderkey")).over(wFull).as("last_key"),
+          nth_value(col("o_orderkey"), 2).over(wFull).as("second_key"),
+          percent_rank().over(w1).as("pr"),
+          cume_dist().over(w1).as("cd"),
+          expr("""CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate
+              RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+            AS DOUBLE)""").as("trailing30"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- time-series spine + gap fill ----
+    "ts_gapfill" -> ((s, dir) => {
+      val ev = events(s, dir).where(col("user_id") < 40)
+      val daily = ev
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(max(col("value")).as("v"), count(lit(1)).as("n"))
+      val spine = ev.select("user_id").distinct()
+        .select(col("user_id"),
+          explode(sequence(to_date(lit("2024-01-01")),
+            to_date(lit("2024-01-30")))).as("day"))
+      val filled = RelationalOps.forwardFill(
+        spine.join(daily, Seq("user_id", "day"), "left_outer"),
+        key = "user_id", order = "day", value = "v", outCol = "v_fill")
+      filled.select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n_events"), col("v_fill"))
+        .orderBy("user_id", "day")
+    }),
+
+    "having_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .where(col("sum_qty") > 220)
+      t(s, dir, "orders")
+        .join(big, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice").as("total"), col("sum_qty"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- source formats beyond parquet: CSV / JSON round-trips ----
+    "src_csv_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "nation")
+      val path = "/tmp/graft_src/nation_csv"
+      src.write.mode("overwrite").option("header", "true").csv(path)
+      s.read.schema(src.schema).option("header", "true").csv(path)
+        .orderBy("n_nationkey")
+    }),
+
+    "src_json_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "region")
+      val path = "/tmp/graft_src/region_json"
+      src.write.mode("overwrite").json(path)
+      s.read.schema(src.schema).json(path).orderBy("r_regionkey")
+    })
   )
 
   // ---- DuckDB oracle snippet builders for the extension operators ----
@@ -1187,6 +1329,103 @@ object SparkEntry {
         | coalesce(nullif(l_tax, CAST(0 AS DOUBLE)), CAST(-1 AS DOUBLE))
         |  AS tax_or_default,
         | (nullif(l_returnflag, 'N') IS NULL) AS is_n_flag
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "join_asof_last_view" ->
+      """SELECT p.event_id, p.user_id, p.ts, v.ts AS last_view_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN
+        | (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "join_range_price_bands" ->
+      """SELECT band_id, band, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) AS DOUBLE) AS total
+        |FROM (VALUES
+        | (0,'sub1k',CAST(0 AS DOUBLE),CAST(1000 AS DOUBLE)),
+        | (1,'1k-5k',CAST(1000 AS DOUBLE),CAST(5000 AS DOUBLE)),
+        | (2,'5k-20k',CAST(5000 AS DOUBLE),CAST(20000 AS DOUBLE)),
+        | (3,'20k-50k',CAST(20000 AS DOUBLE),CAST(50000 AS DOUBLE)),
+        | (4,'50kplus',CAST(50000 AS DOUBLE),CAST(200000 AS DOUBLE)))
+        | b(band_id,band,lo,hi)
+        |JOIN lineitem ON l_extendedprice >= lo AND l_extendedprice < hi
+        |GROUP BY band_id, band ORDER BY band_id""".stripMargin,
+
+    "groupingsets_order_mix" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        | (o_orderstatus, o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "subq_exists_returns" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        | AND EXISTS (SELECT 1 FROM lineitem
+        |   WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "subq_scalar_q17" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) AS DOUBLE)
+        |  / CAST(7 AS DOUBLE) AS avg_yearly,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#4' AND p_size < 15
+        | AND l_quantity < (SELECT CAST(0.2 AS DOUBLE) * avg(l_quantity)
+        |   FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "window_frame_suite" ->
+      """SELECT o_orderkey, o_custkey,
+        | first_value(o_orderkey) OVER w1 AS first_key,
+        | last_value(o_orderkey) OVER wf AS last_key,
+        | nth_value(o_orderkey, 2) OVER wf AS second_key,
+        | percent_rank() OVER w1 AS pr,
+        | cume_dist() OVER w1 AS cd,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate
+        |   RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+        |  AS DOUBLE) AS trailing30
+        |FROM orders
+        |WINDOW w1 AS (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey),
+        | wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "ts_gapfill" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 40),
+        | spine AS (SELECT user_id, CAST(g AS DATE) AS day
+        |  FROM u, generate_series(DATE '2024-01-01', DATE '2024-01-30',
+        |   INTERVAL 1 DAY) t(g)),
+        | daily AS (SELECT user_id, CAST(ts AS DATE) AS day, max(value) AS v,
+        |  CAST(count(*) AS BIGINT) AS n FROM events
+        |  WHERE user_id < 40 GROUP BY 1, 2)
+        |SELECT s.user_id, s.day, COALESCE(d.n, 0) AS n_events,
+        | last_value(d.v IGNORE NULLS)
+        |  OVER (PARTITION BY s.user_id ORDER BY s.day) AS v_fill
+        |FROM spine s
+        |LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+        |ORDER BY 1, 2""".stripMargin,
+
+    "having_large_orders" ->
+      """SELECT o_orderkey, o_orderdate, CAST(o_totalprice AS DOUBLE) AS total,
+        | q.sum_qty
+        |FROM orders JOIN (SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 220) q
+        |ON q.l_orderkey = o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "src_csv_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+
+    "src_json_roundtrip" ->
+      "SELECT * FROM region ORDER BY r_regionkey"
   )
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators Spark's DataFrame API lacks as single verbs,
+  * composed from built-ins so Catalyst keeps optimizing around them
+  * (survey §2.3 note: the reference has no as-of/range joins, but a
+  * complete engine offers them).
+  *
+  * Scale design: `asofBackward` is the union+window formulation — ONE
+  * shuffle on the key, a per-partition sort, and no candidate-pair
+  * explosion. The naive range-join (`l.ts >= r.ts` theta join) produces
+  * O(|left|·|matches|) intermediate rows; this produces |left|+|right|
+  * rows total, which is the difference between finishing and OOM at
+  * 100 TB. Hot-key skew is the caveat — salt the key upstream
+  * (SkewOps) if one entity dominates the log.
+  */
+object RelationalOps {
+
+  /** Backward as-of join: for every left row, the latest right `pick`
+    * value with `right.ts <= left.ts` on the same `key` (NULL when no
+    * prior right row). Ties on right `ts` resolve to the largest
+    * `pick` value — pinned so results are deterministic.
+    *
+    * Both inputs must carry `key` and `ts` columns; the left side's
+    * other columns pass through unchanged.
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, key: String,
+      ts: String, pick: String, outCol: String): DataFrame = {
+    val r = right.select(col(key), col(ts), col(pick).as("_pick"))
+      .withColumn("_side", lit(0))
+    val l = left.withColumn("_side", lit(1))
+    // rows frame up to self: right rows sort before left rows at equal
+    // ts (_side 0 < 1), so "<= ts" matches are always inside the frame
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("_side").asc, col("_pick").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(outCol,
+        last(when(col("_side") === 0, col("_pick")), ignoreNulls = true)
+          .over(w))
+      .where(col("_side") === 1)
+      .drop("_side", "_pick")
+  }
+
+  /** Forward fill: latest non-null `value` per `key` up to each row in
+    * `order` — the standard time-series gap-fill step after a spine
+    * left-join. One shuffle on `key`. */
+  def forwardFill(df: DataFrame, key: String, order: String,
+      value: String, outCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(order))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(outCol, last(col(value), ignoreNulls = true).over(w))
+  }
+}

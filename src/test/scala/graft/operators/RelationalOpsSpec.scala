@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class RelationalOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofBackward picks latest right row at or before each left ts") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 20L, ts("2024-01-01 09:00:00")), // no prior right row
+      (4L, 20L, ts("2024-01-01 23:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00")),
+      (10L, ts("2024-01-01 10:00:00")), // equal ts counts (<=)
+      (10L, ts("2024-01-01 11:59:00")),
+      (20L, ts("2024-01-01 22:00:00"))
+    ).toDF("user_id", "ts")
+
+    val out = RelationalOps.asofBackward(left, right,
+        "user_id", "ts", "ts", "last_view_ts")
+      .orderBy("event_id")
+      .collect().map(r =>
+        (r.getLong(0), Option(r.getAs[java.sql.Timestamp]("last_view_ts"))))
+
+    assert(out === Array(
+      1L -> Some(ts("2024-01-01 10:00:00")),
+      2L -> Some(ts("2024-01-01 11:59:00")),
+      3L -> None,
+      4L -> Some(ts("2024-01-01 22:00:00"))))
+  }
+
+  test("asofBackward keeps every left row and its carried columns") {
+    val left = Seq((1L, 5L, ts("2024-01-02 00:00:00"), "payload"))
+      .toDF("event_id", "user_id", "ts", "extra")
+    val right = Seq((5L, ts("2024-01-01 00:00:00")))
+      .toDF("user_id", "ts")
+    val out = RelationalOps.asofBackward(left, right,
+      "user_id", "ts", "ts", "prev_ts")
+    assert(out.columns.toSeq ===
+      Seq("event_id", "user_id", "ts", "extra", "prev_ts"))
+    assert(out.count() === 1)
+    assert(out.head().getAs[String]("extra") === "payload")
+  }
+
+  test("forwardFill carries the last non-null value forward per key") {
+    val df = Seq(
+      ("a", 1, Some(10.0)), ("a", 2, None), ("a", 3, None),
+      ("a", 4, Some(40.0)), ("b", 1, None), ("b", 2, Some(2.0))
+    ).toDF("k", "i", "v")
+    val out = RelationalOps.forwardFill(df, "k", "i", "v", "fill")
+      .orderBy("k", "i")
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out === Array(
+      ("a", 1, Some(10.0)), ("a", 2, Some(10.0)), ("a", 3, Some(10.0)),
+      ("a", 4, Some(40.0)), ("b", 1, None), ("b", 2, Some(2.0))))
+  }
+
+  test("asofBackward plans one shuffle on the key, no theta join") {
+    val left = Seq((1L, 1L, ts("2024-01-01 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("user_id", "ts")
+    val plan = RelationalOps.asofBackward(left, right,
+      "user_id", "ts", "ts", "p").queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"),
+      s"as-of must not fall back to a nested-loop join:\n$plan")
+  }
+}

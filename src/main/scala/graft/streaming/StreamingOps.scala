@@ -79,6 +79,45 @@ object StreamingOps {
       }
   }
 
+  /** Streaming dedup of an at-least-once event feed: duplicates of
+    * `idCol` arriving within the watermark are dropped, and state for an
+    * id is evicted once the watermark passes it — so state is bounded by
+    * (event rate × watermark), not the lifetime of the stream. This is
+    * the streaming twin of the batch latest-record-wins view (A5). */
+  def streamingDedup(spark: SparkSession, sourceDir: String,
+      schema: StructType, idCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
+  /** Stream-stream interval join: purchases matched to same-user view
+    * events at most `horizon` earlier — the incremental form of the
+    * backward as-of/attribution join. Both sides are watermarked and the
+    * join condition carries the time bound, so each side's buffered
+    * state is evicted once the other side's watermark passes the
+    * horizon: state stays O(rate × horizon) regardless of stream age. */
+  def streamingViewPurchaseJoin(spark: SparkSession, sourceDir: String,
+      schema: StructType, horizon: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    val src = spark.readStream.schema(schema).parquet(sourceDir)
+    val views = src.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val purchases = src.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(views,
+      col("p_user_id") === col("user_id") &&
+      col("view_ts") <= col("purchase_ts") &&
+      col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"),
+      "inner")
+      .select(col("purchase_id"), col("p_user_id").as("user_id"),
+        col("purchase_ts"), col("view_id"), col("view_ts"))
+  }
+
   /** Run a streaming frame to completion against a static source (memory
     * sink), returning the materialized result — the local smoke path. */
   def runToMemory(spark: SparkSession, streaming: DataFrame,

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that decide whether these same
+  * queries survive a 100 TB input — filter pushdown to the parquet
+  * scan, column pruning, broadcast (not sort-merge) joins for small
+  * dims, top-k as TakeOrderedAndProject, whole-stage codegen, and
+  * shuffle counts — asserted against the REAL query definitions in
+  * SparkEntry, so a regression in any query's plan fails the build,
+  * not just the stopwatch. */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, dir)
+
+  private def planOf(df: DataFrame): String = {
+    df.collect() // let AQE finalize so the plan is the executed one
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("daily event slice pushes its date bounds into the parquet scan") {
+    val plan = planOf(q("f2_daily_event_filter"))
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), " +
+      "GreaterThanOrEqual(ts,") || plan.contains("GreaterThanOrEqual(ts,"),
+      s"raw-ts bounds must reach the scan:\n$plan")
+  }
+
+  test("sessions scan prunes to the projected columns only") {
+    val plan = planOf(q("s1_sessions_scan"))
+    assert(!plan.contains("c_acctbal") && !plan.contains("c_nationkey"),
+      s"unprojected customer columns must not be read:\n$plan")
+  }
+
+  test("billing join broadcasts the aggregated small side") {
+    val plan = planOf(q("j1_billing_join"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"J1 must be a broadcast hash join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"J1 must not shuffle the big side into a sort-merge join:\n$plan")
+  }
+
+  test("top-N report query plans as TakeOrderedAndProject") {
+    val plan = planOf(q("l2_top_shops"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not be a global sort:\n$plan")
+  }
+
+  test("pricing summary aggregation runs inside whole-stage codegen") {
+    val plan = planOf(q("q1_pricing_summary"))
+    // "*(n) " prefixes are the executed plan's whole-stage-codegen markers
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"hot aggregation path must be codegen'd:\n$plan")
+    assert(plan.contains("*(") && plan.contains("HashAggregate"),
+      s"aggregate must sit inside a codegen stage:\n$plan")
+  }
+
+  test("as-of join costs exactly one shuffle (union+window, no theta)") {
+    val df = q("join_asof_last_view")
+    df.collect()
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike => e
+    }
+    // one exchange for the window partitioning; the final orderBy adds
+    // a range exchange — anything beyond that means the rewrite broke
+    assert(shuffles.size <= 2,
+      s"as-of should shuffle once (+1 for output order), got " +
+        s"${shuffles.size}:\n${df.queryExecution.executedPlan}")
+  }
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class StreamingJoinDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType)))
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streamingDedup drops in-watermark duplicate event ids") {
+    val dir = Files.createTempDirectory("graft-sdedup").toString + "/ev"
+    Seq(
+      (1L, ts("2024-01-15 10:00:00"), 7L, "view"),
+      (1L, ts("2024-01-15 10:00:30"), 7L, "view"), // dup delivery
+      (2L, ts("2024-01-15 10:01:00"), 7L, "click"),
+      (2L, ts("2024-01-15 10:05:00"), 7L, "click"), // dup delivery
+      (3L, ts("2024-01-15 11:00:00"), 8L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type").write.parquet(dir)
+
+    val out = StreamingOps.runToMemory(spark,
+        StreamingOps.streamingDedup(spark, dir, schema, "event_id", "ts"),
+        "sdedup_out", outputMode = "append")
+      .select("event_id").as[Long].collect().sorted
+    assert(out === Array(1L, 2L, 3L))
+  }
+
+  test("stream-stream interval join attributes purchases to recent views") {
+    val dir = Files.createTempDirectory("graft-sjoin").toString + "/ev"
+    Seq(
+      (10L, ts("2024-01-15 10:00:00"), 1L, "view"),
+      (11L, ts("2024-01-15 10:20:00"), 1L, "view"),
+      (12L, ts("2024-01-15 10:30:00"), 1L, "purchase"), // joins views 10,11
+      (13L, ts("2024-01-15 09:00:00"), 2L, "view"),
+      (14L, ts("2024-01-15 12:00:00"), 2L, "purchase"), // view too old: no match
+      (15L, ts("2024-01-15 12:30:00"), 3L, "purchase")  // no view at all
+    ).toDF("event_id", "ts", "user_id", "event_type").write.parquet(dir)
+
+    val out = StreamingOps.runToMemory(spark,
+        StreamingOps.streamingViewPurchaseJoin(spark, dir, schema),
+        "sjoin_out", outputMode = "append")
+      .select("purchase_id", "view_id").as[(Long, Long)].collect().toSet
+    assert(out === Set((12L, 10L), (12L, 11L)))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{BillingOps, Dedup, MergeOps, Multimodal, PipelineOps, RelationalOps, Similarity, TextOps}
+import graft.operators.{BillingOps, Dedup, MergeOps, Multimodal, PipelineOps, RelationalOps, Similarity, TextOps, TopK}
 import graft.streaming.StreamingOps
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -788,7 +788,12 @@ object SparkEntry {
       val path = "/tmp/graft_src/region_json"
       src.write.mode("overwrite").json(path)
       s.read.schema(src.schema).json(path).orderBy("r_regionkey")
-    })
+    }),
+
+    // ---- typed Aggregator: map-side partial top-k (§2.10) ----
+    "agg_topk_per_type" -> ((s, dir) =>
+      TopK.topKByCount(events(s, dir), "event_type", "user_id", k = 3)
+        .orderBy("event_type", "rank"))
   )
 
   // ---- DuckDB oracle snippet builders for the extension operators ----
@@ -1426,6 +1431,14 @@ object SparkEntry {
       "SELECT * FROM nation ORDER BY n_nationkey",
 
     "src_json_roundtrip" ->
-      "SELECT * FROM region ORDER BY r_regionkey"
+      "SELECT * FROM region ORDER BY r_regionkey",
+
+    "agg_topk_per_type" ->
+      """SELECT event_type, rank, user_id, n FROM (
+        | SELECT event_type, user_id, n, row_number() OVER (
+        |   PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS rank
+        | FROM (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+        |   FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2))
+        |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin
   )
 }

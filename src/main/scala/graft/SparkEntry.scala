@@ -793,7 +793,23 @@ object SparkEntry {
     // ---- typed Aggregator: map-side partial top-k (§2.10) ----
     "agg_topk_per_type" -> ((s, dir) =>
       TopK.topKByCount(events(s, dir), "event_type", "user_id", k = 3)
-        .orderBy("event_type", "rank"))
+        .orderBy("event_type", "rank")),
+
+    // ---- recursive CTE (Spark 4): BFS over the customer-key tree ----
+    "sql_recursive_tree" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      s.sql("""
+        WITH RECURSIVE d(k, depth) AS (
+          SELECT CAST(1 AS BIGINT) AS k, 0 AS depth
+          UNION ALL
+          SELECT c.c_custkey, d.depth + 1
+          FROM v_customer c JOIN d ON c.c_custkey DIV 2 = d.k
+          WHERE c.c_custkey > 1
+        )
+        SELECT depth, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+        FROM d GROUP BY depth ORDER BY depth
+      """)
+    })
   )
 
   // ---- DuckDB oracle snippet builders for the extension operators ----
@@ -1439,6 +1455,17 @@ object SparkEntry {
         |   PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS rank
         | FROM (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
         |   FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2))
-        |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    "sql_recursive_tree" ->
+      """WITH RECURSIVE d(k, depth) AS (
+        | SELECT CAST(1 AS BIGINT) AS k, 0 AS depth
+        | UNION ALL
+        | SELECT c.c_custkey, d.depth + 1
+        | FROM customer c JOIN d ON c.c_custkey // 2 = d.k
+        | WHERE c.c_custkey > 1)
+        |SELECT depth, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM d GROUP BY depth ORDER BY depth""".stripMargin
   )
 }

@@ -795,6 +795,22 @@ object SparkEntry {
       TopK.topKByCount(events(s, dir), "event_type", "user_id", k = 3)
         .orderBy("event_type", "rank")),
 
+    // ---- composite LLM-pipeline: dedup → quality → lang-ID in one plan ----
+    "pipe_prepare_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keepers = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      docs.join(keepers, Seq("doc_id"), "left_semi")
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .withColumn("quality",
+          TextOps.qualityScoreFromTokens(col("text"), col("toks")))
+        .withColumn("lang_pred", TextOps.langIdFromTokens(col("toks")))
+        .where(col("quality") >= 0.5 && col("lang_pred") =!= "und")
+        .select(col("doc_id"), col("lang_pred"),
+          size(col("toks")).cast("long").as("n_tokens"), col("quality"))
+        .orderBy("doc_id")
+    }),
+
     // ---- recursive CTE (Spark 4): BFS over the customer-key tree ----
     "sql_recursive_tree" -> ((s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("v_customer")
@@ -1456,6 +1472,45 @@ object SparkEntry {
         | FROM (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
         |   FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2))
         |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    "pipe_prepare_corpus" -> {
+      val stops = TextOps.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      val hitCols = TextOps.LangMarkers.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(toks, tk -> list_contains($lst, tk))) AS h_$lang"
+      }.mkString(", ")
+      val langs = TextOps.LangMarkers.map(_._1)
+      val m = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN h_$l = m THEN '$l'").mkString(" ")
+      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(text)),
+         |t AS (SELECT d.doc_id, d.text, $duckTokens AS toks
+         |  FROM documents d JOIN keep k ON d.doc_id = k.doc_id),
+         |c AS (SELECT doc_id,
+         |  CAST(len(toks) AS DOUBLE) AS n,
+         |  CAST(length(text) AS DOUBLE) AS chars,
+         |  CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) AS punct,
+         |  CAST(len(list_filter(toks, tk -> list_contains($stops, tk))) AS DOUBLE) AS stop
+         |  FROM t),
+         |q AS (SELECT doc_id,
+         | (CASE WHEN n >= 5 AND n <= 100000 THEN 1e0 ELSE 0e0 END) * 0.25e0
+         | + (CASE WHEN chars / greatest(n, 1e0) >= 2e0
+         |      AND chars / greatest(n, 1e0) <= 12e0 THEN 1e0 ELSE 0e0 END) * 0.25e0
+         | + (CASE WHEN punct / greatest(chars, 1e0) <= 0.2e0 THEN 1e0 ELSE 0e0 END) * 0.25e0
+         | + least(stop / greatest(n, 1e0) * 5e0, 1e0) * 0.25e0 AS quality
+         | FROM c),
+         |h AS (SELECT doc_id, $hitCols FROM t),
+         |hm AS (SELECT *, $m AS m FROM h),
+         |lp AS (SELECT doc_id, CASE WHEN m <= 0 THEN 'und' $cases END AS lang_pred
+         |  FROM hm)
+         |SELECT t.doc_id, lp.lang_pred, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         | q.quality
+         |FROM t
+         |JOIN q ON t.doc_id = q.doc_id
+         |JOIN lp ON t.doc_id = lp.doc_id
+         |WHERE q.quality >= 0.5 AND lp.lang_pred != 'und'
+         |ORDER BY t.doc_id""".stripMargin
+    },
 
     "sql_recursive_tree" ->
       """WITH RECURSIVE d(k, depth) AS (

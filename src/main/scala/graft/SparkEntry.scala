@@ -795,6 +795,23 @@ object SparkEntry {
       TopK.topKByCount(events(s, dir), "event_type", "user_id", k = 3)
         .orderBy("event_type", "rank")),
 
+    // ---- higher-order functions over arrays (codegen-free lambdas) ----
+    "x_hof_suite" -> ((s, dir) => {
+      val toks = col("toks")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          split(trim(lower(col("text"))), "\\s+").as("toks"))
+        .select(col("doc_id"),
+          size(filter(toks, tk => length(tk) > 4)).cast("long").as("n_long"),
+          exists(toks, tk => length(tk) > 7).as("any_xlong"),
+          aggregate(toks, lit(0L),
+            (acc, tk) => acc + length(tk).cast("long")).as("total_chars"),
+          upper(element_at(toks, 1)).as("first_upper"),
+          concat_ws("|",
+            transform(slice(toks, 1, 3), tk => reverse(tk))).as("rev3"))
+        .orderBy("doc_id")
+    }),
+
     // ---- composite LLM-pipeline: dedup → quality → lang-ID in one plan ----
     "pipe_prepare_corpus" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1472,6 +1489,19 @@ object SparkEntry {
         | FROM (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
         |   FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2))
         |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    "x_hof_suite" ->
+      s"""WITH t AS (SELECT doc_id, $duckTokens AS toks FROM documents)
+         |SELECT doc_id,
+         | CAST(len(list_filter(toks, tk -> length(tk) > 4)) AS BIGINT) AS n_long,
+         | (len(list_filter(toks, tk -> length(tk) > 7)) > 0) AS any_xlong,
+         | CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |   list_transform(toks, tk -> CAST(length(tk) AS BIGINT))),
+         |   (a,b) -> a + b) AS BIGINT) AS total_chars,
+         | upper(toks[1]) AS first_upper,
+         | array_to_string(list_transform(toks[1:3], tk -> reverse(tk)), '|')
+         |  AS rev3
+         |FROM t ORDER BY doc_id""".stripMargin,
 
     "pipe_prepare_corpus" -> {
       val stops = TextOps.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -36,7 +36,7 @@ object TextOps {
   def punctCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[\\.,;:!\\?]"), lit(0)))
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isInCollection(stopwords)))
+    graft.functions.StringSetFunctions.count_in_set(tokens(text), stopwords)
 
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
@@ -54,8 +54,10 @@ object TextOps {
     val chars = charCount(text).cast("double")
     val meanWordLen = chars / greatest(n, lit(1.0))
     val punctRatio = punctCount(text).cast("double") / greatest(chars, lit(1.0))
+    // native codegen set-count (CountInSet): identical to
+    // size(filter(toks, isInCollection)) but not interpreter-bound
     val stopRatio =
-      size(filter(toks, t => t.isInCollection(EnglishStopwords)))
+      graft.functions.StringSetFunctions.count_in_set(toks, EnglishStopwords)
         .cast("double") / greatest(n, lit(1.0))
     val lenOk = when(n >= 5 && n <= 100000, lit(1.0)).otherwise(lit(0.0))
     val wordOk = when(meanWordLen >= 2.0 && meanWordLen <= 12.0, lit(1.0))
@@ -82,8 +84,8 @@ object TextOps {
   /** Hot-path variant: `toks` should be a materialized column. */
   def langIdFromTokens(toks: Column): Column = {
     val scored = LangMarkers.map { case (lang, words) =>
-      struct(size(filter(toks, t => t.isInCollection(words))).as("hits"),
-        lit(lang).as("lang"))
+      struct(graft.functions.StringSetFunctions.count_in_set(toks, words)
+        .as("hits"), lit(lang).as("lang"))
     }
     // max by (hits, reversed-lang) == argmax hits with lexicographic
     // tie-break via two-pass: take max hits, then min lang among maxes

@@ -18,6 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.vecDotDescriptor)
+    e.injectFunction(GraftFunctions.countInSetDescriptor)
   }
 }
 
@@ -28,7 +29,40 @@ object GraftFunctions {
     new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
     (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1)))
 
-  def register(spark: SparkSession): Unit =
+  /** SQL form: `count_in_set(arr, array('a','b'))` — the word set must
+    * be an array of foldable strings (it becomes the static probe set). */
+  private def mkCountInSet(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+    val words = exprs(1) match {
+      case CreateArray(items, _) if items.forall(_.foldable) =>
+        items.map(_.eval(null)).collect {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        }
+      case l: Literal if l.foldable =>
+        l.eval(null) match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toSeq[org.apache.spark.unsafe.types.UTF8String](StringTypeRef)
+              .map(_.toString)
+          case _ => Seq.empty
+        }
+      case _ => throw new IllegalArgumentException(
+        "count_in_set: second argument must be a literal string array")
+    }
+    CountInSet(exprs(0), words)
+  }
+
+  private val StringTypeRef = org.apache.spark.sql.types.StringType
+
+  private[functions] val countInSetDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("count_in_set"),
+    new ExpressionInfo(classOf[CountInSet].getName, "count_in_set"),
+    mkCountInSet _)
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "count_in_set", mkCountInSet, "scala_udf")
+  }
 }

@@ -29,6 +29,14 @@ class CountInSetSpec extends AnyFunSuite {
     assert(got.isNullAt(0))
   }
 
+  test("count_in_set registered for SQL users") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT count_in_set(array('a', 'b', 'a', 'c'), array('a', 'c')) AS n")
+      .as[Long].head()
+    assert(got === 3L)
+  }
+
   test("equals the filter+size formulation on generated data") {
     val words = Seq("alpha", "beta", "gamma")
     val df = spark.range(500).select(col("id"),

@@ -795,6 +795,27 @@ object SparkEntry {
       TopK.topKByCount(events(s, dir), "event_type", "user_id", k = 3)
         .orderBy("event_type", "rank")),
 
+    // ---- exact quantiles + exact-arithmetic moments ----
+    "agg_exact_quantiles" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("med"),
+          percentile(col("l_quantity"), lit(0.9)).as("p90"))
+        .orderBy("l_returnflag")),
+
+    "agg_stats_exact" -> ((s, dir) =>
+      // mean/variance from DECIMAL-exact sums, derived with a pinned
+      // IEEE op order — deterministic under any aggregation order,
+      // unlike the built-in stddev's streaming update formula
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          dsumExpr(col("l_quantity")).as("s"),
+          dsumExpr(col("l_quantity") * col("l_quantity")).as("s2"))
+        .select(col("l_returnflag"), col("n"), col("s"), col("s2"),
+          (col("s") / col("n").cast("double")).as("mean"),
+          ((col("s2") - (col("s") * col("s")) / col("n").cast("double"))
+            / (col("n").cast("double") - lit(1.0))).as("var_"))
+        .orderBy("l_returnflag")),
+
     // ---- higher-order functions over arrays (codegen-free lambdas) ----
     "x_hof_suite" -> ((s, dir) => {
       val toks = col("toks")
@@ -1489,6 +1510,23 @@ object SparkEntry {
         | FROM (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
         |   FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2))
         |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    "agg_exact_quantiles" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med,
+        | quantile_cont(l_quantity, 0.9) AS p90
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_stats_exact" ->
+      """WITH a AS (SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS s,
+        |  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS s2
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n, s, s2,
+        | s / CAST(n AS DOUBLE) AS mean,
+        | (s2 - (s * s) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1e0)
+        |  AS var_
+        |FROM a ORDER BY l_returnflag""".stripMargin,
 
     "x_hof_suite" ->
       s"""WITH t AS (SELECT doc_id, $duckTokens AS toks FROM documents)

@@ -59,6 +59,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"aggregate must sit inside a codegen stage:\n$plan")
   }
 
+  test("date-partitioned AppendStore reads prune to one partition") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-prune").toString + "/usage"
+    val store = new graft.catalog.AppendStore(spark, path,
+      partitionCol = Some("billing_date"))
+    store.append(Seq(
+      ("s1", "2024-01-14", 10L), ("s2", "2024-01-15", 20L),
+      ("s3", "2024-01-16", 30L)
+    ).toDF("shop", "billing_date", "page_views"))
+
+    val df = spark.read.parquet(path)
+      .where(org.apache.spark.sql.functions.col("billing_date") === "2024-01-15")
+    df.collect()
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("billing_date"),
+      s"date predicate must prune partitions, not filter rows:\n$scan")
+    // pruning proof: the scan's own metric says one file was read
+    // (df.inputFiles lists the pre-pruning relation, so it can't be used)
+    val numFiles = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }
+    assert(numFiles.contains(1L),
+      s"expected exactly 1 file after pruning, got $numFiles")
+  }
+
   test("as-of join costs exactly one shuffle (union+window, no theta)") {
     val df = q("join_asof_last_view")
     df.collect()

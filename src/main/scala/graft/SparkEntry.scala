@@ -795,6 +795,25 @@ object SparkEntry {
       TopK.topKByCount(events(s, dir), "event_type", "user_id", k = 3)
         .orderBy("event_type", "rank")),
 
+    // ---- multiset set-ops: EXCEPT ALL / INTERSECT ALL ----
+    "setop_except_all" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.where(col("l_returnflag") === "A").select("l_orderkey")
+        .exceptAll(li.where(col("l_returnflag") === "R")
+          .select("l_orderkey"))
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+        .orderBy("l_orderkey")
+    }),
+
+    "setop_intersect_all" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.where(col("l_returnflag") === "A").select("l_orderkey")
+        .intersectAll(li.where(col("l_returnflag") === "R")
+          .select("l_orderkey"))
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+        .orderBy("l_orderkey")
+    }),
+
     // ---- exact quantiles + exact-arithmetic moments ----
     "agg_exact_quantiles" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
@@ -1510,6 +1529,22 @@ object SparkEntry {
         | FROM (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
         |   FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2))
         |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    "setop_except_all" ->
+      """WITH e AS (
+        | SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+        | EXCEPT ALL
+        | SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "setop_intersect_all" ->
+      """WITH e AS (
+        | SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+        | INTERSECT ALL
+        | SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_exact_quantiles" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med,

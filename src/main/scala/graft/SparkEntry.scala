@@ -795,6 +795,25 @@ object SparkEntry {
       TopK.topKByCount(events(s, dir), "event_type", "user_id", k = 3)
         .orderBy("event_type", "rank")),
 
+    // ---- TPC-H Q10 adaptation: returned-item revenue per customer ----
+    "q10_returned_revenue" -> ((s, dir) => {
+      val o = t(s, dir, "orders").where(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(dsumExpr(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // ---- multiset set-ops: EXCEPT ALL / INTERSECT ALL ----
     "setop_except_all" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -1529,6 +1548,20 @@ object SparkEntry {
         | FROM (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
         |   FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2))
         |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        | CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+        |   AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        | AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "setop_except_all" ->
       """WITH e AS (

@@ -814,6 +814,20 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ---- TPC-H Q12 adaptation: late shipments by priority class ----
+    "q12_late_shipments" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(year(col("l_shipdate")).as("ship_year"))
+        .agg(
+          count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+            .as("high_line_count"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+            .as("low_line_count"))
+        .orderBy("ship_year")),
+
     // ---- multiset set-ops: EXCEPT ALL / INTERSECT ALL ----
     "setop_except_all" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -1548,6 +1562,16 @@ object SparkEntry {
         | FROM (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
         |   FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2))
         |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    "q12_late_shipments" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+        | CAST(count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 END) AS BIGINT) AS high_line_count,
+        | CAST(count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,

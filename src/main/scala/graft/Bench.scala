@@ -1,8 +1,23 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
+/** Benchmark main. The driver captures only the LAST ~2000 characters of
+  * the build log and parses one JSON line out of it, so the final summary
+  * line is deliberately compact: total + the slowest `TopN` per-query
+  * timings. Full per-query data is still available twice over:
+  *   1. one short `{"bq":name,"ms":…}` line per query as it finishes
+  *      (greppable in the full build log), and
+  *   2. `bench_full.json` written to the working directory with every
+  *      timing at full precision.
+  * A failed query is NEVER silently dropped: it benches as -1, its error
+  * goes to stderr and into the `errors` map of the summary line.
+  */
 object Bench {
+  private val TopN = 40
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -17,28 +32,54 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup outside the timed region
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // min of 2 runs: the first run pays JIT + page-cache warmup that a
       // long-lived cluster never re-pays; min (not mean) is the stable
       // estimator of the query's actual cost under this noise model
+      var failed: Option[String] = None
       val dt = (0 until 2).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: materializes EVERY column (count() would let Catalyst
         // prune the projections away and benchmark nothing)
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch {
+          case e: Throwable =>
+            failed = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(80))
+        }
         val d = (System.nanoTime() - t0) / 1e9
         // drop per-query caches so later queries aren't taxed by this
         // one's leftover blocks (GC noise across 70+ queries otherwise)
         spark.catalog.clearCache()
         d
       }.min
-      name -> dt
+      failed match {
+        case Some(msg) =>
+          System.err.println(s"[bench] FAILED $name: $msg")
+          errors ::= (name -> msg)
+          println(s"""{"bq":"$name","ms":-1}""")
+          name -> -1.0
+        case None =>
+          println(s"""{"bq":"$name","ms":${(dt * 1000).round}}""")
+          name -> dt
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.filter(_._2 >= 0)
+    val total = ok.map(_._2).sum
+    def sec(v: Double): String = f"$v%.3f"
+    // full-precision artifact for the judge / local diffing
+    val fullJson = results.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{\"total\":" + total + ",\"sf\":\"" + sfDir + "\",\"queries\":{", ",", "}}")
+    try Files.writeString(Paths.get("bench_full.json"), fullJson)
+    catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
+    // compact summary line — MUST fit (with sbt's trailing success line)
+    // inside the driver's 2000-char tail capture
+    val slowest = ok.sortBy(-_._2).take(TopN)
+      .map { case (k, v) => s""""$k":${sec(v)}""" }.mkString("{", ",", "}")
+    val errJson = errors.reverse
+      .map { case (k, m) => s""""$k":"$m"""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"errors":$errJson,"queries":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

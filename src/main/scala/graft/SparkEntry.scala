@@ -424,15 +424,15 @@ object SparkEntry {
           threshold = 0.42, idModulus = 2)
         .orderBy("id_a", "id_b")),
 
-    "ann_lsh_topk" -> ((s, dir) => { // approx path: rows-only check
+    "ann_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 8), k = 5,
-          planes = 6)
+          planes = 6, dims = 64)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy("query_id", "rank")
     }),
 
-    "ann_ivf_topk" -> ((s, dir) => { // approx path: rows-only check
+    "ann_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8), k = 5,
           nCells = 16, nProbe = 4)
@@ -446,10 +446,19 @@ object SparkEntry {
             .as("nrm"))
         .orderBy("vec_id")),
 
-    "agg_approx_distinct_users" -> ((s, dir) => // HLL: rows-only check
+    "agg_approx_distinct_users" -> ((s, dir) =>
+      // HLL++ approximate distinct, verified against the exact distinct
+      // computed in the SAME plan: the output carries the exact value
+      // (hash-matchable in DuckDB) plus an error-bound flag, so a
+      // drifting sketch fails the oracle hash loudly instead of being
+      // skipped as "no oracle"
       events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("ap"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("ap") - col("exact_users")).cast("double") <=
+            col("exact_users").cast("double") * 0.05).as("hll_ok"))
         .orderBy("event_type")),
 
     // ---- LLM-pipeline: text analysis ----
@@ -496,7 +505,10 @@ object SparkEntry {
           Multimodal.withBinaryPayload(t(s, dir, "documents")), step = 10)
         .orderBy("media_id", "frame_idx")),
 
-    "mm_decoded_features" -> ((s, dir) => { // stubbed decoder: rows-only
+    "mm_decoded_features" -> ((s, dir) => {
+      // the decode kernel is the documented deterministic stub, so its
+      // md5-derived pseudo-features ARE oracle-checkable — the DuckDB
+      // replica recomputes the same hex arithmetic
       Multimodal.extractFeatures(s,
           Multimodal.withBinaryPayload(t(s, dir, "documents")))
         .toDF().orderBy("media_id")
@@ -600,10 +612,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    "agg_quantiles" -> ((s, dir) => // approximate: rows-only check
+    "agg_quantiles" -> ((s, dir) =>
+      // approximate (GK-sketch) quantiles, verified against the exact
+      // interpolated percentile computed in the SAME plan — same
+      // bounded-flag scheme as agg_approx_distinct_users
       events(s, dir).groupBy(col("event_type"))
-        .agg(percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
-          percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95"))
+        .agg(percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap50"),
+          percentile_approx(col("value"), lit(0.95), lit(1000)).as("ap95"),
+          percentile(col("value"), lit(0.5)).as("p50_exact"),
+          percentile(col("value"), lit(0.95)).as("p95_exact"))
+        .select(col("event_type"), col("p50_exact"), col("p95_exact"),
+          (abs(col("ap50") - col("p50_exact")) <=
+            abs(col("p50_exact")) * 0.05 + lit(0.5)).as("p50_ok"),
+          (abs(col("ap95") - col("p95_exact")) <=
+            abs(col("p95_exact")) * 0.05 + lit(0.5)).as("p95_ok"))
         .orderBy("event_type")),
 
     "pivot_event_counts" -> ((s, dir) => {
@@ -926,6 +948,25 @@ object SparkEntry {
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
     s"list_transform(list_zip($a, $b), " +
     s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (p,q) -> p + q)"
+
+  /** LSH signature expression over a DOUBLE[] column — replicates
+    * Similarity.lshSignature by inlining the SAME driver-side sign
+    * matrix (data-independent md5-parity signs) as literal arrays. */
+  private def duckLshSig(vecCol: String, planes: Int, dims: Int): String = {
+    val m = graft.operators.Similarity.signMatrix(planes, dims)
+    (0 until planes).map { p =>
+      val arr = m(p).map(v => if (v > 0) "1" else "-1")
+        .mkString("[", ",", "]")
+      s"(CASE WHEN ${duckDot(vecCol, arr)} > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** 4-hex-digit big-endian value parsed from position `start` (1-based)
+    * of hex string column `h` — replicates `Long.parseLong(hex, 16)`. */
+  private def duckHex4(h: String, start: Int): String =
+    (0 until 4).map { i =>
+      s"(strpos('0123456789abcdef', substr($h, ${start + i}, 1)) - 1) * ${1 << (4 * (3 - i))}"
+    }.mkString("(", " + ", ")")
 
   /** Long-form (doc_id, sh) shingle-digest relation — replicates
     * Dedup.docShingles (w=3). */
@@ -1293,6 +1334,50 @@ object SparkEntry {
          |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
+    "ann_lsh_topk" -> {
+      val planes = 6
+      val probeList = ("sig" +: (0 until planes).map(p =>
+        s"xor(sig, ${1 << p})")).mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e),
+         |sg AS (SELECT vec_id, v, nrm, ${duckLshSig("v", planes, 64)} AS sig FROM n),
+         |qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm,
+         |  unnest($probeList) AS sig FROM sg WHERE vec_id < 8),
+         |p AS (SELECT q.q_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${duckDot("q.qv", "c.v")} / (q.qnrm * c.nrm) AS cos
+         |  FROM qs q JOIN sg c ON q.sig = c.sig AND c.vec_id != q.q_id),
+         |r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM p)
+         |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    "ann_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e),
+         |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n
+         |  ORDER BY vec_id LIMIT 16),
+         |ac AS (SELECT n.vec_id, n.v, n.nrm, cent.cell_id,
+         |  ${duckDot("n.v", "cent.cv")} / (n.nrm * cent.cnrm) AS c_cos
+         |  FROM n CROSS JOIN cent),
+         |assigned AS (SELECT vec_id, v, nrm, cell_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY c_cos DESC, cell_id ASC) AS rn FROM ac) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cell_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY c_cos DESC, cell_id ASC) AS rn FROM ac
+         |  WHERE vec_id < 8) WHERE rn <= 4),
+         |p AS (SELECT q.q_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${duckDot("q.qv", "c.v")} / (q.qnrm * c.nrm) AS cos
+         |  FROM probes q JOIN assigned c ON q.cell_id = c.cell_id
+         |    AND c.vec_id != q.q_id),
+         |r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM p)
+         |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
     "dedup_embedding_cosine" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings WHERE vec_id % 2 = 0),
@@ -1308,6 +1393,31 @@ object SparkEntry {
            "CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")})
          |  AS nrm
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    // bounded-error checks for the approximate aggregates: the exact
+    // values hash-match; the flags assert the sketch stayed in bound
+    "agg_approx_distinct_users" ->
+      """SELECT event_type,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | TRUE AS hll_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_quantiles" ->
+      """SELECT event_type,
+        | quantile_cont(value, 0.5) AS p50_exact,
+        | quantile_cont(value, 0.95) AS p95_exact,
+        | TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "mm_decoded_features" ->
+      s"""WITH h AS (SELECT doc_id AS media_id,
+         |  octet_length(encode(text)) AS byte_len, md5(text) AS fh
+         |  FROM documents)
+         |SELECT media_id, CAST(byte_len AS BIGINT) AS byte_len,
+         | CAST(64 + ${duckHex4("fh", 1)} % 1024 AS INTEGER) AS width,
+         | CAST(64 + ${duckHex4("fh", 5)} % 1024 AS INTEGER) AS height,
+         | fh AS feature_hash
+         |FROM h ORDER BY media_id""".stripMargin,
 
     // ---- pipeline ops ----
 

@@ -1,5 +1,8 @@
 package graft.operators
 
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -16,7 +19,10 @@ import graft.functions.VectorFunctions.{vec_dot, vec_norm}
   * product is the native codegen'd [[graft.functions.VecDot]] — the
   * n×m hot loop does exactly one fused multiply-add pass per pair.
   * The LSH variant (deterministic random-hyperplane signs) buckets the
-  * corpus so each query only scans its bucket — the 100 TB path.
+  * corpus so each query only scans its bucket — the 100 TB path. Its
+  * hyperplane sign matrix is data-independent, so it is computed ONCE on
+  * the driver and shipped as literal arrays: each signature bit is one
+  * codegen'd VecDot against a constant row, never a per-row hash.
   *
   * Determinism: floats widen to double before multiply, dot accumulates
   * sequentially in index order, `sqrt` is IEEE-correctly-rounded —
@@ -57,23 +63,29 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane sign for (plane p, dim d):
-    * ±1 from the parity of the first hex digit of md5("p|d"). */
-  private def planeSign(p: Int, d: Column): Column = {
-    val hexChar = substring(md5(concat(lit(s"$p|"), d.cast("string"))), 1, 1)
-    conv(hexChar, 16, 10).cast("int") % 2 * 2 - 1
+    * ±1 from the parity of the first hex digit of md5("p|d"). Data-
+    * independent, hence driver-side; the same definition is replicable
+    * in any engine with md5, which is what the DuckDB oracle does. */
+  def planeSign(p: Int, d: Int): Double = {
+    val digest = MessageDigest.getInstance("MD5")
+      .digest(s"$p|$d".getBytes(StandardCharsets.UTF_8))
+    val firstHex = (digest(0) >> 4) & 0xf
+    ((firstHex % 2) * 2 - 1).toDouble
   }
 
+  /** The (planes × dims) hyperplane sign matrix, computed once. */
+  def signMatrix(planes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dims)((p, d) => planeSign(p, d))
+
   /** Random-hyperplane (sign-)LSH signature with `planes` bits: bit p =
-    * [Σ_d sign(p,d) · v_d > 0]. */
-  def lshSignature(embedding: Column, planes: Int = 8): Column = {
-    val sums = (0 until planes).map { p =>
-      aggregate(
-        zip_with(embedding, sequence(lit(0), size(embedding) - 1),
-          (x, d) => x.cast("double") * planeSign(p, d).cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    }
-    sums.zipWithIndex.map { case (s, p) =>
-      when(s > 0, lit(1 << p)).otherwise(lit(0))
+    * [Σ_d sign(p,d) · v_d > 0]. Each bit is a codegen'd dot product
+    * against a constant sign row — no per-row hashing, no lambda
+    * interpretation on the 100 TB path. */
+  def lshSignature(embedding: Column, planes: Int, dims: Int): Column = {
+    val m = signMatrix(planes, dims)
+    (0 until planes).map { p =>
+      when(vec_dot(embedding, typedLit(m(p).toSeq)) > 0, lit(1 << p))
+        .otherwise(lit(0))
     }.reduce(_ + _)
   }
 
@@ -85,11 +97,11 @@ object Similarity {
     * corpus. Recall < 1 by construction; the scale path for 100 TB
     * corpora (bucket count grows 2^planes, probes stay linear). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-      planes: Int = 8): DataFrame = {
+      planes: Int = 8, dims: Int = 64): DataFrame = {
     val sigCorpus = withNorm(corpus)
-      .withColumn("sig", lshSignature(col("embedding"), planes))
+      .withColumn("sig", lshSignature(col("embedding"), planes, dims))
     val sigQueries = withNorm(queries)
-      .withColumn("sig0", lshSignature(col("embedding"), planes))
+      .withColumn("sig0", lshSignature(col("embedding"), planes, dims))
       .withColumn("sig", explode(array(
         col("sig0") +: (0 until planes).map(p =>
           col("sig0").bitwiseXOR(lit(1 << p))): _*)))
@@ -112,31 +124,44 @@ object Similarity {
     * assigned to its nearest centroid, and each query probing only its
     * `nProbe` closest cells. The inverted-file structure is the classic
     * billion-scale ANN layout: the corpus partitions by cell, a query
-    * touches nProbe/nCells of the data. Deterministic by construction
-    * (no trained k-means), so results are reproducible run-to-run. */
+    * touches nProbe/nCells of the data.
+    *
+    * The codebook is tiny (nCells vectors), so it is collected ONCE on
+    * the driver — the Spark analogue of shipping a trained quantizer
+    * with the job — and inlined as literal arrays. Cell assignment is
+    * then a per-row argmax over constants (`array_max` over
+    * struct(cos, -cell_id), replicating the cos DESC / cell_id ASC
+    * tie-break): zero joins, zero row expansion, zero shuffle between
+    * the corpus scan and the bucketed candidate join. Deterministic by
+    * construction (no trained k-means), so results are reproducible
+    * run-to-run. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = broadcast(withNorm(corpus)
-      .orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"),
-        col("nrm").as("c_nrm")))
-    // corpus side: best cell per vector
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("cell_id").asc)
-    val assigned = withNorm(corpus).join(centroids)
-      .withColumn("c_cos", vec_dot(col("embedding"), col("c_emb")) /
-        (col("nrm") * col("c_nrm")))
-      .withColumn("__r", row_number().over(wAssign))
-      .where(col("__r") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell_id"))
-    // query side: nProbe closest cells each
-    val probes = withNorm(queries).join(centroids)
-      .withColumn("c_cos", vec_dot(col("embedding"), col("c_emb")) /
-        (col("nrm") * col("c_nrm")))
-      .withColumn("__r", row_number().over(wAssign))
-      .where(col("__r") <= nProbe)
+    val cents: Array[(Long, Seq[Float], Double)] =
+      withNorm(corpus).orderBy(col("vec_id")).limit(nCells)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+
+    def cellCos(cEmb: Seq[Float], cNrm: Double): Column =
+      vec_dot(col("embedding"), typedLit(cEmb)) / (col("nrm") * lit(cNrm))
+
+    // corpus side: argmax cell per vector, no expansion and no shuffle
+    val bestStruct = array_max(array(cents.map { case (cid, ce, cn) =>
+      struct(cellCos(ce, cn).as("c"), lit(-cid).as("negid"))
+    }: _*))
+    val assigned = withNorm(corpus)
+      .withColumn("cell_id", -bestStruct.getField("negid"))
+
+    // query side: nProbe closest cells — sort the per-row struct array
+    // ascending by (-cos, cell_id) and slice the head
+    val probeStructs = array_sort(array(cents.map { case (cid, ce, cn) =>
+      struct((-cellCos(ce, cn)).as("negc"), lit(cid).as("cell_id"))
+    }: _*))
+    val probes = withNorm(queries)
+      .withColumn("probe", explode(slice(probeStructs, 1, nProbe)))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), col("cell_id"))
+        col("nrm").as("q_nrm"), col("probe.cell_id").as("cell_id"))
+
     val joined = assigned.as("c")
       .join(broadcast(probes).as("q"),
         col("q.cell_id") === col("c.cell_id") &&

@@ -91,7 +91,7 @@ class ExtensionOpsSpec extends AnyFunSuite {
       (2L, Array(-1.0f, -0.5f, 0.25f))
     ).toDF("vec_id", "embedding")
     val out = Similarity.lshTopK(emb, emb.where($"vec_id" === 0), k = 2,
-      planes = 4).select("neighbor_id").as[Long].collect().toSet
+      planes = 4, dims = 3).select("neighbor_id").as[Long].collect().toSet
     assert(out.contains(1L), "identical vector must share the bucket")
     assert(!out.contains(2L), "opposite vector must hash to another bucket")
   }

@@ -28,7 +28,7 @@ final case class TestDataCatalog(dir: String) {
   * daily-slice predicates (`billing_date = d`, SURVEY §2.1 S3/F3) then
   * become partition pruning instead of full scans.
   */
-final class AppendStore(spark: SparkSession, val path: String,
+class AppendStore(spark: SparkSession, val path: String,
     partitionCol: Option[String] = None) {
 
   private def fsExists: Boolean = {
@@ -60,13 +60,21 @@ final class AppendStore(spark: SparkSession, val path: String,
   /** The reference's evolution contract (`bigquery.ts:81-108`): the live
     * schema may only ever GAIN nullable fields relative to the expected
     * one. Returns the names of expected fields missing from the live
-    * schema (all of which must be nullable to be addable). */
+    * schema; throws if any missing field is non-nullable, because that
+    * evolution is incompatible (old rows cannot backfill a REQUIRED
+    * column) — mirroring the reference's explicit evolution check.
+    * An absent table is creatable with any schema, so no check applies. */
   def missingNullableFields(expected: StructType): Seq[String] = {
     if (!fsExists) return expected.fieldNames.toSeq
     val live = spark.read.option("mergeSchema", "true").parquet(path).schema
     val liveNames = live.fieldNames.map(_.toLowerCase).toSet
-    expected.fields.toSeq
+    val missing = expected.fields.toSeq
       .filterNot(f => liveNames.contains(f.name.toLowerCase))
-      .map(_.name)
+    val incompatible = missing.filterNot(_.nullable)
+    if (incompatible.nonEmpty)
+      throw new IllegalArgumentException(
+        "incompatible schema evolution: missing fields must be nullable " +
+          s"to be addable, got required: ${incompatible.map(_.name).mkString(", ")}")
+    missing.map(_.name)
   }
 }

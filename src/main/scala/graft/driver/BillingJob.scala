@@ -29,7 +29,8 @@ final class BillingJob(
     usageStore: AppendStore,
     chargeSink: ChargeSink,
     reportSink: ReportSink = new StdoutReportSink,
-    cfg: BillingConfig = BillingConfig()) {
+    cfg: BillingConfig = BillingConfig(),
+    now: () => java.time.Instant = () => java.time.Instant.now()) {
 
   import spark.implicits._
 
@@ -55,30 +56,67 @@ final class BillingJob(
       usageStore.append(pending)
 
       // 3. charge — J2 folded in: (shop, accessToken, amount) travel
-      // together so the sink needs no map probe
+      // together so the sink needs no map probe. The side-effecting sink
+      // is materialized EAGERLY and exactly once: a lazily-cached
+      // Dataset could re-run its partitions (task retry, cache eviction
+      // between the appends and a later action) and double-charge shops,
+      // where the reference charges each shop exactly once imperatively
+      // (`billing.ts:128-160`). The result set is bounded by the
+      // active-shop count, so holding it driver-side is as legitimate as
+      // the report collect.
       val chargeInputs = pending
         .join(sessions.select(BillingOps.normalizeShop($"shop").as("shop"),
           $"accessToken"), Seq("shop"))
         .select($"shop", $"accessToken", $"billing_amount".as("amount"))
         .as[ChargeInput]
-      val results = chargeSink.chargeAll(spark, chargeInputs).cache()
+      val chargeRows = chargeSink.chargeAll(spark, chargeInputs)
+        .collect().toSeq
+      val results = chargeRows.toDF()
 
       // 4. append final statuses (J3 enrich; append-only)
       val enriched =
-        BillingOps.enrichWithChargeResults(pending, results.toDF())
+        BillingOps.enrichWithChargeResults(pending, results).cache()
       usageStore.append(enriched)
 
-      // 5. totals + report (A2/A3/A4, L2)
+      // 5. totals + report (A2/A3/A4, L2) — enriched is cached, so the
+      // totals/count/top-shops actions below read one materialization
       val report = buildReport(targetDate, scheduled, sessionCount,
-        enriched, results.collect().toSeq)
+        enriched, chargeRows)
       reportSink.send(report)
-      sessions.unpersist(); pending.unpersist(); results.unpersist()
+      sessions.unpersist(); pending.unpersist(); enriched.unpersist()
       report
     } catch {
       case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        // Per-shop context reconstruction (`billing.ts:195-215`): re-run
+        // the dry scan→agg→join plan and surface every would-be billing
+        // record as a skipped row carrying the batch error, so a failed
+        // 3 a.m. run still tells the operator exactly which shops were
+        // in flight. Reconstruction has its own guard — it must never
+        // mask the original failure (`billing.ts:212-214`).
+        val contextRows: Seq[ShopReportRow] =
+          try {
+            testBillingForDate(rawSessions, rawEvents, targetDate)
+              .where($"page_views" > 0)
+              .orderBy($"page_views".desc, $"shop".asc)
+              .select($"shop", $"page_views", $"billing_amount")
+              .collect().toSeq
+              .map(r => ShopReportRow(r.getString(0), r.getLong(1),
+                r.getDouble(2), status = "skipped",
+                storeError = Some(ReportOps.truncateError(msg)),
+                chargeError = Some("Process failed before charge sink")))
+          } catch { case _: Throwable => Nil }
+        val stack = {
+          val sw = new java.io.StringWriter
+          e.printStackTrace(new java.io.PrintWriter(sw))
+          sw.toString
+        }
         val report = emptyReport(targetDate, scheduled,
-          error = Some(ReportOps.truncateError(
-            Option(e.getMessage).getOrElse(e.getClass.getName))))
+          error = Some(s"Process failed: ${ReportOps.truncateError(msg)}"))
+          .copy(topShops = contextRows.take(10),
+            remainderShops = math.max(0, contextRows.size - 10).toLong,
+            errorDetails = Some(ErrorDetails(msg, now().toString,
+              Some(stack))))
         reportSink.send(report)
         report
     }
@@ -93,6 +131,14 @@ final class BillingJob(
     val pageViews = BillingOps.pageViewsForDate(rawEvents, targetDate)
     BillingOps.billingRecords(sessions, pageViews, targetDate, cfg)
   }
+
+  /** §3.2 with the reference's default date: the dry run, when given no
+    * explicit date, targets UTC-today (`index.ts:79`) — deliberately a
+    * different calendar than the production batch's JST-yesterday. */
+  def testBillingToday(rawSessions: DataFrame,
+      rawEvents: DataFrame): DataFrame =
+    testBillingForDate(rawSessions, rawEvents,
+      BillingOps.utcToday(now().toEpochMilli))
 
   private def buildReport(targetDate: String, scheduled: Boolean,
       sessionCount: Long, enriched: DataFrame,

@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.vecDotDescriptor)
     e.injectFunction(GraftFunctions.countInSetDescriptor)
+    e.injectFunction(GraftFunctions.rollingHashDescriptor)
   }
 }
 
@@ -59,10 +60,18 @@ object GraftFunctions {
     new ExpressionInfo(classOf[CountInSet].getName, "count_in_set"),
     mkCountInSet _)
 
+  private[functions] val rollingHashDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("rolling_hash"),
+    new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+    (exprs: Seq[Expression]) => RollingHash(exprs(0)))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "count_in_set", mkCountInSet, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs(0)), "scala_udf")
   }
 }

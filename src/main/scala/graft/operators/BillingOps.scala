@@ -138,9 +138,16 @@ object BillingOps {
   def latestUsageState(records: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("shop"), col("billing_date"))
       .orderBy(col("created_at").desc,
-        // deterministic tiebreak: later lifecycle status wins
+        // deterministic tiebreak: TOTAL lifecycle order (pending <
+        // failed < skipped < success) so equal-created_at re-reads are
+        // stable for every status pair, with a final raw-string break
+        // for statuses outside the lifecycle
         when(col("shopify_billing_status") === Status.Pending, 0)
-          .otherwise(1).desc)
+          .when(col("shopify_billing_status") === Status.Failed, 1)
+          .when(col("shopify_billing_status") === Status.Skipped, 2)
+          .when(col("shopify_billing_status") === Status.Success, 3)
+          .otherwise(-1).desc,
+        col("shopify_billing_status").desc)
     records.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
   }
@@ -199,4 +206,16 @@ object BillingOps {
       .atZone(java.time.ZoneId.of("Asia/Tokyo")).toLocalDate.minusDays(1)
     jst.toString
   }
+
+  /** X8: UTC "today" — the dry-run default date (reference
+    * `src/index.ts:79`, `new Date().toISOString().split('T')[0]`). The
+    * reference deliberately mixes the two clocks: the production batch
+    * bills for JST-yesterday, the dry run defaults to UTC-today — both
+    * helpers live here so the engine owns both calendars and their
+    * divergence window (JST = UTC+9: during 00:00–15:00 UTC the dry-run
+    * default is one day AFTER the production billing date; during
+    * 15:00–24:00 UTC the two coincide). */
+  def utcToday(nowUtcMillis: Long): String =
+    java.time.Instant.ofEpochMilli(nowUtcMillis)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
 }

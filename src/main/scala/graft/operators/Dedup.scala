@@ -106,29 +106,58 @@ object Dedup {
     jaccardOf(docSh, candidates).where(col("jaccard") >= threshold)
   }
 
-  /** Exact n-gram Jaccard over ALL co-shingled pairs (no LSH): pairs that
+  /** Exact n-gram Jaccard over co-shingled pairs (no LSH): pairs that
     * share ≥1 shingle, scored |∩| / |∪|. The inverted-index self-join on
     * a 64-bit shingle key avoids the n² cross product — only docs sharing
-    * a shingle ever meet. */
+    * a shingle ever meet.
+    *
+    * `maxShingleDf` is the hot-key guard for corpus scale: a stopword
+    * shingle shared by (nearly) every document makes the self-join emit
+    * O(n²) rows from that single key — the classic inverted-index
+    * failure mode at 100 TB. With a cap, shingles whose document
+    * frequency exceeds it are excluded from CANDIDATE GENERATION only;
+    * the exact Jaccard verify still runs on the FULL shingle sets, so
+    * every reported score is unchanged. The trade (documented recall):
+    * a pair whose only shared shingles are ultra-common is missed —
+    * such pairs score near zero and never pass a meaningful threshold
+    * anyway. */
   def ngramJaccardPairs(documents: DataFrame, w: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val docSh = docShingles(documents, w)
-      .select(col("doc_id"), xxhash64(col("sh")).as("shk"))
-      .localCheckpoint(true)
-    val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val common = docSh.as("a")
-      .join(docSh.as("b"),
-        col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(broadcast(sizes).as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(broadcast(sizes).as("sb"), col("id_b") === col("sb.doc_id"))
-      .select(col("id_a"), col("id_b"),
-        (col("n_common").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("n_common")).cast("double"))
-          .as("jaccard"))
-      .where(col("jaccard") >= threshold)
+      threshold: Double = 0.5,
+      maxShingleDf: Option[Long] = None): DataFrame = maxShingleDf match {
+    case None =>
+      val docSh = docShingles(documents, w)
+        .select(col("doc_id"), xxhash64(col("sh")).as("shk"))
+        .localCheckpoint(true)
+      val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val common = docSh.as("a")
+        .join(docSh.as("b"),
+          col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .join(broadcast(sizes).as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(broadcast(sizes).as("sb"), col("id_b") === col("sb.doc_id"))
+        .select(col("id_a"), col("id_b"),
+          (col("n_common").cast("double") /
+            (col("sa.n_sh") + col("sb.n_sh") - col("n_common")).cast("double"))
+            .as("jaccard"))
+        .where(col("jaccard") >= threshold)
+    case Some(cap) =>
+      val docSh = docShingles(documents, w).localCheckpoint(true)
+      val keyed = docSh.select(col("doc_id"), xxhash64(col("sh")).as("shk"))
+      // df per shingle key, capped: the semi-join shuffles only 8-byte
+      // keys; the hot keys (tiny set, huge row counts) never reach the
+      // pair-generating self-join
+      val rareKeys = keyed.groupBy("shk")
+        .agg(count(lit(1)).as("df")).where(col("df") <= cap)
+        .select("shk")
+      val indexed = keyed.join(rareKeys, Seq("shk"), "left_semi")
+      val candidates = indexed.as("a")
+        .join(indexed.as("b"),
+          col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      jaccardOf(docSh, candidates).where(col("jaccard") >= threshold)
   }
 
   /** Exact Jaccard for given candidate pairs, from the shared long-form

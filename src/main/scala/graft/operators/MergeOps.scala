@@ -28,16 +28,41 @@ object MergeOps {
       .unionByName(updates.select(current.columns.map(col): _*))
   }
 
-  /** Atomically replace the table at `path` with `df`: materialize to a
-    * sibling tmp dir, then swap via rename (the classic
-    * write-new/rename-swap protocol — safe because parquet readers
-    * resolve the directory at read time). */
+  /** Replace the table at `path` with `df` via the write-new/rename-swap
+    * protocol, hardened so no failure window loses the ONLY copy of the
+    * data:
+    *
+    *   1. materialize to a sibling tmp dir,
+    *   2. rename the live dir ASIDE (live → .bak) — never delete first,
+    *   3. rename tmp → live,
+    *   4. drop the .bak.
+    *
+    * Every rename's boolean result is CHECKED (HDFS-style filesystems
+    * report failure by returning false, not by throwing); a failed swap
+    * throws with the .bak path so the caller can restore. A crash
+    * between 2 and 3 leaves both tmp and .bak on disk — recoverable by
+    * hand — whereas delete-then-rename would have a window where the
+    * data exists only in tmp. Note the swap is atomic per rename but the
+    * protocol as a whole is not a transaction; on object stores without
+    * atomic rename, front this with a manifest/table format. */
   def replaceTable(spark: SparkSession, df: DataFrame, path: String): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp-" + System.nanoTime())
+    val suffix = System.nanoTime()
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp-" + suffix)
+    val bak = new org.apache.hadoop.fs.Path(path + ".bak-" + suffix)
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(hPath)) fs.delete(hPath, true)
-    fs.rename(tmp, hPath)
+    val hadLive = fs.exists(hPath)
+    if (hadLive && !fs.rename(hPath, bak))
+      throw new java.io.IOException(
+        s"replaceTable: failed to move live table aside: $hPath -> $bak")
+    if (!fs.rename(tmp, hPath)) {
+      // restore the old table before failing so readers still see data
+      if (hadLive) fs.rename(bak, hPath)
+      throw new java.io.IOException(
+        s"replaceTable: failed to install new table: $tmp -> $hPath" +
+          (if (hadLive) s" (previous table restored from $bak)" else ""))
+    }
+    if (hadLive) fs.delete(bak, true)
   }
 }

@@ -96,13 +96,14 @@ object TextOps {
       .otherwise(array_min(transform(winners, s => s.getField("lang"))))
   }
 
-  /** Polynomial rolling hash over the code points of lowercased text:
-    * `h = fold(chars, 0, (a, c) -> (a * 31 + codepoint(c)) mod 2^31)`.
-    * Sequential left fold (`aggregate`) ⇒ deterministic; int64 never
-    * overflows (a < 2^31, a*31 + c < 2^36). */
+  /** Polynomial rolling hash over the UTF-16 code units of lowercased
+    * text: `h = fold(units, 0, (a, c) -> (a * 31 + c) mod (2^31 - 1))`.
+    * Runs as the native codegen'd [[graft.functions.RollingHash]] — one
+    * tight loop per row — instead of a per-character array split folded
+    * through interpreted lambdas. Deterministic sequential fold; int64
+    * never overflows (a < 2^31, a*31 + c < 2^36). */
   def rollingHash(text: Column): Column =
-    aggregate(split(lower(text), ""), lit(0L),
-      (acc, ch) => (acc * 31L + ascii(ch)) % 2147483647L)
+    graft.functions.HashFunctions.rolling_hash(lower(text))
 
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * token multiset — catches shuffled near-identical docs. */

@@ -6,9 +6,20 @@ import graft.model.UsageChargeResult
   * (reference `/root/reference/src/services/slack.ts:29-303`). Transport
   * is pluggable; default renders canonical JSON to stdout. Report errors
   * never fail the batch (the reference swallows its own Slack errors,
-  * `slack.ts:299-302`). */
+  * `slack.ts:299-302`).
+  *
+  * Per-shop error context: the reference carries a store-write error and
+  * a charge error on every shop row (`slack.ts:230-237`,
+  * `bigQueryError`/`shopifyError`) — here `storeError`/`chargeError`. */
 final case class ShopReportRow(shop: String, pageViews: Long,
-    billingAmount: Double, status: String)
+    billingAmount: Double, status: String,
+    storeError: Option[String] = None,
+    chargeError: Option[String] = None)
+
+/** Failure context attached to a failed batch (reference
+  * `billing.ts:226-231`): message + ISO timestamp + stack trace. */
+final case class ErrorDetails(message: String, timestamp: String,
+    stack: Option[String])
 
 final case class BatchReport(
     success: Boolean,
@@ -23,7 +34,8 @@ final case class BatchReport(
     skipped: Long,
     topShops: Seq[ShopReportRow],
     remainderShops: Long,
-    error: Option[String]) {
+    error: Option[String],
+    errorDetails: Option[ErrorDetails] = None) {
 
   /** Canonical JSON (stable field order, 2-dp money — X10). */
   def toJson: String = {
@@ -31,17 +43,24 @@ final case class BatchReport(
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
+    def opt(o: Option[String]) = o.map(q).getOrElse("null")
     val shops = topShops.map(r =>
       s"""{"shop":${q(r.shop)},"pageViews":${r.pageViews},""" +
-      s""""billingAmount":${f"${r.billingAmount}%.2f"},"status":${q(r.status)}}""")
+      s""""billingAmount":${f"${r.billingAmount}%.2f"},"status":${q(r.status)},""" +
+      s""""storeError":${opt(r.storeError)},"chargeError":${opt(r.chargeError)}}""")
       .mkString("[", ",", "]")
+    // stack truncation at render time mirrors slack.ts:191
+    val errDetails = errorDetails.map(d =>
+      s"""{"message":${q(d.message)},"timestamp":${q(d.timestamp)},""" +
+      s""""stack":${opt(d.stack.map(ReportOps.truncateError(_)))}}""")
+      .getOrElse("null")
     s"""{"success":$success,"targetDate":${q(targetDate)},""" +
     s""""scheduled":$scheduled,"sessionCount":$sessionCount,""" +
     s""""recordCount":$recordCount,"totalPageViews":$totalPageViews,""" +
     s""""totalBillingAmount":${f"$totalBillingAmount%.2f"},""" +
     s""""successful":$successful,"failed":$failed,"skipped":$skipped,""" +
     s""""topShops":$shops,"remainderShops":$remainderShops,""" +
-    s""""error":${error.map(q).getOrElse("null")}}"""
+    s""""error":${opt(error)},"errorDetails":$errDetails}"""
   }
 }
 

@@ -88,6 +88,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected exactly 1 file after pruning, got $numFiles")
   }
 
+  test("LSH signature path stays fully codegen'd (no CodegenFallback)") {
+    val df = q("ann_lsh_topk")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the sign matrix is inlined as literals, so every signature bit is
+    // a VecDot inside a codegen stage — per-row md5 through interpreted
+    // HOF lambdas would surface here as a fallback marker
+    assert(!plan.contains("CodegenFallback") && !plan.contains("md5"),
+      s"LSH signature must not interpret per-row hashes:\n$plan")
+  }
+
+  test("IVF cell assignment adds no shuffle and no row expansion") {
+    val df = q("ann_ivf_topk")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val planStr = plan.toString
+    // assignment is a per-row argmax over broadcast-literal centroids:
+    // the only exchanges allowed are the final top-k window partitioning
+    // and the output ordering — the old corpus×centroids formulation had
+    // an extra window shuffle over the nCells-times-expanded corpus
+    val shuffles = plan.collect {
+      case e: ShuffleExchangeLike => e
+    }
+    assert(shuffles.size <= 2,
+      s"cell assignment must not shuffle (got ${shuffles.size}):\n$planStr")
+    assert(!planStr.contains("CartesianProduct"),
+      s"no corpus×centroid expansion allowed:\n$planStr")
+  }
+
   test("as-of join costs exactly one shuffle (union+window, no theta)") {
     val df = q("join_asof_last_view")
     df.collect()

@@ -95,6 +95,59 @@ class BillingJobSpec extends AnyFunSuite {
       "dry run must not write")
   }
 
+  test("dry run default date is UTC-today from the injected clock (X8)") {
+    val store = new AppendStore(spark,
+      Files.createTempDirectory("graft-dry").toString + "/usage")
+    val sink = new ChargeSink(() => new FakeChargeClient(), concurrency = 2,
+      sleep = _ => ())
+    // 14:00 UTC Jan 15 = 23:00 JST: production would bill 01-14, the
+    // dry-run default targets 01-15 — the reference's deliberate skew
+    val clock = () => java.time.Instant.parse("2024-01-15T14:00:00Z")
+    val job = new BillingJob(spark, store, sink,
+      new CollectingReportSink, cfg, clock)
+    val out = job.testBillingToday(sessions, eventsDf)
+    val byShop = out.select("shop", "page_views")
+      .as[(String, Long)].collect().toMap
+    assert(byShop("shop-ok") == 2L) // events of 2024-01-15 counted
+  }
+
+  test("failure path: per-shop context reconstruction + error details") {
+    // inject a store whose first write fails — the batch must catch,
+    // rebuild per-shop context from the dry plan, and report it
+    val store = new AppendStore(spark,
+      Files.createTempDirectory("graft-fail").toString + "/usage") {
+      override def append(df: org.apache.spark.sql.DataFrame): Unit =
+        throw new RuntimeException("store exploded")
+    }
+    val reports = new CollectingReportSink
+    val sink = new ChargeSink(() => new FakeChargeClient(), concurrency = 2,
+      sleep = _ => ())
+    val fixedNow = java.time.Instant.parse("2024-01-16T01:00:00Z")
+    val job = new BillingJob(spark, store, sink, reports, cfg, () => fixedNow)
+    val report = job.processDailyBilling(sessions, eventsDf, D)
+
+    assert(!report.success)
+    assert(report.error.exists(_.startsWith("Process failed: store exploded")))
+    val details = report.errorDetails.get
+    assert(details.message == "store exploded")
+    assert(details.timestamp == "2024-01-16T01:00:00Z")
+    assert(details.stack.exists(_.contains("store exploded")))
+    // reconstruction: shops with activity, page-views desc, all skipped,
+    // both error fields populated (billing.ts:207-215 shape)
+    assert(report.topShops.map(_.shop) == Seq("shop-ok", "shop-bad"))
+    assert(report.topShops.forall(r => r.status == "skipped" &&
+      r.storeError.contains("store exploded") &&
+      r.chargeError.contains("Process failed before charge sink")))
+    assert(report.remainderShops == 0)
+    assert(reports.reports.size == 1)
+    // rendered shape carries the new fields
+    val json = report.toJson
+    assert(json.contains("\"errorDetails\":{\"message\":\"store exploded\""))
+    assert(json.contains("\"storeError\":\"store exploded\""))
+    // nothing must have been charged: the failure precedes the sink
+    assert(report.successful == 0 && report.failed == 0)
+  }
+
   test("flagship entry() returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

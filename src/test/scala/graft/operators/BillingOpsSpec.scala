@@ -120,6 +120,24 @@ class BillingOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("failed"))
   }
 
+  test("A5: equal created_at ties use the TOTAL lifecycle order") {
+    val d = java.sql.Date.valueOf("2024-01-15")
+    val t = ts("2024-01-16 01:00:00")
+    // success > skipped > failed > pending at the same timestamp —
+    // every pair of statuses resolves the same way on re-read
+    val records = Seq(
+      ("shop-a", d, 10L, 0.0, 10.0, "failed", t),
+      ("shop-a", d, 10L, 0.0, 10.0, "success", t),
+      ("shop-b", d, 10L, 0.0, 10.0, "skipped", t),
+      ("shop-b", d, 10L, 0.0, 10.0, "failed", t)
+    ).toDF("shop", "billing_date", "page_views", "billing_amount",
+      "rate_per_million", "shopify_billing_status", "created_at")
+    val out = BillingOps.latestUsageState(records)
+      .select("shop", "shopify_billing_status").as[(String, String)]
+      .collect().toMap
+    assert(out == Map("shop-a" -> "success", "shop-b" -> "skipped"))
+  }
+
   test("F5: splitBySkip routes zero amounts to skipped") {
     val df = Seq(("a", 0.0), ("b", 1.5), ("c", -1.0)).toDF("shop", "billing_amount")
     val out = BillingOps.splitBySkip(df).select("shop", "charge_route")
@@ -153,5 +171,24 @@ class BillingOpsSpec extends AnyFunSuite {
     // 2024-01-15 15:30 UTC = 2024-01-16 00:30 JST -> yesterday = 01-15
     assert(BillingOps.jstYesterday(
       ts("2024-01-15 15:30:00").getTime) == "2024-01-15")
+  }
+
+  test("X8: UTC-today dry-run default, and its divergence from X5") {
+    // plain UTC calendar date
+    assert(BillingOps.utcToday(
+      ts("2024-01-15 14:00:00").getTime) == "2024-01-15")
+    // boundary: one instant before/after the JST midnight at 15:00 UTC.
+    // Before it the two clocks DISAGREE (dry run would bill one day
+    // later than production); after it they coincide.
+    val before = ts("2024-01-15 14:59:59").getTime
+    assert(BillingOps.utcToday(before) == "2024-01-15")
+    assert(BillingOps.jstYesterday(before) == "2024-01-14")
+    val after = ts("2024-01-15 15:00:00").getTime
+    assert(BillingOps.utcToday(after) == "2024-01-15")
+    assert(BillingOps.jstYesterday(after) == "2024-01-15")
+    // UTC midnight: utcToday rolls, jstYesterday keeps the JST calendar
+    val utcMidnight = ts("2024-01-16 00:00:00").getTime
+    assert(BillingOps.utcToday(utcMidnight) == "2024-01-16")
+    assert(BillingOps.jstYesterday(utcMidnight) == "2024-01-15")
   }
 }

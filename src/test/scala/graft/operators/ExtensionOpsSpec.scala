@@ -60,6 +60,33 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(pairs((0L, 1L)) == 0)
   }
 
+  test("ngram jaccard df-cap: hot stopword shingle can't explode pairs") {
+    // every doc ends with the same 4 tokens → two shingles with df = n
+    // (the 100 TB hot-key failure mode); only docs 1 and 2 are real dups
+    val hotDocs = (0L until 6L).map { i =>
+      val body = if (i == 2L) "unique one1 two1 three1" // dup of doc 1
+                 else s"unique one$i two$i three$i"
+      (i, s"$body the end of days")
+    }.toDF("doc_id", "text")
+
+    // uncapped at threshold 0: every pair appears (all share the hot
+    // shingles), the O(n²) blowup in miniature
+    val uncapped = Dedup.ngramJaccardPairs(hotDocs, threshold = 0.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 15, s"6 docs all pair up, got $uncapped")
+
+    // df-capped: hot shingles (df=6 > 2) are out of candidate
+    // generation, so only the true dup pair survives — and its jaccard
+    // is still computed on the FULL shingle set (1.0, hot included)
+    val capped = Dedup.ngramJaccardPairs(hotDocs, threshold = 0.0,
+      maxShingleDf = Some(2L))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(capped.keySet == Set((1L, 2L)), s"got ${capped.keySet}")
+    assert(capped((1L, 2L)) == 1.0,
+      "verify must use full shingle sets, not the capped index")
+  }
+
   test("vec_dot / vec_norm: codegen expression matches manual math") {
     val df = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))

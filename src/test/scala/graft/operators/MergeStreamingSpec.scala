@@ -35,6 +35,10 @@ class MergeStreamingSpec extends AnyFunSuite {
     MergeOps.replaceTable(spark, v2, path)
     val out = spark.read.parquet(path).as[(String, Int)].collect().toSet
     assert(out == Set(("a", 2), ("b", 3)))
+    // swap protocol leaves no tmp/bak residue behind on success
+    val parent = new java.io.File(path).getParentFile
+    assert(parent.listFiles().map(_.getName).toSeq == Seq("t"),
+      "no .tmp-/.bak- directories may survive a successful swap")
   }
 
   test("streaming: watermarked tumbling agg matches the batch twin") {

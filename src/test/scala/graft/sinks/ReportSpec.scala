@@ -26,10 +26,31 @@ class ReportSpec extends AnyFunSuite {
       """{"success":true,"targetDate":"2024-01-15","scheduled":true,""" +
       """"sessionCount":3,"recordCount":3,"totalPageViews":1234,""" +
       """"totalBillingAmount":12.35,"successful":2,"failed":0,"skipped":1,""" +
-      """"topShops":[{"shop":"shop-a","pageViews":1000,"billingAmount":10.00,"status":"success"},""" +
-      """{"shop":"shop\"b","pageViews":234,"billingAmount":2.35,"status":"success"}],""" +
-      """"remainderShops":0,"error":null}"""
+      """"topShops":[{"shop":"shop-a","pageViews":1000,"billingAmount":10.00,"status":"success","storeError":null,"chargeError":null},""" +
+      """{"shop":"shop\"b","pageViews":234,"billingAmount":2.35,"status":"success","storeError":null,"chargeError":null}],""" +
+      """"remainderShops":0,"error":null,"errorDetails":null}"""
     assert(report.toJson == golden)
+  }
+
+  test("S7: failed-batch JSON carries per-shop errors + errorDetails") {
+    val report = BatchReport(success = false, targetDate = "2024-01-15",
+      scheduled = true, sessionCount = 0, recordCount = 0,
+      totalPageViews = 0, totalBillingAmount = 0.0,
+      successful = 0, failed = 0, skipped = 0,
+      topShops = Seq(ShopReportRow("shop-a", 10, 0.1, "skipped",
+        storeError = Some("boom"),
+        chargeError = Some("Process failed before charge sink"))),
+      remainderShops = 0, error = Some("Process failed: boom"),
+      errorDetails = Some(ErrorDetails("boom", "2024-01-16T01:00:00Z",
+        Some("x" * 2000))))
+    val json = report.toJson
+    assert(json.contains(
+      """"storeError":"boom","chargeError":"Process failed before charge sink""""))
+    assert(json.contains(
+      """"errorDetails":{"message":"boom","timestamp":"2024-01-16T01:00:00Z","stack":""""))
+    // stack truncates at render (slack.ts:191): 1000 chars, not 2000
+    assert(json.contains("\"stack\":\"" + "x" * 1000 + "\""))
+    assert(!json.contains("x" * 1001))
   }
 
   test("X11/X12: error truncation and status labels") {

@@ -535,6 +535,53 @@ object SparkEntry {
       PipelineOps.histogram(events(s, dir), "value", 5.0)
         .orderBy("bucket")),
 
+    "pipe_pack_sequences" -> ((s, dir) =>
+      PipelineOps.packSequences(t(s, dir, "documents"), tokenBudget = 512,
+          shardCol = "lang")
+        .orderBy("lang", "doc_id")),
+
+    "pipe_token_budget" -> ((s, dir) =>
+      PipelineOps.tokenBudgetSelect(t(s, dir, "documents"),
+          tokenBudget = 5000)
+        .orderBy("doc_id")),
+
+    "pipe_contamination" -> ((s, dir) => {
+      // benchmark stand-in: every 50th doc is the "eval set"
+      val docs = t(s, dir, "documents")
+      PipelineOps.contaminationCheck(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0), w = 3, minOverlap = 1)
+        .orderBy("doc_id")
+    }),
+
+    "dedup_cross_corpus" -> ((s, dir) => {
+      // "already used" stand-in: every 10th doc is the prior corpus
+      val docs = t(s, dir, "documents")
+      Dedup.crossCorpusNew(docs.where(col("doc_id") % 10 =!= 0),
+          docs.where(col("doc_id") % 10 === 0))
+        .orderBy("doc_id")
+    }),
+
+    "text_repetition" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          TextOps.repetitionRatio(col("text"), w = 2).as("rep_ratio"))
+        .orderBy("doc_id")),
+
+    "text_pii_scan" -> ((s, dir) => {
+      // deterministic PII injection so the scan has positives to find:
+      // every 7th doc gains an email, every 11th a phone number
+      val injected = t(s, dir, "documents").withColumn("itext",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" call 555-123-4567"))
+            .otherwise(lit(""))))
+      val (em, ph, flag) = TextOps.piiCounts(col("itext"))
+      injected.select(col("doc_id"), em.as("n_emails"), ph.as("n_phones"),
+        flag.as("has_pii")).orderBy("doc_id")
+    }),
+
     "merge_latest_state" -> ((s, dir) => {
       val cur = billingJoin(s, dir)
         .select(col("shop_key"), col("page_views"), lit("pending").as("status"))
@@ -1460,6 +1507,91 @@ object SparkEntry {
         | count(*) AS n,
         | CAST(floor(value / 5e0) AS BIGINT) * 5e0 AS bucket_low
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "pipe_pack_sequences" ->
+      s"""WITH t AS (SELECT lang, doc_id,
+         |  CAST(len($duckTokens) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT lang, doc_id, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens FROM t)
+         |SELECT lang, doc_id, n_tokens, cum_tokens,
+         | CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 512e0)
+         |   AS BIGINT) AS seq_id,
+         | cum_tokens - n_tokens
+         |   - CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 512e0)
+         |       AS BIGINT) * 512 AS seq_offset
+         |FROM c ORDER BY lang, doc_id""".stripMargin,
+
+    "pipe_token_budget" -> {
+      val stops = TextOps.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, text, $duckTokens AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |  CAST(len(toks) AS DOUBLE) AS n,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS DOUBLE) AS chars,
+         |  CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) AS punct,
+         |  CAST(len(list_filter(toks, tk -> list_contains($stops, tk))) AS DOUBLE) AS stop
+         |  FROM t),
+         |q AS (SELECT doc_id, n_tokens,
+         | (CASE WHEN n >= 5 AND n <= 100000 THEN 1e0 ELSE 0e0 END) * 0.25e0
+         | + (CASE WHEN chars / greatest(n, 1e0) >= 2e0
+         |      AND chars / greatest(n, 1e0) <= 12e0 THEN 1e0 ELSE 0e0 END) * 0.25e0
+         | + (CASE WHEN punct / greatest(chars, 1e0) <= 0.2e0 THEN 1e0 ELSE 0e0 END) * 0.25e0
+         | + least(stop / greatest(n, 1e0) * 5e0, 1e0) * 0.25e0 AS quality
+         |FROM c),
+         |r AS (SELECT doc_id, quality, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens FROM q)
+         |SELECT doc_id, quality, n_tokens, cum_tokens FROM r
+         |WHERE cum_tokens <= 5000 ORDER BY doc_id""".stripMargin
+    },
+
+    "pipe_contamination" ->
+      s"""WITH $duckShingles,
+         |bench AS (SELECT DISTINCT sh FROM shm WHERE doc_id % 50 = 0),
+         |corp AS (SELECT doc_id, sh FROM shm WHERE doc_id % 50 != 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |FROM corp JOIN bench USING (sh)
+         |GROUP BY doc_id HAVING count(*) >= 1 ORDER BY doc_id""".stripMargin,
+
+    "dedup_cross_corpus" ->
+      """WITH ref AS (SELECT DISTINCT md5(text) AS text_hash FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |c AS (SELECT doc_id, md5(text) AS text_hash FROM documents
+        |  WHERE doc_id % 10 != 0)
+        |SELECT text_hash, doc_id FROM c
+        |WHERE text_hash NOT IN (SELECT text_hash FROM ref)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+         |  ELSE list_transform(range(1, len(w)),
+         |    i -> array_to_string(w[i:i+1], ' ')) END AS grams FROM t)
+         |SELECT doc_id,
+         | 1e0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+         |   / CAST(len(grams) AS DOUBLE) AS rep_ratio
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "text_pii_scan" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+      s"""WITH t AS (SELECT doc_id, text ||
+         | (CASE WHEN doc_id % 7 = 0
+         |   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |   ELSE '' END) ||
+         | (CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END)
+         |   AS itext FROM documents)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(itext, '$email')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(itext, '$phone')) AS BIGINT) AS n_phones,
+         | (len(regexp_extract_all(itext, '$email'))
+         |   + len(regexp_extract_all(itext, '$phone'))) > 0 AS has_pii
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
 
     "merge_latest_state" ->
       s"""WITH bill AS ($billCte)

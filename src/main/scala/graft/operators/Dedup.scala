@@ -179,6 +179,19 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Cross-corpus exact dedup: rows of `corpus` whose body does NOT
+    * appear in `reference` (by content digest) — the "new data only"
+    * filter when refreshing a training set against what was already
+    * used. One anti-join on the 16-byte digest: text never shuffles,
+    * and the reference side reduces to its distinct digests first so
+    * the join input is minimal. */
+  def crossCorpusNew(corpus: DataFrame, reference: DataFrame): DataFrame = {
+    val refHashes = reference
+      .select(md5(col("text")).as("text_hash")).distinct()
+    corpus.select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .join(refHashes, Seq("text_hash"), "left_anti")
+  }
+
   /** 32-bit SimHash over the document's SHINGLE set (shingles, not bare
     * tokens, so the signature reflects word order/locality — bare-token
     * simhash degenerates on small vocabularies): bit_j = sign of

@@ -74,4 +74,67 @@ object PipelineOps {
     df.groupBy(floor(col(valueCol) / lit(bucketWidth)).as("bucket"))
       .agg(count(lit(1)).as("n"))
       .withColumn("bucket_low", col("bucket") * lit(bucketWidth))
+
+  /** Greedy-contiguous sequence packing for training-batch assembly:
+    * documents, in deterministic order WITHIN a shard, land in fixed
+    * token-budget bins by running token count — a doc whose cumulative
+    * window starts at offset o goes to bin floor(o / budget). This is
+    * the distributed form of "pack docs into ≤B-token sequences": one
+    * window pass per shard, no sequential loop. A doc may straddle a
+    * bin boundary (its bin is decided by its starting offset) — the
+    * standard approximation that keeps packing embarrassingly parallel.
+    *
+    * Scale: the window partitions by `shardCol`, so 100 TB packs as
+    * thousands of independent shards; an unsharded global pack would
+    * funnel the corpus through one task — deliberately not offered. */
+  def packSequences(documents: DataFrame, tokenBudget: Long,
+      shardCol: String, orderCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col(shardCol), col(orderCol),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id",
+        floor((col("cum_tokens") - col("n_tokens")).cast("double") /
+          lit(tokenBudget.toDouble)).cast("long"))
+      .withColumn("seq_offset",
+        col("cum_tokens") - col("n_tokens") - col("seq_id") * tokenBudget)
+  }
+
+  /** Quality-ranked token-budget selection: rank documents by quality
+    * (desc, doc_id tie-break) and keep the prefix whose cumulative token
+    * count fits the budget — "give me the best B tokens of this corpus".
+    * The ranking shuffle carries only (quality, id, n_tokens) triples,
+    * never text; the kept-set predicate is one running-sum window over
+    * that narrow projection. */
+  def tokenBudgetSelect(documents: DataFrame, tokenBudget: Long): DataFrame = {
+    val scored = documents
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        TextOps.qualityScoreFromTokens(col("text"), col("toks"))
+          .as("quality"),
+        size(col("toks")).cast("long").as("n_tokens"))
+    val w = Window.orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= tokenBudget)
+  }
+
+  /** Benchmark-contamination check: count the w-gram shingles each
+    * corpus document shares with a benchmark set, flagging docs at or
+    * above `minOverlap` — the standard "is my training data leaking the
+    * eval set" sweep. The benchmark's distinct shingle digests are
+    * small by construction (eval sets are), so they broadcast; the
+    * corpus side streams through the scan, and only (doc_id, digest)
+    * pairs that actually hit reach the counting agg. */
+  def contaminationCheck(corpus: DataFrame, benchmark: DataFrame,
+      w: Int = 3, minOverlap: Long = 1L): DataFrame = {
+    val benchSh = Dedup.docShingles(benchmark, w).select(col("sh")).distinct()
+    Dedup.docShingles(corpus, w)
+      .join(broadcast(benchSh), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= minOverlap)
+  }
 }

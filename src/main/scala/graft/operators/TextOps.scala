@@ -109,4 +109,36 @@ object TextOps {
     * token multiset — catches shuffled near-identical docs. */
   def contentFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Repetition ratio (the classic "repeated n-grams" quality signal):
+    * fraction of the document's w-grams that are duplicates,
+    * `1 - distinct(grams)/total(grams)` ∈ [0, 1). Boilerplate and
+    * looping generations score high; clean prose scores near 0.
+    * Shuffle-free per-row arithmetic; the distinct count runs as the
+    * native [[graft.functions.DistinctWGramCount]] — one pass and one
+    * hash set per row instead of materializing every gram string
+    * through interpreted `transform`/`concat_ws`/`array_distinct`
+    * lambdas (7.6 s → sub-second at sf0.1). */
+  def repetitionRatio(text: Column, w: Int = 2): Column = {
+    val toks = tokens(text)
+    val total = greatest(size(toks) - lit(w - 1), lit(1))
+    lit(1.0) -
+      graft.functions.HashFunctions.distinct_wgram_count(toks, w)
+        .cast("double") / total.cast("double")
+  }
+
+  /** PII-pattern scan: counts of email-like and phone-like matches plus
+    * a has_pii flag — the redaction-triage pass of a corpus pipeline.
+    * Patterns are deliberately RE2-compatible (no backreferences, no
+    * lookaround) so the same regex text runs identically in Spark's
+    * Java engine and in RE2-based engines — which is also what keeps
+    * the operator oracle-checkable. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  def piiCounts(text: Column): (Column, Column, Column) = {
+    val emails = size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+    val phones = size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
+    (emails.cast("long"), phones.cast("long"), emails + phones > 0)
+  }
 }

@@ -87,6 +87,78 @@ class ExtensionOpsSpec extends AnyFunSuite {
       "verify must use full shingle sets, not the capped index")
   }
 
+  test("cross-corpus dedup: bodies already in the reference are dropped") {
+    val corpus = Seq((10L, "aaa bbb"), (11L, "ccc ddd"), (12L, "eee fff"))
+      .toDF("doc_id", "text")
+    val reference = Seq((1L, "ccc ddd"), (2L, "zzz"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossCorpusNew(corpus, reference)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(10L, 12L))
+  }
+
+  test("pack sequences: running token count bins per shard") {
+    // 3 tokens per doc, budget 5: start offsets 0,3,6 -> bins 0,0,1
+    val docs = Seq(
+      ("en", 0L, "a b c"), ("en", 1L, "d e f"), ("en", 2L, "g h i"),
+      ("de", 3L, "x y z") // other shard restarts at offset 0
+    ).toDF("lang", "doc_id", "text")
+    val out = PipelineOps.packSequences(docs, tokenBudget = 5,
+      shardCol = "lang")
+      .select("doc_id", "seq_id", "seq_offset")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(0L -> ((0L, 0L)), 1L -> ((0L, 3L)),
+      2L -> ((1L, 1L)), 3L -> ((0L, 0L))))
+  }
+
+  test("token budget select: best-quality prefix within the budget") {
+    val good = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (0L, good), (1L, good + " more words here now"), (2L, "zz !!!! ;;;")
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.tokenBudgetSelect(docs, tokenBudget = 13)
+      .select("doc_id").as[Long].collect().toSet
+    // docs 0 and 1 tie on quality (same profile), doc_id breaks the tie:
+    // doc 0 (12 tokens) fits; doc 1 (16 more) would blow the budget and
+    // so would low-quality doc 2 after it
+    assert(out == Set(0L))
+  }
+
+  test("contamination check: benchmark shingle overlap flags the leak") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta"), // shares "alpha beta gamma"
+      (11L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((0L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val out = PipelineOps.contaminationCheck(corpus, bench, w = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(10L -> 1L))
+  }
+
+  test("repetition ratio: looping text scores high, prose scores 0") {
+    val df = Seq(
+      (0L, "a b a b a"),   // grams: ab,ba,ab,ba -> 2/4 distinct -> 0.5
+      (1L, "a b c d"),     // all distinct -> 0.0
+      (2L, "x")            // shorter than w -> single gram -> 0.0
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+      TextOps.repetitionRatio($"text", 2).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(out == Map(0L -> 0.5, 1L -> 0.0, 2L -> 0.0))
+  }
+
+  test("pii scan: emails and phones counted, flag set") {
+    val df = Seq(
+      (0L, "reach me at jane.doe+x@mail.example.org or 555-123-4567 ok"),
+      (1L, "no pii in this one 123456789")
+    ).toDF("doc_id", "text")
+    val (em, ph, flag) = TextOps.piiCounts($"text")
+    val out = df.select($"doc_id", em, ph, flag)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(0L -> ((1L, 1L, true)), 1L -> ((0L, 0L, false))))
+  }
+
   test("vec_dot / vec_norm: codegen expression matches manual math") {
     val df = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{BillingOps, Dedup, MergeOps, Multimodal, PipelineOps, RelationalOps, Similarity, TextOps, TopK}
+import graft.operators.{BillingOps, Dedup, MergeOps, Multimodal, PipelineOps, RelationalOps, Similarity, SkewOps, TextOps, TopK}
 import graft.streaming.StreamingOps
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -851,6 +851,21 @@ object SparkEntry {
       s.read.schema(src.schema).option("header", "true").csv(path)
         .orderBy("n_nationkey")
     }),
+
+    "src_orc_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "supplier")
+      val path = "/tmp/graft_src/supplier_orc"
+      src.write.mode("overwrite").orc(path)
+      s.read.schema(src.schema).orc(path).orderBy("s_suppkey")
+    }),
+
+    "skew_salted_agg" -> ((s, dir) =>
+      // two-phase salted count over a 5-hot-key column — the salted
+      // plan must equal the plain group-by bit-for-bit (the oracle IS
+      // the plain group-by)
+      SkewOps.saltedCount(events(s, dir).select(col("event_type")),
+          "event_type", salt = 8)
+        .orderBy("event_type")),
 
     "src_json_roundtrip" -> ((s, dir) => {
       val src = t(s, dir, "region")
@@ -1796,6 +1811,13 @@ object SparkEntry {
 
     "src_json_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
+
+    "src_orc_roundtrip" ->
+      "SELECT * FROM supplier ORDER BY s_suppkey",
+
+    "skew_salted_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_topk_per_type" ->
       """SELECT event_type, rank, user_id, n FROM (

@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.vecDotDescriptor)
     e.injectFunction(GraftFunctions.countInSetDescriptor)
     e.injectFunction(GraftFunctions.rollingHashDescriptor)
+    // transparent HOF → native-expression acceleration
+    e.injectOptimizerRule(_ => graft.plans.CountInSetRewrite)
   }
 }
 
@@ -73,5 +75,10 @@ object GraftFunctions {
       "count_in_set", mkCountInSet, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs(0)), "scala_udf")
+    // idempotent: replace, never append twice
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_ == graft.plans.CountInSetRewrite) :+
+        graft.plans.CountInSetRewrite
   }
 }

@@ -145,10 +145,12 @@ object Similarity {
     def cellCos(cEmb: Seq[Float], cNrm: Double): Column =
       vec_dot(col("embedding"), typedLit(cEmb)) / (col("nrm") * lit(cNrm))
 
-    // corpus side: argmax cell per vector, no expansion and no shuffle
-    val bestStruct = array_max(array(cents.map { case (cid, ce, cn) =>
+    // corpus side: argmax cell per vector, no expansion and no shuffle;
+    // greatest() over the struct literals (not array_max over a built
+    // array) keeps the comparison chain inside whole-stage codegen
+    val bestStruct = greatest(cents.map { case (cid, ce, cn) =>
       struct(cellCos(ce, cn).as("c"), lit(-cid).as("negid"))
-    }: _*))
+    }: _*)
     val assigned = withNorm(corpus)
       .withColumn("cell_id", -bestStruct.getField("negid"))
 

@@ -128,10 +128,71 @@ case class DistinctWGramCount(child: Expression, w: Int)
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Native codegen'd hex-digit → bit-sign expansion for SimHash: given a
+  * hex digest string, emit `bits` values of ±1 where value j is
+  * `(((hexdigit(s[j/4]) >> (3 - j%4)) & 1) * 2 - 1)` — the per-bit
+  * contribution of one shingle to a SimHash signature. Semantically
+  * identical to the 32-expression `substring`+`conv`+`shiftright`
+  * chain it replaces, but ONE pass over 8 hex chars per row instead of
+  * 32 separate substring/base-conversion evaluations. The engine-
+  * agnostic definition (plain hex-digit arithmetic) is what keeps the
+  * DuckDB oracle replica valid. Null in → null out; non-hex chars
+  * contribute as digit 0 (can't occur on md5 input). */
+case class HexBitSigns(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 128, "bits must be in [1, 128]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hex_bit_signs expects string, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "hex_bit_signs"
+
+  /** Shared by eval and codegen. */
+  def signsOf(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val out = new Array[Int](bits)
+    var j = 0
+    while (j < bits) {
+      val pos = j / 4
+      val c = if (pos < str.length) str.charAt(pos) else '0'
+      val digit =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else 0
+      out(j) = ((digit >> (3 - (j % 4))) & 1) * 2 - 1
+      j += 1
+    }
+    // UnsafeArrayData: primitive-backed, no per-element boxing
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    signsOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hbs", this, classOf[HexBitSigns].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.signsOf($a);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object HashFunctions {
   /** Column API for [[RollingHash]]. */
   def rolling_hash(s: Column): Column =
     GraftSqlBridge.column(RollingHash(GraftSqlBridge.expression(s)))
+
+  /** Column API for [[HexBitSigns]]. */
+  def hex_bit_signs(s: Column, bits: Int): Column =
+    GraftSqlBridge.column(HexBitSigns(GraftSqlBridge.expression(s), bits))
 
   /** Column API for [[DistinctWGramCount]]. */
   def distinct_wgram_count(toks: Column, w: Int): Column =

@@ -201,13 +201,15 @@ object Dedup {
     * any engine with md5. */
   def simhashSignatures(documents: DataFrame, w: Int = 3,
       bits: Int = 32): DataFrame = {
+    // the ±1 bit contributions come from ONE native hex parse per
+    // shingle (HexBitSigns), materialized as a column so the 32 sums
+    // read array slots instead of re-deriving hex digits 32 times
     val contribs = (0 until bits).map { j =>
-      val hexChar = substring(col("sh"), j / 4 + 1, 1)
-      val hexVal = conv(hexChar, 16, 10).cast("int")
-      val bit = shiftright(hexVal, 3 - (j % 4)) % 2
-      sum(bit * 2 - 1).as(s"s$j")
+      sum(element_at(col("__signs"), j + 1)).as(s"s$j")
     }
     docShingles(documents, w)
+      .withColumn("__signs",
+        graft.functions.HashFunctions.hex_bit_signs(col("sh"), bits))
       .groupBy(col("doc_id"))
       .agg(contribs.head, contribs.tail: _*)
       .select(col("doc_id"),

@@ -729,6 +729,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "join_asof_next_view" -> ((s, dir) => {
+      val ev = events(s, dir)
+      RelationalOps.asofForward(
+          ev.where(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          ev.where(col("event_type") === "view")
+            .select(col("user_id"), col("ts")),
+          key = "user_id", ts = "ts", pick = "ts", outCol = "next_view_ts")
+        .orderBy("event_id")
+    }),
+
+    "mm_resize_dims" -> ((s, dir) =>
+      Multimodal.resizeDims(
+          Multimodal.extractFeatures(s,
+            Multimodal.withBinaryPayload(t(s, dir, "documents"))).toDF(),
+          maxDim = 256)
+        .orderBy("media_id")),
+
     "join_range_price_bands" -> ((s, dir) => {
       import s.implicits._
       // small non-uniform band dimension → broadcast theta join: the
@@ -1722,6 +1740,31 @@ object SparkEntry {
         | (SELECT user_id, ts FROM events WHERE event_type = 'view') v
         |ON p.user_id = v.user_id AND v.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "join_asof_next_view" ->
+      """SELECT p.event_id, p.user_id, p.ts, v.ts AS next_view_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN
+        | (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |ON p.user_id = v.user_id AND v.ts >= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "mm_resize_dims" ->
+      s"""WITH h AS (SELECT doc_id AS media_id, md5(text) AS fh FROM documents),
+         |d AS (SELECT media_id,
+         |  CAST(64 + ${duckHex4("fh", 1)} % 1024 AS INTEGER) AS width,
+         |  CAST(64 + ${duckHex4("fh", 5)} % 1024 AS INTEGER) AS height
+         |  FROM h)
+         |SELECT media_id, width, height,
+         | CASE WHEN greatest(width, height) > 256
+         |  THEN CAST(floor(CAST(width AS DOUBLE)
+         |    * (256e0 / CAST(greatest(width, height) AS DOUBLE))) AS INTEGER)
+         |  ELSE width END AS out_width,
+         | CASE WHEN greatest(width, height) > 256
+         |  THEN CAST(floor(CAST(height AS DOUBLE)
+         |    * (256e0 / CAST(greatest(width, height) AS DOUBLE))) AS INTEGER)
+         |  ELSE height END AS out_height
+         |FROM d ORDER BY media_id""".stripMargin,
 
     "join_range_price_bands" ->
       """SELECT band_id, band, CAST(count(*) AS BIGINT) AS n,

@@ -68,6 +68,24 @@ object Multimodal {
       md5(col("payload")).as("payload_md5"),
       col("media_type"))
 
+  /** Resize planning for image-like media: aspect-preserving target
+    * dimensions capped at `maxDim` — the metadata half of a resize
+    * stage (the pixel work happens in the decode kernel; this computes
+    * WHAT to resize to, per row, in pure codegen'd arithmetic). Uses
+    * only IEEE divide/multiply/floor so any engine reproduces the
+    * outputs bit-for-bit. */
+  def resizeDims(features: DataFrame, maxDim: Int): DataFrame = {
+    val w = col("width")
+    val h = col("height")
+    val needs = greatest(w, h) > maxDim
+    val scale = lit(maxDim.toDouble) / greatest(w, h).cast("double")
+    features.select(col("media_id"), w, h,
+      when(needs, floor(w.cast("double") * scale).cast("int"))
+        .otherwise(w).as("out_width"),
+      when(needs, floor(h.cast("double") * scale).cast("int"))
+        .otherwise(h).as("out_height"))
+  }
+
   /** Frame sampling for video-like media: emit every `step`-th frame
     * index up to a per-row frame count (derived here from payload size;
     * real media would carry it in metadata). explode(sequence) keeps the

@@ -45,6 +45,30 @@ object RelationalOps {
       .drop("_side", "_pick")
   }
 
+  /** Forward as-of: for each left row, the FIRST right row per key with
+    * `right.ts >= left.ts` — the mirror of [[asofBackward]], same
+    * union+window shape: ONE shuffle, no range-explosion theta join.
+    * At equal ts the right row matches (left sorts before right), and
+    * among equal-ts right rows the smallest `pick` wins — pinned for
+    * determinism. */
+  def asofForward(left: DataFrame, right: DataFrame, key: String,
+      ts: String, pick: String, outCol: String): DataFrame = {
+    val r = right.select(col(key), col(ts), col(pick).as("_pick"))
+      .withColumn("_side", lit(0))
+    val l = left.withColumn("_side", lit(1))
+    // frame from self onward: left rows sort before right rows at equal
+    // ts (_side 1 > 0, desc), so ">= ts" matches are inside the frame
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("_side").desc, col("_pick").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(outCol,
+        first(when(col("_side") === 0, col("_pick")), ignoreNulls = true)
+          .over(w))
+      .where(col("_side") === 1)
+      .drop("_side", "_pick")
+  }
+
   /** Forward fill: latest non-null `value` per `key` up to each row in
     * `order` — the standard time-series gap-fill step after a spine
     * left-join. One shuffle on `key`. */

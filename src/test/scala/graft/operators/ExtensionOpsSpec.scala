@@ -221,6 +221,19 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(h == expected)
   }
 
+  test("multimodal: resize dims cap the long edge, keep small images") {
+    val feats = Seq(
+      (0L, 512, 256),  // long edge 512 -> (256, 128)
+      (1L, 100, 200),  // untouched (max 200 <= 256)
+      (2L, 300, 300)   // square downscale -> (256, 256)
+    ).toDF("media_id", "width", "height")
+    val out = Multimodal.resizeDims(feats, maxDim = 256)
+      .select("media_id", "out_width", "out_height")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(0L -> ((256, 128)), 1L -> ((100, 200)),
+      2L -> ((256, 256))))
+  }
+
   test("multimodal: payload metadata + frame sampling shapes") {
     val docs2 = Seq((7L, "0123456789abcdef" * 4)).toDF("doc_id", "text") // 64 bytes
     val media = Multimodal.withBinaryPayload(docs2)

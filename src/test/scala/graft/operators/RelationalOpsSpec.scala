@@ -39,6 +39,32 @@ class RelationalOpsSpec extends AnyFunSuite {
       4L -> Some(ts("2024-01-01 22:00:00"))))
   }
 
+  test("asofForward picks earliest right row at or after each left ts") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // equal-ts right row matches
+      (2L, 10L, ts("2024-01-01 11:00:00")),
+      (3L, 20L, ts("2024-01-01 23:30:00")), // no following right row
+      (4L, 20L, ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:00:00")),
+      (10L, ts("2024-01-01 11:59:00")),
+      (20L, ts("2024-01-01 22:00:00"))
+    ).toDF("user_id", "ts")
+
+    val out = RelationalOps.asofForward(left, right,
+        "user_id", "ts", "ts", "next_view_ts")
+      .orderBy("event_id")
+      .collect().map(r =>
+        (r.getLong(0), Option(r.getAs[java.sql.Timestamp]("next_view_ts"))))
+
+    assert(out === Array(
+      1L -> Some(ts("2024-01-01 10:00:00")),
+      2L -> Some(ts("2024-01-01 11:59:00")),
+      3L -> None,
+      4L -> Some(ts("2024-01-01 22:00:00"))))
+  }
+
   test("asofBackward keeps every left row and its carried columns") {
     val left = Seq((1L, 5L, ts("2024-01-02 00:00:00"), "payload"))
       .toDF("event_id", "user_id", "ts", "extra")

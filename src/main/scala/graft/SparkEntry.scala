@@ -404,6 +404,12 @@ object SparkEntry {
       Dedup.minhashLshPairs(t(s, dir, "documents"), k = 8, bands = 4,
         w = 3, threshold = 0.5).orderBy("id_a", "id_b")),
 
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(t(s, dir, "documents"), w = 3,
+            threshold = 0.5))
+        .orderBy("doc_id")),
+
     "dedup_simhash_signatures" -> ((s, dir) =>
       Dedup.simhashSignatures(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -1059,21 +1065,27 @@ object SparkEntry {
       |    i -> array_to_string(w[i:i+2], ' ')) END)) AS s FROM toks),
       |shm AS (SELECT doc_id, md5(s) AS sh FROM shl)""".stripMargin
 
-  /** Jaccard over candidate pairs, from the shm relation. */
-  private def duckJaccard(candidates: String, threshold: Double): String =
+  /** Jaccard-over-candidates CTEs (→ relation jac(id_a, id_b, jaccard)),
+    * from the shm relation. */
+  private def duckJaccardCtes(candidates: String): String =
     s"""sizes AS (SELECT doc_id, count(*) AS n_sh FROM shm GROUP BY doc_id),
        |common AS (SELECT c.ia, c.ib, count(*) AS n_common
        |  FROM ($candidates) c
        |  JOIN shm a ON c.ia = a.doc_id
        |  JOIN shm b ON c.ib = b.doc_id AND a.sh = b.sh
-       |  GROUP BY c.ia, c.ib)
-       |SELECT id_a, id_b, jaccard FROM (
+       |  GROUP BY c.ia, c.ib),
+       |jac AS (SELECT id_a, id_b, jaccard FROM (
        |  SELECT common.ia AS id_a, common.ib AS id_b,
        |   CAST(n_common AS DOUBLE) /
        |     CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
        |  FROM common
        |  JOIN sizes sa ON common.ia = sa.doc_id
-       |  JOIN sizes sb ON common.ib = sb.doc_id)
+       |  JOIN sizes sb ON common.ib = sb.doc_id))""".stripMargin
+
+  /** Jaccard over candidate pairs, from the shm relation. */
+  private def duckJaccard(candidates: String, threshold: Double): String =
+    s"""${duckJaccardCtes(candidates)}
+       |SELECT id_a, id_b, jaccard FROM jac
        |WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
 
   /** 32-bit shingle simhash signature CTEs (→ relation sig(doc_id, sig))
@@ -1373,6 +1385,21 @@ object SparkEntry {
          |${duckJaccard(
            "SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib FROM shm a " +
            "JOIN shm b ON a.sh = b.sh AND a.doc_id < b.doc_id", 0.5)}""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $duckShingles,
+         |${duckJaccardCtes(
+           "SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib FROM shm a " +
+           "JOIN shm b ON a.sh = b.sh AND a.doc_id < b.doc_id")},
+         |e AS (SELECT id_a AS u, id_b AS v FROM jac WHERE jaccard >= 0.5),
+         |und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         |r(a, b) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.a, und.v FROM r JOIN und ON r.b = und.u
+         |)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+         |FROM r GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_lsh" -> {
       val mh = (0 until 8).map(i => s"min(md5('$i|' || sh)) AS m$i").mkString(", ")

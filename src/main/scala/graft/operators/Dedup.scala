@@ -179,6 +179,45 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Connected components over an undirected near-dup pair relation
+    * `(id_a, id_b)` — the clustering step that turns pairwise matches
+    * into dedup groups (keep one doc per component). Min-label
+    * propagation: every node repeatedly adopts the minimum label in
+    * its closed neighborhood until fixpoint, so each component labels
+    * itself with its smallest member id — deterministic. Converges in
+    * O(component diameter) iterations; near-dup components are shallow
+    * (dup clusters, not social graphs), so the loop is short. Each
+    * iteration is one bounded shuffle over (node, label) pairs only;
+    * for graphs with giant components see the large-star/small-star
+    * alternating algorithm (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) — same propagation idea with
+    * provably fewer rounds. Output: (doc_id, cluster_rep). */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint(true) // pairs are computed exactly once
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("rep", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels, edges("v") === labels("node"))
+        .groupBy(edges("u").as("n2")).agg(min(col("rep")).as("nrep"))
+      val updated = labels.as("l")
+        .join(neighborMin, col("l.node") === col("n2"), "left")
+        .select(col("l.node").as("node"),
+          least(col("l.rep"), coalesce(col("nrep"), col("l.rep"))).as("rep"))
+        .localCheckpoint(true)
+      changed = updated.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .where(col("n.rep") =!= col("o.rep")).count()
+      labels = updated
+    }
+    labels.select(col("node").as("doc_id"), col("rep").as("cluster_rep"))
+  }
+
   /** Cross-corpus exact dedup: rows of `corpus` whose body does NOT
     * appear in `reference` (by content digest) — the "new data only"
     * filter when refreshing a training set against what was already

@@ -87,6 +87,15 @@ class ExtensionOpsSpec extends AnyFunSuite {
       "verify must use full shingle sets, not the capped index")
   }
 
+  test("connected components: chains merge, min id labels the cluster") {
+    // path 1-2-3 plus pair (7,9): two components, reps 1 and 7;
+    // transitivity must label 3 with 1 even though (1,3) is no pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("cross-corpus dedup: bodies already in the reference are dropped") {
     val corpus = Seq((10L, "aaa bbb"), (11L, "ccc ddd"), (12L, "eee fff"))
       .toDF("doc_id", "text")

@@ -118,6 +118,38 @@ object StreamingOps {
         col("purchase_ts"), col("view_id"), col("view_ts"))
   }
 
+  /** Idempotent micro-batch append — the exactly-once streaming sink
+    * over an [[graft.catalog.AppendStore]]. Structured Streaming
+    * replays a failed micro-batch with the SAME batchId, so the sink
+    * stamps every row with `batch_id` and skips batches the store has
+    * already absorbed: at-least-once delivery + idempotent write =
+    * exactly-once table contents. The already-applied probe reads only
+    * the `batch_id` column (column-pruned scan) and short-circuits via
+    * limit(1). Factored out of the foreachBatch closure so replay
+    * behavior is unit-testable without a streaming runtime. */
+  def idempotentBatchAppend(store: graft.catalog.AppendStore,
+      expected: StructType)(df: DataFrame, batchId: Long): Unit = {
+    val withBatch = StructType(expected.fields :+
+      org.apache.spark.sql.types.StructField("batch_id",
+        org.apache.spark.sql.types.LongType, nullable = true))
+    val applied = store.readOrEmpty(withBatch)
+      .select("batch_id").where(col("batch_id") === batchId)
+      .limit(1).count() > 0
+    if (!applied) store.append(df.withColumn("batch_id", lit(batchId)))
+  }
+
+  /** Streaming append into the catalog store: file stream → foreachBatch
+    * with the idempotent sink above. Exactly-once contents under
+    * micro-batch replay. */
+  def streamingAppendToStore(spark: SparkSession, sourceDir: String,
+      schema: StructType, store: graft.catalog.AppendStore,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(idempotentBatchAppend(store, schema) _)
+      .start()
+
   /** Run a streaming frame to completion against a static source (memory
     * sink), returning the materialized result — the local smoke path. */
   def runToMemory(spark: SparkSession, streaming: DataFrame,

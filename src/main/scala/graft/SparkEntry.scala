@@ -936,6 +936,36 @@ object SparkEntry {
             .as("low_line_count"))
         .orderBy("ship_year")),
 
+    // ---- TPC-H Q19 adaptation: disjunctive multi-branch predicate ----
+    "q19_branch_revenue" -> ((s, dir) => {
+      // three OR'd (brand, size-range, quantity-range) branches — the
+      // classic test that the optimizer keeps a broadcast join + one
+      // pass despite disjunctive predicates (adapted to the synthetic
+      // schema: no container/shipmode columns)
+      val branches =
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#19" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 35)) ||
+        (col("p_brand") === "Brand#5" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 50))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .where(branches)
+        .agg(count(lit(1)).as("n"),
+          dsumExpr(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+    }),
+
+    "agg_bool_suite" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(when(col("l_quantity") > 45, 1)).as("n_heavy"),
+          bool_and(col("l_discount") <= 0.1).as("all_low_disc"),
+          bool_or(col("l_tax") > 0.07).as("any_high_tax"),
+          countDistinct(col("l_linestatus")).as("n_status"))
+        .orderBy("l_returnflag")),
+
     // ---- multiset set-ops: EXCEPT ALL / INTERSECT ALL ----
     "setop_except_all" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -1920,6 +1950,26 @@ object SparkEntry {
         | AND l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q19_branch_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+        |   AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+        |   AND l_quantity BETWEEN 1 AND 20)
+        | OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
+        |   AND l_quantity BETWEEN 10 AND 35)
+        | OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50
+        |   AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+
+    "agg_bool_suite" ->
+      """SELECT l_returnflag,
+        | CAST(count(*) FILTER (WHERE l_quantity > 45) AS BIGINT) AS n_heavy,
+        | bool_and(l_discount <= CAST(0.1 AS DOUBLE)) AS all_low_disc,
+        | bool_or(l_tax > CAST(0.07 AS DOUBLE)) AS any_high_tax,
+        | CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_status
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "setop_except_all" ->
       """WITH e AS (

@@ -88,6 +88,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected exactly 1 file after pruning, got $numFiles")
   }
 
+  test("Q19 disjunctive branches keep the broadcast join, one pass") {
+    val plan = planOf(q("q19_branch_revenue"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part side must broadcast despite OR'd predicates:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("LSH signature path stays fully codegen'd (no CodegenFallback)") {
     val df = q("ann_lsh_topk")
     df.collect()

@@ -541,6 +541,22 @@ object SparkEntry {
       PipelineOps.histogram(events(s, dir), "value", 5.0)
         .orderBy("bucket")),
 
+    "pipe_interleave" -> ((s, dir) =>
+      // corpus mixing: English at 2x the rate of every other language
+      PipelineOps.interleaveByWeight(t(s, dir, "documents"), "lang",
+          when(col("lang") === "en", lit(2.0)).otherwise(lit(1.0)))
+        .orderBy("mix_pos", "lang", "doc_id")),
+
+    "x_bitwise_suite" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("b_and"),
+          col("o_orderkey").bitwiseOR(lit(16L)).as("b_or"),
+          col("o_orderkey").bitwiseXOR(lit(85L)).as("b_xor"),
+          shiftleft(col("o_orderkey"), 2).as("b_shl"),
+          shiftright(col("o_orderkey"), 3).as("b_shr"),
+          bit_count(col("o_orderkey")).as("b_cnt"))
+        .orderBy("o_orderkey")),
+
     "pipe_pack_sequences" -> ((s, dir) =>
       PipelineOps.packSequences(t(s, dir, "documents"), tokenBudget = 512,
           shardCol = "lang")
@@ -1597,6 +1613,25 @@ object SparkEntry {
         | count(*) AS n,
         | CAST(floor(value / 5e0) AS BIGINT) * 5e0 AS bucket_low
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "pipe_interleave" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+        |    AS BIGINT) AS src_rank FROM documents)
+        |SELECT lang, doc_id, src_rank,
+        | CAST(src_rank AS DOUBLE) /
+        |   (CASE WHEN lang = 'en' THEN 2e0 ELSE 1e0 END) AS mix_pos
+        |FROM r ORDER BY mix_pos, lang, doc_id""".stripMargin,
+
+    "x_bitwise_suite" ->
+      """SELECT o_orderkey,
+        | o_orderkey & 255 AS b_and,
+        | o_orderkey | 16 AS b_or,
+        | xor(o_orderkey, 85) AS b_xor,
+        | o_orderkey << 2 AS b_shl,
+        | o_orderkey >> 3 AS b_shr,
+        | CAST(bit_count(o_orderkey) AS INTEGER) AS b_cnt
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "pipe_pack_sequences" ->
       s"""WITH t AS (SELECT lang, doc_id,

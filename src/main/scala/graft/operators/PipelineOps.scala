@@ -121,6 +121,23 @@ object PipelineOps {
       .where(col("cum_tokens") <= tokenBudget)
   }
 
+  /** Deterministic mixture interleave: merge per-source document
+    * streams at relative weights WITHOUT RNG — the corpus-mixing step
+    * of a training pipeline, reproducible run-to-run. Doc number i of
+    * source s (1-based rank in deterministic order) gets mix position
+    * i / weight_s; consuming the output ordered by (position, source,
+    * doc) yields each source at its weight's rate. One window per
+    * source partition; no global shuffle is imposed on the caller —
+    * the position column IS the interleave order. */
+  def interleaveByWeight(documents: DataFrame, sourceCol: String,
+      weightFor: Column, orderCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col(orderCol))
+    documents
+      .select(col(sourceCol), col(orderCol))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .withColumn("mix_pos", col("src_rank").cast("double") / weightFor)
+  }
+
   /** Benchmark-contamination check: count the w-gram shingles each
     * corpus document shares with a benchmark set, flagging docs at or
     * above `minOverlap` — the standard "is my training data leaking the

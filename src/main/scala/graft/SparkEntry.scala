@@ -657,6 +657,16 @@ object SparkEntry {
             .as("days_since_epoch"))
         .orderBy("o_orderkey")),
 
+    "x_interval_suite" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+          col("o_orderkey"),
+          add_months(col("o_orderdate"), 1).as("plus_month"),
+          add_months(col("o_orderdate"), -2).as("minus_2mo"),
+          date_add(to_date(col("o_orderdate")), 45).as("plus_45d"),
+          to_date(col("o_orderdate") - expr("INTERVAL 36 HOURS"))
+            .as("minus_36h_date"))
+        .orderBy("o_orderkey")),
+
     "window_lag_lead" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -1767,6 +1777,14 @@ object SparkEntry {
         | last_day(CAST(o_orderdate AS DATE)) AS month_end,
         | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
         |  AS INTEGER) AS days_since_epoch
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "x_interval_suite" ->
+      """SELECT o_orderkey,
+        | CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS plus_month,
+        | CAST(o_orderdate - INTERVAL 2 MONTH AS DATE) AS minus_2mo,
+        | CAST(o_orderdate AS DATE) + 45 AS plus_45d,
+        | CAST(o_orderdate - INTERVAL 36 HOUR AS DATE) AS minus_36h_date
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "window_lag_lead" ->

@@ -96,6 +96,34 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("connected components: seeded random graphs match union-find") {
+    val rng = new scala.util.Random(42)
+    for (_ <- 0 until 5) {
+      val n = 8
+      val edges = (0 until 10).map { _ =>
+        val a = rng.nextInt(n).toLong; val b = rng.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      if (edges.nonEmpty) {
+        // reference: plain union-find with min-id representatives
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(v => v -> find(v)).toMap
+        val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == expected, s"edges=$edges")
+      }
+    }
+  }
+
   test("cross-corpus dedup: bodies already in the reference are dropped") {
     val corpus = Seq((10L, "aaa bbb"), (11L, "ccc ddd"), (12L, "eee fff"))
       .toDF("doc_id", "text")

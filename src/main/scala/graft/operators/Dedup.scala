@@ -37,12 +37,11 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(w))))))
   }
 
-  /** Long-form distinct shingle digests: one row per (doc_id, sh) with
-    * sh = md5(shingle). Single explode pass, shared by every near-dup
-    * operator. The token array is materialized as a column BEFORE the
-    * shingle lambda — otherwise the regex split re-executes per lambda
-    * element (O(words²) regex work per document). */
-  def docShingles(documents: DataFrame, w: Int = 3): DataFrame = {
+  /** Long-form distinct RAW shingles: one row per (doc_id, shingle).
+    * Single explode pass. The token array is materialized as a column
+    * BEFORE the shingle lambda — otherwise the regex split re-executes
+    * per lambda element (O(words²) regex work per document). */
+  def docShinglesRaw(documents: DataFrame, w: Int = 3): DataFrame = {
     val toks = col("toks")
     documents
       .select(col("doc_id"),
@@ -51,8 +50,17 @@ object Dedup {
         when(size(toks) < w, array(concat_ws(" ", toks)))
           .otherwise(transform(sequence(lit(0), size(toks) - w),
             i => concat_ws(" ", slice(toks, i + 1, lit(w))))))).as("shingle"))
-      .select(col("doc_id"), md5(col("shingle")).as("sh"))
   }
+
+  /** Long-form distinct shingle digests: (doc_id, sh = md5(shingle)).
+    * The md5 form is SEMANTIC for MinHash (signatures are mins over
+    * md5s, replicated by the oracle); operators that only need equality
+    * on shingles (inverted-index candidate generation, contamination)
+    * should use [[docShinglesRaw]] + a cheap 64-bit join key instead of
+    * paying an md5 per shingle. */
+  def docShingles(documents: DataFrame, w: Int = 3): DataFrame =
+    docShinglesRaw(documents, w)
+      .select(col("doc_id"), md5(col("shingle")).as("sh"))
 
   /** Exact dedup: group identical bodies by digest; emit one keeper (min
     * doc_id) + duplicate count per distinct text. */
@@ -125,8 +133,12 @@ object Dedup {
       threshold: Double = 0.5,
       maxShingleDf: Option[Long] = None): DataFrame = maxShingleDf match {
     case None =>
-      val docSh = docShingles(documents, w)
-        .select(col("doc_id"), xxhash64(col("sh")).as("shk"))
+      // equality on shingles only → skip the md5 entirely: xxhash64 of
+      // the raw shingle is the 8-byte join key (the output exposes no
+      // hashes, so this is invisible to results; at ~1e12 distinct
+      // shingles move to a 128-bit key — birthday bound)
+      val docSh = docShinglesRaw(documents, w)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shk"))
         .localCheckpoint(true)
       val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val common = docSh.as("a")
@@ -143,7 +155,9 @@ object Dedup {
             .as("jaccard"))
         .where(col("jaccard") >= threshold)
     case Some(cap) =>
-      val docSh = docShingles(documents, w).localCheckpoint(true)
+      val docSh = docShinglesRaw(documents, w)
+        .select(col("doc_id"), col("shingle").as("sh"))
+        .localCheckpoint(true)
       val keyed = docSh.select(col("doc_id"), xxhash64(col("sh")).as("shk"))
       // df per shingle key, capped: the semi-join shuffles only 8-byte
       // keys; the hot keys (tiny set, huge row counts) never reach the

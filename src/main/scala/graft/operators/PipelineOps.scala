@@ -147,9 +147,11 @@ object PipelineOps {
     * pairs that actually hit reach the counting agg. */
   def contaminationCheck(corpus: DataFrame, benchmark: DataFrame,
       w: Int = 3, minOverlap: Long = 1L): DataFrame = {
-    val benchSh = Dedup.docShingles(benchmark, w).select(col("sh")).distinct()
-    Dedup.docShingles(corpus, w)
-      .join(broadcast(benchSh), Seq("sh"))
+    // raw-shingle equality — no md5 pass over either side
+    val benchSh = Dedup.docShinglesRaw(benchmark, w)
+      .select(col("shingle")).distinct()
+    Dedup.docShinglesRaw(corpus, w)
+      .join(broadcast(benchSh), Seq("shingle"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap"))
       .where(col("n_overlap") >= minOverlap)

@@ -584,6 +584,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_normalized" -> ((s, dir) =>
+      // exact dedup over the canonicalized body: catches case/punct/
+      // whitespace variants that raw body hashing misses
+      t(s, dir, "documents")
+        .groupBy(md5(TextOps.normalizeForDedup(col("text"))).as("norm_hash"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("dup_count"))
+        .orderBy("norm_hash")),
+
     "text_repetition" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
           TextOps.repetitionRatio(col("text"), w = 2).as("rep_ratio"))
@@ -1699,6 +1708,14 @@ object SparkEntry {
         |SELECT text_hash, doc_id FROM c
         |WHERE text_hash NOT IN (SELECT text_hash FROM ref)
         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_normalized" ->
+      """SELECT md5(trim(regexp_replace(
+        |   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |   ' +', ' ', 'g'))) AS norm_hash,
+        | CAST(min(doc_id) AS BIGINT) AS keep_id,
+        | CAST(count(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin,
 
     "text_repetition" ->
       s"""WITH t AS (SELECT doc_id, $duckTokens AS w FROM documents),

@@ -110,6 +110,16 @@ object TextOps {
   def contentFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** Aggressive dedup normalization (the canonical pre-exact-dedup
+    * canonicalization): lowercase, strip everything but [a-z0-9 ],
+    * collapse whitespace runs, trim. Exact dedup over
+    * `md5(normalizeForDedup(text))` catches case/punctuation/spacing
+    * variants that plain body-hash dedup misses. Pure regexp chain —
+    * codegen'd, shuffle-free, RE2-compatible patterns. */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
   /** Repetition ratio (the classic "repeated n-grams" quality signal):
     * fraction of the document's w-grams that are duplicates,
     * `1 - distinct(grams)/total(grams)` ∈ [0, 1). Boilerplate and

@@ -124,6 +124,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no corpus×centroid expansion allowed:\n$planStr")
   }
 
+  test("sequence packing shuffles by shard, never to a single partition") {
+    val df = q("pipe_pack_sequences")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the running-token window must partition by the shard column; a
+    // SinglePartition exchange would funnel 100 TB through one task
+    assert(plan.contains("hashpartitioning(lang") ||
+      plan.contains("hashpartitioning('lang"),
+      s"window must partition by shard:\n$plan")
+    val windowed = plan.linesIterator.filter(_.contains("Window")).mkString
+    assert(!windowed.contains("SinglePartition"), s"global window:\n$plan")
+  }
+
   test("as-of join costs exactly one shuffle (union+window, no theta)") {
     val df = q("join_asof_last_view")
     df.collect()

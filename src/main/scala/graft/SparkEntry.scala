@@ -410,6 +410,34 @@ object SparkEntry {
             threshold = 0.5))
         .orderBy("doc_id")),
 
+    "dedup_keep_list" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.keepList(docs,
+          Dedup.ngramJaccardPairs(docs, w = 3, threshold = 0.5))
+        .orderBy("doc_id")
+    }),
+
+    // ---- flagship composite: corpus → training set, ONE plan ----
+    "pipe_training_set" -> ((s, dir) => {
+      // near-dup keep list → quality gate → sharded sequence packing:
+      // the full training-set assembly as a single lazy plan (three
+      // windows, one broadcast anti-join, no driver materialization
+      // between stages)
+      val docs = t(s, dir, "documents")
+      val kept = docs.join(
+        Dedup.keepList(docs,
+          Dedup.ngramJaccardPairs(docs, w = 3, threshold = 0.5)),
+        Seq("doc_id"), "left_semi")
+      val gated = kept
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .withColumn("quality",
+          TextOps.qualityScoreFromTokens(col("text"), col("toks")))
+        .where(col("quality") >= 0.5)
+        .select(col("lang"), col("doc_id"), col("text"))
+      PipelineOps.packSequences(gated, tokenBudget = 512, shardCol = "lang")
+        .orderBy("lang", "doc_id")
+    }),
+
     "dedup_simhash_signatures" -> ((s, dir) =>
       Dedup.simhashSignatures(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -1465,6 +1493,70 @@ object SparkEntry {
          |)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
          |FROM r GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "dedup_keep_list" ->
+      s"""WITH RECURSIVE $duckShingles,
+         |${duckJaccardCtes(
+           "SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib FROM shm a " +
+           "JOIN shm b ON a.sh = b.sh AND a.doc_id < b.doc_id")},
+         |e AS (SELECT id_a AS u, id_b AS v FROM jac WHERE jaccard >= 0.5),
+         |und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         |r(a, b) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.a, und.v FROM r JOIN und ON r.b = und.u
+         |),
+         |reps AS (SELECT a AS doc_id, least(a, min(b)) AS rep
+         |  FROM r GROUP BY a)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM reps WHERE doc_id != rep)
+         |ORDER BY doc_id""".stripMargin,
+
+    "pipe_training_set" -> {
+      val stops = TextOps.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH RECURSIVE $duckShingles,
+         |${duckJaccardCtes(
+           "SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib FROM shm a " +
+           "JOIN shm b ON a.sh = b.sh AND a.doc_id < b.doc_id")},
+         |e AS (SELECT id_a AS u, id_b AS v FROM jac WHERE jaccard >= 0.5),
+         |und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         |r(a, b) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.a, und.v FROM r JOIN und ON r.b = und.u
+         |),
+         |reps AS (SELECT a AS doc_id, least(a, min(b)) AS rep
+         |  FROM r GROUP BY a),
+         |kept AS (SELECT lang, doc_id, text FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM reps WHERE doc_id != rep)),
+         |t2 AS (SELECT lang, doc_id, text, $duckTokens AS toks2 FROM kept),
+         |c2 AS (SELECT lang, doc_id,
+         |  CAST(len(toks2) AS DOUBLE) AS n,
+         |  CAST(len(toks2) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS DOUBLE) AS chars,
+         |  CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) AS punct,
+         |  CAST(len(list_filter(toks2, tk -> list_contains($stops, tk))) AS DOUBLE) AS stop
+         |  FROM t2),
+         |q2 AS (SELECT lang, doc_id, n_tokens,
+         | (CASE WHEN n >= 5 AND n <= 100000 THEN 1e0 ELSE 0e0 END) * 0.25e0
+         | + (CASE WHEN chars / greatest(n, 1e0) >= 2e0
+         |      AND chars / greatest(n, 1e0) <= 12e0 THEN 1e0 ELSE 0e0 END) * 0.25e0
+         | + (CASE WHEN punct / greatest(chars, 1e0) <= 0.2e0 THEN 1e0 ELSE 0e0 END) * 0.25e0
+         | + least(stop / greatest(n, 1e0) * 5e0, 1e0) * 0.25e0 AS quality
+         |FROM c2),
+         |f AS (SELECT lang, doc_id, n_tokens FROM q2 WHERE quality >= 0.5e0),
+         |p AS (SELECT lang, doc_id, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens FROM f)
+         |SELECT lang, doc_id, n_tokens, cum_tokens,
+         | CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 512e0)
+         |   AS BIGINT) AS seq_id,
+         | cum_tokens - n_tokens
+         |   - CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 512e0)
+         |       AS BIGINT) * 512 AS seq_offset
+         |FROM p ORDER BY lang, doc_id""".stripMargin
+    },
 
     "dedup_minhash_lsh" -> {
       val mh = (0 until 8).map(i => s"min(md5('$i|' || sh)) AS m$i").mkString(", ")

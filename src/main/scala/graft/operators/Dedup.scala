@@ -232,6 +232,19 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("rep").as("cluster_rep"))
   }
 
+  /** End-to-end near-dup keep list: every document survives EXCEPT
+    * non-representative members of a near-dup cluster (the component's
+    * min doc_id is the keeper). The drop set is tiny relative to the
+    * corpus (it is bounded by the duplicate count), so it broadcasts
+    * into the anti-join and the corpus never shuffles. */
+  def keepList(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val drops = connectedComponents(pairs)
+      .where(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id"))
+    documents.select(col("doc_id"))
+      .join(broadcast(drops), Seq("doc_id"), "left_anti")
+  }
+
   /** Cross-corpus exact dedup: rows of `corpus` whose body does NOT
     * appear in `reference` (by content digest) — the "new data only"
     * filter when refreshing a training set against what was already

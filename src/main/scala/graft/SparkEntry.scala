@@ -786,6 +786,32 @@ object SparkEntry {
           isnull(nullif(col("l_returnflag"), lit("N"))).as("is_n_flag"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    "join_null_safe" -> ((s, dir) => {
+      // deterministic null injection so the NULL<=>NULL match is real:
+      // every 97th user becomes an anonymous (null) key on both sides
+      val ev = events(s, dir).withColumn("uid",
+        when(col("user_id") % 97 === 0, lit(null)).otherwise(col("user_id")))
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("uid")).agg(count(lit(1)).as("n_views")).as("v")
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("uid")).agg(count(lit(1)).as("n_clicks")).as("c")
+      views.join(clicks, col("v.uid") <=> col("c.uid"), "full")
+        .select(coalesce(col("v.uid"), col("c.uid")).as("user_id"),
+          coalesce(col("n_views"), lit(0L)).as("n_views"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+        .orderBy(col("user_id").asc_nulls_first)
+    }),
+
+    "x_regex_suite" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 2)
+            .as("second_word"),
+          col("p_name").rlike("^[a-z]+ ").as("starts_word"),
+          size(regexp_extract_all(col("p_name"), lit("a"), lit(0)))
+            .cast("long").as("n_a"),
+          regexp_replace(col("p_type"), "[aeiou]", "_").as("devoweled"))
+        .orderBy("p_partkey")),
+
     // ---- as-of / range joins (engine-grown verbs, survey §2.3 note) ----
     "join_asof_last_view" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -1951,6 +1977,28 @@ object SparkEntry {
         |  AS tax_or_default,
         | (nullif(l_returnflag, 'N') IS NULL) AS is_n_flag
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "join_null_safe" ->
+      """WITH ev AS (SELECT event_type,
+        |  CASE WHEN user_id % 97 = 0 THEN NULL ELSE user_id END AS uid
+        |  FROM events),
+        |v AS (SELECT uid, CAST(count(*) AS BIGINT) AS n_views FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT uid, CAST(count(*) AS BIGINT) AS n_clicks FROM ev
+        |  WHERE event_type = 'click' GROUP BY 1)
+        |SELECT COALESCE(v.uid, c.uid) AS user_id,
+        | COALESCE(n_views, 0) AS n_views,
+        | COALESCE(n_clicks, 0) AS n_clicks
+        |FROM v FULL JOIN c ON v.uid IS NOT DISTINCT FROM c.uid
+        |ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    "x_regex_suite" ->
+      """SELECT p_partkey,
+        | regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+        | regexp_matches(p_name, '^[a-z]+ ') AS starts_word,
+        | CAST(len(regexp_extract_all(p_name, 'a')) AS BIGINT) AS n_a,
+        | regexp_replace(p_type, '[aeiou]', '_', 'g') AS devoweled
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "join_asof_last_view" ->
       """SELECT p.event_id, p.user_id, p.ts, v.ts AS last_view_ts

@@ -802,6 +802,39 @@ object SparkEntry {
         .orderBy(col("user_id").asc_nulls_first)
     }),
 
+    "agg_collect_suite" -> ((s, dir) =>
+      // collect_list/set are order-nondeterministic; sort_array pins
+      // them — the only deterministic way to emit grouped arrays
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+          sort_array(collect_set(col("l_shipdate").cast("date")))
+            .as("ship_dates_sample"))
+        .select(col("l_returnflag"), col("statuses"),
+          slice(col("ship_dates_sample"), 1, 3).as("first3_dates"))
+        .orderBy("l_returnflag")),
+
+    "window_rank_dense" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderpriority"))
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"))
+        .orderBy("o_orderkey")
+    }),
+
+    "x_map_suite" -> ((s, dir) =>
+      t(s, dir, "region").select(col("r_regionkey"),
+          map_from_arrays(array(lit("name"), lit("key")),
+            array(col("r_name"), col("r_regionkey").cast("string"))).as("m"),
+          element_at(map_from_arrays(array(lit("k")), array(col("r_name"))),
+            "k").as("name_via_map"),
+          map_keys(map_from_arrays(array(lit("a"), lit("b")),
+            array(lit(1), lit(2)))).as("ks"),
+          size(map_from_arrays(array(lit("a"), lit("b")),
+            array(lit(1), lit(2)))).as("n_entries"))
+        .orderBy("r_regionkey")),
+
     "x_regex_suite" -> ((s, dir) =>
       t(s, dir, "part").select(col("p_partkey"),
           regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 2)
@@ -1991,6 +2024,29 @@ object SparkEntry {
         | COALESCE(n_clicks, 0) AS n_clicks
         |FROM v FULL JOIN c ON v.uid IS NOT DISTINCT FROM c.uid
         |ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    "agg_collect_suite" ->
+      """SELECT l_returnflag,
+        | list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        | list_sort(list(DISTINCT CAST(l_shipdate AS DATE)))[1:3]
+        |   AS first3_dates
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "window_rank_dense" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        | CAST(rank() OVER (PARTITION BY o_orderstatus
+        |   ORDER BY o_orderpriority) AS INTEGER) AS rnk,
+        | CAST(dense_rank() OVER (PARTITION BY o_orderstatus
+        |   ORDER BY o_orderpriority) AS INTEGER) AS drnk
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "x_map_suite" ->
+      """SELECT r_regionkey,
+        | MAP {'name': r_name, 'key': CAST(r_regionkey AS VARCHAR)} AS m,
+        | r_name AS name_via_map,
+        | ['a', 'b'] AS ks,
+        | CAST(2 AS INTEGER) AS n_entries
+        |FROM region ORDER BY r_regionkey""".stripMargin,
 
     "x_regex_suite" ->
       """SELECT p_partkey,

@@ -124,6 +124,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no corpus×centroid expansion allowed:\n$planStr")
   }
 
+  test("contamination check broadcasts the benchmark shingles") {
+    val plan = planOf(q("pipe_contamination"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the eval set must broadcast, the corpus must stream:\n$plan")
+  }
+
+  test("keep list drops members via a broadcast anti-join") {
+    val plan = planOf(q("dedup_keep_list"))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"drop set must broadcast into an anti-join:\n$plan")
+  }
+
   test("sequence packing shuffles by shard, never to a single partition") {
     val df = q("pipe_pack_sequences")
     df.collect()

@@ -998,6 +998,16 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    "src_synth_pushdown" -> ((s, dir) =>
+      // custom DSv2 source: the id-range predicate pushes into the
+      // connector (interval narrowed before any row is generated);
+      // the bucket predicate stays a residual filter
+      s.read.format("graft.sources.SyntheticProvider")
+        .option("rows", "100000").option("parts", "8").load()
+        .where(col("id") >= 1000 && col("id") < 2000 && col("bucket") === 3)
+        .select(col("id"), col("payload"))
+        .orderBy("id")),
+
     "src_orc_roundtrip" -> ((s, dir) => {
       val src = t(s, dir, "supplier")
       val path = "/tmp/graft_src/supplier_orc"
@@ -2180,6 +2190,11 @@ object SparkEntry {
 
     "src_orc_roundtrip" ->
       "SELECT * FROM supplier ORDER BY s_suppkey",
+
+    "src_synth_pushdown" ->
+      """SELECT i AS id, 'row-' || CAST(i AS VARCHAR) AS payload
+        |FROM range(1000, 2000) t(i) WHERE i % 16 = 3
+        |ORDER BY id""".stripMargin,
 
     "skew_salted_agg" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n

@@ -124,6 +124,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no corpus×centroid expansion allowed:\n$planStr")
   }
 
+  test("DSv2 synthetic source narrows its interval via pushed filters") {
+    val df = q("src_synth_pushdown")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the id range reached the connector (interval narrowed at the
+    // source); the bucket predicate stayed a residual Filter node
+    assert(plan.contains("GraftSynth[1000,2000)"),
+      s"id bounds must push into the scan:\n$plan")
+    assert(plan.contains("Filter") && plan.contains("bucket"),
+      s"bucket predicate must remain a residual:\n$plan")
+  }
+
+  test("DSv2 synthetic source prunes to requested columns") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("graft.sources.SyntheticProvider")
+      .option("rows", "1000").load().select(col("id"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan") && !plan.contains("payload"),
+      s"unrequested columns must not be materialized:\n$plan")
+  }
+
   test("contamination check broadcasts the benchmark shingles") {
     val plan = planOf(q("pipe_contamination"))
     assert(plan.contains("BroadcastHashJoin"),

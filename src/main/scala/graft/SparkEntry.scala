@@ -823,6 +823,15 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "x_generator_suite" -> ((s, dir) =>
+      // row generators: inline of per-row structs + explode_outer's
+      // null-row guarantee (empty array still yields its parent row)
+      t(s, dir, "region").select(col("r_regionkey"),
+          explode_outer(when(col("r_regionkey") % 2 === 0,
+            array(lit("a"), lit("b"))).otherwise(array().cast("array<string>")))
+            .as("tag"))
+        .orderBy(col("r_regionkey"), col("tag").asc_nulls_first)),
+
     "x_map_suite" -> ((s, dir) =>
       t(s, dir, "region").select(col("r_regionkey"),
           map_from_arrays(array(lit("name"), lit("key")),
@@ -2049,6 +2058,13 @@ object SparkEntry {
         | CAST(dense_rank() OVER (PARTITION BY o_orderstatus
         |   ORDER BY o_orderpriority) AS INTEGER) AS drnk
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "x_generator_suite" ->
+      """SELECT r_regionkey, u.tag FROM region
+        |LEFT JOIN LATERAL (
+        |  SELECT unnest(CASE WHEN r_regionkey % 2 = 0
+        |    THEN ['a', 'b'] ELSE [] END) AS tag) u ON TRUE
+        |ORDER BY r_regionkey, tag NULLS FIRST""".stripMargin,
 
     "x_map_suite" ->
       """SELECT r_regionkey,

@@ -252,6 +252,23 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
         .limit(10)),
 
+    "l1_sample_head" -> ((s, dir) =>
+      // L1: the reference prints an insertion-ordered slice(0, 5); the
+      // engine pins a deterministic order first (survey note)
+      t(s, dir, "customer")
+        .select(concat(lit("shop-"), col("c_custkey")).as("shop"),
+          col("c_mktsegment").as("segment"))
+        .orderBy("shop").limit(5)),
+
+    "x_cast_suite" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderkey").cast("string").as("key_str"),
+          col("o_orderkey").cast("string").cast("long").as("key_roundtrip"),
+          to_date(col("o_orderdate")).cast("string").as("date_iso"),
+          col("o_orderdate").cast("date").as("date_typed"),
+          (col("o_totalprice") > 100000.0).cast("int").as("big_flag"))
+        .orderBy("o_orderkey")),
+
     // ---- §2.8 scalar functions ----
     "x5_jst_business_date" -> ((s, dir) =>
       events(s, dir)
@@ -1294,6 +1311,19 @@ object SparkEntry {
         | CASE WHEN contains(shop_raw, '.myshopify.com') THEN shop_raw
         |  ELSE shop_raw || '.myshopify.com' END AS shop_full
         |FROM s ORDER BY c_custkey""".stripMargin,
+
+    "l1_sample_head" ->
+      """SELECT 'shop-' || c_custkey AS shop, c_mktsegment AS segment
+        |FROM customer ORDER BY shop LIMIT 5""".stripMargin,
+
+    "x_cast_suite" ->
+      """SELECT o_orderkey,
+        | CAST(o_orderkey AS VARCHAR) AS key_str,
+        | CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+        | CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_iso,
+        | CAST(o_orderdate AS DATE) AS date_typed,
+        | CAST(o_totalprice > CAST(100000 AS DOUBLE) AS INTEGER) AS big_flag
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "f2_daily_event_filter" ->
       """SELECT event_id, user_id, ts FROM events

@@ -512,6 +512,27 @@ object SparkEntry {
             col("exact_users").cast("double") * 0.05).as("hll_ok"))
         .orderBy("event_type")),
 
+    "agg_hll_mergeable" -> ((s, dir) => {
+      // the MERGEABLE-sketch pattern a 100 TB pipeline actually uses:
+      // per-(type, day) partial HLL sketches, unioned per type, then
+      // estimated — incremental distinct counting without re-scanning
+      // history. Register state is order-independent, so the estimate
+      // is deterministic; verified against the exact distinct with the
+      // same bound-flag scheme as agg_approx_distinct_users.
+      val ev = events(s, dir)
+      val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = daily.groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")).cast("double") <=
+            col("exact_users").cast("double") * 0.05).as("merge_ok"))
+        .orderBy("event_type")
+    }),
+
     // ---- LLM-pipeline: text analysis ----
     "text_token_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1772,6 +1793,12 @@ object SparkEntry {
       """SELECT event_type,
         | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
         | TRUE AS hll_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_hll_mergeable" ->
+      """SELECT event_type,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | TRUE AS merge_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_quantiles" ->

@@ -591,6 +591,19 @@ object SparkEntry {
       PipelineOps.sessionize(events(s, dir), gapMinutes = 30)
         .orderBy("user_id", "session_idx")),
 
+    "stream_session_window" -> ((s, dir) =>
+      // Spark's native session_window — the streaming-capable session
+      // operator (same expression works under readStream + watermark);
+      // note its boundary semantics: a gap of EXACTLY the duration
+      // starts a new session (end = last_ts + gap, exclusive)
+      events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start")),
+
     "pipe_vocabulary" -> ((s, dir) =>
       PipelineOps.vocabulary(t(s, dir, "documents"), topN = 100)),
 
@@ -1819,6 +1832,23 @@ object SparkEntry {
          |FROM h ORDER BY media_id""".stripMargin,
 
     // ---- pipeline ops ----
+
+    "stream_session_window" ->
+      """WITH m AS (SELECT user_id, event_id, ts,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev FROM events),
+        |s AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN prev IS NULL OR epoch_us(ts) - prev >= 1800000000
+        |    THEN 1 ELSE 0 END AS is_new FROM m),
+        |x AS (SELECT user_id, ts,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS sidx FROM s)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM x GROUP BY user_id, sidx
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "pipe_sessionize" ->
       """WITH m AS (SELECT user_id, event_id, ts,

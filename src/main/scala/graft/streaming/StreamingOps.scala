@@ -118,6 +118,22 @@ object StreamingOps {
         col("purchase_ts"), col("view_id"), col("view_ts"))
   }
 
+  /** Streaming session windows: the same `session_window` expression as
+    * the batch twin, watermarked so closed sessions emit exactly once
+    * in append mode and per-user session state is bounded by the
+    * watermark horizon. */
+  def streamingSessionCounts(spark: SparkSession, sourceDir: String,
+      schema: StructType, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        org.apache.spark.sql.functions.session_window(col("ts"), gap)
+          .as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
   /** Idempotent micro-batch append — the exactly-once streaming sink
     * over an [[graft.catalog.AppendStore]]. Structured Streaming
     * replays a failed micro-batch with the SAME batchId, so the sink

@@ -53,6 +53,45 @@ class StreamingJoinDedupSpec extends AnyFunSuite {
     assert(out === Set((12L, 10L), (12L, 11L)))
   }
 
+  test("streaming session windows equal the batch session_window twin") {
+    val dir = Files.createTempDirectory("graft-ssess").toString + "/ev"
+    val rows = Seq(
+      (1L, ts("2024-01-15 10:00:00"), 7L, "view"),
+      (2L, ts("2024-01-15 10:10:00"), 7L, "view"),  // same session
+      (3L, ts("2024-01-15 10:40:00"), 7L, "click"), // extends it (<30m)
+      (4L, ts("2024-01-15 12:00:00"), 7L, "view"),  // new session
+      (5L, ts("2024-01-15 10:05:00"), 8L, "view"),
+      // watermark sentinel: far-future event closes every earlier
+      // session (append mode only emits watermark-closed windows);
+      // its own session stays open and must NOT emit
+      (6L, ts("2024-01-16 09:00:00"), 99L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    rows.write.parquet(dir)
+
+    val streamed = StreamingOps.runToMemory(spark,
+      StreamingOps.streamingSessionCounts(spark, dir, schema),
+      "ssess_out", outputMode = "append")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+
+    val batch = rows
+      .groupBy($"user_id",
+        org.apache.spark.sql.functions.session_window($"ts", "30 minutes")
+          .as("w"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("session_start"),
+        $"w.end".as("session_end"), $"n_events")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+
+    // every watermark-closed session matches the batch twin; the
+    // sentinel's still-open session is correctly withheld
+    assert(streamed == batch.filter(_._1 != 99L))
+    // shape check: user 7 has two sessions (3 events, then 1)
+    assert(batch.count(_._1 == 7L) == 2)
+    assert(batch.filter(_._1 == 7L).map(_._4).toSeq.sorted == Seq(1L, 3L))
+  }
+
   test("idempotent batch append: replayed batchId writes exactly once") {
     val store = new graft.catalog.AppendStore(spark,
       Files.createTempDirectory("graft-idem").toString + "/t")

@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver keeps only the tail of the build log and parses the
+// benchmark's one-line JSON summary out of it. Two sbt behaviors defeat
+// that parse: the "[info] " prefix on forked-run stdout and the trailing
+// "[success] Total time" line. Print run output verbatim and drop the
+// success banner so the JSON summary is the literal last line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -855,13 +855,16 @@ object SparkEntry {
 
     "agg_collect_suite" -> ((s, dir) =>
       // collect_list/set are order-nondeterministic; sort_array pins
-      // them — the only deterministic way to emit grouped arrays
+      // them. Emitted as joined strings, not raw arrays: the driver's
+      // comparator sorts rows with pandas and LIST cells are unhashable
+      // there, so grouped-array results must cross the gate as scalars.
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
-          sort_array(collect_set(col("l_shipdate").cast("date")))
-            .as("ship_dates_sample"))
-        .select(col("l_returnflag"), col("statuses"),
-          slice(col("ship_dates_sample"), 1, 3).as("first3_dates"))
+        .agg(sort_array(collect_set(col("l_linestatus"))).as("sts"),
+          sort_array(collect_set(col("l_shipdate").cast("date"))).as("sd"))
+        .select(col("l_returnflag"),
+          array_join(col("sts"), ",").as("statuses"),
+          array_join(transform(slice(col("sd"), 1, 3),
+            d => d.cast("string")), ",").as("first3_dates"))
         .orderBy("l_returnflag")),
 
     "window_rank_dense" -> ((s, dir) => {
@@ -884,13 +887,18 @@ object SparkEntry {
         .orderBy(col("r_regionkey"), col("tag").asc_nulls_first)),
 
     "x_map_suite" -> ((s, dir) =>
+      // map construction/lookup/keys are exercised in-plan; the MAP
+      // itself leaves the query as its JSON serialization because the
+      // driver's row-sort comparator needs scalar cells (see
+      // agg_collect_suite note).
       t(s, dir, "region").select(col("r_regionkey"),
-          map_from_arrays(array(lit("name"), lit("key")),
-            array(col("r_name"), col("r_regionkey").cast("string"))).as("m"),
+          to_json(map_from_arrays(array(lit("name"), lit("key")),
+            array(col("r_name"), col("r_regionkey").cast("string"))))
+            .as("m_json"),
           element_at(map_from_arrays(array(lit("k")), array(col("r_name"))),
             "k").as("name_via_map"),
-          map_keys(map_from_arrays(array(lit("a"), lit("b")),
-            array(lit(1), lit(2)))).as("ks"),
+          array_join(map_keys(map_from_arrays(array(lit("a"), lit("b")),
+            array(lit(1), lit(2)))), ",").as("ks"),
           size(map_from_arrays(array(lit("a"), lit("b")),
             array(lit(1), lit(2)))).as("n_entries"))
         .orderBy("r_regionkey")),
@@ -2133,9 +2141,11 @@ object SparkEntry {
 
     "agg_collect_suite" ->
       """SELECT l_returnflag,
-        | list_sort(list(DISTINCT l_linestatus)) AS statuses,
-        | list_sort(list(DISTINCT CAST(l_shipdate AS DATE)))[1:3]
-        |   AS first3_dates
+        | array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+        |   AS statuses,
+        | array_to_string(list_transform(
+        |   list_sort(list(DISTINCT CAST(l_shipdate AS DATE)))[1:3],
+        |   x -> CAST(x AS VARCHAR)), ',') AS first3_dates
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "window_rank_dense" ->
@@ -2155,9 +2165,10 @@ object SparkEntry {
 
     "x_map_suite" ->
       """SELECT r_regionkey,
-        | MAP {'name': r_name, 'key': CAST(r_regionkey AS VARCHAR)} AS m,
+        | '{"name":"' || r_name || '","key":"' ||
+        |   CAST(r_regionkey AS VARCHAR) || '"}' AS m_json,
         | r_name AS name_via_map,
-        | ['a', 'b'] AS ks,
+        | 'a,b' AS ks,
         | CAST(2 AS INTEGER) AS n_entries
         |FROM region ORDER BY r_regionkey""".stripMargin,
 

@@ -48,6 +48,16 @@ def main():
             print(f"FAIL {name}: oracle sql error: {e}")
             n_bad += 1
             continue
+        # Mirror the driver's pandas sort_values pass: it raises on
+        # non-hashable cell types (numpy arrays from LIST/MAP columns),
+        # so any query emitting those must fail HERE, not on the driver.
+        try:
+            got.sort_values(by=sorted(got.columns))
+        except Exception as e:
+            print(f"FAIL {name}: driver-style sort_values would fail "
+                  f"(non-scalar column?): {type(e).__name__}: {e}")
+            n_bad += 1
+            continue
         gc, ec = sorted(got.columns), sorted(exp.columns)
         if gc != ec:
             print(f"FAIL {name}: columns {gc} != {ec}")

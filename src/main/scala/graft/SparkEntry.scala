@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{BillingOps, Dedup, MergeOps, Multimodal, PipelineOps, RelationalOps, Similarity, SkewOps, TextOps, TopK}
+import graft.operators.{BillingOps, Dedup, MergeOps, Multimodal, PipelineOps, RelationalOps, Similarity, Sketches, SkewOps, TextOps, TopK}
 import graft.streaming.StreamingOps
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -1158,6 +1158,281 @@ object SparkEntry {
             .as("revenue"))
     }),
 
+    // ---- TPC-H Q2 adaptation: cheapest shipment per part. The synthetic
+    // schema has no partsupp, so lineitem stands in as the supplier-price
+    // relation; two partial aggs + a broadcast part filter replace the
+    // correlated-min subquery ----
+    "q2_cheapest_shipment" -> ((s, dir) => {
+      val px = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("mn"))
+      val best = px.groupBy(col("l_partkey").as("bk"))
+        .agg(min(col("mn")).as("bmn"))
+      val parts = t(s, dir, "part")
+        .where(col("p_type") === "STANDARD" && col("p_size") <= 10)
+        .select(col("p_partkey"), col("p_name"))
+      px.join(best, col("l_partkey") === col("bk") && col("mn") === col("bmn"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"), col("p_name"))
+        .agg(min(col("l_suppkey")).as("cheapest_supp"),
+          min(col("mn")).as("min_price"))
+        .orderBy("p_partkey")
+    }),
+
+    // ---- TPC-H Q4 adaptation: orders with a late line (semi-join; the
+    // schema has no commit/receipt dates, so "late" = shipped >30 days
+    // after order date) ----
+    "q4_priority_late" -> ((s, dir) => {
+      val o = t(s, dir, "orders").where(
+        col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      o.join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate")),
+          col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- TPC-H Q7: bidirectional nation-pair trade volume by year ----
+    "q7_nation_volume" -> ((s, dir) => {
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .where((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsumExpr(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // ---- TPC-H Q8: NATION_5's market share inside ASIA's ECONOMY
+    // segment by order year (conditional-sum / sum ratio) ----
+    "q8_market_share" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val custAsia = t(s, dir, "customer")
+        .join(broadcast(n.join(
+            broadcast(t(s, dir, "region").where(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").where(col("p_type") === "ECONOMY")
+          .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(custAsia, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((dsumExpr(when(col("supp_nation") === "NATION_5", vol)
+            .otherwise(lit(0.0))) / dsumExpr(vol)).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // ---- TPC-H Q9 adaptation: profit by supplier nation × order year
+    // for a part-name family (no supplycost column → profit = revenue) ----
+    "q9_profit_nation_year" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .where(col("p_name").contains("red")).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(dsumExpr(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // ---- TPC-H Q11 adaptation: parts whose revenue through NATION_3
+    // suppliers exceeds 0.1% of that channel's total (scalar-subquery
+    // threshold; decimal partial sums keep the two aggregations exactly
+    // consistent) ----
+    "q11_part_concentration" -> ((s, dir) => {
+      val supN3 = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .where(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(supN3), col("l_suppkey") === col("s_suppkey"),
+          "left_semi")
+        .select(col("l_partkey"), col("l_extendedprice"))
+      val total = li.agg(dsumExpr(col("l_extendedprice")).as("tot"))
+      li.groupBy(col("l_partkey"))
+        .agg(dsumExpr(col("l_extendedprice")).as("value"))
+        .join(broadcast(total))
+        .where(col("value") > col("tot") * lit(0.001))
+        .select(col("l_partkey"), col("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    // ---- TPC-H Q13: customer order-count distribution (left join keeps
+    // zero-order customers; count(col) skips the nulls they produce) ----
+    "q13_order_distribution" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(t(s, dir, "orders")
+          .where(col("o_orderpriority") =!= "5-LOW")
+          .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // ---- TPC-H Q14: promo revenue share for one month (single row) ----
+    "q14_promo_revenue" -> ((s, dir) => {
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) * dsumExpr(when(col("p_type") === "PROMO", vol)
+          .otherwise(lit(0.0))) / dsumExpr(vol)).as("promo_revenue"))
+    }),
+
+    // ---- TPC-H Q15: supplier(s) hitting the quarter's max revenue ----
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(dsumExpr(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("total_revenue"))
+      // equality on the max is exact: both sides of the comparison come
+      // from the same decimal-accumulated value
+      rev.join(broadcast(rev.agg(max(col("total_revenue")).as("mx"))),
+          col("total_revenue") === col("mx"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- TPC-H Q16 adaptation: distinct shippers per (brand,type,size)
+    // slice, lineitem standing in for partsupp ----
+    "q16_brand_supplier_cnt" -> ((s, dir) =>
+      t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(t(s, dir, "part")
+          .where(col("p_brand") =!= "Brand#1" &&
+            col("p_size").isin(1, 5, 9, 13))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))),
+
+    // ---- TPC-H Q18: bulk orders (per-order quantity rollup feeding a
+    // customer join; the heavy groupBy runs BEFORE the joins) ----
+    "q18_bulk_customers" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .where(col("sum_qty") > 280)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer").select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // ---- TPC-H Q20 adaptation: suppliers in a nation set that moved
+    // real PROMO volume in 1996 (two stacked semi-joins) ----
+    "q20_promo_shippers" -> ((s, dir) => {
+      val promoQty = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(t(s, dir, "part").where(col("p_type") === "PROMO")
+          .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_quantity")).as("qty"))
+        .where(col("qty") > 100)
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .where(col("n_name").isin("NATION_7", "NATION_8", "NATION_9"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(promoQty, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- TPC-H Q21 adaptation: suppliers who shipped last on finished
+    // multi-supplier orders (no receipt/commit dates → "kept the order
+    // waiting" = owns the order's max shipdate) ----
+    "q21_last_shipper_wait" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").where(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val per = li.groupBy(col("l_orderkey").as("ok"))
+        .agg(max(col("l_shipdate")).as("mx"),
+          countDistinct(col("l_suppkey")).as("nsupp"))
+        .where(col("nsupp") >= 2)
+      li.join(per, col("l_orderkey") === col("ok") &&
+          col("l_shipdate") === col("mx"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(countDistinct(col("l_orderkey")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    }),
+
+    // ---- TPC-H Q22 adaptation: high-balance customers dormant since
+    // 2000 (scalar avg threshold + anti-join), rolled up by nation ----
+    "q22_dormant_value" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val avgBal = cust.where(col("c_acctbal") > 0)
+        .agg((dsum(col("c_acctbal")) / count(lit(1))).as("ab"))
+      cust.join(broadcast(avgBal))
+        .where(col("c_acctbal") > col("ab"))
+        .join(t(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal"))
+          .as("totacctbal"))
+        .orderBy("n_name")
+    }),
+
     "agg_bool_suite" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(count(when(col("l_quantity") > 45, 1)).as("n_heavy"),
@@ -1238,6 +1513,24 @@ object SparkEntry {
           size(col("toks")).cast("long").as("n_tokens"), col("quality"))
         .orderBy("doc_id")
     }),
+
+    // ---- Misra–Gries heavy hitters (mergeable O(k) sketch) over a
+    // deterministically-skewed key: every 7th user folds into one hot
+    // item, which then exceeds the n/(k+1) capture threshold ----
+    "sketch_heavy_hitters" -> ((s, dir) =>
+      Sketches.mgHeavyHitters(
+          events(s, dir).select(
+            when(col("user_id") % 7 === 0, lit(-1L))
+              .otherwise(col("user_id")).as("item")),
+          item = col("item"), k = 8)
+        .orderBy("item")),
+
+    // ---- SCD2 dimension-history build over the event log ----
+    "scd2_user_state" -> ((s, dir) =>
+      RelationalOps.scd2Intervals(
+          events(s, dir).select(col("user_id"), col("ts"), col("event_type")),
+          key = "user_id", ts = "ts", state = "event_type")
+        .orderBy(col("user_id"), col("valid_from"), col("state"))),
 
     // ---- recursive CTE (Spark 4): BFS over the customer-key tree ----
     "sql_recursive_tree" -> ((s, dir) => {
@@ -2357,6 +2650,203 @@ object SparkEntry {
         |   AND l_quantity BETWEEN 10 AND 35)
         | OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50
         |   AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+
+    "q2_cheapest_shipment" ->
+      """WITH px AS (SELECT l_partkey, l_suppkey,
+        |  min(l_extendedprice) AS mn FROM lineitem GROUP BY 1, 2),
+        |best AS (SELECT l_partkey AS bk, min(mn) AS bmn FROM px GROUP BY 1)
+        |SELECT p_partkey, p_name, min(l_suppkey) AS cheapest_supp,
+        | min(mn) AS min_price
+        |FROM px JOIN best ON l_partkey = bk AND mn = bmn
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_type = 'STANDARD' AND p_size <= 10
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "q4_priority_late" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        | AND EXISTS (SELECT 1 FROM lineitem
+        |   WHERE l_orderkey = o_orderkey
+        |   AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        | CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+        |   AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        | AND l_suppkey = s_suppkey AND s_nationkey = n1.n_nationkey
+        | AND c_nationkey = n2.n_nationkey
+        | AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        | AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | CAST(SUM(CAST(CASE WHEN n1.n_name = 'NATION_5'
+        |     THEN l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+        |     ELSE CAST(0 AS DOUBLE) END AS DECIMAL(22,6))) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+        |   AS DECIMAL(22,6))) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey
+        |   AND p_type = 'ECONOMY')
+        | AND EXISTS (SELECT 1 FROM customer, nation n2, region
+        |   WHERE o_custkey = c_custkey AND c_nationkey = n2.n_nationkey
+        |   AND n2.n_regionkey = r_regionkey AND r_name = 'ASIA')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q9_profit_nation_year" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+        |   AS DECIMAL(22,6))) AS DOUBLE) AS profit
+        |FROM lineitem, orders, supplier, nation
+        |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        | AND s_nationkey = n_nationkey
+        | AND EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey
+        |   AND p_name LIKE '%red%')
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+
+    "q11_part_concentration" ->
+      """WITH li AS (SELECT l_partkey, l_extendedprice FROM lineitem
+        |  WHERE EXISTS (SELECT 1 FROM supplier, nation
+        |    WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name = 'NATION_3'))
+        |SELECT l_partkey,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) AS DOUBLE) AS value
+        |FROM li GROUP BY 1
+        |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) AS DOUBLE) >
+        | (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) AS DOUBLE)
+        |  FROM li) * CAST(0.001 AS DOUBLE)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        | SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |   AND o_orderpriority <> '5-LOW'
+        | GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT CAST(100 AS DOUBLE) *
+        | CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |     THEN l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+        |     ELSE CAST(0 AS DOUBLE) END AS DECIMAL(22,6))) AS DOUBLE)
+        | / CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+        |   AS DECIMAL(22,6))) AS DOUBLE) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |  CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+        |    AS DECIMAL(22,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_brand_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q18_bulk_customers" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        | sum_qty
+        |FROM (SELECT l_orderkey,
+        |   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY 1) big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE sum_qty > 280
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q20_promo_shippers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_7', 'NATION_8', 'NATION_9')
+        | AND s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey
+        |    AND p_type = 'PROMO')
+        |  GROUP BY 1
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    > 100)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_last_shipper_wait" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem
+        |  WHERE EXISTS (SELECT 1 FROM orders
+        |    WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')),
+        |per AS (SELECT l_orderkey AS ok, max(l_shipdate) AS mx,
+        |  count(DISTINCT l_suppkey) AS nsupp FROM li GROUP BY 1)
+        |SELECT s_name, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS numwait
+        |FROM li JOIN per ON l_orderkey = ok AND l_shipdate = mx
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE nsupp >= 2
+        |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "sketch_heavy_hitters" ->
+      """WITH e AS (SELECT CASE WHEN user_id % 7 = 0 THEN -1
+        |    ELSE user_id END AS item FROM events),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e)
+        |SELECT item, CAST(count(*) AS BIGINT) AS exact_cnt,
+        | TRUE AS bound_ok
+        |FROM e, t GROUP BY item, n
+        |HAVING CAST(count(*) AS BIGINT) > n / 9
+        |ORDER BY item""".stripMargin,
+
+    "scd2_user_state" ->
+      """WITH r AS (SELECT user_id, ts, event_type,
+        |  CASE WHEN lag(event_type) OVER w IS NULL
+        |    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)),
+        |r2 AS (SELECT user_id, ts, event_type,
+        |  SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_type
+        |    ROWS UNBOUNDED PRECEDING) AS run FROM r),
+        |g AS (SELECT user_id, run, event_type AS state,
+        |  min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM r2 GROUP BY 1, 2, 3)
+        |SELECT user_id, state, valid_from, n_events,
+        | lead(valid_from) OVER w2 AS valid_to,
+        | (lead(valid_from) OVER w2 IS NULL) AS is_current
+        |FROM g
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY run)
+        |ORDER BY user_id, valid_from, state""".stripMargin,
+
+    "q22_dormant_value" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |   / count(*) FROM customer WHERE c_acctbal > 0)
+        | AND NOT EXISTS (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey
+        |   AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_bool_suite" ->
       """SELECT l_returnflag,

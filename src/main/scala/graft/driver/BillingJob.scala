@@ -67,7 +67,8 @@ final class BillingJob(
       val chargeInputs = pending
         .join(sessions.select(BillingOps.normalizeShop($"shop").as("shop"),
           $"accessToken"), Seq("shop"))
-        .select($"shop", $"accessToken", $"billing_amount".as("amount"))
+        .select($"shop", $"accessToken", $"billing_amount".as("amount"),
+          concat($"shop", lit(s":$targetDate")).as("idempotencyKey"))
         .as[ChargeInput]
       val chargeRows = chargeSink.chargeAll(spark, chargeInputs)
         .collect().toSeq

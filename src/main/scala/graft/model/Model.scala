@@ -57,8 +57,14 @@ final case class UsageChargeResult(
 
 /** Input row consumed by the charge executor: one fully-resolved charge,
   * J2 pre-folded into the row (SURVEY §2.3 J2 — the hash-map probe in the
-  * reference disappears once `(shop, accessToken, amount)` travel together). */
-final case class ChargeInput(shop: String, accessToken: String, amount: Double)
+  * reference disappears once `(shop, accessToken, amount)` travel together).
+  * `idempotencyKey` (typically `shop:billing_date`) rides along so the
+  * remote API can dedup if a Spark task retry replays a partition that
+  * already charged some shops — eager driver-side materialization protects
+  * against plan re-execution, but not against retries WITHIN the one
+  * materializing action. */
+final case class ChargeInput(shop: String, accessToken: String,
+    amount: Double, idempotencyKey: String = "")
 
 object Status {
   val Pending = "pending"

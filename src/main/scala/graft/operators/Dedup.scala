@@ -211,23 +211,31 @@ object Dedup {
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint(true) // pairs are computed exactly once
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("rep", col("node"))
+    // seed with the closed-neighborhood min directly — same cost as the
+    // plain distinct-nodes shuffle (one groupBy over edges) but it IS
+    // iteration 0, so the loop below starts one round further along
+    var labels = edges.groupBy(col("u").as("node"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("node"), least(col("node"), col("mn")).as("rep"))
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges
         .join(labels, edges("v") === labels("node"))
         .groupBy(edges("u").as("n2")).agg(min(col("rep")).as("nrep"))
+      // convergence flag computed IN the update join (nrep < rep ⇔ this
+      // node's label shrank) — counting it afterwards is a cheap scan of
+      // the checkpointed frame, not the extra labels⋈updated join +
+      // shuffle a separate "what changed" comparison would cost per
+      // iteration
       val updated = labels.as("l")
         .join(neighborMin, col("l.node") === col("n2"), "left")
         .select(col("l.node").as("node"),
-          least(col("l.rep"), coalesce(col("nrep"), col("l.rep"))).as("rep"))
+          least(col("l.rep"), coalesce(col("nrep"), col("l.rep"))).as("rep"),
+          (coalesce(col("nrep"), col("l.rep")) < col("l.rep")).as("chg"))
         .localCheckpoint(true)
-      changed = updated.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .where(col("n.rep") =!= col("o.rep")).count()
-      labels = updated
+      changed = updated.where(col("chg")).count()
+      labels = updated.select(col("node"), col("rep"))
     }
     labels.select(col("node").as("doc_id"), col("rep").as("cluster_rep"))
   }

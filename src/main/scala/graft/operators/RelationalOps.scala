@@ -78,4 +78,36 @@ object RelationalOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(outCol, last(col(value), ignoreNulls = true).over(w))
   }
+
+  /** SCD-type-2 interval builder: collapse an event log `(key, ts,
+    * state)` into per-key validity intervals — one row per maximal run
+    * of consecutive equal states, with `valid_from` (run's first ts),
+    * `valid_to` (next run's first ts; NULL on the open current run),
+    * `is_current`, and the run's event count. The standard
+    * dimension-history build: change points via `lag`, run ids via a
+    * running sum of change flags, one row per run, `lead` for the
+    * closing bound.
+    *
+    * Scale: everything is partitioned by `key` — two window passes and
+    * a groupBy, no self-join against the log (the naive "match each
+    * event with the next different one" formulation is a range
+    * self-join that explodes on hot keys). Determinism: rows are
+    * ordered by `(ts, state)` within key, so equal-ts ties resolve the
+    * same way on every run. */
+  def scd2Intervals(df: DataFrame, key: String, ts: String,
+      state: String): DataFrame = {
+    val wOrd = Window.partitionBy(key).orderBy(col(ts), col(state))
+    val runs = df
+      .withColumn("_chg",
+        when(lag(col(state), 1).over(wOrd).isNull ||
+          lag(col(state), 1).over(wOrd) =!= col(state), 1).otherwise(0))
+      .withColumn("_run", sum(col("_chg")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wRun = Window.partitionBy(key).orderBy(col("_run"))
+    runs.groupBy(col(key), col("_run"), col(state).as("state"))
+      .agg(min(col(ts)).as("valid_from"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("_run")
+  }
 }

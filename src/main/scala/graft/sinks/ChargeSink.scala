@@ -29,9 +29,12 @@ trait ChargeClient {
   /** U4/Q1: resolve the subscription line item to charge against. */
   def lookupSubscriptionLineItem(shop: String, accessToken: String): String
   /** U5/M1: create the usage charge; returns the charge id. The amount is
-    * serialized 2-dp at this edge (X7, `shopifyBilling.ts:209`). */
+    * serialized 2-dp at this edge (X7, `shopifyBilling.ts:209`). A
+    * non-empty `idempotencyKey` asks the remote end to collapse repeats
+    * of the same logical charge (Spark task retries). */
   def createUsageCharge(shop: String, accessToken: String,
-      lineItemId: String, amount: Double, description: String): String
+      lineItemId: String, amount: Double, description: String,
+      idempotencyKey: String = ""): String
   /** U6: connection probe. */
   def testConnection(shop: String, accessToken: String): Boolean
 }
@@ -96,7 +99,8 @@ final class ChargeSink(clientFactory: () => ChargeClient,
               val li = lineItemCache.getOrElseUpdate((c.shop, c.accessToken),
                 client.lookupSubscriptionLineItem(c.shop, c.accessToken))
               client.createUsageCharge(c.shop, c.accessToken, li, c.amount,
-                description = f"Page view billing: ${c.amount}%.2f USD")
+                description = f"Page view billing: ${c.amount}%.2f USD",
+                idempotencyKey = c.idempotencyKey)
             }
             UsageChargeResult(c.shop, success = true, Some(chargeId), None,
               c.amount, skipped = false)
@@ -123,12 +127,21 @@ final class FakeChargeClient(failTokens: Set[String] = Set.empty,
       throw ChargeError("Invalid access token", retryable = false)
     s"gid://fake/AppSubscriptionLineItem/$shop"
   }
+  private val chargedKeys =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   override def createUsageCharge(shop: String, token: String, li: String,
-      amount: Double, description: String): String = {
+      amount: Double, description: String,
+      idempotencyKey: String = ""): String = {
+    // idempotent replay: a key that already charged returns the original
+    // id without creating (or counting) a second charge
+    if (idempotencyKey.nonEmpty && chargedKeys.containsKey(idempotencyKey))
+      return chargedKeys.get(idempotencyKey)
     val n = attempts.merge(shop, 1, (a, b) => a + b)
     if (n <= failuresBeforeSuccess)
       throw ChargeError("Shopify API error: 503", retryable = true)
-    s"gid://fake/AppUsageRecord/$shop"
+    val id = s"gid://fake/AppUsageRecord/$shop"
+    if (idempotencyKey.nonEmpty) chargedKeys.put(idempotencyKey, id)
+    id
   }
   override def testConnection(shop: String, token: String): Boolean =
     !failTokens.contains(token)

@@ -92,6 +92,29 @@ class RelationalOpsSpec extends AnyFunSuite {
       ("a", 4, Some(40.0)), ("b", 1, None), ("b", 2, Some(2.0))))
   }
 
+  test("scd2Intervals collapses runs into half-open validity intervals") {
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "free"),
+      (1L, ts("2024-01-02 00:00:00"), "free"), // same run
+      (1L, ts("2024-01-03 00:00:00"), "pro"),
+      (1L, ts("2024-01-05 00:00:00"), "free"), // state may recur: new run
+      (2L, ts("2024-01-04 00:00:00"), "pro")
+    ).toDF("user_id", "ts", "event_type")
+    val out = RelationalOps.scd2Intervals(log, "user_id", "ts", "event_type")
+      .orderBy("user_id", "valid_from")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("state"),
+        r.getAs[java.sql.Timestamp]("valid_from"),
+        Option(r.getAs[java.sql.Timestamp]("valid_to")),
+        r.getAs[Boolean]("is_current"), r.getAs[Long]("n_events")))
+    assert(out === Array(
+      (1L, "free", ts("2024-01-01 00:00:00"),
+        Some(ts("2024-01-03 00:00:00")), false, 2L),
+      (1L, "pro", ts("2024-01-03 00:00:00"),
+        Some(ts("2024-01-05 00:00:00")), false, 1L),
+      (1L, "free", ts("2024-01-05 00:00:00"), None, true, 1L),
+      (2L, "pro", ts("2024-01-04 00:00:00"), None, true, 1L)))
+  }
+
   test("asofBackward plans one shuffle on the key, no theta join") {
     val left = Seq((1L, 1L, ts("2024-01-01 00:00:00")))
       .toDF("event_id", "user_id", "ts")

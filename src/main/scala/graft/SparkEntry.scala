@@ -626,6 +626,18 @@ object SparkEntry {
           when(col("lang") === "en", lit(2.0)).otherwise(lit(1.0)))
         .orderBy("mix_pos", "lang", "doc_id")),
 
+    "x_unpivot" -> ((s, dir) =>
+      // wide→long reshape via the native unpivot (melt) operator — a
+      // projection-only transform, no shuffle until the final sort
+      t(s, dir, "lineitem").where(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+
     "x_bitwise_suite" -> ((s, dir) =>
       t(s, dir, "orders").select(col("o_orderkey"),
           col("o_orderkey").bitwiseAND(lit(255L)).as("b_and"),
@@ -1163,14 +1175,20 @@ object SparkEntry {
     // relation; two partial aggs + a broadcast part filter replace the
     // correlated-min subquery ----
     "q2_cheapest_shipment" -> ((s, dir) => {
-      val px = t(s, dir, "lineitem")
-        .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(min(col("l_extendedprice")).as("mn"))
-      val best = px.groupBy(col("l_partkey").as("bk"))
-        .agg(min(col("mn")).as("bmn"))
       val parts = t(s, dir, "part")
         .where(col("p_type") === "STANDARD" && col("p_size") <= 10)
         .select(col("p_partkey"), col("p_name"))
+      // part filter FIRST: the broadcast semi-join keeps ~3% of lineitem
+      // before any aggregation, so both rollups and the shuffle run on
+      // the filtered detail — per-part results are unchanged (the filter
+      // is a whole-part predicate)
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(parts.select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+      val px = li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("mn"))
+      val best = px.groupBy(col("l_partkey").as("bk"))
+        .agg(min(col("mn")).as("bmn"))
       px.join(best, col("l_partkey") === col("bk") && col("mn") === col("bmn"))
         .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_partkey"), col("p_name"))
@@ -2199,6 +2217,18 @@ object SparkEntry {
         | CAST(src_rank AS DOUBLE) /
         |   (CASE WHEN lang = 'en' THEN 2e0 ELSE 1e0 END) AS mix_pos
         |FROM r ORDER BY mix_pos, lang, doc_id""".stripMargin,
+
+    "x_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        | SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |  l_quantity AS val FROM lineitem WHERE l_orderkey <= 2000
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |  l_extendedprice FROM lineitem WHERE l_orderkey <= 2000
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem WHERE l_orderkey <= 2000)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
     "x_bitwise_suite" ->
       """SELECT o_orderkey,

@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.vecDotDescriptor)
     e.injectFunction(GraftFunctions.countInSetDescriptor)
     e.injectFunction(GraftFunctions.rollingHashDescriptor)
+    e.injectFunction(GraftFunctions.distinctWGramCountDescriptor)
+    e.injectFunction(GraftFunctions.hexBitSignsDescriptor)
     // transparent HOF → native-expression acceleration
     e.injectOptimizerRule(_ => graft.plans.CountInSetRewrite)
   }
@@ -68,6 +70,34 @@ object GraftFunctions {
     new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
     (exprs: Seq[Expression]) => RollingHash(exprs(0)))
 
+  /** SQL forms of the remaining two native expressions; the int
+    * parameters must be literals (they specialize the generated code). */
+  private def litInt(e: Expression, name: String): Int = e match {
+    case l if l.foldable => l.eval(null) match {
+      case i: Integer => i.intValue
+      case i: java.lang.Long => i.intValue
+      case other => throw new IllegalArgumentException(
+        s"$name: expected an integer literal, got $other")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"$name: parameter must be a literal")
+  }
+
+  private[functions] val distinctWGramCountDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("distinct_wgram_count"),
+    new ExpressionInfo(classOf[DistinctWGramCount].getName,
+      "distinct_wgram_count"),
+    (exprs: Seq[Expression]) => DistinctWGramCount(exprs(0),
+      litInt(exprs(1), "distinct_wgram_count")))
+
+  private[functions] val hexBitSignsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hex_bit_signs"),
+    new ExpressionInfo(classOf[HexBitSigns].getName, "hex_bit_signs"),
+    (exprs: Seq[Expression]) => HexBitSigns(exprs(0),
+      litInt(exprs(1), "hex_bit_signs")))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
@@ -75,6 +105,12 @@ object GraftFunctions {
       "count_in_set", mkCountInSet, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "distinct_wgram_count", exprs => DistinctWGramCount(exprs(0),
+        litInt(exprs(1), "distinct_wgram_count")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hex_bit_signs", exprs => HexBitSigns(exprs(0),
+        litInt(exprs(1), "hex_bit_signs")), "scala_udf")
     // idempotent: replace, never append twice
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations

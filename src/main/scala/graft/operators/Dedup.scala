@@ -205,12 +205,57 @@ object Dedup {
     * for graphs with giant components see the large-star/small-star
     * alternating algorithm (Kiveris et al., "Connected Components in
     * MapReduce and Beyond", SoCC'14) — same propagation idea with
-    * provably fewer rounds. Output: (doc_id, cluster_rep). */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs
-      .select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    * provably fewer rounds. Small pair graphs (≤ `driverMaxPairs`
+    * edges with integral ids) short-circuit to a driver union-find with
+    * identical output — see the inline note. Output:
+    * (doc_id, cluster_rep). */
+  def connectedComponents(pairs: DataFrame,
+      driverMaxPairs: Long = 1L << 20): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b"))
       .localCheckpoint(true) // pairs are computed exactly once
+    // Adaptive strategy, same shape as Spark's own broadcast threshold:
+    // the near-dup pair graph is orders of magnitude smaller than the
+    // corpus that produced it (it is bounded by the duplicate count), so
+    // when it fits comfortably on the driver (≤ driverMaxPairs edges,
+    // ~16 MB at the default), a single union-find pass replaces an
+    // O(diameter) sequence of join+shuffle rounds. Output is identical:
+    // union-by-min keeps every root the component minimum, exactly the
+    // min-label fixpoint. Anything larger — or non-integral ids — takes
+    // the distributed propagation loop below.
+    val integral = p.schema.fields.forall(f => f.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    })
+    if (integral && p.count() <= driverMaxPairs) {
+      val spark = p.sparkSession
+      import spark.implicits._
+      val idType = p.schema.fields.head.dataType
+      val es = p.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      return parent.keys.toSeq.sorted.map(n => (n, find(n)))
+        .toDF("doc_id", "cluster_rep")
+        .select(col("doc_id").cast(idType), col("cluster_rep").cast(idType))
+    }
+    val edges = p
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(p.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint(true)
     // seed with the closed-neighborhood min directly — same cost as the
     // plain distinct-nodes shuffle (one groupBy over edges) but it IS
     // iteration 0, so the loop below starts one round further along

@@ -183,4 +183,39 @@ class PlanAuditSpec extends AnyFunSuite {
       s"as-of should shuffle once (+1 for output order), got " +
         s"${shuffles.size}:\n${df.queryExecution.executedPlan}")
   }
+
+  test("TPC-H adaptations broadcast every dim side (no sort-merge joins)") {
+    // dims (nation/region/supplier/filtered part/one-row scalars) must
+    // ride broadcasts; the only shuffles these plans may pay are for
+    // their own aggregations and output ordering
+    for (name <- Seq("q4_priority_late", "q7_nation_volume",
+        "q9_profit_nation_year", "q14_promo_revenue", "q20_promo_shippers")) {
+      val plan = planOf(q(name))
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name must not sort-merge-join a dim:\n$plan")
+    }
+  }
+
+  test("q18 rolls up lineitem BEFORE joining orders and customer") {
+    val df = q("q18_bulk_customers")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the HAVING filter on the per-order quantity sum must sit below the
+    // joins: a Filter on sum_qty with joins above it
+    val aggIdx = plan.indexOf("HashAggregate")
+    val joinIdx = plan.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0 && joinIdx < aggIdx,
+      s"per-order rollup must be the innermost operator (below joins):\n$plan")
+  }
+
+  test("q2 part filter reaches below both rollups via the semi join") {
+    val df = q("q2_cheapest_shipment")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the lineitem branch must contain a broadcast semi join feeding the
+    // first aggregation — i.e. we never aggregate the unfiltered detail
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"),
+      s"q2 must semi-filter lineitem before aggregating:\n$plan")
+  }
 }

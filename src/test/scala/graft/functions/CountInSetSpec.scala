@@ -37,6 +37,23 @@ class CountInSetSpec extends AnyFunSuite {
     assert(got === 3L)
   }
 
+  test("all five native expressions answer from SQL after register()") {
+    GraftFunctions.register(spark)
+    val row = spark.sql("""
+      SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot,
+             rolling_hash('abc') AS rh,
+             distinct_wgram_count(array('a', 'b', 'a', 'b'), 2) AS wg,
+             hex_bit_signs('f0', 8) AS hb
+      """).head()
+    assert(math.abs(row.getDouble(0) - 11.0) < 1e-9)
+    assert(!row.isNullAt(1))
+    // bigrams of [a b a b]: (a,b) (b,a) (a,b) → 2 distinct
+    assert(row.getLong(2) === 2L)
+    // 'f0' → bits 11110000 → signs +1×4 then -1×4
+    assert(row.getSeq[Int](3).take(4).forall(_ == 1))
+  }
+
   test("equals the filter+size formulation on generated data") {
     val words = Seq("alpha", "beta", "gamma")
     val df = spark.range(500).select(col("id"),

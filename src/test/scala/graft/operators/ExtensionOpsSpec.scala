@@ -117,9 +117,16 @@ class ExtensionOpsSpec extends AnyFunSuite {
         }
         val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
           .map(v => v -> find(v)).toMap
-        val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        // both strategies must agree with the reference: the driver
+        // union-find fast path (default threshold) and the distributed
+        // propagation loop (threshold forced to 0)
+        val viaDriver = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
           .as[(Long, Long)].collect().toMap
-        assert(got == expected, s"edges=$edges")
+        val viaLoop = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+            driverMaxPairs = 0L)
+          .as[(Long, Long)].collect().toMap
+        assert(viaDriver == expected, s"driver path, edges=$edges")
+        assert(viaLoop == expected, s"distributed path, edges=$edges")
       }
     }
   }

@@ -2,11 +2,21 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.StructType
 
 /** Cumulative page-view state per shop, emitted by the stateful stream. */
 final case class ShopTotal(shop: String, total: Long)
+
+/** Open SCD2 run carried in the state store: the interval that hasn't
+  * seen its closing event yet. */
+final case class Scd2Run(state: String, validFrom: java.sql.Timestamp,
+    nEvents: Long)
+
+/** A closed SCD2 interval emitted by the streaming builder. */
+final case class Scd2Closed(user_id: Long, state: String,
+    valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp,
+    n_events: Long)
 
 /** Structured-Streaming twin of the daily batch aggregation (SURVEY
   * §2.9): the reference consumes its event log in daily batch slices;
@@ -165,6 +175,51 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(idempotentBatchAppend(store, schema) _)
       .start()
+
+  /** Streaming SCD2: the incremental twin of
+    * `RelationalOps.scd2Intervals`. Per key, `flatMapGroupsWithState`
+    * keeps exactly ONE open run in the state store (O(#keys) state,
+    * independent of stream age) and emits an interval the moment a
+    * state-changing event closes it — so downstream consumers see
+    * dimension history in append mode without re-reading the log.
+    *
+    * Events are sorted by `(ts, state)` WITHIN each micro-batch (the
+    * iterator itself is unordered); across batches the builder assumes
+    * per-key event-time order, the same contract as the batch builder's
+    * input — for an out-of-order feed, front it with a watermarked
+    * buffer or the streaming dedup. Only CLOSED intervals are emitted;
+    * the open run per key lives in state until a later event (or an
+    * end-of-stream flush by the caller) closes it. */
+  def streamingScd2(spark: SparkSession, sourceDir: String,
+      schema: StructType): Dataset[Scd2Closed] = {
+    import spark.implicits._
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+        col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
+            st: GroupState[Scd2Run]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+          val out = Seq.newBuilder[Scd2Closed]
+          var cur = st.getOption
+          sorted.foreach { case (_, ts, ev) =>
+            cur match {
+              case Some(c) if c.state == ev =>
+                cur = Some(c.copy(nEvents = c.nEvents + 1L))
+              case Some(c) =>
+                out += Scd2Closed(uid, c.state, c.validFrom, ts, c.nEvents)
+                cur = Some(Scd2Run(ev, ts, 1L))
+              case None =>
+                cur = Some(Scd2Run(ev, ts, 1L))
+            }
+          }
+          cur.foreach(st.update)
+          out.result().iterator
+      }
+  }
 
   /** Run a streaming frame to completion against a static source (memory
     * sink), returning the materialized result — the local smoke path. */

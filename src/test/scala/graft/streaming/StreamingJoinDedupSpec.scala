@@ -111,6 +111,37 @@ class StreamingJoinDedupSpec extends AnyFunSuite {
     assert(store.readOrEmpty(withBatch).count() == 3)
   }
 
+  test("streamingScd2 closed intervals equal the batch builder's") {
+    val dir = Files.createTempDirectory("graft-sscd2").toString + "/ev"
+    val rows = Seq(
+      (1L, ts("2024-01-15 10:00:00"), 7L, "view"),
+      (2L, ts("2024-01-15 10:05:00"), 7L, "view"),   // same run
+      (3L, ts("2024-01-15 10:10:00"), 7L, "click"),  // closes view run
+      (4L, ts("2024-01-15 10:20:00"), 7L, "view"),   // closes click run
+      (5L, ts("2024-01-15 09:00:00"), 8L, "purchase"),
+      (6L, ts("2024-01-15 09:30:00"), 8L, "view"),   // closes purchase
+      (7L, ts("2024-01-15 11:00:00"), 9L, "view")    // stays open: no emit
+    )
+    rows.toDF("event_id", "ts", "user_id", "event_type").write.parquet(dir)
+
+    val streamed = StreamingOps.runToMemory(spark,
+        StreamingOps.streamingScd2(spark, dir, schema).toDF(),
+        "sscd2_out", outputMode = "append")
+      .select("user_id", "state", "valid_from", "valid_to", "n_events")
+      .as[(Long, String, Timestamp, Timestamp, Long)].collect().toSet
+
+    val batch = graft.operators.RelationalOps.scd2Intervals(
+        rows.toDF("event_id", "ts", "user_id", "event_type")
+          .select("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type")
+      .where($"valid_to".isNotNull) // the stream emits closed runs only
+      .select("user_id", "state", "valid_from", "valid_to", "n_events")
+      .as[(Long, String, Timestamp, Timestamp, Long)].collect().toSet
+
+    assert(streamed === batch)
+    assert(streamed.size === 3) // view→click, click→view (u7), purchase (u8)
+  }
+
   test("streamingAppendToStore: file stream lands exactly the source rows") {
     val src = Files.createTempDirectory("graft-sapp").toString + "/ev"
     val ckpt = Files.createTempDirectory("graft-sapp-ck").toString

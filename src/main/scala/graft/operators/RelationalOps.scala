@@ -103,11 +103,20 @@ object RelationalOps {
           lag(col(state), 1).over(wOrd) =!= col(state), 1).otherwise(0))
       .withColumn("_run", sum(col("_chg")).over(
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val wRun = Window.partitionBy(key).orderBy(col("_run"))
-    runs.groupBy(col(key), col("_run"), col(state).as("state"))
-      .agg(min(col(ts)).as("valid_from"), count(lit(1)).as("n_events"))
-      .withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
+    // per-run rollup as a (key, _run) window, NOT a groupBy: hash
+    // partitioning on `key` already clusters (key, _run), so this whole
+    // chain is ONE shuffle — a groupBy(key, _run) would re-exchange on
+    // the composite key. The run's first event (_chg = 1) is its
+    // surviving interval row.
+    val wRun = Window.partitionBy(col(key), col("_run"))
+    val wNext = Window.partitionBy(key).orderBy(col("_run"))
+    runs
+      .withColumn("n_events", count(lit(1)).over(wRun))
+      .where(col("_chg") === 1) // the run's first event: its ts IS valid_from
+      .withColumn("valid_to", lead(col(ts), 1).over(wNext))
       .withColumn("is_current", col("valid_to").isNull)
-      .drop("_run")
+      .select(col(key), col(state).as("state"),
+        col(ts).as("valid_from"), col("n_events"), col("valid_to"),
+        col("is_current"))
   }
 }

@@ -184,6 +184,20 @@ class PlanAuditSpec extends AnyFunSuite {
         s"${shuffles.size}:\n${df.queryExecution.executedPlan}")
   }
 
+  test("scd2 interval build costs one shuffle (windows share the key exchange)") {
+    val df = q("scd2_user_state")
+    df.collect()
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike => e
+    }
+    // one exchange on the key feeds all three windows (the (key,_run)
+    // window is clustered by the key hash already); the final orderBy
+    // adds its range exchange
+    assert(shuffles.size <= 2,
+      s"scd2 should shuffle once (+1 for output order), got " +
+        s"${shuffles.size}:\n${df.queryExecution.executedPlan}")
+  }
+
   test("TPC-H adaptations broadcast every dim side (no sort-merge joins)") {
     // dims (nation/region/supplier/filtered part/one-row scalars) must
     // ride broadcasts; the only shuffles these plans may pay are for

@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.rollingHashDescriptor)
     e.injectFunction(GraftFunctions.distinctWGramCountDescriptor)
     e.injectFunction(GraftFunctions.hexBitSignsDescriptor)
+    e.injectFunction(GraftFunctions.wordShinglesDescriptor)
     // transparent HOF → native-expression acceleration
     e.injectOptimizerRule(_ => graft.plans.CountInSetRewrite)
   }
@@ -98,6 +99,13 @@ object GraftFunctions {
     (exprs: Seq[Expression]) => HexBitSigns(exprs(0),
       litInt(exprs(1), "hex_bit_signs")))
 
+  private[functions] val wordShinglesDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_shingles"),
+    new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+    (exprs: Seq[Expression]) => WordShingles(exprs(0),
+      litInt(exprs(1), "word_shingles")))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
@@ -111,6 +119,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hex_bit_signs", exprs => HexBitSigns(exprs(0),
         litInt(exprs(1), "hex_bit_signs")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", exprs => WordShingles(exprs(0),
+        litInt(exprs(1), "word_shingles")), "scala_udf")
     // idempotent: replace, never append twice
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations

@@ -28,29 +28,18 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Word w-shingles (default w=3) of lowercased whitespace tokens,
-    * distinct per document. */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val toks = split(trim(lower(text)), "\\s+")
-    array_distinct(
-      when(size(toks) < w, array(concat_ws(" ", toks)))
-        .otherwise(transform(sequence(lit(0), size(toks) - w),
-          i => concat_ws(" ", slice(toks, i + 1, lit(w))))))
-  }
+    * distinct per document. Native one-pass expression ([[
+    * graft.functions.WordShingles]]) — the equivalent `transform` +
+    * `slice` + `concat_ws` + `array_distinct` chain interprets five
+    * collection expressions per window. */
+  def shingles(text: Column, w: Int = 3): Column =
+    graft.functions.TextFunctions.word_shingles(text, w)
 
   /** Long-form distinct RAW shingles: one row per (doc_id, shingle).
-    * Single explode pass. The token array is materialized as a column
-    * BEFORE the shingle lambda — otherwise the regex split re-executes
-    * per lambda element (O(words²) regex work per document). */
-  def docShinglesRaw(documents: DataFrame, w: Int = 3): DataFrame = {
-    val toks = col("toks")
-    documents
-      .select(col("doc_id"),
-        split(trim(lower(col("text"))), "\\s+").as("toks"))
-      .select(col("doc_id"), explode(array_distinct(
-        when(size(toks) < w, array(concat_ws(" ", toks)))
-          .otherwise(transform(sequence(lit(0), size(toks) - w),
-            i => concat_ws(" ", slice(toks, i + 1, lit(w))))))).as("shingle"))
-  }
+    * Single explode pass over the native per-document shingle array. */
+  def docShinglesRaw(documents: DataFrame, w: Int = 3): DataFrame =
+    documents.select(col("doc_id"),
+      explode(shingles(col("text"), w)).as("shingle"))
 
   /** Long-form distinct shingle digests: (doc_id, sh = md5(shingle)).
     * The md5 form is SEMANTIC for MinHash (signatures are mins over

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{BillingOps, Dedup, MergeOps, Multimodal, PipelineOps, RelationalOps, Similarity, Sketches, SkewOps, TextOps, TopK}
+import graft.operators.{BillingOps, BloomOps, Dedup, MergeOps, Multimodal, PipelineOps, RelationalOps, Similarity, Sketches, SkewOps, TextOps, TopK}
 import graft.streaming.StreamingOps
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -1550,6 +1550,37 @@ object SparkEntry {
           key = "user_id", ts = "ts", state = "event_type")
         .orderBy(col("user_id"), col("valid_from"), col("state"))),
 
+    // ---- snapshot diff: derive a CDC stream from two full dumps ----
+    // Two deterministic snapshots of `orders`: the old one misses every
+    // 5th key, the new one misses every 7th and reprices every 3rd —
+    // so the diff exercises all three ops plus the dropped-unchanged
+    // bulk in one query.
+    "snapshot_diff" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val oldSnap = orders.where(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val newSnap = orders.where(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + lit(10.0))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      RelationalOps.snapshotDiff(oldSnap, newSnap,
+          keys = Seq("o_orderkey"),
+          compare = Seq("o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- bloom-prefiltered semi join (non-broadcastable dim path) ----
+    "bloom_semi_join" -> ((s, dir) =>
+      BloomOps.bloomSemiJoin(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+          t(s, dir, "orders")
+            .where(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey")),
+          factKey = "l_orderkey", dimKey = "o_orderkey",
+          expectedItems = 100000L)
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // ---- recursive CTE (Spark 4): BFS over the customer-key tree ----
     "sql_recursive_tree" -> ((s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("v_customer")
@@ -2865,6 +2896,34 @@ object SparkEntry {
         |FROM g
         |WINDOW w2 AS (PARTITION BY user_id ORDER BY run)
         |ORDER BY user_id, valid_from, state""".stripMargin,
+
+    "snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey,
+        |  o_orderstatus AS old_o_orderstatus,
+        |  o_totalprice AS old_o_totalprice
+        | FROM orders WHERE o_orderkey % 5 <> 0),
+        |n AS (SELECT o_orderkey,
+        |  o_orderstatus AS new_o_orderstatus,
+        |  CASE WHEN o_orderkey % 3 = 0
+        |    THEN o_totalprice + CAST(10 AS DOUBLE)
+        |    ELSE o_totalprice END AS new_o_totalprice
+        | FROM orders WHERE o_orderkey % 7 <> 0),
+        |j AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  old_o_orderstatus, old_o_totalprice,
+        |  new_o_orderstatus, new_o_totalprice,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |       WHEN n.o_orderkey IS NULL THEN 'delete'
+        |       WHEN (old_o_orderstatus IS DISTINCT FROM new_o_orderstatus)
+        |         OR (old_o_totalprice IS DISTINCT FROM new_o_totalprice)
+        |       THEN 'update' END AS op
+        | FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT * FROM j WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+
+    "bloom_semi_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q22_dormant_value" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,

@@ -119,4 +119,43 @@ object RelationalOps {
         col(ts).as("valid_from"), col("n_events"), col("valid_to"),
         col("is_current"))
   }
+
+  /** Snapshot diff (CDC derivation): given two keyed snapshots of the
+    * same table, emit one row per changed key with
+    * `op ∈ {insert, update, delete}` plus the old/new value of every
+    * compared column (`old_<c>` / `new_<c>`; absent side → NULL).
+    * Inserts are keys only in `newSnap`, deletes only in `oldSnap`,
+    * updates are keys in both where ANY compared column differs
+    * null-safely (`IS DISTINCT FROM`); unchanged keys are dropped.
+    * This is how an incremental pipeline turns periodic full dumps
+    * into a change stream without the source emitting one.
+    *
+    * Scale: ONE full-outer hash join on the key — each side shuffles
+    * once (zero shuffles if both snapshots are bucketed on the key),
+    * and the unchanged bulk (normally ~all of a 100 TB snapshot pair)
+    * is filtered in the join's own stage before anything downstream
+    * sees it. Presence is detected with per-side marker literals, not
+    * key-null checks, so NULLs in compared columns stay legitimate
+    * values. Keys must be non-null (snapshot keys are primary keys).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keys: Seq[String], compare: Seq[String]): DataFrame = {
+    val o = oldSnap.select(
+      keys.map(col) ++ compare.map(c => col(c).as(s"old_$c")) :+
+        lit(1).as("_old_present"): _*)
+    val n = newSnap.select(
+      keys.map(col) ++ compare.map(c => col(c).as(s"new_$c")) :+
+        lit(1).as("_new_present"): _*)
+    val joined = o.join(n, keys, "full_outer")
+    val differs = compare
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    joined
+      .withColumn("op",
+        when(col("_old_present").isNull, lit("insert"))
+          .when(col("_new_present").isNull, lit("delete"))
+          .when(differs, lit("update")))
+      .where(col("op").isNotNull)
+      .drop("_old_present", "_new_present")
+  }
 }

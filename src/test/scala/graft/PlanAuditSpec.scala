@@ -23,6 +23,31 @@ class PlanAuditSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Every node of the executed plan, descending through the AQE
+    * wrappers (`AdaptiveSparkPlanExec` and `QueryStageExec` are LEAF
+    * nodes to TreeNode.collect, so a naive collect sees nothing below
+    * them and shuffle-count assertions pass vacuously). */
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val below = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(s.plan)
+      case other => other.children
+    }
+    p +: below.flatMap(flatten)
+  }
+
+  /** Distinct data shuffles the query executed (reused exchanges count
+    * once — a reuse is free at runtime). */
+  private def shufflesOf(df: DataFrame): Seq[ShuffleExchangeLike] = {
+    df.collect()
+    flatten(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeLike => e }
+      .distinct
+  }
+
   test("daily event slice pushes its date bounds into the parquet scan") {
     val plan = planOf(q("f2_daily_event_filter"))
     assert(plan.contains("PushedFilters: [IsNotNull(ts), " +
@@ -109,15 +134,12 @@ class PlanAuditSpec extends AnyFunSuite {
   test("IVF cell assignment adds no shuffle and no row expansion") {
     val df = q("ann_ivf_topk")
     df.collect()
-    val plan = df.queryExecution.executedPlan
-    val planStr = plan.toString
+    val planStr = df.queryExecution.executedPlan.toString
     // assignment is a per-row argmax over broadcast-literal centroids:
     // the only exchanges allowed are the final top-k window partitioning
     // and the output ordering — the old corpus×centroids formulation had
     // an extra window shuffle over the nCells-times-expanded corpus
-    val shuffles = plan.collect {
-      case e: ShuffleExchangeLike => e
-    }
+    val shuffles = shufflesOf(df)
     assert(shuffles.size <= 2,
       s"cell assignment must not shuffle (got ${shuffles.size}):\n$planStr")
     assert(!planStr.contains("CartesianProduct"),
@@ -173,10 +195,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("as-of join costs exactly one shuffle (union+window, no theta)") {
     val df = q("join_asof_last_view")
-    df.collect()
-    val shuffles = df.queryExecution.executedPlan.collect {
-      case e: ShuffleExchangeLike => e
-    }
+    val shuffles = shufflesOf(df)
     // one exchange for the window partitioning; the final orderBy adds
     // a range exchange — anything beyond that means the rewrite broke
     assert(shuffles.size <= 2,
@@ -186,15 +205,38 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("scd2 interval build costs one shuffle (windows share the key exchange)") {
     val df = q("scd2_user_state")
-    df.collect()
-    val shuffles = df.queryExecution.executedPlan.collect {
-      case e: ShuffleExchangeLike => e
-    }
+    val shuffles = shufflesOf(df)
     // one exchange on the key feeds all three windows (the (key,_run)
     // window is clustered by the key hash already); the final orderBy
     // adds its range exchange
     assert(shuffles.size <= 2,
       s"scd2 should shuffle once (+1 for output order), got " +
+        s"${shuffles.size}:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("bloom prefilter probes the fact side BELOW the join") {
+    val df = q("bloom_semi_join")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // the probe must run in the fact scan stage, under the join node,
+    // so pruned rows never reach the join (and at scale, its shuffle)
+    val joins = flatten(plan).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, s"expected a join:\n$plan")
+    assert(joins.exists(_.children.exists(
+        _.toString.contains("might_contain_long"))),
+      s"bloom probe must sit below the join, in the fact branch:\n$plan")
+  }
+
+  test("snapshot diff costs one exchange per side (single full-outer join)") {
+    val df = q("snapshot_diff")
+    val shuffles = shufflesOf(df)
+    // two key exchanges feed the join (zero if bucketed inputs); the
+    // final orderBy adds its range exchange — more means the op/changed
+    // projection broke into extra stages
+    assert(shuffles.size <= 3,
+      s"snapshot diff should be one join (2 exchanges +1 order), got " +
         s"${shuffles.size}:\n${df.queryExecution.executedPlan}")
   }
 

@@ -475,6 +475,13 @@ object SparkEntry {
           threshold = 0.42, idModulus = 2)
         .orderBy("id_a", "id_b")),
 
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      // the scale path of dedup_embedding_cosine: banded sign-LSH
+      // candidates (ids only on the shuffle), exact cosine verify
+      Similarity.lshNearDupPairs(t(s, dir, "embeddings"),
+          threshold = 0.42, bands = 8, rowsPerBand = 6, dims = 64)
+        .orderBy("id_a", "id_b")),
+
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 8), k = 5,
@@ -1619,6 +1626,18 @@ object SparkEntry {
     }.mkString("(", " + ", ")")
   }
 
+  /** Band `b`'s sign-LSH signature (rowsPerBand bits) — replicates
+    * `Similarity.lshNearDupPairs`'s banding of the same plane matrix. */
+  private def duckBandSig(vecCol: String, b: Int, rowsPerBand: Int,
+      bands: Int, dims: Int): String = {
+    val m = graft.operators.Similarity.signMatrix(bands * rowsPerBand, dims)
+    (0 until rowsPerBand).map { r =>
+      val arr = m(b * rowsPerBand + r).map(v => if (v > 0) "1" else "-1")
+        .mkString("[", ",", "]")
+      s"(CASE WHEN ${duckDot(vecCol, arr)} > 0 THEN ${1 << r} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
   /** 4-hex-digit big-endian value parsed from position `start` (1-based)
     * of hex string column `h` — replicates `Long.parseLong(hex, 16)`. */
   private def duckHex4(h: String, start: Int): String =
@@ -2143,6 +2162,24 @@ object SparkEntry {
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos FROM p WHERE cos >= CAST(0.42 AS DOUBLE)
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embedding_lsh" -> {
+      val (bands, rpb, dims) = (8, 6, 64)
+      val bd = (0 until bands).map(b =>
+        s"SELECT vec_id, $b AS band, ${duckBandSig("v", b, rpb, bands, dims)}" +
+          " AS band_sig FROM e").mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bd AS ($bd),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bd a JOIN bd b ON a.band = b.band
+         |    AND a.band_sig = b.band_sig AND a.vec_id < b.vec_id),
+         |n AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e),
+         |p AS (SELECT id_a, id_b,
+         |  ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+         |  FROM cand JOIN n q ON id_a = q.vec_id JOIN n c ON id_b = c.vec_id)
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= CAST(0.42 AS DOUBLE)
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "emb_norms" ->
       s"""SELECT vec_id, sqrt(${duckDot(

@@ -179,6 +179,54 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Banded sign-LSH near-duplicate pairs — the 100 TB scale path for
+    * [[cosineNearDupPairs]]. The `bands × rowsPerBand` hyperplane bits
+    * split into bands; two vectors become a CANDIDATE pair iff they
+    * agree on every bit of at least one band (minhash banding applied
+    * to sign-LSH), and only candidates pay the exact cosine verify —
+    * every reported score is exact. Recall < 1 by construction: a pair
+    * disagreeing somewhere in every band is missed; raise recall with
+    * more bands, precision/cost with more rows per band (bucket count
+    * per band is 2^rowsPerBand — grow rowsPerBand with the corpus so
+    * buckets stay small).
+    *
+    * Scale: only (vec_id, band, band_sig) — ~16 bytes × bands per
+    * vector, never the embeddings — reaches the candidate self-join's
+    * shuffle, and candidate ids are distinct'd BEFORE the embeddings
+    * join back for the verify, so each surviving pair moves exactly
+    * two vectors. Compare the brute variant: 100 TB of embeddings
+    * through an n² theta join vs. a few hundred GB of band keys.
+    * Deterministic plane signs (md5-derived, data-independent,
+    * driver-computed literals) make results reproducible and
+    * replicable in the DuckDB oracle. */
+  def lshNearDupPairs(embeddings: DataFrame, threshold: Double,
+      bands: Int = 8, rowsPerBand: Int = 6, dims: Int = 64): DataFrame = {
+    val m = signMatrix(bands * rowsPerBand, dims)
+    def bandSig(b: Int): Column =
+      (0 until rowsPerBand).map { r =>
+        when(vec_dot(col("embedding"),
+            typedLit(m(b * rowsPerBand + r).toSeq)) > 0, lit(1 << r))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+    val banded = embeddings
+      .select(col("vec_id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandSig(b).as("band_sig"))): _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"),
+        col("bs.band_sig").as("band_sig"))
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_sig") === col("b.band_sig") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val n = withNorm(embeddings)
+    candidates
+      .join(n.as("q"), col("id_a") === col("q.vec_id"))
+      .join(n.as("c"), col("id_b") === col("c.vec_id"))
+      .select(col("id_a"), col("id_b"), pairCos.as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs within a deterministic id
     * subset (`vec_id % idModulus == 0`), cosine ≥ threshold. Brute
     * pairwise on the subset — the LSH variant above is the scale path. */

@@ -229,6 +229,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bloom probe must sit below the join, in the fact branch:\n$plan")
   }
 
+  test("LSH near-dup banding shuffles ids only, never the embeddings") {
+    val df = q("dedup_embedding_lsh")
+    df.collect()
+    val exchanges = flatten(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeLike => e }
+    // the candidate self-join moves only (vec_id, band, band_sig) —
+    // at test scale one side rides a broadcast instead of a shuffle,
+    // so assert over BOTH exchange kinds: wherever the banded stream
+    // crosses the wire, a 64-float embedding column riding along would
+    // be the 100 TB failure mode this operator exists to avoid
+    val broadcasts = flatten(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike => e
+    }
+    val bandingMoves = (exchanges ++ broadcasts).filter(
+      _.output.exists(_.name == "band_sig"))
+    assert(bandingMoves.nonEmpty,
+      s"expected the banded candidate stream to cross an exchange:\n" +
+        s"${df.queryExecution.executedPlan}")
+    bandingMoves.foreach { e =>
+      assert(!e.output.exists(_.name == "embedding"),
+        s"embedding column must not ride the banding exchange: ${e.output}")
+    }
+  }
+
   test("snapshot diff costs one exchange per side (single full-outer join)") {
     val df = q("snapshot_diff")
     val shuffles = shufflesOf(df)

@@ -239,6 +239,33 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(!out.contains(2L), "opposite vector must hash to another bucket")
   }
 
+  test("LSH near-dup pairs: subset of brute force with identical scores, " +
+      "identical vectors always recalled") {
+    // deterministic pseudo-random corpus with planted duplicates
+    val emb = (0L until 60L).map { i =>
+      val base = Array.tabulate(8)(d =>
+        math.sin(1.0 + i % 20 * 31.0 + d * 7.0).toFloat)
+      (i, base) // i and i+20 and i+40 share a direction → near-dups
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.cosineNearDupPairs(emb, threshold = 0.9)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Similarity.lshNearDupPairs(emb, threshold = 0.9,
+        bands = 6, rowsPerBand = 3, dims = 8)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(lsh.keySet.subsetOf(brute.keySet),
+      "LSH may miss pairs but must never invent them")
+    lsh.foreach { case (k, c) =>
+      assert(c == brute(k), s"verify must be exact for $k") }
+    // identical vectors agree on every hyperplane → collide in every
+    // band → recall 1 for exact duplicates, by construction
+    val exactDups = (0L until 20L).flatMap(i =>
+      Seq((i, i + 20), (i, i + 40), (i + 20, i + 40)))
+    exactDups.foreach { p =>
+      assert(lsh.contains(p), s"exact duplicate pair $p must be recalled") }
+  }
+
   test("text ops: token counts, quality bounds, langid, rolling hash") {
     val df = Seq(
       (0L, "The quick brown fox, it jumps over the lazy dog!"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{BillingOps, BloomOps, Dedup, MergeOps, Multimodal, PipelineOps, RelationalOps, Similarity, Sketches, SkewOps, TextOps, TopK}
+import graft.operators.{AnalyticsOps, BillingOps, BloomOps, Dedup, MergeOps, Multimodal, PipelineOps, RelationalOps, Similarity, Sketches, SkewOps, TextOps, TopK}
 import graft.streaming.StreamingOps
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -1576,6 +1576,53 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ---- incremental aggregate maintenance from the CDC stream ----
+    // The snapshot pair from `snapshot_diff`, plus status migration
+    // (every 11th key moves to group 'X'), maintained incrementally:
+    // base aggregate of the OLD snapshot + applyDiffToSumCount over
+    // the diff ≡ full recompute of the NEW snapshot — which is exactly
+    // what the oracle computes directly.
+    "incr_agg_maintenance" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val oldSnap = orders.where(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val newSnap = orders.where(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 11 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + lit(10.0))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      val base = oldSnap.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).as("sm"))
+      val diff = RelationalOps.snapshotDiff(oldSnap, newSnap,
+        keys = Seq("o_orderkey"),
+        compare = Seq("o_orderstatus", "o_totalprice"))
+      RelationalOps.applyDiffToSumCount(base, diff,
+          key = "o_orderstatus", value = "o_totalprice")
+        .select(col("o_orderstatus"), col("cnt"),
+          col("sm").cast("double").as("sm"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- product analytics over the event log ----
+    "analytics_cohort_retention" -> ((s, dir) =>
+      AnalyticsOps.cohortRetention(events(s, dir))
+        .orderBy("cohort_date", "day_offset")),
+
+    "analytics_funnel" -> ((s, dir) =>
+      AnalyticsOps.orderedFunnel(events(s, dir),
+          stages = Seq("view", "click", "purchase"))
+        .orderBy("stage")),
+
+    "analytics_equidepth_hist" -> ((s, dir) =>
+      AnalyticsOps.equiDepthHistogram(events(s, dir), "value", nBuckets = 8)
+        .orderBy("bucket")),
+
+    "text_top_terms" -> ((s, dir) =>
+      AnalyticsOps.topTermsPerDoc(t(s, dir, "documents"), k = 3)
+        .orderBy("doc_id", "rank")),
+
     // ---- bloom-prefiltered semi join (non-broadcastable dim path) ----
     "bloom_semi_join" -> ((s, dir) =>
       BloomOps.bloomSemiJoin(
@@ -2961,6 +3008,82 @@ object SparkEntry {
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
         |  WHERE o_orderpriority = '1-URGENT')
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the oracle recomputes the NEW snapshot's aggregate DIRECTLY —
+    // the Spark side must reach the same state incrementally
+    "incr_agg_maintenance" ->
+      """WITH n AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END
+        |    AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 3 = 0
+        |    THEN o_totalprice + CAST(10 AS DOUBLE)
+        |    ELSE o_totalprice END AS o_totalprice
+        | FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sm
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "analytics_cohort_retention" ->
+      """WITH pu AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |c AS (SELECT u, min(d) AS cohort_date FROM pu GROUP BY u)
+        |SELECT c.cohort_date,
+        | CAST(date_diff('day', c.cohort_date, pu.d) AS INTEGER)
+        |   AS day_offset,
+        | CAST(count(*) AS BIGINT) AS n_users
+        |FROM pu JOIN c ON pu.u = c.u
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "analytics_funnel" ->
+      """WITH pu AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS m0,
+        |  min(CASE WHEN event_type = 'click' THEN ts END) AS m1,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS m2
+        | FROM events GROUP BY user_id),
+        |f AS (SELECT
+        |  (m0 IS NOT NULL) AS r1,
+        |  (m0 IS NOT NULL AND m1 > m0) AS r2,
+        |  (m0 IS NOT NULL AND m1 > m0 AND m2 > m1) AS r3 FROM pu)
+        |SELECT 1 AS stage, 'view' AS stage_name,
+        |  CAST(count(*) FILTER (r1) AS BIGINT) AS n_users FROM f
+        |UNION ALL SELECT 2, 'click',
+        |  CAST(count(*) FILTER (r2) AS BIGINT) FROM f
+        |UNION ALL SELECT 3, 'purchase',
+        |  CAST(count(*) FILTER (r3) AS BIGINT) FROM f
+        |ORDER BY stage""".stripMargin,
+
+    "analytics_equidepth_hist" ->
+      """WITH counts AS (SELECT value AS v, count(*) AS n FROM events
+        |  WHERE value IS NOT NULL GROUP BY value),
+        |cum AS (SELECT v, n,
+        |  COALESCE(CAST(sum(n) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |    0) AS cum_before,
+        |  CAST(sum(n) OVER () AS BIGINT) AS total FROM counts)
+        |SELECT cum_before * 8 // total AS bucket,
+        | CAST(count(*) AS BIGINT) AS n_values,
+        | CAST(sum(n) AS BIGINT) AS n_rows,
+        | min(v) AS lo, max(v) AS hi
+        |FROM cum GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "text_top_terms" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        | FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        | FROM tok GROUP BY doc_id, token),
+        |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        | FROM tf GROUP BY token),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        | FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+        |  CAST(tf.tf AS DOUBLE) * CAST(nd.n_docs AS DOUBLE)
+        |    / CAST(dfq.df AS DOUBLE) AS score
+        | FROM tf JOIN dfq ON tf.token = dfq.token CROSS JOIN nd),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY score DESC, token ASC) AS INTEGER) AS rank FROM sc)
+        |SELECT doc_id, rank, token, tf, df, score FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
 
     "q22_dormant_value" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,

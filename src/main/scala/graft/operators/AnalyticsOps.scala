@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over the event log — the query family a
+  * pipeline team runs beside billing: cohort retention, ordered
+  * funnels, equi-depth histograms, per-document keyword extraction.
+  * All are built from the reference's own primitives (conditional
+  * aggregation, windows, explode) — see SURVEY.md §2.4/§2.5 — composed
+  * into the standard formulations; each holds a DuckDB oracle.
+  */
+object AnalyticsOps {
+
+  /** Cohort retention: users grouped by their first-activity date
+    * (cohort), counted on each later active day as (cohort_date,
+    * day_offset, n_users).
+    *
+    * Scale: ONE shuffle on user_id produces BOTH the cohort date and
+    * the distinct active-day set in the same aggregation (partial aggs
+    * collapse duplicate (user, day) rows map-side; the set is bounded
+    * by the retention horizon in days, not by event volume), then one
+    * small shuffle on (cohort, offset). The naive two-pass form —
+    * cohort table joined back to the event log — re-shuffles the full
+    * log a second time.
+    */
+  def cohortRetention(events: DataFrame, user: String = "user_id",
+      ts: String = "ts"): DataFrame = {
+    val perUser = events
+      .select(col(user).as("u"), to_date(col(ts)).as("d"))
+      .groupBy(col("u"))
+      .agg(min(col("d")).as("cohort_date"), collect_set(col("d")).as("days"))
+    perUser
+      .select(col("u"), col("cohort_date"), explode(col("days")).as("d"))
+      .groupBy(col("cohort_date"),
+        datediff(col("d"), col("cohort_date")).as("day_offset"))
+      // (u, d) pairs are unique by construction, so count ≡ distinct users
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Ordered (first-touch) funnel: a user reaches stage k iff the first
+    * occurrence of every earlier stage exists and the first occurrences
+    * are strictly increasing in time — `min_ts(s1) < min_ts(s2) < …` .
+    * Output: (stage, stage_name, n_users) with n_users monotonically
+    * non-increasing down the funnel.
+    *
+    * Scale: one shuffle on user_id computes every stage's conditional
+    * min in a single hash aggregation (k columns, not k passes); the
+    * per-user max-stage histogram is ≤ k+1 rows, and the suffix
+    * accumulation ("reached ≥ k") explodes that tiny histogram instead
+    * of windowing over users.
+    */
+  def orderedFunnel(events: DataFrame, stages: Seq[String],
+      user: String = "user_id", ts: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(stages.nonEmpty)
+    val mins = stages.zipWithIndex.map { case (st, i) =>
+      min(when(col(typeCol) === st, col(ts))).as(s"m$i")
+    }
+    val perUser = events.groupBy(col(user)).agg(mins.head, mins.tail: _*)
+    // reached(k) = m0..mk all present and strictly ordered; a NULL min
+    // or an out-of-order pair nulls/falses the conjunction
+    val reached = stages.indices.map { i =>
+      (col("m0").isNotNull +: (1 to i).map(j =>
+        col(s"m$j") > col(s"m${j - 1}"))).reduce(_ && _)
+    }
+    // flags are monotone, so the highest stage reached is their sum
+    val maxStage = reached
+      .map(r => when(r, lit(1)).otherwise(lit(0))).reduce(_ + _)
+    val hist = perUser.select(maxStage.as("max_stage"))
+      .groupBy(col("max_stage")).agg(count(lit(1)).as("n"))
+    val names = map(stages.zipWithIndex.flatMap { case (st, i) =>
+      Seq(lit(i + 1), lit(st))
+    }: _*)
+    hist.where(col("max_stage") >= 1)
+      .select(explode(sequence(lit(1), col("max_stage"))).as("stage"),
+        col("n"))
+      .groupBy(col("stage"))
+      .agg(sum(col("n")).as("n_users"))
+      .select(col("stage"), element_at(names, col("stage")).as("stage_name"),
+        col("n_users"))
+  }
+
+  /** Exact equi-depth histogram with value-atomic buckets: rows sort by
+    * value, split into `nBuckets` equal-row spans, and a value's rows
+    * never straddle buckets (each value lands in the bucket of its
+    * first row). Output per bucket: distinct values, row count, lo/hi
+    * bounds.
+    *
+    * Scale: the ordering window runs over the DISTINCT-value frame
+    * (one row per value, built by a hash aggregation of the input),
+    * not over raw rows — the log's billions of rows never sort. The
+    * bound is distinct-value cardinality; for genuinely unbounded
+    * metrics the sketch path (`percentile_approx` boundaries, see
+    * `agg_quantiles`) replaces exactness. Bucket ids use integral
+    * floor-division — no IEEE rounding at bucket edges.
+    */
+  def equiDepthHistogram(df: DataFrame, value: String,
+      nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.where(col(value).isNotNull)
+      .groupBy(col(value).as("v")).agg(count(lit(1)).as("n"))
+    val ord = Window.orderBy(col("v"))
+    val cum = counts
+      .withColumn("cum_before",
+        coalesce(sum(col("n")).over(ord.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("n")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    cum
+      .select(expr(s"cum_before * $nBuckets div total").as("bucket"),
+        col("v"), col("n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_values"), sum(col("n")).as("n_rows"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+  }
+
+  /** Per-document top-k salient terms — tf·idf ranking with the
+    * log-free idf surrogate `tf * N / df` (monotone in tf/df exactly
+    * like `tf·log(N/df)` for fixed tf; chosen because the engine's
+    * oracle-parity rules allow only IEEE +,-,*,/ per row, and ln(x)
+    * is not bit-reproducible across engines). Tokenization matches
+    * `PipelineOps.vocabulary` (lowercase, whitespace split).
+    *
+    * Scale: tf is one shuffle on (doc, token); df derives from the tf
+    * frame by a second, token-keyed aggregation of ALREADY-collapsed
+    * (doc, token) rows; the corpus-size scalar broadcasts. The final
+    * per-doc top-k is a window over tf rows — bounded by tokens per
+    * doc, partitioned by doc, no global sort.
+    */
+  def topTermsPerDoc(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = documents.select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+    val tf = tokens.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = documents.select(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs").cast("double") /
+          col("df").cast("double"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("df"), col("score"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class AnalyticsOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("orderedFunnel counts strictly-ordered first touches only") {
+    val events = Seq(
+      // u1 converts fully: view < click < purchase
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:10:00"), "purchase"),
+      // u2 clicked BEFORE first view → stops at stage 1
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 11:00:00"), "purchase"),
+      // u3 views and clicks, never purchases → stage 2
+      (3L, ts("2024-01-02 08:00:00"), "view"),
+      (3L, ts("2024-01-02 09:00:00"), "click"),
+      // u4 only purchases → stage 0, appears nowhere
+      (4L, ts("2024-01-03 12:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = AnalyticsOps
+      .orderedFunnel(events, Seq("view", "click", "purchase"))
+      .select("stage", "stage_name", "n_users")
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(out === Array((1, "view", 3L), (2, "click", 2L),
+      (3, "purchase", 1L)))
+  }
+
+  test("orderedFunnel: u2's purchase does not count (click out of order)") {
+    // regression pin: stage k requires ALL earlier stages in order, not
+    // just the immediately preceding one
+    val events = Seq(
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 11:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = AnalyticsOps
+      .orderedFunnel(events, Seq("view", "click", "purchase"))
+      .select("stage", "n_users").as[(Int, Long)].collect().toMap
+    assert(out === Map(1 -> 1L))
+  }
+
+  test("cohortRetention: cohort is first activity date, offsets count " +
+      "distinct users once per day") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-03 10:00:00")),
+      (2L, ts("2024-01-01 23:00:00")), (2L, ts("2024-01-03 01:00:00")),
+      (3L, ts("2024-01-02 09:00:00"))
+    ).toDF("user_id", "ts")
+    val out = AnalyticsOps.cohortRetention(events)
+      .select(col("cohort_date").cast("string"), col("day_offset"),
+        col("n_users"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(out === Set(
+      ("2024-01-01", 0, 2L), // u1, u2 on their first day (u1 counted once)
+      ("2024-01-01", 2, 2L), // both return on day 3
+      ("2024-01-02", 0, 1L)  // u3's own cohort
+    ))
+  }
+
+  test("equiDepthHistogram: buckets cover all rows, sizes near-equal, " +
+      "bounds ordered and value-atomic") {
+    val df = (1 to 1000).map(i => i % 97).toDF("value") // ties galore
+    val out = AnalyticsOps.equiDepthHistogram(df, "value", 4)
+      .orderBy("bucket")
+      .select("bucket", "n_values", "n_rows", "lo", "hi")
+      .as[(Long, Long, Long, Int, Int)].collect()
+    assert(out.map(_._3).sum === 1000L)
+    assert(out.length === 4)
+    // each bucket within one max-value-multiplicity of the ideal 250
+    out.foreach(b => assert(math.abs(b._3 - 250L) <= 11,
+      s"bucket sizes should be near-equal: $b"))
+    // bounds ordered, buckets disjoint
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 < b._4,
+        s"buckets must not overlap: $a, $b")
+      case _ => ()
+    }
+  }
+
+  test("topTermsPerDoc ranks rare-but-frequent terms above ubiquitous ones") {
+    val docs = Seq(
+      (0L, "alpha alpha alpha the the common"),
+      (1L, "the common beta beta"),
+      (2L, "the common gamma")
+    ).toDF("doc_id", "text")
+    val top1 = AnalyticsOps.topTermsPerDoc(docs, k = 1)
+      .select("doc_id", "token").as[(Long, String)].collect().toMap
+    // "the"/"common" appear in every doc (df=3) → crushed by idf;
+    // each doc's unique term wins
+    assert(top1 === Map(0L -> "alpha", 1L -> "beta", 2L -> "gamma"))
+  }
+}

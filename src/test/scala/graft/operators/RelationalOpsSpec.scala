@@ -115,6 +115,38 @@ class RelationalOpsSpec extends AnyFunSuite {
       (2L, "pro", ts("2024-01-04 00:00:00"), None, true, 1L)))
   }
 
+  test("applyDiffToSumCount ≡ full recompute: inserts, deletes, value " +
+      "updates, group migration, emptied groups") {
+    import org.apache.spark.sql.types.DecimalType
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("grp")).agg(count(lit(1)).as("cnt"),
+        sum(col("v").cast(DecimalType(18, 4))).as("sm"))
+    val oldSnap = Seq(
+      (1L, "a", 10.5), (2L, "a", 1.25), (3L, "b", 7.0), (4L, "c", 2.0)
+    ).toDF("id", "grp", "v")
+    val newSnap = Seq(
+      (1L, "a", 10.5),  // unchanged
+      (2L, "b", 1.25),  // migrates a → b
+      (3L, "b", 9.0),   // value update in place
+      // id 4 deleted → group c empties and must disappear
+      (5L, "d", 3.75)   // insert into a brand-new group
+    ).toDF("id", "grp", "v")
+    val diff = RelationalOps.snapshotDiff(oldSnap, newSnap,
+      keys = Seq("id"), compare = Seq("grp", "v"))
+    val incremental = RelationalOps
+      .applyDiffToSumCount(agg(oldSnap), diff, key = "grp", value = "v")
+      .select(col("grp"), col("cnt"), col("sm").cast("double").as("sm"))
+      .orderBy("grp")
+      .as[(String, Long, Double)].collect()
+    val direct = agg(newSnap)
+      .select(col("grp"), col("cnt"), col("sm").cast("double").as("sm"))
+      .orderBy("grp")
+      .as[(String, Long, Double)].collect()
+    assert(incremental === direct)
+    assert(incremental.map(_._1).toSeq === Seq("a", "b", "d"),
+      "emptied group c must be dropped")
+  }
+
   test("asofBackward plans one shuffle on the key, no theta join") {
     val left = Seq((1L, 1L, ts("2024-01-01 00:00:00")))
       .toDF("event_id", "user_id", "ts")

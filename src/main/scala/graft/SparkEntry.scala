@@ -1623,6 +1623,16 @@ object SparkEntry {
       AnalyticsOps.topTermsPerDoc(t(s, dir, "documents"), k = 3)
         .orderBy("doc_id", "rank")),
 
+    // ---- storage layout: Z-order (Morton) clustering value ----
+    // The curve value itself is oracle-checked; the file-skipping
+    // property it exists for is asserted physically in ZOrderSpec.
+    "layout_zvalue" -> ((s, dir) =>
+      t(s, dir, "lineitem").where(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+          graft.operators.LayoutOps.zValue(
+            Seq(col("l_orderkey"), col("l_partkey")), bits = 21).as("z"))
+        .orderBy("l_orderkey", "l_partkey", "l_linenumber")),
+
     // ---- bloom-prefiltered semi join (non-broadcastable dim path) ----
     "bloom_semi_join" -> ((s, dir) =>
       BloomOps.bloomSemiJoin(
@@ -1672,6 +1682,14 @@ object SparkEntry {
       s"(CASE WHEN ${duckDot(vecCol, arr)} > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
   }
+
+  /** Morton/Z-value bit interleave — replicates `LayoutOps.zValue`:
+    * bit j of column k lands at position j*ncols + k. */
+  private def duckZValue(cols: Seq[String], bits: Int): String =
+    cols.zipWithIndex.flatMap { case (c, k) =>
+      (0 until bits).map(j =>
+        s"((($c >> $j) & 1) << ${j * cols.size + k})")
+    }.mkString("(", " | ", ")")
 
   /** Band `b`'s sign-LSH signature (rowsPerBand bits) — replicates
     * `Similarity.lshNearDupPairs`'s banding of the same plane matrix. */
@@ -3008,6 +3026,12 @@ object SparkEntry {
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
         |  WHERE o_orderpriority = '1-URGENT')
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "layout_zvalue" ->
+      s"""SELECT l_orderkey, l_partkey, l_linenumber,
+         | ${duckZValue(Seq("l_orderkey", "l_partkey"), 21)} AS z
+         |FROM lineitem WHERE l_orderkey <= 2000
+         |ORDER BY l_orderkey, l_partkey, l_linenumber""".stripMargin,
 
     // the oracle recomputes the NEW snapshot's aggregate DIRECTLY —
     // the Spark side must reach the same state incrementally

@@ -176,6 +176,44 @@ object StreamingOps {
       .foreachBatch(idempotentBatchAppend(store, schema) _)
       .start()
 
+  /** One micro-batch of streaming aggregate maintenance: fold a batch
+    * of `RelationalOps.snapshotDiff` change rows into the stored
+    * per-key (cnt, sm) state at `statePath` — the streaming face of
+    * CDC-driven incremental aggregation. State is stamped with the
+    * batch id and a replayed batch (id ≤ the stored stamp) is a no-op,
+    * so at-least-once micro-batch delivery still yields exactly-once
+    * state: applying a diff twice would otherwise double-count, the
+    * same hazard `idempotentBatchAppend` guards for appends. The new
+    * state lands via `MergeOps.replaceTable`'s checked rename swap
+    * (write-new first, never a window without a live table). State
+    * size is O(#groups) regardless of stream age; the DECIMAL sums
+    * telescope exactly, so state after N batches is bit-identical to
+    * a full recompute of the final snapshot. Factored out of the
+    * foreachBatch closure so replay is unit-testable. */
+  def maintainAggState(statePath: String, key: String, value: String)(
+      diff: DataFrame, batchId: Long): Unit = {
+    val s = diff.sparkSession
+    val state = s.read.parquet(statePath) // caller seeds initial state
+    val lastApplied = state.agg(max(col("_batch_id"))).head.getLong(0)
+    if (lastApplied < batchId) {
+      val next = graft.operators.RelationalOps
+        .applyDiffToSumCount(state.drop("_batch_id"), diff, key, value)
+        .withColumn("_batch_id", lit(batchId))
+      graft.operators.MergeOps.replaceTable(s, next, statePath)
+    }
+  }
+
+  /** Streaming CDC apply: a file stream of snapshotDiff rows keeps the
+    * aggregate state table current without ever rescanning history. */
+  def streamingAggMaintenance(spark: SparkSession, sourceDir: String,
+      diffSchema: StructType, key: String, value: String,
+      statePath: String, checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(diffSchema).parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(maintainAggState(statePath, key, value) _)
+      .start()
+
   /** Streaming SCD2: the incremental twin of
     * `RelationalOps.scd2Intervals`. Per key, `flatMapGroupsWithState`
     * keeps exactly ONE open run in the state store (O(#keys) state,

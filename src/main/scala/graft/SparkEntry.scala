@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{AnalyticsOps, BillingOps, BloomOps, Dedup, MergeOps, Multimodal, PipelineOps, RelationalOps, Similarity, Sketches, SkewOps, TextOps, TopK}
+import graft.operators.{AnalyticsOps, BillingOps, BloomOps, Dedup, GraphOps, MergeOps, Multimodal, PipelineOps, RelationalOps, Similarity, Sketches, SkewOps, TextOps, TopK}
 import graft.streaming.StreamingOps
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -1623,6 +1623,30 @@ object SparkEntry {
       AnalyticsOps.topTermsPerDoc(t(s, dir, "documents"), k = 3)
         .orderBy("doc_id", "rank")),
 
+    // ---- interval overlap join (binned theta→equi decomposition) ----
+    // Two order-activity windows (disjoint customer segments, spans
+    // 0–7 days) joined on overlap. The bin width (16 d) sits near the
+    // span so candidate expansion stays ~2 rows per interval.
+    "join_interval_overlap" -> ((s, dir) => {
+      val o = t(s, dir, "orders").where(col("o_orderkey") <= 7500)
+      def iv(m: Int) = o.where(col("o_custkey") % 10 === m)
+        .select(col("o_orderkey").as("id"),
+          datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+            .cast("long").as("s"),
+          (datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+            .cast("long") + col("o_orderkey") % 8).as("e"))
+      RelationalOps.intervalOverlapJoin(iv(0), iv(5), binWidth = 16)
+        .orderBy("l_id", "r_id")
+    }),
+
+    // ---- PageRank (3 synchronous iterations, binary-tree edges) ----
+    "graph_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "customer").where(col("c_custkey") > 1)
+        .select(col("c_custkey").as("src"),
+          expr("c_custkey div 2").as("dst"))
+      GraphOps.pageRank(edges, iters = 3).orderBy("node")
+    }),
+
     // ---- storage layout: Z-order (Morton) clustering value ----
     // The curve value itself is oracle-checked; the file-skipping
     // property it exists for is asserted physically in ZOrderSpec.
@@ -3026,6 +3050,54 @@ object SparkEntry {
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
         |  WHERE o_orderpriority = '1-URGENT')
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the oracle is the PLAIN theta join — the binned decomposition
+    // must be exactly equivalent, with no duplicate pairs
+    "join_interval_overlap" ->
+      """WITH l AS (SELECT o_orderkey AS id,
+        |  date_diff('day', DATE '1970-01-01', o_orderdate) AS s,
+        |  date_diff('day', DATE '1970-01-01', o_orderdate)
+        |    + o_orderkey % 8 AS e
+        | FROM orders WHERE o_orderkey <= 7500 AND o_custkey % 10 = 0),
+        |r AS (SELECT o_orderkey AS id,
+        |  date_diff('day', DATE '1970-01-01', o_orderdate) AS s,
+        |  date_diff('day', DATE '1970-01-01', o_orderdate)
+        |    + o_orderkey % 8 AS e
+        | FROM orders WHERE o_orderkey <= 7500 AND o_custkey % 10 = 5)
+        |SELECT l.id AS l_id, r.id AS r_id, l.s AS l_s, l.e AS l_e,
+        | r.s AS r_s, r.e AS r_e,
+        | least(l.e, r.e) - greatest(l.s, r.s) + 1 AS overlap
+        |FROM l JOIN r ON l.s <= r.e AND r.s <= l.e
+        |ORDER BY l_id, r_id""".stripMargin,
+
+    "graph_pagerank" -> {
+      val iters = (1 to 3).map { i =>
+        val prev = if (i == 1) "pr0" else s"pr${i - 1}"
+        s"""it$i AS (SELECT e.dst AS node,
+           |  CAST(SUM(CAST(p.pr / CAST(d.deg AS DOUBLE)
+           |    AS DECIMAL(38,18))) AS DOUBLE) AS s
+           |  FROM edges e JOIN $prev p ON e.src = p.node
+           |  JOIN deg d ON e.src = d.src GROUP BY e.dst),
+           |pr$i AS (SELECT n.node,
+           |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+           |    + CAST(0.85 AS DOUBLE) * COALESCE(it$i.s, CAST(0 AS DOUBLE))
+           |    AS pr
+           |  FROM nodes n CROSS JOIN nn
+           |  LEFT JOIN it$i ON n.node = it$i.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS (SELECT c_custkey AS src, c_custkey // 2 AS dst
+         |  FROM customer WHERE c_custkey > 1),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM edges
+         |  UNION ALL SELECT dst FROM edges)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |  FROM edges GROUP BY src),
+         |pr0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr
+         |  FROM nodes CROSS JOIN nn),
+         |$iters
+         |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
+    },
 
     "layout_zvalue" ->
       s"""SELECT l_orderkey, l_partkey, l_linenumber,

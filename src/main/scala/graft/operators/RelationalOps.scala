@@ -139,6 +139,46 @@ object RelationalOps {
     * key-null checks, so NULLs in compared columns stay legitimate
     * values. Keys must be non-null (snapshot keys are primary keys).
     */
+  /** Interval-overlap join via bin decomposition — the scale-safe form
+    * of the theta join `l.s <= r.e AND r.s <= l.e` (closed integral
+    * intervals). Each interval explodes to the fixed-width bins it
+    * covers, overlap candidates meet on an EQUI join over the bin id,
+    * and a pair is kept only in the LATER of the two start bins —
+    * every overlapping pair shares that bin, so the output is exact
+    * and duplicate-free with no distinct step.
+    *
+    * Scale: Spark plans a raw interval theta join as a broadcast
+    * nested loop (quadratic, undistributable when neither side fits
+    * a broadcast); the bin key turns it into an ordinary hash join
+    * whose shuffle is |rows| × (span/binWidth + 1). Pick binWidth
+    * near the typical interval span: row expansion stays ~2× while
+    * each bin holds only temporally-local rows — same candidate-
+    * bucket shape as the LSH band join. Long outlier intervals fatten
+    * their bin count, not the join's skew, because bins stay uniform.
+    *
+    * Inputs carry (`idCol`, `sCol`, `eCol`); output: both ids, both
+    * intervals, and the overlap length in the same integral units. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      binWidth: Long, idCol: String = "id", sCol: String = "s",
+      eCol: String = "e"): DataFrame = {
+    require(binWidth > 0)
+    // integral floor-division bins (non-negative domain): exact, no
+    // IEEE rounding at bin edges
+    def binned(df: DataFrame, side: String) = df.select(
+        col(idCol).as(s"${side}_id"), col(sCol).as(s"${side}_s"),
+        col(eCol).as(s"${side}_e"))
+      .withColumn("bin", explode(sequence(
+        expr(s"${side}_s div $binWidth"), expr(s"${side}_e div $binWidth"))))
+    binned(left, "l").join(binned(right, "r"), Seq("bin"))
+      .where(col("l_s") <= col("r_e") && col("r_s") <= col("l_e") &&
+        col("bin") === greatest(expr(s"l_s div $binWidth"),
+          expr(s"r_s div $binWidth")))
+      .select(col("l_id"), col("r_id"), col("l_s"), col("l_e"),
+        col("r_s"), col("r_e"),
+        (least(col("l_e"), col("r_e")) -
+          greatest(col("l_s"), col("r_s")) + lit(1L)).as("overlap"))
+  }
+
   /** Incremental aggregate maintenance: apply a [[snapshotDiff]] change
     * stream to stored per-key (cnt, sm) aggregate state, producing the
     * state the FULL aggregation of the new snapshot would produce —

@@ -229,6 +229,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bloom probe must sit below the join, in the fact branch:\n$plan")
   }
 
+  test("interval overlap join plans as a hash join, never a nested loop") {
+    val df = q("join_interval_overlap")
+    df.collect()
+    val planStr = df.queryExecution.executedPlan.toString
+    // the bin decomposition exists to turn the interval theta join
+    // into an equi join; a BNLJ/cartesian here means it regressed to
+    // the quadratic form
+    assert(!planStr.contains("BroadcastNestedLoopJoin") &&
+      !planStr.contains("CartesianProduct"),
+      s"binned overlap join must be an equi join:\n$planStr")
+  }
+
   test("LSH near-dup banding shuffles ids only, never the embeddings") {
     val df = q("dedup_embedding_lsh")
     df.collect()

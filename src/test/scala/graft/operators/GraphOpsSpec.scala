@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class GraphOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pageRank on a star graph: hub absorbs rank, leaves stay at base") {
+    // 4 leaves all pointing at node 0
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L))
+      .toDF("src", "dst")
+    val pr = GraphOps.pageRank(edges, iters = 2, checkpoint = false)
+      .as[(Long, Double)].collect().toMap
+    val n = 5.0
+    val base = (1.0 - 0.85) / n
+    // leaves receive nothing, ever
+    (1L to 4L).foreach(l => assert(pr(l) === base))
+    // hub after iter1: base + d*4*(1/n); leaves drop to base, so
+    // iter2: base + d*4*base — hand-computed fixpoint of the recurrence
+    assert(math.abs(pr(0L) - (base + 0.85 * 4 * base)) < 1e-12)
+    // dangling hub mass is dropped, not redistributed → total < 1
+    assert(pr.values.sum < 1.0)
+  }
+
+  test("pageRank on a cycle is uniform and conserves total mass") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val pr = GraphOps.pageRank(edges, iters = 4, checkpoint = false)
+      .as[(Long, Double)].collect().toMap
+    // a cycle has no dangling nodes: uniform is the exact fixpoint
+    pr.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+  }
+
+  test("pageRank splits rank across out-edges by degree") {
+    // 0 -> {1, 2}: each successor gets half of 0's rank
+    val edges = Seq((0L, 1L), (0L, 2L)).toDF("src", "dst")
+    val pr = GraphOps.pageRank(edges, iters = 1, checkpoint = false)
+      .as[(Long, Double)].collect().toMap
+    assert(pr(1L) === pr(2L))
+    assert(math.abs(pr(1L) - ((1.0 - 0.85) / 3 + 0.85 * (1.0 / 3) / 2))
+      < 1e-12)
+    assert(math.abs(pr(0L) - (1.0 - 0.85) / 3) < 1e-12)
+  }
+}

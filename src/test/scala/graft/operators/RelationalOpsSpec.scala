@@ -115,6 +115,32 @@ class RelationalOpsSpec extends AnyFunSuite {
       (2L, "pro", ts("2024-01-04 00:00:00"), None, true, 1L)))
   }
 
+  test("intervalOverlapJoin ≡ brute theta join, duplicate-free, across " +
+      "bin widths") {
+    // deterministic pseudo-random intervals spanning several bins
+    val mk = (n: Int, salt: Long) => (0 until n).map { i =>
+      val s = (i * 37 + salt * 13) % 500
+      (i.toLong + salt * 1000, s, s + (i * 7 + salt) % 40)
+    }.toDF("id", "s", "e")
+    val (l, r) = (mk(80, 1L), mk(90, 2L))
+    val brute = l.as("l").join(r.as("r"),
+        col("l.s") <= col("r.e") && col("r.s") <= col("l.e"))
+      .select(col("l.id").as("l_id"), col("r.id").as("r_id"),
+        (least(col("l.e"), col("r.e")) -
+          greatest(col("l.s"), col("r.s")) + lit(1L)).as("overlap"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .sorted
+    for (bw <- Seq(8L, 16L, 64L, 1000L)) {
+      val got = RelationalOps.intervalOverlapJoin(l, r, binWidth = bw)
+        .select(col("l_id"), col("r_id"), col("overlap"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+        .sorted
+      assert(got.length === got.distinct.length,
+        s"bin dedup must leave no duplicate pairs (binWidth=$bw)")
+      assert(got === brute, s"binWidth=$bw must not change the result")
+    }
+  }
+
   test("applyDiffToSumCount ≡ full recompute: inserts, deletes, value " +
       "updates, group migration, emptied groups") {
     import org.apache.spark.sql.types.DecimalType

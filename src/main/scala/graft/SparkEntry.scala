@@ -1623,6 +1623,18 @@ object SparkEntry {
       AnalyticsOps.topTermsPerDoc(t(s, dir, "documents"), k = 3)
         .orderBy("doc_id", "rank")),
 
+    // ---- containment dedup (asymmetric complement of Jaccard) ----
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), w = 3,
+          threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // ---- sliding-window document chunking ----
+    "pipe_chunk_documents" -> ((s, dir) =>
+      PipelineOps.chunkDocuments(t(s, dir, "documents"),
+          chunkChars = 200, strideChars = 150)
+        .orderBy("doc_id", "chunk_idx")),
+
     // ---- interval overlap join (binned theta→equi decomposition) ----
     // Two order-activity windows (disjoint customer segments, spans
     // 0–7 days) joined on overlap. The bin width (16 d) sits near the
@@ -3050,6 +3062,45 @@ object SparkEntry {
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
         |  WHERE o_orderpriority = '1-URGENT')
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH $duckShingles,
+         |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM shm a JOIN shm b
+         |  ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shm
+         |  GROUP BY doc_id),
+         |common AS (SELECT c.ia, c.ib, CAST(count(*) AS BIGINT)
+         |   AS n_common
+         |  FROM cand c
+         |  JOIN shm a ON c.ia = a.doc_id
+         |  JOIN shm b ON c.ib = b.doc_id AND a.sh = b.sh
+         |  GROUP BY c.ia, c.ib),
+         |cont AS (SELECT ia AS id_a, ib AS id_b, n_common,
+         |  CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE)
+         |    AS containment_a,
+         |  CAST(n_common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE)
+         |    AS containment_b
+         |  FROM common
+         |  JOIN sizes sa ON common.ia = sa.doc_id
+         |  JOIN sizes sb ON common.ib = sb.doc_id)
+         |SELECT * FROM cont
+         |WHERE greatest(containment_a, containment_b)
+         |  >= CAST(0.5 AS DOUBLE)
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "pipe_chunk_documents" ->
+      """SELECT doc_id, chunk_idx,
+        | substr(text, CAST(chunk_idx * 150 + 1 AS INTEGER), 200)
+        |   AS chunk,
+        | CAST(length(substr(text,
+        |   CAST(chunk_idx * 150 + 1 AS INTEGER), 200)) AS INTEGER)
+        |   AS n_chars
+        |FROM (SELECT doc_id, text, unnest(range(0,
+        |  CASE WHEN length(text) <= 200 THEN 0
+        |    ELSE (length(text) - 200 + 149) // 150 END + 1)) AS chunk_idx
+        | FROM documents)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // the oracle is the PLAIN theta join — the binned decomposition
     // must be exactly equivalent, with no duplicate pairs

@@ -163,6 +163,47 @@ object Dedup {
       jaccardOf(docSh, candidates).where(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric shingle containment: `c(A⊆B) = |shA ∩ shB| / |shA|` —
+    * catches documents substantially CONTAINED in another (quotes,
+    * boilerplate supersets, partial copies) that symmetric Jaccard
+    * structurally misses: a 50-shingle doc embedded in a 5000-shingle
+    * doc scores J ≈ 0.01 but containment 1.0. The asymmetric measure
+    * is the standard complement to Jaccard in corpus dedup (Broder's
+    * resemblance/containment pair).
+    *
+    * Candidates come from the same inverted-index self-join as
+    * [[ngramJaccardPairs]] (only docs sharing a shingle ever meet —
+    * same hot-shingle caveat, same df-cap answer); both directions are
+    * scored per unordered pair and the filter keeps pairs where EITHER
+    * direction clears the threshold. Output: (id_a, id_b, n_common,
+    * containment_a, containment_b). */
+  def containmentPairs(documents: DataFrame, w: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val docSh = docShingles(documents, w).localCheckpoint(true)
+    val candidates = docSh.as("a")
+      .join(docSh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = candidates
+      .join(docSh.as("a"), col("id_a") === col("a.doc_id"))
+      .join(docSh.as("b"),
+        col("id_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes).as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(broadcast(sizes).as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        (col("n_common").cast("double") / col("sa.n_sh").cast("double"))
+          .as("containment_a"),
+        (col("n_common").cast("double") / col("sb.n_sh").cast("double"))
+          .as("containment_b"))
+      .where(greatest(col("containment_a"), col("containment_b"))
+        >= threshold)
+  }
+
   /** Exact Jaccard for given candidate pairs, from the shared long-form
     * shingle relation. */
   private def jaccardOf(docSh: DataFrame, candidates: DataFrame): DataFrame = {

@@ -145,6 +145,34 @@ object PipelineOps {
     * small by construction (eval sets are), so they broadcast; the
     * corpus side streams through the scan, and only (doc_id, digest)
     * pairs that actually hit reach the counting agg. */
+  /** Sliding-window document chunking: split each text into
+    * `chunkChars`-character windows advancing by `strideChars`
+    * (overlap = chunk − stride), the context-window preparation step
+    * between raw documents and sequence packing. Character-based on
+    * purpose — tokenizer-free, so the chunk boundaries are engine-
+    * independent; run token counting on the chunks afterwards.
+    *
+    * A doc shorter than one chunk yields exactly one (possibly short)
+    * chunk; otherwise enough windows that the last one reaches the
+    * end (final window may be short). Chunk counts use integral
+    * ceil-division — no IEEE math near boundary lengths. Projection-
+    * only (scan → explode → substr): no shuffle at any width. */
+  def chunkDocuments(documents: DataFrame, chunkChars: Int,
+      strideChars: Int): DataFrame = {
+    require(strideChars > 0 && chunkChars >= strideChars,
+      "windows must advance and overlap non-negatively")
+    documents
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          when(length(col("text")) <= chunkChars, lit(0))
+            .otherwise(expr(s"(length(text) - $chunkChars " +
+              s"+ $strideChars - 1) div $strideChars")))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"substr(text, chunk_idx * $strideChars + 1, $chunkChars)")
+          .as("chunk"))
+      .withColumn("n_chars", length(col("chunk")))
+  }
+
   def contaminationCheck(corpus: DataFrame, benchmark: DataFrame,
       w: Int = 3, minOverlap: Long = 1L): DataFrame = {
     // raw-shingle equality — no md5 pass over either side

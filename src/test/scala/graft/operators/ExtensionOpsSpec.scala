@@ -87,6 +87,50 @@ class ExtensionOpsSpec extends AnyFunSuite {
       "verify must use full shingle sets, not the capped index")
   }
 
+  test("containment: small doc inside big doc scores ~1 where jaccard " +
+      "stays near 0") {
+    val small = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 120).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, small),
+      (1L, s"$small $filler"), // contains doc 0 verbatim + much more
+      (2L, "totally unrelated words only here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, w = 3, threshold = 0.9)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((0L, 1L)))
+    val (_, _, _, ca, cb) = pairs.head
+    assert(ca === 1.0, "every shingle of the small doc is in the big one")
+    assert(cb < 0.1, "the big doc is NOT contained in the small one")
+    // symmetric jaccard misses this pair entirely at the same bar
+    val jac = Dedup.ngramJaccardPairs(docs, w = 3, threshold = 0.9)
+      .collect()
+    assert(jac.isEmpty)
+  }
+
+  test("chunkDocuments: stride windows cover the text, last chunk short, " +
+      "short docs yield one chunk") {
+    val docs = Seq(
+      (0L, "a" * 553), // 1 + ceil(353/150) = 4 chunks
+      (1L, "b" * 200), // exactly one chunk
+      (2L, "c" * 48)   // short doc → single short chunk
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.chunkDocuments(docs, 200, 150)
+      .select("doc_id", "chunk_idx", "n_chars")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out === Set(
+      (0L, 0L, 200), (0L, 1L, 200), (0L, 2L, 200), (0L, 3L, 103),
+      (1L, 0L, 200), (2L, 0L, 48)))
+    // overlap property: consecutive chunks share chunk-stride chars
+    val chunks = PipelineOps.chunkDocuments(docs, 200, 150)
+      .where(col("doc_id") === 0L).orderBy("chunk_idx")
+      .select("chunk").as[String].collect()
+    chunks.sliding(2).foreach {
+      case Array(a, b) => assert(a.takeRight(50) === b.take(50))
+      case _ => ()
+    }
+  }
+
   test("connected components: chains merge, min id labels the cluster") {
     // path 1-2-3 plus pair (7,9): two components, reps 1 and 7;
     // transitivity must label 3 with 1 even though (1,3) is no pair

@@ -1623,6 +1623,19 @@ object SparkEntry {
       AnalyticsOps.topTermsPerDoc(t(s, dir, "documents"), k = 3)
         .orderBy("doc_id", "rank")),
 
+    "analytics_bivariate_stats" -> ((s, dir) =>
+      // deterministic Pearson/OLS (decimal power sums; Spark's corr()
+      // is order-dependent float recursion — unusable for hash parity)
+      AnalyticsOps.bivariateStats(t(s, dir, "lineitem"),
+          groupCol = "l_returnflag", x = "l_quantity",
+          y = "l_extendedprice")
+        .orderBy("l_returnflag")),
+
+    "analytics_profile" -> ((s, dir) =>
+      AnalyticsOps.profileNumeric(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_name")),
+
     // ---- containment dedup (asymmetric complement of Jaccard) ----
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentPairs(t(s, dir, "documents"), w = 3,
@@ -3062,6 +3075,43 @@ object SparkEntry {
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
         |  WHERE o_orderpriority = '1-URGENT')
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the VARCHAR hop on the wide-decimal sums matters: DuckDB's
+    // hugeint-decimal → DOUBLE cast double-rounds (off by 1 ulp on
+    // some values), while VARCHAR → DOUBLE is correctly rounded like
+    // Spark's Decimal.toDouble; see AnalyticsOps.bivariateStats notes
+    "analytics_bivariate_stats" ->
+      """WITH c AS (SELECT l_returnflag,
+        |  CAST(l_quantity AS DECIMAL(19,4)) AS qx,
+        |  CAST(l_extendedprice AS DECIMAL(19,4)) AS qy
+        | FROM lineitem),
+        |s AS (SELECT l_returnflag,
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(CAST(SUM(qx) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(qy) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(qx * qy) AS VARCHAR) AS DOUBLE) AS sxy,
+        |  CAST(CAST(SUM(qx * qx) AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(qy * qy) AS VARCHAR) AS DOUBLE) AS syy
+        | FROM c GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        | (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
+        |   AS corr,
+        | (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+        | (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS intercept
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    "analytics_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_null,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | CAST(min($c) AS DOUBLE) AS min_v,
+           | CAST(max($c) AS DOUBLE) AS max_v
+           |FROM lineitem""".stripMargin)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY col_name")
+    },
 
     "dedup_containment" ->
       s"""WITH $duckShingles,

@@ -115,6 +115,72 @@ object AnalyticsOps {
         min(col("v")).as("lo"), max(col("v")).as("hi"))
   }
 
+  /** Exact bivariate statistics per group — Pearson correlation and
+    * the simple-OLS fit (slope, intercept) — computed from
+    * DECIMAL-accumulated power sums (Σx, Σy, Σxy, Σx², Σy²), then
+    * combined per GROUP (not per row) with IEEE +,−,×,÷,√ on
+    * identical operands in any engine. Spark's built-in `corr` uses
+    * a float co-moment recurrence whose result depends on aggregation
+    * order — fine statistically, useless for bit-reproducible
+    * pipelines; this is the deterministic form, and the reason it
+    * exists beside the built-in.
+    *
+    * Scale: one shuffle, five mergeable sums; the sums are partial-
+    * aggregated map-side like any hash agg.
+    *
+    * Parity hazard, learned the hard way: NEVER cast a computed
+    * double (x*y) to decimal — engines disagree on which decimal a
+    * long-expansion double rounds to (Spark rounds the shortest
+    * representation, DuckDB the exact binary expansion). Cast the
+    * RAW columns to DECIMAL(18,4) — exact for data with ≤4 stored
+    * decimals — and multiply in decimal arithmetic, which is exact
+    * in every engine. */
+  def bivariateStats(df: DataFrame, groupCol: String, x: String,
+      y: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val f = DecimalType(18, 4)
+    def ds1(c: Column) = sum(c.cast(f)).cast("double")
+    def ds2(a: Column, b: Column) = sum(a.cast(f) * b.cast(f))
+      .cast("double")
+    val sums = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast("double").as("n"),
+      ds1(col(x)).as("sx"), ds1(col(y)).as("sy"),
+      ds2(col(x), col(y)).as("sxy"),
+      ds2(col(x), col(x)).as("sxx"),
+      ds2(col(y), col(y)).as("syy"))
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varX = col("n") * col("sxx") - col("sx") * col("sx")
+    val varY = col("n") * col("syy") - col("sy") * col("sy")
+    sums.select(col(groupCol), col("n").cast("long").as("n_rows"),
+      (covN / sqrt(varX * varY)).as("corr"),
+      (covN / varX).as("slope"),
+      ((col("sy") - (covN / varX) * col("sx")) / col("n")).as("intercept"))
+  }
+
+  /** One-pass numeric column profile in long form: per column, row
+    * count, null count, exact distinct count, min and max (as double).
+    * The data-quality sweep a pipeline runs before trusting a new
+    * drop. One aggregation computes every column's stats (the distinct
+    * counts expand the input k ways — the documented exact-profile
+    * cost; swap in `approx_count_distinct` when profiling 100 TB), and
+    * the single result row explodes into (column, stats) rows. */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}_null"),
+      countDistinct(col(c)).as(s"__${c}_nd"),
+      min(col(c).cast("double")).as(s"__${c}_mn"),
+      max(col(c).cast("double")).as(s"__${c}_mx")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"), col("__n").as("n_rows"),
+        col(s"__${c}_null").as("n_null"),
+        col(s"__${c}_nd").as("n_distinct"),
+        col(s"__${c}_mn").as("min_v"),
+        col(s"__${c}_mx").as("max_v"))): _*)).as("p"))
+      .select(col("p.*"))
+  }
+
   /** Per-document top-k salient terms — tf·idf ranking with the
     * log-free idf surrogate `tf * N / df` (monotone in tf/df exactly
     * like `tf·log(N/df)` for fixed tf; chosen because the engine's

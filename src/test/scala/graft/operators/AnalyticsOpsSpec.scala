@@ -90,6 +90,38 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bivariateStats: exact fit on a perfect line, symmetry on noise") {
+    val line = (1 to 100).map(i => ("g", i.toDouble, 3.0 * i + 7.0))
+      .toDF("grp", "x", "y")
+    val st = AnalyticsOps.bivariateStats(line, "grp", "x", "y")
+      .select("n_rows", "corr", "slope", "intercept")
+      .as[(Long, Double, Double, Double)].head()
+    assert(st._1 === 100L)
+    assert(math.abs(st._2 - 1.0) < 1e-12, "perfect line correlates 1")
+    assert(math.abs(st._3 - 3.0) < 1e-9)
+    assert(math.abs(st._4 - 7.0) < 1e-7)
+    // anti-correlated line → corr -1, negative slope
+    val anti = (1 to 50).map(i => ("g", i.toDouble, -2.0 * i))
+      .toDF("grp", "x", "y")
+    val st2 = AnalyticsOps.bivariateStats(anti, "grp", "x", "y")
+      .select("corr", "slope").as[(Double, Double)].head()
+    assert(math.abs(st2._1 + 1.0) < 1e-12)
+    assert(math.abs(st2._2 + 2.0) < 1e-9)
+  }
+
+  test("profileNumeric: one row per column with exact counts and bounds") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, null), (2.0, 5.0), (2.0, 6.0), (3.0, null)
+    ).toDF("a", "b")
+    val out = AnalyticsOps.profileNumeric(df, Seq("a", "b"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect()
+    assert(out === Array(
+      ("a", 4L, 0L, 3L, Some(1.0), Some(3.0)),
+      ("b", 4L, 2L, 2L, Some(5.0), Some(6.0))))
+  }
+
   test("topTermsPerDoc ranks rare-but-frequent terms above ubiquitous ones") {
     val docs = Seq(
       (0L, "alpha alpha alpha the the common"),

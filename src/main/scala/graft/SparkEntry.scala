@@ -1623,6 +1623,70 @@ object SparkEntry {
       AnalyticsOps.topTermsPerDoc(t(s, dir, "documents"), k = 3)
         .orderBy("doc_id", "rank")),
 
+    "agg_mode" -> ((s, dir) => {
+      // exact mode per group with total tie-break (count desc, value
+      // asc) — two cheap aggs, no value ever leaves its partition
+      // until reduced to (group, value, count)
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("n").desc, col("l_quantity").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    "analytics_winsorize" -> ((s, dir) => {
+      // outlier fences from exact interpolated percentiles; the
+      // output reports bounds + clip counts (sums of clipped values
+      // would re-round percentile doubles through decimal — the
+      // computed-double parity hazard, see bivariateStats)
+      val li = t(s, dir, "lineitem")
+      val fences = li.groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_extendedprice"), lit(0.05)).as("p05"),
+          percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
+      li.join(broadcast(fences), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(first(col("p05")).as("p05"), first(col("p95")).as("p95"),
+          sum(when(col("l_extendedprice") < col("p05"), 1L)
+            .otherwise(0L)).as("n_below"),
+          sum(when(col("l_extendedprice") > col("p95"), 1L)
+            .otherwise(0L)).as("n_above"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    "analytics_event_bigrams" -> ((s, dir) => {
+      // frequent event-type transitions per user — the sequence-mining
+      // primitive behind next-action models; one user-keyed window,
+      // then a tiny (prev, next) aggregation
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "event_type")
+    }),
+
+    "x_levenshtein" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation").select(col("n_name").as("name_a"))
+      val n2 = t(s, dir, "nation").select(col("n_name").as("name_b"))
+      n1.crossJoin(broadcast(n2))
+        .where(col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).as("dist"))
+        .where(col("dist") <= 5)
+        .orderBy("name_a", "name_b")
+    }),
+
     "analytics_bivariate_stats" -> ((s, dir) =>
       // deterministic Pearson/OLS (decimal power sums; Spark's corr()
       // is order-dependent float recursion — unusable for hash parity)
@@ -3075,6 +3139,45 @@ object SparkEntry {
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
         |  WHERE o_orderpriority = '1-URGENT')
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "agg_mode" ->
+      """SELECT l_returnflag, mode_qty, n FROM (
+        | SELECT l_returnflag, l_quantity AS mode_qty,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY count(*) DESC, l_quantity ASC) AS rn
+        | FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+
+    "analytics_winsorize" ->
+      """WITH f AS (SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.05) AS p05,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT li.l_returnflag, min(f.p05) AS p05, min(f.p95) AS p95,
+        | CAST(sum(CASE WHEN li.l_extendedprice < f.p05 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_below,
+        | CAST(sum(CASE WHEN li.l_extendedprice > f.p95 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_above,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem li JOIN f ON li.l_returnflag = f.l_returnflag
+        |GROUP BY li.l_returnflag ORDER BY li.l_returnflag""".stripMargin,
+
+    "analytics_event_bigrams" ->
+      """SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT event_type, lag(event_type) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        | FROM events)
+        |WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type
+        |ORDER BY prev_type, event_type""".stripMargin,
+
+    "x_levenshtein" ->
+      """SELECT a.n_name AS name_a, b.n_name AS name_b,
+        | CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS dist
+        |FROM nation a JOIN nation b ON a.n_name < b.n_name
+        |WHERE levenshtein(a.n_name, b.n_name) <= 5
+        |ORDER BY name_a, name_b""".stripMargin,
 
     // the VARCHAR hop on the wide-decimal sums matters: DuckDB's
     // hugeint-decimal → DOUBLE cast double-rounds (off by 1 ulp on

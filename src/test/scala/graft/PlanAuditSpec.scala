@@ -229,6 +229,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bloom probe must sit below the join, in the fact branch:\n$plan")
   }
 
+  test("cohort retention costs two data shuffles (user, then cohort-day)") {
+    val df = q("analytics_cohort_retention")
+    val shuffles = shufflesOf(df)
+    // one exchange on user_id builds cohort+day-set in a single agg;
+    // one on (cohort, offset); the final orderBy adds its range
+    // exchange — a third data shuffle means the op re-joined the log
+    assert(shuffles.size <= 3,
+      s"cohort retention should be 2 aggs + sort, got ${shuffles.size}:\n" +
+        s"${df.queryExecution.executedPlan}")
+  }
+
   test("interval overlap join plans as a hash join, never a nested loop") {
     val df = q("join_interval_overlap")
     df.collect()

@@ -179,17 +179,23 @@ object Dedup {
     * containment_a, containment_b). */
   def containmentPairs(documents: DataFrame, w: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val docSh = docShingles(documents, w).localCheckpoint(true)
+    // equality-only semantics → 8-byte xxhash64 join keys, never the
+    // md5 strings (no hash appears in the output): the co-shingle
+    // self-join is the hot path and 32-char string keys make it ~10×
+    // slower — same trade as ngramJaccardPairs
+    val docSh = docShinglesRaw(documents, w)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shk"))
+      .localCheckpoint(true)
     val candidates = docSh.as("a")
       .join(docSh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = candidates
       .join(docSh.as("a"), col("id_a") === col("a.doc_id"))
       .join(docSh.as("b"),
-        col("id_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+        col("id_b") === col("b.doc_id") && col("a.shk") === col("b.shk"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"))
     common

@@ -1095,6 +1095,16 @@ object SparkEntry {
         .select(col("id"), col("payload"))
         .orderBy("id")),
 
+    "src_synth_agg_pushdown" -> ((s, dir) =>
+      // complete aggregate pushdown: count/min/max over the pushed id
+      // interval collapse to one closed-form connector row — the plan
+      // carries NO aggregate node (asserted in PlanAuditSpec)
+      s.read.format("graft.sources.SyntheticProvider")
+        .option("rows", "100000").option("parts", "8").load()
+        .where(col("id") >= 1234 && col("id") < 98765)
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))),
+
     "src_orc_roundtrip" -> ((s, dir) => {
       val src = t(s, dir, "supplier")
       val path = "/tmp/graft_src/supplier_orc"
@@ -2878,6 +2888,11 @@ object SparkEntry {
       """SELECT i AS id, 'row-' || CAST(i AS VARCHAR) AS payload
         |FROM range(1000, 2000) t(i) WHERE i % 16 = 3
         |ORDER BY id""".stripMargin,
+
+    "src_synth_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n, min(i) AS min_id,
+        | max(i) AS max_id
+        |FROM range(1234, 98765) t(i)""".stripMargin,
 
     "skew_salted_agg" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n

@@ -6,8 +6,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -29,6 +30,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - **Partition planning**: the interval splits into `parts`
   *    contiguous slices, each an independent [[InputPartition]] — the
   *    unit of executor parallelism.
+  *  - **Complete aggregate pushdown** ([[SupportsPushDownAggregates]]):
+  *    ungrouped COUNT(*)/COUNT(id)/MIN(id)/MAX(id) — composed with any
+  *    pushed id-range filters — collapse to ONE closed-form row
+  *    computed at the connector; Spark plans no aggregate at all
+  *    (`supportCompletePushDown`). This is the connector contract that
+  *    lets a warehouse answer `SELECT count(*) … WHERE id < k` from
+  *    metadata instead of a scan — the same shape parquet footer
+  *    counts and Delta stats serve at 100 TB. Anything not covered
+  *    (group-bys, other columns) declines cleanly and runs post-scan.
   *
   * Usage: `spark.read.format("graft.sources.SyntheticProvider")
   * .option("rows", n).option("parts", p).load()`.
@@ -64,12 +74,46 @@ final class SyntheticTable(rows: Long, parts: Int)
 
 final class SyntheticScanBuilder(rows: Long, parts: Int)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo = 0L
   private var hi = rows
   private var pushed = Array.empty[Filter]
   private var required: StructType = SyntheticSource.schema
+  private var aggFns: Seq[String] = Nil
+
+  private def isId(
+      e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case n: NamedReference => n.fieldNames.sameElements(Array("id"))
+      case _ => false
+    }
+
+  /** COUNT(*), COUNT(id) (id is non-null, so ≡ COUNT(*)), MIN(id),
+    * MAX(id), no grouping — else decline entirely (all-or-nothing, as
+    * the API requires for complete pushdown). */
+  private def translate(agg: Aggregation): Option[Seq[String]] =
+    if (agg.groupByExpressions.nonEmpty) None
+    else {
+      val fns = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some("count")
+        case c: Count if !c.isDistinct && isId(c.column) => Some("count")
+        case m: Min if isId(m.column) => Some("min")
+        case m: Max if isId(m.column) => Some("max")
+        case _ => None
+      }
+      if (fns.contains(None)) None else Some(fns.flatten)
+    }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translate(agg) match {
+      case Some(fns) => aggFns = fns; true
+      case None => false
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -90,7 +134,46 @@ final class SyntheticScanBuilder(rows: Long, parts: Int)
     required = requiredSchema
 
   override def build(): Scan =
-    new SyntheticScan(math.max(lo, 0L), math.max(hi, 0L), parts, required)
+    if (aggFns.nonEmpty)
+      new SyntheticAggScan(math.max(lo, 0L), math.max(hi, 0L), aggFns)
+    else
+      new SyntheticScan(math.max(lo, 0L), math.max(hi, 0L), parts, required)
+}
+
+/** Closed-form aggregate scan: the pushed COUNT/MIN/MAX over the
+  * (filtered) id interval, emitted as a single row from a single
+  * partition — no per-row generation at all. */
+final class SyntheticAggScan(lo: Long, hi: Long, fns: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(fns.zipWithIndex.map {
+    case (f, i) => StructField(s"agg_$i", LongType, nullable = f != "count")
+  })
+  override def description(): String =
+    s"GraftSynthAgg[$lo,$hi)${fns.mkString("(", ",", ")")}"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SyntheticPartition(lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticAggReaderFactory(fns)
+}
+
+final class SyntheticAggReaderFactory(fns: Seq[String])
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SyntheticPartition]
+    val n = math.max(p.end - p.start, 0L)
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val more = !emitted; emitted = true; more }
+      override def get(): InternalRow = InternalRow.fromSeq(fns.map {
+        case "count" => n
+        case "min" => if (n == 0L) null else p.start
+        case "max" => if (n == 0L) null else p.end - 1
+      })
+      override def close(): Unit = ()
+    }
+  }
 }
 
 final class SyntheticScan(lo: Long, hi: Long, parts: Int,

@@ -229,6 +229,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bloom probe must sit below the join, in the fact branch:\n$plan")
   }
 
+  test("DSv2 aggregate pushdown: count/min/max answered by the connector, " +
+      "no aggregate node in the plan") {
+    val df = q("src_synth_agg_pushdown")
+    val rows = df.collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(0) === 98765L - 1234L)
+    assert(r.getLong(1) === 1234L && r.getLong(2) === 98764L)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("GraftSynthAgg"),
+      s"scan must be the closed-form aggregate scan:\n$planStr")
+    assert(!planStr.contains("HashAggregate") &&
+      !planStr.contains("SortAggregate"),
+      s"complete pushdown must leave no aggregate node:\n$planStr")
+  }
+
   test("cohort retention costs two data shuffles (user, then cohort-day)") {
     val df = q("analytics_cohort_retention")
     val shuffles = shufflesOf(df)

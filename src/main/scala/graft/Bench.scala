@@ -33,7 +33,13 @@ object Bench {
     // JVM/codegen warmup outside the timed region
     spark.range(1000000L).selectExpr("sum(id)").collect()
     var errors = List.empty[(String, String)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional arg: comma-separated query names, for single-query iteration
+    // (the driver's no-arg invocation benches everything)
+    val only: Option[Set[String]] =
+      args.headOption.map(_.split(',').map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       // min of 2 runs: the first run pays JIT + page-cache warmup that a
       // long-lived cluster never re-pays; min (not mean) is the stable
       // estimator of the query's actual cost under this noise model
@@ -71,8 +77,10 @@ object Bench {
     // full-precision artifact for the judge / local diffing
     val fullJson = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{\"total\":" + total + ",\"sf\":\"" + sfDir + "\",\"queries\":{", ",", "}}")
-    try Files.writeString(Paths.get("bench_full.json"), fullJson)
-    catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
+    // don't clobber the full artifact from a filtered iteration run
+    if (only.isEmpty)
+      try Files.writeString(Paths.get("bench_full.json"), fullJson)
+      catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
     // compact summary line — MUST fit (with sbt's trailing success line)
     // inside the driver's 2000-char tail capture
     val slowest = ok.sortBy(-_._2).take(TopN)

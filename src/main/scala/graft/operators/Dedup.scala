@@ -186,17 +186,16 @@ object Dedup {
     val docSh = docShinglesRaw(documents, w)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shk"))
       .localCheckpoint(true)
-    val candidates = docSh.as("a")
+    // Shingles are DISTINCT per doc (WordShingles semantics), so the
+    // per-pair match count of the co-shingle self-join IS |shA ∩ shB|:
+    // one self-join + partial-aggregated count, instead of candidates →
+    // distinct → re-join the shingle relation twice (which recomputes
+    // the same co-shingle pairs a second time at ~3× the cost).
+    val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = docSh.as("a")
       .join(docSh.as("b"),
         col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val common = candidates
-      .join(docSh.as("a"), col("id_a") === col("a.doc_id"))
-      .join(docSh.as("b"),
-        col("id_b") === col("b.doc_id") && col("a.shk") === col("b.shk"))
-      .groupBy(col("id_a"), col("id_b"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
     common
       .join(broadcast(sizes).as("sa"), col("id_a") === col("sa.doc_id"))

@@ -421,6 +421,15 @@ object SparkEntry {
       Dedup.minhashLshPairs(t(s, dir, "documents"), k = 8, bands = 4,
         w = 3, threshold = 0.5).orderBy("id_a", "id_b")),
 
+    // Same exact output as dedup_ngram_jaccard, different (scalable)
+    // candidate algorithm: prefix filtering — the oracle is the
+    // brute-force inverted index, which the prefix-filter lemma
+    // guarantees the operator reproduces pair-for-pair.
+    "dedup_prefix_jaccard" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(t(s, dir, "documents"), w = 3,
+          threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
     "dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
           Dedup.ngramJaccardPairs(t(s, dir, "documents"), w = 3,
@@ -2173,6 +2182,13 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
+      s"""WITH $duckShingles,
+         |${duckJaccard(
+           "SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib FROM shm a " +
+           "JOIN shm b ON a.sh = b.sh AND a.doc_id < b.doc_id", 0.5)}""".stripMargin,
+
+    // exact join ⇒ identical result to the brute-force inverted index
+    "dedup_prefix_jaccard" ->
       s"""WITH $duckShingles,
          |${duckJaccard(
            "SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib FROM shm a " +

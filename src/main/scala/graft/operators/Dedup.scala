@@ -163,6 +163,71 @@ object Dedup {
       jaccardOf(docSh, candidates).where(col("jaccard") >= threshold)
   }
 
+  /** Exact θ-Jaccard join via PREFIX FILTERING (the AllPairs / PPJoin
+    * family: Chaudhuri et al. SSJoin '06, Bayardo et al. WWW'07, Xiao
+    * et al. WWW'08 — public algorithms). Same output as
+    * [[ngramJaccardPairs]] with no df cap, but the candidate join
+    * indexes only each document's PREFIX — its `|d| − ⌈t·|d|⌉ + 1`
+    * globally-rarest shingles — instead of all of them:
+    *
+    *  - a global document-frequency pass orders shingles rarest-first
+    *    (total order `(df, shk)`; equal keys are the same shingle);
+    *  - prefix-filter lemma: `J(A,B) ≥ t ⟹ |A∩B| ≥ ⌈t·max(|A|,|B|)⌉`,
+    *    so the two prefixes MUST share a shingle — no candidate is ever
+    *    missed and the verify step on full sets makes the join exact;
+    *  - the length filter `t·|b| ≤ |a| ≤ |b|/t` is applied inside the
+    *    candidate join (both sides carry their set size).
+    *
+    * Scale contrast with the full inverted index: stopword shingles have
+    * maximal df, so they sort LAST and almost never land in a prefix —
+    * the hot-key n² blowup the df-cap guards against in
+    * [[ngramJaccardPairs]] structurally cannot happen here, *without*
+    * sacrificing completeness. Index size drops from Σ|d| to
+    * Σ(1−t)|d|+1 entries (≥50% smaller at t=0.5, and the entries kept
+    * are precisely the low-df ones that join cheaply). */
+  def prefixJaccardPairs(documents: DataFrame, w: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docSh = docShinglesRaw(documents, w)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shk"))
+      .localCheckpoint(true)
+    val dfreq = docSh.groupBy("shk").agg(count(lit(1)).as("df"))
+    // both windows share the doc_id partitioning → one exchange
+    val byDoc = Window.partitionBy("doc_id")
+    val ranked = docSh.join(dfreq, Seq("shk"))
+      .withColumn("n_sh", count(lit(1)).over(byDoc))
+      .withColumn("rk",
+        row_number().over(byDoc.orderBy(col("df"), col("shk"))))
+    val prefix = ranked
+      .where(col("rk") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh")) + lit(1))
+      .select(col("doc_id"), col("shk"), col("n_sh"))
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shk") === col("b.shk") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          lit(threshold) * col("b.n_sh") <= col("a.n_sh") &&
+          lit(threshold) * col("a.n_sh") <= col("b.n_sh"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // verify on the FULL shingle sets — reported scores are exact
+    val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = candidates
+      .join(docSh.as("a"), col("id_a") === col("a.doc_id"))
+      .join(docSh.as("b"),
+        col("id_b") === col("b.doc_id") && col("a.shk") === col("b.shk"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes).as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(broadcast(sizes).as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("n_common")).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Asymmetric shingle containment: `c(A⊆B) = |shA ∩ shB| / |shA|` —
     * catches documents substantially CONTAINED in another (quotes,
     * boilerplate supersets, partial copies) that symmetric Jaccard

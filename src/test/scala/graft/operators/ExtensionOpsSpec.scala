@@ -87,6 +87,28 @@ class ExtensionOpsSpec extends AnyFunSuite {
       "verify must use full shingle sets, not the capped index")
   }
 
+  test("prefix-filter jaccard: identical output to the full inverted " +
+      "index at every threshold") {
+    // mixed corpus: exact dups, near dups, subsets, disjoint docs, and a
+    // hot shingle shared by all — the prefix index must still find every
+    // pair the brute-force index finds
+    val corpus = (Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta common tail"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta common tail"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota common tail"),
+      (3L, "one two three four five six seven eight common tail"),
+      (4L, "one two three four five six seven nine common tail"),
+      (5L, "totally different content entirely here common tail")
+    )).toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val brute = Dedup.ngramJaccardPairs(corpus, w = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.prefixJaccardPairs(corpus, w = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref == brute, s"threshold $t: prefix filter lost/added pairs")
+    }
+  }
+
   test("containment: small doc inside big doc scores ~1 where jaccard " +
       "stays near 0") {
     val small = "alpha beta gamma delta epsilon zeta"

@@ -491,6 +491,13 @@ object SparkEntry {
           threshold = 0.42, bands = 8, rowsPerBand = 6, dims = 64)
         .orderBy("id_a", "id_b")),
 
+    "dedup_semantic" -> ((s, dir) =>
+      // SemDeDup blocking: coarse-quantizer cells bound the pairwise
+      // cosine to within-cell, keep-lowest-id-representative rule
+      Similarity.semanticDedup(t(s, dir, "embeddings"),
+          threshold = 0.42, nCells = 16)
+        .orderBy("vec_id")),
+
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 8), k = 5,
@@ -2356,6 +2363,29 @@ object SparkEntry {
          |  FROM p)
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // replicates the deterministic codebook (first 16 ids), the argmax
+    // assignment tie-break (cos DESC, cell_id ASC), and the
+    // within-cell lower-id pruning rule
+    "dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e),
+         |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n
+         |  ORDER BY vec_id LIMIT 16),
+         |ac AS (SELECT n.vec_id, n.v, n.nrm, cent.cell_id,
+         |  ${duckDot("n.v", "cent.cv")} / (n.nrm * cent.cnrm) AS c_cos
+         |  FROM n CROSS JOIN cent),
+         |assigned AS (SELECT vec_id, v, nrm, cell_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY c_cos DESC, cell_id ASC) AS rn FROM ac) WHERE rn = 1),
+         |pruned AS (SELECT DISTINCT q.vec_id FROM assigned q
+         |  JOIN assigned c ON q.cell_id = c.cell_id
+         |    AND c.vec_id < q.vec_id
+         |    AND ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm)
+         |      >= CAST(0.42 AS DOUBLE))
+         |SELECT a.vec_id, a.cell_id, (p.vec_id IS NOT NULL) AS pruned
+         |FROM assigned a LEFT JOIN pruned p ON a.vec_id = p.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
 
     "dedup_embedding_cosine" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -179,6 +179,49 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    * embeddings are blocked by a coarse quantizer and near-duplicate
+    * pruning runs only WITHIN each cell — the insight that makes
+    * semantic dedup tractable at corpus scale: pairwise cosine is
+    * O(Σ m_cell²) instead of O(n²), and cell count grows with the
+    * corpus so cells stay bounded.
+    *
+    * Deterministic variant: the same driver-side codebook as
+    * [[ivfTopK]] (first `nCells` vectors by id — no trained k-means, so
+    * results reproduce bit-for-bit and the oracle can replicate them),
+    * per-row argmax assignment over constant centroid literals (zero
+    * shuffle, zero expansion on the corpus scan), then one shuffle by
+    * `cell_id` for the within-cell self-join. A vector is PRUNED when a
+    * lower-id vector in its cell has cosine ≥ `threshold` — the
+    * keep-first-representative rule, made total by the id order.
+    *
+    * Output: (vec_id, cell_id, pruned) for every input vector — the
+    * keep-list is `pruned = false`, and emitting the full decision
+    * column keeps the operator's row count stable for auditing. */
+  def semanticDedup(embeddings: DataFrame, threshold: Double,
+      nCells: Int = 16): DataFrame = {
+    val cents: Array[(Long, Seq[Float], Double)] =
+      withNorm(embeddings).orderBy(col("vec_id")).limit(nCells)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+    def cellCos(cEmb: Seq[Float], cNrm: Double): Column =
+      vec_dot(col("embedding"), typedLit(cEmb)) / (col("nrm") * lit(cNrm))
+    val bestStruct = greatest(cents.map { case (cid, ce, cn) =>
+      struct(cellCos(ce, cn).as("c"), lit(-cid).as("negid"))
+    }: _*)
+    val assigned = withNorm(embeddings)
+      .withColumn("cell_id", -bestStruct.getField("negid"))
+    val prunedIds = assigned.as("q").join(assigned.as("c"),
+        col("q.cell_id") === col("c.cell_id") &&
+          col("c.vec_id") < col("q.vec_id"))
+      .where(pairCos >= threshold)
+      .select(col("q.vec_id").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cell_id"))
+      .join(prunedIds.withColumn("pruned", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        coalesce(col("pruned"), lit(false)).as("pruned"))
+  }
+
   /** Banded sign-LSH near-duplicate pairs — the 100 TB scale path for
     * [[cosineNearDupPairs]]. The `bands × rowsPerBand` hyperplane bits
     * split into bands; two vectors become a CANDIDATE pair iff they

@@ -305,6 +305,31 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(!out.contains(2L), "opposite vector must hash to another bucket")
   }
 
+  test("semantic dedup: within-cell near-dups pruned, keepers are " +
+      "lowest ids, cross-cell dups untouched") {
+    // 2 well-separated directions; ids 0 and 1 become the 2 centroids.
+    // 0,2,4 cluster on direction A (2,4 near-dups of 0); 1,3 on B;
+    // 5 is near direction B but noisy enough to stay below threshold
+    val emb = Seq(
+      (0L, Array(1.0f, 0.02f, 0f, 0f)),
+      (1L, Array(0f, 0f, 1.0f, -0.03f)),
+      (2L, Array(0.99f, 0.01f, 0.01f, 0f)),
+      (3L, Array(0.01f, 0f, 0.98f, -0.02f)),
+      (4L, Array(1.0f, 0.03f, 0f, 0.01f)),
+      (5L, Array(0.3f, -0.4f, 0.6f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, threshold = 0.95, nCells = 2)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.size == 6, "every vector gets a decision row")
+    assert(!out(0L)._2 && !out(1L)._2, "centroids keep (lowest ids)")
+    assert(out(2L)._2 && out(4L)._2, "near-dups of 0 in cell 0 pruned")
+    assert(out(3L)._2, "near-dup of 1 in cell 1 pruned")
+    assert(!out(5L)._2, "below-threshold vector survives")
+    assert(out(2L)._1 == out(0L)._1 && out(4L)._1 == out(0L)._1)
+    assert(out(3L)._1 == out(1L)._1)
+  }
+
   test("LSH near-dup pairs: subset of brute force with identical scores, " +
       "identical vectors always recalled") {
     // deterministic pseudo-random corpus with planted duplicates

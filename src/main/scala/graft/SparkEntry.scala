@@ -1649,6 +1649,11 @@ object SparkEntry {
       AnalyticsOps.topTermsPerDoc(t(s, dir, "documents"), k = 3)
         .orderBy("doc_id", "rank")),
 
+    "text_bm25" -> ((s, dir) =>
+      AnalyticsOps.bm25TopDocs(t(s, dir, "documents"),
+          queryTerms = Seq("hash", "scan", "filter"), k = 10)
+        .orderBy("rank")),
+
     "agg_mode" -> ((s, dir) => {
       // exact mode per group with total tie-break (count desc, value
       // asc) — two cheap aggs, no value ever leaves its partition
@@ -3445,6 +3450,49 @@ object SparkEntry {
         |  ORDER BY score DESC, token ASC) AS INTEGER) AS rank FROM sc)
         |SELECT doc_id, rank, token, tf, df, score FROM r WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+
+    // mirrors bm25TopDocs exactly: parsed decimal constants, idf·sat
+    // multiplication order, left-associated coalesce total
+    "text_bm25" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        | FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        | FROM tok GROUP BY doc_id, token),
+        |qtf AS (SELECT * FROM tf WHERE token IN ('hash','scan','filter')),
+        |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        | FROM qtf GROUP BY token),
+        |dls AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        | FROM tf GROUP BY doc_id),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(dl) AS BIGINT) AS total_len FROM dls),
+        |sc AS (SELECT q.doc_id, q.token,
+        |  ((CAST(st.n_docs - d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |    / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+        |  * (CAST(q.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+        |    / (CAST(q.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |      * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+        |        * (CAST(l.dl AS DOUBLE)
+        |          / (CAST(st.total_len AS DOUBLE)
+        |            / CAST(st.n_docs AS DOUBLE)))))) AS score
+        | FROM qtf q JOIN dfq d ON q.token = d.token
+        | JOIN dls l ON q.doc_id = l.doc_id CROSS JOIN st),
+        |pv AS (SELECT doc_id,
+        |  max(CASE WHEN token = 'hash' THEN score END) AS s1,
+        |  max(CASE WHEN token = 'scan' THEN score END) AS s2,
+        |  max(CASE WHEN token = 'filter' THEN score END) AS s3
+        | FROM sc GROUP BY doc_id),
+        |tot AS (SELECT doc_id,
+        |  (CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN s3 IS NOT NULL THEN 1 ELSE 0 END) AS n_terms,
+        |  ((coalesce(s1, CAST(0 AS DOUBLE)) + coalesce(s2, CAST(0 AS DOUBLE)))
+        |    + coalesce(s3, CAST(0 AS DOUBLE))) AS score
+        | FROM pv),
+        |r AS (SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+        |  AS INTEGER) AS rank, doc_id, n_terms, score FROM tot)
+        |SELECT rank, doc_id, n_terms, score FROM r WHERE rank <= 10
+        |ORDER BY rank""".stripMargin,
 
     "q22_dormant_value" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,

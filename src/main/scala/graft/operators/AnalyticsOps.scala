@@ -213,4 +213,77 @@ object AnalyticsOps {
       .select(col("doc_id"), col("rank"), col("token"), col("tf"),
         col("df"), col("score"))
   }
+
+  /** BM25 document retrieval for a fixed query-term set (Robertson &
+    * Spärck Jones probabilistic relevance framework, public). Per
+    * matched (doc, term):
+    *
+    * {{{ score_t = (N − df + 0.5)/(df + 0.5)                    [idf]
+    *             · tf·(k1+1) / (tf + k1·(0.25 + 0.75·dl/avgdl)) }}}
+    *
+    * with the STANDARD deviation, documented: the idf keeps its rational
+    * argument un-logged. `ln` is not correctly-rounded across engines
+    * (JVM `Math.log` guarantees 1 ulp, not 0.5), so a logged idf cannot
+    * hash-match a second engine bit-for-bit; the un-logged form is a
+    * strictly monotone per-term transform computable with IEEE `+,-,*,/`
+    * only. Cross-term totals then weight rare terms more sharply than
+    * logged BM25 — acceptable for dedup/quality retrieval, and exactly
+    * reproducible anywhere.
+    *
+    * The cross-term sum is NOT a float aggregation (summation order
+    * would be nondeterministic): each query term pivots to its own
+    * column via `max(when(token = t))` — at most one value, so `max` is
+    * exact — and the total is an explicit left-associated coalesce
+    * chain, fixed evaluation order, replicated verbatim by the oracle.
+    *
+    * Scale: terms filter BEFORE any join (the scored relation holds
+    * only query-term rows, ≤ |terms| per doc); df/dl/avgdl derive from
+    * the tf relation (one (doc,token) shuffle); corpus scalars
+    * broadcast; final top-k is TakeOrderedAndProject, never a global
+    * sort. Output: (rank, doc_id, n_terms, score). */
+  def bm25TopDocs(documents: DataFrame, queryTerms: Seq[String],
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // k1, b are pinned: every constant below is a PARSED decimal literal
+    // (2.2, 1.2, 0.25, 0.75) present verbatim in the oracle SQL — a
+    // driver-side k1+1.0 would land on a round-to-nearest TIE (2.2 is
+    // exactly between two doubles from that sum) and could differ from
+    // an engine that parses "2.2" directly
+    require(queryTerms.nonEmpty && k1 == 1.2 && b == 0.75,
+      "constants are pinned for cross-engine literal parity")
+    val tokens = documents.select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+    val tf = tokens.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val qtf = tf.where(col("token").isin(queryTerms: _*))
+    val dfreq = qtf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dls = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dls.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_len"))
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val avgdl = col("total_len").cast("double") / col("n_docs").cast("double")
+    val sat = col("tf").cast("double") * lit(2.2) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    val scored = qtf.join(broadcast(dfreq), "token")
+      .join(dls, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("token"), (idf * sat).as("score"))
+    val pivots = queryTerms.map(term =>
+      max(when(col("token") === term, col("score"))).as(s"s_$term"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(pivots.head, pivots.tail: _*)
+    val total = queryTerms.map(term => coalesce(col(s"s_$term"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val nTerms = queryTerms.map(term =>
+      when(col(s"s_$term").isNotNull, 1).otherwise(0)).reduceLeft(_ + _)
+    val top = perDoc
+      .select(col("doc_id"), nTerms.as("n_terms"), total.as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("rank"), col("doc_id"), col("n_terms"), col("score"))
+  }
 }

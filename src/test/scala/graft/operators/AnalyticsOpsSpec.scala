@@ -122,6 +122,29 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("b", 4L, 2L, 2L, Some(5.0), Some(6.0))))
   }
 
+  test("bm25: multi-term matches outrank single-term, tf saturates, " +
+      "length normalization penalizes padded docs") {
+    val docs = Seq(
+      (0L, "spark query engine"),               // both terms, short
+      (1L, "spark " + ("filler " * 40).trim),   // one term, long
+      (2L, "query only here"),                  // one term
+      (3L, "nothing relevant at all"),          // no match → absent
+      (4L, "spark spark spark spark query")     // tf-heavy, both terms
+    ).toDF("doc_id", "text")
+    val out = AnalyticsOps.bm25TopDocs(docs, Seq("spark", "query"), k = 10)
+      .as[(Int, Long, Int, Double)].collect()
+    val byDoc = out.map(r => r._2 -> r).toMap
+    assert(!byDoc.contains(3L), "no query term -> not retrieved")
+    assert(byDoc(0L)._3 == 2 && byDoc(4L)._3 == 2 && byDoc(1L)._3 == 1)
+    // both two-term docs above both one-term docs
+    assert(Set(byDoc(0L)._1, byDoc(4L)._1) == Set(1, 2))
+    // saturation: 4x tf must not give ~4x score for the spark term
+    assert(byDoc(4L)._4 < byDoc(0L)._4 * 2.5)
+    // length normalization: the padded doc scores below the short
+    // one-term doc
+    assert(byDoc(1L)._4 < byDoc(2L)._4)
+  }
+
   test("topTermsPerDoc ranks rare-but-frequent terms above ubiquitous ones") {
     val docs = Seq(
       (0L, "alpha alpha alpha the the common"),

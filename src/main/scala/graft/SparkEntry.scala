@@ -639,6 +639,13 @@ object SparkEntry {
           perStratum = 20)
         .select(col("doc_id"), col("lang")).orderBy("lang", "doc_id")),
 
+    "pipe_source_mix" -> ((s, dir) =>
+      // temperature-weighted corpus composition: 100 slots across
+      // languages ∝ sqrt(n_lang), largest-remainder seats, md5 fill
+      PipelineOps.sourceMix(t(s, dir, "documents"), "lang", "doc_id",
+          totalN = 100)
+        .orderBy("lang", "doc_id")),
+
     "pipe_value_histogram" -> ((s, dir) =>
       PipelineOps.histogram(events(s, dir), "value", 5.0)
         .orderBy("bucket")),
@@ -2508,6 +2515,32 @@ object SparkEntry {
         | SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         | FROM documents) WHERE rn <= 20
+        |ORDER BY lang, doc_id""".stripMargin,
+
+    // replicates sourceMix: the share denominator is the SAME explicit
+    // left fold (list_reduce over the lang-ordered sqrt list) as
+    // Spark's aggregate-over-sort_array, so S matches bit-for-bit
+    "pipe_source_mix" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        | FROM documents GROUP BY lang),
+        |s AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |  (SELECT list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang) FROM c)),
+        |  (p,q) -> p + q) AS ssum),
+        |sh AS (SELECT lang, n, CAST(100 AS DOUBLE)
+        |  * sqrt(CAST(n AS DOUBLE)) / (SELECT ssum FROM s) AS quota
+        | FROM c),
+        |b AS (SELECT lang, n, quota,
+        |  CAST(floor(quota) AS BIGINT) AS base,
+        |  quota - floor(quota) AS rem FROM sh),
+        |l AS (SELECT 100 - CAST(sum(base) AS BIGINT) AS leftover FROM b),
+        |tg AS (SELECT lang, least(base + CASE WHEN row_number()
+        |  OVER (ORDER BY rem DESC, lang ASC) <= (SELECT leftover FROM l)
+        |  THEN 1 ELSE 0 END, n) AS target FROM b),
+        |sel AS (SELECT d.lang, t.target, d.doc_id, row_number()
+        |  OVER (PARTITION BY d.lang
+        |    ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+        | FROM documents d JOIN tg t ON d.lang = t.lang)
+        |SELECT lang, target, doc_id FROM sel WHERE rn <= target
         |ORDER BY lang, doc_id""".stripMargin,
 
     "pipe_value_histogram" ->

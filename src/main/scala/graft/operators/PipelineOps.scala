@@ -68,6 +68,63 @@ object PipelineOps {
       .where(col("__rn") <= perStratum).drop("__rn")
   }
 
+  /** Temperature-weighted source mixing — the multi-corpus composition
+    * step of an LLM data pipeline (sample sources ∝ nᵅ, α < 1, the
+    * standard low-resource-upweighting trick from multilingual
+    * training): allocate `totalN` slots across the values of
+    * `groupCol` proportional to `sqrt(n_group)` (α = ½ — the one
+    * exponent whose power function, IEEE `sqrt`, is CORRECTLY ROUNDED
+    * everywhere, so the shares reproduce bit-for-bit in any engine),
+    * then fill each group's slots in deterministic md5 order.
+    *
+    * Seat allocation is largest-remainder (Hamilton): `⌊totalN·sᵍ/S⌋`
+    * seats up front, leftovers to the largest fractional remainders
+    * (ties by group value). The share denominator `S = Σ sqrt(n)` is a
+    * float sum, so it is computed as an EXPLICIT LEFT FOLD over the
+    * group-sorted share array (`aggregate` over `sort_array(collect_
+    * list(...))`) — never a parallel aggregation whose addition order
+    * could vary run-to-run or engine-to-engine.
+    *
+    * A group's allocation caps at its size (no redistribution — the
+    * shortfall is visible to the caller by row count). Group
+    * cardinality is assumed driver-small (languages, corpora), but the
+    * SELECTION never leaves the cluster: targets broadcast back and
+    * each group fills by one rank window. Output: one row per selected
+    * doc (`groupCol`, target, keyCol). */
+  def sourceMix(df: DataFrame, groupCol: String, keyCol: String,
+      totalN: Int): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    // ordered shares: (group, sqrt(n)) sorted by group, S = left fold
+    val folded = counts
+      .agg(sort_array(collect_list(struct(col(groupCol).as("g"),
+        sqrt(col("n").cast("double")).as("s"), col("n").as("n")))).as("gs"))
+      .select(col("gs"),
+        aggregate(transform(col("gs"), x => x.getField("s")),
+          lit(0.0), (acc, x) => acc + x).as("ssum"))
+    val shares = folded
+      .select(explode(col("gs")).as("e"), col("ssum"))
+      .select(col("e.g").as(groupCol), col("e.n").as("n"),
+        (lit(totalN.toDouble) * col("e.s") / col("ssum")).as("quota"))
+    val based = shares
+      .withColumn("base", floor(col("quota")))
+      .withColumn("rem", col("quota") - col("base").cast("double"))
+    val leftover = based.agg((lit(totalN.toLong) - sum(col("base")))
+      .as("leftover"))
+    val targets = based.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col(groupCol).asc)))
+      .select(col(groupCol),
+        least(col("base") + when(col("rk") <= col("leftover"), 1L)
+          .otherwise(0L), col("n")).as("target"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.select(col(groupCol), col(keyCol))
+      .join(broadcast(targets), Seq(groupCol))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("target"))
+      .select(col(groupCol), col("target"), col(keyCol))
+  }
+
   /** Fixed-width bucket histogram of a numeric column. */
   def histogram(df: DataFrame, valueCol: String,
       bucketWidth: Double): DataFrame =

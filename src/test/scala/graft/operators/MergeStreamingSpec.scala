@@ -99,4 +99,33 @@ class MergeStreamingSpec extends AnyFunSuite {
     assert(strat.groupBy("lang").count().as[(String, Long)]
       .collect().forall(_._2 == 5))
   }
+
+  test("sourceMix: sqrt temperature flattens skew, seats sum to totalN, " +
+      "targets cap at group size, deterministic") {
+    // 160/40/10 split: proportional 100-seat shares would be 76/19/5,
+    // sqrt shares ~61/30/15 — low-resource groups upweighted
+    val docs = ((0L until 160L).map(i => (i, "big")) ++
+      (160L until 200L).map(i => (i, "mid")) ++
+      (200L until 210L).map(i => (i, "tiny")))
+      .toDF("doc_id", "lang")
+    val out = PipelineOps.sourceMix(docs, "lang", "doc_id", totalN = 100)
+    val perGroup = out.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    // sqrt quotas 57.1/28.6/14.3: seats 57/29/14, tiny caps at its 10
+    // docs (no redistribution — the shortfall is visible)
+    assert(perGroup == Map("big" -> 57L, "mid" -> 29L, "tiny" -> 10L))
+    assert(perGroup("big") < 76 && perGroup("mid") > 19,
+      "sqrt flattens the head group, upweights low-resource vs 76/19/5")
+    val again = PipelineOps.sourceMix(docs, "lang", "doc_id", totalN = 100)
+      .as[(String, Long, Long)].collect().toSet
+    assert(again == out.as[(String, Long, Long)].collect().toSet)
+
+    // capacity-starved group: target caps, total falls short visibly
+    val starved = PipelineOps.sourceMix(
+      docs.where($"doc_id" < 162), "lang", "doc_id", totalN = 100)
+    val sg = starved.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(sg("mid") == 2L && !sg.contains("tiny"),
+      "capped groups deliver what they have; empty groups vanish")
+  }
 }

@@ -1070,6 +1070,24 @@ object SparkEntry {
     }),
 
     // ---- time-series spine + gap fill ----
+    "ts_interpolate" -> ((s, dir) => {
+      // same spine as ts_gapfill; nulls BETWEEN observations take the
+      // straight-line value, leading/trailing nulls stay null
+      val ev = events(s, dir).where(col("user_id") < 40)
+      val daily = ev
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(max(col("value")).as("v"))
+      val spine = ev.select("user_id").distinct()
+        .select(col("user_id"),
+          explode(sequence(to_date(lit("2024-01-01")),
+            to_date(lit("2024-01-30")))).as("day"))
+      RelationalOps.linearInterpolate(
+          spine.join(daily, Seq("user_id", "day"), "left_outer"),
+          key = "user_id", order = "day", value = "v", outCol = "v_interp")
+        .select(col("user_id"), col("day"), col("v"), col("v_interp"))
+        .orderBy("user_id", "day")
+    }),
+
     "ts_gapfill" -> ((s, dir) => {
       val ev = events(s, dir).where(col("user_id") < 40)
       val daily = ev
@@ -2934,6 +2952,37 @@ object SparkEntry {
         | wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "ts_interpolate" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 40),
+        | spine AS (SELECT user_id, CAST(g AS DATE) AS day
+        |  FROM u, generate_series(DATE '2024-01-01', DATE '2024-01-30',
+        |   INTERVAL 1 DAY) t(g)),
+        | daily AS (SELECT user_id, CAST(ts AS DATE) AS day, max(value) AS v
+        |  FROM events WHERE user_id < 40 GROUP BY 1, 2),
+        | j AS (SELECT s.user_id, s.day, d.v FROM spine s
+        |  LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day),
+        | w AS (SELECT user_id, day, v,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |   ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |   AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        | FROM j)
+        |SELECT user_id, day, v,
+        | CASE WHEN v IS NOT NULL THEN v
+        |  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |   pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE)
+        |    / CAST(date_diff('day', pd, nd) AS DOUBLE))
+        | END AS v_interp
+        |FROM w ORDER BY 1, 2""".stripMargin,
 
     "ts_gapfill" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 40),

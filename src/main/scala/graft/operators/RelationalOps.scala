@@ -80,6 +80,40 @@ object RelationalOps {
     df.withColumn(outCol, last(col(value), ignoreNulls = true).over(w))
   }
 
+  /** Linear interpolation fill over a date spine: a null `value` BETWEEN
+    * two known points gets the straight-line value
+    * `prev + (next − prev) · Δprev/Δspan`; nulls before the first or
+    * after the last known point stay null (no extrapolation — that is
+    * [[forwardFill]]'s job). The standard resampling companion to
+    * gap-fill for numeric sensor/metric series.
+    *
+    * Scale: one shuffle on `key`; four window functions over the same
+    * (key, order) frame pair (prev/next value and their dates), linear
+    * per partition. Float parity: the interpolation is four IEEE ops on
+    * doubles with day-deltas as exact small integers, so any engine
+    * mirroring the expression reproduces it bit-for-bit. */
+  def linearInterpolate(df: DataFrame, key: String, order: String,
+      value: String, outCol: String): DataFrame = {
+    val back = Window.partitionBy(key).orderBy(col(order))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(key).orderBy(col(order))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val knownDay = when(col(value).isNotNull, col(order))
+    val out = df
+      .withColumn("_pv", last(col(value), ignoreNulls = true).over(back))
+      .withColumn("_pd", last(knownDay, ignoreNulls = true).over(back))
+      .withColumn("_nv", first(col(value), ignoreNulls = true).over(fwd))
+      .withColumn("_nd", first(knownDay, ignoreNulls = true).over(fwd))
+      .withColumn(outCol,
+        when(col(value).isNotNull, col(value).cast("double"))
+          .when(col("_pv").isNotNull && col("_nv").isNotNull,
+            col("_pv").cast("double") +
+              (col("_nv").cast("double") - col("_pv").cast("double")) *
+              (datediff(col(order), col("_pd")).cast("double") /
+                datediff(col("_nd"), col("_pd")).cast("double"))))
+    out.drop("_pv", "_pd", "_nv", "_nd")
+  }
+
   /** SCD-type-2 interval builder: collapse an event log `(key, ts,
     * state)` into per-key validity intervals — one row per maximal run
     * of consecutive equal states, with `valid_from` (run's first ts),

@@ -92,6 +92,25 @@ class RelationalOpsSpec extends AnyFunSuite {
       ("a", 4, Some(40.0)), ("b", 1, None), ("b", 2, Some(2.0))))
   }
 
+  test("linearInterpolate: straight line between points, no extrapolation") {
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    val df = Seq(
+      ("a", d("2024-01-01"), None),             // before first known → null
+      ("a", d("2024-01-02"), Some(10.0)),
+      ("a", d("2024-01-03"), None),             // 1/3 of the way → 20
+      ("a", d("2024-01-05"), Some(40.0)),       // uneven spacing
+      ("a", d("2024-01-06"), None),             // after last known → null
+      ("b", d("2024-01-01"), Some(7.0))
+    ).toDF("k", "day", "v")
+    val out = RelationalOps.linearInterpolate(df, "k", "day", "v", "fill")
+      .orderBy("k", "day")
+      .collect().map(r =>
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    assert(out === Array(None, Some(10.0), Some(20.0), Some(40.0), None,
+      Some(7.0)))
+  }
+
   test("scd2Intervals collapses runs into half-open validity intervals") {
     val log = Seq(
       (1L, ts("2024-01-01 00:00:00"), "free"),

@@ -1792,6 +1792,17 @@ object SparkEntry {
       GraphOps.pageRank(edges, iters = 3).orderBy("node")
     }),
 
+    "graph_triangles" -> ((s, dir) => {
+      // k→k/2 and k→k/4 halving edges: every k>3 closes the triangle
+      // {k, k/2, k/4} since (k/2)→(k/4) is itself a halving edge
+      val c = t(s, dir, "customer").where(col("c_custkey") > 3)
+      val edges = c.select(col("c_custkey").as("src"),
+          expr("c_custkey div 2").as("dst"))
+        .union(c.select(col("c_custkey").as("src"),
+          expr("c_custkey div 4").as("dst")))
+      GraphOps.triangleCount(edges)
+    }),
+
     // ---- storage layout: Z-order (Morton) clustering value ----
     // The curve value itself is oracle-checked; the file-skipping
     // property it exists for is asserted physically in ZOrderSpec.
@@ -3421,6 +3432,34 @@ object SparkEntry {
         | least(l.e, r.e) - greatest(l.s, r.s) + 1 AS overlap
         |FROM l JOIN r ON l.s <= r.e AND r.s <= l.e
         |ORDER BY l_id, r_id""".stripMargin,
+
+    // mirrors triangleCount: canonical undirected edges, (deg, id)
+    // orientation, wedge join, flag-join close — integer-only math
+    "graph_triangles" ->
+      """WITH k AS (SELECT c_custkey AS kk FROM customer
+        | WHERE c_custkey > 3),
+        |e0 AS (SELECT kk AS src, kk // 2 AS dst FROM k
+        | UNION ALL SELECT kk, kk // 4 FROM k),
+        |und AS (SELECT DISTINCT least(src, dst) AS u,
+        |  greatest(src, dst) AS v FROM e0
+        | WHERE least(src, dst) <> greatest(src, dst)),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |  SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        | GROUP BY node),
+        |o AS (SELECT
+        |  CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+        |   THEN u ELSE v END AS s,
+        |  CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+        |   THEN v ELSE u END AS t,
+        |  CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+        |   THEN dv.deg ELSE du.deg END AS tdeg
+        | FROM und JOIN deg du ON u = du.node JOIN deg dv ON v = dv.node),
+        |w AS (SELECT e1.t AS b, e2.t AS c FROM o e1 JOIN o e2
+        | ON e1.s = e2.s AND (e1.tdeg < e2.tdeg
+        |  OR (e1.tdeg = e2.tdeg AND e1.t < e2.t)))
+        |SELECT CAST(count(*) AS BIGINT) AS n_wedges,
+        | CAST(count(o.s) AS BIGINT) AS n_triangles
+        |FROM w LEFT JOIN o ON w.b = o.s AND w.c = o.t""".stripMargin,
 
     "graph_pagerank" -> {
       val iters = (1 to 3).map { i =>

@@ -12,6 +12,58 @@ import org.apache.spark.sql.types.DecimalType
   */
 object GraphOps {
 
+  /** Exact triangle count by DEGREE-ORDERED edge orientation (the
+    * Suri–Vassilvitskii / Cohen MapReduce scheme, public): orient every
+    * undirected edge from its lower endpoint to its higher endpoint
+    * under the total order π(x) = (deg(x), x), enumerate wedges
+    * (a→b, a→c) with π(b) < π(c), and keep those whose closing edge
+    * b→c exists. Each triangle's π-smallest vertex is the unique wedge
+    * apex, so every triangle is counted exactly once.
+    *
+    * Why the orientation matters at 100 TB: a raw wedge join explodes
+    * on hubs (Σ deg² — the "curse of the last reducer"); orienting by
+    * degree bounds every out-degree by O(√m), so the wedge relation is
+    * O(m^1.5) worst-case and hub wedges distribute across the ranks
+    * that point AT the hub instead of collapsing onto it.
+    *
+    * Input: directed or undirected `(src, dst)` rows; self-loops and
+    * duplicate/reverse edges are normalized away. Output: one row
+    * `(n_wedges, n_triangles)` — the wedge count doubles as the join's
+    * cost audit. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.as("du"), col("u") === col("du.node"))
+      .join(deg.as("dv"), col("v") === col("dv.node"))
+      .select(
+        when(col("du.deg") < col("dv.deg") ||
+            (col("du.deg") === col("dv.deg") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"),
+            col("dv.deg").as("tdeg")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"),
+            col("du.deg").as("tdeg"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"),
+        col("e.tdeg").as("tdeg"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") &&
+          (col("e1.tdeg") < col("e2.tdeg") ||
+            (col("e1.tdeg") === col("e2.tdeg") &&
+              col("e1.t") < col("e2.t"))))
+      .select(col("e1.t").as("b"), col("e2.t").as("c"))
+    // one pass: flag-join the closing edge (unique after distinct), so
+    // wedge count and triangle count come from a single aggregation
+    wedges.join(oriented.select(col("s"), col("t"), lit(1L).as("hit")),
+        col("b") === col("s") && col("c") === col("t"), "left")
+      .agg(count(lit(1)).as("n_wedges"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_triangles"))
+  }
+
   /** PageRank, `iters` synchronous iterations, damping `d`:
     * `PR₀ = 1/N`, `PRₜ₊₁(v) = (1−d)/N + d·Σ_{u→v} PRₜ(u)/deg(u)`.
     * Dangling mass (sink nodes) is dropped, not redistributed — the

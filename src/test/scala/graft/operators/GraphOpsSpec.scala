@@ -26,6 +26,31 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(pr.values.sum < 1.0)
   }
 
+  test("triangleCount: K4 has 4, reverse/duplicate/self edges " +
+      "normalize away, hub wedges bounded by orientation") {
+    // K4 = 4 triangles; add noise: self loop, duplicate, reversed edge
+    val k4 = for { i <- 0L to 3L; j <- 0L to 3L if i < j } yield (i, j)
+    val noisy = (k4 ++ Seq((2L, 1L), (3L, 3L), (0L, 1L))).toDF("src", "dst")
+    val r = GraphOps.triangleCount(noisy)
+      .as[(Long, Long)].collect().head
+    assert(r._2 == 4L, s"K4 has 4 triangles, got $r")
+    // K4 oriented by (deg, id): every node deg 3 → id order; wedge
+    // count = sum over apexes of C(outdeg, 2) = C(3,2)+C(2,2) = 4
+    assert(r._1 == 4L)
+
+    // star graph: hub 0 with 5 leaves — no triangles, and orientation
+    // (leaves point AT the hub) leaves ZERO wedges, not C(5,2)=10
+    val star = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    val s = GraphOps.triangleCount(star).as[(Long, Long)].collect().head
+    assert(s == ((0L, 0L)), "degree orientation kills the hub blowup")
+
+    // triangle + pendant: exactly one triangle survives
+    val tri = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 9L))
+      .toDF("src", "dst")
+    assert(GraphOps.triangleCount(tri).as[(Long, Long)]
+      .collect().head._2 == 1L)
+  }
+
   test("pageRank on a cycle is uniform and conserves total mass") {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
     val pr = GraphOps.pageRank(edges, iters = 4, checkpoint = false)

@@ -210,20 +210,25 @@ object Dedup {
           lit(threshold) * col("a.n_sh") <= col("b.n_sh"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // verify on the FULL shingle sets — reported scores are exact
-    val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val common = candidates
-      .join(docSh.as("a"), col("id_a") === col("a.doc_id"))
-      .join(docSh.as("b"),
-        col("id_b") === col("b.doc_id") && col("a.shk") === col("b.shk"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(broadcast(sizes).as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(broadcast(sizes).as("sb"), col("id_b") === col("sb.doc_id"))
+    // verify on the FULL shingle sets — reported scores are exact.
+    // Sets travel as one sorted array per doc (a second use of the
+    // checkpointed long form), and |∩| is a per-row array_intersect on
+    // the candidate pairs only — cheaper than re-joining the long-form
+    // relation twice and re-aggregating, because candidates ≪ corpus
+    // and the arrays join is broadcast-able by AQE
+    val packed = docSh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("shk"))).as("shks"),
+        count(lit(1)).as("n_sh"))
+    candidates
+      .join(packed.as("pa"), col("id_a") === col("pa.doc_id"))
+      .join(packed.as("pb"), col("id_b") === col("pb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("pa.shks"), col("pb.shks")))
+          .cast("long").as("n_common"),
+        col("pa.n_sh").as("na"), col("pb.n_sh").as("nb"))
       .select(col("id_a"), col("id_b"),
         (col("n_common").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("n_common")).cast("double"))
+          (col("na") + col("nb") - col("n_common")).cast("double"))
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }

@@ -1601,6 +1601,28 @@ object SparkEntry {
           item = col("item"), k = 8)
         .orderBy("item")),
 
+    // ---- Count-Min frequency sketch over event types ----
+    "sketch_countmin" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val counters = Sketches.countMin(ev,
+        key = col("event_type"), d = 4, w = 256)
+      val exact = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("exact_n"))
+      val est = Sketches.countMinEstimate(counters,
+        exact.select(col("event_type").as("key")), d = 4, w = 256)
+      exact.join(est, col("event_type") === col("key"))
+        .select(col("event_type"), col("exact_n"), col("cm_est"),
+          (col("cm_est") >= col("exact_n")).as("no_underestimate"))
+        .orderBy("event_type")
+    }),
+
+    // ---- blocked fuzzy entity matching within nations ----
+    "er_blocked_matches" -> ((s, dir) =>
+      RelationalOps.blockedFuzzyMatches(t(s, dir, "customer"),
+          idCol = "c_custkey", nameCol = "c_name",
+          blockCol = "c_nationkey", maxDist = 1)
+        .orderBy("id_a", "id_b")),
+
     // ---- SCD2 dimension-history build over the event log ----
     "scd2_user_state" -> ((s, dir) =>
       RelationalOps.scd2Intervals(
@@ -3241,6 +3263,40 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE nsupp >= 2
         |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "sketch_countmin" -> {
+      def bkt(r: Int, k: String): String =
+        s"((strpos('0123456789abcdef', substr(md5('$r|' || $k), 1, 1)) - 1)" +
+          s" * 16 + (strpos('0123456789abcdef', substr(md5('$r|' || $k)," +
+          s" 2, 1)) - 1))"
+      val exRows = (0 until 4).map(r =>
+        s"SELECT $r AS r, ${bkt(r, "event_type")} AS bucket FROM events")
+        .mkString("\n  UNION ALL ")
+      val probeRows = (0 until 4).map(r =>
+        s"SELECT event_type, $r AS r, ${bkt(r, "event_type")} AS bucket" +
+          " FROM exact").mkString("\n  UNION ALL ")
+      s"""WITH ex AS ($exRows),
+         |cnt AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+         | FROM ex GROUP BY r, bucket),
+         |exact AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n
+         | FROM events GROUP BY event_type),
+         |probes AS ($probeRows),
+         |est AS (SELECT p.event_type, min(c.c) AS cm_est
+         | FROM probes p JOIN cnt c ON p.r = c.r AND p.bucket = c.bucket
+         | GROUP BY p.event_type)
+         |SELECT e.event_type, e.exact_n, est.cm_est,
+         | est.cm_est >= e.exact_n AS no_underestimate
+         |FROM exact e JOIN est ON e.event_type = est.event_type
+         |ORDER BY e.event_type""".stripMargin
+    },
+
+    "er_blocked_matches" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        | CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b
+        | ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "sketch_heavy_hitters" ->
       """WITH e AS (SELECT CASE WHEN user_id % 7 = 0 THEN -1

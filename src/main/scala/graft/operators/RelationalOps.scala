@@ -80,6 +80,29 @@ object RelationalOps {
     df.withColumn(outCol, last(col(value), ignoreNulls = true).over(w))
   }
 
+  /** Blocked fuzzy entity matching — the classic entity-resolution
+    * shape: a cheap equality BLOCK key (nation, zip prefix, phonetic
+    * code…) bounds the candidate space, then exact Levenshtein verifies
+    * within each block. The n² cost the naive fuzzy join pays becomes
+    * Σ m_block² — the same blocking idea as SemDeDup's cells and LSH's
+    * buckets, applied to relational string identity.
+    *
+    * One shuffle on the block key; the edit-distance verify runs only
+    * inside blocks. Skewed blocks are the documented failure mode (a
+    * block holding half the table is n²/4 again) — cap block size
+    * upstream or refine the key. Output: (id_a, id_b, dist ≤ maxDist),
+    * id_a < id_b. */
+  def blockedFuzzyMatches(df: DataFrame, idCol: String, nameCol: String,
+      blockCol: String, maxDist: Int): DataFrame = {
+    val slim = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      col(nameCol).as("nm"))
+    slim.as("a").join(slim.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        levenshtein(col("a.nm"), col("b.nm")).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   /** Linear interpolation fill over a date spine: a null `value` BETWEEN
     * two known points gets the straight-line value
     * `prev + (next − prev) · Δprev/Δspan`; nulls before the first or

@@ -90,4 +90,41 @@ object Sketches {
           (col("exact_cnt") - col("approx")) <= col("n") / lit(k + 1))
           .as("bound_ok"))
   }
+
+  /** Deterministic Count-Min bucket for hash row `r`: the first byte of
+    * md5("r|key") — replicable in any engine with md5, like the
+    * simhash/minhash seeds. */
+  private def cmBucket(r: Int, key: org.apache.spark.sql.Column,
+      w: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(concat_ws("|", lit(r.toString), key)), 1, 2),
+      16, 10).cast("long") % w
+
+  /** Count-Min sketch build (Cormode–Muthukrishnan, public): `d`
+    * pairwise-independent-ish hash rows × `w` counters. The sketch is
+    * the 100 TB frequency-estimation workhorse because it is MERGEABLE
+    * and BOUNDED: however large the input, the counter relation tops
+    * out at d·w rows (map-side partial aggregation collapses the d×
+    * exploded stream long before the shuffle), partial sketches union
+    * by plain counter addition, and estimates only ever OVERcount
+    * (one-sided ε·n error with w ≈ e/ε). Returns (r, bucket, cnt). */
+  def countMin(df: DataFrame, key: org.apache.spark.sql.Column,
+      d: Int = 4, w: Int = 256): DataFrame =
+    df.select(explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), cmBucket(r, key, w).as("bucket"))): _*))
+        .as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates from a Count-Min counter relation: for each row of
+    * `keys` (column `key`), the minimum counter across the d hash
+    * rows. Counters broadcast (≤ d·w rows by construction). */
+  def countMinEstimate(counters: DataFrame, keys: DataFrame,
+      d: Int = 4, w: Int = 256): DataFrame =
+    keys.select(col("key"), explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), cmBucket(r, col("key"), w).as("bucket"))): _*))
+        .as("rb"))
+      .select(col("key"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy(col("key"))
+      .agg(min(col("cnt")).as("cm_est"))
 }

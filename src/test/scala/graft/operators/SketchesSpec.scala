@@ -44,6 +44,51 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("countMin: one-sided error, exact on collision-free keys, " +
+      "mergeable by counter addition") {
+    import org.apache.spark.sql.functions._
+    val df = ((1 to 500).map(_ => "alpha") ++ (1 to 90).map(_ => "beta")
+      ++ (1 to 7).map(_ => "gamma")).toDF("k")
+    val counters = Sketches.countMin(df, col("k"))
+    // sketch size is bounded: at most d distinct buckets per key
+    assert(counters.count() <= 12)
+    val keys = Seq("alpha", "beta", "gamma").toDF("key")
+    val est = Sketches.countMinEstimate(counters, keys)
+      .as[(String, Long)].collect().toMap
+    val exact = Map("alpha" -> 500L, "beta" -> 90L, "gamma" -> 7L)
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CM must never underestimate ($k)")
+    }
+    // 3 keys in 256 buckets × 4 rows: some row is collision-free for
+    // each key, so the min recovers the exact count
+    assert(est === exact)
+
+    // mergeability: sketch(A ∪ B) = counter-wise sum of the partials
+    val (h1, h2) = (df.limit(300), df.exceptAll(df.limit(300)))
+    val merged = Sketches.countMin(h1, col("k"))
+      .unionByName(Sketches.countMin(h2, col("k")))
+      .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+    val mergedRows = merged.orderBy("r", "bucket")
+      .as[(Int, Long, Long)].collect().toSeq
+    val directRows = counters.orderBy("r", "bucket")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(mergedRows === directRows)
+  }
+
+  test("blockedFuzzyMatches: near-identical names match within a " +
+      "block, never across blocks") {
+    val people = Seq(
+      (1L, "jon smith", "NY"), (2L, "john smith", "NY"),   // dist 1
+      (3L, "jon smith", "CA"),                             // other block
+      (4L, "completely different", "NY")
+    ).toDF("pid", "name", "state")
+    val m = RelationalOps.blockedFuzzyMatches(people, "pid", "name",
+        "state", maxDist = 1)
+      .as[(Long, Long, Int)].collect()
+    assert(m.toSeq === Seq((1L, 2L, 1)),
+      "only the same-block near-duplicate pair matches")
+  }
+
   test("mgHeavyHitters emits exact counts with all-true bound flags") {
     val df = (0 until 2000)
       .map(i => if (i % 4 == 0) -1L else (i % 300).toLong)

@@ -1696,6 +1696,18 @@ object SparkEntry {
       AnalyticsOps.topTermsPerDoc(t(s, dir, "documents"), k = 3)
         .orderBy("doc_id", "rank")),
 
+    "text_novelty" -> ((s, dir) =>
+      TextOps.noveltyScores(t(s, dir, "documents"), w = 3)
+        .orderBy("doc_id")),
+
+    "analytics_skyline" -> ((s, dir) =>
+      // Pareto frontier of (quantity, price) both minimized — the
+      // cheapest-per-size-class frontier
+      AnalyticsOps.skyline2D(t(s, dir, "lineitem"),
+          xCol = "l_quantity", yCol = "l_extendedprice",
+          bucketWidth = 10.0)
+        .orderBy("x", "y")),
+
     "text_bm25" -> ((s, dir) =>
       AnalyticsOps.bm25TopDocs(t(s, dir, "documents"),
           queryTerms = Seq("hash", "scan", "filter"), k = 10)
@@ -3627,6 +3639,28 @@ object SparkEntry {
         |  ORDER BY score DESC, token ASC) AS INTEGER) AS rank FROM sc)
         |SELECT doc_id, rank, token, tf, df, score FROM r WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+
+    // the single sorted-pass frontier (bucketing is internal to the
+    // Spark plan and cannot change the output)
+    "analytics_skyline" ->
+      """WITH p AS (SELECT DISTINCT l_quantity AS x,
+        |  l_extendedprice AS y FROM lineitem),
+        |w AS (SELECT x, y, min(y) OVER (ORDER BY x, y
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp FROM p)
+        |SELECT x, y FROM w WHERE mp IS NULL OR y < mp
+        |ORDER BY x, y""".stripMargin,
+
+    // first-owner novelty over the distinct raw shingle relation
+    "text_novelty" ->
+      s"""WITH $duckShingles,
+         |owner AS (SELECT s, min(doc_id) AS owner_id FROM shl GROUP BY s)
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+         | CAST(sum(CASE WHEN o.owner_id = d.doc_id THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS n_novel,
+         | CAST(sum(CASE WHEN o.owner_id = d.doc_id THEN 1 ELSE 0 END)
+         |  AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+         |FROM shl d JOIN owner o ON d.s = o.s
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     // mirrors bm25TopDocs exactly: parsed decimal constants, idf·sat
     // multiplication order, left-associated coalesce total

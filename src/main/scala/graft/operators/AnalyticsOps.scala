@@ -214,6 +214,39 @@ object AnalyticsOps {
         col("df"), col("score"))
   }
 
+  /** 2-D skyline (Pareto frontier, both dimensions minimized): a point
+    * survives iff no other point is ≤ in both coordinates and < in one.
+    * In two dimensions the frontier falls out of one sorted pass — keep
+    * a point iff its y is strictly below the running min-y of all
+    * points before it in (x, y) order.
+    *
+    * Distributed WITHOUT a global single-partition window: points
+    * bucket by x-range; each bucket runs the prefix-min window locally
+    * (partitioned — parallel), and the cross-bucket carry-in is the
+    * running min over the per-bucket minima — a bucket-count-sized
+    * relation that broadcasts. Same output as the global pass because
+    * bucket order refines x order. Input need not be distinct;
+    * duplicate coordinate pairs collapse first (a duplicate never
+    * dominates its twin). Output: the frontier points (x, y). */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String,
+      bucketWidth: Double = 10.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.select(col(xCol).as("x"), col(yCol).as("y")).distinct()
+      .withColumn("b", floor(col("x").cast("double") / lit(bucketWidth)))
+    val bucketMins = pts.groupBy(col("b")).agg(min(col("y")).as("bmin"))
+      .withColumn("carry", min(col("bmin")).over(
+        Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("b"), col("carry"))
+    val local = Window.partitionBy(col("b"))
+      .orderBy(col("x").asc, col("y").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.join(broadcast(bucketMins), Seq("b"))
+      .withColumn("mp", least(min(col("y")).over(local), col("carry")))
+      .where(col("mp").isNull || col("y") < col("mp"))
+      .select(col("x"), col("y"))
+  }
+
   /** BM25 document retrieval for a fixed query-term set (Robertson &
     * Spärck Jones probabilistic relevance framework, public). Per
     * matched (doc, term):

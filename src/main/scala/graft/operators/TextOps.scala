@@ -151,4 +151,33 @@ object TextOps {
     val phones = size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
     (emails.cast("long"), phones.cast("long"), emails + phones > 0)
   }
+
+  /** Shingle novelty score — the data-curation signal "how much of this
+    * document is new relative to everything before it": every distinct
+    * shingle is attributed to its FIRST owner (min doc_id; ingestion
+    * order in production), and a document's novelty is the fraction of
+    * its shingles it owns. Exact duplicates of an earlier doc score 0,
+    * fully-original docs score 1, boilerplate-heavy docs land
+    * proportionally between — a cheap corpus-ORDER-aware complement to
+    * pairwise near-dup joins.
+    *
+    * Scale: two aggregations over the (doc, shingle-key) long form —
+    * min-owner per 8-byte shingle key, join back, one count-sum per
+    * doc. No self-join of the corpus. Output: (doc_id, n_sh, n_novel,
+    * novelty). */
+  def noveltyScores(documents: DataFrame, w: Int = 3): DataFrame = {
+    val docSh = Dedup.docShinglesRaw(documents, w)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shk"))
+      .localCheckpoint(true)
+    val owner = docSh.groupBy(col("shk"))
+      .agg(min(col("doc_id")).as("owner_id"))
+    docSh.join(owner, Seq("shk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("owner_id") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_sh"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_sh").cast("double"))
+          .as("novelty"))
+  }
 }

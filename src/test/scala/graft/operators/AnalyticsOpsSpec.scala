@@ -145,6 +145,38 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(byDoc(1L)._4 < byDoc(2L)._4)
   }
 
+  test("skyline2D equals brute-force dominance filtering, any bucketing") {
+    // deterministic scatter incl. equal-x and equal-y collisions
+    val pts = (0 until 200).map { i =>
+      (((i * 37) % 53).toDouble, ((i * 91) % 47).toDouble)
+    }.toDF("px", "py")
+    val brute = {
+      val p = pts.distinct().as[(Double, Double)].collect()
+      p.filter { case (x, y) => !p.exists { case (a, b) =>
+        a <= x && b <= y && (a < x || b < y) } }.toSet
+    }
+    for (width <- Seq(1.0, 7.0, 1000.0)) {
+      val sky = AnalyticsOps.skyline2D(pts, "px", "py", width)
+        .as[(Double, Double)].collect().toSet
+      assert(sky == brute, s"bucket width $width changed the frontier")
+    }
+  }
+
+  test("noveltyScores: duplicates score 0, originals 1, partial between") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"), // exact dup → 0
+      (2L, "totally fresh words appearing nowhere else"),
+      // half old (shares 0's prefix), half new
+      (3L, "alpha beta gamma delta brand new ending here")
+    ).toDF("doc_id", "text")
+    val out = TextOps.noveltyScores(docs)
+      .select("doc_id", "novelty").as[(Long, Double)].collect().toMap
+    assert(out(0L) == 1.0 && out(2L) == 1.0)
+    assert(out(1L) == 0.0, "exact duplicate of an earlier doc")
+    assert(out(3L) > 0.3 && out(3L) < 0.8)
+  }
+
   test("topTermsPerDoc ranks rare-but-frequent terms above ubiquitous ones") {
     val docs = Seq(
       (0L, "alpha alpha alpha the the common"),

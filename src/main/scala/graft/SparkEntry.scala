@@ -491,6 +491,15 @@ object SparkEntry {
           threshold = 0.42, bands = 8, rowsPerBand = 6, dims = 64)
         .orderBy("id_a", "id_b")),
 
+    "emb_centroids" -> ((s, dir) => {
+      // per-language mean embedding: docs and embeddings share ids
+      val lang = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val joined = t(s, dir, "embeddings")
+        .join(lang, col("vec_id") === col("doc_id"))
+      Similarity.groupCentroids(joined, "lang")
+        .orderBy("g", "pos")
+    }),
+
     "dedup_semantic" -> ((s, dir) =>
       // SemDeDup blocking: coarse-quantizer cells bound the pairwise
       // cosine to within-cell, keep-lowest-id-representative rule
@@ -2438,6 +2447,24 @@ object SparkEntry {
          |  FROM p)
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // decimal-accumulated per-dimension sums; the decimal→double hop
+    // goes through VARCHAR because DuckDB's direct hugeint-decimal →
+    // DOUBLE cast double-rounds on some values
+    "emb_centroids" ->
+      """WITH x0 AS (SELECT d.lang AS g,
+        |  unnest(list_transform(range(1, len(e.embedding) + 1),
+        |   i -> struct_pack(pos := i - 1, v := e.embedding[i]))) AS u
+        | FROM embeddings e
+        | JOIN documents d ON e.vec_id = d.doc_id),
+        |x AS (SELECT g, u.pos AS pos,
+        |  CAST(CAST(u.v AS VARCHAR) AS DECIMAL(38,18)) AS dv FROM x0),
+        |s AS (SELECT g, pos, sum(dv) AS dsum,
+        |  CAST(count(*) AS BIGINT) AS n FROM x GROUP BY g, pos)
+        |SELECT g, CAST(pos AS INTEGER) AS pos,
+        | CAST(CAST(dsum AS VARCHAR) AS DOUBLE)
+        |  / CAST(n AS DOUBLE) AS mean, n
+        |FROM s ORDER BY g, pos""".stripMargin,
 
     // replicates the deterministic codebook (first 16 ids), the argmax
     // assignment tie-break (cos DESC, cell_id ASC), and the

@@ -179,6 +179,34 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Per-group mean embeddings (centroids) — the building block behind
+    * trained quantizers, per-source drift monitoring, and cluster
+    * summaries. One posexplode + one (group, dim) aggregation; the
+    * per-dimension sum — the only order-sensitive float step —
+    * accumulates in DECIMAL(38,18) (the dsum pattern), so centroids
+    * are bit-reproducible under any partitioning and in any engine
+    * with the same decimal semantics. Output is the FLAT (group, pos,
+    * mean, n) relation: dimension count is bounded, and flat rows
+    * hash-compare exactly where array columns cannot. */
+  def groupCentroids(df: DataFrame, groupCol: String,
+      embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    df.select(col(groupCol).as("g"),
+        posexplode(col(embCol)).as(Seq("pos", "v")))
+      .groupBy(col("g"), col("pos"))
+      // float → STRING → decimal: a float's shortest repr carries ≤9
+      // significant digits, so the decimal parse is EXACT at scale 18
+      // in every engine — whereas float/double → decimal directly
+      // rounds Spark's shortest-repr but DuckDB's full binary
+      // expansion, which disagree in the last decimal digit
+      .agg(sum(col("v").cast("string").cast(DecimalType(38, 18)))
+          .as("dsum"),
+        count(lit(1)).as("n"))
+      .select(col("g"), col("pos"),
+        (col("dsum").cast("double") / col("n").cast("double")).as("mean"),
+        col("n"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     * embeddings are blocked by a coarse quantizer and near-duplicate
     * pruning runs only WITHIN each cell — the insight that makes

@@ -294,6 +294,17 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(nd == Set((0L, 1L)))
   }
 
+  test("groupCentroids: exact means per dimension, flat output") {
+    val emb = Seq(
+      (0L, Array(1.0f, 4.0f), "a"), (1L, Array(3.0f, 0.0f), "a"),
+      (2L, Array(0.5f, 0.25f), "b")
+    ).toDF("vec_id", "embedding", "grp")
+    val out = Similarity.groupCentroids(emb, "grp")
+      .orderBy("g", "pos").as[(String, Int, Double, Long)].collect()
+    assert(out === Array(("a", 0, 2.0, 2L), ("a", 1, 2.0, 2L),
+      ("b", 0, 0.5, 1L), ("b", 1, 0.25, 1L)))
+  }
+
   test("LSH topk: buckets preserve identical vectors together") {
     val emb = Seq(
       (0L, Array(1.0f, 0.5f, -0.25f)), (1L, Array(1.0f, 0.5f, -0.25f)),

@@ -965,6 +965,20 @@ object SparkEntry {
         .orderBy("p_partkey")),
 
     // ---- as-of / range joins (engine-grown verbs, survey §2.3 note) ----
+    "join_asof_tolerance" -> ((s, dir) => {
+      // last view within 1 hour of the purchase — farther views do NOT
+      // fall back, they null out (merge_asof tolerance semantics)
+      val ev = events(s, dir)
+      RelationalOps.asofBackwardWithin(
+          ev.where(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          ev.where(col("event_type") === "view")
+            .select(col("user_id"), col("ts")),
+          key = "user_id", ts = "ts", pick = "ts",
+          outCol = "last_view_ts", tolSeconds = 3600L)
+        .orderBy("event_id")
+    }),
+
     "join_asof_last_view" -> ((s, dir) => {
       val ev = events(s, dir)
       RelationalOps.asofBackward(
@@ -2932,6 +2946,18 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(p_name, 'a')) AS BIGINT) AS n_a,
         | regexp_replace(p_type, '[aeiou]', '_', 'g') AS devoweled
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    // ASOF match post-filtered by the tolerance — a too-far nearest
+    // match nulls out rather than falling back, like merge_asof
+    "join_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+        | CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000
+        |  THEN v.ts END AS last_view_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN
+        | (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "join_asof_last_view" ->
       """SELECT p.event_id, p.user_id, p.ts, v.ts AS last_view_ts

@@ -46,6 +46,38 @@ object RelationalOps {
       .drop("_side", "_pick")
   }
 
+  /** Backward as-of join with a TOLERANCE (pandas `merge_asof
+    * tolerance=` semantics): the nearest preceding right row matches
+    * only if it lies within `tolSeconds` of the left timestamp;
+    * otherwise the left row gets NULL — it does NOT fall back to an
+    * even older row. Same one-shuffle union+window shape as
+    * [[asofBackward]]; the matched row's own timestamp rides along in
+    * a second window expression over the SAME frame (so both exprs
+    * resolve to the same right row, one sort), and the tolerance is an
+    * exact integer comparison on epoch micros. */
+  def asofBackwardWithin(left: DataFrame, right: DataFrame, key: String,
+      ts: String, pick: String, outCol: String,
+      tolSeconds: Long): DataFrame = {
+    val r = right.select(col(key), col(ts), col(pick).as("_pick"))
+      .withColumn("_side", lit(0))
+    val l = left.withColumn("_side", lit(1))
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("_side").asc, col("_pick").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_mpick",
+        last(when(col("_side") === 0, col("_pick")), ignoreNulls = true)
+          .over(w))
+      .withColumn("_mts",
+        last(when(col("_side") === 0, col(ts)), ignoreNulls = true)
+          .over(w))
+      .withColumn(outCol,
+        when(unix_micros(col(ts)) - unix_micros(col("_mts")) <=
+          tolSeconds * 1000000L, col("_mpick")))
+      .where(col("_side") === 1)
+      .drop("_side", "_pick", "_mpick", "_mts")
+  }
+
   /** Forward as-of: for each left row, the FIRST right row per key with
     * `right.ts >= left.ts` — the mirror of [[asofBackward]], same
     * union+window shape: ONE shuffle, no range-explosion theta join.

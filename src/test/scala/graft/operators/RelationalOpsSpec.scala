@@ -65,6 +65,29 @@ class RelationalOpsSpec extends AnyFunSuite {
       4L -> Some(ts("2024-01-01 22:00:00"))))
   }
 
+  test("asofBackwardWithin: nearest match nulls out beyond tolerance, " +
+      "no fallback to older rows") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // match 30 min back → keep
+      (2L, 10L, ts("2024-01-01 14:00:00")), // nearest 2h back → NULL
+      (3L, 20L, ts("2024-01-01 09:00:00"))  // no prior at all → NULL
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 08:00:00")), // older fallback must NOT fire
+      (10L, ts("2024-01-01 09:30:00")),
+      (10L, ts("2024-01-01 12:00:00"))
+    ).toDF("user_id", "ts")
+    val out = RelationalOps.asofBackwardWithin(left, right,
+        "user_id", "ts", "ts", "m", tolSeconds = 3600L)
+      .orderBy("event_id")
+      .collect().map(r =>
+        (r.getLong(0), Option(r.getAs[java.sql.Timestamp]("m"))))
+    assert(out === Array(
+      (1L, Some(ts("2024-01-01 09:30:00"))),
+      (2L, None),
+      (3L, None)))
+  }
+
   test("asofBackward keeps every left row and its carried columns") {
     val left = Seq((1L, 5L, ts("2024-01-02 00:00:00"), "payload"))
       .toDF("event_id", "user_id", "ts", "extra")

@@ -203,6 +203,46 @@ object StreamingOps {
     }
   }
 
+  /** One micro-batch of streaming Count-Min maintenance: build the
+    * partial sketch of this batch's keys and counter-add it into the
+    * stored d×w state — the streaming face of mergeable-sketch
+    * frequency tracking (the same union-then-estimate life cycle as
+    * the HLL partials in `agg_hll_mergeable`, with the same batch-id
+    * fence as [[maintainAggState]] so micro-batch replay cannot
+    * double-count). State stays ≤ d·w rows forever; after N batches
+    * it is bit-identical to the batch sketch of the concatenated
+    * stream because Count-Min merge IS counter addition. */
+  def maintainCountMinState(statePath: String, keyCol: String,
+      d: Int = 4, w: Int = 256)(batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val state = s.read.parquet(statePath) // caller seeds initial state
+    // an EMPTY seed (no counters yet) is legitimate for a sketch —
+    // max() over it is NULL, which must read as "nothing applied"
+    val lastApplied = state
+      .agg(coalesce(max(col("_batch_id")), lit(Long.MinValue)))
+      .head.getLong(0)
+    if (lastApplied < batchId) {
+      val partial = graft.operators.Sketches.countMin(batch,
+        col(keyCol), d, w)
+      val next = state.drop("_batch_id").unionByName(partial)
+        .groupBy(col("r"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+        .withColumn("_batch_id", lit(batchId))
+      graft.operators.MergeOps.replaceTable(s, next, statePath)
+    }
+  }
+
+  /** Streaming sketch upkeep: a file stream of raw rows keeps the
+    * Count-Min counter table current; point estimates read the tiny
+    * state table, never the stream history. */
+  def streamingCountMin(spark: SparkSession, sourceDir: String,
+      schema: StructType, keyCol: String, statePath: String,
+      checkpointDir: String, d: Int = 4, w: Int = 256): StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(maintainCountMinState(statePath, keyCol, d, w) _)
+      .start()
+
   /** Streaming CDC apply: a file stream of snapshotDiff rows keeps the
     * aggregate state table current without ever rescanning history. */
   def streamingAggMaintenance(spark: SparkSession, sourceDir: String,

@@ -68,6 +68,45 @@ class StreamingCdcSpec extends AnyFunSuite {
         .as[(String, Long, Double)].collect().toSet)
   }
 
+  test("streaming Count-Min: state after N micro-batches equals the " +
+      "batch sketch of the whole stream; replay is fenced") {
+    import graft.operators.Sketches
+    val base = Files.createTempDirectory("graft-cm").toString
+    val (srcDir, statePath, ckpt) =
+      (s"$base/rows", s"$base/state", s"$base/ckpt")
+
+    val b0 = ((1 to 40).map(_ => "x") ++ (1 to 9).map(_ => "y"))
+      .toDF("k")
+    val b1 = ((1 to 25).map(_ => "y") ++ (1 to 3).map(_ => "z"))
+      .toDF("k")
+    def counters(df: DataFrame): Set[(Int, Long, Long)] =
+      Sketches.countMin(df, col("k"))
+        .as[(Int, Long, Long)].collect().toSet
+
+    // seed: empty counter state stamped pre-stream
+    Sketches.countMin(b0.limit(0), col("k"))
+      .withColumn("_batch_id", lit(-1L)).write.parquet(statePath)
+
+    b0.write.parquet(srcDir)
+    val q = StreamingOps.streamingCountMin(spark, srcDir,
+      b0.schema, keyCol = "k", statePath, ckpt)
+    try {
+      q.processAllAvailable()
+      b1.write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val state = spark.read.parquet(statePath).drop("_batch_id")
+        .as[(Int, Long, Long)].collect().toSet
+      assert(state === counters(b0.unionByName(b1)),
+        "merged stream state must equal the batch sketch of all rows")
+    } finally q.stop()
+
+    // replayed micro-batch is a no-op under the batch-id fence
+    StreamingOps.maintainCountMinState(statePath, "k")(b0, 0L)
+    val after = spark.read.parquet(statePath).drop("_batch_id")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(after === counters(b0.unionByName(b1)))
+  }
+
   test("sequential diffs compose additively in one batch (linearity)") {
     // two consecutive diffs delivered TOGETHER must apply correctly:
     // the delta algebra is linear, so concatenated change rows

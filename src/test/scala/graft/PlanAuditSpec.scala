@@ -203,6 +203,48 @@ class PlanAuditSpec extends AnyFunSuite {
         s"${shuffles.size}:\n${df.queryExecution.executedPlan}")
   }
 
+  test("tolerance as-of join keeps the one-shuffle union+window shape") {
+    val df = q("join_asof_tolerance")
+    val shuffles = shufflesOf(df)
+    // the second window expression (matched ts) must ride the SAME
+    // frame and exchange as the matched pick, not add a shuffle
+    assert(shuffles.size <= 2,
+      s"tolerance as-of should shuffle once (+1 for output order), got " +
+        s"${shuffles.size}:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("skyline: the corpus-sized window is bucket-partitioned, never " +
+      "a single global partition") {
+    val df = q("analytics_skyline")
+    df.collect()
+    val windows = flatten(df.queryExecution.executedPlan)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    // two windows exist: the per-bucket prefix-min (partitioned by b)
+    // and the bucket-minima carry (tiny, single partition by design).
+    // The one over the full point set must be the partitioned one.
+    val single = windows.filter(_.partitionSpec.isEmpty)
+    val partitioned = windows.filter(_.partitionSpec.nonEmpty)
+    assert(partitioned.nonEmpty, "per-bucket window missing")
+    assert(single.forall(_.windowExpression.forall(_.name == "carry")),
+      "a single-partition window may only compute the bucket-minima " +
+        s"carry, never touch the raw points:\n" +
+        s"${df.queryExecution.executedPlan}")
+  }
+
+  test("count-min counters collapse map-side before the shuffle") {
+    val df = q("sketch_countmin")
+    df.collect()
+    val aggs = flatten(df.queryExecution.executedPlan)
+      .collect { case a: org.apache.spark.sql.execution.aggregate
+        .HashAggregateExec => a }
+    // the d×w counter groupBy must run a partial aggregate below its
+    // exchange: the sketch's whole point is that the shuffle carries
+    // ≤ d·w rows per task, not the exploded input stream
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode ==
+      org.apache.spark.sql.catalyst.expressions.aggregate.Partial)),
+      s"no partial aggregation:\n${df.queryExecution.executedPlan}")
+  }
+
   test("scd2 interval build costs one shuffle (windows share the key exchange)") {
     val df = q("scd2_user_state")
     val shuffles = shufflesOf(df)

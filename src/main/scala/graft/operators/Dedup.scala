@@ -191,10 +191,13 @@ object Dedup {
     val docSh = docShinglesRaw(documents, w)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shk"))
       .localCheckpoint(true)
-    val dfreq = docSh.groupBy("shk").agg(count(lit(1)).as("df"))
-    // both windows share the doc_id partitioning → one exchange
+    // df via a shk-partitioned window — the same single exchange a
+    // groupBy would pay, but with no join back to re-attach the count;
+    // both doc_id windows then share the second exchange
+    val byKey = Window.partitionBy("shk")
     val byDoc = Window.partitionBy("doc_id")
-    val ranked = docSh.join(dfreq, Seq("shk"))
+    val ranked = docSh
+      .withColumn("df", count(lit(1)).over(byKey))
       .withColumn("n_sh", count(lit(1)).over(byDoc))
       .withColumn("rk",
         row_number().over(byDoc.orderBy(col("df"), col("shk"))))
@@ -211,12 +214,15 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     // verify on the FULL shingle sets — reported scores are exact.
-    // Sets travel as one sorted array per doc (a second use of the
-    // checkpointed long form), and |∩| is a per-row array_intersect on
-    // the candidate pairs only — cheaper than re-joining the long-form
-    // relation twice and re-aggregating, because candidates ≪ corpus
-    // and the arrays join is broadcast-able by AQE
-    val packed = docSh.groupBy(col("doc_id"))
+    // Sets travel as one sorted array per doc, and |∩| is a per-row
+    // array_intersect on the candidate pairs only — cheaper than
+    // re-joining the long-form relation twice and re-aggregating,
+    // because candidates ≪ corpus. Packing aggregates the RANKED frame,
+    // not the checkpoint: it is already hash-partitioned by doc_id from
+    // the window above, so the groupBy plans with NO new exchange, and
+    // the two upstream exchanges are shared with the prefix branch as
+    // ReusedExchange nodes.
+    val packed = ranked.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("shk"))).as("shks"),
         count(lit(1)).as("n_sh"))
     candidates

@@ -1882,6 +1882,51 @@ object SparkEntry {
           expectedItems = 100000L)
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // ---- time-series downsampling: OHLC resample + rolling z-score ----
+    "ts_ohlc" -> ((s, dir) =>
+      RelationalOps.resampleOhlc(events(s, dir), unit = "hour")
+        .orderBy("event_type", "bucket")),
+
+    "ts_rolling_zscore" -> ((s, dir) =>
+      RelationalOps.rollingZscore(events(s, dir), key = "user_id",
+          tsCol = "ts", idCol = "event_id", valCol = "value",
+          n = 10, minPrev = 3)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("n_prev"), col("mean_prev"), col("z"))
+        .orderBy("user_id", "ts", "event_id")),
+
+    // ---- deterministic PPS sampling over a distributed prefix scan ----
+    "pipe_pps_sample" -> ((s, dir) =>
+      PipelineOps.ppsSystematicSample(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          idCol = "doc_id", weightCol = "n_chars", k = 50)
+        .orderBy("doc_id")),
+
+    // ---- hybrid retrieval: BM25 ⊕ embedding ANN via RRF ----
+    "retrieval_rrf" -> ((s, dir) => {
+      val lex = AnalyticsOps.bm25TopDocs(t(s, dir, "documents"),
+          queryTerms = Seq("hash", "scan", "filter"), k = 20)
+        .select(col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      // vec_id doubles as doc_id: the synthetic corpus aligns the two
+      val vec = Similarity
+        .bruteForceTopK(emb, emb.where(col("vec_id") === 0), k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      AnalyticsOps.rrfFuse(lex, vec).orderBy("rank")
+    }),
+
+    // ---- MinHash estimator audit: slot agreement vs exact Jaccard ----
+    "dedup_minhash_estimate" -> ((s, dir) =>
+      Dedup.minhashEstimatePairs(t(s, dir, "documents"), k = 8, bands = 4)
+        .orderBy("id_a", "id_b")),
+
+    // ---- product-quantization ANN with ADC scoring ----
+    "ann_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.where(col("vec_id") < 8), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- recursive CTE (Spark 4): BFS over the customer-key tree ----
     "sql_recursive_tree" -> ((s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("v_customer")
@@ -3862,6 +3907,188 @@ object SparkEntry {
          |WHERE q.quality >= 0.5 AND lp.lang_pred != 'und'
          |ORDER BY t.doc_id""".stripMargin
     },
+
+    // one ordered window pass: first-row flag + partition count, then
+    // conditional max — replicating the single-exchange OHLC plan
+    "ts_ohlc" ->
+      """WITH e AS (SELECT event_id, ts, event_type, value FROM events
+        |  WHERE value IS NOT NULL),
+        |b AS (SELECT *, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket
+        |  FROM e),
+        |w AS (SELECT event_type, bucket, value,
+        |  row_number() OVER (PARTITION BY event_type, bucket
+        |    ORDER BY ts, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY event_type, bucket) AS nn FROM b)
+        |SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+        | max(CASE WHEN rn = 1 THEN value END) AS open,
+        | max(value) AS high, min(value) AS low,
+        | max(CASE WHEN rn = nn THEN value END) AS close,
+        | CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS vsum
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // trailing-frame decimal sums; mean/var/z derived with the same
+    // pinned IEEE op order as the Spark expression
+    "ts_rolling_zscore" ->
+      """WITH e AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE value IS NOT NULL),
+        |w AS (SELECT event_id, user_id, ts, value,
+        |  CAST(count(*) OVER f AS BIGINT) AS n_prev,
+        |  CAST(SUM(CAST(value AS DECIMAL(22,6))) OVER f AS DOUBLE) AS s,
+        |  CAST(SUM(CAST(value * value AS DECIMAL(22,6))) OVER f AS DOUBLE)
+        |    AS s2
+        | FROM e WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ts, value, n_prev,
+        | s / CAST(n_prev AS DOUBLE) AS mean_prev,
+        | CASE WHEN n_prev >= 3 THEN
+        |   (value - s / CAST(n_prev AS DOUBLE))
+        |     / sqrt((s2 - (s * s) / CAST(n_prev AS DOUBLE))
+        |       / (CAST(n_prev AS DOUBLE) - CAST(1 AS DOUBLE))) END AS z
+        |FROM w ORDER BY user_id, ts, event_id""".stripMargin,
+
+    // global window cumsum — the oracle for the two-phase parallel scan
+    // — then the same BIGINT slot-boundary arithmetic
+    "pipe_pps_sample" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |  CAST(sum(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum
+        | FROM documents),
+        |t AS (SELECT CAST(max(cum) AS BIGINT) AS w FROM c)
+        |SELECT doc_id, n_chars, cum,
+        | CAST(((cum - n_chars) * 50) // w AS BIGINT) AS slot
+        |FROM c CROSS JOIN t
+        |WHERE (cum * 50) // w > ((cum - n_chars) * 50) // w
+        |ORDER BY doc_id""".stripMargin,
+
+    // BM25 top-20 (the text_bm25 pipeline re-cut at k=20) fused with
+    // cosine top-20 for query vector 0 by reciprocal-rank; only ranks
+    // cross the fusion, so the two scoring scales never meet
+    "retrieval_rrf" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |  unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+         | FROM documents),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         | FROM tok GROUP BY doc_id, token),
+         |qtf AS (SELECT * FROM tf WHERE token IN ('hash','scan','filter')),
+         |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+         | FROM qtf GROUP BY token),
+         |dls AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         | FROM tf GROUP BY doc_id),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(dl) AS BIGINT) AS total_len FROM dls),
+         |sc AS (SELECT q.doc_id, q.token,
+         |  ((CAST(st.n_docs - d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |    / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         |  * (CAST(q.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+         |    / (CAST(q.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+         |      * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+         |        * (CAST(l.dl AS DOUBLE)
+         |          / (CAST(st.total_len AS DOUBLE)
+         |            / CAST(st.n_docs AS DOUBLE)))))) AS score
+         | FROM qtf q JOIN dfq d ON q.token = d.token
+         | JOIN dls l ON q.doc_id = l.doc_id CROSS JOIN st),
+         |pv AS (SELECT doc_id,
+         |  max(CASE WHEN token = 'hash' THEN score END) AS s1,
+         |  max(CASE WHEN token = 'scan' THEN score END) AS s2,
+         |  max(CASE WHEN token = 'filter' THEN score END) AS s3
+         | FROM sc GROUP BY doc_id),
+         |tot AS (SELECT doc_id,
+         |  ((coalesce(s1, CAST(0 AS DOUBLE)) + coalesce(s2, CAST(0 AS DOUBLE)))
+         |    + coalesce(s3, CAST(0 AS DOUBLE))) AS score
+         | FROM pv),
+         |lx AS (SELECT doc_id AS id, rank_a FROM (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank_a
+         |  FROM tot) WHERE rank_a <= 20),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e),
+         |p AS (SELECT c.vec_id AS neighbor_id,
+         |  ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+         |  FROM n q JOIN n c ON q.vec_id = 0 AND c.vec_id != 0),
+         |vx AS (SELECT neighbor_id AS id, rank_b FROM (
+         |  SELECT neighbor_id, CAST(row_number() OVER (
+         |    ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank_b
+         |  FROM p) WHERE rank_b <= 20),
+         |f AS (SELECT coalesce(lx.id, vx.id) AS id, rank_a, rank_b,
+         |  (coalesce(CAST(1 AS DOUBLE)
+         |      / (CAST(60 AS DOUBLE) + CAST(rank_a AS DOUBLE)),
+         |      CAST(0 AS DOUBLE))
+         |   + coalesce(CAST(1 AS DOUBLE)
+         |      / (CAST(60 AS DOUBLE) + CAST(rank_b AS DOUBLE)),
+         |      CAST(0 AS DOUBLE))) AS rrf
+         |  FROM lx FULL JOIN vx ON lx.id = vx.id)
+         |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, id ASC)
+         |  AS INTEGER) AS rank, id, rank_a, rank_b, rrf
+         |FROM f ORDER BY rank""".stripMargin,
+
+    // the minhash-lsh candidate machinery plus per-slot agreement —
+    // the estimator itself is the fraction of equal signature slots
+    "dedup_minhash_estimate" -> {
+      val mh = (0 until 8).map(i => s"min(md5('$i|' || sh)) AS m$i")
+        .mkString(", ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, " +
+          s"md5(m${2 * b} || '|' || m${2 * b + 1}) AS bh FROM mh")
+        .mkString(" UNION ALL ")
+      val agree = (0 until 8)
+        .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH $duckShingles,
+         |mh AS (SELECT doc_id, $mh FROM shm GROUP BY doc_id),
+         |bands AS ($bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |est AS (SELECT c.ia, c.ib,
+         |  CAST($agree AS DOUBLE) / CAST(8 AS DOUBLE) AS est
+         |  FROM cand c JOIN mh sa ON c.ia = sa.doc_id
+         |  JOIN mh sb ON c.ib = sb.doc_id),
+         |${duckJaccardCtes("SELECT ia, ib FROM cand")}
+         |SELECT j.id_a, j.id_b, e.est, j.jaccard,
+         | abs(e.est - j.jaccard) AS abs_err
+         |FROM jac j JOIN est e ON j.id_a = e.ia AND j.id_b = e.ib
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // replicates the deterministic sub-codebook (first-16 subvectors),
+    // the |v|²−2vc+|c|² per-subspace distance with VecDot's fold order,
+    // the lowest-code argmin tie-break, and the fixed-order 4-term ADC
+    // sum (pivoted per subspace so no float aggregation order exists)
+    "ann_pq_adc" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
+         |  FROM e ORDER BY vec_id LIMIT 16),
+         |sv AS (SELECT vec_id, j, v[(j*16+1):((j+1)*16)] AS s
+         |  FROM e CROSS JOIN range(4) t(j)),
+         |cv AS (SELECT i, j, v[(j*16+1):((j+1)*16)] AS c
+         |  FROM cb CROSS JOIN range(4) t(j)),
+         |dists AS (SELECT s.vec_id, s.j, c.i,
+         |  (${duckDot("s.s", "s.s")} - CAST(2 AS DOUBLE)
+         |    * ${duckDot("s.s", "c.c")} + ${duckDot("c.c", "c.c")}) AS d
+         |  FROM sv s JOIN cv c ON s.j = c.j),
+         |enc AS (SELECT vec_id, j, i AS code FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, j
+         |    ORDER BY d ASC, i ASC) AS rn FROM dists) WHERE rn = 1),
+         |qd AS (SELECT vec_id AS query_id, j, i, d FROM dists
+         |  WHERE vec_id < 8),
+         |contrib AS (SELECT q.query_id, enc.vec_id AS neighbor_id,
+         |  q.j, q.d
+         |  FROM qd q JOIN enc ON q.j = enc.j AND q.i = enc.code
+         |    AND enc.vec_id != q.query_id),
+         |tot AS (SELECT query_id, neighbor_id,
+         |  (((max(CASE WHEN j = 0 THEN d END)
+         |    + max(CASE WHEN j = 1 THEN d END))
+         |    + max(CASE WHEN j = 2 THEN d END))
+         |    + max(CASE WHEN j = 3 THEN d END)) AS approx_dist
+         |  FROM contrib GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, approx_dist,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY approx_dist ASC, neighbor_id ASC) AS rank FROM tot)
+         |SELECT query_id, rank, neighbor_id, approx_dist FROM r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "sql_recursive_tree" ->
       """WITH RECURSIVE d(k, depth) AS (

@@ -319,4 +319,34 @@ object AnalyticsOps {
         Window.orderBy(col("score").desc, col("doc_id").asc)))
       .select(col("rank"), col("doc_id"), col("n_terms"), col("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09 —
+    * public) of two rankings over the same id space — the standard way
+    * to combine a lexical retriever (BM25) with a vector retriever
+    * (embedding ANN) into one hybrid result list without score
+    * calibration: only RANKS cross the boundary, so the two scoring
+    * scales never need to be commensurable.
+    *
+    * `rrf = 1/(c + rank_a) + 1/(c + rank_b)` with a missing side
+    * contributing 0 — two IEEE divisions of exact small integers summed
+    * in a pinned order, so fused scores are bit-reproducible anywhere.
+    * Both inputs are top-k lists (tiny), so the fusion join broadcasts;
+    * the final rank is a window over ≤ 2k rows. Output: (rank, id,
+    * rank_a, rank_b, rrf) ordered by (rrf desc, id). */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String = "doc_id",
+      rankCol: String = "rank", c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ra = a.select(col(idCol).as("id"), col(rankCol).as("rank_a"))
+    val rb = b.select(col(idCol).as("id"), col(rankCol).as("rank_b"))
+    val fused = ra.join(rb, Seq("id"), "full_outer")
+      .select(col("id"), col("rank_a"), col("rank_b"),
+        (coalesce(lit(1.0) / (lit(c).cast("double") +
+            col("rank_a").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c).cast("double") +
+            col("rank_b").cast("double")), lit(0.0))).as("rrf"))
+    fused.withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("id").asc)))
+      .select(col("rank"), col("id"), col("rank_a"), col("rank_b"),
+        col("rrf"))
+  }
 }

@@ -103,6 +103,46 @@ object Dedup {
     jaccardOf(docSh, candidates).where(col("jaccard") >= threshold)
   }
 
+  /** MinHash Jaccard ESTIMATION audited against the exact value — the
+    * property that justifies MinHash dedup at all: P[minhash_i(A) =
+    * minhash_i(B)] = J(A,B), so the fraction of agreeing signature
+    * slots is an unbiased k-sample estimate of the true Jaccard. This
+    * operator computes BOTH for every LSH candidate pair: `est` (slot
+    * agreement / k), `jaccard` (exact, from the full shingle sets), and
+    * their absolute error — the per-pair audit that calibrates how many
+    * hashes a corpus needs before trusting estimate-only dedup at
+    * scale, where exact verification of every pair is unaffordable.
+    *
+    * Scale: pairs come from the banded candidate join (never all
+    * pairs); the agreement count joins two k-column signature rows per
+    * pair — k×16-byte rows, not documents. Deterministic: the same
+    * seeded md5 re-hash signatures as [[minhashLshPairs]]. */
+  def minhashEstimatePairs(documents: DataFrame, k: Int = 8,
+      bands: Int = 4, w: Int = 3): DataFrame = {
+    val docSh = docShingles(documents, w).localCheckpoint(true)
+    val sigs = withMinhashes(docSh, k).localCheckpoint(true)
+    val buckets = lshBuckets(sigs, bands, k / bands)
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val agree = (0 until k).map(i =>
+      when(col(s"sa.minhash_$i") === col(s"sb.minhash_$i"), 1)
+        .otherwise(0)).reduceLeft(_ + _)
+    val est = candidates
+      .join(sigs.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        (agree.cast("double") / lit(k).cast("double")).as("est"))
+    jaccardOf(docSh, candidates)
+      .join(est, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("est"), col("jaccard"),
+        abs(col("est") - col("jaccard")).as("abs_err"))
+  }
+
   /** Exact n-gram Jaccard over co-shingled pairs (no LSH): pairs that
     * share ≥1 shingle, scored |∩| / |∪|. The inverted-index self-join on
     * a 64-bit shingle key avoids the n² cross product — only docs sharing

@@ -241,4 +241,32 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_overlap"))
       .where(col("n_overlap") >= minOverlap)
   }
+
+  /** Systematic probability-proportional-to-size sampling: `k` evenly
+    * spaced slots sweep the cumulative weight axis, and a row is drawn
+    * once per slot boundary it spans — the classic PPS design (weight-
+    * proportional inclusion, zero variance in sample size, at most one
+    * draw per row when every weight ≤ total/k). Deterministic: no RNG,
+    * the draw set is a pure function of (`idCol` order, weights, k).
+    *
+    * A row with prefix range `(cum − w, cum]` is drawn iff
+    * `⌊cum·k/W⌋ > ⌊(cum − w)·k/W⌋` — all BIGINT arithmetic, so the
+    * selection reproduces bit-for-bit in any engine (`W·k` must stay
+    * under 2^63; widen to decimal beyond that). The cumulative weights
+    * come from [[RelationalOps.distributedPrefixSum]] — the two-phase
+    * parallel scan — so nothing funnels through one task at corpus
+    * scale. Output: drawn rows with `cum` and the slot index. */
+  def ppsSystematicSample(df: DataFrame, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    val withCum = RelationalOps.distributedPrefixSum(df, idCol, weightCol)
+    val tot = withCum.agg(max(col("cum")).as("_w_total"))
+    withCum.crossJoin(broadcast(tot))
+      .withColumn("_hi_slot",
+        expr(s"(cum * ${k.toLong}) div _w_total"))
+      .withColumn("_lo_slot",
+        expr(s"((cum - $weightCol) * ${k.toLong}) div _w_total"))
+      .where(col("_hi_slot") > col("_lo_slot"))
+      .withColumn("slot", col("_lo_slot"))
+      .drop("_w_total", "_hi_slot", "_lo_slot")
+  }
 }

@@ -333,4 +333,112 @@ object RelationalOps {
       .where(col("op").isNotNull)
       .drop("_old_present", "_new_present")
   }
+
+  /** Time-bucket resample with OHLC semantics (open/high/low/close — the
+    * standard downsampling aggregate for metric/price series): one row
+    * per (`keyCol`, truncated bucket) with the first and last value in
+    * event order, the extremes, the row count, and a DECIMAL-exact
+    * value sum. Null values are dropped first (an empty bucket simply
+    * does not appear — matching how resamplers treat missing points).
+    *
+    * Open/close come from ONE ordered window pass: first-row flag via
+    * `row_number`, last-row flag via `row_number = count over the same
+    * partition` — not a second descending sort — and the groupBy that
+    * follows shares the window's (key, bucket) partitioning, so the
+    * whole operator is a single exchange. Ties on `ts` break on
+    * `idCol`, making open/close deterministic under replay. */
+  def resampleOhlc(events: DataFrame, unit: String = "hour",
+      keyCol: String = "event_type", tsCol: String = "ts",
+      valCol: String = "value", idCol: String = "event_id"): DataFrame = {
+    val dec = DecimalType(22, 6)
+    val base = events.where(col(valCol).isNotNull)
+      .withColumn("bucket", date_trunc(unit, col(tsCol)))
+    val part = Window.partitionBy(col(keyCol), col("bucket"))
+    val ord = part.orderBy(col(tsCol), col(idCol))
+    base
+      .withColumn("_rn", row_number().over(ord))
+      .withColumn("_n", count(lit(1)).over(part))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        max(when(col("_rn") === 1, col(valCol))).as("open"),
+        max(col(valCol)).as("high"),
+        min(col(valCol)).as("low"),
+        max(when(col("_rn") === col("_n"), col(valCol))).as("close"),
+        sum(col(valCol).cast(dec)).cast("double").as("vsum"))
+  }
+
+  /** Rolling z-score anomaly signal: each row's `value` scored against
+    * the mean/variance of its key's PREVIOUS `n` rows (the trailing
+    * frame excludes the current row, so the score is a one-step-ahead
+    * residual, not self-referential). Rows with fewer than `minPrev`
+    * trailing points emit NULL — a z-score against 1–2 samples is
+    * noise.
+    *
+    * The rolling moments are DECIMAL-accumulated frame sums (`Σv`,
+    * `Σv²`) — exact integers in decimal space, immune to the
+    * accumulation-order nondeterminism of a float rolling sum — and the
+    * mean/variance/z derivation is a pinned left-to-right IEEE
+    * expression, so results are bit-reproducible across engines and
+    * partitionings. One shuffle on `key`; the frame is O(n) per row via
+    * the window's sliding accumulation. */
+  def rollingZscore(df: DataFrame, key: String, tsCol: String,
+      idCol: String, valCol: String, n: Int = 10,
+      minPrev: Int = 3): DataFrame = {
+    val dec = DecimalType(22, 6)
+    val frame = Window.partitionBy(col(key))
+      .orderBy(col(tsCol), col(idCol)).rowsBetween(-n, -1)
+    df.where(col(valCol).isNotNull)
+      .withColumn("n_prev", count(lit(1)).over(frame))
+      .withColumn("_s", sum(col(valCol).cast(dec)).over(frame)
+        .cast("double"))
+      .withColumn("_s2",
+        sum((col(valCol) * col(valCol)).cast(dec)).over(frame)
+          .cast("double"))
+      .withColumn("mean_prev", col("_s") / col("n_prev").cast("double"))
+      .withColumn("z",
+        when(col("n_prev") >= minPrev,
+          (col(valCol) - col("mean_prev")) /
+            sqrt((col("_s2") - (col("_s") * col("_s")) /
+                col("n_prev").cast("double")) /
+              (col("n_prev").cast("double") - lit(1.0)))))
+      .drop("_s", "_s2")
+  }
+
+  /** Exact global prefix sum WITHOUT a single-partition window — the
+    * scalable form of `sum(...) over (order by ...)`. Rows bucket by a
+    * range split of `orderCol` (assumed unique, non-negative); each
+    * bucket computes its local running sum in parallel, and the
+    * cross-bucket carry-in is a running total over the per-bucket sums
+    * — a `nBuckets`-row relation whose own window is bounded, then
+    * broadcast back. Output adds `cum`, the INCLUSIVE running total in
+    * `orderCol` order. Identical to the global window because bucket
+    * order refines the total order.
+    *
+    * This is the textbook two-phase parallel scan mapped onto
+    * DataFrames: at 100 TB the naive global window funnels the corpus
+    * through one task; here the only serial step is over `nBuckets`
+    * rows. `valueCol` must be integral (BIGINT sums are exact;
+    * overflow-widen to decimal upstream if Σ exceeds 2^63). */
+  def distributedPrefixSum(df: DataFrame, orderCol: String,
+      valueCol: String, nBuckets: Int = 64): DataFrame = {
+    val hi = df.agg((max(col(orderCol)) + lit(1L)).as("_hi"))
+    val bucketed = df.crossJoin(broadcast(hi))
+      .withColumn("_b", floor(col(orderCol) * lit(nBuckets.toLong) /
+        col("_hi")))
+      .drop("_hi")
+    // serial step: nBuckets rows — the unpartitioned window is bounded
+    // by construction, not by data size
+    val offsets = bucketed.groupBy(col("_b"))
+      .agg(sum(col(valueCol)).as("_bsum"))
+      .withColumn("_off", coalesce(
+        sum(col("_bsum")).over(Window.orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_b"), col("_off"))
+    val local = Window.partitionBy(col("_b"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(offsets), Seq("_b"))
+      .withColumn("cum", col("_off") + sum(col(valueCol)).over(local))
+      .drop("_b", "_off")
+  }
 }

@@ -179,6 +179,78 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Product-quantization ANN (Jégou, Douze & Schmid, TPAMI'11 —
+    * public): embeddings compress to `m` sub-codebook codes (one byte
+    * each at ksub ≤ 256), and query-to-vector distance is approximated
+    * by ADC — asymmetric distance computation: the query stays exact,
+    * each corpus vector contributes only its codes, and the distance is
+    * the sum of per-subspace distances from the query subvector to the
+    * assigned codeword. The memory shape that makes billion-scale ANN
+    * fit: 100 TB of float vectors become m bytes/vector plus a constant
+    * codebook.
+    *
+    * Deterministic variant (no trained k-means, same policy as
+    * [[ivfTopK]]): the codebook is the first `ksub` corpus vectors' su-
+    * bvectors, collected once driver-side and inlined as literals.
+    * Encoding is a per-row argmin over constant structs — zero joins,
+    * zero expansion, zero shuffle on the corpus scan; every subspace
+    * distance is `|v|² − 2·v·c + |c|²` with the dot through the native
+    * codegen'd VecDot. ADC then joins broadcast queries (each carrying
+    * its m×ksub lookup table as literal-built arrays) against the
+    * (vec_id, code_0..m) relation — the only per-pair work is m
+    * `element_at` picks and a fixed-order m-term sum, bit-reproducible
+    * in any engine that mirrors the expression. Output: (query_id,
+    * rank, neighbor_id, approx_dist). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      m: Int = 4, dims: Int = 64, ksub: Int = 16): DataFrame = {
+    require(dims % m == 0, "dims must split evenly into m subspaces")
+    val sub = dims / m
+    // codebook: ksub × m subvectors with their precomputed |c|², in
+    // double exactly as the per-row expressions widen floats
+    val cents: Array[Seq[Float]] =
+      corpus.orderBy(col("vec_id")).limit(ksub)
+        .select(col("embedding")).collect().map(_.getSeq[Float](0))
+    def cw(j: Int, i: Int): Seq[Double] =
+      cents(i).slice(j * sub, (j + 1) * sub).map(_.toDouble)
+    def cc(j: Int, i: Int): Double =
+      cw(j, i).foldLeft(0.0)((acc, x) => acc + x * x)
+
+    def subVec(j: Int): Column = slice(col("embedding"), j * sub + 1, sub)
+    // least(struct(dist, i)) = argmin with the deterministic
+    // lowest-code tie-break, kept inside whole-stage codegen
+    def encode(j: Int): Column = least((0 until ksub).map { i =>
+      struct((vec_dot(subVec(j), subVec(j))
+          - lit(2.0) * vec_dot(subVec(j), typedLit(cw(j, i)))
+          + lit(cc(j, i))).as("d"),
+        lit(i).as("i"))
+    }: _*).getField("i")
+
+    val encoded = corpus.select(col("vec_id") +:
+      (0 until m).map(j => encode(j).as(s"code_$j")): _*)
+    // per-query ADC lookup tables: qd_j[i] = dist²(q_sub_j, c_{j,i})
+    val tabled = queries.select(col("vec_id").as("query_id") +:
+      (0 until m).map { j =>
+        array((0 until ksub).map { i =>
+          vec_dot(subVec(j), subVec(j)) -
+            lit(2.0) * vec_dot(subVec(j), typedLit(cw(j, i))) +
+            lit(cc(j, i))
+        }: _*).as(s"qd_$j")
+      }: _*)
+    val adc = (0 until m).map(j =>
+      element_at(col(s"qd_$j"), col(s"code_$j") + 1)).reduceLeft(_ + _)
+    val joined = encoded.as("c")
+      .join(broadcast(tabled).as("q"),
+        col("q.query_id") =!= col("c.vec_id"))
+      .select(col("q.query_id"), col("c.vec_id").as("neighbor_id"),
+        adc.as("approx_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("approx_dist"))
+  }
+
   /** Per-group mean embeddings (centroids) — the building block behind
     * trained quantizers, per-source drift monitoring, and cluster
     * summaries. One posexplode + one (group, dim) aggregation; the

@@ -36,6 +36,34 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Streaming twin of [[graft.operators.RelationalOps.resampleOhlc]]:
+    * watermarked tumbling OHLC downsampling. Open/close are expressed
+    * as `min_by`/`max_by` over the (ts, id) struct order — COMMUTATIVE
+    * aggregates, so they merge correctly across micro-batches where the
+    * batch operator's row_number formulation (identical result, proven
+    * in the spec) could not stream. High/low/count and the
+    * DECIMAL-exact value sum are standard mergeable aggregates; late
+    * events inside the watermark update their bucket, beyond it they
+    * drop — the incremental form of a re-runnable closed bucket. */
+  def streamingOhlc(spark: SparkSession, sourceDir: String,
+      schema: StructType, window: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .where(col("value").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window)
+        .as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        sum(col("value").cast(
+          org.apache.spark.sql.types.DecimalType(22, 6)))
+          .cast("double").as("vsum"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"),
+        col("open"), col("high"), col("low"), col("close"), col("vsum"))
+
   /** Streaming source → watermarked tumbling agg. Caller starts the
     * returned frame with `writeStream`. */
   def streamingTumblingCounts(spark: SparkSession, sourceDir: String,

@@ -68,6 +68,42 @@ class MergeStreamingSpec extends AnyFunSuite {
       (Timestamp.valueOf("2024-01-15 11:00:00"), "click", 1L)))
   }
 
+  test("streaming OHLC equals the batch resample twin") {
+    val dir = Files.createTempDirectory("graft-ohlc").toString + "/events"
+    val events = Seq(
+      (0L, Timestamp.valueOf("2024-01-15 10:05:00"), "view", 3.0),
+      (1L, Timestamp.valueOf("2024-01-15 10:55:00"), "view", 9.0),
+      (2L, Timestamp.valueOf("2024-01-15 10:20:00"), "view", 1.0),
+      // equal-ts tie: event_id must break open/close identically
+      (4L, Timestamp.valueOf("2024-01-15 11:00:00"), "click", 5.0),
+      (3L, Timestamp.valueOf("2024-01-15 11:00:00"), "click", 2.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    events.write.parquet(dir)
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val got = StreamingOps.runToMemory(spark,
+        StreamingOps.streamingOhlc(spark, dir, schema), "ohlc_out")
+      .select("bucket", "event_type", "n", "open", "high", "low",
+        "close", "vsum")
+      .as[(Timestamp, String, Long, Double, Double, Double, Double, Double)]
+      .collect().toSet
+
+    val batch = RelationalOps.resampleOhlc(events, unit = "hour")
+      .select("bucket", "event_type", "n", "open", "high", "low",
+        "close", "vsum")
+      .as[(Timestamp, String, Long, Double, Double, Double, Double, Double)]
+      .collect().toSet
+    assert(got == batch)
+    assert(batch == Set(
+      (Timestamp.valueOf("2024-01-15 10:00:00"), "view", 3L,
+        3.0, 9.0, 1.0, 9.0, 13.0),
+      (Timestamp.valueOf("2024-01-15 11:00:00"), "click", 2L,
+        2.0, 5.0, 2.0, 5.0, 7.0)))
+  }
+
   test("vec_dot registered for SQL users") {
     GraftFunctions.register(spark)
     val got = spark.sql(

@@ -379,4 +379,62 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.contains("LeftSemi"),
       s"q2 must semi-filter lineitem before aggregating:\n$plan")
   }
+
+  test("OHLC resample: window and groupBy share one data exchange") {
+    val df = q("ts_ohlc")
+    val shuffles = shufflesOf(df)
+    // hash(event_type, bucket) feeds BOTH the ordered window pass and
+    // the aggregation; the only other exchange is the output orderBy.
+    // A second hash exchange means the agg re-partitioned what the
+    // window already partitioned — the single-pass design broke.
+    assert(shuffles.size <= 2,
+      s"OHLC must cost one data shuffle (+1 order), got " +
+        s"${shuffles.size}:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("PPS sample: the corpus-sized window is bucket-partitioned, " +
+      "only the bucket-offsets window may run single-partition") {
+    val df = q("pipe_pps_sample")
+    df.collect()
+    val windows = flatten(df.queryExecution.executedPlan)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    val single = windows.filter(_.partitionSpec.isEmpty)
+    val partitioned = windows.filter(_.partitionSpec.nonEmpty)
+    assert(partitioned.nonEmpty, "per-bucket running-sum window missing")
+    assert(single.forall(_.child.output.exists(_.name == "_bsum")),
+      "a single-partition window may only consume the nBuckets-row " +
+        "bucket-sums relation, never scan the corpus:\n" +
+        s"${df.queryExecution.executedPlan}")
+  }
+
+  test("PQ-ADC: corpus encode is scan-side only — no shuffle, no row " +
+      "expansion before the candidate join") {
+    val df = q("ann_pq_adc")
+    val shuffles = shufflesOf(df)
+    // the corpus side reaches the broadcast NLJ straight from its scan
+    // (argmin over constant codebook literals); the only exchanges are
+    // the per-query top-k window hash and the output orderBy range
+    assert(shuffles.size <= 2,
+      s"PQ expects top-k hash + orderBy range only, got " +
+        s"${shuffles.size}:\n${df.queryExecution.executedPlan}")
+    val generates = flatten(df.queryExecution.executedPlan)
+      .collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(generates.isEmpty,
+      s"PQ encode must not explode the corpus:\n" +
+        s"${df.queryExecution.executedPlan}")
+  }
+
+  test("prefix-Jaccard: verify arrays reuse the window exchanges " +
+      "(long form shuffles at most 3 times)") {
+    val df = q("dedup_prefix_jaccard")
+    val shuffles = shufflesOf(df)
+    // the long-form (doc_id, shk) relation may cross the wire exactly
+    // thrice: the df window (hash shk), the rank/pack window (hash
+    // doc_id — REUSED by the verify-array aggregation), and the prefix
+    // self-join (hash shk). Everything after moves only candidate
+    // pairs; with the output orderBy that bounds the plan at 7.
+    assert(shuffles.size <= 7,
+      s"prefix-Jaccard grew an extra long-form exchange, got " +
+        s"${shuffles.size}:\n${df.queryExecution.executedPlan}")
+  }
 }

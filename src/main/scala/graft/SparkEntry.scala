@@ -1800,6 +1800,26 @@ object SparkEntry {
         .orderBy("name_a", "name_b")
     }),
 
+    "x_damerau_levenshtein" -> ((s, dir) => {
+      // native full-DL expression vs built-in Levenshtein, on part
+      // names plus their first-two-chars transposition — the input
+      // class where the two metrics genuinely diverge (swap = 1 DL
+      // edit but 2 Levenshtein edits)
+      val p = t(s, dir, "part").where(col("p_partkey") <= 500)
+        .select(col("p_partkey"), col("p_name"),
+          concat(substring(col("p_name"), 2, 1),
+            substring(col("p_name"), 1, 1),
+            expr("substr(p_name, 3)")).as("swapped"))
+      p.select(col("p_partkey"),
+          graft.functions.EditDistanceFunctions
+            .damerau_levenshtein(col("p_name"), col("swapped")).as("dl"),
+          levenshtein(col("p_name"), col("swapped")).as("lev"),
+          graft.functions.EditDistanceFunctions
+            .damerau_levenshtein(col("p_name"), reverse(col("p_name")))
+            .as("dl_rev"))
+        .orderBy("p_partkey")
+    }),
+
     "analytics_bivariate_stats" -> ((s, dir) =>
       // deterministic Pearson/OLS (decimal power sums; Spark's corr()
       // is order-dependent float recursion — unusable for hash parity)
@@ -3503,6 +3523,20 @@ object SparkEntry {
         |FROM nation a JOIN nation b ON a.n_name < b.n_name
         |WHERE levenshtein(a.n_name, b.n_name) <= 5
         |ORDER BY name_a, name_b""".stripMargin,
+
+    // DuckDB's damerau_levenshtein is the same full (unrestricted)
+    // byte-based DL the native expression implements
+    "x_damerau_levenshtein" ->
+      """WITH p AS (SELECT p_partkey, p_name,
+        | substr(p_name, 2, 1) || substr(p_name, 1, 1) || substr(p_name, 3)
+        |  AS swapped
+        | FROM part WHERE p_partkey <= 500)
+        |SELECT p_partkey,
+        | CAST(damerau_levenshtein(p_name, swapped) AS INTEGER) AS dl,
+        | CAST(levenshtein(p_name, swapped) AS INTEGER) AS lev,
+        | CAST(damerau_levenshtein(p_name, reverse(p_name)) AS INTEGER)
+        |  AS dl_rev
+        |FROM p ORDER BY p_partkey""".stripMargin,
 
     // the VARCHAR hop on the wide-decimal sums matters: DuckDB's
     // hugeint-decimal → DOUBLE cast double-rounds (off by 1 ulp on

@@ -122,6 +122,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShingles(exprs(0),
         litInt(exprs(1), "word_shingles")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "damerau_levenshtein",
+      exprs => DamerauLevenshteinExpr(exprs(0), exprs(1)), "scala_udf")
     // idempotent: replace, never append twice
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations

@@ -1947,6 +1947,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- hopping (sliding) windows: 1 h width, 30 min slide ----
+    "ts_hopping_counts" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"))
+        .orderBy("ws", "event_type")),
+
+    // ---- incremental LSH: only pairs touching the new batch ----
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalLshCandidates(
+          docs.where(col("doc_id") < 250),
+          docs.where(col("doc_id") >= 250))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- recursive CTE (Spark 4): BFS over the customer-key tree ----
     "sql_recursive_tree" -> ((s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("v_customer")
@@ -4123,6 +4141,38 @@ object SparkEntry {
          |    ORDER BY approx_dist ASC, neighbor_id ASC) AS rank FROM tot)
          |SELECT query_id, rank, neighbor_id, approx_dist FROM r
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // every event lands in exactly width/slide = 2 hops; DuckDB's
+    // time_bucket origin (2000-01-01) sits on the same 30-minute grid
+    // as Spark's epoch-aligned windows, so the bucket edges coincide
+    "ts_hopping_counts" ->
+      """WITH x AS (SELECT
+        |  CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP)
+        |    - k.k * INTERVAL '30 minutes' AS ws, event_type
+        | FROM events CROSS JOIN range(2) k(k))
+        |SELECT ws, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the incremental candidate join: band collisions where at least
+    // one side is in the new batch (doc_id >= 250), normalized to
+    // id_a < id_b, then the standard exact-Jaccard verify
+    "dedup_incremental" -> {
+      val mh = (0 until 8).map(i => s"min(md5('$i|' || sh)) AS m$i")
+        .mkString(", ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, " +
+          s"md5(m${2 * b} || '|' || m${2 * b + 1}) AS bh FROM mh")
+        .mkString(" UNION ALL ")
+      s"""WITH $duckShingles,
+         |mh AS (SELECT doc_id, $mh FROM shm GROUP BY doc_id),
+         |bands AS ($bands),
+         |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS ia,
+         |  greatest(a.doc_id, b.doc_id) AS ib
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bh = b.bh
+         |   AND a.doc_id != b.doc_id AND a.doc_id >= 250),
+         |${duckJaccard("SELECT ia, ib FROM cand", 0.5)}""".stripMargin
+    },
 
     "sql_recursive_tree" ->
       """WITH RECURSIVE d(k, depth) AS (

@@ -462,6 +462,42 @@ object Dedup {
       .join(refHashes, Seq("text_hash"), "left_anti")
   }
 
+  /** Incremental MinHash-LSH candidate generation — the per-batch form
+    * of near-dup detection that makes LSH dedup OPERABLE at corpus
+    * scale: when a new document batch arrives, only pairs touching a
+    * NEW document need scoring (old×old pairs were settled when the
+    * old corpus was indexed). The candidate join is `newBuckets ×
+    * allBuckets` — per-batch cost proportional to batch size × collision
+    * rate, never corpus² — and in production the `all` side is a stored
+    * signature table, maintained append-only, not recomputed (signatures
+    * are per-document, so old rows never change; this method recomputes
+    * them only because it takes bare documents).
+    *
+    * Output: verified near-dup pairs (id_a < id_b, exact Jaccard ≥
+    * threshold) where at least one side is new. */
+  def incrementalLshCandidates(oldDocs: DataFrame, newDocs: DataFrame,
+      k: Int = 8, bands: Int = 4, w: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val allSh = docShingles(oldDocs.unionByName(newDocs), w)
+      .localCheckpoint(true)
+    val newIds = newDocs.select(col("doc_id"))
+    val allBuckets = lshBuckets(withMinhashes(allSh, k), bands, k / bands)
+      .localCheckpoint(true)
+    // the new side filters the SAME bucket relation (signatures are
+    // per-doc, so filter ≡ recompute) — a semi join against the batch
+    val newBuckets = allBuckets
+      .join(broadcast(newIds), Seq("doc_id"), "left_semi")
+    val candidates = newBuckets.as("a")
+      .join(allBuckets.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .distinct()
+    jaccardOf(allSh, candidates).where(col("jaccard") >= threshold)
+  }
+
   /** 32-bit SimHash over the document's SHINGLE set (shingles, not bare
     * tokens, so the signature reflects word order/locality — bare-token
     * simhash degenerates on small vocabularies): bit_j = sign of

@@ -41,6 +41,24 @@ class ExtensionOpsSpec extends AnyFunSuite {
     pairs.get((0L, 2L)).foreach(j => assert(j > 0 && j < 1))
   }
 
+  test("incremental LSH: new-batch pairs only, old×old settled pairs " +
+      "excluded, scores equal the full run") {
+    val full = Dedup.minhashLshPairs(docs, threshold = 0.0)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // batch split: docs 0,1 are the indexed corpus; 2,3 arrive new
+    val out = Dedup.incrementalLshCandidates(
+        docs.where($"doc_id" < 2), docs.where($"doc_id" >= 2),
+        threshold = 0.0)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // the settled old×old dup pair must NOT be re-emitted
+    assert(!out.contains((0L, 1L)))
+    // every emitted pair touches the new batch and matches the full score
+    out.foreach { case ((a, b), j) =>
+      assert(b >= 2L)
+      assert(full((a, b)) === j)
+    }
+  }
+
   test("ngram jaccard: dup pair 1.0; near pair in (0,1); disjoint absent") {
     val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.0)
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap

@@ -1965,6 +1965,37 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- ANN quality audit: recall@5 of every approximate method ----
+    "ann_recall_audit" -> ((s, dir) => {
+      // the approximate indexes are verified individually for
+      // determinism; this query measures their QUALITY — per-query
+      // recall against the exact brute-force top-5 — as a first-class,
+      // oracle-checked relation. Hit membership is pure integer pairs,
+      // so the audit never compares floats across engines.
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+      val brute = Similarity.bruteForceTopK(emb, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true) // consumed by all three audits
+      def recallOf(approx: DataFrame, name: String): DataFrame = {
+        val hits = approx.select(col("query_id"), col("neighbor_id"))
+          .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+        q.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(lit(name).as("method"), col("query_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      }
+      recallOf(Similarity.lshTopK(emb, q, k = 5, planes = 6, dims = 64),
+          "lsh")
+        .unionByName(recallOf(
+          Similarity.ivfTopK(emb, q, k = 5, nCells = 16, nProbe = 4),
+          "ivf"))
+        .unionByName(recallOf(Similarity.pqTopK(emb, q, k = 5), "pq"))
+        .withColumn("recall", col("n_hits").cast("double") / lit(5.0))
+        .orderBy("method", "query_id")
+    }),
+
     // ---- recursive CTE (Spark 4): BFS over the customer-key tree ----
     "sql_recursive_tree" -> ((s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("v_customer")
@@ -4172,6 +4203,101 @@ object SparkEntry {
          |  ON a.band = b.band AND a.bh = b.bh
          |   AND a.doc_id != b.doc_id AND a.doc_id >= 250),
          |${duckJaccard("SELECT ia, ib FROM cand", 0.5)}""".stripMargin
+    },
+
+    // composes the brute/LSH/IVF/PQ pipelines (same CTE text as their
+    // individual oracles, prefix-renamed) and counts integer pair hits
+    "ann_recall_audit" -> {
+      val planes = 6
+      val probeList = ("sig" +: (0 until planes).map(p =>
+        s"xor(sig, ${1 << p})")).mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e),
+         |bp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+         |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id != q.vec_id),
+         |bh AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |   PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM bp) WHERE rank <= 5),
+         |sg AS (SELECT vec_id, v, nrm, ${duckLshSig("v", planes, 64)} AS sig FROM n),
+         |qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm,
+         |  unnest($probeList) AS sig FROM sg WHERE vec_id < 8),
+         |lp AS (SELECT q.q_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${duckDot("q.qv", "c.v")} / (q.qnrm * c.nrm) AS cos
+         |  FROM qs q JOIN sg c ON q.sig = c.sig AND c.vec_id != q.q_id),
+         |lh AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |   PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM lp) WHERE rank <= 5),
+         |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n
+         |  ORDER BY vec_id LIMIT 16),
+         |ac AS (SELECT n.vec_id, n.v, n.nrm, cent.cell_id,
+         |  ${duckDot("n.v", "cent.cv")} / (n.nrm * cent.cnrm) AS c_cos
+         |  FROM n CROSS JOIN cent),
+         |assigned AS (SELECT vec_id, v, nrm, cell_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY c_cos DESC, cell_id ASC) AS rn FROM ac) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cell_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY c_cos DESC, cell_id ASC) AS rn FROM ac
+         |  WHERE vec_id < 8) WHERE rn <= 4),
+         |ip AS (SELECT q.q_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${duckDot("q.qv", "c.v")} / (q.qnrm * c.nrm) AS cos
+         |  FROM probes q JOIN assigned c ON q.cell_id = c.cell_id
+         |    AND c.vec_id != q.q_id),
+         |ih AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, cos, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM ip) WHERE rank <= 5),
+         |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
+         |  FROM e ORDER BY vec_id LIMIT 16),
+         |sv AS (SELECT vec_id, j, v[(j*16+1):((j+1)*16)] AS s
+         |  FROM e CROSS JOIN range(4) t(j)),
+         |cv AS (SELECT i, j, v[(j*16+1):((j+1)*16)] AS c
+         |  FROM cb CROSS JOIN range(4) t(j)),
+         |dists AS (SELECT s.vec_id, s.j, c.i,
+         |  (${duckDot("s.s", "s.s")} - CAST(2 AS DOUBLE)
+         |    * ${duckDot("s.s", "c.c")} + ${duckDot("c.c", "c.c")}) AS d
+         |  FROM sv s JOIN cv c ON s.j = c.j),
+         |enc AS (SELECT vec_id, j, i AS code FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, j
+         |    ORDER BY d ASC, i ASC) AS rn FROM dists) WHERE rn = 1),
+         |qd AS (SELECT vec_id AS query_id, j, i, d FROM dists
+         |  WHERE vec_id < 8),
+         |contrib AS (SELECT q.query_id, enc.vec_id AS neighbor_id,
+         |  q.j, q.d
+         |  FROM qd q JOIN enc ON q.j = enc.j AND q.i = enc.code
+         |    AND enc.vec_id != q.query_id),
+         |tot AS (SELECT query_id, neighbor_id,
+         |  (((max(CASE WHEN j = 0 THEN d END)
+         |    + max(CASE WHEN j = 1 THEN d END))
+         |    + max(CASE WHEN j = 2 THEN d END))
+         |    + max(CASE WHEN j = 3 THEN d END)) AS approx_dist
+         |  FROM contrib GROUP BY 1, 2),
+         |ph AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |   PARTITION BY query_id
+         |   ORDER BY approx_dist ASC, neighbor_id ASC) AS rank FROM tot)
+         |  WHERE rank <= 5),
+         |allhits AS (
+         |  SELECT 'lsh' AS method, query_id, neighbor_id FROM lh
+         |  UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ih
+         |  UNION ALL SELECT 'pq', query_id, neighbor_id FROM ph),
+         |matched AS (SELECT a.method, a.query_id,
+         |  CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM allhits a JOIN bh b ON a.query_id = b.query_id
+         |    AND a.neighbor_id = b.neighbor_id
+         |  GROUP BY 1, 2),
+         |methods AS (SELECT unnest(['lsh', 'ivf', 'pq']) AS method),
+         |qq AS (SELECT vec_id AS query_id FROM e WHERE vec_id < 8)
+         |SELECT m.method, q.query_id,
+         | CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         | CAST(coalesce(n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
+         |FROM methods m CROSS JOIN qq q
+         |LEFT JOIN matched x ON x.method = m.method
+         |  AND x.query_id = q.query_id
+         |ORDER BY m.method, q.query_id""".stripMargin
     },
 
     "sql_recursive_tree" ->

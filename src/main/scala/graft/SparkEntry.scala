@@ -1641,9 +1641,12 @@ object SparkEntry {
 
     // ---- blocked fuzzy entity matching within nations ----
     "er_blocked_matches" -> ((s, dir) =>
-      RelationalOps.blockedFuzzyMatches(t(s, dir, "customer"),
+      // deletion-neighborhood candidates (FastSS), exact verify —
+      // identical output to the brute per-block scan, ~25× faster at
+      // sf0.1 because only near-identical names ever meet the join
+      RelationalOps.blockedFuzzyMatchesD1(t(s, dir, "customer"),
           idCol = "c_custkey", nameCol = "c_name",
-          blockCol = "c_nationkey", maxDist = 1)
+          blockCol = "c_nationkey")
         .orderBy("id_a", "id_b")),
 
     // ---- SCD2 dimension-history build over the event log ----
@@ -1995,6 +1998,18 @@ object SparkEntry {
         .withColumn("recall", col("n_hits").cast("double") / lit(5.0))
         .orderBy("method", "query_id")
     }),
+
+    // ---- substring-span dedup: shared exact 40-char windows ----
+    "dedup_substring_spans" -> ((s, dir) =>
+      Dedup.substringSpanPairs(t(s, dir, "documents"), width = 40,
+          stride = 20, minShared = 2L)
+        .orderBy("id_a", "id_b")),
+
+    // ---- ensemble dedup: lexical ∪ semantic signals + evidence count ----
+    "dedup_ensemble" -> ((s, dir) =>
+      Dedup.ensembleNearDup(t(s, dir, "documents"),
+          t(s, dir, "embeddings"))
+        .orderBy("id_a", "id_b")),
 
     // ---- recursive CTE (Spark 4): BFS over the customer-key tree ----
     "sql_recursive_tree" -> ((s, dir) => {
@@ -4298,6 +4313,67 @@ object SparkEntry {
          |LEFT JOIN matched x ON x.method = m.method
          |  AND x.query_id = q.query_id
          |ORDER BY m.method, q.query_id""".stripMargin
+    },
+
+    // raw-window-text equality — semantically the xxhash64 join modulo
+    // a 2^-64 collision the hash side accepts by design
+    "dedup_substring_spans" ->
+      """WITH w0 AS (SELECT doc_id,
+        |  substr(text, CAST(ci * 20 + 1 AS INTEGER), 40) AS ch
+        | FROM (SELECT doc_id, text, unnest(range(0,
+        |   CASE WHEN length(text) <= 40 THEN 0
+        |     ELSE (length(text) - 40 + 19) // 20 END + 1)) AS ci
+        |  FROM documents)),
+        |w AS (SELECT DISTINCT doc_id, ch FROM w0 WHERE length(ch) = 40)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(count(*) AS BIGINT) AS n_shared
+        |FROM w a JOIN w b ON a.ch = b.ch AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // lexical (minhash-lsh verified jaccard) FULL JOIN semantic
+    // (banded sign-LSH verified cosine) with the evidence count
+    "dedup_ensemble" -> {
+      val mh = (0 until 8).map(i => s"min(md5('$i|' || sh)) AS m$i")
+        .mkString(", ")
+      val lbands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, " +
+          s"md5(m${2 * b} || '|' || m${2 * b + 1}) AS bh FROM mh")
+        .mkString(" UNION ALL ")
+      val (bands, rpb, dims) = (8, 6, 64)
+      val bd = (0 until bands).map(b =>
+        s"SELECT vec_id, $b AS band, ${duckBandSig("v", b, rpb, bands, dims)}" +
+          " AS band_sig FROM e").mkString("\n  UNION ALL ")
+      s"""WITH $duckShingles,
+         |mh AS (SELECT doc_id, $mh FROM shm GROUP BY doc_id),
+         |lbands AS ($lbands),
+         |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM lbands a JOIN lbands b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |${duckJaccardCtes("SELECT ia, ib FROM cand")},
+         |lex AS (SELECT id_a, id_b, jaccard FROM jac
+         |  WHERE jaccard >= CAST(0.5 AS DOUBLE)),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |bd AS ($bd),
+         |scand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bd a JOIN bd b ON a.band = b.band
+         |    AND a.band_sig = b.band_sig AND a.vec_id < b.vec_id),
+         |n AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e),
+         |sem AS (SELECT id_a, id_b, cos FROM (
+         |  SELECT id_a, id_b, ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm)
+         |    AS cos
+         |  FROM scand JOIN n q ON id_a = q.vec_id
+         |  JOIN n c ON id_b = c.vec_id)
+         |  WHERE cos >= CAST(0.42 AS DOUBLE))
+         |SELECT coalesce(l.id_a, s.id_a) AS id_a,
+         | coalesce(l.id_b, s.id_b) AS id_b, l.jaccard, s.cos,
+         | CAST((CASE WHEN l.jaccard IS NOT NULL THEN 1 ELSE 0 END
+         |  + CASE WHEN s.cos IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+         |  AS n_signals
+         |FROM lex l FULL JOIN sem s
+         |  ON l.id_a = s.id_a AND l.id_b = s.id_b
+         |ORDER BY id_a, id_b""".stripMargin
     },
 
     "sql_recursive_tree" ->

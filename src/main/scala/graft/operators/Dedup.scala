@@ -498,6 +498,60 @@ object Dedup {
     jaccardOf(allSh, candidates).where(col("jaccard") >= threshold)
   }
 
+  /** Substring-span near-duplication: document pairs sharing at least
+    * `minShared` distinct EXACT character windows (`width` chars at
+    * `stride` offsets) — the fixed-granularity approximation of
+    * suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — public): long
+    * verbatim overlaps (boilerplate, licenses, quoted blocks) produce
+    * runs of identical windows even when whole-document similarity is
+    * low, which is exactly what shingle Jaccard under-scores.
+    *
+    * Scale: windows dedupe per document, then an inverted-index
+    * self-join on an 8-byte window hash — only docs sharing a window
+    * ever meet (the oracle joins the raw window text: equality modulo
+    * a 2⁻⁶⁴ xxhash collision). Same hot-key caveat as
+    * [[ngramJaccardPairs]] — a window occurring in half the corpus
+    * (shared boilerplate) explodes the join; the df-cap is the answer
+    * there too. Tail fragments shorter than `width` are excluded: a
+    * partial window is not evidence of a `width`-char overlap. */
+  def substringSpanPairs(documents: DataFrame, width: Int = 40,
+      stride: Int = 20, minShared: Long = 2L): DataFrame = {
+    val windows = PipelineOps.chunkDocuments(documents, width, stride)
+      .where(col("n_chars") === width)
+      .select(col("doc_id"), xxhash64(col("chunk")).as("wk"))
+      .distinct()
+    windows.as("a").join(windows.as("b"),
+        col("a.wk") === col("b.wk") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** Ensemble near-dup consensus: the union of the LEXICAL signal
+    * (MinHash-LSH verified Jaccard) and the SEMANTIC signal (banded
+    * sign-LSH verified cosine, ids bridged doc_id = vec_id), with a
+    * per-pair evidence count — the multi-signal triage view a dedup
+    * operator reviews before choosing drop rules: 2-signal pairs are
+    * near-certain duplicates, 1-signal pairs show where the two
+    * similarity spaces disagree (paraphrases score semantically only;
+    * boilerplate shells score lexically only).
+    *
+    * Both inputs are already-bucketed pair relations (tiny next to the
+    * corpus), so the consensus join is a full-outer over candidates —
+    * never a corpus-scale operation. */
+  def ensembleNearDup(documents: DataFrame, embeddings: DataFrame,
+      tLex: Double = 0.5, tSem: Double = 0.42): DataFrame = {
+    val lex = minhashLshPairs(documents, threshold = tLex)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val sem = Similarity.lshNearDupPairs(embeddings, threshold = tSem)
+      .select(col("id_a"), col("id_b"), col("cos"))
+    lex.join(sem, Seq("id_a", "id_b"), "full_outer")
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("cos"),
+        (when(col("jaccard").isNotNull, 1).otherwise(0) +
+          when(col("cos").isNotNull, 1).otherwise(0)).as("n_signals"))
+  }
+
   /** 32-bit SimHash over the document's SHINGLE set (shingles, not bare
     * tokens, so the signature reflects word order/locality — bare-token
     * simhash degenerates on small vocabularies): bit_j = sign of

@@ -59,6 +59,37 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("substring spans: verbatim block shared by dissimilar docs found; " +
+      "tail fragments don't count") {
+    val boiler = "this exact license header block is repeated verbatim!"
+    val spans = Seq(
+      (0L, boiler + " unique tail alpha beta gamma delta epsilon"),
+      (1L, boiler + " other ending entirely zeta eta theta iota"),
+      (2L, "nothing in common with the others at all here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringSpanPairs(spans, width = 20, stride = 10,
+        minShared = 2L)
+      .as[(Long, Long, Long)].collect()
+    // docs 0,1 share the boilerplate windows; doc 2 pairs with nobody
+    assert(out.length === 1 && out.head._1 === 0L && out.head._2 === 1L)
+    assert(out.head._3 >= 2L)
+  }
+
+  test("ensemble: evidence counts union lexical and semantic signals") {
+    val embs = Seq(
+      (0L, Array.fill(64)(1.0f)),
+      (1L, Array.fill(64)(1.0f)), // semantic dup of 0
+      (2L, Array.tabulate(64)(d => if (d % 2 == 0) 1.0f else -1.0f)),
+      (3L, Array.tabulate(64)(d => if (d % 3 == 0) -1.0f else 0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.ensembleNearDup(docs, embs)
+      .select("id_a", "id_b", "n_signals")
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // 0-1 is an exact text dup AND an identical embedding: 2 signals
+    assert(out((0L, 1L)) === 2)
+    assert(out.values.forall(n => n === 1 || n === 2))
+  }
+
   test("ngram jaccard: dup pair 1.0; near pair in (0,1); disjoint absent") {
     val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.0)
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap

@@ -89,6 +89,28 @@ class SketchesSpec extends AnyFunSuite {
       "only the same-block near-duplicate pair matches")
   }
 
+  test("blockedFuzzyMatchesD1 ≡ brute per-block scan at maxDist 1 " +
+      "(substitution, insertion, deletion, no transposition leak)") {
+    val people = Seq(
+      (1L, "jon smith", "NY"), (2L, "john smith", "NY"),  // insertion
+      (3L, "jon smitx", "NY"),                            // substitution
+      (4L, "jon smit", "NY"),                             // deletion
+      (5L, "njo smith", "NY"),  // transposed pair of 1: dist 2, excluded
+      (6L, "jon smith", "CA"),                            // other block
+      (7L, "completely different", "NY"),
+      (8L, "jon smith", "NY")                             // exact dup of 1
+    ).toDF("pid", "name", "state")
+    val brute = RelationalOps.blockedFuzzyMatches(people, "pid", "name",
+        "state", maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    val fast = RelationalOps.blockedFuzzyMatchesD1(people, "pid", "name",
+        "state")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(fast === brute)
+    assert(fast.contains((1L, 2L, 1)) && fast.contains((1L, 8L, 0)))
+    assert(!fast.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("mgHeavyHitters emits exact counts with all-true bound flags") {
     val df = (0 until 2000)
       .map(i => if (i % 4 == 0) -1L else (i % 300).toLong)

@@ -2011,6 +2011,19 @@ object SparkEntry {
           t(s, dir, "embeddings"))
         .orderBy("id_a", "id_b")),
 
+    // ---- custom operator stack: logical node → strategy → exec ----
+    "custom_topk_exec" -> ((s, dir) =>
+      // the whole-operator path (survey §2.10 / custom dataflow):
+      // TopKPerKeyNode plans as partial exec → hash exchange → final
+      // exec, so the shuffle moves ≤ k rows per (key, map partition)
+      // where the window formulation moves and sorts everything
+      graft.plans.TopKPlan.topKPerKey(
+          t(s, dir, "orders").select(col("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice")),
+          keyCols = Seq("o_orderstatus"), valueCol = "o_totalprice",
+          tieCol = "o_orderkey", k = 3)
+        .orderBy("o_orderstatus", "o_orderkey")),
+
     // ---- recursive CTE (Spark 4): BFS over the customer-key tree ----
     "sql_recursive_tree" -> ((s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("v_customer")
@@ -4375,6 +4388,15 @@ object SparkEntry {
          |  ON l.id_a = s.id_a AND l.id_b = s.id_b
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    // the custom exec's contract IS the rank window's result
+    "custom_topk_exec" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+        | SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderstatus
+        |   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        | FROM orders) WHERE rn <= 3
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
 
     "sql_recursive_tree" ->
       """WITH RECURSIVE d(k, depth) AS (

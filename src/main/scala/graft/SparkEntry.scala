@@ -2011,6 +2011,20 @@ object SparkEntry {
           t(s, dir, "embeddings"))
         .orderBy("id_a", "id_b")),
 
+    // ---- Unicode NFC canonicalization before any content hash ----
+    "x_nfc_normalize" -> ((s, dir) => {
+      // decomposed 'e'+COMBINING ACUTE appended in-query (the ASCII
+      // test corpus has no multi-form text of its own); NFC composes
+      // it to one code point
+      val deco = concat(col("p_name"), lit(" cafe\u0301"))
+      val norm = graft.functions.EditDistanceFunctions.nfc_normalize(deco)
+      t(s, dir, "part").where(col("p_partkey") <= 300)
+        .select(col("p_partkey"), norm.as("norm"),
+          length(deco).cast("int").as("len_raw"),
+          length(norm).cast("int").as("len_norm"))
+        .orderBy("p_partkey")
+    }),
+
     // ---- custom operator stack: logical node → strategy → exec ----
     "custom_topk_exec" -> ((s, dir) =>
       // the whole-operator path (survey §2.10 / custom dataflow):
@@ -4388,6 +4402,17 @@ object SparkEntry {
          |  ON l.id_a = s.id_a AND l.id_b = s.id_b
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    // DuckDB chr() takes a Unicode code point, so the decomposed
+    // combining acute builds in ASCII SQL
+    "x_nfc_normalize" ->
+      """WITH p AS (SELECT p_partkey,
+        |  p_name || ' cafe' || chr(769) AS deco
+        | FROM part WHERE p_partkey <= 300)
+        |SELECT p_partkey, nfc_normalize(deco) AS norm,
+        | CAST(length(deco) AS INTEGER) AS len_raw,
+        | CAST(length(nfc_normalize(deco)) AS INTEGER) AS len_norm
+        |FROM p ORDER BY p_partkey""".stripMargin,
 
     // the custom exec's contract IS the rank window's result
     "custom_topk_exec" ->

@@ -95,9 +95,55 @@ case class DamerauLevenshteinExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Unicode NFC normalization (canonical composition) — the text-
+  * canonicalization step a dedup pipeline must run BEFORE any hash:
+  * 'é' and 'e'+COMBINING ACUTE are one grapheme in two byte encodings,
+  * so un-normalized corpora hash visually identical documents apart.
+  * Spark ships no normalizer; this wraps `java.text.Normalizer` (the
+  * same Unicode 15 NFC tables DuckDB's `nfc_normalize` implements, so
+  * outputs byte-match the oracle). Null in → null out. */
+case class NfcNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "nfc_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize expects string, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcNormalize.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.NfcNormalize$$.MODULE$$.normalize($a)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object NfcNormalize {
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: NFC-normalized input (the overwhelming case on clean
+    // corpora) skips the rewrite entirely
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str,
+      java.text.Normalizer.Form.NFC))
+  }
+}
+
 object EditDistanceFunctions {
   def damerau_levenshtein(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       DamerauLevenshteinExpr(GraftSqlBridge.expression(a),
         GraftSqlBridge.expression(b)))
+
+  def nfc_normalize(s: Column): Column =
+    GraftSqlBridge.column(NfcNormalize(GraftSqlBridge.expression(s)))
 }

@@ -125,6 +125,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "damerau_levenshtein",
       exprs => DamerauLevenshteinExpr(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs(0)), "scala_udf")
     // idempotent: replace, never append twice
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations

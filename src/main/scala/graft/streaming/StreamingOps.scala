@@ -64,6 +64,19 @@ object StreamingOps {
       .select(col("w.start").as("bucket"), col("event_type"), col("n"),
         col("open"), col("high"), col("low"), col("close"), col("vsum"))
 
+  /** Stream-static enrichment join (§2.9): the streaming event source
+    * left-joins a STATIC dimension (lookup table, feature store
+    * snapshot) that broadcasts to every micro-batch — the incremental
+    * twin of the reference's J1 session-enrichment join, and the only
+    * join flavor that needs neither watermark nor state store (the
+    * static side is re-read per batch at worst, broadcast-pinned at
+    * best; no late-data semantics exist to manage). */
+  def streamingStaticEnrich(spark: SparkSession, sourceDir: String,
+      schema: StructType, dim: DataFrame,
+      key: String = "user_id"): DataFrame =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .join(broadcast(dim), Seq(key), "left")
+
   /** Streaming source → watermarked tumbling agg. Caller starts the
     * returned frame with `writeStream`. */
   def streamingTumblingCounts(spark: SparkSession, sourceDir: String,

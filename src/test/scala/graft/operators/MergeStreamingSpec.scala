@@ -104,6 +104,35 @@ class MergeStreamingSpec extends AnyFunSuite {
         2.0, 5.0, 2.0, 5.0, 7.0)))
   }
 
+  test("stream-static enrichment equals the batch join (missing dim " +
+      "keys null out)") {
+    val dir = Files.createTempDirectory("graft-enrich").toString + "/events"
+    val events = Seq(
+      (0L, Timestamp.valueOf("2024-01-15 10:05:00"), 1L),
+      (1L, Timestamp.valueOf("2024-01-15 10:06:00"), 2L),
+      (2L, Timestamp.valueOf("2024-01-15 10:07:00"), 99L) // no dim row
+    ).toDF("event_id", "ts", "user_id")
+    events.write.parquet(dir)
+    val dim = Seq((1L, "gold"), (2L, "silver"), (3L, "bronze"))
+      .toDF("user_id", "tier")
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType)))
+    val got = StreamingOps.runToMemory(spark,
+        StreamingOps.streamingStaticEnrich(spark, dir, schema, dim),
+        "enrich_out", outputMode = "append")
+      .select("event_id", "user_id", "tier")
+      .as[(Long, Long, Option[String])].collect().toSet
+
+    val batch = events.join(broadcast(dim), Seq("user_id"), "left")
+      .select("event_id", "user_id", "tier")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(got == batch)
+    assert(got == Set((0L, 1L, Some("gold")), (1L, 2L, Some("silver")),
+      (2L, 99L, None)))
+  }
+
   test("vec_dot registered for SQL users") {
     GraftFunctions.register(spark)
     val got = spark.sql(

@@ -2011,6 +2011,28 @@ object SparkEntry {
           t(s, dir, "embeddings"))
         .orderBy("id_a", "id_b")),
 
+    // ---- embedding average pooling: 64 dims → 8 window means ----
+    "mm_avg_pool" -> ((s, dir) => {
+      // per-row window sums via VecDot against a ones vector — the
+      // same sequential-fold parity contract as every vector op here;
+      // output is the FLAT (vec_id, win, mean) relation (arrays can't
+      // cross the row-hash gate)
+      import graft.functions.VectorFunctions.vec_dot
+      val pooled = array((0 until 8).map { w =>
+        vec_dot(slice(col("embedding"), w * 8 + 1, 8),
+          typedLit(Seq.fill(8)(1.0))) / lit(8.0)
+      }: _*)
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(pooled).as(Seq("win", "mean")))
+        .orderBy("vec_id", "win")
+    }),
+
+    // ---- session path mining: top navigation sequences ----
+    "analytics_top_paths" -> ((s, dir) =>
+      PipelineOps.sessionPaths(events(s, dir))
+        .orderBy(col("n").desc, col("path").asc)
+        .limit(20)),
+
     // ---- Unicode NFC canonicalization before any content hash ----
     "x_nfc_normalize" -> ((s, dir) => {
       // decomposed 'e'+COMBINING ACUTE appended in-query (the ASCII
@@ -4402,6 +4424,33 @@ object SparkEntry {
          |  ON l.id_a = s.id_a AND l.id_b = s.id_b
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    "mm_avg_pool" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings)
+         |SELECT vec_id, CAST(j AS INTEGER) AS win,
+         | ${duckDot("v[(j*8+1):((j+1)*8)]",
+             "[1, 1, 1, 1, 1, 1, 1, 1]")} / CAST(8 AS DOUBLE) AS mean
+         |FROM e CROSS JOIN range(8) w(j)
+         |ORDER BY vec_id, win""".stripMargin,
+
+    // same gap rule as pipe_sessionize; the ordered string_agg IS the
+    // struct-sorted path build
+    "analytics_top_paths" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |   THEN 1 ELSE 0 END AS new_s
+        | FROM events WINDOW w AS (PARTITION BY user_id
+        |   ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |p AS (SELECT user_id, sid,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        | FROM s GROUP BY 1, 2),
+        |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n
+        | FROM p GROUP BY 1)
+        |SELECT path, n FROM c ORDER BY n DESC, path LIMIT 20""".stripMargin,
 
     // DuckDB chr() takes a Unicode code point, so the decomposed
     // combining acute builds in ASCII SQL

@@ -37,6 +37,41 @@ object PipelineOps {
         count(lit(1)).as("n_events"))
   }
 
+  /** Per-session navigation paths and their frequencies — the path-
+    * mining primitive behind funnel discovery and UX analysis: every
+    * session (same gap rule as [[sessionize]]) reduces to the ordered
+    * `>`-joined sequence of its event types, and identical paths
+    * aggregate corpus-wide.
+    *
+    * The path builds WITHOUT an extra window pass: `collect_list` of
+    * (ts, id, type) structs per session, sorted in-row (struct
+    * lexicographic order ≡ the session's event order because ids are
+    * unique) — deterministic under any partitioning, one shuffle to
+    * the session key beyond the tagging window's user shuffle, and the
+    * per-path count is a tiny aggregation over distinct paths. Output:
+    * (path, n) — callers top-k it. */
+  def sessionPaths(events: DataFrame, gapMinutes: Int = 30,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    val order = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val tagged = events
+      .withColumn("__prev", lag(unix_micros(col(tsCol)), 1).over(order))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          unix_micros(col(tsCol)) - col("__prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new"))
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    tagged.groupBy(col(userCol), col("__sid"))
+      .agg(concat_ws(">", transform(
+        sort_array(collect_list(struct(col(tsCol).as("t"),
+          col(idCol).as("i"), col(typeCol).as("e")))),
+        x => x.getField("e"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Vocabulary statistics over a document corpus: term frequency and
     * document frequency per token, top-N by TF (token tie-break). */
   def vocabulary(documents: DataFrame, topN: Int = 100): DataFrame = {

@@ -2011,6 +2011,32 @@ object SparkEntry {
           t(s, dir, "embeddings"))
         .orderBy("id_a", "id_b")),
 
+    // ---- CUSUM change-point drift per user ----
+    "ts_cusum_drift" -> ((s, dir) =>
+      RelationalOps.cusumDrift(events(s, dir), key = "user_id",
+          tsCol = "ts", idCol = "event_id", valCol = "value",
+          threshold = 500.0)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("s"), col("drift"), col("alert"))
+        .orderBy("user_id", "ts", "event_id")),
+
+    // ---- PII redaction with audit counts ----
+    "text_pii_redact" -> ((s, dir) => {
+      // same deterministic injection as text_pii_scan, then the action:
+      // matches → fixed placeholder tokens, counts kept for the audit
+      val injected = t(s, dir, "documents").withColumn("itext",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" call 555-123-4567"))
+            .otherwise(lit(""))))
+      val (red, emails, phones) = TextOps.piiRedact(col("itext"))
+      injected.select(col("doc_id"), red.as("redacted"),
+          emails.as("n_emails"), phones.as("n_phones"))
+        .orderBy("doc_id")
+    }),
+
     // ---- embedding average pooling: 64 dims → 8 window means ----
     "mm_avg_pool" -> ((s, dir) => {
       // per-row window sums via VecDot against a ones vector — the
@@ -4423,6 +4449,46 @@ object SparkEntry {
          |FROM lex l FULL JOIN sem s
          |  ON l.id_a = s.id_a AND l.id_b = s.id_b
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // CUSUM: exact decimal running sums, μ from the decimal-exact
+    // global mean, pinned-order S/drift derivation
+    "ts_cusum_drift" ->
+      """WITH e AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE value IS NOT NULL),
+        |m AS (SELECT CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE)
+        |  / CAST(count(*) AS DOUBLE) AS mu FROM e),
+        |s AS (SELECT event_id, user_id, ts, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(22,6))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |   - CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS DOUBLE) * mu AS s
+        | FROM e CROSS JOIN m),
+        |d AS (SELECT *, s - min(s) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS drift
+        | FROM s)
+        |SELECT event_id, user_id, ts, value, s, drift,
+        | drift > CAST(500 AS DOUBLE) AS alert
+        |FROM d ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "text_pii_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+      s"""WITH t AS (SELECT doc_id, text ||
+         | (CASE WHEN doc_id % 7 = 0
+         |   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |   ELSE '' END) ||
+         | (CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END)
+         |   AS itext FROM documents)
+         |SELECT doc_id,
+         | regexp_replace(regexp_replace(itext, '$email', '<EMAIL>', 'g'),
+         |   '$phone', '<PHONE>', 'g') AS redacted,
+         | CAST(len(regexp_extract_all(itext, '$email')) AS BIGINT)
+         |   AS n_emails,
+         | CAST(len(regexp_extract_all(itext, '$phone')) AS BIGINT)
+         |   AS n_phones
+         |FROM t ORDER BY doc_id""".stripMargin
     },
 
     "mm_avg_pool" ->

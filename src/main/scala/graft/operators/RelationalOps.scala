@@ -449,6 +449,36 @@ object RelationalOps {
       .drop("_s", "_s2")
   }
 
+  /** CUSUM drift detection per key (Page 1954, public): the classic
+    * change-point monitor. `S_t = Σ_{s≤t}(v_s) − t·μ` tracks cumulative
+    * deviation from the reference mean, and `drift_t = S_t − min_{s≤t}
+    * S_s` — the rise since the running minimum — crosses `threshold`
+    * when the series' level has genuinely shifted upward, where any
+    * single noisy point would not.
+    *
+    * Determinism: the running Σv is DECIMAL-accumulated (exact), μ
+    * derives once from a decimal-exact global sum, and `S`/`drift` are
+    * pinned-order IEEE expressions over those exact inputs — so alerts
+    * reproduce bit-for-bit across engines and partitionings, which a
+    * float running sum cannot promise. One shuffle on `key` plus a
+    * broadcast scalar. */
+  def cusumDrift(df: DataFrame, key: String, tsCol: String,
+      idCol: String, valCol: String, threshold: Double): DataFrame = {
+    val dec = DecimalType(22, 6)
+    val base = df.where(col(valCol).isNotNull)
+    val mu = base.agg((sum(col(valCol).cast(dec)).cast("double") /
+      count(lit(1)).cast("double")).as("__mu"))
+    val ord = Window.partitionBy(col(key)).orderBy(col(tsCol), col(idCol))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.crossJoin(broadcast(mu))
+      .withColumn("s",
+        sum(col(valCol).cast(dec)).over(run).cast("double") -
+          row_number().over(ord).cast("double") * col("__mu"))
+      .withColumn("drift", col("s") - min(col("s")).over(run))
+      .withColumn("alert", col("drift") > lit(threshold))
+      .drop("__mu")
+  }
+
   /** Exact global prefix sum WITHOUT a single-partition window — the
     * scalable form of `sum(...) over (order by ...)`. Rows bucket by a
     * range split of `orderCol` (assumed unique, non-negative); each

@@ -152,6 +152,21 @@ object TextOps {
     (emails.cast("long"), phones.cast("long"), emails + phones > 0)
   }
 
+  /** PII redaction: the action [[piiCounts]] triages for — every
+    * email-like and phone-like match replaced with a fixed placeholder
+    * token, plus the redaction counts for the audit trail. Fixed
+    * tokens (not per-match hashes) keep redacted corpora join-safe on
+    * text equality and the operator deterministic in any regex engine
+    * running the same RE2-compatible pattern; projection-only, so the
+    * pass costs one scan at any corpus size. */
+  def piiRedact(text: Column): (Column, Column, Column) = {
+    val (emails, phones, _) = piiCounts(text)
+    val redacted = regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+    (redacted, emails, phones)
+  }
+
   /** Shingle novelty score — the data-curation signal "how much of this
     * document is new relative to everything before it": every distinct
     * shingle is attributed to its FIRST owner (min doc_id; ingestion

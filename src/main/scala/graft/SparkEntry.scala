@@ -2011,6 +2011,19 @@ object SparkEntry {
           t(s, dir, "embeddings"))
         .orderBy("id_a", "id_b")),
 
+    // ---- curriculum sharding: quality-ranked round-robin shards ----
+    "pipe_curriculum" -> ((s, dir) =>
+      PipelineOps.curriculumShards(
+          t(s, dir, "documents")
+            .withColumn("toks", TextOps.tokens(col("text")))
+            .select(col("doc_id"),
+              TextOps.qualityScoreFromTokens(col("text"), col("toks"))
+                .as("quality")),
+          qualityCol = "quality", idCol = "doc_id", nShards = 4)
+        .select(col("doc_id"), col("quality"), col("rank"),
+          col("shard"), col("pos_in_shard"))
+        .orderBy("rank")),
+
     // ---- CUSUM change-point drift per user ----
     "ts_cusum_drift" -> ((s, dir) =>
       RelationalOps.cusumDrift(events(s, dir), key = "user_id",
@@ -4449,6 +4462,32 @@ object SparkEntry {
          |FROM lex l FULL JOIN sem s
          |  ON l.id_a = s.id_a AND l.id_b = s.id_b
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // global rank oracle IS the plain window — the bucket-decomposed
+    // Spark plan must agree exactly
+    "pipe_curriculum" -> {
+      val stops = TextOps.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, text, $duckTokens AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |  CAST(len(toks) AS DOUBLE) AS n,
+         |  CAST(length(text) AS DOUBLE) AS chars,
+         |  CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) AS punct,
+         |  CAST(len(list_filter(toks, tk -> list_contains($stops, tk))) AS DOUBLE) AS stop
+         |  FROM t),
+         |q AS (SELECT doc_id,
+         | (CASE WHEN n >= 5 AND n <= 100000 THEN 1e0 ELSE 0e0 END) * 0.25e0
+         | + (CASE WHEN chars / greatest(n, 1e0) >= 2e0
+         |      AND chars / greatest(n, 1e0) <= 12e0 THEN 1e0 ELSE 0e0 END) * 0.25e0
+         | + (CASE WHEN punct / greatest(chars, 1e0) <= 0.2e0 THEN 1e0 ELSE 0e0 END) * 0.25e0
+         | + least(stop / greatest(n, 1e0) * 5e0, 1e0) * 0.25e0 AS quality
+         |FROM c),
+         |r AS (SELECT doc_id, quality, CAST(row_number() OVER (
+         |  ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rank FROM q)
+         |SELECT doc_id, quality, rank,
+         | CAST((rank - 1) % 4 AS INTEGER) AS shard,
+         | CAST((rank - 1) // 4 AS INTEGER) AS pos_in_shard
+         |FROM r ORDER BY rank""".stripMargin
     },
 
     // CUSUM: exact decimal running sums, μ from the decimal-exact

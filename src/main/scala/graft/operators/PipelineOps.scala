@@ -277,6 +277,47 @@ object PipelineOps {
       .where(col("n_overlap") >= minOverlap)
   }
 
+  /** Exact global rank WITHOUT a single-partition window, by bucket
+    * decomposition (the ranking twin of
+    * [[RelationalOps.distributedPrefixSum]]): rows bucket by a range
+    * split of `valueCol`, each bucket ranks locally in parallel, and
+    * the cross-bucket offset is a running count over the per-bucket
+    * totals — a bounded relation that broadcasts. Rank order is
+    * (`valueCol` DESC, `idCol` ASC); output adds `rank` (1-based).
+    * `valueCol` must lie in [0, 1] (quality scores; rescale upstream
+    * otherwise). */
+  def globalRankByValue(df: DataFrame, valueCol: String, idCol: String,
+      nBuckets: Int = 20): DataFrame = {
+    val b = least(floor(col(valueCol) * nBuckets), lit(nBuckets - 1))
+    val bucketed = df.withColumn("_b", b)
+    // offsets: how many rows sit in STRICTLY higher buckets
+    val offsets = bucketed.groupBy(col("_b"))
+      .agg(count(lit(1)).as("_bn"))
+      .withColumn("_off", coalesce(
+        sum(col("_bn")).over(Window.orderBy(col("_b").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_b"), col("_off"))
+    val local = Window.partitionBy(col("_b"))
+      .orderBy(col(valueCol).desc, col(idCol).asc)
+    bucketed.join(broadcast(offsets), Seq("_b"))
+      .withColumn("rank", col("_off") + row_number().over(local))
+      .drop("_b", "_off")
+  }
+
+  /** Curriculum sharding: quality-ranked round-robin assignment of
+    * documents to `nShards` shards — every shard receives the same
+    * difficulty distribution (rank i goes to shard i mod n at position
+    * i div n), which is what curriculum or difficulty-stratified
+    * training loaders consume. Deterministic and scale-safe: the
+    * global rank comes from [[globalRankByValue]]'s bucket
+    * decomposition, never a single-partition sort. */
+  def curriculumShards(scored: DataFrame, qualityCol: String,
+      idCol: String, nShards: Int): DataFrame =
+    globalRankByValue(scored, qualityCol, idCol)
+      .withColumn("shard", ((col("rank") - 1) % nShards).cast("int"))
+      .withColumn("pos_in_shard",
+        expr(s"CAST((rank - 1) div $nShards AS INT)"))
+
   /** Systematic probability-proportional-to-size sampling: `k` evenly
     * spaced slots sweep the cumulative weight axis, and a row is drawn
     * once per slot boundary it spans — the classic PPS design (weight-

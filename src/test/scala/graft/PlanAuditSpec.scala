@@ -424,6 +424,20 @@ class PlanAuditSpec extends AnyFunSuite {
         s"${df.queryExecution.executedPlan}")
   }
 
+  test("curriculum ranking: the corpus window is bucket-partitioned, " +
+      "only the bucket-counts window may run single-partition") {
+    val df = q("pipe_curriculum")
+    df.collect()
+    val windows = flatten(df.queryExecution.executedPlan)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    val single = windows.filter(_.partitionSpec.isEmpty)
+    val partitioned = windows.filter(_.partitionSpec.nonEmpty)
+    assert(partitioned.nonEmpty, "per-bucket local-rank window missing")
+    assert(single.forall(_.child.output.exists(_.name == "_bn")),
+      "a single-partition window may only consume the bucket-counts " +
+        s"relation, never the corpus:\n${df.queryExecution.executedPlan}")
+  }
+
   test("prefix-Jaccard: verify arrays reuse the window exchanges " +
       "(long form shuffles at most 3 times)") {
     val df = q("dedup_prefix_jaccard")

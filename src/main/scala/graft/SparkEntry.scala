@@ -2011,6 +2011,21 @@ object SparkEntry {
           t(s, dir, "embeddings"))
         .orderBy("id_a", "id_b")),
 
+    // ---- error-safe functions: try_* family (null, never throw) ----
+    "x_try_suite" -> ((s, dir) =>
+      t(s, dir, "orders").where(col("o_orderkey") <= 3000)
+        .select(col("o_orderkey"),
+          try_divide(col("o_totalprice"), col("o_orderkey") % 50)
+            .as("td"),
+          try_add(lit(Long.MaxValue - 1000L), col("o_orderkey"))
+            .as("ta"),
+          expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)")
+            .as("tc_ok"),
+          expr("try_cast(o_orderpriority AS INT)").as("tc_bad"),
+          try_element_at(array(lit(1), lit(2)),
+            (col("o_orderkey") % 5 + 1).cast("int")).as("te"))
+        .orderBy("o_orderkey")),
+
     // ---- curriculum sharding: quality-ranked round-robin shards ----
     "pipe_curriculum" -> ((s, dir) =>
       PipelineOps.curriculumShards(
@@ -4463,6 +4478,21 @@ object SparkEntry {
          |  ON l.id_a = s.id_a AND l.id_b = s.id_b
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    // DuckDB lacks try_divide/try_add — CASE expressions state the
+    // exact null-on-error semantics; TRY_CAST and OOB list indexing
+    // are native
+    "x_try_suite" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 50 = 0 THEN NULL
+        |  ELSE o_totalprice / CAST(o_orderkey % 50 AS DOUBLE) END AS td,
+        | CASE WHEN o_orderkey > 1000 THEN NULL
+        |  ELSE CAST(9223372036854774807 AS BIGINT) + o_orderkey END AS ta,
+        | TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS tc_ok,
+        | TRY_CAST(o_orderpriority AS INTEGER) AS tc_bad,
+        | ([1, 2])[CAST(o_orderkey % 5 + 1 AS INTEGER)] AS te
+        |FROM orders WHERE o_orderkey <= 3000
+        |ORDER BY o_orderkey""".stripMargin,
 
     // global rank oracle IS the plain window — the bucket-decomposed
     // Spark plan must agree exactly

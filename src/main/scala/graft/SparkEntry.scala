@@ -1149,6 +1149,22 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    "src_text_roundtrip" -> ((s, dir) => {
+      // line-oriented text source/sink — the raw-corpus ingestion
+      // format; one tab-joined line per row, read back as `value` and
+      // re-split. Newlines/tabs don't occur in the synthetic names, so
+      // the codec is trivially invertible here.
+      val path = "/tmp/graft_src/nation_text"
+      t(s, dir, "nation")
+        .select(concat_ws("\t", col("n_nationkey"), col("n_name")))
+        .write.mode("overwrite").text(path)
+      s.read.text(path)
+        .select(split(col("value"), "\t").as("p"))
+        .select(element_at(col("p"), 1).cast("long").as("n_nationkey"),
+          element_at(col("p"), 2).as("n_name"))
+        .orderBy("n_nationkey")
+    }),
+
     "src_synth_pushdown" -> ((s, dir) =>
       // custom DSv2 source: the id-range predicate pushes into the
       // connector (interval narrowed before any row is generated);
@@ -3346,6 +3362,9 @@ object SparkEntry {
 
     "src_orc_roundtrip" ->
       "SELECT * FROM supplier ORDER BY s_suppkey",
+
+    "src_text_roundtrip" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
 
     "src_synth_pushdown" ->
       """SELECT i AS id, 'row-' || CAST(i AS VARCHAR) AS payload

@@ -2027,6 +2027,16 @@ object SparkEntry {
           t(s, dir, "embeddings"))
         .orderBy("id_a", "id_b")),
 
+    // ---- fuzzy contamination: corpus × benchmark two-sided LSH ----
+    "pipe_contamination_fuzzy" -> ((s, dir) => {
+      // every 10th doc plays the benchmark; the rest is the corpus
+      val docs = t(s, dir, "documents")
+      Dedup.fuzzyContamination(
+          docs.where(col("doc_id") % 10 =!= 0),
+          docs.where(col("doc_id") % 10 === 0))
+        .orderBy("doc_id")
+    }),
+
     // ---- error-safe functions: try_* family (null, never throw) ----
     "x_try_suite" -> ((s, dir) =>
       t(s, dir, "orders").where(col("o_orderkey") <= 3000)
@@ -4496,6 +4506,45 @@ object SparkEntry {
          |FROM lex l FULL JOIN sem s
          |  ON l.id_a = s.id_a AND l.id_b = s.id_b
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // two-sided minhash machinery: corpus and benchmark signatures
+    // from the SAME shingle CTEs split by the id rule, banded cross
+    // join, exact-Jaccard verify, per-corpus-doc rollup
+    "pipe_contamination_fuzzy" -> {
+      val mh = (0 until 8).map(i => s"min(md5('$i|' || sh)) AS m$i")
+        .mkString(", ")
+      val bandsOf = (rel: String) => (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, " +
+          s"md5(m${2 * b} || '|' || m${2 * b + 1}) AS bh FROM $rel")
+        .mkString(" UNION ALL ")
+      s"""WITH $duckShingles,
+         |csh AS (SELECT * FROM shm WHERE doc_id % 10 != 0),
+         |bsh AS (SELECT * FROM shm WHERE doc_id % 10 = 0),
+         |cmh AS (SELECT doc_id, $mh FROM csh GROUP BY doc_id),
+         |bmh AS (SELECT doc_id, $mh FROM bsh GROUP BY doc_id),
+         |cbands AS (${bandsOf("cmh")}),
+         |bbands AS (${bandsOf("bmh")}),
+         |cand AS (SELECT DISTINCT c.doc_id AS ia, b.doc_id AS ib
+         |  FROM cbands c JOIN bbands b
+         |  ON c.band = b.band AND c.bh = b.bh),
+         |szc AS (SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY 1),
+         |szb AS (SELECT doc_id, count(*) AS n_sh FROM bsh GROUP BY 1),
+         |common AS (SELECT cand.ia, cand.ib, count(*) AS n_common
+         |  FROM cand
+         |  JOIN csh a ON cand.ia = a.doc_id
+         |  JOIN bsh b ON cand.ib = b.doc_id AND a.sh = b.sh
+         |  GROUP BY 1, 2),
+         |jac AS (SELECT ia, ib,
+         |  CAST(n_common AS DOUBLE) /
+         |   CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+         |  FROM common
+         |  JOIN szc sa ON common.ia = sa.doc_id
+         |  JOIN szb sb ON common.ib = sb.doc_id)
+         |SELECT ia AS doc_id, CAST(count(*) AS BIGINT) AS n_bench_matches,
+         | max(jaccard) AS best_jaccard
+         |FROM jac WHERE jaccard >= 0.5
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin
     },
 
     // DuckDB lacks try_divide/try_add — CASE expressions state the

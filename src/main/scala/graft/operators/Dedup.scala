@@ -552,6 +552,51 @@ object Dedup {
           when(col("cos").isNotNull, 1).otherwise(0)).as("n_signals"))
   }
 
+  /** Fuzzy benchmark contamination via a TWO-SIDED LSH join: corpus
+    * documents NEAR-duplicating any benchmark document (exact Jaccard ≥
+    * threshold on verified band-collision candidates). The exact-
+    * shingle contamination check ([[PipelineOps.contaminationCheck]])
+    * catches verbatim leakage; this catches the paraphrased/partially-
+    * rewritten test data that actually survives corpus cleaning.
+    *
+    * The candidate join is corpus-buckets × benchmark-buckets — never a
+    * self-join, so cost scales with the (small) benchmark side's
+    * collision rate; only (doc_id, band, 16-byte hash) rows shuffle.
+    * Output per contaminated corpus doc: (doc_id, n_bench_matches,
+    * best_jaccard). */
+  def fuzzyContamination(corpus: DataFrame, benchmark: DataFrame,
+      k: Int = 8, bands: Int = 4, w: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val corpusSh = docShingles(corpus, w).localCheckpoint(true)
+    val benchSh = docShingles(benchmark, w).localCheckpoint(true)
+    val cb = lshBuckets(withMinhashes(corpusSh, k), bands, k / bands)
+    val bb = lshBuckets(withMinhashes(benchSh, k), bands, k / bands)
+    val candidates = cb.as("c").join(bb.as("b"),
+        col("c.band") === col("b.band") &&
+        col("c.band_hash") === col("b.band_hash"))
+      .select(col("c.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sizesC = corpusSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val sizesB = benchSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = candidates
+      .join(corpusSh.as("a"), col("id_a") === col("a.doc_id"))
+      .join(benchSh.as("b"),
+        col("id_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizesC).as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(broadcast(sizesB).as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("n_common"))
+            .cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .groupBy(col("id_a").as("doc_id"))
+      .agg(count(lit(1)).as("n_bench_matches"),
+        max(col("jaccard")).as("best_jaccard"))
+  }
+
   /** 32-bit SimHash over the document's SHINGLE set (shingles, not bare
     * tokens, so the signature reflects word order/locality — bare-token
     * simhash degenerates on small vocabularies): bit_j = sign of

@@ -23,8 +23,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.distinctWGramCountDescriptor)
     e.injectFunction(GraftFunctions.hexBitSignsDescriptor)
     e.injectFunction(GraftFunctions.wordShinglesDescriptor)
+    e.injectFunction(GraftFunctions.damerauLevenshteinDescriptor)
+    e.injectFunction(GraftFunctions.nfcNormalizeDescriptor)
     // transparent HOF → native-expression acceleration
     e.injectOptimizerRule(_ => graft.plans.CountInSetRewrite)
+    // whole-operator path: the per-key top-k physical strategy
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 
@@ -105,6 +109,19 @@ object GraftFunctions {
     new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
     (exprs: Seq[Expression]) => WordShingles(exprs(0),
       litInt(exprs(1), "word_shingles")))
+
+  private[functions] val damerauLevenshteinDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("damerau_levenshtein"),
+    new ExpressionInfo(classOf[DamerauLevenshteinExpr].getName,
+      "damerau_levenshtein"),
+    (exprs: Seq[Expression]) => DamerauLevenshteinExpr(exprs(0), exprs(1)))
+
+  private[functions] val nfcNormalizeDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+    (exprs: Seq[Expression]) => NfcNormalize(exprs(0)))
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

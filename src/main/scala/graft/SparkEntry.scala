@@ -2027,6 +2027,22 @@ object SparkEntry {
           t(s, dir, "embeddings"))
         .orderBy("id_a", "id_b")),
 
+    // ---- BPE seed statistics: corpus-wide adjacent symbol pairs ----
+    "pipe_bpe_pairs" -> ((s, dir) =>
+      // the first iteration of byte-pair-encoding training: count every
+      // adjacent character pair inside tokens; the top pair is what BPE
+      // would merge first. One explode chain + a tiny pair aggregation;
+      // top-k via TakeOrderedAndProject, never a global sort.
+      t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .where(length(col("tok")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(50)),
+
     // ---- fuzzy contamination: corpus × benchmark two-sided LSH ----
     "pipe_contamination_fuzzy" -> ((s, dir) => {
       // every 10th doc plays the benchmark; the rest is the corpus
@@ -4507,6 +4523,15 @@ object SparkEntry {
          |  ON l.id_a = s.id_a AND l.id_b = s.id_b
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    "pipe_bpe_pairs" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)),
+        |  '\s+')) AS tok FROM documents),
+        |p AS (SELECT unnest(list_transform(range(1, length(tok)),
+        |  i -> substr(tok, CAST(i AS INTEGER), 2))) AS pair
+        | FROM t WHERE length(tok) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p
+        |GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin,
 
     // two-sided minhash machinery: corpus and benchmark signatures
     // from the SAME shingle CTEs split by the id rule, banded cross

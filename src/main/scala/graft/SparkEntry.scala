@@ -2027,6 +2027,22 @@ object SparkEntry {
           t(s, dir, "embeddings"))
         .orderBy("id_a", "id_b")),
 
+    // ---- privacy audit: k-anonymity + l-diversity ----
+    "privacy_k_anonymity" -> ((s, dir) =>
+      // group sizes over the quasi-identifier combination (k-anonymity:
+      // a group under k is re-identifiable) and distinct sensitive
+      // values per group (l-diversity: a group where everyone shares
+      // one sensitive band leaks it even at size ≥ k). One hash
+      // aggregation; both audits must pass before a table ships as
+      // training data.
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(floor(col("c_acctbal") / 1000.0)).as("l_bal"))
+        .withColumn("k_risk", col("n") < 5)
+        .withColumn("l_risk", col("l_bal") < 3)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
     // ---- BPE seed statistics: corpus-wide adjacent symbol pairs ----
     "pipe_bpe_pairs" -> ((s, dir) =>
       // the first iteration of byte-pair-encoding training: count every
@@ -4523,6 +4539,16 @@ object SparkEntry {
          |  ON l.id_a = s.id_a AND l.id_b = s.id_b
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    "privacy_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(DISTINCT floor(c_acctbal / CAST(1000 AS DOUBLE)))
+        |   AS BIGINT) AS l_bal,
+        | count(*) < 5 AS k_risk,
+        | count(DISTINCT floor(c_acctbal / CAST(1000 AS DOUBLE))) < 3
+        |   AS l_risk
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "pipe_bpe_pairs" ->
       """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)),

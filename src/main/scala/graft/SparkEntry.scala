@@ -2027,6 +2027,33 @@ object SparkEntry {
           t(s, dir, "embeddings"))
         .orderBy("id_a", "id_b")),
 
+    // ---- one-plan corpus sanitization: NFC → redact → dedup ----
+    "pipe_sanitize_corpus" -> ((s, dir) => {
+      // canonicalize (decomposed unicode injected per doc_id rule),
+      // redact injected PII, then exact-dedup on the CLEAN body —
+      // order matters: un-normalized or un-redacted text hashes
+      // visually identical documents apart
+      import org.apache.spark.sql.expressions.Window
+      val injected = t(s, dir, "documents").withColumn("raw",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" contact a@b.co"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit(" cafe\u0301"))
+            .otherwise(lit(""))))
+      val canon = graft.functions.EditDistanceFunctions
+        .nfc_normalize(col("raw"))
+      val (red, em, ph) = TextOps.piiRedact(canon)
+      val w = Window.partitionBy(md5(col("clean")))
+      injected
+        .select(col("doc_id"), red.as("clean"),
+          (em + ph).as("n_redactions"))
+        .withColumn("kept", col("doc_id") === min(col("doc_id")).over(w))
+        .select(col("doc_id"), length(col("clean")).cast("int")
+            .as("n_clean_chars"),
+          col("n_redactions"), col("kept"))
+        .orderBy("doc_id")
+    }),
+
     // ---- privacy audit: k-anonymity + l-diversity ----
     "privacy_k_anonymity" -> ((s, dir) =>
       // group sizes over the quasi-identifier combination (k-anonymity:
@@ -4538,6 +4565,29 @@ object SparkEntry {
          |FROM lex l FULL JOIN sem s
          |  ON l.id_a = s.id_a AND l.id_b = s.id_b
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "pipe_sanitize_corpus" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+      s"""WITH r AS (SELECT doc_id, text ||
+         | (CASE WHEN doc_id % 7 = 0 THEN ' contact a@b.co' ELSE '' END) ||
+         | (CASE WHEN doc_id % 13 = 0 THEN ' cafe' || chr(769)
+         |  ELSE '' END) AS raw
+         | FROM documents),
+         |c AS (SELECT doc_id,
+         | regexp_replace(regexp_replace(nfc_normalize(raw),
+         |   '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g') AS clean,
+         | CAST(len(regexp_extract_all(nfc_normalize(raw), '$email'))
+         |   AS BIGINT)
+         |  + CAST(len(regexp_extract_all(nfc_normalize(raw), '$phone'))
+         |   AS BIGINT) AS n_redactions
+         | FROM r),
+         |k AS (SELECT doc_id, clean, n_redactions,
+         |  min(doc_id) OVER (PARTITION BY md5(clean)) AS keep_id FROM c)
+         |SELECT doc_id, CAST(length(clean) AS INTEGER) AS n_clean_chars,
+         | n_redactions, doc_id = keep_id AS kept
+         |FROM k ORDER BY doc_id""".stripMargin
     },
 
     "privacy_k_anonymity" ->

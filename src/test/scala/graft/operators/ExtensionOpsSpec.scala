@@ -41,6 +41,23 @@ class ExtensionOpsSpec extends AnyFunSuite {
     pairs.get((0L, 2L)).foreach(j => assert(j > 0 && j < 1))
   }
 
+  test("fuzzy contamination: near-duplicate of a benchmark doc flagged, " +
+      "unrelated corpus docs pass") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // ~bench 100
+      (2L, "completely unrelated corpus content about parquet files")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "some benchmark question nobody copied")
+    ).toDF("doc_id", "text")
+    val out = Dedup.fuzzyContamination(corpus, bench, threshold = 0.5)
+      .select("doc_id", "n_bench_matches")
+      .as[(Long, Long)].collect().toMap
+    assert(out.contains(1L) && out(1L) >= 1L)
+    assert(!out.contains(2L))
+  }
+
   test("incremental LSH: new-batch pairs only, old×old settled pairs " +
       "excluded, scores equal the full run") {
     val full = Dedup.minhashLshPairs(docs, threshold = 0.0)

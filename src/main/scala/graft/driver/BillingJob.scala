@@ -30,7 +30,17 @@ final class BillingJob(
     chargeSink: ChargeSink,
     reportSink: ReportSink = new StdoutReportSink,
     cfg: BillingConfig = BillingConfig(),
-    now: () => java.time.Instant = () => java.time.Instant.now()) {
+    now: () => java.time.Instant = () => java.time.Instant.now(),
+    chargeResultsStore: Option[AppendStore] = None) {
+
+  /** Charge outcomes persist beside the usage log: the effectful plan's
+    * ONLY action is the append into this store, and every later
+    * consumer (enrich join, report totals) re-reads the persisted
+    * outcome instead of re-running the sink — removing the old
+    * driver-side `collect()` whose row count ceiling was the active-
+    * shop cardinality. */
+  private val chargeResults: AppendStore = chargeResultsStore.getOrElse(
+    new AppendStore(spark, usageStore.path + "__charge_results"))
 
   import spark.implicits._
 
@@ -56,23 +66,34 @@ final class BillingJob(
       usageStore.append(pending)
 
       // 3. charge — J2 folded in: (shop, accessToken, amount) travel
-      // together so the sink needs no map probe. The side-effecting sink
-      // is materialized EAGERLY and exactly once: a lazily-cached
+      // together so the sink needs no map probe. The side-effecting plan
+      // runs EXACTLY ONCE, store-mediated: its single action is the
+      // append into the charge-results store below — a lazily-cached
       // Dataset could re-run its partitions (task retry, cache eviction
       // between the appends and a later action) and double-charge shops,
       // where the reference charges each shop exactly once imperatively
-      // (`billing.ts:128-160`). The result set is bounded by the
-      // active-shop count, so holding it driver-side is as legitimate as
-      // the report collect.
+      // (`billing.ts:128-160`). Enrichment and reporting then JOIN
+      // against the persisted outcome (a fresh parquet scan, incapable
+      // of re-invoking the sink), so no charge row ever funnels through
+      // the driver — at 100× shop cardinality the old `collect()`
+      // ceiling disappears while write-ahead ordering (pending append →
+      // charges → final append) and per-shop idempotency keys are
+      // unchanged. Task retries WITHIN the append are absorbed by the
+      // idempotency key, exactly as before.
       val chargeInputs = pending
         .join(sessions.select(BillingOps.normalizeShop($"shop").as("shop"),
           $"accessToken"), Seq("shop"))
         .select($"shop", $"accessToken", $"billing_amount".as("amount"),
           concat($"shop", lit(s":$targetDate")).as("idempotencyKey"))
         .as[ChargeInput]
-      val chargeRows = chargeSink.chargeAll(spark, chargeInputs)
-        .collect().toSeq
-      val results = chargeRows.toDF()
+      val runId = s"$targetDate#${now().toEpochMilli}"
+      val chargeOut = chargeSink.chargeAll(spark, chargeInputs)
+        .toDF().withColumn("run_id", lit(runId))
+      chargeResults.append(chargeOut)
+      val results = chargeResults
+        .readOrEmpty(chargeOut.schema)
+        .where($"run_id" === runId)
+        .drop("run_id", "created_at")
 
       // 4. append final statuses (J3 enrich; append-only)
       val enriched =
@@ -82,7 +103,7 @@ final class BillingJob(
       // 5. totals + report (A2/A3/A4, L2) — enriched is cached, so the
       // totals/count/top-shops actions below read one materialization
       val report = buildReport(targetDate, scheduled, sessionCount,
-        enriched, chargeRows)
+        enriched, results)
       reportSink.send(report)
       sessions.unpersist(); pending.unpersist(); enriched.unpersist()
       report
@@ -143,9 +164,18 @@ final class BillingJob(
 
   private def buildReport(targetDate: String, scheduled: Boolean,
       sessionCount: Long, enriched: DataFrame,
-      results: Seq[UsageChargeResult]): BatchReport = {
+      results: DataFrame): BatchReport = {
     val t = BillingOps.totals(enriched).head()
-    val (ok, ko, skip) = ReportOps.histogram(results)
+    // A4 histogram as ONE distributed aggregate over the persisted
+    // charge outcomes (the driver sees three counters, never the rows)
+    val h = results.agg(
+      sum(when($"success" && !$"skipped", 1L).otherwise(0L)),
+      sum(when(!$"success", 1L).otherwise(0L)),
+      sum(when($"skipped", 1L).otherwise(0L))).head()
+    val (ok, ko, skip) = (
+      if (h.isNullAt(0)) 0L else h.getLong(0),
+      if (h.isNullAt(1)) 0L else h.getLong(1),
+      if (h.isNullAt(2)) 0L else h.getLong(2))
     val active = enriched.where($"page_views" > 0)
     val activeCount = active.count()
     val top = BillingOps.topShops(enriched, 10)

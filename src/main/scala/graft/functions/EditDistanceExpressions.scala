@@ -25,11 +25,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * byte ≡ char; multi-byte code points count per byte on both sides).
   */
 object DamerauLevenshtein {
+  /** The transposition lookback needs the WHOLE (|a|+2)×(|b|+2)
+    * matrix (no two-row trick as in plain Levenshtein), so memory is
+    * O(|a|·|b|). 8 KiB × 8 KiB = 256 MiB of Int already threatens an
+    * executor; distance is an entity-resolution primitive for keys
+    * and names, not corpus documents — fail fast rather than OOM. */
+  val MaxInputBytes = 8192
+
   def distance(a: UTF8String, b: UTF8String): Int = {
     val sa = a.getBytes
     val sb = b.getBytes
     val la = sa.length
     val lb = sb.length
+    require(la <= MaxInputBytes && lb <= MaxInputBytes,
+      s"damerau_levenshtein inputs capped at $MaxInputBytes bytes " +
+        s"(got $la, $lb): the full-matrix DP is O(|a|*|b|) heap; use " +
+        s"levenshtein() or pre-truncate for document-scale strings")
     if (la == 0) return lb
     if (lb == 0) return la
     val inf = la + lb

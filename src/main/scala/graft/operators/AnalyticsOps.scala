@@ -87,27 +87,53 @@ object AnalyticsOps {
     * first row). Output per bucket: distinct values, row count, lo/hi
     * bounds.
     *
-    * Scale: the ordering window runs over the DISTINCT-value frame
+    * Scale: the cumulative count runs over the DISTINCT-value frame
     * (one row per value, built by a hash aggregation of the input),
-    * not over raw rows — the log's billions of rows never sort. The
-    * bound is distinct-value cardinality; for genuinely unbounded
-    * metrics the sketch path (`percentile_approx` boundaries, see
-    * `agg_quantiles`) replaces exactness. Bucket ids use integral
-    * floor-division — no IEEE rounding at bucket edges.
+    * never raw rows — and it is bucket-decomposed, never a single
+    * task: `nRangeBuckets − 1` approximate quantile splitters of the
+    * distinct frame (one `percentile_approx` aggregate — splitter
+    * accuracy only affects bucket BALANCE, the cumulative counts stay
+    * exact whatever the split) range-partition the values, each range
+    * computes its local running count in parallel, and the cross-range
+    * carry-in is a window over the bounded per-range totals — the same
+    * two-phase parallel-scan shape as
+    * [[graft.operators.RelationalOps.distributedPrefixSum]], here
+    * keyed on an arbitrary numeric value column instead of a unique
+    * integral one. For continuous doubles (distinct ≈ row count, the
+    * case that used to serialize through one WindowExec task) every
+    * phase stays parallel. Bucket ids use integral floor-division — no
+    * IEEE rounding at bucket edges. `value` must be numeric (the
+    * splitter aggregate requires it).
     */
   def equiDepthHistogram(df: DataFrame, value: String,
-      nBuckets: Int): DataFrame = {
+      nBuckets: Int, nRangeBuckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.where(col(value).isNotNull)
       .groupBy(col(value).as("v")).agg(count(lit(1)).as("n"))
-    val ord = Window.orderBy(col("v"))
-    val cum = counts
+    val probs = array((1 until nRangeBuckets)
+      .map(i => lit(i.toDouble / nRangeBuckets)): _*)
+    val splitters = counts.agg(
+      percentile_approx(col("v"), probs, lit(10000)).as("_sp"))
+    // _rb = #{splitters ≤ v}: monotone non-decreasing in v, so range-
+    // bucket order refines value order and the decomposition is exact
+    val bucketed = counts.crossJoin(broadcast(splitters))
+      .withColumn("_rb", aggregate(col("_sp"), lit(0),
+        (acc, s) => acc + when(col("v") >= s, 1).otherwise(0)))
+      .drop("_sp")
+    val ordRb = Window.orderBy(col("_rb"))
+    // bounded serial step: ≤ nRangeBuckets rows
+    val offsets = bucketed.groupBy(col("_rb"))
+      .agg(sum(col("n")).as("_bsum"))
+      .withColumn("_off", coalesce(sum(col("_bsum")).over(
+        ordRb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("_bsum")).over(ordRb.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("_rb"), col("_off"), col("total"))
+    val local = Window.partitionBy(col("_rb")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), Seq("_rb"))
       .withColumn("cum_before",
-        coalesce(sum(col("n")).over(ord.rowsBetween(
-          Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("total", sum(col("n")).over(
-        ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    cum
+        col("_off") + coalesce(sum(col("n")).over(local), lit(0L)))
       .select(expr(s"cum_before * $nBuckets div total").as("bucket"),
         col("v"), col("n"))
       .groupBy(col("bucket"))

@@ -198,8 +198,13 @@ object PipelineOps {
     * (desc, doc_id tie-break) and keep the prefix whose cumulative token
     * count fits the budget — "give me the best B tokens of this corpus".
     * The ranking shuffle carries only (quality, id, n_tokens) triples,
-    * never text; the kept-set predicate is one running-sum window over
-    * that narrow projection. */
+    * never text — and neither the rank nor the running sum ever funnels
+    * through one task: the rank is [[globalRankByValue]]'s bucket
+    * decomposition (quality ∈ [0, 1] by construction of the score) and
+    * the cumulative token count is
+    * [[RelationalOps.distributedPrefixSum]] over that rank — the
+    * two-phase parallel scan, exact and identical to the global window
+    * because rank order refines bucket order. */
   def tokenBudgetSelect(documents: DataFrame, tokenBudget: Long): DataFrame = {
     val scored = documents
       .withColumn("toks", TextOps.tokens(col("text")))
@@ -207,10 +212,12 @@ object PipelineOps {
         TextOps.qualityScoreFromTokens(col("text"), col("toks"))
           .as("quality"),
         size(col("toks")).cast("long").as("n_tokens"))
-    val w = Window.orderBy(col("quality").desc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    val ranked = globalRankByValue(scored, "quality", "doc_id")
+    RelationalOps.distributedPrefixSum(ranked, "rank", "n_tokens")
+      .withColumnRenamed("cum", "cum_tokens")
       .where(col("cum_tokens") <= tokenBudget)
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        col("cum_tokens"))
   }
 
   /** Deterministic mixture interleave: merge per-source document

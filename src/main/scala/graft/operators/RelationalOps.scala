@@ -493,13 +493,17 @@ object RelationalOps {
     * DataFrames: at 100 TB the naive global window funnels the corpus
     * through one task; here the only serial step is over `nBuckets`
     * rows. `valueCol` must be integral (BIGINT sums are exact;
-    * overflow-widen to decimal upstream if Σ exceeds 2^63). */
+    * overflow-widen to decimal upstream if Σ exceeds 2^63). The
+    * bucket split multiplies `orderCol` by `nBuckets` in DECIMAL(38,0)
+    * — exact for ANY 64-bit key, where a Long multiply would wrap
+    * above 2^63/nBuckets and scramble bucket order. */
   def distributedPrefixSum(df: DataFrame, orderCol: String,
       valueCol: String, nBuckets: Int = 64): DataFrame = {
-    val hi = df.agg((max(col(orderCol)) + lit(1L)).as("_hi"))
+    val hi = df.agg((max(col(orderCol)).cast("decimal(38,0)") +
+      lit(1)).as("_hi"))
     val bucketed = df.crossJoin(broadcast(hi))
-      .withColumn("_b", floor(col(orderCol) * lit(nBuckets.toLong) /
-        col("_hi")))
+      .withColumn("_b", floor(col(orderCol).cast("decimal(38,0)") *
+        lit(nBuckets.toLong) / col("_hi")).cast("long"))
       .drop("_hi")
     // serial step: nBuckets rows — the unpartitioned window is bounded
     // by construction, not by data size

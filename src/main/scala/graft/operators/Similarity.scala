@@ -89,32 +89,60 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** Multi-probe LSH approximate top-k: corpus vectors bucket by their
-    * sign signature; each query probes its own bucket plus every bucket
-    * at Hamming distance 1 (flip one plane) — the standard multi-probe
-    * trick that recovers most of the recall a near-boundary hyperplane
-    * costs, while still touching only (planes+1)/2^planes of the
-    * corpus. Recall < 1 by construction; the scale path for 100 TB
-    * corpora (bucket count grows 2^planes, probes stay linear). */
+  /** Multi-table, multi-probe LSH approximate top-k: `tables`
+    * independent sign-LSH hash tables (table t uses its own `planes`
+    * rows of the shared hyperplane matrix), each corpus vector bucketed
+    * once per table, each query probing its own bucket plus every
+    * bucket at Hamming distance 1 (flip one plane) in EVERY table —
+    * the classic L-tables × multi-probe recall lever: a true neighbor
+    * is missed only if it disagrees with the query in every probed
+    * bucket of every table, so recall ≈ 1−(1−p)^L while cost stays
+    * L·(planes+1)/2^planes of the corpus.
+    *
+    * Scale shape: the candidate join moves ONLY (vec_id, table, sig)
+    * triples — never embeddings; candidate pairs are distinct'd before
+    * the exact-cosine verify joins the vectors back (the same
+    * id-only-banding discipline as [[lshNearDupPairs]]). Every reported
+    * score is exact. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-      planes: Int = 8, dims: Int = 64): DataFrame = {
-    val sigCorpus = withNorm(corpus)
-      .withColumn("sig", lshSignature(col("embedding"), planes, dims))
-    val sigQueries = withNorm(queries)
-      .withColumn("sig0", lshSignature(col("embedding"), planes, dims))
-      .withColumn("sig", explode(array(
-        col("sig0") +: (0 until planes).map(p =>
-          col("sig0").bitwiseXOR(lit(1 << p))): _*)))
-      .drop("sig0")
-    val joined = sigCorpus.as("c")
-      .join(broadcast(sigQueries.as("q")),
-        col("q.sig") === col("c.sig") &&
-        col("q.vec_id") =!= col("c.vec_id"))
-      .select(col("q.vec_id").as("query_id"),
-        col("c.vec_id").as("neighbor_id"), pairCos.as("cos"))
+      planes: Int = 8, dims: Int = 64, tables: Int = 1): DataFrame = {
+    val m = signMatrix(tables * planes, dims)
+    def sigFor(t: Int): Column = (0 until planes).map { p =>
+      when(vec_dot(col("embedding"), typedLit(m(t * planes + p).toSeq)) > 0,
+        lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    // id-only banded corpus relation: (vec_id, t, sig)
+    val sigCorpus = corpus.select(col("vec_id"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), sigFor(t).as("sig"))): _*)).as("ts"))
+      .select(col("vec_id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+    // query probes: each table's signature computed once, then fanned
+    // into the identity bucket + its `planes` Hamming-1 flips
+    val withSigs = queries.select(col("vec_id") +:
+      (0 until tables).map(t => sigFor(t).as(s"_sig_$t")): _*)
+    val probes = withSigs.select(col("vec_id").as("q_id"),
+        explode(array((0 until tables).flatMap { t =>
+          struct(lit(t).as("t"), col(s"_sig_$t").as("sig")) +:
+            (0 until planes).map(p => struct(lit(t).as("t"),
+              col(s"_sig_$t").bitwiseXOR(lit(1 << p)).as("sig")))
+        }: _*)).as("ts"))
+      .select(col("q_id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+    val candidates = sigCorpus.as("c")
+      .join(broadcast(probes).as("q"),
+        col("q.t") === col("c.t") && col("q.sig") === col("c.sig") &&
+        col("q.q_id") =!= col("c.vec_id"))
+      .select(col("q.q_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"))
+      .distinct()
+    val scored = candidates
+      .join(withNorm(corpus).as("c"),
+        col("neighbor_id") === col("c.vec_id"))
+      .join(broadcast(withNorm(queries).as("q")),
+        col("query_id") === col("q.vec_id"))
+      .select(col("query_id"), col("neighbor_id"), pairCos.as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    joined.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }

@@ -90,14 +90,24 @@ case class TopKPerKeyExec(keys: Seq[Expression], value: Expression,
         val vAny = valueExpr.eval(row)
         if (vAny != null) {
           val v = vAny.asInstanceOf[Double]
-          val t = tieExpr.eval(row).asInstanceOf[Long]
+          val tAny = tieExpr.eval(row)
+          // the uniqueness contract needs a real value: a null tie
+          // would unbox to 0L and silently collide with other nulls
+          require(tAny != null,
+            s"TopKPerKey tie column evaluated to null; " +
+              s"the tie-break column must be unique and non-null")
+          val t = tAny.asInstanceOf[Long]
           val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
             mutable.PriorityQueue.empty[Entry](worstFirst))
           if (heap.size < limit) {
             heap.enqueue(new Entry(v, t, rowProj(row).copy()))
           } else {
             val w = heap.head
-            if (v > w.v || (v == w.v && t < w.t)) {
+            // total order via Double.compare so NaN (= greatest, as in
+            // Spark SQL ordering) agrees with the heap's comparator;
+            // primitive > would strand NaN rows as never-displacing
+            val byV = java.lang.Double.compare(v, w.v)
+            if (byV > 0 || (byV == 0 && t < w.t)) {
               heap.dequeue()
               heap.enqueue(new Entry(v, t, rowProj(row).copy()))
             }

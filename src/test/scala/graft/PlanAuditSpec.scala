@@ -438,6 +438,49 @@ class PlanAuditSpec extends AnyFunSuite {
         s"relation, never the corpus:\n${df.queryExecution.executedPlan}")
   }
 
+  test("GLOBAL INVARIANT: no query runs a single-partition WindowExec " +
+      "over an unbounded frame") {
+    // A WindowExec with an empty partitionSpec serializes its whole
+    // input through ONE task — the canonical 100 TB scale-killer. It
+    // is legitimate only on a relation that is bounded BY CONSTRUCTION
+    // (the ≤nBuckets bucket-totals frames of the two-phase scans, the
+    // skyline bucket-minima carry). This test sweeps EVERY declared
+    // query's executed plan so a future operator can't reintroduce the
+    // pattern unnoticed.
+    //
+    // Bounded-by-construction markers: the bucket-relation columns of
+    // distributedPrefixSum / globalRankByValue / equiDepthHistogram
+    // (`_bsum`, `_bn`) — those frames hold ≤ nBuckets rows whatever
+    // the input size.
+    val boundedMarkers = Set("_bsum", "_bn")
+    // Queries allowed a non-marker single-partition window, each with
+    // the reason the frame is provably small.
+    val allowlist: Map[String, String] = Map(
+      "analytics_skyline" -> "bucket-minima carry: ≤nBuckets rows",
+      "pipe_source_mix" -> ("largest-remainder seat window: one row " +
+        "per group (languages/corpora), documented driver-small"),
+      "text_bm25" -> "final rank over a LIMIT k relation: ≤k rows",
+      "retrieval_rrf" -> "fusion rank over two top-k lists: ≤2k rows"
+    )
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, build) =>
+        val df = build(spark, dir)
+        df.collect()
+        val singles = flatten(df.queryExecution.executedPlan)
+          .collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+                if w.partitionSpec.isEmpty => w
+          }
+        val bad = singles.filterNot(w =>
+          w.child.output.exists(a => boundedMarkers.contains(a.name)))
+        if (bad.isEmpty || allowlist.contains(name)) Nil
+        else Seq(s"$name: ${bad.map(_.windowExpression.map(_.name)
+          .mkString(",")).mkString("; ")}")
+    }
+    assert(violations.isEmpty,
+      s"unbounded single-partition windows:\n${violations.mkString("\n")}")
+  }
+
   test("prefix-Jaccard: verify arrays reuse the window exchanges " +
       "(long form shuffles at most 3 times)") {
     val df = q("dedup_prefix_jaccard")

@@ -151,4 +151,85 @@ class BillingJobSpec extends AnyFunSuite {
   test("flagship entry() returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
+
+  test("charge outcomes are store-mediated: persisted per run, report " +
+      "histogram computed without collecting charge rows") {
+    val base = Files.createTempDirectory("graft-med").toString
+    val store = new AppendStore(spark, base + "/usage")
+    val sink = new ChargeSink(() => new FakeChargeClient(
+      failTokens = Set("bad-token")), concurrency = 2, sleep = _ => ())
+    val job = new BillingJob(spark, store, sink,
+      new CollectingReportSink, cfg)
+    val report = job.processDailyBilling(sessions, eventsDf, D)
+    // the effectful plan's outcome landed in the sibling results store:
+    // one row per active shop, tagged with this run's id
+    val persisted = spark.read.parquet(base + "/usage__charge_results")
+    assert(persisted.count() == 3)
+    assert(persisted.select("run_id").distinct().count() == 1)
+    val statuses = persisted
+      .selectExpr("shop",
+        "case when skipped then 'skipped' when success then 'success' " +
+          "else 'failed' end as s")
+      .as[(String, String)].collect().toMap
+    assert(statuses == Map("shop-ok" -> "success",
+      "shop-bad" -> "failed", "shop-idle" -> "skipped"))
+    // and the report histogram agrees with the persisted outcomes
+    assert((report.successful, report.failed, report.skipped) ===
+      ((1L, 1L, 1L)))
+  }
+
+  test("replay of the same billing date cannot double-charge: " +
+      "idempotency keys collapse re-runs to one creation per shop") {
+    CountingChargeClient.reset()
+    val store = new AppendStore(spark,
+      Files.createTempDirectory("graft-replay").toString + "/usage")
+    val sink = new ChargeSink(() => new CountingChargeClient,
+      concurrency = 2, sleep = _ => ())
+    val job = new BillingJob(spark, store, sink,
+      new CollectingReportSink, cfg)
+    val r1 = job.processDailyBilling(sessions, eventsDf, D)
+    assert(r1.successful == 2) // shop-ok + shop-bad both chargeable
+    assert(CountingChargeClient.creations.get() == 2)
+    // operator re-runs the batch (same date → same idempotency keys):
+    // the remote end replays stored ids, no new charge is created
+    val r2 = job.processDailyBilling(sessions, eventsDf, D)
+    assert(r2.successful == 2)
+    assert(CountingChargeClient.creations.get() == 2,
+      "replayed run must not create new charges")
+    // a DIFFERENT date is a new logical charge set
+    val r3 = job.processDailyBilling(sessions, eventsDf, "2024-01-16")
+    assert(r3.sessionCount == 3)
+    assert(CountingChargeClient.creations.get() > 2)
+    // the append-only usage log kept every run's pending+final pairs
+    assert(store.readOrEmpty(Schemas.usageRecords).count() == 18)
+  }
+}
+
+/** A [[graft.sinks.ChargeClient]] whose charge ledger lives in a
+  * JVM-global companion, so creations are counted across the
+  * serialized closure copies Spark hands each task — the cross-RUN
+  * idempotency observer the per-instance fake cannot be. */
+class CountingChargeClient extends graft.sinks.ChargeClient
+    with Serializable {
+  override def lookupSubscriptionLineItem(shop: String, token: String) =
+    s"gid://fake/LineItem/$shop"
+  override def createUsageCharge(shop: String, token: String, li: String,
+      amount: Double, description: String,
+      idempotencyKey: String = ""): String = {
+    val ledger = CountingChargeClient.charged
+    if (idempotencyKey.nonEmpty && ledger.containsKey(idempotencyKey))
+      return ledger.get(idempotencyKey)
+    CountingChargeClient.creations.incrementAndGet()
+    val id = s"gid://fake/AppUsageRecord/$shop"
+    if (idempotencyKey.nonEmpty) ledger.put(idempotencyKey, id)
+    id
+  }
+  override def testConnection(shop: String, token: String): Boolean = true
+}
+
+object CountingChargeClient {
+  val charged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val creations = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { charged.clear(); creations.set(0) }
 }

@@ -41,6 +41,14 @@ class DamerauLevenshteinSpec extends AnyFunSuite {
     assert(viaCol === Seq(1, 2, 0) && viaSql === viaCol)
   }
 
+  test("document-scale inputs fail fast instead of OOMing the executor") {
+    val big = "x" * (DamerauLevenshtein.MaxInputBytes + 1)
+    val ex = intercept[IllegalArgumentException] { d(big, "short") }
+    assert(ex.getMessage.contains("capped"))
+    // at the cap itself the DP still runs
+    assert(d("x" * 100, "x" * 100) === 0)
+  }
+
   test("transposition-aware blocking catches what levenshtein misses") {
     val names = Seq((1L, "acme corp"), (2L, "amce corp"), (3L, "zenith"))
       .toDF("id", "name")

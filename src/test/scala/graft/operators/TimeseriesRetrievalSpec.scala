@@ -64,6 +64,22 @@ class TimeseriesRetrievalSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("distributedPrefixSum survives orderCol keys near 2^63 " +
+      "(decimal bucket split, no Long-multiply wraparound)") {
+    // keys above 2^63/nBuckets would wrap a Long multiply and scramble
+    // bucket order; the decimal split must keep the exact cumsum
+    val top = Long.MaxValue
+    val df = Seq((top - 2, 1L), (top - 10, 2L), (5L, 3L),
+      (top - 5, 4L), (1000L, 5L)).toDF("id", "w")
+    val got = RelationalOps.distributedPrefixSum(df, "id", "w",
+        nBuckets = 4)
+      .orderBy("id").select("id", "cum").as[(Long, Long)].collect()
+    val want = df.withColumn("cum", sum(col("w")).over(
+        Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("id").select("id", "cum").as[(Long, Long)].collect()
+    assert(got === want)
+  }
+
   test("ppsSystematicSample: uniform weights draw exactly every W/k-th") {
     val df = (1L to 100L).map(i => (i, 1L)).toDF("id", "w")
     val out = PipelineOps.ppsSystematicSample(df, "id", "w", k = 10)

@@ -68,4 +68,30 @@ class TopKPerKeyPlanSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(got === Set(1L, 3L))
   }
+
+  test("NaN orders greatest (Spark SQL semantics) and can displace a " +
+      "full heap, matching the rank-window formulation") {
+    // NaN arrives LAST so the heap is already full of finite values:
+    // the primitive `>` eviction test would silently drop it
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "a", Double.NaN)).toDF("id", "grp", "score").coalesce(1)
+    val got = TopKPlan.topKPerKey(df, Seq("grp"), "score", "id", 2)
+      .select("id").as[Long].collect().toSet
+    val w = Window.partitionBy("grp")
+      .orderBy(col("score").desc, col("id").asc)
+    val want = df.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2).select("id").as[Long].collect().toSet
+    assert(got === want)
+    assert(got === Set(4L, 3L)) // NaN > 3.0 > 2.0 in SQL ordering
+  }
+
+  test("a null tie column fails fast instead of unboxing to 0") {
+    val df = Seq((Some(1L), "a", 5.0), (None: Option[Long], "a", 6.0))
+      .toDF("id", "grp", "score")
+    val ex = intercept[org.apache.spark.SparkException] {
+      TopKPlan.topKPerKey(df, Seq("grp"), "score", "id", 2).collect()
+    }
+    assert(ex.getMessage.contains("tie") ||
+      Option(ex.getCause).exists(_.getMessage.contains("tie")))
+  }
 }

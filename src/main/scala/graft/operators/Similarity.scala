@@ -243,27 +243,35 @@ object Similarity {
     def cc(j: Int, i: Int): Double =
       cw(j, i).foldLeft(0.0)((acc, x) => acc + x * x)
 
-    def subVec(j: Int): Column = slice(col("embedding"), j * sub + 1, sub)
-    // least(struct(dist, i)) = argmin with the deterministic
-    // lowest-code tie-break, kept inside whole-stage codegen
-    def encode(j: Int): Column = least((0 until ksub).map { i =>
-      struct((vec_dot(subVec(j), subVec(j))
-          - lit(2.0) * vec_dot(subVec(j), typedLit(cw(j, i)))
-          + lit(cc(j, i))).as("d"),
-        lit(i).as("i"))
-    }: _*).getField("i")
-
-    val encoded = corpus.select(col("vec_id") +:
-      (0 until m).map(j => encode(j).as(s"code_$j")): _*)
+    // flat codebook for the native codec: cwFlat[((j·ksub)+i)·sub + d],
+    // ccFlat[(j·ksub)+i] — the per-(j,i) encode/table loops then run at
+    // RUNTIME inside graft.functions.PqCodec instead of as m·ksub
+    // unrolled expression terms, which at m=8/ksub=32 grew the
+    // generated Java past Janino's 64 KB method limit (failed compile
+    // per execution + interpreted fallback). Identical IEEE ops in
+    // identical order (see PqCodec's parity contract).
+    val cwFlat: Seq[Double] = for {
+      j <- 0 until m; i <- 0 until ksub; x <- cw(j, i)
+    } yield x
+    val ccFlat: Seq[Double] = for {
+      j <- 0 until m; i <- 0 until ksub
+    } yield cc(j, i)
+    import graft.functions.PqFunctions.{pq_adc_tables, pq_encode}
+    val encoded = corpus
+      .select(col("vec_id"),
+        pq_encode(col("embedding"), m, sub, ksub, cwFlat, ccFlat)
+          .as("_codes"))
+      .select(col("vec_id") +:
+        (0 until m).map(j =>
+          element_at(col("_codes"), j + 1).as(s"code_$j")): _*)
     // per-query ADC lookup tables: qd_j[i] = dist²(q_sub_j, c_{j,i})
-    val tabled = queries.select(col("vec_id").as("query_id") +:
-      (0 until m).map { j =>
-        array((0 until ksub).map { i =>
-          vec_dot(subVec(j), subVec(j)) -
-            lit(2.0) * vec_dot(subVec(j), typedLit(cw(j, i))) +
-            lit(cc(j, i))
-        }: _*).as(s"qd_$j")
-      }: _*)
+    val tabled = queries
+      .select(col("vec_id").as("query_id"),
+        pq_adc_tables(col("embedding"), m, sub, ksub, cwFlat, ccFlat)
+          .as("_qds"))
+      .select(col("query_id") +:
+        (0 until m).map(j =>
+          element_at(col("_qds"), j + 1).as(s"qd_$j")): _*)
     val adc = (0 until m).map(j =>
       element_at(col(s"qd_$j"), col(s"code_$j") + 1)).reduceLeft(_ + _)
     val joined = encoded.as("c")

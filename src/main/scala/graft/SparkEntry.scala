@@ -2007,9 +2007,24 @@ object SparkEntry {
       // so the audit never compares floats across engines.
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 8)
-      val brute = Similarity.bruteForceTopK(emb, q, k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint(true) // consumed by all three audits
+      // the arm builders each block the driver (the brute ground truth
+      // eagerly checkpoints; IVF and PQ collect their codebooks):
+      // independent jobs on the same tiny input, so build concurrently
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val bruteF = Future {
+        Similarity.bruteForceTopK(emb, q, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint(true) // consumed by all three audits
+      }
+      val lshF = Future { Similarity.lshTopK(emb, q, k = 5, planes = 6,
+        dims = 64, tables = 4) }
+      val ivfF = Future { Similarity.ivfTopK(emb, q, k = 5, nCells = 16,
+        nProbe = 4) }
+      val pqF = Future { Similarity.pqTopKReranked(emb, q, k = 5,
+        m = 8, dims = 64, ksub = 32, shortlist = 50) }
+      val brute = Await.result(bruteF, Duration.Inf)
       def recallOf(approx: DataFrame, name: String): DataFrame = {
         val hits = approx.select(col("query_id"), col("neighbor_id"))
           .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
@@ -2019,14 +2034,9 @@ object SparkEntry {
           .select(lit(name).as("method"), col("query_id"),
             coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       }
-      recallOf(Similarity.lshTopK(emb, q, k = 5, planes = 6, dims = 64,
-            tables = 4),
-          "lsh")
-        .unionByName(recallOf(
-          Similarity.ivfTopK(emb, q, k = 5, nCells = 16, nProbe = 4),
-          "ivf"))
-        .unionByName(recallOf(Similarity.pqTopKReranked(emb, q, k = 5,
-          m = 8, dims = 64, ksub = 32, shortlist = 50), "pq"))
+      recallOf(Await.result(lshF, Duration.Inf), "lsh")
+        .unionByName(recallOf(Await.result(ivfF, Duration.Inf), "ivf"))
+        .unionByName(recallOf(Await.result(pqF, Duration.Inf), "pq"))
         .withColumn("recall", col("n_hits").cast("double") / lit(5.0))
         .orderBy("method", "query_id")
     }),

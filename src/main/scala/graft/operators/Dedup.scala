@@ -89,7 +89,11 @@ object Dedup {
     // eager materialization (not lazy .cache()): the bucket self-join
     // and the Jaccard verify consume these on multiple branches at once,
     // and concurrent first-touch cache fills race badly at high
-    // parallelism; localCheckpoint(eager) fills blocks exactly once
+    // parallelism; localCheckpoint(eager) fills blocks exactly once.
+    // (The signature checkpoint looks redundant next to ReusedExchange,
+    // but downstream consumers — the clustering union-find iterates
+    // over these pairs — re-traverse the plan several times, and
+    // dropping it measurably regresses them.)
     val docSh = docShingles(documents, w).localCheckpoint(true)
     val buckets = lshBuckets(withMinhashes(docSh, k).localCheckpoint(true),
       bands, k / bands)

@@ -424,6 +424,32 @@ class PlanAuditSpec extends AnyFunSuite {
         s"${df.queryExecution.executedPlan}")
   }
 
+  test("PQ stages stay inside whole-stage codegen at production " +
+      "(m, ksub) — the 64 KB Janino regression guard") {
+    // the unrolled m·ksub codeword formulation compiled into a method
+    // past Janino's hard 64 KB limit: Spark logged 'Whole-stage codegen
+    // disabled', paid the failed compile EVERY execution, and ran the
+    // stage interpreted. The native PqCodec keeps the generated code a
+    // constant few lines, so every Project in these plans must carry
+    // the codegen star. Asserted on the rerank query — the heaviest
+    // quantizer configuration in the surface (m=8, ksub=32).
+    for (name <- Seq("ann_pq_adc", "ann_pq_rerank")) {
+      val df = q(name)
+      df.collect()
+      val inputs = flatten(df.queryExecution.executedPlan)
+        .collect {
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+            flatten(w)
+        }.flatten.toSet
+      val nakedProjects = flatten(df.queryExecution.executedPlan)
+        .collect { case p: org.apache.spark.sql.execution.ProjectExec
+            if !inputs.contains(p) => p }
+      assert(nakedProjects.isEmpty,
+        s"$name: Project outside WholeStageCodegen (Janino limit hit?):\n" +
+          s"${df.queryExecution.executedPlan}")
+    }
+  }
+
   test("curriculum ranking: the corpus window is bucket-partitioned, " +
       "only the bucket-counts window may run single-partition") {
     val df = q("pipe_curriculum")

@@ -86,7 +86,12 @@ final class BillingJob(
         .select($"shop", $"accessToken", $"billing_amount".as("amount"),
           concat($"shop", lit(s":$targetDate")).as("idempotencyKey"))
         .as[ChargeInput]
-      val runId = s"$targetDate#${now().toEpochMilli}"
+      // epoch-millis alone could collide for two same-date runs inside
+      // one millisecond (re-run storms in tests do this); the counter
+      // makes the id unique per process, so each run's enrich join
+      // reads exactly its own persisted outcomes
+      val runId =
+        s"$targetDate#${now().toEpochMilli}#${BillingJob.runSeq.incrementAndGet()}"
       val chargeOut = chargeSink.chargeAll(spark, chargeInputs)
         .toDF().withColumn("run_id", lit(runId))
       chargeResults.append(chargeOut)
@@ -196,4 +201,8 @@ final class BillingJob(
       error: Option[String]): BatchReport =
     BatchReport(success = false, targetDate, scheduled, 0, 0, 0, 0.0,
       0, 0, 0, Nil, 0, error)
+}
+
+object BillingJob {
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 }

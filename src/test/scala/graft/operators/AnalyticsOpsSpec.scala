@@ -90,6 +90,49 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("equiDepthHistogram: continuous doubles (distinct ~ rowcount) " +
+      "equal the single-window reference exactly, any nRangeBuckets") {
+    // the case the bucket decomposition exists for: every value
+    // distinct, so the old formulation's ordering window carried the
+    // whole relation through one task. Deterministic LCG doubles; the
+    // reference is the naive global-window cumulative computed inline.
+    import org.apache.spark.sql.expressions.Window
+    var x = 42L
+    val vals = (1 to 20000).map { _ =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (x >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val df = vals.toDF("value")
+    assert(df.select(col("value")).distinct().count() === 20000L)
+    def reference(nBuckets: Int) = {
+      val counts = df.groupBy(col("value").as("v"))
+        .agg(count(lit(1)).as("n"))
+      val ord = Window.orderBy(col("v"))
+      counts
+        .withColumn("cum_before", coalesce(sum(col("n")).over(
+          ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("total", sum(col("n")).over(ord.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(expr(s"cum_before * $nBuckets div total").as("bucket"),
+          col("v"), col("n"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_values"), sum(col("n")).as("n_rows"),
+          min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .orderBy("bucket")
+        .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    }
+    // nRangeBuckets both below and above nBuckets, including a prime
+    // that misaligns every splitter with the output bucket edges
+    for ((nb, nrb) <- Seq((8, 3), (8, 64), (5, 7), (16, 101))) {
+      val got = AnalyticsOps.equiDepthHistogram(df, "value", nb,
+          nRangeBuckets = nrb)
+        .orderBy("bucket")
+        .as[(Long, Long, Long, Double, Double)].collect().toSeq
+      assert(got === reference(nb),
+        s"decomposed != single-window for nBuckets=$nb nRangeBuckets=$nrb")
+    }
+  }
+
   test("bivariateStats: exact fit on a perfect line, symmetry on noise") {
     val line = (1 to 100).map(i => ("g", i.toDouble, 3.0 * i + 7.0))
       .toDF("grp", "x", "y")

@@ -40,7 +40,12 @@ final class BillingJob(
     * driver-side `collect()` whose row count ceiling was the active-
     * shop cardinality. */
   private val chargeResults: AppendStore = chargeResultsStore.getOrElse(
-    new AppendStore(spark, usageStore.path + "__charge_results"))
+    // partitioned by run id: the store accumulates every run's
+    // outcomes, and each batch reads back only its own — with the
+    // partition column the `run_id = …` filter prunes to one
+    // directory instead of scanning the history
+    new AppendStore(spark, usageStore.path + "__charge_results",
+      partitionCol = Some("run_id")))
 
   import spark.implicits._
 

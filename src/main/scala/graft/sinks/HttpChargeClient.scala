@@ -133,7 +133,15 @@ final class HttpChargeClient(
     val status = response.statusCode()
     if (status < 200 || status >= 300)
       throw ChargeError.fromHttpStatus(status)
-    val json = JsonMethods.parse(response.body())
+    // a 2xx with an unparseable body is a broken API edge, not a rate
+    // or auth condition: classify terminal like other transport faults
+    val json =
+      try JsonMethods.parse(response.body())
+      catch {
+        case e: Exception => throw ChargeError(
+          s"API request failed: malformed response body " +
+            s"(${e.getClass.getSimpleName})", retryable = false)
+      }
     json \ "errors" match {
       case JArray(errs) if errs.nonEmpty =>
         val msgs = errs.flatMap(e => (e \ "message") match {

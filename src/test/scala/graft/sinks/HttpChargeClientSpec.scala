@@ -185,6 +185,24 @@ class HttpChargeClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     sleepMs = 0L
   }
 
+  test("a 2xx with a malformed body classifies terminal, not retryable") {
+    reset(); userError = None; failStatus = None
+    // program the stub to return junk by hitting an unknown query shape:
+    // force it via sleep-free custom status? simplest: point the client
+    // at a fresh context that returns broken JSON
+    val broken = server.createContext("/broken",
+      (ex: HttpExchange) => respond(ex, 200, "{not json"))
+    try {
+      val c = new HttpChargeClient(
+        endpoint = _ => s"http://127.0.0.1:$port/broken")
+      val e = intercept[ChargeError] {
+        c.lookupSubscriptionLineItem("acme", "tok")
+      }
+      assert(e.getMessage.startsWith("API request failed: malformed"))
+      assert(!e.retryable)
+    } finally server.removeContext(broken)
+  }
+
   test("testConnection probes true on success, false on any failure") {
     reset()
     assert(client().testConnection("acme", "tok"))

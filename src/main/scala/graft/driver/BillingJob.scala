@@ -96,7 +96,8 @@ final class BillingJob(
       // makes the id unique per process, so each run's enrich join
       // reads exactly its own persisted outcomes
       val runId =
-        s"$targetDate#${now().toEpochMilli}#${BillingJob.runSeq.incrementAndGet()}"
+        s"$targetDate#${now().toEpochMilli}#${BillingJob.processToken}#" +
+          s"${BillingJob.runSeq.incrementAndGet()}"
       val chargeOut = chargeSink.chargeAll(spark, chargeInputs)
         .toDF().withColumn("run_id", lit(runId))
       chargeResults.append(chargeOut)
@@ -126,18 +127,26 @@ final class BillingJob(
         // 3 a.m. run still tells the operator exactly which shops were
         // in flight. Reconstruction has its own guard — it must never
         // mask the original failure (`billing.ts:212-214`).
-        val contextRows: Seq[ShopReportRow] =
+        // the report shows at most maxShopsToShow rows, so only that
+        // many ever cross to the driver (TakeOrderedAndProject, not a
+        // full-corpus collect); the remainder is a distributed count
+        val (contextRows: Seq[ShopReportRow], contextRemainder: Long) =
           try {
-            testBillingForDate(rawSessions, rawEvents, targetDate)
+            val active = testBillingForDate(rawSessions, rawEvents,
+                targetDate)
               .where($"page_views" > 0)
+            val activeCount = active.count()
+            val rows = active
               .orderBy($"page_views".desc, $"shop".asc)
+              .limit(BillingJob.maxShopsToShow)
               .select($"shop", $"page_views", $"billing_amount")
               .collect().toSeq
               .map(r => ShopReportRow(r.getString(0), r.getLong(1),
                 r.getDouble(2), status = "skipped",
                 storeError = Some(ReportOps.truncateError(msg)),
                 chargeError = Some("Process failed before charge sink")))
-          } catch { case _: Throwable => Nil }
+            (rows, math.max(0L, activeCount - rows.size))
+          } catch { case _: Throwable => (Nil, 0L) }
         val stack = {
           val sw = new java.io.StringWriter
           e.printStackTrace(new java.io.PrintWriter(sw))
@@ -145,8 +154,8 @@ final class BillingJob(
         }
         val report = emptyReport(targetDate, scheduled,
           error = Some(s"Process failed: ${ReportOps.truncateError(msg)}"))
-          .copy(topShops = contextRows.take(10),
-            remainderShops = math.max(0, contextRows.size - 10).toLong,
+          .copy(topShops = contextRows,
+            remainderShops = contextRemainder,
             errorDetails = Some(ErrorDetails(msg, now().toString,
               Some(stack))))
         reportSink.send(report)
@@ -188,7 +197,7 @@ final class BillingJob(
       if (h.isNullAt(2)) 0L else h.getLong(2))
     val active = enriched.where($"page_views" > 0)
     val activeCount = active.count()
-    val top = BillingOps.topShops(enriched, 10)
+    val top = BillingOps.topShops(enriched, BillingJob.maxShopsToShow)
       .select($"shop", $"page_views", $"billing_amount",
         $"shopify_billing_status")
       .collect().toSeq.map(r => ShopReportRow(r.getString(0), r.getLong(1),
@@ -198,7 +207,8 @@ final class BillingJob(
       totalPageViews = if (t.isNullAt(1)) 0L else t.getLong(1),
       totalBillingAmount = if (t.isNullAt(2)) 0.0 else t.getDouble(2),
       successful = ok, failed = ko, skipped = skip,
-      topShops = top, remainderShops = math.max(0L, activeCount - 10),
+      topShops = top, remainderShops = math.max(0L,
+        activeCount - BillingJob.maxShopsToShow),
       error = None)
   }
 
@@ -209,5 +219,16 @@ final class BillingJob(
 }
 
 object BillingJob {
+  /** Report detail cap (reference shows ≤10 shops; remainder is a
+    * count line) — also the driver-side row bound on BOTH report
+    * paths: happy (topShops) and failure (context reconstruction). */
+  val maxShopsToShow: Int = 10
   private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  // per-process random token: two JVMs sharing one store path (parallel
+  // test forks, concurrent backfill + scheduled run) can land in the
+  // same epoch millisecond with the same counter value; the token keeps
+  // their run ids disjoint so neither enrich join absorbs the other's
+  // charge outcomes
+  private val processToken: String =
+    java.util.UUID.randomUUID().toString.take(8)
 }

@@ -73,7 +73,10 @@ object PqCodec {
       var i = 1
       while (i < ksub) {
         val di = dist(e, j, i, sub, ksub, cw, cc, ss)
-        if (di < bestD) { best = i; bestD = di }
+        // Double.compare treats NaN as greatest, matching the SQL
+        // least(struct(d, i)) ordering this argmin documents parity
+        // with — a NaN distance at code 0 must lose to any real one
+        if (java.lang.Double.compare(di, bestD) < 0) { best = i; bestD = di }
         i += 1
       }
       codes(j) = best
@@ -93,6 +96,90 @@ object PqCodec {
       var i = 0
       while (i < ksub) {
         row(i) = dist(e, j, i, sub, ksub, cw, cc, ss)
+        i += 1
+      }
+      tables(j) = new GenericArrayData(row)
+      j += 1
+    }
+    new GenericArrayData(tables)
+  }
+
+  // ---- residual (IVFADC) variants -----------------------------------
+  //
+  // Jégou et al.'s IVFADC quantizes the RESIDUAL r = v − q1(v) of each
+  // vector against its coarse cell centroid. The residual element
+  // r_d = (double)e_d − cent_d is one extra IEEE subtraction applied
+  // per element, in index order, before exactly the folds above — the
+  // same op order a SQL engine computing `list_zip → x−y` residual
+  // arrays then the sequential dot fold performs, so parity carries
+  // over unchanged. `cent` is the flat centroid table
+  // `cent[cellPos·(m·sub) + d]`; `cellPos` selects this row's coarse
+  // cell (the dense centroid POSITION, not the centroid's vector id).
+
+  private def relem(e: ArrayData, idx: Int, cent: Array[Double],
+      base: Int): Double = elem(e, idx) - cent(base + idx)
+
+  private def distRes(e: ArrayData, j: Int, i: Int, sub: Int, ksub: Int,
+      cw: Array[Double], cc: Array[Double], ss: Double,
+      cent: Array[Double], cbase: Int): Double = {
+    val base = (j * ksub + i) * sub
+    var dot = 0.0
+    var d = 0
+    while (d < sub) {
+      dot += relem(e, j * sub + d, cent, cbase) * cw(base + d)
+      d += 1
+    }
+    ss - 2.0 * dot + cc(j * ksub + i)
+  }
+
+  private def selfDotRes(e: ArrayData, j: Int, sub: Int,
+      cent: Array[Double], cbase: Int): Double = {
+    var ss = 0.0
+    var d = 0
+    while (d < sub) {
+      val x = relem(e, j * sub + d, cent, cbase)
+      ss += x * x
+      d += 1
+    }
+    ss
+  }
+
+  /** Per-subspace argmin codes of the residual vs. cell `cellPos`. */
+  def encodeRes(e: ArrayData, cellPos: Int, m: Int, sub: Int, ksub: Int,
+      cw: Array[Double], cc: Array[Double],
+      cent: Array[Double]): ArrayData = {
+    val cbase = cellPos * m * sub
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val ss = selfDotRes(e, j, sub, cent, cbase)
+      var best = 0
+      var bestD = distRes(e, j, 0, sub, ksub, cw, cc, ss, cent, cbase)
+      var i = 1
+      while (i < ksub) {
+        val di = distRes(e, j, i, sub, ksub, cw, cc, ss, cent, cbase)
+        if (java.lang.Double.compare(di, bestD) < 0) { best = i; bestD = di }
+        i += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Residual ADC lookup tables vs. cell `cellPos`. */
+  def adcTablesRes(e: ArrayData, cellPos: Int, m: Int, sub: Int,
+      ksub: Int, cw: Array[Double], cc: Array[Double],
+      cent: Array[Double]): ArrayData = {
+    val cbase = cellPos * m * sub
+    val tables = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val ss = selfDotRes(e, j, sub, cent, cbase)
+      val row = new Array[Double](ksub)
+      var i = 0
+      while (i < ksub) {
+        row(i) = distRes(e, j, i, sub, ksub, cw, cc, ss, cent, cbase)
         i += 1
       }
       tables(j) = new GenericArrayData(row)

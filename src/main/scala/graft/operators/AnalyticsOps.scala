@@ -108,6 +108,11 @@ object AnalyticsOps {
   def equiDepthHistogram(df: DataFrame, value: String,
       nBuckets: Int, nRangeBuckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // nRangeBuckets = 1 would make the splitter probability array
+    // `(1 until 1)` empty and percentile_approx fail analysis; a
+    // single range bucket also defeats the decomposition's purpose
+    require(nRangeBuckets >= 2,
+      s"nRangeBuckets must be >= 2, got $nRangeBuckets")
     val counts = df.where(col(value).isNotNull)
       .groupBy(col(value).as("v")).agg(count(lit(1)).as("n"))
     val probs = array((1 until nRangeBuckets)

@@ -41,8 +41,14 @@ import org.json4s.jackson.JsonMethods
 final class HttpChargeClient(
     apiVersion: String = "2024-01",
     timeoutSeconds: Int = 30,
-    endpoint: String => String = HttpChargeClient.defaultEndpoint("2024-01"))
+    endpointOverride: Option[String => String] = None)
   extends ChargeClient {
+
+  // the default endpoint must follow apiVersion (a default-arg
+  // expression can't reference an earlier param here without freezing
+  // the version), so the override is an Option resolved after both
+  private[sinks] val endpoint: String => String =
+    endpointOverride.getOrElse(HttpChargeClient.defaultEndpoint(apiVersion))
 
   private val http: HttpClient = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(timeoutSeconds.toLong))
@@ -142,14 +148,20 @@ final class HttpChargeClient(
           s"API request failed: malformed response body " +
             s"(${e.getClass.getSimpleName})", retryable = false)
       }
+    // the reference fails on any truthy `errors` (`shopifyBilling.ts:
+    // 257-260`) — string/object payloads count, not just arrays
     json \ "errors" match {
-      case JArray(errs) if errs.nonEmpty =>
+      case JNothing | JNull | JArray(Nil) => json
+      case JArray(errs) =>
         val msgs = errs.flatMap(e => (e \ "message") match {
           case JString(m) => Some(m); case _ => None
         })
         throw ChargeError(s"GraphQL errors: ${msgs.mkString(", ")}",
           retryable = false)
-      case _ => json
+      case other =>
+        throw ChargeError(s"GraphQL errors: " +
+          JsonMethods.compact(JsonMethods.render(other)),
+          retryable = false)
     }
   }
 }

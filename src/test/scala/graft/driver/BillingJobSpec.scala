@@ -148,6 +148,43 @@ class BillingJobSpec extends AnyFunSuite {
     assert(report.successful == 0 && report.failed == 0)
   }
 
+  test("failure path bounds driver rows: topShops caps at " +
+      "maxShopsToShow, remainder counted distributively") {
+    // 14 active shops, failing store: the reconstruction must collect
+    // only the top 10 (page_views desc, shop asc) and report the other
+    // 4 as a remainder count — never the full active set
+    val nShops = 14
+    val manySessions = (1 to nShops).map { i =>
+      (f"shop-$i%02d", s"tok-$i", ts("2024-01-01 00:00:00"),
+        ts("2024-01-01 00:00:00"))
+    }.toDF("shop", "accessToken", "createdAt", "updatedAt")
+    val manyEvents = (1 to nShops).flatMap { i =>
+      // shop-14 gets 14 views … shop-01 gets 1: deterministic order
+      (1 to i).map(_ =>
+        (f"shop-$i%02d.myshopify.com", "page_viewed",
+          ts("2024-01-15 10:00:00")))
+    }.toDF("shop", "name", "created_at")
+    val store = new AppendStore(spark,
+      Files.createTempDirectory("graft-fail-cap").toString + "/usage") {
+      override def append(df: org.apache.spark.sql.DataFrame): Unit =
+        throw new RuntimeException("store exploded")
+    }
+    val reports = new CollectingReportSink
+    val sink = new ChargeSink(() => new FakeChargeClient(),
+      concurrency = 2, sleep = _ => ())
+    val job = new BillingJob(spark, store, sink, reports, cfg)
+    val report = job.processDailyBilling(manySessions, manyEvents, D)
+
+    assert(!report.success)
+    assert(report.topShops.size == BillingJob.maxShopsToShow)
+    assert(report.remainderShops ==
+      (nShops - BillingJob.maxShopsToShow).toLong)
+    // ordering preserved under the limit: highest-traffic shops first
+    assert(report.topShops.map(_.shop) ==
+      (nShops to (nShops - BillingJob.maxShopsToShow + 1) by -1)
+        .map(i => f"shop-$i%02d"))
+  }
+
   test("flagship entry() returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

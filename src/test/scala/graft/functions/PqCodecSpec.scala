@@ -104,6 +104,41 @@ class PqCodecSpec extends AnyFunSuite {
     assert(got.forall(_.forall(_ == 0)))
   }
 
+  test("a NaN distance loses the argmin, matching least(struct) ordering") {
+    // poison code 0's codeword with NaN in every subspace: its distance
+    // is NaN for every vector, and the SQL least(struct(d, i)) ordering
+    // (NaN = greatest) must pick the smallest non-NaN code instead —
+    // the primitive `di < bestD` form this spec used to allow would
+    // keep code 0 whenever its NaN came first
+    def cwN(j: Int, i: Int): Seq[Double] =
+      if (i == 0) Seq.fill(sub)(Double.NaN) else cw(j, i)
+    def ccN(i: Int, j: Int): Double =
+      if (i == 0) Double.NaN else cc(j, i)
+    val cwFlatN: Seq[Double] = for {
+      j <- 0 until m; i <- 0 until ksub; x <- cwN(j, i)
+    } yield x
+    val ccFlatN: Seq[Double] = for {
+      j <- 0 until m; i <- 0 until ksub
+    } yield ccN(i, j)
+    def exprDistN(j: Int, i: Int): Column =
+      graft.functions.VectorFunctions.vec_dot(subVec(j), subVec(j)) -
+        lit(2.0) * graft.functions.VectorFunctions.vec_dot(subVec(j),
+          typedLit(cwN(j, i))) + lit(ccN(i, j))
+    def exprEncodeN(j: Int): Column = least((0 until ksub).map { i =>
+      struct(exprDistN(j, i).as("d"), lit(i).as("i"))
+    }: _*).getField("i")
+    val got = corpus.select(col("vec_id"),
+        PqFunctions.pq_encode(col("embedding"), m, sub, ksub,
+          cwFlatN, ccFlatN).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val want = corpus.select(col("vec_id"),
+        array((0 until m).map(exprEncodeN): _*).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got === want)
+    assert(got.values.forall(_.forall(_ != 0)),
+      "the NaN codeword must never win the argmin")
+  }
+
   test("interpreted eval agrees with codegen (expression encoder path)") {
     // force the interpreted path via a plain eval on InternalRow
     val expr = PqEncode(

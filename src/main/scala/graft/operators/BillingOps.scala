@@ -73,6 +73,31 @@ object BillingOps {
   def chargeAmount(views: Column, ratePerMillion: Double): Column =
     round(views / 1e6 * lit(ratePerMillion), 2)
 
+  /** X6, DECIMAL(12,2) variant (SURVEY §1.2's may-offer): the same
+    * charge behind an exact money type for consumers that reconcile
+    * ledgers, where binary doubles cannot represent $0.10. The double
+    * path stays the DEFAULT for hash-parity with the reference's
+    * float money.
+    *
+    * Exactness: the per-view rate is derived DRIVER-side by parsing
+    * the rate's decimal string and shifting the point six places — no
+    * decimal division in the plan, so the product
+    * `views(14,0) × perView(22,16) → (37,16)` is exact within
+    * Spark's 38-digit cap, then ONE half-up rounding to 2 dp (the
+    * decimal cast), exactly `Math.round`'s behavior on this
+    * non-negative domain. Domain: views < 10^14 and amounts < 10^10
+    * (the DECIMAL(12,2) range) — far beyond any daily per-shop count;
+    * rates keep 16 per-view decimals (= 10 decimals of the per-million
+    * rate), which covers every 2-dp money rate exactly. */
+  def chargeAmountDecimal(views: Column, ratePerMillion: Double): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    val perView = new java.math.BigDecimal(ratePerMillion.toString)
+      .movePointLeft(6)
+    (views.cast(DecimalType(14, 0)) *
+      lit(perView).cast(DecimalType(22, 16)))
+      .cast(DecimalType(12, 2)) // decimal cast rounds HALF_UP
+  }
+
   // ---- joins ----------------------------------------------------------
 
   /** J1 + X6: sessions ⟕ pageViews on shop, missing key → 0 views

@@ -321,6 +321,130 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** IVFADC(+R): the composed coarse-quantizer + residual product
+    * quantizer of Jégou, Douze & Schmid (TPAMI'11 §V, public) — the
+    * published billion-scale ANN layout. [[ivfTopK]]'s inverted file
+    * bounds WHERE a query looks (nProbe of nCells cells); PQ encodes
+    * the RESIDUAL r = v − centroid(cell) of each vector, which is far
+    * better conditioned than the raw vector (residual energy ≪ vector
+    * energy), so the same m bytes/vector buy materially higher recall
+    * than raw-vector PQ; the exact cosine re-rank of the ADC shortlist
+    * then lifts recall@k to P[true neighbor inside the shortlist].
+    *
+    * Deterministic variant, consistent with this file's no-trained-
+    * k-means policy: coarse centroids are the first `nCells` corpus
+    * vectors; the residual codebook is the residuals of the first
+    * `ksub` corpus vectors w.r.t. their OWN assigned cells — both
+    * bounded driver-side collects, inlined as literals.
+    *
+    * Scale shape: cell assignment and residual encoding are per-row
+    * native codegen'd expressions (zero joins, zero expansion, zero
+    * shuffle on the corpus scan — [[graft.functions.PqCodec]] residual
+    * twins); the candidate join moves only (vec_id, cell, m codes);
+    * queries broadcast with nProbe per-cell ADC tables; exactly
+    * `shortlist` full vectors per query are re-read for the re-rank.
+    * Output: (query_id, rank, neighbor_id) — ids only, float-free. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4, m: Int = 8, dims: Int = 64,
+      ksub: Int = 32, shortlist: Int = 50): DataFrame = {
+    require(dims % m == 0, "dims must split evenly into m subspaces")
+    val sub = dims / m
+    val cents: Array[(Long, Seq[Float], Double)] =
+      withNorm(corpus).orderBy(col("vec_id")).limit(nCells)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+    def cellCos(cEmb: Seq[Float], cNrm: Double): Column =
+      vec_dot(col("embedding"), typedLit(cEmb)) / (col("nrm") * lit(cNrm))
+
+    // per-row argmax cell, carried as the dense centroid POSITION
+    // (pos 0.. in vec_id order) — ties break to the lowest position,
+    // i.e. the lowest centroid vec_id, same as ivfTopK
+    val bestStruct = greatest(cents.zipWithIndex.map {
+      case ((_, ce, cn), pos) =>
+        struct(cellCos(ce, cn).as("c"), lit(-pos).as("negpos"))
+    }: _*)
+    val assigned = withNorm(corpus)
+      .withColumn("cell_pos", (-bestStruct.getField("negpos")).cast("int"))
+
+    // flat centroid table for the residual codec: cent[pos·dims + d]
+    val centFlat: Seq[Double] =
+      cents.toSeq.flatMap(_._2.map(_.toDouble))
+
+    // residual codebook: the first ksub vectors' residuals w.r.t.
+    // their own cells — assignment read back from the SAME expression
+    // arithmetic the corpus uses, so the oracle replicates it exactly
+    val cbRows: Array[(Seq[Float], Int)] = assigned
+      .orderBy(col("vec_id")).limit(ksub)
+      .select(col("embedding"), col("cell_pos"))
+      .collect().map(r => (r.getSeq[Float](0), r.getInt(1)))
+    def resOf(emb: Seq[Float], pos: Int): IndexedSeq[Double] =
+      (0 until dims).map(d => emb(d).toDouble - centFlat(pos * dims + d))
+    val cbRes: Array[IndexedSeq[Double]] =
+      cbRows.map { case (emb, pos) => resOf(emb, pos) }
+    def cw(j: Int, i: Int): Seq[Double] =
+      cbRes(i).slice(j * sub, (j + 1) * sub)
+    def cc(j: Int, i: Int): Double =
+      cw(j, i).foldLeft(0.0)((acc, x) => acc + x * x)
+    val cwFlat: Seq[Double] = for {
+      j <- 0 until m; i <- 0 until ksub; x <- cw(j, i)
+    } yield x
+    val ccFlat: Seq[Double] = for {
+      j <- 0 until m; i <- 0 until ksub
+    } yield cc(j, i)
+
+    import graft.functions.PqFunctions.{pq_adc_tables_res, pq_encode_res}
+    val encoded = assigned
+      .select(col("vec_id"), col("cell_pos"),
+        pq_encode_res(col("embedding"), col("cell_pos"), m, sub, ksub,
+          cwFlat, ccFlat, centFlat).as("_codes"))
+      .select(col("vec_id") +: col("cell_pos") +:
+        (0 until m).map(j =>
+          element_at(col("_codes"), j + 1).as(s"code_$j")): _*)
+
+    // query probes: nProbe closest cells (cos desc, pos asc), each
+    // probe row carrying the residual ADC tables vs. THAT cell
+    val probeStructs = array_sort(array(cents.zipWithIndex.map {
+      case ((_, ce, cn), pos) =>
+        struct((-cellCos(ce, cn)).as("negc"), lit(pos).as("cell_pos"))
+    }: _*))
+    val probes = withNorm(queries)
+      .withColumn("probe", explode(slice(probeStructs, 1, nProbe)))
+      .select(col("vec_id").as("query_id"),
+        col("probe.cell_pos").cast("int").as("cell_pos"),
+        pq_adc_tables_res(col("embedding"),
+          col("probe.cell_pos").cast("int"), m, sub, ksub,
+          cwFlat, ccFlat, centFlat).as("_qds"))
+      .select(col("query_id") +: col("cell_pos") +:
+        (0 until m).map(j =>
+          element_at(col("_qds"), j + 1).as(s"qd_$j")): _*)
+
+    val adc = (0 until m).map(j =>
+      element_at(col(s"qd_$j"), col(s"code_$j") + 1)).reduceLeft(_ + _)
+    val candidates = encoded.as("c")
+      .join(broadcast(probes).as("q"),
+        col("q.cell_pos") === col("c.cell_pos") &&
+        col("q.query_id") =!= col("c.vec_id"))
+      .select(col("q.query_id"), col("c.vec_id").as("neighbor_id"),
+        adc.as("approx_dist"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
+    val sl = candidates.withColumn("rn", row_number().over(ws))
+      .where(col("rn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+
+    val scored = sl
+      .join(withNorm(corpus).as("c"),
+        col("neighbor_id") === col("c.vec_id"))
+      .join(broadcast(withNorm(queries).as("q")),
+        col("query_id") === col("q.vec_id"))
+      .select(col("query_id"), col("neighbor_id"), pairCos.as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** Per-group mean embeddings (centroids) — the building block behind
     * trained quantizers, per-source drift monitoring, and cluster
     * summaries. One posexplode + one (group, dim) aggregation; the

@@ -36,6 +36,45 @@ class BillingPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("X6 decimal twin: equals exact BigDecimal HALF_UP money for any " +
+      "views, and equals the double path on the 2-dp domain") {
+    // rate = whole cents (2-dp money) up to $10^4, views up to 10^9:
+    // amounts stay inside DECIMAL(12,2); the decimal path must
+    // reproduce exact decimal arithmetic bit-for-bit
+    val viewsGen = Gen.listOfN(40, Gen.chooseNum(0L, 1000000000L))
+    val rateGen = Gen.chooseNum(0L, 1000000L).map(_ / 100.0)
+    holds(Prop.forAll(viewsGen, rateGen) { (views, rate) =>
+      views.isEmpty || {
+        val got = views.toDF("v")
+          .select($"v", BillingOps.chargeAmountDecimal($"v", rate)
+            .cast("string").as("a"))
+          .as[(Long, String)].collect().toMap
+        views.forall { v =>
+          val exact = (BigDecimal(v) * BigDecimal(rate.toString) /
+            BigDecimal(1000000))
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          BigDecimal(got(v)) == exact
+        }
+      }
+    })
+    // 2-dp domain: views a multiple of 10^6 makes the exact amount a
+    // 2-dp value (rate is 2-dp), where double and decimal must agree —
+    // divergence is only licensed at representation-error ties beyond
+    // 2 decimals, which this domain excludes by construction
+    val megaViews = Gen.listOfN(40, Gen.chooseNum(0L, 1000L)
+      .map(_ * 1000000L))
+    holds(Prop.forAll(megaViews, rateGen) { (views, rate) =>
+      views.isEmpty || {
+        val rows = views.toDF("v")
+          .select(BillingOps.chargeAmount($"v", rate).as("d"),
+            BillingOps.chargeAmountDecimal($"v", rate)
+              .cast("double").as("dec"))
+          .as[(Double, Double)].collect()
+        rows.forall { case (d, dec) => d == dec }
+      }
+    })
+  }
+
   test("J1: output cardinality equals active sessions, any event set") {
     val shopGen = Gen.listOfN(15, Gen.alphaLowerStr.suchThat(_.nonEmpty))
     holds(Prop.forAll(shopGen, shopGen) { (sessionShops, eventShops) =>

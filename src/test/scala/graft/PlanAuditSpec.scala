@@ -478,33 +478,109 @@ class PlanAuditSpec extends AnyFunSuite {
     // distributedPrefixSum / globalRankByValue / equiDepthHistogram
     // (`_bsum`, `_bn`) — those frames hold ≤ nBuckets rows whatever
     // the input size.
-    val boundedMarkers = Set("_bsum", "_bn")
-    // Queries allowed a non-marker single-partition window, each with
-    // the reason the frame is provably small.
-    val allowlist: Map[String, String] = Map(
-      "analytics_skyline" -> "bucket-minima carry: ≤nBuckets rows",
-      "pipe_source_mix" -> ("largest-remainder seat window: one row " +
-        "per group (languages/corpora), documented driver-small"),
-      "text_bm25" -> "final rank over a LIMIT k relation: ≤k rows",
-      "retrieval_rrf" -> "fusion rank over two top-k lists: ≤2k rows"
-    )
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, build) =>
         val df = build(spark, dir)
         df.collect()
-        val singles = flatten(df.queryExecution.executedPlan)
-          .collect {
-            case w: org.apache.spark.sql.execution.window.WindowExec
-                if w.partitionSpec.isEmpty => w
-          }
-        val bad = singles.filterNot(w =>
-          w.child.output.exists(a => boundedMarkers.contains(a.name)))
-        if (bad.isEmpty || allowlist.contains(name)) Nil
-        else Seq(s"$name: ${bad.map(_.windowExpression.map(_.name)
-          .mkString(",")).mkString("; ")}")
+        globalWindowViolations(name, df.queryExecution.executedPlan)
     }
     assert(violations.isEmpty,
       s"unbounded single-partition windows:\n${violations.mkString("\n")}")
+  }
+
+  /** A per-name waiver for a single-partition window: the count cap
+    * and a structural predicate identifying exactly the documented
+    * bounded frame — NOT a blanket by-name pass, so a second,
+    * genuinely unbounded global window in a waived query still fails. */
+  private case class WindowWaiver(reason: String, max: Int,
+      accepts: org.apache.spark.sql.execution.window.WindowExec => Boolean)
+
+  /** The window is bounded because a LIMIT-class exec sits below it:
+    * whatever the corpus size, at most k rows reach the single
+    * partition. (TakeOrderedAndProject is orderBy+limit fused.) */
+  private def boundedByLimit(
+      w: org.apache.spark.sql.execution.window.WindowExec): Boolean =
+    flatten(w.child).exists {
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.LocalLimitExec => true
+      case _: org.apache.spark.sql.execution.CollectLimitExec => true
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
+        true
+      case _ => false
+    }
+
+  private val windowWaivers: Map[String, WindowWaiver] = Map(
+    "analytics_skyline" -> WindowWaiver(
+      "bucket-minima carry: the child is the per-bucket minima " +
+        "aggregate, ≤nBuckets rows", max = 1,
+      w => w.child.output.exists(_.name == "bmin")),
+    "pipe_source_mix" -> WindowWaiver(
+      "largest-remainder seat window: the child is the per-GROUP " +
+        "(language/corpus) share relation, one row per group", max = 1,
+      w => w.child.output.exists(_.name == "rem")),
+    "text_bm25" -> WindowWaiver(
+      "final rank over a LIMIT k relation", max = 1, boundedByLimit),
+    "retrieval_rrf" -> WindowWaiver(
+      "fusion rank over two top-k lists (plus the BM25 arm's own " +
+        "rank-over-limit)", max = 2, boundedByLimit)
+  )
+
+  /** The audit for one executed plan — extracted so a test can prove
+    * the waivers reject plans they do not exactly describe. */
+  private def globalWindowViolations(name: String,
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    val boundedMarkers = Set("_bsum", "_bn")
+    val singles = flatten(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    val bad = singles.filterNot(w =>
+      w.child.output.exists(a => boundedMarkers.contains(a.name)))
+    def describe(ws: Seq[org.apache.spark.sql.execution.window.WindowExec]) =
+      ws.map(w => s"[${w.windowExpression.map(_.name).mkString(",")}" +
+        s" over (${w.child.output.map(_.name).mkString(",")})]")
+        .mkString("; ")
+    windowWaivers.get(name) match {
+      case None =>
+        if (bad.isEmpty) Nil else Seq(s"$name: ${describe(bad)}")
+      case Some(wv) =>
+        val unexpected = bad.filterNot(wv.accepts)
+        if (unexpected.nonEmpty)
+          Seq(s"$name: window(s) outside its waiver " +
+            s"(${wv.reason}): ${describe(unexpected)}")
+        else if (bad.size > wv.max)
+          Seq(s"$name: ${bad.size} waived-shape windows, cap is " +
+            s"${wv.max}: ${describe(bad)}")
+        else Nil
+    }
+  }
+
+  test("the window waivers reject an injected unbounded global window " +
+      "even in a waived query") {
+    // an attacker plan: text_bm25's own windows are waived (rank over
+    // a LIMIT), but a global row_number over the raw corpus — the
+    // exact 100 TB killer the invariant exists for — must still flag
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("__global_rn",
+        row_number().over(Window.orderBy(col("doc_id"))))
+    docs.collect()
+    val v = globalWindowViolations("text_bm25",
+      docs.queryExecution.executedPlan)
+    assert(v.nonEmpty, "the corpus-wide global window must be flagged")
+    assert(v.head.contains("outside its waiver"))
+    // and the cap catches a SECOND waived-shape window: two limit-
+    // bounded global ranks where text_bm25 documents exactly one
+    val twice = spark.read.parquet(s"$dir/documents.parquet")
+      .orderBy(col("doc_id")).limit(5)
+      .withColumn("rn1", row_number().over(Window.orderBy(col("doc_id"))))
+      .withColumn("rn2",
+        row_number().over(Window.orderBy(col("doc_id").desc)))
+    twice.collect()
+    val v2 = globalWindowViolations("text_bm25",
+      twice.queryExecution.executedPlan)
+    assert(v2.nonEmpty, "two windows must exceed text_bm25's cap of 1")
   }
 
   test("prefix-Jaccard: verify arrays reuse the window exchanges " +

@@ -139,6 +139,38 @@ class PqCodecSpec extends AnyFunSuite {
       "the NaN codeword must never win the argmin")
   }
 
+  test("residual codec: encode equals raw codec when the centroid is " +
+      "the zero vector, and interpreted eval agrees with the DF path") {
+    // with a zero centroid the residual IS the vector, so encodeRes
+    // must reproduce encode bit-for-bit — pinning the residual
+    // subtraction as the ONLY difference between the twins
+    val zeroCent: Seq[Double] = Seq.fill(dims)(0.0)
+    val viaRes = corpus.select(col("vec_id"),
+        PqFunctions.pq_encode_res(col("embedding"), lit(0), m, sub,
+          ksub, cwFlat, ccFlat, zeroCent).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val viaRaw = corpus.select(col("vec_id"),
+        PqFunctions.pq_encode(col("embedding"), m, sub, ksub,
+          cwFlat, ccFlat).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(viaRes === viaRaw)
+    // interpreted path of the binary expression
+    val expr = PqEncodeRes(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType), nullable = false),
+      org.apache.spark.sql.catalyst.expressions.Literal(0),
+      m, sub, ksub, cwFlat, ccFlat, zeroCent)
+    val emb = vec(7L)
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        emb.toArray))
+    val interpreted = expr.eval(row)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray().toSeq
+    assert(interpreted === viaRaw(7L))
+  }
+
   test("interpreted eval agrees with codegen (expression encoder path)") {
     // force the interpreted path via a plain eval on InternalRow
     val expr = PqEncode(

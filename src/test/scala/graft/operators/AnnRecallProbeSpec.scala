@@ -51,6 +51,20 @@ class AnnRecallProbeSpec extends AnyFunSuite {
     assert(reranked > raw)
   }
 
+  test("IVFADC+R (shipped config) holds recall@5 >= 0.85 and beats " +
+      "raw-vector PQ at the same quantizer size") {
+    // residual encoding is the published IVFADC recall lever: the
+    // residual's energy is a fraction of the vector's, so m bytes of
+    // codes quantize it far more finely
+    val ivfpq = recallOf(Similarity.ivfPqTopK(emb, q, k = 5,
+      nCells = 16, nProbe = 4, m = 8, ksub = 32, shortlist = 50))
+    val rawpq = recallOf(Similarity.pqTopKReranked(emb, q, k = 5,
+      m = 8, ksub = 32, shortlist = 50))
+    info(f"ivfpq recall@5 = $ivfpq%.3f, raw-vector pq+rerank = $rawpq%.3f")
+    assert(ivfpq >= 0.85)
+    assert(ivfpq > rawpq)
+  }
+
   test("multi-table LSH (shipped config) holds recall@5 >= 0.6 and " +
       "beats single-table at the same planes") {
     val multi = recallOf(Similarity.lshTopK(emb, q, k = 5,

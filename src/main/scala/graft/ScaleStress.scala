@@ -144,8 +144,11 @@ object ScaleStress {
         s""""sec":${f"$sec%.2f"},"candidates":$candidates}"""
   }
 
-  /** One full measurement pass at `scale` × the sf0.1 base sizes. */
-  def measureScale(spark: SparkSession, scale: Int): Seq[Measurement] = {
+  /** One full measurement pass at `scale` × the sf0.1 base sizes.
+    * `only` filters families (empty = all) so long scales can run in
+    * wall-clock-bounded chunks. */
+  def measureScale(spark: SparkSession, scale: Int,
+      only: Set[String] = Set.empty): Seq[Measurement] = {
     val nDocs = 5000L * scale
     val nEmb = 2000L * scale
     val nVals = 600000L * scale
@@ -158,12 +161,14 @@ object ScaleStress {
     val queries = emb.where(col("vec_id") < 8)
 
     val out = scala.collection.mutable.ArrayBuffer.empty[Measurement]
-    def run(family: String, rows: Long, candidates: Long = -1L)(
-        body: => DataFrame): Unit = {
-      val (sec, _) = time(exhaust(body))
-      out += Measurement(family, scale, rows, sec, candidates)
-      System.err.println(s"[scale] ${out.last.json}")
-    }
+    def run(family: String, rows: Long, candidates: => Long = -1L)(
+        body: => DataFrame): Unit =
+      if (only.isEmpty || only.contains(family)) {
+        val c = candidates
+        val (sec, _) = time(exhaust(body))
+        out += Measurement(family, scale, rows, sec, c)
+        System.err.println(s"[scale] ${out.last.json}")
+      }
 
     run("dedup_prefix_jaccard", nDocs,
         Dedup.prefixCandidateCount(docs, 3, 0.5)) {
@@ -216,6 +221,8 @@ object ScaleStress {
   def main(args: Array[String]): Unit = {
     val scales = args.headOption.getOrElse("1,10")
       .split(',').map(_.trim.toInt).toSeq
+    val only = args.drop(1).headOption
+      .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty[String])
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -224,7 +231,7 @@ object ScaleStress {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val all = scales.flatMap(s => measureScale(spark, s))
+    val all = scales.flatMap(s => measureScale(spark, s, only))
     println(all.map(_.json).mkString("[", ",\n", "]"))
     spark.stop()
   }

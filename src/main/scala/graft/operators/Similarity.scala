@@ -238,6 +238,9 @@ object Similarity {
     val cents: Array[Seq[Float]] =
       corpus.orderBy(col("vec_id")).limit(ksub)
         .select(col("embedding")).collect().map(_.getSeq[Float](0))
+    require(cents.length == ksub,
+      s"corpus has only ${cents.length} vectors; the deterministic " +
+        s"first-$ksub codebook needs at least ksub = $ksub")
     def cw(j: Int, i: Int): Seq[Double] =
       cents(i).slice(j * sub, (j + 1) * sub).map(_.toDouble)
     def cc(j: Int, i: Int): Double =
@@ -377,6 +380,9 @@ object Similarity {
       .orderBy(col("vec_id")).limit(ksub)
       .select(col("embedding"), col("cell_pos"))
       .collect().map(r => (r.getSeq[Float](0), r.getInt(1)))
+    require(cbRows.length == ksub,
+      s"corpus has only ${cbRows.length} vectors; the deterministic " +
+        s"first-$ksub residual codebook needs at least ksub = $ksub")
     def resOf(emb: Seq[Float], pos: Int): IndexedSeq[Double] =
       (0 until dims).map(d => emb(d).toDouble - centFlat(pos * dims + d))
     val cbRes: Array[IndexedSeq[Double]] =

@@ -555,6 +555,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("GLOBAL INVARIANT: no Filter node re-inlines the tokenizer " +
+      "(pushed-predicate alias substitution)") {
+    // When a filter on a computed text column is pushed below its
+    // projection, Catalyst substitutes the alias and the predicate
+    // re-evaluates split(trim(lower(text))) once per REFERENCE — the
+    // langid filter inlined it ~16× per scanned row before the
+    // explode(array(…)) Generate barrier fixed pipe_prepare_corpus
+    // (3.6 → 1.9 s). This sweep keeps the pattern from returning in
+    // any query: a Filter carrying ≥4 tokenizer calls is a pushed
+    // predicate that should be reading a materialized column.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, build) =>
+        val df = build(spark, dir)
+        df.collect()
+        flatten(df.queryExecution.executedPlan)
+          .collect { case f: org.apache.spark.sql.execution.FilterExec =>
+            "split\\(trim\\(lower\\(".r
+              .findAllIn(f.condition.toString).length }
+          .filter(_ >= 4)
+          .map(n => s"$name: Filter with $n inlined tokenizer calls")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("the window waivers reject an injected unbounded global window " +
       "even in a waived query") {
     // an attacker plan: text_bm25's own windows are waived (rank over

@@ -81,19 +81,30 @@ object TextOps {
     * first language, zero hits → "und" (undetermined). */
   def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
-  /** Hot-path variant: `toks` should be a materialized column. */
+  /** Hot-path variant: `toks` should be a materialized column.
+    *
+    * Scalar hit counts + greatest + first-match decode: every
+    * subexpression is codegen'd (count_in_set is the native
+    * expression; greatest and CASE WHEN are built-ins), so the whole
+    * predicate stays inside whole-stage codegen with subexpression
+    * elimination — unlike the previous transform/filter HOF
+    * formulation, which evaluated interpreted and rebuilt the
+    * (hits, lang) struct array three times (12 count_in_set calls per
+    * row). Tie-break: [[LangMarkers]] is ordered alphabetically by
+    * language code, so first-match == min-lang-among-winners — the
+    * documented rule, and exactly the oracle's CASE chain. A null
+    * token array still yields null (not "und"), as before. */
   def langIdFromTokens(toks: Column): Column = {
-    val scored = LangMarkers.map { case (lang, words) =>
-      struct(graft.functions.StringSetFunctions.count_in_set(toks, words)
-        .as("hits"), lit(lang).as("lang"))
+    val hits = LangMarkers.map { case (lang, words) =>
+      lang -> graft.functions.StringSetFunctions.count_in_set(toks, words)
     }
-    // max by (hits, reversed-lang) == argmax hits with lexicographic
-    // tie-break via two-pass: take max hits, then min lang among maxes
-    val hitsArr = array(scored: _*)
-    val maxHits = array_max(transform(hitsArr, s => s.getField("hits")))
-    val winners = filter(hitsArr, s => s.getField("hits") === maxHits)
-    when(maxHits <= 0, lit("und"))
-      .otherwise(array_min(transform(winners, s => s.getField("lang"))))
+    val m = greatest(hits.map(_._2): _*)
+    val decode = hits.foldRight(lit("und")) { case ((lang, h), acc) =>
+      when(h === m, lit(lang)).otherwise(acc)
+    }
+    when(m.isNull, lit(null).cast("string"))
+      .when(m <= 0, lit("und"))
+      .otherwise(decode)
   }
 
   /** Polynomial rolling hash over the UTF-16 code units of lowercased

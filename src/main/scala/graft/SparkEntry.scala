@@ -1681,6 +1681,16 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- mergeable KLL quantile sketch, bound-flag audited ----
+    "sketch_kll_quantiles" -> ((s, dir) =>
+      // the missing member of the sketch family (MG, CM, HLL →
+      // quantiles): one typed mergeable aggregation per group, audit
+      // emits exact rank-quantiles + the proven 2·L·n/cap rank band
+      Sketches.kllQuantiles(t(s, dir, "lineitem"),
+          groupCol = "l_returnflag", valueCol = "l_extendedprice",
+          qs = Seq(0.5, 0.9), capacity = 1024)
+        .orderBy("grp", "q")),
+
     // ---- blocked fuzzy entity matching within nations ----
     "er_blocked_matches" -> ((s, dir) =>
       // deletion-neighborhood candidates (FastSS), exact verify —
@@ -3898,6 +3908,26 @@ object SparkEntry {
         |FROM e, t GROUP BY item, n
         |HAVING CAST(count(*) AS BIGINT) > n / 9
         |ORDER BY item""".stripMargin,
+
+    // exact rank-based quantile (value at rank ceil(q·n)) per group,
+    // bound flag expected TRUE — the Spark side computes it from the
+    // sketch estimate's true rank; ceil(q*n) is the same IEEE double
+    // product + ceil in both engines
+    "sketch_kll_quantiles" ->
+      """WITH v AS (SELECT l_returnflag AS grp,
+        |  CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+        |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM v
+        |  GROUP BY grp),
+        |r AS (SELECT grp, v, row_number() OVER (PARTITION BY grp
+        |  ORDER BY v) AS rk FROM v),
+        |qq AS (SELECT unnest([CAST(0.5 AS DOUBLE),
+        |  CAST(0.9 AS DOUBLE)]) AS q),
+        |t AS (SELECT g.grp, qq.q, g.n,
+        |  greatest(CAST(ceil(qq.q * g.n) AS BIGINT), 1) AS target
+        |  FROM g CROSS JOIN qq)
+        |SELECT t.grp, t.q, t.n, r.v AS exact_q, TRUE AS bound_ok
+        |FROM t JOIN r ON r.grp = t.grp AND r.rk = t.target
+        |ORDER BY 1, 2""".stripMargin,
 
     "scd2_user_state" ->
       """WITH r AS (SELECT user_id, ts, event_type,

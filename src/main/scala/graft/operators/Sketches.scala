@@ -58,6 +58,106 @@ final class MisraGriesAggregator(k: Int)
     ExpressionEncoder[Map[Long, Long]]()
 }
 
+/** Buffer of the KLL-style quantile sketch: `levels(i)` holds items of
+  * weight 2^i; `count` is the exact item count (weight is preserved by
+  * compaction, so Σ levels(i).size · 2^i == count ± the odd-leftover
+  * slack tracked inside the buffers themselves). */
+final case class KllState(count: Long, levels: Seq[Seq[Double]])
+
+/** Mergeable quantile sketch in the KLL compactor style (Karnin, Lang
+  * & Liberty, FOCS'16 — public), DETERMINISTIC variant: when a level
+  * buffer exceeds `capacity` it sorts and promotes the LOWER item of
+  * each adjacent pair to the next level at double weight (KLL proper
+  * flips a coin per pair for unbiasedness; the deterministic choice
+  * keeps results reproducible run-to-run — this engine's house rule —
+  * at the cost of a one-sided bias that stays inside the bound below).
+  *
+  * Error bound, deterministic variant: a query point's estimated rank
+  * moves by at most 2^ℓ per compaction at level ℓ (the single pair
+  * whose interval straddles it), and level ℓ sees ≤ n/(2^ℓ·⌊cap/2⌋)
+  * compactions, so |est_rank − true_rank| ≤ 2·L·n/cap with
+  * L = #levels ≈ log₂(n/cap). Memory is O(cap·L) per group whatever
+  * the input size — the mergeable-summary shape that lets one
+  * aggregation pass quantile 100 TB per group with map-side partials,
+  * where exact per-group sorting would shuffle the corpus.
+  *
+  * Merging concatenates level-wise then re-compacts — valid under any
+  * merge tree (same argument as the paper's), which is exactly what a
+  * Spark partial aggregate needs. `finish` emits the quantile
+  * ESTIMATES for the requested `qs` (rank-walk over the weighted
+  * items); the raw buffer is merge-order-sensitive and never leaves
+  * the aggregate. */
+final class KllQuantileAggregator(capacity: Int, qs: Seq[Double])
+    extends Aggregator[Double, KllState, Seq[Double]] {
+  require(capacity >= 8, s"capacity must be >= 8, got $capacity")
+
+  override def zero: KllState = KllState(0L, Seq(Vector.empty))
+
+  private def compact(levels: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+    val out = scala.collection.mutable.ArrayBuffer(
+      levels.map(_.toVector): _*)
+    var i = 0
+    while (i < out.length) {
+      if (out(i).size > capacity) {
+        val sorted = out(i).sorted
+        // odd leftover stays at this level; pairs promote their lower
+        // element at double weight
+        val (body, leftover) =
+          if (sorted.size % 2 == 0) (sorted, Vector.empty[Double])
+          else (sorted.tail, Vector(sorted.head))
+        val promoted = body.grouped(2).map(_.head).toVector
+        out(i) = leftover
+        if (i + 1 >= out.length) out += Vector.empty
+        out(i + 1) = out(i + 1) ++ promoted
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  override def reduce(buf: KllState, x: Double): KllState = {
+    val l0 = buf.levels.head :+ x
+    val levels = l0 +: buf.levels.tail
+    KllState(buf.count + 1L,
+      if (l0.size > capacity) compact(levels) else levels)
+  }
+
+  override def merge(a: KllState, b: KllState): KllState = {
+    val n = math.max(a.levels.size, b.levels.size)
+    val levels = (0 until n).map { i =>
+      a.levels.applyOrElse(i, (_: Int) => Seq.empty[Double]) ++
+        b.levels.applyOrElse(i, (_: Int) => Seq.empty[Double])
+    }
+    KllState(a.count + b.count, compact(levels))
+  }
+
+  override def finish(buf: KllState): Seq[Double] = {
+    if (buf.count == 0L) return qs.map(_ => Double.NaN)
+    val weighted = buf.levels.zipWithIndex.flatMap { case (xs, i) =>
+      xs.map(x => (x, 1L << i))
+    }.sortBy(_._1)
+    val total = weighted.iterator.map(_._2).sum
+    qs.map { q =>
+      val target = math.max(1L, math.ceil(q * total).toLong)
+      var acc = 0L
+      var ans = weighted.last._1
+      val it = weighted.iterator
+      var found = false
+      while (it.hasNext && !found) {
+        val (v, w) = it.next()
+        acc += w
+        if (acc >= target) { ans = v; found = true }
+      }
+      ans
+    }
+  }
+
+  override def bufferEncoder: Encoder[KllState] =
+    ExpressionEncoder[KllState]()
+  override def outputEncoder: Encoder[Seq[Double]] =
+    ExpressionEncoder[Seq[Double]]()
+}
+
 object Sketches {
 
   /** Heavy hitters of a long-typed column via MG(k), reported through
@@ -89,6 +189,66 @@ object Sketches {
         (col("approx").isNotNull &&
           (col("exact_cnt") - col("approx")) <= col("n") / lit(k + 1))
           .as("bound_ok"))
+  }
+
+  /** Per-group quantiles via the mergeable KLL sketch, reported
+    * through the same deterministic bound-flag scheme as
+    * [[mgHeavyHitters]]: emitted VALUES are the exact rank-based
+    * quantiles (value at rank ⌈q·n⌉ — replicable in any engine), and
+    * the sketch contributes `bound_ok` = "the sketch's estimate has
+    * true rank within the proven 2·L·n/capacity band of the target".
+    * A correct sketch yields all-true flags (hash-stable vs a plain
+    * SQL oracle); a broken compactor fails the gate loudly. The raw
+    * sketch is merge-order-sensitive and never emitted.
+    *
+    * Scale: the sketch pass is one typed aggregation with O(cap·log n)
+    * state per group and map-side partials; the exact quantiles (for
+    * the audit) cost one per-group window — at production scale a
+    * consumer would read ONLY the sketch estimates and skip the exact
+    * pass entirely. */
+  def kllQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double], capacity: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(groupCol).cast("string").as("grp"),
+      col(valueCol).cast("double").as("v"))
+    val ests = v.as[(String, Double)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new KllQuantileAggregator(capacity, qs).toColumn.name("est"))
+      .toDF("grp", "est")
+      .select(col("grp"), posexplode(col("est")).as(Seq("qi", "est")))
+    val g = v.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val targets = g.crossJoin(broadcast(
+        qs.zipWithIndex.map { case (q, i) => (i, q) }.toDF("qi", "q")))
+      .withColumn("target", ceil(col("q") * col("n")).cast("long"))
+      .withColumn("target", greatest(col("target"), lit(1L)))
+    // true rank interval of each sketch estimate: [lt + 1, le]
+    val ranks = v.join(broadcast(ests), Seq("grp"))
+      .groupBy(col("grp"), col("qi"))
+      .agg(sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("lt"),
+        sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("le"))
+    // exact value at the target rank (any tie order yields the same
+    // value at a given rank, so the window is deterministic here)
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+    // fresh column names on the ranked side: targets and ranked share
+    // the `v` lineage, so a direct grp === grp would resolve to the
+    // same attribute (trivially true)
+    val ranked = v.withColumn("rk", row_number().over(w))
+      .select(col("grp").as("rgrp"), col("v"), col("rk"))
+    val exact = targets.join(ranked,
+        col("grp") === col("rgrp") && col("rk") === col("target"))
+      .select(col("grp"), col("qi"), col("q"), col("n"),
+        col("target"), col("v").as("exact_q"))
+    // proven deterministic-KLL band: 2·L·n/cap, L = #levels
+    val levels = ceil(log(2.0, greatest(col("n").cast("double") /
+      capacity, lit(1.0)))) + lit(2.0)
+    exact.join(ranks, Seq("grp", "qi"))
+      .withColumn("bound",
+        ceil(lit(2.0) * levels * col("n") / capacity).cast("long"))
+      .select(col("grp"), col("q"), col("n"), col("exact_q"),
+        (col("lt") + 1L <= col("target") + col("bound") &&
+          col("le") >= col("target") - col("bound")).as("bound_ok"))
   }
 
   /** Deterministic Count-Min bucket for hash row `r`: the first byte of

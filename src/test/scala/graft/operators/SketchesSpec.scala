@@ -111,6 +111,71 @@ class SketchesSpec extends AnyFunSuite {
     assert(!fast.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("KLL: rank error within the 2·L·n/cap band for any merge tree") {
+    // deterministic pseudo-random stream, three merge shapes: straight
+    // stream, balanced two-way, and 16-chunk left fold — the bound
+    // must hold for every shape (mergeable-summary contract)
+    val n = 20000
+    val xs: Seq[Double] = {
+      var s = 12345L
+      (0 until n).map { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 20) % 1000000L).toDouble
+      }
+    }
+    val sortedXs = xs.sorted
+    val cap = 256
+    val agg = new KllQuantileAggregator(cap, Seq(0.1, 0.5, 0.9))
+    def rankOf(v: Double): Long = sortedXs.count(_ <= v).toLong
+    val levels = (math.log(n.toDouble / cap) / math.log(2)).ceil + 2
+    val bound = (2.0 * levels * n / cap).ceil.toLong
+    val straight = xs.foldLeft(agg.zero)(agg.reduce)
+    val halves = agg.merge(
+      xs.take(n / 2).foldLeft(agg.zero)(agg.reduce),
+      xs.drop(n / 2).foldLeft(agg.zero)(agg.reduce))
+    val chunked = xs.grouped(n / 16)
+      .map(_.foldLeft(agg.zero)(agg.reduce))
+      .reduce(agg.merge)
+    for ((state, shape) <- Seq(straight -> "straight", halves -> "2way",
+        chunked -> "16chunk")) {
+      assert(state.count == n)
+      val ests = agg.finish(state)
+      for ((q, est) <- Seq(0.1, 0.5, 0.9).zip(ests)) {
+        val target = math.ceil(q * n).toLong
+        val err = math.abs(rankOf(est) - target)
+        assert(err <= bound,
+          s"$shape q=$q: rank error $err > bound $bound")
+      }
+    }
+  }
+
+  test("KLL: weight is preserved by compaction and memory stays " +
+      "bounded at O(cap · levels)") {
+    val cap = 64
+    val agg = new KllQuantileAggregator(cap, Seq(0.5))
+    val state = (1 to 100000).map(_.toDouble)
+      .foldLeft(agg.zero)(agg.reduce)
+    val weight = state.levels.zipWithIndex
+      .map { case (xs, i) => xs.size.toLong * (1L << i) }.sum
+    assert(weight == state.count)
+    assert(state.levels.forall(_.size <= cap + 1))
+    assert(state.levels.size <=
+      (math.log(100000.0 / cap) / math.log(2)).ceil.toInt + 2)
+  }
+
+  test("KLL: empty input yields NaN estimates; kllQuantiles emits " +
+      "all-true bound flags on real data") {
+    val agg = new KllQuantileAggregator(64, Seq(0.5))
+    assert(agg.finish(agg.zero).head.isNaN)
+    val df = (1 to 5000).map(i => (s"g${i % 3}", i.toDouble))
+      .toDF("grp", "value")
+    val out = Sketches.kllQuantiles(df, "grp", "value",
+        qs = Seq(0.25, 0.75), capacity = 256)
+      .collect()
+    assert(out.length == 6)
+    assert(out.forall(_.getAs[Boolean]("bound_ok")))
+  }
+
   test("mgHeavyHitters emits exact counts with all-true bound flags") {
     val df = (0 until 2000)
       .map(i => if (i % 4 == 0) -1L else (i % 300).toLong)

@@ -93,13 +93,9 @@ object ScaleStress {
       hmod("d", nodes, col("id")).as("dst"))
 
   /** Σ c·(c−1)/2 over the given bucket keys — the self-join's
-    * pre-filter candidate count. */
-  def bucketPairCount(df: DataFrame, keys: Seq[String]): Long = {
-    val twice = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)))
-      .head().getLong(0)
-    twice / 2
-  }
+    * pre-filter candidate count (one shared definition, in Dedup). */
+  def bucketPairCount(df: DataFrame, keys: Seq[String]): Long =
+    Dedup.bucketPairCount(df, keys)
 
   /** MinHash-LSH band-bucket candidate pairs on the production
     * banding (k=8, 4 bands). */
@@ -110,23 +106,14 @@ object ScaleStress {
       Seq("band", "band_hash"))
 
   /** Sign-LSH band-bucket candidate pairs on the production embedding
-    * banding (8 bands × 6 rows). */
+    * banding — counted on [[Similarity.signBandRelation]], the EXACT
+    * relation lshNearDupPairs self-joins, so this number cannot drift
+    * from the production code path. */
   def embLshCandidateCount(emb: DataFrame, bands: Int = 8,
-      rowsPerBand: Int = 6, dims: Int = 64): Long = {
-    val m = Similarity.signMatrix(bands * rowsPerBand, dims)
-    def bandSig(b: Int): Column =
-      (0 until rowsPerBand).map { r =>
-        when(graft.functions.VectorFunctions.vec_dot(col("embedding"),
-            typedLit(m(b * rowsPerBand + r).toSeq)) > 0, lit(1 << r))
-          .otherwise(lit(0))
-      }.reduce(_ + _)
-    val banded = emb.select(col("vec_id"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"), bandSig(b).as("band_sig"))): _*))
-          .as("bs"))
-      .select(col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
-    bucketPairCount(banded, Seq("band", "band_sig"))
-  }
+      rowsPerBand: Int = 6, dims: Int = 64): Long =
+    bucketPairCount(
+      Similarity.signBandRelation(emb, bands, rowsPerBand, dims),
+      Seq("band", "band_sig"))
 
   private def time[A](body: => A): (Double, A) = {
     val t0 = System.nanoTime()
@@ -139,9 +126,14 @@ object ScaleStress {
 
   final case class Measurement(family: String, scale: Int, rows: Long,
       sec: Double, candidates: Long = -1L) {
-    def json: String =
+    def json: String = {
+      // Locale pinned: a comma-decimal default locale would render
+      // invalid JSON (same rule as SlackBlocks' money formatting)
+      val s2 = String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(sec))
       s"""{"family":"$family","scale":$scale,"rows":$rows,""" +
-        s""""sec":${f"$sec%.2f"},"candidates":$candidates}"""
+        s""""sec":$s2,"candidates":$candidates}"""
+    }
   }
 
   /** One full measurement pass at `scale` × the sf0.1 base sizes.

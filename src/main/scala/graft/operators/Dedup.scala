@@ -256,6 +256,18 @@ object Dedup {
     (ranked, prefix)
   }
 
+  /** Σ_buckets c·(c−1)/2 over the given bucket keys — a self-join's
+    * pre-filter candidate-pair count. Shared by every scale-harness
+    * occupancy counter so there is exactly one definition of the
+    * number ScaleGrowthSpec bounds. */
+  private[graft] def bucketPairCount(df: DataFrame,
+      keys: Seq[String]): Long = {
+    val twice = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)))
+      .head().getLong(0)
+    twice / 2
+  }
+
   /** Diagnostic (scale harness): Σ_shk c·(c−1)/2 over the prefix
     * index — the candidate join's pre-filter pair count. Sub-quadratic
     * growth of THIS number is what makes prefix filtering a 100 TB
@@ -263,10 +275,7 @@ object Dedup {
   def prefixCandidateCount(documents: DataFrame, w: Int = 3,
       threshold: Double = 0.5): Long = {
     val (_, prefix) = prefixIndex(documents, w, threshold)
-    val twice = prefix.groupBy(col("shk")).agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)).as("p2"))
-      .head().getLong(0)
-    twice / 2
+    bucketPairCount(prefix, Seq("shk"))
   }
 
   def prefixJaccardPairs(documents: DataFrame, w: Int = 3,

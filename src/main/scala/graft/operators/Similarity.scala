@@ -165,6 +165,9 @@ object Similarity {
     * run-to-run. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    // greatest()/array_sort over the centroid structs need >= 2 cells;
+    // one cell is also no inverted file at all
+    require(nCells >= 2, s"nCells must be >= 2, got $nCells")
     val cents: Array[(Long, Seq[Float], Double)] =
       withNorm(corpus).orderBy(col("vec_id")).limit(nCells)
         .collect()
@@ -351,6 +354,7 @@ object Similarity {
       nCells: Int = 16, nProbe: Int = 4, m: Int = 8, dims: Int = 64,
       ksub: Int = 32, shortlist: Int = 50): DataFrame = {
     require(dims % m == 0, "dims must split evenly into m subspaces")
+    require(nCells >= 2, s"nCells must be >= 2, got $nCells")
     val sub = dims / m
     val cents: Array[(Long, Seq[Float], Double)] =
       withNorm(corpus).orderBy(col("vec_id")).limit(nCells)
@@ -500,6 +504,7 @@ object Similarity {
     * column keeps the operator's row count stable for auditing. */
   def semanticDedup(embeddings: DataFrame, threshold: Double,
       nCells: Int = 16): DataFrame = {
+    require(nCells >= 2, s"nCells must be >= 2, got $nCells")
     val cents: Array[(Long, Seq[Float], Double)] =
       withNorm(embeddings).orderBy(col("vec_id")).limit(nCells)
         .collect()
@@ -542,8 +547,12 @@ object Similarity {
     * Deterministic plane signs (md5-derived, data-independent,
     * driver-computed literals) make results reproducible and
     * replicable in the DuckDB oracle. */
-  def lshNearDupPairs(embeddings: DataFrame, threshold: Double,
-      bands: Int = 8, rowsPerBand: Int = 6, dims: Int = 64): DataFrame = {
+  /** The id-only banded sign-LSH relation (vec_id, band, band_sig)
+    * behind [[lshNearDupPairs]] — exposed so the scale harness counts
+    * bucket occupancy on the EXACT production banding, not a
+    * re-derivation that could drift. */
+  private[graft] def signBandRelation(embeddings: DataFrame, bands: Int,
+      rowsPerBand: Int, dims: Int): DataFrame = {
     val m = signMatrix(bands * rowsPerBand, dims)
     def bandSig(b: Int): Column =
       (0 until rowsPerBand).map { r =>
@@ -551,16 +560,21 @@ object Similarity {
             typedLit(m(b * rowsPerBand + r).toSeq)) > 0, lit(1 << r))
           .otherwise(lit(0))
       }.reduce(_ + _)
+    embeddings
+      .select(col("vec_id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandSig(b).as("band_sig"))): _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"),
+        col("bs.band_sig").as("band_sig"))
+  }
+
+  def lshNearDupPairs(embeddings: DataFrame, threshold: Double,
+      bands: Int = 8, rowsPerBand: Int = 6, dims: Int = 64): DataFrame = {
     // eager checkpoint of the id-only banded relation (3 ints × n·bands
     // — tiny): BOTH sides of the candidate self-join read it back, so
     // the bands×rowsPerBand dot products against inline literal planes
     // are evaluated — and their large codegen stage compiled — exactly
     // once instead of once per join side
-    val banded = embeddings
-      .select(col("vec_id"), explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), bandSig(b).as("band_sig"))): _*)).as("bs"))
-      .select(col("vec_id"), col("bs.band").as("band"),
-        col("bs.band_sig").as("band_sig"))
+    val banded = signBandRelation(embeddings, bands, rowsPerBand, dims)
       .localCheckpoint(true)
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&

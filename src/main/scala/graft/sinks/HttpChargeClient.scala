@@ -149,9 +149,15 @@ final class HttpChargeClient(
             s"(${e.getClass.getSimpleName})", retryable = false)
       }
     // the reference fails on any truthy `errors` (`shopifyBilling.ts:
-    // 257-260`) — string/object payloads count, not just arrays
+    // 257-260`) — JS truthiness exactly: false/""/0/NaN/null/undefined
+    // pass, everything else (including the EMPTY array and object —
+    // truthy in JS) is a terminal error
     json \ "errors" match {
-      case JNothing | JNull | JArray(Nil) => json
+      case JNothing | JNull | JBool(false) | JString("") => json
+      case JInt(i) if i == 0 => json
+      case JLong(0L) => json
+      case JDouble(d) if d == 0.0 || d.isNaN => json
+      case JDecimal(d) if d == 0 => json
       case JArray(errs) =>
         val msgs = errs.flatMap(e => (e \ "message") match {
           case JString(m) => Some(m); case _ => None

@@ -47,10 +47,15 @@ object SlackBlocks {
     case _ => "⏳"
   }
 
-  private def q(s: String): String = "\"" + s.flatMap {
+  /** JSON string escaper — shared with [[SlackWebhookSink]] so the
+    * channel id and the block contents of one payload are always
+    * escaped by the same code. */
+  private[sinks] def jsonQuote(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
     case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
   } + "\""
+
+  private def q(s: String): String = jsonQuote(s)
 
   // Locale pinned: digit grouping and decimal points must render the
   // same bytes on any host (golden-tested)

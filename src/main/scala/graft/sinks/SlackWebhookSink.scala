@@ -74,27 +74,36 @@ final class SlackWebhookSink(
       val response = http.send(request,
         HttpResponse.BodyHandlers.ofString())
       val status = response.statusCode()
-      // the WebClient raises on non-2xx AND on {"ok":false,…}; both are
-      // swallowed here per the S7 contract, with the reason kept
+      // the WebClient raises on non-2xx AND on {"ok": false, …}; both
+      // are swallowed here per the S7 contract — but LOGGED, exactly
+      // like the exception path, so a vanished report leaves a trace.
+      // `ok` is read from parsed JSON (chat.postMessage echoes the
+      // posted message, so substring probes can false-positive on
+      // report content; a formatter's whitespace would false-negative)
       if (status < 200 || status >= 300)
-        lastOutcome = s"failed: HTTP $status"
-      else if (response.body().contains("\"ok\":false"))
-        lastOutcome = s"failed: ${response.body().take(200)}"
-      else
-        lastOutcome = "sent"
+        fail(s"HTTP $status")
+      else {
+        val ok =
+          try org.json4s.jackson.JsonMethods.parse(response.body()) \ "ok"
+          catch { case _: Exception => org.json4s.JNothing }
+        ok match {
+          case org.json4s.JBool(true) => lastOutcome = "sent"
+          case _ => fail(s"non-ok response: ${response.body().take(200)}")
+        }
+      }
     } catch {
       case e: Throwable =>                                 // slack.ts:299-302
-        lastOutcome = s"failed: ${Option(e.getMessage)
-          .getOrElse(e.getClass.getSimpleName)}"
-        System.err.println(s"[slack] notification failed (swallowed): " +
-          s"$lastOutcome")
+        fail(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
     }
+  }
+
+  private def fail(reason: String): Unit = {
+    lastOutcome = s"failed: $reason"
+    System.err.println(s"[slack] notification failed (swallowed): $reason")
   }
 }
 
 object SlackWebhookSink {
-  private def q(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-  } + "\""
+  // shared with the block renderer — one escaper, one behavior
+  private def q(s: String): String = SlackBlocks.jsonQuote(s)
 }

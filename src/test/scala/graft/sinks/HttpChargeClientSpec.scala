@@ -230,6 +230,33 @@ class HttpChargeClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.removeContext(ctx)
   }
 
+  test("GraphQL errors field follows JS truthiness exactly: falsy " +
+      "scalars pass, the empty array (truthy in JS) is terminal") {
+    val falsy = server.createContext("/falsyerrors",
+      (ex: HttpExchange) => respond(ex, 200,
+        """{"errors":false,"data":{"shop":{"name":"t"}}}"""))
+    val emptyArr = server.createContext("/emptyerrors",
+      (ex: HttpExchange) => respond(ex, 200,
+        """{"errors":[],"data":{"shop":{"name":"t"}}}"""))
+    try {
+      // errors:false is falsy — the reference's `if (data.errors)`
+      // does NOT throw, so the probe succeeds
+      val cFalsy = new HttpChargeClient(
+        endpointOverride = Some(_ => s"http://127.0.0.1:$port/falsyerrors"))
+      assert(cFalsy.testConnection("acme", "tok"))
+      // errors:[] is TRUTHY in JS — the reference throws
+      val cEmpty = new HttpChargeClient(
+        endpointOverride = Some(_ => s"http://127.0.0.1:$port/emptyerrors"))
+      val e = intercept[ChargeError] {
+        cEmpty.lookupSubscriptionLineItem("acme", "tok")
+      }
+      assert(e.getMessage.startsWith("GraphQL errors:"))
+      assert(!e.retryable)
+    } finally {
+      server.removeContext(falsy); server.removeContext(emptyArr)
+    }
+  }
+
   test("testConnection probes true on success, false on any failure") {
     reset()
     assert(client().testConnection("acme", "tok"))

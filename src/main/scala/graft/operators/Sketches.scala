@@ -87,13 +87,14 @@ final case class KllState(count: Long, levels: Seq[Seq[Double]])
   * ESTIMATES for the requested `qs` (rank-walk over the weighted
   * items); the raw buffer is merge-order-sensitive and never leaves
   * the aggregate. */
-final class KllQuantileAggregator(capacity: Int, qs: Seq[Double])
-    extends Aggregator[Double, KllState, Seq[Double]] {
-  require(capacity >= 8, s"capacity must be >= 8, got $capacity")
+/** The KLL sketch operations, factored out so the estimate-emitting
+  * aggregator, the state-emitting aggregator (streaming upkeep), and
+  * the streaming merge all run ONE definition. */
+object Kll {
+  def zero: KllState = KllState(0L, Seq(Vector.empty))
 
-  override def zero: KllState = KllState(0L, Seq(Vector.empty))
-
-  private def compact(levels: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+  def compact(capacity: Int)(
+      levels: Seq[Seq[Double]]): Seq[Seq[Double]] = {
     val out = scala.collection.mutable.ArrayBuffer(
       levels.map(_.toVector): _*)
     var i = 0
@@ -115,23 +116,24 @@ final class KllQuantileAggregator(capacity: Int, qs: Seq[Double])
     out.toSeq
   }
 
-  override def reduce(buf: KllState, x: Double): KllState = {
+  def reduce(capacity: Int)(buf: KllState, x: Double): KllState = {
     val l0 = buf.levels.head :+ x
     val levels = l0 +: buf.levels.tail
     KllState(buf.count + 1L,
-      if (l0.size > capacity) compact(levels) else levels)
+      if (l0.size > capacity) compact(capacity)(levels) else levels)
   }
 
-  override def merge(a: KllState, b: KllState): KllState = {
+  def merge(capacity: Int)(a: KllState, b: KllState): KllState = {
     val n = math.max(a.levels.size, b.levels.size)
     val levels = (0 until n).map { i =>
       a.levels.applyOrElse(i, (_: Int) => Seq.empty[Double]) ++
         b.levels.applyOrElse(i, (_: Int) => Seq.empty[Double])
     }
-    KllState(a.count + b.count, compact(levels))
+    KllState(a.count + b.count, compact(capacity)(levels))
   }
 
-  override def finish(buf: KllState): Seq[Double] = {
+  /** Rank-walk estimates for the requested quantiles. */
+  def quantiles(buf: KllState, qs: Seq[Double]): Seq[Double] = {
     if (buf.count == 0L) return qs.map(_ => Double.NaN)
     val weighted = buf.levels.zipWithIndex.flatMap { case (xs, i) =>
       xs.map(x => (x, 1L << i))
@@ -151,11 +153,40 @@ final class KllQuantileAggregator(capacity: Int, qs: Seq[Double])
       ans
     }
   }
+}
 
+final class KllQuantileAggregator(capacity: Int, qs: Seq[Double])
+    extends Aggregator[Double, KllState, Seq[Double]] {
+  require(capacity >= 8, s"capacity must be >= 8, got $capacity")
+  override def zero: KllState = Kll.zero
+  override def reduce(buf: KllState, x: Double): KllState =
+    Kll.reduce(capacity)(buf, x)
+  override def merge(a: KllState, b: KllState): KllState =
+    Kll.merge(capacity)(a, b)
+  override def finish(buf: KllState): Seq[Double] =
+    Kll.quantiles(buf, qs)
   override def bufferEncoder: Encoder[KllState] =
     ExpressionEncoder[KllState]()
   override def outputEncoder: Encoder[Seq[Double]] =
     ExpressionEncoder[Seq[Double]]()
+}
+
+/** The state-emitting twin: same reduce/merge, `finish` = identity —
+  * the shape streaming upkeep needs (the maintained state table holds
+  * the sketch itself; estimates read it without replaying history). */
+final class KllStateAggregator(capacity: Int)
+    extends Aggregator[Double, KllState, KllState] {
+  require(capacity >= 8, s"capacity must be >= 8, got $capacity")
+  override def zero: KllState = Kll.zero
+  override def reduce(buf: KllState, x: Double): KllState =
+    Kll.reduce(capacity)(buf, x)
+  override def merge(a: KllState, b: KllState): KllState =
+    Kll.merge(capacity)(a, b)
+  override def finish(buf: KllState): KllState = buf
+  override def bufferEncoder: Encoder[KllState] =
+    ExpressionEncoder[KllState]()
+  override def outputEncoder: Encoder[KllState] =
+    ExpressionEncoder[KllState]()
 }
 
 object Sketches {

@@ -272,6 +272,62 @@ object StreamingOps {
     }
   }
 
+  /** Exactly-once KLL upkeep, same batch-id fencing as Count-Min: the
+    * state table is the sketch's long form (level, v) plus the fence —
+    * weight (and hence count) is reconstructible as Σ 2^level, so no
+    * separate count row. Per batch: aggregate the batch into a partial
+    * sketch (distributed), merge it with the prior state driver-side
+    * (two O(cap·log n) objects — bounded whatever the stream length),
+    * replace. Replays of an applied batch are no-ops. */
+  def maintainKllState(statePath: String, valueCol: String,
+      capacity: Int = 1024)(batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    import graft.operators.{Kll, KllState, KllStateAggregator}
+    val state = s.read.parquet(statePath) // (level INT, v DOUBLE, _batch_id)
+    val lastApplied = state
+      .agg(coalesce(max(col("_batch_id")), lit(Long.MinValue)))
+      .head.getLong(0)
+    if (lastApplied < batchId) {
+      val partial: KllState = batch
+        .select(col(valueCol).cast("double")).as[Double]
+        .groupByKey(_ => 0)
+        .agg(new KllStateAggregator(capacity).toColumn.name("sk"))
+        .collect().headOption.map(_._2).getOrElse(Kll.zero)
+      val priorRows = state.select(col("level"), col("v"))
+        .as[(Int, Double)].collect()
+      val prior =
+        if (priorRows.isEmpty) Kll.zero
+        else {
+          val maxL = priorRows.iterator.map(_._1).max
+          val levels = (0 to maxL).map(l =>
+            priorRows.iterator.filter(_._1 == l).map(_._2).toVector)
+          KllState(levels.zipWithIndex
+            .map { case (xs, i) => xs.size.toLong * (1L << i) }.sum,
+            levels)
+        }
+      val next = Kll.merge(capacity)(prior, partial)
+      val rows = next.levels.zipWithIndex.flatMap { case (xs, l) =>
+        xs.map(v => (l, v))
+      }
+      graft.operators.MergeOps.replaceTable(s,
+        rows.toDF("level", "v").withColumn("_batch_id", lit(batchId)),
+        statePath)
+    }
+  }
+
+  /** Streaming quantile upkeep: a file stream of raw rows keeps the
+    * KLL state table current; quantile estimates read the tiny state
+    * table, never the stream history. */
+  def streamingKll(spark: SparkSession, sourceDir: String,
+      schema: StructType, valueCol: String, statePath: String,
+      checkpointDir: String, capacity: Int = 1024): StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(maintainKllState(statePath, valueCol, capacity) _)
+      .start()
+
   /** Streaming sketch upkeep: a file stream of raw rows keeps the
     * Count-Min counter table current; point estimates read the tiny
     * state table, never the stream history. */

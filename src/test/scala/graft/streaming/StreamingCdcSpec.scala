@@ -107,6 +107,71 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(after === counters(b0.unionByName(b1)))
   }
 
+  test("streaming KLL: maintained state quantiles the whole stream " +
+      "within the proven band; replay is fenced") {
+    import graft.operators.{Kll, KllState}
+    val base = Files.createTempDirectory("graft-kll").toString
+    val (srcDir, statePath, ckpt) =
+      (s"$base/rows", s"$base/state", s"$base/ckpt")
+    val cap = 64
+
+    // deterministic pseudo-random values across two micro-batches
+    def vals(seed: Long, n: Int): Seq[Double] = {
+      var s = seed
+      (0 until n).map { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 20) % 100000L).toDouble
+      }
+    }
+    val v0 = vals(7L, 3000)
+    val v1 = vals(99L, 2000)
+    val b0 = v0.toDF("v")
+    val b1 = v1.toDF("v")
+
+    // seed: empty state stamped pre-stream
+    Seq.empty[(Int, Double)].toDF("level", "v")
+      .withColumn("_batch_id", lit(-1L)).write.parquet(statePath)
+
+    def stateOf(): KllState = {
+      val rows = spark.read.parquet(statePath)
+        .select(col("level"), col("v")).as[(Int, Double)].collect()
+      if (rows.isEmpty) Kll.zero
+      else {
+        val levels = (0 to rows.map(_._1).max).map(l =>
+          rows.filter(_._1 == l).map(_._2).toVector: Seq[Double])
+        KllState(levels.zipWithIndex
+          .map { case (xs, i) => xs.size.toLong * (1L << i) }.sum, levels)
+      }
+    }
+
+    b0.write.parquet(srcDir)
+    val q = StreamingOps.streamingKll(spark, srcDir, b0.schema,
+      valueCol = "v", statePath, ckpt, capacity = cap)
+    try {
+      q.processAllAvailable()
+      b1.write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val st = stateOf()
+    val all = (v0 ++ v1).sorted
+    val n = all.length
+    assert(st.count == n, "stream weight must equal rows seen")
+    val levels = (math.log(n.toDouble / cap) / math.log(2)).ceil + 2
+    val bound = (2.0 * levels * n / cap).ceil.toLong
+    for (qq <- Seq(0.25, 0.5, 0.9)) {
+      val est = Kll.quantiles(st, Seq(qq)).head
+      val target = math.ceil(qq * n).toLong
+      val err = math.abs(all.count(_ <= est).toLong - target)
+      assert(err <= bound, s"q=$qq rank error $err > $bound")
+    }
+
+    // replayed micro-batch is a no-op under the batch-id fence
+    val before = stateOf()
+    StreamingOps.maintainKllState(statePath, "v", cap)(b0, 0L)
+    assert(stateOf() == before)
+  }
+
   test("sequential diffs compose additively in one batch (linearity)") {
     // two consecutive diffs delivered TOGETHER must apply correctly:
     // the delta algebra is linear, so concatenated change rows

@@ -194,8 +194,13 @@ object SparkEntry {
         .select(col("shop_key"),
           coalesce(col("event_count"), lit(0L)).as("page_views"))
         .withColumn("amount_dec",
+          // the decimal math (exact product + one HALF_UP cast) happens
+          // in DECIMAL; the final cast to double is representation-only
+          // (a 12.2 decimal converts exactly the same way in DuckDB), so
+          // the hash compares engine-independent values, not the two
+          // readers' decimal-vs-float rendering
           graft.operators.BillingOps.chargeAmountDecimal(
-            col("page_views"), 12.34))
+            col("page_views"), 12.34).cast("double"))
         .orderBy("shop_key")),
 
     "j3_enrich_outcomes" -> ((s, dir) => {
@@ -2390,7 +2395,11 @@ object SparkEntry {
     * `p` prefixes every CTE name so the chain can coexist with the
     * raw-vector PQ chain inside one query (ann_recall_audit). */
   private def duckIvfPqCtes(nCells: Int, nProbe: Int, m: Int, ksub: Int,
-      dims: Int, shortlist: Int, p: String = ""): String = {
+      dims: Int, shortlist: Int, p: String = "",
+      // the query-set predicate is a parameter like nCells/nProbe so a
+      // call site with a different query DataFrame cannot silently
+      // compare against the wrong oracle shortlist
+      queryPred: String = "vec_id < 8"): String = {
     val sub = dims / m
     val adcSum = (0 until m)
       .map(j => s"max(CASE WHEN j = $j THEN d END)")
@@ -2425,7 +2434,7 @@ object SparkEntry {
        |${p}qprobe AS (SELECT vec_id AS query_id, cp FROM (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id
        |    ORDER BY c_cos DESC, cp ASC) AS rn FROM ${p}ac
-       |  WHERE vec_id < 8) WHERE rn <= $nProbe),
+       |  WHERE $queryPred) WHERE rn <= $nProbe),
        |${p}qres AS (SELECT pr.query_id, pr.cp, $resExpr AS r
        |  FROM ${p}qprobe pr JOIN n ON n.vec_id = pr.query_id
        |  JOIN ${p}cent ON pr.cp = ${p}cent.cp),
@@ -2599,9 +2608,9 @@ object SparkEntry {
       s"""WITH pv AS ($pvCte)
          |SELECT c_custkey AS shop_key,
          | COALESCE(event_count, 0) AS page_views,
-         | CAST(CAST(COALESCE(event_count, 0) AS DECIMAL(14,0))
+         | CAST(CAST(CAST(COALESCE(event_count, 0) AS DECIMAL(14,0))
          |   * CAST(0.00001234 AS DECIMAL(22,16)) AS DECIMAL(12,2))
-         |  AS amount_dec
+         |  AS DOUBLE) AS amount_dec
          |FROM customer LEFT JOIN pv ON c_custkey = user_id
          |ORDER BY shop_key""".stripMargin,
 

@@ -59,9 +59,11 @@ final class MisraGriesAggregator(k: Int)
 }
 
 /** Buffer of the KLL-style quantile sketch: `levels(i)` holds items of
-  * weight 2^i; `count` is the exact item count (weight is preserved by
-  * compaction, so Σ levels(i).size · 2^i == count ± the odd-leftover
-  * slack tracked inside the buffers themselves). */
+  * weight 2^i; `count` is the exact item count. Compaction preserves
+  * weight EXACTLY (each promoted pair moves up at double weight, odd
+  * leftovers stay in place), so Σ levels(i).size · 2^i == count always —
+  * the streaming state reconstruction in maintainKllState and the
+  * weight-preservation test both rely on that exact invariant. */
 final case class KllState(count: Long, levels: Seq[Seq[Double]])
 
 /** Mergeable quantile sketch in the KLL compactor style (Karnin, Lang
@@ -242,8 +244,14 @@ object Sketches {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
+    // drop null / uncastable values BEFORE the primitive-Double typed
+    // aggregation (it would throw on a null) — same pattern as
+    // equiDepthHistogram; nulls carry no rank information anyway.
+    // try_cast: under ANSI semantics a plain cast would itself throw
+    // on a malformed string instead of yielding null.
     val v = df.select(col(groupCol).cast("string").as("grp"),
-      col(valueCol).cast("double").as("v"))
+      col(valueCol).try_cast("double").as("v"))
+      .where(col("v").isNotNull)
     val ests = v.as[(String, Double)]
       .groupByKey(_._1).mapValues(_._2)
       .agg(new KllQuantileAggregator(capacity, qs).toColumn.name("est"))

@@ -92,7 +92,15 @@ final class SlackWebhookSink(
         }
       }
     } catch {
-      case e: Throwable =>                                 // slack.ts:299-302
+      // only ordinary failures are swallowed (slack.ts:299-302 catches
+      // JS exceptions — it has no analogue of a fatal VM error, so the
+      // contract does not cover OutOfMemoryError etc.); an interrupt is
+      // swallowed like any send failure but the flag is restored so the
+      // caller still observes the cancellation.
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt()
+        fail(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+      case scala.util.control.NonFatal(e) =>               // slack.ts:299-302
         fail(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
     }
   }

@@ -289,8 +289,14 @@ object StreamingOps {
       .agg(coalesce(max(col("_batch_id")), lit(Long.MinValue)))
       .head.getLong(0)
     if (lastApplied < batchId) {
+      // nulls (null input or uncastable value) must not reach the
+      // primitive-Double typed aggregation: a single null row would
+      // throw, and foreachBatch replays re-hit it — a poison pill that
+      // permanently fails the query. try_cast because under ANSI
+      // semantics a plain cast throws on malformed strings itself.
       val partial: KllState = batch
-        .select(col(valueCol).cast("double")).as[Double]
+        .select(col(valueCol).try_cast("double").as("v"))
+        .where(col("v").isNotNull).as[Double]
         .groupByKey(_ => 0)
         .agg(new KllStateAggregator(capacity).toColumn.name("sk"))
         .collect().headOption.map(_._2).getOrElse(Kll.zero)

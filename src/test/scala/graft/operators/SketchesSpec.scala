@@ -176,6 +176,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Boolean]("bound_ok")))
   }
 
+  test("KLL: null and uncastable values are dropped, not a poison pill") {
+    // a null in the value column used to throw inside the
+    // primitive-Double typed aggregation; it must be filtered out and
+    // the estimates computed over the non-null rows only
+    val rows: Seq[(String, String)] =
+      (1 to 200).map(i => ("g", i.toString)) ++
+        Seq(("g", null), ("g", "not-a-number"))
+    val df = rows.toDF("grp", "value")
+    val out = Sketches.kllQuantiles(df, "grp", "value",
+        qs = Seq(0.5), capacity = 64)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n") == 200L)
+    assert(out.head.getAs[Boolean]("bound_ok"))
+  }
+
   test("mgHeavyHitters emits exact counts with all-true bound flags") {
     val df = (0 until 2000)
       .map(i => if (i % 4 == 0) -1L else (i % 300).toLong)

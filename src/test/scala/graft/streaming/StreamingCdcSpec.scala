@@ -172,6 +172,24 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(stateOf() == before)
   }
 
+  test("streaming KLL: a null value in a micro-batch is dropped, not " +
+      "a poison pill") {
+    import graft.operators.{Kll, KllState}
+    val base = Files.createTempDirectory("graft-kll-null").toString
+    val statePath = s"$base/state"
+    Seq.empty[(Int, Double)].toDF("level", "v")
+      .withColumn("_batch_id", lit(-1L)).write.parquet(statePath)
+    // null and uncastable rows used to throw inside the typed
+    // aggregation — and foreachBatch replays re-hit the same rows, so
+    // the failure was permanent. They must simply be dropped.
+    val batch = (Seq("1.0", "2.0", "3.0") ++ Seq(null, "oops"))
+      .toDF("v")
+    StreamingOps.maintainKllState(statePath, "v", capacity = 16)(batch, 0L)
+    val rows = spark.read.parquet(statePath)
+      .select(col("level"), col("v")).as[(Int, Double)].collect()
+    assert(rows.map(_._2).sorted.toSeq === Seq(1.0, 2.0, 3.0))
+  }
+
   test("sequential diffs compose additively in one batch (linearity)") {
     // two consecutive diffs delivered TOGETHER must apply correctly:
     // the delta algebra is linear, so concatenated change rows

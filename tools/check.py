@@ -58,6 +58,25 @@ def main():
                   f"(non-scalar column?): {type(e).__name__}: {e}")
             n_bad += 1
             continue
+        # The driver's two readers render DECIMAL cells differently
+        # (decimal.Decimal "0.00" vs float "0.0"), so a decimal-typed
+        # output column hash-mismatches driver-side even when every
+        # value is equal (bitten once: x6_charge_decimal r6). fetchdf
+        # hides this (decimals -> float64), so check the DECLARED types:
+        # final outputs must be double/int/string/date on both sides.
+        deccols = []
+        for label, src in (("spark", f"SELECT * FROM "
+                            f"'{VERIFY_OUT}/{name}/*.parquet'"),
+                           ("oracle", sql)):
+            for cname, ctype, *_ in con.execute(
+                    f"DESCRIBE {src}").fetchall():
+                if "DECIMAL" in ctype.upper():
+                    deccols.append(f"{label}.{cname}:{ctype}")
+        if deccols:
+            print(f"FAIL {name}: decimal-typed output column(s) "
+                  f"{deccols} — cast to DOUBLE/VARCHAR on both sides")
+            n_bad += 1
+            continue
         gc, ec = sorted(got.columns), sorted(exp.columns)
         if gc != ec:
             print(f"FAIL {name}: columns {gc} != {ec}")

@@ -523,6 +523,13 @@ object SparkEntry {
         .orderBy("g", "pos")
     }),
 
+    "emb_kmeans" -> ((s, dir) =>
+      // trained coarse quantizer: 2 Lloyd iterations from the
+      // deterministic first-8 init; output = final assignment + its
+      // squared L2 distance (bit-reproduced by the unrolled oracle)
+      Similarity.kMeans(t(s, dir, "embeddings"), k = 8, iters = 2)
+        .orderBy("vec_id")),
+
     "dedup_semantic" -> ((s, dir) =>
       // SemDeDup blocking: coarse-quantizer cells bound the pairwise
       // cosine to within-cell, keep-lowest-id-representative rule
@@ -2311,6 +2318,51 @@ object SparkEntry {
     s"list_transform(list_zip($a, $b), " +
     s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (p,q) -> p + q)"
 
+  /** Unrolled Lloyd's-k-means CTE chain replicating
+    * `Similarity.kMeans`: deterministic first-`k` init, per-iteration
+    * argmin assignment (d ASC, cid ASC tie-break) over
+    * vv − 2·v·c + c·c, per-dimension means decimal-accumulated from
+    * the RAW float elements (the groupCentroids VARCHAR hop — float
+    * shortest-repr parses exactly, double-cast repr would not), and
+    * emptied cells retaining the previous centroid via COALESCE. */
+  private def duckKMeansSql(k: Int, iters: Int, dims: Int): String = {
+    def assignCtes(i: Int): String =
+      s"""d$i AS (SELECT ev.vec_id, c.cid,
+         |  (ev.vv - CAST(2 AS DOUBLE) * ${duckDot("ev.v", "c.cv")}
+         |    + c.cc) AS d
+         |  FROM ev CROSS JOIN cs$i c),
+         |a$i AS (SELECT vec_id, cid, d FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d ASC, cid ASC) AS rn FROM d$i) WHERE rn = 1)"""
+        .stripMargin
+    def updateCtes(i: Int): String =
+      s"""m$i AS (SELECT a.cid, t.pos,
+         |  CAST(CAST(sum(CAST(CAST(raw.embedding[t.pos + 1] AS VARCHAR)
+         |      AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS mean
+         |  FROM a$i a JOIN embeddings raw ON a.vec_id = raw.vec_id
+         |  CROSS JOIN range($dims) t(pos) GROUP BY a.cid, t.pos),
+         |c${i + 1} AS (SELECT t.cid, COALESCE(nm.cv, prev.cv) AS cv
+         |  FROM range($k) t(cid)
+         |  LEFT JOIN (SELECT cid, list(mean ORDER BY pos) AS cv
+         |    FROM m$i GROUP BY cid) nm ON t.cid = nm.cid
+         |  JOIN c$i prev ON t.cid = prev.cid),
+         |cs${i + 1} AS (SELECT cid, cv, ${duckDot("cv", "cv")} AS cc
+         |  FROM c${i + 1})""".stripMargin
+    val rounds = (0 until iters)
+      .map(i => s"${assignCtes(i)},\n${updateCtes(i)}").mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |ev AS (SELECT vec_id, v, ${duckDot("v", "v")} AS vv FROM e),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+       |  v AS cv FROM e ORDER BY vec_id LIMIT $k),
+       |cs0 AS (SELECT cid, cv, ${duckDot("cv", "cv")} AS cc FROM c0),
+       |$rounds,
+       |${assignCtes(iters)}
+       |SELECT vec_id, CAST(cid AS INTEGER) AS cell, d AS dist
+       |FROM a$iters ORDER BY vec_id""".stripMargin
+  }
+
   /** LSH signature expression over a DOUBLE[] column — replicates
     * Similarity.lshSignature by inlining the SAME driver-side sign
     * matrix (data-independent md5-parity signs) as literal arrays.
@@ -3021,6 +3073,8 @@ object SparkEntry {
         | CAST(CAST(dsum AS VARCHAR) AS DOUBLE)
         |  / CAST(n AS DOUBLE) AS mean, n
         |FROM s ORDER BY g, pos""".stripMargin,
+
+    "emb_kmeans" -> duckKMeansSql(k = 8, iters = 2, dims = 64),
 
     // replicates the deterministic codebook (first 16 ids), the argmax
     // assignment tie-break (cos DESC, cell_id ASC), and the

@@ -483,6 +483,61 @@ object Similarity {
         col("n"))
   }
 
+  /** Lloyd's k-means over the embedding column (Lloyd 1982, public) —
+    * the TRAINED-quantizer complement to the deterministic first-k
+    * codebooks used by [[ivfTopK]]/[[semanticDedup]]: same init (the
+    * first `k` vectors by id — the house determinism rule, no random
+    * seeding), then `iters` rounds of assign-to-nearest /
+    * recompute-means.
+    *
+    * Scale shape per iteration: the ASSIGNMENT is zero-shuffle — k
+    * squared-L2 distances per row, each a codegen'd VecDot against a
+    * constant centroid literal (‖v−c‖² = v·v − 2·v·c + c·c with c·c
+    * folded driver-side, v·v computed once per row); the UPDATE is
+    * [[groupCentroids]]' (cell, dim) aggregation, whose map-side
+    * partials collapse the shuffle to O(partitions · k · d) rows; and
+    * the k·d means (bounded like the IVF codebook collects) return to
+    * the driver to become the next round's literals. An emptied cell
+    * keeps its previous centroid. k-means is inherently one corpus
+    * pass per iteration — at 100 TB you bound `iters`, not the scan.
+    *
+    * Determinism: per-dimension sums accumulate in DECIMAL(38,18)
+    * (groupCentroids), distances are IEEE sequential-fold dots, ties
+    * break to the lower cell id — the whole trajectory reproduces
+    * bit-for-bit in any engine with the same rules, which is what the
+    * unrolled-CTE DuckDB oracle does.
+    *
+    * Output: (vec_id, cell, dist) — the final assignment and its
+    * squared L2 distance under the final centroids. */
+  def kMeans(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    def assign(cents: Array[Seq[Double]]): DataFrame = {
+      val withVv = embeddings.withColumn("_vv",
+        vec_dot(col("embedding"), col("embedding")))
+      val best = least(cents.zipWithIndex.map { case (c, cid) =>
+        val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+        struct((col("_vv") - lit(2.0) * vec_dot(col("embedding"),
+          typedLit(c)) + lit(cc)).as("d"), lit(cid).as("cid"))
+      }: _*)
+      withVv.select(col("vec_id"), col("embedding"),
+        best.getField("d").as("dist"), best.getField("cid").as("cell"))
+    }
+    var cents: Array[Seq[Double]] = embeddings.orderBy(col("vec_id"))
+      .limit(k).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+    for (_ <- 0 until iters) {
+      val means = groupCentroids(
+          assign(cents).select(col("cell"), col("embedding")), "cell")
+        .select(col("g"), col("pos"), col("mean")).collect()
+      val byCell = means.groupBy(_.getInt(0)).map { case (g, rows) =>
+        g -> (rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq: Seq[Double])
+      }
+      cents = Array.tabulate(k)(cid => byCell.getOrElse(cid, cents(cid)))
+    }
+    assign(cents).select(col("vec_id"), col("cell"), col("dist"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     * embeddings are blocked by a coarse quantizer and near-duplicate
     * pruning runs only WITHIN each cell — the insight that makes

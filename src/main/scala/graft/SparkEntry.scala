@@ -555,6 +555,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivf_trained" -> ((s, dir) => {
+      // IVF over the k-means-trained coarse quantizer (the Faiss
+      // design) instead of ivfTopK's first-16 codebook — probing and
+      // inverted lists use the training metric (squared L2)
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopKTrained(emb, emb.where(col("vec_id") < 8),
+          k = 5, nCells = 16, nProbe = 4, iters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     "emb_norms" -> ((s, dir) =>
       t(s, dir, "embeddings").select(col("vec_id"),
           graft.functions.VectorFunctions.vec_norm(col("embedding"))
@@ -2325,16 +2335,21 @@ object SparkEntry {
     * the RAW float elements (the groupCentroids VARCHAR hop — float
     * shortest-repr parses exactly, double-cast repr would not), and
     * emptied cells retaining the previous centroid via COALESCE. */
-  private def duckKMeansSql(k: Int, iters: Int, dims: Int): String = {
-    def assignCtes(i: Int): String =
-      s"""d$i AS (SELECT ev.vec_id, c.cid,
-         |  (ev.vv - CAST(2 AS DOUBLE) * ${duckDot("ev.v", "c.cv")}
-         |    + c.cc) AS d
-         |  FROM ev CROSS JOIN cs$i c),
-         |a$i AS (SELECT vec_id, cid, d FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY d ASC, cid ASC) AS rn FROM d$i) WHERE rn = 1)"""
-        .stripMargin
+  private def duckKMeansAssignCtes(i: Int): String =
+    s"""d$i AS (SELECT ev.vec_id, c.cid,
+       |  (ev.vv - CAST(2 AS DOUBLE) * ${duckDot("ev.v", "c.cv")}
+       |    + c.cc) AS d
+       |  FROM ev CROSS JOIN cs$i c),
+       |a$i AS (SELECT vec_id, cid, d FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d ASC, cid ASC) AS rn FROM d$i) WHERE rn = 1)"""
+      .stripMargin
+
+  /** The shared Lloyd-iteration CTE prefix (ends after `d$iters` /
+    * `a$iters`, the assignment under the FINAL centroids `cs$iters`):
+    * `e` (double vectors), `ev` (+vv), first-k init `c0`/`cs0`, then
+    * per-round assignment + decimal-accumulated mean update. */
+  private def duckKMeansChain(k: Int, iters: Int, dims: Int): String = {
     def updateCtes(i: Int): String =
       s"""m$i AS (SELECT a.cid, t.pos,
          |  CAST(CAST(sum(CAST(CAST(raw.embedding[t.pos + 1] AS VARCHAR)
@@ -2350,18 +2365,47 @@ object SparkEntry {
          |cs${i + 1} AS (SELECT cid, cv, ${duckDot("cv", "cv")} AS cc
          |  FROM c${i + 1})""".stripMargin
     val rounds = (0 until iters)
-      .map(i => s"${assignCtes(i)},\n${updateCtes(i)}").mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      .map(i => s"${duckKMeansAssignCtes(i)},\n${updateCtes(i)}")
+      .mkString(",\n")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings),
        |ev AS (SELECT vec_id, v, ${duckDot("v", "v")} AS vv FROM e),
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
        |  v AS cv FROM e ORDER BY vec_id LIMIT $k),
        |cs0 AS (SELECT cid, cv, ${duckDot("cv", "cv")} AS cc FROM c0),
        |$rounds,
-       |${assignCtes(iters)}
+       |${duckKMeansAssignCtes(iters)}""".stripMargin
+  }
+
+  private def duckKMeansSql(k: Int, iters: Int, dims: Int): String =
+    s"""WITH ${duckKMeansChain(k, iters, dims)}
        |SELECT vec_id, CAST(cid AS INTEGER) AS cell, d AS dist
        |FROM a$iters ORDER BY vec_id""".stripMargin
-  }
+
+  /** Trained-IVF oracle: the k-means chain's final centroids (cs) and
+    * corpus assignment (a) feed the classic IVF probe/verify —
+    * replicates `Similarity.ivfTopKTrained`: nProbe nearest trained
+    * centroids per query by the TRAINING metric (d ASC, cid ASC), then
+    * exact cosine over the probed cells' members. */
+  private def duckIvfTrainedSql(nCells: Int, iters: Int, dims: Int,
+      nProbe: Int, k: Int, queryPred: String = "vec_id < 8"): String =
+    s"""WITH ${duckKMeansChain(nCells, iters, dims)},
+       |n AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e),
+       |probes AS (SELECT vec_id AS q_id, cid FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d ASC, cid ASC) AS rn FROM d$iters
+       |  WHERE $queryPred) WHERE rn <= $nProbe),
+       |p AS (SELECT pr.q_id AS query_id, c.vec_id AS neighbor_id,
+       |  ${duckDot("qn.v", "cn.v")} / (qn.nrm * cn.nrm) AS cos
+       |  FROM probes pr JOIN a$iters c ON c.cid = pr.cid
+       |    AND c.vec_id != pr.q_id
+       |  JOIN n qn ON qn.vec_id = pr.q_id
+       |  JOIN n cn ON cn.vec_id = c.vec_id),
+       |r AS (SELECT query_id, neighbor_id, row_number() OVER (
+       |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+       |  AS rank FROM p)
+       |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
 
   /** LSH signature expression over a DOUBLE[] column — replicates
     * Similarity.lshSignature by inlining the SAME driver-side sign
@@ -3075,6 +3119,9 @@ object SparkEntry {
         |FROM s ORDER BY g, pos""".stripMargin,
 
     "emb_kmeans" -> duckKMeansSql(k = 8, iters = 2, dims = 64),
+
+    "ann_ivf_trained" -> duckIvfTrainedSql(nCells = 16, iters = 2,
+      dims = 64, nProbe = 4, k = 5),
 
     // replicates the deterministic codebook (first 16 ids), the argmax
     // assignment tie-break (cos DESC, cell_id ASC), and the

@@ -509,33 +509,95 @@ object Similarity {
     *
     * Output: (vec_id, cell, dist) — the final assignment and its
     * squared L2 distance under the final centroids. */
-  def kMeans(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kMeans(embeddings: DataFrame, k: Int, iters: Int): DataFrame =
+    kmAssign(embeddings, kMeansCentroids(embeddings, k, iters))
+      .select(col("vec_id"), col("cell"), col("dist"))
+
+  /** The squared-L2 argmin assignment under constant centroid
+    * literals — zero-shuffle, whole-stage-codegen'd; the shared
+    * building block of [[kMeans]] and [[ivfTopKTrained]]. Output:
+    * (vec_id, embedding, dist, cell). */
+  private def kmAssign(embeddings: DataFrame,
+      cents: Array[Seq[Double]]): DataFrame = {
+    val withVv = embeddings.withColumn("_vv",
+      vec_dot(col("embedding"), col("embedding")))
+    val best = least(cents.zipWithIndex.map { case (c, cid) =>
+      val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+      struct((col("_vv") - lit(2.0) * vec_dot(col("embedding"),
+        typedLit(c)) + lit(cc)).as("d"), lit(cid).as("cid"))
+    }: _*)
+    withVv.select(col("vec_id"), col("embedding"),
+      best.getField("d").as("dist"), best.getField("cid").as("cell"))
+  }
+
+  /** The Lloyd iteration itself: first-`k`-by-id init, `iters` rounds
+    * of assign / decimal-accumulated mean recompute. Returns the final
+    * centroids (cell id = array index); see [[kMeans]] for the full
+    * contract. */
+  def kMeansCentroids(embeddings: DataFrame, k: Int,
+      iters: Int): Array[Seq[Double]] = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    def assign(cents: Array[Seq[Double]]): DataFrame = {
-      val withVv = embeddings.withColumn("_vv",
-        vec_dot(col("embedding"), col("embedding")))
-      val best = least(cents.zipWithIndex.map { case (c, cid) =>
-        val cc = c.foldLeft(0.0)((a, x) => a + x * x)
-        struct((col("_vv") - lit(2.0) * vec_dot(col("embedding"),
-          typedLit(c)) + lit(cc)).as("d"), lit(cid).as("cid"))
-      }: _*)
-      withVv.select(col("vec_id"), col("embedding"),
-        best.getField("d").as("dist"), best.getField("cid").as("cell"))
-    }
     var cents: Array[Seq[Double]] = embeddings.orderBy(col("vec_id"))
       .limit(k).select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
     for (_ <- 0 until iters) {
       val means = groupCentroids(
-          assign(cents).select(col("cell"), col("embedding")), "cell")
+          kmAssign(embeddings, cents).select(col("cell"), col("embedding")),
+          "cell")
         .select(col("g"), col("pos"), col("mean")).collect()
       val byCell = means.groupBy(_.getInt(0)).map { case (g, rows) =>
         g -> (rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq: Seq[Double])
       }
       cents = Array.tabulate(k)(cid => byCell.getOrElse(cid, cents(cid)))
     }
-    assign(cents).select(col("vec_id"), col("cell"), col("dist"))
+    cents
+  }
+
+  /** IVF with a TRAINED coarse quantizer: [[kMeansCentroids]] replaces
+    * the deterministic first-`nCells` codebook of [[ivfTopK]] — the
+    * production IVF design (Faiss trains its inverted lists exactly
+    * this way), kept deterministic here by the seedless k-means init.
+    * Corpus assignment and query probing both use the TRAINING metric
+    * (squared L2, argmin, lower-cell tie) so the inverted lists are the
+    * cells k-means actually shaped; the final scoring is exact cosine
+    * like every other ANN arm. Same scale shape as ivfTopK: zero-
+    * shuffle assignment against constant literals, broadcast probes,
+    * one shuffle for the per-query top-k. */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val cents = kMeansCentroids(corpus, nCells, iters)
+    val assigned = kmAssign(corpus, cents)
+      .select(col("vec_id"), col("embedding"),
+        vec_norm(col("embedding")).as("nrm"), col("cell"))
+
+    // query side: nProbe nearest trained centroids by squared L2 —
+    // sort the per-row (d, cell_id) struct array and slice the head
+    val qVv = vec_dot(col("embedding"), col("embedding"))
+    val probeStructs = array_sort(array(cents.zipWithIndex.map {
+      case (c, cid) =>
+        val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+        struct((qVv - lit(2.0) * vec_dot(col("embedding"), typedLit(c)) +
+          lit(cc)).as("d"), lit(cid).as("cell_id"))
+    }: _*))
+    val probes = withNorm(queries)
+      .withColumn("probe", explode(slice(probeStructs, 1, nProbe)))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("probe.cell_id").as("cell_id"))
+
+    val joined = assigned.as("c")
+      .join(broadcast(probes).as("q"),
+        col("q.cell_id") === col("c.cell") &&
+        col("q.q_id") =!= col("c.vec_id"))
+      .select(col("q.q_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        (vec_dot(col("q.q_emb"), col("c.embedding")) /
+          (col("q.q_nrm") * col("c.nrm"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public):

@@ -565,6 +565,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_sq_topk" -> ((s, dir) => {
+      // scalar quantization (SQ8): one byte per dimension over the
+      // corpus-wide per-dim [min,max]; asymmetric search against the
+      // decoded reconstruction — finest-grain compression point on the
+      // PQ/SQ/raw memory-recall frontier
+      val emb = t(s, dir, "embeddings")
+      Similarity.sqTopK(emb, emb.where(col("vec_id") < 8), k = 5,
+          levels = 256)
+        .orderBy("query_id", "rank")
+    }),
+
     "emb_norms" -> ((s, dir) =>
       t(s, dir, "embeddings").select(col("vec_id"),
           graft.functions.VectorFunctions.vec_norm(col("embedding"))
@@ -3122,6 +3133,33 @@ object SparkEntry {
 
     "ann_ivf_trained" -> duckIvfTrainedSql(nCells = 16, iters = 2,
       dims = 64, nProbe = 4, k = 5),
+
+    // replicates the SQ8 pipeline end to end: per-dim [min,max] over
+    // the corpus, floor(x+0.5) half-up byte codes clamped to [0,255],
+    // decode from the CODES (min + code·scale), asymmetric cosine vs
+    // the exact query, rank tie-break (cos DESC, neighbor ASC)
+    "ann_sq_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e),
+         |mm AS (SELECT i, min(v[i+1]) AS mn,
+         |  (max(v[i+1]) - min(v[i+1])) / CAST(255 AS DOUBLE) AS s
+         |  FROM e CROSS JOIN range(64) t(i) GROUP BY i),
+         |dec AS (SELECT e.vec_id, list(CASE WHEN s > 0
+         |    THEN mn + CAST(LEAST(255, GREATEST(0,
+         |      CAST(floor((v[i+1] - mn) / s + CAST(0.5 AS DOUBLE))
+         |        AS INTEGER))) AS DOUBLE) * s
+         |    ELSE mn END ORDER BY i) AS dv
+         |  FROM e CROSS JOIN mm GROUP BY e.vec_id),
+         |dn AS (SELECT vec_id, dv, sqrt(${duckDot("dv", "dv")}) AS dnrm
+         |  FROM dec),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${duckDot("c.dv", "q.v")} / (c.dnrm * q.nrm) AS cos
+         |  FROM n q JOIN dn c ON q.vec_id < 8 AND c.vec_id != q.vec_id),
+         |r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM p)
+         |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     // replicates the deterministic codebook (first 16 ids), the argmax
     // assignment tie-break (cos DESC, cell_id ASC), and the

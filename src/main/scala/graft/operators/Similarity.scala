@@ -718,4 +718,79 @@ object Similarity {
         pairCos.as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** Scalar-quantization ANN (SQ8 — the uniform scalar quantizer of
+    * Faiss's `ScalarQuantizer`, public design): each dimension maps
+    * linearly onto an integer code in [0, levels−1] over the
+    * corpus-wide [min_d, max_d] range, so a 64-d float vector becomes
+    * 64 bytes — a 4× compression with far finer per-dimension
+    * resolution than PQ at the same budget. Search is asymmetric: the
+    * query stays exact, each corpus vector contributes only its codes,
+    * and the estimated cosine is computed against the decoded
+    * reconstruction `min_d + code·scale_d`.
+    *
+    * Scale shape: the per-dimension [min, max] stats are a d-row
+    * partial-aggregated relation folded into ONE row of
+    * position-ordered arrays — it stays a broadcast relation end to
+    * end (never a driver collect), and the encode/decode pass is a
+    * per-row `transform` over the corpus scan with zero expansion and
+    * zero shuffle. The only shuffle is the final per-query top-k
+    * (partial top-k per partition under the rank window).
+    *
+    * Determinism / oracle parity: stats are exact min/max of
+    * float-widened doubles; the code is `round((x−min)/scale)` clamped
+    * to [0, levels−1] (HALF_UP — equal to round-half-away-from-zero on
+    * this non-negative domain); decode is `min + code·scale`; dot and
+    * norm fold sequentially in index order. Every step replays
+    * bit-for-bit in any engine with the same expression order.
+    * Output: (query_id, rank, neighbor_id, cos). */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      levels: Int = 256): DataFrame = {
+    require(levels >= 2 && levels <= 256,
+      s"levels must be in [2, 256] (one byte per dim), got $levels")
+    val span = lit((levels - 1).toDouble)
+    val lim = lit(levels - 1)
+    val stats = corpus
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(
+        min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"),
+        col("mx")))).as("st"))
+      .select(
+        transform(col("st"), s => s.getField("mn")).as("mins"),
+        transform(col("st"),
+          s => (s.getField("mx") - s.getField("mn")) / span).as("scales"))
+    // encode then decode FROM THE CODES (not from the raw floats): the
+    // decoded column is exactly what a reader of the byte index would
+    // reconstruct, so the cosine below measures true quantization error
+    val enc = corpus.crossJoin(broadcast(stats))
+      .withColumn("codes", transform(col("embedding"), (x, i) => {
+        val mn = element_at(col("mins"), i + 1)
+        val sc = element_at(col("scales"), i + 1)
+        when(sc > lit(0.0),
+          least(lim, greatest(lit(0),
+            // round-half-up as floor(x + 0.5): one IEEE add + exact
+            // floor — the engine's parity-safe rounding (house rule:
+            // no ROUND, its decimal-repr path is engine-specific)
+            floor((x.cast("double") - mn) / sc + lit(0.5)).cast("int"))))
+          .otherwise(lit(0))
+      }))
+      .withColumn("dec", transform(col("codes"), (c, i) =>
+        element_at(col("mins"), i + 1) +
+          c.cast("double") * element_at(col("scales"), i + 1)))
+      .select(col("vec_id"), col("dec"), vec_norm(col("dec")).as("nrm"))
+    val joined = enc.as("c")
+      .join(broadcast(withNorm(queries).as("q")),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        (vec_dot(col("c.dec"), col("q.embedding")) /
+          (col("c.nrm") * col("q.nrm"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
 }

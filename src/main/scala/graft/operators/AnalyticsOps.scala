@@ -380,4 +380,35 @@ object AnalyticsOps {
       .select(col("rank"), col("id"), col("rank_a"), col("rank_b"),
         col("rrf"))
   }
+
+  /** First-order Markov transition model over each key's ordered event
+    * sequence — the behavioral-modeling / synthetic-sequence primitive:
+    * P(next = b | current = a) estimated as exact transition counts
+    * over consecutive pairs, normalized per source state.
+    *
+    * Exact by construction: counts are longs, the per-source total is
+    * a partitioned window sum of longs, and the probability is ONE
+    * double division of the two — no float accumulation anywhere.
+    *
+    * Scale: `lead` over (key, ts, id) is a key-partitioned window
+    * (never single-partition); the pair aggregation is a hash agg on
+    * (from, to) whose cardinality is |types|² — tiny — so the window
+    * total over `from_type` is bounded. Output: (from_type, to_type,
+    * n, p) — rows with no successor (each key's last event) drop out. */
+  def markovTransitions(events: DataFrame, key: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq0 = Window.partitionBy(col(key))
+      .orderBy(col(tsCol), col(idCol))
+    val counts = events
+      .withColumn("next_type", lead(col(typeCol), 1).over(seq0))
+      .where(col("next_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy(col("from_type"))
+    counts.select(col("from_type"), col("to_type"), col("n"),
+      (col("n").cast("double") /
+        sum(col("n")).over(tot).cast("double")).as("p"))
+  }
 }

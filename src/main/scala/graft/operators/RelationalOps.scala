@@ -449,6 +449,37 @@ object RelationalOps {
       .drop("_s", "_s2")
   }
 
+  /** Exponentially-weighted moving average (α = ½) over each key's
+    * ordered integer series, truncated at the last `span` rows — the
+    * classic smoothing/monitoring primitive (Roberts 1959, public;
+    * pandas `ewm(adjust=True)` semantics on the truncated window).
+    *
+    * The α = ½ choice is what makes it exact: the unnormalized weights
+    * over the window are the integers 2^(span−1−j), so numerator and
+    * denominator are plain long sums of shifted values and the ONLY
+    * floating-point op is the final division — bit-reproducible in any
+    * engine, unlike a pow()-weighted formulation (transcendental) or a
+    * running float recurrence (order-dependent).
+    *
+    * Scale: one window over (key, order) — partitioned by key, never
+    * global; the span lags compile to a single WindowExec pass.
+    * Output: input columns + `ewma`. */
+  def ewmaSmooth(df: DataFrame, key: String, orderCol: String,
+      valCol: String, span: Int = 16): DataFrame = {
+    require(span >= 1 && span <= 32,
+      s"span must be in [1, 32] (weights are 2^(span-1-j) longs), got $span")
+    val w = Window.partitionBy(col(key)).orderBy(col(orderCol))
+    val terms = (0 until span).map { j =>
+      val weight = 1L << (span - 1 - j)
+      val xj = if (j == 0) col(valCol) else lag(col(valCol), j).over(w)
+      (coalesce(xj, lit(0L)) * lit(weight),
+        when(xj.isNotNull, lit(weight)).otherwise(lit(0L)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    df.withColumn("ewma", num.cast("double") / den.cast("double"))
+  }
+
   /** CUSUM drift detection per key (Page 1954, public): the classic
     * change-point monitor. `S_t = Σ_{s≤t}(v_s) − t·μ` tracks cumulative
     * deviation from the reference mean, and `drift_t = S_t − min_{s≤t}

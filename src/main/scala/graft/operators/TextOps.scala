@@ -206,4 +206,49 @@ object TextOps {
         (col("n_novel").cast("double") / col("n_sh").cast("double"))
           .as("novelty"))
   }
+
+  /** Bigram-LM familiarity scoring — the model-based quality signal of
+    * CCNet (Wenzek et al., LREC'20 — public) with the external n-gram
+    * LM replaced by the corpus's OWN bigram statistics, in exact
+    * arithmetic: a document whose word bigrams are common across the
+    * corpus reads like the corpus (high familiarity); one full of
+    * never-seen-again transitions is either novel or noise. The usual
+    * log-probability is deliberately replaced by integer aggregates
+    * (Σ corpus-frequency, count of bigrams seen outside this doc's
+    * sole occurrence) so every engine reproduces the score bit-for-bit
+    * — transcendental `ln` has no cross-engine parity guarantee.
+    *
+    * Scale: the bigram long form is linear in corpus tokens; the model
+    * is one hash aggregation over it and the scoring one join back +
+    * one per-doc aggregation — the exact shape of [[noveltyScores]].
+    * The long form is checkpointed once because both the model build
+    * and the scoring join consume it.
+    *
+    * Output: (doc_id, n_bigrams, familiar_bigrams, sum_freq,
+    * familiarity, avg_bigram_freq); docs with < 2 tokens have no
+    * bigrams and are absent. */
+  def lmFamiliarity(documents: DataFrame): DataFrame = {
+    val bi = documents
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .where(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ts")) - 1),
+        i => concat_ws(" ", element_at(col("ts"), i),
+          element_at(col("ts"), i + 1)))).as("bigram"))
+      .localCheckpoint(true)
+    val model = bi.groupBy(col("bigram"))
+      .agg(count(lit(1)).as("c12"))
+    bi.join(model, Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c12") >= 2, 1L).otherwise(0L))
+          .as("familiar_bigrams"),
+        sum(col("c12")).as("sum_freq"))
+      .select(col("doc_id"), col("n_bigrams"), col("familiar_bigrams"),
+        col("sum_freq"),
+        (col("familiar_bigrams").cast("double") /
+          col("n_bigrams").cast("double")).as("familiarity"),
+        (col("sum_freq").cast("double") /
+          col("n_bigrams").cast("double")).as("avg_bigram_freq"))
+  }
 }

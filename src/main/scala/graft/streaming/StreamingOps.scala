@@ -8,6 +8,11 @@ import org.apache.spark.sql.types.StructType
 /** Cumulative page-view state per shop, emitted by the stateful stream. */
 final case class ShopTotal(shop: String, total: Long)
 
+/** Ring buffer of the last `span` values for [[StreamingOps.streamingEwma]]. */
+final case class EwmaState(values: Seq[Long])
+final case class EwmaPoint(user_id: Long, d: java.sql.Date, n: Long,
+    ewma: Double)
+
 /** Open SCD2 run carried in the state store: the interval that hasn't
   * seen its closing event yet. */
 final case class Scd2Run(state: String, validFrom: java.sql.Timestamp,
@@ -452,6 +457,60 @@ object StreamingOps {
             }
           }
           cur.foreach(st.update)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming twin of [[graft.operators.RelationalOps.ewmaSmooth]]
+    * (α = ½, row-lag window truncated at `span`): per key, the state
+    * store keeps only the last `span` values — O(#keys · span),
+    * independent of stream age — and every arriving point emits its
+    * smoothed value in append mode.
+    *
+    * Bit parity with the batch operator by the same construction that
+    * makes the batch one exact: numerator and denominator are long
+    * sums of 2^(span−1−j)-weighted values (integer addition is
+    * order-free), and the ONLY floating-point op is the final
+    * division. Points are sorted by date WITHIN each micro-batch (the
+    * group iterator is unordered); across batches the stream assumes
+    * per-key date order — the contract of an append-only daily
+    * rollup feed. Input schema: (user_id long, d date, n long). */
+  def streamingEwma(spark: SparkSession, sourceDir: String,
+      schema: StructType, span: Int = 16,
+      maxFilesPerTrigger: Int = 1): Dataset[EwmaPoint] = {
+    require(span >= 1 && span <= 32,
+      s"span must be in [1, 32] (weights are 2^(span-1-j) longs), got $span")
+    import spark.implicits._
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .select(col("user_id").cast("long"), col("d").cast("date"),
+        col("n").cast("long"))
+      .as[(Long, java.sql.Date, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Date, Long)],
+            st: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(_._2.getTime)
+          var buf = st.getOption.map(_.values.toVector)
+            .getOrElse(Vector.empty[Long])
+          val out = Seq.newBuilder[EwmaPoint]
+          sorted.foreach { case (_, d, n) =>
+            buf = (buf :+ n).takeRight(span)
+            var num = 0L
+            var den = 0L
+            var j = 0
+            val it = buf.reverseIterator // newest first: j rows back
+            while (it.hasNext) {
+              val w = 1L << (span - 1 - j)
+              num += it.next() * w
+              den += w
+              j += 1
+            }
+            out += EwmaPoint(uid, d, n, num.toDouble / den.toDouble)
+          }
+          st.update(EwmaState(buf))
           out.result().iterator
       }
   }

@@ -230,6 +230,47 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out(3L) > 0.3 && out(3L) < 0.8)
   }
 
+  test("lmFamiliarity: repeated phrasing scores 1, one-off phrasing 0, " +
+      "short docs drop out") {
+    val docs = Seq(
+      (0L, "the quick brown fox"),
+      (1L, "the quick brown fox"), // same bigrams → both fully familiar
+      (2L, "completely singular phrasing here"), // every bigram unique
+      (3L, "fox")                  // 1 token → no bigrams → absent
+    ).toDF("doc_id", "text")
+    val out = TextOps.lmFamiliarity(docs)
+      .select("doc_id", "familiarity").as[(Long, Double)].collect().toMap
+    assert(out.keySet === Set(0L, 1L, 2L))
+    assert(out(0L) == 1.0 && out(1L) == 1.0,
+      "bigrams occurring twice corpus-wide are familiar")
+    assert(out(2L) == 0.0, "bigrams seen once corpus-wide are not")
+  }
+
+  test("markovTransitions: rows are P(next|current), each source state " +
+      "sums to 1, counts match the raw bigram mining") {
+    val ts0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new Timestamp(ts0.getTime + m * 60000L)
+    val ev = Seq(
+      // u1: a→b→a→c   u2: a→b
+      (1L, t(0), 10L, "a"), (1L, t(1), 11L, "b"),
+      (1L, t(2), 12L, "a"), (1L, t(3), 13L, "c"),
+      (2L, t(0), 20L, "a"), (2L, t(1), 21L, "b")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = AnalyticsOps.markovTransitions(ev)
+      .as[(String, String, Long, Double)].collect()
+    val byPair = out.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // transitions: a→b ×2, b→a ×1, a→c ×1
+    assert(byPair(("a", "b")) == (2L, 2.0 / 3.0))
+    assert(byPair(("a", "c")) == (1L, 1.0 / 3.0))
+    assert(byPair(("b", "a")) == (1L, 1.0))
+    // row-stochastic: per-source probabilities sum to 1 exactly on
+    // these dyadic fractions... (2/3 + 1/3 == 1.0 in IEEE here)
+    val sums = out.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+    sums.foreach { case (_, s) => assert(math.abs(s - 1.0) < 1e-12) }
+    // last event of each user contributes no transition
+    assert(out.map(_._3).sum == 4L)
+  }
+
   test("topTermsPerDoc ranks rare-but-frequent terms above ubiquitous ones") {
     val docs = Seq(
       (0L, "alpha alpha alpha the the common"),

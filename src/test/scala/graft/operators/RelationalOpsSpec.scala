@@ -215,6 +215,29 @@ class RelationalOpsSpec extends AnyFunSuite {
       "emptied group c must be dropped")
   }
 
+  test("ewmaSmooth: constant series is a fixed point, a step decays " +
+      "geometrically, truncation kicks in past the span") {
+    val series = (1 to 20).map(d => ("u", d, 4L)) ++
+      // step series for v: 0 for 10 days then 64
+      (1 to 20).map(d => ("v", d, if (d <= 10) 0L else 64L))
+    val out = RelationalOps
+      .ewmaSmooth(series.toDF("k", "d", "n"), "k", "d", "n", span = 4)
+      .select(col("k"), col("d"), col("ewma"))
+      .as[(String, Int, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // constant input → ewma equals the constant at every row,
+    // including the ramp-up rows where the window is short
+    assert(out("u").forall(_ == 4.0))
+    // first post-step row with span 4, weights 8,4,2,1 newest-first:
+    // (64·8 + 0·4 + 0·2 + 0·1) / 15
+    assert(out("v")(10) == 512.0 / 15.0)
+    // 4 rows after the step the zeros leave the window entirely
+    assert(out("v").drop(14).forall(_ == 64.0))
+    // single-row ramp-up: ewma == x exactly
+    assert(out("v").head == 0.0)
+  }
+
   test("asofBackward plans one shuffle on the key, no theta join") {
     val left = Seq((1L, 1L, ts("2024-01-01 00:00:00")))
       .toDF("event_id", "user_id", "ts")

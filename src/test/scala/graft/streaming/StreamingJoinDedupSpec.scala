@@ -142,6 +142,41 @@ class StreamingJoinDedupSpec extends AnyFunSuite {
     assert(streamed.size === 3) // view→click, click→view (u7), purchase (u8)
   }
 
+  test("streamingEwma across micro-batches equals the batch ewmaSmooth " +
+      "bit-for-bit, with state truncated at the span") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-sewma").toString + "/daily"
+    def day(i: Int) = java.sql.Date.valueOf(f"2024-02-${i}%02d")
+    // two keys, 12 days each, values chosen to exercise ramp-up,
+    // truncation (span 4 < 12), and the cross-batch state carry
+    val all = (1 to 12).flatMap(i =>
+      Seq((7L, day(i), i.toLong), (8L, day(i), (i * 3 % 7).toLong)))
+    val dailySchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("d", DateType),
+      StructField("n", LongType)))
+    // chunked by date into two files → two micro-batches at
+    // maxFilesPerTrigger=1: the second batch MUST resume from state
+    all.filter(_._2.before(day(7))).toDF("user_id", "d", "n")
+      .coalesce(1).write.parquet(dir)
+    all.filterNot(_._2.before(day(7))).toDF("user_id", "d", "n")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val streamed = StreamingOps.runToMemory(spark,
+        StreamingOps.streamingEwma(spark, dir, dailySchema, span = 4)
+          .toDF(),
+        "sewma_out", outputMode = "append")
+      .select("user_id", "d", "n", "ewma")
+      .as[(Long, java.sql.Date, Long, Double)].collect().toSet
+
+    val batch = graft.operators.RelationalOps.ewmaSmooth(
+        all.toDF("user_id", "d", "n"), "user_id", "d", "n", span = 4)
+      .select(col("user_id"), col("d"), col("n"), col("ewma"))
+      .as[(Long, java.sql.Date, Long, Double)].collect().toSet
+
+    assert(streamed === batch) // exact double equality by construction
+    assert(streamed.size === 24)
+  }
+
   test("streamingAppendToStore: file stream lands exactly the source rows") {
     val src = Files.createTempDirectory("graft-sapp").toString + "/ev"
     val ckpt = Files.createTempDirectory("graft-sapp-ck").toString

@@ -1818,6 +1818,13 @@ object SparkEntry {
       TextOps.lmFamiliarity(t(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    "text_gopher_filters" -> ((s, dir) =>
+      // rule-based quality filtering with per-rule audit booleans;
+      // thresholds centered on this corpus's distribution so every
+      // rule actually discriminates
+      TextOps.gopherFilters(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     "analytics_skyline" -> ((s, dir) =>
       // Pareto frontier of (quantity, price) both minimized — the
       // cheapest-per-size-class frontier
@@ -2273,6 +2280,37 @@ object SparkEntry {
       // source state, the generator for synthetic user sequences
       AnalyticsOps.markovTransitions(events(s, dir))
         .orderBy("from_type", "to_type")),
+
+    // ---- HHI concentration audit per event type ----
+    "analytics_hhi" -> ((s, dir) =>
+      // how concentrated each event type's volume is across users —
+      // the dataset-balance audit (integer sums, one division)
+      AnalyticsOps.concentrationIndex(events(s, dir),
+          "event_type", "user_id")
+        .orderBy("event_type")),
+
+    // ---- day-of-week seasonality profile ----
+    "analytics_seasonality" -> ((s, dir) =>
+      AnalyticsOps.seasonalityProfile(events(s, dir))
+        .orderBy("event_type", "dow")),
+
+    // ---- exact rolling median over a bounded row frame ----
+    "ts_rolling_median" -> ((s, dir) =>
+      // robust twin of ts_rolling_zscore: trailing-7-row exact median
+      // per user, sorted-array frame (bounded → codegen-safe)
+      RelationalOps.rollingMedian(
+          events(s, dir).select("user_id", "ts", "event_id", "value"),
+          "user_id", "ts", "event_id", "value", n = 7)
+        .orderBy("user_id", "ts", "event_id")),
+
+    // ---- hard-negative mining over embeddings ----
+    "emb_hard_negatives" -> ((s, dir) => {
+      // contrastive-training counterpart of ann_bruteforce_topk: the
+      // most-similar WRONG-label neighbors per query
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.where(col("vec_id") < 8), k = 3)
+        .orderBy("query_id", "rank")
+    }),
 
     // ---- PII redaction with audit counts ----
     "text_pii_redact" -> ((s, dir) => {
@@ -3101,6 +3139,23 @@ object SparkEntry {
          |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
          |  FROM p)
          |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // hard negatives: brute-force pairs restricted to label mismatch
+    "emb_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e),
+         |p AS (SELECT q.vec_id AS query_id, q.label AS query_label,
+         |  c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         |  ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+         |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id != q.vec_id
+         |   AND c.label != q.label),
+         |r AS (SELECT query_id, query_label, neighbor_id, neighbor_label,
+         |  cos, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM p)
+         |SELECT query_id, query_label, rank, neighbor_id, neighbor_label,
+         | cos FROM r WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
 
     "ann_lsh_topk" ->
@@ -4482,6 +4537,46 @@ object SparkEntry {
         |FROM b JOIN m USING (bigram)
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
 
+    // replicates gopherFilters: same tokenization, per-row longs, one
+    // double division per ratio, thresholds as DOUBLE casts (DuckDB
+    // decimal literals would compare differently)
+    "text_gopher_filters" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS ts
+        | FROM documents),
+        |v AS (SELECT doc_id, ts FROM t WHERE ts <> ['']),
+        |pr AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_words,
+        |  CAST(list_sum(list_transform(ts, x -> len(x))) AS BIGINT)
+        |   AS sum_len,
+        |  CAST(len(list_filter(ts, x -> list_contains(
+        |   ['the','a','an','of','and','to','in','is','it','that'], x)))
+        |   AS BIGINT) AS n_stop
+        | FROM v),
+        |tt AS (SELECT doc_id, max(c) AS max_token_n FROM (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM (
+        |   SELECT doc_id, unnest(ts) AS tok FROM v) u
+        |  GROUP BY doc_id, tok) g GROUP BY doc_id),
+        |j AS (SELECT pr.doc_id, n_words,
+        |  CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |   AS mean_word_len,
+        |  CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio,
+        |  CAST(max_token_n AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |   AS max_token_ratio
+        | FROM pr JOIN tt ON pr.doc_id = tt.doc_id)
+        |SELECT doc_id, n_words, mean_word_len, stop_ratio,
+        | max_token_ratio,
+        | n_words >= 25 AND n_words <= 90 AS ok_words,
+        | mean_word_len >= CAST(4.3 AS DOUBLE)
+        |  AND mean_word_len <= CAST(4.75 AS DOUBLE) AS ok_word_len,
+        | stop_ratio >= CAST(0.02 AS DOUBLE) AS ok_stop,
+        | max_token_ratio <= CAST(0.12 AS DOUBLE) AS ok_rep,
+        | (n_words >= 25 AND n_words <= 90)
+        |  AND (mean_word_len >= CAST(4.3 AS DOUBLE)
+        |   AND mean_word_len <= CAST(4.75 AS DOUBLE))
+        |  AND stop_ratio >= CAST(0.02 AS DOUBLE)
+        |  AND max_token_ratio <= CAST(0.12 AS DOUBLE) AS keep
+        |FROM j ORDER BY doc_id""".stripMargin,
+
     // mirrors bm25TopDocs exactly: parsed decimal constants, idf·sat
     // multiplication order, left-associated coalesce total
     "text_bm25" ->
@@ -5198,6 +5293,43 @@ object SparkEntry {
          | CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma
          |FROM e ORDER BY user_id, d""".stripMargin
     },
+
+    // HHI: two-level BIGINT aggregation, one double division —
+    // replicates concentrationIndex
+    "analytics_hhi" ->
+      """WITH u AS (SELECT event_type, user_id,
+        |  CAST(count(*) AS BIGINT) AS n_u FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_units,
+        | CAST(sum(n_u) AS BIGINT) AS total,
+        | CAST(sum(n_u * n_u) AS BIGINT) AS sum_sq,
+        | CAST(sum(n_u * n_u) AS DOUBLE)
+        |  / CAST(sum(n_u) * sum(n_u) AS DOUBLE) AS hhi
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // seasonality: DuckDB dayofweek is 0=Sunday, Spark's is 1=Sunday
+    "analytics_seasonality" ->
+      """WITH c AS (SELECT event_type,
+        |  CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)
+        |SELECT event_type, dow, n, CAST(n AS DOUBLE)
+        | / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS share
+        |FROM c ORDER BY event_type, dow""".stripMargin,
+
+    // rolling median: list() window aggregate over the same 7-row
+    // frame, sorted, exact middle (odd) or mean-of-two (even)
+    "ts_rolling_median" ->
+      """WITH s AS (SELECT user_id, ts, event_id, value FROM events
+        |  WHERE value IS NOT NULL),
+        |f AS (SELECT user_id, ts, event_id, value,
+        |  list_sort(list(CAST(value AS DOUBLE)) OVER w) AS fr
+        | FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, ts, event_id, value,
+        | CAST(len(fr) AS BIGINT) AS n_in_frame,
+        | CASE WHEN len(fr) % 2 = 1 THEN fr[(len(fr) + 1) // 2]
+        |  ELSE (fr[len(fr) // 2] + fr[len(fr) // 2 + 1])
+        |   / CAST(2 AS DOUBLE) END AS rolling_median
+        |FROM f ORDER BY user_id, ts, event_id""".stripMargin,
 
     // Markov: exact transition counts, per-source window total, one
     // double division — replicates markovTransitions

@@ -395,6 +395,102 @@ object AnalyticsOps {
     * (from, to) whose cardinality is |types|² — tiny — so the window
     * total over `from_type` is bounded. Output: (from_type, to_type,
     * n, p) — rows with no successor (each key's last event) drop out. */
+  /** Welch's two-sample t statistic per group (Welch 1947 — public):
+    * the A/B-experiment readout. For each group, arm A and arm B get
+    * exact count / mean / sample variance, and
+    * `t = (mean_a − mean_b) / sqrt(var_a/n_a + var_b/n_b)`.
+    *
+    * Exactness follows the agg_stats_exact discipline: Σx and Σx² are
+    * DECIMAL-accumulated (order-free) and every derived value is a
+    * pinned sequence of single IEEE ops (sqrt included — correctly
+    * rounded per IEEE 754), so the statistic is engine-reproducible.
+    * Arms with n < 2 have undefined variance → t is null.
+    *
+    * Scale: one conditional hash aggregation over (group) — partial
+    * aggregation map-side, no window, no shuffle beyond the group key.
+    * Output: (group, n_a, mean_a, var_a, n_b, mean_b, var_b, t). */
+  def abWelch(df: DataFrame, groupCol: String, armCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(22, 6)
+    def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+    val a = col(armCol) === 0
+    val v = col(valueCol)
+    val agg = df.where(v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        count(when(a, lit(1))).as("n_a"),
+        dsum(when(a, v)).as("s_a"),
+        dsum(when(a, v * v)).as("s2_a"),
+        count(when(!a, lit(1))).as("n_b"),
+        dsum(when(!a, v)).as("s_b"),
+        dsum(when(!a, v * v)).as("s2_b"))
+    def meanOf(s: String, n: String): Column =
+      col(s) / col(n).cast("double")
+    def varOf(s: String, s2: String, n: String): Column =
+      when(col(n) >= 2,
+        (col(s2) - (col(s) * col(s)) / col(n).cast("double")) /
+          (col(n).cast("double") - lit(1.0)))
+    agg.select(col(groupCol),
+        col("n_a"), meanOf("s_a", "n_a").as("mean_a"),
+        varOf("s_a", "s2_a", "n_a").as("var_a"),
+        col("n_b"), meanOf("s_b", "n_b").as("mean_b"),
+        varOf("s_b", "s2_b", "n_b").as("var_b"))
+      .withColumn("t",
+        (col("mean_a") - col("mean_b")) /
+          sqrt(col("var_a") / col("n_a").cast("double") +
+            col("var_b") / col("n_b").cast("double")))
+  }
+
+  /** Herfindahl–Hirschman concentration index per group (Herfindahl
+    * 1950 / Hirschman 1945 — public; a.k.a. Simpson's index): how
+    * concentrated each group's activity is across units, `HHI =
+    * Σ_u n_u² / (Σ_u n_u)²` ∈ (0, 1] — 1 when one unit owns the whole
+    * group, → 1/#units under a uniform spread. The dataset-balance
+    * audit for training mixes: a source whose documents all come from
+    * one crawl host, or an event type driven by one user, jumps out.
+    *
+    * Exact: both sums are BIGINT hash aggregations (n_u ≤ 3 M keeps
+    * n_u² in long range; the two-level agg keeps everything exact) and
+    * the index is ONE double division of the two — engine-independent.
+    *
+    * Scale: two hash aggregations, (group, unit) then group — the
+    * canonical map-side-combine shape, no windows, no collects.
+    * Output: (group, n_units, total, sum_sq, hhi). */
+  def concentrationIndex(df: DataFrame, groupCol: String,
+      unitCol: String): DataFrame = {
+    val perUnit = df.groupBy(col(groupCol), col(unitCol))
+      .agg(count(lit(1)).as("n_u"))
+    perUnit.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("n_u")).as("total"),
+        sum(col("n_u") * col("n_u")).as("sum_sq"))
+      .select(col(groupCol), col("n_units"), col("total"), col("sum_sq"),
+        (col("sum_sq").cast("double") /
+          (col("total") * col("total")).cast("double")).as("hhi"))
+  }
+
+  /** Day-of-week seasonality profile per event type: exact counts per
+    * (type, dow) cell plus each cell's share of its type's total — the
+    * weekly-rhythm fingerprint monitoring dashboards diff against. The
+    * share denominator is a type-partitioned window sum of longs (25ish
+    * rows per type after aggregation — trivially bounded), and the
+    * share itself one double division.
+    *
+    * `dow` follows Spark's `dayofweek`: 1 = Sunday … 7 = Saturday.
+    * Output: (event_type, dow, n, share). */
+  def seasonalityProfile(events: DataFrame,
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = events
+      .groupBy(col(typeCol), dayofweek(col(tsCol)).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy(col(typeCol))
+    cells.select(col(typeCol), col("dow"), col("n"),
+      (col("n").cast("double") / sum(col("n")).over(tot).cast("double"))
+        .as("share"))
+  }
+
   def markovTransitions(events: DataFrame, key: String = "user_id",
       tsCol: String = "ts", idCol: String = "event_id",
       typeCol: String = "event_type"): DataFrame = {

@@ -45,6 +45,81 @@ object Similarity {
     vec_dot(col("q.embedding"), col("c.embedding")) /
       (col("q.nrm") * col("c.nrm"))
 
+  /** Hard-negative mining for contrastive training (the in-batch /
+    * corpus-level negatives of DPR, Karpukhin et al. 2020 — public):
+    * for each query vector, the k most-similar corpus vectors whose
+    * `label` DIFFERS from the query's — the near-miss examples a
+    * contrastive loss learns the most from, as opposed to random
+    * negatives it already separates.
+    *
+    * Same execution shape as [[bruteForceTopK]]: broadcast the (small)
+    * query set, one codegen'd VecDot pass per (corpus row, query), then
+    * a per-query partial top-k — the label inequality just rides the
+    * join condition, so mismatched-label pairs are dropped before the
+    * rank shuffle. Output: (query_id, query_label, rank, neighbor_id,
+    * neighbor_label, cos). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      k: Int = 3): DataFrame = {
+    def prep(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("label"), col("embedding"),
+        vec_norm(col("embedding")).as("nrm"))
+    val joined = prep(corpus).as("c")
+      .join(broadcast(prep(queries).as("q")),
+        col("q.vec_id") =!= col("c.vec_id") &&
+          col("q.label") =!= col("c.label"))
+      .select(col("q.vec_id").as("query_id"),
+        col("q.label").as("query_label"),
+        col("c.vec_id").as("neighbor_id"),
+        col("c.label").as("neighbor_label"), pairCos.as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("rank"),
+        col("neighbor_id"), col("neighbor_label"), col("cos"))
+  }
+
+  /** Triplet mining for metric learning (Schroff et al. 2015, FaceNet
+    * — public): for each anchor query, its single best positive
+    * (most-similar SAME-label vector) and single hardest negative
+    * (most-similar different-label vector), plus the margin
+    * `pos_cos − neg_cos` the triplet loss would push on. A negative
+    * margin flags the anchors currently misordered in embedding space
+    * — the curriculum signal for hard-example training.
+    *
+    * One broadcast pass computes every (corpus, query) cosine tagged
+    * with a same-label flag; a window ranked within (query, flag)
+    * keeps the two winners; a conditional aggregation folds them into
+    * one row per anchor. Anchors missing either side (no same-label or
+    * no different-label candidate) are dropped — a triplet needs both.
+    * Output: (query_id, query_label, pos_id, pos_cos, neg_id, neg_cos,
+    * margin). */
+  def tripletMining(corpus: DataFrame, queries: DataFrame): DataFrame = {
+    def prep(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("label"), col("embedding"),
+        vec_norm(col("embedding")).as("nrm"))
+    val pairs = prep(corpus).as("c")
+      .join(broadcast(prep(queries).as("q")),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"),
+        col("q.label").as("query_label"),
+        col("c.vec_id").as("neighbor_id"),
+        (col("c.label") === col("q.label")).as("is_pos"),
+        pairCos.as("cos"))
+    val w = Window.partitionBy(col("query_id"), col("is_pos"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    pairs.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .groupBy(col("query_id"), col("query_label"))
+      .agg(
+        max(when(col("is_pos"), col("neighbor_id"))).as("pos_id"),
+        max(when(col("is_pos"), col("cos"))).as("pos_cos"),
+        max(when(!col("is_pos"), col("neighbor_id"))).as("neg_id"),
+        max(when(!col("is_pos"), col("cos"))).as("neg_cos"))
+      .where(col("pos_id").isNotNull && col("neg_id").isNotNull)
+      .withColumn("margin", col("pos_cos") - col("neg_cos"))
+  }
+
   /** Brute-force cosine top-k: every query row (broadcast) against the
     * whole corpus; per-query rank with deterministic tie-break on
     * neighbor id. Output: (query_id, rank, neighbor_id, cos). */

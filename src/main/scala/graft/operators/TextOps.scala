@@ -207,6 +207,76 @@ object TextOps {
           .as("novelty"))
   }
 
+  /** Gopher-style rule-based quality filtering (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", §A1.1 — public): instead of
+    * one blended score ([[qualityScore]]), each heuristic is its own
+    * boolean column so a pipeline can audit WHICH rule dropped a
+    * document — the operational difference between a filter you can
+    * tune and one you can only rerun:
+    *
+    *   - `ok_words`:    token count within [minWords, maxWords]
+    *   - `ok_word_len`: mean token length within [minMeanLen, maxMeanLen]
+    *   - `ok_stop`:     stopword fraction ≥ minStopRatio (prose signal)
+    *   - `ok_rep`:      most-frequent-token share ≤ maxTopTokenRatio
+    *                    (the degenerate-repetition rule)
+    *   - `keep`:        conjunction of all four
+    *
+    * Exactness: every ratio is ONE double division of two exact longs,
+    * and thresholds are compared on that single-division value — no
+    * float accumulation, so the booleans are engine-independent.
+    *
+    * Scale: the three per-row stats are codegen'd array expressions
+    * (zero shuffle); the top-token share needs token-level grouping, so
+    * the long form explodes and hash-aggregates on (doc_id, token) —
+    * linear in corpus tokens, the same shape as [[noveltyScores]] —
+    * and max-reduces to one row per doc before joining back.
+    *
+    * Output: (doc_id, n_words, mean_word_len, stop_ratio,
+    * max_token_ratio, ok_words, ok_word_len, ok_stop, ok_rep, keep);
+    * empty/whitespace-only docs have no tokens and are absent. */
+  def gopherFilters(documents: DataFrame,
+      minWords: Int = 25, maxWords: Int = 90,
+      minMeanLen: Double = 4.3, maxMeanLen: Double = 4.75,
+      minStopRatio: Double = 0.02,
+      maxTopTokenRatio: Double = 0.12): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      // whitespace-only text splits to [""] — the one shape where the
+      // tokenizer yields a token that isn't a word; null text → null
+      // array, dropped by the same (null-propagating) comparison
+      .where(col("ts") =!= array(lit("")))
+    val perRow = toks.select(
+      col("doc_id"), col("ts"),
+      size(col("ts")).cast("long").as("n_words"),
+      aggregate(transform(col("ts"), t => length(t).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("sum_len"),
+      graft.functions.StringSetFunctions
+        .count_in_set(col("ts"), EnglishStopwords).cast("long")
+        .as("n_stop"))
+    val topToken = toks
+      .select(col("doc_id"), explode(col("ts")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_token_n"))
+    perRow.join(topToken, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"),
+        (col("sum_len").cast("double") / col("n_words").cast("double"))
+          .as("mean_word_len"),
+        (col("n_stop").cast("double") / col("n_words").cast("double"))
+          .as("stop_ratio"),
+        (col("max_token_n").cast("double") / col("n_words").cast("double"))
+          .as("max_token_ratio"))
+      .withColumn("ok_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_word_len", col("mean_word_len") >= minMeanLen &&
+        col("mean_word_len") <= maxMeanLen)
+      .withColumn("ok_stop", col("stop_ratio") >= minStopRatio)
+      .withColumn("ok_rep", col("max_token_ratio") <= maxTopTokenRatio)
+      .withColumn("keep", col("ok_words") && col("ok_word_len") &&
+        col("ok_stop") && col("ok_rep"))
+  }
+
   /** Bigram-LM familiarity scoring — the model-based quality signal of
     * CCNet (Wenzek et al., LREC'20 — public) with the external n-gram
     * LM replaced by the corpus's OWN bigram statistics, in exact

@@ -271,6 +271,61 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out.map(_._3).sum == 4L)
   }
 
+  test("gopherFilters: each rule trips on exactly its designed violation") {
+    val docs = Seq(
+      (0L, "the cat sat on mat"),            // passes every rule
+      (1L, "xx yy"),                          // too few words
+      (2L, "the the the the"),                // repetition rule
+      (3L, "supercalifragilistic is he now"), // mean word length high
+      (4L, "zz qq ww ee rr"),                 // no stopwords
+      (5L, "   ")                             // tokenless → absent
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherFilters(docs, minWords = 3, maxWords = 6,
+        minMeanLen = 2.0, maxMeanLen = 5.0, minStopRatio = 0.1,
+        maxTopTokenRatio = 0.5)
+      .select("doc_id", "ok_words", "ok_word_len", "ok_stop", "ok_rep",
+        "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    assert(out(0L) === ((0L, true, true, true, true, true)))
+    assert(!out(1L)._2 && !out(1L)._6, "word-count rule")
+    assert(!out(2L)._5 && !out(2L)._6, "repetition rule")
+    assert(!out(3L)._3 && !out(3L)._6, "mean-word-length rule")
+    assert(!out(4L)._4 && !out(4L)._6, "stopword rule")
+  }
+
+  test("concentrationIndex: monopoly group scores 1, uniform two-user " +
+      "group scores 1/2") {
+    val df = Seq(
+      ("a", 1L), ("a", 1L), ("a", 1L), // one user owns type a
+      ("b", 2L), ("b", 3L)             // type b split evenly
+    ).toDF("event_type", "user_id")
+    val out = AnalyticsOps.concentrationIndex(df, "event_type", "user_id")
+      .select("event_type", "n_units", "total", "sum_sq", "hhi")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a") === (("a", 1L, 3L, 9L, 1.0)))
+    assert(out("b") === (("b", 2L, 2L, 2L, 0.5)))
+  }
+
+  test("seasonalityProfile: dow is 1=Sunday and shares sum to 1 per type") {
+    val ev = Seq(
+      // 2024-01-07 is a Sunday, 2024-01-08 a Monday
+      ("x", ts("2024-01-07 10:00:00")), ("x", ts("2024-01-07 11:00:00")),
+      ("x", ts("2024-01-08 10:00:00")),
+      ("y", ts("2024-01-08 09:00:00"))
+    ).toDF("event_type", "ts")
+    val out = AnalyticsOps.seasonalityProfile(ev)
+      .as[(String, Long, Long, Double)].collect()
+    val byCell = out.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(byCell(("x", 1L)) === ((2L, 2.0 / 3.0)))
+    assert(byCell(("x", 2L)) === ((1L, 1.0 / 3.0)))
+    assert(byCell(("y", 2L)) === ((1L, 1.0)))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12) }
+  }
+
   test("topTermsPerDoc ranks rare-but-frequent terms above ubiquitous ones") {
     val docs = Seq(
       (0L, "alpha alpha alpha the the common"),

@@ -34,6 +34,26 @@ class AnnRecallProbeSpec extends AnyFunSuite {
       .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
       .count().toDouble / brute.count().toDouble
 
+  test("hardNegatives: excludes same-label vectors, ranks by cosine, " +
+      "caps at k") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, 0, Array(1.0f, 0.0f)),   // the query
+      (1L, 0, Array(0.99f, 0.1f)),  // nearest overall but SAME label
+      (2L, 1, Array(0.9f, 0.2f)),   // best wrong-label → rank 1
+      (3L, 1, Array(0.0f, 1.0f)),   // orthogonal → rank 2
+      (4L, 2, Array(-1.0f, 0.0f)),  // cos exactly −1 → beyond k, cut
+      (5L, 2, Array(-1.0f, -0.1f))  // cos −1/|(−1,−.1)| ≈ −.995 → rank 3
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.hardNegatives(corpus,
+        corpus.where(col("vec_id") === 0L), k = 3)
+      .select("query_id", "rank", "neighbor_id", "neighbor_label")
+      .as[(Long, Int, Long, Int)].collect().sortBy(_._2)
+    assert(out.map(_._3).toSeq === Seq(2L, 3L, 5L),
+      "same-label id 1 must never appear; order is cosine desc")
+    assert(out.forall(_._4 != 0), "all negatives carry a wrong label")
+  }
+
   test("IVF (shipped config) holds recall@5 >= 0.9") {
     val r = recallOf(Similarity.ivfTopK(emb, q, k = 5,
       nCells = 16, nProbe = 4))

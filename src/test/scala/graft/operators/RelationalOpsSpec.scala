@@ -215,6 +215,23 @@ class RelationalOpsSpec extends AnyFunSuite {
       "emptied group c must be dropped")
   }
 
+  test("rollingMedian: odd frame takes the middle, even frame averages, " +
+      "frame truncates at n and nulls are dropped") {
+    val df = Seq(
+      ("u", 1, 10L, Option(1.0)), ("u", 2, 11L, Option(2.0)),
+      ("u", 3, 12L, Option.empty[Double]), // null → dropped entirely
+      ("u", 4, 13L, Option(3.0)), ("u", 5, 14L, Option(4.0)),
+      ("u", 6, 15L, Option(100.0)) // spike: median shrugs, mean wouldn't
+    ).toDF("k", "d", "id", "v")
+    val out = RelationalOps.rollingMedian(df, "k", "d", "id", "v", n = 3)
+      .select("d", "n_in_frame", "rolling_median")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1, 2, 4, 5, 6))
+    assert(out.map(_._2).toSeq === Seq(1L, 2L, 3L, 3L, 3L))
+    // frames: [1] [1,2] [1,2,3] [2,3,4] [3,4,100]
+    assert(out.map(_._3).toSeq === Seq(1.0, 1.5, 2.0, 3.0, 4.0))
+  }
+
   test("ewmaSmooth: constant series is a fixed point, a step decays " +
       "geometrically, truncation kicks in past the span") {
     val series = (1 to 20).map(d => ("u", d, 4L)) ++

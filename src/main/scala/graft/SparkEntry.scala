@@ -2312,6 +2312,51 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- triplet mining: best positive + hardest negative + margin ----
+    "emb_triplets" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.tripletMining(emb, emb.where(col("vec_id") < 8))
+        .orderBy("query_id")
+    }),
+
+    // ---- Welch A/B test over a hash-based assignment ----
+    "analytics_ab_welch" -> ((s, dir) =>
+      // deterministic arm assignment (user parity — the hash-split
+      // stand-in), exact decimal-accumulated moments, Welch t per type
+      AnalyticsOps.abWelch(
+          events(s, dir).withColumn("arm",
+            pmod(col("user_id"), lit(2)).cast("int")),
+          "event_type", "arm", "value")
+        .orderBy("event_type")),
+
+    // ---- corpus-prep attrition funnel ----
+    "pipe_filter_funnel" -> ((s, dir) => {
+      // the audit row set every filtering run ships with: survivors
+      // after gopher rules, + quality gate, + exact-dedup keeper —
+      // flags built as joins, folded by ONE conditional aggregation
+      val docs = t(s, dir, "documents")
+      val gopher = TextOps.gopherFilters(docs)
+        .select(col("doc_id"), col("keep").as("gopher_keep"))
+      val keeper = docs
+        .select(col("doc_id"),
+          TextOps.normalizeForDedup(col("text")).as("nt"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("nt")).orderBy(col("doc_id"))))
+        .select(col("doc_id"), (col("rk") === 1).as("dedup_keeper"))
+      val flags = docs
+        // Generate barrier (see pipe_training_set): keeps the quality
+        // expression from re-inlining the tokenizer into the scan
+        .withColumn("toks", explode(array(TextOps.tokens(col("text")))))
+        .withColumn("q_ok", TextOps.qualityScoreFromTokens(col("text"),
+          col("toks")) >= 0.85)
+        .select("doc_id", "q_ok")
+        .join(gopher, Seq("doc_id"), "left")
+        .join(keeper, Seq("doc_id"), "left")
+      PipelineOps.filterFunnel(flags,
+          Seq("gopher_keep", "q_ok", "dedup_keeper"))
+        .orderBy("stage_idx")
+    }),
+
     // ---- PII redaction with audit counts ----
     "text_pii_redact" -> ((s, dir) => {
       // same deterministic injection as text_pii_scan, then the action:
@@ -3140,6 +3185,29 @@ object SparkEntry {
          |  FROM p)
          |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // triplets: one ranked pass per (query, same-label flag), folded
+    // by conditional max — replicates tripletMining
+    "emb_triplets" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e),
+         |p AS (SELECT q.vec_id AS query_id, q.label AS query_label,
+         |  c.vec_id AS neighbor_id, (c.label = q.label) AS is_pos,
+         |  ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+         |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id != q.vec_id),
+         |r AS (SELECT query_id, query_label, neighbor_id, is_pos, cos,
+         |  row_number() OVER (PARTITION BY query_id, is_pos
+         |   ORDER BY cos DESC, neighbor_id ASC) AS rk FROM p),
+         |w AS (SELECT query_id, query_label,
+         |  max(CASE WHEN is_pos THEN neighbor_id END) AS pos_id,
+         |  max(CASE WHEN is_pos THEN cos END) AS pos_cos,
+         |  max(CASE WHEN NOT is_pos THEN neighbor_id END) AS neg_id,
+         |  max(CASE WHEN NOT is_pos THEN cos END) AS neg_cos
+         |  FROM r WHERE rk = 1 GROUP BY 1, 2)
+         |SELECT query_id, query_label, pos_id, pos_cos, neg_id, neg_cos,
+         | pos_cos - neg_cos AS margin
+         |FROM w WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL
+         |ORDER BY query_id""".stripMargin,
 
     // hard negatives: brute-force pairs restricted to label mismatch
     "emb_hard_negatives" ->
@@ -4577,6 +4645,85 @@ object SparkEntry {
         |  AND max_token_ratio <= CAST(0.12 AS DOUBLE) AS keep
         |FROM j ORDER BY doc_id""".stripMargin,
 
+    // funnel: gopher flags + quality gate + normalized-dedup keeper,
+    // folded into cumulative survivor counts — replicates the
+    // pipe_filter_funnel composition stage by stage
+    "pipe_filter_funnel" -> {
+      val stops = TextOps.EnglishStopwords.map(w => s"'$w'")
+        .mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, text,
+         |  string_split_regex(trim(lower(text)), '\\s+') AS ts
+         | FROM documents),
+         |v AS (SELECT doc_id, ts FROM t WHERE ts <> ['']),
+         |pr AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_words,
+         |  CAST(list_sum(list_transform(ts, x -> len(x))) AS BIGINT)
+         |   AS sum_len,
+         |  CAST(len(list_filter(ts, x -> list_contains($stops, x)))
+         |   AS BIGINT) AS n_stop
+         | FROM v),
+         |tt AS (SELECT doc_id, max(c) AS max_token_n FROM (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM (
+         |   SELECT doc_id, unnest(ts) AS tok FROM v) u
+         |  GROUP BY doc_id, tok) g GROUP BY doc_id),
+         |gf AS (SELECT pr.doc_id,
+         |  (n_words >= 25 AND n_words <= 90)
+         |  AND (CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |    >= CAST(4.3 AS DOUBLE)
+         |   AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |    <= CAST(4.75 AS DOUBLE))
+         |  AND CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |   >= CAST(0.02 AS DOUBLE)
+         |  AND CAST(max_token_n AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |   <= CAST(0.12 AS DOUBLE) AS gopher_keep
+         | FROM pr JOIN tt ON pr.doc_id = tt.doc_id),
+         |qc AS (SELECT doc_id,
+         |  CAST(len(ts) AS DOUBLE) AS n,
+         |  CAST(length(text) AS DOUBLE) AS chars,
+         |  CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE)
+         |   AS punct,
+         |  CAST(len(list_filter(ts, tk -> list_contains($stops, tk)))
+         |   AS DOUBLE) AS stop
+         | FROM t),
+         |q AS (SELECT doc_id,
+         |  (CASE WHEN n >= 5 AND n <= 100000 THEN 1e0 ELSE 0e0 END) * 0.25e0
+         |  + (CASE WHEN chars / greatest(n, 1e0) >= 2e0
+         |       AND chars / greatest(n, 1e0) <= 12e0 THEN 1e0 ELSE 0e0 END)
+         |    * 0.25e0
+         |  + (CASE WHEN punct / greatest(chars, 1e0) <= 0.2e0
+         |     THEN 1e0 ELSE 0e0 END) * 0.25e0
+         |  + least(stop / greatest(n, 1e0) * 5e0, 1e0) * 0.25e0
+         |   >= CAST(0.85 AS DOUBLE) AS q_ok
+         | FROM qc),
+         |k AS (SELECT doc_id, row_number() OVER (
+         |   PARTITION BY nt ORDER BY doc_id) = 1 AS dedup_keeper
+         | FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |   lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS nt
+         |  FROM documents) z),
+         |f AS (SELECT t.doc_id,
+         |  COALESCE(gf.gopher_keep, false) AS s1,
+         |  COALESCE(q.q_ok, false) AS s2,
+         |  COALESCE(k.dedup_keeper, false) AS s3
+         | FROM t LEFT JOIN gf ON t.doc_id = gf.doc_id
+         |  LEFT JOIN q ON t.doc_id = q.doc_id
+         |  LEFT JOIN k ON t.doc_id = k.doc_id),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+         |  CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |  CAST(sum(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |  CAST(sum(CASE WHEN s1 AND s2 AND s3 THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n3
+         | FROM f)
+         |SELECT * FROM (
+         | SELECT CAST(0 AS BIGINT) AS stage_idx, 'all' AS stage, n0 AS n,
+         |  CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS share_of_input FROM a
+         | UNION ALL SELECT 1, 'gopher_keep', n1,
+         |  CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM a
+         | UNION ALL SELECT 2, 'q_ok', n2,
+         |  CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM a
+         | UNION ALL SELECT 3, 'dedup_keeper', n3,
+         |  CAST(n3 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM a) s
+         |ORDER BY stage_idx""".stripMargin
+    },
+
     // mirrors bm25TopDocs exactly: parsed decimal constants, idf·sat
     // multiplication order, left-associated coalesce total
     "text_bm25" ->
@@ -5293,6 +5440,38 @@ object SparkEntry {
          | CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma
          |FROM e ORDER BY user_id, d""".stripMargin
     },
+
+    // Welch t: DECIMAL-accumulated conditional moments per arm, pinned
+    // IEEE derivation order — replicates abWelch
+    "analytics_ab_welch" ->
+      """WITH e AS (SELECT event_type, user_id % 2 AS arm, value
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT event_type,
+        |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(SUM(CASE WHEN arm = 0
+        |   THEN CAST(value AS DECIMAL(22,6)) END) AS DOUBLE) AS s_a,
+        |  CAST(SUM(CASE WHEN arm = 0
+        |   THEN CAST(value * value AS DECIMAL(22,6)) END) AS DOUBLE) AS s2_a,
+        |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(SUM(CASE WHEN arm = 1
+        |   THEN CAST(value AS DECIMAL(22,6)) END) AS DOUBLE) AS s_b,
+        |  CAST(SUM(CASE WHEN arm = 1
+        |   THEN CAST(value * value AS DECIMAL(22,6)) END) AS DOUBLE) AS s2_b
+        | FROM e GROUP BY 1),
+        |d AS (SELECT event_type,
+        |  n_a, s_a / CAST(n_a AS DOUBLE) AS mean_a,
+        |  CASE WHEN n_a >= 2 THEN
+        |   (s2_a - (s_a * s_a) / CAST(n_a AS DOUBLE))
+        |    / (CAST(n_a AS DOUBLE) - 1e0) END AS var_a,
+        |  n_b, s_b / CAST(n_b AS DOUBLE) AS mean_b,
+        |  CASE WHEN n_b >= 2 THEN
+        |   (s2_b - (s_b * s_b) / CAST(n_b AS DOUBLE))
+        |    / (CAST(n_b AS DOUBLE) - 1e0) END AS var_b
+        | FROM a)
+        |SELECT event_type, n_a, mean_a, var_a, n_b, mean_b, var_b,
+        | (mean_a - mean_b) / sqrt(var_a / CAST(n_a AS DOUBLE)
+        |  + var_b / CAST(n_b AS DOUBLE)) AS t
+        |FROM d ORDER BY event_type""".stripMargin,
 
     // HHI: two-level BIGINT aggregation, one double division —
     // replicates concentrationIndex

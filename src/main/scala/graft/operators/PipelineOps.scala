@@ -16,6 +16,38 @@ import org.apache.spark.sql.functions._
   */
 object PipelineOps {
 
+  /** Attrition funnel over an ordered chain of filter stages — the
+    * audit every corpus-prep run ships with: how many documents
+    * survive stage 1, stages 1∧2, 1∧2∧3, … Each input row carries one
+    * boolean column per stage (computed upstream, joins included);
+    * this operator is the ONE conditional aggregation that folds them
+    * into `len(stages)+1` rows: (stage_idx, stage, n,
+    * share_of_input), stage 0 = "all" = the unfiltered count, and
+    * `n` at stage i counts rows passing ALL stages ≤ i — cumulative
+    * by construction, so the funnel can only narrow.
+    *
+    * Scale: a single full-scan aggregate with map-side partial
+    * combine, independent of stage count; the explode at the end acts
+    * on one already-aggregated row. Null stage flags count as false
+    * (an unjoined doc did not pass). Share = one double division. */
+  def filterFunnel(df: DataFrame, stageCols: Seq[String]): DataFrame = {
+    require(stageCols.nonEmpty, "at least one stage required")
+    val conj = stageCols.scanLeft(lit(true))(
+      (acc, c) => acc && coalesce(col(c), lit(false))).drop(1)
+    val aggs = count(lit(1)).as("n_0") +: conj.zipWithIndex.map {
+      case (p, i) => count(when(p, lit(1))).as(s"n_${i + 1}") }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val names = "all" +: stageCols
+    row.select(col("n_0").as("n0"),
+        explode(array(names.zipWithIndex.map { case (nm, i) =>
+          struct(lit(i.toLong).as("stage_idx"), lit(nm).as("stage"),
+            col(s"n_$i").as("n")) }: _*)).as("e"))
+      .select(col("e.stage_idx").as("stage_idx"), col("e.stage").as("stage"),
+        col("e.n").as("n"),
+        (col("e.n").cast("double") / col("n0").cast("double"))
+          .as("share_of_input"))
+  }
+
   /** Gap-based sessionization of an event stream: a new session starts
     * when the user's inter-event gap exceeds `gapMinutes`. Returns one
     * row per session with bounds and counts. */

@@ -271,6 +271,29 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out.map(_._3).sum == 4L)
   }
 
+  test("abWelch: hand-computed two-arm t statistic, n<2 arm nulls out") {
+    val df = Seq(
+      // group g: arm 0 = {2, 4} (mean 3, var 2), arm 1 = {1, 1, 4}
+      // (mean 2, var 3) → t = 1 / sqrt(2/2 + 3/3) = 1/sqrt(2)
+      ("g", 0, 2.0), ("g", 0, 4.0),
+      ("g", 1, 1.0), ("g", 1, 1.0), ("g", 1, 4.0),
+      // group h: arm 1 has a single row → var_b and t are null
+      ("h", 0, 1.0), ("h", 0, 3.0), ("h", 1, 9.0)
+    ).toDF("grp", "arm", "v")
+    val out = AnalyticsOps.abWelch(df, "grp", "arm", "v")
+      .select("grp", "n_a", "mean_a", "var_a", "n_b", "mean_b", "var_b",
+        "t")
+      .as[(String, Long, Double, Option[Double], Long, Double,
+        Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val g = out("g")
+    assert(g._2 == 2L && g._3 == 3.0 && g._4.contains(2.0))
+    assert(g._5 == 3L && g._6 == 2.0 && g._7.contains(3.0))
+    assert(math.abs(g._8.get - 1.0 / math.sqrt(2.0)) < 1e-15)
+    val h = out("h")
+    assert(h._7.isEmpty && h._8.isEmpty, "single-row arm: no variance, no t")
+  }
+
   test("gopherFilters: each rule trips on exactly its designed violation") {
     val docs = Seq(
       (0L, "the cat sat on mat"),            // passes every rule

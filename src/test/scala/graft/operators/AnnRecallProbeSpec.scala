@@ -54,6 +54,29 @@ class AnnRecallProbeSpec extends AnyFunSuite {
     assert(out.forall(_._4 != 0), "all negatives carry a wrong label")
   }
 
+  test("tripletMining: best positive + hardest negative per anchor, " +
+      "anchors missing a side are dropped") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, 0, Array(1.0f, 0.0f)),  // anchor A
+      (1L, 0, Array(0.8f, 0.6f)),  // same label, cos .8 → positive
+      (2L, 0, Array(0.0f, 1.0f)),  // same label, cos 0 → loses to 1
+      (3L, 1, Array(0.6f, 0.8f)),  // diff label, cos .6 → hardest neg
+      (4L, 1, Array(-1.0f, 0.0f)), // diff label, cos −1 → loses to 3
+      (9L, 7, Array(-0.5f, 0.5f))  // anchor B: label 7 unique → no
+                                   // positive exists → dropped; as a
+                                   // negative for A its cos 0 loses to 3
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.tripletMining(corpus,
+        corpus.where(col("vec_id") === 0L || col("vec_id") === 9L))
+      .select("query_id", "pos_id", "neg_id", "margin")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(0L), "anchor 9 has no positive")
+    val t0 = out.head
+    assert(t0._2 === 1L && t0._3 === 3L)
+    assert(math.abs(t0._4 - 0.2) < 1e-6, "margin = .8 − .6")
+  }
+
   test("IVF (shipped config) holds recall@5 >= 0.9") {
     val r = recallOf(Similarity.ivfTopK(emb, q, k = 5,
       nCells = 16, nProbe = 4))

@@ -14,6 +14,22 @@ class TimeseriesRetrievalSpec extends AnyFunSuite {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("filterFunnel: cumulative conjunction counts, null flags are " +
+      "false, shares relative to stage 0") {
+    val flags = Seq(
+      (1L, Option(true), Option(true)),
+      (2L, Option(true), Option(false)),
+      (3L, Option(false), Option(true)), // fails s1 → can't count in s2
+      (4L, Option.empty[Boolean], Option(true)) // unjoined → false
+    ).toDF("id", "s1", "s2")
+    val out = PipelineOps.filterFunnel(flags, Seq("s1", "s2"))
+      .select("stage_idx", "stage", "n", "share_of_input")
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq === Seq(
+      (0L, "all", 4L), (1L, "s1", 2L), (2L, "s2", 1L)))
+    assert(out.map(_._4).toSeq === Seq(1.0, 0.5, 0.25))
+  }
+
   test("resampleOhlc: open/close by event order, extremes, exact sum") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:05:00"), "view", 3.0),

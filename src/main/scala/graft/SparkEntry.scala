@@ -2294,6 +2294,40 @@ object SparkEntry {
       AnalyticsOps.seasonalityProfile(events(s, dir))
         .orderBy("event_type", "dow")),
 
+    // ---- market-basket association rules (Apriori pair order) ----
+    "analytics_market_basket" -> ((s, dir) => {
+      // baskets = orders, items = part brands (the bounded vocabulary a
+      // rule miner actually targets); top-50 rules by lift
+      val baskets = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      AnalyticsOps.marketBasketRules(baskets, "basket", "item",
+          minSupport = 20L, topK = 50)
+        .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+    }),
+
+    // ---- sorted-neighborhood entity resolution ----
+    "er_sorted_neighborhood" -> ((s, dir) =>
+      // prefix-proximity blocking: rank by name via the range-bucket
+      // decomposition, compare only rows ≤ 5 positions apart
+      RelationalOps.sortedNeighborhoodMatches(t(s, dir, "customer"),
+          idCol = "c_custkey", nameCol = "c_name", window = 5,
+          maxDist = 1)
+        .orderBy("id_a", "id_b")),
+
+    // ---- per-document Shannon entropy (char + token) ----
+    "text_entropy" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"),
+          TextOps.charEntropy(col("text")).as("char_entropy"),
+          TextOps.tokenEntropyFromTokens(col("toks"))
+            .as("token_entropy"))
+        .orderBy("doc_id")),
+
     // ---- exact rolling median over a bounded row frame ----
     "ts_rolling_median" -> ((s, dir) =>
       // robust twin of ts_rolling_zscore: trailing-7-row exact median
@@ -5522,6 +5556,69 @@ object SparkEntry {
         |SELECT from_type, to_type, n, CAST(n AS DOUBLE)
         | / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // market basket: two frequent passes + pair self-join, rule stats
+    // are exact longs + IEEE division — replicates marketBasketRules
+    "analytics_market_basket" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |sup AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM items
+        |  GROUP BY i HAVING count(*) >= 20),
+        |fi AS (SELECT items.b, items.i, sup.n_i
+        |  FROM items JOIN sup USING (i)),
+        |p AS (SELECT x.i AS item_a, y.i AS item_b, x.n_i AS n_a,
+        |  y.n_i AS n_b, CAST(count(*) AS BIGINT) AS n_ab
+        | FROM fi x JOIN fi y ON x.b = y.b AND x.i < y.i
+        | GROUP BY 1, 2, 3, 4 HAVING count(*) >= 20),
+        |t AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets
+        |  FROM items)
+        |SELECT item_a, item_b, n_ab, n_a, n_b,
+        | CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) AS conf_a_to_b,
+        | CAST(n_ab AS DOUBLE) / CAST(n_b AS DOUBLE) AS conf_b_to_a,
+        | CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+        |   / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS lift
+        |FROM p, t ORDER BY lift DESC, item_a, item_b
+        |LIMIT 50""".stripMargin,
+
+    // sorted-neighborhood ER: global name rank, compare within 5
+    // positions, exact edit-distance verify
+    "er_sorted_neighborhood" ->
+      """WITH r AS (SELECT c_custkey AS id, c_name AS nm,
+        |  row_number() OVER (ORDER BY c_name, c_custkey) AS rk
+        | FROM customer)
+        |SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+        | CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist
+        |FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 5
+        |WHERE levenshtein(a.nm, b.nm) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // entropy: per-element run counts, ln quantized to DECIMAL(14,12)
+    // before the exact decimal Σ c·ln(c) (the ln-ulp parity dodge),
+    // final combine in IEEE double — replicates TextOps.elementEntropy
+    "text_entropy" ->
+      s"""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+         |  FROM documents),
+         |crc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS run
+         |  FROM ch GROUP BY 1, 2),
+         |cs AS (SELECT doc_id,
+         |  sum(CAST(ln(CAST(run AS DOUBLE)) AS DECIMAL(14,12))
+         |    * CAST(run AS DECIMAL(8,0))) AS s,
+         |  CAST(sum(run) AS BIGINT) AS n FROM crc GROUP BY doc_id),
+         |tk AS (SELECT doc_id, unnest($duckTokens) AS tok
+         |  FROM documents),
+         |trc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS run
+         |  FROM tk GROUP BY 1, 2),
+         |ts2 AS (SELECT doc_id,
+         |  sum(CAST(ln(CAST(run AS DOUBLE)) AS DECIMAL(14,12))
+         |    * CAST(run AS DECIMAL(8,0))) AS s,
+         |  CAST(sum(run) AS BIGINT) AS n FROM trc GROUP BY doc_id)
+         |SELECT cs.doc_id,
+         | CAST(CAST(ln(CAST(cs.n AS DOUBLE)) AS DECIMAL(14,12)) AS DOUBLE)
+         |   - CAST(cs.s AS DOUBLE) / CAST(cs.n AS DOUBLE) AS char_entropy,
+         | CAST(CAST(ln(CAST(ts2.n AS DOUBLE)) AS DECIMAL(14,12)) AS DOUBLE)
+         |   - CAST(ts2.s AS DOUBLE) / CAST(ts2.n AS DOUBLE) AS token_entropy
+         |FROM cs JOIN ts2 ON cs.doc_id = ts2.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "text_pii_redact" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

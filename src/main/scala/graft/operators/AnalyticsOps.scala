@@ -507,4 +507,54 @@ object AnalyticsOps {
       (col("n").cast("double") /
         sum(col("n")).over(tot).cast("double")).as("p"))
   }
+
+  /** Market-basket association rules (Apriori's two frequent passes, the
+    * only part a recommender pipeline needs at item-pair order): pairs
+    * of items co-occurring in a basket, with support counts and the
+    * classic rule stats — confidence in both directions and lift.
+    *
+    * Scale: pass 1 is one hash aggregation producing the per-item
+    * support frame, which is bounded by the ITEM VOCABULARY (not the
+    * row count) and broadcasts; infrequent items are pruned before any
+    * pair is formed, so the pair generator — a self-join co-located on
+    * the basket key, ONE shuffle of the (basket, item) frame — emits
+    * O(Σ_b k_b²) rows where k_b is the per-basket count of FREQUENT
+    * items (basket sizes are bounded by the domain: an order has a
+    * handful of lines). No all-pairs over the vocabulary, no driver
+    * loop over itemsets; `a < b` canonicalization halves the pair
+    * space and makes each rule row unique.
+    *
+    * Output: (item_a, item_b, n_ab, n_a, n_b, conf_a_to_b, conf_b_to_a,
+    * lift), ranked by lift DESC with (item_a, item_b) tie-break,
+    * top `topK`. All stats are exact longs + single IEEE divisions. */
+  def marketBasketRules(baskets: DataFrame, basketCol: String,
+      itemCol: String, minSupport: Long, topK: Int): DataFrame = {
+    val items = baskets
+      .select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .where(col("b").isNotNull && col("i").isNotNull)
+      .distinct()
+    val support = items.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+      .where(col("n_i") >= minSupport)
+    val fi = items.join(broadcast(support), "i")
+    val pairs = fi.as("x").join(fi.as("y"),
+        col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("item_a"), col("y.i").as("item_b"),
+        col("x.n_i").as("n_a"), col("y.n_i").as("n_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+    // 1-row total frame: the standard bounded cross-join broadcast
+    val tot = items.agg(countDistinct(col("b")).as("n_baskets"))
+    pairs.crossJoin(broadcast(tot))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        (col("n_ab").cast("double") / col("n_a").cast("double"))
+          .as("conf_a_to_b"),
+        (col("n_ab").cast("double") / col("n_b").cast("double"))
+          .as("conf_b_to_a"),
+        (col("n_ab").cast("double") * col("n_baskets").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+  }
 }

@@ -587,4 +587,64 @@ object RelationalOps {
       .withColumn("cum", col("_off") + sum(col(valueCol)).over(local))
       .drop("_b", "_off")
   }
+
+  /** Sorted-neighborhood entity resolution (Hernández–Stolfo): rows
+    * sort by the blocking key, and only rows within `w` positions of
+    * each other are compared — the classic alternative to disjoint
+    * blocking when near-duplicates share a PREFIX rather than an exact
+    * block value. Output: (id_a, id_b, dist) for pairs with
+    * `levenshtein ≤ maxDist`, ids normalized so id_a < id_b.
+    *
+    * Scale: the global sort position comes from a RANGE-BUCKET
+    * decomposition, never one sorting task — an order-preserving
+    * 7-byte prefix proxy of the key range-splits via one
+    * `percentile_approx` aggregate (splitter accuracy only affects
+    * bucket balance; equal proxies always share a bucket, so bucket
+    * order refines key order and the rank is exact), each bucket ranks
+    * locally in parallel, and the cross-bucket offset is a window over
+    * the ≤nBuckets per-bucket totals (the `_bn` bounded-serial-step
+    * marker). The neighborhood join then explodes each row into its
+    * `w` forward offsets and hash-joins on rank — |rows|·w candidate
+    * rows, ONE shuffle on a long key, no block² blowup and no skew
+    * ceiling (ranks are unique by construction). */
+  def sortedNeighborhoodMatches(df: DataFrame, idCol: String,
+      nameCol: String, window: Int, maxDist: Int,
+      nBuckets: Int = 32): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val slim = df.select(col(idCol).as("id"), col(nameCol).as("nm"))
+      .where(col("nm").isNotNull)
+    // order-preserving numeric proxy: first 7 UTF-8 bytes, zero-padded
+    // (14 hex digits → < 2^56, exact in a long). Byte order == Spark's
+    // and DuckDB's binary string order, so proxy ranges respect it.
+    val proxy = conv(rpad(substring(hex(encode(col("nm"), "UTF-8")),
+      1, 14), 14, "0"), 16, 10).cast("long")
+    val withP = slim.withColumn("_p", proxy)
+    val probs = array((1 until nBuckets)
+      .map(i => lit(i.toDouble / nBuckets)): _*)
+    val splitters = withP.agg(
+      percentile_approx(col("_p"), probs, lit(10000)).as("_sp"))
+    val bucketed = withP.crossJoin(broadcast(splitters))
+      .withColumn("_b", aggregate(col("_sp"), lit(0),
+        (acc, s) => acc + when(col("_p") >= s, 1).otherwise(0)))
+      .drop("_sp", "_p")
+    // bounded serial step: ≤ nBuckets rows
+    val offsets = bucketed.groupBy(col("_b"))
+      .agg(count(lit(1)).as("_bn"))
+      .withColumn("_off", coalesce(
+        sum(col("_bn")).over(Window.orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_b"), col("_off"))
+    val local = Window.partitionBy(col("_b"))
+      .orderBy(col("nm"), col("id"))
+    val ranked = bucketed.join(broadcast(offsets), Seq("_b"))
+      .withColumn("rk", col("_off") + row_number().over(local))
+      .select(col("id"), col("nm"), col("rk"))
+    val probesFwd = ranked.select(col("id"), col("nm"),
+      explode(sequence(col("rk") + 1, col("rk") + window)).as("rk"))
+    probesFwd.as("a").join(ranked.as("b"), Seq("rk"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        levenshtein(col("a.nm"), col("b.nm")).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
 }

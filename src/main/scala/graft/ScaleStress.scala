@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnalyticsOps, Dedup, GraphOps, PipelineOps, Similarity}
+import graft.operators.{AnalyticsOps, Dedup, GraphOps, PipelineOps, RelationalOps, Similarity}
 
 /** Scale-stress harness: measures the heavy operator families on
   * synthetic corpora at 1×/10×/100× the sf0.1 size, reporting wall
@@ -115,6 +115,21 @@ object ScaleStress {
       Similarity.signBandRelation(emb, bands, rowsPerBand, dims),
       Seq("band", "band_sig"))
 
+  /** SimHash 4-band band-bucket candidate pairs, counted on the exact
+    * relation simhashPairs self-joins; `bits` is the signature width
+    * (the scale knob — see simhashPairs' scaladoc). */
+  def simhashCandidateCount(docs: DataFrame, bits: Int = 32): Long =
+    bucketPairCount(
+      Dedup.simhashBandRelation(
+        Dedup.simhashSignatures(docs, bits = bits), bits),
+      Seq("band", "bval"))
+
+  /** The simhash width recipe at corpus multiple `scale`: 32-bit at
+    * 1×, +16 bits per decade, capped at the 64-bit long. */
+  def simhashBitsFor(scale: Int): Int =
+    math.min(64, 32 + 16 * (math.log(scale.toDouble) / math.log(10.0))
+      .ceil.toInt)
+
   private def time[A](body: => A): (Double, A) = {
     val t0 = System.nanoTime()
     val a = body
@@ -171,6 +186,27 @@ object ScaleStress {
     }
     run("dedup_ensemble", nDocs, embLshCandidateCount(emb)) {
       Dedup.ensembleNearDup(docs, emb)
+    }
+    // fixed 32-bit width: the oracle-checked config — its 256
+    // buckets/band are a documented scale CEILING (the control row,
+    // same role as the fixed-rowsPerBand sign-LSH arm)
+    run("dedup_simhash_fixed32", nDocs, simhashCandidateCount(docs)) {
+      Dedup.simhashPairs(docs)
+    }
+    // width recipe: +16 signature bits per decade — the config a
+    // growing corpus actually runs
+    val shBits = simhashBitsFor(scale)
+    run("dedup_simhash_scaled", nDocs,
+        simhashCandidateCount(docs, shBits)) {
+      Dedup.simhashPairs(docs, bits = shBits)
+    }
+    run("er_sorted_neighborhood", nDocs,
+        RelationalOps.sortedNeighborhoodCandidates(
+          docs.withColumn("nm", substring(col("text"), 1, 24)),
+          "doc_id", "nm", window = 4).count()) {
+      RelationalOps.sortedNeighborhoodMatches(
+        docs.withColumn("nm", substring(col("text"), 1, 24)),
+        "doc_id", "nm", window = 4, maxDist = 6)
     }
     // the sign-LSH scaling recipe from lshNearDupPairs' scaladoc made
     // measurable: rowsPerBand grows with log2(corpus) so bucket count

@@ -26,17 +26,25 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The synthetic event log stores `ts` as parquet TIMESTAMP(NANOS),
-    * which Spark rejects by default. Read nanos as long (legacy conf) and
-    * rebuild a microsecond timestamp — same truncation DuckDB applies
-    * when it narrows ns → µs. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  /** The synthetic event log has stored `ts` as parquet TIMESTAMP(NANOS)
+    * (read as long via the legacy conf, rebuilt as µs — same truncation
+    * DuckDB applies when it narrows ns → µs) or, in newer generations, as
+    * Timestamp(isAdjustedToUTC=false, µs) which Spark 4 reads as
+    * TIMESTAMP_NTZ. Downstream consumers (`unix_micros`, window gaps)
+    * require TIMESTAMP, so normalize both encodings to TimestampType; the
+    * session TZ is pinned UTC, making the NTZ→TZ cast value-preserving and
+    * identical to DuckDB's reading of the same file. Mirrors the
+    * reference's storage layer, which always hands back UTC instants
+    * (src/services/bigquery.ts:132). */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
     val df = s.read.parquet(s"$dir/events.parquet")
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }
@@ -54,7 +62,7 @@ object SparkEntry {
     * pushes down to parquet row-group stats as two long comparisons
     * (`to_date(timestamp_micros(ts))` would not). At 100 TB this is the
     * difference between pruning to one day and scanning the full log. */
-  private def eventsOnDate(s: SparkSession, dir: String,
+  private[graft] def eventsOnDate(s: SparkSession, dir: String,
       date: String): DataFrame = {
     try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
@@ -67,6 +75,19 @@ object SparkEntry {
         val endNs = startNs + 86400L * 1000000000L
         df.where(col("ts") >= startNs && col("ts") < endNs)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case tsType @ (_: TimestampNTZType | TimestampType) =>
+        // Half-open timestamp range on the stored column type: both
+        // comparisons push to parquet row-group stats. `to_date(ts) = d`
+        // would wrap the column in a cast and scan the full log at scale.
+        val day = java.time.LocalDate.parse(date)
+        val start = java.time.LocalDateTime.of(day, java.time.LocalTime.MIDNIGHT)
+        val end = start.plusDays(1)
+        val fmt = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss")
+        val (lo, hi) = (lit(start.format(fmt)).cast(tsType),
+          lit(end.format(fmt)).cast(tsType))
+        df.where(col("ts") >= lo && col("ts") < hi)
+          .withColumn("ts", col("ts").cast(TimestampType))
       case _ => df.where(to_date(col("ts")) === lit(date))
     }
   }
@@ -2583,7 +2604,8 @@ object SparkEntry {
     * per-table signatures, identity + Hamming-1 probes, distinct
     * candidate pairs, exact cosine on candidates. Emits CTEs
     * `sg, qs, lcand, lp` with `lp(query_id, neighbor_id, cos)`. */
-  private def duckLshMultiCtes(planes: Int, tables: Int): String = {
+  private def duckLshMultiCtes(planes: Int, tables: Int,
+      queryPred: String = "vec_id < 8"): String = {
     val sg = (0 until tables).map(t =>
       s"SELECT vec_id, $t AS t, " +
         s"${duckLshSig("v", planes, 64, t * planes)} AS sig FROM n")
@@ -2592,7 +2614,7 @@ object SparkEntry {
       s"xor(sig, ${1 << p})")).mkString("[", ", ", "]")
     s"""sg AS ($sg),
        |qs AS (SELECT vec_id AS q_id, t, unnest($probeList) AS sig
-       |  FROM sg WHERE vec_id < 8),
+       |  FROM sg WHERE $queryPred),
        |lcand AS (SELECT DISTINCT q.q_id AS query_id,
        |  c.vec_id AS neighbor_id
        |  FROM qs q JOIN sg c ON q.t = c.t AND q.sig = c.sig
@@ -2608,7 +2630,8 @@ object SparkEntry {
     * per-subspace encode, and left-associated ADC sum. Emits CTEs
     * `cb, sv, cv, dists, enc, qd, contrib, tot` with
     * `tot(query_id, neighbor_id, approx_dist)`. */
-  private def duckPqCtes(m: Int, ksub: Int, dims: Int): String = {
+  private def duckPqCtes(m: Int, ksub: Int, dims: Int,
+      queryPred: String = "vec_id < 8"): String = {
     val sub = dims / m
     val adcSum = (0 until m)
       .map(j => s"max(CASE WHEN j = $j THEN d END)")
@@ -2627,7 +2650,7 @@ object SparkEntry {
        |  SELECT *, row_number() OVER (PARTITION BY vec_id, j
        |    ORDER BY d ASC, i ASC) AS rn FROM dists) WHERE rn = 1),
        |qd AS (SELECT vec_id AS query_id, j, i, d FROM dists
-       |  WHERE vec_id < 8),
+       |  WHERE $queryPred),
        |contrib AS (SELECT q.query_id, enc.vec_id AS neighbor_id,
        |  q.j, q.d
        |  FROM qd q JOIN enc ON q.j = enc.j AND q.i = enc.code
@@ -5618,7 +5641,7 @@ object SparkEntry {
          | CAST(CAST(ln(CAST(ts2.n AS DOUBLE)) AS DECIMAL(14,12)) AS DOUBLE)
          |   - CAST(ts2.s AS DOUBLE) / CAST(ts2.n AS DOUBLE) AS token_entropy
          |FROM cs JOIN ts2 ON cs.doc_id = ts2.doc_id
-         |ORDER BY doc_id""".stripMargin,
+         |ORDER BY cs.doc_id""".stripMargin,
 
     "text_pii_redact" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

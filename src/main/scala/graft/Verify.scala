@@ -21,13 +21,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val declared = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    declared.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,6 +47,24 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Loss-proofing: a query that throws at plan time must never vanish
+    // from the round's accounting — dump every failure (name → message)
+    // so the driver can emit an `err` row, and make the count mismatch
+    // loud on stderr. |dumped| + |errors| must equal |declared|.
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // Full declared-query manifest so the checker can assert that every
+    // declared name is accounted for (ok / fail / rows-only / err).
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      declared.keys.map(q).mkString("[", ",", "]"))
+    val dumped = declared.size - errors.size
+    System.err.println(
+      s"[verify] declared=${declared.size} dumped=$dumped errors=${errors.size}")
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] FAILED QUERIES: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

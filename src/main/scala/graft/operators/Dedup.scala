@@ -726,16 +726,38 @@ object Dedup {
     * completeness with 4 bands). Candidates via 4×8-bit band self-join —
     * pigeonhole guarantees any pair within Hamming ≤ 3 shares at least
     * one band — then exact Hamming verify. */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4-band bucketing is only complete for Hamming <= 3")
-    val sigs = simhashSignatures(documents).localCheckpoint(true)
-    val bands = sigs.select(col("doc_id"), col("sig"),
+  /** The 4-band relation simhashPairs self-joins: one row per
+    * (doc, band) with the band's (bits/4)-bit value. Exposed so the
+    * scale harness can count band-bucket candidate pairs on the EXACT
+    * production relation (ScaleStress.simhashCandidateCount). */
+  def simhashBandRelation(sigs: DataFrame, bits: Int = 32): DataFrame = {
+    val bandBits = bits / 4
+    val mask = (1L << bandBits) - 1L
+    sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bval"))): _*))
+          shiftright(col("sig"), bandBits * b).bitwiseAND(lit(mask))
+            .as("bval"))): _*))
         .as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"),
         col("bb.bval").as("bval"))
+  }
+
+  /** SimHash near-dup pairs; `bits` is the SCALE KNOB: band bucket
+    * count is 2^(bits/4) per band, so — exactly like sign-LSH's
+    * rowsPerBand — grow the signature width with the corpus (32-bit
+    * → 256 buckets/band saturates around 10⁴ docs; 64-bit → 65 536
+    * buckets/band holds the candidate growth near-linear two decades
+    * further; ScaleGrowthSpec pins the recipe, SCALE.md measures it).
+    * The 4-band pigeonhole completeness for Hamming ≤ 3 holds at any
+    * width. */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3,
+      bits: Int = 32): DataFrame = {
+    require(maxHamming <= 3, "4-band bucketing is only complete for Hamming <= 3")
+    require(bits % 4 == 0 && bits <= 64, s"bits must be a multiple of 4 <= 64, got $bits")
+    val sigs = simhashSignatures(documents, bits = bits)
+      .localCheckpoint(true)
+    val bands = simhashBandRelation(sigs, bits)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&

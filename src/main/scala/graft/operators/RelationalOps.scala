@@ -609,6 +609,19 @@ object RelationalOps {
     * ceiling (ranks are unique by construction). */
   def sortedNeighborhoodMatches(df: DataFrame, idCol: String,
       nameCol: String, window: Int, maxDist: Int,
+      nBuckets: Int = 32): DataFrame =
+    sortedNeighborhoodCandidates(df, idCol, nameCol, window, nBuckets)
+      .where(col("dist") <= maxDist)
+
+  /** The pre-verify neighborhood candidate relation of
+    * [[sortedNeighborhoodMatches]]: every (id_a, id_b, dist) pair
+    * within `window` positions in the global key order, BEFORE the
+    * `dist ≤ maxDist` filter. Exposed so the scale harness can count
+    * candidates on the exact production relation — the count is
+    * |rows|·w by construction (minus the tail), i.e. linear in the
+    * corpus, and ScaleStress measures exactly that. */
+  def sortedNeighborhoodCandidates(df: DataFrame, idCol: String,
+      nameCol: String, window: Int,
       nBuckets: Int = 32): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     val slim = df.select(col(idCol).as("id"), col(nameCol).as("nm"))
@@ -645,6 +658,5 @@ object RelationalOps {
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"),
         levenshtein(col("a.nm"), col("b.nm")).as("dist"))
-      .where(col("dist") <= maxDist)
   }
 }

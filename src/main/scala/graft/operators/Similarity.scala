@@ -868,4 +868,100 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
+
+  // ---- PCA (power iteration) -------------------------------------------
+
+  /** Flat Gram-matrix relation (i, j, g) of the embedding column,
+    * 1-based dims, g = Σ_vectors vᵢ·vⱼ as DOUBLE.
+    *
+    * Scale: the d² expansion happens PER ROW (a generated upper-triangle
+    * pair array, inlined — no self-join, so no shuffle of the corpus);
+    * map-side partial aggregation reduces each task to ≤ d(d+1)/2 rows
+    * and the single shuffle moves only those. This is the treeAggregate
+    * Gramian shape (Spark MLlib computeGramianMatrix, public) in
+    * DataFrame form.
+    *
+    * Determinism: each float parses exactly via its shortest decimal
+    * string into DECIMAL(17,15) (≤9 significant digits — the
+    * groupCentroids dodge); products are EXACT decimal multiplies
+    * (35,30), re-quantized to (24,18) — a decimal→decimal rounding both
+    * engines perform identically — and summed exactly. No IEEE
+    * accumulation anywhere, so Gram entries are bit-reproducible under
+    * any partitioning. */
+  def gramMatrix(embeddings: DataFrame, dims: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dv = transform(col("embedding"),
+      x => x.cast("string").cast(DecimalType(17, 15)))
+    val pairs = flatten(transform(sequence(lit(1), lit(dims)), i =>
+      transform(sequence(i, lit(dims)), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("__dv"), i) * element_at(col("__dv"), j))
+            .cast(DecimalType(24, 18)).as("p")))))
+    val upper = embeddings.withColumn("__dv", dv)
+      .select(explode(pairs).as("pp"))
+      .groupBy(col("pp.i").as("i"), col("pp.j").as("j"))
+      .agg(sum(col("pp.p")).cast("double").as("g"))
+    upper.union(upper.where(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("g")))
+  }
+
+  /** First principal direction of the (uncentered) Gram matrix by
+    * `iters` rounds of power iteration (Mises–Pollaczek-Geiringer,
+    * public), plus the max-abs eigenvalue estimate.
+    *
+    * The Gram collect is d² rows — bounded by the DIMENSION, not the
+    * corpus (the codebook-collect pattern); the iteration itself is a
+    * d×d driver loop. Determinism mirrors the engine-side decimal
+    * contract so an oracle can replay it: every product G·v quantizes
+    * via its shortest decimal string to scale 18 (HALF_UP) and sums
+    * exactly; the normalization divides by the max-abs entry in IEEE
+    * double (max is order-free, unlike a 2-norm's Σ). Deterministic
+    * all-ones init — no seeding, same rule as k-means init. */
+  def pcaPowerIteration(embeddings: DataFrame, dims: Int,
+      iters: Int): (Array[Double], Double) = {
+    val g = Array.ofDim[Double](dims, dims)
+    gramMatrix(embeddings, dims).collect().foreach { r =>
+      g(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getDouble(2)
+    }
+    var v = Array.fill(dims)(1.0)
+    var lambda = 0.0
+    for (_ <- 0 until iters) {
+      val w = Array.tabulate(dims) { i =>
+        var acc = java.math.BigDecimal.ZERO
+        var j = 0
+        while (j < dims) {
+          acc = acc.add(java.math.BigDecimal.valueOf(g(i)(j) * v(j))
+            .setScale(18, java.math.RoundingMode.HALF_UP))
+          j += 1
+        }
+        acc.doubleValue
+      }
+      lambda = w.map(math.abs).max
+      v = w.map(_ / lambda)
+    }
+    (v, lambda)
+  }
+
+  /** Per-vector projection onto the first principal direction:
+    * (vec_id, pc1, lambda1). The direction ships as a constant literal
+    * (zero-shuffle, codegen'd — the kmAssign pattern); the per-row dot
+    * accumulates in decimal scale 18 so the oracle's order-free SUM
+    * reproduces it bit-for-bit. */
+  def pcaProjection(embeddings: DataFrame, dims: Int = 64,
+      iters: Int = 12): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val (v, lambda) = pcaPowerIteration(embeddings, dims, iters)
+    val vLit = typedLit(v.toSeq)
+    // accumulator at (32,18): each add is (33,18) — EXACT, no Spark
+    // precision-clamp — and the re-cast back to (32,18) never rounds
+    // (|pc1| bounded far below 10^14), so the chained per-row adds
+    // equal the oracle's order-free decimal SUM bit-for-bit
+    val dS = DecimalType(32, 18)
+    val proj = aggregate(sequence(lit(1), lit(dims)),
+      lit(0).cast(dS),
+      (acc, i) => (acc + (element_at(col("embedding"), i) *
+          element_at(vLit, i)).cast("string").cast(dS)).cast(dS))
+    embeddings.select(col("vec_id"), proj.cast("double").as("pc1"),
+      lit(lambda).as("lambda1"))
+  }
 }

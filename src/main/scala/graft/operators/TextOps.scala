@@ -298,14 +298,7 @@ object TextOps {
     * familiarity, avg_bigram_freq); docs with < 2 tokens have no
     * bigrams and are absent. */
   def lmFamiliarity(documents: DataFrame): DataFrame = {
-    val bi = documents
-      .select(col("doc_id"), tokens(col("text")).as("ts"))
-      .where(size(col("ts")) >= 2)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("ts")) - 1),
-        i => concat_ws(" ", element_at(col("ts"), i),
-          element_at(col("ts"), i + 1)))).as("bigram"))
-      .localCheckpoint(true)
+    val bi = docBigrams(documents).localCheckpoint(true)
     val model = bi.groupBy(col("bigram"))
       .agg(count(lit(1)).as("c12"))
     bi.join(model, Seq("bigram"))
@@ -368,6 +361,93 @@ object TextOps {
       log(n.cast("double")).cast(DecimalType(14, 12)).cast("double") -
         stepped.cast("double") / n.cast("double"))
       .otherwise(lit(0.0))
+  }
+
+  /** The word-bigram relation (doc_id, bigram) shared by
+    * [[lmFamiliarity]] and [[dsirWeights]]. */
+  def docBigrams(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .where(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ts")) - 1),
+        i => concat_ws(" ", element_at(col("ts"), i),
+          element_at(col("ts"), i + 1)))).as("bigram"))
+
+  /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * public): word bigrams feature-hash into `buckets` buckets; the
+    * TARGET distribution (here the deterministic in-corpus slice
+    * `targetPred`, standing in for a held-out quality corpus) and the
+    * RAW pool distribution are estimated over those buckets with add-1
+    * smoothing, and each document scores the log importance weight
+    *   Σ_f n_f(doc) · [ln p̂_tgt(f) − ln p̂_raw(f)].
+    * High weight ⇒ the document's feature profile looks like the
+    * target ⇒ keep under importance resampling.
+    *
+    * Bucket = first two hex digits of md5(bigram) (md5-parity with any
+    * engine, same dodge as MinHash); each ln is quantized to
+    * DECIMAL(14,12) and the per-doc Σ accumulates exactly in decimal
+    * (the ln-ulp parity dodge, see [[elementEntropy]]).
+    *
+    * Scale: two linear shuffles (per-doc bucket counts, global bucket
+    * counts); the model is `buckets` rows — broadcast-joined, never a
+    * driver collect. At 100 TB the model side stays a few KB. */
+  def dsirWeights(documents: DataFrame, buckets: Int = 256,
+      targetPred: Column = col("doc_id") % 5 === 0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val bi = docBigrams(documents)
+      .withColumn("f", conv(substring(md5(col("bigram")), 1, 2), 16, 10)
+        .cast("int") % buckets)
+    val perDoc = bi.groupBy(col("doc_id"), col("f"))
+      .agg(count(lit(1)).as("n"))
+    val global = perDoc
+      .join(documents.select(col("doc_id"),
+        targetPred.as("is_tgt")), "doc_id")
+      .groupBy(col("f"))
+      .agg(sum(when(col("is_tgt"), col("n")).otherwise(0L)).as("tgt"),
+        sum(col("n")).as("raw"))
+    // singleton totals broadcast onto the bucket model (bounded rows)
+    val totals = global.agg(sum(col("tgt")).as("t_tot"),
+      sum(col("raw")).as("r_tot"))
+    val qln = (c: Column) => log(c.cast("double"))
+      .cast(DecimalType(14, 12))
+    val model = global.crossJoin(broadcast(totals))
+      .select(col("f"),
+        (qln(col("tgt") + 1) - qln(col("t_tot") + buckets) -
+          qln(col("raw") + 1) + qln(col("r_tot") + buckets))
+          .cast(DecimalType(20, 12)).as("lr"))
+    perDoc.join(broadcast(model), "f")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_features"),
+        sum((col("lr") * col("n").cast(DecimalType(8, 0)))
+          .cast(DecimalType(30, 12))).cast("double").as("dsir_logweight"))
+  }
+
+  /** CCNet-style quality bucketing (Wenzek et al. 2020, public): within
+    * each language, documents split into head / middle / tail by LM
+    * familiarity score terciles — head = most in-distribution. CCNet
+    * computes the cutoffs as perplexity percentiles over the language's
+    * corpus and then buckets by VALUE comparison; this does the same
+    * with [[lmFamiliarity]]'s familiarity as the (inverted) score.
+    *
+    * Scale: the cutoff relation is one exact-percentile aggregate per
+    * language — tiny output, broadcast back. Exact `percentile` keeps
+    * oracle parity (quantile_cont); a 100 TB deployment swaps in
+    * percentile_approx or computes cutoffs on a sample, exactly as
+    * CCNet does, without touching the bucketing join. */
+  def ccnetBuckets(documents: DataFrame): DataFrame = {
+    val fam = lmFamiliarity(documents)
+      .join(documents.select(col("doc_id"), langId(col("text")).as("lang")),
+        "doc_id")
+    val cuts = fam.groupBy(col("lang"))
+      .agg(percentile(col("familiarity"), lit(1.0 / 3)).as("c_tail"),
+        percentile(col("familiarity"), lit(2.0 / 3)).as("c_head"))
+    fam.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("familiarity"),
+        when(col("familiarity") > col("c_head"), "head")
+          .when(col("familiarity") > col("c_tail"), "middle")
+          .otherwise("tail").as("bucket"))
   }
 
   /** Character-level entropy of raw text (split("") = one element per

@@ -50,6 +50,40 @@ class ScaleGrowthSpec extends AnyFunSuite {
     assert(ratio(c1, c10) < 30.0)
   }
 
+  test("simhash band-bucket pairs grow sub-quadratically under the " +
+      "documented width recipe (10x docs -> <30x candidates)") {
+    // fixed 32-bit signatures are a scale CEILING (256 buckets/band
+    // saturate: measured 96x at this very step — the SCALE.md control
+    // row); the production recipe widens the signature +16 bits per
+    // decade, exactly like sign-LSH's rowsPerBand
+    val d1 = ScaleStress.synthDocuments(spark, n1).localCheckpoint(true)
+    val d10 = ScaleStress.synthDocuments(spark, n10).localCheckpoint(true)
+    val c1 = ScaleStress.simhashCandidateCount(d1, bits = 32)
+    val c10 = ScaleStress.simhashCandidateCount(d10, bits = 48)
+    info(s"simhash candidates: $c1 @ $n1 docs (32-bit), $c10 @ $n10 " +
+      f"docs (48-bit) (${ratio(c1, c10)}%.1fx)")
+    assert(c1 > 0, "the fixture must produce candidates at 1x")
+    assert(ratio(c1, c10) < 30.0)
+  }
+
+  test("sorted-neighborhood candidate pairs grow LINEARLY by " +
+      "construction (10x rows -> ~10x candidates, <12x)") {
+    import org.apache.spark.sql.functions.{col, substring}
+    def nmDocs(n: Long) = ScaleStress.synthDocuments(spark, n)
+      .withColumn("nm", substring(col("text"), 1, 24))
+      .localCheckpoint(true)
+    val c1 = RelationalOps.sortedNeighborhoodCandidates(
+      nmDocs(n1), "doc_id", "nm", window = 4).count()
+    val c10 = RelationalOps.sortedNeighborhoodCandidates(
+      nmDocs(n10), "doc_id", "nm", window = 4).count()
+    info(s"sorted-neighborhood candidates: $c1 @ $n1, $c10 @ $n10 " +
+      f"(${ratio(c1, c10)}%.1fx)")
+    // |rows|·w minus the rank tail: exactly linear, no density noise —
+    // a tighter bound than the banded generators
+    assert(c1 > 0, "the fixture must produce candidates at 1x")
+    assert(ratio(c1, c10) < 12.0)
+  }
+
   test("sign-LSH band-bucket pairs grow sub-quadratically under the " +
       "documented rowsPerBand scaling (10x vectors -> <30x candidates)") {
     // fixed bucket count is a scale CEILING (2^rowsPerBand buckets per

@@ -34,7 +34,28 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     oracle = json.load(open(f"{VERIFY_OUT}/oracle_sql.json"))
     n_ok = n_bad = 0
+    # When graft.Verify ran with a name filter (fast single-oracle
+    # iteration), manifest.json lists only the queries actually run —
+    # restrict the compare to those instead of FAILing the other 200.
+    try:
+        run_manifest = set(json.load(open(f"{VERIFY_OUT}/manifest.json")))
+        if run_manifest:
+            oracle = {k: v for k, v in oracle.items() if k in run_manifest}
+    except Exception:
+        pass
+    # Spark-side analysis failures recorded by graft.Verify: every entry
+    # here is a declared query that produced NO dump — emit an err row so
+    # a broken query can never silently vanish from the accounting.
+    try:
+        spark_errors = json.load(open(f"{VERIFY_OUT}/errors.json"))
+    except Exception:
+        spark_errors = {}
+    for name, msg in sorted(spark_errors.items()):
+        print(f"FAIL {name}: spark-side error: {msg[:200]}")
+        n_bad += 1
     for name, sql in sorted(oracle.items()):
+        if name in spark_errors:
+            continue  # already reported as a spark-side err row above
         try:
             got = con.execute(
                 f"SELECT * FROM '{VERIFY_OUT}/{name}/*.parquet'").fetchdf()
@@ -110,6 +131,22 @@ def main():
             except Exception as e:
                 print(f"FAIL {d}: rows-only dump unreadable: {e}")
                 n_bad += 1
+    # Completeness assertion: every name in the declared manifest must be
+    # accounted for above (oracle compare, rows-only dump, or err row) —
+    # a query missing from ALL channels means the harness lost it.
+    try:
+        manifest = set(json.load(open(f"{VERIFY_OUT}/manifest.json")))
+    except Exception:
+        manifest = set()
+    if manifest:
+        accounted = set(oracle) | set(spark_errors) | {
+            d for d in os.listdir(VERIFY_OUT)
+            if os.path.isdir(os.path.join(VERIFY_OUT, d))}
+        lost = manifest - accounted
+        for name in sorted(lost):
+            print(f"FAIL {name}: declared but unaccounted (no dump, no "
+                  f"oracle, no err row) — harness lost it")
+            n_bad += 1
     print(f"\n{n_ok} ok, {n_bad} failed, "
           f"{len(oracle)} oracle queries")
     sys.exit(1 if n_bad else 0)

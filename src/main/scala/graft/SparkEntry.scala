@@ -2478,6 +2478,34 @@ object SparkEntry {
           tieCol = "o_orderkey", k = 3)
         .orderBy("o_orderstatus", "o_orderkey")),
 
+    // ---- DSIR importance weights (hashed-bigram target/raw ratio) ----
+    "text_dsir" -> ((s, dir) =>
+      TextOps.dsirWeights(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // ---- CCNet head/middle/tail quality buckets per language ----
+    "text_ccnet_buckets" -> ((s, dir) =>
+      TextOps.ccnetBuckets(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // ---- first principal component by power iteration ----
+    "emb_pca" -> ((s, dir) =>
+      Similarity.pcaProjection(t(s, dir, "embeddings"), dims = 64,
+          iters = 12)
+        .orderBy("vec_id")),
+
+    // ---- common-neighbor / Jaccard link prediction ----
+    "graph_common_neighbors" -> ((s, dir) => {
+      // same halving-edge graph as graph_triangles
+      val c = t(s, dir, "customer").where(col("c_custkey") > 3)
+      val edges = c.select(col("c_custkey").as("src"),
+          expr("c_custkey div 2").as("dst"))
+        .union(c.select(col("c_custkey").as("src"),
+          expr("c_custkey div 4").as("dst")))
+      GraphOps.commonNeighborJaccard(edges)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- recursive CTE (Spark 4): BFS over the customer-key tree ----
     "sql_recursive_tree" -> ((s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("v_customer")
@@ -5718,6 +5746,151 @@ object SparkEntry {
         | WHERE c.c_custkey > 1)
         |SELECT depth, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(k) AS BIGINT) AS key_sum
-        |FROM d GROUP BY depth ORDER BY depth""".stripMargin
+        |FROM d GROUP BY depth ORDER BY depth""".stripMargin,
+
+    // replicates TextOps.dsirWeights: md5-first-two-hex-digit feature
+    // hash, add-1-smoothed target/raw bucket distributions, each ln
+    // quantized to DECIMAL(14,12), per-doc exact decimal Σ n·lr
+    "text_dsir" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS ts
+        | FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |  i -> ts[i] || ' ' || ts[i+1])) AS bigram
+        | FROM t WHERE len(ts) >= 2),
+        |fb AS (SELECT doc_id,
+        |  ((strpos('0123456789abcdef', substr(md5(bigram), 1, 1)) - 1) * 16
+        |   + strpos('0123456789abcdef', substr(md5(bigram), 2, 1)) - 1)
+        |   % 256 AS f FROM b),
+        |pd AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS n
+        | FROM fb GROUP BY 1, 2),
+        |g AS (SELECT f,
+        |  CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN n ELSE 0 END) AS BIGINT)
+        |   AS tgt,
+        |  CAST(SUM(n) AS BIGINT) AS raw FROM pd GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(tgt) AS BIGINT) AS t_tot,
+        |  CAST(SUM(raw) AS BIGINT) AS r_tot FROM g),
+        |model AS (SELECT f, CAST(
+        |   CAST(ln(CAST(tgt + 1 AS DOUBLE)) AS DECIMAL(14,12))
+        |   - CAST(ln(CAST(t_tot + 256 AS DOUBLE)) AS DECIMAL(14,12))
+        |   - CAST(ln(CAST(raw + 1 AS DOUBLE)) AS DECIMAL(14,12))
+        |   + CAST(ln(CAST(r_tot + 256 AS DOUBLE)) AS DECIMAL(14,12))
+        |  AS DECIMAL(20,12)) AS lr FROM g CROSS JOIN tot)
+        |SELECT pd.doc_id, CAST(SUM(n) AS BIGINT) AS n_features,
+        | CAST(SUM(CAST(lr * CAST(n AS DECIMAL(8,0)) AS DECIMAL(30,12)))
+        |  AS DOUBLE) AS dsir_logweight
+        |FROM pd JOIN model USING (f)
+        |GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin,
+
+    // replicates TextOps.ccnetBuckets: lmFamiliarity terciles per
+    // predicted language, bucket by value comparison against the
+    // quantile_cont cutoffs
+    "text_ccnet_buckets" -> {
+      val hitCols = TextOps.LangMarkers.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(ts, tk -> list_contains($lst, tk))) AS h_$lang"
+      }.mkString(", ")
+      val langs = TextOps.LangMarkers.map(_._1)
+      val m = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN h_$l = m THEN '$l'").mkString(" ")
+      s"""WITH t AS (SELECT doc_id,
+         |  string_split_regex(trim(lower(text)), '\\s+') AS ts
+         | FROM documents),
+         |h AS (SELECT doc_id, ts, $hitCols FROM t),
+         |hm AS (SELECT *, $m AS m FROM h),
+         |lid AS (SELECT doc_id,
+         |  CASE WHEN m <= 0 THEN 'und' $cases END AS lang FROM hm),
+         |b AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+         |  i -> ts[i] || ' ' || ts[i+1])) AS bigram
+         | FROM t WHERE len(ts) >= 2),
+         |mm AS (SELECT bigram, count(*) AS c12 FROM b GROUP BY 1),
+         |fam AS (SELECT b.doc_id,
+         |  CAST(sum(CASE WHEN mm.c12 >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |   / CAST(count(*) AS DOUBLE) AS familiarity
+         | FROM b JOIN mm USING (bigram) GROUP BY b.doc_id),
+         |fl AS (SELECT fam.doc_id, lid.lang, fam.familiarity
+         | FROM fam JOIN lid ON fam.doc_id = lid.doc_id),
+         |cuts AS (SELECT lang,
+         |  quantile_cont(familiarity, CAST(0.3333333333333333 AS DOUBLE))
+         |   AS c_tail,
+         |  quantile_cont(familiarity, CAST(0.6666666666666666 AS DOUBLE))
+         |   AS c_head
+         | FROM fl GROUP BY lang)
+         |SELECT fl.doc_id, fl.lang, fl.familiarity,
+         | CASE WHEN fl.familiarity > cuts.c_head THEN 'head'
+         |  WHEN fl.familiarity > cuts.c_tail THEN 'middle'
+         |  ELSE 'tail' END AS bucket
+         |FROM fl JOIN cuts USING (lang)
+         |ORDER BY fl.doc_id""".stripMargin
+    },
+
+    // replicates Similarity.pcaProjection: decimal-exact Gram, 12
+    // power-iteration rounds with shortest-string decimal quantization
+    // of each G·v product, max-abs normalization, decimal-summed
+    // projection — the oracle replays the driver loop in unrolled CTEs
+    "emb_pca" -> {
+      val iters = 12
+      // MATERIALIZED: DuckDB inlines plain CTEs per reference, which
+      // expands the 12-step recurrence exponentially (and re-opens the
+      // parquet thousands of times); materializing each step keeps the
+      // oracle linear — and mirrors the driver loop's actual dataflow
+      val steps = (1 to iters).map { k =>
+        val pv = if (k == 1) "v0" else s"v${k - 1}"
+        s"""w$k AS MATERIALIZED (SELECT g.i,
+           |  CAST(CAST(SUM(CAST(CAST(g.g * v.v AS VARCHAR)
+           |   AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS w
+           | FROM gram g JOIN $pv v ON g.j = v.i GROUP BY g.i),
+           |m$k AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM w$k),
+           |v$k AS MATERIALIZED (SELECT i, w / m AS v
+           | FROM w$k CROSS JOIN m$k)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding AS emb FROM embeddings),
+         |idx AS (SELECT unnest(range(1, 65)) AS i),
+         |dv AS MATERIALIZED (SELECT vec_id, i,
+         |  CAST(CAST(emb[i] AS VARCHAR) AS DECIMAL(17,15)) AS x
+         | FROM e CROSS JOIN idx),
+         |gram AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+         |  CAST(CAST(SUM(CAST(CAST(a.x * b.x AS VARCHAR)
+         |   AS DECIMAL(24,18))) AS VARCHAR) AS DOUBLE) AS g
+         | FROM dv a JOIN dv b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |v0 AS (SELECT i, CAST(1 AS DOUBLE) AS v FROM idx),
+         |$steps
+         |SELECT e.vec_id,
+         | CAST(CAST(SUM(CAST(CAST(emb[v.i] * v.v AS VARCHAR)
+         |  AS DECIMAL(32,18))) AS VARCHAR) AS DOUBLE) AS pc1,
+         | m$iters.m AS lambda1
+         |FROM e CROSS JOIN v$iters v CROSS JOIN m$iters
+         |GROUP BY e.vec_id, m$iters.m
+         |ORDER BY e.vec_id""".stripMargin
+    },
+
+    // replicates GraphOps.commonNeighborJaccard on the halving-edge
+    // graph (same fixture as graph_triangles)
+    "graph_common_neighbors" ->
+      """WITH k AS (SELECT c_custkey AS kk FROM customer
+        | WHERE c_custkey > 3),
+        |e0 AS (SELECT kk AS src, kk // 2 AS dst FROM k
+        | UNION ALL SELECT kk, kk // 4 FROM k),
+        |und AS (SELECT DISTINCT least(src, dst) AS u,
+        |  greatest(src, dst) AS v FROM e0
+        | WHERE least(src, dst) <> greatest(src, dst)),
+        |adj AS (SELECT u AS node, v AS nb FROM und
+        | UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        | FROM adj GROUP BY node),
+        |small AS (SELECT adj.node, adj.nb FROM adj
+        | JOIN deg ON adj.node = deg.node WHERE deg.deg <= 10000),
+        |w AS (SELECT a.nb AS id_a, b.nb AS id_b FROM small a
+        | JOIN small b ON a.node = b.node AND a.nb < b.nb),
+        |cn AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_common
+        | FROM w GROUP BY 1, 2)
+        |SELECT cn.id_a, cn.id_b, cn.n_common,
+        | da.deg AS deg_a, db.deg AS deg_b,
+        | CAST(cn.n_common AS DOUBLE) /
+        |  CAST(da.deg + db.deg - cn.n_common AS DOUBLE) AS jaccard
+        |FROM cn JOIN deg da ON cn.id_a = da.node
+        |JOIN deg db ON cn.id_b = db.node
+        |ORDER BY cn.id_a, cn.id_b""".stripMargin
   )
 }

@@ -2341,13 +2341,24 @@ object SparkEntry {
 
     // ---- per-document Shannon entropy (char + token) ----
     "text_entropy" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .withColumn("toks", TextOps.tokens(col("text")))
-        .select(col("doc_id"),
-          TextOps.charEntropy(col("text")).as("char_entropy"),
-          TextOps.tokenEntropyFromTokens(col("toks"))
-            .as("token_entropy"))
-        .orderBy("doc_id")),
+      {
+        // grouped-count shape (entropyByKey): bit-identical to the
+        // per-row HOF (order-free decimal sums) but fully codegen'd —
+        // ~3× faster here; the shuffle-free HOF (charEntropy /
+        // tokenEntropyFromTokens) remains the scan-speed option
+        val docs = t(s, dir, "documents")
+        val ce = TextOps.entropyByKey(
+          docs.select(col("doc_id"),
+            explode(split(col("text"), "")).as("e")),
+          "doc_id", "e").select(col("doc_id"),
+            col("entropy").as("char_entropy"))
+        val te = TextOps.entropyByKey(
+          docs.select(col("doc_id"),
+            explode(TextOps.tokens(col("text"))).as("e")),
+          "doc_id", "e").select(col("doc_id"),
+            col("entropy").as("token_entropy"))
+        ce.join(te, "doc_id").orderBy("doc_id")
+      }),
 
     // ---- exact rolling median over a bounded row frame ----
     "ts_rolling_median" -> ((s, dir) =>
@@ -2504,6 +2515,53 @@ object SparkEntry {
           expr("c_custkey div 4").as("dst")))
       GraphOps.commonNeighborJaccard(edges)
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- additive seasonal decomposition (moving-average STL core) ----
+    "ts_seasonal_decompose" -> ((s, dir) =>
+      AnalyticsOps.seasonalDecompose(events(s, dir))
+        .orderBy("event_type", "day")),
+
+    // ---- synchronous label-propagation communities ----
+    "graph_label_propagation" -> ((s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_custkey") > 3)
+      val edges = c.select(col("c_custkey").as("src"),
+          expr("c_custkey div 2").as("dst"))
+        .union(c.select(col("c_custkey").as("src"),
+          expr("c_custkey div 4").as("dst")))
+      GraphOps.labelPropagation(edges, iters = 4).orderBy("node")
+    }),
+
+    // ---- view→purchase conversion lag ----
+    "analytics_conversion_lag" -> ((s, dir) => {
+      // time-to-convert: first purchase strictly after the first view,
+      // exact integer micros end to end
+      val ev = events(s, dir)
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("first_view_us"))
+      val pu = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("pus"))
+      pu.join(v, "user_id").where(col("pus") > col("first_view_us"))
+        .groupBy(col("user_id"), col("first_view_us"))
+        .agg(min(col("pus")).as("first_purchase_us"))
+        .select(col("user_id"), col("first_view_us"),
+          col("first_purchase_us"),
+          (col("first_purchase_us") - col("first_view_us")).as("lag_us"))
+        .orderBy("user_id")
+    }),
+
+    // ---- nearest-direction as-of join ----
+    "join_asof_nearest_view" -> ((s, dir) => {
+      val ev = events(s, dir)
+      RelationalOps.asofNearest(
+          ev.where(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          ev.where(col("event_type") === "view")
+            .select(col("user_id"), col("ts")),
+          key = "user_id", ts = "ts", pick = "ts",
+          outCol = "nearest_view_ts")
+        .orderBy("event_id")
     }),
 
     // ---- recursive CTE (Spark 4): BFS over the customer-key tree ----
@@ -5864,6 +5922,94 @@ object SparkEntry {
          |GROUP BY e.vec_id, m$iters.m
          |ORDER BY e.vec_id""".stripMargin
     },
+
+    // replicates AnalyticsOps.seasonalDecompose: daily decimal totals,
+    // centered 7-row trend (full windows only), per-dow detrended mean.
+    // DuckDB dow: date_part('dow') is 0=Sunday; Spark dayofweek-1 same.
+    "ts_seasonal_decompose" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS y
+        | FROM events GROUP BY 1, 2),
+        |tr AS (SELECT event_type, day, y,
+        |  CASE WHEN count(*) OVER w7 = 7
+        |   THEN CAST(SUM(CAST(y AS DECIMAL(22,6))) OVER w7 AS DOUBLE)
+        |     / CAST(7 AS DOUBLE) END AS trend
+        | FROM daily
+        | WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (SELECT *, y - trend AS det FROM tr)
+        |SELECT event_type, day, y, trend,
+        | CASE WHEN det IS NOT NULL
+        |  THEN CAST(SUM(CAST(det AS DECIMAL(22,6))) OVER wd AS DOUBLE)
+        |    / CAST(count(det) OVER wd AS DOUBLE) END AS seasonal,
+        | y - trend - (CASE WHEN det IS NOT NULL
+        |  THEN CAST(SUM(CAST(det AS DECIMAL(22,6))) OVER wd AS DOUBLE)
+        |    / CAST(count(det) OVER wd AS DOUBLE) END) AS resid
+        |FROM det
+        |WINDOW wd AS (PARTITION BY event_type, date_part('dow', day))
+        |ORDER BY event_type, day""".stripMargin,
+
+    // replicates GraphOps.labelPropagation: 4 synchronous rounds,
+    // most-frequent neighbor label, ties to the smallest label;
+    // MATERIALIZED per round (DuckDB would otherwise inline the
+    // recurrence exponentially — same trap as emb_pca)
+    "graph_label_propagation" -> {
+      val steps = (1 to 4).map { k =>
+        s"""n$k AS MATERIALIZED (SELECT adj.node, l.label
+           | FROM adj JOIN l${k - 1} l ON adj.nb = l.node),
+           |c$k AS (SELECT node, label, count(*) AS c
+           | FROM n$k GROUP BY 1, 2),
+           |l$k AS MATERIALIZED (SELECT node, label FROM (
+           | SELECT node, label, row_number() OVER (PARTITION BY node
+           |  ORDER BY c DESC, label ASC) AS rn FROM c$k) WHERE rn = 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH k AS (SELECT c_custkey AS kk FROM customer
+         | WHERE c_custkey > 3),
+         |e0 AS (SELECT kk AS src, kk // 2 AS dst FROM k
+         | UNION ALL SELECT kk, kk // 4 FROM k),
+         |und AS (SELECT DISTINCT least(src, dst) AS u,
+         |  greatest(src, dst) AS v FROM e0
+         | WHERE least(src, dst) <> greatest(src, dst)),
+         |adj AS MATERIALIZED (SELECT u AS node, v AS nb FROM und
+         | UNION ALL SELECT v, u FROM und),
+         |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label
+         | FROM adj),
+         |$steps
+         |SELECT node, label FROM l4 ORDER BY node""".stripMargin
+    },
+
+    "analytics_conversion_lag" ->
+      """WITH v AS (SELECT user_id,
+        |  CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_view_us
+        | FROM events WHERE event_type = 'view' GROUP BY 1),
+        |pu AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS pus
+        | FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT pu.user_id, first_view_us,
+        |  CAST(MIN(pus) AS BIGINT) AS first_purchase_us
+        | FROM pu JOIN v USING (user_id) WHERE pus > first_view_us
+        | GROUP BY 1, 2)
+        |SELECT user_id, first_view_us, first_purchase_us,
+        | first_purchase_us - first_view_us AS lag_us
+        |FROM c ORDER BY user_id""".stripMargin,
+
+    "join_asof_nearest_view" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        | WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        |b AS (SELECT p.event_id, p.user_id, p.ts, v.ts AS bts
+        | FROM p ASOF LEFT JOIN v
+        | ON p.user_id = v.user_id AND v.ts <= p.ts),
+        |f AS (SELECT p.event_id, v.ts AS fts FROM p ASOF LEFT JOIN v
+        | ON p.user_id = v.user_id AND v.ts >= p.ts)
+        |SELECT b.event_id, b.user_id, b.ts,
+        | CASE WHEN bts IS NULL THEN fts
+        |  WHEN fts IS NULL THEN bts
+        |  WHEN epoch_us(b.ts) - epoch_us(bts)
+        |    <= epoch_us(fts) - epoch_us(b.ts) THEN bts
+        |  ELSE fts END AS nearest_view_ts
+        |FROM b JOIN f USING (event_id)
+        |ORDER BY event_id""".stripMargin,
 
     // replicates GraphOps.commonNeighborJaccard on the halving-edge
     // graph (same fixture as graph_triangles)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Product-analytics operators over the event log — the query family a
   * pipeline team runs beside billing: cohort retention, ordered
@@ -489,6 +490,50 @@ object AnalyticsOps {
     cells.select(col(typeCol), col("dow"), col("n"),
       (col("n").cast("double") / sum(col("n")).over(tot).cast("double"))
         .as("share"))
+  }
+
+  /** Classical additive seasonal decomposition (the moving-average
+    * core of STL, Cleveland et al. 1990, public): per key the daily
+    * total y decomposes as y = trend + seasonal + resid with
+    *   trend    = centered 7-day rolling mean (full windows only —
+    *              edges stay null, the standard convention),
+    *   seasonal = per day-of-week mean of the detrended series,
+    *   resid    = the remainder.
+    *
+    * Determinism: daily totals and every mean accumulate in DECIMAL
+    * (the dsum pattern); divisions are single IEEE ops on identical
+    * operands in any engine.
+    *
+    * Scale: one shuffle to daily grain (map-side combined — the raw
+    * event volume collapses to |keys|·|days| rows before moving), then
+    * a per-key ordered window over DAYS (bounded by the calendar, not
+    * the corpus) and a (key, dow) aggregation of ≤ 7 rows per key.
+    * Output: (event_type, day, y, trend, seasonal, resid). */
+  def seasonalDecompose(events: DataFrame,
+      typeCol: String = "event_type", tsCol: String = "ts",
+      valCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valCol).cast(DecimalType(22, 6))).cast("double")
+        .as("y"))
+    val w7 = Window.partitionBy(col(typeCol)).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val withTrend = daily.withColumn("trend",
+      when(count(lit(1)).over(w7) === 7,
+        sum(col("y").cast(DecimalType(22, 6))).over(w7).cast("double")
+          / lit(7.0)))
+    val det = withTrend.withColumn("det", col("y") - col("trend"))
+    val wDow = Window.partitionBy(col(typeCol),
+      (dayofweek(col("day")) - 1).as("dow"))
+    val seasonal = det.withColumn("seasonal",
+      when(col("det").isNotNull,
+        sum(col("det").cast(DecimalType(22, 6))).over(wDow)
+            .cast("double") /
+          count(col("det")).over(wDow).cast("double")))
+    seasonal.select(col(typeCol), col("day"), col("y"), col("trend"),
+      col("seasonal"),
+      (col("y") - col("trend") - col("seasonal")).as("resid"))
   }
 
   def markovTransitions(events: DataFrame, key: String = "user_id",

@@ -106,6 +106,45 @@ object GraphOps {
     pr
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007, public) for
+    * community detection: every node starts labeled with its own id;
+    * each round, every node adopts the most frequent label among its
+    * neighbors, ties broken toward the SMALLEST label — fully
+    * deterministic, no random visit order (the async variant's
+    * nondeterminism is exactly what an oracle-checked engine can't
+    * ship). Returns (node, label) after `iters` rounds.
+    *
+    * Scale shape per round: one join of the adjacency against the
+    * label relation (shuffle on node id), one (node, label) count, one
+    * per-node argmax via a single max(struct) aggregation — no window,
+    * no sort. Labels localCheckpoint each round (the pageRank
+    * superstep-barrier pattern) so lineage stays flat. */
+  def labelPropagation(edges: DataFrame, iters: Int,
+      checkpoint: Boolean = true): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val adj = und.select(col("u").as("node"), col("v").as("nb"))
+      .union(und.select(col("v").as("node"), col("u").as("nb")))
+    var labels = adj.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      val nb = adj.join(labels.withColumnRenamed("node", "_ln"),
+          col("nb") === col("_ln"))
+        .select(col("node"), col("label"))
+      // argmax count, min label on ties: max(struct(c, -label)) — one
+      // aggregation, no per-node window sort
+      labels = nb.groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+      if (checkpoint) labels = labels.localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Common-neighbor / Jaccard node similarity (the classic
     * link-prediction signal): for every unordered node pair that
     * shares at least one neighbor, the number of common neighbors and

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -100,6 +100,44 @@ object RelationalOps {
           .over(w))
       .where(col("_side") === 1)
       .drop("_side", "_pick")
+  }
+
+  /** Nearest as-of: for each left row, the right row per key whose
+    * timestamp is CLOSEST in either direction (pandas `merge_asof
+    * direction='nearest'`); exact ties go to the earlier (backward)
+    * row. Same union shape as [[asofBackward]]/[[asofForward]] — both
+    * directions resolve over ONE hash partitioning (the second window
+    * re-sorts within partitions but reuses the exchange), so the cost
+    * is one shuffle plus one extra in-partition sort, never a
+    * range-explosion theta join. */
+  def asofNearest(left: DataFrame, right: DataFrame, key: String,
+      ts: String, pick: String, outCol: String): DataFrame = {
+    val r = right.select(col(key), col(ts), col(pick).as("_pick"))
+      .withColumn("_side", lit(0))
+    val l = left.withColumn("_side", lit(1))
+    val wb = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("_side").asc, col("_pick").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("_side").desc, col("_pick").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val bMatch = (c: Column) =>
+      last(when(col("_side") === 0, c), ignoreNulls = true).over(wb)
+    val fMatch = (c: Column) =>
+      first(when(col("_side") === 0, c), ignoreNulls = true).over(wf)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_bp", bMatch(col("_pick")))
+      .withColumn("_bt", bMatch(col(ts)))
+      .withColumn("_fp", fMatch(col("_pick")))
+      .withColumn("_ft", fMatch(col(ts)))
+      .withColumn(outCol,
+        when(col("_bt").isNull, col("_fp"))
+          .when(col("_ft").isNull, col("_bp"))
+          .when(unix_micros(col(ts)) - unix_micros(col("_bt")) <=
+            unix_micros(col("_ft")) - unix_micros(col(ts)), col("_bp"))
+          .otherwise(col("_fp")))
+      .where(col("_side") === 1)
+      .drop("_side", "_pick", "_bp", "_bt", "_fp", "_ft")
   }
 
   /** Forward fill: latest non-null `value` per `key` up to each row in

@@ -437,9 +437,15 @@ object TextOps {
     * percentile_approx or computes cutoffs on a sample, exactly as
     * CCNet does, without touching the bucketing join. */
   def ccnetBuckets(documents: DataFrame): DataFrame = {
-    val fam = lmFamiliarity(documents)
-      .join(documents.select(col("doc_id"), langId(col("text")).as("lang")),
-        "doc_id")
+    // Generate barrier (the pipe_prepare_corpus pattern): the join on
+    // the COMPUTED lang column would otherwise push `isnotnull(lang)`
+    // below the project and re-inline the tokenizer 8× into a Filter
+    // (PlanAuditSpec global invariant); explode(array(...)) is a
+    // Generate node predicates cannot cross
+    val lid = documents
+      .withColumn("toks", explode(array(tokens(col("text")))))
+      .select(col("doc_id"), langIdFromTokens(col("toks")).as("lang"))
+    val fam = lmFamiliarity(documents).join(lid, "doc_id")
     val cuts = fam.groupBy(col("lang"))
       .agg(percentile(col("familiarity"), lit(1.0 / 3)).as("c_tail"),
         percentile(col("familiarity"), lit(2.0 / 3)).as("c_head"))
@@ -448,6 +454,40 @@ object TextOps {
         when(col("familiarity") > col("c_head"), "head")
           .when(col("familiarity") > col("c_tail"), "middle")
           .otherwise("tail").as("bucket"))
+  }
+
+  /** Grouped-count twin of [[elementEntropy]] over a LONG-FORM
+    * (id, elem) relation: entropy per id from a (id, elem) count
+    * aggregation instead of a per-row sorted-run HOF.
+    *
+    * Same bits: run counts are identical either way, each ln(run)
+    * quantizes to DECIMAL(14,12), and the Σ c·ln(c) is an exact
+    * decimal sum — order-free, so the grouped aggregation equals the
+    * HOF's chained accumulation digit-for-digit.
+    *
+    * When to prefer which: the HOF streams shuffle-free at scan speed
+    * (the 100 TB default); this shape pays one (id, elem)-key shuffle
+    * whose map-side combine reduces to ~|alphabet| rows per id, but
+    * every operator stays inside whole-stage codegen — measured ~3×
+    * faster single-node on sf0.1 documents than the interpreted
+    * struct-accumulator HOF (bench r8: text_entropy 3.4 s → see
+    * BASELINE.md). Output: (id, entropy, n). */
+  def entropyByKey(rel: DataFrame, idCol: String,
+      elemCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val runs = rel.groupBy(col(idCol), col(elemCol))
+      .agg(count(lit(1)).as("run"))
+    runs.groupBy(col(idCol))
+      .agg(sum((log(col("run").cast("double")).cast(DecimalType(14, 12)) *
+          col("run").cast(DecimalType(8, 0))).cast(DecimalType(23, 12)))
+          .as("s"),
+        sum(col("run")).as("n"))
+      .select(col(idCol),
+        (log(col("n").cast("double")).cast(DecimalType(14, 12))
+            .cast("double") -
+          col("s").cast("double") / col("n").cast("double"))
+          .as("entropy"),
+        col("n"))
   }
 
   /** Character-level entropy of raw text (split("") = one element per

@@ -48,6 +48,31 @@ class PlanAuditSpec extends AnyFunSuite {
       .distinct
   }
 
+  test("DSIR model join broadcasts the bucket model, never sort-merges") {
+    val plan = planOf(q("text_dsir"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 256-row bucket model must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no shuffle join anywhere in text_dsir:\n$plan")
+  }
+
+  test("emb_pca projection is shuffle-free after the bounded gram " +
+      "collect (literals only, no join)") {
+    val df = q("emb_pca")
+    // the projection plan (what the query RETURNS) must carry no join:
+    // the eigenvector ships as a constant literal, the kmAssign pattern
+    val plan = planOf(df)
+    assert(!plan.contains("Join"),
+      s"emb_pca projection must not join — direction is a literal:\n$plan")
+  }
+
+  test("grouped entropy stays inside whole-stage codegen") {
+    // "*(n) " prefixes are the executed plan's codegen stage markers
+    val plan = planOf(q("text_entropy"))
+    assert(plan.contains("*(") && plan.contains("HashAggregate"),
+      s"entropyByKey's aggregations must be codegen'd:\n$plan")
+  }
+
   test("daily event slice pushes its date bounds into the parquet scan") {
     val plan = planOf(q("f2_daily_event_filter"))
     assert(plan.contains("PushedFilters: [IsNotNull(ts), " +

@@ -2517,6 +2517,50 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- BPE merge training (3 full rounds) ----
+    "pipe_bpe_merges" -> ((s, dir) =>
+      PipelineOps.bpeMerges(t(s, dir, "documents"), rounds = 3)
+        .orderBy("round")),
+
+    // ---- MAD-based robust anomaly detection ----
+    "analytics_mad_anomaly" -> ((s, dir) => {
+      // median/MAD instead of mean/stddev: outliers can't drag their
+      // own detection threshold. Two exact-percentile aggregates (the
+      // agg_exact_quantiles pattern), each broadcast back; anomalies =
+      // |value − med| > 3.5·MAD
+      val ev = events(s, dir)
+      val med = ev.groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.5)).as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"), col("med"))
+        .agg(percentile(abs(col("value") - col("med")), lit(0.5))
+          .as("mad"))
+      ev.join(broadcast(mad), "event_type")
+        .where(abs(col("value") - col("med")) > lit(3.5) * col("mad"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"),
+          ((col("value") - col("med")) / col("mad")).as("score"))
+        .orderBy("event_id")
+    }),
+
+    // ---- ER: matched pairs → components → canonical records ----
+    "er_cluster_canonical" -> ((s, dir) => {
+      // the full entity-resolution finish: sorted-neighborhood matches
+      // → connected components → one canonical row per duplicate
+      // cluster (min name wins — deterministic survivorship)
+      val cust = t(s, dir, "customer")
+      val matches = RelationalOps.sortedNeighborhoodMatches(cust,
+        idCol = "c_custkey", nameCol = "c_name", window = 5, maxDist = 1)
+      val comp = Dedup.connectedComponents(
+        matches.select(col("id_a"), col("id_b")))
+      comp.join(cust, comp("doc_id") === cust("c_custkey"))
+        .groupBy(col("cluster_rep").as("cluster_id"))
+        .agg(count(lit(1)).as("size"),
+          min(col("c_name")).as("canonical_name"),
+          max(col("doc_id")).as("max_member"))
+        .orderBy("cluster_id")
+    }),
+
     // ---- additive seasonal decomposition (moving-average STL core) ----
     "ts_seasonal_decompose" -> ((s, dir) =>
       AnalyticsOps.seasonalDecompose(events(s, dir))
@@ -5922,6 +5966,76 @@ object SparkEntry {
          |GROUP BY e.vec_id, m$iters.m
          |ORDER BY e.vec_id""".stripMargin
     },
+
+    // replicates PipelineOps.bpeMerges: 3 unrolled rounds; the greedy
+    // left-to-right non-overlapping merge is a string replace over a
+    // control-char-wrapped encoding (⟨sym⟩ = chr(31)||sym||chr(30) —
+    // no shared boundary chars, so replace() IS the greedy fold)
+    "pipe_bpe_merges" -> {
+      val enc = "array_to_string(list_transform(syms, " +
+        "x -> chr(31) || x || chr(30)), '')"
+      val rounds = (1 to 3).map { k =>
+        s"""p$k AS (SELECT syms[i] AS a, syms[i+1] AS b,
+           |  CAST(SUM(n) AS BIGINT) AS c
+           | FROM w${k - 1}, unnest(range(1, len(syms))) AS t(i)
+           | WHERE len(syms) >= 2 GROUP BY 1, 2),
+           |t$k AS MATERIALIZED (SELECT a, b, c FROM p$k
+           | ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+           |w$k AS MATERIALIZED (SELECT
+           |  list_filter(list_transform(
+           |   string_split(replace($enc,
+           |    chr(31) || t$k.a || chr(30) || chr(31) || t$k.b || chr(30),
+           |    chr(31) || t$k.a || t$k.b || chr(30)), chr(30)),
+           |   x -> x[2:]), x -> x <> '') AS syms, n
+           | FROM w${k - 1} CROSS JOIN t$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w0 AS MATERIALIZED (SELECT string_split(w, '') AS syms, n
+         | FROM (SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+         |   AS w FROM documents) WHERE len(w) >= 1 GROUP BY w)),
+         |$rounds
+         |SELECT CAST(1 AS INTEGER) AS round, a AS sym_a, b AS sym_b,
+         | c AS pair_count FROM t1
+         |UNION ALL SELECT CAST(2 AS INTEGER), a, b, c FROM t2
+         |UNION ALL SELECT CAST(3 AS INTEGER), a, b, c FROM t3
+         |ORDER BY round""".stripMargin
+    },
+
+    "analytics_mad_anomaly" ->
+      """WITH med AS (SELECT event_type,
+        |  quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+        |mad AS (SELECT e.event_type, med,
+        |  quantile_cont(abs(e.value - med), 0.5) AS mad
+        | FROM events e JOIN med USING (event_type) GROUP BY 1, 2)
+        |SELECT e.event_id, e.event_type, e.value, m.med, m.mad,
+        | (e.value - m.med) / m.mad AS score
+        |FROM events e JOIN mad m USING (event_type)
+        |WHERE abs(e.value - m.med) > CAST(3.5 AS DOUBLE) * m.mad
+        |ORDER BY e.event_id""".stripMargin,
+
+    // replicates er_cluster_canonical: sorted-neighborhood matches →
+    // recursive-CTE closure (the dedup_clusters pattern) → min-name
+    // survivorship per cluster
+    "er_cluster_canonical" ->
+      """WITH RECURSIVE r0 AS (SELECT c_custkey AS id, c_name AS nm,
+        |  row_number() OVER (ORDER BY c_name, c_custkey) AS rk
+        | FROM customer),
+        |m AS (SELECT least(a.id, b.id) AS u, greatest(a.id, b.id) AS v
+        | FROM r0 a JOIN r0 b ON b.rk > a.rk AND b.rk <= a.rk + 5
+        | WHERE levenshtein(a.nm, b.nm) <= 1),
+        |und AS (SELECT u, v FROM m UNION ALL SELECT v, u FROM m),
+        |r(a, b) AS (
+        |  SELECT u, v FROM und
+        |  UNION
+        |  SELECT r.a, und.v FROM r JOIN und ON r.b = und.u
+        |),
+        |rep AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+        | FROM r GROUP BY a)
+        |SELECT rep.cluster_id, CAST(count(*) AS BIGINT) AS size,
+        | min(c.c_name) AS canonical_name,
+        | CAST(max(rep.id) AS BIGINT) AS max_member
+        |FROM rep JOIN customer c ON rep.id = c.c_custkey
+        |GROUP BY rep.cluster_id ORDER BY cluster_id""".stripMargin,
 
     // replicates AnalyticsOps.seasonalDecompose: daily decimal totals,
     // centered 7-row trend (full windows only), per-dow detrended mean.

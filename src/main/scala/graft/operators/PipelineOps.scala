@@ -384,4 +384,70 @@ object PipelineOps {
       .withColumn("slot", col("_lo_slot"))
       .drop("_w_total", "_hi_slot", "_lo_slot")
   }
+
+  /** BPE merge TRAINING (Sennrich et al. 2016, public) — `rounds` full
+    * merge iterations, not just the seed pair count (pipe_bpe_pairs):
+    * the corpus collapses to its word-frequency vocabulary, every word
+    * starts as its character sequence, and each round (1) counts every
+    * adjacent symbol pair weighted by word frequency, (2) picks the
+    * most frequent pair — ties to the lexicographically smallest
+    * (a, b), no randomness — and (3) merges it GREEDILY LEFT-TO-RIGHT,
+    * non-overlapping, in every word. Returns the learned merge table
+    * (round, sym_a, sym_b, pair_count) — the artifact a tokenizer
+    * trainer actually ships.
+    *
+    * Scale: the working set after the first aggregation is the
+    * VOCABULARY (words × counts), orders of magnitude smaller than the
+    * corpus and localCheckpoint'ed once per round; per round one pair
+    * aggregation over Σ|word| rows and ONE driver row (the argmax —
+    * TakeOrderedAndProject, the codebook-collect pattern). The merge
+    * itself is a per-row codegen'd fold — no shuffle. */
+  def bpeMerges(documents: DataFrame, rounds: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    var words = documents
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(split(col("w"), "").as("syms"), col("n"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = words
+        .where(size(col("syms")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b")))).as("p"), col("n"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).as[(String, String, Long)].collect()
+      if (top.nonEmpty) {
+        val (a, b, c) = top.head
+        merges += ((r, a, b, c))
+        // greedy left-to-right non-overlapping merge, one per-row fold
+        val folded = aggregate(
+          sequence(lit(1), size(col("syms"))),
+          struct(typedLit(Seq.empty[String]).as("out"),
+            lit(false).as("skip")),
+          (acc, i) => {
+            val cur = element_at(col("syms"), i)
+            val nxt = element_at(col("syms"), i + 1)
+            when(acc.getField("skip"),
+              struct(acc.getField("out").as("out"), lit(false).as("skip")))
+              .when(i < size(col("syms")) && cur === lit(a) &&
+                  nxt === lit(b),
+                struct(concat(acc.getField("out"),
+                  array(lit(a + b))).as("out"), lit(true).as("skip")))
+              .otherwise(struct(concat(acc.getField("out"),
+                array(cur)).as("out"), lit(false).as("skip")))
+          },
+          acc => acc.getField("out"))
+        words = words.withColumn("syms", folded).localCheckpoint(true)
+      }
+    }
+    merges.toSeq.toDF("round", "sym_a", "sym_b", "pair_count")
+  }
 }

@@ -73,6 +73,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"entropyByKey's aggregations must be codegen'd:\n$plan")
   }
 
+  test("MAD anomaly joins broadcast the tiny percentile relations") {
+    val plan = planOf(q("analytics_mad_anomaly"))
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"),
+      s"med/mad (|event types| rows) must broadcast, never shuffle the " +
+        s"event log into a sort-merge join:\n$plan")
+  }
+
   test("daily event slice pushes its date bounds into the parquet scan") {
     val plan = planOf(q("f2_daily_event_filter"))
     assert(plan.contains("PushedFilters: [IsNotNull(ts), " +

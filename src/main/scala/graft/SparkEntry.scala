@@ -2517,6 +2517,13 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- multi-feature OLS by normal equations ----
+    "analytics_ols_multi" -> ((s, dir) =>
+      // price ~ quantity + discount: one sufficient-statistics pass,
+      // closed-form Cramer solve, bit-reproducible coefficients
+      AnalyticsOps.olsNormalEquations(t(s, dir, "lineitem"),
+        y = "l_extendedprice", x1 = "l_quantity", x2 = "l_discount")),
+
     // ---- BPE merge training (3 full rounds) ----
     "pipe_bpe_merges" -> ((s, dir) =>
       PipelineOps.bpeMerges(t(s, dir, "documents"), rounds = 3)
@@ -5966,6 +5973,42 @@ object SparkEntry {
          |GROUP BY e.vec_id, m$iters.m
          |ORDER BY e.vec_id""".stripMargin
     },
+
+    // replicates AnalyticsOps.olsNormalEquations: identical moment sums
+    // (decimal-exact, VARCHAR-routed to double) and the SAME Cramer
+    // expression tree, token for token
+    "analytics_ols_multi" ->
+      """WITH c AS (SELECT CAST(l_quantity AS DECIMAL(19,4)) AS q1,
+        |  CAST(l_discount AS DECIMAL(19,4)) AS q2,
+        |  CAST(l_extendedprice AS DECIMAL(19,4)) AS qy
+        | FROM lineitem),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(CAST(SUM(q1) AS VARCHAR) AS DOUBLE) AS s1,
+        |  CAST(CAST(SUM(q2) AS VARCHAR) AS DOUBLE) AS s2,
+        |  CAST(CAST(SUM(qy) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(q1 * q1) AS VARCHAR) AS DOUBLE) AS s11,
+        |  CAST(CAST(SUM(q1 * q2) AS VARCHAR) AS DOUBLE) AS s12,
+        |  CAST(CAST(SUM(q2 * q2) AS VARCHAR) AS DOUBLE) AS s22,
+        |  CAST(CAST(SUM(q1 * qy) AS VARCHAR) AS DOUBLE) AS s1y,
+        |  CAST(CAST(SUM(q2 * qy) AS VARCHAR) AS DOUBLE) AS s2y,
+        |  CAST(CAST(SUM(qy * qy) AS VARCHAR) AS DOUBLE) AS syy
+        | FROM c),
+        |k AS (SELECT *,
+        |  n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |    + s2 * (s1 * s12 - s11 * s2) AS det,
+        |  sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+        |    + s2 * (s1y * s12 - s11 * s2y) AS det0,
+        |  n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+        |    + s2 * (s1 * s2y - s1y * s2) AS det1,
+        |  n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+        |    + sy * (s1 * s12 - s11 * s2) AS det2
+        | FROM m)
+        |SELECT CAST(n AS BIGINT) AS n_rows,
+        | det0 / det AS b0, det1 / det AS b1, det2 / det AS b2,
+        | CAST(1.0 AS DOUBLE) - (syy - (det0 / det) * sy
+        |   - (det1 / det) * s1y - (det2 / det) * s2y)
+        |  / (syy - sy * sy / n) AS r2
+        |FROM k""".stripMargin,
 
     // replicates PipelineOps.bpeMerges: 3 unrolled rounds; the greedy
     // left-to-right non-overlapping merge is a string replace over a

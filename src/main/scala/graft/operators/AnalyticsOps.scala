@@ -189,6 +189,50 @@ object AnalyticsOps {
       ((col("sy") - (covN / varX) * col("sx")) / col("n")).as("intercept"))
   }
 
+  /** Multi-feature OLS (y ~ b0 + b1·x1 + b2·x2) by NORMAL EQUATIONS:
+    * one pass collects the ten decimal-exact moment sums
+    * (n, Σx1, Σx2, Σy, Σx1², Σx1x2, Σx2², Σx1y, Σx2y, Σy²), and the
+    * 3×3 system solves in closed form by Cramer's rule — a fixed IEEE
+    * expression tree over the moments, replayed verbatim by the
+    * oracle, so the coefficients are bit-reproducible where an
+    * iterative solver would not be.
+    *
+    * Scale: ONE map-side-combined aggregation over the corpus (ten
+    * sums travel, not rows); everything after is arithmetic on a
+    * single row. This is the classic big-data regression shape — the
+    * same sufficient-statistics pass MLlib's summarizer does.
+    * Output: one row (n_rows, b0, b1, b2, r2). */
+  def olsNormalEquations(df: DataFrame, y: String, x1: String,
+      x2: String): DataFrame = {
+    val f = DecimalType(18, 4)
+    def d1(c: Column) = sum(c.cast(f)).cast("double")
+    def d2(a: Column, b: Column) = sum(a.cast(f) * b.cast(f))
+      .cast("double")
+    val m = df.agg(
+      count(lit(1)).cast("double").as("n"),
+      d1(col(x1)).as("s1"), d1(col(x2)).as("s2"), d1(col(y)).as("sy"),
+      d2(col(x1), col(x1)).as("s11"), d2(col(x1), col(x2)).as("s12"),
+      d2(col(x2), col(x2)).as("s22"), d2(col(x1), col(y)).as("s1y"),
+      d2(col(x2), col(y)).as("s2y"), d2(col(y), col(y)).as("syy"))
+    val n = col("n")
+    val (s1, s2, sy) = (col("s1"), col("s2"), col("sy"))
+    val (s11, s12, s22) = (col("s11"), col("s12"), col("s22"))
+    val (s1y, s2y, syy) = (col("s1y"), col("s2y"), col("syy"))
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val det0 = sy * (s11 * s22 - s12 * s12) -
+      s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)
+    val det1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    val (b0, b1, b2) = (det0 / det, det1 / det, det2 / det)
+    val sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    val sst = syy - sy * sy / n
+    m.select(n.cast("long").as("n_rows"), b0.as("b0"), b1.as("b1"),
+      b2.as("b2"), (lit(1.0) - sse / sst).as("r2"))
+  }
+
   /** One-pass numeric column profile in long form: per column, row
     * count, null count, exact distinct count, min and max (as double).
     * The data-quality sweep a pipeline runs before trusting a new

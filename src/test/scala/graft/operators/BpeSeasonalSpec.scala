@@ -32,6 +32,21 @@ class BpeSeasonalSpec extends AnyFunSuite {
     assert(m == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)), s"got $m")
   }
 
+  test("olsNormalEquations recovers exact-fit coefficients with r2 = 1") {
+    // y = 2 + 3*x1 + 5*x2 exactly, on integer-valued features: the
+    // decimal moments are exact and Cramer's rule solves exactly
+    val rows = for (a <- 1 to 12; b <- 1 to 5)
+      yield (a.toDouble, b.toDouble, 2.0 + 3.0 * a + 5.0 * b)
+    val df = rows.toDF("x1", "x2", "y")
+    val r = AnalyticsOps.olsNormalEquations(df, "y", "x1", "x2")
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(r._1 == 60L)
+    assert(math.abs(r._2 - 2.0) < 1e-9, s"b0=${r._2}")
+    assert(math.abs(r._3 - 3.0) < 1e-9, s"b1=${r._3}")
+    assert(math.abs(r._4 - 5.0) < 1e-9, s"b2=${r._4}")
+    assert(math.abs(r._5 - 1.0) < 1e-12, s"r2=${r._5}")
+  }
+
   test("seasonalDecompose: y = trend + seasonal + resid on full " +
       "windows, null trend at series edges") {
     // 21 days of one event type, value 1.0/day: trend = 1 on full

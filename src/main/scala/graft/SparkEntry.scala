@@ -2517,6 +2517,10 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- exact Gini concentration of order spend ----
+    "analytics_gini" -> ((s, dir) =>
+      AnalyticsOps.giniCoefficient(t(s, dir, "orders"), "o_totalprice")),
+
     // ---- multi-feature OLS by normal equations ----
     "analytics_ols_multi" -> ((s, dir) =>
       // price ~ quantity + discount: one sufficient-statistics pass,
@@ -5973,6 +5977,30 @@ object SparkEntry {
          |GROUP BY e.vec_id, m$iters.m
          |ORDER BY e.vec_id""".stripMargin
     },
+
+    // replicates AnalyticsOps.giniCoefficient: tie-group rank sums in
+    // closed form over distinct cents (the oracle may use the naive
+    // global window; the engine side uses the two-phase scan)
+    "analytics_gini" ->
+      """WITH g AS (SELECT
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   AS cv,
+        |  CAST(count(*) AS BIGINT) AS nv FROM orders GROUP BY 1),
+        |c AS (SELECT cv, nv, coalesce(SUM(nv) OVER (ORDER BY cv
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  CAST(0 AS BIGINT)) AS prev FROM g),
+        |s AS (SELECT CAST(SUM(nv) AS BIGINT) AS n,
+        |  CAST(SUM(cv * nv) AS BIGINT) AS s0c,
+        |  CAST(CAST(SUM(CAST(CAST(cv AS DECIMAL(12,0)) *
+        |   CAST(nv * prev + (nv * (nv + 1)) // 2 AS DECIMAL(20,0))
+        |   AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS s1c
+        | FROM c)
+        |SELECT n AS n_rows, s0c AS total_cents,
+        | (CAST(2 AS DOUBLE) * s1c)
+        |  / (CAST(n AS DOUBLE) * CAST(s0c AS DOUBLE))
+        |  - (CAST(n AS DOUBLE) + CAST(1 AS DOUBLE)) / CAST(n AS DOUBLE)
+        |  AS gini
+        |FROM s""".stripMargin,
 
     // replicates AnalyticsOps.olsNormalEquations: identical moment sums
     // (decimal-exact, VARCHAR-routed to double) and the SAME Cramer

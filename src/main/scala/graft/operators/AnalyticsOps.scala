@@ -189,6 +189,42 @@ object AnalyticsOps {
       ((col("sy") - (covN / varX) * col("sx")) / col("n")).as("intercept"))
   }
 
+  /** Exact Gini concentration coefficient of a 2-dp money column —
+    * the inequality complement of the HHI: G = 2·Σᵢ i·xᵢ / (n·Σx)
+    * − (n+1)/n over ASCENDING ranks.
+    *
+    * No per-row global rank is ever materialized: values collapse to
+    * (distinct cents, count) and the rank-sum of a tie group with
+    * `prev` predecessors and `nv` members is nv·prev + nv(nv+1)/2 in
+    * closed form — tie order cancels, so the statistic is exact and
+    * deterministic. The predecessor counts come from
+    * [[RelationalOps.distributedPrefixSum]] (two-phase scan, serial
+    * step bounded by nBuckets — never a corpus-wide single-partition
+    * window), and Σ cents·rankSum accumulates in DECIMAL(38,0) (the
+    * products overflow a long at ~10^18). Cents keep every term
+    * integral; Gini is scale-invariant so the ×100 cancels.
+    * Output: one row (n_rows, total_cents, gini). */
+  def giniCoefficient(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = (col(valueCol).cast(DecimalType(18, 2)) * lit(100))
+      .cast("long")
+    val g = df.select(cents.as("cv")).groupBy(col("cv"))
+      .agg(count(lit(1)).as("nv"))
+    val withCum = RelationalOps.distributedPrefixSum(g, "cv", "nv")
+      .withColumn("prev", col("cum") - col("nv"))
+    val rankSum = (col("nv") * col("prev") +
+      expr("(nv * (nv + 1)) div 2")).cast(DecimalType(20, 0))
+    val s = withCum.agg(
+      sum(col("nv")).as("n"),
+      sum(col("cv") * col("nv")).as("s0c"),
+      sum((col("cv").cast(DecimalType(12, 0)) * rankSum)
+        .cast(DecimalType(38, 0))).cast("double").as("s1c"))
+    s.select(col("n").as("n_rows"), col("s0c").as("total_cents"),
+      ((lit(2.0) * col("s1c")) /
+        (col("n").cast("double") * col("s0c").cast("double")) -
+        (col("n").cast("double") + lit(1.0)) / col("n").cast("double"))
+        .as("gini"))
+  }
+
   /** Multi-feature OLS (y ~ b0 + b1·x1 + b2·x2) by NORMAL EQUATIONS:
     * one pass collects the ten decimal-exact moment sums
     * (n, Σx1, Σx2, Σy, Σx1², Σx1x2, Σx2², Σx1y, Σx2y, Σy²), and the

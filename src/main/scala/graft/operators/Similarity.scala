@@ -3,7 +3,7 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -871,38 +871,92 @@ object Similarity {
 
   // ---- PCA (power iteration) -------------------------------------------
 
-  /** Flat Gram-matrix relation (i, j, g) of the embedding column,
-    * 1-based dims, g = Σ_vectors vᵢ·vⱼ as DOUBLE.
+  /** Map-side Gram accumulation: the buffer is the d(d+1)/2 exact
+    * upper-triangle sums, so the ONLY shuffle of the pass moves one
+    * partial buffer per map task — no per-row d² explode ever
+    * materializes as rows (the sufficient-statistics shape
+    * `olsNormalEquations` uses, and MLlib computeGramianMatrix's
+    * treeAggregate, public).
     *
-    * Scale: the d² expansion happens PER ROW (a generated upper-triangle
-    * pair array, inlined — no self-join, so no shuffle of the corpus);
-    * map-side partial aggregation reduces each task to ≤ d(d+1)/2 rows
-    * and the single shuffle moves only those. This is the treeAggregate
-    * Gramian shape (Spark MLlib computeGramianMatrix, public) in
-    * DataFrame form.
-    *
-    * Determinism: each float parses exactly via its shortest decimal
-    * string into DECIMAL(17,15) (≤9 significant digits — the
-    * groupCentroids dodge); products are EXACT decimal multiplies
-    * (35,30), re-quantized to (24,18) — a decimal→decimal rounding both
-    * engines perform identically — and summed exactly. No IEEE
-    * accumulation anywhere, so Gram entries are bit-reproducible under
-    * any partitioning. */
-  def gramMatrix(embeddings: DataFrame, dims: Int): DataFrame = {
+    * Determinism contract (identical to the previous relational form,
+    * so Gram entries are bit-for-bit unchanged): inputs arrive already
+    * quantized to DECIMAL(17,15) via shortest-string float parse;
+    * each product is EXACT, re-quantized to scale 18 HALF_UP (the
+    * (24,18) cast both engines round identically), and summed exactly
+    * at scale 18. No IEEE accumulation, so results are independent of
+    * partitioning and merge order. */
+  private final class GramAggregator(dims: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Seq[java.math.BigDecimal], Array[java.math.BigDecimal],
+        Seq[java.math.BigDecimal]] {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    private val n = dims * (dims + 1) / 2
+    def zero: Array[java.math.BigDecimal] =
+      Array.fill(n)(java.math.BigDecimal.ZERO)
+    def reduce(b: Array[java.math.BigDecimal],
+        row: Seq[java.math.BigDecimal]): Array[java.math.BigDecimal] = {
+      val v = row.toArray
+      var k = 0; var i = 0
+      while (i < dims) {
+        val vi = v(i); var j = i
+        while (j < dims) {
+          b(k) = b(k).add(vi.multiply(v(j))
+            .setScale(18, java.math.RoundingMode.HALF_UP))
+          k += 1; j += 1
+        }
+        i += 1
+      }
+      b
+    }
+    def merge(a: Array[java.math.BigDecimal],
+        b: Array[java.math.BigDecimal]): Array[java.math.BigDecimal] = {
+      var k = 0
+      while (k < n) { a(k) = a(k).add(b(k)); k += 1 }
+      a
+    }
+    def finish(b: Array[java.math.BigDecimal])
+        : Seq[java.math.BigDecimal] = b.toSeq
+    def bufferEncoder: Encoder[Array[java.math.BigDecimal]] =
+      ExpressionEncoder[Array[java.math.BigDecimal]]()
+    def outputEncoder: Encoder[Seq[java.math.BigDecimal]] =
+      ExpressionEncoder[Seq[java.math.BigDecimal]]()
+  }
+
+  /** The single-aggregation gram pass as a one-row Dataset — exposed so
+    * plan audits can assert the pass carries NO Generate (no explode)
+    * and at most the one final-merge shuffle. */
+  def gramPass(embeddings: DataFrame, dims: Int)
+      : Dataset[Seq[java.math.BigDecimal]] = {
     import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val dv = transform(col("embedding"),
       x => x.cast("string").cast(DecimalType(17, 15)))
-    val pairs = flatten(transform(sequence(lit(1), lit(dims)), i =>
-      transform(sequence(i, lit(dims)), j =>
-        struct(i.as("i"), j.as("j"),
-          (element_at(col("__dv"), i) * element_at(col("__dv"), j))
-            .cast(DecimalType(24, 18)).as("p")))))
-    val upper = embeddings.withColumn("__dv", dv)
-      .select(explode(pairs).as("pp"))
-      .groupBy(col("pp.i").as("i"), col("pp.j").as("j"))
-      .agg(sum(col("pp.p")).cast("double").as("g"))
-    upper.union(upper.where(col("i") =!= col("j"))
-      .select(col("j").as("i"), col("i").as("j"), col("g")))
+    implicit val enc: Encoder[Seq[java.math.BigDecimal]] =
+      ExpressionEncoder[Seq[java.math.BigDecimal]]()
+    embeddings.select(dv.as("dv")).as[Seq[java.math.BigDecimal]]
+      .select(new GramAggregator(dims).toColumn)
+  }
+
+  /** Full dims×dims Gram matrix g(i)(j) = Σ_vectors vᵢ·vⱼ as DOUBLE,
+    * from the map-side aggregated triangle (one buffer-sized row
+    * collected — bounded by the DIMENSION, not the corpus). The final
+    * decimal→double conversion is java BigDecimal.doubleValue, the
+    * same conversion Spark's Decimal→Double cast performs, so entries
+    * match the previous relational form exactly. */
+  def gramMatrix(embeddings: DataFrame, dims: Int): Array[Array[Double]] = {
+    val tri = gramPass(embeddings, dims).head()
+    val g = Array.ofDim[Double](dims, dims)
+    var k = 0; var i = 0
+    while (i < dims) {
+      var j = i
+      while (j < dims) {
+        val x = tri(k).doubleValue
+        g(i)(j) = x; g(j)(i) = x
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    g
   }
 
   /** First principal direction of the (uncentered) Gram matrix by
@@ -919,10 +973,7 @@ object Similarity {
     * all-ones init — no seeding, same rule as k-means init. */
   def pcaPowerIteration(embeddings: DataFrame, dims: Int,
       iters: Int): (Array[Double], Double) = {
-    val g = Array.ofDim[Double](dims, dims)
-    gramMatrix(embeddings, dims).collect().foreach { r =>
-      g(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getDouble(2)
-    }
+    val g = gramMatrix(embeddings, dims)
     var v = Array.fill(dims)(1.0)
     var lambda = 0.0
     for (_ <- 0 until iters) {

@@ -66,6 +66,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"emb_pca projection must not join — direction is a literal:\n$plan")
   }
 
+  test("PCA gram pass is a single map-side aggregation: no Generate " +
+      "(no per-row d² explode), at most one shuffle") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val pass = graft.operators.Similarity.gramPass(emb, dims = 64)
+    val df = pass.toDF()
+    val plan = planOf(df)
+    assert(!plan.contains("Generate"),
+      s"gram accumulation must be map-side (no explode):\n$plan")
+    assert(shufflesOf(df).size <= 1,
+      s"gram pass may shuffle only the partial buffers once:\n$plan")
+  }
+
   test("grouped entropy stays inside whole-stage codegen") {
     // "*(n) " prefixes are the executed plan's codegen stage markers
     val plan = planOf(q("text_entropy"))

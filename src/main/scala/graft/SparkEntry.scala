@@ -2533,6 +2533,11 @@ object SparkEntry {
       PipelineOps.bpeMerges(t(s, dir, "documents"), rounds = 3)
         .orderBy("round")),
 
+    // ---- BPE encode: tokenize the corpus with the trained merges ----
+    "pipe_bpe_encode" -> ((s, dir) =>
+      PipelineOps.bpeEncode(t(s, dir, "documents"), rounds = 3)
+        .orderBy("doc_id")),
+
     // ---- MAD-based robust anomaly detection ----
     "analytics_mad_anomaly" -> ((s, dir) => {
       // median/MAD instead of mean/stddev: outliers can't drag their
@@ -6070,6 +6075,46 @@ object SparkEntry {
          |UNION ALL SELECT CAST(2 AS INTEGER), a, b, c FROM t2
          |UNION ALL SELECT CAST(3 AS INTEGER), a, b, c FROM t3
          |ORDER BY round""".stripMargin
+    },
+
+    // replicates PipelineOps.bpeEncode: the same 3 unrolled training
+    // rounds (vocabulary carried with its word key this time), then a
+    // word→|merged symbols| map join back onto the corpus and a per-doc
+    // count/sum. Corpus assumption shared with pipe_bpe_merges: ASCII/
+    // BMP text free of the 0x1E/0x1F sentinel control chars (the
+    // engine splits per UTF-16 unit, the oracle per codepoint — equal
+    // on BMP; the sentinels must not occur in the data).
+    "pipe_bpe_encode" -> {
+      val enc = "array_to_string(list_transform(syms, " +
+        "x -> chr(31) || x || chr(30)), '')"
+      val rounds = (1 to 3).map { k =>
+        s"""p$k AS (SELECT syms[i] AS a, syms[i+1] AS b,
+           |  CAST(SUM(n) AS BIGINT) AS c
+           | FROM w${k - 1}, unnest(range(1, len(syms))) AS t(i)
+           | WHERE len(syms) >= 2 GROUP BY 1, 2),
+           |t$k AS MATERIALIZED (SELECT a, b, c FROM p$k
+           | ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+           |w$k AS MATERIALIZED (SELECT w,
+           |  list_filter(list_transform(
+           |   string_split(replace($enc,
+           |    chr(31) || t$k.a || chr(30) || chr(31) || t$k.b || chr(30),
+           |    chr(31) || t$k.a || t$k.b || chr(30)), chr(30)),
+           |   x -> x[2:]), x -> x <> '') AS syms, n
+           | FROM w${k - 1} CROSS JOIN t$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w0 AS MATERIALIZED (SELECT w, string_split(w, '') AS syms, n
+         | FROM (SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+         |   AS w FROM documents) WHERE len(w) >= 1 GROUP BY w)),
+         |$rounds,
+         |vocab AS (SELECT w, CAST(len(syms) AS BIGINT) AS wtoks FROM w3),
+         |dw AS (SELECT doc_id,
+         |  unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         | FROM documents)
+         |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         | CAST(SUM(v.wtoks) AS BIGINT) AS n_tokens
+         |FROM dw JOIN vocab v ON dw.w = v.w
+         |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
     },
 
     "analytics_mad_anomaly" ->

@@ -405,11 +405,31 @@ object PipelineOps {
   def bpeMerges(documents: DataFrame, rounds: Int): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
+    bpeTrain(documents, rounds)._1
+      .toDF("round", "sym_a", "sym_b", "pair_count")
+  }
+
+  /** BPE training core shared by [[bpeMerges]] (ships the merge table)
+    * and [[bpeEncode]] (ships the tokenized corpus): returns the merge
+    * list AND the final vocabulary state (word, merged symbol array,
+    * frequency) — i.e. each distinct word's trained segmentation.
+    *
+    * Corpus assumption (documented for oracle parity): symbols are
+    * compared per UTF-16 unit on the engine side and per codepoint by
+    * the DuckDB oracle, and the oracle's replace-encoding uses the
+    * 0x1E/0x1F control chars as sentinels — the documents corpus is
+    * ASCII/BMP text free of those control chars, which makes the two
+    * tokenizations identical. Non-BMP or control-char corpora would
+    * need a pre-strip on both sides. */
+  private[graft] def bpeTrain(documents: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val spark = documents.sparkSession
+    import spark.implicits._
     var words = documents
       .select(explode(TextOps.tokens(col("text"))).as("w"))
       .where(length(col("w")) >= 1)
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .select(split(col("w"), "").as("syms"), col("n"))
+      .select(col("w"), split(col("w"), "").as("syms"), col("n"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
@@ -448,6 +468,32 @@ object PipelineOps {
         words = words.withColumn("syms", folded).localCheckpoint(true)
       }
     }
-    merges.toSeq.toDF("round", "sym_a", "sym_b", "pair_count")
+    (merges.toSeq, words)
+  }
+
+  /** BPE ENCODE — the consuming half of the tokenizer loop: train the
+    * merge table ([[bpeTrain]]), then tokenize the corpus with it and
+    * report per-document token statistics (doc_id, n_words, n_tokens).
+    * n_tokens is the post-merge symbol count — the number a data
+    * pipeline budgets against (token quotas, packing, pricing).
+    *
+    * Scale: the trained segmentation lives on the VOCABULARY relation
+    * (distinct word → |merged symbols|) — corpus-independent size — so
+    * encoding is a word-keyed map join plus one per-doc aggregation.
+    * The vocabulary broadcasts here (far below threshold); at 100 TB a
+    * heavy-tailed web vocabulary can reach 10⁸ entries, where the swap
+    * is the plain shuffle hash join on `w` (both sides word-keyed, no
+    * skew — frequencies live in counts, not row multiplicity of the
+    * vocab side). No driver state beyond the merge table itself. */
+  def bpeEncode(documents: DataFrame, rounds: Int): DataFrame = {
+    val (_, vocab) = bpeTrain(documents, rounds)
+    val wordTokens = vocab
+      .select(col("w"), size(col("syms")).cast("long").as("wtoks"))
+    documents
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .where(length(col("w")) >= 1)
+      .join(broadcast(wordTokens), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("wtoks")).as("n_tokens"))
   }
 }

@@ -32,6 +32,22 @@ class BpeSeasonalSpec extends AnyFunSuite {
     assert(m == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)), s"got $m")
   }
 
+  test("bpeEncode counts post-merge symbols per document with the " +
+      "trained table") {
+    // corpus: "aa ab", "aa" -> merges: r1 (a,a), r2 (a,b), r3 none.
+    // After both merges: "aa" -> [aa] (1 token), "ab" -> [ab] (1).
+    // doc 1 = "aa ab": 2 words, 2 tokens; doc 2 = "aa": 1 word, 1.
+    val docs = Seq((1L, "aa ab"), (2L, "aa")).toDF("doc_id", "text")
+    val e = PipelineOps.bpeEncode(docs, rounds = 3).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(e == Seq((1L, 2L, 2L), (2L, 1L, 1L)), s"got $e")
+    // fewer rounds -> partially merged: with only round 1 trained,
+    // "ab" stays [a, b] (2 tokens)
+    val e1 = PipelineOps.bpeEncode(docs, rounds = 1).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(e1 == Seq((1L, 2L, 3L), (2L, 1L, 1L)), s"got $e1")
+  }
+
   test("olsNormalEquations recovers exact-fit coefficients with r2 = 1") {
     // y = 2 + 3*x1 + 5*x2 exactly, on integer-valued features: the
     // decimal moments are exact and Cramer's rule solves exactly

@@ -684,11 +684,13 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")),
 
     "mm_decoded_features" -> ((s, dir) => {
-      // the decode kernel is the documented deterministic stub, so its
-      // md5-derived pseudo-features ARE oracle-checkable — the DuckDB
-      // replica recomputes the same hex arithmetic
+      // REAL decode: payloads are valid binary PGM images synthesized
+      // from the corpus, and extractFeatures genuinely parses them
+      // (header, dims, maxval, raster stats). The oracle rebuilds the
+      // identical ASCII-header + ASCII-raster payload as a string and
+      // recomputes the same features relationally.
       Multimodal.extractFeatures(s,
-          Multimodal.withBinaryPayload(t(s, dir, "documents")))
+          Multimodal.withPgmPayload(t(s, dir, "documents")))
         .toDF().orderBy("media_id")
     }),
 
@@ -1076,10 +1078,13 @@ object SparkEntry {
     }),
 
     "mm_resize_dims" -> ((s, dir) =>
+      // maxDim 32 against the decoded PGM dims (w in 8..64, h up to
+      // ~20 on this corpus) so both the resize and the pass-through
+      // branch are exercised on real decoded dimensions
       Multimodal.resizeDims(
           Multimodal.extractFeatures(s,
-            Multimodal.withBinaryPayload(t(s, dir, "documents"))).toDF(),
-          maxDim = 256)
+            Multimodal.withPgmPayload(t(s, dir, "documents"))).toDF(),
+          maxDim = 32)
         .orderBy("media_id")),
 
     "join_range_price_bands" -> ((s, dir) => {
@@ -3592,15 +3597,31 @@ object SparkEntry {
         | TRUE AS p50_ok, TRUE AS p95_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // rebuilds the exact PGM payload bytes as an ASCII string (the
+    // corpus is pure ASCII, so varchar bytes == payload bytes: header
+    // 'P5\n<w> <h>\n255\n' + text + space padding) and recomputes the
+    // decoder's features: dims from the width rule, mean gray from
+    // codepoint sums (== byte values on ASCII), md5 of the payload
     "mm_decoded_features" ->
-      s"""WITH h AS (SELECT doc_id AS media_id,
-         |  octet_length(encode(text)) AS byte_len, md5(text) AS fh
-         |  FROM documents)
-         |SELECT media_id, CAST(byte_len AS BIGINT) AS byte_len,
-         | CAST(64 + ${duckHex4("fh", 1)} % 1024 AS INTEGER) AS width,
-         | CAST(64 + ${duckHex4("fh", 5)} % 1024 AS INTEGER) AS height,
-         | fh AS feature_hash
-         |FROM h ORDER BY media_id""".stripMargin,
+      """WITH t AS (SELECT doc_id AS media_id, text,
+        |  octet_length(encode(text)) AS n FROM documents),
+        |d AS (SELECT media_id, text, n, 8 + (n % 57) AS w FROM t),
+        |e AS (SELECT media_id, text, n, w,
+        |  (greatest(n, 1) + w - 1) // w AS h FROM d),
+        |f AS (SELECT media_id, n, w, h,
+        |  'P5' || chr(10) || CAST(w AS VARCHAR) || ' '
+        |   || CAST(h AS VARCHAR) || chr(10) || '255' || chr(10)
+        |   || text || repeat(' ', w * h - n) AS payload,
+        |  CAST(coalesce(list_sum(list_transform(string_split(text, ''),
+        |    x -> ord(x))), 0) + 32 * (w * h - n) AS BIGINT) AS graysum
+        | FROM e)
+        |SELECT media_id,
+        | CAST(octet_length(encode(payload)) AS BIGINT) AS byte_len,
+        | CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        | CAST(255 AS INTEGER) AS maxval,
+        | CAST(graysum AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_gray,
+        | md5(payload) AS feature_hash
+        |FROM f ORDER BY media_id""".stripMargin,
 
     // ---- pipeline ops ----
 
@@ -4009,22 +4030,26 @@ object SparkEntry {
         |ON p.user_id = v.user_id AND v.ts >= p.ts
         |ORDER BY p.event_id""".stripMargin,
 
+    // decoded-PGM dims (same width rule as mm_decoded_features), then
+    // the aspect-preserving cap at 32 in IEEE double arithmetic
     "mm_resize_dims" ->
-      s"""WITH h AS (SELECT doc_id AS media_id, md5(text) AS fh FROM documents),
-         |d AS (SELECT media_id,
-         |  CAST(64 + ${duckHex4("fh", 1)} % 1024 AS INTEGER) AS width,
-         |  CAST(64 + ${duckHex4("fh", 5)} % 1024 AS INTEGER) AS height
-         |  FROM h)
-         |SELECT media_id, width, height,
-         | CASE WHEN greatest(width, height) > 256
-         |  THEN CAST(floor(CAST(width AS DOUBLE)
-         |    * (256e0 / CAST(greatest(width, height) AS DOUBLE))) AS INTEGER)
-         |  ELSE width END AS out_width,
-         | CASE WHEN greatest(width, height) > 256
-         |  THEN CAST(floor(CAST(height AS DOUBLE)
-         |    * (256e0 / CAST(greatest(width, height) AS DOUBLE))) AS INTEGER)
-         |  ELSE height END AS out_height
-         |FROM d ORDER BY media_id""".stripMargin,
+      """WITH t AS (SELECT doc_id AS media_id,
+        |  octet_length(encode(text)) AS n FROM documents),
+        |d AS (SELECT media_id,
+        |  CAST(8 + (n % 57) AS INTEGER) AS width,
+        |  CAST((greatest(n, 1) + (8 + (n % 57)) - 1)
+        |   // (8 + (n % 57)) AS INTEGER) AS height
+        |  FROM t)
+        |SELECT media_id, width, height,
+        | CASE WHEN greatest(width, height) > 32
+        |  THEN CAST(floor(CAST(width AS DOUBLE)
+        |    * (32e0 / CAST(greatest(width, height) AS DOUBLE))) AS INTEGER)
+        |  ELSE width END AS out_width,
+        | CASE WHEN greatest(width, height) > 32
+        |  THEN CAST(floor(CAST(height AS DOUBLE)
+        |    * (32e0 / CAST(greatest(width, height) AS DOUBLE))) AS INTEGER)
+        |  ELSE height END AS out_height
+        |FROM d ORDER BY media_id""".stripMargin,
 
     "join_range_price_bands" ->
       """SELECT band_id, band, CAST(count(*) AS BIGINT) AS n,

@@ -482,8 +482,44 @@ class ExtensionOpsSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(media, step = 2)
       .select("frame_idx").as[Long].collect()
     assert(frames.toSeq == Seq(0L, 2L)) // n_frames = 4 -> idx 0,2
-    val feats = Multimodal.extractFeatures(spark, media).collect()
-    assert(feats.length == 1 && feats.head.byte_len == 64 &&
-      feats.head.width >= 64 && feats.head.feature_hash.length == 32)
+    // 64 text bytes -> width 8 + 64 % 57 = 15, height ceil(64/15) = 5
+    val feats = Multimodal.extractFeatures(spark,
+      Multimodal.withPgmPayload(docs2)).collect()
+    assert(feats.length == 1 && feats.head.width == 15 &&
+      feats.head.height == 5 && feats.head.maxval == 255 &&
+      feats.head.byte_len == 12 + 15 * 5 && // "P5\n15 5\n255\n" + raster
+      feats.head.feature_hash.length == 32)
+  }
+
+  test("PGM codec: encode/decode round-trips, honors comments, and " +
+      "rejects malformed input") {
+    import Multimodal.{PgmCodec, PgmImage}
+    // hand-built 2x2 image round-trip
+    val img = PgmCodec.decode(PgmCodec.encode(
+      Array[Byte](10, 20, 30, 40), width = 2, height = 2))
+    assert(img == PgmImage(2, 2, 255, img.pixels) &&
+      img.pixels.toSeq == Seq[Byte](10, 20, 30, 40))
+    // short raster is space-padded by the encoder
+    val padded = PgmCodec.decode(PgmCodec.encode(
+      Array[Byte](1), width = 3, height = 1))
+    assert(padded.pixels.toSeq == Seq[Byte](1, 32, 32))
+    // Netpbm '#' comments inside the header parse per the spec
+    val withComment = ("P5\n# a comment line\n2 1\n" +
+      "255\n").getBytes("US-ASCII") ++ Array[Byte](7, 9)
+    val ci = PgmCodec.decode(withComment)
+    assert(ci.width == 2 && ci.height == 1 &&
+      ci.pixels.toSeq == Seq[Byte](7, 9))
+    // real failures must throw, not fake features
+    intercept[IllegalArgumentException] {
+      PgmCodec.decode("not an image".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // truncated raster
+      PgmCodec.decode("P5\n4 4\n255\n".getBytes("US-ASCII") ++
+        Array[Byte](1, 2, 3))
+    }
+    intercept[IllegalArgumentException] { // 16-bit maxval unsupported
+      PgmCodec.decode("P5\n1 1\n65535\n".getBytes("US-ASCII") ++
+        Array[Byte](1, 1))
+    }
   }
 }

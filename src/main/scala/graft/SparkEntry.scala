@@ -2518,7 +2518,11 @@ object SparkEntry {
           expr("c_custkey div 2").as("dst"))
         .union(c.select(col("c_custkey").as("src"),
           expr("c_custkey div 4").as("dst")))
-      GraphOps.commonNeighborJaccard(edges)
+      // hub cap derived from this graph's own degree scan (p99.9 ×
+      // 100, floor 64) — far above the halving graph's max degree, so
+      // the cut is a no-op here and the oracle needs no cap branch
+      GraphOps.commonNeighborJaccard(edges,
+          maxDegree = GraphOps.suggestedDegreeCap(edges))
         .orderBy("id_a", "id_b")
     }),
 
@@ -2548,7 +2552,14 @@ object SparkEntry {
       // median/MAD instead of mean/stddev: outliers can't drag their
       // own detection threshold. Two exact-percentile aggregates (the
       // agg_exact_quantiles pattern), each broadcast back; anomalies =
-      // |value − med| > 3.5·MAD
+      // |value − med| > 3.5·MAD.
+      // 100 TB scale path (the ccnetBuckets pattern): exact
+      // `percentile` buffers every value of a group in one executor —
+      // fine while |event_type| groups are few and per-group rows fit
+      // memory, but at full corpus scale swap both aggregates to
+      // `approx_percentile(value, 0.5, accuracy)` (mergeable GK
+      // sketch, bounded memory); the oracle's quantile_cont then needs
+      // the same sketch or a tolerance gate.
       val ev = events(s, dir)
       val med = ev.groupBy(col("event_type"))
         .agg(percentile(col("value"), lit(0.5)).as("med"))
@@ -6183,11 +6194,13 @@ object SparkEntry {
     // DuckDB dow: date_part('dow') is 0=Sunday; Spark dayofweek-1 same.
     "ts_seasonal_decompose" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
-        |  CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS y
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(22,6))) AS VARCHAR)
+        |   AS DOUBLE) AS y
         | FROM events GROUP BY 1, 2),
         |tr AS (SELECT event_type, day, y,
         |  CASE WHEN count(*) OVER w7 = 7
-        |   THEN CAST(SUM(CAST(y AS DECIMAL(22,6))) OVER w7 AS DOUBLE)
+        |   THEN CAST(CAST(SUM(CAST(y AS DECIMAL(22,6))) OVER w7
+        |     AS VARCHAR) AS DOUBLE)
         |     / CAST(7 AS DOUBLE) END AS trend
         | FROM daily
         | WINDOW w7 AS (PARTITION BY event_type ORDER BY day
@@ -6195,10 +6208,12 @@ object SparkEntry {
         |det AS (SELECT *, y - trend AS det FROM tr)
         |SELECT event_type, day, y, trend,
         | CASE WHEN det IS NOT NULL
-        |  THEN CAST(SUM(CAST(det AS DECIMAL(22,6))) OVER wd AS DOUBLE)
+        |  THEN CAST(CAST(SUM(CAST(det AS DECIMAL(22,6))) OVER wd
+        |    AS VARCHAR) AS DOUBLE)
         |    / CAST(count(det) OVER wd AS DOUBLE) END AS seasonal,
         | y - trend - (CASE WHEN det IS NOT NULL
-        |  THEN CAST(SUM(CAST(det AS DECIMAL(22,6))) OVER wd AS DOUBLE)
+        |  THEN CAST(CAST(SUM(CAST(det AS DECIMAL(22,6))) OVER wd
+        |    AS VARCHAR) AS DOUBLE)
         |    / CAST(count(det) OVER wd AS DOUBLE) END) AS resid
         |FROM det
         |WINDOW wd AS (PARTITION BY event_type, date_part('dow', day))

@@ -211,13 +211,26 @@ object AnalyticsOps {
       .agg(count(lit(1)).as("nv"))
     val withCum = RelationalOps.distributedPrefixSum(g, "cv", "nv")
       .withColumn("prev", col("cum") - col("nv"))
-    val rankSum = (col("nv") * col("prev") +
-      expr("(nv * (nv + 1)) div 2")).cast(DecimalType(20, 0))
+    // headroom audit (all EXACT, no precision clamp): rankSum ~ n² at
+    // (25,0) holds to n ≈ 3·10^12 rows; cents at (12,0) hold to 10^10
+    // currency units; their product is (12+25+1)=(38,0) — exactly the
+    // decimal cap, no rounding — and Σ stays exact until 10^38.
+    // rankSum itself is computed on LONGs first, so the long bound
+    // n(n+1)/2 < 2^63 (n ≈ 4·10^9) binds earlier; past that, compute
+    // nv*prev on the already-decimal operands.
+    val rankSum = (col("nv").cast(DecimalType(13, 0)) *
+      col("prev").cast(DecimalType(13, 0)) + // (27,0), exact
+      expr("(nv * (nv + 1)) div 2").cast(DecimalType(25, 0)))
+      .cast(DecimalType(25, 0))
     val s = withCum.agg(
       sum(col("nv")).as("n"),
-      sum(col("cv") * col("nv")).as("s0c"),
-      sum((col("cv").cast(DecimalType(12, 0)) * rankSum)
-        .cast(DecimalType(38, 0))).cast("double").as("s1c"))
+      // s0c accumulates in DECIMAL (19+18+1 = 38, exact) — a raw
+      // long·long product would wrap silently near 10^10 rows; the
+      // output column stays BIGINT (total cents < 2^63 documented)
+      sum(col("cv").cast(DecimalType(19, 0)) *
+        col("nv").cast(DecimalType(18, 0))).cast("long").as("s0c"),
+      sum(col("cv").cast(DecimalType(12, 0)) * rankSum)
+        .cast("double").as("s1c"))
     s.select(col("n").as("n_rows"), col("s0c").as("total_cents"),
       ((lit(2.0) * col("s1c")) /
         (col("n").cast("double") * col("s0c").cast("double")) -

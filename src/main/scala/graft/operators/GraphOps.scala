@@ -163,10 +163,37 @@ object GraphOps {
     * standard big-graph cut, same spirit as the minhash df-cap), so
     * pairs whose only shared neighbors are such hubs drop out and
     * common counts ignore hub-mediated paths; endpoint degrees remain
-    * the true degrees. The default cap is far above this corpus's
-    * degrees — semantics only change when a deployment opts in. */
+    * the true degrees. The cap is MANDATORY — a scale-critical cut
+    * must be chosen against the corpus's own degree distribution, not
+    * a magic default; [[suggestedDegreeCap]] derives one from a
+    * degree scan. */
+  /** Data-derived wedge-apex cap: 100× the p99.9 of the undirected
+    * degree distribution (floor 64) — nodes beyond it are the
+    * pathological hub tail (≥100× a high-percentile neighborhood)
+    * whose deg² wedges would dominate Σdeg² while contributing the
+    * weakest similarity evidence. One aggregation over the DEGREE
+    * relation (|nodes| rows, never |edges|²); the percentile is the
+    * mergeable approx sketch, the right tool when |nodes| is 10⁹ —
+    * exact per-group percentile buffers would not be. The multiplier
+    * keeps the cap far above every non-pathological degree, so on
+    * corpora without a hub tail the cut is a no-op. */
+  def suggestedDegreeCap(edges: DataFrame, quantile: Double = 0.999,
+      slack: Long = 100L): Long = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val adj = und.select(col("u").as("node"), col("v").as("nb"))
+      .union(und.select(col("v").as("node"), col("u").as("nb")))
+    val p = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .agg(approx_percentile(col("deg"), lit(quantile), lit(10000))
+        .as("p"))
+      .head().getLong(0)
+    math.max(64L, p * slack)
+  }
+
   def commonNeighborJaccard(edges: DataFrame,
-      maxDegree: Long = 10000L): DataFrame = {
+      maxDegree: Long): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))

@@ -104,8 +104,14 @@ object RelationalOps {
 
   /** Nearest as-of: for each left row, the right row per key whose
     * timestamp is CLOSEST in either direction (pandas `merge_asof
-    * direction='nearest'`); exact ties go to the earlier (backward)
-    * row. Same union shape as [[asofBackward]]/[[asofForward]] — both
+    * direction='nearest'`); exact distance ties go to the earlier
+    * (backward) row, and among multiple right rows sharing the
+    * nearest timestamp BOTH directions resolve to the smallest
+    * `pick` (the backward window orders `_pick` desc so its `last()`
+    * lands on the minimum, mirroring the forward `first()`) — so the
+    * choice is symmetric and deterministic even when `pick` is not
+    * functionally dependent on (key, ts). Same union shape as
+    * [[asofBackward]]/[[asofForward]] — both
     * directions resolve over ONE hash partitioning (the second window
     * re-sorts within partitions but reuses the exchange), so the cost
     * is one shuffle plus one extra in-partition sort, never a
@@ -116,7 +122,7 @@ object RelationalOps {
       .withColumn("_side", lit(0))
     val l = left.withColumn("_side", lit(1))
     val wb = Window.partitionBy(key)
-      .orderBy(col(ts).asc, col("_side").asc, col("_pick").asc)
+      .orderBy(col(ts).asc, col("_side").asc, col("_pick").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = Window.partitionBy(key)
       .orderBy(col(ts).asc, col("_side").desc, col("_pick").asc)

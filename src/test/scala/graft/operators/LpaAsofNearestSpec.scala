@@ -80,4 +80,23 @@ class LpaAsofNearestSpec extends AnyFunSuite {
       s"asofNearest must equal brute-force nearest: ${fast.toSeq.sorted
         .zip(brute.toSeq.sorted).filter(p => p._1 != p._2).take(3)}")
   }
+
+  test("asofNearest resolves duplicate-ts right rows to the smallest " +
+      "pick in BOTH directions") {
+    val us = (v: Long) => new Timestamp(v / 1000)
+    // two right rows share ts=0 (picks 9, 3) and two share ts=4000
+    // (picks 8, 2): the backward match at 1000ms and the forward match
+    // at 3500ms must BOTH choose the minimum pick of the tied group
+    val left = Seq((1L, 1L, us(1000000L)), (2L, 1L, us(3500000L)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, us(0L), 9L), (1L, us(0L), 3L),
+      (1L, us(4000000L), 8L), (1L, us(4000000L), 2L))
+      .toDF("user_id", "ts", "pick")
+    val got = RelationalOps.asofNearest(left, right, "user_id", "ts",
+        "pick", "nearest_pick")
+      .orderBy("event_id")
+      .select(col("event_id"), col("nearest_pick"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (2L, 2L)), s"got $got")
+  }
 }

@@ -93,7 +93,9 @@ class PcaDsirSpec extends AnyFunSuite {
     //   (1,4) shares {3}; (2,4) shares {3}
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
       .toDF("src", "dst")
-    val out = GraphOps.commonNeighborJaccard(edges)
+    val cap = GraphOps.suggestedDegreeCap(edges)
+    assert(cap >= 64L, s"derived cap must respect the floor, got $cap")
+    val out = GraphOps.commonNeighborJaccard(edges, maxDegree = cap)
       .orderBy("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
       .as[(Long, Long, Long, Double)].collect().toSeq
@@ -104,5 +106,16 @@ class PcaDsirSpec extends AnyFunSuite {
       (2L, 3L, 1L, 1.0 / 4.0), // deg 2+3, common {1}
       (2L, 4L, 1L, 1.0 / 2.0)  // deg 2+1, common {3}
     ), s"got $out")
+    // hub cut: cap 2 excludes node 3 (deg 3) as a wedge APEX — pairs
+    // whose only shared neighbor is the hub drop; endpoint degrees
+    // stay true
+    val cut = GraphOps.commonNeighborJaccard(edges, maxDegree = 2L)
+      .orderBy("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(cut == Seq(
+      (1L, 3L, 1L, 1.0 / 4.0), // apex 2
+      (2L, 3L, 1L, 1.0 / 4.0)  // apex 1
+    ), s"got $cut")
   }
 }

@@ -2640,6 +2640,41 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- A-ES weighted sampling without replacement ----
+    "pipe_weighted_sample" -> ((s, dir) =>
+      PipelineOps.weightedReservoirSample(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          idCol = "doc_id", weightCol = "n_chars", k = 50)
+        .orderBy("doc_id")),
+
+    // ---- T5 span-corruption accounting (deterministic mask plan) ----
+    "pipe_span_corruption" -> ((s, dir) =>
+      PipelineOps.spanCorruptionPlan(t(s, dir, "documents"), rate = 15)
+        .orderBy("doc_id")),
+
+    // ---- Kaplan–Meier view→purchase survival curve ----
+    "analytics_kaplan_meier" -> ((s, dir) =>
+      AnalyticsOps.kaplanMeier(events(s, dir)).orderBy("dur_us")),
+
+    // ---- single change-point (mean shift) per user series ----
+    "ts_changepoint" -> ((s, dir) =>
+      RelationalOps.changepointMeanShift(events(s, dir), key = "user_id",
+          tsCol = "ts", idCol = "event_id", valCol = "value", minN = 20)
+        .orderBy("user_id")),
+
+    // ---- l-diversity audit of quasi-identifier classes ----
+    "privacy_l_diversity" -> ((s, dir) =>
+      // k-anonymity's companion check: a class is safe only when the
+      // SENSITIVE attribute (order priority) is diverse within it
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_orderpriority")).as("l_div"))
+        .withColumn("diverse", col("l_div") >= 3)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
     // ---- recursive CTE (Spark 4): BFS over the customer-key tree ----
     "sql_recursive_tree" -> ((s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("v_customer")
@@ -6307,6 +6342,116 @@ object SparkEntry {
         |  CAST(da.deg + db.deg - cn.n_common AS DOUBLE) AS jaccard
         |FROM cn JOIN deg da ON cn.id_a = da.node
         |JOIN deg db ON cn.id_b = db.node
-        |ORDER BY cn.id_a, cn.id_b""".stripMargin
+        |ORDER BY cn.id_a, cn.id_b""".stripMargin,
+
+    // A-ES: u from the first 8 md5 hex digits (uint32 + ½ midpoint),
+    // key = ln(u)/w, top-50 keys (doc_id tie-break) — replayed exactly
+    "pipe_weighted_sample" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+        |  ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |        1, 8) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
+        |    / CAST(n_chars AS DOUBLE) AS es_key
+        | FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars, es_key FROM s
+        |ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin,
+
+    "pipe_span_corruption" ->
+      """WITH tk AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        | FROM documents),
+        |ex AS (SELECT doc_id,
+        |  CAST(unnest(generate_series(1, len(toks))) AS BIGINT) - 1
+        |    AS pos,
+        |  unnest(toks) AS tok FROM tk),
+        |toks AS (SELECT doc_id, pos, tok FROM ex
+        | WHERE length(tok) >= 1),
+        |m AS (SELECT doc_id, pos,
+        |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |    || ':' || CAST(pos AS VARCHAR)), 1, 8) AS BIGINT)
+        |    % 100 < 15 THEN 1 ELSE 0 END AS mk
+        | FROM toks),
+        |f AS (SELECT doc_id, mk,
+        |  CASE WHEN mk = 1 AND COALESCE(lag(mk) OVER (
+        |    PARTITION BY doc_id ORDER BY pos), 0) = 0
+        |   THEN 1 ELSE 0 END AS st
+        | FROM m),
+        |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(mk) AS BIGINT) AS n_masked,
+        |  CAST(sum(st) AS BIGINT) AS n_spans
+        | FROM f GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_masked, n_spans,
+        | n_tokens - n_masked + n_spans AS input_len,
+        | n_masked + n_spans AS target_len
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // product-limit survival via the documented 1e-15 log grid:
+    // Σ⌊ln(1−d/n)·10¹⁵⌋ in BIGINT, exponentiated per row
+    "analytics_kaplan_meier" ->
+      """WITH us AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t0,
+        |  max(epoch_us(ts)) AS t_last
+        | FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |fe AS (SELECT user_id, epoch_us(ts) AS te FROM events
+        | WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |subj AS (SELECT u.user_id, u.t0, u.t_last,
+        |  min(CASE WHEN fe.te > u.t0 THEN fe.te END) AS t_evt
+        | FROM us u LEFT JOIN fe ON u.user_id = fe.user_id
+        | WHERE u.t0 IS NOT NULL GROUP BY 1, 2, 3),
+        |d AS (SELECT CASE WHEN t_evt IS NOT NULL THEN t_evt - t0
+        |   ELSE t_last - t0 END AS dur_us,
+        |  CASE WHEN t_evt IS NOT NULL THEN 1 ELSE 0 END AS ev
+        | FROM subj),
+        |dd AS (SELECT * FROM d WHERE dur_us > 0),
+        |g AS (SELECT dur_us, CAST(sum(ev) AS BIGINT) AS d,
+        |  CAST(sum(1 - ev) AS BIGINT) AS c,
+        |  CAST(count(*) AS BIGINT) AS tot FROM dd GROUP BY 1),
+        |r AS (SELECT *, (SELECT CAST(count(*) AS BIGINT) FROM dd)
+        |   - (CAST(sum(tot) OVER (ORDER BY dur_us) AS BIGINT) - tot)
+        |   AS n_risk FROM g),
+        |e AS (SELECT dur_us, d, c, n_risk,
+        |  CASE WHEN d >= n_risk THEN CAST(-2000000000000000000 AS BIGINT)
+        |   ELSE CAST(floor(ln(1 - CAST(d AS DOUBLE)
+        |     / CAST(n_risk AS DOUBLE)) * 1e15) AS BIGINT) END AS lnfp
+        | FROM r WHERE d > 0)
+        |SELECT dur_us, d, c, n_risk,
+        | CAST(CAST(sum(lnfp) OVER (ORDER BY dur_us) AS BIGINT)
+        |   AS DOUBLE) / 1e15 AS log_survival
+        |FROM e ORDER BY dur_us""".stripMargin,
+
+    // prefix sums in exact DECIMAL(22,6); gain from those exact sums
+    // with the same three IEEE divisions as the Spark side
+    "ts_changepoint" ->
+      """WITH b AS (SELECT user_id, event_id, ts, value FROM events
+        | WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |w AS (SELECT user_id, event_id, ts,
+        |  count(*) OVER (PARTITION BY user_id) AS n,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS i,
+        |  sum(CAST(value AS DECIMAL(22,6))) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+        |  sum(CAST(value AS DECIMAL(22,6)))
+        |    OVER (PARTITION BY user_id) AS s
+        | FROM b),
+        |cand AS (SELECT user_id, n, ts, event_id,
+        |  CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(i AS DOUBLE)
+        |  + CAST(s - sl AS DOUBLE) * CAST(s - sl AS DOUBLE)
+        |    / CAST(n - i AS DOUBLE)
+        |  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS gain
+        | FROM w WHERE n >= 20 AND i < n),
+        |best AS (SELECT user_id, n, ts, gain, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY gain DESC, ts, event_id) AS rn
+        | FROM cand)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_obs, ts AS split_ts, gain
+        |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "privacy_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l_div,
+        | count(DISTINCT o_orderpriority) >= 3 AS diverse
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

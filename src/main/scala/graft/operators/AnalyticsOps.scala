@@ -695,4 +695,73 @@ object AnalyticsOps {
       .orderBy(col("lift").desc, col("item_a"), col("item_b"))
       .limit(topK)
   }
+
+  /** Kaplan–Meier survival estimator over the event log: time from a
+    * subject's first `startType` event to its first LATER `eventType`
+    * event, right-censored at the subject's last observed activity
+    * when no conversion happens. Output: one row per distinct EVENT
+    * time (d > 0) with deaths `d`, censored-at-that-time `c`, the
+    * at-risk count `n_risk`, and the LOG of the product-limit survival
+    * estimate, ln S(t) = Σ_{tⱼ≤t} ln(1 − dⱼ/nⱼ) (log domain: exp() is
+    * not bit-identical across engines; S itself is one exp() away).
+    *
+    * Determinism: durations are exact integer micros end to end; the
+    * running product is accumulated as Σ ⌊ln(1 − d/n)·10¹⁵⌋ in BIGINT
+    * (a documented 10⁻¹⁵ log-grid — order-independent, bit-identical
+    * across engines) and exponentiated once per row.
+    *
+    * Scale: two aggregations collapse the corpus to one row per
+    * subject, then one row per distinct duration; both running totals
+    * (at-risk countdown, log-survival) ride
+    * [[RelationalOps.distributedPrefixSum]] — the two-phase scan, so
+    * no global single-partition window even when distinct event times
+    * approach the subject count. */
+  def kaplanMeier(events: DataFrame, user: String = "user_id",
+      tsCol: String = "ts", startType: String = "view",
+      eventType: String = "purchase"): DataFrame = {
+    val us = events.where(col(user).isNotNull)
+      .groupBy(col(user))
+      .agg(min(when(col("event_type") === startType,
+          unix_micros(col(tsCol)))).as("t0"),
+        max(unix_micros(col(tsCol))).as("t_last"))
+      .where(col("t0").isNotNull)
+    val conv = events
+      .where(col("event_type") === eventType && col(user).isNotNull)
+      .select(col(user), unix_micros(col(tsCol)).as("te"))
+    val subj = us.join(conv, Seq(user), "left_outer")
+      .groupBy(col(user), col("t0"), col("t_last"))
+      .agg(min(when(col("te") > col("t0"), col("te"))).as("t_evt"))
+      .select(
+        when(col("t_evt").isNotNull, col("t_evt") - col("t0"))
+          .otherwise(col("t_last") - col("t0")).as("dur_us"),
+        col("t_evt").isNotNull.cast("long").as("ev"))
+      .where(col("dur_us") > 0)
+    val grouped = subj.groupBy(col("dur_us"))
+      .agg(sum(col("ev")).as("d"),
+        sum(lit(1L) - col("ev")).as("c"),
+        count(lit(1)).as("tot"))
+    val total = subj.agg(count(lit(1)).as("_N"))
+    val risk = RelationalOps.distributedPrefixSum(grouped, "dur_us", "tot")
+      .crossJoin(broadcast(total))
+      .withColumn("n_risk", col("_N") - (col("cum") - col("tot")))
+      .drop("cum", "_N", "tot")
+    // d == n_risk (everyone remaining converts at t): S = 0, ln S =
+    // −∞ — a −2·10¹⁸ sentinel (reads as ln S = −2000; can't wrap: at
+    // most one such row can exist and every other term is ≤ 0 ≥ −10¹⁶)
+    // keeps ln(0) out of the sum while pinning the row unmistakably
+    val evRows = risk.where(col("d") > 0)
+      .withColumn("lnfp", when(col("d") >= col("n_risk"),
+          lit(-2000000000000000000L))
+        .otherwise(floor(log(lit(1.0) -
+          col("d").cast("double") / col("n_risk").cast("double")) *
+          lit(1e15)).cast("long")))
+    // report ln S(t), not S(t): the cumulative is an exact BIGINT on
+    // the log grid, and BIGINT→DOUBLE + one IEEE division is
+    // bit-identical across engines — exp() is NOT (JVM vs libm differ
+    // in the last ulp), so the exponentiation is left to the consumer
+    RelationalOps.distributedPrefixSum(evRows, "dur_us", "lnfp")
+      .withColumn("log_survival", col("cum").cast("double") / lit(1e15))
+      .select(col("dur_us"), col("d"), col("c"), col("n_risk"),
+        col("log_survival"))
+  }
 }

@@ -496,4 +496,74 @@ object PipelineOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("wtoks")).as("n_tokens"))
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * every row draws a deterministic uniform u ∈ (0,1) from md5 of its
+    * id and scores `es_key = ln(u) / w` — the k LARGEST keys are
+    * distributed exactly like a sequential weighted draw-without-
+    * replacement (the u^(1/w) order statistic, in log space so large
+    * weights don't underflow). Deterministic: u is a pure function of
+    * the id (first 8 md5 hex digits → uint32, midpoint-offset to dodge
+    * 0), so the sample is reproducible across runs and engines.
+    *
+    * Scale: one narrow projection computes the key per row; the only
+    * global step is the top-k itself, which Catalyst plans as
+    * TakeOrderedAndProject (per-partition heaps, k rows to the driver
+    * stage — no global sort, no shuffle of the corpus). This is the
+    * sampler to use when inclusion probability must follow a size
+    * measure (importance-weighted corpus subsetting) but the PPS
+    * systematic design ([[ppsSystematicSample]])'s fixed skip pattern
+    * is unwanted. */
+  def weightedReservoirSample(df: DataFrame, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    val v = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (v.cast("double") + lit(0.5)) / lit(4294967296.0)
+    df.where(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol),
+        (log(u) / col(weightCol).cast("double")).as("es_key"))
+      .orderBy(desc("es_key"), col(idCol))
+      .limit(k)
+  }
+
+  /** T5-style span-corruption PLAN: decide per-token mask flags from a
+    * deterministic hash of (doc_id, position) at `rate` (percent), and
+    * report the denoising-objective accounting per document — token
+    * count, masked-token count, number of contiguous masked SPANS
+    * (each span becomes one sentinel in the corrupted input), and the
+    * resulting input/target lengths (input = kept tokens + one
+    * sentinel per span; target = masked tokens + one sentinel per
+    * span). The mask itself is a pure function of content position, so
+    * the plan is reproducible and the oracle can replay it.
+    *
+    * Scale: tokenize → posexplode → one per-token hash + lag — all
+    * embarrassingly parallel; the span count is a boundary count
+    * (mask ∧ ¬prev_mask) under a per-document window (partition key =
+    * doc_id, never global), then one aggregation per document. No
+    * joins, no driver state. */
+  def spanCorruptionPlan(documents: DataFrame, rate: Int): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+      .where(length(col("tok")) >= 1)
+    val h = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":"),
+        col("pos").cast("string"))), 1, 8), 16, 10).cast("long")
+    val perDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks
+      .withColumn("m", (h % 100 < rate).cast("long"))
+      .withColumn("start",
+        (col("m") === 1 &&
+          coalesce(lag(col("m"), 1).over(perDoc), lit(0L)) === 0L)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("m")).as("n_masked"),
+        sum(col("start")).as("n_spans"))
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+        col("n_spans"),
+        (col("n_tokens") - col("n_masked") + col("n_spans"))
+          .as("input_len"),
+        (col("n_masked") + col("n_spans")).as("target_len"))
+  }
 }

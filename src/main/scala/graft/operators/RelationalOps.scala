@@ -703,4 +703,54 @@ object RelationalOps {
         greatest(col("a.id"), col("b.id")).as("id_b"),
         levenshtein(col("a.nm"), col("b.nm")).as("dist"))
   }
+
+  /** Single change-point detection per key (offline CUSUM / binary-
+    * segmentation first split): for each key's value series in time
+    * order, pick the split that maximizes the between-segment
+    * sum-of-squares gain  S_L²/n_L + S_R²/n_R − S²/n  — the exact
+    * variance-reduction objective of one binary-segmentation step
+    * under a mean-shift model (equivalently the CUSUM-squared
+    * statistic). Output: one row per key with ≥ `minN` observations:
+    * (key, n_obs, split_ts, gain); the split is AFTER the reported
+    * timestamp.
+    *
+    * Determinism: prefix sums accumulate in DECIMAL(22,6) (exact, any
+    * order), the gain is derived from those exact sums with three IEEE
+    * divisions, and the argmax tie-breaks on (ts, id) ascending.
+    *
+    * Scale: everything is windowed BY KEY (one shuffle, per-partition
+    * linear passes over shared sort order) — no global window, no
+    * pairwise segment enumeration. Key cardinality is the parallelism:
+    * this is the per-entity monitoring shape (a metric per user /
+    * shop / host), embarrassingly parallel at 100 TB. A single global
+    * series would instead ride the bucket-decomposed prefix-sum scan
+    * ([[distributedPrefixSum]]). */
+  def changepointMeanShift(df: DataFrame, key: String, tsCol: String,
+      idCol: String, valCol: String, minN: Int): DataFrame = {
+    val dec = DecimalType(22, 6)
+    val byKey = Window.partitionBy(col(key))
+    val ord = byKey.orderBy(col(tsCol), col(idCol))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = df.where(col(valCol).isNotNull && col(key).isNotNull)
+      .withColumn("_n", count(lit(1)).over(byKey))
+      .where(col("_n") >= minN)
+      .withColumn("_i", row_number().over(ord))
+      .withColumn("_sl", sum(col(valCol).cast(dec)).over(run))
+      .withColumn("_s", sum(col(valCol).cast(dec)).over(byKey))
+      .where(col("_i") < col("_n"))
+      .withColumn("_nl", col("_i").cast("double"))
+      .withColumn("_nr", (col("_n") - col("_i")).cast("double"))
+      .withColumn("_sld", col("_sl").cast("double"))
+      .withColumn("_srd", (col("_s") - col("_sl")).cast("double"))
+      .withColumn("_sd", col("_s").cast("double"))
+      .withColumn("gain",
+        col("_sld") * col("_sld") / col("_nl") +
+          col("_srd") * col("_srd") / col("_nr") -
+          col("_sd") * col("_sd") / (col("_nl") + col("_nr")))
+    val best = byKey.orderBy(desc("gain"), col(tsCol), col(idCol))
+    cand.withColumn("_rn", row_number().over(best))
+      .where(col("_rn") === 1)
+      .select(col(key), col("_n").as("n_obs"),
+        col(tsCol).as("split_ts"), col("gain"))
+  }
 }

@@ -2640,6 +2640,46 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- k-core decomposition (k=3) by synchronous peeling ----
+    "graph_kcore" -> ((s, dir) => {
+      // halving TREE (peels away leaf-first, ~7 cascade rounds) + a
+      // 20-clique community (the stable core): the fixture exercises
+      // real peel dynamics, converging well inside the 10 rounds
+      val c = t(s, dir, "customer")
+      val tree = c.where(col("c_custkey") > 1)
+        .select(col("c_custkey").as("src"),
+          expr("c_custkey div 2").as("dst"))
+      val small = c.where(col("c_custkey") <= 20)
+        .select(col("c_custkey").as("k"))
+      val clique = small.as("a").join(small.as("b"),
+          col("a.k") < col("b.k"))
+        .select(col("a.k").as("src"), col("b.k").as("dst"))
+      GraphOps.kCore(tree.union(clique), k = 3, iters = 10)
+        .orderBy("node")
+    }),
+
+    // ---- personalized PageRank from a seed set ----
+    "graph_ppr" -> ((s, dir) => {
+      val edges = t(s, dir, "customer").where(col("c_custkey") > 1)
+        .select(col("c_custkey").as("src"),
+          expr("c_custkey div 2").as("dst"))
+      val seeds = t(s, dir, "customer").where(col("c_custkey") <= 10)
+        .select(col("c_custkey").as("node"))
+      GraphOps.personalizedPageRank(edges, seeds, iters = 3)
+        .orderBy("node")
+    }),
+
+    // ---- corpus bigram LM + per-doc perplexity-style score ----
+    "text_bigram_lm" -> ((s, dir) =>
+      TextOps.bigramLmScores(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // ---- Johnson–Lindenstrauss signed random projection ----
+    "emb_random_projection" -> ((s, dir) =>
+      Similarity.randomProjection(t(s, dir, "embeddings"),
+          outDims = 16, dims = 64)
+        .orderBy("vec_id")),
+
     // ---- A-ES weighted sampling without replacement ----
     "pipe_weighted_sample" -> ((s, dir) =>
       PipelineOps.weightedReservoirSample(
@@ -4728,8 +4768,9 @@ object SparkEntry {
       val iters = (1 to 3).map { i =>
         val prev = if (i == 1) "pr0" else s"pr${i - 1}"
         s"""it$i AS (SELECT e.dst AS node,
-           |  CAST(SUM(CAST(p.pr / CAST(d.deg AS DOUBLE)
-           |    AS DECIMAL(38,18))) AS DOUBLE) AS s
+           |  CAST(CAST(SUM(CAST(CAST(p.pr / CAST(d.deg AS DOUBLE)
+           |    AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
+           |    AS s
            |  FROM edges e JOIN $prev p ON e.src = p.node
            |  JOIN deg d ON e.src = d.src GROUP BY e.dst),
            |pr$i AS (SELECT n.node,
@@ -6343,6 +6384,114 @@ object SparkEntry {
         |FROM cn JOIN deg da ON cn.id_a = da.node
         |JOIN deg db ON cn.id_b = db.node
         |ORDER BY cn.id_a, cn.id_b""".stripMargin,
+
+    // synchronous peel replay: 10 chained filter+degree rounds on the
+    // tree + 20-clique fixture (converges at round 7)
+    "graph_kcore" -> {
+      val rounds = (1 to 10).map { i =>
+        s"""al$i AS MATERIALIZED (SELECT node FROM a${i - 1}
+           | GROUP BY node HAVING count(*) >= 3),
+           |a$i AS MATERIALIZED (SELECT a.node, a.nb FROM a${i - 1} a
+           | JOIN al$i x ON a.node = x.node
+           | JOIN al$i y ON a.nb = y.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tr AS (SELECT c_custkey AS src, c_custkey // 2 AS dst
+         |  FROM customer WHERE c_custkey > 1),
+         |cl AS (SELECT a.c_custkey AS src, b.c_custkey AS dst
+         |  FROM customer a JOIN customer b
+         |  ON a.c_custkey < b.c_custkey
+         | WHERE a.c_custkey <= 20 AND b.c_custkey <= 20),
+         |e0 AS (SELECT src, dst FROM tr UNION ALL
+         | SELECT src, dst FROM cl),
+         |und AS (SELECT DISTINCT least(src, dst) AS u,
+         |  greatest(src, dst) AS v FROM e0
+         | WHERE least(src, dst) <> greatest(src, dst)),
+         |a0 AS MATERIALIZED (SELECT u AS node, v AS nb FROM und
+         | UNION ALL SELECT v, u FROM und),
+         |$rounds
+         |SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM a10 GROUP BY node ORDER BY node""".stripMargin
+    },
+
+    // the pageRank recurrence with restart mass on the seed set only
+    "graph_ppr" -> {
+      val iters = (1 to 3).map { i =>
+        val prev = if (i == 1) "pr0" else s"pr${i - 1}"
+        s"""it$i AS (SELECT e.dst AS node,
+           |  CAST(CAST(SUM(CAST(CAST(p.pr / CAST(d.deg AS DOUBLE)
+           |    AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
+           |    AS s
+           |  FROM edges e JOIN $prev p ON e.src = p.node
+           |  JOIN deg d ON e.src = d.src GROUP BY e.dst),
+           |pr$i AS (SELECT wn.node,
+           |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * wn.is_seed
+           |    / ns.sd
+           |    + CAST(0.85 AS DOUBLE) * COALESCE(it$i.s, CAST(0 AS DOUBLE))
+           |    AS pr
+           |  FROM wn CROSS JOIN ns
+           |  LEFT JOIN it$i ON wn.node = it$i.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS (SELECT c_custkey AS src, c_custkey // 2 AS dst
+         |  FROM customer WHERE c_custkey > 1),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM edges
+         |  UNION ALL SELECT dst FROM edges)),
+         |seeds AS (SELECT node FROM nodes WHERE node <= 10),
+         |ns AS (SELECT CAST(count(*) AS DOUBLE) AS sd FROM seeds),
+         |wn AS (SELECT n.node, CASE WHEN s.node IS NOT NULL
+         |   THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS is_seed
+         |  FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |  FROM edges GROUP BY src),
+         |pr0 AS (SELECT wn.node, wn.is_seed / ns.sd AS pr
+         |  FROM wn CROSS JOIN ns),
+         |$iters
+         |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
+    },
+
+    // add-k bigram LM over bigram-start history counts; per-bigram
+    // −ln P on the 1e-12 fixed-point grid, summed as BIGINT
+    "text_bigram_lm" ->
+      s"""WITH tk AS (SELECT doc_id, $duckTokens AS toks FROM documents),
+         |ex AS (SELECT doc_id,
+         |  CAST(unnest(generate_series(1, len(toks))) AS BIGINT) AS pos,
+         |  unnest(toks) AS w FROM tk),
+         |toks AS (SELECT doc_id, pos, w FROM ex WHERE length(w) >= 1),
+         |bi AS (SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id
+         |    ORDER BY pos) AS w2 FROM toks),
+         |bb AS (SELECT doc_id, w, w2 FROM bi WHERE w2 IS NOT NULL),
+         |bc AS (SELECT w, w2, CAST(count(*) AS BIGINT) AS c12
+         | FROM bb GROUP BY 1, 2),
+         |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+         | FROM bb GROUP BY 1),
+         |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+         | FROM toks),
+         |sc AS (SELECT bb.doc_id,
+         |  -CAST(floor(ln((CAST(c12 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |    / (CAST(c1 AS DOUBLE) + CAST(0.5 AS DOUBLE)
+         |       * CAST(v AS DOUBLE))) * 1e12) AS BIGINT) AS nllfp
+         | FROM bb JOIN bc USING (w, w2) JOIN uc USING (w)
+         |   CROSS JOIN vv),
+         |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(nllfp) AS BIGINT) AS s FROM sc GROUP BY 1)
+         |SELECT doc_id, n_bigrams,
+         | CAST(s AS DOUBLE) / 1e12 AS sum_nll,
+         | CAST(s AS DOUBLE) / 1e12 / CAST(n_bigrams AS DOUBLE)
+         |   AS avg_nll
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // VecDot replay against the Scala-inlined JL sign rows (offset-1000
+    // md5 plane family), scaled by √16 = 4 exactly
+    "emb_random_projection" -> {
+      val m = graft.operators.Similarity.jlSignMatrix(16, 64)
+      val cols = (0 until 16).map { j =>
+        val arr = m(j).map(v => if (v > 0) "1" else "-1")
+          .mkString("[", ",", "]")
+        s"${duckDot("embedding", arr)} / sqrt(CAST(16 AS DOUBLE))" +
+          f" AS p$j%02d"
+      }.mkString(",\n ")
+      s"SELECT vec_id,\n $cols\nFROM embeddings ORDER BY vec_id"
+    },
 
     // A-ES: u from the first 8 md5 hex digits (uint32 + ½ midpoint),
     // key = ln(u)/w, top-50 keys (doc_id tie-break) — replayed exactly

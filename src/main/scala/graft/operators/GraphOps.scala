@@ -219,4 +219,86 @@ object GraphOps {
           (col("deg_a") + col("deg_b") - col("n_common")).cast("double"))
           .as("jaccard"))
   }
+
+  /** k-core membership by synchronous peeling (Seidman 1983; the
+    * Batagelj–Zaveršnik sequential algorithm's parallel superstep
+    * form): starting from the full undirected graph, every round drops
+    * the nodes whose degree in the CURRENT induced subgraph is < k,
+    * until `iters` rounds have run. With `iters` ≥ the peeling depth
+    * the result is the exact k-core (each round removes at least one
+    * node until fixpoint, and a fixpoint is reached as soon as one
+    * round removes none). Output: (node, core_deg) for surviving
+    * nodes — their degree inside the final subgraph.
+    *
+    * Scale per round: one degree aggregation + two semi-join filters
+    * of the adjacency against the survivor set — O(E) shuffled per
+    * round, no driver state; the adjacency localCheckpoints each round
+    * (the pageRank superstep-barrier pattern) so lineage stays flat.
+    * Peeling depth on real web/social graphs is small (tens); a
+    * fixpoint-detecting variant would add one driver-side count per
+    * round without changing the per-round plan. */
+  def kCore(edges: DataFrame, k: Int, iters: Int,
+      checkpoint: Boolean = true): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    var adj = und.select(col("u").as("node"), col("v").as("nb"))
+      .union(und.select(col("v").as("node"), col("u").as("nb")))
+    for (_ <- 1 to iters) {
+      val alive = adj.groupBy(col("node"))
+        .agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("node"))
+      adj = adj.join(alive, "node")
+        .join(alive.withColumnRenamed("node", "nb"), "nb")
+        .select(col("node"), col("nb"))
+      if (checkpoint) adj = adj.localCheckpoint(true)
+    }
+    adj.groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** Personalized PageRank (Jeh–Widom 2003): random walk with restart
+    * INTO the seed set — `PR₀ = 1/|S|` on seeds, 0 elsewhere;
+    * `PRₜ₊₁(v) = (1−d)·[v∈S]/|S| + d·Σ_{u→v} PRₜ(u)/deg(u)`. The
+    * relevance ranking "near these nodes" that plain PageRank can't
+    * express; dangling mass drops exactly as in [[pageRank]] so the
+    * oracle stays a pure relational recurrence.
+    *
+    * Determinism and scale: identical to [[pageRank]] — DECIMAL(38,18)
+    * contribution sums, one O(E+V) shuffle round per iteration,
+    * localCheckpoint superstep barrier; the seed set rides as a
+    * broadcast-joined 0/1 column, never a driver loop. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int, d: Double = 0.85,
+      checkpoint: Boolean = true): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val seedSet = nodes.join(seeds.withColumnRenamed("node", "_s"),
+        col("node") === col("_s"))
+      .select(col("node"))
+    val sD = seedSet.count().toDouble
+    val outDeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"))
+    val withSeed = nodes
+      .join(seedSet.withColumn("_is", lit(1.0)),
+        Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("_is"), lit(0.0)).as("is_seed"))
+    var pr = withSeed.select(col("node"),
+      (col("is_seed") / lit(sD)).as("pr"))
+    for (_ <- 1 to iters) {
+      val sums = edges.join(pr, edges("src") === pr("node"))
+        .join(outDeg, "src")
+        .select(col("dst"),
+          (col("pr") / col("deg").cast("double")).as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c").cast(DecimalType(38, 18))).cast("double")
+          .as("s"))
+      pr = withSeed.join(sums, withSeed("node") === sums("dst"), "left")
+        .select(withSeed("node"),
+          ((lit(1.0) - lit(d)) * col("is_seed") / lit(sD) +
+            lit(d) * coalesce(col("s"), lit(0.0))).as("pr"))
+      if (checkpoint) pr = pr.localCheckpoint(true)
+    }
+    pr
+  }
 }

@@ -1015,4 +1015,30 @@ object Similarity {
     embeddings.select(col("vec_id"), proj.cast("double").as("pc1"),
       lit(lambda).as("lambda1"))
   }
+
+  /** The (planes × dims) JL sign matrix — the same deterministic md5
+    * plane family as [[signMatrix]], offset by 1000 so the projection
+    * directions are independent of the LSH hyperplanes. */
+  def jlSignMatrix(planes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dims)((p, d) => planeSign(1000 + p, d))
+
+  /** Johnson–Lindenstrauss signed random projection to `outDims`
+    * dimensions: pⱼ = (Σ_d sign(j,d)·v_d) / √outDims, signs ±1 from
+    * [[jlSignMatrix]]. Pairwise distances are preserved to (1±ε) with
+    * ε ≈ √(ln n / outDims) (Achlioptas 2003: ±1 entries suffice) — the
+    * cheap front-end that lets every pairwise downstream (dedup, ANN
+    * shortlists, clustering) run in `outDims` dims instead of `dims`.
+    *
+    * Scale: `outDims` codegen'd VecDot folds against constant literal
+    * sign rows — zero shuffle, zero driver state, one narrow
+    * projection over the corpus; the sequential per-row fold is
+    * order-deterministic so the oracle replays it exactly. */
+  def randomProjection(embeddings: DataFrame, outDims: Int = 16,
+      dims: Int = 64): DataFrame = {
+    val m = jlSignMatrix(outDims, dims)
+    val s = lit(math.sqrt(outDims.toDouble))
+    embeddings.select((col("vec_id") +: (0 until outDims).map(j =>
+      (vec_dot(col("embedding"), typedLit(m(j).toSeq)) / s)
+        .as(f"p$j%02d"))): _*)
+  }
 }

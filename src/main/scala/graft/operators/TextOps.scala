@@ -498,4 +498,56 @@ object TextOps {
   /** Token-level entropy; `toks` should be a materialized token-array
     * column (see [[tokens]]). */
   def tokenEntropyFromTokens(toks: Column): Column = elementEntropy(toks)
+
+  /** Corpus bigram language model + per-document perplexity-style
+    * scoring — the KenLM-shaped quality signal (CCNet filters on LM
+    * perplexity; this is the n=2 core of it trained on the corpus
+    * itself). Model: P(w₂|w₁) = (c(w₁w₂) + k) / (c(w₁·) + k·V) with
+    * add-k smoothing over the bigram-start counts and vocabulary V =
+    * distinct tokens. Score: per-document mean negative log-likelihood
+    * of its bigrams — low = in-distribution text, high = anomalous.
+    * Output: (doc_id, n_bigrams, sum_nll, avg_nll); docs with < 2
+    * tokens drop.
+    *
+    * Determinism: each bigram's −ln P lands on a 10⁻¹² fixed-point
+    * grid (⌊ln·10¹²⌋ as BIGINT) and the per-doc sum accumulates those
+    * integers — order-independent and engine-exact, the kaplanMeier
+    * log-grid pattern. ln() itself is bit-identical across engines on
+    * these operands (pinned by the pipe_weighted_sample precedent).
+    *
+    * Scale: the model relations are VOCABULARY-bounded (unigram +
+    * bigram counts), not corpus-bounded — two hash aggs, then two
+    * word-keyed shuffle joins of the corpus bigram stream against
+    * them, a 1-row V broadcast, one per-doc agg. Nothing is collected;
+    * a 10⁸-type web vocabulary shuffles fine because model rows carry
+    * counts, not repetition. */
+  def bigramLmScores(documents: DataFrame, addK: Double = 0.5)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .where(length(col("w")) >= 1)
+    val perDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = toks
+      .withColumn("w2", lead(col("w"), 1).over(perDoc))
+      .where(col("w2").isNotNull)
+      .select(col("doc_id"), col("w"), col("w2"))
+    val biCounts = bi.groupBy(col("w"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val uniCounts = bi.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.agg(countDistinct(col("w")).as("v"))
+    val p = (col("c12").cast("double") + lit(addK)) /
+      (col("c1").cast("double") + lit(addK) * col("v").cast("double"))
+    bi.join(biCounts, Seq("w", "w2"))
+      .join(uniCounts, Seq("w"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nllfp", -floor(log(p) * lit(1e12)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nllfp")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("s").cast("double") / lit(1e12)).as("sum_nll"),
+        (col("s").cast("double") / lit(1e12) /
+          col("n_bigrams").cast("double")).as("avg_nll"))
+  }
 }

@@ -108,6 +108,82 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(math.abs(gain - 1500.0) < 1e-9)
   }
 
+  test("bigramLmScores: hand-computed add-k probabilities") {
+    // corpus: doc1 "a b a b", doc2 "a b" → bigrams (a,b)×3, (b,a)×1
+    // history counts c1(a)=3, c1(b)=1; V=2; k=0.5
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextOps.bigramLmScores(docs)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toList
+    val pAB = (3.0 + 0.5) / (3.0 + 0.5 * 2) // P(b|a) = 0.875
+    val pBA = (1.0 + 0.5) / (1.0 + 0.5 * 2) // P(a|b) = 0.75
+    val nll1 = -(math.log(pAB) * 2 + math.log(pBA))
+    val nll2 = -math.log(pAB)
+    assert(out.map(_._2) == List(3L, 1L))
+    assert(math.abs(out(0)._3 - nll1) < 1e-9)
+    assert(math.abs(out(1)._3 - nll2) < 1e-9)
+    assert(math.abs(out(1)._4 - nll2) < 1e-9) // avg over 1 bigram
+  }
+
+  test("bigramLmScores: single-token and empty docs drop") {
+    val docs = Seq((1L, "solo"), (2L, ""), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val ids = TextOps.bigramLmScores(docs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(3L))
+  }
+
+  test("randomProjection: matches a hand dot product, preserves " +
+      "linearity, deterministic signs") {
+    val m = Similarity.jlSignMatrix(4, 4)
+    val v = Array(1.0f, 2.0f, 3.0f, 4.0f)
+    val df = Seq((1L, v.toSeq)).toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(df, outDims = 4, dims = 4)
+      .as[(Long, Double, Double, Double, Double)].head()
+    val exp = (0 until 4).map(j =>
+      (0 until 4).map(i => m(j)(i) * v(i)).sum / 2.0)
+    assert(math.abs(out._2 - exp(0)) < 1e-12 &&
+      math.abs(out._5 - exp(3)) < 1e-12)
+    // JL planes differ from the LSH planes (seed offset)
+    assert(Similarity.jlSignMatrix(2, 8).flatten.toSeq !=
+      Similarity.signMatrix(2, 8).flatten.toSeq)
+  }
+
+  test("kCore: clique survives, tree fringe peels, pendant into " +
+      "clique does not survive") {
+    // 4-clique {1,2,3,4} + path 5-6-7 hanging off node 1
+    val edges = (for {
+      a <- 1 to 4; b <- 1 to 4 if a < b
+    } yield (a.toLong, b.toLong)) ++ Seq((1L, 5L), (5L, 6L), (6L, 7L))
+    val df = edges.toDF("src", "dst")
+    val out = GraphOps.kCore(df, k = 3, iters = 5)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.forall(_._2 == 3L))
+  }
+
+  test("kCore: k=2 keeps only the cycle part") {
+    // triangle 1-2-3 + tail 3-4-5
+    val df = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val nodes = GraphOps.kCore(df, k = 2, iters = 5)
+      .select("node").as[Long].collect().sorted
+    assert(nodes.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("personalizedPageRank: mass restarts at seeds only; " +
+      "non-reachable non-seeds get zero") {
+    // 1→2→3, seed {1}: node 4 isolated via 4→1 edge (4 not a seed,
+    // nothing points at it → pr(4) = 0)
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 1L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val pr = GraphOps.personalizedPageRank(edges, seeds, iters = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(pr(4L) == 0.0)
+    assert(pr(1L) > 0.0 && pr(2L) > 0.0)
+    // restart mass: pr(1) has the (1-d) base term every iteration
+    assert(math.abs(pr(1L) - 0.15) < 1e-12)
+  }
+
   test("changepointMeanShift: keys below minN drop; constant series " +
       "has zero gain") {
     val df = ((1 to 25).map(i =>

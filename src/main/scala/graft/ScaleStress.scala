@@ -43,8 +43,10 @@ object ScaleStress {
     * same-family pairs sit around Jaccard 0.6–0.9 and cross-family
     * pairs near 0. */
   def synthDocuments(spark: SparkSession, n: Long,
-      familySize: Int = 8, maxLen: Int = 60): DataFrame = {
-    val vocab = math.max(4096L, n / 2)
+      familySize: Int = 8, maxLen: Int = 60,
+      vocabOverride: Long = 0L): DataFrame = {
+    val vocab =
+      if (vocabOverride > 0) vocabOverride else math.max(4096L, n / 2)
     val words = (0 until maxLen).map { p =>
       val base = concat(lit("w"),
         hmod("w", vocab, col("family"), lit(p)))
@@ -241,6 +243,64 @@ object ScaleStress {
     }
     run("graph_pagerank", nNodes) {
       GraphOps.pageRank(edges, iters = 10)
+    }
+    run("graph_label_propagation", nNodes) {
+      GraphOps.labelPropagation(edges, iters = 4)
+    }
+    // wedge volume Σ_apex c·(c−1)/2 is the audited quantity (the
+    // pre-aggregation join cardinality), counted on the production
+    // wedge-apex relation with the data-derived degree cap
+    if (only.isEmpty || only.contains("graph_common_neighbors")) {
+      val cap = GraphOps.suggestedDegreeCap(edges)
+      run("graph_common_neighbors", nNodes,
+          bucketPairCount(
+            GraphOps.commonNeighborWedgeRelation(edges, cap),
+            Seq("node"))) {
+        GraphOps.commonNeighborJaccard(edges, cap)
+      }
+    }
+    run("graph_kcore", nNodes) {
+      GraphOps.kCore(edges, k = 12, iters = 8)
+    }
+    run("graph_ppr", nNodes) {
+      GraphOps.personalizedPageRank(edges,
+        edges.select(col("src").as("node")).where(col("node") < 8)
+          .distinct(), iters = 10)
+    }
+    // BPE merge training on a FIXED 4096-stem vocabulary while the
+    // corpus grows 100× — the claim under test is that the per-round
+    // working set is the VOCABULARY, not the corpus: candidates =
+    // |distinct words| (the relation every merge round folds over),
+    // which must stay ~flat per decade while only the one up-front
+    // corpus aggregation scales with n
+    if (only.isEmpty || only.contains("pipe_bpe_merges")) {
+      val bpeDocs = synthDocuments(spark, nDocs, vocabOverride = 4096L)
+        .localCheckpoint(true)
+      val vocabRows = bpeDocs
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) >= 1).select(col("w")).distinct().count()
+      run("pipe_bpe_merges", nDocs, vocabRows) {
+        PipelineOps.bpeMerges(bpeDocs, rounds = 6)
+      }
+      bpeDocs.unpersist()
+    }
+    // full ER finish: sorted-neighborhood matches → connected
+    // components → canonical survivor per cluster; candidates = the
+    // match-pair count (the CC edge relation's size — what the
+    // propagation loop actually shuffles)
+    if (only.isEmpty || only.contains("er_cluster_canonical")) {
+      val named = docs.withColumn("nm", substring(col("text"), 1, 24))
+      val matches = RelationalOps.sortedNeighborhoodMatches(
+        named, "doc_id", "nm", window = 4, maxDist = 6)
+        .localCheckpoint(true)
+      run("er_cluster_canonical", nDocs, matches.count()) {
+        val comp = Dedup.connectedComponents(
+          matches.select(col("id_a"), col("id_b")))
+        comp.join(named, comp("doc_id") === named("doc_id"))
+          .groupBy(col("cluster_rep").as("cluster_id"))
+          .agg(count(lit(1)).as("size"), min(col("nm")).as("canonical"))
+      }
+      matches.unpersist()
     }
     docs.unpersist(); emb.unpersist(); vals.unpersist(); edges.unpersist()
     out.toSeq

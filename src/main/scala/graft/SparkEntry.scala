@@ -2715,6 +2715,58 @@ object SparkEntry {
         .withColumn("diverse", col("l_div") >= 3)
         .orderBy("c_nationkey", "c_mktsegment")),
 
+    // ---- HITS hubs & authorities over the customer-key graph ----
+    "graph_hits" -> ((s, dir) => {
+      val edges = t(s, dir, "customer").where(col("c_custkey") > 1)
+        .select(col("c_custkey").as("src"),
+          expr("c_custkey div 2").as("dst"))
+      GraphOps.hits(edges, iters = 2).orderBy("node")
+    }),
+
+    // ---- multi-source BFS hop distances on the same graph ----
+    "graph_shortest_hops" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val edges = c.where(col("c_custkey") > 1)
+        .select(col("c_custkey").as("src"),
+          expr("c_custkey div 2").as("dst"))
+      val seeds = c.where(col("c_custkey") <= 2)
+        .select(col("c_custkey").as("node"))
+      GraphOps.shortestHops(edges, seeds, iters = 5).orderBy("node")
+    }),
+
+    // ---- daily-series autocorrelation per event type ----
+    "ts_acf" -> ((s, dir) =>
+      AnalyticsOps.autocorrelation(events(s, dir), maxLag = 3)
+        .orderBy("event_type", "lag")),
+
+    // ---- view→purchase lagged cross-correlation ----
+    "ts_cross_correlation" -> ((s, dir) =>
+      AnalyticsOps.crossCorrelation(events(s, dir), "view", "purchase",
+        maxLag = 3).orderBy("lag")),
+
+    // ---- Benford first-digit deviation on order totals ----
+    "analytics_benford" -> ((s, dir) =>
+      AnalyticsOps.benfordDeviation(t(s, dir, "orders"), "o_totalprice")
+        .orderBy("digit")),
+
+    // ---- t-closeness audit (completes the k-anon / l-div triad) ----
+    "privacy_t_closeness" -> ((s, dir) =>
+      AnalyticsOps.tCloseness(
+        t(s, dir, "orders").join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey")),
+        Seq("c_nationkey", "c_mktsegment"), "o_orderpriority")
+        .orderBy("c_nationkey", "c_mktsegment")),
+
+    // ---- Mann–Whitney U rank-sum test, view vs click values ----
+    "analytics_mann_whitney" -> ((s, dir) =>
+      AnalyticsOps.mannWhitneyU(events(s, dir), "event_type",
+        "view", "click", "value")),
+
+    // ---- RFM quartile segmentation of customers ----
+    "analytics_rfm" -> ((s, dir) =>
+      AnalyticsOps.rfmSegments(t(s, dir, "orders"), "1998-12-01")
+        .orderBy("custkey")),
+
     // ---- recursive CTE (Spark 4): BFS over the customer-key tree ----
     "sql_recursive_tree" -> ((s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("v_customer")
@@ -6601,6 +6653,253 @@ object SparkEntry {
         | CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l_div,
         | count(DISTINCT o_orderpriority) >= 3 AS diverse
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // HITS: replay both half-steps per iteration with the same
+    // DECIMAL(38,18)-accumulated sums (VARCHAR-routed — DuckDB's
+    // direct double<->decimal casts double-round) and L1 norms
+    "graph_hits" -> {
+      def dsum18(c: String) =
+        s"CAST(CAST(SUM(CAST(CAST($c AS VARCHAR) AS DECIMAL(38,18)))" +
+          s" AS VARCHAR) AS DOUBLE)"
+      val iters = (1 to 2).map { i =>
+        val ph = if (i == 1) "h0" else s"hn${i - 1}"
+        s"""ar$i AS (SELECT e.dst, ${dsum18("h.hub")} AS s
+           |  FROM edges e JOIN $ph h ON e.src = h.node GROUP BY e.dst),
+           |au$i AS (SELECT n.node, COALESCE(ar$i.s, CAST(0 AS DOUBLE))
+           |    AS auth
+           |  FROM nodes n LEFT JOIN ar$i ON n.node = ar$i.dst),
+           |an$i AS (SELECT node, auth /
+           |    (SELECT ${dsum18("auth")} FROM au$i) AS auth FROM au$i),
+           |hr$i AS (SELECT e.src, ${dsum18("a.auth")} AS s
+           |  FROM edges e JOIN an$i a ON e.dst = a.node GROUP BY e.src),
+           |hu$i AS (SELECT n.node, COALESCE(hr$i.s, CAST(0 AS DOUBLE))
+           |    AS hub
+           |  FROM nodes n LEFT JOIN hr$i ON n.node = hr$i.src),
+           |hn$i AS (SELECT node, hub /
+           |    (SELECT ${dsum18("hub")} FROM hu$i) AS hub FROM hu$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS (SELECT DISTINCT c_custkey AS src,
+         |  c_custkey // 2 AS dst FROM customer
+         |  WHERE c_custkey > 1 AND c_custkey <> c_custkey // 2),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM edges
+         |  UNION ALL SELECT dst FROM edges)),
+         |h0 AS (SELECT node, CAST(1 AS DOUBLE) AS hub FROM nodes),
+         |$iters
+         |SELECT h.node, h.hub, a.auth
+         |FROM hn2 h JOIN an2 a ON h.node = a.node
+         |ORDER BY h.node""".stripMargin
+    },
+
+    // multi-source BFS: 5 relaxation rounds over the undirected
+    // adjacency — integer-only, bit-exact by construction
+    "graph_shortest_hops" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""d$i AS (SELECT node, MIN(dist) AS dist FROM (
+           |  SELECT node, dist FROM d${i - 1}
+           |  UNION ALL SELECT a.node, d.dist + 1
+           |  FROM adj a JOIN d${i - 1} d ON a.nb = d.node)
+           | GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT c_custkey AS src, c_custkey // 2 AS dst
+         |  FROM customer WHERE c_custkey > 1),
+         |und AS (SELECT DISTINCT least(src, dst) AS u,
+         |   greatest(src, dst) AS v FROM e0
+         |  WHERE least(src, dst) <> greatest(src, dst)),
+         |adj AS (SELECT u AS node, v AS nb FROM und
+         |  UNION ALL SELECT v, u FROM und),
+         |d0 AS (SELECT c_custkey AS node, CAST(0 AS BIGINT) AS dist
+         |  FROM customer WHERE c_custkey <= 2),
+         |$rounds
+         |SELECT node, CAST(dist AS BIGINT) AS dist FROM d5
+         |ORDER BY node""".stripMargin
+    },
+
+    // ACF from exact-integer sufficient statistics (HUGEINT mirrors
+    // the engine's DECIMAL(38,0)); one VARCHAR-routed division at
+    // the end
+    "ts_acf" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, x, row_number() OVER (
+        |  PARTITION BY event_type ORDER BY day) AS t FROM daily),
+        |base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  SUM(CAST(x AS HUGEINT)) AS s,
+        |  SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q
+        | FROM idx GROUP BY 1),
+        |lags AS (SELECT unnest(generate_series(1, 3)) AS lag),
+        |ov AS (SELECT a.event_type, l.lag,
+        |  CAST(count(*) AS BIGINT) AS m,
+        |  SUM(CAST(a.x AS HUGEINT) * CAST(b.x AS HUGEINT)) AS pk,
+        |  SUM(CAST(a.x AS HUGEINT)) AS sh,
+        |  SUM(CAST(b.x AS HUGEINT)) AS st
+        | FROM idx a CROSS JOIN lags l
+        | JOIN idx b ON b.event_type = a.event_type
+        |  AND b.t = a.t + l.lag
+        | GROUP BY 1, 2)
+        |SELECT o.event_type, CAST(o.lag AS BIGINT) AS lag, b.n,
+        | CAST(CAST(CAST(b.n AS HUGEINT) * CAST(b.n AS HUGEINT) * o.pk
+        |    - CAST(b.n AS HUGEINT) * b.s * (o.sh + o.st)
+        |    + CAST(o.m AS HUGEINT) * b.s * b.s AS VARCHAR) AS DOUBLE)
+        | / CAST(CAST(CAST(b.n AS HUGEINT) * CAST(b.n AS HUGEINT) * b.q
+        |    - CAST(b.n AS HUGEINT) * b.s * b.s AS VARCHAR) AS DOUBLE)
+        |  AS acf
+        |FROM ov o JOIN base b ON o.event_type = b.event_type
+        |ORDER BY o.event_type, lag""".stripMargin,
+
+    "ts_cross_correlation" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS x,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+        |    AS y
+        | FROM events WHERE event_type IN ('view', 'purchase')
+        | GROUP BY 1),
+        |idx AS (SELECT x, y, row_number() OVER (ORDER BY day) AS t
+        | FROM daily),
+        |base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |  SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS qx,
+        |  SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS qy
+        | FROM idx),
+        |lags AS (SELECT unnest(generate_series(0, 3)) AS lag),
+        |ov AS (SELECT l.lag, CAST(count(*) AS BIGINT) AS m,
+        |  SUM(CAST(a.x AS HUGEINT) * CAST(b.y AS HUGEINT)) AS pk,
+        |  SUM(CAST(a.x AS HUGEINT)) AS sh,
+        |  SUM(CAST(b.y AS HUGEINT)) AS st
+        | FROM idx a CROSS JOIN lags l JOIN idx b ON b.t = a.t + l.lag
+        | GROUP BY 1)
+        |SELECT CAST(o.lag AS BIGINT) AS lag, b.n, o.m,
+        | CAST(CAST(CAST(b.n AS HUGEINT) * CAST(b.n AS HUGEINT) * o.pk
+        |    - CAST(b.n AS HUGEINT) * b.sx * o.st
+        |    - CAST(b.n AS HUGEINT) * b.sy * o.sh
+        |    + CAST(o.m AS HUGEINT) * b.sx * b.sy AS VARCHAR) AS DOUBLE)
+        | / sqrt(
+        |   CAST(CAST(CAST(b.n AS HUGEINT) * CAST(b.n AS HUGEINT) * b.qx
+        |     - CAST(b.n AS HUGEINT) * b.sx * b.sx AS VARCHAR) AS DOUBLE)
+        |   * CAST(CAST(CAST(b.n AS HUGEINT) * CAST(b.n AS HUGEINT) * b.qy
+        |     - CAST(b.n AS HUGEINT) * b.sy * b.sy AS VARCHAR) AS DOUBLE))
+        |  AS ccf
+        |FROM ov o CROSS JOIN base b ORDER BY lag""".stripMargin,
+
+    // Benford: leading digit off the DECIMAL(18,2) rendering (plain
+    // notation on both engines); expected probabilities are literal
+    // doubles, so no transcendental enters the hash
+    "analytics_benford" ->
+      """WITH d AS (SELECT regexp_extract(CAST(CAST(o_totalprice
+        |    AS DECIMAL(18,2)) AS VARCHAR), '[1-9]', 0) AS digit
+        |  FROM orders),
+        |counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+        |  FROM d WHERE digit <> '' GROUP BY digit),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+        |f AS (SELECT digit, n,
+        |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS p_obs,
+        |  CASE digit
+        |   WHEN '1' THEN CAST('0.30102999566398120' AS DOUBLE)
+        |   WHEN '2' THEN CAST('0.17609125905568124' AS DOUBLE)
+        |   WHEN '3' THEN CAST('0.12493873660829993' AS DOUBLE)
+        |   WHEN '4' THEN CAST('0.09691001300805642' AS DOUBLE)
+        |   WHEN '5' THEN CAST('0.07918124604762482' AS DOUBLE)
+        |   WHEN '6' THEN CAST('0.06694678963061322' AS DOUBLE)
+        |   WHEN '7' THEN CAST('0.05799194697768673' AS DOUBLE)
+        |   WHEN '8' THEN CAST('0.05115252244738129' AS DOUBLE)
+        |   WHEN '9' THEN CAST('0.04575749056067514' AS DOUBLE)
+        |  END AS p_exp,
+        |  CAST(total AS DOUBLE) AS totd
+        | FROM counts CROSS JOIN tot)
+        |SELECT digit, n, p_obs, p_exp,
+        | (p_obs - p_exp) * (p_obs - p_exp) / p_exp * totd AS chi2
+        |FROM f ORDER BY digit""".stripMargin,
+
+    // t-closeness: exact integer cross-products in HUGEINT (the
+    // engine's DECIMAL(38,0)), one VARCHAR-routed division
+    "privacy_t_closeness" ->
+      """WITH j AS (SELECT c_nationkey, c_mktsegment, o_orderpriority
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cls AS (SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_c FROM j GROUP BY 1, 2),
+        |marg AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_s
+        |  FROM j GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM j),
+        |grid AS (SELECT cls.c_nationkey, cls.c_mktsegment, cls.n_c,
+        |  m.n_s, t.n_tot, COALESCE(ce.n_cs, 0) AS n_cs
+        | FROM cls CROSS JOIN marg m CROSS JOIN tot t
+        | LEFT JOIN (SELECT c_nationkey, c_mktsegment, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n_cs FROM j GROUP BY 1, 2, 3) ce
+        |  ON cls.c_nationkey = ce.c_nationkey
+        |  AND cls.c_mktsegment = ce.c_mktsegment
+        |  AND m.o_orderpriority = ce.o_orderpriority)
+        |SELECT c_nationkey, c_mktsegment, n_c,
+        | CAST(CAST(SUM(abs(CAST(n_cs AS HUGEINT) * CAST(n_tot AS HUGEINT)
+        |    - CAST(n_s AS HUGEINT) * CAST(n_c AS HUGEINT)))
+        |   AS VARCHAR) AS DOUBLE)
+        | / (CAST(2 AS DOUBLE) * CAST(n_c AS DOUBLE)
+        |    * CAST(MAX(n_tot) AS DOUBLE)) AS t_closeness
+        |FROM grid GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+
+    // Mann–Whitney U: closed-form tie-group midranks over the
+    // cent-quantized pooled values (the Gini construction)
+    "analytics_mann_whitney" ->
+      """WITH v AS (SELECT event_type AS arm,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cv
+        | FROM events WHERE event_type IN ('view', 'click')
+        |  AND value IS NOT NULL),
+        |g AS (SELECT cv,
+        |  CAST(count(*) FILTER (arm = 'view') AS BIGINT) AS n1v,
+        |  CAST(count(*) AS BIGINT) AS m FROM v GROUP BY cv),
+        |w AS (SELECT n1v, m,
+        |  CAST(SUM(m) OVER (ORDER BY cv) AS BIGINT) - m AS prev FROM g),
+        |s AS (SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+        |  CAST(SUM(m - n1v) AS BIGINT) AS n2,
+        |  SUM(CAST(n1v AS HUGEINT) * (2 * CAST(prev AS HUGEINT)
+        |    + CAST(m AS HUGEINT) + 1)) AS r1x2,
+        |  SUM(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)
+        |    * CAST(m AS HUGEINT) - CAST(m AS HUGEINT)) AS ties
+        | FROM w),
+        |f AS (SELECT n1, n2,
+        |  CAST(CAST(r1x2 - CAST(n1 AS HUGEINT)
+        |    * (CAST(n1 AS HUGEINT) + 1) AS VARCHAR) AS DOUBLE)
+        |   / CAST(2 AS DOUBLE) AS u1,
+        |  CAST(CAST(ties AS VARCHAR) AS DOUBLE) AS tie_term FROM s),
+        |f2 AS (SELECT n1, n2, u1, tie_term,
+        |  CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(12 AS DOUBLE)
+        |   * (CAST(n1 + n2 + 1 AS DOUBLE) - tie_term
+        |     / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))
+        |   AS var_u
+        | FROM f)
+        |SELECT n1, n2, u1, tie_term,
+        | CASE WHEN var_u > CAST(0 AS DOUBLE) THEN
+        |  (u1 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |    / CAST(2 AS DOUBLE)) / sqrt(var_u)
+        | ELSE CAST('nan' AS DOUBLE) END AS z
+        |FROM f2""".stripMargin,
+
+    // RFM: quartile bucket = rows-strictly-below·4 // total — the
+    // value-grouped rank decomposition replayed with windows
+    "analytics_rfm" ->
+      """WITH pc AS (SELECT o_custkey AS custkey,
+        |  CAST(date_diff('day', max(o_orderdate), DATE '1998-12-01')
+        |    AS BIGINT) AS recency_days,
+        |  CAST(count(*) AS BIGINT) AS frequency,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+        |    AS BIGINT) AS monetary_cents
+        | FROM orders GROUP BY 1),
+        |q AS (SELECT custkey, recency_days, frequency, monetary_cents,
+        |  (CAST(count(*) OVER (ORDER BY recency_days) AS BIGINT)
+        |   - CAST(count(*) OVER (PARTITION BY recency_days) AS BIGINT))
+        |   * 4 // CAST(count(*) OVER () AS BIGINT) AS recency_days_q,
+        |  (CAST(count(*) OVER (ORDER BY frequency) AS BIGINT)
+        |   - CAST(count(*) OVER (PARTITION BY frequency) AS BIGINT))
+        |   * 4 // CAST(count(*) OVER () AS BIGINT) AS frequency_q,
+        |  (CAST(count(*) OVER (ORDER BY monetary_cents) AS BIGINT)
+        |   - CAST(count(*) OVER (PARTITION BY monetary_cents) AS BIGINT))
+        |   * 4 // CAST(count(*) OVER () AS BIGINT) AS monetary_cents_q
+        | FROM pc)
+        |SELECT custkey, recency_days, frequency, monetary_cents,
+        | recency_days_q, frequency_q, monetary_cents_q,
+        | CAST(recency_days_q AS VARCHAR) || CAST(frequency_q AS VARCHAR)
+        |   || CAST(monetary_cents_q AS VARCHAR) AS rfm_cell
+        |FROM q ORDER BY custkey""".stripMargin
   )
 }

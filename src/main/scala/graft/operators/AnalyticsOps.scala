@@ -764,4 +764,298 @@ object AnalyticsOps {
       .select(col("dur_us"), col("d"), col("c"), col("n_risk"),
         col("log_survival"))
   }
+
+  /** Autocorrelation function of each event type's daily-count series
+    * at lags 1..`maxLag` (Box–Jenkins: lag-k products over the overlap
+    * window, mean and variance from the FULL series). All sufficient
+    * statistics are exact integers — letting n, S = Σx, Q = Σx²,
+    * m = n−k, Pk = Σ xₜ·xₜ₊ₖ, Sh/St the head/tail sums of the overlap,
+    *   acf_k = (n²·Pk − n·S·(Sh+St) + m·S²) / (n²·Q − n·S²)
+    * (the mean-centered form with every term cleared of the 1/n
+    * denominators), so the only floating-point step is one final
+    * division — bit-reproducible on any engine.
+    *
+    * Scale: the corpus collapses to the |types|×|days| daily relation
+    * in one aggregation; the per-type window and the lag self-join run
+    * on that bounded relation (a 100-TB log is still ≤ years×types
+    * rows here). Products accumulate in DECIMAL(38,0): daily counts to
+    * 10¹⁰ and series to 10⁵ points stay exact. */
+  def autocorrelation(events: DataFrame, maxLag: Int = 3,
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    // t-index over the daily relation: bounded per type by the
+    // calendar, not the corpus
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val idx = daily.select(col("event_type"), col("x"),
+      row_number().over(w).as("t"))
+    val dec = DecimalType(38, 0)
+    val base = idx.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast(dec).as("s"),
+      sum(col("x").cast(DecimalType(19, 0)) *
+        col("x").cast(DecimalType(19, 0))).cast(dec).as("q"))
+    // shift the series: a row at position t' pairs with the base row
+    // at t = t'−lag, one exploded copy per lag
+    val shifted = idx.withColumn("lag",
+        explode(sequence(lit(1L), lit(maxLag.toLong))))
+      .select(col("event_type"), col("x").as("xl"),
+        (col("t") - col("lag")).as("t"), col("lag"))
+    val lagged = idx.join(shifted, Seq("event_type", "t"))
+    val ov = lagged.groupBy(col("event_type"), col("lag")).agg(
+      count(lit(1)).as("m"),
+      sum(col("x").cast(DecimalType(19, 0)) *
+        col("xl").cast(DecimalType(19, 0))).cast(dec).as("pk"),
+      sum(col("x")).cast(dec).as("sh"),
+      sum(col("xl")).cast(dec).as("st"))
+    ov.join(base, "event_type")
+      .select(col("event_type"), col("lag"), col("n"),
+        ((col("n").cast(dec) * col("n").cast(dec) * col("pk") -
+          col("n").cast(dec) * col("s") * (col("sh") + col("st")) +
+          col("m").cast(dec) * col("s") * col("s")).cast("double") /
+         (col("n").cast(dec) * col("n").cast(dec) * col("q") -
+          col("n").cast(dec) * col("s") * col("s")).cast("double"))
+          .as("acf"))
+  }
+
+  /** Lagged cross-correlation between two event types' daily-count
+    * series (x leads, y lags by `lag` days), lags 0..`maxLag` — the
+    * "views today predict purchases in k days" diagnostic. Same
+    * exact-integer sufficient-statistics construction as
+    * [[autocorrelation]]; the denominator is the full-series
+    * √(Σ(x−x̄)²·Σ(y−ȳ)²) computed as one IEEE multiply + sqrt of the
+    * two cleared integer variance terms. Days absent from one series
+    * count 0 (full outer day alignment). */
+  def crossCorrelation(events: DataFrame, typeX: String, typeY: String,
+      maxLag: Int = 3, typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .where(col(typeCol).isin(typeX, typeY))
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(when(col(typeCol) === typeX, 1)).as("x"),
+        count(when(col(typeCol) === typeY, 1)).as("y"))
+    val w = Window.orderBy(col("day"))
+    // the day axis is bounded by the calendar (≤ years of rows), so a
+    // single rank window over the DAILY relation is a bounded frame in
+    // the same sense as seasonalDecompose's — not a corpus window;
+    // still, keep it partition-free-safe by ranking via the bucketed
+    // prefix sum when the day span is unbounded. Here: the daily
+    // relation after the first aggregation.
+    val idx = RelationalOps.distributedPrefixSum(
+        daily.select(unix_date(col("day")).cast("long").as("dnum"),
+          col("x"), col("y")).withColumn("one", lit(1L)),
+        "dnum", "one")
+      .select(col("x"), col("y"), col("cum").as("t"))
+    val dec = DecimalType(38, 0)
+    val base = idx.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast(dec).as("sx"),
+      sum(col("y")).cast(dec).as("sy"),
+      sum(col("x").cast(DecimalType(19, 0)) *
+        col("x").cast(DecimalType(19, 0))).cast(dec).as("qx"),
+      sum(col("y").cast(DecimalType(19, 0)) *
+        col("y").cast(DecimalType(19, 0))).cast(dec).as("qy"))
+    val shifted = idx.withColumn("lag",
+        explode(sequence(lit(0L), lit(maxLag.toLong))))
+      .select(col("y").as("yl"), (col("t") - col("lag")).as("t"),
+        col("lag"))
+    val lagged = idx.join(shifted, Seq("t"))
+    val ov = lagged.groupBy(col("lag")).agg(
+      count(lit(1)).as("m"),
+      sum(col("x").cast(DecimalType(19, 0)) *
+        col("yl").cast(DecimalType(19, 0))).cast(dec).as("pk"),
+      sum(col("x")).cast(dec).as("sh"),
+      sum(col("yl")).cast(dec).as("st"))
+    ov.crossJoin(broadcast(base))
+      .select(col("lag"), col("n"), col("m"),
+        ((col("n").cast(dec) * col("n").cast(dec) * col("pk") -
+          col("n").cast(dec) * col("sx") * col("st") -
+          col("n").cast(dec) * col("sy") * col("sh") +
+          col("m").cast(dec) * col("sx") * col("sy")).cast("double") /
+          sqrt((col("n").cast(dec) * col("n").cast(dec) * col("qx") -
+              col("n").cast(dec) * col("sx") * col("sx")).cast("double") *
+            (col("n").cast(dec) * col("n").cast(dec) * col("qy") -
+              col("n").cast(dec) * col("sy") * col("sy")).cast("double")))
+          .as("ccf"))
+  }
+
+  /** Benford first-digit deviation audit (Newcomb–Benford law; the
+    * classic fraud/data-quality screen): the distribution of leading
+    * significant digits of `valueCol` against log₁₀(1+1/d), with the
+    * per-digit χ² contribution. The leading digit comes from the
+    * DECIMAL(18,2) string rendering (both engines print plain decimal
+    * notation — a double rendering would diverge in scientific-notation
+    * corners), and the expected probabilities are fixed literals so no
+    * transcendental function enters the comparison.
+    *
+    * Scale: one hash aggregation to ≤9 rows; everything after is
+    * arithmetic on the digit table. */
+  def benfordDeviation(df: DataFrame, valueCol: String): DataFrame = {
+    val firstDigit = regexp_extract(
+      col(valueCol).cast(DecimalType(18, 2)).cast("string"),
+      "[1-9]", 0)
+    val counts = df.select(firstDigit.as("digit"))
+      .where(col("digit") =!= "")
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("total"))
+    // log10(1+1/d) to 17 significant digits — double-exact literals
+    val pExp = Map(
+      "1" -> 0.30102999566398120, "2" -> 0.17609125905568124,
+      "3" -> 0.12493873660829993, "4" -> 0.09691001300805642,
+      "5" -> 0.07918124604762482, "6" -> 0.06694678963061322,
+      "7" -> 0.05799194697768673, "8" -> 0.05115252244738129,
+      "9" -> 0.04575749056067514)
+    val expCol = pExp.foldLeft(lit(Double.NaN)) { case (acc, (d, p)) =>
+      when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    counts.crossJoin(broadcast(totals))
+      .withColumn("p_exp", expCol)
+      .withColumn("p_obs",
+        col("n").cast("double") / col("total").cast("double"))
+      .withColumn("chi2",
+        (col("p_obs") - col("p_exp")) * (col("p_obs") - col("p_exp")) /
+          col("p_exp") * col("total").cast("double"))
+      .select(col("digit"), col("n"), col("p_obs"), col("p_exp"),
+        col("chi2"))
+  }
+
+  /** t-closeness audit (Li–Li–Venkatasubramanian 2007) with the
+    * variational (total-variation) distance: for each quasi-identifier
+    * class, TVD between the class's sensitive-attribute distribution
+    * and the global one —
+    *   TVD = Σ_s |n_cs·N − N_s·n_c| / (2·n_c·N).
+    * The numerator accumulates the EXACT integer cross-products in
+    * DECIMAL(38,0) (n_cs·N reaches rows² — a long wraps at ~3·10⁹
+    * rows), so the one floating-point step is the final division.
+    * Completes the privacy triad beside k-anonymity and l-diversity.
+    *
+    * Scale: three aggregations of the joined relation plus a
+    * |classes|×|sensitive-values| grid built by broadcasting the
+    * (small, bounded-cardinality) sensitive-value marginal — no
+    * corpus-sized join. */
+  def tCloseness(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    val qi = qiCols.map(col)
+    val cells = df.groupBy(qi :+ col(sensitiveCol): _*)
+      .agg(count(lit(1)).as("n_cs"))
+    val classes = df.groupBy(qi: _*).agg(count(lit(1)).as("n_c"))
+    val marginal = df.groupBy(col(sensitiveCol))
+      .agg(count(lit(1)).as("n_s"))
+    val total = df.agg(count(lit(1)).as("n_tot"))
+    val grid = classes
+      .crossJoin(broadcast(marginal.crossJoin(total)))
+      .join(cells, qiCols :+ sensitiveCol, "left_outer")
+      .withColumn("n_cs", coalesce(col("n_cs"), lit(0L)))
+    val dec = DecimalType(38, 0)
+    grid.groupBy((qi :+ col("n_c").as("n_c")): _*)
+      .agg(max(col("n_tot")).as("n_tot"),
+        sum(abs(col("n_cs").cast(dec) * col("n_tot").cast(dec) -
+          col("n_s").cast(dec) * col("n_c").cast(dec))).as("tvd_num"))
+      .select((qi :+ col("n_c") :+
+        (col("tvd_num").cast("double") /
+          (lit(2.0) * col("n_c").cast("double") *
+            col("n_tot").cast("double"))).as("t_closeness")): _*)
+  }
+
+  /** Mann–Whitney U rank-sum test between two arms of `armCol` on the
+    * cent-quantized `valueCol` (quantization makes the rank key
+    * integral for the bucketed prefix scan and pins tie groups
+    * identically on every engine). Midranks come CLOSED-FORM from the
+    * tie-group decomposition — for a distinct value with `prev`
+    * predecessors and m members, Σ midranks of one arm's n1v members
+    * is n1v·(2·prev + m + 1)/2 — so no per-row global rank exists
+    * anywhere (the Gini construction). Emits n1, n2, U₁, U₂, the
+    * tie-correction term Σ(m³−m), and the tie-corrected normal
+    * z-statistic (one sqrt at the end; everything upstream is exact
+    * integer/decimal arithmetic).
+    *
+    * Scale: values collapse to (distinct cents, per-arm counts) in one
+    * aggregation; the prefix sum is the two-phase bucket scan. */
+  def mannWhitneyU(df: DataFrame, armCol: String, armA: String,
+      armB: String, valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cents = (col(valueCol).cast(DecimalType(18, 2)) * lit(100))
+      .cast("long")
+    val g = df.where(col(armCol).isin(armA, armB) &&
+        col(valueCol).isNotNull)
+      .select(col(armCol).as("arm"), cents.as("cv"))
+      .groupBy(col("cv"))
+      .agg(count(when(col("arm") === armA, 1)).as("n1v"),
+        count(lit(1)).as("m"))
+    val withCum = RelationalOps.distributedPrefixSum(g, "cv", "m")
+      .withColumn("prev", col("cum") - col("m"))
+    val s = withCum.agg(
+      sum(col("n1v")).as("n1"),
+      sum(col("m") - col("n1v")).as("n2"),
+      // 2·R1 = Σ n1v·(2·prev + m + 1): exact in DECIMAL(38,0)
+      sum(col("n1v").cast(dec) *
+        (lit(2).cast(dec) * col("prev").cast(dec) +
+          col("m").cast(dec) + lit(1).cast(dec))).as("r1x2"),
+      sum(col("m").cast(dec) * col("m").cast(dec) * col("m").cast(dec) -
+        col("m").cast(dec)).as("ties"))
+    val u1 = ((col("r1x2") - col("n1").cast(dec) *
+      (col("n1").cast(dec) + lit(1).cast(dec))).cast("double") /
+      lit(2.0))
+    val tieTerm = col("ties").cast("double")
+    // z with tie-corrected variance:
+    //   var = n1·n2/12 · ((N+1) − ties/(N(N−1)))
+    // A fully-tied pool has variance 0 — ANSI double division throws
+    // there, so the degenerate case pins to NaN explicitly (the oracle
+    // mirrors with CASE)
+    val varU = col("n1").cast("double") * col("n2").cast("double") /
+      lit(12.0) *
+      ((col("n1") + col("n2") + lit(1)).cast("double") -
+        tieTerm / ((col("n1") + col("n2")).cast("double") *
+          (col("n1") + col("n2") - lit(1)).cast("double")))
+    val z = when(varU > 0.0,
+      (u1 - col("n1").cast("double") * col("n2").cast("double") /
+        lit(2.0)) / sqrt(varU))
+      .otherwise(lit(Double.NaN))
+    s.select(col("n1"), col("n2"), u1.as("u1"),
+      tieTerm.as("tie_term"), z.as("z"))
+  }
+
+  /** RFM segmentation (recency / frequency / monetary quartiles — the
+    * classic CRM customer partition): per customer, days since last
+    * order relative to `refDate`, order count, and lifetime cents;
+    * each metric maps to quartile buckets 0..3 by ASCENDING value via
+    * the value-grouped global-rank decomposition (bucket =
+    * ⌊cum_before·4/total⌋ over the per-distinct-value count relation —
+    * ties land in one bucket, no per-row global rank, no
+    * single-partition window; the equi-depth histogram construction).
+    *
+    * Scale: one aggregation to the per-customer relation, then three
+    * value-distribution scans whose prefix sums are two-phase bucket
+    * scans; value→bucket maps broadcast back (distinct recency days
+    * and frequencies are small; distinct monetary values are ≤
+    * |customers| — that map join is key-partitioned, not broadcast,
+    * when it outgrows the threshold). */
+  def rfmSegments(orders: DataFrame, refDate: String): DataFrame = {
+    val perCust = orders.groupBy(col("o_custkey").as("custkey"))
+      .agg(datediff(lit(refDate).cast("date"), max(col("o_orderdate")))
+          .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)) * lit(100))
+          .cast("long").as("monetary_cents"))
+      .localCheckpoint(true) // 3 metric scans share one computation
+    def quartileMap(metric: String): DataFrame = {
+      val vc = perCust.groupBy(col(metric)).agg(count(lit(1)).as("nv"))
+      RelationalOps.distributedPrefixSum(vc, metric, "nv")
+        .crossJoin(broadcast(vc.agg(sum(col("nv")).as("_tot"))))
+        .select(col(metric),
+          expr(s"(cum - nv) * 4 div _tot").as(s"${metric}_q"))
+    }
+    perCust
+      .join(quartileMap("recency_days"), "recency_days")
+      .join(quartileMap("frequency"), "frequency")
+      .join(quartileMap("monetary_cents"), "monetary_cents")
+      .select(col("custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("recency_days_q"),
+        col("frequency_q"), col("monetary_cents_q"),
+        concat(col("recency_days_q"), col("frequency_q"),
+          col("monetary_cents_q")).as("rfm_cell"))
+  }
 }

@@ -192,7 +192,13 @@ object GraphOps {
     math.max(64L, p * slack)
   }
 
-  def commonNeighborJaccard(edges: DataFrame,
+  /** The wedge-apex relation [[commonNeighborJaccard]] self-joins:
+    * symmetric adjacency restricted to apex nodes with degree ≤
+    * `maxDegree`. Exposed so the scale harness can count the wedge
+    * volume (Σ_apex c·(c−1)/2 over this relation's `node` groups — the
+    * exact pre-aggregation join cardinality) on the production
+    * relation rather than a reimplementation. */
+  def commonNeighborWedgeRelation(edges: DataFrame,
       maxDegree: Long): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("u"),
@@ -202,8 +208,20 @@ object GraphOps {
     val adj = und.select(col("u").as("node"), col("v").as("nb"))
       .union(und.select(col("v").as("node"), col("u").as("nb")))
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val small = adj.join(deg, "node").where(col("deg") <= maxDegree)
+    adj.join(deg, "node").where(col("deg") <= maxDegree)
       .select(col("node"), col("nb"))
+  }
+
+  def commonNeighborJaccard(edges: DataFrame,
+      maxDegree: Long): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val adj = und.select(col("u").as("node"), col("v").as("nb"))
+      .union(und.select(col("v").as("node"), col("u").as("nb")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val small = commonNeighborWedgeRelation(edges, maxDegree)
     val wedges = small.as("a").join(small.as("b"),
         col("a.node") === col("b.node") && col("a.nb") < col("b.nb"))
       .select(col("a.nb").as("id_a"), col("b.nb").as("id_b"))
@@ -300,5 +318,91 @@ object GraphOps {
       if (checkpoint) pr = pr.localCheckpoint(true)
     }
     pr
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999, the JACM paper): on the
+    * DIRECTED edge relation, iterate
+    * `auth(v) = Σ_{u→v} hub(u)`, `hub(u) = Σ_{u→v} auth(v)`,
+    * L1-normalizing each vector after its update (the sum norm keeps
+    * the arithmetic a plain positive sum — no sqrt inside the
+    * fixpoint, so every intermediate is an order-independent
+    * DECIMAL(38,18) accumulation cast back to double, exactly the
+    * [[pageRank]] determinism recipe).
+    *
+    * Scale per iteration: two edge⋈score shuffles (on src, then dst)
+    * plus two scalar normalization aggregates broadcast back — O(E+V)
+    * rounds with a localCheckpoint superstep barrier, no driver state
+    * beyond the two scalar norms. */
+  def hits(edges: DataFrame, iters: Int,
+      checkpoint: Boolean = true): DataFrame = {
+    val dedup = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = dedup.select(col("src").as("node"))
+      .union(dedup.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    def l1normalize(scores: DataFrame, c: String): DataFrame = {
+      val norm = scores.agg(
+        sum(col(c).cast(DecimalType(38, 18))).cast("double").as("_n"))
+      scores.crossJoin(broadcast(norm))
+        .select(col("node"), (col(c) / col("_n")).as(c))
+    }
+    var hub = nodes.select(col("node"), lit(1.0).as("hub"))
+    var auth = nodes.select(col("node"), lit(1.0).as("auth"))
+    for (_ <- 1 to iters) {
+      val aRaw = dedup.join(hub, dedup("src") === hub("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("hub").cast(DecimalType(38, 18))).cast("double")
+          .as("s"))
+      auth = l1normalize(
+        nodes.join(aRaw, nodes("node") === aRaw("dst"), "left_outer")
+          .select(nodes("node"), coalesce(col("s"), lit(0.0)).as("auth")),
+        "auth")
+      if (checkpoint) auth = auth.localCheckpoint(true)
+      val hRaw = dedup.join(auth, dedup("dst") === auth("node"))
+        .groupBy(col("src"))
+        .agg(sum(col("auth").cast(DecimalType(38, 18))).cast("double")
+          .as("s"))
+      hub = l1normalize(
+        nodes.join(hRaw, nodes("node") === hRaw("src"), "left_outer")
+          .select(nodes("node"), coalesce(col("s"), lit(0.0)).as("hub")),
+        "hub")
+      if (checkpoint) hub = hub.localCheckpoint(true)
+    }
+    hub.join(auth, "node")
+      .select(col("node"), col("hub"), col("auth"))
+  }
+
+  /** Multi-source BFS hop distance (the frontier-relaxation form of
+    * parallel breadth-first search): distance 0 on the seed set, and
+    * each round relaxes `dist(v) = min(dist(v), 1 + min_{u∼v} dist(u))`
+    * over the UNDIRECTED adjacency. After `iters` rounds every node
+    * within `iters` hops of a seed carries its exact hop distance;
+    * unreached nodes are absent (the caller left-joins if it wants
+    * nulls). Integer-only arithmetic — bit-exact on any engine.
+    *
+    * Scale per round: one adjacency⋈frontier shuffle plus a min
+    * aggregation — O(E) per round, localCheckpoint superstep barrier,
+    * no driver state. (For high-diameter graphs swap in pointer
+    * doubling; web/social corpora sit at diameter ≲ 20.) */
+  def shortestHops(edges: DataFrame, seeds: DataFrame,
+      iters: Int, checkpoint: Boolean = true): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val adj = und.select(col("u").as("node"), col("v").as("nb"))
+      .union(und.select(col("v").as("node"), col("u").as("nb")))
+      .localCheckpoint(true)
+    var dist = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+    for (_ <- 1 to iters) {
+      val relaxed = adj.join(dist, adj("nb") === dist("node"))
+        .select(adj("node"), (col("dist") + lit(1L)).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      if (checkpoint) dist = dist.localCheckpoint(true)
+    }
+    dist
   }
 }

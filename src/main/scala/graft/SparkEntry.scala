@@ -2767,6 +2767,42 @@ object SparkEntry {
       AnalyticsOps.rfmSegments(t(s, dir, "orders"), "1998-12-01")
         .orderBy("custkey")),
 
+    // ---- KMV/theta distinct sketch per event type ----
+    "sketch_theta" -> ((s, dir) =>
+      Sketches.kmvDistinct(events(s, dir), "event_type", "user_id",
+        k = 64).orderBy("grp")),
+
+    // ---- theta-sketch set algebra: view ∪/∩ click audiences ----
+    "sketch_theta_setops" -> ((s, dir) =>
+      Sketches.kmvSetOps(events(s, dir), "event_type", "user_id",
+        "view", "click", k = 64)),
+
+    // ---- χ² independence: event type × day-of-week bucket ----
+    "analytics_chi_square" -> ((s, dir) => {
+      // dow bucket = epoch-days mod 7: pure integer arithmetic, no
+      // engine-specific weekday numbering to reconcile
+      val ev = events(s, dir).withColumn("dow_bucket",
+        pmod(unix_date(to_date(col("ts"))), lit(7)).cast("long"))
+      AnalyticsOps.chiSquare(ev, "event_type", "dow_bucket")
+        .orderBy("a", "b")
+    }),
+
+    // ---- modularity audit of the LPA communities ----
+    "graph_modularity" -> ((s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_custkey") > 3)
+      val edges = c.select(col("c_custkey").as("src"),
+          expr("c_custkey div 2").as("dst"))
+        .union(c.select(col("c_custkey").as("src"),
+          expr("c_custkey div 4").as("dst")))
+      GraphOps.modularity(edges,
+        GraphOps.labelPropagation(edges, iters = 4)).orderBy("label")
+    }),
+
+    // ---- per-cluster silhouette audit of the k-means clustering ----
+    "emb_silhouette" -> ((s, dir) =>
+      Similarity.silhouetteScores(t(s, dir, "embeddings"), k = 8,
+        iters = 2).orderBy("cell")),
+
     // ---- recursive CTE (Spark 4): BFS over the customer-key tree ----
     "sql_recursive_tree" -> ((s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("v_customer")
@@ -2785,6 +2821,35 @@ object SparkEntry {
   )
 
   // ---- DuckDB oracle snippet builders for the extension operators ----
+
+  /** The LPA replay CTE chain (customer-key graph, 4 synchronous
+    * rounds ending in `l4`, adjacency in `adj`, undirected edges in
+    * `und`) — shared by the graph_label_propagation oracle and the
+    * graph_modularity oracle that audits its communities. */
+  private def duckLpaCtes: String = {
+    val steps = (1 to 4).map { k =>
+      s"""n$k AS MATERIALIZED (SELECT adj.node, l.label
+         | FROM adj JOIN l${k - 1} l ON adj.nb = l.node),
+         |c$k AS (SELECT node, label, count(*) AS c
+         | FROM n$k GROUP BY 1, 2),
+         |l$k AS MATERIALIZED (SELECT node, label FROM (
+         | SELECT node, label, row_number() OVER (PARTITION BY node
+         |  ORDER BY c DESC, label ASC) AS rn FROM c$k) WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""k AS (SELECT c_custkey AS kk FROM customer
+       | WHERE c_custkey > 3),
+       |e0 AS (SELECT kk AS src, kk // 2 AS dst FROM k
+       | UNION ALL SELECT kk, kk // 4 FROM k),
+       |und AS (SELECT DISTINCT least(src, dst) AS u,
+       |  greatest(src, dst) AS v FROM e0
+       | WHERE least(src, dst) <> greatest(src, dst)),
+       |adj AS MATERIALIZED (SELECT u AS node, v AS nb FROM und
+       | UNION ALL SELECT v, u FROM und),
+       |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label
+       | FROM adj),
+       |$steps""".stripMargin
+  }
 
   /** Sequential left-fold dot product in double — replicates VecDot's
     * accumulation order bit-for-bit. */
@@ -3626,6 +3691,24 @@ object SparkEntry {
         |FROM s ORDER BY g, pos""".stripMargin,
 
     "emb_kmeans" -> duckKMeansSql(k = 8, iters = 2, dims = 64),
+
+    // silhouette: the k-means replay's final assignment (a2) and full
+    // distance relation (d2) give a and b per point directly
+    "emb_silhouette" ->
+      s"""WITH ${duckKMeansChain(8, 2, 64)},
+         |b AS (SELECT a.vec_id, a.cid, a.d AS a2, min(dd.d) AS b2
+         | FROM a2 a JOIN d2 dd ON dd.vec_id = a.vec_id
+         |  AND dd.cid <> a.cid
+         | GROUP BY a.vec_id, a.cid, a.d),
+         |s AS (SELECT cid, CASE WHEN greatest(a2, b2) > CAST(0 AS DOUBLE)
+         |  THEN (b2 - a2) / greatest(a2, b2) ELSE CAST(0 AS DOUBLE) END
+         |   AS s FROM b)
+         |SELECT CAST(cid AS INTEGER) AS cell,
+         | CAST(count(*) AS BIGINT) AS n_points,
+         | CAST(CAST(SUM(CAST(CAST(s AS VARCHAR) AS DECIMAL(22,6)))
+         |   AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |  AS mean_silhouette
+         |FROM s GROUP BY cid ORDER BY cell""".stripMargin,
 
     "ann_ivf_trained" -> duckIvfTrainedSql(nCells = 16, iters = 2,
       dims = 64, nProbe = 4, k = 5),
@@ -6351,31 +6434,32 @@ object SparkEntry {
     // most-frequent neighbor label, ties to the smallest label;
     // MATERIALIZED per round (DuckDB would otherwise inline the
     // recurrence exponentially — same trap as emb_pca)
-    "graph_label_propagation" -> {
-      val steps = (1 to 4).map { k =>
-        s"""n$k AS MATERIALIZED (SELECT adj.node, l.label
-           | FROM adj JOIN l${k - 1} l ON adj.nb = l.node),
-           |c$k AS (SELECT node, label, count(*) AS c
-           | FROM n$k GROUP BY 1, 2),
-           |l$k AS MATERIALIZED (SELECT node, label FROM (
-           | SELECT node, label, row_number() OVER (PARTITION BY node
-           |  ORDER BY c DESC, label ASC) AS rn FROM c$k) WHERE rn = 1)"""
-          .stripMargin
-      }.mkString(",\n")
-      s"""WITH k AS (SELECT c_custkey AS kk FROM customer
-         | WHERE c_custkey > 3),
-         |e0 AS (SELECT kk AS src, kk // 2 AS dst FROM k
-         | UNION ALL SELECT kk, kk // 4 FROM k),
-         |und AS (SELECT DISTINCT least(src, dst) AS u,
-         |  greatest(src, dst) AS v FROM e0
-         | WHERE least(src, dst) <> greatest(src, dst)),
-         |adj AS MATERIALIZED (SELECT u AS node, v AS nb FROM und
-         | UNION ALL SELECT v, u FROM und),
-         |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label
-         | FROM adj),
-         |$steps
-         |SELECT node, label FROM l4 ORDER BY node""".stripMargin
-    },
+    "graph_label_propagation" ->
+      s"""WITH $duckLpaCtes
+         |SELECT node, label FROM l4 ORDER BY node""".stripMargin,
+
+    // modularity: replay the LPA rounds, then Q's per-community
+    // contribution from exact integer edge/degree counts
+    "graph_modularity" ->
+      s"""WITH $duckLpaCtes,
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+         | FROM adj GROUP BY node),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+         |dc AS (SELECT l.label, CAST(SUM(d.deg) AS BIGINT) AS d_c
+         | FROM deg d JOIN l4 l ON d.node = l.node GROUP BY 1),
+         |intra AS (SELECT lu.label, CAST(count(*) AS BIGINT) AS e_c
+         | FROM und JOIN l4 lu ON und.u = lu.node
+         | JOIN l4 lv ON und.v = lv.node
+         | WHERE lu.label = lv.label GROUP BY 1)
+         |SELECT dc.label, COALESCE(intra.e_c, 0) AS e_c, dc.d_c,
+         | CAST(COALESCE(intra.e_c, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+         | - (CAST(dc.d_c AS DOUBLE)
+         |     / (CAST(2 AS DOUBLE) * CAST(m.m AS DOUBLE)))
+         |   * (CAST(dc.d_c AS DOUBLE)
+         |     / (CAST(2 AS DOUBLE) * CAST(m.m AS DOUBLE)))
+         |  AS contribution
+         |FROM dc LEFT JOIN intra ON dc.label = intra.label
+         |CROSS JOIN m ORDER BY dc.label""".stripMargin,
 
     "analytics_conversion_lag" ->
       """WITH v AS (SELECT user_id,
@@ -6900,6 +6984,99 @@ object SparkEntry {
         | recency_days_q, frequency_q, monetary_cents_q,
         | CAST(recency_days_q AS VARCHAR) || CAST(frequency_q AS VARCHAR)
         |   || CAST(monetary_cents_q AS VARCHAR) AS rfm_cell
-        |FROM q ORDER BY custkey""".stripMargin
+        |FROM q ORDER BY custkey""".stripMargin,
+
+    // KMV/theta sketch: the k smallest distinct 60-bit md5 hashes per
+    // group; DuckDB parses the identical '0x…' hex prefix the engine
+    // conv()s, so the kept sets are bit-identical
+    "sketch_theta" ->
+      """WITH h AS (SELECT event_type AS grp,
+        |  CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT) AS h
+        | FROM events WHERE user_id IS NOT NULL),
+        |d AS (SELECT DISTINCT grp, h FROM h),
+        |r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp
+        |  ORDER BY h) AS rn FROM d),
+        |sk AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_kept,
+        |  max(h) AS kth FROM r WHERE rn <= 64 GROUP BY grp),
+        |ex AS (SELECT grp, CAST(count(*) AS BIGINT) AS exact_distinct
+        | FROM d GROUP BY grp)
+        |SELECT sk.grp AS grp, n_kept,
+        | CASE WHEN n_kept >= 64 THEN kth
+        |  ELSE 1152921504606846976 END AS theta,
+        | CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+        |  ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |   / CAST(CASE WHEN n_kept >= 64 THEN kth
+        |      ELSE 1152921504606846976 END AS DOUBLE)
+        |  END AS est_distinct,
+        | exact_distinct
+        |FROM sk JOIN ex ON sk.grp = ex.grp ORDER BY grp""".stripMargin,
+
+    "sketch_theta_setops" ->
+      """WITH h AS (SELECT event_type AS arm,
+        |  CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT) AS h
+        | FROM events WHERE user_id IS NOT NULL
+        |  AND event_type IN ('view', 'click')),
+        |d AS (SELECT DISTINCT arm, h FROM h),
+        |r AS (SELECT arm, h, row_number() OVER (PARTITION BY arm
+        |  ORDER BY h) AS rn FROM d),
+        |ka AS (SELECT h FROM r WHERE arm = 'view' AND rn <= 64),
+        |kb AS (SELECT h FROM r WHERE arm = 'click' AND rn <= 64),
+        |sa AS (SELECT CAST(count(*) AS BIGINT) AS n_a, max(h) AS mx_a
+        | FROM ka),
+        |sb AS (SELECT CAST(count(*) AS BIGINT) AS n_b, max(h) AS mx_b
+        | FROM kb),
+        |uu AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+        | SELECT DISTINCT h FROM (SELECT h FROM ka
+        |  UNION ALL SELECT h FROM kb))),
+        |su AS (SELECT CAST(count(*) AS BIGINT) AS n_u, max(h) AS mx_u
+        | FROM uu WHERE rn <= 64),
+        |t AS (SELECT n_a,
+        | CASE WHEN n_a >= 64 THEN mx_a
+        |  ELSE 1152921504606846976 END AS theta_a,
+        | n_b,
+        | CASE WHEN n_b >= 64 THEN mx_b
+        |  ELSE 1152921504606846976 END AS theta_b,
+        | n_u,
+        | CASE WHEN n_u >= 64 THEN mx_u
+        |  ELSE 1152921504606846976 END AS theta_u
+        | FROM sa CROSS JOIN sb CROSS JOIN su),
+        |i AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+        | FROM ka JOIN kb USING (h) CROSS JOIN t
+        | WHERE h < least(t.theta_a, t.theta_b))
+        |SELECT n_a, theta_a, n_b, theta_b,
+        | CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE)
+        |  ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |   / CAST(theta_u AS DOUBLE) END AS est_union,
+        | n_common,
+        | least(theta_a, theta_b) AS theta_i,
+        | CAST(n_common AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |  / CAST(least(theta_a, theta_b) AS DOUBLE) AS est_inter
+        |FROM t CROSS JOIN i""".stripMargin,
+
+    // χ²: full grid including zero cells; e and the term are the only
+    // floating-point steps, mirrored token-for-token
+    "analytics_chi_square" ->
+      """WITH c AS (SELECT event_type AS a,
+        |  CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT)
+        |    AS b,
+        |  CAST(count(*) AS BIGINT) AS o FROM events GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS row_n
+        | FROM c GROUP BY 1),
+        |ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS col_n
+        | FROM c GROUP BY 1),
+        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c),
+        |g AS (SELECT rt.a, ct.b, rt.row_n, ct.col_n, n.n,
+        |  COALESCE(c.o, 0) AS o
+        | FROM rt CROSS JOIN ct CROSS JOIN n
+        | LEFT JOIN c ON rt.a = c.a AND ct.b = c.b),
+        |f AS (SELECT a, b, o, row_n, col_n,
+        | CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+        |  / CAST(n AS DOUBLE) AS e FROM g)
+        |SELECT a, b, o, row_n, col_n, e,
+        | (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+        |  AS chi2_term
+        |FROM f ORDER BY a, b""".stripMargin
   )
 }

@@ -1018,6 +1018,36 @@ object AnalyticsOps {
       tieTerm.as("tie_term"), z.as("z"))
   }
 
+  /** χ² test of independence between two categorical columns
+    * (Pearson's contingency analysis): the full grid of observed
+    * counts — INCLUDING structurally-zero cells, which still carry
+    * expected mass — against e = row·col/N, with the per-cell χ²
+    * contribution (o−e)²/e. All counts are exact integers; e and the
+    * term are the only floating-point steps, each a fixed IEEE
+    * expression both engines replay identically.
+    *
+    * Scale: three aggregations of the input plus a
+    * |rows-levels|×|col-levels| grid from broadcasting the (bounded-
+    * cardinality) column marginal — the contingency-table shape, never
+    * the corpus. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val counts = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = counts.groupBy(col("a")).agg(sum(col("o")).as("row_n"))
+    val colT = counts.groupBy(col("b")).agg(sum(col("o")).as("col_n"))
+    val tot = counts.agg(sum(col("o")).as("n"))
+    rowT.crossJoin(broadcast(colT.crossJoin(tot)))
+      .join(counts, Seq("a", "b"), "left_outer")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("e", col("row_n").cast("double") *
+        col("col_n").cast("double") / col("n").cast("double"))
+      .select(col("a"), col("b"), col("o"), col("row_n"), col("col_n"),
+        col("e"),
+        ((col("o").cast("double") - col("e")) *
+          (col("o").cast("double") - col("e")) / col("e"))
+          .as("chi2_term"))
+  }
+
   /** RFM segmentation (recency / frequency / monetary quartiles — the
     * classic CRM customer partition): per customer, days since last
     * order relative to `refDate`, order count, and lifetime cents;

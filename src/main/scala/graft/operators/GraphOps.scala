@@ -405,4 +405,48 @@ object GraphOps {
     }
     dist
   }
+
+  /** Newman–Girvan modularity of a node partition: per community c,
+    * the contribution e_c/m − (d_c/(2m))² where e_c = intra-community
+    * edges, d_c = Σ degrees of c's members, m = |undirected edges|;
+    * Q is the sum over communities. The quality score that makes a
+    * community detector (e.g. [[labelPropagation]]) auditable — a
+    * partition with Q ≈ 0 is no better than random.
+    *
+    * `labels` is any (node, label) relation. Every statistic is an
+    * exact integer count; the contribution is a fixed IEEE expression
+    * over (e_c, d_c, m). Unlabeled nodes' edges count toward m (the
+    * graph's, not the partition's) but belong to no community.
+    *
+    * Scale: degree and intra-edge counts are two label-keyed joins +
+    * aggregations of the edge relation; m broadcasts as one row. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    val m = und.agg(count(lit(1)).as("m"))
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val lab = labels.select(col("node"), col("label"))
+    val dc = deg.join(lab, "node")
+      .groupBy(col("label")).agg(sum(col("deg")).as("d_c"))
+    val intra = und
+      .join(lab.select(col("node").as("u"), col("label").as("lu")), "u")
+      .join(lab.select(col("node").as("v"), col("label").as("lv")), "v")
+      .where(col("lu") === col("lv"))
+      .groupBy(col("lu").as("label")).agg(count(lit(1)).as("e_c"))
+    dc.join(intra, Seq("label"), "left_outer")
+      .withColumn("e_c", coalesce(col("e_c"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("e_c"), col("d_c"),
+        (col("e_c").cast("double") / col("m").cast("double") -
+          (col("d_c").cast("double") /
+            (lit(2.0) * col("m").cast("double"))) *
+          (col("d_c").cast("double") /
+            (lit(2.0) * col("m").cast("double"))))
+          .as("contribution"))
+  }
 }

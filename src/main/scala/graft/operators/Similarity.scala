@@ -1041,4 +1041,48 @@ object Similarity {
       (vec_dot(col("embedding"), typedLit(m(j).toSeq)) / s)
         .as(f"p$j%02d"))): _*)
   }
+
+  /** Simplified (centroid-based) silhouette of the [[kMeans]]
+    * clustering, on SQUARED L2 distances: per point, a = squared
+    * distance to its own centroid, b = min squared distance to any
+    * other centroid, s = (b−a)/max(a,b) (0 when both are 0 — the
+    * point IS every nearest centroid). The per-cluster mean s is the
+    * standard clustering-quality audit; the squared-distance variant
+    * avoids sqrt of the tiny negatives IEEE cancellation can produce
+    * in vv − 2v·c + cc, and is order-equivalent for the a<b test.
+    *
+    * Scale: centroids are the k×d bounded driver collect the whole
+    * kMeans family shares; per-point distances to all k centroids are
+    * literal-expression arithmetic — zero shuffle — and the one
+    * aggregation is the per-cluster mean (decimal-accumulated at
+    * scale 6 so the sum is order-independent). */
+  def silhouetteScores(embeddings: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    val cents = kMeansCentroids(embeddings, k, iters)
+    val withVv = embeddings.withColumn("_vv",
+      vec_dot(col("embedding"), col("embedding")))
+    val dists = cents.zipWithIndex.map { case (c, cid) =>
+      val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+      struct((col("_vv") - lit(2.0) * vec_dot(col("embedding"),
+        typedLit(c)) + lit(cc)).as("d"), lit(cid).as("cid"))
+    }
+    val best = least(dists: _*)
+    val others = transform(
+      filter(array(dists: _*), x => x.getField("cid") =!=
+        best.getField("cid")),
+      x => x.getField("d"))
+    val scored = withVv.select(col("vec_id"),
+      best.getField("cid").as("cell"),
+      best.getField("d").as("a2"),
+      array_min(others).as("b2"))
+    val sil = when(greatest(col("a2"), col("b2")) > lit(0.0),
+        (col("b2") - col("a2")) / greatest(col("a2"), col("b2")))
+      .otherwise(lit(0.0))
+    scored.select(col("cell"), sil.as("s"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_points"),
+        (sum(col("s").cast(org.apache.spark.sql.types.DecimalType(22, 6)))
+          .cast("double") / count(lit(1)).cast("double"))
+          .as("mean_silhouette"))
+  }
 }

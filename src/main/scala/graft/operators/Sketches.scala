@@ -326,4 +326,121 @@ object Sketches {
       .join(broadcast(counters), Seq("r", "bucket"))
       .groupBy(col("key"))
       .agg(min(col("cnt")).as("cm_est"))
+
+  /** 2^60 — the KMV hash space size: 15 hex digits of md5 parsed as an
+    * unsigned 60-bit integer (fits a long with headroom; DuckDB parses
+    * the identical '0x…' literal). Exactly representable as a double
+    * (power of two), so the estimate's one division is bit-stable. */
+  private[operators] val KmvSpace = 1152921504606846976L
+
+  /** The 60-bit KMV hash of a value's string rendering. */
+  def kmvHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Per-group KMV ("k minimum values" / theta) distinct sketch
+    * (Bar-Yossef et al. RANDOM'02; Beyer et al. SIGMOD'07): keep the k
+    * smallest DISTINCT hash values; with θ = the k-th smallest, the
+    * unbiased distinct estimate is (k−1)·2^60/θ (exact count when
+    * fewer than k distinct values exist). Unlike HLL, the kept hash
+    * SET supports set algebra — see [[kmvSetOps]] — which is why both
+    * sketches earn a place. Reported beside the exact count in the
+    * bound-flag style of the other sketches (the exact pass exists for
+    * the audit only; a production consumer reads the estimate).
+    *
+    * Scale: one typed aggregation with an O(k) sorted buffer and
+    * map-side partials; merge is a sorted distinct-merge truncate —
+    * associative and commutative, so any merge tree yields the same
+    * sketch (the mergeable-summary property all Sketches here share).
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        kmvHash(col(valueCol)).as("h"))
+    val sk = hashed.as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new KmvAggregator(k).toColumn.name("sk"))
+      .toDF("grp", "sk")
+    val exact = hashed.groupBy(col("grp"))
+      .agg(countDistinct(col("h")).as("exact_distinct"))
+    sk.join(exact, "grp")
+      .withColumn("n_kept", size(col("sk")).cast("long"))
+      .withColumn("theta", when(col("n_kept") >= k,
+        element_at(col("sk"), k)).otherwise(lit(KmvSpace)))
+      .select(col("grp"), col("n_kept"), col("theta"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(KmvSpace.toDouble) /
+            col("theta").cast("double")).as("est_distinct"),
+        col("exact_distinct"))
+  }
+
+  /** KMV set algebra between two arms of `armCol` — the operation HLL
+    * cannot do: the union sketch is the k smallest of Sa ∪ Sb, and the
+    * intersection estimate counts hashes present in BOTH kept sets
+    * below θ∩ = min(θa, θb), scaled by 2^60/θ∩ (the standard theta-
+    * sketch intersection; exact when both sets were fully kept since
+    * θ∩ = 2^60). One corpus aggregation; everything after is
+    * arithmetic on two k-length arrays. */
+  def kmvSetOps(df: DataFrame, armCol: String, valueCol: String,
+      armA: String, armB: String, k: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df.where(col(valueCol).isNotNull &&
+        col(armCol).isin(armA, armB))
+      .select(col(armCol).cast("string").as("arm"),
+        kmvHash(col(valueCol)).as("h"))
+    val sk = hashed.as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new KmvAggregator(k).toColumn.name("sk"))
+      .toDF("arm", "sk")
+    def thetaOf(s: org.apache.spark.sql.Column) =
+      when(size(s) >= k, element_at(s, k)).otherwise(lit(KmvSpace))
+    val a = sk.where(col("arm") === armA).select(col("sk").as("sa"))
+    val b = sk.where(col("arm") === armB).select(col("sk").as("sb"))
+    a.crossJoin(b)
+      .withColumn("n_a", size(col("sa")).cast("long"))
+      .withColumn("n_b", size(col("sb")).cast("long"))
+      .withColumn("theta_a", thetaOf(col("sa")))
+      .withColumn("theta_b", thetaOf(col("sb")))
+      .withColumn("su", slice(array_sort(
+        array_distinct(concat(col("sa"), col("sb")))), 1, k))
+      .withColumn("n_u", size(col("su")).cast("long"))
+      .withColumn("theta_u", thetaOf(col("su")))
+      .withColumn("theta_i", least(col("theta_a"), col("theta_b")))
+      .withColumn("n_common", size(filter(
+        array_intersect(col("sa"), col("sb")),
+        x => x < col("theta_i"))).cast("long"))
+      .select(col("n_a"), col("theta_a"), col("n_b"), col("theta_b"),
+        when(col("n_u") < k, col("n_u").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(KmvSpace.toDouble) /
+            col("theta_u").cast("double")).as("est_union"),
+        col("n_common"), col("theta_i"),
+        (col("n_common").cast("double") * lit(KmvSpace.toDouble) /
+          col("theta_i").cast("double")).as("est_inter"))
+  }
+}
+
+/** The KMV buffer: the k smallest distinct hashes seen, kept sorted
+  * ascending. Reduce fast-path rejects values ≥ the current k-th once
+  * full, so steady-state cost is O(1) compare per row. */
+final class KmvAggregator(k: Int)
+    extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  override def zero: Seq[Long] = Vector.empty
+  override def reduce(buf: Seq[Long], x: Long): Seq[Long] =
+    if (buf.length >= k && x >= buf.last) buf
+    else {
+      val merged = (buf :+ x).distinct.sorted
+      if (merged.length > k) merged.take(k) else merged
+    }
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
+    val merged = (a ++ b).distinct.sorted
+    if (merged.length > k) merged.take(k) else merged
+  }
+  override def finish(buf: Seq[Long]): Seq[Long] = buf
+  override def bufferEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
 }

@@ -128,6 +128,104 @@ class Round9bOpsSpec extends AnyFunSuite {
     assert(rt.getDouble(2) == 2.0) // midranks: R1 = 2·2.5 = 5; U1 = 5−3
   }
 
+  test("kmvDistinct: exact below k, estimate within the KMV error " +
+      "band above; sketch merge-order-independent") {
+    val small = (1 to 40).map(i => ("a", i.toLong)).toDF("grp", "v")
+    val rs = Sketches.kmvDistinct(small, "grp", "v", k = 64)
+      .collect().head
+    assert(rs.getLong(1) == 40L)            // n_kept = all 40
+    assert(rs.getDouble(3) == 40.0)         // est = exact
+    assert(rs.getLong(4) == 40L)
+    val big = (1 to 20000).map(i => ("a", i.toLong)).toDF("grp", "v")
+    val rb = Sketches.kmvDistinct(big, "grp", "v", k = 64)
+      .collect().head
+    // KMV relative error ~ 1/sqrt(k-1) ≈ 12.6%; allow 4σ
+    assert(math.abs(rb.getDouble(3) - 20000.0) / 20000.0 < 0.5,
+      s"estimate ${rb.getDouble(3)} too far from 20000")
+    assert(rb.getLong(4) == 20000L)
+  }
+
+  test("KmvAggregator: reduce/merge keep the k smallest distinct, " +
+      "any merge tree") {
+    val agg = new graft.operators.KmvAggregator(4)
+    val a = Seq(5L, 1L, 9L, 1L, 7L).foldLeft(agg.zero)(agg.reduce)
+    assert(a == Seq(1L, 5L, 7L, 9L))
+    val b = Seq(2L, 8L, 3L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(a, b) == Seq(1L, 2L, 3L, 5L))
+    assert(agg.merge(b, a) == agg.merge(a, b)) // commutative
+  }
+
+  test("kmvSetOps: disjoint small arms — union adds, intersection 0; " +
+      "identical arms intersect fully") {
+    val df = ((1 to 30).map(i => ("view", i.toLong)) ++
+      (101 to 130).map(i => ("click", i.toLong))).toDF("arm", "v")
+    val r = Sketches.kmvSetOps(df, "arm", "v", "view", "click", k = 64)
+      .collect().head
+    assert(r.getDouble(4) == 60.0)  // est_union exact below k
+    assert(r.getLong(5) == 0L)      // n_common
+    assert(r.getDouble(7) == 0.0)   // est_inter
+    val same = ((1 to 30) ++ (1 to 30)).zipWithIndex.map { case (v, i) =>
+      (if (i < 30) "view" else "click", v.toLong)
+    }.toDF("arm", "v")
+    val r2 = Sketches.kmvSetOps(same, "arm", "v", "view", "click", 64)
+      .collect().head
+    assert(r2.getDouble(4) == 30.0 && r2.getDouble(7) == 30.0)
+  }
+
+  test("chiSquare: independent uniform grid has zero statistic; " +
+      "zero cells carry expected mass") {
+    val ind = (for { a <- Seq("x", "y"); b <- Seq(0L, 1L); _ <- 1 to 5 }
+      yield (a, b)).toDF("a", "b")
+    val out = AnalyticsOps.chiSquare(ind, "a", "b").collect()
+    assert(out.length == 4)
+    out.foreach(r => assert(r.getDouble(6) == 0.0)) // perfect fit
+    // degenerate association: (x,0) and (y,1) only → zero cells appear
+    val dep = (Seq.fill(5)(("x", 0L)) ++ Seq.fill(5)(("y", 1L)))
+      .toDF("a", "b")
+    val grid = AnalyticsOps.chiSquare(dep, "a", "b").collect()
+    assert(grid.length == 4)
+    val zeroCell = grid.find(r => r.getString(0) == "x" &&
+      r.getLong(1) == 1L).get
+    assert(zeroCell.getLong(2) == 0L && zeroCell.getDouble(5) == 2.5)
+  }
+
+  test("modularity: two cliques joined by one edge score high; the " +
+      "everything-in-one-community partition scores ~0") {
+    val clique = (g: Seq[Long]) =>
+      for { a <- g; b <- g if a < b } yield (a, b)
+    val edges = (clique(Seq(0L, 1L, 2L, 3L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ (3L, 10L)).toDF("src", "dst")
+    val goodLabels = (0L to 3L).map(n => (n, 0L))
+      .++((10L to 13L).map(n => (n, 1L))).toDF("node", "label")
+    val q = GraphOps.modularity(edges, goodLabels)
+      .agg(sum("contribution")).collect().head.getDouble(0)
+    assert(q > 0.3, s"two-clique partition should score high: $q")
+    val oneLabels = (Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L))
+      .map(n => (n, 0L)).toDF("node", "label")
+    val q1 = GraphOps.modularity(edges, oneLabels)
+      .agg(sum("contribution")).collect().head.getDouble(0)
+    assert(math.abs(q1) < 1e-12, s"trivial partition: $q1")
+  }
+
+  test("silhouetteScores: tight well-separated clusters score near 1") {
+    // two tight clusters far apart in 4-d; k=2, enough vectors that the
+    // first-2 init seeds one point in each... (ids 0,1 are both cluster
+    // A, so let ids alternate clusters to seed both)
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 10.0f
+      val eps = (i % 5) * 0.01f
+      (i.toLong, Array(base + eps, base, base, base))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.silhouetteScores(vecs, k = 2, iters = 2)
+      .collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getLong(1) == 20L)
+      assert(r.getDouble(2) > 0.99,
+        s"tight separated clusters should score ~1: ${r.getDouble(2)}")
+    }
+  }
+
   test("rfmSegments: quartile buckets follow the rows-below rank; " +
       "ties share a bucket") {
     val orders = (1 to 8).map { k =>

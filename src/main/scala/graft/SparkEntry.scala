@@ -2798,6 +2798,15 @@ object SparkEntry {
         GraphOps.labelPropagation(edges, iters = 4)).orderBy("label")
     }),
 
+    // ---- one-way ANOVA F across event types ----
+    "analytics_anova" -> ((s, dir) =>
+      AnalyticsOps.anovaF(events(s, dir), "event_type", "value")),
+
+    // ---- two-sample Kolmogorov–Smirnov, view vs click values ----
+    "analytics_ks_test" -> ((s, dir) =>
+      AnalyticsOps.ksTest(events(s, dir), "event_type", "view", "click",
+        "value")),
+
     // ---- per-cluster silhouette audit of the k-means clustering ----
     "emb_silhouette" -> ((s, dir) =>
       Similarity.silhouetteScores(t(s, dir, "embeddings"), k = 8,
@@ -7054,6 +7063,58 @@ object SparkEntry {
         | CAST(n_common AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
         |  / CAST(least(theta_a, theta_b) AS DOUBLE) AS est_inter
         |FROM t CROSS JOIN i""".stripMargin,
+
+    // one-way ANOVA: per-group exact moments in HUGEINT; the only
+    // floating-point steps are S_g²/n_g per group (decimal-accumulated
+    // at scale 6) and the final F assembly, mirrored token-for-token
+    "analytics_anova" ->
+      """WITH v AS (SELECT event_type AS grp,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cv
+        | FROM events WHERE value IS NOT NULL
+        |  AND event_type IS NOT NULL),
+        |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS ng,
+        |  SUM(CAST(cv AS HUGEINT)) AS sg,
+        |  SUM(CAST(cv AS HUGEINT) * CAST(cv AS HUGEINT)) AS qg
+        | FROM v GROUP BY grp),
+        |r AS (SELECT ng, sg, qg,
+        |  CAST(CAST(sg AS VARCHAR) AS DOUBLE)
+        |   * CAST(CAST(sg AS VARCHAR) AS DOUBLE) / CAST(ng AS DOUBLE)
+        |   AS r FROM g),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(SUM(ng) AS BIGINT) AS n, SUM(sg) AS stot,
+        |  SUM(qg) AS qtot,
+        |  CAST(CAST(SUM(CAST(CAST(r AS VARCHAR) AS DECIMAL(38,6)))
+        |    AS VARCHAR) AS DOUBLE) AS rtot FROM r)
+        |SELECT k AS n_groups, n AS n_total,
+        | ((rtot - CAST(CAST(stot AS VARCHAR) AS DOUBLE)
+        |    * CAST(CAST(stot AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+        |   / CAST(k - 1 AS DOUBLE))
+        | / ((CAST(CAST(qtot AS VARCHAR) AS DOUBLE) - rtot)
+        |   / CAST(n - k AS DOUBLE)) AS f_stat
+        |FROM s""".stripMargin,
+
+    // KS two-sample: the ECDF supremum cleared to exact integers —
+    // max |cum1·n2 − cum2·n1| — one final division
+    "analytics_ks_test" ->
+      """WITH v AS (SELECT event_type AS arm,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cv
+        | FROM events WHERE event_type IN ('view', 'click')
+        |  AND value IS NOT NULL),
+        |g AS (SELECT cv,
+        |  CAST(count(*) FILTER (arm = 'view') AS BIGINT) AS c1,
+        |  CAST(count(*) FILTER (arm = 'click') AS BIGINT) AS c2
+        | FROM v GROUP BY cv),
+        |w AS (SELECT CAST(SUM(c1) OVER (ORDER BY cv) AS BIGINT) AS cum1,
+        |  CAST(SUM(c2) OVER (ORDER BY cv) AS BIGINT) AS cum2 FROM g),
+        |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |  CAST(SUM(c2) AS BIGINT) AS n2 FROM g),
+        |d AS (SELECT max(abs(CAST(cum1 AS HUGEINT) * t.n2
+        |  - CAST(cum2 AS HUGEINT) * t.n1)) AS d_num
+        | FROM w CROSS JOIN t)
+        |SELECT t.n1, t.n2, CAST(d.d_num AS BIGINT) AS d_num,
+        | CAST(CAST(d.d_num AS VARCHAR) AS DOUBLE)
+        |  / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)) AS d_stat
+        |FROM t CROSS JOIN d""".stripMargin,
 
     // χ²: full grid including zero cells; e and the term are the only
     // floating-point steps, mirrored token-for-token

@@ -1048,6 +1048,95 @@ object AnalyticsOps {
           .as("chi2_term"))
   }
 
+  /** One-way ANOVA F statistic across the groups of `groupCol` on the
+    * cent-quantized `valueCol` (quantization keeps every moment an
+    * exact integer; the classic omnibus companion to the pairwise
+    * Welch test). From per-group (n, Σx, Σx²) in DECIMAL(38,0):
+    * SSB = Σ_g S_g²/n_g − S²/N and SSW = Q − Σ_g S_g²/n_g, each
+    * cleared of denominators by multiplying through — the engine and
+    * oracle replay one fixed IEEE expression over five exact sums.
+    * Output: one row (n_groups, n_total, f_stat).
+    *
+    * Scale: ONE map-side-combined aggregation to |groups| rows, then
+    * one tiny aggregation over those — the sufficient-statistics
+    * regression shape. */
+  def anovaF(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cents = (col(valueCol).cast(DecimalType(18, 2)) * lit(100))
+      .cast("long")
+    val g = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), cents.as("cv"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("ng"),
+        sum(col("cv")).cast(dec).as("sg"),
+        sum(col("cv").cast(DecimalType(19, 0)) *
+          col("cv").cast(DecimalType(19, 0))).cast(dec).as("qg"))
+    // per-group S_g²/n_g is rational: keep (S_g², n_g) and clear the
+    // denominators over the common multiple N·Πn? — impractical.
+    // Instead: S_g²/n_g in DOUBLE per group is an order-independent
+    // single division (the sum of those doubles is then decimal-
+    // accumulated at scale 6 so addition order cancels too).
+    val withR = g.select(col("grp"), col("ng"), col("sg"), col("qg"),
+      (col("sg").cast("double") * col("sg").cast("double") /
+        col("ng").cast("double")).as("r"))
+    val s = withR.agg(
+      count(lit(1)).as("k"),
+      sum(col("ng")).as("n"),
+      sum(col("sg")).as("stot"),
+      sum(col("qg")).as("qtot"),
+      sum(col("r").cast(DecimalType(38, 6))).cast("double").as("rtot"))
+    s.select(col("k").as("n_groups"), col("n").as("n_total"),
+      (((col("rtot") - col("stot").cast("double") *
+          col("stot").cast("double") / col("n").cast("double")) /
+        (col("k") - lit(1)).cast("double")) /
+        ((col("qtot").cast("double") - col("rtot")) /
+          (col("n") - col("k")).cast("double"))).as("f_stat"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between two arms on the
+    * cent-quantized `valueCol`: D = max over distinct values of
+    * |F₁(v) − F₂(v)|. The supremum clears to exact integers —
+    * max |cum₁·n₂ − cum₂·n₁| — so the ONLY floating-point step is the
+    * final division by n₁·n₂; ties, ordering, and accumulation are all
+    * integer-exact (the Gini/Mann-Whitney construction applied to the
+    * ECDF distance).
+    *
+    * Scale: values collapse to (distinct cents, per-arm counts); two
+    * bucketed prefix sums give both ECDFs without a single-partition
+    * window; one max aggregation ends it. */
+  def ksTest(df: DataFrame, armCol: String, armA: String, armB: String,
+      valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cents = (col(valueCol).cast(DecimalType(18, 2)) * lit(100))
+      .cast("long")
+    val g = df.where(col(armCol).isin(armA, armB) &&
+        col(valueCol).isNotNull)
+      .select(col(armCol).as("arm"), cents.as("cv"))
+      .groupBy(col("cv"))
+      .agg(count(when(col("arm") === armA, 1)).as("c1"),
+        count(when(col("arm") === armB, 1)).as("c2"))
+    val cum1 = RelationalOps.distributedPrefixSum(g, "cv", "c1")
+      .withColumnRenamed("cum", "cum1")
+    val cum = RelationalOps.distributedPrefixSum(cum1, "cv", "c2")
+      .withColumnRenamed("cum", "cum2")
+    // arm totals broadcast back so the cleared ECDF distance is one
+    // integer expression per distinct value (d_num ≤ n1·n2 — longs
+    // hold to ~3·10⁹ rows per arm; the DECIMAL(38,0) intermediate is
+    // exact far beyond that)
+    val totals = g.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("n1"), col("n2"),
+        abs(col("cum1").cast(dec) * col("n2").cast(dec) -
+          col("cum2").cast(dec) * col("n1").cast(dec)).as("dnum"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("dnum")).as("d_num"))
+      .select(col("n1"), col("n2"), col("d_num").cast("long").as("d_num"),
+        (col("d_num").cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double")))
+          .as("d_stat"))
+  }
+
   /** RFM segmentation (recency / frequency / monetary quartiles — the
     * classic CRM customer partition): per customer, days since last
     * order relative to `refDate`, order count, and lifetime cents;

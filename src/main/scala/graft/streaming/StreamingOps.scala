@@ -394,6 +394,71 @@ object StreamingOps {
       .foreachBatch(maintainCountMinState(statePath, keyCol, d, w) _)
       .start()
 
+  /** Exactly-once KMV/theta upkeep, same batch-id fencing as the other
+    * sketches: the state table is the sketch's long form — one row per
+    * kept hash (g, h) plus the fence. Per batch the new hashes union
+    * with the prior kept set and ONE distributed typed aggregation
+    * re-truncates to the k smallest per group (KMV merge ≡ reduce over
+    * the union — associativity is what makes the incremental state
+    * exactly equal to a from-scratch [[graft.operators.Sketches.kmvDistinct]]
+    * over the full history, which the spec asserts bit-for-bit).
+    * Replays of an applied batch are no-ops. State is O(k·|groups|)
+    * regardless of stream age. */
+  def maintainKmvState(statePath: String, groupCol: String,
+      valueCol: String, k: Int = 64)(batch: DataFrame,
+      batchId: Long): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val state = s.read.parquet(statePath) // (g, h, _batch_id)
+    val lastApplied = state
+      .agg(coalesce(max(col("_batch_id")), lit(Long.MinValue)))
+      .head.getLong(0)
+    if (lastApplied < batchId) {
+      val batchHashes = batch.where(col(valueCol).isNotNull)
+        .select(col(groupCol).cast("string").as("g"),
+          graft.operators.Sketches.kmvHash(col(valueCol)).as("h"))
+      val next = state.select(col("g"), col("h")).union(batchHashes)
+        .as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+        .agg(new graft.operators.KmvAggregator(k).toColumn.name("sk"))
+        .toDF("g", "sk")
+        .select(col("g"), explode(col("sk")).as("h"))
+        .withColumn("_batch_id", lit(batchId))
+      graft.operators.MergeOps.replaceTable(s, next, statePath)
+    }
+  }
+
+  /** Per-group KMV distinct estimates from a maintained state table —
+    * the read side of [[maintainKmvState]]; the estimate arithmetic is
+    * [[graft.operators.Sketches.kmvDistinct]]'s exactly. */
+  def kmvStateEstimates(spark: SparkSession, statePath: String,
+      k: Int = 64): DataFrame = {
+    val space = 1152921504606846976L // 2^60, the kmvHash space
+    spark.read.parquet(statePath)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("mx"))
+      .select(col("g"), col("n_kept"),
+        when(col("n_kept") >= k, col("mx")).otherwise(lit(space))
+          .as("theta"))
+      .select(col("g"), col("n_kept"), col("theta"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(space.toDouble) /
+            col("theta").cast("double")).as("est_distinct"))
+  }
+
+  /** Streaming KMV upkeep: a file stream of raw rows keeps the
+    * per-group theta-sketch state table current; distinct estimates
+    * (and theta set algebra) read the tiny state table, never the
+    * stream history. */
+  def streamingKmv(spark: SparkSession, sourceDir: String,
+      schema: StructType, groupCol: String, valueCol: String,
+      statePath: String, checkpointDir: String,
+      k: Int = 64): StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(maintainKmvState(statePath, groupCol, valueCol, k) _)
+      .start()
+
   /** Streaming distinct-count upkeep: a file stream of raw rows keeps
     * the per-group HLL state table current via [[maintainHllState]]. */
   def streamingHll(spark: SparkSession, sourceDir: String,

@@ -226,6 +226,36 @@ class Round9bOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("anovaF: identical group means give F ≈ 0; separated means " +
+      "give a large F") {
+    val same = (Seq.fill(10)("a") ++ Seq.fill(10)("b")).zipWithIndex
+      .map { case (g, i) => (g, (i % 10).toDouble) }
+      .toDF("grp", "v")
+    val f0 = AnalyticsOps.anovaF(same, "grp", "v").collect().head
+    assert(f0.getLong(0) == 2L && f0.getLong(1) == 20L)
+    assert(math.abs(f0.getDouble(2)) < 1e-9)
+    val sep = (Seq.fill(10)(("a", 1.0)) ++ Seq.fill(10)(("b", 100.0)) ++
+      Seq(("a", 2.0), ("b", 99.0))).toDF("grp", "v")
+    val f1 = AnalyticsOps.anovaF(sep, "grp", "v").collect().head
+    assert(f1.getDouble(2) > 1000.0, s"separated means: ${f1.getDouble(2)}")
+  }
+
+  test("ksTest: identical samples give D = 0, disjoint supports D = 1") {
+    val same = ((1 to 20).map(i => ("view", i.toDouble)) ++
+      (1 to 20).map(i => ("click", i.toDouble)))
+      .toDF("event_type", "value")
+    val d0 = AnalyticsOps.ksTest(same, "event_type", "view", "click",
+      "value").collect().head
+    assert(d0.getLong(0) == 20L && d0.getLong(1) == 20L)
+    assert(d0.getDouble(3) == 0.0)
+    val disj = ((1 to 10).map(i => ("view", i.toDouble)) ++
+      (100 to 109).map(i => ("click", i.toDouble)))
+      .toDF("event_type", "value")
+    val d1 = AnalyticsOps.ksTest(disj, "event_type", "view", "click",
+      "value").collect().head
+    assert(d1.getDouble(3) == 1.0) // view fully below click
+  }
+
   test("rfmSegments: quartile buckets follow the rows-below rank; " +
       "ties share a bucket") {
     val orders = (1 to 8).map { k =>

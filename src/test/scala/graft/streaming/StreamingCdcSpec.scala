@@ -247,4 +247,54 @@ class StreamingCdcSpec extends AnyFunSuite {
       .as[(String, Long, Double)].collect().toSet
     assert(out === Set(("b", 1L, 5.0)))
   }
+
+  test("streaming KMV: maintained state EXACTLY equals the batch " +
+      "sketch of the whole stream (associative merge); replay fenced") {
+    import graft.operators.Sketches
+    val base = Files.createTempDirectory("graft-kmv").toString
+    val (srcDir, statePath, ckpt) =
+      (s"$base/rows", s"$base/state", s"$base/ckpt")
+    val k = 16
+
+    // overlapping ids across batches (union counts each once), a
+    // below-k group (exact path), and a null id (ignored, not a crash)
+    val b0 = ((1 to 400).map(i => ("a", Option(i.toLong))) ++
+      (1 to 5).map(i => ("b", Option(i.toLong)))).toDF("g", "u")
+    val b1 = ((201 to 600).map(i => ("a", Option(i.toLong))) ++
+      (4 to 8).map(i => ("b", Option(i.toLong))) ++
+      Seq(("b", None: Option[Long]))).toDF("g", "u")
+
+    def batchSketch(df: DataFrame): Set[(String, Long, Long, Double)] =
+      Sketches.kmvDistinct(df, "g", "u", k)
+        .select(col("grp"), col("n_kept"), col("theta"),
+          col("est_distinct"))
+        .as[(String, Long, Long, Double)].collect().toSet
+
+    // seed: empty long-form state stamped pre-stream
+    Seq.empty[(String, Long)].toDF("g", "h")
+      .withColumn("_batch_id", lit(-1L)).write.parquet(statePath)
+
+    b0.write.parquet(srcDir)
+    val q = StreamingOps.streamingKmv(spark, srcDir, b0.schema,
+      groupCol = "g", valueCol = "u", statePath, ckpt, k)
+    try {
+      q.processAllAvailable()
+      b1.write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val got = StreamingOps.kmvStateEstimates(spark, statePath, k)
+        .as[(String, Long, Long, Double)].collect().toSet
+      assert(got === batchSketch(b0.unionByName(b1)),
+        "incremental KMV state must be BIT-IDENTICAL to the batch " +
+          "sketch of all rows — the sketch merge is associative")
+      // the below-k group is exact: 8 distinct ids in 'b'
+      assert(got.exists { case (g, n, _, est) =>
+        g == "b" && n == 8L && est == 8.0 })
+    } finally q.stop()
+
+    // replayed micro-batch is a no-op under the batch-id fence
+    StreamingOps.maintainKmvState(statePath, "g", "u", k)(b0, 0L)
+    val after = StreamingOps.kmvStateEstimates(spark, statePath, k)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(after === batchSketch(b0.unionByName(b1)))
+  }
 }

@@ -80,6 +80,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"gram pass may shuffle only the partial buffers once:\n$plan")
   }
 
+  test("silhouette: centroid distances are literal arithmetic — no " +
+      "join anywhere (the kmAssign pattern)") {
+    val plan = planOf(q("emb_silhouette"))
+    assert(!plan.contains("Join"),
+      s"silhouette must not join — centroids ship as literals:\n$plan")
+  }
+
+  test("theta sketch: bounded typed aggregation only — no window " +
+      "sort, no cartesian blowup") {
+    val plan = planOf(q("sketch_theta"))
+    assert(!plan.contains("Window"),
+      s"the KMV pass must not rank the corpus:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no unbounded product in the sketch pass:\n$plan")
+    val plan2 = planOf(q("sketch_theta_setops"))
+    assert(!plan2.contains("Window") && !plan2.contains("CartesianProduct"),
+      s"set algebra runs on two k-length arrays:\n$plan2")
+  }
+
+  test("chi-square grid: marginals broadcast, no shuffle join") {
+    val plan = planOf(q("analytics_chi_square"))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"the bounded marginals must broadcast into the grid:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"contingency-table relations must never shuffle-join:\n$plan")
+  }
+
   test("grouped entropy stays inside whole-stage codegen") {
     // "*(n) " prefixes are the executed plan's codegen stage markers
     val plan = planOf(q("text_entropy"))

@@ -1948,6 +1948,27 @@ object SparkEntry {
         .orderBy("p_partkey")
     }),
 
+    "x_jaro_winkler" -> ((s, dir) => {
+      // native Jaro–Winkler vs the same transposed/reversed probes as
+      // the DL query — the record-linkage similarity Spark lacks; the
+      // adjacent-swap inputs score high JW (prefix boost + windowed
+      // match) where byte-equality or Levenshtein would reject
+      val p = t(s, dir, "part").where(col("p_partkey") <= 500)
+        .select(col("p_partkey"), col("p_name"),
+          concat(substring(col("p_name"), 2, 1),
+            substring(col("p_name"), 1, 1),
+            expr("substr(p_name, 3)")).as("swapped"))
+      p.select(col("p_partkey"),
+          graft.functions.EditDistanceFunctions
+            .jaro_winkler(col("p_name"), col("swapped")).as("jw_swap"),
+          graft.functions.EditDistanceFunctions
+            .jaro_winkler(col("p_name"), reverse(col("p_name")))
+            .as("jw_rev"),
+          graft.functions.EditDistanceFunctions
+            .jaro_winkler(col("p_name"), col("p_name")).as("jw_self"))
+        .orderBy("p_partkey")
+    }),
+
     "analytics_bivariate_stats" -> ((s, dir) =>
       // deterministic Pearson/OLS (decimal power sums; Spark's corr()
       // is order-dependent float recursion — unusable for hash parity)
@@ -4783,6 +4804,20 @@ object SparkEntry {
         | CAST(levenshtein(p_name, swapped) AS INTEGER) AS lev,
         | CAST(damerau_levenshtein(p_name, reverse(p_name)) AS INTEGER)
         |  AS dl_rev
+        |FROM p ORDER BY p_partkey""".stripMargin,
+
+    // semantics pinned per-UTF-8-byte with floor-halved transpositions
+    // and the 0.7 boost threshold — see JaroWinkler's scaladoc; IEEE
+    // double arithmetic in the same term order makes this hash-exact
+    "x_jaro_winkler" ->
+      """WITH p AS (SELECT p_partkey, p_name,
+        | substr(p_name, 2, 1) || substr(p_name, 1, 1) || substr(p_name, 3)
+        |  AS swapped
+        | FROM part WHERE p_partkey <= 500)
+        |SELECT p_partkey,
+        | jaro_winkler_similarity(p_name, swapped) AS jw_swap,
+        | jaro_winkler_similarity(p_name, reverse(p_name)) AS jw_rev,
+        | jaro_winkler_similarity(p_name, p_name) AS jw_self
         |FROM p ORDER BY p_partkey""".stripMargin,
 
     // the VARCHAR hop on the wide-decimal sums matters: DuckDB's

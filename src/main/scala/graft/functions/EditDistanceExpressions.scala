@@ -149,10 +149,122 @@ object NfcNormalize {
   }
 }
 
+/** Jaro–Winkler similarity (Winkler 1990, public), the string-distance
+  * the record-linkage literature standardized on for person/company
+  * names: Jaro's windowed character matching with floor-halved
+  * transpositions, boosted by up to 4 chars of common prefix when the
+  * base similarity clears 0.7. Spark ships no Jaro family; blocking +
+  * survivorship pipelines (our ER operators) need it as a codegen'd
+  * primitive, not a UDF.
+  *
+  * Semantics are pinned to DuckDB's `jaro_winkler_similarity` so the
+  * oracle hash-matches bit for bit (verified empirically against
+  * DuckDB 1.x on matched/transposed/prefix/unicode probes):
+  *  - operates on UTF-8 BYTES (multi-byte code points count per byte);
+  *  - match window = max(|a|,|b|)/2 - 1 (integer division, floor 0);
+  *  - transpositions t = (order mismatches among matched chars)/2,
+  *    INTEGER division — the .5 remainder is dropped;
+  *  - jaro = (m/|a| + m/|b| + (m-t)/m) / 3 in IEEE double, term order
+  *    exactly as written;
+  *  - winkler boost `j + 0.1·l·(1-j)` (l = common prefix ≤ 4 bytes)
+  *    applied only when j > 0.7; both-empty or no-match → 0.0.
+  */
+object JaroWinkler {
+  /** Matching is O(|a|·window) ≈ O(n²/2): a name/key primitive, not a
+    * document metric — fail fast instead of burning a core on a 1 MiB
+    * string (same stance as [[DamerauLevenshtein.MaxInputBytes]]). */
+  val MaxInputBytes = 8192
+
+  def similarity(a: UTF8String, b: UTF8String): Double = {
+    val sa = a.getBytes
+    val sb = b.getBytes
+    val la = sa.length
+    val lb = sb.length
+    require(la <= MaxInputBytes && lb <= MaxInputBytes,
+      s"jaro_winkler inputs capped at $MaxInputBytes bytes (got $la, " +
+        s"$lb): windowed matching is O(|a|*|b|/2); pre-truncate keys")
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val aMatch = new Array[Boolean](la)
+    val bMatch = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var done = false
+      while (j <= hi && !done) {
+        if (!bMatch(j) && sa(i) == sb(j)) {
+          aMatch(i) = true; bMatch(j) = true; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // order mismatches among the matched subsequences, halved (floor)
+    var mismatches = 0
+    var bi = 0
+    i = 0
+    while (i < la) {
+      if (aMatch(i)) {
+        while (!bMatch(bi)) bi += 1
+        if (sa(i) != sb(bi)) mismatches += 1
+        bi += 1
+      }
+      i += 1
+    }
+    val t = mismatches / 2
+    val md = m.toDouble
+    val jaro = (md / la + md / lb + (md - t) / md) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxL = math.min(4, math.min(la, lb))
+    while (l < maxL && sa(l) == sb(l)) l += 1
+    jaro + 0.1 * l * (1.0 - jaro)
+  }
+}
+
+/** `jaro_winkler(a, b)` as a native expression: whole-stage codegen
+  * emits one static call per row. Null if either side is null. */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"jaro_winkler expects (string, string), got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.similarity(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaroWinkler$$.MODULE$$.similarity($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object EditDistanceFunctions {
   def damerau_levenshtein(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       DamerauLevenshteinExpr(GraftSqlBridge.expression(a),
+        GraftSqlBridge.expression(b)))
+
+  def jaro_winkler(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      JaroWinklerExpr(GraftSqlBridge.expression(a),
         GraftSqlBridge.expression(b)))
 
   def nfc_normalize(s: Column): Column =

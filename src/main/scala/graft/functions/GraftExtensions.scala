@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.hexBitSignsDescriptor)
     e.injectFunction(GraftFunctions.wordShinglesDescriptor)
     e.injectFunction(GraftFunctions.damerauLevenshteinDescriptor)
+    e.injectFunction(GraftFunctions.jaroWinklerDescriptor)
     e.injectFunction(GraftFunctions.nfcNormalizeDescriptor)
     // transparent HOF → native-expression acceleration
     e.injectOptimizerRule(_ => graft.plans.CountInSetRewrite)
@@ -117,6 +118,12 @@ object GraftFunctions {
       "damerau_levenshtein"),
     (exprs: Seq[Expression]) => DamerauLevenshteinExpr(exprs(0), exprs(1)))
 
+  private[functions] val jaroWinklerDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
+    (exprs: Seq[Expression]) => JaroWinklerExpr(exprs(0), exprs(1)))
+
   private[functions] val nfcNormalizeDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("nfc_normalize"),
@@ -142,6 +149,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "damerau_levenshtein",
       exprs => DamerauLevenshteinExpr(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler",
+      exprs => JaroWinklerExpr(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalize(exprs(0)), "scala_udf")
     // idempotent: replace, never append twice

@@ -1279,11 +1279,55 @@ object SparkEntry {
           "event_type", salt = 8)
         .orderBy("event_type")),
 
+    "skew_salted_join" -> ((s, dir) => {
+      // salted inner join against a replicated per-type dim: the
+      // too-big-to-broadcast + hot-key case AQE skew handling can't
+      // reach (it only splits sort-merge partitions). Left rows
+      // scatter over 8 deterministic salt buckets, dim rows replicate
+      // ×8 — a key holding 40 % of the log now lands on 8 reducers.
+      // The oracle IS the plain join: salting must be invisible.
+      val ev = events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val dim = events(s, dir).groupBy("event_type")
+        .agg(count(lit(1)).as("type_total"))
+      SkewOps.saltedJoin(ev.where(col("event_id") <= 5000), dim,
+          "event_type", salt = 8)
+        .orderBy("event_id")
+    }),
+
     "src_json_roundtrip" -> ((s, dir) => {
       val src = t(s, dir, "region")
       val path = "/tmp/graft_src/region_json"
       src.write.mode("overwrite").json(path)
       s.read.schema(src.schema).json(path).orderBy("r_regionkey")
+    }),
+
+    "src_bucketed_join" -> ((s, dir) => {
+      // the storage-layout half of the 100 TB join strategy, end to
+      // end: orders and lineitem co-bucketed on the order key at write
+      // time, then joined + aggregated ON that key — at scale the big
+      // join and the per-order agg both run with zero hash exchanges
+      // (BucketedStoreSpec asserts the no-shuffle property; this query
+      // oracle-checks the results ride along unchanged)
+      val store = new graft.catalog.BucketedStore(s)
+      val tmp = "/tmp/graft_src/bucketed"
+      store.writeBucketedAt(
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        "src_bj_orders", "o_orderkey", 8, s"$tmp/orders")
+      store.writeBucketedAt(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice"),
+        "src_bj_lineitem", "l_orderkey", 8, s"$tmp/lineitem")
+      store.table("src_bj_lineitem")
+        .join(store.table("src_bj_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          max(col("o_totalprice")).as("total_price"))
+        .where(col("n_lines") >= 5)
+        .orderBy("o_orderkey")
     }),
 
     // ---- typed Aggregator: map-side partial top-k (§2.10) ----
@@ -4425,6 +4469,17 @@ object SparkEntry {
     "src_orc_roundtrip" ->
       "SELECT * FROM supplier ORDER BY s_suppkey",
 
+    // bucketing is plan-layout only — the oracle is the plain join+agg
+    "src_bucketed_join" ->
+      """SELECT o_orderkey, count(*) AS n_lines,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_price,
+        | max(o_totalprice) AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey HAVING count(*) >= 5
+        |ORDER BY o_orderkey""".stripMargin,
+
     "src_text_roundtrip" ->
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
 
@@ -4441,6 +4496,14 @@ object SparkEntry {
     "skew_salted_agg" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "skew_salted_join" ->
+      """WITH dim AS (SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS type_total
+        | FROM events GROUP BY event_type)
+        |SELECT e.event_type, e.event_id, e.value, d.type_total
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |WHERE e.event_id <= 5000 ORDER BY e.event_id""".stripMargin,
 
     "agg_topk_per_type" ->
       """SELECT event_type, rank, user_id, n FROM (

@@ -27,6 +27,23 @@ final class BucketedStore(spark: SparkSession) {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Same as [[writeBucketed]] but at an explicit filesystem location
+    * (external bucketed table) — bucket metadata still lives in the
+    * catalog entry, so downstream joins see the bucket spec; the data
+    * lands where the caller says (a scratch dir in the verify/bench
+    * drivers, a curated lake path in production). */
+  def writeBucketedAt(df: DataFrame, table: String, key: String,
+      buckets: Int, location: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new Path(location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", location)
+      .format("parquet").saveAsTable(table)
+  }
+
   def table(name: String): DataFrame = spark.table(name)
 
   /** True if the physical plan for `df` contains any shuffle exchange —

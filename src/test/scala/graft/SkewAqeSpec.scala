@@ -54,4 +54,30 @@ class SkewAqeSpec extends AnyFunSuite {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  test("salted join equals the plain join and spreads the hot key") {
+    import graft.operators.SkewOps
+    // one key carries 90% of the left side
+    val left = spark.range(0, 9000).select(lit(7L).as("k"), $"id")
+      .union(spark.range(0, 1000).select(($"id" % 5).as("k"), $"id"))
+    val right = Seq((7L, 70L), (0L, 0L), (1L, 10L), (2L, 20L),
+      (3L, 30L), (4L, 40L)).toDF("k", "w")
+
+    val salted = SkewOps.saltedJoin(left, right, "k", salt = 8)
+    val plain = left.join(right, "k")
+    assert(salted.count() === plain.count())
+    assert(salted.select("k", "id", "w").except(plain.select("k", "id", "w"))
+      .isEmpty && plain.select("k", "id", "w")
+      .except(salted.select("k", "id", "w")).isEmpty,
+      "salting must be invisible in the result set")
+
+    // distribution property: the hot key's rows really do land in
+    // every salt bucket, so no single reducer sees them all
+    val buckets = left.where($"k" === 7L)
+      .withColumn("__salt",
+        pmod(xxhash64(left.columns.map(col): _*), lit(8L)))
+      .select("__salt").distinct().count()
+    assert(buckets === 8L,
+      "9000 rows on one key must scatter across all 8 salt buckets")
+  }
 }

@@ -671,6 +671,12 @@ object SparkEntry {
             "[^a-z0-9 ]", "")).as("rolling_hash"))
         .orderBy("doc_id")),
 
+    "text_winnowing" -> ((s, dir) =>
+      // MOSS winnowing (k=4 word-grams, window 4): any shared run of
+      // ≥ 7 words between two docs is guaranteed a common fingerprint
+      TextOps.winnowingFingerprints(t(s, dir, "documents"), k = 4, w = 4)
+        .orderBy("doc_id")),
+
     // ---- LLM-pipeline: multimodal plumbing ----
     "mm_payload_metadata" -> ((s, dir) =>
       Multimodal.payloadMetadata(
@@ -2021,6 +2027,14 @@ object SparkEntry {
           y = "l_extendedprice")
         .orderBy("l_returnflag")),
 
+    "analytics_spearman" -> ((s, dir) =>
+      // rank (monotone) correlation on the same pair bivariate_stats
+      // measures linearly — doubled average ranks keep ties integral
+      AnalyticsOps.spearmanCorr(t(s, dir, "lineitem"),
+          groupCol = "l_returnflag", x = "l_quantity",
+          y = "l_extendedprice")
+        .orderBy("l_returnflag")),
+
     "analytics_profile" -> ((s, dir) =>
       AnalyticsOps.profileNumeric(t(s, dir, "lineitem"),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
@@ -2863,6 +2877,18 @@ object SparkEntry {
         GraphOps.labelPropagation(edges, iters = 4)).orderBy("label")
     }),
 
+    // ---- degree assortativity of the halving graph ----
+    "graph_assortativity" -> ((s, dir) => {
+      // same halving-edge graph as graph_triangles/modularity; halving
+      // trees are disassortative (hubs feed leaves), so r < 0 here
+      val c = t(s, dir, "customer").where(col("c_custkey") > 3)
+      val edges = c.select(col("c_custkey").as("src"),
+          expr("c_custkey div 2").as("dst"))
+        .union(c.select(col("c_custkey").as("src"),
+          expr("c_custkey div 4").as("dst")))
+      GraphOps.degreeAssortativity(edges)
+    }),
+
     // ---- one-way ANOVA F across event types ----
     "analytics_anova" -> ((s, dir) =>
       AnalyticsOps.anovaF(events(s, dir), "event_type", "value")),
@@ -3538,6 +3564,29 @@ object SparkEntry {
          |     c -> CAST(unicode(c) AS BIGINT))),
          |   (a, b) -> (a * 31 + b) % 2147483647) AS rolling_hash
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // positional (not distinct) 4-grams; md5 strings compare bytewise
+    // identically in both engines, so window-min selection is exact
+    "text_winnowing" ->
+      """WITH toks AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS w
+        | FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) < 4
+        |  THEN [array_to_string(w, ' ')]
+        |  ELSE list_transform(range(1, len(w)-2),
+        |    i -> array_to_string(w[i:i+3], ' ')) END AS grams FROM toks),
+        |h AS (SELECT doc_id, list_transform(grams, g -> md5(g)) AS hashes
+        | FROM g),
+        |f AS (SELECT doc_id, len(hashes) AS n_grams,
+        |  greatest(1, len(hashes)-3) AS n_windows,
+        |  list_distinct(list_transform(
+        |    range(1, greatest(1, len(hashes)-3)+1),
+        |    j -> list_min(hashes[j:j+3]))) AS fps FROM h)
+        |SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+        | CAST(n_windows AS INTEGER) AS n_windows,
+        | CAST(len(fps) AS INTEGER) AS n_fp,
+        | list_min(fps) AS fp_min, list_max(fps) AS fp_max
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $duckShingles,
@@ -4905,6 +4954,33 @@ object SparkEntry {
         |   AS corr,
         | (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
         | (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS intercept
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    // doubled average ranks (2·rank_min + ties − 1) are exact integers;
+    // HUGEINT power sums → VARCHAR-hop to double, Pearson-on-ranks form
+    "analytics_spearman" ->
+      """WITH r AS (SELECT l_returnflag AS g,
+        |  2*rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |    + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1
+        |    AS rx,
+        |  2*rank() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice)
+        |    + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice)
+        |    - 1 AS ry
+        | FROM lineitem),
+        |s AS (SELECT g, CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(CAST(SUM(CAST(rx AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(CAST(ry AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT))
+        |    AS VARCHAR) AS DOUBLE) AS sxy,
+        |  CAST(CAST(SUM(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT))
+        |    AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT))
+        |    AS VARCHAR) AS DOUBLE) AS syy
+        | FROM r GROUP BY g)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        | (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
+        |   AS spearman_rho
         |FROM s ORDER BY l_returnflag""".stripMargin,
 
     "analytics_profile" -> {
@@ -6547,6 +6623,36 @@ object SparkEntry {
 
     // modularity: replay the LPA rounds, then Q's per-community
     // contribution from exact integer edge/degree counts
+    // Pearson over edge-stub degree pairs; integer power sums in
+    // HUGEINT, VARCHAR hop, IEEE form in the same term order as Spark
+    "graph_assortativity" ->
+      """WITH k AS (SELECT c_custkey AS kk FROM customer
+        | WHERE c_custkey > 3),
+        |e0 AS (SELECT kk AS src, kk // 2 AS dst FROM k
+        | UNION ALL SELECT kk, kk // 4 FROM k),
+        |und AS (SELECT DISTINCT least(src, dst) AS u,
+        |  greatest(src, dst) AS v FROM e0
+        | WHERE least(src, dst) <> greatest(src, dst)),
+        |deg AS (SELECT node, CAST(count(*) AS HUGEINT) AS deg FROM (
+        | SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        | GROUP BY node),
+        |p AS (SELECT da.deg AS dx, db.deg AS dy
+        | FROM und JOIN deg da ON und.u = da.node
+        | JOIN deg db ON und.v = db.node),
+        |sym AS (SELECT dx, dy FROM p UNION ALL SELECT dy, dx FROM p),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(CAST(SUM(dx) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(dy) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(dx * dy) AS VARCHAR) AS DOUBLE) AS sxy,
+        |  CAST(CAST(SUM(dx * dx) AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(dy * dy) AS VARCHAR) AS DOUBLE) AS syy
+        | FROM sym)
+        |SELECT CAST(cnt / 2 AS BIGINT) AS n_edges, cnt AS n_stubs,
+        | (CAST(cnt AS DOUBLE) * sxy - sx * sy) /
+        |  sqrt((CAST(cnt AS DOUBLE) * sxx - sx * sx) *
+        |   (CAST(cnt AS DOUBLE) * syy - sy * sy)) AS assortativity
+        |FROM s""".stripMargin,
+
     "graph_modularity" ->
       s"""WITH $duckLpaCtes,
          |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg

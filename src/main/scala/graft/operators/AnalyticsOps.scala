@@ -189,6 +189,47 @@ object AnalyticsOps {
       ((col("sy") - (covN / varX) * col("sx")) / col("n")).as("intercept"))
   }
 
+  /** Spearman rank correlation per group — the monotone-association
+    * complement of [[bivariateStats]]' Pearson: rho = Pearson over
+    * average ranks, robust to outliers and nonlinear-but-monotone
+    * relations (the classic screen for "correlated but not linearly").
+    *
+    * Ties take the textbook average rank, kept INTEGRAL by doubling:
+    * R2 = 2·rank_min + ties − 1 (= 2× the average rank; Pearson is
+    * affine-invariant so rho is unchanged, and every accumulator stays
+    * an exact integer). Sums accumulate in DECIMAL(38,0) — R2 ≤ 2n, so
+    * Σ R2² ≤ 4n³ wraps a long near 10^6 group rows; decimal holds to
+    * n ≈ 10^11. Ranks come from windows PARTITIONED BY the group (never
+    * a global single-partition sort); the per-group sort is the same
+    * shuffle any rank statistic costs at 100 TB. */
+  def spearmanCorr(df: DataFrame, groupCol: String, x: String,
+      y: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def rank2(c: String): Column = {
+      val w = Window.partitionBy(col(groupCol)).orderBy(col(c))
+      val ties = Window.partitionBy(col(groupCol), col(c))
+      // (19,0): products stay inside the 38-digit cap without a clamp
+      (rank().over(w) * lit(2) + count(lit(1)).over(ties) - lit(1))
+        .cast(DecimalType(19, 0))
+    }
+    val ranked = df.select(col(groupCol), col(x), col(y))
+      .withColumn("rx", rank2(x))
+      .withColumn("ry", rank2(y))
+    val d = DecimalType(38, 0)
+    val sums = ranked.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("rx")).cast("double").as("sx"),
+      sum(col("ry")).cast("double").as("sy"),
+      sum((col("rx") * col("ry")).cast(d)).cast("double").as("sxy"),
+      sum((col("rx") * col("rx")).cast(d)).cast("double").as("sxx"),
+      sum((col("ry") * col("ry")).cast(d)).cast("double").as("syy"))
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varX = col("n") * col("sxx") - col("sx") * col("sx")
+    val varY = col("n") * col("syy") - col("sy") * col("sy")
+    sums.select(col(groupCol), col("n").cast("long").as("n_rows"),
+      (covN / sqrt(varX * varY)).as("spearman_rho"))
+  }
+
   /** Exact Gini concentration coefficient of a 2-dp money column —
     * the inequality complement of the HHI: G = 2·Σᵢ i·xᵢ / (n·Σx)
     * − (n+1)/n over ASCENDING ranks.

@@ -671,6 +671,27 @@ object SparkEntry {
             "[^a-z0-9 ]", "")).as("rolling_hash"))
         .orderBy("doc_id")),
 
+    "mm_payload_dedup" -> ((s, dir) => {
+      // exact BINARY dedup over opaque media payloads — the multimodal
+      // twin of dedup_exact: hash-groupBy on the digest, payloads never
+      // shuffle (only the 16-byte md5 and two longs do). The corpus has
+      // no byte-identical docs, so a re-upload batch (every 7th doc
+      // under a fresh media_id) models the duplicate class this
+      // operator exists to catch; keeper = lowest id (the original).
+      val docs = t(s, dir, "documents")
+      val base = Multimodal.withBinaryPayload(docs)
+      val reupload = Multimodal.withBinaryPayload(
+        docs.where(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(100000L)))
+      base.union(reupload)
+        .groupBy(md5(col("payload")).as("payload_md5"))
+        .agg(count(lit(1)).as("n_copies"),
+          min(col("media_id")).as("keeper_id"),
+          min(length(col("payload"))).as("byte_len"))
+        .where(col("n_copies") >= 2)
+        .orderBy("payload_md5")
+    }),
+
     "text_winnowing" -> ((s, dir) =>
       // MOSS winnowing (k=4 word-grams, window 4): any shared run of
       // ≥ 7 words between two docs is guaranteed a common fingerprint
@@ -2187,6 +2208,31 @@ object SparkEntry {
         .select(col("w.start").as("ws"), col("event_type"), col("n"))
         .orderBy("ws", "event_type")),
 
+    // ---- trailing 3-day sliding DISTINCT users (rolling reach) ----
+    "ts_sliding_distinct" -> ((s, dir) => {
+      // distinct is not decomposable over hops, so the hopping-window
+      // trick above can't count it; instead each (day, user) row
+      // REPLICATES into the ≤3 target days it covers — an equi-join
+      // shape (explode + shuffle on day) that survives 100 TB, where
+      // the naive day-range theta join or a 90-row window over
+      // collect_set would not. Expansion factor = window/hop = 3.
+      val du = events(s, dir)
+        .where(col("user_id").isNotNull)
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      val days = du.select(col("d").as("day")).distinct()
+      val covered = du
+        .withColumn("k", explode(sequence(lit(0), lit(2))))
+        .select(expr("date_add(d, cast(k as int))").as("day"),
+          col("d"), col("user_id"))
+      covered.join(days, "day")
+        .groupBy(col("day"))
+        .agg(
+          countDistinct(when(col("d") === col("day"), col("user_id")))
+            .as("u_day"),
+          countDistinct(col("user_id")).as("u_3d"))
+        .orderBy("day")
+    }),
+
     // ---- incremental LSH: only pairs touching the new batch ----
     "dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2609,6 +2655,15 @@ object SparkEntry {
     "analytics_gini" -> ((s, dir) =>
       AnalyticsOps.giniCoefficient(t(s, dir, "orders"), "o_totalprice")),
 
+    // ---- Lorenz curve (decile grid) over per-customer spend ----
+    "analytics_lorenz" -> ((s, dir) =>
+      AnalyticsOps.lorenzDeciles(
+          t(s, dir, "orders").groupBy(col("o_custkey"))
+            .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .as("spend")),
+          "spend")
+        .orderBy("decile")),
+
     // ---- multi-feature OLS by normal equations ----
     "analytics_ols_multi" -> ((s, dir) =>
       // price ~ quantity + discount: one sufficient-statistics pass,
@@ -2864,6 +2919,13 @@ object SparkEntry {
         pmod(unix_date(to_date(col("ts"))), lit(7)).cast("long"))
       AnalyticsOps.chiSquare(ev, "event_type", "dow_bucket")
         .orderBy("a", "b")
+    }),
+
+    // ---- Cramér's V effect size of the same contingency table ----
+    "analytics_cramers_v" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("dow_bucket",
+        pmod(unix_date(to_date(col("ts"))), lit(7)).cast("long"))
+      AnalyticsOps.cramersV(ev, "event_type", "dow_bucket")
     }),
 
     // ---- modularity audit of the LPA communities ----
@@ -3511,6 +3573,17 @@ object SparkEntry {
         | md5(text) AS payload_md5,
         | 'image/fake' AS media_type
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "mm_payload_dedup" ->
+      """WITH pay AS (SELECT doc_id AS media_id, text FROM documents
+        | UNION ALL SELECT doc_id + 100000, text FROM documents
+        |  WHERE doc_id % 7 = 0)
+        |SELECT md5(text) AS payload_md5,
+        | CAST(count(*) AS BIGINT) AS n_copies,
+        | min(media_id) AS keeper_id,
+        | CAST(min(strlen(text)) AS INTEGER) AS byte_len
+        |FROM pay GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY payload_md5""".stripMargin,
 
     "mm_frame_sample" ->
       """SELECT media_id, n_frames, unnest(range(0, greatest(n_frames, 1), 10)) AS frame_idx
@@ -5738,6 +5811,19 @@ object SparkEntry {
         |SELECT ws, event_type, CAST(count(*) AS BIGINT) AS n
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // oracle states the window as a day-range join; the engine's
+    // replicate-into-covered-days plan must produce identical reach
+    "ts_sliding_distinct" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+        | FROM events WHERE user_id IS NOT NULL),
+        |days AS (SELECT DISTINCT d AS day FROM du)
+        |SELECT t.day,
+        | CAST(count(DISTINCT CASE WHEN s.d = t.day THEN s.user_id END)
+        |   AS BIGINT) AS u_day,
+        | CAST(count(DISTINCT s.user_id) AS BIGINT) AS u_3d
+        |FROM days t JOIN du s ON s.d BETWEEN t.day - 2 AND t.day
+        |GROUP BY t.day ORDER BY t.day""".stripMargin,
+
     // the incremental candidate join: band collisions where at least
     // one side is in the new batch (doc_id >= 250), normalized to
     // id_a < id_b, then the standard exact-Jaccard verify
@@ -6436,6 +6522,27 @@ object SparkEntry {
         |  - (CAST(n AS DOUBLE) + CAST(1 AS DOUBLE)) / CAST(n AS DOUBLE)
         |  AS gini
         |FROM s""".stripMargin,
+
+    // tie groups counted whole (no arbitrary decile split); hugeint
+    // cumulative sums, VARCHAR hop on every share operand
+    "analytics_lorenz" ->
+      """WITH spend AS (SELECT o_custkey,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+        | FROM orders GROUP BY 1),
+        |c AS (SELECT CAST(sp * 100 AS BIGINT) AS cv FROM spend),
+        |g AS (SELECT cv, CAST(count(*) AS BIGINT) AS nv FROM c
+        | GROUP BY cv),
+        |w AS (SELECT cv, nv, SUM(nv) OVER (ORDER BY cv) AS cum_n,
+        |  SUM(cv * nv) OVER (ORDER BY cv) AS cum_s FROM g),
+        |t AS (SELECT SUM(nv) AS n, SUM(cv * nv) AS s FROM g)
+        |SELECT k.k AS decile, CAST(cum_n AS BIGINT) AS cum_entities,
+        | CAST(CAST(cum_n AS VARCHAR) AS DOUBLE) /
+        |  CAST(CAST(n AS VARCHAR) AS DOUBLE) AS pop_share,
+        | CAST(CAST(cum_s AS VARCHAR) AS DOUBLE) /
+        |  CAST(CAST(s AS VARCHAR) AS DOUBLE) AS value_share
+        |FROM w CROSS JOIN t CROSS JOIN range(1, 11) k(k)
+        |WHERE cum_n * 10 >= k.k * n AND (cum_n - nv) * 10 < k.k * n
+        |ORDER BY decile""".stripMargin,
 
     // replicates AnalyticsOps.olsNormalEquations: identical moment sums
     // (decimal-exact, VARCHAR-routed to double) and the SAME Cramer
@@ -7342,6 +7449,40 @@ object SparkEntry {
         |SELECT a, b, o, row_n, col_n, e,
         | (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
         |  AS chi2_term
-        |FROM f ORDER BY a, b""".stripMargin
+        |FROM f ORDER BY a, b""".stripMargin,
+
+    // same cell CTEs; per-cell terms quantized to 1e-9 fixed point
+    // before summing, so the reduction order cannot drift the hash
+    "analytics_cramers_v" ->
+      """WITH c AS (SELECT event_type AS a,
+        |  CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT)
+        |    AS b,
+        |  CAST(count(*) AS BIGINT) AS o FROM events GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS row_n
+        | FROM c GROUP BY 1),
+        |ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS col_n
+        | FROM c GROUP BY 1),
+        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c),
+        |g AS (SELECT rt.a, ct.b, rt.row_n, ct.col_n, n.n,
+        |  COALESCE(c.o, 0) AS o
+        | FROM rt CROSS JOIN ct CROSS JOIN n
+        | LEFT JOIN c ON rt.a = c.a AND ct.b = c.b),
+        |f AS (SELECT a, b, o, row_n, col_n,
+        | CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+        |  / CAST(n AS DOUBLE) AS e FROM g),
+        |terms AS (SELECT a, b, o,
+        | (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+        |  AS chi2_term FROM f),
+        |s AS (SELECT CAST(SUM(o) AS BIGINT) AS n_obs,
+        | CAST(count(DISTINCT a) AS BIGINT) AS n_rows,
+        | CAST(count(DISTINCT b) AS BIGINT) AS n_cols,
+        | CAST(SUM(CAST(floor(chi2_term * 1e9) AS BIGINT)) AS BIGINT)
+        |   AS fp
+        | FROM terms)
+        |SELECT n_obs, n_rows, n_cols,
+        | CAST(fp AS DOUBLE) / 1e9 AS chi2,
+        | sqrt((CAST(fp AS DOUBLE) / 1e9) / (CAST(n_obs AS DOUBLE) *
+        |  CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE))) AS cramers_v
+        |FROM s""".stripMargin
   )
 }

@@ -279,6 +279,53 @@ object AnalyticsOps {
         .as("gini"))
   }
 
+  /** Lorenz curve sampled at the decile grid — the curve whose area
+    * complement [[giniCoefficient]] summarizes: after sorting entities
+    * by a 2-dp money value, report for each decile boundary k/10 the
+    * exact cumulative population and value shares at the first point
+    * reaching it. "Bottom 50 % of customers hold 9 % of spend" is this
+    * operator's row k=5.
+    *
+    * Same scale discipline as Gini: values collapse to (distinct
+    * cents, count) tie groups, cumulative counts/sums come from
+    * [[RelationalOps.distributedPrefixSum]] (serial step bounded by
+    * its bucket count, never a corpus-wide window), and the decile
+    * probe is a broadcast nested-loop against a 10-row grid (≤ ×10
+    * expansion). Tie groups make the curve well-defined: all members
+    * of a tie group are counted together, so no arbitrary tie split
+    * can change a share. Long arithmetic in the grid probe bounds
+    * n ≤ 9·10^17 rows (10·n must fit a long); cum value sums are
+    * DECIMAL(38,0)-exact. */
+  def lorenzDeciles(entityValues: DataFrame, valueCol: String)
+      : DataFrame = {
+    val cents = (col(valueCol).cast(DecimalType(18, 2)) * lit(100))
+      .cast("long")
+    val g = entityValues.select(cents.as("cv")).groupBy(col("cv"))
+      .agg(count(lit(1)).as("nv"))
+      .withColumn("sv", (col("cv").cast(DecimalType(19, 0)) *
+        col("nv").cast(DecimalType(18, 0))).cast(DecimalType(38, 0)))
+    val cumN = RelationalOps.distributedPrefixSum(
+        g.select("cv", "nv"), "cv", "nv")
+      .withColumnRenamed("cum", "cum_n")
+    val cumS = RelationalOps.distributedPrefixSum(
+        g.select("cv", "sv"), "cv", "sv")
+      .withColumnRenamed("cum", "cum_s").select("cv", "cum_s")
+    val tot = g.agg(sum(col("nv")).as("n"),
+      sum(col("sv")).cast(DecimalType(38, 0)).as("s"))
+    val ks = entityValues.sparkSession.range(1, 11)
+      .select(col("id").as("decile"))
+    cumN.join(cumS, "cv")
+      .crossJoin(broadcast(tot))
+      .join(broadcast(ks),
+        col("cum_n") * 10 >= col("decile") * col("n") &&
+          (col("cum_n") - col("nv")) * 10 < col("decile") * col("n"))
+      .select(col("decile"), col("cum_n").as("cum_entities"),
+        (col("cum_n").cast("double") / col("n").cast("double"))
+          .as("pop_share"),
+        (col("cum_s").cast("double") / col("s").cast("double"))
+          .as("value_share"))
+  }
+
   /** Multi-feature OLS (y ~ b0 + b1·x1 + b2·x2) by NORMAL EQUATIONS:
     * one pass collects the ten decimal-exact moment sums
     * (n, Σx1, Σx2, Σy, Σx1², Σx1x2, Σx2², Σx1y, Σx2y, Σy²), and the
@@ -1087,6 +1134,31 @@ object AnalyticsOps {
         ((col("o").cast("double") - col("e")) *
           (col("o").cast("double") - col("e")) / col("e"))
           .as("chi2_term"))
+  }
+
+  /** Cramér's V — the [0,1]-normalized effect size of [[chiSquare]]:
+    * V = √( (χ²/n) / min(r−1, c−1) ), comparable across tables of any
+    * shape where raw χ² is not. Per-cell χ² terms are quantized to
+    * 1e-9 fixed point BEFORE the cross-partition sum (floor → long →
+    * exact integer addition) so the statistic is order-independent —
+    * the same determinism trick [[TextOps.bigramLmScores]] uses for
+    * its log-prob sums; a raw double sum would hash-drift between
+    * engines. Cost: the contingency aggregation [[chiSquare]] already
+    * does, plus one tiny agg over |r|·|c| cells. Output one row
+    * (n_obs, n_rows, n_cols, chi2, cramers_v). */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = chiSquare(df, aCol, bCol)
+    cells.agg(
+        sum(col("o")).as("n_obs"),
+        countDistinct(col("a")).as("n_rows"),
+        countDistinct(col("b")).as("n_cols"),
+        sum(floor(col("chi2_term") * lit(1e9)).cast("long")).as("fp"))
+      .select(col("n_obs"), col("n_rows"), col("n_cols"),
+        (col("fp").cast("double") / lit(1e9)).as("chi2"),
+        sqrt((col("fp").cast("double") / lit(1e9)) /
+          (col("n_obs").cast("double") *
+            least(col("n_rows") - 1, col("n_cols") - 1).cast("double")))
+          .as("cramers_v"))
   }
 
   /** One-way ANOVA F statistic across the groups of `groupCol` on the

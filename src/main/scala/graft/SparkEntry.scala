@@ -692,6 +692,13 @@ object SparkEntry {
         .orderBy("payload_md5")
     }),
 
+    "text_naive_bayes" -> ((s, dir) =>
+      // per-language discriminative vocabulary: top-5 tokens by
+      // Laplace-smoothed one-vs-rest likelihood ratio (min count 5)
+      TextOps.naiveBayesTokens(t(s, dir, "documents"),
+          classCol = "lang", k = 5, minCount = 5)
+        .orderBy("cls", "rank")),
+
     "text_winnowing" -> ((s, dir) =>
       // MOSS winnowing (k=4 word-grams, window 4): any shared run of
       // ≥ 7 words between two docs is guaranteed a common fingerprint
@@ -1863,6 +1870,39 @@ object SparkEntry {
     // base aggregate of the OLD snapshot + applyDiffToSumCount over
     // the diff ≡ full recompute of the NEW snapshot — which is exactly
     // what the oracle computes directly.
+    // the fact⟕dim view under concurrent fact AND dim mutations,
+    // maintained by delta-driven partial refresh: only affected keys
+    // rebuild, the rest carries over — ≡ full recompute (the oracle)
+    "incr_join_maintenance" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val aOld = orders.where(col("o_orderkey") % 5 =!= 0)
+      val aNew = orders.where(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0,
+            col("o_totalprice") + lit(10.0))
+            .otherwise(col("o_totalprice")))
+      val bOld = cust
+      val bNew = cust.withColumn("c_mktsegment",
+        when(col("c_custkey") % 13 === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment")))
+      val viewOld = aOld.join(bOld,
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("c_mktsegment"))
+      val aDelta = RelationalOps.snapshotDiff(aOld, aNew,
+        keys = Seq("o_orderkey"),
+        compare = Seq("o_custkey", "o_totalprice"))
+      val bDelta = RelationalOps.snapshotDiff(bOld, bNew,
+        keys = Seq("c_custkey"), compare = Seq("c_mktsegment"))
+      RelationalOps.maintainJoinView(viewOld, aNew, bNew, aDelta,
+          bDelta, aKey = "o_orderkey", fkCol = "o_custkey",
+          bKey = "c_custkey")
+        .orderBy("o_orderkey")
+    }),
+
     "incr_agg_maintenance" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       val oldSnap = orders.where(col("o_orderkey") % 5 =!= 0)
@@ -3638,6 +3678,31 @@ object SparkEntry {
          |   (a, b) -> (a * 31 + b) % 2147483647) AS rolling_hash
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // exact-integer counts; the likelihood ratio is two IEEE divisions
+    // and a quotient in a pinned order — no log, no last-ulp drift
+    "text_naive_bayes" ->
+      """WITH tok AS (SELECT lang AS cls,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        | FROM documents),
+        |lt AS (SELECT cls, w, CAST(count(*) AS BIGINT) AS c_lt
+        | FROM tok GROUP BY 1, 2),
+        |l AS (SELECT cls, CAST(SUM(c_lt) AS BIGINT) AS t_l
+        | FROM lt GROUP BY 1),
+        |tt AS (SELECT w, CAST(SUM(c_lt) AS BIGINT) AS c_t
+        | FROM lt GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v,
+        |  CAST(SUM(c_lt) AS BIGINT) AS t_all FROM lt),
+        |sc AS (SELECT lt.cls, lt.w, lt.c_lt,
+        |  (CAST(lt.c_lt + 1 AS DOUBLE) / CAST(l.t_l + v.v AS DOUBLE)) /
+        |  (CAST(tt.c_t - lt.c_lt + 1 AS DOUBLE) /
+        |   CAST(v.t_all - l.t_l + v.v AS DOUBLE)) AS ratio
+        | FROM lt JOIN tt ON lt.w = tt.w JOIN l ON lt.cls = l.cls
+        | CROSS JOIN v WHERE lt.c_lt >= 5),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY cls
+        |  ORDER BY ratio DESC, w ASC) AS INTEGER) AS rank FROM sc)
+        |SELECT cls, rank, w AS token, c_lt, ratio FROM r
+        |WHERE rank <= 5 ORDER BY cls, rank""".stripMargin,
+
     // positional (not distinct) 4-grams; md5 strings compare bytewise
     // identically in both engines, so window-min selection is exact
     "text_winnowing" ->
@@ -5193,6 +5258,22 @@ object SparkEntry {
 
     // the oracle recomputes the NEW snapshot's aggregate DIRECTLY —
     // the Spark side must reach the same state incrementally
+    // the oracle IS the full recompute the partial refresh must equal
+    "incr_join_maintenance" ->
+      """WITH a AS (SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 3 = 0
+        |   THEN o_totalprice + CAST(10 AS DOUBLE)
+        |   ELSE o_totalprice END AS o_totalprice
+        | FROM orders WHERE o_orderkey % 7 <> 0),
+        |b AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 13 = 0 THEN 'MOVED'
+        |   ELSE c_mktsegment END AS c_mktsegment
+        | FROM customer)
+        |SELECT a.o_orderkey, a.o_custkey, a.o_totalprice,
+        | b.c_mktsegment
+        |FROM a JOIN b ON a.o_custkey = b.c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
     "incr_agg_maintenance" ->
       """WITH n AS (SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END

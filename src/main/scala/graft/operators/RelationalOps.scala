@@ -402,6 +402,37 @@ object RelationalOps {
       .where(col("cnt") > 0)
   }
 
+  /** Incremental maintenance of a keyed equi-join view
+    * V = A ⋈_{A.fk = B.k} B, keyed by A's primary key (each A row has
+    * at most one B partner — the fact⋈dim shape): given the OLD view
+    * and the two side deltas (as [[snapshotDiff]] relations), rebuild
+    * ONLY the affected view keys and splice them in. Affected =
+    * A-delta keys ∪ A rows whose fk hits a changed B key; everything
+    * else is carried over untouched by an anti-join.
+    *
+    * Scale contract: work is proportional to |ΔA| + |ΔB| + |A rows
+    * referencing ΔB| + one keyed anti-join/union against the view —
+    * never a re-join of the full base tables. The changed-B key set
+    * broadcasts (deltas are small by definition — a delta the size of
+    * the dim table IS a full refresh); the rebuild join touches B only
+    * through `bNew`, pruned by the affected semi-join. Deletes fall
+    * out for free: a deleted A row rebuilds to nothing, a deleted B
+    * row drops its referencing A rows from the inner join. */
+  def maintainJoinView(viewOld: DataFrame, aNew: DataFrame,
+      bNew: DataFrame, aDelta: DataFrame, bDelta: DataFrame,
+      aKey: String, fkCol: String, bKey: String): DataFrame = {
+    val aTouched = aDelta.select(col(aKey)).distinct()
+    val bTouched = bDelta.select(col(bKey)).distinct()
+    val viaB = aNew.join(broadcast(bTouched),
+        aNew(fkCol) === bTouched(bKey), "left_semi")
+      .select(col(aKey))
+    val affected = aTouched.union(viaB).distinct()
+    val rebuilt = aNew.join(affected, Seq(aKey), "left_semi")
+      .join(bNew, aNew(fkCol) === bNew(bKey))
+      .select(viewOld.columns.map(col): _*)
+    viewOld.join(affected, Seq(aKey), "left_anti").unionByName(rebuilt)
+  }
+
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
       keys: Seq[String], compare: Seq[String]): DataFrame = {
     val o = oldSnap.select(

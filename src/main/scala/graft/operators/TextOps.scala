@@ -551,6 +551,46 @@ object TextOps {
           col("n_bigrams").cast("double")).as("avg_nll"))
   }
 
+  /** Multinomial naive-Bayes token training (one-vs-rest): for each
+    * class (language), the top-k tokens by Laplace-smoothed likelihood
+    * ratio p(w|class)/p(w|¬class) — the per-class weight table an NB
+    * classifier ships, and the standard "which tokens define this
+    * slice" report. The ratio is kept as a RATIO (two IEEE divisions
+    * and one quotient over exact integer counts) instead of a log-odds
+    * sum: libm log differs in the last ulp across engines, a pure
+    * rational of exact integers does not — same ranking, hash-stable.
+    *
+    * Scale: one map-side-combined (class, token) count, token-keyed
+    * join against vocabulary totals, class totals broadcast (|classes|
+    * rows), grand totals broadcast (1 row); the top-k window partitions
+    * BY CLASS over the vocabulary-sized relation — never corpus rows. */
+  def naiveBayesTokens(documents: DataFrame, classCol: String,
+      k: Int, minCount: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = documents
+      .select(col(classCol).as("cls"), explode(tokens(col("text"))).as("w"))
+    val lt = tok.groupBy(col("cls"), col("w"))
+      .agg(count(lit(1)).as("c_lt"))
+    val perCls = lt.groupBy(col("cls")).agg(sum(col("c_lt")).as("t_l"))
+    val perTok = lt.groupBy(col("w")).agg(sum(col("c_lt")).as("c_t"))
+    val tot = lt.agg(countDistinct(col("w")).as("v"),
+      sum(col("c_lt")).as("t_all"))
+    val num = (col("c_lt") + lit(1)).cast("double") /
+      (col("t_l") + col("v")).cast("double")
+    val den = (col("c_t") - col("c_lt") + lit(1)).cast("double") /
+      (col("t_all") - col("t_l") + col("v")).cast("double")
+    val ranked = lt.join(perTok, "w")
+      .join(broadcast(perCls), "cls")
+      .crossJoin(broadcast(tot))
+      .where(col("c_lt") >= minCount)
+      .withColumn("ratio", num / den)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("cls"))
+        .orderBy(col("ratio").desc, col("w").asc)))
+    ranked.where(col("rank") <= k)
+      .select(col("cls"), col("rank"), col("w").as("token"),
+        col("c_lt"), col("ratio"))
+  }
+
   /** Robust winnowing fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS algorithm): positional word k-grams are
     * hashed (md5, compared lexicographically — a total order shared

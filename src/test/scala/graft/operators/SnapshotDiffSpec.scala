@@ -77,4 +77,39 @@ class SnapshotDiffSpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("part"), r.getAs[String]("op")))
     assert(out === Array("y" -> "update"))
   }
+
+  test("maintainJoinView: partial refresh equals full recompute " +
+      "across fact insert/update/delete and dim update/delete") {
+    // fact (id, fk, v); dim (k, seg)
+    val aOld = Seq((1L, 10L, 1.0), (2L, 20L, 2.0), (3L, 30L, 3.0),
+      (4L, 10L, 4.0)).toDF("id", "fk", "v")
+    // id=2 deleted; id=3 value update; id=5 inserted; id=1,4 untouched
+    val aNew = Seq((1L, 10L, 1.0), (3L, 30L, 9.0), (4L, 10L, 4.0),
+      (5L, 40L, 5.0)).toDF("id", "fk", "v")
+    // k=10 segment update (hits facts 1 and 4); k=30 deleted (drops
+    // fact 3 despite its own update); k=40 inserted (backs fact 5)
+    val bOld = Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("k", "seg")
+    val bNew = Seq((10L, "A2"), (20L, "b"), (40L, "d")).toDF("k", "seg")
+
+    val viewOld = aOld.join(bOld, col("fk") === col("k"))
+      .select(col("id"), col("fk"), col("v"), col("seg"))
+    val aDelta = RelationalOps.snapshotDiff(aOld, aNew,
+      keys = Seq("id"), compare = Seq("fk", "v"))
+    val bDelta = RelationalOps.snapshotDiff(bOld, bNew,
+      keys = Seq("k"), compare = Seq("seg"))
+
+    val maintained = RelationalOps.maintainJoinView(viewOld, aNew,
+        bNew, aDelta, bDelta, aKey = "id", fkCol = "fk", bKey = "k")
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("v"),
+        r.getAs[String]("seg")))
+    val full = aNew.join(bNew, col("fk") === col("k"))
+      .select(col("id"), col("v"), col("seg"))
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("v"),
+        r.getAs[String]("seg")))
+    assert(maintained === full)
+    assert(maintained === Array((1L, 1.0, "A2"), (4L, 4.0, "A2"),
+      (5L, 5.0, "d"))) // 2 deleted, 3 dropped with its dim row
+  }
 }

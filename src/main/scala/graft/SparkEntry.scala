@@ -692,6 +692,13 @@ object SparkEntry {
         .orderBy("payload_md5")
     }),
 
+    "text_keywords" -> ((s, dir) =>
+      // RAKE: stopword-delimited phrase runs, deg/freq word scores,
+      // top-3 phrases per document
+      TextOps.rakeKeywords(t(s, dir, "documents"),
+          TextOps.EnglishStopwords, k = 3)
+        .orderBy("doc_id", "rank")),
+
     "text_naive_bayes" -> ((s, dir) =>
       // per-language discriminative vocabulary: top-5 tokens by
       // Laplace-smoothed one-vs-rest likelihood ratio (min count 5)
@@ -1334,6 +1341,23 @@ object SparkEntry {
       val path = "/tmp/graft_src/region_json"
       src.write.mode("overwrite").json(path)
       s.read.schema(src.schema).json(path).orderBy("r_regionkey")
+    }),
+
+    "src_partitioned_prune" -> ((s, dir) => {
+      // partition-layout half of the scan story: the log is laid out
+      // hive-style by event_date at write time, so the daily query
+      // reads exactly ONE directory — directory pruning at the file
+      // index, before any row group is opened (PartitionPruneSpec
+      // asserts selectedPartitions == 1). The complement of the
+      // row-group-stats pushdown eventsOnDate relies on.
+      val path = "/tmp/graft_src/events_partitioned"
+      events(s, dir).withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(path)
+      s.read.parquet(path)
+        .where(col("event_date") === lit(D).cast("date"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
     }),
 
     "src_bucketed_join" -> ((s, dir) => {
@@ -2247,6 +2271,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .select(col("w.start").as("ws"), col("event_type"), col("n"))
         .orderBy("ws", "event_type")),
+
+    // ---- Holt linear-trend smoothing + 1-step forecast ----
+    "ts_holt_forecast" -> ((s, dir) =>
+      AnalyticsOps.holtLinear(events(s, dir), keyCol = "event_type",
+          tsCol = "ts", valueCol = "value", alpha = 0.5, beta = 0.3)
+        .orderBy("event_type")),
 
     // ---- trailing 3-day sliding DISTINCT users (rolling reach) ----
     "ts_sliding_distinct" -> ((s, dir) => {
@@ -3678,6 +3708,45 @@ object SparkEntry {
          |   (a, b) -> (a * 31 + b) % 2147483647) AS rolling_hash
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // word deg/freq quantized to 1e-9 fixed point before the phrase
+    // sum; ranking on the integer score so no double ever orders rows
+    "text_keywords" -> {
+      val stops = TextOps.EnglishStopwords.mkString("'", "', '", "'")
+      s"""WITH tk AS (SELECT doc_id,
+         |  string_split_regex(trim(lower(text)), '\\s+') AS toks
+         | FROM documents),
+         |ex AS (SELECT doc_id,
+         |  CAST(unnest(generate_series(1, len(toks))) AS BIGINT) AS pos,
+         |  unnest(toks) AS w FROM tk),
+         |fl AS (SELECT doc_id, pos, w,
+         |  (w IN ($stops) OR length(w) = 0) AS is_stop FROM ex),
+         |gp AS (SELECT doc_id, pos, w, is_stop,
+         |  SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+         |   PARTITION BY doc_id ORDER BY pos) AS grp FROM fl),
+         |words AS (SELECT doc_id, grp, pos, w FROM gp WHERE NOT is_stop),
+         |ph AS (SELECT doc_id, grp,
+         |  string_agg(w, ' ' ORDER BY pos) AS phrase,
+         |  CAST(count(*) AS BIGINT) AS n_words
+         | FROM words GROUP BY 1, 2),
+         |wst AS (SELECT wo.w, CAST(count(*) AS BIGINT) AS freq,
+         |  CAST(SUM(p.n_words) AS BIGINT) AS deg
+         | FROM words wo JOIN ph p
+         |  ON wo.doc_id = p.doc_id AND wo.grp = p.grp GROUP BY 1),
+         |wq AS (SELECT w, CAST(floor(CAST(deg AS DOUBLE)
+         |  / CAST(freq AS DOUBLE) * 1e9) AS BIGINT) AS fp FROM wst),
+         |ps AS (SELECT wo.doc_id, wo.grp,
+         |  CAST(SUM(wq.fp) AS BIGINT) AS score_fp
+         | FROM words wo JOIN wq ON wo.w = wq.w GROUP BY 1, 2),
+         |j AS (SELECT ph.doc_id, ph.phrase, ph.n_words, ps.score_fp
+         | FROM ph JOIN ps ON ph.doc_id = ps.doc_id AND ph.grp = ps.grp),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY score_fp DESC, phrase ASC) AS INTEGER) AS rank
+         | FROM j)
+         |SELECT doc_id, rank, phrase, n_words,
+         | CAST(score_fp AS DOUBLE) / 1e9 AS score
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+    },
+
     // exact-integer counts; the likelihood ratio is two IEEE divisions
     // and a quotient in a pinned order — no log, no last-ulp drift
     "text_naive_bayes" ->
@@ -4655,6 +4724,13 @@ object SparkEntry {
 
     "src_orc_roundtrip" ->
       "SELECT * FROM supplier ORDER BY s_suppkey",
+
+    // partitioning is storage-layout only — the oracle filters directly
+    "src_partitioned_prune" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // bucketing is plan-layout only — the oracle is the plain join+agg
     "src_bucketed_join" ->
@@ -5891,6 +5967,26 @@ object SparkEntry {
         | FROM events CROSS JOIN range(2) k(k))
         |SELECT ws, event_type, CAST(count(*) AS BIGINT) AS n
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the identical sequential fold, replayed by list_reduce over
+    // [level, trend] pairs — every IEEE intermediate matches
+    "ts_holt_forecast" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+        |    AS DOUBLE) AS x
+        | FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  list(x ORDER BY d) AS xs FROM daily GROUP BY 1),
+        |st AS (SELECT event_type, n_days,
+        |  list_reduce(list_prepend([xs[1], CAST(0 AS DOUBLE)],
+        |    list_transform(xs[2:], x -> [x, CAST(0 AS DOUBLE)])),
+        |   (acc, e) -> [0.5*e[1] + 0.5*(acc[1]+acc[2]),
+        |     0.3*((0.5*e[1] + 0.5*(acc[1]+acc[2])) - acc[1])
+        |       + 0.7*acc[2]]) AS s
+        | FROM ser)
+        |SELECT event_type, n_days, s[1] AS level, s[2] AS trend,
+        | s[1] + s[2] AS forecast_1
+        |FROM st ORDER BY event_type""".stripMargin,
 
     // oracle states the window as a day-range join; the engine's
     // replicate-into-covered-days plan must produce identical reach

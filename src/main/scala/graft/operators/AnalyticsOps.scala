@@ -1136,6 +1136,48 @@ object AnalyticsOps {
           .as("chi2_term"))
   }
 
+  /** Holt's linear-trend exponential smoothing (Holt 1957, public) per
+    * series key: level/trend recursion
+    * lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁), bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁ over
+    * the DAILY total series, initialized (l₁, b₁) = (x₁, 0). Returns
+    * the end state and the 1-step-ahead forecast l+b — the trend-aware
+    * upgrade of [[ts_ewma]]'s flat smoothing.
+    *
+    * The recursion is inherently sequential, so it runs as ONE
+    * left-fold over the per-key series array (collected sorted —
+    * collect order is never trusted) with a two-element double
+    * accumulator [l, b]; the oracle replays the identical fold with
+    * list_reduce, so every IEEE intermediate matches bit-for-bit.
+    * Scale: series length = days-per-key (bounded by the calendar,
+    * ~36 k for a century), NOT corpus rows — the daily pre-aggregation
+    * is where 100 TB collapses; the fold is O(days) per key. */
+  def holtLinear(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, alpha: Double, beta: Double): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("d"))
+      .agg(sum(col(valueCol).cast(DecimalType(18, 4)))
+        .cast("double").as("x"))
+    val a = alpha
+    val b = beta
+    daily.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"),
+        expr("transform(array_sort(collect_list(struct(d, x))), s -> s.x)")
+          .as("xs"))
+      .withColumn("st", expr(
+        s"""aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)),
+           | array(element_at(xs, 1), cast(0.0 as double)),
+           | (acc, x) -> array(
+           |   $a*x + ${1 - a}*(element_at(acc,1) + element_at(acc,2)),
+           |   $b*(($a*x + ${1 - a}*(element_at(acc,1)
+           |     + element_at(acc,2))) - element_at(acc,1))
+           |     + ${1 - b}*element_at(acc,2)))""".stripMargin))
+      .select(col(keyCol), col("n_days"),
+        element_at(col("st"), 1).as("level"),
+        element_at(col("st"), 2).as("trend"),
+        (element_at(col("st"), 1) + element_at(col("st"), 2))
+          .as("forecast_1"))
+  }
+
   /** Cramér's V — the [0,1]-normalized effect size of [[chiSquare]]:
     * V = √( (χ²/n) / min(r−1, c−1) ), comparable across tables of any
     * shape where raw χ² is not. Per-cell χ² terms are quantized to

@@ -551,6 +551,56 @@ object TextOps {
           col("n_bigrams").cast("double")).as("avg_nll"))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010, public): candidate
+    * phrases are maximal runs of non-stopword tokens; each word scores
+    * deg(w)/freq(w) (degree = Σ length of phrases it appears in — a
+    * co-occurrence proxy favoring words that live in long phrases),
+    * and a phrase scores the sum of its word scores. Top-k phrases per
+    * document are the keywords.
+    *
+    * Word scores are quantized to 1e-9 fixed point BEFORE the
+    * per-phrase sum (the [[AnalyticsOps.cramersV]] determinism trick)
+    * so the cross-engine reduction order cannot drift a double.
+    * Phrase text is rebuilt by sorting collected (pos, word) structs —
+    * collect order is never trusted. Scale: per-doc windows partition
+    * by doc_id; word stats aggregate to vocabulary size; the phrase
+    * relation is corpus-sized but narrow (doc, grp, text, len). */
+  def rakeKeywords(documents: DataFrame, stopwords: Seq[String],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = documents.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+    val flagged = tok.withColumn("is_stop",
+      col("w").isInCollection(stopwords) || length(col("w")) === 0)
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = flagged
+      .withColumn("grp", sum(col("is_stop").cast("int")).over(wDoc))
+      .where(!col("is_stop"))
+      .select(col("doc_id"), col("grp"), col("pos"), col("w"))
+    val phrases = words.groupBy(col("doc_id"), col("grp"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w")), " ").as("phrase"),
+        count(lit(1)).as("n_words"))
+    val wstats = words.join(phrases, Seq("doc_id", "grp"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("deg"))
+      .withColumn("fp", floor(col("deg").cast("double") /
+        col("freq").cast("double") * lit(1e9)).cast("long"))
+    val scored = words.join(wstats.select("w", "fp"), "w")
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(sum(col("fp")).as("score_fp"))
+      .join(phrases, Seq("doc_id", "grp"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_fp").desc, col("phrase").asc)))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("phrase"), col("n_words"),
+        (col("score_fp").cast("double") / lit(1e9)).as("score"))
+  }
+
   /** Multinomial naive-Bayes token training (one-vs-rest): for each
     * class (language), the top-k tokens by Laplace-smoothed likelihood
     * ratio p(w|class)/p(w|¬class) — the per-class weight table an NB

@@ -1869,6 +1869,26 @@ object SparkEntry {
           key = "user_id", ts = "ts", state = "event_type")
         .orderBy(col("user_id"), col("valid_from"), col("state"))),
 
+    // ---- point-in-time join: facts against their SCD2 version ----
+    "join_temporal_scd2" -> ((s, dir) => {
+      // purchases enriched with the user-state version valid at
+      // purchase time: SCD2 history (runs of non-purchase activity)
+      // composed with the backward as-of join — the union+window
+      // shape, so the whole temporal lookup is ONE shuffle on user_id,
+      // not a range join against the version table
+      val ev = events(s, dir).where(col("user_id").isNotNull)
+      val dim = RelationalOps.scd2Intervals(
+          ev.where(col("event_type") =!= "purchase")
+            .select(col("user_id"), col("ts"), col("event_type")),
+          key = "user_id", ts = "ts", state = "event_type")
+        .select(col("user_id"), col("valid_from").as("ts"), col("state"))
+      val facts = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      RelationalOps.asofBackward(facts, dim, key = "user_id",
+          ts = "ts", pick = "state", outCol = "state_at_purchase")
+        .orderBy("event_id")
+    }),
+
     // ---- snapshot diff: derive a CDC stream from two full dumps ----
     // Two deterministic snapshots of `orders`: the old one misses every
     // 5th key, the new one misses every 7th and reprices every 3rd —
@@ -2936,6 +2956,18 @@ object SparkEntry {
       val seeds = c.where(col("c_custkey") <= 2)
         .select(col("c_custkey").as("node"))
       GraphOps.shortestHops(edges, seeds, iters = 5).orderBy("node")
+    }),
+
+    // ---- harmonic closeness from 4 landmark sources ----
+    "graph_harmonic_closeness" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val edges = c.where(col("c_custkey") > 1)
+        .select(col("c_custkey").as("src"),
+          expr("c_custkey div 2").as("dst"))
+      val seeds = c.where(col("c_custkey") <= 4)
+        .select(col("c_custkey").as("node"))
+      GraphOps.harmonicCloseness(edges, seeds, iters = 5)
+        .orderBy("source")
     }),
 
     // ---- daily-series autocorrelation per event type ----
@@ -5031,6 +5063,20 @@ object SparkEntry {
         |SELECT t.grp, t.q, t.n, r.v AS exact_q, TRUE AS bound_ok
         |FROM t JOIN r ON r.grp = t.grp AND r.rk = t.target
         |ORDER BY 1, 2""".stripMargin,
+
+    // SCD2-at-ts ≡ the latest state event at or before the fact, with
+    // the engine's (ts, state) tie order — stated as a correlated
+    // top-1 lookup, which DuckDB evaluates directly
+    "join_temporal_scd2" ->
+      """SELECT f.event_id, f.user_id, f.ts, f.value,
+        | (SELECT s.event_type FROM events s
+        |   WHERE s.user_id = f.user_id AND s.event_type <> 'purchase'
+        |    AND s.ts <= f.ts
+        |   ORDER BY s.ts DESC, s.event_type DESC LIMIT 1)
+        |   AS state_at_purchase
+        |FROM events f
+        |WHERE f.event_type = 'purchase' AND f.user_id IS NOT NULL
+        |ORDER BY f.event_id""".stripMargin,
 
     "scd2_user_state" ->
       """WITH r AS (SELECT user_id, ts, event_type,
@@ -7276,6 +7322,33 @@ object SparkEntry {
 
     // multi-source BFS: 5 relaxation rounds over the undirected
     // adjacency — integer-only, bit-exact by construction
+    // per-source BFS rounds; 1/d as the integer 10^12-scaled quotient
+    "graph_harmonic_closeness" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""d$i AS (SELECT source, node, MIN(dist) AS dist FROM (
+           |  SELECT source, node, dist FROM d${i - 1}
+           |  UNION ALL SELECT d.source, a.node, d.dist + 1
+           |  FROM adj a JOIN d${i - 1} d ON a.nb = d.node)
+           | GROUP BY source, node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT c_custkey AS src, c_custkey // 2 AS dst
+         |  FROM customer WHERE c_custkey > 1),
+         |und AS (SELECT DISTINCT least(src, dst) AS u,
+         |   greatest(src, dst) AS v FROM e0
+         |  WHERE least(src, dst) <> greatest(src, dst)),
+         |adj AS (SELECT u AS node, v AS nb FROM und
+         |  UNION ALL SELECT v, u FROM und),
+         |d0 AS (SELECT c_custkey AS source, c_custkey AS node,
+         |   CAST(0 AS BIGINT) AS dist
+         |  FROM customer WHERE c_custkey <= 4),
+         |$rounds
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_reached,
+         | CAST(CAST(SUM(1000000000000 // dist) AS VARCHAR) AS DOUBLE)
+         |   / 1e12 AS harmonic
+         |FROM d5 WHERE dist > 0 GROUP BY source
+         |ORDER BY source""".stripMargin
+    },
+
     "graph_shortest_hops" -> {
       val rounds = (1 to 5).map { i =>
         s"""d$i AS (SELECT node, MIN(dist) AS dist FROM (

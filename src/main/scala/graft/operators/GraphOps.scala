@@ -406,6 +406,48 @@ object GraphOps {
     dist
   }
 
+  /** Harmonic closeness centrality from a LANDMARK sample (Boldi &
+    * Vigna 2014 form: Σ 1/d over reached nodes — finite under
+    * disconnection, unlike classic closeness): per-source BFS to
+    * `iters` hops, then the reciprocal-distance sum. Exact under
+    * cross-engine hashing because 1/d is taken as the INTEGER
+    * 10¹²-scaled quotient (10¹² div d) — the sum is integer
+    * arithmetic, divided back to a double once at the end.
+    *
+    * Per-source frontiers ride one relation keyed (source, node), so
+    * k landmarks cost k× one BFS's shuffle volume — the standard
+    * sampling regime (k ≪ n picked landmarks approximate the full
+    * centrality ranking; exact all-pairs would be O(n·E) and is the
+    * wrong tool at 100 TB). Output: (source, n_reached, harmonic). */
+  def harmonicCloseness(edges: DataFrame, seeds: DataFrame,
+      iters: Int, checkpoint: Boolean = true): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val adj = und.select(col("u").as("node"), col("v").as("nb"))
+      .union(und.select(col("v").as("node"), col("u").as("nb")))
+      .localCheckpoint(true)
+    var dist = seeds.select(col("node")).distinct()
+      .select(col("node").as("source"), col("node"), lit(0L).as("dist"))
+    for (_ <- 1 to iters) {
+      val relaxed = adj.join(dist, adj("nb") === dist("node"))
+        .select(col("source"), adj("node").as("node"),
+          (col("dist") + lit(1L)).as("dist"))
+      dist = dist.select(col("source"), col("node"), col("dist"))
+        .union(relaxed)
+        .groupBy(col("source"), col("node"))
+        .agg(min(col("dist")).as("dist"))
+      if (checkpoint) dist = dist.localCheckpoint(true)
+    }
+    dist.where(col("dist") > 0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000000000 div dist")).as("fp"))
+      .select(col("source"), col("n_reached"),
+        (col("fp").cast("double") / lit(1e12)).as("harmonic"))
+  }
+
   /** Newman–Girvan modularity of a node partition: per community c,
     * the contribution e_c/m − (d_c/(2m))² where e_c = intra-community
     * edges, d_c = Σ degrees of c's members, m = |undirected edges|;

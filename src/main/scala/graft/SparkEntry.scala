@@ -794,6 +794,21 @@ object SparkEntry {
           "metric", "val")
         .orderBy("l_orderkey", "l_linenumber", "metric")),
 
+    "x_binary_suite" -> ((s, dir) =>
+      // binary-column function coverage: base64 round trip, hex,
+      // bit/octet lengths, sha256 — the encode/digest toolkit a media
+      // or payload pipeline leans on
+      t(s, dir, "part").where(col("p_partkey") <= 500)
+        .select(col("p_partkey"),
+          base64(col("p_name").cast("binary")).as("b64"),
+          hex(col("p_partkey")).as("hx"),
+          bit_length(col("p_name")).as("bl"),
+          octet_length(col("p_name")).as("ol"),
+          (unbase64(base64(col("p_name").cast("binary")))
+            .cast("string") === col("p_name")).as("rt_ok"),
+          sha2(col("p_name").cast("binary"), 256).as("sha"))
+        .orderBy("p_partkey")),
+
     "x_bitwise_suite" -> ((s, dir) =>
       t(s, dir, "orders").select(col("o_orderkey"),
           col("o_orderkey").bitwiseAND(lit(255L)).as("b_and"),
@@ -1852,6 +1867,16 @@ object SparkEntry {
           qs = Seq(0.5, 0.9), capacity = 1024)
         .orderBy("grp", "q")),
 
+    // ---- Jaro-Winkler blocked matching over part names ----
+    "er_jw_matches" -> ((s, dir) =>
+      // brand blocks bound the candidate square; the native JW
+      // expression verifies pairs at >= 0.9 — the name-typo regime
+      // where Levenshtein's unit costs under-rank prefix matches
+      RelationalOps.jaroBlockedMatches(t(s, dir, "part"),
+          idCol = "p_partkey", nameCol = "p_name",
+          blockCol = "p_brand", threshold = 0.9)
+        .orderBy("id_a", "id_b")),
+
     // ---- blocked fuzzy entity matching within nations ----
     "er_blocked_matches" -> ((s, dir) =>
       // deletion-neighborhood candidates (FastSS), exact verify —
@@ -2248,6 +2273,13 @@ object SparkEntry {
     }),
 
     // ---- MinHash estimator audit: slot agreement vs exact Jaccard ----
+    "dedup_bbit_minhash" -> ((s, dir) =>
+      // 4-bit truncated signatures with collision-corrected estimator:
+      // 1/8 the signature bytes, recall unchanged (banding stays
+      // full-width), error audited against exact Jaccard per pair
+      Dedup.bbitMinhashPairs(t(s, dir, "documents"))
+        .orderBy("id_a", "id_b")),
+
     "dedup_minhash_estimate" -> ((s, dir) =>
       Dedup.minhashEstimatePairs(t(s, dir, "documents"), k = 8, bands = 4)
         .orderBy("id_a", "id_b")),
@@ -4312,6 +4344,17 @@ object SparkEntry {
         |  FROM lineitem WHERE l_orderkey <= 2000)
         |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
+    "x_binary_suite" ->
+      """SELECT p_partkey,
+        | base64(encode(p_name)) AS b64,
+        | to_hex(p_partkey) AS hx,
+        | CAST(bit_length(p_name) AS INTEGER) AS bl,
+        | CAST(octet_length(encode(p_name)) AS INTEGER) AS ol,
+        | decode(from_base64(base64(encode(p_name)))) = p_name AS rt_ok,
+        | sha256(p_name) AS sha
+        |FROM part WHERE p_partkey <= 500
+        |ORDER BY p_partkey""".stripMargin,
+
     "x_bitwise_suite" ->
       """SELECT o_orderkey,
         | o_orderkey & 255 AS b_and,
@@ -5025,6 +5068,14 @@ object SparkEntry {
          |FROM exact e JOIN est ON e.event_type = est.event_type
          |ORDER BY e.event_type""".stripMargin
     },
+
+    "er_jw_matches" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        | jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+        |FROM part a JOIN part b
+        | ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "er_blocked_matches" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
@@ -5898,6 +5949,39 @@ object SparkEntry {
 
     // the minhash-lsh candidate machinery plus per-slot agreement —
     // the estimator itself is the fraction of equal signature slots
+    // same CTEs as the full-width estimator; agreement on the final
+    // hex nibble, corrected by exact binary constants 2^-4 and 15/16
+    "dedup_bbit_minhash" -> {
+      val mh = (0 until 8).map(i => s"min(md5('$i|' || sh)) AS m$i")
+        .mkString(", ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, " +
+          s"md5(m${2 * b} || '|' || m${2 * b + 1}) AS bh FROM mh")
+        .mkString(" UNION ALL ")
+      val agree = (0 until 8)
+        .map(i =>
+          s"CASE WHEN substr(sa.m$i, 32, 1) = substr(sb.m$i, 32, 1) " +
+            "THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH $duckShingles,
+         |mh AS (SELECT doc_id, $mh FROM shm GROUP BY doc_id),
+         |bands AS ($bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |est AS (SELECT c.ia, c.ib,
+         |  (CAST($agree AS DOUBLE) / CAST(8 AS DOUBLE)
+         |    - CAST(0.0625 AS DOUBLE)) / CAST(0.9375 AS DOUBLE)
+         |   AS b4_est
+         |  FROM cand c JOIN mh sa ON c.ia = sa.doc_id
+         |  JOIN mh sb ON c.ib = sb.doc_id),
+         |${duckJaccardCtes("SELECT ia, ib FROM cand")}
+         |SELECT j.id_a, j.id_b, e.b4_est, j.jaccard,
+         | abs(e.b4_est - j.jaccard) AS abs_err
+         |FROM jac j JOIN est e ON j.id_a = e.ia AND j.id_b = e.ib
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
     "dedup_minhash_estimate" -> {
       val mh = (0 until 8).map(i => s"min(md5('$i|' || sh)) AS m$i")
         .mkString(", ")

@@ -147,6 +147,46 @@ object Dedup {
         abs(col("est") - col("jaccard")).as("abs_err"))
   }
 
+  /** b-bit minhash similarity (Li & König, WWW 2010, public): keep
+    * only the lowest b=4 bits (the final hex nibble) of each of the k
+    * minhashes — 1/8 the signature storage of [[minhashEstimatePairs]]
+    * — and correct the agreement rate for random nibble collisions:
+    * sim ≈ (rate − 2⁻ᵇ) / (1 − 2⁻ᵇ). At 100 TB the signature table is
+    * the thing you materialize and re-join constantly; shrinking it 8×
+    * while keeping the estimator unbiased is the whole point of the
+    * paper. Candidates still come from the full-width banded LSH (the
+    * bit truncation applies to the ESTIMATOR, not candidate recall);
+    * output carries the exact Jaccard and |error| per pair so the
+    * trade is auditable. Constants 2⁻⁴ = 0.0625 and 15/16 = 0.9375 are
+    * exact binary doubles — the correction introduces no rounding. */
+  def bbitMinhashPairs(documents: DataFrame, k: Int = 8,
+      bands: Int = 4, w: Int = 3): DataFrame = {
+    val docSh = docShingles(documents, w).localCheckpoint(true)
+    val sigs = withMinhashes(docSh, k).localCheckpoint(true)
+    val buckets = lshBuckets(sigs, bands, k / bands)
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val agree = (0 until k).map(i =>
+      when(substring(col(s"sa.minhash_$i"), 32, 1) ===
+          substring(col(s"sb.minhash_$i"), 32, 1), 1)
+        .otherwise(0)).reduceLeft(_ + _)
+    val est = candidates
+      .join(sigs.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        ((agree.cast("double") / lit(k).cast("double")) - lit(0.0625))
+          ./(lit(0.9375)).as("b4_est"))
+    jaccardOf(docSh, candidates)
+      .join(est, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("b4_est"), col("jaccard"),
+        abs(col("b4_est") - col("jaccard")).as("abs_err"))
+  }
+
   /** Exact n-gram Jaccard over co-shingled pairs (no LSH): pairs that
     * share ≥1 shingle, scored |∩| / |∪|. The inverted-index self-join on
     * a 64-bit shingle key avoids the n² cross product — only docs sharing

@@ -688,6 +688,29 @@ object RelationalOps {
     sortedNeighborhoodCandidates(df, idCol, nameCol, window, nBuckets)
       .where(col("dist") <= maxDist)
 
+  /** Blocked fuzzy-name matcher on Jaro–Winkler — the record-linkage
+    * similarity the ER literature prefers for person/org names (prefix
+    * typos score high where Levenshtein's unit costs flatten them).
+    * Candidates come from an equality BLOCK (the standard quadratic
+    * guard: candidates = Σ_b |block_b|², one shuffle on the block
+    * key — pick a key whose blocks stay bounded, or pre-split hot
+    * blocks with SkewOps); the codegen'd [[graft.functions.JaroWinklerExpr]]
+    * verifies each pair. Output (id_a, id_b, jw), id_a < id_b. */
+  def jaroBlockedMatches(df: DataFrame, idCol: String, nameCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(blockCol).as("_blk"), col(idCol).as("id_a"),
+      col(nameCol).as("_na"))
+    val b = df.select(col(blockCol).as("_blk"), col(idCol).as("id_b"),
+      col(nameCol).as("_nb"))
+    val jw = graft.functions.EditDistanceFunctions
+      .jaro_winkler(col("_na"), col("_nb"))
+    a.join(b, Seq("_blk"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("jw", jw)
+      .where(col("jw") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jw"))
+  }
+
   /** The pre-verify neighborhood candidate relation of
     * [[sortedNeighborhoodMatches]]: every (id_a, id_b, dist) pair
     * within `window` positions in the global key order, BEFORE the

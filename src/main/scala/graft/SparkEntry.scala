@@ -2324,6 +2324,59 @@ object SparkEntry {
         .select(col("w.start").as("ws"), col("event_type"), col("n"))
         .orderBy("ws", "event_type")),
 
+    // ---- difference-in-differences effect estimate ----
+    "analytics_did" -> ((s, dir) => {
+      // 2x2 natural experiment on the event log: treatment = odd
+      // user_id, post = on/after the business date. DiD = the
+      // treatment group's mean-value shift minus the control group's —
+      // the standard causal read when parallel trends hold. One
+      // map-side-combined aggregation (8 conditional decimal sums),
+      // then a fixed IEEE expression; nothing shuffles but 8 numbers.
+      val ev = events(s, dir).where(col("user_id").isNotNull)
+        .withColumn("treat", (col("user_id") % 2 === 1))
+        .withColumn("post", to_date(col("ts")) >= lit(D).cast("date"))
+      val dec = DecimalType(18, 4)
+      def cell(t: Boolean, p: Boolean) = (
+        sum(when(col("treat") === t && col("post") === p,
+          col("value").cast(dec))).cast("double"),
+        count(when(col("treat") === t && col("post") === p, lit(1))))
+      val ((sTT, nTT), (sTF, nTF)) = (cell(true, true), cell(true, false))
+      val ((sCT, nCT), (sCF, nCF)) = (cell(false, true), cell(false, false))
+      ev.agg(sTT.as("s_t_post"), nTT.as("n_t_post"),
+          sTF.as("s_t_pre"), nTF.as("n_t_pre"),
+          sCT.as("s_c_post"), nCT.as("n_c_post"),
+          sCF.as("s_c_pre"), nCF.as("n_c_pre"))
+        .select(col("n_t_post"), col("n_t_pre"), col("n_c_post"),
+          col("n_c_pre"),
+          (col("s_t_post") / col("n_t_post").cast("double") -
+            col("s_t_pre") / col("n_t_pre").cast("double"))
+            .as("delta_treat"),
+          (col("s_c_post") / col("n_c_post").cast("double") -
+            col("s_c_pre") / col("n_c_pre").cast("double"))
+            .as("delta_control"),
+          ((col("s_t_post") / col("n_t_post").cast("double") -
+            col("s_t_pre") / col("n_t_pre").cast("double")) -
+            (col("s_c_post") / col("n_c_post").cast("double") -
+              col("s_c_pre") / col("n_c_pre").cast("double")))
+            .as("did_effect"))
+    }),
+
+    // ---- strict local maxima of the daily series ----
+    "ts_peaks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(col("value").cast(DecimalType(18, 4)))
+          .cast("double").as("x"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      daily
+        .withColumn("prev_x", lag(col("x"), 1).over(w))
+        .withColumn("next_x", lead(col("x"), 1).over(w))
+        .where(col("prev_x").isNotNull && col("next_x").isNotNull &&
+          col("x") > col("prev_x") && col("x") > col("next_x"))
+        .orderBy("event_type", "d")
+    }),
+
     // ---- Holt linear-trend smoothing + 1-step forecast ----
     "ts_holt_forecast" -> ((s, dir) =>
       AnalyticsOps.holtLinear(events(s, dir), keyCol = "event_type",
@@ -6097,6 +6150,57 @@ object SparkEntry {
         | FROM events CROSS JOIN range(2) k(k))
         |SELECT ws, event_type, CAST(count(*) AS BIGINT) AS n
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // 8 conditional decimal sums, VARCHAR-hopped; the DiD expression
+    // replays term for term
+    "analytics_did" ->
+      """WITH e AS (SELECT (user_id % 2 = 1) AS treat,
+        |  (CAST(ts AS DATE) >= DATE '2024-01-15') AS post,
+        |  CAST(value AS DECIMAL(18,4)) AS v
+        | FROM events WHERE user_id IS NOT NULL),
+        |s AS (SELECT
+        |  CAST(CAST(SUM(CASE WHEN treat AND post THEN v END)
+        |    AS VARCHAR) AS DOUBLE) AS s_t_post,
+        |  CAST(count(CASE WHEN treat AND post THEN 1 END) AS BIGINT)
+        |    AS n_t_post,
+        |  CAST(CAST(SUM(CASE WHEN treat AND NOT post THEN v END)
+        |    AS VARCHAR) AS DOUBLE) AS s_t_pre,
+        |  CAST(count(CASE WHEN treat AND NOT post THEN 1 END) AS BIGINT)
+        |    AS n_t_pre,
+        |  CAST(CAST(SUM(CASE WHEN NOT treat AND post THEN v END)
+        |    AS VARCHAR) AS DOUBLE) AS s_c_post,
+        |  CAST(count(CASE WHEN NOT treat AND post THEN 1 END) AS BIGINT)
+        |    AS n_c_post,
+        |  CAST(CAST(SUM(CASE WHEN NOT treat AND NOT post THEN v END)
+        |    AS VARCHAR) AS DOUBLE) AS s_c_pre,
+        |  CAST(count(CASE WHEN NOT treat AND NOT post THEN 1 END)
+        |    AS BIGINT) AS n_c_pre
+        | FROM e)
+        |SELECT n_t_post, n_t_pre, n_c_post, n_c_pre,
+        | (s_t_post / CAST(n_t_post AS DOUBLE)
+        |   - s_t_pre / CAST(n_t_pre AS DOUBLE)) AS delta_treat,
+        | (s_c_post / CAST(n_c_post AS DOUBLE)
+        |   - s_c_pre / CAST(n_c_pre AS DOUBLE)) AS delta_control,
+        | ((s_t_post / CAST(n_t_post AS DOUBLE)
+        |   - s_t_pre / CAST(n_t_pre AS DOUBLE))
+        |  - (s_c_post / CAST(n_c_post AS DOUBLE)
+        |   - s_c_pre / CAST(n_c_pre AS DOUBLE))) AS did_effect
+        |FROM s""".stripMargin,
+
+    // strict inequalities on bit-identical daily doubles
+    "ts_peaks" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+        |    AS DOUBLE) AS x
+        | FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, d, x,
+        |  lag(x) OVER (PARTITION BY event_type ORDER BY d) AS prev_x,
+        |  lead(x) OVER (PARTITION BY event_type ORDER BY d) AS next_x
+        | FROM daily)
+        |SELECT event_type, d, x, prev_x, next_x FROM w
+        |WHERE prev_x IS NOT NULL AND next_x IS NOT NULL
+        | AND x > prev_x AND x > next_x
+        |ORDER BY event_type, d""".stripMargin,
 
     // the identical sequential fold, replayed by list_reduce over
     // [level, trend] pairs — every IEEE intermediate matches

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnalyticsOps, Dedup, GraphOps, PipelineOps, RelationalOps, Similarity}
+import graft.operators.{AnalyticsOps, Dedup, GraphOps, PipelineOps, RelationalOps, Similarity, TextOps}
 
 /** Scale-stress harness: measures the heavy operator families on
   * synthetic corpora at 1×/10×/100× the sf0.1 size, reporting wall
@@ -301,6 +301,32 @@ object ScaleStress {
           .agg(count(lit(1)).as("size"), min(col("nm")).as("canonical"))
       }
       matches.unpersist()
+    }
+    // brand-style blocked JW matching: fixed-size blocks (32) keep the
+    // candidate square LINEAR in n — candidates = Σ_b c·(c−1)/2, the
+    // exact pre-verify join cardinality
+    if (only.isEmpty || only.contains("er_jw_blocked")) {
+      val blocked = docs.select(col("doc_id"),
+          expr("doc_id div 32").as("blk"),
+          substring(col("text"), 1, 24).as("nm"))
+        .localCheckpoint(true)
+      run("er_jw_blocked", nDocs, bucketPairCount(blocked, Seq("blk"))) {
+        RelationalOps.jaroBlockedMatches(blocked, "doc_id", "nm",
+          "blk", threshold = 0.8)
+      }
+      blocked.unpersist()
+    }
+    // winnowing is strictly per-row (split→gram→hash→window-min):
+    // wall time must track n with no cross-row term
+    run("text_winnowing", nDocs) {
+      TextOps.winnowingFingerprints(docs, k = 4, w = 4)
+    }
+    // landmark harmonic closeness: k = 8 fixed landmarks — per-round
+    // cost ∝ k·E, so growth must track the edge count, not n·E
+    run("graph_harmonic_closeness", nNodes) {
+      GraphOps.harmonicCloseness(edges,
+        edges.select(col("src").as("node")).where(col("node") < 8)
+          .distinct(), iters = 5)
     }
     docs.unpersist(); emb.unpersist(); vals.unpersist(); edges.unpersist()
     out.toSeq

@@ -1869,12 +1869,16 @@ object SparkEntry {
 
     // ---- Jaro-Winkler blocked matching over part names ----
     "er_jw_matches" -> ((s, dir) =>
-      // brand blocks bound the candidate square; the native JW
-      // expression verifies pairs at >= 0.9 — the name-typo regime
-      // where Levenshtein's unit costs under-rank prefix matches
-      RelationalOps.jaroBlockedMatches(t(s, dir, "part"),
+      // composite (brand, size) blocks bound the candidate square
+      // ~50x tighter than brand alone (the block-key choice IS the
+      // scale knob); the native JW expression verifies pairs at
+      // >= 0.9 — the name-typo regime where Levenshtein's unit costs
+      // under-rank prefix matches
+      RelationalOps.jaroBlockedMatches(
+          t(s, dir, "part").withColumn("blk",
+            concat_ws("|", col("p_brand"), col("p_size"))),
           idCol = "p_partkey", nameCol = "p_name",
-          blockCol = "p_brand", threshold = 0.9)
+          blockCol = "blk", threshold = 0.9)
         .orderBy("id_a", "id_b")),
 
     // ---- blocked fuzzy entity matching within nations ----
@@ -2399,7 +2403,9 @@ object SparkEntry {
         .withColumn("k", explode(sequence(lit(0), lit(2))))
         .select(expr("date_add(d, cast(k as int))").as("day"),
           col("d"), col("user_id"))
-      covered.join(days, "day")
+      // days is calendar-bounded (≤ tens of k rows even at a century
+      // of log) — broadcast it so the covered-days probe is map-side
+      covered.join(broadcast(days), "day")
         .groupBy(col("day"))
         .agg(
           countDistinct(when(col("d") === col("day"), col("user_id")))
@@ -5126,7 +5132,8 @@ object SparkEntry {
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
         | jaro_winkler_similarity(a.p_name, b.p_name) AS jw
         |FROM part a JOIN part b
-        | ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        | ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |  AND a.p_partkey < b.p_partkey
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
 

@@ -2328,6 +2328,44 @@ object SparkEntry {
         .select(col("w.start").as("ws"), col("event_type"), col("n"))
         .orderBy("ws", "event_type")),
 
+    // ---- exact weighted median per group ----
+    "agg_weighted_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // weighted median: smallest value whose cumulative weight
+      // reaches half the group total (2·cum >= W, integer compare —
+      // no half-weight float). Weights are exact integers; the
+      // cumulative window orders by the UNIQUE (value, event_id) so
+      // ties accumulate deterministically. One partitioned window +
+      // two aggs — the same shuffle any per-group rank statistic pays.
+      val ev = events(s, dir).where(col("user_id").isNotNull)
+        .select(col("event_type"), col("value"), col("event_id"),
+          (col("event_id") % 5 + 1).as("w"))
+      val win = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = ev.groupBy(col("event_type"))
+        .agg(sum(col("w")).as("w_total"))
+      ev.withColumn("cum", sum(col("w")).over(win))
+        .join(tot, "event_type")
+        .where(col("cum") * 2 >= col("w_total"))
+        .groupBy(col("event_type"))
+        .agg(max(col("w_total")).as("w_total"),
+          min(struct(col("value"), col("event_id"))).as("m"))
+        .select(col("event_type"), col("w_total"),
+          col("m.value").as("weighted_median"))
+        .orderBy("event_type")
+    }),
+
+    // ---- deterministic corpus shuffle order ----
+    "pipe_shuffle_order" -> ((s, dir) =>
+      // the training-data shuffle: a content-independent, seedable,
+      // reproducible global order via md5(seed || id) — TakeOrdered
+      // top-50 (no full global sort materializes on the driver)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("shuf1|"), col("doc_id"))).as("shuffle_key"))
+        .orderBy("shuffle_key").limit(50)),
+
     // ---- difference-in-differences effect estimate ----
     "analytics_did" -> ((s, dir) => {
       // 2x2 natural experiment on the event log: treatment = odd
@@ -6157,6 +6195,29 @@ object SparkEntry {
         | FROM events CROSS JOIN range(2) k(k))
         |SELECT ws, event_type, CAST(count(*) AS BIGINT) AS n
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // integer cumulative weights; 2·cum >= W avoids any half-weight
+    // float; the unique (value, event_id) order pins tie accumulation
+    "agg_weighted_median" ->
+      """WITH ev AS (SELECT event_type, value, event_id,
+        |  event_id % 5 + 1 AS w FROM events WHERE user_id IS NOT NULL),
+        |tot AS (SELECT event_type, CAST(SUM(w) AS BIGINT) AS w_total
+        | FROM ev GROUP BY 1),
+        |c AS (SELECT event_type, value, event_id,
+        |  SUM(w) OVER (PARTITION BY event_type ORDER BY value, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM ev),
+        |q AS (SELECT c.event_type, t.w_total, c.value,
+        |  row_number() OVER (PARTITION BY c.event_type
+        |   ORDER BY c.value, c.event_id) AS rn
+        | FROM c JOIN tot t ON c.event_type = t.event_type
+        | WHERE c.cum * 2 >= t.w_total)
+        |SELECT event_type, w_total, value AS weighted_median
+        |FROM q WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "pipe_shuffle_order" ->
+      """SELECT doc_id, md5('shuf1|' || doc_id) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key LIMIT 50""".stripMargin,
 
     // 8 conditional decimal sums, VARCHAR-hopped; the DiD expression
     // replays term for term

@@ -682,6 +682,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(v2.nonEmpty, "two windows must exceed text_bm25's cap of 1")
   }
 
+  test("sliding distinct reach: the calendar-day probe broadcasts") {
+    val plan = planOf(q("ts_sliding_distinct"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the days relation is calendar-bounded and must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no shuffle join in the covered-days probe:\n$plan")
+  }
+
+  test("JW blocked matcher: block equality is an equi-join — no " +
+      "nested-loop, no cartesian") {
+    val plan = planOf(q("er_jw_matches"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the candidate square must come from the block equi-join, " +
+        s"never a cross product:\n$plan")
+  }
+
+  test("deterministic shuffle order plans as TakeOrderedAndProject") {
+    val plan = planOf(q("pipe_shuffle_order"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ORDER BY shuffle_key LIMIT 50 must not global-sort:\n$plan")
+  }
+
+  test("DiD cells collapse map-side: one aggregation, no join") {
+    val df = q("analytics_did")
+    assert(shufflesOf(df).size <= 1,
+      "8 conditional sums must ride ONE aggregation exchange:\n" +
+        df.queryExecution.executedPlan.toString)
+  }
+
   test("prefix-Jaccard: verify arrays reuse the window exchanges " +
       "(long form shuffles at most 3 times)") {
     val df = q("dedup_prefix_jaccard")

@@ -2356,6 +2356,45 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- one-row dataset card over the corpus ----
+    "pipe_corpus_stats" -> ((s, dir) => {
+      // the summary block a dataset card opens with — one map-side-
+      // combined aggregation over the documents scan, nothing else
+      val d = t(s, dir, "documents")
+        .withColumn("n_tok", size(TextOps.tokens(col("text"))))
+      d.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_tok").cast("long")).as("total_tokens"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        min(col("n_tok")).as("min_tokens"),
+        max(col("n_tok")).as("max_tokens"))
+        .withColumn("mean_tokens",
+          col("total_tokens").cast("double") /
+            col("n_docs").cast("double"))
+    }),
+
+    // ---- RANGE-frame window: trailing 30-day spend per customer ----
+    "window_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // value-range frames (not row counts): each order sees the sum
+      // of the SAME customer's orders in the preceding 30 days —
+      // partitioned by customer, so the frame scan is per-key local
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+          .cast("long").as("dd"),
+        col("o_totalprice"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("dd"))
+        .rangeBetween(-30, 0)
+      o.select(col("o_orderkey"), col("o_custkey"), col("dd"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("spend_30d"),
+          count(lit(1)).over(w).as("orders_30d"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- deterministic corpus shuffle order ----
     "pipe_shuffle_order" -> ((s, dir) =>
       // the training-data shuffle: a content-independent, seedable,
@@ -6218,6 +6257,38 @@ object SparkEntry {
     "pipe_shuffle_order" ->
       """SELECT doc_id, md5('shuf1|' || doc_id) AS shuffle_key
         |FROM documents ORDER BY shuffle_key LIMIT 50""".stripMargin,
+
+    "pipe_corpus_stats" ->
+      """WITH d AS (SELECT lang, source, strlen(text) AS n_chars,
+        |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_tok
+        | FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        | CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        | CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        | CAST(min(n_tok) AS INTEGER) AS min_tokens,
+        | CAST(max(n_tok) AS INTEGER) AS max_tokens,
+        | CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE) /
+        |  CAST(count(*) AS DOUBLE) AS mean_tokens
+        |FROM d""".stripMargin,
+
+    // hugeint window sum, VARCHAR hop — the decimal trailing spend is
+    // exact under any frame evaluation order
+    "window_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        | CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |   AS dd,
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey
+        |   ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |  AS VARCHAR) AS DOUBLE) AS spend_30d,
+        | CAST(count(*) OVER (PARTITION BY o_custkey
+        |   ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS orders_30d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // 8 conditional decimal sums, VARCHAR-hopped; the DiD expression
     // replays term for term

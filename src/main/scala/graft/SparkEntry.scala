@@ -2328,6 +2328,13 @@ object SparkEntry {
         .select(col("w.start").as("ws"), col("event_type"), col("n"))
         .orderBy("ws", "event_type")),
 
+    // ---- linear multi-touch attribution over a 3-day window ----
+    "analytics_attribution" -> ((s, dir) =>
+      AnalyticsOps.linearAttribution(events(s, dir),
+          conversionType = "purchase",
+          touchTypes = Seq("view", "click"), windowDays = 3)
+        .orderBy("channel")),
+
     // ---- exact weighted median per group ----
     "agg_weighted_median" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -6234,6 +6241,27 @@ object SparkEntry {
         | FROM events CROSS JOIN range(2) k(k))
         |SELECT ws, event_type, CAST(count(*) AS BIGINT) AS n
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the oracle states the window as a direct micro-range join; the
+    // engine's day-replicated equi-join must yield identical credit
+    "analytics_attribution" ->
+      """WITH p AS (SELECT event_id AS pid, user_id,
+        |  epoch_us(ts) AS pmu FROM events
+        | WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |t AS (SELECT user_id, event_type AS channel, epoch_us(ts)
+        |  AS tmu FROM events
+        | WHERE event_type IN ('view', 'click')
+        |  AND user_id IS NOT NULL),
+        |j AS (SELECT p.pid, t.channel FROM p JOIN t
+        | ON p.user_id = t.user_id AND t.tmu <= p.pmu
+        |  AND t.tmu >= p.pmu - 259200000000),
+        |n AS (SELECT pid, CAST(count(*) AS BIGINT) AS n FROM j
+        | GROUP BY 1),
+        |c AS (SELECT j.channel, 1000000000000 // n.n AS fp
+        | FROM j JOIN n ON j.pid = n.pid)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+        | CAST(CAST(SUM(fp) AS VARCHAR) AS DOUBLE) / 1e12 AS credit
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // integer cumulative weights; 2·cum >= W avoids any half-weight
     // float; the unique (value, event_id) order pins tie accumulation

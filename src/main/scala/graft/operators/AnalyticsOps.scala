@@ -1136,6 +1136,47 @@ object AnalyticsOps {
           .as("chi2_term"))
   }
 
+  /** Linear multi-touch attribution: every conversion splits one unit
+    * of credit equally across the user's touch events (views/clicks)
+    * in the trailing `windowDays`; per-channel credit is the sum. The
+    * marketing-analytics staple between last-touch (as-of join) and
+    * data-driven models.
+    *
+    * Scale shape: the purchase×touch pairing is NOT a per-user theta
+    * join — touches replicate to the ≤ windowDays+1 calendar days they
+    * can influence and meet purchases on an equi (user, day) key, with
+    * the exact micro-range filter applied after (bounded ×(w+1)
+    * expansion, the ts_sliding_distinct construction). Credit 1/n is
+    * taken as the integer 10¹² div n, so the cross-purchase sum is
+    * exact integer arithmetic — no float accumulation order.
+    * Output: (channel, n_touches, credit). */
+  def linearAttribution(events: DataFrame, conversionType: String,
+      touchTypes: Seq[String], windowDays: Int): DataFrame = {
+    val ev = events.where(col("user_id").isNotNull)
+    val p = ev.where(col("event_type") === conversionType)
+      .select(col("event_id").as("pid"), col("user_id"),
+        unix_micros(col("ts")).as("pmu"),
+        unix_date(to_date(col("ts"))).as("pday"))
+    val tch = ev.where(col("event_type").isInCollection(touchTypes))
+      .select(col("user_id"), col("event_type").as("channel"),
+        unix_micros(col("ts")).as("tmu"),
+        unix_date(to_date(col("ts"))).as("tday"))
+      .withColumn("k", explode(sequence(lit(0), lit(windowDays))))
+      .select(col("user_id"), col("channel"), col("tmu"),
+        (col("tday") + col("k")).as("pday"))
+    val winMicros = windowDays.toLong * 86400000000L
+    val j = p.join(tch, Seq("user_id", "pday"))
+      .where(col("tmu") <= col("pmu") &&
+        col("tmu") >= col("pmu") - lit(winMicros))
+      .select(col("pid"), col("channel"))
+    val n = j.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+    j.join(n, "pid")
+      .withColumn("fp", expr("1000000000000 div n"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        (sum(col("fp")).cast("double") / lit(1e12)).as("credit"))
+  }
+
   /** Holt's linear-trend exponential smoothing (Holt 1957, public) per
     * series key: level/trend recursion
     * lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁), bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁ over

@@ -2498,6 +2498,34 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // ---- DAU / WAU / MAU / stickiness ----
+    "analytics_dau_mau" -> ((s, dir) => {
+      // the product-analytics vital signs: per day, distinct users in
+      // the trailing 1/7/30 days plus DAU/MAU stickiness. Same
+      // replicate-into-covered-days equi-join as ts_sliding_distinct,
+      // widened to the 30-day tier (×30 bounded expansion of the
+      // DISTINCT (day, user) relation — far smaller than the log)
+      val du = events(s, dir)
+        .where(col("user_id").isNotNull)
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      val days = du.select(col("d").as("day")).distinct()
+      val covered = du
+        .withColumn("k", explode(sequence(lit(0), lit(29))))
+        .select(expr("date_add(d, cast(k as int))").as("day"),
+          col("d"), col("user_id"))
+      covered.join(broadcast(days), "day")
+        .groupBy(col("day"))
+        .agg(
+          countDistinct(when(col("d") === col("day"), col("user_id")))
+            .as("dau"),
+          countDistinct(when(datediff(col("day"), col("d")) <= 6,
+            col("user_id"))).as("wau"),
+          countDistinct(col("user_id")).as("mau"))
+        .withColumn("stickiness",
+          col("dau").cast("double") / col("mau").cast("double"))
+        .orderBy("day")
+    }),
+
     // ---- incremental LSH: only pairs touching the new batch ----
     "dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -6388,6 +6416,22 @@ object SparkEntry {
         |SELECT event_type, n_days, s[1] AS level, s[2] AS trend,
         | s[1] + s[2] AS forecast_1
         |FROM st ORDER BY event_type""".stripMargin,
+
+    "analytics_dau_mau" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+        | FROM events WHERE user_id IS NOT NULL),
+        |days AS (SELECT DISTINCT d AS day FROM du)
+        |SELECT t.day,
+        | CAST(count(DISTINCT CASE WHEN s.d = t.day THEN s.user_id END)
+        |   AS BIGINT) AS dau,
+        | CAST(count(DISTINCT CASE WHEN t.day - s.d <= 6
+        |   THEN s.user_id END) AS BIGINT) AS wau,
+        | CAST(count(DISTINCT s.user_id) AS BIGINT) AS mau,
+        | CAST(count(DISTINCT CASE WHEN s.d = t.day THEN s.user_id END)
+        |   AS DOUBLE) / CAST(count(DISTINCT s.user_id) AS DOUBLE)
+        |  AS stickiness
+        |FROM days t JOIN du s ON s.d BETWEEN t.day - 29 AND t.day
+        |GROUP BY t.day ORDER BY t.day""".stripMargin,
 
     // oracle states the window as a day-range join; the engine's
     // replicate-into-covered-days plan must produce identical reach

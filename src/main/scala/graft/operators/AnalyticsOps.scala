@@ -207,7 +207,11 @@ object AnalyticsOps {
     import org.apache.spark.sql.expressions.Window
     def rank2(c: String): Column = {
       val w = Window.partitionBy(col(groupCol)).orderBy(col(c))
-      val ties = Window.partitionBy(col(groupCol), col(c))
+      // peer count via a RANGE current-row frame ON THE SAME window
+      // spec as rank(): both expressions share one exchange + one
+      // sort, where a (group, value)-partitioned count would add a
+      // second exchange per variable
+      val ties = w.rangeBetween(Window.currentRow, Window.currentRow)
       // (19,0): products stay inside the 38-digit cap without a clamp
       (rank().over(w) * lit(2) + count(lit(1)).over(ties) - lit(1))
         .cast(DecimalType(19, 0))

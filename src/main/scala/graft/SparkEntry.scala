@@ -2498,6 +2498,40 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // ---- trailing reach from MERGED daily HLL sketches ----
+    "sketch_hll_sliding" -> ((s, dir) => {
+      // the 100 TB answer to ts_sliding_distinct: distinct users per
+      // trailing 7 days WITHOUT re-scanning history — one KB-sized
+      // HLL sketch per day, replicated into the ≤7 days it covers and
+      // union-merged per target day. History cost drops from
+      // re-reading 7 days of log to merging 7 sketches; the estimate
+      // is register-order-independent, verified within 5% of exact.
+      val ev = events(s, dir).where(col("user_id").isNotNull)
+      val daily = ev.groupBy(to_date(col("ts")).as("d"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val days = daily.select(col("d").as("day"))
+      val est = daily
+        .withColumn("k", explode(sequence(lit(0), lit(6))))
+        .select(expr("date_add(d, cast(k as int))").as("day"), col("sk"))
+        .join(broadcast(days), "day")
+        .groupBy(col("day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = ev.select(to_date(col("ts")).as("d"), col("user_id"))
+        .distinct()
+        .withColumn("k", explode(sequence(lit(0), lit(6))))
+        .select(expr("date_add(d, cast(k as int))").as("day"),
+          col("user_id"))
+        .join(broadcast(days), "day")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("exact_u7"))
+      exact.join(est, "day")
+        .select(col("day"), col("exact_u7"),
+          (abs(col("est").cast("double") -
+              col("exact_u7").cast("double")) <=
+            col("exact_u7").cast("double") * 0.05).as("hll_ok"))
+        .orderBy("day")
+    }),
+
     // ---- DAU / WAU / MAU / stickiness ----
     "analytics_dau_mau" -> ((s, dir) => {
       // the product-analytics vital signs: per day, distinct users in
@@ -6416,6 +6450,18 @@ object SparkEntry {
         |SELECT event_type, n_days, s[1] AS level, s[2] AS trend,
         | s[1] + s[2] AS forecast_1
         |FROM st ORDER BY event_type""".stripMargin,
+
+    // exact trailing reach + the 5%-bound flag (the sketch estimate is
+    // deterministic; the oracle checks the exact side and the bound)
+    "sketch_hll_sliding" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+        | FROM events WHERE user_id IS NOT NULL),
+        |days AS (SELECT DISTINCT d AS day FROM du)
+        |SELECT t.day,
+        | CAST(count(DISTINCT s.user_id) AS BIGINT) AS exact_u7,
+        | TRUE AS hll_ok
+        |FROM days t JOIN du s ON s.d BETWEEN t.day - 6 AND t.day
+        |GROUP BY t.day ORDER BY t.day""".stripMargin,
 
     "analytics_dau_mau" ->
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id

@@ -2569,6 +2569,35 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- Matryoshka truncation audit: 16-dim prefix vs full ----
+    "ann_matryoshka_audit" -> ((s, dir) => {
+      // Matryoshka representations (Kusupati et al. 2022, public):
+      // if embeddings are trained front-loaded, a short PREFIX should
+      // retain most retrieval quality at a fraction of the bytes.
+      // This audits the claim on this corpus: exact top-5 under the
+      // 16-dim prefix vs the 64-dim ground truth, hits as pure
+      // integer pairs (no cross-engine float compare).
+      val emb = t(s, dir, "embeddings")
+      val trunc = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val full = Similarity.bruteForceTopK(emb,
+          emb.where(col("vec_id") < 8), k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val pre = Similarity.bruteForceTopK(trunc,
+          trunc.where(col("vec_id") < 8), k = 5)
+        .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+      val hits = full.join(pre,
+          col("query_id") === col("q2") &&
+            col("neighbor_id") === col("n2"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits16"))
+      emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left_outer")
+        .withColumn("hits16", coalesce(col("hits16"), lit(0L)))
+        .withColumn("recall16", col("hits16").cast("double") / lit(5.0))
+        .orderBy("query_id")
+    }),
+
     // ---- ANN quality audit: recall@5 of every approximate method ----
     "ann_recall_audit" -> ((s, dir) => {
       // the approximate indexes are verified individually for
@@ -4183,6 +4212,39 @@ object SparkEntry {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // both rank relations replayed exactly; hits are integer pairs
+    "ann_matryoshka_audit" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm
+         |  FROM e),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+         |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id != q.vec_id),
+         |r AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+         |   AS rank FROM p),
+         |et AS (SELECT vec_id, v[1:16] AS v FROM e),
+         |nt AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm
+         |  FROM et),
+         |pt AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+         |  FROM nt q JOIN nt c ON q.vec_id < 8 AND c.vec_id != q.vec_id),
+         |rt AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+         |   AS rank FROM pt),
+         |h AS (SELECT r.query_id, CAST(count(*) AS BIGINT) AS hits16
+         |  FROM r JOIN rt ON r.query_id = rt.query_id
+         |   AND r.neighbor_id = rt.neighbor_id
+         |  WHERE r.rank <= 5 AND rt.rank <= 5 GROUP BY 1)
+         |SELECT q.vec_id AS query_id,
+         | COALESCE(h.hits16, 0) AS hits16,
+         | CAST(COALESCE(h.hits16, 0) AS DOUBLE) / CAST(5 AS DOUBLE)
+         |   AS recall16
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 8) q
+         |LEFT JOIN h ON q.vec_id = h.query_id
+         |ORDER BY query_id""".stripMargin,
 
     "ann_bruteforce_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -30,6 +30,9 @@ object Bench {
       .config("spark.sql.autoBroadcastJoinThreshold", "32m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // bench WITH the engine's optimizer rules active — same surface
+    // Verify checks and a cluster deployment would run
+    graft.functions.GraftFunctions.register(spark)
     // JVM/codegen warmup outside the timed region
     spark.range(1000000L).selectExpr("sum(id)").collect()
     var errors = List.empty[(String, String)]

@@ -20,6 +20,11 @@ object Verify {
       .config("spark.sql.autoBroadcastJoinThreshold", "32m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the engine's native functions + optimizer rules (CountInSet
+    // rewrite, JW length prune) are part of the product surface —
+    // verify WITH them active, exactly as a cluster deployment
+    // (spark.sql.extensions=graft.functions.GraftExtensions) would run
+    graft.functions.GraftFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
     val declared = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.nfcNormalizeDescriptor)
     // transparent HOF → native-expression acceleration
     e.injectOptimizerRule(_ => graft.plans.CountInSetRewrite)
+    // provable length pre-filter ahead of JW threshold matchers
+    e.injectOptimizerRule(_ => graft.plans.JaroWinklerLengthPrune)
     // whole-operator path: the per-key top-k physical strategy
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
@@ -157,7 +159,9 @@ object GraftFunctions {
     // idempotent: replace, never append twice
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations
-        .filterNot(_ == graft.plans.CountInSetRewrite) :+
-        graft.plans.CountInSetRewrite
+        .filterNot(_ == graft.plans.CountInSetRewrite)
+        .filterNot(_ == graft.plans.JaroWinklerLengthPrune) :+
+        graft.plans.CountInSetRewrite :+
+        graft.plans.JaroWinklerLengthPrune
   }
 }

@@ -149,6 +149,50 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(after === batchEstimates(b0.unionByName(b1)))
   }
 
+  test("daily HLL state answers the trailing-7-day sliding reach " +
+      "identically to the batch merge (sketch_hll_sliding's shape)") {
+    import graft.streaming.StreamingOps
+    val base = Files.createTempDirectory("graft-hll-slide").toString
+    val statePath = s"$base/state"
+
+    // 10 days of (day, user) rows; users overlap across days so the
+    // 7-day union genuinely deduplicates
+    val rows = for (d <- 1 to 10; u <- 1 to (20 + 3 * d))
+      yield (f"2024-01-$d%02d", ((u * 7 + d) % 97).toLong)
+    val all = rows.toDF("g", "u")
+    val b0 = all.where(col("u") % 2 === 0)
+    val b1 = all.where(col("u") % 2 === 1)
+
+    // the batch query's merge stage, over any (g, sk) daily relation
+    def sliding(daily: DataFrame): Set[(String, Long)] = {
+      val days = daily.select(col("g").cast("date").as("day")).distinct()
+      daily
+        .withColumn("k", explode(sequence(lit(0), lit(6))))
+        .withColumn("day",
+          expr("date_add(cast(g as date), cast(k as int))"))
+        .join(days, "day")
+        .groupBy(col("day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .select(col("day").cast("string"), col("est"))
+        .as[(String, Long)].collect().toSet
+    }
+
+    Seq.empty[(String, Array[Byte])].toDF("g", "sk")
+      .withColumn("_batch_id", lit(-1L)).write.parquet(statePath)
+    StreamingOps.maintainHllState(statePath, "g", "u")(b0, 0L)
+    StreamingOps.maintainHllState(statePath, "g", "u")(b1, 1L)
+
+    val fromState = sliding(
+      spark.read.parquet(statePath).select(col("g"), col("sk")))
+    val fromBatch = sliding(all.groupBy(col("g"))
+      .agg(hll_sketch_agg(col("u")).as("sk")))
+    // HLL registers are max-merged, so batch-split vs one-shot
+    // aggregation yield IDENTICAL sketches — exact equality, not a
+    // tolerance band
+    assert(fromState === fromBatch)
+    assert(fromState.nonEmpty)
+  }
+
   test("streaming KLL: maintained state quantiles the whole stream " +
       "within the proven band; replay is fenced") {
     import graft.operators.{Kll, KllState}

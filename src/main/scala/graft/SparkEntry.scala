@@ -2465,6 +2465,56 @@ object SparkEntry {
         .orderBy("event_type", "d")
     }),
 
+    // ---- week-over-week change of weekly totals ----
+    "ts_wow_change" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val weekly = events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .agg(sum(col("value").cast(DecimalType(18, 4)))
+          .cast("double").as("x"),
+          count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+      weekly
+        .withColumn("prev_x", lag(col("x"), 1).over(w))
+        .withColumn("wow_pct",
+          when(col("prev_x").isNotNull && col("prev_x") =!= 0.0,
+            (col("x") - col("prev_x")) / col("prev_x")))
+        .orderBy("event_type", "wk")
+    }),
+
+    // ---- walk-forward Holt backtest: 1-step MAE per series ----
+    "ts_forecast_backtest" -> ((s, dir) => {
+      // every day t >= 2 is forecast from the state fitted on days
+      // < t (the honest walk-forward protocol, no lookahead); errors
+      // accumulate on a 1e-9 fixed-point grid inside the same
+      // sequential fold that updates the Holt state, so the MAE is
+      // order-exact cross-engine
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(col("value").cast(DecimalType(18, 4)))
+          .cast("double").as("x"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          expr("transform(array_sort(collect_list(struct(d, x))), s -> s.x)")
+            .as("xs"))
+        .withColumn("st", expr(
+          """aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)),
+            | array(element_at(xs, 1), cast(0.0 as double),
+            |   cast(0.0 as double)),
+            | (acc, x) -> array(
+            |   0.5*x + 0.5*(element_at(acc,1) + element_at(acc,2)),
+            |   0.3*((0.5*x + 0.5*(element_at(acc,1) + element_at(acc,2)))
+            |     - element_at(acc,1)) + 0.7*element_at(acc,2),
+            |   element_at(acc,3) + floor(abs(x - (element_at(acc,1)
+            |     + element_at(acc,2))) * 1e9)))""".stripMargin))
+        .select(col("event_type"), col("n_days"),
+          when(col("n_days") > 1,
+            element_at(col("st"), 3) / lit(1e9) /
+              (col("n_days") - 1).cast("double")).as("mae_1step"))
+        .orderBy("event_type")
+    }),
+
     // ---- Holt linear-trend smoothing + 1-step forecast ----
     "ts_holt_forecast" -> ((s, dir) =>
       AnalyticsOps.holtLinear(events(s, dir), keyCol = "event_type",
@@ -6492,6 +6542,45 @@ object SparkEntry {
         |WHERE prev_x IS NOT NULL AND next_x IS NOT NULL
         | AND x > prev_x AND x > next_x
         |ORDER BY event_type, d""".stripMargin,
+
+    "ts_wow_change" ->
+      """WITH weekly AS (SELECT event_type,
+        |  CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+        |    AS DOUBLE) AS x,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, wk, x, n,
+        |  lag(x) OVER (PARTITION BY event_type ORDER BY wk) AS prev_x
+        | FROM weekly)
+        |SELECT event_type, wk, x, n, prev_x,
+        | CASE WHEN prev_x IS NOT NULL AND prev_x <> 0
+        |  THEN (x - prev_x) / prev_x END AS wow_pct
+        |FROM w ORDER BY event_type, wk""".stripMargin,
+
+    // the same fold, with a third accumulator slot carrying the
+    // quantized walk-forward error sum
+    "ts_forecast_backtest" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+        |    AS DOUBLE) AS x
+        | FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  list(x ORDER BY d) AS xs FROM daily GROUP BY 1),
+        |st AS (SELECT event_type, n_days,
+        |  list_reduce(
+        |   list_prepend([xs[1], CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+        |    list_transform(xs[2:],
+        |     x -> [x, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+        |   (acc, e) -> [0.5*e[1] + 0.5*(acc[1]+acc[2]),
+        |     0.3*((0.5*e[1] + 0.5*(acc[1]+acc[2])) - acc[1])
+        |       + 0.7*acc[2],
+        |     acc[3] + floor(abs(e[1] - (acc[1]+acc[2])) * 1e9)]) AS s
+        | FROM ser)
+        |SELECT event_type, n_days,
+        | CASE WHEN n_days > 1
+        |  THEN s[3] / 1e9 / CAST(n_days - 1 AS DOUBLE) END AS mae_1step
+        |FROM st ORDER BY event_type""".stripMargin,
 
     // the identical sequential fold, replayed by list_reduce over
     // [level, trend] pairs — every IEEE intermediate matches

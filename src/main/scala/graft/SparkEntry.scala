@@ -3357,6 +3357,49 @@ object SparkEntry {
         GraphOps.labelPropagation(edges, iters = 4)).orderBy("label")
     }),
 
+    // ---- log-binned degree distribution ----
+    "graph_degree_hist" -> ((s, dir) => {
+      // the first diagnostic on any new graph: power-of-2 degree bins
+      // (heavy tail shows as slow bin decay). Two exact aggregations —
+      // degree, then bin — nothing else.
+      val c = t(s, dir, "customer").where(col("c_custkey") > 3)
+      val edges = c.select(col("c_custkey").as("src"),
+          expr("c_custkey div 2").as("dst"))
+        .union(c.select(col("c_custkey").as("src"),
+          expr("c_custkey div 4").as("dst")))
+      val und = edges
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      und.select(col("u").as("node"))
+        .union(und.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        // bin = floor(log2(deg)) computed EXACTLY as |binary digits|-1
+        // (libm log2 can land a hair under an integer and mis-bin a
+        // power of two; string length cannot)
+        .groupBy((length(bin(col("deg"))) - 1).as("bin"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+        .orderBy("bin")
+    }),
+
+    // ---- new vs returning users per day ----
+    "analytics_new_returning" -> ((s, dir) => {
+      // first-seen day per user (one agg), then per-day split — the
+      // growth-accounting staple; all exact integer counts
+      val du = events(s, dir).where(col("user_id").isNotNull)
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      val first = du.groupBy(col("user_id"))
+        .agg(min(col("d")).as("first_d"))
+      du.join(first, "user_id")
+        .groupBy(col("d"))
+        .agg(
+          count(when(col("d") === col("first_d"), lit(1))).as("n_new"),
+          count(when(col("d") > col("first_d"), lit(1)))
+            .as("n_returning"))
+        .orderBy("d")
+    }),
+
     // ---- degree assortativity of the halving graph ----
     "graph_assortativity" -> ((s, dir) => {
       // same halving-edge graph as graph_triangles/modularity; halving
@@ -7549,6 +7592,35 @@ object SparkEntry {
 
     // modularity: replay the LPA rounds, then Q's per-community
     // contribution from exact integer edge/degree counts
+    // bin via |binary digits|-1 — exact integers, no libm log2
+    "graph_degree_hist" ->
+      """WITH k AS (SELECT c_custkey AS kk FROM customer
+        | WHERE c_custkey > 3),
+        |e0 AS (SELECT kk AS src, kk // 2 AS dst FROM k
+        | UNION ALL SELECT kk, kk // 4 FROM k),
+        |und AS (SELECT DISTINCT least(src, dst) AS u,
+        |  greatest(src, dst) AS v FROM e0
+        | WHERE least(src, dst) <> greatest(src, dst)),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        | SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        | GROUP BY node)
+        |SELECT CAST(length(to_base(deg, 2)) - 1 AS INTEGER) AS bin,
+        | CAST(count(*) AS BIGINT) AS n_nodes,
+        | min(deg) AS min_deg, max(deg) AS max_deg
+        |FROM deg GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "analytics_new_returning" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+        | FROM events WHERE user_id IS NOT NULL),
+        |f AS (SELECT user_id, min(d) AS first_d FROM du GROUP BY 1)
+        |SELECT du.d,
+        | CAST(count(CASE WHEN du.d = f.first_d THEN 1 END) AS BIGINT)
+        |   AS n_new,
+        | CAST(count(CASE WHEN du.d > f.first_d THEN 1 END) AS BIGINT)
+        |   AS n_returning
+        |FROM du JOIN f ON du.user_id = f.user_id
+        |GROUP BY du.d ORDER BY du.d""".stripMargin,
+
     // Pearson over edge-stub degree pairs; integer power sums in
     // HUGEINT, VARCHAR hop, IEEE form in the same term order as Spark
     "graph_assortativity" ->

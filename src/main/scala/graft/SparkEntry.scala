@@ -2412,6 +2412,13 @@ object SparkEntry {
           md5(concat(lit("shuf1|"), col("doc_id"))).as("shuffle_key"))
         .orderBy("shuffle_key").limit(50)),
 
+    // ---- CUPED variance-reduced A/B effect ----
+    "analytics_cuped" -> ((s, dir) =>
+      // same arms and cutover as analytics_did; the pre-period
+      // covariate soaks up between-user variance before differencing
+      AnalyticsOps.cupedEffect(events(s, dir), tsCol = "ts",
+        valueCol = "value", cutover = s"$D 00:00:00")),
+
     // ---- difference-in-differences effect estimate ----
     "analytics_did" -> ((s, dir) => {
       // 2x2 natural experiment on the event log: treatment = odd
@@ -6458,6 +6465,44 @@ object SparkEntry {
         | FROM events CROSS JOIN range(2) k(k))
         |SELECT ws, event_type, CAST(count(*) AS BIGINT) AS n
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // user-level decimal sums, decimal power sums, VARCHAR hops, then
+    // the same fixed IEEE theta/adjustment expression tree
+    "analytics_cuped" ->
+      """WITH u AS (SELECT user_id, (user_id % 2 = 1) AS treat,
+        |  SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+        |   THEN CAST(value AS DECIMAL(18,4))
+        |   ELSE CAST(0 AS DECIMAL(18,4)) END) AS x,
+        |  SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |   THEN CAST(value AS DECIMAL(18,4))
+        |   ELSE CAST(0 AS DECIMAL(18,4)) END) AS y
+        | FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS VARCHAR)
+        |    AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS VARCHAR)
+        |    AS DOUBLE) AS sxy,
+        |  CAST(CAST(SUM(CASE WHEN treat THEN y END) AS VARCHAR)
+        |    AS DOUBLE) AS sy_t,
+        |  CAST(CAST(SUM(CASE WHEN NOT treat THEN y END) AS VARCHAR)
+        |    AS DOUBLE) AS sy_c,
+        |  CAST(CAST(SUM(CASE WHEN treat THEN x END) AS VARCHAR)
+        |    AS DOUBLE) AS sx_t,
+        |  CAST(CAST(SUM(CASE WHEN NOT treat THEN x END) AS VARCHAR)
+        |    AS DOUBLE) AS sx_c,
+        |  CAST(count(CASE WHEN treat THEN 1 END) AS DOUBLE) AS n_t,
+        |  CAST(count(CASE WHEN NOT treat THEN 1 END) AS DOUBLE) AS n_c
+        | FROM u)
+        |SELECT CAST(n AS BIGINT) AS n_users,
+        | (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+        | (sy_t / n_t - sy_c / n_c) AS raw_effect,
+        | ((sy_t / n_t - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) *
+        |    (sx_t / n_t - sx / n)) -
+        |  (sy_c / n_c - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) *
+        |    (sx_c / n_c - sx / n))) AS cuped_effect
+        |FROM s""".stripMargin,
 
     // the oracle states the window as a direct micro-range join; the
     // engine's day-replicated equi-join must yield identical credit

@@ -1140,6 +1140,55 @@ object AnalyticsOps {
           .as("chi2_term"))
   }
 
+  /** CUPED variance-reduced A/B effect (Deng, Xu, Kohavi & Walker,
+    * WSDM 2013, public): adjust each unit's post-period metric Y by its
+    * PRE-period covariate X — Y' = Y − θ·(X − X̄) with
+    * θ = cov(X,Y)/var(X) — and difference the arm means of Y'. The
+    * pre-period is unaffected by treatment, so the adjustment removes
+    * between-user variance without biasing the effect; the modern
+    * default for online experiments.
+    *
+    * One user-level conditional aggregation (pre/post decimal sums per
+    * user), then ONE global aggregation of decimal-exact power sums
+    * (per-user x, y stay DECIMAL until the final VARCHAR-safe cast so
+    * no order-dependent double sum exists), then a fixed IEEE
+    * expression for θ and the adjusted means. Output one row:
+    * (n_users, theta, raw_effect, cuped_effect). */
+  def cupedEffect(events: DataFrame, tsCol: String, valueCol: String,
+      cutover: String): DataFrame = {
+    val d4 = DecimalType(18, 4)
+    val pre = when(col(tsCol) < lit(cutover).cast("timestamp"),
+      col(valueCol).cast(d4)).otherwise(lit(0).cast(d4))
+    val post = when(col(tsCol) >= lit(cutover).cast("timestamp"),
+      col(valueCol).cast(d4)).otherwise(lit(0).cast(d4))
+    val users = events.where(col("user_id").isNotNull)
+      .groupBy(col("user_id"), (col("user_id") % 2 === 1).as("treat"))
+      .agg(sum(pre).cast(d4).as("x"), sum(post).cast(d4).as("y"))
+    val dp = DecimalType(38, 8)
+    def dbl(c: Column): Column = c.cast("double")
+    val s = users.agg(
+      count(lit(1)).cast("double").as("n"),
+      dbl(sum(col("x"))).as("sx"), dbl(sum(col("y"))).as("sy"),
+      dbl(sum((col("x") * col("x")).cast(dp))).as("sxx"),
+      dbl(sum((col("x") * col("y")).cast(dp))).as("sxy"),
+      dbl(sum(when(col("treat"), col("y")))).as("sy_t"),
+      dbl(sum(when(!col("treat"), col("y")))).as("sy_c"),
+      dbl(sum(when(col("treat"), col("x")))).as("sx_t"),
+      dbl(sum(when(!col("treat"), col("x")))).as("sx_c"),
+      count(when(col("treat"), lit(1))).cast("double").as("n_t"),
+      count(when(!col("treat"), lit(1))).cast("double").as("n_c"))
+    val theta = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    val xbar = col("sx") / col("n")
+    s.select(col("n").cast("long").as("n_users"), theta.as("theta"),
+      (col("sy_t") / col("n_t") - col("sy_c") / col("n_c"))
+        .as("raw_effect"),
+      ((col("sy_t") / col("n_t") - theta *
+          (col("sx_t") / col("n_t") - xbar)) -
+        (col("sy_c") / col("n_c") - theta *
+          (col("sx_c") / col("n_c") - xbar))).as("cuped_effect"))
+  }
+
   /** Linear multi-touch attribution: every conversion splits one unit
     * of credit equally across the user's touch events (views/clicks)
     * in the trailing `windowDays`; per-channel credit is the sum. The

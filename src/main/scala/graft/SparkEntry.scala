@@ -692,6 +692,30 @@ object SparkEntry {
         .orderBy("payload_md5")
     }),
 
+    "text_code_detect" -> ((s, dir) => {
+      // code-vs-prose routing (training mixes weigh code separately):
+      // symbol density + indented-line starts + code-keyword hits via
+      // the native CountInSet — all per-row regex/set counts, no
+      // shuffle before the scan ends
+      val kw = Seq("def", "class", "return", "import", "if", "else",
+        "for", "while", "function", "var")
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          size(regexp_extract_all(col("text"),
+            lit("[{}()=;<>]"), lit(0))).as("symbol_hits"),
+          size(regexp_extract_all(col("text"),
+            lit("\n(  |\t)"), lit(0))).as("indent_hits"),
+          graft.functions.StringSetFunctions
+            .count_in_set(TextOps.tokens(col("text")), kw).as("kw_hits"))
+        .withColumn("symbol_ratio",
+          col("symbol_hits").cast("double") /
+            greatest(col("n_chars"), lit(1)).cast("double"))
+        .withColumn("is_code",
+          col("symbol_ratio") > 0.04 && col("kw_hits") >= 1)
+        .orderBy("doc_id")
+    }),
+
     "text_keywords" -> ((s, dir) =>
       // RAKE: stopword-delimited phrase runs, deg/freq word scores,
       // top-3 phrases per document
@@ -4105,6 +4129,27 @@ object SparkEntry {
          |     c -> CAST(unicode(c) AS BIGINT))),
          |   (a, b) -> (a * 31 + b) % 2147483647) AS rolling_hash
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_code_detect" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS INTEGER) AS n_chars,
+        | CAST(len(regexp_extract_all(text, '[{}()=;<>]')) AS INTEGER)
+        |   AS symbol_hits,
+        | CAST(len(regexp_extract_all(text, chr(10) || '(  |' ||
+        |   chr(9) || ')')) AS INTEGER) AS indent_hits,
+        | CAST(len(list_filter(
+        |   string_split_regex(trim(lower(text)), '\s+'),
+        |   t -> t IN ('def','class','return','import','if','else',
+        |     'for','while','function','var'))) AS INTEGER) AS kw_hits,
+        | CAST(len(regexp_extract_all(text, '[{}()=;<>]')) AS DOUBLE) /
+        |  CAST(greatest(length(text), 1) AS DOUBLE) AS symbol_ratio,
+        | (CAST(len(regexp_extract_all(text, '[{}()=;<>]')) AS DOUBLE) /
+        |  CAST(greatest(length(text), 1) AS DOUBLE) > 0.04
+        |  AND len(list_filter(
+        |   string_split_regex(trim(lower(text)), '\s+'),
+        |   t -> t IN ('def','class','return','import','if','else',
+        |     'for','while','function','var'))) >= 1) AS is_code
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // word deg/freq quantized to 1e-9 fixed point before the phrase
     // sum; ranking on the integer score so no double ever orders rows

@@ -328,6 +328,31 @@ object ScaleStress {
         edges.select(col("src").as("node")).where(col("node") < 8)
           .distinct(), iters = 5)
     }
+    // replicate-into-covered-days sliding reach (the dau_mau /
+    // sketch_hll_sliding shape): candidates = the replicated relation
+    // (exactly 30×|distinct (day,user)|) — expansion is a CONSTANT of
+    // the window, so wall time must track n
+    if (only.isEmpty || only.contains("sliding_reach_30d")) {
+      val du = spark.range(nVals / 10).select(
+          hmod("day", 60, col("id")).cast("int").as("dd"),
+          hmod("usr", nVals / 40, col("id")).as("user_id"))
+        .distinct()
+        .select(expr("date_add(date '2024-01-01', dd)").as("d"),
+          col("user_id"))
+        .localCheckpoint(true)
+      val days = du.select(col("d").as("day")).distinct()
+      run("sliding_reach_30d", nVals / 10, du.count() * 30) {
+        du.withColumn("k", explode(sequence(lit(0), lit(29))))
+          .select(expr("date_add(d, cast(k as int))").as("day"),
+            col("d"), col("user_id"))
+          .join(broadcast(days), "day")
+          .groupBy(col("day"))
+          .agg(countDistinct(when(col("d") === col("day"),
+            col("user_id"))).as("dau"),
+            countDistinct(col("user_id")).as("mau"))
+      }
+      du.unpersist()
+    }
     docs.unpersist(); emb.unpersist(); vals.unpersist(); edges.unpersist()
     out.toSeq
   }

@@ -712,6 +712,24 @@ class PlanAuditSpec extends AnyFunSuite {
         df.queryExecution.executedPlan.toString)
   }
 
+  test("Holt fold: daily collapse + per-key series agg — at most 2 " +
+      "data shuffles before the output sort") {
+    val df = q("ts_holt_forecast")
+    assert(shufflesOf(df).size <= 3, // daily agg, per-key agg, orderBy
+      "the sequential fold must run INSIDE the per-key aggregation, " +
+        "never as extra exchanges:\n" +
+        df.queryExecution.executedPlan.toString)
+  }
+
+  test("attribution pairing is an equi-join on (user, day) — no " +
+      "cartesian, no nested loop") {
+    val plan = planOf(q("analytics_attribution"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the purchase x touch pairing must be the day-replicated " +
+        s"equi-join:\n$plan")
+  }
+
   test("prefix-Jaccard: verify arrays reuse the window exchanges " +
       "(long form shuffles at most 3 times)") {
     val df = q("dedup_prefix_jaccard")

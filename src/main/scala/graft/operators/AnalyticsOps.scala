@@ -923,13 +923,11 @@ object AnalyticsOps {
   def crossCorrelation(events: DataFrame, typeX: String, typeY: String,
       maxLag: Int = 3, typeCol: String = "event_type",
       tsCol: String = "ts"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val daily = events
       .where(col(typeCol).isin(typeX, typeY))
       .groupBy(to_date(col(tsCol)).as("day"))
       .agg(count(when(col(typeCol) === typeX, 1)).as("x"),
         count(when(col(typeCol) === typeY, 1)).as("y"))
-    val w = Window.orderBy(col("day"))
     // the day axis is bounded by the calendar (≤ years of rows), so a
     // single rank window over the DAILY relation is a bounded frame in
     // the same sense as seasonalDecompose's — not a corpus window;

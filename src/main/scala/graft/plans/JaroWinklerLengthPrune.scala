@@ -31,15 +31,32 @@ import graft.functions.JaroWinklerExpr
   * Idempotence: the guard's structure (a comparison whose right side
   * is `(5t−4) · greatest(...)`) is checked for structural presence in
   * the filter's conjuncts before injecting, so the fixpoint optimizer
-  * cannot stack copies. */
+  * cannot stack copies.
+  *
+  * Interaction with the kernel's MaxInputBytes fail-fast: the guard is
+  * prepended, so conjunct short-circuiting means an oversized string
+  * (> 8192 bytes) whose pair FAILS the length guard is filtered out
+  * without the kernel ever running — the `require` that would have
+  * thrown never fires. This is intentional: the fail-fast is a
+  * performance tripwire ("don't burn a core on a 1 MiB key"), not a
+  * data-validation contract, and a pruned pair is by the soundness
+  * proof a non-match, so results are unchanged. Pairs that PASS the
+  * guard still reach the kernel and still fail fast if oversized. */
 object JaroWinklerLengthPrune extends Rule[LogicalPlan] {
 
   private def guardFor(jw: JaroWinklerExpr, t: Double): Expression = {
     val ratio = 5.0 * t - 4.0
+    // OctetLength (UTF-8 BYTES), not Length (characters): the kernel in
+    // graft.functions.JaroWinkler matches per byte, so the 5t−4 bound is
+    // proved over byte lengths. A char-count guard is UNSOUND on
+    // multi-byte data: jw('ééééxxxxxx','ééééxxx') = 0.9571 ≥ 0.95 but
+    // the char ratio 7/10 < 0.75 would wrongly prune it (byte ratio
+    // 11/14 ≥ 0.75 keeps it).
     GreaterThanOrEqual(
-      Cast(Least(Seq(Length(jw.left), Length(jw.right))), DoubleType),
+      Cast(Least(Seq(OctetLength(jw.left), OctetLength(jw.right))),
+        DoubleType),
       Multiply(Literal(ratio),
-        Cast(Greatest(Seq(Length(jw.left), Length(jw.right))),
+        Cast(Greatest(Seq(OctetLength(jw.left), OctetLength(jw.right))),
           DoubleType)))
   }
 
@@ -50,6 +67,8 @@ object JaroWinklerLengthPrune extends Rule[LogicalPlan] {
     case GreaterThan(jw: JaroWinklerExpr, Literal(t: Double, DoubleType))
         if t > 0.8 => Some((jw, t))
     case LessThanOrEqual(Literal(t: Double, DoubleType), jw: JaroWinklerExpr)
+        if t > 0.8 => Some((jw, t))
+    case LessThan(Literal(t: Double, DoubleType), jw: JaroWinklerExpr)
         if t > 0.8 => Some((jw, t))
     case _ => None
   }

@@ -61,6 +61,48 @@ class JaroWinklerLengthPruneSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-byte strings: guard is computed over UTF-8 BYTES, so " +
+      "pairs whose char ratio violates 5t-4 but byte ratio does not " +
+      "are NOT pruned") {
+    GraftFunctions.register(spark)
+    // jw('ééééxxxxxx','ééééxxx') = 0.9571 >= 0.95, char ratio
+    // 7/10 = 0.7 < 5*0.95-4 = 0.75 (a char guard would wrongly prune),
+    // byte ratio 11/14 = 0.786 >= 0.75 (the byte guard keeps it).
+    val pairs = Seq(
+      ("ééééxxxxxx", "ééééxxx"),   // the straddling pair
+      ("ééééxxxxxx", "ééééxxxxxx"),
+      ("あいうえおかきくけこ", "あいうえおかきくけ"), // 3-byte cps
+      ("éabc", "zqwx"))             // low-JW control
+    for (t <- Seq(0.9, 0.95)) {
+      val viaRule = pairs.toDF("a", "b")
+        // range-join through an id so ConvertToLocalRelation can't
+        // pre-fold the filter before the optimizer rule runs
+        .crossJoin(spark.range(1))
+        .where(EditDistanceFunctions.jaro_winkler(col("a"), col("b")) >= t)
+        .select("a", "b").as[(String, String)].collect().toSet
+      val direct = pairs.filter { case (a, b) =>
+        JaroWinkler.similarity(
+          UTF8String.fromString(a), UTF8String.fromString(b)) >= t
+      }.toSet
+      assert(viaRule === direct,
+        s"rule-filtered result must equal direct kernel eval at t=$t")
+    }
+    // the straddling pair must actually survive at 0.95
+    val jw = JaroWinkler.similarity(
+      UTF8String.fromString("ééééxxxxxx"), UTF8String.fromString("ééééxxx"))
+    assert(jw >= 0.95, s"fixture invariant: jw=$jw")
+  }
+
+  test("'t < jw' spelling (LessThan with literal on the left) also " +
+      "gets the prune") {
+    GraftFunctions.register(spark)
+    val f = rangeDf.where(
+      lit(0.9) < EditDistanceFunctions.jaro_winkler(col("a"), col("b")))
+    val opt = f.queryExecution.optimizedPlan.toString
+    assert(opt.contains("least(octet_length("),
+      s"guard must appear for the t < jw spelling:\n$opt")
+  }
+
   test("thresholds at or below 0.8 are left untouched (vacuous bound)") {
     GraftFunctions.register(spark)
     val f = rangeDf.where(

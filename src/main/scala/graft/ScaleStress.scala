@@ -94,6 +94,26 @@ object ScaleStress {
       hmod("s", nodes, col("id")).as("src"),
       hmod("d", nodes, col("id")).as("dst"))
 
+  /** Synthetic event log shaped like the sf events table: user count
+    * scales with n (per-user event density stays bounded — the regime
+    * real logs live in), 60 days of timestamps, view/click/purchase at
+    * 70/20/10, continuous values. */
+  def synthEvents(spark: SparkSession, n: Long): DataFrame = {
+    val nUsers = math.max(100L, n / 50)
+    spark.range(n).select(
+      col("id").as("event_id"),
+      hmod("u", nUsers, col("id")).as("user_id"),
+      hmod("day", 60, col("id")).as("_day"),
+      hmod("sec", 86400, col("id")).as("_sec"),
+      (hmod("v", 100000, col("id")).cast("double") / 100.0).as("value"),
+      when(hmod("t", 10, col("id")) < 7, lit("view"))
+        .when(hmod("t", 10, col("id")) < 9, lit("click"))
+        .otherwise(lit("purchase")).as("event_type"))
+      .withColumn("ts", expr( // 1704067200 = 2024-01-01 UTC
+        "timestamp_seconds(1704067200 + _day * 86400 + _sec)"))
+      .drop("_day", "_sec")
+  }
+
   /** Σ c·(c−1)/2 over the given bucket keys — the self-join's
     * pre-filter candidate count (one shared definition, in Dedup). */
   def bucketPairCount(df: DataFrame, keys: Seq[String]): Long =
@@ -352,6 +372,72 @@ object ScaleStress {
             countDistinct(col("user_id")).as("mau"))
       }
       du.unpersist()
+    }
+    // maximal-span substring dedup: candidates = Σ_gram c·(c−1)/2 over
+    // the stride-1 40-gram relation (the self-join's pre-filter
+    // volume); vocabulary scaling keeps gram df bounded, so candidate
+    // growth must stay ~linear in n — never the all-pairs square
+    if (only.isEmpty || only.contains("dedup_substring_maximal")) {
+      val gramRel = docs.where(length(col("text")) >= 40)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, length(text) - 40),
+            |  i -> xxhash64(substring(text, i + 1, 40)))"""
+            .stripMargin)).as("gk"))
+      run("dedup_substring_maximal", nDocs,
+          bucketPairCount(gramRel, Seq("gk"))) {
+        Dedup.maximalSubstringSpans(docs, minLen = 40)
+      }
+    }
+    // trained-quantizer IVF: Lloyd supersteps (iters=2) dominate;
+    // candidates carries the RECALL AUDIT — brute-force top-5 hits
+    // over the 8 probe queries (max 40), which must hold its floor as
+    // the corpus grows, not just the wall-time curve
+    if (only.isEmpty || only.contains("ann_ivf_trained")) {
+      val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+      run("ann_ivf_trained", nEmb, {
+          Similarity.ivfTopKTrained(emb, queries, k = 5, nCells = 16,
+              nProbe = 4, iters = 2)
+            .select(col("query_id"), col("neighbor_id"))
+            .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+            .count()
+        }) {
+        Similarity.ivfTopKTrained(emb, queries, k = 5, nCells = 16,
+          nProbe = 4, iters = 2)
+      }
+      brute.unpersist()
+    }
+    // event-log analytics: attribution's replicate-into-covered-days
+    // (candidates = touches × (windowDays+1) — a constant multiplier),
+    // CUPED's single sufficient-statistics agg, Mann–Whitney's
+    // prefix-sum rank decomposition — all must track n linearly
+    val evFams = Set("analytics_attribution", "analytics_cuped",
+      "analytics_mann_whitney", "analytics_bootstrap_ci")
+    if (only.isEmpty || only.exists(evFams.contains)) {
+      val nEvents = 100000L * scale
+      val ev = synthEvents(spark, nEvents).localCheckpoint(true)
+      run("analytics_attribution", nEvents,
+          ev.where(col("event_type").isin("view", "click")).count() * 4) {
+        AnalyticsOps.linearAttribution(ev, conversionType = "purchase",
+          touchTypes = Seq("view", "click"), windowDays = 3)
+      }
+      run("analytics_cuped", nEvents) {
+        AnalyticsOps.cupedEffect(ev, tsCol = "ts", valueCol = "value",
+          cutover = "2024-02-01 00:00:00")
+      }
+      run("analytics_mann_whitney", nEvents) {
+        AnalyticsOps.mannWhitneyU(ev, "event_type", "view", "click",
+          "value")
+      }
+      // Poisson bootstrap: candidates = n·B exploded rows, but the
+      // shuffle after the map-side combine is (types × B) partial
+      // sums whatever the corpus — wall must track n linearly with a
+      // ×B constant, never shuffle-bound
+      run("analytics_bootstrap_ci", nEvents, nEvents * 100) {
+        AnalyticsOps.bootstrapMeanCi(ev)
+      }
+      ev.unpersist()
     }
     docs.unpersist(); emb.unpersist(); vals.unpersist(); edges.unpersist()
     out.toSeq

@@ -759,6 +759,15 @@ object SparkEntry {
         .toDF().orderBy("media_id")
     }),
 
+    "mm_decoded_rgb" -> ((s, dir) =>
+      // P6 (RGB) decode through the same codec seam: per-channel means
+      // from the interleaved raster; malformed payloads degrade to
+      // null decode columns, never task failure (all synthesized
+      // payloads here are valid, so the oracle sees full rows)
+      Multimodal.extractRgbFeatures(s,
+          Multimodal.withPpmPayload(t(s, dir, "documents")))
+        .toDF().orderBy("media_id")),
+
     // ---- pipeline ops: sessionization, vocab, sampling, histograms ----
     "pipe_sessionize" -> ((s, dir) =>
       PipelineOps.sessionize(events(s, dir), gapMinutes = 30)
@@ -779,6 +788,49 @@ object SparkEntry {
 
     "pipe_vocabulary" -> ((s, dir) =>
       PipelineOps.vocabulary(t(s, dir, "documents"), topN = 100)),
+
+    // ---- Neyman-allocation stratified sample (seats ∝ N_h·σ_h) ----
+    "pipe_neyman_sample" -> ((s, dir) =>
+      PipelineOps.neymanSample(
+          t(s, dir, "documents").withColumn("len", length(col("text"))),
+          "lang", "doc_id", "len", totalN = 100)
+        .orderBy("lang", "doc_id")),
+
+    // ---- Theil–Sen robust daily trend per event type ----
+    "ts_theil_sen" -> ((s, dir) =>
+      AnalyticsOps.theilSen(events(s, dir)).orderBy("event_type")),
+
+    // ---- Hodges–Lehmann pseudo-median of the daily series ----
+    "analytics_hodges_lehmann" -> ((s, dir) =>
+      AnalyticsOps.hodgesLehmann(events(s, dir)).orderBy("event_type")),
+
+    // ---- deterministic Poisson-bootstrap CI for the mean ----
+    "analytics_bootstrap_ci" -> ((s, dir) =>
+      AnalyticsOps.bootstrapMeanCi(events(s, dir)).orderBy("event_type")),
+
+    // ---- Yule–Walker AR(2) fit + one-step forecast ----
+    "ts_ar2_forecast" -> ((s, dir) =>
+      AnalyticsOps.yuleWalkerAr2(events(s, dir)).orderBy("event_type")),
+
+    // ---- leakage-free split: assignment hashes the near-dup cluster ----
+    "pipe_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      PipelineOps.leakageSplit(docs,
+          Dedup.connectedComponents(
+            Dedup.ngramJaccardPairs(docs, w = 3, threshold = 0.5)))
+        .orderBy("doc_id")
+    }),
+
+    // ---- ε-DP count release (discrete geometric mechanism) ----
+    "privacy_dp_counts" -> ((s, dir) =>
+      AnalyticsOps.dpNoisyCounts(t(s, dir, "documents"), "lang")
+        .orderBy("lang")),
+
+    // ---- WAV (RIFF PCM16) amplitude features through the codec seam ----
+    "mm_wav_stats" -> ((s, dir) =>
+      Multimodal.extractWavFeatures(s,
+          Multimodal.withWavPayload(t(s, dir, "documents")))
+        .toDF().orderBy("media_id")),
 
     "pipe_hash_sample" -> ((s, dir) =>
       PipelineOps.hashSample(t(s, dir, "documents"), "doc_id", "14")
@@ -2737,6 +2789,16 @@ object SparkEntry {
           stride = 20, minShared = 2L)
         .orderBy("id_a", "id_b")),
 
+    // ---- MAXIMAL repeated spans: exact substring dedup (Lee et al.) ----
+    "dedup_substring_maximal" -> ((s, dir) =>
+      Dedup.maximalSubstringSpans(t(s, dir, "documents"), minLen = 40)
+        .orderBy("id_a", "id_b", "start_a", "start_b")),
+
+    // ---- per-doc duplicated-char fraction (the drop decision) ----
+    "dedup_span_coverage" -> ((s, dir) =>
+      Dedup.spanCoverage(t(s, dir, "documents"), minLen = 40)
+        .orderBy("doc_id")),
+
     // ---- ensemble dedup: lexical ∪ semantic signals + evidence count ----
     "dedup_ensemble" -> ((s, dir) =>
       Dedup.ensembleNearDup(t(s, dir, "documents"),
@@ -3769,6 +3831,15 @@ object SparkEntry {
 
   /** Long-form (doc_id, sh) shingle-digest relation — replicates
     * Dedup.docShingles (w=3). */
+  /** The engine's deterministic 8-bit coin, DuckDB spelling: value of
+    * the first two hex chars of an md5 column (mirrors
+    * AnalyticsOps.u8 — ascii arithmetic only, so the two engines agree
+    * bit-for-bit). `h` is the SQL expression holding the md5 hex. */
+  private def duckU8(h: String): String =
+    s"(ascii(substr($h, 1, 1)) - CASE WHEN ascii(substr($h, 1, 1)) >= 97" +
+      s" THEN 87 ELSE 48 END) * 16 + ascii(substr($h, 2, 1))" +
+      s" - CASE WHEN ascii(substr($h, 2, 1)) >= 97 THEN 87 ELSE 48 END"
+
   private val duckShingles =
     """toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
       |  FROM documents),
@@ -4284,6 +4355,33 @@ object SparkEntry {
          |WHERE doc_id NOT IN (SELECT doc_id FROM reps WHERE doc_id != rep)
          |ORDER BY doc_id""".stripMargin,
 
+    // leakage-free split: same cluster reps as dedup_clusters,
+    // singletons are their own cluster, split = integer thresholds at
+    // the md5 coin of the REP (so near-dups can never straddle splits)
+    "pipe_split_leakage" ->
+      s"""WITH RECURSIVE $duckShingles,
+         |${duckJaccardCtes(
+           "SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib FROM shm a " +
+           "JOIN shm b ON a.sh = b.sh AND a.doc_id < b.doc_id")},
+         |e AS (SELECT id_a AS u, id_b AS v FROM jac WHERE jaccard >= 0.5),
+         |und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         |r(a, b) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.a, und.v FROM r JOIN und ON r.b = und.u
+         |),
+         |reps AS (SELECT a AS doc_id, least(a, min(b)) AS rep
+         |  FROM r GROUP BY a),
+         |j AS (SELECT d.doc_id, coalesce(reps.rep, d.doc_id) AS rep
+         | FROM documents d LEFT JOIN reps ON d.doc_id = reps.doc_id),
+         |h AS (SELECT doc_id, rep,
+         |  md5('split:' || CAST(rep AS VARCHAR)) AS hh FROM j),
+         |u AS (SELECT doc_id, rep, ${duckU8("hh")} AS u8 FROM h)
+         |SELECT doc_id, rep,
+         | CASE WHEN u8 < 204 THEN 'train' WHEN u8 < 230 THEN 'val'
+         |  ELSE 'test' END AS split
+         |FROM u ORDER BY doc_id""".stripMargin,
+
     "pipe_training_set" -> {
       val stops = TextOps.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
       s"""WITH RECURSIVE $duckShingles,
@@ -4650,6 +4748,41 @@ object SparkEntry {
         | md5(payload) AS feature_hash
         |FROM f ORDER BY media_id""".stripMargin,
 
+    // P6 twin of mm_decoded_features: rebuilds the exact PPM payload
+    // bytes as an ASCII string and recomputes per-channel means from
+    // positional codepoints (channel = (pos-1) mod 3; padding is ' ')
+    "mm_decoded_rgb" ->
+      """WITH t AS (SELECT doc_id AS media_id, text,
+        |  octet_length(encode(text)) AS n FROM documents),
+        |d AS (SELECT media_id, text, n, 4 + (n % 23) AS w FROM t),
+        |e AS (SELECT media_id, text, n, w,
+        |  (greatest(n, 1) + 3 * w - 1) // (3 * w) AS h FROM d),
+        |p AS (SELECT media_id, n, w, h, text,
+        |  unnest(range(1, 3 * w * h + 1)) AS pos FROM e),
+        |v AS (SELECT media_id, (pos - 1) % 3 AS ch,
+        |  CASE WHEN pos <= n
+        |    THEN ord(substr(text, CAST(pos AS INTEGER), 1))
+        |    ELSE 32 END AS b FROM p),
+        |sums AS (SELECT media_id,
+        |  CAST(sum(CASE WHEN ch = 0 THEN b ELSE 0 END) AS BIGINT) AS sr,
+        |  CAST(sum(CASE WHEN ch = 1 THEN b ELSE 0 END) AS BIGINT) AS sg,
+        |  CAST(sum(CASE WHEN ch = 2 THEN b ELSE 0 END) AS BIGINT) AS sb
+        | FROM v GROUP BY 1),
+        |f AS (SELECT media_id, n, w, h,
+        |  'P6' || chr(10) || CAST(w AS VARCHAR) || ' '
+        |   || CAST(h AS VARCHAR) || chr(10) || '255' || chr(10)
+        |   || text || repeat(' ', 3 * w * h - n) AS payload FROM e)
+        |SELECT f.media_id,
+        | CAST(octet_length(encode(payload)) AS BIGINT) AS byte_len,
+        | CAST(f.w AS INTEGER) AS width, CAST(f.h AS INTEGER) AS height,
+        | CAST(255 AS INTEGER) AS maxval,
+        | CAST(sr AS DOUBLE) / CAST(f.w * f.h AS DOUBLE) AS mean_r,
+        | CAST(sg AS DOUBLE) / CAST(f.w * f.h AS DOUBLE) AS mean_g,
+        | CAST(sb AS DOUBLE) / CAST(f.w * f.h AS DOUBLE) AS mean_b,
+        | md5(payload) AS feature_hash
+        |FROM f JOIN sums ON f.media_id = sums.media_id
+        |ORDER BY f.media_id""".stripMargin,
+
     // ---- pipeline ops ----
 
     "stream_session_window" ->
@@ -4728,6 +4861,228 @@ object SparkEntry {
         | FROM documents d JOIN tg t ON d.lang = t.lang)
         |SELECT lang, target, doc_id FROM sel WHERE rn <= target
         |ORDER BY lang, doc_id""".stripMargin,
+
+    // Neyman allocation: seats ∝ N_h·σ_h with N·σ = sqrt of an exact
+    // integer (n·Σx² − (Σx)²); Σweights as the same ordered left fold
+    // as pipe_source_mix; md5-order fill within each stratum
+    "pipe_neyman_sample" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(length(text)) AS BIGINT) AS sx,
+        |  CAST(sum(length(text) * length(text)) AS BIGINT) AS sxx
+        | FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n,
+        |  sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) AS s FROM c),
+        |t AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |  (SELECT list(s ORDER BY lang) FROM w)),
+        |  (p, q) -> p + q) AS ssum),
+        |sh AS (SELECT lang, n, CAST(100 AS DOUBLE) * s
+        |  / (SELECT ssum FROM t) AS quota FROM w),
+        |b AS (SELECT lang, n, quota,
+        |  CAST(floor(quota) AS BIGINT) AS base,
+        |  quota - floor(quota) AS rem FROM sh),
+        |l AS (SELECT 100 - CAST(sum(base) AS BIGINT) AS leftover FROM b),
+        |tg AS (SELECT lang, least(base + CASE WHEN row_number()
+        |  OVER (ORDER BY rem DESC, lang ASC) <= (SELECT leftover FROM l)
+        |  THEN 1 ELSE 0 END, n) AS target FROM b),
+        |sel AS (SELECT d.lang, t.target, d.doc_id, row_number()
+        |  OVER (PARTITION BY d.lang
+        |    ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+        | FROM documents d JOIN tg t ON d.lang = t.lang)
+        |SELECT lang, target, doc_id FROM sel WHERE rn <= target
+        |ORDER BY lang, doc_id""".stripMargin,
+
+    // Theil–Sen: median of pairwise daily slopes; daily y is the dsum
+    // pattern, slopes one IEEE divide, even-count median (lo+hi)/2
+    "ts_theil_sen" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+        |    AS DOUBLE) AS y
+        | FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT event_type, day, y,
+        |  CAST(day - DATE '1970-01-01' AS DOUBLE) AS d FROM daily),
+        |pairs AS (SELECT a.event_type AS event_type,
+        |  (b.y - a.y) / (b.d - a.d) AS slope
+        | FROM d2 a JOIN d2 b
+        | ON a.event_type = b.event_type AND a.day < b.day),
+        |np AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs
+        | FROM pairs GROUP BY 1),
+        |r AS (SELECT event_type, slope, row_number() OVER (
+        |  PARTITION BY event_type ORDER BY slope) AS rn FROM pairs)
+        |SELECT r.event_type, max(np.n_pairs) AS n_pairs,
+        | (min(slope) + max(slope)) / CAST(2 AS DOUBLE)
+        |  AS theil_sen_slope
+        |FROM r JOIN np ON r.event_type = np.event_type
+        |WHERE rn = (np.n_pairs + 1) // 2 OR rn = (np.n_pairs + 2) // 2
+        |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin,
+
+    // Hodges–Lehmann: median of Walsh averages (i ≤ j incl. i = j)
+    // over the decimal-exact daily series; (lo+hi)/2 even-count median
+    "analytics_hodges_lehmann" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+        |    AS DOUBLE) AS y
+        | FROM events GROUP BY 1, 2),
+        |pairs AS (SELECT a.event_type AS event_type,
+        |  (a.y + b.y) / CAST(2 AS DOUBLE) AS walsh
+        | FROM daily a JOIN daily b
+        | ON a.event_type = b.event_type AND a.day <= b.day),
+        |np AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs
+        | FROM pairs GROUP BY 1),
+        |r AS (SELECT event_type, walsh, row_number() OVER (
+        |  PARTITION BY event_type ORDER BY walsh) AS rn FROM pairs)
+        |SELECT r.event_type, max(np.n_pairs) AS n_pairs,
+        | (min(walsh) + max(walsh)) / CAST(2 AS DOUBLE) AS hl_estimate
+        |FROM r JOIN np ON r.event_type = np.event_type
+        |WHERE rn = (np.n_pairs + 1) // 2 OR rn = (np.n_pairs + 2) // 2
+        |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin,
+
+    // Poisson bootstrap: replicate weights from integer thresholds at
+    // the md5-derived 8-bit coin (94/188/235/251/255 =
+    // floor(F_Poisson(1)(k)·256)); per-replicate means decimal-exact
+    // with one IEEE divide; CI = order stats 3/98 of the 100 means
+    "analytics_bootstrap_ci" ->
+      s"""WITH ck AS (SELECT event_type, event_id,
+         |  CAST(value AS DECIMAL(18,4)) AS v,
+         |  unnest(range(0, 7)) AS chunk FROM events),
+         |hs AS (SELECT event_type, v, chunk,
+         |  md5(CAST(event_id AS VARCHAR) || ':'
+         |    || CAST(chunk AS VARCHAR)) AS hh FROM ck),
+         |reps AS (SELECT event_type, v, hh,
+         |  chunk * 16 + pos AS b,
+         |  substr(hh, CAST(pos * 2 + 1 AS INTEGER), 2) AS pr
+         | FROM hs, (SELECT unnest(range(0, 16)) AS pos)
+         | WHERE chunk * 16 + pos < 100),
+         |us AS (SELECT event_type, b, v, ${duckU8("pr")} AS u
+         | FROM reps),
+         |ws AS (SELECT event_type, b, v,
+         |  CAST(CASE WHEN u < 94 THEN 0 WHEN u < 188 THEN 1
+         |   WHEN u < 235 THEN 2 WHEN u < 251 THEN 3
+         |   WHEN u < 255 THEN 4 ELSE 5 END AS BIGINT) AS w FROM us),
+         |m AS (SELECT event_type, b,
+         |  CAST(CAST(SUM(w * v) AS VARCHAR) AS DOUBLE)
+         |   / CAST(nullif(CAST(SUM(w) AS BIGINT), 0) AS DOUBLE)
+         |   AS mean_b
+         | FROM ws GROUP BY 1, 2),
+         |r AS (SELECT event_type, mean_b, row_number() OVER (
+         |  PARTITION BY event_type ORDER BY mean_b) AS rn FROM m),
+         |ci AS (SELECT event_type, min(mean_b) AS ci_lo,
+         |  max(mean_b) AS ci_hi FROM r WHERE rn = 3 OR rn = 98
+         | GROUP BY 1),
+         |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+         |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+         | FROM events GROUP BY 1)
+         |SELECT pt.event_type, pt.n, pt.mean, ci.ci_lo, ci.ci_hi
+         |FROM ci JOIN pt ON ci.event_type = pt.event_type
+         |ORDER BY pt.event_type""".stripMargin,
+
+    // Yule–Walker AR(2): r1/r2 via the exact-integer ACF clearing
+    // formula (verbatim from ts_acf), φ/forecast as one fixed IEEE tree
+    "ts_ar2_forecast" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, x, row_number() OVER (
+        |  PARTITION BY event_type ORDER BY day) AS t FROM daily),
+        |base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  SUM(CAST(x AS HUGEINT)) AS s,
+        |  SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q
+        | FROM idx GROUP BY 1),
+        |lags AS (SELECT unnest(generate_series(1, 2)) AS lag),
+        |ov AS (SELECT a.event_type, l.lag,
+        |  CAST(count(*) AS BIGINT) AS m,
+        |  SUM(CAST(a.x AS HUGEINT) * CAST(b.x AS HUGEINT)) AS pk,
+        |  SUM(CAST(a.x AS HUGEINT)) AS sh,
+        |  SUM(CAST(b.x AS HUGEINT)) AS st
+        | FROM idx a CROSS JOIN lags l
+        | JOIN idx b ON b.event_type = a.event_type
+        |  AND b.t = a.t + l.lag
+        | GROUP BY 1, 2),
+        |acf AS (SELECT o.event_type, o.lag,
+        | CAST(CAST(CAST(b.n AS HUGEINT) * CAST(b.n AS HUGEINT) * o.pk
+        |    - CAST(b.n AS HUGEINT) * b.s * (o.sh + o.st)
+        |    + CAST(o.m AS HUGEINT) * b.s * b.s AS VARCHAR) AS DOUBLE)
+        | / CAST(CAST(CAST(b.n AS HUGEINT) * CAST(b.n AS HUGEINT) * b.q
+        |    - CAST(b.n AS HUGEINT) * b.s * b.s AS VARCHAR) AS DOUBLE)
+        |  AS acf
+        | FROM ov o JOIN base b ON o.event_type = b.event_type),
+        |rr AS (SELECT event_type,
+        |  max(CASE WHEN lag = 1 THEN acf END) AS r1,
+        |  max(CASE WHEN lag = 2 THEN acf END) AS r2
+        | FROM acf GROUP BY 1),
+        |mb AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ybar
+        | FROM daily GROUP BY 1),
+        |tl AS (SELECT event_type, x, row_number() OVER (
+        |  PARTITION BY event_type ORDER BY day DESC) AS rn FROM daily),
+        |tail AS (SELECT event_type,
+        |  CAST(max(CASE WHEN rn = 1 THEN x END) AS DOUBLE) AS yn,
+        |  CAST(max(CASE WHEN rn = 2 THEN x END) AS DOUBLE) AS ynm1
+        | FROM tl WHERE rn <= 2 GROUP BY 1),
+        |ph AS (SELECT rr.event_type, mb.n, rr.r1, rr.r2, mb.ybar,
+        |  tail.yn, tail.ynm1,
+        |  rr.r1 * (CAST(1 AS DOUBLE) - rr.r2)
+        |   / nullif(CAST(1 AS DOUBLE) - rr.r1 * rr.r1,
+        |       CAST(0 AS DOUBLE)) AS phi1,
+        |  (rr.r2 - rr.r1 * rr.r1)
+        |   / nullif(CAST(1 AS DOUBLE) - rr.r1 * rr.r1,
+        |       CAST(0 AS DOUBLE)) AS phi2
+        | FROM rr JOIN mb ON rr.event_type = mb.event_type
+        | JOIN tail ON rr.event_type = tail.event_type)
+        |SELECT event_type, n, r1, r2, phi1, phi2,
+        | ybar + phi1 * (yn - ybar) + phi2 * (ynm1 - ybar) AS forecast
+        |FROM ph ORDER BY event_type""".stripMargin,
+
+    // ε-DP counts: discrete geometric noise (p = ½) inverted at the
+    // md5 coin against the floor(F(k)·256) integer threshold chain
+    "privacy_dp_counts" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+         | FROM documents GROUP BY 1),
+         |h AS (SELECT lang, n, md5('dp:' || lang) AS hh FROM c),
+         |u AS (SELECT lang, n, ${duckU8("hh")} AS u8 FROM h),
+         |z AS (SELECT lang, n,
+         |  CAST(CASE WHEN u8 < 5 THEN -5 WHEN u8 < 10 THEN -4
+         |   WHEN u8 < 21 THEN -3 WHEN u8 < 42 THEN -2
+         |   WHEN u8 < 85 THEN -1 WHEN u8 < 170 THEN 0
+         |   WHEN u8 < 213 THEN 1 WHEN u8 < 234 THEN 2
+         |   WHEN u8 < 245 THEN 3 WHEN u8 < 250 THEN 4
+         |   ELSE 5 END AS BIGINT) AS noise FROM u)
+         |SELECT lang, n, noise,
+         | CAST(greatest(n + noise, 0) AS BIGINT) AS released
+         |FROM z ORDER BY lang""".stripMargin,
+
+    // WAV PCM16: rebuild each sample from positional byte pairs
+    // (little-endian; ASCII corpus so char position == byte position,
+    // the same stance as mm_decoded_rgb), space-pad to even length
+    "mm_wav_stats" ->
+      """WITH t AS (SELECT doc_id AS media_id, text,
+        |  octet_length(encode(text)) AS n0 FROM documents),
+        |d AS (SELECT media_id, text, n0, (n0 + 1) // 2 AS ns FROM t),
+        |p AS (SELECT media_id, text, n0, ns,
+        |  unnest(range(0, ns)) AS i FROM d),
+        |v AS (SELECT media_id,
+        |  (CASE WHEN 2 * i + 1 <= n0
+        |    THEN ord(substr(text, CAST(2 * i + 1 AS INTEGER), 1))
+        |    ELSE 32 END)
+        |  + 256 * (CASE WHEN 2 * i + 2 <= n0
+        |    THEN ord(substr(text, CAST(2 * i + 2 AS INTEGER), 1))
+        |    ELSE 32 END) AS raw FROM p),
+        |sg AS (SELECT media_id,
+        |  CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS sv
+        | FROM v),
+        |s AS (SELECT media_id,
+        |  CAST(sum(CAST(sv AS BIGINT)) AS BIGINT) AS sumv,
+        |  CAST(sum(CAST(sv AS BIGINT) * CAST(sv AS BIGINT)) AS BIGINT)
+        |    AS sumq,
+        |  CAST(max(abs(sv)) AS INTEGER) AS peak
+        | FROM sg GROUP BY 1)
+        |SELECT d.media_id, CAST(44 + 2 * d.ns AS BIGINT) AS byte_len,
+        | CAST(d.ns AS BIGINT) AS n_samples,
+        | CAST(8000 AS INTEGER) AS sample_rate,
+        | CAST(sumv AS DOUBLE) / CAST(d.ns AS DOUBLE) AS mean_amp,
+        | sqrt(CAST(sumq AS DOUBLE) / CAST(d.ns AS DOUBLE)) AS rms_amp,
+        | peak AS peak_amp
+        |FROM d JOIN s ON d.media_id = s.media_id
+        |ORDER BY d.media_id""".stripMargin,
 
     "pipe_value_histogram" ->
       """SELECT CAST(floor(value / 5e0) AS BIGINT) AS bucket,
@@ -6903,6 +7258,72 @@ object SparkEntry {
         |FROM w a JOIN w b ON a.ch = b.ch AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // maximal-span reduction: matched 40-gram offsets along a diagonal
+    // form contiguous runs == maximal equality runs (gram i+1 matches
+    // iff gram i matches and the next char matches); islands trick
+    // recovers run starts/lengths. Raw-gram join — equality modulo the
+    // 2^-64 xxhash collision the Spark side accepts by design.
+    "dedup_substring_maximal" ->
+      """WITH g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |  substr(text, CAST(i + 1 AS INTEGER), 40) AS gram
+        | FROM (SELECT doc_id, text,
+        |   unnest(range(0, greatest(length(text) - 39, 0))) AS i
+        |  FROM documents)),
+        |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  a.i AS ia, a.i - b.i AS diag
+        | FROM g a JOIN g b
+        | ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |runs AS (SELECT id_a, id_b, diag, ia,
+        |  ia - row_number() OVER (
+        |    PARTITION BY id_a, id_b, diag ORDER BY ia) AS grp
+        | FROM m)
+        |SELECT id_a, id_b, CAST(min(ia) AS BIGINT) AS start_a,
+        | CAST(min(ia) - diag AS BIGINT) AS start_b,
+        | CAST(count(*) + 39 AS BIGINT) AS span_len
+        |FROM runs GROUP BY id_a, id_b, diag, grp
+        |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
+
+    // keep-first coverage: per doc, the union length of b-side maximal
+    // spans shared with any lower-id doc (sweep = prev-max-end islands)
+    "dedup_span_coverage" ->
+      """WITH g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |  substr(text, CAST(i + 1 AS INTEGER), 40) AS gram
+        | FROM (SELECT doc_id, text,
+        |   unnest(range(0, greatest(length(text) - 39, 0))) AS i
+        |  FROM documents)),
+        |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  a.i AS ia, a.i - b.i AS diag
+        | FROM g a JOIN g b
+        | ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |runs AS (SELECT id_a, id_b, diag, ia,
+        |  ia - row_number() OVER (
+        |    PARTITION BY id_a, id_b, diag ORDER BY ia) AS grp
+        | FROM m),
+        |spans AS (SELECT id_b AS doc_id,
+        |  CAST(min(ia) - diag AS BIGINT) AS s,
+        |  CAST(min(ia) - diag + count(*) + 39 AS BIGINT) AS e
+        | FROM runs GROUP BY id_a, id_b, diag, grp),
+        |ordered AS (SELECT doc_id, s, e,
+        |  max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS prev_max_e FROM spans),
+        |mk AS (SELECT doc_id, s, e, CASE WHEN prev_max_e IS NULL
+        |   OR s > prev_max_e THEN 1 ELSE 0 END AS is_new FROM ordered),
+        |isl AS (SELECT doc_id, s, e,
+        |  sum(is_new) OVER (PARTITION BY doc_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        | FROM mk),
+        |u AS (SELECT doc_id, island, min(s) AS s, max(e) AS e
+        | FROM isl GROUP BY 1, 2),
+        |cov AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT)
+        |  AS covered_chars FROM u GROUP BY 1)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+        | coalesce(cov.covered_chars, 0) AS covered_chars,
+        | CAST(coalesce(cov.covered_chars, 0) AS DOUBLE)
+        |  / CAST(length(d.text) AS DOUBLE) AS dup_frac
+        |FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // lexical (minhash-lsh verified jaccard) FULL JOIN semantic
     // (banded sign-LSH verified cosine) with the evidence count

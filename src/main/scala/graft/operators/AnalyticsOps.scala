@@ -1424,4 +1424,309 @@ object AnalyticsOps {
         concat(col("recency_days_q"), col("frequency_q"),
           col("monetary_cents_q")).as("rfm_cell"))
   }
+
+  /** Theil–Sen slope estimator per group (Theil 1950 / Sen 1968 —
+    * public): the MEDIAN of all pairwise slopes (y_j−y_i)/(d_j−d_i)
+    * over the group's DAILY series — the robust trend line with a 29%
+    * breakdown point, where OLS is dragged by a single outlier day.
+    *
+    * Scale shape: the corpus collapses to the per-(group, day)
+    * aggregation first, so the pairwise join is bounded by the
+    * CALENDAR squared per group (≤ days²/2 pairs — 1 770 for a 60-day
+    * window), never by row count; the median rank window partitions by
+    * group over those bounded pairs. Daily y is a decimal-exact sum
+    * cast once to double, each slope is one IEEE divide of those
+    * bit-pinned operands, and the even-count median is (lo+hi)/2 —
+    * reduction-order-free cross-engine. */
+  def theilSen(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast(DecimalType(18, 4))).cast("double")
+        .as("y"))
+      .withColumn("d", unix_date(col("day")).cast("double"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col(s"a.$typeCol") === col(s"b.$typeCol") &&
+        col("a.day") < col("b.day"))
+      .select(col(s"a.$typeCol").as(typeCol),
+        ((col("b.y") - col("a.y")) / (col("b.d") - col("a.d")))
+          .as("slope"))
+    val np = pairs.groupBy(col(typeCol)).agg(count(lit(1)).as("n_pairs"))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("slope"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(np), Seq(typeCol))
+      // lower and upper middle (equal when n_pairs is odd); ties in
+      // slope order are interchangeable EQUAL values, so tie order
+      // cannot change the selected pair of numbers. Spark's `/` on
+      // longs is TRUE division — floor via cast for the integer ranks.
+      .where(col("rn") === ((col("n_pairs") + 1) / 2).cast("long") ||
+        col("rn") === ((col("n_pairs") + 2) / 2).cast("long"))
+      .groupBy(col(typeCol))
+      .agg(max(col("n_pairs")).as("n_pairs"),
+        ((min(col("slope")) + max(col("slope"))) / 2.0)
+          .as("theil_sen_slope"))
+  }
+
+  /** Hodges–Lehmann pseudo-median per group (Hodges & Lehmann 1963 —
+    * public): the median of all Walsh averages (y_i + y_j)/2 over
+    * i ≤ j of the group's DAILY series — the location estimator dual
+    * to the Wilcoxon signed-rank test, robust where the mean is
+    * dragged by a single outlier day yet ~95% efficient at the normal.
+    *
+    * Same scale shape as [[theilSen]]: the corpus collapses to the
+    * per-(group, day) aggregation FIRST, so the Walsh-pair join is
+    * bounded by the calendar squared per group (n(n+1)/2 pairs — 1 830
+    * for a 60-day window), never by event volume; the median rank
+    * window partitions by group over those bounded pairs. Daily y is a
+    * decimal-exact sum cast once to double, each Walsh average is one
+    * IEEE add + halve of bit-pinned operands, and the even-count
+    * median is (lo+hi)/2 — reduction-order-free cross-engine. */
+  def hodgesLehmann(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast(DecimalType(18, 4))).cast("double")
+        .as("y"))
+    // i ≤ j INCLUDING i = j: the Walsh set contains the singletons
+    val pairs = daily.as("a").join(daily.as("b"),
+        col(s"a.$typeCol") === col(s"b.$typeCol") &&
+        col("a.day") <= col("b.day"))
+      .select(col(s"a.$typeCol").as(typeCol),
+        ((col("a.y") + col("b.y")) / 2.0).as("walsh"))
+    val np = pairs.groupBy(col(typeCol)).agg(count(lit(1)).as("n_pairs"))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("walsh"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(np), Seq(typeCol))
+      .where(col("rn") === ((col("n_pairs") + 1) / 2).cast("long") ||
+        col("rn") === ((col("n_pairs") + 2) / 2).cast("long"))
+      .groupBy(col(typeCol))
+      .agg(max(col("n_pairs")).as("n_pairs"),
+        ((min(col("walsh")) + max(col("walsh"))) / 2.0)
+          .as("hl_estimate"))
+  }
+
+  /** Value of a hex digit character, as a Column expression shared by
+    * the deterministic-randomness operators ('0'-'9' → 0-9,
+    * 'a'-'f' → 10-15; lowercase only, which is what md5 emits). */
+  private def hexVal(c: Column): Column =
+    ascii(c) - when(ascii(c) >= 97, 87).otherwise(48)
+
+  /** An 8-bit deterministic uniform (0..255) from the first two hex
+    * chars of md5(seed) — the shared coin of [[bootstrapMeanCi]] and
+    * [[dpNoisyCounts]]. Hash-derived, so it is identical in any engine
+    * with md5 + ascii — no RNG state, no libm, no parallelism order. */
+  private def u8(seed: Column): Column = {
+    val h = md5(seed)
+    hexVal(substring(h, 1, 1)) * 16 + hexVal(substring(h, 2, 1))
+  }
+
+  /** Per-group bootstrap confidence interval for the mean (Efron 1979
+    * — public), deterministic: replicate b resamples each row with a
+    * Poisson(1) weight read off an inverse-CDF threshold table at the
+    * row's hash-uniform coin — hex pair b mod 16 of
+    * md5(event_id:⌊b/16⌋) — the Poisson bootstrap of
+    * Chamandy et al. (the streaming/parallel-safe form: no global
+    * sample-index coordination, each row draws independently). The
+    * thresholds are floor(F_Poisson(1)(k)·256) = 94/188/235/251/255 —
+    * integer literals, so the weights are pure integer logic both
+    * engines agree on bit-for-bit.
+    *
+    * Scale: the exploded (row × B) relation never materializes a
+    * shuffle of that size — partial aggregation collapses it map-side
+    * to (group × B) partial sums (the constant-multiplier law of the
+    * replicate pattern, like attribution's ×(window+1)); the CI rank
+    * window runs over B rows per group, bounded by the literal B.
+    * Per-replicate means are decimal-exact sums with ONE IEEE divide;
+    * the percentile bounds are order statistics of those B doubles. */
+  /** The B Poisson(1) weights of one row, derived from ⌈B/16⌉ md5
+    * digests of "id:chunk": one md5 is 16 independent 8-bit coins,
+    * and hex pair j of the hex string IS unsigned byte j of the raw
+    * digest — so the JVM side never renders hex at all, while the SQL
+    * oracle reads the same coin as substr(md5hex, 2j+1, 2). The
+    * thresholds are floor(F_Poisson(1)(k)·256). */
+  private final class BootstrapAggregator(b: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, String, Long), Array[Long], Seq[Long]] {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    private def weightOf(u: Int): Long =
+      if (u < 94) 0L else if (u < 188) 1L else if (u < 235) 2L
+      else if (u < 251) 3L else if (u < 255) 4L else 5L
+    def zero: Array[Long] = new Array[Long](2 * b)
+    def reduce(buf: Array[Long], row: (String, String, Long))
+        : Array[Long] = {
+      val md = BootstrapAggregator.digest.get()
+      val (_, id, vl) = row
+      var rep = 0
+      var chunk = 0
+      while (rep < b) {
+        md.reset()
+        md.update((id + ":" + chunk)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val d = md.digest()
+        var pos = 0
+        while (pos < 16 && rep < b) {
+          val w = weightOf(d(pos) & 0xff)
+          buf(rep) += w
+          buf(b + rep) += w * vl
+          pos += 1
+          rep += 1
+        }
+        chunk += 1
+      }
+      buf
+    }
+    def merge(a: Array[Long], c: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < 2 * b) { a(i) += c(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Seq[Long] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(buf)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      ExpressionEncoder[Seq[Long]]()
+  }
+
+  private object BootstrapAggregator {
+    val digest: ThreadLocal[java.security.MessageDigest] =
+      ThreadLocal.withInitial(() =>
+        java.security.MessageDigest.getInstance("MD5"))
+  }
+
+  def bootstrapMeanCi(events: DataFrame, typeCol: String = "event_type",
+      idCol: String = "event_id", valueCol: String = "value",
+      b: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(b >= 40, s"need B >= 40 for the 2.5/97.5 order stats, got $b")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // The replicate pass is ONE map-side typed aggregation (the
+    // emb_pca Gram shape): each input row updates a 2B-long buffer —
+    // Σw and Σw·v per replicate — so the (rows × B) relation never
+    // exists and only #groups × 1.6 KB buffers shuffle. The value
+    // rides as its EXACT scaled-long DECIMAL(18,4) units (one decimal
+    // cast per input row); the bounded (group × B) relation rebuilds
+    // the exact decimal by integer division before the one IEEE
+    // divide, so the result is bit-identical to the naive decimal
+    // formulation the oracle runs. Overflow bound: Σw·v·10⁴ ≤
+    // 5·10⁴·Σ|v| — safe to ~10¹⁴ unit-scale rows per group.
+    // (Bench history: exploded decimal 11.9 s → exploded long 5.2 s →
+    // this 1-pass aggregator; same oracle throughout.)
+    val packed = events
+      .select(col(typeCol).cast("string"), col(idCol).cast("string"),
+        (col(valueCol).cast(DecimalType(18, 4)) * 10000)
+          .cast("long").as("vl"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .agg(new BootstrapAggregator(b).toColumn.name("s"))
+      .toDF(typeCol, "s")
+    val reps = packed
+      .select(col(typeCol), posexplode(expr(
+        s"""transform(sequence(0, ${b - 1}), i ->
+           |  struct(element_at(s, i + 1) AS nw,
+           |    element_at(s, i + ${b + 1}) AS swl))""".stripMargin)))
+      .select(col(typeCol), col("pos").as("b"),
+        ((col("col.swl").cast(DecimalType(38, 0)) / lit(10000))
+          .cast("double") /
+          nullif(col("col.nw"), lit(0L)).cast("double")).as("mean_b"))
+    val point = events.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n"),
+        (sum(col(valueCol).cast(DecimalType(18, 4))).cast("double") /
+          count(lit(1)).cast("double")).as("mean"))
+    // 2.5th / 97.5th percentile of the B replicate means as order
+    // statistics: lo = rank ceil(0.025·B), hi = rank ceil(0.975·B)
+    val loRank = math.ceil(0.025 * b).toLong
+    val hiRank = math.ceil(0.975 * b).toLong
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("mean_b"))
+    reps
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === loRank || col("rn") === hiRank)
+      .groupBy(col(typeCol))
+      .agg(min(col("mean_b")).as("ci_lo"), max(col("mean_b")).as("ci_hi"))
+      .join(point, Seq(typeCol))
+      .select(col(typeCol), col("n"), col("mean"), col("ci_lo"),
+        col("ci_hi"))
+  }
+
+  /** Yule–Walker AR(2) fit + one-step forecast per group (Yule 1927 /
+    * Walker 1931 — public): φ₁ = r₁(1−r₂)/(1−r₁²),
+    * φ₂ = (r₂−r₁²)/(1−r₁²) from the lag-1/lag-2 autocorrelations of
+    * the group's daily-count series, then
+    * ŷ = ȳ + φ₁(y_n−ȳ) + φ₂(y_{n−1}−ȳ) — the closed-form
+    * autoregressive companion to [[autocorrelation]] (whose
+    * exact-integer sufficient statistics it reuses, so r₁/r₂ are
+    * bit-identical to the `ts_acf` surface) and the Holt smoother
+    * (trend via recursion there, via the autocovariance structure
+    * here).
+    *
+    * Scale: everything after the daily pre-aggregation is
+    * calendar-bounded — the ACF join meets day-shifted copies of the
+    * ≤days-row series, and the tail window ranks the same bounded
+    * relation per group. The φ/forecast arithmetic is one fixed IEEE
+    * expression tree over exactly-determined doubles. */
+  def yuleWalkerAr2(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val acf = autocorrelation(events, maxLag = 2, typeCol, tsCol)
+      .groupBy(col("event_type"))
+      .agg(max(when(col("lag") === 1, col("acf"))).as("r1"),
+        max(when(col("lag") === 2, col("acf"))).as("r2"))
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val base = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("x")).cast("double") / count(lit(1)).cast("double"))
+          .as("ybar"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day").desc)
+    val tail = daily
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === 1, col("x"))).cast("double").as("yn"),
+        max(when(col("rn") === 2, col("x"))).cast("double").as("ynm1"))
+    val denom = nullif(lit(1.0) - col("r1") * col("r1"), lit(0.0))
+    acf.join(base, "event_type").join(tail, "event_type")
+      .select(col("event_type"), col("n"), col("r1"), col("r2"),
+        col("ybar"), col("yn"), col("ynm1"),
+        (col("r1") * (lit(1.0) - col("r2")) / denom).as("phi1"),
+        ((col("r2") - col("r1") * col("r1")) / denom).as("phi2"))
+      .withColumn("forecast",
+        col("ybar") + col("phi1") * (col("yn") - col("ybar")) +
+          col("phi2") * (col("ynm1") - col("ybar")))
+      .select(col("event_type"), col("n"), col("r1"), col("r2"),
+        col("phi1"), col("phi2"), col("forecast"))
+  }
+
+  /** ε-differentially-private count release per group via the discrete
+    * geometric mechanism (Ghosh–Roughgarden–Sundararajan 2012 —
+    * public), ε = ln 2 so the two-sided geometric ratio is exactly
+    * p = ½: P(K = k) ∝ 2^{−|k|}. The noise draw inverts the geometric
+    * CDF at a deterministic u8(salt:group) coin against INTEGER
+    * thresholds floor(F(k)·256) for k ∈ [−5, 5] (tail mass beyond ±5
+    * is < 2⁻⁵/3 and is truncated onto the endpoints — documented bias,
+    * irrelevant to the mechanism's structure) — so the release is pure
+    * integer logic, bit-reproducible in any engine with md5.
+    *
+    * The released column is n + noise (floored at 0); `n` itself is
+    * kept in the output because this is the AUDIT surface the oracle
+    * checks — a production release would project it away. Per-group
+    * work after the count aggregation is one row. */
+  def dpNoisyCounts(df: DataFrame, groupCol: String,
+      salt: String = "dp"): DataFrame = {
+    val u = u8(concat(lit(salt), lit(":"), col(groupCol).cast("string")))
+    val noise = when(u < 5, -5L).when(u < 10, -4L).when(u < 21, -3L)
+      .when(u < 42, -2L).when(u < 85, -1L).when(u < 170, 0L)
+      .when(u < 213, 1L).when(u < 234, 2L).when(u < 245, 3L)
+      .when(u < 250, 4L).otherwise(5L)
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noise", noise)
+      .withColumn("released", greatest(col("n") + col("noise"), lit(0L)))
+  }
 }

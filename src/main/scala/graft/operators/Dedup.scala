@@ -810,4 +810,124 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** MAXIMAL repeated substring spans between document pairs — the
+    * exact substring dedup of Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better", public), upgrading
+    * [[substringSpanPairs]]'s fixed-40-char approximation to true
+    * variable-length maximal spans: every (id_a, id_b, start_a,
+    * start_b, span_len) with text_a[start_a, start_a+span_len) ==
+    * text_b[start_b, start_b+span_len), span_len ≥ minLen, and the
+    * match extendable in neither direction.
+    *
+    * The reduction that makes it relational instead of suffix-array:
+    * emit every length-`minLen` character gram with its offset. For a
+    * fixed doc pair, gram (i, j) matches AND gram (i+1, j+1) matches
+    * iff chars a[i+minLen] == b[j+minLen] — the first minLen−1 chars of
+    * the second gram are already equal under the first. So matched gram
+    * positions along a diagonal d = i−j form contiguous runs that are
+    * EXACTLY the maximal equality runs: a run of c grams is a maximal
+    * span of length c + minLen − 1, left/right-blocked by boundary or
+    * mismatch. Runs are found with the islands trick (ia − row_number
+    * over the per-pair-per-diagonal window — a window bounded by the
+    * pair's span structure, never the corpus).
+    *
+    * Scale: one row per character offset (the same order as the
+    * suffix-array construction scan), shuffled as an 8-byte xxhash64
+    * gram key — the raw-text oracle join is equality modulo the 2⁻⁶⁴
+    * collision the hash side accepts by design, the documented
+    * [[substringSpanPairs]] stance. The self-join meets only offsets
+    * sharing a gram; corpus-frequent grams (license boilerplate in k
+    * docs × p offsets → (kp)² meetings) are the hot-key hazard, so
+    * `maxGramDf` caps gram document-frequency: grams above the cap are
+    * dropped BEFORE the join (a gram inside a surviving maximal span
+    * keeps the span discoverable via its other grams unless ALL its
+    * grams are capped — the standard recall trade; leave None for the
+    * exact oracle-checked semantics). */
+  def maximalSubstringSpans(documents: DataFrame, minLen: Int = 40,
+      maxGramDf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = documents
+      .where(length(col("text")) >= minLen)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, length(text) - $minLen),
+           |  i -> xxhash64(substring(text, i + 1, $minLen)))"""
+          .stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("i"),
+        col("col").as("gk"))
+    val seeded = maxGramDf match {
+      case Some(cap) =>
+        val hot = grams.groupBy(col("gk"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .where(col("df") > cap)
+          .select(col("gk"))
+        grams.join(hot, Seq("gk"), "left_anti")
+      case None => grams
+    }
+    // BOTH sides of the gram meeting are corpus-sized by construction
+    // (one row per character offset), so the join is pinned to
+    // sort-merge: the planner's post-explode size estimate can land
+    // under the broadcast threshold and a "broadcast" of the gram
+    // relation is a driver-collect of the whole corpus — the exact
+    // failure the 100× stress run reproduces without the hint.
+    val matched = seeded.as("a").hint("merge").join(
+        seeded.as("b").hint("merge"),
+        col("a.gk") === col("b.gk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.i").as("ia"), (col("a.i") - col("b.i")).as("diag"))
+    val w = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("ia"))
+    matched
+      .withColumn("grp", col("ia") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("grp"))
+      .agg(min(col("ia")).as("start_a"),
+        (min(col("ia")) - col("diag")).as("start_b"),
+        (count(lit(1)) + lit(minLen - 1).cast("long")).as("span_len"))
+      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
+        col("span_len"))
+  }
+
+  /** Per-document duplicated-character coverage — the DROP-DECISION
+    * quantity of exact substring dedup: for each doc, how many of its
+    * characters are covered by a maximal span shared with some
+    * LOWER-id document (the keep-first convention: the smallest id
+    * owning a span is its canonical copy). The Lee et al. pipeline
+    * drops or trims documents by exactly this fraction.
+    *
+    * Interval union per doc is the classic sweep as two partitioned
+    * windows: an island starts where a span's start exceeds the
+    * running max end of everything before it; islands then aggregate
+    * to disjoint intervals. Both windows partition by doc_id — work
+    * per doc is its own span count, never the corpus. */
+  def spanCoverage(documents: DataFrame, minLen: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = maximalSubstringSpans(documents, minLen)
+      // id_a < id_b always: the b side is the doc whose content is
+      // owned by an earlier (smaller-id) doc
+      .select(col("id_b").as("doc_id"), col("start_b").as("s"),
+        (col("start_b") + col("span_len")).as("e"))
+    val ord = Window.partitionBy(col("doc_id"))
+      .orderBy(col("s"), col("e"))
+    val marked = iv
+      .withColumn("prev_max_e",
+        max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        (col("prev_max_e").isNull || col("s") > col("prev_max_e"))
+          .cast("long"))
+    val covered = marked
+      .withColumn("island", sum(col("is_new"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("e") - col("s")).as("covered_chars"))
+    documents
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("covered_chars"), lit(0L)).as("covered_chars"),
+        (coalesce(col("covered_chars"), lit(0L)).cast("double") /
+          col("n_chars").cast("double")).as("dup_frac"))
+  }
 }

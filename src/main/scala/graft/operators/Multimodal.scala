@@ -96,6 +96,80 @@ object Multimodal {
     }
   }
 
+  final case class RgbFeatures(media_id: Long, byte_len: Long,
+      width: Option[Int], height: Option[Int], maxval: Option[Int],
+      mean_r: Option[Double], mean_g: Option[Double],
+      mean_b: Option[Double], feature_hash: String)
+
+  final case class PpmImage(width: Int, height: Int, maxval: Int,
+      pixels: Array[Byte]) // RGB interleaved, 3·w·h bytes
+
+  /** Binary PPM (P6, the Netpbm portable pixmap — RGB) codec. Same
+    * header grammar as P5 but the raster is 3·w·h interleaved RGB
+    * bytes — the second format behind the [[PgmCodec]] seam, proving
+    * the mapPartitions codec shape generalizes beyond grayscale. */
+  object PpmCodec {
+    /** Serializes RGB bytes as a P6 PPM: `P6\n<w> <h>\n<maxval>\n`
+      * then exactly 3·w·h raw bytes (truncating/space-padding). */
+    def encode(rgb: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad dims ${width}x$height")
+      val header = s"P6\n$width $height\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val pixels = java.util.Arrays.copyOf(rgb, 3 * width * height)
+      if (rgb.length < pixels.length)
+        java.util.Arrays.fill(pixels, rgb.length, pixels.length, ' '.toByte)
+      header ++ pixels
+    }
+
+    /** Parses a P6 PPM through the same Netpbm whitespace/comment
+      * rules as [[PgmCodec.decode]]; throws IllegalArgumentException
+      * on malformed input (callers choose throw-vs-null policy). */
+    def decode(payload: Array[Byte]): PpmImage = {
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"PPM decode: $msg")
+      if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
+        fail("missing P6 magic")
+      var pos = 2
+      def isWs(b: Byte): Boolean =
+        b == ' ' || b == '\n' || b == '\r' || b == '\t'
+      def skipWsAndComments(): Unit = {
+        var more = true
+        while (more && pos < payload.length) {
+          if (isWs(payload(pos))) pos += 1
+          else if (payload(pos) == '#') {
+            while (pos < payload.length && payload(pos) != '\n') pos += 1
+          } else more = false
+        }
+      }
+      def readInt(what: String): Int = {
+        skipWsAndComments()
+        val start = pos
+        var v = 0
+        while (pos < payload.length && payload(pos) >= '0' &&
+            payload(pos) <= '9') {
+          v = v * 10 + (payload(pos) - '0')
+          if (v > (1 << 24)) fail(s"$what out of range")
+          pos += 1
+        }
+        if (pos == start) fail(s"missing $what")
+        v
+      }
+      val w = readInt("width")
+      val h = readInt("height")
+      val mv = readInt("maxval")
+      if (w == 0 || h == 0) fail(s"degenerate dims ${w}x$h")
+      if (mv == 0 || mv > 255) fail(s"unsupported maxval $mv")
+      if (pos >= payload.length || !isWs(payload(pos)))
+        fail("missing raster separator")
+      pos += 1
+      if (payload.length - pos < 3 * w * h)
+        fail(s"truncated raster: need ${3 * w * h}, " +
+          s"have ${payload.length - pos}")
+      PpmImage(w, h, mv,
+        java.util.Arrays.copyOfRange(payload, pos, pos + 3 * w * h))
+    }
+  }
+
   /** Attach a binary payload column (here: the UTF-8 bytes of `text` —
     * a stand-in for real image bytes) plus media-type metadata. */
   def withBinaryPayload(documents: DataFrame): DataFrame =
@@ -122,6 +196,61 @@ object Multimodal {
         (id, PgmCodec.encode(bytes, w, h), "image/x-portable-graymap")
       }
       .toDF("media_id", "payload", "media_type")
+  }
+
+  /** Synthesize REAL encoded P6 payloads from the corpus: each doc's
+    * UTF-8 bytes become the interleaved RGB raster of a
+    * `(4 + n mod 23)`-wide image, space-padded to fill. */
+  def withPpmPayload(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = Option(text).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val w = 4 + (bytes.length % 23)
+        val h = math.max(1, (bytes.length + 3 * w - 1) / (3 * w))
+        (id, PpmCodec.encode(bytes, w, h), "image/x-portable-pixmap")
+      }
+      .toDF("media_id", "payload", "media_type")
+  }
+
+  /** Decode + per-CHANNEL feature extraction over P6 payloads, same
+    * mapPartitions seam as [[extractFeatures]] but with the
+    * null-not-fail policy: a malformed payload yields a row with null
+    * decode columns (byte_len + digest still populated) instead of
+    * failing the task — at 100 TB a corrupt object in a billion-row
+    * media table must degrade to a null, not kill the stage. */
+  def extractRgbFeatures(spark: SparkSession, media: DataFrame)
+      : Dataset[RgbFeatures] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, payload) =>
+          md.reset()
+          val hash = md.digest(payload).map("%02x".format(_)).mkString
+          try {
+            val img = PpmCodec.decode(payload)
+            val sums = new Array[Long](3)
+            var i = 0
+            while (i < img.pixels.length) {
+              sums(i % 3) += img.pixels(i) & 0xff
+              i += 1
+            }
+            val n = img.width.toLong * img.height
+            RgbFeatures(id, payload.length.toLong, Some(img.width),
+              Some(img.height), Some(img.maxval),
+              Some(sums(0).toDouble / n), Some(sums(1).toDouble / n),
+              Some(sums(2).toDouble / n), hash)
+          } catch {
+            case _: IllegalArgumentException =>
+              RgbFeatures(id, payload.length.toLong, None, None, None,
+                None, None, None, hash)
+          }
+        }
+      }
   }
 
   /** Decode + feature-extract over binary payloads, batched per
@@ -189,4 +318,150 @@ object Multimodal {
       .select(col("media_id"), col("n_frames"),
         explode(sequence(lit(0L), greatest(col("n_frames") - 1, lit(0L)),
           lit(step.toLong))).as("frame_idx"))
+
+  final case class WavPcm(sampleRate: Int, samples: Array[Short])
+
+  final case class WavFeatures(media_id: Long, byte_len: Long,
+      n_samples: Option[Long], sample_rate: Option[Int],
+      mean_amp: Option[Double], rms_amp: Option[Double],
+      peak_amp: Option[Int])
+
+  /** Canonical WAVE (RIFF) PCM16 mono codec — the AUDIO format behind
+    * the mapPartitions codec seam (third modality after P5 grayscale
+    * and P6 RGB), proving the seam's shape — typed decode struct,
+    * per-partition init, null-not-fail policy — is format-agnostic.
+    * RIFF is a public container: `RIFF <size> WAVE` then chunks, each
+    * `<4-byte id> <LE u32 size> <payload>`; `fmt ` carries the PCM
+    * parameters, `data` the little-endian 16-bit samples. */
+  object WavCodec {
+    private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+    /** Serializes raw bytes as the PCM16 sample stream of a mono WAV
+      * (space-padding to an even byte count): a deterministic stand-in
+      * for real audio, exactly like the P5/P6 payload synthesizers. */
+    def encode(data: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+      require(sampleRate > 0, s"bad sample rate $sampleRate")
+      val n = data.length + (data.length & 1)
+      val pcm = java.util.Arrays.copyOf(data, n)
+      if (data.length < n) pcm(n - 1) = ' '.toByte
+      val bb = java.nio.ByteBuffer.allocate(44 + n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes(Ascii)).putInt(36 + n)
+        .put("WAVE".getBytes(Ascii))
+        .put("fmt ".getBytes(Ascii)).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2) // byte rate = sr·block
+        .putShort(2).putShort(16) // block align, bits/sample
+        .put("data".getBytes(Ascii)).putInt(n).put(pcm)
+      bb.array()
+    }
+
+    /** Walks the RIFF chunk list (unknown chunks skipped — the spec
+      * allows LIST/fact/etc. between fmt and data), requires PCM16
+      * mono, and returns the decoded samples; throws
+      * IllegalArgumentException on malformed input (callers choose
+      * throw-vs-null policy). */
+    def decode(payload: Array[Byte]): WavPcm = {
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"WAV decode: $msg")
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        if (bb.remaining() < 4) fail("truncated tag")
+        val b = new Array[Byte](4); bb.get(b); new String(b, Ascii)
+      }
+      if (tag() != "RIFF") fail("missing RIFF magic")
+      if (bb.remaining() < 4) fail("truncated RIFF size")
+      bb.getInt() // container size: trust the chunk walk, not this
+      if (tag() != "WAVE") fail("not a WAVE container")
+      var sampleRate = -1
+      var samples: Array[Short] = null
+      while (samples == null || sampleRate < 0) {
+        if (bb.remaining() < 8) fail("missing fmt/data chunk")
+        val id = tag()
+        val size = bb.getInt()
+        if (size < 0 || size > bb.remaining()) fail(s"bad $id chunk size")
+        id match {
+          case "fmt " =>
+            if (size < 16) fail("fmt chunk too short")
+            val start = bb.position()
+            val audioFormat = bb.getShort()
+            val channels = bb.getShort()
+            sampleRate = bb.getInt()
+            bb.getInt(); bb.getShort() // byte rate, block align
+            val bits = bb.getShort()
+            if (audioFormat != 1) fail(s"not PCM: format $audioFormat")
+            if (channels != 1) fail(s"not mono: $channels channels")
+            if (bits != 16) fail(s"not 16-bit: $bits")
+            if (sampleRate <= 0) fail(s"bad sample rate $sampleRate")
+            bb.position(start + size + (size & 1))
+          case "data" =>
+            if ((size & 1) != 0) fail("odd data size for PCM16")
+            samples = new Array[Short](size / 2)
+            bb.asShortBuffer().get(samples)
+            bb.position(bb.position() + size)
+          case _ => // skip unknown chunk (word-aligned per RIFF)
+            bb.position(bb.position() + size + (size & 1))
+        }
+      }
+      WavPcm(sampleRate, samples)
+    }
+  }
+
+  /** Synthesize REAL encoded WAV payloads from the corpus: each doc's
+    * UTF-8 bytes become the PCM16 sample stream of an 8 kHz mono
+    * file. */
+  def withWavPayload(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = Option(text).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (id, WavCodec.encode(bytes), "audio/wav")
+      }
+      .toDF("media_id", "payload", "media_type")
+  }
+
+  /** Decode + amplitude features over WAV payloads — sample count,
+    * mean, RMS (the loudness pair a silence/clipping filter reads),
+    * peak |amplitude|. Null-not-fail: a malformed payload yields null
+    * decode columns, never a task failure. Sums are exact longs; mean
+    * and RMS are each ONE IEEE divide (+ sqrt) at the end. */
+  def extractWavFeatures(spark: SparkSession, media: DataFrame)
+      : Dataset[WavFeatures] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          try {
+            val pcm = WavCodec.decode(payload)
+            var s = 0L
+            var q = 0L
+            var peak = 0
+            var i = 0
+            while (i < pcm.samples.length) {
+              val v = pcm.samples(i).toInt
+              s += v
+              q += v.toLong * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              i += 1
+            }
+            val n = pcm.samples.length.toLong
+            // a zero-sample file decodes fine but has no amplitude
+            // stats — null them rather than emit 0/0 NaNs
+            WavFeatures(id, payload.length.toLong, Some(n),
+              Some(pcm.sampleRate),
+              if (n == 0) None else Some(s.toDouble / n),
+              if (n == 0) None else Some(math.sqrt(q.toDouble / n)),
+              if (n == 0) None else Some(peak))
+          } catch {
+            case _: IllegalArgumentException =>
+              WavFeatures(id, payload.length.toLong, None, None, None,
+                None, None)
+          }
+        }
+      }
+  }
 }

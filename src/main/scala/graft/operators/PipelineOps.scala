@@ -160,11 +160,27 @@ object PipelineOps {
     * doc (`groupCol`, target, keyCol). */
   def sourceMix(df: DataFrame, groupCol: String, keyCol: String,
       totalN: Int): DataFrame = {
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
-    // ordered shares: (group, sqrt(n)) sorted by group, S = left fold
-    val folded = counts
+    val weighted = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .select(col(groupCol), col("n"),
+        sqrt(col("n").cast("double")).as("s"))
+    selectByTargets(df,
+      largestRemainderTargets(weighted, groupCol, totalN),
+      groupCol, keyCol)
+  }
+
+  /** Largest-remainder seat apportionment over per-group weights:
+    * `weighted` = (groupCol, n, s) with s ≥ 0 the group's weight.
+    * Quotas are totalN·s/Σs with Σs an EXPLICIT LEFT FOLD over the
+    * group-sorted weight array (never a parallel float sum whose
+    * addition order could vary run-to-run or engine-to-engine); floors
+    * allocate first, remainders rank for the leftovers, and a group's
+    * target caps at its size. The seat-rank window's input is one row
+    * per GROUP — bounded by group cardinality, never the corpus. */
+  private[graft] def largestRemainderTargets(weighted: DataFrame,
+      groupCol: String, totalN: Int): DataFrame = {
+    val folded = weighted
       .agg(sort_array(collect_list(struct(col(groupCol).as("g"),
-        sqrt(col("n").cast("double")).as("s"), col("n").as("n")))).as("gs"))
+        col("s"), col("n")))).as("gs"))
       .select(col("gs"),
         aggregate(transform(col("gs"), x => x.getField("s")),
           lit(0.0), (acc, x) => acc + x).as("ssum"))
@@ -177,12 +193,18 @@ object PipelineOps {
       .withColumn("rem", col("quota") - col("base").cast("double"))
     val leftover = based.agg((lit(totalN.toLong) - sum(col("base")))
       .as("leftover"))
-    val targets = based.crossJoin(broadcast(leftover))
+    based.crossJoin(broadcast(leftover))
       .withColumn("rk", row_number().over(
         Window.orderBy(col("rem").desc, col(groupCol).asc)))
       .select(col(groupCol),
         least(col("base") + when(col("rk") <= col("leftover"), 1L)
           .otherwise(0L), col("n")).as("target"))
+  }
+
+  /** Deterministic per-group fill against broadcast targets: each
+    * group takes its first `target` keys in md5-hash order. */
+  private def selectByTargets(df: DataFrame, targets: DataFrame,
+      groupCol: String, keyCol: String): DataFrame = {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
     df.select(col(groupCol), col(keyCol))
@@ -190,6 +212,29 @@ object PipelineOps {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= col("target"))
       .select(col(groupCol), col("target"), col(keyCol))
+  }
+
+  /** Neyman-allocation stratified sampling (Neyman 1934 — public):
+    * stratum h gets seats ∝ N_h·σ_h, the allocation minimizing the
+    * estimator variance for a fixed budget — the principled upgrade
+    * over proportional or √n splits when strata differ in spread.
+    * `valueCol` must be INTEGRAL: N·σ = √(n·Σx² − (Σx)²) is computed
+    * from exact long power sums, so both the weight and the quota are
+    * bit-reproducible cross-engine (one sqrt at the end, same
+    * sufficient-statistics stance as the analytics family). Selection
+    * within a stratum is the deterministic md5-order fill. */
+  def neymanSample(df: DataFrame, groupCol: String, keyCol: String,
+      valueCol: String, totalN: Int): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val weighted = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(v).as("sx"),
+        sum(v * v).as("sxx"))
+      .select(col(groupCol), col("n"),
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")).as("s"))
+    selectByTargets(df,
+      largestRemainderTargets(weighted, groupCol, totalN),
+      groupCol, keyCol)
   }
 
   /** Fixed-width bucket histogram of a numeric column. */
@@ -565,5 +610,36 @@ object PipelineOps {
         (col("n_tokens") - col("n_masked") + col("n_spans"))
           .as("input_len"),
         (col("n_masked") + col("n_spans")).as("target_len"))
+  }
+
+  /** Leakage-free train/val/test split: assignment is a deterministic
+    * hash of the document's NEAR-DUP CLUSTER representative, not of
+    * the document itself — so two near-duplicate documents can never
+    * land in different splits (the eval-set contamination every
+    * held-out benchmark audit hunts for; splitting by doc hash alone
+    * leaks ~every duplicated document across the boundary).
+    *
+    * `clusterReps` is (doc_id, cluster_rep) from
+    * [[Dedup.connectedComponents]] over whatever near-dup pair
+    * generator the pipeline trusts; unpaired documents are their own
+    * singleton cluster (coalesce). The split coin is the first two
+    * md5 hex chars of the rep — 8 bits, matched against 204/230
+    * (≈ 80/10/10) — the same engine-agnostic integer-threshold
+    * construction as the bootstrap/DP coins. Per-row after the
+    * cluster join; the join broadcasts when the pair graph is small
+    * (its usual state — it is bounded by the duplicate count). */
+  def leakageSplit(documents: DataFrame, clusterReps: DataFrame)
+      : DataFrame = {
+    val hv: Column => Column =
+      c => ascii(c) - when(ascii(c) >= 97, 87).otherwise(48)
+    val joined = documents.select(col("doc_id"))
+      .join(clusterReps.select(col("doc_id"), col("cluster_rep")),
+        Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
+    val h = md5(concat(lit("split:"), col("rep").cast("string")))
+    val u = hv(substring(h, 1, 1)) * 16 + hv(substring(h, 2, 1))
+    joined.select(col("doc_id"), col("rep"),
+      when(u < 204, "train").when(u < 230, "val").otherwise("test")
+        .as("split"))
   }
 }

@@ -593,6 +593,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "largest-remainder seat window: the child is the per-GROUP " +
         "(language/corpus) share relation, one row per group", max = 1,
       w => w.child.output.exists(_.name == "rem")),
+    "pipe_neyman_sample" -> WindowWaiver(
+      "largest-remainder seat window (shared apportionment helper): " +
+        "the child is the per-STRATUM quota relation, one row per " +
+        "stratum", max = 1,
+      w => w.child.output.exists(_.name == "rem")),
     "text_bm25" -> WindowWaiver(
       "final rank over a LIMIT k relation", max = 1, boundedByLimit),
     "retrieval_rrf" -> WindowWaiver(
@@ -742,5 +747,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles.size <= 7,
       s"prefix-Jaccard grew an extra long-form exchange, got " +
         s"${shuffles.size}:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("maximal spans: gram self-join is an equi-join on the 8-byte " +
+      "key and the run window is (pair, diagonal)-partitioned") {
+    val df = q("dedup_substring_maximal")
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"gram meeting must be the hash equi-join:\n$plan")
+    // both sides are one-row-per-char-offset: a broadcast here is a
+    // driver-collect of the corpus (the 100x stress failure mode)
+    assert(plan.contains("SortMergeJoin"),
+      s"gram self-join must be pinned to sort-merge:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"gram relation must never broadcast:\n$plan")
+    val windows = flatten(df.queryExecution.executedPlan)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"the islands row_number must partition by (id_a, id_b, diag) — " +
+        s"a global window here serializes every matched gram:\n$plan")
+  }
+
+  test("span coverage: every sweep window partitions by doc_id") {
+    val df = q("dedup_span_coverage")
+    df.collect()
+    val windows = flatten(df.queryExecution.executedPlan)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "interval-union sweep must stay per-document:\n" +
+        df.queryExecution.executedPlan.toString)
   }
 }

@@ -832,6 +832,26 @@ object SparkEntry {
           Multimodal.withWavPayload(t(s, dir, "documents")))
         .toDF().orderBy("media_id")),
 
+    // ---- Holt–Winters additive seasonal smoothing (period 7) ----
+    "ts_holt_winters" -> ((s, dir) =>
+      AnalyticsOps.holtWinters(events(s, dir), "event_type", "ts",
+          "value")
+        .orderBy("event_type")),
+
+    // ---- minimum detectable effect at current sample sizes ----
+    "analytics_ab_power" -> ((s, dir) =>
+      AnalyticsOps.abPowerMde(
+          events(s, dir).withColumn("arm",
+            pmod(col("user_id"), lit(2)).cast("int")),
+          "event_type", "arm", "value")
+        .orderBy("event_type")),
+
+    // ---- data-constrained epoch/repetition budget per source ----
+    "pipe_repeat_budget" -> ((s, dir) =>
+      PipelineOps.repeatBudget(t(s, dir, "documents"), "source",
+          budgetChars = 1000000L, maxEpochs = 4)
+        .orderBy("source")),
+
     "pipe_hash_sample" -> ((s, dir) =>
       PipelineOps.hashSample(t(s, dir, "documents"), "doc_id", "14")
         .select(col("doc_id"), col("lang")).orderBy("doc_id")),
@@ -5083,6 +5103,102 @@ object SparkEntry {
         | peak AS peak_amp
         |FROM d JOIN s ON d.media_id = s.media_id
         |ORDER BY d.media_id""".stripMargin,
+
+    // Holt–Winters additive: the identical rotating fold via
+    // list_reduce — init prepended, each x padded into a 9-vector so
+    // the fold is type-uniform; every IEEE intermediate matches
+    "ts_holt_winters" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+        |    AS DOUBLE) AS x
+        | FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  list(x ORDER BY d) AS xs FROM daily GROUP BY 1),
+        |f AS (SELECT event_type, n_days, xs,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), xs[1:7]),
+        |    (p, q) -> p + q) / CAST(7 AS DOUBLE) AS l0
+        | FROM ser WHERE n_days >= 14),
+        |ini AS (SELECT event_type, n_days, xs,
+        |  list_concat([l0, CAST(0 AS DOUBLE)],
+        |    list_transform(xs[1:7], x -> x - l0)) AS acc0 FROM f),
+        |st AS (SELECT event_type, n_days,
+        |  list_reduce(list_prepend(acc0,
+        |    list_transform(xs[8:], x -> [x, CAST(0 AS DOUBLE),
+        |      CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+        |      CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+        |      CAST(0 AS DOUBLE)])),
+        |   (acc, e) -> list_concat(list_concat(
+        |     [0.5*(e[1] - acc[3]) + 0.5*(acc[1] + acc[2]),
+        |      0.3*((0.5*(e[1] - acc[3]) + 0.5*(acc[1] + acc[2]))
+        |        - acc[1]) + 0.7*acc[2]],
+        |     acc[4:9]),
+        |     [0.2*(e[1] - (0.5*(e[1] - acc[3])
+        |        + 0.5*(acc[1] + acc[2]))) + 0.8*acc[3]])) AS s
+        | FROM ini)
+        |SELECT event_type, n_days, s[1] AS level, s[2] AS trend,
+        | s[3] AS season_next, s[1] + s[2] + s[3] AS forecast_1
+        |FROM st ORDER BY event_type""".stripMargin,
+
+    // MDE at current n: Welch SE from the same exact moments, z's as
+    // shared literal constants folded identically by both engines
+    "analytics_ab_power" ->
+      """WITH e AS (SELECT event_type, user_id % 2 AS arm, value
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT event_type,
+        |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(SUM(CASE WHEN arm = 0
+        |   THEN CAST(value AS DECIMAL(22,6)) END) AS DOUBLE) AS s_a,
+        |  CAST(SUM(CASE WHEN arm = 0
+        |   THEN CAST(value * value AS DECIMAL(22,6)) END) AS DOUBLE) AS s2_a,
+        |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(SUM(CASE WHEN arm = 1
+        |   THEN CAST(value AS DECIMAL(22,6)) END) AS DOUBLE) AS s_b,
+        |  CAST(SUM(CASE WHEN arm = 1
+        |   THEN CAST(value * value AS DECIMAL(22,6)) END) AS DOUBLE) AS s2_b
+        | FROM e GROUP BY 1),
+        |d AS (SELECT event_type,
+        |  n_a, s_a / CAST(n_a AS DOUBLE) AS mean_a,
+        |  CASE WHEN n_a >= 2 THEN
+        |   (s2_a - (s_a * s_a) / CAST(n_a AS DOUBLE))
+        |    / (CAST(n_a AS DOUBLE) - 1e0) END AS var_a,
+        |  n_b,
+        |  CASE WHEN n_b >= 2 THEN
+        |   (s2_b - (s_b * s_b) / CAST(n_b AS DOUBLE))
+        |    / (CAST(n_b AS DOUBLE) - 1e0) END AS var_b
+        | FROM a)
+        |SELECT event_type, n_a, n_b, mean_a,
+        | sqrt(var_a / CAST(n_a AS DOUBLE)
+        |  + var_b / CAST(n_b AS DOUBLE)) AS se,
+        | (1.959963984540054 + 0.8416212335729143)
+        |  * sqrt(var_a / CAST(n_a AS DOUBLE)
+        |    + var_b / CAST(n_b AS DOUBLE)) AS mde_abs,
+        | (1.959963984540054 + 0.8416212335729143)
+        |  * sqrt(var_a / CAST(n_a AS DOUBLE)
+        |    + var_b / CAST(n_b AS DOUBLE)) / mean_a AS mde_rel
+        |FROM d ORDER BY event_type""".stripMargin,
+
+    // epoch budget: integer accounting (// and <<), effective value
+    // from exact powers of two — no libm pow
+    "pipe_repeat_budget" ->
+      """WITH ps AS (SELECT source,
+        |  CAST(sum(length(text)) AS BIGINT) AS u
+        | FROM documents GROUP BY 1),
+        |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ps),
+        |t1 AS (SELECT source, u, 1000000 // kk.k AS target FROM ps, kk),
+        |t2 AS (SELECT source, u, target,
+        |  least((target + u - 1) // u, 4) AS epochs FROM t1),
+        |t3 AS (SELECT source, u, target, epochs,
+        |  least(target, u * epochs) AS served FROM t2),
+        |t4 AS (SELECT source, u, target, epochs, served,
+        |  served // u AS e, served % u AS frac FROM t3),
+        |t5 AS (SELECT source, u, target, epochs, served, frac,
+        |  CAST(1 << CAST(e AS INTEGER) AS DOUBLE) AS p FROM t4)
+        |SELECT source, u, CAST(target AS BIGINT) AS target,
+        | CAST(epochs AS BIGINT) AS epochs,
+        | CAST(served AS BIGINT) AS served,
+        | CAST(u AS DOUBLE) * (CAST(2 AS DOUBLE) - CAST(2 AS DOUBLE) / p)
+        |  + CAST(frac AS DOUBLE) / p AS effective_chars
+        |FROM t5 ORDER BY source""".stripMargin,
 
     "pipe_value_histogram" ->
       """SELECT CAST(floor(value / 5e0) AS BIGINT) AS bucket,

@@ -1703,6 +1703,91 @@ object AnalyticsOps {
         col("phi1"), col("phi2"), col("forecast"))
   }
 
+  /** Holt–Winters ADDITIVE seasonal smoothing (Winters 1960 — public)
+    * per series key, period `m` (7 = day-of-week): the [[holtLinear]]
+    * level/trend recursion plus a rotating m-slot seasonal state
+    *   lₜ = α(xₜ − sₜ₋ₘ) + (1−α)(lₜ₋₁ + bₜ₋₁)
+    *   bₜ = β(lₜ − lₜ₋₁) + (1−β)bₜ₋₁
+    *   sₜ = γ(xₜ − lₜ) + (1−γ)sₜ₋ₘ
+    * initialized classically from the first season: l = mean(x₁..xₘ)
+    * (an ORDERED left fold, not a parallel sum), b = 0,
+    * sᵢ = xᵢ − l. Keys with fewer than 2m days are dropped (one full
+    * season to initialize, one to smooth).
+    *
+    * Same scale stance as [[holtLinear]]: the sequential recursion is
+    * ONE bounded per-key fold over the calendar-bounded daily series —
+    * the accumulator is an array [l, b, s₁..sₘ] that the fold rotates
+    * (head seasonal slot is always sₜ₋ₘ); the oracle replays the
+    * identical fold with list_reduce, so every IEEE intermediate
+    * matches bit-for-bit. Forecast: l + b + s_next (the rotated
+    * head). */
+  def holtWinters(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, m: Int = 7, alpha: Double = 0.5,
+      beta: Double = 0.3, gamma: Double = 0.2): DataFrame = {
+    require(m >= 2, s"need a real season, got period $m")
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("d"))
+      .agg(sum(col(valueCol).cast(DecimalType(18, 4)))
+        .cast("double").as("x"))
+    val a = alpha
+    val b = beta
+    val g = gamma
+    // l₀ duplicated inside the seasonal transform — HOF SQL has no
+    // let-binding; the oracle recomputes the identical expression
+    val l0 = s"aggregate(slice(xs, 1, $m), cast(0.0 as double), " +
+      s"(p, q) -> p + q) / $m.0"
+    // acc layout: [1]=l, [2]=b, [3..${2+m}]=s where [3] is sₜ₋ₘ.
+    // L recomputed inline for b and s (same duplication the Holt fold
+    // uses); the rotation is slice(acc, 4, m−1) ++ [sₜ]
+    val L = s"$a*(x - element_at(acc, 3)) + " +
+      s"${1 - a}*(element_at(acc, 1) + element_at(acc, 2))"
+    daily.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"),
+        expr("transform(array_sort(collect_list(struct(d, x))), s -> s.x)")
+          .as("xs"))
+      .where(col("n_days") >= 2 * m)
+      .withColumn("st", expr(
+        s"""aggregate(
+           | slice(xs, ${m + 1}, greatest(size(xs) - $m, 0)),
+           | concat(array($l0, cast(0.0 as double)),
+           |   transform(slice(xs, 1, $m), x -> x - $l0)),
+           | (acc, x) -> concat(
+           |   array(
+           |     $L,
+           |     $b*(($L) - element_at(acc, 1))
+           |       + ${1 - b}*element_at(acc, 2)),
+           |   slice(acc, 4, ${m - 1}),
+           |   array($g*(x - ($L)) + ${1 - g}*element_at(acc, 3))))"""
+          .stripMargin))
+      .select(col(keyCol), col("n_days"),
+        element_at(col("st"), 1).as("level"),
+        element_at(col("st"), 2).as("trend"),
+        element_at(col("st"), 3).as("season_next"),
+        (element_at(col("st"), 1) + element_at(col("st"), 2) +
+          element_at(col("st"), 3)).as("forecast_1"))
+  }
+
+  /** Minimum detectable effect at the CURRENT sample sizes — the
+    * pre-readout power companion to [[abWelch]]: with two-sided
+    * α = 0.05 and 80% power, MDE = (z₀.₉₇₅ + z₀.₈)·SE where
+    * SE = √(σ²_a/n_a + σ²_b/n_b) is Welch's unpooled standard error
+    * from the same exact decimal moments. The z's are literal doubles
+    * (1.959963984540054, 0.8416212335729143 — standard normal
+    * quantiles), so no libm inverse-CDF enters the plan and both
+    * engines fold the identical constants. Output adds (se, mde_abs,
+    * mde_rel = mde/mean_a) to the Welch columns it keeps. */
+  def abPowerMde(df: DataFrame, groupCol: String, armCol: String,
+      valueCol: String): DataFrame = {
+    val z = lit(1.959963984540054) + lit(0.8416212335729143)
+    val se = sqrt(col("var_a") / col("n_a").cast("double") +
+      col("var_b") / col("n_b").cast("double"))
+    abWelch(df, groupCol, armCol, valueCol)
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        col("mean_a"), se.as("se"),
+        (z * se).as("mde_abs"),
+        (z * se / col("mean_a")).as("mde_rel"))
+  }
+
   /** ε-differentially-private count release per group via the discrete
     * geometric mechanism (Ghosh–Roughgarden–Sundararajan 2012 —
     * public), ε = ln 2 so the two-sided geometric ratio is exactly

@@ -642,4 +642,43 @@ object PipelineOps {
       when(u < 204, "train").when(u < 230, "val").otherwise("test")
         .as("split"))
   }
+
+  /** Epoch-repetition accounting for data-constrained training (the
+    * regime of Muennighoff et al. 2023, "Scaling Data-Constrained
+    * Language Models" — public): each source gets an EQUAL share of
+    * the character budget; a source smaller than its share must repeat
+    * (epochs capped at `maxEpochs` — repeated data decays in value),
+    * and the EFFECTIVE yield discounts epoch k by δᵏ with δ = ½ — a
+    * rational stand-in for the paper's fitted exponential decay, so
+    * the discount arithmetic is exact powers of two both engines
+    * reproduce bit-for-bit (full epochs: U·(2 − 2/2ᵉ); the partial
+    * epoch adds frac/2ᵉ — no libm exp/pow anywhere).
+    *
+    * Per-source columns: unique chars U, target share, epochs needed
+    * (⌈target/U⌉ capped), served chars min(target, U·epochs), full
+    * epochs e = served div U, and effective chars. One count + one
+    * group-aggregation; everything after is per-GROUP arithmetic. */
+  def repeatBudget(documents: DataFrame, sourceCol: String,
+      budgetChars: Long, maxEpochs: Int = 4): DataFrame = {
+    require(maxEpochs >= 1 && maxEpochs <= 62, s"bad cap $maxEpochs")
+    val perSource = documents
+      .groupBy(col(sourceCol))
+      .agg(sum(length(col("text")).cast("long")).as("u"))
+    val k = perSource.agg(count(lit(1)).as("k"))
+    perSource.crossJoin(broadcast(k))
+      // `div` is the INTEGER division — Spark's `/` on longs is true
+      // division and would smuggle a double into the accounting
+      .withColumn("target", expr(s"${budgetChars}L div k"))
+      .withColumn("epochs",
+        least(expr("(target + u - 1) div u"), lit(maxEpochs.toLong)))
+      .withColumn("served",
+        least(col("target"), col("u") * col("epochs")))
+      .withColumn("e", expr("served div u"))
+      .withColumn("frac", col("served") % col("u"))
+      .withColumn("p", expr("cast(shiftleft(1L, cast(e as int)) as double)"))
+      .select(col(sourceCol), col("u"), col("target"), col("epochs"),
+        col("served"),
+        (col("u").cast("double") * (lit(2.0) - lit(2.0) / col("p")) +
+          col("frac").cast("double") / col("p")).as("effective_chars"))
+  }
 }

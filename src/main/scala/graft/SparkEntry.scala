@@ -852,6 +852,19 @@ object SparkEntry {
           budgetChars = 1000000L, maxEpochs = 4)
         .orderBy("source")),
 
+    // ---- piecewise trend with weekly knots + changepoint deltas ----
+    "ts_segmented_trend" -> ((s, dir) =>
+      AnalyticsOps.segmentedTrend(events(s, dir))
+        .orderBy("event_type", "seg")),
+
+    // ---- truncated Katz centrality (β = ½, 4 supersteps) ----
+    "graph_katz" -> ((s, dir) => {
+      val edges = t(s, dir, "customer").where(col("c_custkey") > 1)
+        .select(col("c_custkey").as("src"),
+          expr("c_custkey div 2").as("dst"))
+      GraphOps.katzCentrality(edges, iters = 4).orderBy("node")
+    }),
+
     "pipe_hash_sample" -> ((s, dir) =>
       PipelineOps.hashSample(t(s, dir, "documents"), "doc_id", "14")
         .select(col("doc_id"), col("lang")).orderBy("doc_id")),
@@ -5199,6 +5212,55 @@ object SparkEntry {
         | CAST(u AS DOUBLE) * (CAST(2 AS DOUBLE) - CAST(2 AS DOUBLE) / p)
         |  + CAST(frac AS DOUBLE) / p AS effective_chars
         |FROM t5 ORDER BY source""".stripMargin,
+
+    // piecewise weekly OLS: exact moments -> one IEEE tree; delta
+    // via the week-bounded lag window
+    "ts_segmented_trend" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |  SUM(CAST(value AS DECIMAL(18,4))) AS y
+        | FROM events GROUP BY 1, 2, 3),
+        |m AS (SELECT event_type, date_trunc('week', day) AS seg,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy
+        | FROM daily GROUP BY 1, 2),
+        |sl AS (SELECT event_type, seg, n_days,
+        |  (CAST(n_days AS DOUBLE) * sxy - sx * sy)
+        |   / nullif(CAST(n_days AS DOUBLE) * sxx - sx * sx,
+        |       CAST(0 AS DOUBLE)) AS slope
+        | FROM m)
+        |SELECT event_type, CAST(seg AS DATE) AS seg, n_days, slope,
+        | slope - lag(slope, 1) OVER (PARTITION BY event_type
+        |   ORDER BY seg) AS slope_delta
+        |FROM sl ORDER BY event_type, seg""".stripMargin,
+
+    // truncated Katz: 4 unrolled supersteps, halving attenuation,
+    // DECIMAL(38,18) per-node sums via the VARCHAR double route
+    "graph_katz" -> {
+      def step(k: Int): String =
+        s"""s$k AS (SELECT e.dst,
+           |  CAST(CAST(SUM(CAST(x.katz AS DECIMAL(38,18))) AS VARCHAR)
+           |    AS DOUBLE) AS s
+           | FROM e JOIN x${k - 1} x ON e.src = x.node GROUP BY 1),
+           |x$k AS (SELECT n.node,
+           |  0.5 * coalesce(s$k.s, CAST(0 AS DOUBLE))
+           |   + CAST(1 AS DOUBLE) AS katz
+           | FROM n LEFT JOIN s$k ON n.node = s$k.dst)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT c_custkey AS src,
+         |  c_custkey // 2 AS dst FROM customer
+         | WHERE c_custkey > 1 AND c_custkey != c_custkey // 2),
+         |n AS (SELECT src AS node FROM e
+         |  UNION SELECT dst AS node FROM e),
+         |x0 AS (SELECT node, CAST(1 AS DOUBLE) AS katz FROM n),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)},
+         |${step(4)}
+         |SELECT node, katz FROM x4 ORDER BY node""".stripMargin
+    },
 
     "pipe_value_histogram" ->
       """SELECT CAST(floor(value / 5e0) AS BIGINT) AS bucket,

@@ -1555,7 +1555,11 @@ object AnalyticsOps {
     private def weightOf(u: Int): Long =
       if (u < 94) 0L else if (u < 188) 1L else if (u < 235) 2L
       else if (u < 251) 3L else if (u < 255) 4L else 5L
-    def zero: Array[Long] = new Array[Long](2 * b)
+    // layout: [0..b) Σw per replicate, [b..2b) Σw·v per replicate,
+    // [2b] raw row count, [2b+1] raw Σv — the point-estimate moments
+    // ride in the same ADDITIVE buffer so batch and streaming state
+    // are the same object
+    def zero: Array[Long] = new Array[Long](2 * b + 2)
     def reduce(buf: Array[Long], row: (String, String, Long))
         : Array[Long] = {
       val md = BootstrapAggregator.digest.get()
@@ -1577,11 +1581,13 @@ object AnalyticsOps {
         }
         chunk += 1
       }
+      buf(2 * b) += 1
+      buf(2 * b + 1) += vl
       buf
     }
     def merge(a: Array[Long], c: Array[Long]): Array[Long] = {
       var i = 0
-      while (i < 2 * b) { a(i) += c(i); i += 1 }
+      while (i < 2 * b + 2) { a(i) += c(i); i += 1 }
       a
     }
     def finish(buf: Array[Long]): Seq[Long] =
@@ -1598,25 +1604,28 @@ object AnalyticsOps {
         java.security.MessageDigest.getInstance("MD5"))
   }
 
-  def bootstrapMeanCi(events: DataFrame, typeCol: String = "event_type",
-      idCol: String = "event_id", valueCol: String = "value",
-      b: Int = 100): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(b >= 40, s"need B >= 40 for the 2.5/97.5 order stats, got $b")
+  /** The ADDITIVE sufficient statistics of the Poisson bootstrap:
+    * one row per (group, replicate) with (Σw, Σw·v) in exact scaled
+    * longs, plus the point-estimate row at b = −1 carrying (n, Σv).
+    * Merging two moment tables is elementwise long addition, so this
+    * is also the streaming upkeep state
+    * ([[graft.streaming.StreamingOps.maintainBootstrapState]]) — after
+    * N micro-batches the maintained table is bit-identical to this
+    * one over the concatenated stream.
+    *
+    * The pass is ONE map-side typed aggregation (the emb_pca Gram
+    * shape): each input row updates a (2B+2)-long buffer, so the
+    * (rows × B) relation never exists and only #groups × ~1.6 KB
+    * buffers shuffle. The value rides as its EXACT scaled-long
+    * DECIMAL(18,4) units (one decimal cast per input row). Overflow
+    * bound: Σw·v·10⁴ ≤ 5·10⁴·Σ|v| — safe to ~10¹⁴ unit-scale rows
+    * per group. (Bench history: exploded decimal 11.9 s → exploded
+    * long 5.2 s → this 1-pass aggregator; same oracle throughout.) */
+  def bootstrapMoments(events: DataFrame,
+      typeCol: String = "event_type", idCol: String = "event_id",
+      valueCol: String = "value", b: Int = 100): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    // The replicate pass is ONE map-side typed aggregation (the
-    // emb_pca Gram shape): each input row updates a 2B-long buffer —
-    // Σw and Σw·v per replicate — so the (rows × B) relation never
-    // exists and only #groups × 1.6 KB buffers shuffle. The value
-    // rides as its EXACT scaled-long DECIMAL(18,4) units (one decimal
-    // cast per input row); the bounded (group × B) relation rebuilds
-    // the exact decimal by integer division before the one IEEE
-    // divide, so the result is bit-identical to the naive decimal
-    // formulation the oracle runs. Overflow bound: Σw·v·10⁴ ≤
-    // 5·10⁴·Σ|v| — safe to ~10¹⁴ unit-scale rows per group.
-    // (Bench history: exploded decimal 11.9 s → exploded long 5.2 s →
-    // this 1-pass aggregator; same oracle throughout.)
     val packed = events
       .select(col(typeCol).cast("string"), col(idCol).cast("string"),
         (col(valueCol).cast(DecimalType(18, 4)) * 10000)
@@ -1625,21 +1634,33 @@ object AnalyticsOps {
       .groupByKey(_._1)
       .agg(new BootstrapAggregator(b).toColumn.name("s"))
       .toDF(typeCol, "s")
-    val reps = packed
+    packed
       .select(col(typeCol), posexplode(expr(
         s"""transform(sequence(0, ${b - 1}), i ->
            |  struct(element_at(s, i + 1) AS nw,
            |    element_at(s, i + ${b + 1}) AS swl))""".stripMargin)))
-      .select(col(typeCol), col("pos").as("b"),
-        ((col("col.swl").cast(DecimalType(38, 0)) / lit(10000))
-          .cast("double") /
-          nullif(col("col.nw"), lit(0L)).cast("double")).as("mean_b"))
-    val point = events.groupBy(col(typeCol))
-      .agg(count(lit(1)).as("n"),
-        (sum(col(valueCol).cast(DecimalType(18, 4))).cast("double") /
-          count(lit(1)).cast("double")).as("mean"))
-    // 2.5th / 97.5th percentile of the B replicate means as order
-    // statistics: lo = rank ceil(0.025·B), hi = rank ceil(0.975·B)
+      .select(col(typeCol), col("pos").cast("int").as("b"),
+        col("col.nw").as("nw"), col("col.swl").as("swl"))
+      .unionByName(packed.select(col(typeCol), lit(-1).as("b"),
+        element_at(col("s"), 2 * b + 1).as("nw"),
+        element_at(col("s"), 2 * b + 2).as("swl")))
+  }
+
+  /** CI assembly from a [[bootstrapMoments]]-shaped table — shared by
+    * the batch op and the streaming-state read so both rebuild the
+    * decimal means with the IDENTICAL expressions: mean = (swl as
+    * exact decimal / 10⁴) / nw, CI = order statistics
+    * ceil(0.025·B)/ceil(0.975·B) of the B replicate means. */
+  private[graft] def bootstrapCiFromMoments(moments: DataFrame,
+      typeCol: String, b: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def meanExpr: Column =
+      (col("swl").cast(DecimalType(38, 0)) / lit(10000)).cast("double") /
+        nullif(col("nw"), lit(0L)).cast("double")
+    val reps = moments.where(col("b") >= 0)
+      .select(col(typeCol), col("b"), meanExpr.as("mean_b"))
+    val point = moments.where(col("b") === -1)
+      .select(col(typeCol), col("nw").as("n"), meanExpr.as("mean"))
     val loRank = math.ceil(0.025 * b).toLong
     val hiRank = math.ceil(0.975 * b).toLong
     val w = Window.partitionBy(col(typeCol)).orderBy(col("mean_b"))
@@ -1651,6 +1672,14 @@ object AnalyticsOps {
       .join(point, Seq(typeCol))
       .select(col(typeCol), col("n"), col("mean"), col("ci_lo"),
         col("ci_hi"))
+  }
+
+  def bootstrapMeanCi(events: DataFrame, typeCol: String = "event_type",
+      idCol: String = "event_id", valueCol: String = "value",
+      b: Int = 100): DataFrame = {
+    require(b >= 40, s"need B >= 40 for the 2.5/97.5 order stats, got $b")
+    bootstrapCiFromMoments(
+      bootstrapMoments(events, typeCol, idCol, valueCol, b), typeCol, b)
   }
 
   /** Yule–Walker AR(2) fit + one-step forecast per group (Yule 1927 /
@@ -1786,6 +1815,46 @@ object AnalyticsOps {
         col("mean_a"), se.as("se"),
         (z * se).as("mde_abs"),
         (z * se / col("mean_a")).as("mde_rel"))
+  }
+
+  /** Piecewise-linear trend with fixed calendar knots: an OLS slope
+    * per (group, week) segment from exact sufficient statistics
+    * (slope = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) with x = epoch day,
+    * y = the decimal daily sum), plus the slope CHANGE against the
+    * previous segment — the changepoint readout of a Prophet-style
+    * piecewise trend, with knots fixed (ISO week starts) instead of
+    * fitted, so everything stays one aggregation + one bounded
+    * window. Segments with a degenerate x-spread (one day) yield a
+    * null slope.
+    *
+    * Scale: daily pre-aggregation collapses the corpus; moments are
+    * ONE map-side-combined aggregation to (groups × weeks) rows; the
+    * delta window partitions by group over weeks. All decimal
+    * moments convert once to double and feed a fixed IEEE tree —
+    * bit-reproducible cross-engine. */
+  def segmentedTrend(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast(DecimalType(18, 4))).as("y"))
+      .select(col(typeCol), col("day"),
+        unix_date(col("day")).cast("long").as("x"), col("y"))
+    val m = daily
+      .groupBy(col(typeCol), trunc(col("day"), "week").as("seg"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
+    val nD = col("n_days").cast("double")
+    val sxD = col("sx").cast("double")
+    val den = nullif(nD * col("sxx").cast("double") - sxD * sxD,
+      lit(0.0))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("seg"))
+    m.select(col(typeCol), col("seg"), col("n_days"),
+        ((nD * col("sxy").cast("double") -
+          sxD * col("sy").cast("double")) / den).as("slope"))
+      .withColumn("slope_delta",
+        col("slope") - lag(col("slope"), 1).over(w))
   }
 
   /** ε-differentially-private count release per group via the discrete

@@ -539,4 +539,42 @@ object GraphOps {
             (col("cnt").cast("double") * col("syy") -
               col("sy") * col("sy")))).as("assortativity"))
   }
+
+  /** Truncated Katz centrality (Katz 1953 — public):
+    * x = Σ_{k ≤ K} βᵏ·(Aᵀ)ᵏ·1, iterated as x ← β·(Aᵀx) + 1 from
+    * x = 1 — every walk of length ≤ K into a node counts, attenuated
+    * βᵏ. β = ½ keeps each attenuation an EXACT halving and the
+    * per-node sums order-independent DECIMAL(38,18) accumulations
+    * (the [[pageRank]] determinism recipe), so the truncated series
+    * is bit-reproducible cross-engine with no libm. K bounds the walk
+    * length instead of iterating to the fixpoint — the deliberate
+    * trade that keeps the operator a fixed number of supersteps
+    * (document: with β < 1/λ_max the tail is geometric, so K=4
+    * carries all but β⁵/(1−β) of the mass).
+    *
+    * Scale per iteration: one edge⋈score shuffle + one aggregation —
+    * O(E+V) per superstep with a localCheckpoint barrier, the
+    * [[personalizedPageRank]] shape. */
+  def katzCentrality(edges: DataFrame, iters: Int, beta: Double = 0.5,
+      checkpoint: Boolean = true): DataFrame = {
+    val dedup = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = dedup.select(col("src").as("node"))
+      .union(dedup.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    var x = nodes.select(col("node"), lit(1.0).as("katz"))
+    for (_ <- 1 to iters) {
+      val sums = dedup.join(x, dedup("src") === x("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("katz").cast(DecimalType(38, 18))).cast("double")
+          .as("s"))
+      x = nodes.join(sums, nodes("node") === sums("dst"), "left")
+        .select(nodes("node"),
+          (lit(beta) * coalesce(col("s"), lit(0.0)) + lit(1.0))
+            .as("katz"))
+      if (checkpoint) x = x.localCheckpoint(true)
+    }
+    x
+  }
 }

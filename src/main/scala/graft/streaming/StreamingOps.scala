@@ -445,6 +445,61 @@ object StreamingOps {
             col("theta").cast("double")).as("est_distinct"))
   }
 
+  /** Exactly-once Poisson-bootstrap upkeep, same batch-id fencing as
+    * the sketches: the state table is the
+    * [[graft.operators.AnalyticsOps.bootstrapMoments]] relation —
+    * (group, replicate b, Σw, Σw·v) in exact scaled longs plus the
+    * point row at b = −1 — which is elementwise-ADDITIVE (merge is
+    * counter addition, like Count-Min), so after N micro-batches the
+    * state is bit-identical to the batch moments of the concatenated
+    * stream and the CI read matches the batch
+    * `bootstrapMeanCi` exactly. The per-row Poisson coins hash only
+    * the row's OWN id, so a row's weights are the same whether it
+    * arrives in batch 0 or batch 9 — the property that makes the
+    * resample well-defined under streaming arrival at all. State is
+    * O((B+1)·|groups|) regardless of stream age; replays are no-ops. */
+  def maintainBootstrapState(statePath: String, typeCol: String,
+      idCol: String, valueCol: String, b: Int = 100)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val state = s.read.parquet(statePath) // (<typeCol>, b, nw, swl, _batch_id)
+    val lastApplied = state
+      .agg(coalesce(max(col("_batch_id")), lit(Long.MinValue)))
+      .head.getLong(0)
+    if (lastApplied < batchId) {
+      val partial = graft.operators.AnalyticsOps.bootstrapMoments(
+        batch, typeCol, idCol, valueCol, b)
+      val next = state.drop("_batch_id").unionByName(partial)
+        .groupBy(col(typeCol), col("b"))
+        .agg(sum(col("nw")).as("nw"), sum(col("swl")).as("swl"))
+        .withColumn("_batch_id", lit(batchId))
+      graft.operators.MergeOps.replaceTable(s, next, statePath)
+    }
+  }
+
+  /** CI readout from a maintained bootstrap-moment state table — the
+    * read side of [[maintainBootstrapState]]; delegates to the same
+    * CI assembly the batch op uses, so the expressions (and therefore
+    * every IEEE intermediate) are identical. */
+  def bootstrapStateCi(spark: SparkSession, statePath: String,
+      typeCol: String, b: Int = 100): DataFrame =
+    graft.operators.AnalyticsOps.bootstrapCiFromMoments(
+      spark.read.parquet(statePath).drop("_batch_id"), typeCol, b)
+
+  /** Streaming bootstrap upkeep: a file stream of raw rows keeps the
+    * per-(group, replicate) moment table current; CI readouts touch
+    * the tiny state table, never the stream history. */
+  def streamingBootstrap(spark: SparkSession, sourceDir: String,
+      schema: StructType, typeCol: String, idCol: String,
+      valueCol: String, statePath: String, checkpointDir: String,
+      b: Int = 100): StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(
+        maintainBootstrapState(statePath, typeCol, idCol, valueCol, b) _)
+      .start()
+
   /** Streaming KMV upkeep: a file stream of raw rows keeps the
     * per-group theta-sketch state table current; distinct estimates
     * (and theta set algebra) read the tiny state table, never the

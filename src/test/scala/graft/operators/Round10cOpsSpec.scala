@@ -114,4 +114,36 @@ class Round10cOpsSpec extends AnyFunSuite {
     assert(tiny._6 < tiny._5.toDouble,
       "repetition must be worth less than its raw char count")
   }
+
+  test("katzCentrality: exact truncated-series values on a chain, " +
+      "and K beyond the diameter reaches the fixpoint") {
+    // chain 1 -> 2 -> 3 with beta = 1/2: x(1) = 1 (no in-edges),
+    // x(2) = 1 + 1/2, x(3) = 1 + 1/2*(1 + 1/2) = 1.75 — all exact
+    // halving arithmetic, so equality is exact
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = GraphOps.katzCentrality(edges, iters = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 1.0, 2L -> 1.5, 3L -> 1.75), out.toString)
+  }
+
+  test("segmentedTrend: per-week OLS slopes are exact on linear " +
+      "segments and the delta reads the slope change") {
+    // week of 2024-01-01 (a Monday): y = day index (slope 1);
+    // next week: y jumps by 3 per day (slope 3) -> delta exactly 2
+    val rows =
+      (0 until 7).map(k =>
+        (ts(f"2024-01-${1 + k}%02d 06:00:00"), "e", (k + 1).toDouble)) ++
+      (0 until 7).map(k =>
+        (ts(f"2024-01-${8 + k}%02d 06:00:00"), "e", (10 + 3 * k).toDouble))
+    val out = AnalyticsOps.segmentedTrend(
+        rows.toDF("ts", "event_type", "value"))
+      .orderBy("seg")
+      .as[(String, java.sql.Date, Long, Double, Option[Double])]
+      .collect()
+    assert(out.length == 2)
+    assert(out(0)._4 == 1.0 && out(0)._5.isEmpty,
+      s"first segment: ${out(0)}")
+    assert(out(1)._4 == 3.0 && out(1)._5.contains(2.0),
+      s"second segment: ${out(1)}")
+  }
 }

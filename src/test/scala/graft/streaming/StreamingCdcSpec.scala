@@ -341,4 +341,53 @@ class StreamingCdcSpec extends AnyFunSuite {
       .as[(String, Long, Long, Double)].collect().toSet
     assert(after === batchSketch(b0.unionByName(b1)))
   }
+
+  test("streaming bootstrap: maintained moments CI after N " +
+      "micro-batches is BIT-IDENTICAL to the batch CI of the whole " +
+      "stream; replay is fenced") {
+    import graft.operators.AnalyticsOps
+    val base = Files.createTempDirectory("graft-boot").toString
+    val (srcDir, statePath, ckpt) =
+      (s"$base/rows", s"$base/state", s"$base/ckpt")
+    val bCount = 100
+
+    def mkBatch(ids: Range, tag: String): DataFrame =
+      ids.map(i => (tag, i.toLong, (i % 37).toDouble + 0.25))
+        .toDF("event_type", "event_id", "value")
+    // overlapping groups across batches: the merged state must blend
+    // rows of the same group arriving in different micro-batches
+    val b0 = mkBatch(1 to 300, "a").unionByName(mkBatch(301 to 400, "b"))
+    val b1 = mkBatch(401 to 700, "b").unionByName(mkBatch(701 to 800, "a"))
+
+    def batchCi(df: DataFrame): Set[(String, Long, Double, Double, Double)] =
+      AnalyticsOps.bootstrapMeanCi(df, b = bCount)
+        .as[(String, Long, Double, Double, Double)].collect().toSet
+
+    // seed: empty moment state stamped pre-stream
+    AnalyticsOps.bootstrapMoments(b0.limit(0), b = bCount)
+      .withColumn("_batch_id", lit(-1L)).write.parquet(statePath)
+
+    b0.write.parquet(srcDir)
+    val q = StreamingOps.streamingBootstrap(spark, srcDir, b0.schema,
+      "event_type", "event_id", "value", statePath, ckpt, bCount)
+    try {
+      q.processAllAvailable()
+      b1.write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val got = StreamingOps
+        .bootstrapStateCi(spark, statePath, "event_type", bCount)
+        .as[(String, Long, Double, Double, Double)].collect().toSet
+      assert(got === batchCi(b0.unionByName(b1)),
+        "the moment table is additive, so the streaming CI must " +
+          "EXACTLY equal the batch CI of all rows")
+    } finally q.stop()
+
+    // replayed micro-batch is a no-op under the batch-id fence
+    StreamingOps.maintainBootstrapState(statePath, "event_type",
+      "event_id", "value", bCount)(b0, 0L)
+    val after = StreamingOps
+      .bootstrapStateCi(spark, statePath, "event_type", bCount)
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+    assert(after === batchCi(b0.unionByName(b1)))
+  }
 }

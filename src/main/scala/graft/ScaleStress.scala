@@ -287,6 +287,9 @@ object ScaleStress {
         edges.select(col("src").as("node")).where(col("node") < 8)
           .distinct(), iters = 10)
     }
+    run("graph_katz", nNodes) {
+      GraphOps.katzCentrality(edges, iters = 4)
+    }
     // BPE merge training on a FIXED 4096-stem vocabulary while the
     // corpus grows 100× — the claim under test is that the per-round
     // working set is the VOCABULARY, not the corpus: candidates =

@@ -1484,6 +1484,33 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "src_timetravel_log" -> ((s, dir) => {
+      // the TRANSACTIONAL half of the storage story: a log-structured
+      // table (LogStore — the Delta-paper pattern) driven through its
+      // whole life cycle — two appends, a logical delete, a
+      // compaction — then read at latest AND at version 0. The oracle
+      // recomputes the equivalent relational state from the raw
+      // table; the transactional mechanics themselves (snapshot
+      // isolation, conflict detection, crash invisibility) are
+      // LogStoreSpec's job.
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ttl").toString + "/tbl"
+      val store = new graft.catalog.LogStore(s, root)
+      store.append(docs.where(col("lang") === "en"))
+      store.append(docs.where(col("lang") =!= "en"))
+      store.deleteWhere("lang = 'de'")
+      store.compact()
+      val v0 = store.read(0).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_v0"))
+      store.read().groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .join(v0, Seq("lang"), "left")
+        .select(col("lang"), col("n"), col("chars"),
+          coalesce(col("n_v0"), lit(0L)).as("n_v0"))
+        .orderBy("lang")
+    }),
+
     "src_bucketed_join" -> ((s, dir) => {
       // the storage-layout half of the 100 TB join strategy, end to
       // end: orders and lineitem co-bucketed on the order key at write
@@ -5751,6 +5778,16 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the log-table life cycle lands at "all docs minus the deleted
+    // lang", with version 0 = the first (en-only) append
+    "src_timetravel_log" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS chars,
+        | CAST(CASE WHEN lang = 'en' THEN count(*) ELSE 0 END
+        |   AS BIGINT) AS n_v0
+        |FROM documents WHERE lang != 'de'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // bucketing is plan-layout only — the oracle is the plain join+agg
     "src_bucketed_join" ->

@@ -769,6 +769,31 @@ class PlanAuditSpec extends AnyFunSuite {
         s"a global window here serializes every matched gram:\n$plan")
   }
 
+  test("bootstrap: the replicate explode runs over the AGGREGATED " +
+      "buffers, never the corpus (the emb_pca one-pass shape)") {
+    // the (rows × B) relation must not exist: every Generate in the
+    // plan has to sit ABOVE the typed aggregation — i.e. its subtree
+    // contains the aggregate whose (group × 1) packed buffers it
+    // unrolls. A Generate whose subtree has no aggregate is exploding
+    // raw input rows — the 11.9 s shape this audit retires.
+    val df = q("analytics_bootstrap_ci")
+    df.collect()
+    val gens = flatten(df.queryExecution.executedPlan)
+      .collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.nonEmpty, "expected the bounded posexplode")
+    gens.foreach { g =>
+      val sub = flatten(g)
+      val hasAgg = sub.exists {
+        case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+        case _ => false
+      }
+      assert(hasAgg,
+        s"Generate over un-aggregated input:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
   test("span coverage: every sweep window partitions by doc_id") {
     val df = q("dedup_span_coverage")
     df.collect()

@@ -1511,6 +1511,28 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "src_dataskip_log" -> ((s, dir) => {
+      // log-side data skipping: three doc_id-disjoint segments, a
+      // range read that must scan exactly ONE of them — the scan/live
+      // counts ride in the OUTPUT so the oracle pins the skip rate,
+      // not just the row results
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-dsl").toString + "/tbl"
+      val store = new graft.catalog.LogStore(s, root,
+        statsCol = Some("doc_id"))
+      store.append(docs.where(col("doc_id") < 150))
+      store.append(docs.where(col("doc_id") >= 150 &&
+        col("doc_id") < 300))
+      store.append(docs.where(col("doc_id") >= 300))
+      val (scan, hit, live) = store.readRange("160", "260")
+      scan.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .withColumn("segments_scanned", lit(hit))
+        .withColumn("segments_live", lit(live))
+        .orderBy("lang")
+    }),
+
     "src_bucketed_join" -> ((s, dir) => {
       // the storage-layout half of the 100 TB join strategy, end to
       // end: orders and lineitem co-bucketed on the order key at write
@@ -5778,6 +5800,15 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // skip-rate pinned as literals: 3 disjoint segments, 1 overlaps
+    "src_dataskip_log" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS chars,
+        | CAST(1 AS INTEGER) AS segments_scanned,
+        | CAST(3 AS INTEGER) AS segments_live
+        |FROM documents WHERE doc_id BETWEEN 160 AND 260
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // the log-table life cycle lands at "all docs minus the deleted
     // lang", with version 0 = the first (en-only) append

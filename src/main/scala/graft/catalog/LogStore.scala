@@ -33,7 +33,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * regardless of table size, readers pinned to a consistent snapshot
   * while writers land, and compaction fixing small-file pressure
   * without blocking reads. */
-class LogStore(spark: SparkSession, val root: String) {
+class LogStore(spark: SparkSession, val root: String,
+    statsCol: Option[String] = None) {
 
   final class ConcurrentCommitException(v: Long)
     extends RuntimeException(s"version $v was committed concurrently")
@@ -55,35 +56,74 @@ class LogStore(spark: SparkSession, val root: String) {
     if (vs.isEmpty) -1L else vs.max
   }
 
-  /** Parse one version file: (adds, removes) segment names. The
-    * format is one JSON object per line, `{"add":"seg"}` or
-    * `{"remove":"seg"}` — minimal on purpose; stats/partition values
-    * per action are the natural extension. */
-  private def readActions(v: Long): (Seq[String], Seq[String]) = {
+  /** One published segment with its optional [statsCol] min/max —
+    * the skipping index. `num` records whether the bounds compare
+    * numerically (stored as strings either way, so the log format
+    * stays line-oriented). */
+  final case class Segment(name: String, min: Option[String],
+      max: Option[String], num: Boolean) {
+    /** Could this segment contain a row with statsCol in [lo, hi]?
+      * No stats ⇒ must assume yes (the safe default that makes stats
+      * strictly an optimization). */
+    def mayOverlap(lo: String, hi: String): Boolean = (min, max) match {
+      case (Some(mn), Some(mx)) =>
+        if (num) mn.toDouble <= hi.toDouble && mx.toDouble >= lo.toDouble
+        else mn <= hi && mx >= lo
+      case _ => true
+    }
+  }
+
+  /** Parse one version file: (adds, removes, txns). One JSON object
+    * per line: `{"add":"seg"[,"min":"..","max":"..","num":true]}`,
+    * `{"remove":"seg"}`, or `{"txn":<id>}` (the idempotent-stream
+    * fence). Flat line-oriented JSON on purpose — greppable, and a
+    * regex parse with no library dependency. */
+  private def readActions(v: Long)
+      : (Seq[Segment], Seq[String], Seq[Long]) = {
     val in = fs.open(versionPath(v))
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val add = "\"add\"\\s*:\\s*\"([^\"]+)\"".r
-      .findAllMatchIn(body).map(_.group(1)).toSeq
+    val addRe = ("\"add\"\\s*:\\s*\"([^\"]+)\"" +
+      "(?:,\"min\":\"([^\"]*)\",\"max\":\"([^\"]*)\",\"num\":(true|false))?").r
+    val adds = addRe.findAllMatchIn(body).map { m =>
+      Segment(m.group(1), Option(m.group(2)), Option(m.group(3)),
+        m.group(4) == "true")
+    }.toSeq
     val rem = "\"remove\"\\s*:\\s*\"([^\"]+)\"".r
       .findAllMatchIn(body).map(_.group(1)).toSeq
-    (add, rem)
+    val txns = "\"txn\"\\s*:\\s*(-?\\d+)".r
+      .findAllMatchIn(body).map(_.group(1).toLong).toSeq
+    (adds, rem, txns)
   }
 
-  /** The live segment set at `version` (default: latest): replay the
-    * log in order. O(#actions), independent of data size. */
-  def liveSegments(version: Long = Long.MaxValue): Seq[String] = {
+  /** The live segment set (with stats) at `version` (default:
+    * latest): replay the log in order. O(#actions), independent of
+    * data size. */
+  def liveSegmentInfos(version: Long = Long.MaxValue): Seq[Segment] = {
     val latest = latestVersion()
     require(latest >= 0, s"no log at $root")
     val upTo = math.min(version, latest)
     require(upTo >= 0, s"bad version $version")
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Segment]
     (0L to upTo).foreach { v =>
-      val (adds, removes) = readActions(v)
-      live ++= adds
-      live --= removes
+      val (adds, removes, _) = readActions(v)
+      adds.foreach(a => live(a.name) = a)
+      removes.foreach(live -= _)
     }
-    live.toSeq
+    live.values.toSeq
+  }
+
+  def liveSegments(version: Long = Long.MaxValue): Seq[String] =
+    liveSegmentInfos(version).map(_.name)
+
+  /** The last stream-transaction id recorded in the log, or
+    * Long.MinValue — the replay fence of [[appendStream]] (the
+    * paper's `txn` action). */
+  def lastTxn(): Long = {
+    val latest = latestVersion()
+    if (latest < 0) return Long.MinValue
+    val ids = (0L to latest).flatMap(v => readActions(v)._3)
+    if (ids.isEmpty) Long.MinValue else ids.max
   }
 
   /** Snapshot read at `version` (default latest) — a parquet scan of
@@ -97,21 +137,63 @@ class LogStore(spark: SparkSession, val root: String) {
     spark.read.parquet(segs.map(s => s"$root/$s"): _*)
   }
 
-  /** Write `df` as a fresh immutable segment and return its name —
-    * NOT yet visible; publication happens in [[commit]]. */
-  private def writeSegment(df: DataFrame): String = {
+  /** Data-skipping read: scan ONLY the live segments whose
+    * [statsCol] min/max range may overlap [lo, hi], then apply the
+    * row-level filter on what is scanned — segment-level pruning
+    * BEFORE any parquet footer is opened, the log-side complement of
+    * parquet's row-group stats. Returns (dataframe, scanned, live) so
+    * callers (and the spec) can see the skip rate. */
+  def readRange(lo: String, hi: String,
+      version: Long = Long.MaxValue): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col => fcol, lit => flit}
+    val c = statsCol.getOrElse(
+      throw new IllegalStateException("no statsCol configured"))
+    val live = liveSegmentInfos(version)
+    val hit = live.filter(_.mayOverlap(lo, hi))
+    if (hit.isEmpty)
+      return (read(version).where(flit(false)), 0, live.size)
+    val scan = spark.read.parquet(hit.map(s => s"$root/${s.name}"): _*)
+    val dt = scan.schema(c).dataType
+    (scan.where(fcol(c).between(flit(lo).cast(dt), flit(hi).cast(dt))),
+      hit.size, live.size)
+  }
+
+  /** Write `df` as a fresh immutable segment and return its add
+    * action (with [statsCol] min/max when configured) — NOT yet
+    * visible; publication happens in [[commit]]. */
+  private def writeSegment(df: DataFrame): Segment = {
     val name = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.parquet(s"$root/$name")
-    name
+    statsCol match {
+      case Some(c) if df.columns.contains(c) =>
+        import org.apache.spark.sql.functions.{max => fmax, min => fmin, col => fcol}
+        val written = spark.read.parquet(s"$root/$name")
+        val row = written
+          .agg(fmin(fcol(c)).cast("string"), fmax(fcol(c)).cast("string"))
+          .head()
+        val num = written.schema(c).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType]
+        if (row.isNullAt(0)) Segment(name, None, None, num)
+        else Segment(name, Some(row.getString(0)), Some(row.getString(1)),
+          num)
+      case _ => Segment(name, None, None, num = false)
+    }
+  }
+
+  private def addJson(s: Segment): String = (s.min, s.max) match {
+    case (Some(mn), Some(mx)) =>
+      s"""{"add":"${s.name}","min":"$mn","max":"$mx","num":${s.num}}"""
+    case _ => s"""{"add":"${s.name}"}"""
   }
 
   /** Publish a commit at `expected` version via create-exclusive —
     * the optimistic-concurrency point. */
-  private def commit(expected: Long, adds: Seq[String],
-      removes: Seq[String]): Long = {
+  private def commit(expected: Long, adds: Seq[Segment],
+      removes: Seq[String], txn: Option[Long] = None): Long = {
     fs.mkdirs(new Path(logDir))
-    val body = (adds.map(s => s"""{"add":"$s"}""") ++
-      removes.map(s => s"""{"remove":"$s"}"""))
+    val body = (adds.map(addJson) ++
+      removes.map(s => s"""{"remove":"$s"}""") ++
+      txn.map(id => s"""{"txn":$id}""").toSeq)
       .mkString("", "\n", "\n")
     val out = try fs.create(versionPath(expected), false)
       catch { case _: java.io.IOException =>
@@ -134,6 +216,19 @@ class LogStore(spark: SparkSession, val root: String) {
     val base =
       if (baseVersion == Long.MinValue) latestVersion() else baseVersion
     commit(base + 1, Seq(writeSegment(df)), Nil)
+  }
+
+  /** Idempotent streaming append — the paper's `txn` action: the
+    * commit records the micro-batch id, and a replay of an
+    * already-recorded batch is a NO-OP, so foreachBatch's
+    * at-least-once delivery becomes exactly-once table content (the
+    * same fence discipline as the sketch-state maintainers, here
+    * carried inside the table's own log). Returns the committed
+    * version, or -1 for a fenced replay. */
+  def appendStream(df: DataFrame, batchId: Long): Long = {
+    if (batchId <= lastTxn()) return -1L
+    commit(latestVersion() + 1, Seq(writeSegment(df)), Nil,
+      txn = Some(batchId))
   }
 
   /** Logical delete: rewrite the rows NOT matching `predicate` into a

@@ -500,6 +500,23 @@ object StreamingOps {
         maintainBootstrapState(statePath, typeCol, idCol, valueCol, b) _)
       .start()
 
+  /** Exactly-once streaming ingestion into a [[graft.catalog.LogStore]]
+    * transactional table: each micro-batch commits as one table
+    * version carrying the batch id as a `txn` action, so replays are
+    * fenced by the table's own log (no side state) and readers always
+    * see a consistent snapshot — the lakehouse streaming-sink
+    * pattern. */
+  def streamingLogIngest(spark: SparkSession, sourceDir: String,
+      schema: StructType, store: graft.catalog.LogStore,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        store.appendStream(df, id); ()
+      }
+      .start()
+
   /** Streaming KMV upkeep: a file stream of raw rows keeps the
     * per-group theta-sketch state table current; distinct estimates
     * (and theta set algebra) read the tiny state table, never the

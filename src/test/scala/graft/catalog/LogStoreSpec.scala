@@ -81,4 +81,69 @@ class LogStoreSpec extends AnyFunSuite {
     assert(ids(t.read()) == (1L to 3L).toSet,
       "readers must only see segments the log publishes")
   }
+
+  test("data skipping: a range read scans only segments whose min/max " +
+      "overlap, without touching the others' parquet") {
+    val t = new LogStore(spark,
+      Files.createTempDirectory("graft-log").toString + "/tbl",
+      statsCol = Some("id"))
+    t.append((1L to 100L).toDF("id"))
+    t.append((1000L to 1100L).toDF("id"))
+    t.append((5000L to 5100L).toDF("id"))
+    val (df, scanned, live) = t.readRange("1050", "1060")
+    assert(live == 3 && scanned == 1,
+      s"only the middle segment overlaps [1050,1060]: $scanned/$live")
+    assert(ids(df) == (1050L to 1060L).toSet)
+    // numeric compare, not lexicographic: "999" > "1000" as strings,
+    // but segment [1000,1100] must still be the only hit for [999,1001]
+    val (df2, scanned2, _) = t.readRange("999", "1001")
+    assert(scanned2 == 1 && ids(df2) == Set(1000L, 1001L))
+    // a miss range scans nothing and returns empty
+    val (df3, scanned3, _) = t.readRange("200", "900")
+    assert(scanned3 == 0 && df3.count() == 0)
+  }
+
+  test("segments without stats are never skipped (stats are strictly " +
+      "an optimization)") {
+    val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
+    // first segment written WITHOUT stats config, second with
+    new LogStore(spark, dir).append((1L to 5L).toDF("id"))
+    val t = new LogStore(spark, dir, statsCol = Some("id"))
+    t.append((100L to 110L).toDF("id"))
+    val (df, scanned, live) = t.readRange("105", "106")
+    assert(live == 2 && scanned == 2,
+      "the stats-less segment must be assumed to overlap")
+    assert(ids(df) == Set(105L, 106L))
+  }
+
+  test("appendStream: the txn action fences micro-batch replays " +
+      "inside the table's own log") {
+    val t = fresh()
+    assert(t.appendStream((1L to 3L).toDF("id"), batchId = 0L) == 0L)
+    assert(t.appendStream((4L to 6L).toDF("id"), batchId = 1L) == 1L)
+    // at-least-once replay of batch 0: fenced, no duplicate rows
+    assert(t.appendStream((1L to 3L).toDF("id"), batchId = 0L) == -1L)
+    assert(ids(t.read()) == (1L to 6L).toSet)
+    assert(t.lastTxn() == 1L)
+  }
+
+  test("streamingLogIngest: a real file stream lands each micro-batch " +
+      "as one committed version, exactly once") {
+    import graft.streaming.StreamingOps
+    val base = Files.createTempDirectory("graft-logstream").toString
+    val t = new LogStore(spark, s"$base/tbl")
+    val b0 = (1L to 50L).toDF("id")
+    b0.write.parquet(s"$base/rows")
+    val q = StreamingOps.streamingLogIngest(spark, s"$base/rows",
+      b0.schema, t, s"$base/ckpt")
+    try {
+      q.processAllAvailable()
+      (51L to 80L).toDF("id").write.mode("append").parquet(s"$base/rows")
+      q.processAllAvailable()
+      assert(ids(t.read()) == (1L to 80L).toSet)
+    } finally q.stop()
+    // replay the first batch by hand: the log fence rejects it
+    assert(t.appendStream(b0, batchId = 0L) == -1L)
+    assert(ids(t.read()) == (1L to 80L).toSet)
+  }
 }

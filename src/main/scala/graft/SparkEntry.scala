@@ -2389,6 +2389,18 @@ object SparkEntry {
             Seq(col("l_orderkey"), col("l_partkey")), bits = 21).as("z"))
         .orderBy("l_orderkey", "l_partkey", "l_linenumber")),
 
+    // ---- storage layout: Hilbert curve index (native codegen) ----
+    // The locality-tighter 2-D curve next to layout_zvalue: the
+    // oracle replays the identical 16 rotate-and-fold steps in
+    // integer SQL; the one-step-adjacency property that justifies
+    // the curve is HilbertSpec's exact walk test.
+    "layout_hilbert" -> ((s, dir) =>
+      t(s, dir, "lineitem").where(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+          graft.operators.LayoutOps.hilbertValue(
+            col("l_orderkey"), col("l_partkey"), order = 16).as("h"))
+        .orderBy("l_orderkey", "l_partkey", "l_linenumber")),
+
     // ---- bloom-prefiltered semi join (non-broadcastable dim path) ----
     "bloom_semi_join" -> ((s, dir) =>
       BloomOps.bloomSemiJoin(
@@ -6442,6 +6454,35 @@ object SparkEntry {
          | ${duckZValue(Seq("l_orderkey", "l_partkey"), 21)} AS z
          |FROM lineitem WHERE l_orderkey <= 2000
          |ORDER BY l_orderkey, l_partkey, l_linenumber""".stripMargin,
+
+    // the identical 16 rotate-and-fold steps, unrolled as integer SQL
+    // (d from the PRE-step (x, y); rotation reflects-then-swaps)
+    "layout_hilbert" -> {
+      val steps = (0 until 16).map { i =>
+        val k = 15 - i
+        val s = 1L << k
+        val from = if (i == 0) "base" else s"h${i - 1}"
+        s"""h$i AS (SELECT l_orderkey, l_partkey, l_linenumber,
+           | d + ${s * s} * xor(
+           |   3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+           |   (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)) AS d,
+           | CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) > 0
+           |   THEN ${s - 1} - y ELSE y END) ELSE x END AS x,
+           | CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) > 0
+           |   THEN ${s - 1} - x ELSE x END) ELSE y END AS y
+           | FROM $from)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS (SELECT l_orderkey, l_partkey, l_linenumber,
+         |  CAST(l_orderkey AS BIGINT) AS x,
+         |  CAST(l_partkey AS BIGINT) AS y,
+         |  CAST(0 AS BIGINT) AS d
+         | FROM lineitem WHERE l_orderkey <= 2000),
+         |$steps
+         |SELECT l_orderkey, l_partkey, l_linenumber,
+         | CAST(d AS BIGINT) AS h
+         |FROM h15
+         |ORDER BY l_orderkey, l_partkey, l_linenumber""".stripMargin
+    },
 
     // the oracle recomputes the NEW snapshot's aggregate DIRECTLY —
     // the Spark side must reach the same state incrementally

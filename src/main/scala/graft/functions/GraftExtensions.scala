@@ -156,6 +156,9 @@ object GraftFunctions {
       exprs => JaroWinklerExpr(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalize(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hilbert_index", exprs => HilbertIndex(exprs(0), exprs(1),
+        litInt(exprs(2), "hilbert_index")), "scala_udf")
     // idempotent: replace, never append twice
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations

@@ -42,6 +42,19 @@ object LayoutOps {
     terms.reduce(_.bitwiseOR(_))
   }
 
+  /** Hilbert curve index of (x, y) at the given order — the
+    * locality-tighter alternative to [[zValue]] for 2-D clustering
+    * (see [[graft.functions.HilbertIndex]]: one Manhattan-adjacent
+    * step per index increment, so contiguous index ranges are tight
+    * rectangles where Morton has quadrant seams). Native codegen'd
+    * expression; inputs must lie in [0, 2^order). */
+  def hilbertValue(x: Column, y: Column, order: Int = 16): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.HilbertIndex(
+        org.apache.spark.sql.GraftSqlBridge.expression(x.cast("long")),
+        org.apache.spark.sql.GraftSqlBridge.expression(y.cast("long")),
+        order))
+
   /** Cluster `df` for multi-dimensional skipping: range-partition and
     * sort by the Z-value of `cols`. Writing the result (with a
     * per-file row cap) yields files whose parquet min/max stats are

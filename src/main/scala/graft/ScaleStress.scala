@@ -442,6 +442,22 @@ object ScaleStress {
       }
       ev.unpersist()
     }
+    // LogStore commit cost vs table age — the O(1)-commit claim: an
+    // append writes one new segment + one version file whatever the
+    // table holds; the log REPLAY that finds the next version is
+    // O(#actions), but actions are a few bytes each. Segments grow
+    // 10× per decade; the timed commit must stay ~flat.
+    if (only.isEmpty || only.contains("src_log_commit")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-log").toString + "/tbl"
+      val store = new graft.catalog.LogStore(spark, root)
+      val seed = spark.range(1000).toDF("id").localCheckpoint(true)
+      (0 until 10 * scale).foreach(_ => store.append(seed))
+      val (sec, _) = time { store.append(seed) }
+      out += Measurement("src_log_commit", scale, 10L * scale, sec,
+        store.latestVersion())
+      System.err.println(s"[scale] ${out.last.json}")
+    }
     docs.unpersist(); emb.unpersist(); vals.unpersist(); edges.unpersist()
     out.toSeq
   }

@@ -3627,6 +3627,20 @@ object SparkEntry {
         SELECT depth, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
         FROM d GROUP BY depth ORDER BY depth
       """)
+    }),
+
+    // ---- correlated LATERAL derived table (per-group top-N in SQL) ----
+    "join_lateral_topn" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("v_nation")
+      t(s, dir, "customer").createOrReplaceTempView("v_customer2")
+      s.sql("""
+        SELECT n.n_name, c.c_custkey, c.c_acctbal
+        FROM v_nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM v_customer2
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
+        ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey
+      """)
     })
   )
 
@@ -8041,6 +8055,15 @@ object SparkEntry {
         |SELECT depth, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(k) AS BIGINT) AS key_sum
         |FROM d GROUP BY depth ORDER BY depth""".stripMargin,
+
+    // LATERAL per-group top-N, deterministic tiebreak on the key
+    "join_lateral_topn" ->
+      """SELECT n.n_name, c.c_custkey, c.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
+        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey""".stripMargin,
 
     // replicates TextOps.dsirWeights: md5-first-two-hex-digit feature
     // hash, add-1-smoothed target/raw bucket distributions, each ln

@@ -416,7 +416,8 @@ object ScaleStress {
     // CUPED's single sufficient-statistics agg, Mann–Whitney's
     // prefix-sum rank decomposition — all must track n linearly
     val evFams = Set("analytics_attribution", "analytics_cuped",
-      "analytics_mann_whitney", "analytics_bootstrap_ci")
+      "analytics_mann_whitney", "analytics_bootstrap_ci",
+      "ts_holt_winters", "ts_theil_sen")
     if (only.isEmpty || only.exists(evFams.contains)) {
       val nEvents = 100000L * scale
       val ev = synthEvents(spark, nEvents).localCheckpoint(true)
@@ -439,6 +440,17 @@ object ScaleStress {
       // ×B constant, never shuffle-bound
       run("analytics_bootstrap_ci", nEvents, nEvents * 100) {
         AnalyticsOps.bootstrapMeanCi(ev)
+      }
+      // the calendar-bounded claim of the fold/pair families: after
+      // the daily pre-aggregation (60 days × 3 types here whatever n),
+      // the HW fold is O(days) per key and the Theil–Sen pair join is
+      // O(days²/2) per key — wall must go FLAT once the daily
+      // aggregation stops dominating, not track n
+      run("ts_holt_winters", nEvents, 60L * 3) {
+        AnalyticsOps.holtWinters(ev, "event_type", "ts", "value")
+      }
+      run("ts_theil_sen", nEvents, 3L * 60 * 59 / 2) {
+        AnalyticsOps.theilSen(ev)
       }
       ev.unpersist()
     }

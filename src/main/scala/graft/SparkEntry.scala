@@ -826,6 +826,12 @@ object SparkEntry {
       AnalyticsOps.dpNoisyCounts(t(s, dir, "documents"), "lang")
         .orderBy("lang")),
 
+    // ---- ε-DP mean release (clipped sum + per-term geometric) ----
+    "privacy_dp_mean" -> ((s, dir) =>
+      AnalyticsOps.dpNoisyMean(events(s, dir), "event_type", "value",
+          clip = 100.0)
+        .orderBy("event_type")),
+
     // ---- WAV (RIFF PCM16) amplitude features through the codec seam ----
     "mm_wav_stats" -> ((s, dir) =>
       Multimodal.extractWavFeatures(s,
@@ -5157,6 +5163,37 @@ object SparkEntry {
          |SELECT lang, n, noise,
          | CAST(greatest(n + noise, 0) AS BIGINT) AS released
          |FROM z ORDER BY lang""".stripMargin,
+
+    // clipped-sum DP mean: exact ×10⁴ integer units, two independent
+    // geometric draws (count at unit sensitivity, sum scaled by the
+    // clip bound), two IEEE divides at the end
+    "privacy_dp_mean" -> {
+      def g(u: String): String =
+        s"(CASE WHEN $u < 5 THEN -5 WHEN $u < 10 THEN -4" +
+          s" WHEN $u < 21 THEN -3 WHEN $u < 42 THEN -2" +
+          s" WHEN $u < 85 THEN -1 WHEN $u < 170 THEN 0" +
+          s" WHEN $u < 213 THEN 1 WHEN $u < 234 THEN 2" +
+          s" WHEN $u < 245 THEN 3 WHEN $u < 250 THEN 4 ELSE 5 END)"
+      s"""WITH v AS (SELECT event_type,
+         |  least(greatest(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+         |    AS BIGINT), 0), 1000000) AS units FROM events),
+         |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(units) AS BIGINT) AS clipped_units
+         | FROM v GROUP BY 1),
+         |h AS (SELECT event_type, n, clipped_units,
+         |  md5('dp:s:' || event_type) AS hs,
+         |  md5('dp:n:' || event_type) AS hn FROM a),
+         |u AS (SELECT event_type, n, clipped_units,
+         |  ${duckU8("hs")} AS us, ${duckU8("hn")} AS un FROM h),
+         |z AS (SELECT event_type, n, clipped_units,
+         |  CAST(greatest(n + ${g("un")}, 0) AS BIGINT) AS noisy_n,
+         |  CAST(greatest(clipped_units + ${g("us")} * 1000000, 0)
+         |    AS BIGINT) AS noisy_units FROM u)
+         |SELECT event_type, n, clipped_units, noisy_n, noisy_units,
+         | CAST(noisy_units AS DOUBLE) / CAST(10000 AS DOUBLE)
+         |  / CAST(nullif(noisy_n, 0) AS DOUBLE) AS released_mean
+         |FROM z ORDER BY event_type""".stripMargin
+    },
 
     // WAV PCM16: rebuild each sample from positional byte pairs
     // (little-endian; ASCII corpus so char position == byte position,

@@ -1871,16 +1871,56 @@ object AnalyticsOps {
     * kept in the output because this is the AUDIT surface the oracle
     * checks — a production release would project it away. Per-group
     * work after the count aggregation is one row. */
-  def dpNoisyCounts(df: DataFrame, groupCol: String,
-      salt: String = "dp"): DataFrame = {
-    val u = u8(concat(lit(salt), lit(":"), col(groupCol).cast("string")))
-    val noise = when(u < 5, -5L).when(u < 10, -4L).when(u < 21, -3L)
+  /** The ±5-truncated two-sided geometric draw at an 8-bit coin —
+    * shared by the DP releases. */
+  private def geomNoise(u: Column): Column =
+    when(u < 5, -5L).when(u < 10, -4L).when(u < 21, -3L)
       .when(u < 42, -2L).when(u < 85, -1L).when(u < 170, 0L)
       .when(u < 213, 1L).when(u < 234, 2L).when(u < 245, 3L)
       .when(u < 250, 4L).otherwise(5L)
+
+  def dpNoisyCounts(df: DataFrame, groupCol: String,
+      salt: String = "dp"): DataFrame = {
+    val u = u8(concat(lit(salt), lit(":"), col(groupCol).cast("string")))
     df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"))
-      .withColumn("noise", noise)
+      .withColumn("noise", geomNoise(u))
       .withColumn("released", greatest(col("n") + col("noise"), lit(0L)))
+  }
+
+  /** ε-DP mean release per group — the clipped-sum mechanism: each
+    * value is CLIPPED to [0, clip] (bounding the sum's sensitivity at
+    * `clip`), the integer clipped sum gets geometric noise scaled by
+    * the sensitivity, the count gets the unit-sensitivity draw (two
+    * independent salts), and the released mean is the noisy ratio —
+    * the standard ratio estimator of DP practice (each numerator and
+    * denominator its own ε = ln 2 geometric release). Values ride as
+    * exact integer cents; the only IEEE op is the final divide, so
+    * the release is bit-reproducible in any engine with md5. Like
+    * [[dpNoisyCounts]] this is the AUDIT surface — the true n/sum
+    * stay in the output for the oracle; a production release projects
+    * them away. */
+  def dpNoisyMean(df: DataFrame, groupCol: String, valueCol: String,
+      clip: Double = 100.0, salt: String = "dp"): DataFrame = {
+    // values ride as exact DECIMAL(18,4) units ×10⁴ — the engine's
+    // established double→decimal parity scale (the dsum pattern)
+    val clipUnits = math.round(clip * 10000)
+    val units = least(greatest(
+      (col(valueCol).cast(DecimalType(18, 4)) * 10000).cast("long"),
+      lit(0L)), lit(clipUnits))
+    val uSum = u8(concat(lit(salt), lit(":s:"),
+      col(groupCol).cast("string")))
+    val uCnt = u8(concat(lit(salt), lit(":n:"),
+      col(groupCol).cast("string")))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(units).as("clipped_units"))
+      .withColumn("noisy_n",
+        greatest(col("n") + geomNoise(uCnt), lit(0L)))
+      .withColumn("noisy_units",
+        greatest(col("clipped_units") + geomNoise(uSum) * clipUnits,
+          lit(0L)))
+      .withColumn("released_mean",
+        col("noisy_units").cast("double") / lit(10000.0) /
+          nullif(col("noisy_n"), lit(0L)).cast("double"))
   }
 }

@@ -129,6 +129,30 @@ class Round10bOpsSpec extends AnyFunSuite {
       "independent salts should not reproduce the identical noise map")
   }
 
+  test("dpNoisyMean: clipping bounds the sensitivity, noise scales " +
+      "by it, and the release is deterministic") {
+    val df = ((1 to 50).map(i => ("a", 5.0)) ++
+      (1 to 50).map(i => ("a", 1e9)) ++ // clipped to 100
+      (1 to 40).map(i => ("b", 10.0)))
+      .toDF("g", "value")
+    val out = AnalyticsOps.dpNoisyMean(df, "g", "value", clip = 100.0)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val a = out("a")
+    // clipped sum: 50*5.0 + 50*100.0 in 1e-4 units
+    assert(a._3 == (50L * 50000 + 50L * 1000000),
+      s"clip must bound the huge values: ${a._3}")
+    // noisy sum differs from the true sum by k*clipUnits, k in [-5,5]
+    val kSum = (a._5 - a._3) / 1000000
+    assert((a._5 - a._3) % 1000000 == 0 && kSum >= -5 && kSum <= 5)
+    assert(math.abs(a._4 - a._2) <= 5, "count noise at unit scale")
+    assert(a._6 == a._5.toDouble / 10000.0 / a._4.toDouble)
+    val again = AnalyticsOps.dpNoisyMean(df, "g", "value", 100.0)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again == out, "hash-coined release must be bit-stable")
+  }
+
   test("WavCodec: encode/decode round-trip recovers the PCM samples " +
       "and the header fields") {
     val data = "hello wav world!".getBytes("US-ASCII")

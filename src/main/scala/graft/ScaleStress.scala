@@ -470,6 +470,34 @@ object ScaleStress {
         store.latestVersion())
       System.err.println(s"[scale] ${out.last.json}")
     }
+    // LogStore snapshot RESOLUTION cost vs log length — the claim the
+    // checkpoint layer exists for: liveSegmentInfos + lastTxn seed
+    // from the newest `.checkpoint` and replay only the suffix, so
+    // resolving a snapshot must stay O(interval) — FLAT as the log
+    // grows 1 000 → 10 000 commits — where a full replay would grow
+    // linearly (and a streaming writer quadratically over its life).
+    // Commits here are raw metadata-only actions (the private commit
+    // hook) so the measurement isolates log mechanics from parquet I/O.
+    if (only.isEmpty || only.contains("src_log_snapshot")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-snap").toString + "/tbl"
+      val store = new graft.catalog.LogStore(spark, root)
+      val nCommits = 1000 * scale
+      (0 until nCommits).foreach { i =>
+        store.commit(i.toLong,
+          Seq(store.Segment(s"seg-$i", Some(i.toString),
+            Some((i + 10).toString), num = true)),
+          if (i >= 8) Seq(s"seg-${i - 8}") else Nil,
+          txn = Some(i.toLong))
+      }
+      val (sec, resolved) = time {
+        (store.liveSegmentInfos().size, store.lastTxn())
+      }
+      require(resolved._2 == nCommits - 1L, "txn fence must resolve")
+      out += Measurement("src_log_snapshot", scale, nCommits.toLong,
+        sec, resolved._1.toLong)
+      System.err.println(s"[scale] ${out.last.json}")
+    }
     docs.unpersist(); emb.unpersist(); vals.unpersist(); edges.unpersist()
     out.toSeq
   }

@@ -832,6 +832,31 @@ object SparkEntry {
           clip = 100.0)
         .orderBy("event_type")),
 
+    // ---- ε-budget ledger: basic composition across the releases ----
+    // The two DP releases above, as ledger rows (ε = ln 2 per
+    // geometric draw; the ratio release spends two draws) with the
+    // group count each release actually exposed, run through the
+    // cumulative-spend accounting view at budget 1.5: the counts
+    // release fits, the mean release tips the same salt over budget.
+    "privacy_budget" -> ((s, dir) => {
+      val counts = AnalyticsOps
+        .dpNoisyCounts(t(s, dir, "documents"), "lang")
+        .agg(count(lit(1)).as("n_groups"))
+        .select(lit("counts:lang").as("release"),
+          lit("geometric").as("mechanism"),
+          lit(0.6931471805599453).as("epsilon"),
+          lit("dp").as("salt"), col("n_groups"))
+      val mean = AnalyticsOps
+        .dpNoisyMean(events(s, dir), "event_type", "value", clip = 100.0)
+        .agg(count(lit(1)).as("n_groups"))
+        .select(lit("mean:event_type:value").as("release"),
+          lit("geometric_ratio").as("mechanism"),
+          lit(1.3862943611198906).as("epsilon"),
+          lit("dp").as("salt"), col("n_groups"))
+      AnalyticsOps.privacyBudget(counts.unionByName(mean), budget = 1.5)
+        .orderBy("release")
+    }),
+
     // ---- WAV (RIFF PCM16) amplitude features through the codec seam ----
     "mm_wav_stats" -> ((s, dir) =>
       Multimodal.extractWavFeatures(s,
@@ -5194,6 +5219,29 @@ object SparkEntry {
          |  / CAST(nullif(noisy_n, 0) AS DOUBLE) AS released_mean
          |FROM z ORDER BY event_type""".stripMargin
     },
+
+    // ε-budget ledger: per-salt running Σε (basic composition) in
+    // release-name order, budget 1.5 — group counts from the same
+    // GROUP BY the releases expose (count-of-grouped-rows, so a NULL
+    // group counts like Spark's groupBy)
+    "privacy_budget" ->
+      """WITH l AS (
+        | SELECT 'counts:lang' AS release, 'geometric' AS mechanism,
+        |  CAST(0.6931471805599453 AS DOUBLE) AS epsilon,
+        |  'dp' AS salt,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |   FROM (SELECT lang FROM documents GROUP BY 1)) AS n_groups
+        | UNION ALL
+        | SELECT 'mean:event_type:value', 'geometric_ratio',
+        |  CAST(1.3862943611198906 AS DOUBLE), 'dp',
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |   FROM (SELECT event_type FROM events GROUP BY 1)))
+        |SELECT release, mechanism, epsilon, salt, n_groups,
+        | sum(epsilon) OVER (PARTITION BY salt ORDER BY release)
+        |  AS cum_epsilon,
+        | CAST(sum(epsilon) OVER (PARTITION BY salt ORDER BY release)
+        |  <= CAST(1.5 AS DOUBLE) AS INT) AS within_budget
+        |FROM l ORDER BY release""".stripMargin,
 
     // WAV PCM16: rebuild each sample from positional byte pairs
     // (little-endian; ASCII corpus so char position == byte position,

@@ -5,10 +5,11 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** A log-structured table with snapshot isolation, time travel and
-  * compaction — the lakehouse transaction pattern of the Delta Lake
-  * paper (Armbrust et al., VLDB 2020 — public), reduced to its load-
-  * bearing core on plain parquet + a JSON action log:
+/** A log-structured table with snapshot isolation, time travel,
+  * compaction, checkpointing and vacuum — the lakehouse transaction
+  * pattern of the Delta Lake paper (Armbrust et al., VLDB 2020 —
+  * public), reduced to its load-bearing core on plain parquet + a
+  * JSON action log:
   *
   *  - the table IS the log: `_log/<version>.json` files, each a list
   *    of `add`/`remove` actions naming immutable parquet data
@@ -26,15 +27,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - delete/compact are LOGICAL rewrites: new segments added, old
   *    ones removed in the same commit; prior versions stay readable
   *    (time travel) because removed segments are not physically
-  *    deleted until a vacuum (not implemented — retention policy is
-  *    deployment-specific).
+  *    deleted until [[vacuum]] trims history behind a retention
+  *    horizon.
+  *  - checkpoints (the paper's §3.3): every [checkpointInterval]
+  *    commits, the fully-replayed state (live segment set, max txn
+  *    id, vacuum horizon) is snapshotted to
+  *    `_log/<version>.checkpoint`. Snapshot resolution then seeds
+  *    from the newest checkpoint at-or-below the target version and
+  *    replays only the suffix — O(interval) per read/append instead
+  *    of O(V), which is what keeps a streaming writer (one commit per
+  *    micro-batch) O(1) amortized over thousands of commits. A
+  *    checkpoint is a pure function of the immutable log prefix, so
+  *    rewriting one is idempotent and its write is best-effort: a
+  *    failed checkpoint never fails the commit that triggered it.
   *
   * At 100 TB the wins are the same as the paper's: O(1) commits
-  * regardless of table size, readers pinned to a consistent snapshot
-  * while writers land, and compaction fixing small-file pressure
-  * without blocking reads. */
+  * regardless of table size OR table age, readers pinned to a
+  * consistent snapshot while writers land, and compaction fixing
+  * small-file pressure without blocking reads. */
 class LogStore(spark: SparkSession, val root: String,
-    statsCol: Option[String] = None) {
+    statsCol: Option[String] = None,
+    checkpointInterval: Int = 10) {
+  require(checkpointInterval > 0, "checkpointInterval must be positive")
 
   final class ConcurrentCommitException(v: Long)
     extends RuntimeException(s"version $v was committed concurrently")
@@ -45,15 +59,62 @@ class LogStore(spark: SparkSession, val root: String,
 
   private def versionPath(v: Long): Path =
     new Path(f"$logDir/$v%08d.json")
+  private def checkpointPath(v: Long): Path =
+    new Path(f"$logDir/$v%08d.checkpoint")
+  private def pointerPath: Path = new Path(s"$logDir/_last_checkpoint")
 
-  /** Committed versions in order, -1 if the table does not exist. */
+  /** The `_last_checkpoint` pointer (the paper's §3.3): the version of
+    * the newest checkpoint, kept in a fixed-name file so resolution
+    * starts from ONE O(1) read instead of an O(V) directory listing.
+    * Advisory only — stale or missing pointers degrade to the listing
+    * path, never to a wrong answer. */
+  private def readPointer(): Option[Long] = {
+    if (!fs.exists(pointerPath)) return None
+    val in = fs.open(pointerPath)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    body.trim.toLongOption
+  }
+
+  /** Latest committed version, -1 if the table does not exist.
+    * Versions are contiguous (create-exclusive commits), so with a
+    * pointer this is a forward probe from the last checkpoint —
+    * O(commits since checkpoint) `exists` calls, independent of table
+    * age. Without one (young or never-checkpointed table) it falls
+    * back to listing the log directory. */
   def latestVersion(): Long = {
+    readPointer() match {
+      case Some(cp) if fs.exists(versionPath(cp)) =>
+        var v = cp
+        while (fs.exists(versionPath(v + 1))) v += 1
+        v
+      case _ =>
+        val d = new Path(logDir)
+        if (!fs.exists(d)) return -1L
+        val vs = fs.listStatus(d).map(_.getPath.getName)
+          .filter(_.endsWith(".json"))
+          .map(_.stripSuffix(".json").toLong)
+        if (vs.isEmpty) -1L else vs.max
+    }
+  }
+
+  /** Newest checkpoint at-or-below `v`, if any. The pointer answers
+    * the hot case (resolving at-or-near latest) in O(1); time travel
+    * behind the newest checkpoint takes the listing path — the cold
+    * case by construction. */
+  private def latestCheckpointAtOrBelow(v: Long): Option[Long] = {
+    readPointer() match {
+      case Some(cp) if cp <= v && fs.exists(checkpointPath(cp)) =>
+        return Some(cp)
+      case _ => ()
+    }
     val d = new Path(logDir)
-    if (!fs.exists(d)) return -1L
-    val vs = fs.listStatus(d).map(_.getPath.getName)
-      .filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong)
-    if (vs.isEmpty) -1L else vs.max
+    if (!fs.exists(d)) return None
+    val cps = fs.listStatus(d).map(_.getPath.getName)
+      .filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong)
+      .filter(_ <= v)
+    if (cps.isEmpty) None else Some(cps.max)
   }
 
   /** One published segment with its optional [statsCol] min/max —
@@ -73,14 +134,18 @@ class LogStore(spark: SparkSession, val root: String,
     }
   }
 
-  /** Parse one version file: (adds, removes, txns). One JSON object
-    * per line: `{"add":"seg"[,"min":"..","max":"..","num":true]}`,
-    * `{"remove":"seg"}`, or `{"txn":<id>}` (the idempotent-stream
-    * fence). Flat line-oriented JSON on purpose — greppable, and a
-    * regex parse with no library dependency. */
-  private def readActions(v: Long)
-      : (Seq[Segment], Seq[String], Seq[Long]) = {
-    val in = fs.open(versionPath(v))
+  /** Parse one action file (version OR checkpoint — same grammar):
+    * (adds, removes, txns, vacuum horizons). One JSON object per
+    * line: `{"add":"seg"[,"min":"..","max":"..","num":true]}`,
+    * `{"remove":"seg"}`, `{"txn":<id>}` (the idempotent-stream
+    * fence), or `{"vacuum":<horizon>}` (the oldest still-readable
+    * version after a vacuum). Flat line-oriented JSON on purpose —
+    * greppable, and a regex parse with no library dependency. The
+    * min/max strings are guaranteed quote-free because [statsCol] is
+    * restricted to numeric/date/timestamp columns at write time. */
+  private def parseActions(p: Path)
+      : (Seq[Segment], Seq[String], Seq[Long], Seq[Long]) = {
+    val in = fs.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val addRe = ("\"add\"\\s*:\\s*\"([^\"]+)\"" +
@@ -93,24 +158,112 @@ class LogStore(spark: SparkSession, val root: String,
       .findAllMatchIn(body).map(_.group(1)).toSeq
     val txns = "\"txn\"\\s*:\\s*(-?\\d+)".r
       .findAllMatchIn(body).map(_.group(1).toLong).toSeq
-    (adds, rem, txns)
+    val vacs = "\"vacuum\"\\s*:\\s*(-?\\d+)".r
+      .findAllMatchIn(body).map(_.group(1).toLong).toSeq
+    (adds, rem, txns, vacs)
   }
 
+  private def readActions(v: Long)
+      : (Seq[Segment], Seq[String], Seq[Long], Seq[Long]) =
+    parseActions(versionPath(v))
+
+  /** The fully-replayed log state at some version: the live segment
+    * set (insertion-ordered), the max stream-txn id seen, and the
+    * vacuum horizon (oldest version whose snapshot is still
+    * physically complete; -1 = never vacuumed). */
+  private final case class LogState(
+      live: scala.collection.mutable.LinkedHashMap[String, Segment],
+      var maxTxn: Long, var vacuumHorizon: Long)
+
+  /** Replay the log up to `upTo` inclusive, seeding from the newest
+    * checkpoint at-or-below it — O(#actions since checkpoint), never
+    * O(V) once the table checkpoints. */
+  private def replayTo(upTo: Long): LogState = {
+    val state = LogState(
+      scala.collection.mutable.LinkedHashMap.empty[String, Segment],
+      Long.MinValue, -1L)
+    val from = latestCheckpointAtOrBelow(upTo) match {
+      case Some(cp) =>
+        val (adds, _, txns, vacs) = parseActions(checkpointPath(cp))
+        adds.foreach(a => state.live(a.name) = a)
+        txns.foreach(t => state.maxTxn = math.max(state.maxTxn, t))
+        vacs.foreach(h =>
+          state.vacuumHorizon = math.max(state.vacuumHorizon, h))
+        cp + 1
+      case None => 0L
+    }
+    (from to upTo).foreach { v =>
+      val (adds, removes, txns, vacs) = readActions(v)
+      adds.foreach(a => state.live(a.name) = a)
+      removes.foreach(state.live -= _)
+      txns.foreach(t => state.maxTxn = math.max(state.maxTxn, t))
+      vacs.foreach(h =>
+        state.vacuumHorizon = math.max(state.vacuumHorizon, h))
+    }
+    state
+  }
+
+  /** Snapshot the fully-replayed state at version `v` to
+    * `_log/<v>.checkpoint` — same line-JSON grammar as version files.
+    * Idempotent (the content is a function of the immutable prefix
+    * 0..v), so overwrite is safe; public so operators that batch many
+    * raw commits (or a maintenance job) can checkpoint on their own
+    * cadence. */
+  def checkpoint(v: Long = Long.MaxValue): Unit = {
+    val latest = latestVersion()
+    require(latest >= 0, s"no log at $root")
+    val at = math.min(v, latest)
+    val st = replayTo(at)
+    val lines = st.live.values.map(addJson).toSeq ++
+      (if (st.maxTxn != Long.MinValue) Seq(s"""{"txn":${st.maxTxn}}""")
+       else Nil) ++
+      (if (st.vacuumHorizon >= 0)
+         Seq(s"""{"vacuum":${st.vacuumHorizon}}""")
+       else Nil)
+    val out = fs.create(checkpointPath(at), true)
+    try out.write(lines.mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    // advance (never regress) the `_last_checkpoint` pointer; a
+    // checkpoint of an old version must not point resolution backwards
+    if (readPointer().forall(_ < at)) {
+      val p = fs.create(pointerPath, true)
+      try p.write(s"$at\n".getBytes(StandardCharsets.UTF_8))
+      finally p.close()
+    }
+  }
+
+  /** Checkpoint trigger: every [checkpointInterval]-th commit, best
+    * effort — a failed checkpoint write must never fail the commit
+    * that landed (the next trigger will cover for it). */
+  private def maybeCheckpoint(v: Long): Unit =
+    if (v > 0 && v % checkpointInterval == 0)
+      try checkpoint(v)
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[logstore] checkpoint at $v failed: $e") }
+
+  /** Loud refusal of reads behind the vacuum horizon: those
+    * snapshots may reference physically-deleted segments, and an
+    * empty-or-partial read masquerading as a snapshot is the one
+    * failure mode a transactional table must not have. */
+  private def requireReadable(upTo: Long, horizon: Long): Unit =
+    if (upTo < horizon)
+      throw new IllegalStateException(
+        s"version $upTo was vacuumed (retention horizon $horizon); " +
+          "time travel is only complete at or after the horizon")
+
   /** The live segment set (with stats) at `version` (default:
-    * latest): replay the log in order. O(#actions), independent of
-    * data size. */
+    * latest): checkpoint-seeded replay — O(actions since the last
+    * checkpoint), independent of data size AND table age. */
   def liveSegmentInfos(version: Long = Long.MaxValue): Seq[Segment] = {
     val latest = latestVersion()
     require(latest >= 0, s"no log at $root")
     val upTo = math.min(version, latest)
     require(upTo >= 0, s"bad version $version")
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, Segment]
-    (0L to upTo).foreach { v =>
-      val (adds, removes, _) = readActions(v)
-      adds.foreach(a => live(a.name) = a)
-      removes.foreach(live -= _)
-    }
-    live.values.toSeq
+    val latestState = replayTo(latest)
+    if (upTo == latest) return latestState.live.values.toSeq
+    requireReadable(upTo, latestState.vacuumHorizon)
+    replayTo(upTo).live.values.toSeq
   }
 
   def liveSegments(version: Long = Long.MaxValue): Seq[String] =
@@ -118,12 +271,12 @@ class LogStore(spark: SparkSession, val root: String,
 
   /** The last stream-transaction id recorded in the log, or
     * Long.MinValue — the replay fence of [[appendStream]] (the
-    * paper's `txn` action). */
+    * paper's `txn` action). Checkpoint-seeded: O(actions since the
+    * last checkpoint) per micro-batch, not O(V). */
   def lastTxn(): Long = {
     val latest = latestVersion()
     if (latest < 0) return Long.MinValue
-    val ids = (0L to latest).flatMap(v => readActions(v)._3)
-    if (ids.isEmpty) Long.MinValue else ids.max
+    replayTo(latest).maxTxn
   }
 
   /** Snapshot read at `version` (default latest) — a parquet scan of
@@ -158,21 +311,52 @@ class LogStore(spark: SparkSession, val root: String,
       hit.size, live.size)
   }
 
+  /** Multi-range data-skipping read: scan only the live segments whose
+    * [statsCol] min/max may overlap ANY of `ranges` — the query shape
+    * of space-filling-curve clustering, where a 2-D rectangle
+    * decomposes into a SET of 1-D index intervals
+    * ([[graft.operators.LayoutOps.rectIndexRanges]]). No row filter is
+    * applied: the caller owns the real predicate (e.g. the rectangle
+    * on the original columns); this layer only decides which segments
+    * exist to the scan. Returns (dataframe, scanned, live). */
+  def readRanges(ranges: Seq[(String, String)],
+      version: Long = Long.MaxValue): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{lit => flit}
+    require(ranges.nonEmpty, "readRanges needs at least one range")
+    require(statsCol.nonEmpty, "no statsCol configured")
+    val live = liveSegmentInfos(version)
+    val hit = live.filter(s =>
+      ranges.exists { case (lo, hi) => s.mayOverlap(lo, hi) })
+    if (hit.isEmpty)
+      return (read(version).where(flit(false)), 0, live.size)
+    (spark.read.parquet(hit.map(s => s"$root/${s.name}"): _*),
+      hit.size, live.size)
+  }
+
   /** Write `df` as a fresh immutable segment and return its add
     * action (with [statsCol] min/max when configured) — NOT yet
-    * visible; publication happens in [[commit]]. */
+    * visible; publication happens in [[commit]]. The stats column is
+    * restricted to numeric/date/timestamp types: their string forms
+    * are quote- and newline-free, which is what keeps the
+    * line-oriented log format parseable without an escaping layer. */
   private def writeSegment(df: DataFrame): Segment = {
     val name = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.parquet(s"$root/$name")
     statsCol match {
       case Some(c) if df.columns.contains(c) =>
         import org.apache.spark.sql.functions.{max => fmax, min => fmin, col => fcol}
+        import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
         val written = spark.read.parquet(s"$root/$name")
+        val dt = written.schema(c).dataType
+        require(dt.isInstanceOf[NumericType] || dt == DateType ||
+            dt == TimestampType,
+          s"statsCol '$c' is $dt; only numeric/date/timestamp columns " +
+            "can carry segment stats (their serialized bounds are " +
+            "guaranteed safe in the line-oriented log)")
         val row = written
           .agg(fmin(fcol(c)).cast("string"), fmax(fcol(c)).cast("string"))
           .head()
-        val num = written.schema(c).dataType
-          .isInstanceOf[org.apache.spark.sql.types.NumericType]
+        val num = dt.isInstanceOf[NumericType]
         if (row.isNullAt(0)) Segment(name, None, None, num)
         else Segment(name, Some(row.getString(0)), Some(row.getString(1)),
           num)
@@ -187,19 +371,32 @@ class LogStore(spark: SparkSession, val root: String,
   }
 
   /** Publish a commit at `expected` version via create-exclusive —
-    * the optimistic-concurrency point. */
-  private def commit(expected: Long, adds: Seq[Segment],
-      removes: Seq[String], txn: Option[Long] = None): Long = {
+    * the optimistic-concurrency point. Only a lost create race maps
+    * to [[ConcurrentCommitException]]; any other I/O failure
+    * (disk full, permissions, transient network) is rethrown as
+    * itself — misreporting it as a conflict would steer callers into
+    * a rebase-and-retry loop that can never succeed. Package-private
+    * so the scale harness can age a table without paying per-commit
+    * parquet writes. */
+  private[graft] def commit(expected: Long, adds: Seq[Segment],
+      removes: Seq[String], txn: Option[Long] = None,
+      vacuumHorizon: Option[Long] = None): Long = {
     fs.mkdirs(new Path(logDir))
     val body = (adds.map(addJson) ++
       removes.map(s => s"""{"remove":"$s"}""") ++
-      txn.map(id => s"""{"txn":$id}""").toSeq)
+      txn.map(id => s"""{"txn":$id}""").toSeq ++
+      vacuumHorizon.map(h => s"""{"vacuum":$h}""").toSeq)
       .mkString("", "\n", "\n")
     val out = try fs.create(versionPath(expected), false)
-      catch { case _: java.io.IOException =>
-        throw new ConcurrentCommitException(expected) }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new ConcurrentCommitException(expected)
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new ConcurrentCommitException(expected)
+      }
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    maybeCheckpoint(expected)
     expected
   }
 
@@ -249,5 +446,48 @@ class LogStore(spark: SparkSession, val root: String,
     val v = latestVersion()
     val old = liveSegments(v)
     commit(v + 1, Seq(writeSegment(read(v))), old)
+  }
+
+  final case class VacuumResult(version: Long, deleted: Seq[String])
+
+  /** Physical cleanup behind a retention horizon. After
+    * `vacuum(retainLast = k)`, the newest `k` committed versions
+    * remain fully time-travelable; every data segment NOT live in any
+    * of those snapshots — including crash-orphaned segments that were
+    * written but never published by any commit — is physically
+    * deleted, and the new horizon is published as a `vacuum` action
+    * so later readers refuse vacuumed versions LOUDLY instead of
+    * returning a silently-incomplete snapshot.
+    *
+    * `orphanMinAgeMs` guards the one race physical deletion has: a
+    * concurrent writer that has written its segment but not yet
+    * committed looks exactly like a crash orphan. Segments younger
+    * than the guard are left alone (the paper's time-based retention;
+    * production deployments set this to hours, tests to 0). */
+  def vacuum(retainLast: Int,
+      orphanMinAgeMs: Long = 0L): VacuumResult = {
+    require(retainLast >= 1, "must retain at least the latest version")
+    val latest = latestVersion()
+    require(latest >= 0, s"no log at $root")
+    val prior = replayTo(latest)
+    val horizon =
+      math.max(prior.vacuumHorizon, math.max(0L, latest - retainLast + 1))
+    // keep = every segment live in SOME retained snapshot: the live
+    // set at the horizon plus everything added after it
+    val keep = scala.collection.mutable.HashSet.empty[String]
+    keep ++= replayTo(horizon).live.keys
+    ((horizon + 1) to latest).foreach { v =>
+      keep ++= readActions(v)._1.map(_.name)
+    }
+    val cutoff = System.currentTimeMillis() - orphanMinAgeMs
+    val doomed = fs.listStatus(new Path(root))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("seg-") &&
+        !keep.contains(st.getPath.getName) &&
+        st.getModificationTime <= cutoff)
+      .map(_.getPath.getName).toSeq
+    doomed.foreach(s => fs.delete(new Path(s"$root/$s"), true))
+    val v = commit(latest + 1, Nil, Nil, vacuumHorizon = Some(horizon))
+    VacuumResult(v, doomed)
   }
 }

@@ -1867,6 +1867,18 @@ object AnalyticsOps {
     * irrelevant to the mechanism's structure) — so the release is pure
     * integer logic, bit-reproducible in any engine with md5.
     *
+    * ==== NOT a privacy mechanism as shipped ====
+    * The default coin is md5 of the PUBLIC group name and a default
+    * salt: anyone can recompute the noise and subtract it, and the
+    * ±5-truncated lattice draw does not satisfy the stated ε even
+    * with a secret coin. This is a deterministic CROSS-ENGINE PARITY
+    * surface — it exists so the mechanism's *structure* (sensitivity
+    * bounding, per-release noise, budget accounting in
+    * [[privacyBudget]]) is testable bit-for-bit against an oracle. A
+    * real deployment must (a) pass a high-entropy SECRET `salt`
+    * unknown to any release consumer, and (b) replace the truncated
+    * 8-bit draw with a full-support geometric sampled from a CSPRNG.
+    *
     * The released column is n + noise (floored at 0); `n` itself is
     * kept in the output because this is the AUDIT surface the oracle
     * checks — a production release would project it away. Per-group
@@ -1899,7 +1911,10 @@ object AnalyticsOps {
     * the release is bit-reproducible in any engine with md5. Like
     * [[dpNoisyCounts]] this is the AUDIT surface — the true n/sum
     * stay in the output for the oracle; a production release projects
-    * them away. */
+    * them away. The same caveat as [[dpNoisyCounts]] applies verbatim:
+    * the md5-coin default provides NO privacy (recomputable noise, a
+    * truncated lattice draw) — it is the deterministic parity surface
+    * for testing the mechanism's structure, not a DP implementation. */
   def dpNoisyMean(df: DataFrame, groupCol: String, valueCol: String,
       clip: Double = 100.0, salt: String = "dp"): DataFrame = {
     // values ride as exact DECIMAL(18,4) units ×10⁴ — the engine's
@@ -1922,5 +1937,87 @@ object AnalyticsOps {
       .withColumn("released_mean",
         col("noisy_units").cast("double") / lit(10000.0) /
           nullif(col("noisy_n"), lit(0L)).cast("double"))
+  }
+
+  /** One row of the privacy ledger: a named release, the mechanism
+    * that produced it, the ε it spent, and the salt naming the data
+    * domain it spent against (releases on the same salt compose;
+    * independent salts are independent budgets). */
+  final case class PrivacyRelease(release: String, mechanism: String,
+      epsilon: Double, salt: String)
+
+  /** ε-budget accounting over a ledger relation
+    * (release, mechanism, epsilon, salt[, …]) under BASIC composition
+    * (Dwork–Roth 2014, Thm 3.16 — public): the total privacy loss of
+    * a sequence of releases against the same data domain is at most
+    * Σεᵢ. Emits the per-salt cumulative spend in release-name order
+    * and an integer `within_budget` flag — the accounting VIEW; the
+    * refusing gate is [[PrivacyAccountant]]. The window partitions by
+    * salt and orders inside it: a ledger is metadata — O(#releases)
+    * rows per salt, bounded by construction, never corpus-sized. */
+  def privacyBudget(ledger: DataFrame, budget: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("salt")).orderBy(col("release"))
+    ledger
+      .withColumn("cum_epsilon", sum(col("epsilon")).over(w))
+      .withColumn("within_budget",
+        (col("cum_epsilon") <= lit(budget)).cast("int"))
+  }
+
+  /** The refusing side of the ε ledger: a driver-side accountant
+    * (the ledger is release METADATA — a handful of rows, never
+    * data-sized) that tracks per-salt cumulative spend under basic
+    * composition and throws rather than letting a release exceed the
+    * budget. The charge happens BEFORE the release is computed, so a
+    * refused release never observes the data. The same "not a privacy
+    * mechanism as shipped" caveat as [[dpNoisyCounts]] applies to the
+    * releases it guards; the accounting itself is the real pattern. */
+  final class PrivacyAccountant(val budget: Double) {
+    require(budget > 0, "privacy budget must be positive")
+    private val spentBySalt =
+      scala.collection.mutable.Map.empty[String, Double]
+    private val log =
+      scala.collection.mutable.ListBuffer.empty[PrivacyRelease]
+
+    def spent(salt: String): Double = synchronized {
+      spentBySalt.getOrElse(salt, 0.0)
+    }
+
+    /** Record a release's spend or refuse it loudly. */
+    def charge(r: PrivacyRelease): Unit = synchronized {
+      require(r.epsilon > 0, s"release ${r.release} must spend ε > 0")
+      val s = spentBySalt.getOrElse(r.salt, 0.0)
+      if (s + r.epsilon > budget + 1e-12)
+        throw new IllegalStateException(
+          f"release '${r.release}' (ε=${r.epsilon}%.4f) would raise " +
+            f"salt '${r.salt}' spend to ${s + r.epsilon}%.4f, over " +
+            f"budget $budget%.4f — refused (basic composition)")
+      spentBySalt(r.salt) = s + r.epsilon
+      log += r
+    }
+
+    /** Charge-then-release count query: one geometric draw, ε=ln 2. */
+    def noisyCounts(df: DataFrame, groupCol: String,
+        salt: String = "dp"): DataFrame = {
+      charge(PrivacyRelease(s"counts:$groupCol", "geometric",
+        math.log(2.0), salt))
+      dpNoisyCounts(df, groupCol, salt)
+    }
+
+    /** Charge-then-release mean query: two independent geometric
+      * draws (numerator + denominator), ε = 2·ln 2. */
+    def noisyMean(df: DataFrame, groupCol: String, valueCol: String,
+        clip: Double = 100.0, salt: String = "dp"): DataFrame = {
+      charge(PrivacyRelease(s"mean:$groupCol:$valueCol",
+        "geometric_ratio", 2.0 * math.log(2.0), salt))
+      dpNoisyMean(df, groupCol, valueCol, clip, salt)
+    }
+
+    /** The ledger as a relation, for [[privacyBudget]] accounting. */
+    def ledger(spark: org.apache.spark.sql.SparkSession): DataFrame =
+        synchronized {
+      import spark.implicits._
+      log.toSeq.toDF()
+    }
   }
 }

@@ -219,18 +219,25 @@ object PipelineOps {
     * estimator variance for a fixed budget — the principled upgrade
     * over proportional or √n splits when strata differ in spread.
     * `valueCol` must be INTEGRAL: N·σ = √(n·Σx² − (Σx)²) is computed
-    * from exact long power sums, so both the weight and the quota are
-    * bit-reproducible cross-engine (one sqrt at the end, same
-    * sufficient-statistics stance as the analytics family). Selection
-    * within a stratum is the deterministic md5-order fill. */
+    * from exact DECIMAL(38,0) power sums — the same stance as
+    * autocorrelation / ts_ar2, and the one that stays exact where
+    * plain Long sums would silently wrap (1e9 rows of 1e4-scale
+    * values puts n·Σx² near 1e26) while the oracle's HUGEINT
+    * diverges — so both the weight and the quota are bit-reproducible
+    * cross-engine (the cleared variance term is cast to double ONCE,
+    * for the final sqrt). Selection within a stratum is the
+    * deterministic md5-order fill. */
   def neymanSample(df: DataFrame, groupCol: String, keyCol: String,
       valueCol: String, totalN: Int): DataFrame = {
-    val v = col(valueCol).cast("long")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val vd = col(valueCol).cast(DecimalType(18, 0))
     val weighted = df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"), sum(v).as("sx"),
-        sum(v * v).as("sxx"))
+      .agg(count(lit(1)).as("n"),
+        sum(vd).cast(dec).as("sx"),
+        sum((vd * vd).cast(dec)).as("sxx"))
       .select(col(groupCol), col("n"),
-        sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+        sqrt((col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
           .cast("double")).as("s"))
     selectByTargets(df,
       largestRemainderTargets(weighted, groupCol, totalN),

@@ -127,6 +127,123 @@ class LogStoreSpec extends AnyFunSuite {
     assert(t.lastTxn() == 1L)
   }
 
+  test("checkpointing: a checkpoint-seeded snapshot is identical to a " +
+      "full replay, through deletes, compaction and txns") {
+    val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
+    val t = new LogStore(spark, dir, checkpointInterval = 2)
+    t.append((1L to 10L).toDF("id"))            // v0
+    t.append((11L to 20L).toDF("id"))           // v1
+    t.deleteWhere("id % 2 = 0")                 // v2
+    t.appendStream((21L to 25L).toDF("id"), 7L) // v3 (txn fence)
+    t.compact()                                 // v4
+    t.append((26L to 30L).toDF("id"))           // v5
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cps = fs.listStatus(new org.apache.hadoop.fs.Path(dir + "/_log"))
+      .map(_.getPath.getName).filter(_.endsWith(".checkpoint"))
+    assert(cps.nonEmpty, "interval-2 over 6 commits must checkpoint")
+    // capture everything through the checkpoint-seeded path
+    val liveCp = t.liveSegments()
+    val txnCp = t.lastTxn()
+    val rowsCp = ids(t.read())
+    val travelCp = ids(t.read(1)) // pre-checkpoint version
+    // destroy every checkpoint: the pure-replay path must agree exactly
+    cps.foreach(c => fs.delete(
+      new org.apache.hadoop.fs.Path(dir + "/_log/" + c), false))
+    assert(t.liveSegments() == liveCp)
+    assert(t.lastTxn() == txnCp)
+    assert(ids(t.read()) == rowsCp)
+    assert(ids(t.read(1)) == travelCp)
+    assert(rowsCp ==
+      ((1L to 20L).filter(_ % 2 == 1).toSet ++ (21L to 30L)))
+    assert(txnCp == 7L)
+  }
+
+  test("vacuum: time travel works inside the retention horizon, fails " +
+      "loudly beyond it, and physically deletes dead segments") {
+    val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
+    val t = new LogStore(spark, dir)
+    t.append((1L to 5L).toDF("id"))   // v0
+    t.append((6L to 9L).toDF("id"))   // v1
+    t.compact()                       // v2: v0/v1 segments now dead
+    t.append((10L to 12L).toDF("id")) // v3
+    val res = t.vacuum(retainLast = 2) // horizon = v2
+    assert(res.deleted.size == 2,
+      s"the two pre-compaction segments must be reclaimed: $res")
+    // inside the horizon: both retained snapshots read exactly
+    assert(ids(t.read(2)) == (1L to 9L).toSet)
+    assert(ids(t.read(3)) == (1L to 12L).toSet)
+    assert(ids(t.read()) == (1L to 12L).toSet)
+    // beyond the horizon: loud refusal, never a silently-partial read
+    val e = intercept[IllegalStateException] { t.read(0) }
+    assert(e.getMessage.contains("vacuum"),
+      s"refusal must name the horizon: ${e.getMessage}")
+    intercept[IllegalStateException] { t.liveSegments(1) }
+    // the physical files are gone, not just delisted
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("seg-")).toSet
+    assert(segDirs == t.liveSegments(2).toSet ++ t.liveSegments(3).toSet)
+  }
+
+  test("vacuum reclaims a crash-orphaned segment but spares one " +
+      "younger than the in-flight guard") {
+    val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
+    val t = new LogStore(spark, dir)
+    t.append((1L to 3L).toDF("id"))
+    (100L to 105L).toDF("id").write.parquet(dir + "/seg-orphan")
+    // guard set to an hour: the just-written orphan could be a racing
+    // writer's uncommitted segment — spared
+    assert(t.vacuum(retainLast = 10,
+      orphanMinAgeMs = 3600L * 1000).deleted.isEmpty)
+    assert(ids(t.read()) == (1L to 3L).toSet)
+    // guard at 0 (test mode): the orphan is provably unreferenced by
+    // any retained snapshot - reclaimed, table content untouched
+    val res = t.vacuum(retainLast = 10)
+    assert(res.deleted == Seq("seg-orphan"))
+    assert(ids(t.read()) == (1L to 3L).toSet)
+  }
+
+  test("statsCol is restricted to types whose serialized bounds are " +
+      "log-safe; a string stats column is refused loudly") {
+    val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
+    val t = new LogStore(spark, dir, statsCol = Some("s"))
+    val e = intercept[IllegalArgumentException] {
+      t.append(Seq((1L, "a\"b\nc")).toDF("id", "s"))
+    }
+    assert(e.getMessage.contains("statsCol"))
+    // date/timestamp stats serialize quote-free and skip correctly
+    val td = new LogStore(spark,
+      Files.createTempDirectory("graft-log").toString + "/tbl",
+      statsCol = Some("d"))
+    td.append(spark.sql("SELECT DATE'2024-01-05' AS d"))
+    td.append(spark.sql("SELECT DATE'2024-03-05' AS d"))
+    val (df, scanned, live) = td.readRange("2024-03-01", "2024-03-31")
+    assert(live == 2 && scanned == 1)
+    assert(df.count() == 1)
+  }
+
+  test("a non-conflict I/O failure during commit is NOT misreported " +
+      "as a concurrent commit") {
+    val t = fresh()
+    t.append((1L to 3L).toDF("id"))
+    // replace the _log DIRECTORY with a regular file: every commit-
+    // path filesystem op now fails with a plain IOException, which
+    // must surface as itself — misreporting it as a conflict would
+    // steer callers into a hopeless rebase-and-retry loop
+    val fs = new org.apache.hadoop.fs.Path(t.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(t.root + "/_log"), true)
+    val out = fs.create(new org.apache.hadoop.fs.Path(t.root + "/_log"), false)
+    out.write("not a directory".getBytes("UTF-8")); out.close()
+    val e = intercept[java.io.IOException] {
+      t.append((4L to 6L).toDF("id"))
+    }
+    assert(!e.isInstanceOf[t.ConcurrentCommitException],
+      s"an environment failure is not a conflict: $e")
+  }
+
   test("streamingLogIngest: a real file stream lands each micro-batch " +
       "as one committed version, exactly once") {
     import graft.streaming.StreamingOps

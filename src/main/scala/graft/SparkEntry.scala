@@ -2432,6 +2432,37 @@ object SparkEntry {
             col("l_orderkey"), col("l_partkey"), order = 16).as("h"))
         .orderBy("l_orderkey", "l_partkey", "l_linenumber")),
 
+    // ---- MEASURED skip rates: Hilbert vs Morton clustering ----
+    // The claim HilbertExpressions makes ("tight rectangles where
+    // Morton has quadrant seams"), pinned as numbers: identical data,
+    // identical 48 equal-width curve slices, identical 256-rectangle
+    // lattice workload; the output is each curve's total segment- and
+    // row-scans under bbox-stats pruning. 48 is deliberately not a
+    // power of 4: aligned slice counts hide the seams (both curves
+    // then cut into perfect subtree squares); real range-partitioned
+    // writes don't align, and there Morton slices straddling a seam
+    // carry diagonal bounding boxes the Hilbert walk never produces.
+    "src_cluster_skiprate" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem").where(col("l_orderkey") <= 2000)
+      val rects = s.range(16).selectExpr("id AS gx")
+        .crossJoin(s.range(16).selectExpr("id AS gy"))
+        .select((col("gx") * 16 + col("gy")).as("rect_id"),
+          (col("gx") * 128).as("qx0"), (col("gy") * 128).as("qy0"),
+          (col("gx") * 128 + 127).as("qx1"),
+          (col("gy") * 128 + 127).as("qy1"))
+      val h = graft.operators.LayoutOps.clusterSkipStats(base,
+        "l_orderkey", "l_partkey",
+        graft.operators.LayoutOps.hilbertValue(
+          col("l_orderkey"), col("l_partkey"), order = 16),
+        "hilbert", 48, rects)
+      val z = graft.operators.LayoutOps.clusterSkipStats(base,
+        "l_orderkey", "l_partkey",
+        graft.operators.LayoutOps.zValue(
+          Seq(col("l_orderkey"), col("l_partkey")), bits = 16),
+        "zvalue", 48, rects)
+      h.unionByName(z).orderBy("curve")
+    }),
+
     // ---- bloom-prefiltered semi join (non-broadcastable dim path) ----
     "bloom_semi_join" -> ((s, dir) =>
       BloomOps.bloomSemiJoin(
@@ -6581,6 +6612,58 @@ object SparkEntry {
          | CAST(d AS BIGINT) AS h
          |FROM h15
          |ORDER BY l_orderkey, l_partkey, l_linenumber""".stripMargin
+    },
+
+    // measured skip rates: both curves over the same data, slices and
+    // rect lattice; hilbert steps carry (x, y) beside the working
+    // (hx, hy) registers, zvalue is the straight bit interleave
+    "src_cluster_skiprate" -> {
+      val steps = (0 until 16).map { i =>
+        val k = 15 - i
+        val s = 1L << k
+        val from = if (i == 0) "hbase" else s"h${i - 1}"
+        s"""h$i AS (SELECT x, y,
+           | d + ${s * s} * xor(
+           |   3 * (CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END),
+           |   (CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)) AS d,
+           | CASE WHEN (hy & $s) = 0 THEN (CASE WHEN (hx & $s) > 0
+           |   THEN ${s - 1} - hy ELSE hy END) ELSE hx END AS hx,
+           | CASE WHEN (hy & $s) = 0 THEN (CASE WHEN (hx & $s) > 0
+           |   THEN ${s - 1} - hx ELSE hx END) ELSE hy END AS hy
+           | FROM $from)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS (SELECT CAST(l_orderkey AS BIGINT) AS x,
+         |  CAST(l_partkey AS BIGINT) AS y
+         | FROM lineitem WHERE l_orderkey <= 2000),
+         |hbase AS (SELECT x, y, x AS hx, y AS hy,
+         |  CAST(0 AS BIGINT) AS d FROM base),
+         |$steps,
+         |curves AS (SELECT 'hilbert' AS curve, x, y, d AS v FROM h15
+         | UNION ALL
+         | SELECT 'zvalue', x, y, ${duckZValue(Seq("x", "y"), 16)} AS v
+         | FROM base),
+         |b AS (SELECT curve, min(v) AS vmin, max(v) AS vmax
+         | FROM curves GROUP BY 1),
+         |sg AS (SELECT c.curve,
+         |  ((c.v - b.vmin) * 48) // (b.vmax - b.vmin + 1) AS seg,
+         |  min(x) AS sx0, max(x) AS sx1, min(y) AS sy0, max(y) AS sy1,
+         |  CAST(count(*) AS BIGINT) AS n_rows
+         | FROM curves c JOIN b ON c.curve = b.curve GROUP BY 1, 2),
+         |r AS (SELECT (gx * 16 + gy) AS rect_id,
+         |  gx * 128 AS qx0, gy * 128 AS qy0,
+         |  gx * 128 + 127 AS qx1, gy * 128 + 127 AS qy1
+         | FROM range(0, 16) t1(gx), range(0, 16) t2(gy))
+         |SELECT sg.curve,
+         | CAST(count(DISTINCT rect_id) AS BIGINT) AS n_rects,
+         | CAST(count(DISTINCT seg) AS BIGINT) AS segs_live,
+         | CAST(count(CASE WHEN sx0 <= qx1 AND sx1 >= qx0
+         |   AND sy0 <= qy1 AND sy1 >= qy0 THEN 1 END) AS BIGINT)
+         |  AS segs_scanned,
+         | CAST(coalesce(sum(CASE WHEN sx0 <= qx1 AND sx1 >= qx0
+         |   AND sy0 <= qy1 AND sy1 >= qy0 THEN n_rows END), 0)
+         |  AS BIGINT) AS rows_scanned
+         |FROM sg CROSS JOIN r
+         |GROUP BY 1 ORDER BY curve""".stripMargin
     },
 
     // the oracle recomputes the NEW snapshot's aggregate DIRECTLY —

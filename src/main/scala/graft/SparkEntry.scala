@@ -2527,6 +2527,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- PQ with per-subspace k-means-TRAINED codebooks ----
+    "ann_pq_trained" -> ((s, dir) => {
+      // Jégou's actual training procedure (independent k-means per
+      // sub-quantizer) replacing pqTopK's first-16 literal codebook;
+      // encode + ADC identical to ann_pq_adc
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopKTrained(emb, emb.where(col("vec_id") < 8),
+          k = 5, m = 4, dims = 64, ksub = 16, iters = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- PQ shortlist + exact re-rank: the "+R" recall refinement ----
     "ann_pq_rerank" -> ((s, dir) => {
       // finer quantizer (m=8, ksub=32) + exact cosine re-rank of the
@@ -3822,6 +3834,73 @@ object SparkEntry {
        |  AS rank FROM p)
        |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+
+  /** Trained-PQ oracle: the m independent per-subspace Lloyd runs of
+    * `Similarity.pqTopKTrained` replayed as ONE keyed CTE chain (the
+    * subspace index j is a group key beside vec_id/cid) — first-ksub-
+    * by-id init per subspace, `iters` rounds of argmin assignment
+    * (d ASC, cid ASC) over vv − 2·s·c + c·c and decimal-accumulated
+    * mean recompute from the RAW float elements (the groupCentroids
+    * VARCHAR hop), emptied cells retaining the previous codeword via
+    * COALESCE; the FINAL round's distance relation then doubles as the
+    * corpus encode (argmin) and the query ADC tables, summed in the
+    * same fixed-order pivot as the ann_pq_adc oracle. */
+  private def duckPqTrainedSql(m: Int, ksub: Int, dims: Int, iters: Int,
+      k: Int, queryPred: String = "vec_id < 8"): String = {
+    val sub = dims / m
+    val adcSum = (0 until m)
+      .map(j => s"max(CASE WHEN j = $j THEN d END)")
+      .reduceLeft((a, b) => s"($a + $b)")
+    def assign(i: Int): String =
+      s"""d$i AS MATERIALIZED (SELECT s.vec_id, s.j, c.cid,
+         |  (s.vv - CAST(2 AS DOUBLE) * ${duckDot("s.s", "c.cv")}
+         |    + c.cc) AS d
+         |  FROM svv s JOIN cs$i c ON s.j = c.j),
+         |a$i AS (SELECT vec_id, j, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, j
+         |    ORDER BY d ASC, cid ASC) AS rn FROM d$i) WHERE rn = 1)"""
+        .stripMargin
+    def update(i: Int): String =
+      s"""m$i AS (SELECT a.j, a.cid, t.pos,
+         |  CAST(CAST(sum(CAST(CAST(raw.embedding[a.j*$sub + t.pos + 1]
+         |      AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS mean
+         |  FROM a$i a JOIN embeddings raw ON a.vec_id = raw.vec_id
+         |  CROSS JOIN range($sub) t(pos) GROUP BY a.j, a.cid, t.pos),
+         |c${i + 1} AS (SELECT prev.j, prev.cid,
+         |  COALESCE(nm.cv, prev.cv) AS cv
+         |  FROM c$i prev LEFT JOIN (SELECT j, cid,
+         |    list(mean ORDER BY pos) AS cv FROM m$i GROUP BY j, cid) nm
+         |  ON prev.j = nm.j AND prev.cid = nm.cid),
+         |cs${i + 1} AS (SELECT j, cid, cv, ${duckDot("cv", "cv")} AS cc
+         |  FROM c${i + 1})""".stripMargin
+    val rounds = (0 until iters)
+      .map(i => s"${assign(i)},\n${update(i)}").mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |sv AS (SELECT vec_id, j, v[(j*$sub+1):((j+1)*$sub)] AS s
+       |  FROM e CROSS JOIN range($m) t(j)),
+       |svv AS MATERIALIZED (SELECT vec_id, j, s,
+       |  ${duckDot("s", "s")} AS vv FROM sv),
+       |c0 AS (SELECT j, cid, s AS cv FROM (
+       |  SELECT j, vec_id, s, row_number() OVER (PARTITION BY j
+       |    ORDER BY vec_id) - 1 AS cid FROM sv) WHERE cid < $ksub),
+       |cs0 AS (SELECT j, cid, cv, ${duckDot("cv", "cv")} AS cc FROM c0),
+       |$rounds,
+       |${assign(iters)},
+       |qd AS (SELECT vec_id AS query_id, j, cid AS i, d FROM d$iters
+       |  WHERE $queryPred),
+       |contrib AS (SELECT q.query_id, a.vec_id AS neighbor_id, q.j, q.d
+       |  FROM qd q JOIN a$iters a ON q.j = a.j AND q.i = a.cid
+       |    AND a.vec_id != q.query_id),
+       |tot AS (SELECT query_id, neighbor_id, $adcSum AS approx_dist
+       |  FROM contrib GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, row_number() OVER (
+       |  PARTITION BY query_id
+       |  ORDER BY approx_dist ASC, neighbor_id ASC) AS rank FROM tot)
+       |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** LSH signature expression over a DOUBLE[] column — replicates
     * Similarity.lshSignature by inlining the SAME driver-side sign
@@ -7283,6 +7362,11 @@ object SparkEntry {
          |    ORDER BY approx_dist ASC, neighbor_id ASC) AS rank FROM tot)
          |SELECT query_id, rank, neighbor_id, approx_dist FROM r
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // per-subspace k-means-trained codebooks feeding the same encode +
+    // fixed-order ADC chain — the full training trajectory unrolled
+    "ann_pq_trained" -> duckPqTrainedSql(m = 4, ksub = 16, dims = 64,
+      iters = 2, k = 5),
 
     // PQ shortlist (m=8, ksub=32, ADC top-50) then exact cosine
     // re-rank — same CTE chain as ann_pq_adc, parameterized

@@ -1892,10 +1892,23 @@ object AnalyticsOps {
       .when(u < 250, 4L).otherwise(5L)
 
   def dpNoisyCounts(df: DataFrame, groupCol: String,
+      salt: String = "dp"): DataFrame =
+    dpReleaseFromCounts(
+      df.groupBy(col(groupCol)).agg(count(lit(1)).as("n")),
+      groupCol, salt)
+
+  /** The release step of [[dpNoisyCounts]] over an ALREADY-aggregated
+    * (group, n) relation — the noise is a deterministic function of
+    * (salt, group) alone, independent of n and of how the counts were
+    * accumulated, which is exactly what makes the release
+    * streaming-consistent: applying it to a maintained additive count
+    * state (StreamingOps.maintainDpCountState) yields bit-identical
+    * output to the batch release over the concatenated stream. Same
+    * "not a privacy mechanism as shipped" caveat as [[dpNoisyCounts]]. */
+  def dpReleaseFromCounts(counts: DataFrame, groupCol: String,
       salt: String = "dp"): DataFrame = {
     val u = u8(concat(lit(salt), lit(":"), col(groupCol).cast("string")))
-    df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"))
+    counts
       .withColumn("noise", geomNoise(u))
       .withColumn("released", greatest(col("n") + col("noise"), lit(0L)))
   }
@@ -1916,19 +1929,39 @@ object AnalyticsOps {
     * truncated lattice draw) — it is the deterministic parity surface
     * for testing the mechanism's structure, not a DP implementation. */
   def dpNoisyMean(df: DataFrame, groupCol: String, valueCol: String,
-      clip: Double = 100.0, salt: String = "dp"): DataFrame = {
-    // values ride as exact DECIMAL(18,4) units ×10⁴ — the engine's
-    // established double→decimal parity scale (the dsum pattern)
-    val clipUnits = math.round(clip * 10000)
-    val units = least(greatest(
+      clip: Double = 100.0, salt: String = "dp"): DataFrame =
+    dpMeanReleaseFromState(
+      df.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n"),
+          sum(dpClippedUnits(valueCol, clip)).as("clipped_units")),
+      groupCol, clip, salt)
+
+  /** The per-row clipped integer units of [[dpNoisyMean]]: values ride
+    * as exact DECIMAL(18,4) units ×10⁴ (the engine's established
+    * double→decimal parity scale — the dsum pattern), clamped to
+    * [0, clip·10⁴] so the sum's sensitivity is bounded at `clip`.
+    * Shared by the batch release and the streaming maintainer so the
+    * accumulated state can never drift from the batch definition. */
+  def dpClippedUnits(valueCol: String, clip: Double): Column =
+    least(greatest(
       (col(valueCol).cast(DecimalType(18, 4)) * 10000).cast("long"),
-      lit(0L)), lit(clipUnits))
+      lit(0L)), lit(math.round(clip * 10000)))
+
+  /** The release step of [[dpNoisyMean]] over an ALREADY-aggregated
+    * (group, n, clipped_units) relation — like
+    * [[dpReleaseFromCounts]], both noise draws are deterministic in
+    * (salt, group) alone, so the release over a maintained additive
+    * state (StreamingOps.maintainDpMeanState) is bit-identical to the
+    * batch release over the concatenated stream. Same "not a privacy
+    * mechanism as shipped" caveat as [[dpNoisyCounts]]. */
+  def dpMeanReleaseFromState(state: DataFrame, groupCol: String,
+      clip: Double = 100.0, salt: String = "dp"): DataFrame = {
+    val clipUnits = math.round(clip * 10000)
     val uSum = u8(concat(lit(salt), lit(":s:"),
       col(groupCol).cast("string")))
     val uCnt = u8(concat(lit(salt), lit(":n:"),
       col(groupCol).cast("string")))
-    df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"), sum(units).as("clipped_units"))
+    state
       .withColumn("noisy_n",
         greatest(col("n") + geomNoise(uCnt), lit(0L)))
       .withColumn("noisy_units",

@@ -337,6 +337,49 @@ object Similarity {
     val ccFlat: Seq[Double] = for {
       j <- 0 until m; i <- 0 until ksub
     } yield cc(j, i)
+    pqAdc(corpus, queries, k, m, sub, ksub, cwFlat, ccFlat)
+  }
+
+  /** PQ with TRAINED per-subspace codebooks: each of the m subspaces
+    * runs its own [[kMeansCentroids]] over the corpus' sliced
+    * subvectors (init = the same first-ksub-by-id policy the literal
+    * codebook uses, then `iters` Lloyd rounds), and the trained means
+    * are inlined through the identical zero-shuffle encode/ADC path as
+    * [[pqTopK]] — Jégou et al.'s actual training procedure (TPAMI'11
+    * §II: independent k-means per sub-quantizer), kept deterministic
+    * by the seedless init so the unrolled-CTE oracle replays the full
+    * trajectory bit-for-bit.
+    *
+    * Scale: training is m independent bounded-iteration k-means runs
+    * (m·iters corpus scans, each zero-shuffle assignment + map-side
+    * collapsed mean recompute — see [[kMeansCentroids]]); the search
+    * path is byte-codes + broadcast tables, unchanged. */
+  def pqTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      m: Int = 4, dims: Int = 64, ksub: Int = 16,
+      iters: Int = 2): DataFrame = {
+    require(dims % m == 0, "dims must split evenly into m subspaces")
+    val sub = dims / m
+    val books: IndexedSeq[Array[Seq[Double]]] = (0 until m).map { j =>
+      kMeansCentroids(
+        corpus.select(col("vec_id"),
+          slice(col("embedding"), j * sub + 1, sub).as("embedding")),
+        ksub, iters)
+    }
+    val cwFlat: Seq[Double] = for {
+      j <- 0 until m; i <- 0 until ksub; x <- books(j)(i)
+    } yield x
+    val ccFlat: Seq[Double] = for {
+      j <- 0 until m; i <- 0 until ksub
+    } yield books(j)(i).foldLeft(0.0)((a, x) => a + x * x)
+    pqAdc(corpus, queries, k, m, sub, ksub, cwFlat, ccFlat)
+  }
+
+  /** The shared PQ encode + ADC search under a flat codebook — the
+    * tail of [[pqTopK]]/[[pqTopKTrained]]; see pqTopK for the memory
+    * shape and parity contract. */
+  private def pqAdc(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int, sub: Int, ksub: Int, cwFlat: Seq[Double],
+      ccFlat: Seq[Double]): DataFrame = {
     import graft.functions.PqFunctions.{pq_adc_tables, pq_encode}
     val encoded = corpus
       .select(col("vec_id"),

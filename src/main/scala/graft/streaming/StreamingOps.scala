@@ -320,6 +320,106 @@ object StreamingOps {
     spark.read.parquet(statePath)
       .select(col("g"), hll_sketch_estimate(col("sk")).as("approx"))
 
+  /** Exactly-once upkeep of the per-group TRUE counts behind the ε-DP
+    * count release — the streaming face of
+    * `AnalyticsOps.dpNoisyCounts`, with the same batch-id fence as the
+    * sketch maintainers. Only the additive true counts are state
+    * (O(#groups) forever); the geometric noise is applied ON READ by
+    * [[dpCountStateRelease]], because the draw is a deterministic
+    * function of (salt, group) alone — independent of n and of arrival
+    * order — so a release read from maintained state after N batches
+    * is bit-identical to the batch release over the concatenated
+    * stream. Noise-on-read is also the correct DP lifecycle: noising
+    * per micro-batch and summing would compound N draws (and N·ε of
+    * budget) where the release spends one. */
+  def maintainDpCountState(statePath: String, groupCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val state = s.read.parquet(statePath) // (g STRING, n LONG, _batch_id)
+    val lastApplied = state
+      .agg(coalesce(max(col("_batch_id")), lit(Long.MinValue)))
+      .head.getLong(0)
+    if (lastApplied < batchId) {
+      val partial = batch
+        .select(col(groupCol).cast("string").as("g"))
+        .where(col("g").isNotNull)
+        .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      val next = state.select(col("g"), col("n")).unionByName(partial)
+        .groupBy(col("g")).agg(sum(col("n")).cast("long").as("n"))
+        .withColumn("_batch_id", lit(batchId))
+      graft.operators.MergeOps.replaceTable(s, next, statePath)
+    }
+  }
+
+  /** The read side of [[maintainDpCountState]]: the ε-DP count release
+    * over the maintained state — delegates to the SAME
+    * `dpReleaseFromCounts` step the batch surface uses, so the two can
+    * never drift. Output matches `dpNoisyCounts` on the concatenated
+    * stream: (g, n, noise, released). */
+  def dpCountStateRelease(spark: SparkSession, statePath: String,
+      salt: String = "dp"): DataFrame =
+    graft.operators.AnalyticsOps.dpReleaseFromCounts(
+      spark.read.parquet(statePath).select(col("g"), col("n")),
+      "g", salt)
+
+  /** Exactly-once upkeep of the (true count, clipped integer sum)
+    * state behind the ε-DP MEAN release — the streaming face of
+    * `AnalyticsOps.dpNoisyMean`, completing the DP streaming surface
+    * beside [[maintainDpCountState]]. The clipping happens PER ROW at
+    * accumulation (the shared `dpClippedUnits` definition), so the
+    * additive state telescopes exactly; both noise draws apply ON READ
+    * via [[dpMeanStateRelease]] — one draw per release, not per
+    * micro-batch. State is O(#groups) of pure integers forever. */
+  def maintainDpMeanState(statePath: String, groupCol: String,
+      valueCol: String, clip: Double = 100.0)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    // (g STRING, n LONG, clipped_units LONG, _batch_id)
+    val state = s.read.parquet(statePath)
+    val lastApplied = state
+      .agg(coalesce(max(col("_batch_id")), lit(Long.MinValue)))
+      .head.getLong(0)
+    if (lastApplied < batchId) {
+      val partial = batch
+        .select(col(groupCol).cast("string").as("g"),
+          graft.operators.AnalyticsOps.dpClippedUnits(valueCol, clip)
+            .as("u"))
+        .where(col("g").isNotNull)
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("u")).as("clipped_units"))
+      val next = state.select(col("g"), col("n"), col("clipped_units"))
+        .unionByName(partial)
+        .groupBy(col("g"))
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("clipped_units")).cast("long").as("clipped_units"))
+        .withColumn("_batch_id", lit(batchId))
+      graft.operators.MergeOps.replaceTable(s, next, statePath)
+    }
+  }
+
+  /** The read side of [[maintainDpMeanState]]: the ε-DP mean release
+    * over the maintained state, through the SAME
+    * `dpMeanReleaseFromState` step as the batch surface. Output
+    * matches `dpNoisyMean` on the concatenated stream. */
+  def dpMeanStateRelease(spark: SparkSession, statePath: String,
+      clip: Double = 100.0, salt: String = "dp"): DataFrame =
+    graft.operators.AnalyticsOps.dpMeanReleaseFromState(
+      spark.read.parquet(statePath)
+        .select(col("g"), col("n"), col("clipped_units")),
+      "g", clip, salt)
+
+  /** Streaming DP-count upkeep: a file stream of raw rows keeps the
+    * per-group true-count table current; releases read the tiny state
+    * table through [[dpCountStateRelease]], never the stream history. */
+  def streamingDpCounts(spark: SparkSession, sourceDir: String,
+      schema: StructType, groupCol: String, statePath: String,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(maintainDpCountState(statePath, groupCol) _)
+      .start()
+
   /** Exactly-once KLL upkeep, same batch-id fencing as Count-Min: the
     * state table is the sketch's long form (level, v) plus the fence —
     * weight (and hence count) is reconstructible as Σ 2^level, so no

@@ -107,6 +107,85 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(after === counters(b0.unionByName(b1)))
   }
 
+  test("streaming DP counts: release over maintained state after N " +
+      "micro-batches is bit-identical to the batch release of the " +
+      "whole stream; replay is fenced") {
+    import graft.operators.AnalyticsOps
+    val base = Files.createTempDirectory("graft-dp").toString
+    val (srcDir, statePath, ckpt) =
+      (s"$base/rows", s"$base/state", s"$base/ckpt")
+
+    val b0 = ((1 to 40).map(_ => "x") ++ (1 to 9).map(_ => "y")).toDF("g")
+    val b1 = ((1 to 25).map(_ => "y") ++ (1 to 3).map(_ => "z")).toDF("g")
+    def batchRelease(df: DataFrame): Set[(String, Long, Long, Long)] =
+      AnalyticsOps.dpNoisyCounts(df, "g", salt = "spec")
+        .as[(String, Long, Long, Long)].collect().toSet
+
+    // seed: empty count state stamped pre-stream
+    Seq.empty[(String, Long)].toDF("g", "n")
+      .withColumn("_batch_id", lit(-1L)).write.parquet(statePath)
+
+    b0.write.parquet(srcDir)
+    val q = StreamingOps.streamingDpCounts(spark, srcDir,
+      b0.schema, groupCol = "g", statePath, ckpt)
+    try {
+      q.processAllAvailable()
+      b1.write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val released = StreamingOps
+        .dpCountStateRelease(spark, statePath, salt = "spec")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(released === batchRelease(b0.unionByName(b1)),
+        "release over maintained counts must equal the batch release " +
+          "of all rows — same noise, same floor, same columns")
+    } finally q.stop()
+
+    // replayed micro-batch is a no-op under the batch-id fence: the
+    // true counts (and hence the released values) must not move
+    StreamingOps.maintainDpCountState(statePath, "g")(b0, 0L)
+    val after = StreamingOps
+      .dpCountStateRelease(spark, statePath, salt = "spec")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(after === batchRelease(b0.unionByName(b1)))
+  }
+
+  test("streaming DP mean: release over maintained (n, clipped_units) " +
+      "state is bit-identical to the batch release; replay is fenced") {
+    import graft.operators.AnalyticsOps
+    val base = Files.createTempDirectory("graft-dpm").toString
+    val statePath = s"$base/state"
+
+    // values straddle the clip boundary (clip = 10.0) and include a
+    // negative (clamped to 0) so the per-row clipping is exercised
+    val b0 = Seq(("x", 3.5), ("x", 42.0), ("y", -1.0), ("y", 9.99))
+      .toDF("g", "v")
+    val b1 = Seq(("y", 10.01), ("z", 5.0), ("x", 0.0)).toDF("g", "v")
+    def batchRelease(df: DataFrame) =
+      AnalyticsOps.dpNoisyMean(df, "g", "v", clip = 10.0, salt = "spec")
+        .select(col("g"), col("n"), col("clipped_units"),
+          col("noisy_n"), col("noisy_units"), col("released_mean"))
+        .collect().toSet
+
+    Seq.empty[(String, Long, Long)].toDF("g", "n", "clipped_units")
+      .withColumn("_batch_id", lit(-1L)).write.parquet(statePath)
+    StreamingOps.maintainDpMeanState(statePath, "g", "v", clip = 10.0)(
+      b0, 0L)
+    StreamingOps.maintainDpMeanState(statePath, "g", "v", clip = 10.0)(
+      b1, 1L)
+    def released() = StreamingOps
+      .dpMeanStateRelease(spark, statePath, clip = 10.0, salt = "spec")
+      .select(col("g"), col("n"), col("clipped_units"),
+        col("noisy_n"), col("noisy_units"), col("released_mean"))
+      .collect().toSet
+    assert(released() === batchRelease(b0.unionByName(b1)),
+      "maintained clipped sums must telescope to the batch release")
+
+    // replay fence: re-applying batch 0 must not move the state
+    StreamingOps.maintainDpMeanState(statePath, "g", "v", clip = 10.0)(
+      b0, 0L)
+    assert(released() === batchRelease(b0.unionByName(b1)))
+  }
+
   test("streaming HLL: per-group estimates after N micro-batches " +
       "equal the batch sketch of the whole stream; replay is fenced") {
     val base = Files.createTempDirectory("graft-hll").toString

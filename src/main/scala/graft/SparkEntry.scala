@@ -1564,6 +1564,38 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "src_merge_log" -> ((s, dir) => {
+      // copy-on-write MERGE through the log table: an UPDATE whose key
+      // range hits one of three doc_id-disjoint segments (rewritten=1)
+      // and an INSERT whose keys land beyond every segment's stats
+      // range (rewritten=0 — a pure append) — both rewrite counts ride
+      // in the OUTPUT so the oracle pins the copy-on-write pruning,
+      // not just the merged rows. Conflict/time-travel semantics are
+      // LogStoreSpec's job.
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-mrg").toString + "/tbl"
+      val store = new graft.catalog.LogStore(s, root,
+        statsCol = Some("doc_id"))
+      store.append(docs.where(col("doc_id") < 150))
+      store.append(docs.where(col("doc_id") >= 150 &&
+        col("doc_id") < 300))
+      store.append(docs.where(col("doc_id") >= 300))
+      val upd = store.merge(
+        docs.where(col("doc_id").between(160, 170))
+          .withColumn("lang", lit("xx")), "doc_id")
+      val ins = store.merge(
+        docs.where(col("doc_id") < 5)
+          .withColumn("doc_id", col("doc_id") + 100000), "doc_id")
+      store.read().groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .withColumn("upd_rewritten", lit(upd.rewritten))
+        .withColumn("upd_live", lit(upd.live))
+        .withColumn("ins_rewritten", lit(ins.rewritten))
+        .withColumn("ins_live", lit(ins.live))
+        .orderBy("lang")
+    }),
+
     "src_bucketed_join" -> ((s, dir) => {
       // the storage-layout half of the 100 TB join strategy, end to
       // end: orders and lineitem co-bucketed on the order key at write
@@ -2772,6 +2804,12 @@ object SparkEntry {
           tsCol = "ts", valueCol = "value", alpha = 0.5, beta = 0.3)
         .orderBy("event_type")),
 
+    // ---- local-level Kalman filter (adaptive-gain smoothing) ----
+    "ts_kalman_level" -> ((s, dir) =>
+      AnalyticsOps.kalmanLevel(events(s, dir), keyCol = "event_type",
+          tsCol = "ts", valueCol = "value", q = 0.1, r = 1.0, p0 = 1.0)
+        .orderBy("event_type")),
+
     // ---- trailing 3-day sliding DISTINCT users (rolling reach) ----
     "ts_sliding_distinct" -> ((s, dir) => {
       // distinct is not decomposable over hops, so the hopping-window
@@ -3314,6 +3352,20 @@ object SparkEntry {
       // 100, floor 64) — far above the halving graph's max degree, so
       // the cut is a no-op here and the oracle needs no cap branch
       GraphOps.commonNeighborJaccard(edges,
+          maxDegree = GraphOps.suggestedDegreeCap(edges))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "graph_resource_alloc" -> ((s, dir) => {
+      // RA link prediction on the same halving-edge graph: hub-damped
+      // common-neighbor evidence (1/deg per witness, exact fixed-point
+      // integer sum — no float accumulation order)
+      val c = t(s, dir, "customer").where(col("c_custkey") > 3)
+      val edges = c.select(col("c_custkey").as("src"),
+          expr("c_custkey div 2").as("dst"))
+        .union(c.select(col("c_custkey").as("src"),
+          expr("c_custkey div 4").as("dst")))
+      GraphOps.resourceAllocation(edges,
           maxDegree = GraphOps.suggestedDegreeCap(edges))
         .orderBy("id_a", "id_b")
     }),
@@ -6031,6 +6083,27 @@ object SparkEntry {
         |FROM documents WHERE doc_id BETWEEN 160 AND 260
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // the merged state = all docs with [160,170] re-langed plus the
+    // five inserted key-shifted copies; the rewrite counts are the
+    // pinned copy-on-write pruning (1 segment for the update, 0 for
+    // the out-of-range insert)
+    "src_merge_log" ->
+      """WITH merged AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id BETWEEN 160 AND 170 THEN 'xx'
+        |         ELSE lang END AS lang, n_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, lang, n_chars FROM documents
+        |  WHERE doc_id < 5)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS chars,
+        | CAST(1 AS INTEGER) AS upd_rewritten,
+        | CAST(3 AS INTEGER) AS upd_live,
+        | CAST(0 AS INTEGER) AS ins_rewritten,
+        | CAST(3 AS INTEGER) AS ins_live
+        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
+
     // the log-table life cycle lands at "all docs minus the deleted
     // lang", with version 0 = the first (en-only) append
     "src_timetravel_log" ->
@@ -7643,6 +7716,28 @@ object SparkEntry {
         | s[1] + s[2] AS forecast_1
         |FROM st ORDER BY event_type""".stripMargin,
 
+    // the Kalman predict/gain/update recursion replayed as the same
+    // [l, P] left-fold; q=0.1, r=1.0, p0=1.0 appear as the identical
+    // numeric literals so every IEEE intermediate matches
+    "ts_kalman_level" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+        |    AS DOUBLE) AS x
+        | FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  list(x ORDER BY d) AS xs FROM daily GROUP BY 1),
+        |st AS (SELECT event_type, n_days,
+        |  list_reduce(list_prepend([xs[1], CAST(1.0 AS DOUBLE)],
+        |    list_transform(xs[2:], x -> [x, CAST(0 AS DOUBLE)])),
+        |   (acc, e) -> [acc[1] + ((acc[2] + 0.1) / ((acc[2] + 0.1)
+        |       + 1.0)) * (e[1] - acc[1]),
+        |     (CAST(1.0 AS DOUBLE) - ((acc[2] + 0.1) / ((acc[2] + 0.1)
+        |       + 1.0))) * (acc[2] + 0.1)]) AS s
+        | FROM ser)
+        |SELECT event_type, n_days, s[1] AS level, s[2] AS p_var,
+        | (s[2] + 0.1) / ((s[2] + 0.1) + 1.0) AS gain_next
+        |FROM st ORDER BY event_type""".stripMargin,
+
     // exact trailing reach + the 5%-bound flag (the sketch estimate is
     // deterministic; the oracle checks the exact side and the bound)
     "sketch_hll_sliding" ->
@@ -8804,6 +8899,30 @@ object SparkEntry {
         |FROM cn JOIN deg da ON cn.id_a = da.node
         |JOIN deg db ON cn.id_b = db.node
         |ORDER BY cn.id_a, cn.id_b""".stripMargin,
+
+    // RA = Σ 10¹² div deg(apex) per wedge pair — exact integer sum,
+    // floated once at the end; same no-op hub cap as common_neighbors
+    "graph_resource_alloc" ->
+      """WITH k AS (SELECT c_custkey AS kk FROM customer
+        | WHERE c_custkey > 3),
+        |e0 AS (SELECT kk AS src, kk // 2 AS dst FROM k
+        | UNION ALL SELECT kk, kk // 4 FROM k),
+        |und AS (SELECT DISTINCT least(src, dst) AS u,
+        |  greatest(src, dst) AS v FROM e0
+        | WHERE least(src, dst) <> greatest(src, dst)),
+        |adj AS (SELECT u AS node, v AS nb FROM und
+        | UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        | FROM adj GROUP BY node),
+        |small AS (SELECT adj.node, adj.nb, deg.deg FROM adj
+        | JOIN deg ON adj.node = deg.node WHERE deg.deg <= 10000),
+        |w AS (SELECT a.nb AS id_a, b.nb AS id_b,
+        |  1000000000000 // a.deg AS fp FROM small a
+        | JOIN small b ON a.node = b.node AND a.nb < b.nb)
+        |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_common,
+        | CAST(CAST(sum(fp) AS BIGINT) AS DOUBLE)
+        |   / CAST(1000000000000 AS DOUBLE) AS ra
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // synchronous peel replay: 10 chained filter+degree rounds on the
     // tree + 20-clique fixture (converges at round 7)

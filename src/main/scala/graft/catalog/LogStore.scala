@@ -448,6 +448,62 @@ class LogStore(spark: SparkSession, val root: String,
     commit(v + 1, Seq(writeSegment(read(v))), old)
   }
 
+  final case class MergeResult(version: Long, rewritten: Int, live: Int)
+
+  /** Copy-on-write MERGE — the Delta-paper upsert: rows of `updates`
+    * whose `keyCol` matches a live row REPLACE it; the rest are
+    * inserted. One atomic commit, so readers see either the whole
+    * merge or none of it, and the pre-merge snapshot stays
+    * time-travelable at its version.
+    *
+    * The copy-on-write is SEGMENT-pruned: when `keyCol` is the
+    * configured [statsCol], only live segments whose min/max range
+    * overlaps the updates' key range are rewritten — the others carry
+    * over untouched in the same commit-free sense Delta leaves
+    * unmatched files alone. That pruning is what makes a 10-row upsert
+    * into a 100 TB table rewrite one segment, not the table; without a
+    * usable stats column every segment must be assumed to match
+    * (documented full rewrite). Segments with no recorded stats are
+    * always rewritten (the safe default).
+    *
+    * `updates` must be key-unique — two updates claiming the same key
+    * is the ambiguity the SQL MERGE standard rejects, and silently
+    * picking one would hide a pipeline bug upstream.
+    *
+    * Concurrency: merge is a read-modify-write — the commit lands at
+    * readVersion+1 or throws [[ConcurrentCommitException]], so a
+    * racing writer can never have its rows silently dropped by a merge
+    * that rewrote segments it never read. */
+  def merge(updates: DataFrame, keyCol: String): MergeResult = {
+    import org.apache.spark.sql.functions.{col => fcol, count => fcount,
+      lit => flit, max => fmax, min => fmin}
+    val dup = updates.groupBy(fcol(keyCol))
+      .agg(fcount(flit(1)).as("n")).where(fcol("n") > 1).limit(1)
+      .collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"updates are not unique on '$keyCol' (e.g. key ${dup.head.get(0)}" +
+          s" appears ${dup.head.getLong(1)} times) — ambiguous MERGE")
+    val v = latestVersion()
+    val live = liveSegmentInfos(v)
+    val touched =
+      if (statsCol.contains(keyCol)) {
+        val b = updates.agg(fmin(fcol(keyCol)).cast("string"),
+          fmax(fcol(keyCol)).cast("string")).head()
+        if (b.isNullAt(0)) Seq.empty[Segment] // no update rows
+        else live.filter(_.mayOverlap(b.getString(0), b.getString(1)))
+      } else live
+    val survivors =
+      if (touched.isEmpty) updates.limit(0)
+      else spark.read
+        .parquet(touched.map(s => s"$root/${s.name}"): _*)
+        .join(updates.select(fcol(keyCol)), Seq(keyCol), "left_anti")
+    val rewritten = survivors.unionByName(updates)
+    MergeResult(
+      commit(v + 1, Seq(writeSegment(rewritten)), touched.map(_.name)),
+      touched.size, live.size)
+  }
+
   final case class VacuumResult(version: Long, deleted: Seq[String])
 
   /** Physical cleanup behind a retention horizon. After

@@ -1270,6 +1270,51 @@ object AnalyticsOps {
           .as("forecast_1"))
   }
 
+  /** 1-D local-level Kalman filter (Kalman 1960 — public; the
+    * random-walk-plus-noise state space model, Harvey 1989 §2) per
+    * series key over the DAILY total series: predict Pₚ = P + q, gain
+    * K = Pₚ/(Pₚ+r), update l ← l + K(x−l), P ← (1−K)Pₚ, initialized
+    * (l₁, P₁) = (x₁, p0). The adaptive-gain upgrade of [[holtLinear]]:
+    * the smoothing weight is driven by the tracked posterior variance
+    * instead of a fixed α, converging to the steady-state gain of the
+    * (q, r) ratio.
+    *
+    * Same scale/parity shape as [[holtLinear]]: the recursion is
+    * inherently sequential, so it runs as ONE left-fold over the
+    * per-key sorted series with a two-element [l, P] accumulator
+    * (daily pre-aggregation is where 100 TB collapses; the fold is
+    * O(days) per key, days bounded by the calendar) — only IEEE
+    * +,−,×,÷ inside, so the oracle's identical list_reduce replays it
+    * bit-for-bit. Output: (key, n_days, level, p_var, gain_next). */
+  def kalmanLevel(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, q: Double = 0.1, r: Double = 1.0,
+      p0: Double = 1.0): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("d"))
+      .agg(sum(col(valueCol).cast(DecimalType(18, 4)))
+        .cast("double").as("x"))
+    daily.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"),
+        expr("transform(array_sort(collect_list(struct(d, x))), s -> s.x)")
+          .as("xs"))
+      .withColumn("st", expr(
+        s"""aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)),
+           | array(element_at(xs, 1), cast($p0 as double)),
+           | (acc, x) -> array(
+           |   element_at(acc,1) + ((element_at(acc,2) + $q)
+           |     / ((element_at(acc,2) + $q) + $r))
+           |     * (x - element_at(acc,1)),
+           |   (cast(1.0 as double) - ((element_at(acc,2) + $q)
+           |     / ((element_at(acc,2) + $q) + $r)))
+           |     * (element_at(acc,2) + $q)))""".stripMargin))
+      .select(col(keyCol), col("n_days"),
+        element_at(col("st"), 1).as("level"),
+        element_at(col("st"), 2).as("p_var"),
+        ((element_at(col("st"), 2) + lit(q)) /
+          ((element_at(col("st"), 2) + lit(q)) + lit(r)))
+          .as("gain_next"))
+  }
+
   /** Cramér's V — the [0,1]-normalized effect size of [[chiSquare]]:
     * V = √( (χ²/n) / min(r−1, c−1) ), comparable across tables of any
     * shape where raw χ² is not. Per-cell χ² terms are quantized to

@@ -238,6 +238,42 @@ object GraphOps {
           .as("jaccard"))
   }
 
+  /** Resource-allocation link-prediction index (Zhou, Lü & Zhang,
+    * EPJ B 2009 — public): RA(a,b) = Σ_{v ∈ Γ(a)∩Γ(b)} 1/deg(v) — each
+    * common neighbor forwards one unit of "resource" split equally
+    * among its neighbors, so low-degree witnesses count MORE than
+    * hubs. The degree-weighted refinement of [[commonNeighborJaccard]]
+    * (and of Adamic–Adar, whose 1/log damping needs libm where 1/deg
+    * stays rational), consistently among the strongest local link
+    * predictors in the published benchmarks.
+    *
+    * Same wedge shape and hub-cap economics as commonNeighborJaccard —
+    * the apex's 1/deg credit rides INSIDE the wedge join, so one
+    * (id_a, id_b) aggregation finishes the job. Credit is the exact
+    * integer 10¹² div deg (the [[AnalyticsOps.linearAttribution]]
+    * fixed-point trick): the cross-partition sum is integer-exact,
+    * no float accumulation order exists, and the oracle replays it
+    * digit-for-digit. Output: (id_a, id_b, n_common, ra). */
+  def resourceAllocation(edges: DataFrame,
+      maxDegree: Long): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val adj = und.select(col("u").as("node"), col("v").as("nb"))
+      .union(und.select(col("v").as("node"), col("u").as("nb")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val small = commonNeighborWedgeRelation(edges, maxDegree)
+      .join(deg, "node")
+    val wedges = small.as("a").join(small.as("b"),
+        col("a.node") === col("b.node") && col("a.nb") < col("b.nb"))
+      .select(col("a.nb").as("id_a"), col("b.nb").as("id_b"),
+        expr("1000000000000 div a.deg").as("fp"))
+    wedges.groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"),
+        (sum(col("fp")).cast("double") / lit(1e12)).as("ra"))
+  }
+
   /** k-core membership by synchronous peeling (Seidman 1983; the
     * Batagelj–Zaveršnik sequential algorithm's parallel superstep
     * form): starting from the full undirected graph, every round drops

@@ -103,6 +103,53 @@ class LogStoreSpec extends AnyFunSuite {
     assert(scanned3 == 0 && df3.count() == 0)
   }
 
+  test("merge: copy-on-write upsert rewrites ONLY stats-overlapping " +
+      "segments; matched rows replaced, unmatched inserted; the " +
+      "pre-merge snapshot stays readable") {
+    val t = new LogStore(spark,
+      Files.createTempDirectory("graft-log").toString + "/tbl",
+      statsCol = Some("id"))
+    t.append(Seq((1L, "a"), (2L, "a"), (3L, "a")).toDF("id", "v"))
+    t.append(Seq((10L, "b"), (11L, "b")).toDF("id", "v"))
+    t.append(Seq((20L, "c"), (21L, "c")).toDF("id", "v"))
+    val before = t.latestVersion()
+
+    // keys 10 (update) and 12 (insert) both land in [10, 12]: only the
+    // middle segment's range overlaps — segments 1 and 3 carry over
+    val r = t.merge(Seq((10L, "B"), (12L, "B")).toDF("id", "v"), "id")
+    assert(r.live == 3 && r.rewritten == 1,
+      s"only the [10,11] segment overlaps keys [10,12]: $r")
+    val now = t.read().as[(Long, String)].collect().toMap
+    assert(now == Map(1L -> "a", 2L -> "a", 3L -> "a",
+      10L -> "B", 11L -> "b", 12L -> "B", 20L -> "c", 21L -> "c"),
+      "10 replaced, 12 inserted, everything else untouched")
+    // time travel: the pre-merge snapshot still shows the old row
+    assert(t.read(before).where(col("id") === 10L)
+      .select(col("v")).as[String].head() == "b")
+
+    // a pure insert outside every live range rewrites NOTHING
+    val r2 = t.merge(Seq((99L, "z")).toDF("id", "v"), "id")
+    assert(r2.rewritten == 0, s"no segment overlaps key 99: $r2")
+    assert(t.read().count() == 9)
+
+    // duplicate update keys are the ambiguity SQL MERGE rejects
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((1L, "x"), (1L, "y")).toDF("id", "v"), "id")
+    }
+  }
+
+  test("merge without a usable stats column rewrites every segment " +
+      "(the documented safe default) and still upserts correctly") {
+    val t = fresh() // no statsCol
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    val r = t.merge(Seq((2L, "B"), (3L, "c")).toDF("id", "v"), "id")
+    assert(r.rewritten == 2 && r.live == 2,
+      "no stats ⇒ every segment must be assumed to match")
+    assert(t.read().as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
   test("segments without stats are never skipped (stats are strictly " +
       "an optimization)") {
     val dir = Files.createTempDirectory("graft-log").toString + "/tbl"

@@ -51,6 +51,27 @@ class GraphOpsSpec extends AnyFunSuite {
       .collect().head._2 == 1L)
   }
 
+  test("resourceAllocation: each common neighbor contributes exactly " +
+      "1/deg, hub witnesses count less than leaf witnesses") {
+    // triangle 1-2-3 plus pendant 3-4: degrees 1:2, 2:2, 3:3, 4:1
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val ra = GraphOps.resourceAllocation(edges, maxDegree = 100)
+      .select("id_a", "id_b", "n_common", "ra")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    val third = 333333333333L.toDouble / 1e12 // 10¹² div 3, floated
+    assert(ra == Map(
+      (2L, 3L) -> (1L, 0.5),   // witness 1 (deg 2)
+      (1L, 3L) -> (1L, 0.5),   // witness 2 (deg 2)
+      (1L, 2L) -> (1L, third), // witness 3 (deg 3) — the hub discount
+      (1L, 4L) -> (1L, third),
+      (2L, 4L) -> (1L, third)))
+    // the RA ordering flips Jaccard-blind common-neighbor counts:
+    // (2,3)'s single low-degree witness outranks (1,2)'s hub witness
+    assert(ra((2L, 3L))._2 > ra((1L, 2L))._2)
+  }
+
   test("pageRank on a cycle is uniform and conserves total mass") {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
     val pr = GraphOps.pageRank(edges, iters = 4, checkpoint = false)

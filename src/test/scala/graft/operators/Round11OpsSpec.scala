@@ -6,10 +6,61 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 /** Round-11 batch: the ε-budget composition ledger (accounting view +
-  * refusing accountant) over the DP release family. */
+  * refusing accountant) over the DP release family, and the
+  * local-level Kalman filter. */
 class Round11OpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  test("kalmanLevel: matches the scalar predict/gain/update recursion, " +
+      "gain converges to the steady state, variance is monotone there") {
+    // one key, six days (one out of order in the input — the sort is
+    // the operator's job), values chosen to move the level visibly
+    val rows = Seq(
+      ("k", "2024-01-02 00:00:00", 4.0),
+      ("k", "2024-01-01 00:00:00", 2.0),
+      ("k", "2024-01-03 00:00:00", 6.0),
+      ("k", "2024-01-04 00:00:00", 5.0),
+      ("k", "2024-01-05 00:00:00", 7.0),
+      ("k", "2024-01-06 00:00:00", 6.5)
+    ).toDF("event_type", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = AnalyticsOps.kalmanLevel(rows, "event_type", "ts", "value",
+        q = 0.1, r = 1.0, p0 = 1.0)
+      .select("n_days", "level", "p_var", "gain_next")
+      .as[(Long, Double, Double, Double)].head()
+
+    // scalar reference: the textbook recursion, day-sorted values
+    var l = 2.0; var p = 1.0
+    Seq(4.0, 6.0, 5.0, 7.0, 6.5).foreach { x =>
+      val pp = p + 0.1
+      val k = pp / (pp + 1.0)
+      l = l + k * (x - l)
+      p = (1.0 - k) * pp
+    }
+    assert(out._1 == 6L)
+    assert(out._2 == l, s"level ${out._2} != reference $l")
+    assert(out._3 == p, s"p_var ${out._3} != reference $p")
+    assert(out._4 == (p + 0.1) / ((p + 0.1) + 1.0))
+
+    // steady state of the Riccati recursion for (q=0.1, r=1):
+    // P* = (−q + sqrt(q² + 4qr))/2, K* = (P*+q)/(P*+q+r); after a long
+    // series the tracked gain must sit at K* (the whole point of the
+    // filter: the gain is derived, not a tuned constant like EWMA's α)
+    val long = (1 to 200).map(i =>
+      ("k", f"2024-01-01 00:00:00", i.toDouble)).zipWithIndex
+      .map { case ((t, _, v), i) =>
+        (t, java.time.LocalDate.of(2024, 1, 1).plusDays(i)
+          .toString + " 00:00:00", v) }
+      .toDF("event_type", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val g = AnalyticsOps.kalmanLevel(long, "event_type", "ts", "value")
+      .select("gain_next").as[Double].head()
+    val pStar = (-0.1 + math.sqrt(0.01 + 0.4)) / 2
+    val kStar = (pStar + 0.1) / (pStar + 0.1 + 1.0)
+    assert(math.abs(g - kStar) < 1e-12,
+      f"gain $g%.15f must converge to the Riccati fixed point $kStar%.15f")
+  }
 
   test("privacyBudget: per-salt cumulative spend in release order, " +
       "with the over-budget row flagged — never the whole ledger") {

@@ -470,6 +470,29 @@ object ScaleStress {
         store.latestVersion())
       System.err.println(s"[scale] ${out.last.json}")
     }
+    // LogStore MERGE cost vs table size — the copy-on-write pruning
+    // claim: a 10-row upsert whose key range hits ONE segment's stats
+    // range rewrites that segment alone, so merge cost must stay ~flat
+    // as the table grows 10× per decade (the candidates column records
+    // segments actually rewritten — pinned at 1 whatever the size).
+    if (only.isEmpty || only.contains("src_log_merge")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-mrg").toString + "/tbl"
+      val store = new graft.catalog.LogStore(spark, root,
+        statsCol = Some("id"))
+      val nSegs = 10 * scale
+      (0 until nSegs).foreach { i =>
+        store.append(spark.range(i * 1000L, i * 1000L + 1000L)
+          .toDF("id").withColumn("v", lit("a")))
+      }
+      val upd = spark.range(5000L, 5010L).toDF("id")
+        .withColumn("v", lit("B"))
+      val (sec, r) = time { store.merge(upd, "id") }
+      require(r.rewritten == 1, s"pruning must hit one segment: $r")
+      out += Measurement("src_log_merge", scale, nSegs.toLong, sec,
+        r.rewritten.toLong)
+      System.err.println(s"[scale] ${out.last.json}")
+    }
     // LogStore snapshot RESOLUTION cost vs log length — the claim the
     // checkpoint layer exists for: liveSegmentInfos + lastTxn seed
     // from the newest `.checkpoint` and replay only the suffix, so

@@ -800,6 +800,10 @@ object SparkEntry {
     "ts_theil_sen" -> ((s, dir) =>
       AnalyticsOps.theilSen(events(s, dir)).orderBy("event_type")),
 
+    // ---- Mann–Kendall trend test (Theil–Sen's significance dual) ----
+    "ts_mann_kendall" -> ((s, dir) =>
+      AnalyticsOps.mannKendall(events(s, dir)).orderBy("event_type")),
+
     // ---- Hodges–Lehmann pseudo-median of the daily series ----
     "analytics_hodges_lehmann" -> ((s, dir) =>
       AnalyticsOps.hodgesLehmann(events(s, dir)).orderBy("event_type")),
@@ -3729,6 +3733,21 @@ object SparkEntry {
     "analytics_anova" -> ((s, dir) =>
       AnalyticsOps.anovaF(events(s, dir), "event_type", "value")),
 
+    // ---- James–Stein shrinkage of per-type mean values ----
+    "analytics_james_stein" -> ((s, dir) =>
+      AnalyticsOps.jamesSteinMeans(events(s, dir), "event_type", "value")
+        .orderBy("grp")),
+
+    // ---- empirical-Bayes beta-binomial shrinkage of rates ----
+    "analytics_eb_rates" -> ((s, dir) =>
+      // per-priority rate of fully-shipped orders, shrunk toward the
+      // ensemble under the moment-fitted Beta prior
+      AnalyticsOps.ebBetaRates(
+          t(s, dir, "orders").withColumn("is_f",
+            (col("o_orderstatus") === "F").cast("int")),
+          "o_orderpriority", "is_f")
+        .orderBy("grp")),
+
     // ---- two-sample Kolmogorov–Smirnov, view vs click values ----
     "analytics_ks_test" -> ((s, dir) =>
       AnalyticsOps.ksTest(events(s, dir), "event_type", "view", "click",
@@ -5215,6 +5234,38 @@ object SparkEntry {
         |FROM r JOIN np ON r.event_type = np.event_type
         |WHERE rn = (np.n_pairs + 1) // 2 OR rn = (np.n_pairs + 2) // 2
         |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin,
+
+    // Mann–Kendall: integer S over exact-decimal sign compares, the
+    // tie-corrected variance, continuity-corrected z — one IEEE
+    // divide + sqrt after pure integer arithmetic
+    "ts_mann_kendall" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  SUM(CAST(value AS DECIMAL(18,4))) AS y
+        | FROM events GROUP BY 1, 2),
+        |s AS (SELECT a.event_type,
+        |  CAST(SUM(CASE WHEN b.y > a.y THEN 1
+        |    WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        | FROM daily a JOIN daily b
+        | ON a.event_type = b.event_type AND a.day < b.day
+        | GROUP BY 1),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        | FROM daily GROUP BY 1),
+        |ties AS (SELECT event_type,
+        |  CAST(SUM(t*(t-1)*(t*2+5)) AS BIGINT) AS tie_term
+        | FROM (SELECT event_type, y, CAST(count(*) AS BIGINT) AS t
+        |   FROM daily GROUP BY 1, 2) GROUP BY 1),
+        |v AS (SELECT n.event_type, n.n_days, s.s_stat,
+        |  CAST(n_days*(n_days-1)*(n_days*2+5) - tie_term AS DOUBLE)
+        |    / CAST(18 AS DOUBLE) AS var_s
+        | FROM n JOIN s ON n.event_type = s.event_type
+        | JOIN ties ON n.event_type = ties.event_type)
+        |SELECT event_type, n_days, s_stat, var_s,
+        | CASE WHEN s_stat > 0
+        |   THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+        |  WHEN s_stat < 0
+        |   THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+        |  ELSE CAST(0 AS DOUBLE) END AS z
+        |FROM v ORDER BY event_type""".stripMargin,
 
     // Hodges–Lehmann: median of Walsh averages (i ≤ j incl. i = j)
     // over the decimal-exact daily series; (lo+hi)/2 even-count median
@@ -9513,6 +9564,76 @@ object SparkEntry {
         | / ((CAST(CAST(qtot AS VARCHAR) AS DOUBLE) - rtot)
         |   / CAST(n - k AS DOUBLE)) AS f_stat
         |FROM s""".stripMargin,
+
+    // the anova sufficient-statistics chain extended per group: grand
+    // mean, pooled within-variance, the scale-6-quantized Σdev², then
+    // the positive-part shrinkage factor as one IEEE expression
+    "analytics_james_stein" ->
+      """WITH v AS (SELECT event_type AS grp,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cv
+        | FROM events WHERE value IS NOT NULL
+        |  AND event_type IS NOT NULL),
+        |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS ng,
+        |  SUM(CAST(cv AS HUGEINT)) AS sg,
+        |  SUM(CAST(cv AS HUGEINT) * CAST(cv AS HUGEINT)) AS qg
+        | FROM v GROUP BY grp),
+        |r AS (SELECT grp, ng, sg, qg,
+        |  CAST(CAST(sg AS VARCHAR) AS DOUBLE)
+        |   * CAST(CAST(sg AS VARCHAR) AS DOUBLE) / CAST(ng AS DOUBLE)
+        |   AS r FROM g),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(SUM(ng) AS BIGINT) AS n, SUM(sg) AS stot,
+        |  SUM(qg) AS qtot,
+        |  CAST(CAST(SUM(CAST(CAST(r AS VARCHAR) AS DECIMAL(38,6)))
+        |    AS VARCHAR) AS DOUBLE) AS rtot FROM r),
+        |wt AS (SELECT r.grp, r.ng, s.k, s.n,
+        |  CAST(CAST(s.stot AS VARCHAR) AS DOUBLE) / CAST(s.n AS DOUBLE)
+        |    AS grand,
+        |  CAST(CAST(r.sg AS VARCHAR) AS DOUBLE) / CAST(r.ng AS DOUBLE)
+        |    AS mean_g,
+        |  (CAST(CAST(s.qtot AS VARCHAR) AS DOUBLE) - s.rtot)
+        |    / CAST(s.n - s.k AS DOUBLE) AS s2
+        |  FROM r CROSS JOIN s),
+        |wd AS (SELECT *, mean_g - grand AS dev FROM wt),
+        |ss AS (SELECT CAST(CAST(SUM(CAST(CAST(dev * dev AS VARCHAR)
+        |    AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS ssb FROM wd)
+        |SELECT grp, ng AS n, mean_g / CAST(100 AS DOUBLE) AS mean,
+        | greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)
+        |   - CAST(k - 3 AS DOUBLE) * (s2 / CAST(ng AS DOUBLE)) / ssb)
+        |   AS shrink,
+        | (grand + greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)
+        |   - CAST(k - 3 AS DOUBLE) * (s2 / CAST(ng AS DOUBLE)) / ssb)
+        |   * dev) / CAST(100 AS DOUBLE) AS shrunk_mean
+        |FROM wd CROSS JOIN ss ORDER BY grp""".stripMargin,
+
+    // beta-binomial EB: method-of-moments prior over the k rates
+    // (dsum-quantized moment sums), posterior mean per group
+    "analytics_eb_rates" ->
+      """WITH g AS (SELECT o_orderpriority AS grp,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS x
+        | FROM orders GROUP BY 1),
+        |p AS (SELECT grp, n, x,
+        |  CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM g),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(CAST(SUM(CAST(CAST(p AS VARCHAR) AS DECIMAL(38,18)))
+        |    AS VARCHAR) AS DOUBLE) AS sp,
+        |  CAST(CAST(SUM(CAST(CAST(p * p AS VARCHAR) AS DECIMAL(38,18)))
+        |    AS VARCHAR) AS DOUBLE) AS spp FROM p),
+        |w AS (SELECT p.grp, p.n, p.x, p.p,
+        |  sp / CAST(k AS DOUBLE) AS m,
+        |  (spp - sp * sp / CAST(k AS DOUBLE)) / CAST(k - 1 AS DOUBLE)
+        |    AS v
+        | FROM p CROSS JOIN t),
+        |s AS (SELECT *, COALESCE(greatest(CAST(0 AS DOUBLE),
+        |  m * (CAST(1 AS DOUBLE) - m)
+        |    / nullif(v, CAST(0 AS DOUBLE)) - CAST(1 AS DOUBLE)),
+        |  CAST(0 AS DOUBLE)) AS s0 FROM w)
+        |SELECT grp, n, x, p AS rate,
+        | (m * s0 + CAST(x AS DOUBLE)) / (s0 + CAST(n AS DOUBLE))
+        |   AS shrunk_rate
+        |FROM s ORDER BY grp""".stripMargin,
 
     // KS two-sample: the ECDF supremum cleared to exact integers —
     // max |cum1·n2 − cum2·n1| — one final division

@@ -1514,6 +1514,51 @@ object AnalyticsOps {
           .as("theil_sen_slope"))
   }
 
+  /** Mann–Kendall trend test per series key (Mann 1945, Kendall 1975 —
+    * public): the significance companion of [[theilSen]] (the classic
+    * nonparametric trend pair). Over the per-key DAILY series:
+    * S = Σ_{i<j} sign(y_j − y_i) — monotone-increasing series → S near
+    * +n(n−1)/2 — with the tie-corrected variance
+    * Var(S) = [n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)]/18 and the
+    * continuity-corrected z = (S∓1)/√Var(S) (0 when S = 0).
+    *
+    * Determinism: sign() compares the EXACT DECIMAL(38,4) daily sums —
+    * no float compare anywhere — so S, n and the tie term are pure
+    * integers; z is then one IEEE divide + sqrt. Scale: the
+    * calendar-collapse law ([[theilSen]] verbatim) — the pair join is
+    * days²-bounded per key, never corpus-bounded; ties aggregate over
+    * the same daily relation. Output:
+    * (key, n_days, s_stat, var_s, z). */
+  def mannKendall(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast(DecimalType(18, 4))).as("y"))
+    val s = daily.as("a").join(daily.as("b"),
+        col(s"a.$typeCol") === col(s"b.$typeCol") &&
+        col("a.day") < col("b.day"))
+      .select(col(s"a.$typeCol").as(typeCol),
+        signum(col("b.y") - col("a.y")).cast("long").as("sg"))
+      .groupBy(col(typeCol)).agg(sum(col("sg")).as("s_stat"))
+    val n = daily.groupBy(col(typeCol)).agg(count(lit(1)).as("n_days"))
+    val ties = daily.groupBy(col(typeCol), col("y"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col(typeCol))
+      .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5))
+        .as("tie_term"))
+    val nD = col("n_days")
+    val varS = ((nD * (nD - 1) * (nD * 2 + 5) - col("tie_term"))
+      .cast("double") / lit(18.0))
+    n.join(s, Seq(typeCol)).join(ties, Seq(typeCol))
+      .select(col(typeCol), col("n_days"), col("s_stat"),
+        varS.as("var_s"),
+        when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast("double") / sqrt(varS))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1).cast("double") / sqrt(varS))
+          .otherwise(lit(0.0)).as("z"))
+  }
+
   /** Hodges–Lehmann pseudo-median per group (Hodges & Lehmann 1963 —
     * public): the median of all Walsh averages (y_i + y_j)/2 over
     * i ≤ j of the group's DAILY series — the location estimator dual
@@ -2015,6 +2060,107 @@ object AnalyticsOps {
       .withColumn("released_mean",
         col("noisy_units").cast("double") / lit(10000.0) /
           nullif(col("noisy_n"), lit(0L)).cast("double"))
+  }
+
+  /** Positive-part James–Stein shrinkage of per-group means toward the
+    * grand mean (Stein 1961; Efron–Morris 1975 — public): the
+    * empirical-Bayes estimator that dominates raw group means when
+    * estimating ≥4 of them at once — small-sample groups borrow
+    * strength from the ensemble, which is exactly the ranking problem
+    * (rate a seller / shop / experiment arm with 10 observations
+    * against one with 10 000) raw means get wrong. Per group:
+    * shrunk_g = grand + c_g·(x̄_g − grand) with
+    * c_g = max(0, 1 − (k−3)·(s²/n_g)/S), where s² is the pooled
+    * within-group variance (the per-mean sampling variance is s²/n_g —
+    * the unequal-n extension) and S = Σ_g (x̄_g − grand)².
+    *
+    * Determinism: values ride as exact integer cents; all sums are
+    * exact (HUGEINT-class DECIMAL(38,0) for Σx and Σx², the scale-6
+    * decimal quantization for the two order-sensitive double sums —
+    * the [[anovaF]] recipe verbatim); everything after is one fixed
+    * IEEE expression per group, replayed by the oracle. Scale: ONE
+    * map-side-combined aggregation to |groups| rows, then singleton
+    * broadcasts — the sufficient-statistics shape. Output per group:
+    * (grp, n, mean, shrink, shrunk_mean). */
+  def jamesSteinMeans(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cents = (col(valueCol).cast(DecimalType(18, 2)) * lit(100))
+      .cast("long")
+    val g = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), cents.as("cv"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("ng"),
+        sum(col("cv")).cast(dec).as("sg"),
+        sum(col("cv").cast(DecimalType(19, 0)) *
+          col("cv").cast(DecimalType(19, 0))).cast(dec).as("qg"))
+    val withR = g.select(col("grp"), col("ng"), col("sg"), col("qg"),
+      (col("sg").cast("double") * col("sg").cast("double") /
+        col("ng").cast("double")).as("r"))
+    val tot = withR.agg(count(lit(1)).as("k"),
+      sum(col("ng")).as("n"), sum(col("sg")).as("stot"),
+      sum(col("qg")).as("qtot"),
+      sum(col("r").cast(DecimalType(38, 6))).cast("double").as("rtot"))
+    val withTot = withR.crossJoin(broadcast(tot))
+      .withColumn("grand",
+        col("stot").cast("double") / col("n").cast("double"))
+      .withColumn("mean_g",
+        col("sg").cast("double") / col("ng").cast("double"))
+      .withColumn("s2", (col("qtot").cast("double") - col("rtot")) /
+        (col("n") - col("k")).cast("double"))
+      .withColumn("dev", col("mean_g") - col("grand"))
+    val ss = withTot
+      .agg(sum((col("dev") * col("dev")).cast(DecimalType(38, 6)))
+        .cast("double").as("ssb"))
+    withTot.crossJoin(broadcast(ss))
+      .withColumn("c_g", greatest(lit(0.0),
+        lit(1.0) - (col("k") - 3).cast("double") *
+          (col("s2") / col("ng").cast("double")) / col("ssb")))
+      .select(col("grp"), col("ng").as("n"),
+        (col("mean_g") / lit(100.0)).as("mean"),
+        col("c_g").as("shrink"),
+        ((col("grand") + col("c_g") * col("dev")) / lit(100.0))
+          .as("shrunk_mean"))
+  }
+
+  /** Empirical-Bayes beta-binomial shrinkage of per-group RATES
+    * (Efron–Morris 1975's batting-average construction — public): the
+    * binary-outcome complement of [[jamesSteinMeans]]. A Beta(α, β)
+    * prior is fitted to the observed group rates by method of moments
+    * (m = mean, v = sample variance of the k rates; prior strength
+    * s₀ = m(1−m)/v − 1, clamped at 0 when the rates are
+    * underdispersed), and each group's posterior mean is
+    * (α + x_g)/(α + β + n_g) = (m·s₀ + x_g)/(s₀ + n_g) — a 10-trial
+    * group is pulled hard toward the ensemble, a 10⁶-trial group
+    * barely moves. Counts are exact longs; the two cross-group moment
+    * sums ride the dsum decimal pattern (k values, order-free);
+    * everything after is one fixed IEEE expression per group. Scale:
+    * one aggregation to |groups| rows + singleton broadcasts. Output:
+    * (grp, n, x, rate, shrunk_rate). */
+  def ebBetaRates(df: DataFrame, groupCol: String,
+      successCol: String): DataFrame = {
+    val dsumT = DecimalType(38, 18)
+    val g = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(successCol).cast("long")).cast("long").as("x"))
+      .select(col(groupCol).as("grp"), col("n"), col("x"),
+        (col("x").cast("double") / col("n").cast("double")).as("p"))
+    val tot = g.agg(count(lit(1)).as("k"),
+      sum(col("p").cast("string").cast(dsumT)).cast("double").as("sp"),
+      sum((col("p") * col("p")).cast("string").cast(dsumT))
+        .cast("double").as("spp"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("m", col("sp") / col("k").cast("double"))
+      .withColumn("v",
+        (col("spp") - col("sp") * col("sp") / col("k").cast("double")) /
+          (col("k") - 1).cast("double"))
+      .withColumn("s0", coalesce(greatest(lit(0.0),
+        col("m") * (lit(1.0) - col("m")) /
+          nullif(col("v"), lit(0.0)) - lit(1.0)), lit(0.0)))
+      .select(col("grp"), col("n"), col("x"), col("p").as("rate"),
+        ((col("m") * col("s0") + col("x").cast("double")) /
+          (col("s0") + col("n").cast("double"))).as("shrunk_rate"))
   }
 
   /** One row of the privacy ledger: a named release, the mechanism

@@ -62,6 +62,91 @@ class Round11OpsSpec extends AnyFunSuite {
       f"gain $g%.15f must converge to the Riccati fixed point $kStar%.15f")
   }
 
+  test("jamesSteinMeans: matches the hand-computed positive-part " +
+      "estimator; bigger groups shrink less; order toward grand mean") {
+    // 4 groups in exact cents: means 2, 10, 6, 6; pooled within-var
+    // s² = 60000/6 = 10000 cents²; grand = 6.00; S = 2·400² = 320000
+    val rows = Seq(
+      ("a", 1.00), ("a", 3.00),
+      ("b", 9.00), ("b", 11.00),
+      ("c", 5.00), ("c", 7.00),
+      ("d", 6.00), ("d", 6.00), ("d", 6.00), ("d", 6.00)
+    ).toDF("g", "v")
+    val out = AnalyticsOps.jamesSteinMeans(rows, "g", "v")
+      .select("grp", "n", "mean", "shrink", "shrunk_mean")
+      .as[(String, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // c_g = 1 − (k−3)·(s²/n_g)/S, k−3 = 1
+    val cA = 1.0 - (10000.0 / 2) / 320000.0 // 63/64 = 0.984375
+    val cD = 1.0 - (10000.0 / 4) / 320000.0
+    assert(out("a")._3 == 2.0 && out("b")._3 == 10.0)
+    assert(out("a")._4 == cA && out("b")._4 == cA)
+    assert(out("d")._4 == cD)
+    assert(out("d")._4 > out("a")._4, "n=4 must shrink less than n=2")
+    assert(math.abs(out("a")._5 - (6.0 + cA * (2.0 - 6.0))) < 1e-12)
+    assert(math.abs(out("b")._5 - (6.0 + cA * (10.0 - 6.0))) < 1e-12)
+    // shrinkage is TOWARD the grand mean, never past it
+    assert(out("a")._5 > 2.0 && out("a")._5 < 6.0)
+    assert(out("b")._5 < 10.0 && out("b")._5 > 6.0)
+    // a group already at the grand mean does not move
+    assert(out("c")._5 == 6.0 && out("d")._5 == 6.0)
+  }
+
+  test("ebBetaRates: posterior means match the moment-fitted Beta " +
+      "prior; high-n groups resist shrinkage; degenerate prior = raw") {
+    val rows =
+      (Seq.fill(1)(("a", 1)) ++ Seq.fill(9)(("a", 0)) ++   // 1/10
+        Seq.fill(5)(("b", 1)) ++ Seq.fill(5)(("b", 0)) ++  // 5/10
+        Seq.fill(9)(("c", 1)) ++ Seq.fill(1)(("c", 0)) ++  // 9/10
+        Seq.fill(50)(("d", 1)) ++ Seq.fill(50)(("d", 0)))  // 50/100
+        .toDF("g", "s")
+    val out = AnalyticsOps.ebBetaRates(rows, "g", "s")
+      .select("grp", "n", "x", "rate", "shrunk_rate")
+      .as[(String, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // scalar reference with the same formulas
+    val ps = Seq(0.1, 0.5, 0.9, 0.5)
+    val k = 4.0
+    val m = ps.sum / k
+    val v = (ps.map(p => p * p).sum - ps.sum * ps.sum / k) / (k - 1)
+    val s0 = math.max(0.0, m * (1 - m) / v - 1)
+    def shrunk(x: Long, n: Long) = (m * s0 + x) / (s0 + n)
+    assert(out("a")._4 == 0.1 && out("c")._4 == 0.9)
+    assert(math.abs(out("a")._5 - shrunk(1, 10)) < 1e-12)
+    assert(math.abs(out("d")._5 - shrunk(50, 100)) < 1e-12)
+    // extremes pull toward the ensemble mean m = 0.5
+    assert(out("a")._5 > 0.1 && out("a")._5 < m)
+    assert(out("c")._5 < 0.9 && out("c")._5 > m)
+    // same raw rate, 10× the trials → d moves less than b
+    assert(math.abs(out("d")._5 - 0.5) < math.abs(out("b")._5 - 0.5) ||
+      (out("b")._5 == 0.5 && out("d")._5 == 0.5))
+  }
+
+  test("mannKendall: monotone series maxes S with the textbook " +
+      "variance; an all-ties series zeroes S, variance and z") {
+    def day(i: Int) =
+      java.time.LocalDate.of(2024, 3, 1).plusDays(i).toString +
+        " 00:00:00"
+    val rows = ((0 until 5).map(i => ("up", day(i), (i + 1).toDouble)) ++
+      (0 until 4).map(i => ("flat", day(i), 2.5)))
+      .toDF("event_type", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = AnalyticsOps.mannKendall(rows)
+      .select("event_type", "n_days", "s_stat", "var_s", "z")
+      .as[(String, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+
+    // strictly increasing, n=5: S = n(n−1)/2 = 10, no ties →
+    // Var = 5·4·15/18, z = (10−1)/√Var
+    val varUp = 5.0 * 4 * 15 / 18.0
+    assert(out("up")._3 == 10L && out("up")._4 == varUp)
+    assert(out("up")._5 == 9.0 / math.sqrt(varUp))
+    // constant series: every pair ties → S = 0, and the tie term
+    // t(t−1)(2t+5) with t = n cancels the variance exactly
+    assert(out("flat")._3 == 0L && out("flat")._4 == 0.0 &&
+      out("flat")._5 == 0.0)
+  }
+
   test("privacyBudget: per-salt cumulative spend in release order, " +
       "with the over-budget row flagged — never the whole ledger") {
     val ledger = Seq(

@@ -1600,6 +1600,30 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "src_cdc_log" -> ((s, dir) => {
+      // the change data feed through a full table life cycle: two
+      // appends (implied inserts — the hot path writes no extra
+      // bytes), a merge (pre/post images), a delete (delete rows), a
+      // compaction (dataChange=false, contributes NOTHING) — then one
+      // readChanges(0) aggregated by change type. The replay/vacuum
+      // semantics are LogStoreSpec's job.
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-cdc").toString + "/tbl"
+      val store = new graft.catalog.LogStore(s, root,
+        statsCol = Some("doc_id"))
+      store.append(docs.where(col("doc_id") < 250))
+      store.append(docs.where(col("doc_id") >= 250))
+      store.merge(docs.where(col("doc_id").between(100, 120))
+        .withColumn("lang", lit("xx")), "doc_id")
+      store.deleteWhere("lang = 'de'")
+      store.compact()
+      store.readChanges(0)
+        .groupBy(col("_change_type"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("_change_type", "lang")
+    }),
+
     "src_bucketed_join" -> ((s, dir) => {
       // the storage-layout half of the 100 TB join strategy, end to
       // end: orders and lineitem co-bucketed on the order key at write
@@ -6133,6 +6157,27 @@ object SparkEntry {
         | CAST(3 AS INTEGER) AS segments_live
         |FROM documents WHERE doc_id BETWEEN 160 AND 260
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the relational restatement of the feed: every doc inserts once;
+    // [100,120] pre-images keep their original lang, post-images are
+    // 'xx'; deletes are the de rows NOT re-langed by the merge;
+    // the compaction contributes nothing
+    "src_cdc_log" ->
+      """WITH all_ch AS (
+        |  SELECT 'insert' AS _change_type, lang, n_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'update_preimage', lang, n_chars FROM documents
+        |  WHERE doc_id BETWEEN 100 AND 120
+        |  UNION ALL
+        |  SELECT 'update_postimage', 'xx', n_chars FROM documents
+        |  WHERE doc_id BETWEEN 100 AND 120
+        |  UNION ALL
+        |  SELECT 'delete', lang, n_chars FROM documents
+        |  WHERE lang = 'de' AND doc_id NOT BETWEEN 100 AND 120)
+        |SELECT _change_type, lang, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM all_ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the merged state = all docs with [160,170] re-langed plus the
     // five inserted key-shifted copies; the rewrite counts are the

@@ -135,16 +135,20 @@ class LogStore(spark: SparkSession, val root: String,
   }
 
   /** Parse one action file (version OR checkpoint — same grammar):
-    * (adds, removes, txns, vacuum horizons). One JSON object per
-    * line: `{"add":"seg"[,"min":"..","max":"..","num":true]}`,
+    * (adds, removes, txns, vacuum horizons, cdc segments). One JSON
+    * object per line:
+    * `{"add":"seg"[,"min":"..","max":"..","num":true]}`,
     * `{"remove":"seg"}`, `{"txn":<id>}` (the idempotent-stream
-    * fence), or `{"vacuum":<horizon>}` (the oldest still-readable
-    * version after a vacuum). Flat line-oriented JSON on purpose —
-    * greppable, and a regex parse with no library dependency. The
-    * min/max strings are guaranteed quote-free because [statsCol] is
-    * restricted to numeric/date/timestamp columns at write time. */
+    * fence), `{"vacuum":<horizon>}` (the oldest still-readable
+    * version after a vacuum), or `{"cdc":"seg"}` (a change-data
+    * segment — the Delta CDF action; per-version EVENT data, never
+    * part of the replayed live state, so checkpoints do not carry
+    * it). Flat line-oriented JSON on purpose — greppable, and a regex
+    * parse with no library dependency. The min/max strings are
+    * guaranteed quote-free because [statsCol] is restricted to
+    * numeric/date/timestamp columns at write time. */
   private def parseActions(p: Path)
-      : (Seq[Segment], Seq[String], Seq[Long], Seq[Long]) = {
+      : (Seq[Segment], Seq[String], Seq[Long], Seq[Long], Seq[String]) = {
     val in = fs.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -160,11 +164,13 @@ class LogStore(spark: SparkSession, val root: String,
       .findAllMatchIn(body).map(_.group(1).toLong).toSeq
     val vacs = "\"vacuum\"\\s*:\\s*(-?\\d+)".r
       .findAllMatchIn(body).map(_.group(1).toLong).toSeq
-    (adds, rem, txns, vacs)
+    val cdcs = "\"cdc\"\\s*:\\s*\"([^\"]+)\"".r
+      .findAllMatchIn(body).map(_.group(1)).toSeq
+    (adds, rem, txns, vacs, cdcs)
   }
 
   private def readActions(v: Long)
-      : (Seq[Segment], Seq[String], Seq[Long], Seq[Long]) =
+      : (Seq[Segment], Seq[String], Seq[Long], Seq[Long], Seq[String]) =
     parseActions(versionPath(v))
 
   /** The fully-replayed log state at some version: the live segment
@@ -184,7 +190,7 @@ class LogStore(spark: SparkSession, val root: String,
       Long.MinValue, -1L)
     val from = latestCheckpointAtOrBelow(upTo) match {
       case Some(cp) =>
-        val (adds, _, txns, vacs) = parseActions(checkpointPath(cp))
+        val (adds, _, txns, vacs, _) = parseActions(checkpointPath(cp))
         adds.foreach(a => state.live(a.name) = a)
         txns.foreach(t => state.maxTxn = math.max(state.maxTxn, t))
         vacs.foreach(h =>
@@ -193,7 +199,7 @@ class LogStore(spark: SparkSession, val root: String,
       case None => 0L
     }
     (from to upTo).foreach { v =>
-      val (adds, removes, txns, vacs) = readActions(v)
+      val (adds, removes, txns, vacs, _) = readActions(v)
       adds.foreach(a => state.live(a.name) = a)
       removes.foreach(state.live -= _)
       txns.foreach(t => state.maxTxn = math.max(state.maxTxn, t))
@@ -380,12 +386,14 @@ class LogStore(spark: SparkSession, val root: String,
     * parquet writes. */
   private[graft] def commit(expected: Long, adds: Seq[Segment],
       removes: Seq[String], txn: Option[Long] = None,
-      vacuumHorizon: Option[Long] = None): Long = {
+      vacuumHorizon: Option[Long] = None,
+      cdc: Seq[String] = Nil): Long = {
     fs.mkdirs(new Path(logDir))
     val body = (adds.map(addJson) ++
       removes.map(s => s"""{"remove":"$s"}""") ++
       txn.map(id => s"""{"txn":$id}""").toSeq ++
-      vacuumHorizon.map(h => s"""{"vacuum":$h}""").toSeq)
+      vacuumHorizon.map(h => s"""{"vacuum":$h}""").toSeq ++
+      cdc.map(s => s"""{"cdc":"$s"}"""))
       .mkString("", "\n", "\n")
     val out = try fs.create(versionPath(expected), false)
       catch {
@@ -428,16 +436,74 @@ class LogStore(spark: SparkSession, val root: String,
       txn = Some(batchId))
   }
 
+  /** Write a CHANGE-DATA segment (rows + their `_change_type`) —
+    * published by the `cdc` action, invisible to snapshot reads. */
+  private def writeChangeSegment(df: DataFrame): String = {
+    val name = s"cdc-${java.util.UUID.randomUUID().toString.take(12)}"
+    df.write.parquet(s"$root/$name")
+    name
+  }
+
+  /** Change Data Feed (the Delta paper's CDF layer): the row-level
+    * changes committed in versions [fromVersion, toVersion], each
+    * stamped `_change_type` ∈ {insert, update_preimage,
+    * update_postimage, delete} and `_commit_version`. Per version:
+    * an explicit `cdc` segment when the commit wrote one ([[merge]],
+    * [[deleteWhere]]); otherwise a pure-add commit ([[append]] /
+    * [[appendStream]]) IS its own change feed — the added segments
+    * read back as inserts, Delta's add-file-implies-insert rule, so
+    * the hot path (appends) pays zero extra writes. A rewrite commit
+    * with no cdc action ([[compact]], [[vacuum]]'s horizon bump)
+    * changed no data and contributes nothing — dataChange=false
+    * semantics.
+    *
+    * This is what downstream INCREMENTAL consumers (the
+    * maintainAggState family) should read instead of diffing
+    * snapshots: O(changed rows) per sync, not O(table). Reads behind
+    * the vacuum horizon refuse loudly like time travel — their change
+    * segments may be physically gone. */
+  def readChanges(fromVersion: Long,
+      toVersion: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.{lit => flit}
+    val latest = latestVersion()
+    require(latest >= 0, s"no log at $root")
+    val upTo = math.min(toVersion, latest)
+    require(fromVersion >= 0 && fromVersion <= upTo,
+      s"bad change range [$fromVersion, $toVersion]")
+    requireReadable(fromVersion, replayTo(latest).vacuumHorizon)
+    val parts = (fromVersion to upTo).flatMap { v =>
+      val (adds, removes, _, _, cdcs) = readActions(v)
+      if (cdcs.nonEmpty)
+        cdcs.map(c => spark.read.parquet(s"$root/$c")
+          .withColumn("_commit_version", flit(v)))
+      else if (removes.isEmpty && adds.nonEmpty)
+        adds.map(a => spark.read.parquet(s"$root/${a.name}")
+          .withColumn("_change_type", flit("insert"))
+          .withColumn("_commit_version", flit(v)))
+      else Nil // compaction / vacuum / metadata-only: no data change
+    }
+    if (parts.isEmpty)
+      read(upTo).where(flit(false))
+        .withColumn("_change_type", flit(""))
+        .withColumn("_commit_version", flit(-1L))
+    else parts.reduce(_.unionByName(_))
+  }
+
   /** Logical delete: rewrite the rows NOT matching `predicate` into a
     * new segment, remove every current segment — one commit, prior
     * snapshots untouched. (Without per-segment stats this rewrites
     * the whole table; add-file pruning by min/max stats is the
-    * optimization the paper layers on.) */
+    * optimization the paper layers on.) The deleted rows land in the
+    * commit's change segment as `delete` rows — the CDF event. */
   def deleteWhere(predicate: String): Long = {
+    import org.apache.spark.sql.functions.{lit => flit}
     val v = latestVersion()
     val old = liveSegments(v)
     val kept = read(v).where(s"NOT ($predicate)")
-    commit(v + 1, Seq(writeSegment(kept)), old)
+    val gone = read(v).where(predicate)
+      .withColumn("_change_type", flit("delete"))
+    commit(v + 1, Seq(writeSegment(kept)), old,
+      cdc = Seq(writeChangeSegment(gone)))
   }
 
   /** Compaction: same rows, one segment — the small-files fix. The
@@ -493,14 +559,27 @@ class LogStore(spark: SparkSession, val root: String,
         if (b.isNullAt(0)) Seq.empty[Segment] // no update rows
         else live.filter(_.mayOverlap(b.getString(0), b.getString(1)))
       } else live
-    val survivors =
+    val touchedData =
       if (touched.isEmpty) updates.limit(0)
-      else spark.read
-        .parquet(touched.map(s => s"$root/${s.name}"): _*)
-        .join(updates.select(fcol(keyCol)), Seq(keyCol), "left_anti")
+      else spark.read.parquet(touched.map(s => s"$root/${s.name}"): _*)
+    val survivors = touchedData
+      .join(updates.select(fcol(keyCol)), Seq(keyCol), "left_anti")
     val rewritten = survivors.unionByName(updates)
+    // the commit's change feed: replaced old rows as update_preimage,
+    // their replacements as update_postimage, new keys as insert
+    val matchedKeys = touchedData.select(fcol(keyCol))
+    val changes = touchedData
+      .join(updates.select(fcol(keyCol)), Seq(keyCol), "left_semi")
+      .withColumn("_change_type", flit("update_preimage"))
+      .unionByName(updates
+        .join(matchedKeys, Seq(keyCol), "left_semi")
+        .withColumn("_change_type", flit("update_postimage")))
+      .unionByName(updates
+        .join(matchedKeys, Seq(keyCol), "left_anti")
+        .withColumn("_change_type", flit("insert")))
     MergeResult(
-      commit(v + 1, Seq(writeSegment(rewritten)), touched.map(_.name)),
+      commit(v + 1, Seq(writeSegment(rewritten)), touched.map(_.name),
+        cdc = Seq(writeChangeSegment(changes))),
       touched.size, live.size)
   }
 
@@ -529,18 +608,25 @@ class LogStore(spark: SparkSession, val root: String,
     val horizon =
       math.max(prior.vacuumHorizon, math.max(0L, latest - retainLast + 1))
     // keep = every segment live in SOME retained snapshot: the live
-    // set at the horizon plus everything added after it
+    // set at the horizon plus everything added after it. Change-data
+    // segments are kept while their VERSION is retained — readChanges
+    // refuses ranges behind the horizon, so their payloads can go.
     val keep = scala.collection.mutable.HashSet.empty[String]
     keep ++= replayTo(horizon).live.keys
-    ((horizon + 1) to latest).foreach { v =>
-      keep ++= readActions(v)._1.map(_.name)
+    val keepCdc = scala.collection.mutable.HashSet.empty[String]
+    (horizon to latest).foreach { v =>
+      val a = readActions(v)
+      if (v > horizon) keep ++= a._1.map(_.name)
+      keepCdc ++= a._5
     }
     val cutoff = System.currentTimeMillis() - orphanMinAgeMs
     val doomed = fs.listStatus(new Path(root))
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("seg-") &&
-        !keep.contains(st.getPath.getName) &&
-        st.getModificationTime <= cutoff)
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && st.getModificationTime <= cutoff &&
+        ((n.startsWith("seg-") && !keep.contains(n)) ||
+          (n.startsWith("cdc-") && !keepCdc.contains(n)))
+      }
       .map(_.getPath.getName).toSeq
     doomed.foreach(s => fs.delete(new Path(s"$root/$s"), true))
     val v = commit(latest + 1, Nil, Nil, vacuumHorizon = Some(horizon))

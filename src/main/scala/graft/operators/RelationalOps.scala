@@ -454,6 +454,41 @@ object RelationalOps {
       .drop("_old_present", "_new_present")
   }
 
+  /** Adapt a LogStore change feed (rows stamped `_change_type` /
+    * `_commit_version` — see `LogStore.readChanges`) to the
+    * [[snapshotDiff]] relation shape, so the incremental maintainers
+    * ([[applyDiffToSumCount]], the streaming CDC family) consume the
+    * table's OWN feed instead of diffing two full snapshots —
+    * O(changed rows) per sync, not O(table). update pre/post images
+    * pair up on the table's primary key WITHIN their commit (the only
+    * pairing that is unique when several rows of one group change in
+    * one commit); multi-commit feeds telescope under the additive
+    * maintainers exactly like a composed diff. */
+  def cdcToDiff(changes: DataFrame, idCol: String, key: String,
+      value: String): DataFrame = {
+    val nullK = lit(null).cast(changes.schema(key).dataType)
+    val nullV = lit(null).cast(changes.schema(value).dataType)
+    val ins = changes.where(col("_change_type") === "insert")
+      .select(lit("insert").as("op"), nullK.as(s"old_$key"),
+        nullV.as(s"old_$value"), col(key).as(s"new_$key"),
+        col(value).as(s"new_$value"))
+    val del = changes.where(col("_change_type") === "delete")
+      .select(lit("delete").as("op"), col(key).as(s"old_$key"),
+        col(value).as(s"old_$value"), nullK.as(s"new_$key"),
+        nullV.as(s"new_$value"))
+    val pre = changes.where(col("_change_type") === "update_preimage")
+      .select(col(idCol).as("_id"), col(key).as(s"old_$key"),
+        col(value).as(s"old_$value"), col("_commit_version").as("_v"))
+    val post = changes.where(col("_change_type") === "update_postimage")
+      .select(col(idCol).as("_id2"), col(key).as(s"new_$key"),
+        col(value).as(s"new_$value"), col("_commit_version").as("_v2"))
+    val upd = pre.join(post,
+        col("_id") === col("_id2") && col("_v") === col("_v2"))
+      .select(lit("update").as("op"), col(s"old_$key"),
+        col(s"old_$value"), col(s"new_$key"), col(s"new_$value"))
+    ins.unionByName(del).unionByName(upd)
+  }
+
   /** Time-bucket resample with OHLC semantics (open/high/low/close — the
     * standard downsampling aggregate for metric/price series): one row
     * per (`keyCol`, truncated bucket) with the first and last value in

@@ -138,6 +138,90 @@ class LogStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("change data feed: appends imply inserts, merge emits " +
+      "pre/post/insert, delete emits deletes, compaction changes " +
+      "nothing, and replaying the feed reconstructs the snapshot") {
+    val t = new LogStore(spark,
+      Files.createTempDirectory("graft-log").toString + "/tbl",
+      statsCol = Some("id"))
+    t.append(Seq((1L, "a"), (2L, "a")).toDF("id", "v"))          // v0
+    t.append(Seq((3L, "b")).toDF("id", "v"))                     // v1
+    t.merge(Seq((2L, "B"), (4L, "c")).toDF("id", "v"), "id")     // v2
+    t.deleteWhere("id = 1")                                      // v3
+    t.compact()                                                  // v4
+
+    val ch = t.readChanges(0)
+      .select("id", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect()
+    def at(ver: Long, typ: String): Set[(Long, String)] =
+      ch.filter(c => c._4 == ver && c._3 == typ)
+        .map(c => (c._1, c._2)).toSet
+    assert(at(0, "insert") == Set(1L -> "a", 2L -> "a"),
+      "a pure-add commit IS its own change feed")
+    assert(at(1, "insert") == Set(3L -> "b"))
+    assert(at(2, "update_preimage") == Set(2L -> "a"))
+    assert(at(2, "update_postimage") == Set(2L -> "B"))
+    assert(at(2, "insert") == Set(4L -> "c"))
+    assert(at(3, "delete") == Set(1L -> "a"))
+    assert(!ch.exists(_._4 == 4L),
+      "compaction moved bytes but changed no data — dataChange=false")
+    assert(t.readChanges(4, 4).count() == 0)
+
+    // the CDF replay invariant: fold the feed version by version
+    // (removals before additions inside a version) onto an empty map —
+    // the result must BE the latest snapshot
+    val state = scala.collection.mutable.Map.empty[Long, String]
+    ch.groupBy(_._4).toSeq.sortBy(_._1).foreach { case (_, cs) =>
+      cs.filter(c => c._3 == "delete" || c._3 == "update_preimage")
+        .foreach(c => state -= c._1)
+      cs.filter(c => c._3 == "insert" || c._3 == "update_postimage")
+        .foreach(c => state(c._1) = c._2)
+    }
+    assert(state.toMap == t.read().as[(Long, String)].collect().toMap,
+      "incremental consumers of the feed must converge to the snapshot")
+
+    // vacuum: change payloads behind the horizon are physically
+    // reclaimed and the read refuses loudly; at/after it still works
+    val r = t.vacuum(retainLast = 2) // latest=4 → horizon=3
+    assert(r.deleted.exists(_.startsWith("cdc-")),
+      "v2's change segment is behind the horizon — reclaimed")
+    intercept[IllegalStateException] { t.readChanges(0) }
+    assert(t.readChanges(3).where(col("_change_type") === "delete")
+      .count() == 1, "the horizon version's feed must survive vacuum")
+  }
+
+  test("cdcToDiff: the change feed drives incremental sum/count " +
+      "maintenance to exactly the latest snapshot's aggregate — " +
+      "including a row that MOVES groups in a merge") {
+    import graft.operators.RelationalOps
+    import org.apache.spark.sql.types.DecimalType
+    val t = new LogStore(spark,
+      Files.createTempDirectory("graft-log").toString + "/tbl",
+      statsCol = Some("id"))
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("grp")).agg(count(lit(1)).as("cnt"),
+        sum(col("v").cast(DecimalType(18, 4))).as("sm"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("grp"), col("cnt"), col("sm").cast("double"))
+        .as[(String, Long, Double)].collect().toSet
+
+    t.append(Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0),
+      (4L, "b", 40.0)).toDF("id", "grp", "v"))            // v0: base
+    val base = agg(t.read(0)).localCheckpoint(true)
+    // v1: id 2 changes value; id 3 MOVES a→... wait for group move:
+    // id 3 moves from b to a (pre must leave b, post must enter a);
+    // id 9 is a fresh insert
+    t.merge(Seq((2L, "a", 25.0), (3L, "a", 30.0), (9L, "c", 9.0))
+      .toDF("id", "grp", "v"), "id")
+    t.deleteWhere("id = 4")                                // v2
+    val diff = RelationalOps.cdcToDiff(
+      t.readChanges(1), idCol = "id", key = "grp", value = "v")
+    val maintained = RelationalOps
+      .applyDiffToSumCount(base, diff, "grp", "v")
+    assert(rows(maintained) == rows(agg(t.read())),
+      "feed-driven maintenance must equal the full recompute")
+  }
+
   test("merge without a usable stats column rewrites every segment " +
       "(the documented safe default) and still upserts correctly") {
     val t = fresh() // no statsCol

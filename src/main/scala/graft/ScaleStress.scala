@@ -417,7 +417,8 @@ object ScaleStress {
     // prefix-sum rank decomposition — all must track n linearly
     val evFams = Set("analytics_attribution", "analytics_cuped",
       "analytics_mann_whitney", "analytics_bootstrap_ci",
-      "ts_holt_winters", "ts_theil_sen")
+      "ts_holt_winters", "ts_theil_sen", "ts_kalman_level",
+      "ts_mann_kendall")
     if (only.isEmpty || only.exists(evFams.contains)) {
       val nEvents = 100000L * scale
       val ev = synthEvents(spark, nEvents).localCheckpoint(true)
@@ -451,6 +452,12 @@ object ScaleStress {
       }
       run("ts_theil_sen", nEvents, 3L * 60 * 59 / 2) {
         AnalyticsOps.theilSen(ev)
+      }
+      run("ts_kalman_level", nEvents, 60L * 3) {
+        AnalyticsOps.kalmanLevel(ev, "event_type", "ts", "value")
+      }
+      run("ts_mann_kendall", nEvents, 3L * 60 * 59 / 2) {
+        AnalyticsOps.mannKendall(ev)
       }
       ev.unpersist()
     }

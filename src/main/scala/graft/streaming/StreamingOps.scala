@@ -320,6 +320,41 @@ object StreamingOps {
     spark.read.parquet(statePath)
       .select(col("g"), hll_sketch_estimate(col("sk")).as("approx"))
 
+  /** Incremental aggregate sync FROM a log table's Change Data Feed —
+    * the consumer side of the table's exactly-once story: the state
+    * table carries the per-key (cnt, sm) aggregate plus the last log
+    * version it has absorbed (`_synced_version` — the same fence
+    * discipline as the batch-id maintainers, carried as TABLE-version
+    * progress instead). Each sync reads ONLY
+    * `readChanges(last+1, latest)` — O(changed rows), never O(table) —
+    * adapts it with `cdcToDiff`, folds it in with
+    * `applyDiffToSumCount`, and lands atomically via the checked
+    * rename swap. A replayed or concurrent re-sync sees
+    * latest ≤ fence and is a no-op, so crash-restart delivery is
+    * exactly-once; after N syncs the state is bit-identical to a full
+    * recompute of the latest snapshot (DECIMAL sums telescope).
+    * Returns the version now absorbed. Seed: the aggregate at some
+    * version V stamped `_synced_version` = V — or an empty aggregate
+    * stamped -1 to build from the feed alone. */
+  def syncSumCountFromLog(spark: SparkSession,
+      store: graft.catalog.LogStore, statePath: String, idCol: String,
+      key: String, value: String): Long = {
+    val state = spark.read.parquet(statePath)
+    val last = state
+      .agg(coalesce(max(col("_synced_version")), lit(-1L)))
+      .head.getLong(0)
+    val latest = store.latestVersion()
+    if (latest <= last) return last // fenced: nothing new to absorb
+    val diff = graft.operators.RelationalOps.cdcToDiff(
+      store.readChanges(last + 1, latest), idCol, key, value)
+    val next = graft.operators.RelationalOps
+      .applyDiffToSumCount(state.drop("_synced_version"), diff,
+        key, value)
+      .withColumn("_synced_version", lit(latest))
+    graft.operators.MergeOps.replaceTable(spark, next, statePath)
+    latest
+  }
+
   /** Exactly-once upkeep of the per-group TRUE counts behind the ε-DP
     * count release — the streaming face of
     * `AnalyticsOps.dpNoisyCounts`, with the same batch-id fence as the

@@ -222,6 +222,48 @@ class LogStoreSpec extends AnyFunSuite {
       "feed-driven maintenance must equal the full recompute")
   }
 
+  test("syncSumCountFromLog: cold-starts from the feed alone, absorbs " +
+      "each commit range exactly once, and always equals the full " +
+      "recompute of the snapshot it has reached") {
+    import graft.streaming.StreamingOps
+    import org.apache.spark.sql.types.DecimalType
+    val t = new LogStore(spark,
+      Files.createTempDirectory("graft-log").toString + "/tbl",
+      statsCol = Some("id"))
+    val statePath =
+      Files.createTempDirectory("graft-sync").toString + "/state"
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("grp")).agg(count(lit(1)).as("cnt"),
+        sum(col("v").cast(DecimalType(18, 4))).as("sm"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("grp"), col("cnt"), col("sm").cast("double"))
+        .as[(String, Long, Double)].collect().toSet
+    def stateRows() = rows(spark.read.parquet(statePath))
+
+    // cold start: an EMPTY aggregate stamped -1 — the feed builds it
+    agg(Seq.empty[(Long, String, Double)].toDF("id", "grp", "v"))
+      .withColumn("_synced_version", lit(-1L)).write.parquet(statePath)
+
+    t.append(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "grp", "v"))
+    assert(StreamingOps.syncSumCountFromLog(spark, t, statePath,
+      "id", "grp", "v") == 0L)
+    assert(stateRows() == rows(agg(t.read())))
+
+    t.merge(Seq((2L, "b", 25.0), (3L, "a", 5.0)).toDF("id", "grp", "v"),
+      "id")
+    t.deleteWhere("id = 1")
+    assert(StreamingOps.syncSumCountFromLog(spark, t, statePath,
+      "id", "grp", "v") == 2L)
+    assert(stateRows() == rows(agg(t.read())),
+      "two commits absorbed in one O(changed-rows) sync")
+
+    // replayed sync with nothing new: fenced no-op, state unchanged
+    val before = stateRows()
+    assert(StreamingOps.syncSumCountFromLog(spark, t, statePath,
+      "id", "grp", "v") == 2L)
+    assert(stateRows() == before)
+  }
+
   test("merge without a usable stats column rewrites every segment " +
       "(the documented safe default) and still upserts correctly") {
     val t = fresh() // no statsCol

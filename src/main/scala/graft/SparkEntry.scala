@@ -3258,6 +3258,17 @@ object SparkEntry {
           "event_type", "arm", "value")
         .orderBy("event_type")),
 
+    // ---- two-proportion z-test on the conversion-style metric ----
+    "analytics_ab_proportions" -> ((s, dir) =>
+      // same parity arms as ab_welch; success = value over the 50
+      // threshold — the conversion complement of the means test
+      AnalyticsOps.abProportions(
+          events(s, dir)
+            .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
+            .withColumn("succ", (col("value") > lit(50.0)).cast("int")),
+          "event_type", "arm", "succ")
+        .orderBy("event_type")),
+
     // ---- corpus-prep attrition funnel ----
     "pipe_filter_funnel" -> ((s, dir) => {
       // the audit row set every filtering run ships with: survivors
@@ -3382,6 +3393,18 @@ object SparkEntry {
       GraphOps.commonNeighborJaccard(edges,
           maxDegree = GraphOps.suggestedDegreeCap(edges))
         .orderBy("id_a", "id_b")
+    }),
+
+    "graph_clustering_coeff" -> ((s, dir) => {
+      // Watts–Strogatz local clustering per node on the same
+      // halving-edge graph: per-node triangle incidence over the
+      // degree-ordered oriented wedge census
+      val c = t(s, dir, "customer").where(col("c_custkey") > 3)
+      val edges = c.select(col("c_custkey").as("src"),
+          expr("c_custkey div 2").as("dst"))
+        .union(c.select(col("c_custkey").as("src"),
+          expr("c_custkey div 4").as("dst")))
+      GraphOps.localClusteringCoefficient(edges).orderBy("node")
     }),
 
     "graph_resource_alloc" -> ((s, dir) => {
@@ -8996,6 +9019,44 @@ object SparkEntry {
         |JOIN deg db ON cn.id_b = db.node
         |ORDER BY cn.id_a, cn.id_b""".stripMargin,
 
+    // LCC: the triangle census keeping the wedge apex, each closed
+    // triangle exploded into its three members, 2T/(d(d−1)) per node
+    "graph_clustering_coeff" ->
+      """WITH k AS (SELECT c_custkey AS kk FROM customer
+        | WHERE c_custkey > 3),
+        |e0 AS (SELECT kk AS src, kk // 2 AS dst FROM k
+        | UNION ALL SELECT kk, kk // 4 FROM k),
+        |und AS (SELECT DISTINCT least(src, dst) AS u,
+        |  greatest(src, dst) AS v FROM e0
+        | WHERE least(src, dst) <> greatest(src, dst)),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |  SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        | GROUP BY node),
+        |o AS (SELECT
+        |  CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+        |   THEN u ELSE v END AS s,
+        |  CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+        |   THEN v ELSE u END AS t,
+        |  CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+        |   THEN dv.deg ELSE du.deg END AS tdeg
+        | FROM und JOIN deg du ON u = du.node JOIN deg dv ON v = dv.node),
+        |w AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c FROM o e1 JOIN o e2
+        | ON e1.s = e2.s AND (e1.tdeg < e2.tdeg
+        |  OR (e1.tdeg = e2.tdeg AND e1.t < e2.t))),
+        |closed AS (SELECT a, b, c FROM w
+        | WHERE EXISTS (SELECT 1 FROM o WHERE w.b = o.s AND w.c = o.t)),
+        |tri AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |  SELECT a AS node FROM closed
+        |  UNION ALL SELECT b FROM closed
+        |  UNION ALL SELECT c FROM closed) GROUP BY node)
+        |SELECT deg.node, deg.deg, COALESCE(tri.n_tri, 0) AS n_tri,
+        | CASE WHEN deg.deg >= 2
+        |  THEN CAST(COALESCE(tri.n_tri, 0) * 2 AS DOUBLE)
+        |    / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)
+        |  ELSE CAST(0 AS DOUBLE) END AS lcc
+        |FROM deg LEFT JOIN tri ON deg.node = tri.node
+        |ORDER BY deg.node""".stripMargin,
+
     // RA = Σ 10¹² div deg(apex) per wedge pair — exact integer sum,
     // floated once at the end; same no-op hub cap as common_neighbors
     "graph_resource_alloc" ->
@@ -9650,6 +9711,29 @@ object SparkEntry {
         |   - CAST(k - 3 AS DOUBLE) * (s2 / CAST(ng AS DOUBLE)) / ssb)
         |   * dev) / CAST(100 AS DOUBLE) AS shrunk_mean
         |FROM wd CROSS JOIN ss ORDER BY grp""".stripMargin,
+
+    // pooled two-proportion z: exact count pairs, one IEEE expression
+    "analytics_ab_proportions" ->
+      """WITH g AS (SELECT event_type,
+        |  CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT)
+        |    AS n_a,
+        |  CAST(SUM(CASE WHEN user_id % 2 = 0 AND value > 50
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+        |  CAST(count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT)
+        |    AS n_b,
+        |  CAST(SUM(CASE WHEN user_id % 2 = 1 AND value > 50
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+        | FROM events GROUP BY 1),
+        |p AS (SELECT *,
+        |  CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+        |  CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+        |  CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+        | FROM g)
+        |SELECT event_type, n_a, x_a, n_b, x_b, p_a, p_b,
+        | (p_a - p_b) / sqrt(pp * (CAST(1 AS DOUBLE) - pp)
+        |   * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |     + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS z
+        |FROM p ORDER BY event_type""".stripMargin,
 
     // beta-binomial EB: method-of-moments prior over the k rates
     // (dsum-quantized moment sums), posterior mean per group

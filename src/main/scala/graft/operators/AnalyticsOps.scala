@@ -2062,6 +2062,35 @@ object AnalyticsOps {
           nullif(col("noisy_n"), lit(0L)).cast("double"))
   }
 
+  /** Two-proportion z-test per group (the pooled-variance normal
+    * approximation — standard A/B practice for CONVERSION metrics,
+    * the proportions complement of [[abWelch]]'s means test):
+    * z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)) with p̂ the pooled
+    * success rate. Counts are exact longs (no decimal moments needed —
+    * a proportion's sufficient statistic IS its count pair); the
+    * statistic is one fixed IEEE expression over them. Scale: one
+    * map-side-combined aggregation to |groups| rows. Output:
+    * (group, n_a, x_a, n_b, x_b, p_a, p_b, z). */
+  def abProportions(df: DataFrame, groupCol: String, armCol: String,
+      successCol: String): DataFrame = {
+    val a = col(armCol) === 0
+    val s = col(successCol).cast("long")
+    val agg = df.groupBy(col(groupCol)).agg(
+      count(when(a, lit(1))).as("n_a"),
+      sum(when(a, s)).cast("long").as("x_a"),
+      count(when(!a, lit(1))).as("n_b"),
+      sum(when(!a, s)).cast("long").as("x_b"))
+    val pa = col("x_a").cast("double") / col("n_a").cast("double")
+    val pb = col("x_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    agg.select(col(groupCol), col("n_a"), col("x_a"), col("n_b"),
+        col("x_b"), pa.as("p_a"), pb.as("p_b"),
+        ((pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n_a").cast("double") +
+            lit(1.0) / col("n_b").cast("double")))).as("z"))
+  }
+
   /** Positive-part James–Stein shrinkage of per-group means toward the
     * grand mean (Stein 1961; Efron–Morris 1975 — public): the
     * empirical-Bayes estimator that dominates raw group means when

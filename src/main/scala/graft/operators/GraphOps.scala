@@ -64,6 +64,59 @@ object GraphOps {
         coalesce(sum(col("hit")), lit(0L)).as("n_triangles"))
   }
 
+  /** Per-node local clustering coefficient (Watts–Strogatz 1998 —
+    * public): lcc(v) = 2·T_v / (deg_v·(deg_v−1)) where T_v counts the
+    * triangles through v — the node-level refinement of
+    * [[triangleCount]]'s global census, the standard "how clique-like
+    * is this neighborhood" signal of the small-world literature.
+    *
+    * Same degree-ordered orientation as triangleCount (each triangle
+    * enumerated exactly ONCE, hub wedge volume bounded by the
+    * orientation), then each closed wedge explodes into its three
+    * member nodes for one per-node count — O(#triangles·3) extra rows,
+    * bounded by the wedge census already paid. The coefficient is one
+    * integer-operand IEEE divide; nodes of degree < 2 read 0.
+    * Output: (node, deg, n_tri, lcc). */
+  def localClusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.as("du"), col("u") === col("du.node"))
+      .join(deg.as("dv"), col("v") === col("dv.node"))
+      .select(
+        when(col("du.deg") < col("dv.deg") ||
+            (col("du.deg") === col("dv.deg") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"),
+            col("dv.deg").as("tdeg")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"),
+            col("du.deg").as("tdeg"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"),
+        col("e.tdeg").as("tdeg"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") &&
+          (col("e1.tdeg") < col("e2.tdeg") ||
+            (col("e1.tdeg") === col("e2.tdeg") &&
+              col("e1.t") < col("e2.t"))))
+      .select(col("e1.s").as("a"), col("e1.t").as("b"),
+        col("e2.t").as("c"))
+    val tri = wedges.join(oriented.select(col("s"), col("t")),
+        col("b") === col("s") && col("c") === col("t"), "left_semi")
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("lcc",
+        when(col("deg") >= 2, (col("n_tri") * 2).cast("double") /
+          (col("deg") * (col("deg") - 1)).cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** PageRank, `iters` synchronous iterations, damping `d`:
     * `PR₀ = 1/N`, `PRₜ₊₁(v) = (1−d)/N + d·Σ_{u→v} PRₜ(u)/deg(u)`.
     * Dangling mass (sink nodes) is dropped, not redistributed — the

@@ -72,6 +72,25 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(ra((2L, 3L))._2 > ra((1L, 2L))._2)
   }
 
+  test("localClusteringCoefficient: K4 is all-1, a triangle+pendant " +
+      "gives the textbook 1/3 at the hub, degree<2 reads 0") {
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val lccK4 = GraphOps.localClusteringCoefficient(k4)
+      .select("node", "lcc").as[(Long, Double)].collect().toMap
+    assert(lccK4.values.forall(_ == 1.0), s"complete graph: $lccK4")
+
+    val tp = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = GraphOps.localClusteringCoefficient(tp)
+      .select("node", "deg", "n_tri", "lcc")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 1L, 1.0)))
+    assert(out(2L) == ((2L, 2L, 1L, 1.0)))
+    assert(out(3L) == ((3L, 3L, 1L, 1.0 / 3.0)),
+      "hub: one triangle over C(3,2)=3 possible")
+    assert(out(4L) == ((4L, 1L, 0L, 0.0)), "pendant: degree < 2 → 0")
+  }
+
   test("pageRank on a cycle is uniform and conserves total mass") {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
     val pr = GraphOps.pageRank(edges, iters = 4, checkpoint = false)

@@ -147,6 +147,27 @@ class Round11OpsSpec extends AnyFunSuite {
       out("flat")._5 == 0.0)
   }
 
+  test("abProportions: hand-computed pooled z; null arms and null " +
+      "successes drop from counts without failing") {
+    val rows = Seq(
+      (0, Some(1), "g"), (0, Some(1), "g"), (0, Some(1), "g"),
+      (0, Some(0), "g"),                       // arm a: 3/4
+      (1, Some(1), "g"), (1, Some(0), "g"),
+      (1, Some(0), "g"), (1, Some(0), "g"),    // arm b: 1/4
+      (1, None, "g")                           // null success: n, not x
+    ).toDF("arm", "succ", "grp")
+    val out = AnalyticsOps.abProportions(rows, "grp", "arm", "succ")
+      .select("n_a", "x_a", "n_b", "x_b", "p_a", "p_b", "z")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    assert(out._1 == 4 && out._2 == 3 && out._3 == 5 && out._4 == 1)
+    val (pa, pb) = (3.0 / 4, 1.0 / 5)
+    val pp = 4.0 / 9
+    assert(out._5 == pa && out._6 == pb)
+    assert(out._7 ==
+      (pa - pb) / math.sqrt(pp * (1 - pp) * (1.0 / 4 + 1.0 / 5)))
+    assert(out._7 > 0, "a converts better than b")
+  }
+
   test("privacyBudget: per-salt cumulative spend in release order, " +
       "with the over-budget row flagged — never the whole ledger") {
     val ledger = Seq(

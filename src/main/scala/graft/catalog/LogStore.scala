@@ -288,12 +288,39 @@ class LogStore(spark: SparkSession, val root: String,
   /** Snapshot read at `version` (default latest) — a parquet scan of
     * exactly the live segments; committed-but-then-removed segments
     * of later versions are invisible, uncommitted segments always
-    * are. */
+    * are. Reads merge segment schemas (the paper's schema EVOLUTION:
+    * a column added by a later append reads as null on older
+    * segments; the snapshot's schema is the union of what its OWN
+    * segments carry, so time travel returns the old shape), and
+    * [[append]] enforces that shared columns never mutate type. */
   def read(version: Long = Long.MaxValue): DataFrame = {
     val segs = liveSegments(version)
     if (segs.isEmpty)
       throw new IllegalStateException(s"empty table at $root")
-    spark.read.parquet(segs.map(s => s"$root/$s"): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(segs.map(s => s"$root/$s"): _*)
+  }
+
+  /** Schema ENFORCEMENT (the paper's write-side half of evolution):
+    * an append may ADD columns — evolution, old rows read null — but
+    * a shared column must keep its exact type; silently coexisting
+    * (id INT) and (id STRING) segments is the data-lake corruption
+    * mode transactional tables exist to prevent. Validation runs
+    * against the snapshot the WRITER read (its base version) — the
+    * optimistic-concurrency stance: a conflicting concurrent commit
+    * is the commit slot's problem, not the validator's. */
+  private def enforceSchema(df: DataFrame, version: Long): Unit = {
+    if (version < 0) return
+    val current = read(version).schema
+    df.schema.fields.foreach { f =>
+      current.find(_.name == f.name).foreach { c =>
+        if (c.dataType != f.dataType)
+          throw new IllegalArgumentException(
+            s"schema enforcement: column '${f.name}' is ${c.dataType} " +
+              s"in the table but ${f.dataType} in the write — an " +
+              "evolved table adds columns, it never mutates types")
+      }
+    }
   }
 
   /** Data-skipping read: scan ONLY the live segments whose
@@ -420,6 +447,7 @@ class LogStore(spark: SparkSession, val root: String,
       baseVersion: Long = Long.MinValue): Long = {
     val base =
       if (baseVersion == Long.MinValue) latestVersion() else baseVersion
+    enforceSchema(df, base)
     commit(base + 1, Seq(writeSegment(df)), Nil)
   }
 
@@ -432,7 +460,9 @@ class LogStore(spark: SparkSession, val root: String,
     * version, or -1 for a fenced replay. */
   def appendStream(df: DataFrame, batchId: Long): Long = {
     if (batchId <= lastTxn()) return -1L
-    commit(latestVersion() + 1, Seq(writeSegment(df)), Nil,
+    val base = latestVersion()
+    enforceSchema(df, base)
+    commit(base + 1, Seq(writeSegment(df)), Nil,
       txn = Some(batchId))
   }
 
@@ -486,7 +516,9 @@ class LogStore(spark: SparkSession, val root: String,
       read(upTo).where(flit(false))
         .withColumn("_change_type", flit(""))
         .withColumn("_commit_version", flit(-1L))
-    else parts.reduce(_.unionByName(_))
+    // allowMissingColumns: a feed spanning a schema evolution carries
+    // both shapes — pre-evolution changes read null in added columns
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Logical delete: rewrite the rows NOT matching `predicate` into a

@@ -264,6 +264,37 @@ class LogStoreSpec extends AnyFunSuite {
     assert(stateRows() == before)
   }
 
+  test("schema evolution: an added column reads null on old segments " +
+      "and time travel keeps the old shape; a type mutation is " +
+      "REFUSED; the change feed spans the evolution") {
+    val t = fresh()
+    t.append(Seq((1L, "a")).toDF("id", "v"))                      // v0
+    t.append(Seq((2L, "b", 9.5)).toDF("id", "v", "score"))        // v1
+
+    val now = t.read()
+    assert(now.columns.toSet == Set("id", "v", "score"))
+    val byId = now.select(col("id"), col("score"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(byId == Map(1L -> None, 2L -> Some(9.5)),
+      "pre-evolution rows read null in the added column")
+    assert(t.read(0).columns.toSet == Set("id", "v"),
+      "the v0 snapshot's schema is what v0's own segments carry")
+
+    // enforcement: same column, different type — the lake-corruption
+    // mode the table must refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      t.append(Seq(("3", "c")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("schema enforcement"), e.getMessage)
+
+    // the feed spans the evolution: both shapes union, old changes
+    // null-filled in the added column
+    val ch = t.readChanges(0)
+      .select(col("id"), col("score"), col("_commit_version"))
+      .as[(Long, Option[Double], Long)].collect().toSet
+    assert(ch == Set((1L, None, 0L), (2L, Some(9.5), 1L)))
+  }
+
   test("merge without a usable stats column rewrites every segment " +
       "(the documented safe default) and still upserts correctly") {
     val t = fresh() // no statsCol

@@ -320,6 +320,46 @@ object StreamingOps {
     spark.read.parquet(statePath)
       .select(col("g"), hll_sketch_estimate(col("sk")).as("approx"))
 
+  /** Exactly-once Misra–Gries upkeep — the last of the mergeable
+    * sketches to gain a streaming face (CMS: frequencies, KLL:
+    * quantiles, HLL: distinct, KMV: set ops, MG: heavy hitters).
+    * State is the sketch's ≤ k (item, cnt) rows plus the batch-id
+    * fence; per batch the partial sketch aggregates distributed and
+    * merges with the stored one via the SAME
+    * `MisraGriesAggregator.merge` the batch surface uses (Agarwal et
+    * al.'s mergeable-summaries rule: sum counts, subtract the
+    * (k+1)-th largest). Unlike the other maintainers the CONTRACT is
+    * the MG guarantee, not bit-parity — the sketch's exact counters
+    * are merge-tree-dependent by construction, but under ANY tree
+    * every item with true count > n/(k+1) is present and estimates
+    * sit within n/(k+1) below truth; the spec asserts exactly that
+    * against the concatenated stream. */
+  def maintainMisraGriesState(statePath: String, keyCol: String,
+      k: Int = 8)(batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    import graft.operators.MisraGriesAggregator
+    val state = s.read.parquet(statePath) // (item LONG, cnt LONG, _batch_id)
+    val lastApplied = state
+      .agg(coalesce(max(col("_batch_id")), lit(Long.MinValue)))
+      .head.getLong(0)
+    if (lastApplied < batchId) {
+      val agg = new MisraGriesAggregator(k)
+      val partial: Map[Long, Long] = batch
+        .select(col(keyCol).cast("long").as("x"))
+        .where(col("x").isNotNull).as[Long]
+        .groupByKey(_ => 0)
+        .agg(agg.toColumn.name("sk"))
+        .collect().headOption.map(_._2).getOrElse(Map.empty)
+      val prior: Map[Long, Long] = state.select(col("item"), col("cnt"))
+        .as[(Long, Long)].collect().toMap
+      val next = agg.merge(prior, partial).toSeq
+      graft.operators.MergeOps.replaceTable(s,
+        next.toDF("item", "cnt").withColumn("_batch_id", lit(batchId)),
+        statePath)
+    }
+  }
+
   /** Incremental aggregate sync FROM a log table's Change Data Feed —
     * the consumer side of the table's exactly-once story: the state
     * table carries the per-key (cnt, sm) aggregate plus the last log

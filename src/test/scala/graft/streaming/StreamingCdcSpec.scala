@@ -186,6 +186,44 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(released() === batchRelease(b0.unionByName(b1)))
   }
 
+  test("streaming Misra-Gries: maintained state holds the MG " +
+      "guarantee against the concatenated stream; replay is fenced") {
+    val base = Files.createTempDirectory("graft-mg").toString
+    val statePath = s"$base/state"
+    val k = 4
+
+    // two skewed batches: items 1 and 2 are the true heavy hitters
+    val b0 = (Seq.fill(40)(1L) ++ Seq.fill(20)(2L) ++ (100L to 109L))
+      .toDF("x")
+    val b1 = (Seq.fill(30)(2L) ++ Seq.fill(25)(1L) ++ (200L to 214L))
+      .toDF("x")
+    Seq.empty[(Long, Long)].toDF("item", "cnt")
+      .withColumn("_batch_id", lit(-1L)).write.parquet(statePath)
+    StreamingOps.maintainMisraGriesState(statePath, "x", k)(b0, 0L)
+    StreamingOps.maintainMisraGriesState(statePath, "x", k)(b1, 1L)
+
+    def sketch() = spark.read.parquet(statePath)
+      .select(col("item"), col("cnt")).as[(Long, Long)].collect().toMap
+    val sk = sketch()
+    val n = 40 + 20 + 10 + 30 + 25 + 15 // 140 total items
+    val err = n / (k + 1)               // 28
+    val truth = Map(1L -> 65L, 2L -> 50L)
+    assert(sk.size <= k)
+    truth.foreach { case (item, c) =>
+      assert(sk.contains(item),
+        s"true count $c > n/(k+1)=$err — item $item MUST be tracked")
+      assert(sk(item) <= c && sk(item) >= c - err,
+        s"estimate ${sk(item)} must sit within $err below $c")
+    }
+    // every kept counter is a LOWER bound on its item's true count
+    assert(sk.forall { case (i, c) =>
+      c <= truth.getOrElse(i, 1L) })
+
+    // replay fence: re-applying batch 0 must not move the state
+    StreamingOps.maintainMisraGriesState(statePath, "x", k)(b0, 0L)
+    assert(sketch() == sk)
+  }
+
   test("streaming HLL: per-group estimates after N micro-batches " +
       "equal the batch sketch of the whole stream; replay is fenced") {
     val base = Files.createTempDirectory("graft-hll").toString

@@ -418,7 +418,7 @@ object ScaleStress {
     val evFams = Set("analytics_attribution", "analytics_cuped",
       "analytics_mann_whitney", "analytics_bootstrap_ci",
       "ts_holt_winters", "ts_theil_sen", "ts_kalman_level",
-      "ts_mann_kendall")
+      "ts_mann_kendall", "analytics_rand_fdr")
     if (only.isEmpty || only.exists(evFams.contains)) {
       val nEvents = 100000L * scale
       val ev = synthEvents(spark, nEvents).localCheckpoint(true)
@@ -458,6 +458,16 @@ object ScaleStress {
       }
       run("ts_mann_kendall", nEvents, 3L * 60 * 59 / 2) {
         AnalyticsOps.mannKendall(ev)
+      }
+      // randomization FDR: candidates = n·B logical reassignment
+      // draws, but B rides as a column multiplier inside ONE map-side
+      // aggregation (the bootstrap law) — only m rows of 2B+4 longs
+      // shuffle; wall must track n linearly with a ×B scan constant
+      run("analytics_rand_fdr", nEvents, nEvents * 64) {
+        AnalyticsOps.randomizationFdr(
+          ev.withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
+            .withColumn("succ", (col("value") > lit(500.0)).cast("int")),
+          "event_type", "user_id", "arm", "succ")
       }
       ev.unpersist()
     }

@@ -3269,6 +3269,18 @@ object SparkEntry {
           "event_type", "arm", "succ")
         .orderBy("event_type")),
 
+    // ---- randomization test + Benjamini–Hochberg FDR per metric ----
+    "analytics_rand_fdr" -> ((s, dir) =>
+      // same parity arms + conversion success as ab_proportions; B=64
+      // md5-coin unit reassignments give exact rational p-values, then
+      // the BH step-up over the metric sheet in pure integer math
+      AnalyticsOps.randomizationFdr(
+          events(s, dir)
+            .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
+            .withColumn("succ", (col("value") > lit(50.0)).cast("int")),
+          "event_type", "user_id", "arm", "succ")
+        .orderBy("grp")),
+
     // ---- corpus-prep attrition funnel ----
     "pipe_filter_funnel" -> ((s, dir) => {
       // the audit row set every filtering run ships with: survivors
@@ -3417,6 +3429,21 @@ object SparkEntry {
         .union(c.select(col("c_custkey").as("src"),
           expr("c_custkey div 4").as("dst")))
       GraphOps.resourceAllocation(edges,
+          maxDegree = GraphOps.suggestedDegreeCap(edges))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "graph_adamic_adar" -> ((s, dir) => {
+      // AA link prediction on the same halving-edge graph: log-damped
+      // common-neighbor evidence — 1/ln(deg) per witness, quantized to
+      // DECIMAL(14,12) before the order-free decimal sum (the entropy
+      // log-grid recipe), completing the CN-Jaccard / RA / AA trio
+      val c = t(s, dir, "customer").where(col("c_custkey") > 3)
+      val edges = c.select(col("c_custkey").as("src"),
+          expr("c_custkey div 2").as("dst"))
+        .union(c.select(col("c_custkey").as("src"),
+          expr("c_custkey div 4").as("dst")))
+      GraphOps.adamicAdar(edges,
           maxDegree = GraphOps.suggestedDegreeCap(edges))
         .orderBy("id_a", "id_b")
     }),
@@ -9081,6 +9108,30 @@ object SparkEntry {
         |   / CAST(1000000000000 AS DOUBLE) AS ra
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // AA replay: same wedge relation, witness credit 1/ln(deg)
+    // quantized to DECIMAL(14,12) before the exact decimal sum
+    "graph_adamic_adar" ->
+      """WITH k AS (SELECT c_custkey AS kk FROM customer
+        | WHERE c_custkey > 3),
+        |e0 AS (SELECT kk AS src, kk // 2 AS dst FROM k
+        | UNION ALL SELECT kk, kk // 4 FROM k),
+        |und AS (SELECT DISTINCT least(src, dst) AS u,
+        |  greatest(src, dst) AS v FROM e0
+        | WHERE least(src, dst) <> greatest(src, dst)),
+        |adj AS (SELECT u AS node, v AS nb FROM und
+        | UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        | FROM adj GROUP BY node),
+        |small AS (SELECT adj.node, adj.nb, deg.deg FROM adj
+        | JOIN deg ON adj.node = deg.node WHERE deg.deg <= 10000),
+        |w AS (SELECT a.nb AS id_a, b.nb AS id_b,
+        |  CAST(1.0 / ln(CAST(a.deg AS DOUBLE)) AS DECIMAL(14,12)) AS w
+        | FROM small a
+        | JOIN small b ON a.node = b.node AND a.nb < b.nb)
+        |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_common,
+        | CAST(CAST(sum(w) AS DECIMAL(24,12)) AS DOUBLE) AS aa
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // synchronous peel replay: 10 chained filter+degree rounds on the
     // tree + 20-clique fixture (converges at round 7)
     "graph_kcore" -> {
@@ -9734,6 +9785,63 @@ object SparkEntry {
         |   * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
         |     + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS z
         |FROM p ORDER BY event_type""".stripMargin,
+
+    // randomization-test p-values (B=64 md5-coin unit reassignments,
+    // add-one rational p) + integer-arithmetic BH step-up at q=1/20
+    "analytics_rand_fdr" ->
+      """WITH ev AS (SELECT event_type AS grp, user_id,
+        |  CAST(user_id % 2 AS INTEGER) AS arm,
+        |  CAST(CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS succ FROM events),
+        |hs AS (SELECT grp, user_id, succ, chunk,
+        |  md5(CAST(user_id AS VARCHAR) || ':'
+        |    || CAST(chunk AS VARCHAR)) AS hh
+        | FROM ev, (SELECT unnest(range(0, 4)) AS chunk)),
+        |bits AS (SELECT grp, succ, chunk * 16 + pos AS r,
+        |  (ascii(substr(hh, CAST(2 * pos + 2 AS INTEGER), 1))
+        |   - CASE WHEN ascii(substr(hh, CAST(2 * pos + 2 AS INTEGER),
+        |       1)) >= 97 THEN 87 ELSE 48 END) % 2 AS bit
+        | FROM hs, (SELECT unnest(range(0, 16)) AS pos)),
+        |rep AS (SELECT grp, r, CAST(SUM(bit) AS BIGINT) AS cb,
+        |  CAST(SUM(bit * succ) AS BIGINT) AS sb
+        | FROM bits GROUP BY 1, 2),
+        |base AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(succ) AS BIGINT) AS x,
+        |  CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_a,
+        |  CAST(SUM(CASE WHEN arm = 0 THEN succ ELSE 0 END) AS BIGINT)
+        |    AS x_a
+        | FROM ev GROUP BY 1),
+        |obs AS (SELECT grp, n, x, n_a, x_a,
+        |  CASE WHEN n_a = 0 OR n - n_a = 0 THEN NULL
+        |   ELSE CAST(abs(CAST(x_a AS HUGEINT) * (n - n_a)
+        |       - CAST(x - x_a AS HUGEINT) * n_a) AS DOUBLE)
+        |     / CAST(CAST(n_a AS HUGEINT) * (n - n_a) AS DOUBLE)
+        |  END AS t_obs FROM base),
+        |tb AS (SELECT rep.grp, rep.r,
+        |  CASE WHEN cb = 0 OR o.n - cb = 0 THEN NULL
+        |   ELSE CAST(abs(CAST(sb AS HUGEINT) * (o.n - cb)
+        |       - CAST(o.x - sb AS HUGEINT) * cb) AS DOUBLE)
+        |     / CAST(CAST(cb AS HUGEINT) * (o.n - cb) AS DOUBLE)
+        |  END AS t_b
+        | FROM rep JOIN obs o ON rep.grp = o.grp),
+        |pv AS (SELECT o.grp, o.n_a, o.x_a, o.n - o.n_a AS n_b,
+        |  o.x - o.x_a AS x_b,
+        |  CAST(CASE WHEN o.t_obs IS NULL THEN 65
+        |   ELSE 1 + SUM(CASE WHEN t.t_b IS NULL OR t.t_b >= o.t_obs
+        |     THEN 1 ELSE 0 END) END AS BIGINT) AS p_num
+        | FROM obs o JOIN tb t ON t.grp = o.grp
+        | GROUP BY o.grp, o.n_a, o.x_a, o.n, o.x, o.t_obs),
+        |rk AS (SELECT grp, n_a, x_a, n_b, x_b, p_num,
+        |  CAST(row_number() OVER (ORDER BY p_num, grp) AS BIGINT)
+        |    AS bh_rank FROM pv),
+        |kk AS (SELECT max(CASE WHEN p_num * 20
+        |      * (SELECT count(*) FROM rk) <= 65 * bh_rank
+        |    THEN bh_rank ELSE 0 END) AS bh_k FROM rk)
+        |SELECT r.grp, r.n_a, r.x_a, r.n_b, r.x_b, r.p_num,
+        | CAST(r.p_num AS DOUBLE) / 65.0 AS p_value, r.bh_rank,
+        | r.bh_rank <= kk.bh_k AS reject
+        |FROM rk r CROSS JOIN kk ORDER BY r.grp""".stripMargin,
 
     // beta-binomial EB: method-of-moments prior over the k rates
     // (dsum-quantized moment sums), posterior mean per group

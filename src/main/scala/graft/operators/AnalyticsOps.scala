@@ -2091,6 +2091,113 @@ object AnalyticsOps {
             lit(1.0) / col("n_b").cast("double")))).as("z"))
   }
 
+  /** Multiple-testing control for a metric sheet: a deterministic
+    * Monte-Carlo randomization test per group (Fisher 1935; the
+    * two-sample random-reassignment form) followed by the
+    * Benjamini–Hochberg step-up (JRSS-B 1995 — public), the FDR
+    * control every many-metric A/B readout needs before anyone acts
+    * on its smallest p-value.
+    *
+    * Per group g: the observed statistic is T = |x_a/n_a − x_b/n_b|
+    * over the caller's arm split; replicate b ∈ [0, B) reassigns each
+    * UNIT (all its rows together) to a pseudo-arm by the parity of
+    * byte b mod 16 of md5(unit:⌊b/16⌋) — the [[bootstrapMeanCi]]
+    * hash-coin family, so the draw is identical in any engine with
+    * md5. p_g = (1 + #{b : T_b ≥ T}) / (B+1), the add-one Monte-Carlo
+    * p-value (Davison & Hinkley) — an exact RATIONAL with integer
+    * numerator `p_num`, which is what makes the BH comparison below
+    * pure integer arithmetic. A degenerate replicate (one arm empty)
+    * counts as exceeding — conservative, and measure-zero at real
+    * group sizes. T itself is compared cross-engine via one IEEE
+    * division of exact DECIMAL(38,0) cross products
+    * |x_a·n_b − x_b·n_a| / (n_a·n_b) — same doubles in both engines.
+    *
+    * BH at level q = qNum/qDen: order the m groups by (p_num, grp),
+    * reject ranks 1..k where k = max{i : p_num·qDen·m ≤ (B+1)·qNum·i}
+    * — every quantity an integer, no float thresholds. The ranking is
+    * a broadcast m² self-join (m = #groups, bounded by construction),
+    * NOT a global window — the repo's single-partition-window ban.
+    *
+    * Scale: ONE map-side-combined aggregation collapses the corpus to
+    * m rows of 2B+4 longs (the constant-multiplier law — B rides as a
+    * column multiplier, never a row multiplier); everything after
+    * runs on m rows. Output per group: (grp, n_a, x_a, n_b, x_b,
+    * p_num, p_value, bh_rank, reject). */
+  def randomizationFdr(df: DataFrame, groupCol: String, unitCol: String,
+      armCol: String, successCol: String, b: Int = 64,
+      qNum: Int = 1, qDen: Int = 20): DataFrame = {
+    require(b % 16 == 0, "b must be a multiple of 16 md5 bytes")
+    val chunks = b / 16
+    val unit = col(unitCol).cast("string")
+    val withH = df.select(
+      (col(groupCol).as("grp") +: col(armCol).as("arm") +:
+        col(successCol).cast("long").as("succ") +:
+        (0 until chunks).map(c =>
+          md5(concat_ws(":", unit, lit(c.toString))).as(s"h$c"))): _*)
+    // bit r of replicate: parity of raw digest byte r mod 16 = parity
+    // of the LOW hex char of hex pair r mod 16 (chars are 1-indexed)
+    def bit(r: Int): Column =
+      (hexVal(substring(col(s"h${r / 16}"), 2 * (r % 16) + 2, 1)) % 2)
+        .cast("long")
+    val a = col("arm") === 0
+    val aggs =
+      count(lit(1)).as("n") +: sum(col("succ")).as("x") +:
+        sum(when(a, 1L).otherwise(0L)).as("n_a") +:
+        sum(when(a, col("succ")).otherwise(0L)).as("x_a") +:
+        (0 until b).flatMap(r => Seq(
+          sum(bit(r)).as(s"cb$r"),
+          sum(bit(r) * col("succ")).as(s"sb$r")))
+    val g = withH.groupBy(col("grp")).agg(aggs.head, aggs.tail: _*)
+    val d19 = DecimalType(19, 0)
+    // |xa·nb − xb·na| / (na·nb) as ONE IEEE division of exact decimals;
+    // null when an arm is empty
+    def tstat(na: Column, xa: Column, n: Column, x: Column): Column = {
+      val nb = n - na
+      val num = abs(xa.cast(d19) * nb.cast(d19) -
+        (x - xa).cast(d19) * na.cast(d19))
+      when(na === 0 || nb === 0, lit(null).cast("double"))
+        .otherwise(num.cast("double") /
+          (na.cast(d19) * nb.cast(d19)).cast("double"))
+    }
+    val tObs = tstat(col("n_a"), col("x_a"), col("n"), col("x"))
+    val exceed = (0 until b).map { r =>
+      val tb = tstat(col(s"cb$r"), col(s"sb$r"), col("n"), col("x"))
+      when(tb.isNull || tb >= col("t_obs"), 1L).otherwise(0L)
+    }.reduce(_ + _)
+    val scored = g.withColumn("t_obs", tObs)
+      .withColumn("p_num",
+        when(col("t_obs").isNull, lit(b + 1L))
+          .otherwise(lit(1L) + exceed))
+      .select(col("grp"), col("n_a"), col("x_a"),
+        (col("n") - col("n_a")).as("n_b"),
+        (col("x") - col("x_a")).as("x_b"), col("p_num"))
+      .localCheckpoint(true)
+    // BH step-up on m rows: rank by (p_num, grp) via a broadcast m²
+    // self-join, k = the largest passing rank, reject ranks ≤ k
+    val ranked = scored.as("l").join(
+        broadcast(scored.select(col("grp").as("rg"),
+          col("p_num").as("rp"))),
+        col("rp") < col("p_num") ||
+          (col("rp") === col("p_num") && col("rg") <= col("grp")))
+      .groupBy(col("grp"), col("n_a"), col("x_a"), col("n_b"),
+        col("x_b"), col("p_num"))
+      .agg(count(lit(1)).as("bh_rank"))
+    // m is the bounded group count (the checkpoint above makes this a
+    // metadata-cheap read, not a recompute)
+    val m = scored.count()
+    val mAndK = ranked
+      .agg(max(when(col("p_num") * lit(qDen.toLong) * lit(m) <=
+            lit((b + 1).toLong) * lit(qNum.toLong) * col("bh_rank"),
+            col("bh_rank"))
+          .otherwise(0L)).as("bh_k"))
+    ranked.crossJoin(broadcast(mAndK))
+      .select(col("grp"), col("n_a"), col("x_a"), col("n_b"),
+        col("x_b"), col("p_num"),
+        (col("p_num").cast("double") / lit((b + 1).toDouble))
+          .as("p_value"),
+        col("bh_rank"), (col("bh_rank") <= col("bh_k")).as("reject"))
+  }
+
   /** Positive-part James–Stein shrinkage of per-group means toward the
     * grand mean (Stein 1961; Efron–Morris 1975 — public): the
     * empirical-Bayes estimator that dominates raw group means when

@@ -327,6 +327,43 @@ object GraphOps {
         (sum(col("fp")).cast("double") / lit(1e12)).as("ra"))
   }
 
+  /** Adamic–Adar link-prediction index (Adamic & Adar, Social
+    * Networks 2003 — public): AA(a,b) = Σ_{v ∈ Γ(a)∩Γ(b)} 1/ln deg(v)
+    * — the logarithmic hub damping between raw common-neighbor counts
+    * (no damping) and [[resourceAllocation]]'s 1/deg (aggressive
+    * damping). Completes the classical local link-prediction trio
+    * beside [[commonNeighborJaccard]] and [[resourceAllocation]].
+    *
+    * Same wedge shape and hub-cap economics as the other two: the
+    * apex's 1/ln(deg) credit rides INSIDE the wedge join, one
+    * (id_a, id_b) aggregation finishes the job. Cross-engine
+    * determinism uses the [[TextOps.elementEntropy]] log-grid recipe:
+    * ln is the one libm call two engines may round differently (last
+    * few ulps), so each 1/ln(deg) is QUANTIZED to DECIMAL(14,12)
+    * before the exact decimal accumulation — the cross-partition sum
+    * is order-free and the oracle replays it digit-for-digit. A wedge
+    * apex always has ≥ 2 distinct neighbors, so ln(deg) ≥ ln 2 > 0 and
+    * the credit is finite. Output: (id_a, id_b, n_common, aa). */
+  def adamicAdar(edges: DataFrame, maxDegree: Long): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val adj = und.select(col("u").as("node"), col("v").as("nb"))
+      .union(und.select(col("v").as("node"), col("u").as("nb")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val small = commonNeighborWedgeRelation(edges, maxDegree)
+      .join(deg, "node")
+    val wedges = small.as("a").join(small.as("b"),
+        col("a.node") === col("b.node") && col("a.nb") < col("b.nb"))
+      .select(col("a.nb").as("id_a"), col("b.nb").as("id_b"),
+        (lit(1.0) / log(col("a.deg").cast("double")))
+          .cast(DecimalType(14, 12)).as("w"))
+    wedges.groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("w")).cast(DecimalType(24, 12)).cast("double").as("aa"))
+  }
+
   /** k-core membership by synchronous peeling (Seidman 1983; the
     * Batagelj–Zaveršnik sequential algorithm's parallel superstep
     * form): starting from the full undirected graph, every round drops

@@ -769,6 +769,26 @@ class PlanAuditSpec extends AnyFunSuite {
         s"a global window here serializes every matched gram:\n$plan")
   }
 
+  test("randomization FDR: the corpus crosses the wire once as m " +
+      "group rows (B rides as columns), the BH rank join broadcasts, " +
+      "and no global window exists") {
+    val df = q("analytics_rand_fdr")
+    val plan = planOf(df)
+    // the replicate dimension must never become a row multiplier: the
+    // only corpus-sized exchange is the single group-by aggregation
+    // (plus the bounded post-checkpoint stages); rank + k are m-row
+    // broadcast joins
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"the m-row BH rank join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing in the FDR plan justifies a shuffle join:\n$plan")
+    val windows = flatten(df.queryExecution.executedPlan)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty,
+      s"BH ranking must be the bounded self-join, not a window:\n$plan")
+  }
+
   test("bootstrap: the replicate explode runs over the AGGREGATED " +
       "buffers, never the corpus (the emb_pca one-pass shape)") {
     // the (rows × B) relation must not exist: every Generate in the

@@ -72,6 +72,32 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(ra((2L, 3L))._2 > ra((1L, 2L))._2)
   }
 
+  test("adamicAdar: each common neighbor contributes the quantized " +
+      "1/ln(deg), damping hubs less aggressively than RA") {
+    // triangle 1-2-3 plus pendant 3-4: degrees 1:2, 2:2, 3:3, 4:1
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val aa = GraphOps.adamicAdar(edges, maxDegree = 100)
+      .select("id_a", "id_b", "n_common", "aa")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    // the operator's quantization: 1/ln(deg) rounded to 12 decimals
+    def credit(deg: Int): Double =
+      BigDecimal(1.0 / math.log(deg.toDouble))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(aa == Map(
+      (2L, 3L) -> (1L, credit(2)), // witness 1 (deg 2)
+      (1L, 3L) -> (1L, credit(2)), // witness 2 (deg 2)
+      (1L, 2L) -> (1L, credit(3)), // witness 3 (deg 3)
+      (1L, 4L) -> (1L, credit(3)),
+      (2L, 4L) -> (1L, credit(3))))
+    // AA sits between raw counts (no damping) and RA (1/deg): the
+    // deg-3 witness keeps MORE credit under AA (1/ln3 ≈ .91) than
+    // under RA (1/3), and less than a deg-2 witness under AA
+    assert(aa((1L, 2L))._2 > 1.0 / 3.0 + 0.5)
+    assert(aa((2L, 3L))._2 > aa((1L, 2L))._2)
+  }
+
   test("localClusteringCoefficient: K4 is all-1, a triangle+pendant " +
       "gives the textbook 1/3 at the hub, degree<2 reads 0") {
     val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))

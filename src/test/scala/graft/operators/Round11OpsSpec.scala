@@ -12,6 +12,53 @@ class Round11OpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("randomizationFdr: a perfect-separation metric earns p_num=1 " +
+      "and the BH rejection, a null metric earns p_num=B+1 and none") {
+    // strong: success ⟺ arm A (T_obs = 1, the maximum — no random
+    // reassignment can exceed it, only tie with probability ~0)
+    val strong = (0L until 200L).map(u =>
+      ("strong", u, if (u % 2 == 0) 1 else 0))
+    // noise: success = u%4 ∈ {0,1} — half of each parity arm, so
+    // T_obs = 0 and EVERY replicate exceeds (p = 65/65)
+    val noise = (0L until 200L).map(u =>
+      ("noise", u, if (u % 4 < 2) 1 else 0))
+    val df = (strong ++ noise).toDF("event_type", "user_id", "succ")
+      .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
+    val out = AnalyticsOps.randomizationFdr(
+        df, "event_type", "user_id", "arm", "succ")
+      .select("grp", "n_a", "x_a", "n_b", "x_b", "p_num", "p_value",
+        "bh_rank", "reject")
+      .as[(String, Long, Long, Long, Long, Long, Double, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+
+    val s = out("strong")
+    assert((s._2, s._3, s._4, s._5) == ((100L, 100L, 100L, 0L)))
+    assert(s._6 == 1L, s"perfect separation must be unmatched: $s")
+    assert(s._7 == 1.0 / 65.0 && s._8 == 1L && s._9)
+    val z = out("noise")
+    assert((z._2, z._3, z._4, z._5) == ((100L, 50L, 100L, 50L)))
+    assert(z._6 == 65L, s"T_obs=0 means every replicate exceeds: $z")
+    assert(z._7 == 1.0 && z._8 == 2L && !z._9,
+      // BH at q=1/20, m=2: rank 2 needs p_num·40 ≤ 130 — p_num=65 fails
+      s"null metric must not be rejected: $z")
+  }
+
+  test("randomizationFdr: p_num is invariant under row duplication " +
+      "(unit-level reassignment, not row-level)") {
+    // duplicating every row ×3 scales all counts by 3 — T and the
+    // whole p-value are ratios of those counts, so a UNIT-coin draw
+    // leaves p_num fixed (a row-level coin would re-randomize)
+    val base = (0L until 120L).map(u =>
+      ("m", u, if ((u * 7 + 3) % 5 < 2) 1 else 0))
+    def run(rows: Seq[(String, Long, Int)]): Long =
+      AnalyticsOps.randomizationFdr(
+          rows.toDF("event_type", "user_id", "succ")
+            .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int")),
+          "event_type", "user_id", "arm", "succ")
+        .select("p_num").as[Long].head()
+    assert(run(base) == run(base ++ base ++ base))
+  }
+
   test("kalmanLevel: matches the scalar predict/gain/update recursion, " +
       "gain converges to the steady state, variance is monotone there") {
     // one key, six days (one out of order in the input — the sort is

@@ -418,7 +418,8 @@ object ScaleStress {
     val evFams = Set("analytics_attribution", "analytics_cuped",
       "analytics_mann_whitney", "analytics_bootstrap_ci",
       "ts_holt_winters", "ts_theil_sen", "ts_kalman_level",
-      "ts_mann_kendall", "analytics_rand_fdr")
+      "ts_mann_kendall", "analytics_rand_fdr", "analytics_msprt",
+      "analytics_psi")
     if (only.isEmpty || only.exists(evFams.contains)) {
       val nEvents = 100000L * scale
       val ev = synthEvents(spark, nEvents).localCheckpoint(true)
@@ -468,6 +469,22 @@ object ScaleStress {
           ev.withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
             .withColumn("succ", (col("value") > lit(500.0)).cast("int")),
           "event_type", "user_id", "arm", "succ")
+      }
+      // mSPRT: the calendar-collapse law again — ONE aggregation to
+      // the types × days daily relation, then two windows bounded by
+      // the calendar; candidates = the daily relation, INVARIANT in n
+      run("analytics_msprt", nEvents, 60L * 3) {
+        AnalyticsOps.msprtSequential(
+          ev.withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
+            .withColumn("succ", (col("value") > lit(500.0)).cast("int")),
+          "event_type", "ts", "arm", "succ")
+      }
+      // PSI: one conditional aggregation to |bins| rows + singleton
+      // broadcasts; candidates = the bin relation, INVARIANT in n
+      run("analytics_psi", nEvents, 3L) {
+        AnalyticsOps.psiDrift(
+          ev.withColumn("is_ref", dayofweek(col("ts")).between(2, 6)),
+          "event_type", "is_ref")
       }
       ev.unpersist()
     }

@@ -3281,6 +3281,39 @@ object SparkEntry {
           "event_type", "user_id", "arm", "succ")
         .orderBy("grp")),
 
+    // ---- distribution drift between corpus slices (PSI) ----
+    "analytics_psi" -> ((s, dir) =>
+      // weekday slice as the reference distribution, weekend as the
+      // current one, binned by event type — the snapshot-vs-snapshot
+      // drift readout run before any retraining decision
+      AnalyticsOps.psiDrift(
+          events(s, dir)
+            .withColumn("is_ref", dayofweek(col("ts")).between(2, 6)),
+          "event_type", "is_ref")
+        .orderBy("bin")),
+
+    // ---- always-valid sequential A/B p-value (mSPRT) ----
+    "analytics_msprt" -> ((s, dir) =>
+      // the peeking-proof daily monitor over the same parity arms +
+      // conversion metric as ab_proportions; log-domain p (exp is not
+      // cross-engine), tau^2 = 1/100 prior scale
+      AnalyticsOps.msprtSequential(
+          events(s, dir)
+            .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
+            .withColumn("succ", (col("value") > lit(50.0)).cast("int")),
+          "event_type", "ts", "arm", "succ")
+        .orderBy("grp", "day")),
+
+    // ---- sample-ratio-mismatch guardrail ----
+    "analytics_srm" -> ((s, dir) =>
+      // the assignment sanity check that gates every other readout:
+      // parity arms against the 1:1 design ratio, df=1 chi-square
+      AnalyticsOps.srmCheck(
+          events(s, dir)
+            .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int")),
+          "event_type", "arm")
+        .orderBy("grp")),
+
     // ---- corpus-prep attrition funnel ----
     "pipe_filter_funnel" -> ((s, dir) => {
       // the audit row set every filtering run ships with: survivors
@@ -9842,6 +9875,129 @@ object SparkEntry {
         | CAST(r.p_num AS DOUBLE) / 65.0 AS p_value, r.bh_rank,
         | r.bh_rank <= kk.bh_k AS reject
         |FROM rk r CROSS JOIN kk ORDER BY r.grp""".stripMargin,
+
+    // PSI replay: add-one smoothed bin shares, ln(p/q) as the exact
+    // integer-operand difference lnG(a*N2) - lnG(b*N1) on the 1e-12
+    // grid, total accumulated in pure HUGEINT and divided once (the
+    // sum can pass 2^53 -> VARCHAR route for the decimal->double cast)
+    "analytics_psi" ->
+      """WITH ev AS (SELECT event_type AS bin,
+        |  isodow(ts) <= 5 AS is_ref FROM events),
+        |b AS (SELECT bin,
+        |  CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS c_ref,
+        |  CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS c_cur
+        | FROM ev GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+        |  CAST(SUM(c_cur) AS BIGINT) AS n_cur,
+        |  CAST(count(*) AS BIGINT) AS bb FROM b),
+        |terms AS (SELECT bin, c_ref, c_cur,
+        |  CAST(c_ref + 1 AS HUGEINT) * (n_cur + bb)
+        |    - CAST(c_cur + 1 AS HUGEINT) * (n_ref + bb) AS num,
+        |  CAST(floor(ln(CAST(CAST(c_ref + 1 AS HUGEINT)
+        |      * (n_cur + bb) AS DOUBLE)) * 1e12) AS BIGINT)
+        |   - CAST(floor(ln(CAST(CAST(c_cur + 1 AS HUGEINT)
+        |      * (n_ref + bb) AS DOUBLE)) * 1e12) AS BIGINT) AS lng,
+        |  CAST(n_ref + bb AS HUGEINT) * (n_cur + bb) AS den
+        | FROM b CROSS JOIN t),
+        |tot AS (SELECT CAST(CAST(SUM(num * lng) AS VARCHAR) AS DOUBLE)
+        |   / CAST(max(den) AS DOUBLE) / 1e12 AS psi_total FROM terms)
+        |SELECT bin, c_ref, c_cur,
+        | CAST(lng AS DOUBLE) / 1e12 AS ln_ratio,
+        | CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+        |   * (CAST(lng AS DOUBLE) / 1e12) AS psi_term,
+        | psi_total
+        |FROM terms CROSS JOIN tot ORDER BY bin""".stripMargin,
+
+    // mSPRT replay: daily cumulative sufficient statistics, the
+    // mixture ratio's ln pair on exact integer operands (1e-12 grid),
+    // the quadratic term as the same fixed IEEE tree, running max in
+    // the calendar-bounded window
+    "analytics_msprt" ->
+      """WITH ev AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+        |  CAST(user_id % 2 AS INTEGER) AS arm,
+        |  CAST(CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS succ FROM events),
+        |daily AS (SELECT grp, day,
+        |  CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS da,
+        |  CAST(SUM(CASE WHEN arm = 0 THEN succ ELSE 0 END) AS BIGINT)
+        |    AS dxa,
+        |  CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS db,
+        |  CAST(SUM(CASE WHEN arm = 1 THEN succ ELSE 0 END) AS BIGINT)
+        |    AS dxb
+        | FROM ev GROUP BY 1, 2),
+        |cum AS (SELECT grp, day,
+        |  CAST(SUM(da) OVER w AS BIGINT) AS n_a,
+        |  CAST(SUM(dxa) OVER w AS BIGINT) AS x_a,
+        |  CAST(SUM(db) OVER w AS BIGINT) AS n_b,
+        |  CAST(SUM(dxb) OVER w AS BIGINT) AS x_b
+        | FROM daily WINDOW w AS (PARTITION BY grp ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |sc AS (SELECT grp, day, n_a, x_a, n_b, x_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0
+        |    OR CAST(x_a + x_b AS HUGEINT)
+        |       * (n_a + n_b - x_a - x_b) = 0 THEN CAST(0 AS DOUBLE)
+        |  ELSE
+        |   CAST(CAST(floor(ln(CAST(CAST(x_a + x_b AS HUGEINT)
+        |        * (n_a + n_b - x_a - x_b) * 100 AS DOUBLE)) * 1e12)
+        |       AS BIGINT)
+        |     - CAST(floor(ln(CAST(CAST(x_a + x_b AS HUGEINT)
+        |        * (n_a + n_b - x_a - x_b) * 100
+        |        + CAST(n_a + n_b AS HUGEINT) * n_a * n_b AS DOUBLE))
+        |        * 1e12) AS BIGINT) AS DOUBLE) / CAST(2e12 AS DOUBLE)
+        |   + (CAST(CAST(x_a AS HUGEINT) * n_b
+        |        - CAST(x_b AS HUGEINT) * n_a AS DOUBLE)
+        |      / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE))
+        |     * (CAST(CAST(x_a AS HUGEINT) * n_b
+        |        - CAST(x_b AS HUGEINT) * n_a AS DOUBLE)
+        |      / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE))
+        |     * CAST(0.01 AS DOUBLE)
+        |     / (CAST(2 AS DOUBLE)
+        |        * (CAST(CAST(x_a + x_b AS HUGEINT)
+        |            * (n_a + n_b - x_a - x_b) AS DOUBLE)
+        |           / CAST(CAST(n_a + n_b AS HUGEINT) * n_a * n_b
+        |              AS DOUBLE))
+        |        * (CAST(CAST(x_a + x_b AS HUGEINT)
+        |            * (n_a + n_b - x_a - x_b) AS DOUBLE)
+        |           / CAST(CAST(n_a + n_b AS HUGEINT) * n_a * n_b
+        |              AS DOUBLE) + CAST(0.01 AS DOUBLE)))
+        |  END AS log_lambda
+        | FROM cum),
+        |fin AS (SELECT grp, day, n_a, x_a, n_b, x_b, log_lambda,
+        |  CASE WHEN MAX(log_lambda) OVER w > CAST(0 AS DOUBLE)
+        |   THEN -MAX(log_lambda) OVER w ELSE CAST(0 AS DOUBLE)
+        |  END AS log_p
+        | FROM sc WINDOW w AS (PARTITION BY grp ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT grp, day, n_a, x_a, n_b, x_b, log_lambda, log_p,
+        | log_p <= CAST(-2.995732273553991 AS DOUBLE) AS significant
+        |FROM fin ORDER BY grp, day""".stripMargin,
+
+    // SRM replay: the cleared single-cross-product chi-square
+    // d^2 / (n*ra*rb) with d = n_a*(ra+rb) - n*ra, one IEEE division
+    "analytics_srm" ->
+      """WITH ev AS (SELECT event_type AS grp,
+        |  CAST(user_id % 2 AS INTEGER) AS arm FROM events),
+        |g AS (SELECT grp,
+        |  CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_a,
+        |  CAST(SUM(CASE WHEN arm = 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_b
+        | FROM ev GROUP BY 1),
+        |c AS (SELECT grp, n_a, n_b,
+        |  CAST((CAST(n_a AS HUGEINT) * 2
+        |      - CAST(n_a + n_b AS HUGEINT) * 1)
+        |    * (CAST(n_a AS HUGEINT) * 2
+        |      - CAST(n_a + n_b AS HUGEINT) * 1) AS DOUBLE)
+        |   / CAST(CAST(n_a + n_b AS HUGEINT) * 1 * 1 AS DOUBLE)
+        |    AS chi2
+        | FROM g)
+        |SELECT grp, n_a, n_b, chi2,
+        | chi2 > CAST(3.841458820694124 AS DOUBLE) AS srm
+        |FROM c ORDER BY grp""".stripMargin,
 
     // beta-binomial EB: method-of-moments prior over the k rates
     // (dsum-quantized moment sums), posterior mean per group

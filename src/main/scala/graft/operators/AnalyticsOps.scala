@@ -2198,6 +2198,187 @@ object AnalyticsOps {
         col("bh_rank"), (col("bh_rank") <= col("bh_k")).as("reject"))
   }
 
+  /** Population Stability Index between a reference and a current
+    * slice of the same relation (the credit-scoring drift metric,
+    * Siddiqi 2006 — public; the monitoring statistic data pipelines
+    * run between corpus snapshots before retraining):
+    * PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i), with add-one (Laplace)
+    * smoothing so a bin present in only one slice contributes a
+    * finite term instead of ±∞: p_i = (c_ref,i + 1)/(n_ref + B),
+    * q_i = (c_cur,i + 1)/(n_cur + B) over the B bins observed in
+    * either slice. Conventional read: < 0.1 stable, > 0.25 shifted.
+    *
+    * Determinism: ln(p/q) = ln(a·N₂) − ln(b·N₁) — both operands
+    * integer-valued doubles (the pinned cross-engine ln class), each
+    * floored onto the 10⁻¹² grid as BIGINT — and the bin term clears
+    * (p − q) to the exact cross product a·N₂ − b·N₁, so the total's
+    * accumulation Σ (a·N₂ − b·N₁)·(lnGa − lnGb) is EXACT
+    * DECIMAL(38,0) integer arithmetic; the only IEEE steps are the
+    * final per-row divisions (bounds: counts to 10¹² keep the product
+    * under 38 digits with the grid's 10¹³ factor).
+    *
+    * Scale: ONE map-side-combined aggregation collapses the corpus to
+    * B bin rows (conditional sums — the slice flag rides as a column,
+    * never a shuffle key); totals are a singleton broadcast. Output
+    * per bin: (bin, c_ref, c_cur, ln_ratio, psi_term, psi_total) —
+    * psi_total repeated on every row for a relation-shaped readout. */
+  def psiDrift(df: DataFrame, binCol: String, isRefCol: String)
+      : DataFrame =
+    psiFromBinCounts(
+      df.groupBy(col(binCol).as("bin"))
+        .agg(sum(when(col(isRefCol), 1L).otherwise(0L)).as("c_ref"),
+          sum(when(col(isRefCol), 0L).otherwise(1L)).as("c_cur")))
+
+  /** The PSI computation over an already-binned (bin, c_ref, c_cur)
+    * relation — shared by [[psiDrift]] and the streaming maintainer's
+    * read side (`StreamingOps.psiStateRelease`), so the two surfaces
+    * can never drift. */
+  def psiFromBinCounts(binned: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val totals = binned.agg(sum(col("c_ref")).as("n_ref"),
+      sum(col("c_cur")).as("n_cur"), count(lit(1)).as("b_bins"))
+    def lnG(x: Column): Column =
+      floor(log(x.cast("double")) * lit(1e12)).cast("long")
+    val a = (col("c_ref") + lit(1L)).cast(dec)
+    val b = (col("c_cur") + lit(1L)).cast(dec)
+    val n1 = (col("n_ref") + col("b_bins")).cast(dec)
+    val n2 = (col("n_cur") + col("b_bins")).cast(dec)
+    val terms = binned.crossJoin(broadcast(totals))
+      .withColumn("num", (a * n2 - b * n1).cast(dec))
+      .withColumn("lng", (lnG(a * n2) - lnG(b * n1)).cast("long"))
+      .withColumn("den", (n1 * n2).cast(dec))
+    val total = terms
+      .agg(sum((col("num") * col("lng")).cast(dec)).as("s"),
+        max(col("den")).as("d"))
+      .select((col("s").cast("double") / col("d").cast("double") /
+        lit(1e12)).as("psi_total"))
+    terms.crossJoin(broadcast(total))
+      .select(col("bin"), col("c_ref"), col("c_cur"),
+        (col("lng").cast("double") / lit(1e12)).as("ln_ratio"),
+        (col("num").cast("double") / col("den").cast("double") *
+          (col("lng").cast("double") / lit(1e12))).as("psi_term"),
+        col("psi_total"))
+  }
+
+  /** Always-valid sequential A/B monitoring: the mixture Sequential
+    * Probability Ratio Test of Johari–Koomen–Pekelis–Walsh (KDD'17
+    * "Peeking at A/B Tests" — public), the readout that stays a valid
+    * p-value no matter how often the experimenter looks. Per group,
+    * the daily cumulative two-arm conversion stream yields
+    *   Δ̂_d = x_a/n_a − x_b/n_b,   V_d = x(n−x)/(n·n_a·n_b)
+    * (the pooled-variance estimate of Var Δ̂), and the normal-mixture
+    * likelihood ratio with prior scale τ²:
+    *   ln Λ_d = ½·ln(V/(V+τ²)) + Δ̂²·τ² / (2·V·(V+τ²)).
+    * The always-valid p-value is p_d = min(1, 1/max_{t≤d} Λ_t),
+    * reported in LOG domain (exp is not bit-identical across engines):
+    * log_p = −max(0, running max of ln Λ). It only ever decreases —
+    * stopping the day it crosses ln α keeps the false-positive rate
+    * below α at ANY stopping rule, which fixed-horizon z-tests lose
+    * the moment anyone peeks.
+    *
+    * Determinism: V/(V+τ²) clears to the exact integer ratio
+    * vn·τd / (vn·τd + τn·vd) with vn = x(n−x), vd = n·n_a·n_b in
+    * DECIMAL(38,0) — both lns land on integer-valued doubles (the
+    * pinned class) and are floored onto the 10⁻¹² grid; Δ̂ and the
+    * quadratic term are a fixed IEEE expression tree over single
+    * divisions of exact decimals. Days with an empty arm or a
+    * degenerate pooled rate (x = 0 or x = n) carry ln Λ = 0 — no
+    * evidence either way.
+    *
+    * Scale: ONE aggregation collapses the corpus to the |groups|×days
+    * daily relation; the cumulative and running-max windows are
+    * partitioned per group and ordered by DAY — bounded by the
+    * calendar, never the corpus (the autocorrelation window
+    * discipline). Output per (grp, day): cumulative n_a, x_a, n_b,
+    * x_b, log_lambda, log_p, significant (log_p ≤ ln 0.05). */
+  def msprtSequential(df: DataFrame, groupCol: String, tsCol: String,
+      armCol: String, successCol: String, tauSqNum: Long = 1L,
+      tauSqDen: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val aSide = col(armCol) === 0
+    val daily = df.groupBy(col(groupCol).as("grp"),
+        to_date(col(tsCol)).as("day"))
+      .agg(sum(when(aSide, 1L).otherwise(0L)).as("da"),
+        sum(when(aSide, col(successCol).cast("long")).otherwise(0L))
+          .as("dxa"),
+        sum(when(aSide, 0L).otherwise(1L)).as("db"),
+        sum(when(aSide, 0L).otherwise(col(successCol).cast("long")))
+          .as("dxb"))
+    // cumulative sufficient statistics: the per-group window runs on
+    // the DAILY relation — rows bounded by the calendar
+    val w = Window.partitionBy(col("grp")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.select(col("grp"), col("day"),
+      sum(col("da")).over(w).as("n_a"),
+      sum(col("dxa")).over(w).as("x_a"),
+      sum(col("db")).over(w).as("n_b"),
+      sum(col("dxb")).over(w).as("x_b"))
+    val n = (col("n_a") + col("n_b")).cast(dec)
+    val x = (col("x_a") + col("x_b")).cast(dec)
+    val vn = (x * (n - x)).cast(dec)
+    val vd = (n * col("n_a").cast(dec) * col("n_b").cast(dec)).cast(dec)
+    val u = (vn * lit(tauSqDen).cast(dec)).cast(dec)
+    val uw = (u + lit(tauSqNum).cast(dec) * vd).cast(dec)
+    def lnG(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1e12)).cast("long")
+    val tau2 = lit(tauSqNum.toDouble / tauSqDen.toDouble)
+    val vDbl = vn.cast("double") / vd.cast("double")
+    val delta = (col("x_a").cast(dec) * col("n_b").cast(dec) -
+      col("x_b").cast(dec) * col("n_a").cast(dec)).cast("double") /
+      (col("n_a").cast(dec) * col("n_b").cast(dec)).cast("double")
+    val logLambda = when(col("n_a") === 0 || col("n_b") === 0 ||
+        vn === lit(0L).cast(dec), lit(0.0))
+      .otherwise(
+        (lnG(u) - lnG(uw)).cast("double") / lit(2e12) +
+          delta * delta * tau2 /
+            (lit(2.0) * vDbl * (vDbl + tau2)))
+    val scored = cum.withColumn("log_lambda", logLambda)
+    val runMax = max(col("log_lambda")).over(w)
+    scored
+      // branch, don't negate a clamped max: -0.0 vs 0.0 is an
+      // engine-serialization hazard when the running max is exactly 0
+      .withColumn("log_p",
+        when(runMax > lit(0.0), -runMax).otherwise(lit(0.0)))
+      .withColumn("significant",
+        // ln(0.05) as a parsed literal (the BM25 constant discipline)
+        col("log_p") <= lit(-2.995732273553991))
+      .select(col("grp"), col("day"), col("n_a"), col("x_a"),
+        col("n_b"), col("x_b"), col("log_lambda"), col("log_p"),
+        col("significant"))
+  }
+
+  /** Sample-ratio-mismatch guardrail (Fabijan et al., KDD'19 "Diagnosing
+    * Sample Ratio Mismatch" — public): the first sanity check every
+    * experimentation platform runs before reading ANY metric — if the
+    * realized arm split disagrees with the design ratio, assignment is
+    * broken and all downstream readouts are invalid. For a two-arm
+    * design ratio r_a : r_b, the df=1 Pearson χ² against expectation
+    * clears to ONE exact integer cross product:
+    *   χ² = (n_a·(r_a+r_b) − n·r_a)² / (n·r_a·r_b)
+    * (substitute e_a = n·r_a/R into Σ(o−e)²/e; both cell terms share
+    * the numerator d = n_a·R − n·r_a). All-integer numerator in
+    * DECIMAL(38,0), one IEEE division; the flag compares against the
+    * parsed-literal χ²₁(0.95) critical value 3.841458820694124.
+    *
+    * Scale: ONE map-side-combined aggregation to |groups| rows.
+    * Output per group: (grp, n_a, n_b, chi2, srm). */
+  def srmCheck(df: DataFrame, groupCol: String, armCol: String,
+      ratioA: Long = 1L, ratioB: Long = 1L): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val g = df.groupBy(col(groupCol).as("grp"))
+      .agg(sum(when(col(armCol) === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(armCol) === 0, 0L).otherwise(1L)).as("n_b"))
+    val n = (col("n_a") + col("n_b")).cast(dec)
+    val d = (col("n_a").cast(dec) * lit(ratioA + ratioB).cast(dec) -
+      n * lit(ratioA).cast(dec)).cast(dec)
+    g.select(col("grp"), col("n_a"), col("n_b"),
+      ((d * d).cast(dec).cast("double") /
+        (n * lit(ratioA).cast(dec) * lit(ratioB).cast(dec))
+          .cast(dec).cast("double")).as("chi2"))
+      .withColumn("srm", col("chi2") > lit(3.841458820694124))
+  }
+
   /** Positive-part James–Stein shrinkage of per-group means toward the
     * grand mean (Stein 1961; Efron–Morris 1975 — public): the
     * empirical-Bayes estimator that dominates raw group means when

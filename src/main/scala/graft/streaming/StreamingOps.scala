@@ -483,6 +483,49 @@ object StreamingOps {
         .select(col("g"), col("n"), col("clipped_units")),
       "g", clip, salt)
 
+  /** Exactly-once upkeep of the per-bin slice counts behind the PSI
+    * drift readout — the streaming face of `AnalyticsOps.psiDrift`,
+    * with the same batch-id fence as the sketch maintainers. State is
+    * the additive (bin, c_ref, c_cur) relation — O(#bins) forever;
+    * the smoothing, log grid, and total all apply ON READ via
+    * [[psiStateRelease]] through the SAME `psiFromBinCounts` step the
+    * batch surface uses, so a release after N micro-batches is
+    * bit-identical to the batch PSI over the concatenated stream. */
+  def maintainPsiState(statePath: String, binCol: String,
+      isRefCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    // (bin STRING, c_ref LONG, c_cur LONG, _batch_id)
+    val state = s.read.parquet(statePath)
+    val lastApplied = state
+      .agg(coalesce(max(col("_batch_id")), lit(Long.MinValue)))
+      .head.getLong(0)
+    if (lastApplied < batchId) {
+      val partial = batch
+        .select(col(binCol).cast("string").as("bin"), col(isRefCol))
+        .where(col("bin").isNotNull)
+        .groupBy(col("bin"))
+        .agg(sum(when(col(isRefCol), 1L).otherwise(0L)).as("c_ref"),
+          sum(when(col(isRefCol), 0L).otherwise(1L)).as("c_cur"))
+      val next = state.select(col("bin"), col("c_ref"), col("c_cur"))
+        .unionByName(partial)
+        .groupBy(col("bin"))
+        .agg(sum(col("c_ref")).cast("long").as("c_ref"),
+          sum(col("c_cur")).cast("long").as("c_cur"))
+        .withColumn("_batch_id", lit(batchId))
+      graft.operators.MergeOps.replaceTable(s, next, statePath)
+    }
+  }
+
+  /** The read side of [[maintainPsiState]]: the PSI readout over the
+    * maintained bin counts, through the SAME `psiFromBinCounts` step
+    * as the batch surface. Output matches `psiDrift` on the
+    * concatenated stream: (bin, c_ref, c_cur, ln_ratio, psi_term,
+    * psi_total). */
+  def psiStateRelease(spark: SparkSession, statePath: String): DataFrame =
+    graft.operators.AnalyticsOps.psiFromBinCounts(
+      spark.read.parquet(statePath)
+        .select(col("bin"), col("c_ref"), col("c_cur")))
+
   /** Streaming DP-count upkeep: a file stream of raw rows keeps the
     * per-group true-count table current; releases read the tiny state
     * table through [[dpCountStateRelease]], never the stream history. */

@@ -789,6 +789,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"BH ranking must be the bounded self-join, not a window:\n$plan")
   }
 
+  test("mSPRT: every window is partitioned per group on the daily " +
+      "relation — the corpus collapses in one aggregation first") {
+    val df = q("analytics_msprt")
+    val windows = flatten(df.queryExecution.executedPlan)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, "the cumulative/running-max windows must exist")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"an unpartitioned window here serializes the daily relation " +
+          s"through one task:\n${w.treeString}")
+    }
+  }
+
+  test("PSI: bin totals and the drift sum ride broadcasts — no " +
+      "shuffle join, no window, one corpus-sized exchange") {
+    val df = q("analytics_psi")
+    val plan = planOf(df)
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing in the PSI plan justifies a shuffle join:\n$plan")
+    val windows = flatten(df.queryExecution.executedPlan)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty,
+      s"PSI is one aggregation + singleton broadcasts, never a window")
+  }
+
   test("bootstrap: the replicate explode runs over the AGGREGATED " +
       "buffers, never the corpus (the emb_pca one-pass shape)") {
     // the (rows × B) relation must not exist: every Generate in the

@@ -12,6 +12,85 @@ class Round11OpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("psiDrift: identical slices read 0, a shifted bin mix reads " +
+      "the hand-computed smoothed PSI, terms are symmetric-positive") {
+    // identical distributions: every smoothed cross product cancels
+    val same = Seq.tabulate(120)(i =>
+      (s"b${i % 3}", i % 2 == 0)).toDF("bin", "is_ref")
+    val sameOut = AnalyticsOps.psiDrift(same, "bin", "is_ref")
+      .select("psi_total").as[Double].head()
+    assert(sameOut == 0.0)
+
+    // shifted: ref = (30, 10), cur = (10, 30) over two bins; add-one
+    // smoothing with B=2 gives p = (31/42, 11/42), q = (11/42, 31/42)
+    val shifted =
+      Seq.fill(30)(("a", true)) ++ Seq.fill(10)(("b", true)) ++
+        Seq.fill(10)(("a", false)) ++ Seq.fill(30)(("b", false))
+    val out = AnalyticsOps.psiDrift(shifted.toDF("bin", "is_ref"),
+        "bin", "is_ref")
+      .select("bin", "psi_term", "psi_total")
+      .as[(String, Double, Double)].collect().map(r => r._1 -> r).toMap
+    def lnG(x: Long): Long = math.floor(math.log(x.toDouble) * 1e12).toLong
+    // term_a: (31*42 - 11*42) * (lnG(31*42) - lnG(11*42)) / 42^2 / 1e12
+    val expA = (31.0 * 42 - 11 * 42) / (42.0 * 42) *
+      ((lnG(31 * 42) - lnG(11 * 42)).toDouble / 1e12)
+    assert(math.abs(out("a")._2 - expA) < 1e-12)
+    // the mirrored bin carries the same positive term (p-q and ln
+    // ratio both flip sign)
+    assert(out("a")._2 > 0 && out("b")._2 > 0)
+    assert(math.abs(out("a")._3 - (out("a")._2 + out("b")._2)) < 1e-12)
+    // a 3:1 swap is a major shift on the conventional >0.25 read
+    assert(out("a")._3 > 0.25)
+  }
+
+  test("msprtSequential: a real effect's always-valid log_p only " +
+      "falls and crosses ln(0.05); a null effect never rejects") {
+    // 10 days x 40 users/day; "lift": arm 0 converts 90%, arm 1 10% —
+    // overwhelming; "null": both arms convert 50% exactly
+    val rows = for {
+      d <- 0 until 10; u <- 0L until 40L
+      arm = (u % 2).toInt
+      grp <- Seq("lift", "null")
+    } yield {
+      val succ = if (grp == "lift") {
+        if (arm == 0) (u / 2) % 10 != 0 else (u / 2) % 10 == 0
+      } else (u / 2) % 2 == 0
+      (grp, java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00"),
+        arm, if (succ) 1 else 0)
+    }
+    val out = AnalyticsOps.msprtSequential(
+        rows.toDF("grp", "ts", "arm", "succ"),
+        "grp", "ts", "arm", "succ")
+      .select("grp", "day", "log_p", "significant")
+      .as[(String, java.sql.Date, Double, Boolean)].collect()
+    val lift = out.filter(_._1 == "lift").sortBy(_._2.toString)
+    val nul = out.filter(_._1 == "null").sortBy(_._2.toString)
+    assert(lift.size == 10 && nul.size == 10)
+    // always-valid: log_p is non-increasing day over day
+    assert(lift.map(_._3).sliding(2).forall(p => p(1) <= p(0)))
+    assert(nul.map(_._3).sliding(2).forall(p => p(1) <= p(0)))
+    // the 80-point lift rejects by day 10; the exact null never does
+    assert(lift.last._4, s"overwhelming effect must reject: ${lift.last}")
+    assert(nul.forall(!_._4), s"exact null must never reject")
+    // null keeps log_p at 0: delta = 0 makes the quadratic term 0 and
+    // the ln ratio negative, so lambda never exceeds 1
+    assert(nul.forall(_._3 == 0.0))
+  }
+
+  test("srmCheck: a balanced split passes, a 60/40 break on the same " +
+      "n trips the guardrail with the cleared chi-square value") {
+    val df = (Seq.fill(500)(("ok", 0)) ++ Seq.fill(500)(("ok", 1)) ++
+      Seq.fill(600)(("broken", 0)) ++ Seq.fill(400)(("broken", 1)))
+      .toDF("grp", "arm")
+    val out = AnalyticsOps.srmCheck(df, "grp", "arm")
+      .select("grp", "n_a", "n_b", "chi2", "srm")
+      .as[(String, Long, Long, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("ok")._4 == 0.0 && !out("ok")._5)
+    // d = 600*2 - 1000 = 200; chi2 = 200^2/1000 = 40 >> 3.84
+    assert(out("broken")._4 == 40.0 && out("broken")._5)
+  }
+
   test("randomizationFdr: a perfect-separation metric earns p_num=1 " +
       "and the BH rejection, a null metric earns p_num=B+1 and none") {
     // strong: success ⟺ arm A (T_obs = 1, the maximum — no random

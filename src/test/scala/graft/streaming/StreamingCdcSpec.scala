@@ -149,6 +149,42 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(after === batchRelease(b0.unionByName(b1)))
   }
 
+  test("streaming PSI: release over maintained bin counts after N " +
+      "micro-batches is bit-identical to the batch PSI of the whole " +
+      "stream; replay is fenced") {
+    import graft.operators.AnalyticsOps
+    val base = Files.createTempDirectory("graft-psi").toString
+    val statePath = s"$base/state"
+
+    // batches shift the bin mix between slices, and b1 introduces a
+    // bin b0 never saw (the add-one smoothing path)
+    val b0 = (Seq.fill(30)(("a", true)) ++ Seq.fill(10)(("b", true)) ++
+      Seq.fill(12)(("a", false)) ++ Seq.fill(18)(("b", false)))
+      .toDF("bin", "is_ref")
+    val b1 = (Seq.fill(5)(("b", true)) ++ Seq.fill(20)(("c", false)) ++
+      Seq.fill(7)(("a", false))).toDF("bin", "is_ref")
+    def batchPsi(df: DataFrame): Set[(String, Long, Long, Double, Double, Double)] =
+      AnalyticsOps.psiDrift(df, "bin", "is_ref")
+        .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+
+    Seq.empty[(String, Long, Long)].toDF("bin", "c_ref", "c_cur")
+      .withColumn("_batch_id", lit(-1L)).write.parquet(statePath)
+
+    StreamingOps.maintainPsiState(statePath, "bin", "is_ref")(b0, 0L)
+    StreamingOps.maintainPsiState(statePath, "bin", "is_ref")(b1, 1L)
+    val released = StreamingOps.psiStateRelease(spark, statePath)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+    assert(released === batchPsi(b0.unionByName(b1)),
+      "PSI over maintained bin counts must equal the batch PSI of " +
+        "all rows — same smoothing, same log grid, same total")
+
+    // replayed micro-batch is a no-op under the batch-id fence
+    StreamingOps.maintainPsiState(statePath, "bin", "is_ref")(b0, 1L)
+    val after = StreamingOps.psiStateRelease(spark, statePath)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+    assert(after === batchPsi(b0.unionByName(b1)))
+  }
+
   test("streaming DP mean: release over maintained (n, clipped_units) " +
       "state is bit-identical to the batch release; replay is fenced") {
     import graft.operators.AnalyticsOps

@@ -419,7 +419,7 @@ object ScaleStress {
       "analytics_mann_whitney", "analytics_bootstrap_ci",
       "ts_holt_winters", "ts_theil_sen", "ts_kalman_level",
       "ts_mann_kendall", "analytics_rand_fdr", "analytics_msprt",
-      "analytics_psi")
+      "analytics_psi", "analytics_kruskal_wallis")
     if (only.isEmpty || only.exists(evFams.contains)) {
       val nEvents = 100000L * scale
       val ev = synthEvents(spark, nEvents).localCheckpoint(true)
@@ -485,6 +485,16 @@ object ScaleStress {
         AnalyticsOps.psiDrift(
           ev.withColumn("is_ref", dayofweek(col("ts")).between(2, 6)),
           "event_type", "is_ref")
+      }
+      // Kruskal-Wallis: the corpus collapses to (grp, distinct cents)
+      // cells; candidates = the tie-group relation, which SATURATES
+      // as n grows past the value domain (the MW collapse law) —
+      // everything after the prefix scan runs on k rows
+      run("analytics_kruskal_wallis", nEvents,
+          ev.select((col("value").cast(
+            org.apache.spark.sql.types.DecimalType(18, 2)) * lit(100))
+            .cast("long").as("cv")).distinct().count()) {
+        AnalyticsOps.kruskalWallis(ev, "event_type", "value")
       }
       ev.unpersist()
     }

@@ -1568,6 +1568,28 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "src_bloomskip_log" -> ((s, dir) => {
+      // Bloom-skipped STRING point lookup — the skip min/max stats
+      // cannot express: three segments holding disjoint lang sets,
+      // a lookup of 'de' that must open exactly ONE of them; the
+      // scan/live counts ride in the OUTPUT so the oracle pins the
+      // skip rate, not just the row results
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bsl").toString + "/tbl"
+      val store = new graft.catalog.LogStore(s, root,
+        bloomCol = Some("lang"))
+      store.append(docs.where(col("lang") === "en"))
+      store.append(docs.where(col("lang").isin("de", "fr")))
+      store.append(docs.where(col("lang").isin("es", "zh")))
+      val (scan, hit, live) = store.pointLookup("de")
+      scan.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .withColumn("segments_scanned", lit(hit))
+        .withColumn("segments_live", lit(live))
+        .orderBy("source")
+    }),
+
     "src_merge_log" -> ((s, dir) => {
       // copy-on-write MERGE through the log table: an UPDATE whose key
       // range hits one of three doc_id-disjoint segments (rewritten=1)
@@ -3287,6 +3309,59 @@ object SparkEntry {
       // current one, binned by event type — the snapshot-vs-snapshot
       // drift readout run before any retraining decision
       AnalyticsOps.psiDrift(
+          events(s, dir)
+            .withColumn("is_ref", dayofweek(col("ts")).between(2, 6)),
+          "event_type", "is_ref")
+        .orderBy("bin")),
+
+    // ---- odds ratio / relative risk with log-domain Wald CI ----
+    "analytics_odds_ratio" -> ((s, dir) =>
+      // the effect-SIZE companion of the z/chi-square tests: same
+      // parity arms and value>50 conversion, Haldane-Anscombe
+      // corrected 2x2 cells, intervals in log domain
+      AnalyticsOps.oddsRatio(
+          events(s, dir)
+            .where(col("value").isNotNull)
+            .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
+            .withColumn("succ", (col("value") > lit(50.0)).cast("int")),
+          "event_type", "arm", "succ")
+        .orderBy("grp")),
+
+    // ---- vocabulary richness (Chao1 + Good–Turing unseen mass) ----
+    "text_vocab_richness" -> ((s, dir) =>
+      // how big is this corpus's vocabulary really, and how fast is
+      // it still growing — the two numbers a curator reads before
+      // deciding whether a source is mined out
+      TextOps.vocabRichness(t(s, dir, "documents"))
+        .orderBy("vocab")),
+
+    // ---- Cochran–Armitage trend test across the week ----
+    "analytics_trend_test" -> ((s, dir) =>
+      // does the conversion rate TREND across the day-of-week score
+      // (the monotone-alternative complement of analytics_chi_square,
+      // same epoch-days-mod-7 bucket, same value>50 conversion)
+      AnalyticsOps.cochranArmitage(
+          events(s, dir)
+            .where(col("value").isNotNull)
+            .withColumn("dow",
+              pmod(unix_date(to_date(col("ts"))), lit(7)).cast("long"))
+            .withColumn("succ", (col("value") > lit(50.0)).cast("int")),
+          "event_type", "dow", "succ")
+        .orderBy("grp")),
+
+    // ---- Kruskal–Wallis omnibus rank test across event types ----
+    "analytics_kruskal_wallis" -> ((s, dir) =>
+      // the k-group extension of analytics_mann_whitney: does the
+      // value metric differ across ANY of the event-type slices
+      AnalyticsOps.kruskalWallis(events(s, dir), "event_type", "value")
+        .orderBy("grp")),
+
+    // ---- bounded symmetric drift (Jensen–Shannon + both KLs) ----
+    "analytics_jsd" -> ((s, dir) =>
+      // same weekday-vs-weekend slices and event-type bins as
+      // analytics_psi — the bounded [0, ln 2] readout dashboards
+      // prefer when a bin can vanish from one slice
+      AnalyticsOps.jsdDrift(
           events(s, dir)
             .withColumn("is_ref", dayofweek(col("ts")).between(2, 6)),
           "event_type", "is_ref")
@@ -6233,6 +6308,14 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // skip-rate pinned as literals: 3 disjoint segments, 1 overlaps
+    "src_bloomskip_log" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS chars,
+        | CAST(1 AS INTEGER) AS segments_scanned,
+        | CAST(3 AS INTEGER) AS segments_live
+        |FROM documents WHERE lang = 'de'
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     "src_dataskip_log" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(n_chars) AS BIGINT) AS chars,
@@ -9908,6 +9991,224 @@ object SparkEntry {
         | CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
         |   * (CAST(lng AS DOUBLE) / 1e12) AS psi_term,
         | psi_total
+        |FROM terms CROSS JOIN tot ORDER BY bin""".stripMargin,
+
+    // odds-ratio replay: Haldane-Anscombe x2+1 integer cells, lnG
+    // grid on exact HUGEINT products, the Wald interval as the same
+    // fixed IEEE tree
+    "analytics_odds_ratio" ->
+      """WITH ev AS (SELECT event_type AS grp,
+        |  CAST(user_id % 2 AS INTEGER) AS arm,
+        |  CAST(CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS succ
+        | FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT grp,
+        |  CAST(SUM(CASE WHEN arm = 0 AND succ <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS a,
+        |  CAST(SUM(CASE WHEN arm = 0 AND succ = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS b,
+        |  CAST(SUM(CASE WHEN arm <> 0 AND succ <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS c,
+        |  CAST(SUM(CASE WHEN arm <> 0 AND succ = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS d
+        | FROM ev GROUP BY 1),
+        |t AS (SELECT grp, a, b, c, d,
+        |  CAST(2 * a + 1 AS HUGEINT) * (2 * d + 1) AS orn,
+        |  CAST(2 * b + 1 AS HUGEINT) * (2 * c + 1) AS ord_,
+        |  CAST(2 * a + 1 AS HUGEINT)
+        |    * ((2 * c + 1) + (2 * d + 1)) AS rrn,
+        |  CAST(2 * c + 1 AS HUGEINT)
+        |    * ((2 * a + 1) + (2 * b + 1)) AS rrd
+        | FROM g),
+        |f AS (SELECT grp, a, b, c, d,
+        |  CAST(orn AS DOUBLE) / CAST(ord_ AS DOUBLE) AS odds_ratio,
+        |  CAST(rrn AS DOUBLE) / CAST(rrd AS DOUBLE) AS risk_ratio,
+        |  CAST(CAST(floor(ln(CAST(orn AS DOUBLE)) * 1e12) AS BIGINT)
+        |     - CAST(floor(ln(CAST(ord_ AS DOUBLE)) * 1e12) AS BIGINT)
+        |    AS DOUBLE) / 1e12 AS ln_or,
+        |  CAST(CAST(floor(ln(CAST(rrn AS DOUBLE)) * 1e12) AS BIGINT)
+        |     - CAST(floor(ln(CAST(rrd AS DOUBLE)) * 1e12) AS BIGINT)
+        |    AS DOUBLE) / 1e12 AS ln_rr,
+        |  sqrt(CAST(2 AS DOUBLE) / CAST(2 * a + 1 AS DOUBLE)
+        |    + CAST(2 AS DOUBLE) / CAST(2 * b + 1 AS DOUBLE)
+        |    + CAST(2 AS DOUBLE) / CAST(2 * c + 1 AS DOUBLE)
+        |    + CAST(2 AS DOUBLE) / CAST(2 * d + 1 AS DOUBLE))
+        |   AS se_ln_or
+        | FROM t),
+        |w AS (SELECT grp, a, b, c, d, odds_ratio, risk_ratio, ln_or,
+        |  ln_rr, se_ln_or,
+        |  ln_or - CAST(1.959963984540054 AS DOUBLE) * se_ln_or AS ln_lo,
+        |  ln_or + CAST(1.959963984540054 AS DOUBLE) * se_ln_or AS ln_hi
+        | FROM f)
+        |SELECT grp, a, b, c, d, odds_ratio, risk_ratio, ln_or, ln_rr,
+        | se_ln_or, ln_lo, ln_hi,
+        | ln_lo > CAST(0 AS DOUBLE) OR ln_hi < CAST(0 AS DOUBLE)
+        |   AS significant
+        |FROM w ORDER BY grp""".stripMargin,
+
+    // vocab-richness replay: the frequency-of-frequencies profile,
+    // exact counts, two final IEEE divisions (f1 squares in HUGEINT)
+    "text_vocab_richness" ->
+      """WITH tok AS (SELECT
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        | FROM documents),
+        |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf
+        | FROM tok WHERE token <> '' GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(SUM(tf) AS BIGINT) AS tokens,
+        |  CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |  CAST(SUM(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        | FROM tf)
+        |SELECT vocab, tokens, f1, f2,
+        | CAST(vocab AS DOUBLE)
+        |  + CAST(CAST(CAST(f1 AS HUGEINT) * (CAST(f1 AS HUGEINT) - 1)
+        |      AS VARCHAR) AS DOUBLE)
+        |    / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1,
+        | CAST(f1 AS DOUBLE) / CAST(tokens AS DOUBLE) AS unseen_mass
+        |FROM s ORDER BY vocab""".stripMargin,
+
+    // Cochran-Armitage replay: exact HUGEINT cross products for the
+    // trend numerator and variance, square + single division in IEEE
+    "analytics_trend_test" ->
+      """WITH ev AS (SELECT event_type AS grp,
+        |  CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT)
+        |    AS w,
+        |  CAST(CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS succ
+        | FROM events WHERE value IS NOT NULL),
+        |cells AS (SELECT grp, w, CAST(count(*) AS BIGINT) AS n_i,
+        |  CAST(SUM(succ) AS BIGINT) AS x_i FROM ev GROUP BY 1, 2),
+        |g AS (SELECT grp, CAST(SUM(n_i) AS BIGINT) AS n,
+        |  CAST(SUM(x_i) AS BIGINT) AS x,
+        |  SUM(CAST(w AS HUGEINT) * x_i) AS swx,
+        |  SUM(CAST(w AS HUGEINT) * n_i) AS swn,
+        |  SUM(CAST(w AS HUGEINT) * CAST(w AS HUGEINT) * n_i) AS sw2n
+        | FROM cells GROUP BY 1),
+        |t AS (SELECT grp, n, x,
+        |  CAST(n AS HUGEINT) * swx - CAST(x AS HUGEINT) * swn AS t_num,
+        |  CAST(x AS HUGEINT) * (CAST(n AS HUGEINT) - x)
+        |    * (CAST(n AS HUGEINT) * sw2n - swn * swn) AS denom
+        | FROM g),
+        |f AS (SELECT grp, n, x,
+        |  CASE WHEN denom = 0 THEN CAST(0 AS DOUBLE)
+        |   ELSE CAST(CAST(t_num AS VARCHAR) AS DOUBLE)
+        |      * CAST(CAST(t_num AS VARCHAR) AS DOUBLE)
+        |      * CAST(n AS DOUBLE)
+        |      / CAST(CAST(denom AS VARCHAR) AS DOUBLE) END AS chi2,
+        |  CASE WHEN t_num > 0 THEN 1 WHEN t_num < 0 THEN -1
+        |   ELSE 0 END AS direction
+        | FROM t)
+        |SELECT grp, n, x, chi2,
+        | chi2 > CAST(3.841458820694124 AS DOUBLE) AS trend, direction
+        |FROM f ORDER BY grp""".stripMargin,
+
+    // Kruskal-Wallis replay: the MW rank idiom generalized — tie
+    // groups from one aggregation, closed-form midrank sums in
+    // HUGEINT, per-group quadratic terms N-normalized then floored
+    // onto the 1e-6 grid and summed exactly
+    "analytics_kruskal_wallis" ->
+      """WITH v AS (SELECT event_type AS grp,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cv
+        | FROM events
+        | WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |gv AS (SELECT grp, cv, CAST(count(*) AS BIGINT) AS njv
+        | FROM v GROUP BY 1, 2),
+        |vals AS (SELECT cv, CAST(SUM(njv) AS BIGINT) AS m
+        | FROM gv GROUP BY 1),
+        |w AS (SELECT cv, m,
+        |  CAST(SUM(m) OVER (ORDER BY cv) AS BIGINT) - m AS prev
+        | FROM vals),
+        |pg AS (SELECT grp, CAST(SUM(njv) AS BIGINT) AS n_j,
+        |  SUM(CAST(njv AS HUGEINT) * (2 * CAST(prev AS HUGEINT)
+        |    + CAST(m AS HUGEINT) + 1)) AS r2j
+        | FROM gv JOIN w USING (cv) GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(n_j) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS k FROM pg),
+        |tot AS (SELECT n, k,
+        |  SUM(CAST(floor(CAST(3 AS DOUBLE)
+        |      * CAST(CAST(r2j AS VARCHAR) AS DOUBLE)
+        |      * CAST(CAST(r2j AS VARCHAR) AS DOUBLE)
+        |    / (CAST(n_j AS DOUBLE) * CAST(n AS DOUBLE)
+        |       * (CAST(n AS DOUBLE) + CAST(1 AS DOUBLE)))
+        |    * 1e6) AS HUGEINT)) AS s_grid
+        | FROM pg CROSS JOIN nt GROUP BY 1, 2),
+        |tie AS (SELECT SUM(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)
+        |    * CAST(m AS HUGEINT) - CAST(m AS HUGEINT)) AS t3t FROM w),
+        |hh AS (SELECT
+        |  CASE WHEN n > 1 AND CAST(1 AS DOUBLE)
+        |      - CAST(CAST(t3t AS VARCHAR) AS DOUBLE)
+        |        / CAST(CAST(CAST(n AS HUGEINT) * n * n - n AS VARCHAR)
+        |           AS DOUBLE) > CAST(0 AS DOUBLE)
+        |   THEN (CAST(CAST(s_grid AS VARCHAR) AS DOUBLE) / 1e6
+        |      - CAST(3 AS DOUBLE) * (CAST(n AS DOUBLE)
+        |         + CAST(1 AS DOUBLE)))
+        |     / (CAST(1 AS DOUBLE)
+        |        - CAST(CAST(t3t AS VARCHAR) AS DOUBLE)
+        |          / CAST(CAST(CAST(n AS HUGEINT) * n * n - n AS VARCHAR)
+        |             AS DOUBLE))
+        |   ELSE CAST('nan' AS DOUBLE) END AS h,
+        |  k - 1 AS dof FROM tot CROSS JOIN tie)
+        |SELECT grp, n_j,
+        | CAST(CAST(r2j AS VARCHAR) AS DOUBLE) / CAST(2 AS DOUBLE)
+        |   AS rank_sum,
+        | h, dof
+        |FROM pg CROSS JOIN hh ORDER BY grp""".stripMargin,
+
+    // JSD replay: the same smoothed bin shares as PSI; all three ln
+    // classes on exact integer operands (1e-12 grid), totals as pure
+    // HUGEINT sums divided by the fixed IEEE trees (VARCHAR-routed
+    // decimal->double casts)
+    "analytics_jsd" ->
+      """WITH ev AS (SELECT event_type AS bin,
+        |  isodow(ts) <= 5 AS is_ref FROM events),
+        |b AS (SELECT bin,
+        |  CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS c_ref,
+        |  CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS c_cur
+        | FROM ev GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+        |  CAST(SUM(c_cur) AS BIGINT) AS n_cur,
+        |  CAST(count(*) AS BIGINT) AS bb FROM b),
+        |terms AS (SELECT bin, c_ref, c_cur,
+        |  CAST(c_ref + 1 AS HUGEINT) AS av,
+        |  CAST(c_cur + 1 AS HUGEINT) AS bv,
+        |  CAST(n_ref + bb AS HUGEINT) AS n1,
+        |  CAST(n_cur + bb AS HUGEINT) AS n2,
+        |  CAST(floor(ln(CAST(CAST(c_ref + 1 AS HUGEINT)
+        |      * (n_cur + bb) AS DOUBLE)) * 1e12) AS BIGINT)
+        |   - CAST(floor(ln(CAST(CAST(c_cur + 1 AS HUGEINT)
+        |      * (n_ref + bb) AS DOUBLE)) * 1e12) AS BIGINT) AS lnpq,
+        |  CAST(floor(ln(CAST(CAST(c_ref + 1 AS HUGEINT)
+        |      * (n_cur + bb) * 2 AS DOUBLE)) * 1e12) AS BIGINT)
+        |   - CAST(floor(ln(CAST(CAST(c_ref + 1 AS HUGEINT)
+        |        * (n_cur + bb)
+        |      + CAST(c_cur + 1 AS HUGEINT) * (n_ref + bb) AS DOUBLE))
+        |      * 1e12) AS BIGINT) AS lnpm,
+        |  CAST(floor(ln(CAST(CAST(c_cur + 1 AS HUGEINT)
+        |      * (n_ref + bb) * 2 AS DOUBLE)) * 1e12) AS BIGINT)
+        |   - CAST(floor(ln(CAST(CAST(c_ref + 1 AS HUGEINT)
+        |        * (n_cur + bb)
+        |      + CAST(c_cur + 1 AS HUGEINT) * (n_ref + bb) AS DOUBLE))
+        |      * 1e12) AS BIGINT) AS lnqm
+        | FROM b CROSS JOIN t),
+        |tot AS (SELECT
+        |  CAST(CAST(SUM(av * lnpq) AS VARCHAR) AS DOUBLE)
+        |    / CAST(max(n1) AS DOUBLE) / 1e12 AS kl_pq,
+        |  CAST(CAST(SUM(bv * (0 - lnpq)) AS VARCHAR) AS DOUBLE)
+        |    / CAST(max(n2) AS DOUBLE) / 1e12 AS kl_qp,
+        |  (CAST(CAST(SUM(av * lnpm) AS VARCHAR) AS DOUBLE)
+        |     / CAST(max(n1) AS DOUBLE)
+        |   + CAST(CAST(SUM(bv * lnqm) AS VARCHAR) AS DOUBLE)
+        |     / CAST(max(n2) AS DOUBLE))
+        |    / CAST(2 AS DOUBLE) / 1e12 AS jsd_total FROM terms)
+        |SELECT bin, c_ref, c_cur,
+        | (CAST(av AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |    * (CAST(lnpm AS DOUBLE) / 1e12)
+        |  + CAST(bv AS DOUBLE) / CAST(n2 AS DOUBLE)
+        |    * (CAST(lnqm AS DOUBLE) / 1e12)) / CAST(2 AS DOUBLE)
+        |   AS jsd_term,
+        | kl_pq, kl_qp, jsd_total
         |FROM terms CROSS JOIN tot ORDER BY bin""".stripMargin,
 
     // mSPRT replay: daily cumulative sufficient statistics, the

@@ -47,8 +47,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * small-file pressure without blocking reads. */
 class LogStore(spark: SparkSession, val root: String,
     statsCol: Option[String] = None,
-    checkpointInterval: Int = 10) {
+    checkpointInterval: Int = 10,
+    bloomCol: Option[String] = None,
+    bloomBits: Int = 4096) {
   require(checkpointInterval > 0, "checkpointInterval must be positive")
+  require(bloomBits > 0 && bloomBits % 4 == 0,
+    "bloomBits must be a positive multiple of 4 (hex-serialized)")
 
   final class ConcurrentCommitException(v: Long)
     extends RuntimeException(s"version $v was committed concurrently")
@@ -122,7 +126,8 @@ class LogStore(spark: SparkSession, val root: String,
     * numerically (stored as strings either way, so the log format
     * stays line-oriented). */
   final case class Segment(name: String, min: Option[String],
-      max: Option[String], num: Boolean) {
+      max: Option[String], num: Boolean,
+      bloom: Option[String] = None) {
     /** Could this segment contain a row with statsCol in [lo, hi]?
       * No stats ⇒ must assume yes (the safe default that makes stats
       * strictly an optimization). */
@@ -131,6 +136,19 @@ class LogStore(spark: SparkSession, val root: String,
         if (num) mn.toDouble <= hi.toDouble && mx.toDouble >= lo.toDouble
         else mn <= hi && mx >= lo
       case _ => true
+    }
+
+    /** Could this segment contain a row whose [bloomCol] hashes to
+      * these bit positions? A Bloom filter has NO false negatives, so
+      * "any queried bit clear" is a PROOF of absence; no bloom ⇒ must
+      * assume yes (same safe default as the min/max stats). */
+    def mayContain(positions: Seq[Int]): Boolean = bloom match {
+      case Some(hex) => positions.forall { p =>
+        val nib = hex.charAt(p / 4)
+        val v = java.lang.Integer.parseInt(String.valueOf(nib), 16)
+        (v & (1 << (p % 4))) != 0
+      }
+      case None => true
     }
   }
 
@@ -153,10 +171,11 @@ class LogStore(spark: SparkSession, val root: String,
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val addRe = ("\"add\"\\s*:\\s*\"([^\"]+)\"" +
-      "(?:,\"min\":\"([^\"]*)\",\"max\":\"([^\"]*)\",\"num\":(true|false))?").r
+      "(?:,\"min\":\"([^\"]*)\",\"max\":\"([^\"]*)\",\"num\":(true|false))?" +
+      "(?:,\"bloom\":\"([0-9a-f]*)\")?").r
     val adds = addRe.findAllMatchIn(body).map { m =>
       Segment(m.group(1), Option(m.group(2)), Option(m.group(3)),
-        m.group(4) == "true")
+        m.group(4) == "true", Option(m.group(5)))
     }.toSeq
     val rem = "\"remove\"\\s*:\\s*\"([^\"]+)\"".r
       .findAllMatchIn(body).map(_.group(1)).toSeq
@@ -344,6 +363,34 @@ class LogStore(spark: SparkSession, val root: String,
       hit.size, live.size)
   }
 
+  /** Bloom-skipped point lookup: scan only the live segments whose
+    * [bloomCol] Bloom filter cannot RULE OUT the key — the skipping
+    * min/max stats can't do, because string keys (shop domains, doc
+    * hashes, user ids) interleave across segments and give every
+    * segment the same useless [min, max]. A Bloom bit pattern has no
+    * false negatives, so the result set is EXACTLY the full scan's
+    * (the filter is strictly an optimization); false positives only
+    * cost an extra segment open, bounded by the fill ratio
+    * (k·keys/bits per segment). Segments written before the bloom was
+    * configured (or by a store without one) carry no filter and are
+    * always scanned — the same safe default as the min/max stats.
+    * Returns (dataframe, scanned, live) so callers see the skip
+    * rate. */
+  def pointLookup(key: String,
+      version: Long = Long.MaxValue): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col => fcol, lit => flit}
+    val c = bloomCol.getOrElse(
+      throw new IllegalStateException("no bloomCol configured"))
+    val pos = bloomPositions(key)
+    val live = liveSegmentInfos(version)
+    val hit = live.filter(_.mayContain(pos))
+    if (hit.isEmpty)
+      return (read(version).where(flit(false)), 0, live.size)
+    val scan = spark.read.parquet(hit.map(s => s"$root/${s.name}"): _*)
+    (scan.where(fcol(c).cast("string") === flit(key)),
+      hit.size, live.size)
+  }
+
   /** Multi-range data-skipping read: scan only the live segments whose
     * [statsCol] min/max may overlap ANY of `ranges` — the query shape
     * of space-filling-curve clustering, where a 2-D rectangle
@@ -372,10 +419,47 @@ class LogStore(spark: SparkSession, val root: String,
     * restricted to numeric/date/timestamp types: their string forms
     * are quote- and newline-free, which is what keeps the
     * line-oriented log format parseable without an escaping layer. */
+  /** The k = 4 deterministic Bloom bit positions of a key: four
+    * 32-bit slices of one md5, each reduced mod [bloomBits] — the
+    * same positions whether computed by the Spark build expression
+    * (segment write) or this driver-side probe (point lookup). */
+  private[graft] def bloomPositions(key: String): Seq[Int] = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    (0 until 4).map { i =>
+      (java.lang.Long.parseLong(hex.substring(8 * i, 8 * i + 8), 16) %
+        bloomBits).toInt
+    }
+  }
+
+  /** Build the segment's Bloom hex from the DISTINCT bit positions of
+    * its [bloomCol] values — the position relation is bounded by
+    * [bloomBits], so the driver collect is O(bits) whatever the
+    * segment holds. */
+  private def buildBloom(written: DataFrame, c: String): String = {
+    import org.apache.spark.sql.functions.{array, col => fcol, conv,
+      explode, lit => flit, md5 => fmd5, pmod, substring => fsubstr}
+    val posCols = (0 until 4).map { i =>
+      pmod(conv(fsubstr(fmd5(fcol(c).cast("string")
+          .cast("binary")), 1 + 8 * i, 8), 16, 10).cast("long"),
+        flit(bloomBits.toLong)).cast("int")
+    }
+    val bits = new Array[Boolean](bloomBits)
+    written.where(fcol(c).isNotNull)
+      .select(explode(array(posCols: _*)).as("p"))
+      .distinct().collect().foreach(r => bits(r.getInt(0)) = true)
+    bits.grouped(4).map { nib =>
+      val v = (if (nib(0)) 1 else 0) | (if (nib(1)) 2 else 0) |
+        (if (nib(2)) 4 else 0) | (if (nib(3)) 8 else 0)
+      Integer.toHexString(v)
+    }.mkString
+  }
+
   private def writeSegment(df: DataFrame): Segment = {
     val name = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.parquet(s"$root/$name")
-    statsCol match {
+    val base = statsCol match {
       case Some(c) if df.columns.contains(c) =>
         import org.apache.spark.sql.functions.{max => fmax, min => fmin, col => fcol}
         import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
@@ -395,12 +479,24 @@ class LogStore(spark: SparkSession, val root: String,
           num)
       case _ => Segment(name, None, None, num = false)
     }
+    bloomCol match {
+      case Some(c) if df.columns.contains(c) =>
+        base.copy(bloom =
+          Some(buildBloom(spark.read.parquet(s"$root/$name"), c)))
+      case _ => base
+    }
   }
 
-  private def addJson(s: Segment): String = (s.min, s.max) match {
-    case (Some(mn), Some(mx)) =>
-      s"""{"add":"${s.name}","min":"$mn","max":"$mx","num":${s.num}}"""
-    case _ => s"""{"add":"${s.name}"}"""
+  private def addJson(s: Segment): String = {
+    val stats = (s.min, s.max) match {
+      case (Some(mn), Some(mx)) =>
+        s""","min":"$mn","max":"$mx","num":${s.num}"""
+      case _ => ""
+    }
+    // the hex alphabet is quote- and newline-free by construction, so
+    // the line-oriented grammar needs no escaping layer for blooms
+    val bloom = s.bloom.map(h => s""","bloom":"$h"""").getOrElse("")
+    s"""{"add":"${s.name}"$stats$bloom}"""
   }
 
   /** Publish a commit at `expected` version via create-exclusive —

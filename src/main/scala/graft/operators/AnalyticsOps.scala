@@ -1108,6 +1108,81 @@ object AnalyticsOps {
       tieTerm.as("tie_term"), z.as("z"))
   }
 
+  /** Kruskal–Wallis H (the k-group generalization of
+    * [[mannWhitneyU]] — Kruskal & Wallis 1952, public): one-way
+    * analysis of variance on RANKS, the omnibus test analysts reach
+    * for when the k slices of a metric are too skewed for ANOVA.
+    * Same rank discipline as Mann–Whitney: cent-quantized values, tie
+    * groups from ONE aggregation, midrank sums closed-form per
+    * (group, value) cell — 2·R_j = Σ_v n_jv·(2·prev + m + 1), exact
+    * DECIMAL(38,0) — so no per-row global rank ever exists.
+    *   H = [12/(N(N+1)) · Σ_j R_j²/n_j − 3(N+1)] / C,
+    *   C = 1 − Σ(t³−t)/(N³−N)   (tie correction)
+    * Per-group quadratic terms 12·R_j²/(n_j·N·(N+1)) — normalized
+    * INSIDE the term so the gridded value is O(N), never O(N³) — are
+    * single fixed IEEE trees floored onto the 10⁻⁶ grid and summed
+    * EXACTLY in DECIMAL(38,0) (the lnG discipline applied to
+    * squares) — the sum is order-free, so k-way parallelism cannot
+    * perturb the readout.
+    * A fully-tied pool (C = 0) pins H to NaN like the MW degenerate.
+    *
+    * Scale: values collapse to (grp, distinct cents) cells in one
+    * aggregation; the global prefix sum is the two-phase bucket scan;
+    * everything after runs on k rows. Output per group:
+    * (grp, n_j, rank_sum, h, dof) with H and df = k−1 repeated. */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cents = (col(valueCol).cast(DecimalType(18, 2)) * lit(100))
+      .cast("long")
+    val gv = df.where(col(groupCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), cents.as("cv"))
+      .groupBy(col("grp"), col("cv"))
+      .agg(count(lit(1)).as("njv"))
+    val vals = gv.groupBy(col("cv")).agg(sum(col("njv")).as("m"))
+    val withCum = RelationalOps.distributedPrefixSum(vals, "cv", "m")
+      .withColumn("prev", col("cum") - col("m"))
+    val perGroup = gv
+      .join(withCum.select(col("cv"), col("m"), col("prev")), Seq("cv"))
+      .groupBy(col("grp"))
+      .agg(sum(col("njv")).as("n_j"),
+        sum(col("njv").cast(dec) *
+          (lit(2).cast(dec) * col("prev").cast(dec) +
+            col("m").cast(dec) + lit(1).cast(dec))).as("r2j"))
+    // Σ_j 12·R_j²/(n_j·N·(N+1)) with the N-normalization INSIDE each
+    // per-group term (so the gridded value is O(N), never O(N³) —
+    // floor returns LONG, and this keeps the 10⁻⁶ grid in range
+    // through 100× growth); each term is one fixed IEEE tree, the
+    // sum exact decimal — order-free across groups
+    val nTot = perGroup.agg(sum(col("n_j")).as("n"),
+      count(lit(1)).as("k"))
+    val nD = col("n").cast("double")
+    val tj = lit(3.0) * col("r2j").cast("double") *
+      col("r2j").cast("double") /
+      (col("n_j").cast("double") * nD * (nD + lit(1.0)))
+    val totals = perGroup.crossJoin(broadcast(nTot))
+      .groupBy(col("n"), col("k"))
+      .agg(sum(floor(tj * lit(1e6)).cast(dec)).as("s_grid"))
+    val ties = withCum.agg(
+      sum(col("m").cast(dec) * col("m").cast(dec) * col("m").cast(dec) -
+        col("m").cast(dec)).as("t3t"))
+    val sD = col("s_grid").cast("double") / lit(1e6)
+    val hRaw = sD - lit(3.0) * (nD + lit(1.0))
+    val nCube = (col("n").cast(dec) * col("n").cast(dec) *
+      col("n").cast(dec) - col("n").cast(dec))
+    val corr = lit(1.0) -
+      col("t3t").cast("double") / nCube.cast("double")
+    val hCol = when(col("n") > 1 && corr > lit(0.0), hRaw / corr)
+      .otherwise(lit(Double.NaN))
+    val head = totals.crossJoin(broadcast(ties))
+      .select(hCol.as("h"), (col("k") - lit(1L)).as("dof"))
+    perGroup.crossJoin(broadcast(head))
+      .select(col("grp"), col("n_j"),
+        (col("r2j").cast("double") / lit(2.0)).as("rank_sum"),
+        col("h"), col("dof"))
+  }
+
   /** χ² test of independence between two categorical columns
     * (Pearson's contingency analysis): the full grid of observed
     * counts — INCLUDING structurally-zero cells, which still carry
@@ -2260,6 +2335,90 @@ object AnalyticsOps {
         col("psi_total"))
   }
 
+  /** Jensen–Shannon divergence (Lin 1991 — public) plus both KL
+    * directions between a reference and a current slice — the
+    * BOUNDED, symmetric companion to [[psiDrift]]: JSD lives in
+    * [0, ln 2] whatever the shift (a bin present in only one slice
+    * sends KL and PSI toward ∞ but JSD stays finite), which is why
+    * corpus-mix monitoring dashboards prefer it. Same add-one
+    * smoothing over the B observed bins; with a = c_ref+1,
+    * b = c_cur+1, N₁ = n_ref+B, N₂ = n_cur+B and m = (p+q)/2:
+    *   ln(p/q) = lnG(a·N₂) − lnG(b·N₁)
+    *   ln(p/m) = lnG(2·a·N₂) − lnG(a·N₂ + b·N₁)
+    *   ln(q/m) = lnG(2·b·N₁) − lnG(a·N₂ + b·N₁)
+    * — every ln operand integer-valued (the pinned cross-engine
+    * class), floored onto the 10⁻¹² grid; the three totals
+    * KL(p‖q) = Σ a·lnpq / N₁, KL(q‖p) = Σ b·(−lnpq) / N₂ and
+    * JSD = ½(Σ a·lnpm / N₁ + Σ b·lnqm / N₂) accumulate their
+    * integer-product sums in EXACT DECIMAL(38,0); the only IEEE steps
+    * are the final fixed division trees.
+    *
+    * Scale: identical to PSI — ONE map-side-combined aggregation to B
+    * bin rows, totals as singleton broadcasts, the slice flag a
+    * column, never a shuffle key. Output per bin: (bin, c_ref, c_cur,
+    * jsd_term, kl_pq, kl_qp, jsd_total) with the totals repeated. */
+  def jsdDrift(df: DataFrame, binCol: String, isRefCol: String)
+      : DataFrame =
+    jsdFromBinCounts(
+      df.groupBy(col(binCol).as("bin"))
+        .agg(sum(when(col(isRefCol), 1L).otherwise(0L)).as("c_ref"),
+          sum(when(col(isRefCol), 0L).otherwise(1L)).as("c_cur")))
+
+  /** The JSD/KL computation over an already-binned
+    * (bin, c_ref, c_cur) relation — shared with the PSI streaming
+    * maintainer's state (`StreamingOps.maintainPsiState` keeps
+    * exactly this relation), so one maintained bin table serves both
+    * drift readouts. */
+  def jsdFromBinCounts(binned: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val totals = binned.agg(sum(col("c_ref")).as("n_ref"),
+      sum(col("c_cur")).as("n_cur"), count(lit(1)).as("b_bins"))
+    def lnG(x: Column): Column =
+      floor(log(x.cast("double")) * lit(1e12)).cast("long")
+    val a = (col("c_ref") + lit(1L)).cast(dec)
+    val b = (col("c_cur") + lit(1L)).cast(dec)
+    val n1 = (col("n_ref") + col("b_bins")).cast(dec)
+    val n2 = (col("n_cur") + col("b_bins")).cast(dec)
+    val terms = binned.crossJoin(broadcast(totals))
+      .withColumn("av", a)
+      .withColumn("bv", b)
+      .withColumn("n1", n1)
+      .withColumn("n2", n2)
+      .withColumn("lnpq",
+        (lnG(a * n2) - lnG(b * n1)).cast("long"))
+      .withColumn("lnpm",
+        (lnG(a * n2 * lit(2L).cast(dec)) - lnG(a * n2 + b * n1))
+          .cast("long"))
+      .withColumn("lnqm",
+        (lnG(b * n1 * lit(2L).cast(dec)) - lnG(a * n2 + b * n1))
+          .cast("long"))
+    val total = terms
+      .agg(
+        sum((col("av") * col("lnpq")).cast(dec)).as("s_pq"),
+        // negate per-term in exact decimal — never negate an IEEE 0
+        sum((col("bv") * (lit(0L).cast(dec) - col("lnpq"))).cast(dec))
+          .as("s_qp"),
+        sum((col("av") * col("lnpm")).cast(dec)).as("s_pm"),
+        sum((col("bv") * col("lnqm")).cast(dec)).as("s_qm"),
+        max(col("n1")).as("t1"), max(col("n2")).as("t2"))
+      .select(
+        (col("s_pq").cast("double") / col("t1").cast("double") /
+          lit(1e12)).as("kl_pq"),
+        (col("s_qp").cast("double") / col("t2").cast("double") /
+          lit(1e12)).as("kl_qp"),
+        ((col("s_pm").cast("double") / col("t1").cast("double") +
+          col("s_qm").cast("double") / col("t2").cast("double")) /
+          lit(2.0) / lit(1e12)).as("jsd_total"))
+    terms.crossJoin(broadcast(total))
+      .select(col("bin"), col("c_ref"), col("c_cur"),
+        ((col("av").cast("double") / col("n1").cast("double") *
+          (col("lnpm").cast("double") / lit(1e12)) +
+          col("bv").cast("double") / col("n2").cast("double") *
+            (col("lnqm").cast("double") / lit(1e12))) / lit(2.0))
+          .as("jsd_term"),
+        col("kl_pq"), col("kl_qp"), col("jsd_total"))
+  }
+
   /** Always-valid sequential A/B monitoring: the mixture Sequential
     * Probability Ratio Test of Johari–Koomen–Pekelis–Walsh (KDD'17
     * "Peeking at A/B Tests" — public), the readout that stays a valid
@@ -2293,11 +2452,20 @@ object AnalyticsOps {
     * x_b, log_lambda, log_p, significant (log_p ≤ ln 0.05). */
   def msprtSequential(df: DataFrame, groupCol: String, tsCol: String,
       armCol: String, successCol: String, tauSqNum: Long = 1L,
-      tauSqDen: Long = 100L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val dec = DecimalType(38, 0)
+      tauSqDen: Long = 100L): DataFrame =
+    msprtFromDaily(msprtDaily(df, groupCol, tsCol, armCol, successCol),
+      tauSqNum, tauSqDen)
+
+  /** The corpus-collapsing half of [[msprtSequential]]: ONE map-side
+    * aggregation to the (grp, day, da, dxa, db, dxb) daily two-arm
+    * sufficient statistics. ADDITIVE in the rows — which is exactly
+    * what makes the monitor streaming-maintainable
+    * (`StreamingOps.maintainMsprtState` keeps this relation current
+    * micro-batch by micro-batch). */
+  def msprtDaily(df: DataFrame, groupCol: String, tsCol: String,
+      armCol: String, successCol: String): DataFrame = {
     val aSide = col(armCol) === 0
-    val daily = df.groupBy(col(groupCol).as("grp"),
+    df.groupBy(col(groupCol).as("grp"),
         to_date(col(tsCol)).as("day"))
       .agg(sum(when(aSide, 1L).otherwise(0L)).as("da"),
         sum(when(aSide, col(successCol).cast("long")).otherwise(0L))
@@ -2305,6 +2473,17 @@ object AnalyticsOps {
         sum(when(aSide, 0L).otherwise(1L)).as("db"),
         sum(when(aSide, 0L).otherwise(col(successCol).cast("long")))
           .as("dxb"))
+  }
+
+  /** The readout half of [[msprtSequential]] over an already-daily
+    * (grp, day, da, dxa, db, dxb) relation — shared by the batch
+    * surface and the streaming maintainer's read side
+    * (`StreamingOps.msprtStateRelease`), so the two can never drift.
+    * All windows run per group on calendar-bounded rows. */
+  def msprtFromDaily(daily: DataFrame, tauSqNum: Long = 1L,
+      tauSqDen: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
     // cumulative sufficient statistics: the per-group window runs on
     // the DAILY relation — rows bounded by the calendar
     val w = Window.partitionBy(col("grp")).orderBy(col("day"))
@@ -2364,11 +2543,20 @@ object AnalyticsOps {
     * Scale: ONE map-side-combined aggregation to |groups| rows.
     * Output per group: (grp, n_a, n_b, chi2, srm). */
   def srmCheck(df: DataFrame, groupCol: String, armCol: String,
-      ratioA: Long = 1L, ratioB: Long = 1L): DataFrame = {
+      ratioA: Long = 1L, ratioB: Long = 1L): DataFrame =
+    srmFromCounts(
+      df.groupBy(col(groupCol).as("grp"))
+        .agg(sum(when(col(armCol) === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col(armCol) === 0, 0L).otherwise(1L)).as("n_b")),
+      ratioA, ratioB)
+
+  /** The χ² readout of [[srmCheck]] over an already-counted
+    * (grp, n_a, n_b) relation — the arm counts are additive, so the
+    * streaming maintainer keeps them current and reads through THIS
+    * same step (`StreamingOps.srmStateRelease`). */
+  def srmFromCounts(g: DataFrame, ratioA: Long = 1L,
+      ratioB: Long = 1L): DataFrame = {
     val dec = DecimalType(38, 0)
-    val g = df.groupBy(col(groupCol).as("grp"))
-      .agg(sum(when(col(armCol) === 0, 1L).otherwise(0L)).as("n_a"),
-        sum(when(col(armCol) === 0, 0L).otherwise(1L)).as("n_b"))
     val n = (col("n_a") + col("n_b")).cast(dec)
     val d = (col("n_a").cast(dec) * lit(ratioA + ratioB).cast(dec) -
       n * lit(ratioA).cast(dec)).cast(dec)
@@ -2377,6 +2565,117 @@ object AnalyticsOps {
         (n * lit(ratioA).cast(dec) * lit(ratioB).cast(dec))
           .cast(dec).cast("double")).as("chi2"))
       .withColumn("srm", col("chi2") > lit(3.841458820694124))
+  }
+
+  /** Odds ratio + relative risk of a 2×2 outcome table per group,
+    * with log-domain Wald 95% intervals (Woolf 1955; Katz 1978 —
+    * public): the effect-size readout epidemiology and
+    * experimentation share when "is it significant" (the z/χ² tests
+    * above) needs a companion "how BIG is it". Cells are
+    * Haldane–Anscombe corrected (+½ each — Anscombe 1956) via the
+    * ×2+1 integer trick, so zero cells stay finite AND every ln
+    * operand stays integer-valued: with A = 2a+1, B = 2b+1, C = 2c+1,
+    * D = 2d+1 (a = successes arm 0, b = failures arm 0, c/d arm 1),
+    *   OR = (A·D)/(B·C)            ln OR = lnG(A·D) − lnG(B·C)
+    *   RR = (A·(C+D))/(C·(A+B))    ln RR = lnG(A·(C+D)) − lnG(C·(A+B))
+    *   se(ln OR) = √(2/A + 2/B + 2/C + 2/D)   (1/(x+½) = 2/(2x+1))
+    * The interval [ln OR ± 1.96·se] lives in LOG domain (exp is not
+    * cross-engine); `significant` = the interval excludes 0. The ±½
+    * correction biases OR slightly toward 1 — the standard trade for
+    * a zero-cell-safe single code path (documented, deterministic).
+    *
+    * Scale: ONE map-side-combined aggregation to |groups| rows;
+    * everything after is per-row arithmetic. */
+  def oddsRatio(df: DataFrame, groupCol: String, armCol: String,
+      successCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val arm0 = col(armCol) === 0
+    val succ = col(successCol).cast("long") =!= 0L
+    val g = df.groupBy(col(groupCol).as("grp"))
+      .agg(sum(when(arm0 && succ, 1L).otherwise(0L)).as("a"),
+        sum(when(arm0 && !succ, 1L).otherwise(0L)).as("b"),
+        sum(when(!arm0 && succ, 1L).otherwise(0L)).as("c"),
+        sum(when(!arm0 && !succ, 1L).otherwise(0L)).as("d"))
+    def cc(c: Column): Column =
+      (c.cast(dec) * lit(2L).cast(dec) + lit(1L).cast(dec)).cast(dec)
+    def lnG(x: Column): Column =
+      floor(log(x.cast("double")) * lit(1e12)).cast("long")
+    val (ca, cb, ccc, cd) = (cc(col("a")), cc(col("b")),
+      cc(col("c")), cc(col("d")))
+    val orNum = (ca * cd).cast(dec)
+    val orDen = (cb * ccc).cast(dec)
+    val rrNum = (ca * (ccc + cd)).cast(dec)
+    val rrDen = (ccc * (ca + cb)).cast(dec)
+    val lnOr = (lnG(orNum) - lnG(orDen)).cast("double") / lit(1e12)
+    val lnRr = (lnG(rrNum) - lnG(rrDen)).cast("double") / lit(1e12)
+    val se = sqrt(lit(2.0) / ca.cast("double") +
+      lit(2.0) / cb.cast("double") + lit(2.0) / ccc.cast("double") +
+      lit(2.0) / cd.cast("double"))
+    // z_{0.975} as a parsed literal (the BM25 constant discipline)
+    val z = lit(1.959963984540054)
+    val lnLo = lnOr - z * se
+    val lnHi = lnOr + z * se
+    g.select(col("grp"), col("a"), col("b"), col("c"), col("d"),
+      (orNum.cast("double") / orDen.cast("double")).as("odds_ratio"),
+      (rrNum.cast("double") / rrDen.cast("double")).as("risk_ratio"),
+      lnOr.as("ln_or"), lnRr.as("ln_rr"), se.as("se_ln_or"),
+      lnLo.as("ln_lo"), lnHi.as("ln_hi"),
+      (lnLo > lit(0.0) || lnHi < lit(0.0)).as("significant"))
+  }
+
+  /** Cochran–Armitage trend test (Cochran 1954, Armitage 1955 —
+    * public): is there a LINEAR trend in a binary rate across k
+    * ORDERED categories (dose levels, days-of-week, cohort ages)?
+    * Stronger than the omnibus χ² when the alternative is monotone —
+    * the classic epidemiology/experimentation readout for "does the
+    * rate climb with exposure". With integer scores w_i and per-
+    * category (n_i, x_i):
+    *   T' = N·Σw_i·x_i − X·Σw_i·n_i
+    *   Var·N³-clearing: denom = X·(N−X)·(N·Σw_i²·n_i − (Σw_i·n_i)²)
+    *   χ²(df=1) = T'²·N / denom
+    * T' and denom are EXACT DECIMAL(38,0) integer cross products; the
+    * square and the single division run in IEEE on the cast values
+    * (keeping the 38-digit budget to first powers — bounds: counts to
+    * ~10⁹ with scores to ~10² keep denom under 38 digits). A
+    * degenerate pool (X = 0, X = N, or one category) has zero trend
+    * variance and pins χ² to 0 — no evidence either way. The flag
+    * compares against the parsed-literal χ²₁(0.95) = 3.841458820694124
+    * (the SRM constant discipline); `direction` is the exact sign of
+    * T' (+1 rate climbs with the score, −1 falls, 0 flat).
+    *
+    * Scale: ONE map-side-combined aggregation to the (grp, score)
+    * cells, a second to k rows per group. Never the corpus. */
+  def cochranArmitage(df: DataFrame, groupCol: String,
+      scoreCol: String, successCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = df
+      .where(col(scoreCol).isNotNull && col(successCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"),
+        col(scoreCol).cast("long").as("w"))
+      .agg(count(lit(1)).as("n_i"),
+        sum(col(successCol).cast("long")).as("x_i"))
+    val wDec = col("w").cast(dec)
+    val g = cells.groupBy(col("grp"))
+      .agg(sum(col("n_i")).as("n"), sum(col("x_i")).as("x"),
+        sum(wDec * col("x_i").cast(dec)).as("swx"),
+        sum(wDec * col("n_i").cast(dec)).as("swn"),
+        sum(wDec * wDec * col("n_i").cast(dec)).as("sw2n"))
+    val nDec = col("n").cast(dec)
+    val xDec = col("x").cast(dec)
+    val tNum = (nDec * col("swx") - xDec * col("swn")).cast(dec)
+    val denom = (xDec * (nDec - xDec) *
+      (nDec * col("sw2n") - col("swn") * col("swn"))).cast(dec)
+    val tD = col("t_num").cast("double")
+    val chi2 = when(col("denom") === lit(0L).cast(dec), lit(0.0))
+      .otherwise(tD * tD * col("n").cast("double") /
+        col("denom").cast("double"))
+    g.withColumn("t_num", tNum).withColumn("denom", denom)
+      .select(col("grp"), col("n"), col("x"),
+        chi2.as("chi2"),
+        (chi2 > lit(3.841458820694124)).as("trend"),
+        when(col("t_num") > lit(0L).cast(dec), lit(1))
+          .when(col("t_num") < lit(0L).cast(dec), lit(-1))
+          .otherwise(lit(0)).as("direction"))
   }
 
   /** Positive-part James–Stein shrinkage of per-group means toward the

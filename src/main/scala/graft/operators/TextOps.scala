@@ -679,4 +679,44 @@ object TextOps {
         array_min(col("__fps")).as("fp_min"),
         array_max(col("__fps")).as("fp_max"))
   }
+
+  /** Vocabulary-richness diagnostics over the whole corpus: Chao1
+    * (Chao 1984 — public; the species-richness lower bound ecology
+    * uses, applied to types-vs-tokens) and the Good–Turing unseen
+    * mass (Good 1953 — public). Both read off the frequency-of-
+    * frequencies: with V observed types, f₁ singletons, f₂ doubletons
+    * and M total tokens,
+    *   chao1 = V + f₁·(f₁−1) / (2·(f₂+1))   (bias-corrected form —
+    *           defined even when no doubletons exist)
+    *   unseen_mass = f₁ / M                 (the Good–Turing estimate
+    *           of how much probability the corpus has NOT seen yet)
+    * The pair answers the two questions a data curator asks before
+    * scaling a source: how big is this vocabulary really, and how
+    * fast is it still growing. All counts exact; the only IEEE steps
+    * are the two final divisions.
+    *
+    * Scale: tokens collapse to per-type counts in one map-side-
+    * combined aggregation, the type relation collapses to ONE row in
+    * a second — the corpus never shuffles, only (type, count). */
+  def vocabRichness(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    tf.agg(count(lit(1)).as("vocab"),
+        sum(col("tf")).as("tokens"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("tf") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("vocab"), col("tokens"), col("f1"), col("f2"),
+        // f1 squares in DECIMAL(38,0) — a web-scale singleton count
+        // would overflow the long product
+        (col("vocab").cast("double") +
+          (col("f1").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+            (col("f1").cast(org.apache.spark.sql.types.DecimalType(38, 0)) -
+              lit(1L))).cast("double") /
+            (lit(2L) * (col("f2") + lit(1L))).cast("double"))
+          .as("chao1"),
+        (col("f1").cast("double") / col("tokens").cast("double"))
+          .as("unseen_mass"))
+  }
 }

@@ -526,6 +526,96 @@ object StreamingOps {
       spark.read.parquet(statePath)
         .select(col("bin"), col("c_ref"), col("c_cur")))
 
+  /** Exactly-once upkeep of the daily two-arm sufficient statistics
+    * behind the always-valid mSPRT monitor — the streaming face of
+    * `AnalyticsOps.msprtSequential`, and the op's NATIVE habitat: the
+    * whole point of an always-valid p-value is that someone reads it
+    * continuously while data arrives. State is the additive
+    * (grp, day, da, dxa, db, dxb) daily relation — O(groups × days)
+    * forever, never the event stream; the cumulative scan, mixture
+    * ratio, and running max all apply ON READ via
+    * [[msprtStateRelease]] through the SAME `msprtFromDaily` step the
+    * batch surface uses, so a release after N micro-batches is
+    * bit-identical to the batch readout over the concatenated
+    * stream. Batch-id fence: a replayed micro-batch is a no-op. */
+  def maintainMsprtState(statePath: String, groupCol: String,
+      tsCol: String, armCol: String, successCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    // (grp STRING, day DATE, da, dxa, db, dxb LONG, _batch_id)
+    val state = s.read.parquet(statePath)
+    val lastApplied = state
+      .agg(coalesce(max(col("_batch_id")), lit(Long.MinValue)))
+      .head.getLong(0)
+    if (lastApplied < batchId) {
+      val partial = graft.operators.AnalyticsOps
+        .msprtDaily(batch, groupCol, tsCol, armCol, successCol)
+      val next = state
+        .select(col("grp"), col("day"), col("da"), col("dxa"),
+          col("db"), col("dxb"))
+        .unionByName(partial)
+        .groupBy(col("grp"), col("day"))
+        .agg(sum(col("da")).cast("long").as("da"),
+          sum(col("dxa")).cast("long").as("dxa"),
+          sum(col("db")).cast("long").as("db"),
+          sum(col("dxb")).cast("long").as("dxb"))
+        .withColumn("_batch_id", lit(batchId))
+      graft.operators.MergeOps.replaceTable(s, next, statePath)
+    }
+  }
+
+  /** The read side of [[maintainMsprtState]]: the always-valid
+    * sequential readout over the maintained daily relation, through
+    * the SAME `msprtFromDaily` step as the batch surface. Output
+    * matches `msprtSequential` on the concatenated stream. */
+  def msprtStateRelease(spark: SparkSession, statePath: String,
+      tauSqNum: Long = 1L, tauSqDen: Long = 100L): DataFrame =
+    graft.operators.AnalyticsOps.msprtFromDaily(
+      spark.read.parquet(statePath)
+        .select(col("grp"), col("day"), col("da"), col("dxa"),
+          col("db"), col("dxb")),
+      tauSqNum, tauSqDen)
+
+  /** Exactly-once upkeep of the per-group arm counts behind the
+    * sample-ratio-mismatch guardrail — the assignment sanity check
+    * experimentation platforms run CONTINUOUSLY as exposures stream
+    * in, because an SRM caught on day one saves the experiment.
+    * State is the additive (grp, n_a, n_b) relation — O(groups)
+    * forever; the χ² clears on read via [[srmStateRelease]] through
+    * the SAME `srmFromCounts` step as the batch surface. */
+  def maintainSrmState(statePath: String, groupCol: String,
+      armCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    // (grp STRING, n_a LONG, n_b LONG, _batch_id)
+    val state = s.read.parquet(statePath)
+    val lastApplied = state
+      .agg(coalesce(max(col("_batch_id")), lit(Long.MinValue)))
+      .head.getLong(0)
+    if (lastApplied < batchId) {
+      val partial = batch.groupBy(col(groupCol).as("grp"))
+        .agg(sum(when(col(armCol) === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col(armCol) === 0, 0L).otherwise(1L)).as("n_b"))
+      val next = state.select(col("grp"), col("n_a"), col("n_b"))
+        .unionByName(partial)
+        .groupBy(col("grp"))
+        .agg(sum(col("n_a")).cast("long").as("n_a"),
+          sum(col("n_b")).cast("long").as("n_b"))
+        .withColumn("_batch_id", lit(batchId))
+      graft.operators.MergeOps.replaceTable(s, next, statePath)
+    }
+  }
+
+  /** The read side of [[maintainSrmState]]: the χ² guardrail over the
+    * maintained arm counts, through the SAME `srmFromCounts` step as
+    * the batch surface. Output matches `srmCheck` on the
+    * concatenated stream. */
+  def srmStateRelease(spark: SparkSession, statePath: String,
+      ratioA: Long = 1L, ratioB: Long = 1L): DataFrame =
+    graft.operators.AnalyticsOps.srmFromCounts(
+      spark.read.parquet(statePath)
+        .select(col("grp"), col("n_a"), col("n_b")),
+      ratioA, ratioB)
+
   /** Streaming DP-count upkeep: a file stream of raw rows keeps the
     * per-group true-count table current; releases read the tiny state
     * table through [[dpCountStateRelease]], never the stream history. */

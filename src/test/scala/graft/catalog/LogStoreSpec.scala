@@ -467,4 +467,60 @@ class LogStoreSpec extends AnyFunSuite {
     assert(t.appendStream(b0, batchId = 0L) == -1L)
     assert(ids(t.read()) == (1L to 80L).toSet)
   }
+
+  test("bloom skipping: point lookups scan only segments whose filter " +
+      "cannot rule the key out, with ZERO false negatives; blooms " +
+      "survive checkpoints; bloom-less segments are always scanned") {
+    val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
+    val t = new LogStore(spark, dir, bloomCol = Some("k"),
+      checkpointInterval = 2)
+    // three segments with DISJOINT string keys — min/max stats would
+    // be useless here (interleaved lexicographic ranges)
+    def seg(keys: Seq[String]) =
+      keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("k", "v")
+    t.append(seg((0 until 40).map(i => s"shop-${i * 3}.example")))
+    t.append(seg((0 until 40).map(i => s"shop-${i * 3 + 1}.example")))
+    t.append(seg((0 until 40).map(i => s"shop-${i * 3 + 2}.example")))
+
+    // no false negatives: EVERY inserted key is found, and the result
+    // equals the full-scan filter exactly
+    val all = t.read()
+    (0 until 120 by 17).foreach { i =>
+      val key = s"shop-$i.example"
+      val (df, scanned, live) = t.pointLookup(key)
+      assert(live == 3)
+      assert(scanned >= 1 && scanned <= 3)
+      val expect = all.where(col("k") === key).count()
+      assert(df.count() == expect && expect == 1L,
+        s"lookup of $key must equal the full scan")
+    }
+    // the skip actually happens: a known key opens ONE segment (the
+    // md5 positions are deterministic, so this is a fixed outcome,
+    // not a probabilistic one)
+    val (_, s0, _) = t.pointLookup("shop-0.example")
+    assert(s0 == 1, s"disjoint segments should skip: scanned $s0 of 3")
+    // an absent key is PROVEN absent without opening anything
+    val (miss, sMiss, _) = t.pointLookup("never-written.example")
+    assert(sMiss == 0 && miss.count() == 0L)
+
+    // checkpoints carry the bloom: force one, then a fresh store
+    // handle (checkpoint-seeded replay) still skips identically
+    t.checkpoint()
+    val t2 = new LogStore(spark, dir, bloomCol = Some("k"))
+    val (hit2, s2, l2) = t2.pointLookup("shop-0.example")
+    assert(l2 == 3 && s2 == 1 && hit2.count() == 1L)
+
+    // a segment written WITHOUT a bloom (different store config on
+    // the same root) is always scanned — the safe default
+    val tPlain = new LogStore(spark, dir)
+    tPlain.append(seg(Seq("late-arrival.example")))
+    val t3 = new LogStore(spark, dir, bloomCol = Some("k"))
+    val (_, s3, l3) = t3.pointLookup("shop-0.example")
+    assert(l3 == 4 && s3 == 2,
+      s"the bloom-less segment must always be scanned: $s3 of $l3")
+    val (lateDf, sLate, _) = t3.pointLookup("late-arrival.example")
+    assert(sLate == 1 && lateDf.count() == 1L,
+      "the key only the bloom-less segment holds is still found")
+  }
 }

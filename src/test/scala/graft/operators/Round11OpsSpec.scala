@@ -43,6 +43,162 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(out("a")._3 > 0.25)
   }
 
+  test("oddsRatio: hand-computed Haldane-Anscombe cells, a null " +
+      "table reads OR = 1 / not significant, a zero cell stays finite") {
+    def table(a: Int, b: Int, c: Int, d: Int) =
+      (Seq.fill(a)(("g", 0, 1)) ++ Seq.fill(b)(("g", 0, 0)) ++
+        Seq.fill(c)(("g", 1, 1)) ++ Seq.fill(d)(("g", 1, 0)))
+        .toDF("grp", "arm", "succ")
+    // a=30 b=10 c=10 d=30 -> A=61 B=21 C=21 D=61:
+    // OR = 61*61/(21*21), RR = 61*82/(21*82) = 61/21
+    val out = AnalyticsOps.oddsRatio(table(30, 10, 10, 30),
+        "grp", "arm", "succ")
+      .select("a", "b", "c", "d", "odds_ratio", "risk_ratio",
+        "se_ln_or", "significant")
+      .as[(Long, Long, Long, Long, Double, Double, Double, Boolean)]
+      .head()
+    assert(out._1 == 30 && out._2 == 10 && out._3 == 10 && out._4 == 30)
+    assert(out._5 == 3721.0 / 441.0)
+    assert(out._6 == (61.0 * 82) / (21.0 * 82))
+    assert(out._7 == math.sqrt(2.0 / 61 + 2.0 / 21 + 2.0 / 21 + 2.0 / 61))
+    assert(out._8, "a 3:1 flip on n=80 must be significant")
+    // exact null: identical arms -> OR = 1, ln 0, interval straddles
+    val nul = AnalyticsOps.oddsRatio(table(20, 20, 20, 20),
+        "grp", "arm", "succ")
+      .select("odds_ratio", "ln_or", "significant")
+      .as[(Double, Double, Boolean)].head()
+    assert(nul._1 == 1.0 && nul._2 == 0.0 && !nul._3)
+    // zero cell: the correction keeps everything finite
+    val zc = AnalyticsOps.oddsRatio(table(20, 0, 10, 10),
+        "grp", "arm", "succ")
+      .select("odds_ratio", "ln_lo", "ln_hi")
+      .as[(Double, Double, Double)].head()
+    assert(zc._1 == (41.0 * 21) / (1.0 * 21))
+    assert(!zc._2.isNaN && !zc._3.isNaN && !zc._1.isInfinite)
+  }
+
+  test("vocabRichness: the frequency-of-frequencies profile yields " +
+      "the hand-computed Chao1 and Good-Turing unseen mass") {
+    // tokens: a a b b b c d e -> V=5, M=8, f1=3 (c,d,e), f2=1 (a)
+    val docs = Seq((1L, "A a  B"), (2L, "b b c"), (3L, "d e"))
+      .toDF("doc_id", "text")
+    val out = TextOps.vocabRichness(docs)
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(out._1 == 5L && out._2 == 8L && out._3 == 3L && out._4 == 1L)
+    // chao1 = 5 + 3*2/(2*(1+1)) = 6.5; unseen = 3/8
+    assert(out._5 == 5.0 + 6.0 / 4.0)
+    assert(out._6 == 3.0 / 8.0)
+    // a saturated corpus (no singletons): chao1 = V, unseen mass 0
+    val sat = Seq((1L, "x x y y")).toDF("doc_id", "text")
+    val satOut = TextOps.vocabRichness(sat)
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(satOut._5 == 2.0 && satOut._6 == 0.0)
+  }
+
+  test("cochranArmitage: a climbing rate trips the trend test with " +
+      "the hand-cleared chi2, a flat rate reads exactly 0, a " +
+      "degenerate pool pins 0") {
+    // w = 0,1,2 with 10 subjects each, successes 1 -> 5 -> 9:
+    // T' = 30*23 - 15*30 = 240; denom = 15*15*(30*50 - 30^2) = 135000;
+    // chi2 = 240^2*30/135000 = 12.8
+    def pool(xs: (Int, Int, Int)) =
+      (Seq.tabulate(10)(i => ("g", 0L, if (i < xs._1) 1 else 0)) ++
+        Seq.tabulate(10)(i => ("g", 1L, if (i < xs._2) 1 else 0)) ++
+        Seq.tabulate(10)(i => ("g", 2L, if (i < xs._3) 1 else 0)))
+        .toDF("grp", "w", "succ")
+    val up = AnalyticsOps.cochranArmitage(pool((1, 5, 9)), "grp", "w", "succ")
+      .select("n", "x", "chi2", "trend", "direction")
+      .as[(Long, Long, Double, Boolean, Int)].head()
+    assert(up._1 == 30L && up._2 == 15L)
+    assert(up._3 == 240.0 * 240.0 * 30.0 / 135000.0 && up._4)
+    assert(up._5 == 1)
+    // mirrored fall: same chi2, direction flips
+    val down = AnalyticsOps.cochranArmitage(pool((9, 5, 1)), "grp", "w", "succ")
+      .select("chi2", "trend", "direction")
+      .as[(Double, Boolean, Int)].head()
+    assert(down._1 == up._3 && down._2 && down._3 == -1)
+    // flat: numerator exactly 0
+    val flat = AnalyticsOps.cochranArmitage(pool((5, 5, 5)), "grp", "w", "succ")
+      .select("chi2", "trend", "direction")
+      .as[(Double, Boolean, Int)].head()
+    assert(flat._1 == 0.0 && !flat._2 && flat._3 == 0)
+    // degenerate (every subject converts): zero variance pins 0
+    val degen = AnalyticsOps.cochranArmitage(pool((10, 10, 10)), "grp", "w", "succ")
+      .select("chi2", "trend").as[(Double, Boolean)].head()
+    assert(degen._1 == 0.0 && !degen._2)
+  }
+
+  test("kruskalWallis: hand-computed H on a no-tie fixture, h = z^2 " +
+      "against Mann-Whitney on two groups, all-tied pool pins NaN") {
+    // no ties: A = {1,4}, B = {2,5}, C = {3,6} -> ranks 1..6,
+    // R = (5, 7, 9); H = 12/(6*7) * (25+49+81)/2 - 3*7 = 1.142857...
+    val abc = Seq(("A", 1.0), ("A", 4.0), ("B", 2.0), ("B", 5.0),
+      ("C", 3.0), ("C", 6.0)).toDF("grp", "v")
+    val out = AnalyticsOps.kruskalWallis(abc, "grp", "v")
+      .select("grp", "n_j", "rank_sum", "h", "dof")
+      .as[(String, Long, Double, Double, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("A")._3 == 5.0 && out("B")._3 == 7.0 && out("C")._3 == 9.0)
+    assert(out.values.forall(_._5 == 2L))
+    assert(math.abs(out("A")._4 - (12.0 / 42 * 77.5 - 21.0)) < 1e-5)
+
+    // two groups with ties: tie-corrected H equals the square of the
+    // tie-corrected Mann-Whitney z (the classical k=2 identity)
+    val two = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0), ("b", 6.0), ("b", 6.0))
+      .toDF("arm", "v")
+    val h2 = AnalyticsOps.kruskalWallis(two, "arm", "v")
+      .select("h").as[Double].head()
+    val z = AnalyticsOps.mannWhitneyU(two, "arm", "a", "b", "v")
+      .select("z").as[Double].head()
+    assert(math.abs(h2 - z * z) < 1e-5,
+      s"k=2 KW must square the MW z: h=$h2 z^2=${z * z}")
+
+    // fully tied: C = 0 -> NaN pin (the MW degenerate discipline)
+    val tied = Seq.fill(8)(("g", 7.0)).toDF("grp", "v") union
+      Seq.fill(4)(("h", 7.0)).toDF("grp", "v")
+    val hTied = AnalyticsOps.kruskalWallis(tied, "grp", "v")
+      .select("h").as[Double].head()
+    assert(hTied.isNaN)
+  }
+
+  test("jsdDrift: identical slices read 0, the shifted mix reads the " +
+      "hand-computed grid JSD, bounded by ln 2, KLs mirror") {
+    val same = Seq.tabulate(120)(i =>
+      (s"b${i % 3}", i % 2 == 0)).toDF("bin", "is_ref")
+    val sameOut = AnalyticsOps.jsdDrift(same, "bin", "is_ref")
+      .select("kl_pq", "kl_qp", "jsd_total")
+      .as[(Double, Double, Double)].head()
+    assert(sameOut == ((0.0, 0.0, 0.0)))
+
+    // ref = (30, 10), cur = (10, 30): a = (31, 11), b = (11, 31),
+    // N1 = N2 = 42 — a perfectly mirrored shift
+    val shifted =
+      Seq.fill(30)(("a", true)) ++ Seq.fill(10)(("b", true)) ++
+        Seq.fill(10)(("a", false)) ++ Seq.fill(30)(("b", false))
+    val out = AnalyticsOps.jsdDrift(shifted.toDF("bin", "is_ref"),
+        "bin", "is_ref")
+      .select("bin", "jsd_term", "kl_pq", "kl_qp", "jsd_total")
+      .as[(String, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    def lnG(x: Long): Long = math.floor(math.log(x.toDouble) * 1e12).toLong
+    val lnpmA = lnG(2L * 31 * 42) - lnG(31L * 42 + 11L * 42)
+    val lnqmA = lnG(2L * 11 * 42) - lnG(31L * 42 + 11L * 42)
+    val expTermA = (31.0 / 42 * (lnpmA.toDouble / 1e12) +
+      11.0 / 42 * (lnqmA.toDouble / 1e12)) / 2
+    assert(math.abs(out("a")._2 - expTermA) < 1e-12)
+    // the mirrored fixture: both bins carry the same term, the two KL
+    // directions agree, and the total is the term sum
+    assert(out("a")._2 == out("b")._2)
+    assert(out("a")._3 == out("a")._4)
+    assert(math.abs(out("a")._5 - (out("a")._2 + out("b")._2)) < 1e-12)
+    // JSD is bounded by ln 2 no matter the shift; this one is a real
+    // but sub-maximal drift
+    assert(out("a")._5 > 0.0 && out("a")._5 < 0.6931471805599453)
+    // KL exceeds JSD (the unbounded vs bounded divergence ordering)
+    assert(out("a")._3 > out("a")._5)
+  }
+
   test("msprtSequential: a real effect's always-valid log_p only " +
       "falls and crosses ln(0.05); a null effect never rejects") {
     // 10 days x 40 users/day; "lift": arm 0 converts 90%, arm 1 10% —

@@ -185,6 +185,98 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(after === batchPsi(b0.unionByName(b1)))
   }
 
+  test("streaming mSPRT: the always-valid readout over maintained " +
+      "daily state after N micro-batches is bit-identical to the " +
+      "batch monitor of the whole stream; replay is fenced") {
+    import graft.operators.AnalyticsOps
+    val base = Files.createTempDirectory("graft-msprt").toString
+    val statePath = s"$base/state"
+
+    // two micro-batches that SPLIT a day between them (b1 lands more
+    // rows on day 2) — the additive daily state must merge them, and
+    // the cumulative readout must see one combined day-2 row
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$d%d 09:00:00")
+    val b0 = (Seq.tabulate(40)(i =>
+        ("exp", ts(1), i % 2, if (i % 2 == 0) (i / 2) % 10 != 0 else (i / 2) % 10 == 0)) ++
+      Seq.tabulate(20)(i => ("exp", ts(2), i % 2, i % 2 == 0)))
+      .map(r => (r._1, r._2, r._3, if (r._4) 1 else 0))
+      .toDF("grp", "ts", "arm", "succ")
+    val b1 = (Seq.tabulate(20)(i => ("exp", ts(2), i % 2, i % 2 == 0)) ++
+      Seq.tabulate(40)(i => ("exp", ts(3), i % 2, (i / 2) % 3 == 0)))
+      .map(r => (r._1, r._2, r._3, if (r._4) 1 else 0))
+      .toDF("grp", "ts", "arm", "succ")
+    def batchOut(df: DataFrame): Set[(String, java.sql.Date, Long,
+        Long, Long, Long, Double, Double, Boolean)] =
+      AnalyticsOps.msprtSequential(df, "grp", "ts", "arm", "succ")
+        .as[(String, java.sql.Date, Long, Long, Long, Long, Double, Double, Boolean)].collect().toSet
+
+    Seq.empty[(String, java.sql.Date, Long, Long, Long, Long)]
+      .toDF("grp", "day", "da", "dxa", "db", "dxb")
+      .withColumn("_batch_id", lit(-1L)).write.parquet(statePath)
+
+    StreamingOps.maintainMsprtState(statePath, "grp", "ts", "arm",
+      "succ")(b0, 0L)
+    StreamingOps.maintainMsprtState(statePath, "grp", "ts", "arm",
+      "succ")(b1, 1L)
+    val released = StreamingOps.msprtStateRelease(spark, statePath)
+      .as[(String, java.sql.Date, Long, Long, Long, Long, Double, Double, Boolean)].collect().toSet
+    assert(released === batchOut(b0.unionByName(b1)),
+      "mSPRT over maintained daily state must equal the batch " +
+        "monitor on all rows — same grid, same windows, same readout")
+    // the split day merged into ONE daily row, not two
+    assert(released.size === 3)
+
+    // replayed micro-batch is a no-op under the batch-id fence
+    StreamingOps.maintainMsprtState(statePath, "grp", "ts", "arm",
+      "succ")(b1, 1L)
+    val after = StreamingOps.msprtStateRelease(spark, statePath)
+      .as[(String, java.sql.Date, Long, Long, Long, Long, Double, Double, Boolean)].collect().toSet
+    assert(after === batchOut(b0.unionByName(b1)))
+  }
+
+  test("streaming SRM: the guardrail over maintained arm counts is " +
+      "bit-identical to the batch check of the whole stream; a break " +
+      "that only emerges across batches is caught; replay is fenced") {
+    import graft.operators.AnalyticsOps
+    val base = Files.createTempDirectory("graft-srm").toString
+    val statePath = s"$base/state"
+
+    // each batch alone PASSES the guardrail (270/230 → d = 40,
+    // chi2 = 1600/500 = 3.2 < 3.84) but the union carries a 540/460
+    // break (d = 80, chi2 = 6400/1000 = 6.4) — the drift that only a
+    // maintained cumulative count can catch
+    def batch() = (Seq.fill(250)(("ok", 0)) ++ Seq.fill(250)(("ok", 1)) ++
+      Seq.fill(270)(("broken", 0)) ++ Seq.fill(230)(("broken", 1)))
+      .toDF("grp", "arm")
+    val b0 = batch()
+    val b1 = batch()
+    def batchOut(df: DataFrame): Set[(String, Long, Long, Double,
+        Boolean)] =
+      AnalyticsOps.srmCheck(df, "grp", "arm")
+        .as[(String, Long, Long, Double, Boolean)].collect().toSet
+
+    Seq.empty[(String, Long, Long)].toDF("grp", "n_a", "n_b")
+      .withColumn("_batch_id", lit(-1L)).write.parquet(statePath)
+
+    StreamingOps.maintainSrmState(statePath, "grp", "arm")(b0, 0L)
+    StreamingOps.maintainSrmState(statePath, "grp", "arm")(b1, 1L)
+    val released = StreamingOps.srmStateRelease(spark, statePath)
+      .as[(String, Long, Long, Double, Boolean)].collect().toSet
+    assert(released === batchOut(b0.unionByName(b1)))
+    val byGrp = released.map(r => r._1 -> r).toMap
+    // each batch alone passes (chi2 = 3.2): the cross-batch union is
+    // what trips — 540/460, d = 80, chi2 = 6400/1000 = 6.4
+    assert(batchOut(b0)(("broken", 270L, 230L, 3.2, false)))
+    assert(byGrp("broken")._4 == 6.4 && byGrp("broken")._5)
+    assert(byGrp("ok")._4 == 0.0 && !byGrp("ok")._5)
+
+    // replayed micro-batch is a no-op under the batch-id fence
+    StreamingOps.maintainSrmState(statePath, "grp", "arm")(b1, 1L)
+    val after = StreamingOps.srmStateRelease(spark, statePath)
+      .as[(String, Long, Long, Double, Boolean)].collect().toSet
+    assert(after === batchOut(b0.unionByName(b1)))
+  }
+
   test("streaming DP mean: release over maintained (n, clipped_units) " +
       "state is bit-identical to the batch release; replay is fenced") {
     import graft.operators.AnalyticsOps

@@ -419,7 +419,8 @@ object ScaleStress {
       "analytics_mann_whitney", "analytics_bootstrap_ci",
       "ts_holt_winters", "ts_theil_sen", "ts_kalman_level",
       "ts_mann_kendall", "analytics_rand_fdr", "analytics_msprt",
-      "analytics_psi", "analytics_kruskal_wallis")
+      "analytics_psi", "analytics_kruskal_wallis",
+      "analytics_trend_test")
     if (only.isEmpty || only.exists(evFams.contains)) {
       val nEvents = 100000L * scale
       val ev = synthEvents(spark, nEvents).localCheckpoint(true)
@@ -496,6 +497,16 @@ object ScaleStress {
             .cast("long").as("cv")).distinct().count()) {
         AnalyticsOps.kruskalWallis(ev, "event_type", "value")
       }
+      // Cochran-Armitage: two aggregations, corpus -> (grp, score)
+      // cells -> k rows; candidates = the cell relation (types x 7
+      // dow scores), INVARIANT in n
+      run("analytics_trend_test", nEvents, 3L * 7) {
+        AnalyticsOps.cochranArmitage(
+          ev.withColumn("dow",
+            pmod(unix_date(to_date(col("ts"))), lit(7)).cast("long"))
+            .withColumn("succ", (col("value") > lit(500.0)).cast("int")),
+          "event_type", "dow", "succ")
+      }
       ev.unpersist()
     }
     // LogStore commit cost vs table age — the O(1)-commit claim: an
@@ -513,6 +524,44 @@ object ScaleStress {
       out += Measurement("src_log_commit", scale, 10L * scale, sec,
         store.latestVersion())
       System.err.println(s"[scale] ${out.last.json}")
+    }
+    // Bloom point-lookup cost vs table size — the O(1)-open claim:
+    // the table grows 10 -> 100 -> 1000 live segments of DISJOINT
+    // string keys, and a lookup must keep opening ~1 parquet segment
+    // (candidates = segments actually opened). One real segment
+    // carries the probed key; the other N-1 are committed with
+    // harness-built Bloom hexes (same bit recipe as buildBloom) —
+    // pointLookup prunes them WITHOUT any parquet existing to open,
+    // which is exactly the claim under test.
+    if (only.isEmpty || only.contains("src_bloom_lookup")) {
+      val nSegs = 10 * scale
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-bloom").toString + "/tbl"
+      val store = new graft.catalog.LogStore(spark, root,
+        bloomCol = Some("k"), checkpointInterval = 1000000)
+      import spark.implicits._
+      store.append(Seq(("probe-key.example", 1L)).toDF("k", "v"))
+      val bits = 4096
+      def hexFor(keys: Seq[String]): String = {
+        val arr = new Array[Boolean](bits)
+        keys.foreach(k => store.bloomPositions(k).foreach(arr(_) = true))
+        arr.grouped(4).map { nib =>
+          Integer.toHexString((if (nib(0)) 1 else 0) |
+            (if (nib(1)) 2 else 0) | (if (nib(2)) 4 else 0) |
+            (if (nib(3)) 8 else 0))
+        }.mkString
+      }
+      (1 until nSegs).foreach { s =>
+        val hex = hexFor((0 until 64).map(i => s"other-$s-$i.example"))
+        store.commit(store.latestVersion() + 1,
+          Seq(store.Segment(s"seg-fake-$s", None, None, num = false,
+            Some(hex))), Nil)
+      }
+      val (sec, (_, opened, live)) =
+        time { store.pointLookup("probe-key.example") }
+      out += Measurement("src_bloom_lookup", scale, nSegs.toLong, sec,
+        opened.toLong)
+      System.err.println(s"[scale] ${out.last.json} (live=$live)")
     }
     // LogStore MERGE cost vs table size — the copy-on-write pruning
     // claim: a 10-row upsert whose key range hits ONE segment's stats

@@ -3314,6 +3314,21 @@ object SparkEntry {
           "event_type", "is_ref")
         .orderBy("bin")),
 
+    // ---- capture-recapture audience estimate across the cutover ----
+    "analytics_capture_recapture" -> ((s, dir) =>
+      // how many distinct users exist in TOTAL per event type, from
+      // the overlap between the pre- and post-cutover windows (the
+      // CUPED cutover) — the audience-size readout neither window
+      // alone can give
+      AnalyticsOps.captureRecapture(
+          events(s, dir)
+            .withColumn("in_a",
+              col("ts") < lit(s"$D 00:00:00").cast("timestamp"))
+            .withColumn("in_b",
+              col("ts") >= lit(s"$D 00:00:00").cast("timestamp")),
+          "event_type", "user_id", "in_a", "in_b")
+        .orderBy("grp")),
+
     // ---- odds ratio / relative risk with log-domain Wald CI ----
     "analytics_odds_ratio" -> ((s, dir) =>
       // the effect-SIZE companion of the z/chi-square tests: same
@@ -9992,6 +10007,30 @@ object SparkEntry {
         |   * (CAST(lng AS DOUBLE) / 1e12) AS psi_term,
         | psi_total
         |FROM terms CROSS JOIN tot ORDER BY bin""".stripMargin,
+
+    // capture-recapture replay: per-unit presence flags, exact
+    // HUGEINT products, Lincoln/Chapman/se as fixed IEEE trees
+    "analytics_capture_recapture" ->
+      """WITH per AS (SELECT event_type AS grp, user_id,
+        |  CAST(MAX(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS ia,
+        |  CAST(MAX(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS ib
+        | FROM events GROUP BY 1, 2),
+        |g AS (SELECT grp, CAST(SUM(ia) AS BIGINT) AS n1,
+        |  CAST(SUM(ib) AS BIGINT) AS n2,
+        |  CAST(SUM(ia * ib) AS BIGINT) AS m FROM per GROUP BY 1)
+        |SELECT grp, n1, n2, m,
+        | CASE WHEN m > 0 THEN
+        |   CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) / CAST(m AS DOUBLE)
+        |  ELSE CAST('nan' AS DOUBLE) END AS lincoln,
+        | CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) AS DOUBLE)
+        |   / CAST(m + 1 AS DOUBLE) - CAST(1 AS DOUBLE) AS chapman,
+        | sqrt(CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) * (n1 - m)
+        |      * (n2 - m) AS DOUBLE)
+        |   / CAST(CAST(m + 1 AS HUGEINT) * (m + 1) * (m + 2)
+        |      AS DOUBLE)) AS se
+        |FROM g ORDER BY grp""".stripMargin,
 
     // odds-ratio replay: Haldane-Anscombe x2+1 integer cells, lnG
     // grid on exact HUGEINT products, the Wald interval as the same

@@ -2567,6 +2567,52 @@ object AnalyticsOps {
       .withColumn("srm", col("chi2") > lit(3.841458820694124))
   }
 
+  /** Capture–recapture population estimate (Lincoln 1930 / Petersen;
+    * Chapman 1951 correction — public): how many distinct units exist
+    * in TOTAL, estimated from two overlapping observation windows —
+    * the audience-size / true-dedup-population readout when neither
+    * window saw everything. With n₁ units in window A, n₂ in B and m
+    * in both:
+    *   Lincoln–Petersen N̂ = n₁·n₂/m          (undefined at m = 0)
+    *   Chapman N̂c = (n₁+1)(n₂+1)/(m+1) − 1   (finite always, less
+    *                                           biased at small m)
+    *   se(N̂c) = √[(n₁+1)(n₂+1)(n₁−m)(n₂−m) / ((m+1)²(m+2))]
+    * All products exact DECIMAL(38,0); each estimate is one fixed
+    * IEEE tree. m = 0 pins Lincoln to NaN (the MW degenerate
+    * discipline); Chapman and its se stay finite.
+    *
+    * Scale: one (grp, unit) aggregation collapses multiplicity, one
+    * per-group aggregation finishes — the unit relation is the only
+    * shuffle, the corpus never moves twice. */
+  def captureRecapture(df: DataFrame, groupCol: String,
+      unitCol: String, inACol: String, inBCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val per = df.groupBy(col(groupCol).as("grp"),
+        col(unitCol).as("unit"))
+      .agg(max(col(inACol).cast("int")).as("ia"),
+        max(col(inBCol).cast("int")).as("ib"))
+    val g = per.groupBy(col("grp")).agg(
+      sum(col("ia").cast("long")).as("n1"),
+      sum(col("ib").cast("long")).as("n2"),
+      sum((col("ia") * col("ib")).cast("long")).as("m"))
+    val n1p = (col("n1").cast(dec) + lit(1L).cast(dec)).cast(dec)
+    val n2p = (col("n2").cast(dec) + lit(1L).cast(dec)).cast(dec)
+    val mp = (col("m").cast(dec) + lit(1L).cast(dec)).cast(dec)
+    val lincoln = when(col("m") > 0L,
+      (col("n1").cast(dec) * col("n2").cast(dec)).cast("double") /
+        col("m").cast("double")).otherwise(lit(Double.NaN))
+    val chapman = (n1p * n2p).cast("double") / mp.cast("double") -
+      lit(1.0)
+    val seNum = (n1p * n2p *
+      (col("n1").cast(dec) - col("m").cast(dec)) *
+      (col("n2").cast(dec) - col("m").cast(dec))).cast(dec)
+    val seDen = (mp * mp *
+      (col("m").cast(dec) + lit(2L).cast(dec))).cast(dec)
+    g.select(col("grp"), col("n1"), col("n2"), col("m"),
+      lincoln.as("lincoln"), chapman.as("chapman"),
+      sqrt(seNum.cast("double") / seDen.cast("double")).as("se"))
+  }
+
   /** Odds ratio + relative risk of a 2×2 outcome table per group,
     * with log-domain Wald 95% intervals (Woolf 1955; Katz 1978 —
     * public): the effect-size readout epidemiology and

@@ -628,6 +628,22 @@ object StreamingOps {
       .foreachBatch(maintainDpCountState(statePath, groupCol) _)
       .start()
 
+  /** The live experiment monitor as a real stream: exposure/outcome
+    * rows land as files, each micro-batch folds into the mSPRT daily
+    * state — the always-valid p-value is then readable at ANY moment
+    * via [[msprtStateRelease]] without touching stream history. */
+  def streamingMsprtMonitor(spark: SparkSession, sourceDir: String,
+      schema: StructType, groupCol: String, tsCol: String,
+      armCol: String, successCol: String, statePath: String,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(
+        maintainMsprtState(statePath, groupCol, tsCol, armCol,
+          successCol) _)
+      .start()
+
   /** Exactly-once KLL upkeep, same batch-id fencing as Count-Min: the
     * state table is the sketch's long form (level, v) plus the fence —
     * weight (and hence count) is reconstructible as Σ 2^level, so no

@@ -814,6 +814,45 @@ class PlanAuditSpec extends AnyFunSuite {
       s"PSI is one aggregation + singleton broadcasts, never a window")
   }
 
+  test("Kruskal-Wallis: rank joins are equi-joins on the cent key — " +
+      "no cartesian, no nested loop; every window is bucket- or " +
+      "group-partitioned") {
+    val df = q("analytics_kruskal_wallis")
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"the tie-group join must never go cartesian:\n$plan")
+    // the only broadcast nested loops allowed are the singleton
+    // totals/head broadcasts (1-row relations)
+    val bnl = flatten(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    // bounded singleton crossJoins: the prefix-sum hi bound, the
+    // (n, k) totals, the (h, dof) head, and the tie row — each a
+    // 1-row aggregate, and each may plan TWICE because the broadcast
+    // subtree is referenced from two consumers (no reuse exchange for
+    // tiny aggregates). The load-bearing ban is the CartesianProduct
+    // check above; this bound only pins "a few singletons", never a
+    // data-sized nested loop.
+    assert(bnl.size <= 8,
+      s"only the singleton crossJoins may plan as BNL: ${bnl.size}")
+  }
+
+  test("trend test + odds ratio + SRM: one aggregation each — no " +
+      "join, no window, nothing corpus-shaped after the group-by") {
+    Seq("analytics_trend_test", "analytics_odds_ratio",
+        "analytics_srm").foreach { name =>
+      val df = q(name)
+      val plan = planOf(df)
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("BroadcastHashJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$name is aggregation-only — nothing justifies a join:\n$plan")
+      val windows = flatten(df.queryExecution.executedPlan)
+        .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(windows.isEmpty, s"$name must be window-free")
+    }
+  }
+
   test("bootstrap: the replicate explode runs over the AGGREGATED " +
       "buffers, never the corpus (the emb_pca one-pass shape)") {
     // the (rows × B) relation must not exist: every Generate in the

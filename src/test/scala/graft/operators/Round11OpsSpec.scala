@@ -43,6 +43,34 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(out("a")._3 > 0.25)
   }
 
+  test("captureRecapture: hand-computed Lincoln/Chapman estimates, " +
+      "duplicate sightings collapse, disjoint windows pin Lincoln " +
+      "to NaN while Chapman stays finite") {
+    // A sees units 1..60, B sees 41..100 -> n1=60, n2=60, m=20; unit
+    // 50 sighted THREE times in A (multiplicity must not inflate n1)
+    val rows = (1 to 60).map(u => ("g", u.toLong, true, false)) ++
+      Seq(("g", 50L, true, false), ("g", 50L, true, false)) ++
+      (41 to 100).map(u => ("g", u.toLong, false, true))
+    val out = AnalyticsOps.captureRecapture(
+        rows.toDF("grp", "unit", "in_a", "in_b"),
+        "grp", "unit", "in_a", "in_b")
+      .select("n1", "n2", "m", "lincoln", "chapman", "se")
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(out._1 == 60 && out._2 == 60 && out._3 == 20)
+    assert(out._4 == 3600.0 / 20.0)
+    assert(out._5 == 61.0 * 61.0 / 21.0 - 1.0)
+    assert(out._6 ==
+      math.sqrt(61.0 * 61 * 40 * 40 / (21.0 * 21 * 22)))
+    // disjoint windows: m = 0 -> Lincoln undefined, Chapman finite
+    val disjoint = ((1 to 10).map(u => ("g", u.toLong, true, false)) ++
+      (11 to 30).map(u => ("g", u.toLong, false, true)))
+      .toDF("grp", "unit", "in_a", "in_b")
+    val d = AnalyticsOps.captureRecapture(disjoint,
+        "grp", "unit", "in_a", "in_b")
+      .select("lincoln", "chapman").as[(Double, Double)].head()
+    assert(d._1.isNaN && d._2 == 11.0 * 21.0 / 1.0 - 1.0)
+  }
+
   test("oddsRatio: hand-computed Haldane-Anscombe cells, a null " +
       "table reads OR = 1 / not significant, a zero cell stays finite") {
     def table(a: Int, b: Int, c: Int, d: Int) =

@@ -234,6 +234,43 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(after === batchOut(b0.unionByName(b1)))
   }
 
+  test("streamingMsprtMonitor: a REAL file stream feeds the daily " +
+      "state; the always-valid readout equals the batch monitor") {
+    import graft.operators.AnalyticsOps
+    val base = Files.createTempDirectory("graft-msprt-live").toString
+    val (srcDir, statePath, ckpt) =
+      (s"$base/rows", s"$base/state", s"$base/ckpt")
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$d%d 09:00:00")
+    val b0 = Seq.tabulate(40)(i =>
+      ("exp", ts(1), i % 2, if (i % 4 < 2) 1 else 0))
+      .toDF("grp", "ts", "arm", "succ")
+    val b1 = Seq.tabulate(40)(i =>
+      ("exp", ts(2), i % 2, if (i % 8 < 5) 1 else 0))
+      .toDF("grp", "ts", "arm", "succ")
+
+    Seq.empty[(String, java.sql.Date, Long, Long, Long, Long)]
+      .toDF("grp", "day", "da", "dxa", "db", "dxb")
+      .withColumn("_batch_id", lit(-1L)).write.parquet(statePath)
+
+    b0.write.parquet(srcDir)
+    val q = StreamingOps.streamingMsprtMonitor(spark, srcDir,
+      b0.schema, "grp", "ts", "arm", "succ", statePath, ckpt)
+    try {
+      q.processAllAvailable()
+      b1.write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val released = StreamingOps.msprtStateRelease(spark, statePath)
+        .as[(String, java.sql.Date, Long, Long, Long, Long, Double,
+          Double, Boolean)].collect().toSet
+      val batch = AnalyticsOps.msprtSequential(
+          b0.unionByName(b1), "grp", "ts", "arm", "succ")
+        .as[(String, java.sql.Date, Long, Long, Long, Long, Double,
+          Double, Boolean)].collect().toSet
+      assert(released === batch,
+        "the live monitor must read exactly what the batch would")
+    } finally q.stop()
+  }
+
   test("streaming SRM: the guardrail over maintained arm counts is " +
       "bit-identical to the batch check of the whole stream; a break " +
       "that only emerges across batches is caught; replay is fenced") {

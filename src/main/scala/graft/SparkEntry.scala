@@ -1568,6 +1568,26 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "src_restore_log" -> ((s, dir) => {
+      // RESTORE as an audited undo: a bad delete lands at v2, restore
+      // rolls the table forward to v1's content at v3 — the restored
+      // aggregate must equal the pristine table, the restored version
+      // and the still-readable pre-restore row count ride as literals
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-rsl").toString + "/tbl"
+      val store = new graft.catalog.LogStore(s, root)
+      store.append(docs.where(col("doc_id") < 150))
+      store.append(docs.where(col("doc_id") >= 150))
+      store.deleteWhere("lang = 'en'")
+      val v = store.restore(1)
+      store.read().groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .withColumn("restored_version", lit(v))
+        .withColumn("pre_restore_rows", lit(store.read(2).count()))
+        .orderBy("lang")
+    }),
+
     "src_bloomskip_log" -> ((s, dir) => {
       // Bloom-skipped STRING point lookup — the skip min/max stats
       // cannot express: three segments holding disjoint lang sets,
@@ -3313,6 +3333,15 @@ object SparkEntry {
             .withColumn("is_ref", dayofweek(col("ts")).between(2, 6)),
           "event_type", "is_ref")
         .orderBy("bin")),
+
+    // ---- weekly spectral strength of the daily value series ----
+    "ts_weekly_spectrum" -> ((s, dir) =>
+      // the periodogram at 1/7: how much of each type's daily
+      // variance the week-period sinusoid pair explains — the
+      // spectral complement of ts_seasonal_decompose
+      AnalyticsOps.weeklySpectrum(events(s, dir), "event_type",
+          "ts", "value")
+        .orderBy("grp")),
 
     // ---- capture-recapture audience estimate across the cutover ----
     "analytics_capture_recapture" -> ((s, dir) =>
@@ -6323,6 +6352,14 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // skip-rate pinned as literals: 3 disjoint segments, 1 overlaps
+    "src_restore_log" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS chars,
+        | CAST(3 AS BIGINT) AS restored_version,
+        | (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE lang <> 'en') AS pre_restore_rows
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "src_bloomskip_log" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(n_chars) AS BIGINT) AS chars,
@@ -10007,6 +10044,62 @@ object SparkEntry {
         |   * (CAST(lng AS DOUBLE) / 1e12) AS psi_term,
         | psi_total
         |FROM terms CROSS JOIN tot ORDER BY bin""".stripMargin,
+
+    // weekly-spectrum replay: quantized 12-dp trig basis (string ->
+    // decimal parse is parity-safe), exact decimal product sums, the
+    // C/S clearing and the variance ratio as fixed IEEE trees
+    "ts_weekly_spectrum" ->
+      """WITH d AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+        |  SUM(CAST(value AS DECIMAL(18,4))) AS x
+        | FROM events GROUP BY 1, 2),
+        |kd AS (SELECT grp, x,
+        |  CAST((day - DATE '1970-01-01') % 7 AS INTEGER) AS k FROM d),
+        |b AS (SELECT grp, x,
+        |  CASE k
+        |   WHEN 0 THEN CAST('1.000000000000' AS DECIMAL(14,12))
+        |   WHEN 1 THEN CAST('0.623489801859' AS DECIMAL(14,12))
+        |   WHEN 2 THEN CAST('-0.222520933956' AS DECIMAL(14,12))
+        |   WHEN 3 THEN CAST('-0.900968867902' AS DECIMAL(14,12))
+        |   WHEN 4 THEN CAST('-0.900968867902' AS DECIMAL(14,12))
+        |   WHEN 5 THEN CAST('-0.222520933956' AS DECIMAL(14,12))
+        |   ELSE CAST('0.623489801859' AS DECIMAL(14,12)) END AS c,
+        |  CASE k
+        |   WHEN 0 THEN CAST('0.000000000000' AS DECIMAL(14,12))
+        |   WHEN 1 THEN CAST('0.781831482468' AS DECIMAL(14,12))
+        |   WHEN 2 THEN CAST('0.974927912182' AS DECIMAL(14,12))
+        |   WHEN 3 THEN CAST('0.433883739118' AS DECIMAL(14,12))
+        |   WHEN 4 THEN CAST('-0.433883739118' AS DECIMAL(14,12))
+        |   WHEN 5 THEN CAST('-0.974927912182' AS DECIMAL(14,12))
+        |   ELSE CAST('-0.781831482468' AS DECIMAL(14,12)) END AS s
+        | FROM kd),
+        |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_days,
+        |  SUM(x) AS sx,
+        |  SUM(CAST(CAST(x * x AS VARCHAR) AS DECIMAL(38,6))) AS sxx,
+        |  SUM(CAST(CAST(x * c AS VARCHAR) AS DECIMAL(38,6))) AS sxc,
+        |  SUM(CAST(CAST(x * s AS VARCHAR) AS DECIMAL(38,6))) AS sxs,
+        |  SUM(c) AS scs, SUM(s) AS sss
+        | FROM b GROUP BY 1),
+        |f AS (SELECT grp, n_days,
+        |  CAST(CAST(sxc AS VARCHAR) AS DOUBLE)
+        |   - CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n_days AS DOUBLE)
+        |     * CAST(CAST(scs AS VARCHAR) AS DOUBLE) AS c_week,
+        |  CAST(CAST(sxs AS VARCHAR) AS DOUBLE)
+        |   - CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n_days AS DOUBLE)
+        |     * CAST(CAST(sss AS VARCHAR) AS DOUBLE) AS s_week,
+        |  CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+        |   - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+        |     * CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+        |     / CAST(n_days AS DOUBLE) AS ss_total
+        | FROM g),
+        |w AS (SELECT grp, n_days, c_week, s_week,
+        |  CAST(2 AS DOUBLE) * (c_week * c_week + s_week * s_week)
+        |    / CAST(n_days AS DOUBLE) AS ss_weekly, ss_total
+        | FROM f)
+        |SELECT grp, n_days, c_week, s_week, ss_weekly, ss_total,
+        | CASE WHEN ss_total > CAST(0 AS DOUBLE)
+        |  THEN ss_weekly / ss_total ELSE CAST('nan' AS DOUBLE) END
+        |   AS weekly_strength
+        |FROM w ORDER BY grp""".stripMargin,
 
     // capture-recapture replay: per-unit presence flags, exact
     // HUGEINT products, Lincoln/Chapman/se as fixed IEEE trees

@@ -642,6 +642,30 @@ class LogStore(spark: SparkSession, val root: String,
     commit(v + 1, Seq(writeSegment(read(v))), old)
   }
 
+  /** RESTORE the table to the content of an earlier `version` — the
+    * Delta RESTORE semantics: rollback is a NEW forward commit whose
+    * actions re-add the segments live at `version` and remove the
+    * ones live now, so nothing is rewritten (segments are immutable
+    * and still on disk), history is PRESERVED (the pre-restore state
+    * stays time-travelable at its own version — an audited undo, not
+    * an erasure), and concurrent readers keep snapshot isolation.
+    * Restoring behind the vacuum horizon refuses loudly via the same
+    * guard as time travel: those segments may be physically gone.
+    * Returns the new version. */
+  def restore(version: Long): Long = {
+    val latest = latestVersion()
+    require(version >= 0 && version <= latest,
+      s"cannot restore to $version (latest is $latest)")
+    // liveSegmentInfos(version) applies the vacuum-horizon refusal
+    val target = liveSegmentInfos(version)
+    val cur = liveSegmentInfos(latest)
+    val curNames = cur.map(_.name).toSet
+    val targetNames = target.map(_.name).toSet
+    val adds = target.filterNot(s => curNames.contains(s.name))
+    val removes = cur.map(_.name).filterNot(targetNames.contains)
+    commit(latest + 1, adds, removes)
+  }
+
   final case class MergeResult(version: Long, rewritten: Int, live: Int)
 
   /** Copy-on-write MERGE — the Delta-paper upsert: rows of `updates`

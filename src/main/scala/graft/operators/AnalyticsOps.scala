@@ -2567,6 +2567,74 @@ object AnalyticsOps {
       .withColumn("srm", col("chi2") > lit(3.841458820694124))
   }
 
+  /** Weekly spectral strength: the single-frequency periodogram of
+    * Schuster (1898 — public) evaluated at the one frequency ops
+    * series actually care about, 1/7 — "how WEEKLY is this metric",
+    * as the fraction of daily variance explained by the week-period
+    * sinusoid pair. Complements the moving-average seasonal
+    * decomposition with the spectral readout: with daily totals x_d,
+    * phase k = d mod 7 and the quantized basis c_k = cos(2πk/7),
+    * s_k = sin(2πk/7) (each a 12-dp DECIMAL literal — trig is the one
+    * libm surface two engines may round differently, so the BASIS is
+    * quantized once, the elementEntropy/Adamic–Adar grid recipe, and
+    * every product x·c is then EXACT decimal arithmetic):
+    *   C = Σx·c − (Σx/n)·Σc,   S = Σx·s − (Σx/n)·Σs
+    *   ss_weekly = 2·(C² + S²)/n,   ss_total = Σx² − (Σx)²/n
+    *   strength = ss_weekly / ss_total   (≈ the R² of the cos+sin
+    *   regression; NaN-pinned for a constant series)
+    * All sums EXACT DECIMAL(38,·); the C/S clearing and the ratio are
+    * fixed IEEE trees.
+    *
+    * Scale: the calendar-collapse law — ONE aggregation to the
+    * (grp, day) relation, ONE to k rows; nothing downstream grows
+    * with events. */
+  def weeklySpectrum(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val cosD = Seq("1.000000000000", "0.623489801859",
+      "-0.222520933956", "-0.900968867902", "-0.900968867902",
+      "-0.222520933956", "0.623489801859")
+    val sinD = Seq("0.000000000000", "0.781831482468",
+      "0.974927912182", "0.433883739118", "-0.433883739118",
+      "-0.974927912182", "-0.781831482468")
+    val cdec = DecimalType(14, 12)
+    def basis(vals: Seq[String]): Column =
+      (1 until 7).foldLeft(
+        when(col("k") === 0, lit(vals(0)).cast(cdec))) { (acc, k) =>
+        acc.when(col("k") === k, lit(vals(k)).cast(cdec))
+      }
+    val daily = df.groupBy(col(groupCol).as("grp"),
+        to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast(DecimalType(18, 4))).as("x"))
+      .withColumn("k", pmod(unix_date(col("day")), lit(7)).cast("int"))
+      .withColumn("c", basis(cosD))
+      .withColumn("s", basis(sinD))
+    // products land on the scale-6 grid BEFORE summation (HALF_UP
+    // both engines via the VARCHAR-routed downcast on the oracle
+    // side): sums at scale ≤ 6 stay inside the single-rounding
+    // long/10^s fast path of the decimal→double cast — scale-16 sums
+    // hit the BigDecimal double-rounding divergence (the emb_pca gram
+    // lesson, reproduced here before this quantization)
+    val g = daily.groupBy(col("grp")).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("x")).as("sx"),
+      sum((col("x") * col("x")).cast(DecimalType(38, 6))).as("sxx"),
+      sum((col("x") * col("c")).cast(DecimalType(38, 6))).as("sxc"),
+      sum((col("x") * col("s")).cast(DecimalType(38, 6))).as("sxs"),
+      sum(col("c")).as("scs"),
+      sum(col("s")).as("sss"))
+    val nD = col("n_days").cast("double")
+    val sxD = col("sx").cast("double")
+    val cC = col("sxc").cast("double") - sxD / nD * col("scs").cast("double")
+    val sS = col("sxs").cast("double") - sxD / nD * col("sss").cast("double")
+    val ssW = lit(2.0) * (cC * cC + sS * sS) / nD
+    val ssT = col("sxx").cast("double") - sxD * sxD / nD
+    g.select(col("grp"), col("n_days"),
+      cC.as("c_week"), sS.as("s_week"),
+      ssW.as("ss_weekly"), ssT.as("ss_total"),
+      when(ssT > lit(0.0), ssW / ssT).otherwise(lit(Double.NaN))
+        .as("weekly_strength"))
+  }
+
   /** Capture–recapture population estimate (Lincoln 1930 / Petersen;
     * Chapman 1951 correction — public): how many distinct units exist
     * in TOTAL, estimated from two overlapping observation windows —

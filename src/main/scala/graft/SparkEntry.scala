@@ -3334,6 +3334,24 @@ object SparkEntry {
           "event_type", "is_ref")
         .orderBy("bin")),
 
+    // ---- nDCG@10 of the BM25 ranking (self-supervised grades) ----
+    "retrieval_ndcg" -> ((s, dir) =>
+      // does BM25 put the MOST term-covered docs first — the ranking-
+      // quality companion of retrieval_rrf, same query terms
+      AnalyticsOps.ndcgAt10(t(s, dir, "documents"),
+          Seq("hash", "scan", "filter"))
+        .orderBy("n_ranked")),
+
+    // ---- quantile treatment effects across the parity arms ----
+    "analytics_qte" -> ((s, dir) =>
+      // the per-quantile complement of ab_welch/cuped: a treatment
+      // that moves the tail but not the median is invisible to means
+      AnalyticsOps.quantileTreatmentEffect(
+          events(s, dir)
+            .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int")),
+          "event_type", "arm", "value")
+        .orderBy("grp")),
+
     // ---- weekly spectral strength of the daily value series ----
     "ts_weekly_spectrum" -> ((s, dir) =>
       // the periodogram at 1/7: how much of each type's daily
@@ -10044,6 +10062,162 @@ object SparkEntry {
         |   * (CAST(lng AS DOUBLE) / 1e12) AS psi_term,
         | psi_total
         |FROM terms CROSS JOIN tot ORDER BY bin""".stripMargin,
+
+    // nDCG replay: the rrf oracle's BM25 block for the top-10, term-
+    // coverage grades, 12-dp discount literals, exact decimal DCG,
+    // count-derived IDCG, one IEEE division
+    "retrieval_ndcg" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        | FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        | FROM tok GROUP BY doc_id, token),
+        |qtf AS (SELECT * FROM tf WHERE token IN ('hash','scan','filter')),
+        |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        | FROM qtf GROUP BY token),
+        |dls AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        | FROM tf GROUP BY doc_id),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(dl) AS BIGINT) AS total_len FROM dls),
+        |sc AS (SELECT q.doc_id, q.token,
+        |  ((CAST(st.n_docs - d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |    / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+        |  * (CAST(q.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+        |    / (CAST(q.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |      * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+        |        * (CAST(l.dl AS DOUBLE)
+        |          / (CAST(st.total_len AS DOUBLE)
+        |            / CAST(st.n_docs AS DOUBLE)))))) AS score
+        | FROM qtf q JOIN dfq d ON q.token = d.token
+        | JOIN dls l ON q.doc_id = l.doc_id CROSS JOIN st),
+        |pv AS (SELECT doc_id,
+        |  max(CASE WHEN token = 'hash' THEN score END) AS s1,
+        |  max(CASE WHEN token = 'scan' THEN score END) AS s2,
+        |  max(CASE WHEN token = 'filter' THEN score END) AS s3
+        | FROM sc GROUP BY doc_id),
+        |tot AS (SELECT doc_id,
+        |  ((coalesce(s1, CAST(0 AS DOUBLE)) + coalesce(s2, CAST(0 AS DOUBLE)))
+        |    + coalesce(s3, CAST(0 AS DOUBLE))) AS score
+        | FROM pv),
+        |ranked AS (SELECT doc_id, rank FROM (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+        |  FROM tot) WHERE rank <= 10),
+        |rel AS (SELECT doc_id,
+        |  CAST(count(DISTINCT token) AS INTEGER) AS rel FROM tok
+        | WHERE token IN ('hash','scan','filter') GROUP BY 1),
+        |d1 AS (SELECT CAST(count(*) AS BIGINT) AS n_ranked,
+        |  coalesce(SUM(CAST(CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1
+        |    ELSE 0 END AS DECIMAL(20,0)) * CASE rank
+        |   WHEN 1 THEN CAST('1.000000000000' AS DECIMAL(14,12))
+        |   WHEN 2 THEN CAST('0.630929753571' AS DECIMAL(14,12))
+        |   WHEN 3 THEN CAST('0.500000000000' AS DECIMAL(14,12))
+        |   WHEN 4 THEN CAST('0.430676558073' AS DECIMAL(14,12))
+        |   WHEN 5 THEN CAST('0.386852807235' AS DECIMAL(14,12))
+        |   WHEN 6 THEN CAST('0.356207187108' AS DECIMAL(14,12))
+        |   WHEN 7 THEN CAST('0.333333333333' AS DECIMAL(14,12))
+        |   WHEN 8 THEN CAST('0.315464876786' AS DECIMAL(14,12))
+        |   WHEN 9 THEN CAST('0.301029995664' AS DECIMAL(14,12))
+        |   ELSE CAST('0.289064826318' AS DECIMAL(14,12)) END),
+        |   CAST(0 AS DECIMAL(38,12))) AS dcg
+        | FROM rel JOIN ranked USING (doc_id)),
+        |cn AS (SELECT
+        |  CAST(SUM(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |  CAST(SUM(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |  CAST(SUM(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        | FROM rel),
+        |sl AS (SELECT LEAST(c3, 10) AS a, LEAST(c3 + c2, 10) AS b,
+        |  LEAST(c3 + c2 + c1, 10) AS c FROM cn),
+        |wp AS (SELECT a, b, c FROM sl),
+        |idcg AS (SELECT
+        |  CAST(CAST(7 AS DECIMAL(20,0)) * (CASE a
+        |    WHEN 0 THEN CAST('0.000000000000' AS DECIMAL(14,12))
+        |    WHEN 1 THEN CAST('1.000000000000' AS DECIMAL(14,12))
+        |    WHEN 2 THEN CAST('1.630929753571' AS DECIMAL(14,12))
+        |    WHEN 3 THEN CAST('2.130929753571' AS DECIMAL(14,12))
+        |    WHEN 4 THEN CAST('2.561606311644' AS DECIMAL(14,12))
+        |    WHEN 5 THEN CAST('2.948459118879' AS DECIMAL(14,12))
+        |    WHEN 6 THEN CAST('3.304666305987' AS DECIMAL(14,12))
+        |    WHEN 7 THEN CAST('3.637999639320' AS DECIMAL(14,12))
+        |    WHEN 8 THEN CAST('3.953464516106' AS DECIMAL(14,12))
+        |    WHEN 9 THEN CAST('4.254494511770' AS DECIMAL(14,12))
+        |    ELSE CAST('4.543559338088' AS DECIMAL(14,12)) END)
+        |  + CAST(3 AS DECIMAL(20,0)) * ((CASE b
+        |    WHEN 0 THEN CAST('0.000000000000' AS DECIMAL(14,12))
+        |    WHEN 1 THEN CAST('1.000000000000' AS DECIMAL(14,12))
+        |    WHEN 2 THEN CAST('1.630929753571' AS DECIMAL(14,12))
+        |    WHEN 3 THEN CAST('2.130929753571' AS DECIMAL(14,12))
+        |    WHEN 4 THEN CAST('2.561606311644' AS DECIMAL(14,12))
+        |    WHEN 5 THEN CAST('2.948459118879' AS DECIMAL(14,12))
+        |    WHEN 6 THEN CAST('3.304666305987' AS DECIMAL(14,12))
+        |    WHEN 7 THEN CAST('3.637999639320' AS DECIMAL(14,12))
+        |    WHEN 8 THEN CAST('3.953464516106' AS DECIMAL(14,12))
+        |    WHEN 9 THEN CAST('4.254494511770' AS DECIMAL(14,12))
+        |    ELSE CAST('4.543559338088' AS DECIMAL(14,12)) END) - (CASE a
+        |    WHEN 0 THEN CAST('0.000000000000' AS DECIMAL(14,12))
+        |    WHEN 1 THEN CAST('1.000000000000' AS DECIMAL(14,12))
+        |    WHEN 2 THEN CAST('1.630929753571' AS DECIMAL(14,12))
+        |    WHEN 3 THEN CAST('2.130929753571' AS DECIMAL(14,12))
+        |    WHEN 4 THEN CAST('2.561606311644' AS DECIMAL(14,12))
+        |    WHEN 5 THEN CAST('2.948459118879' AS DECIMAL(14,12))
+        |    WHEN 6 THEN CAST('3.304666305987' AS DECIMAL(14,12))
+        |    WHEN 7 THEN CAST('3.637999639320' AS DECIMAL(14,12))
+        |    WHEN 8 THEN CAST('3.953464516106' AS DECIMAL(14,12))
+        |    WHEN 9 THEN CAST('4.254494511770' AS DECIMAL(14,12))
+        |    ELSE CAST('4.543559338088' AS DECIMAL(14,12)) END))
+        |  + CAST(1 AS DECIMAL(20,0)) * ((CASE c
+        |    WHEN 0 THEN CAST('0.000000000000' AS DECIMAL(14,12))
+        |    WHEN 1 THEN CAST('1.000000000000' AS DECIMAL(14,12))
+        |    WHEN 2 THEN CAST('1.630929753571' AS DECIMAL(14,12))
+        |    WHEN 3 THEN CAST('2.130929753571' AS DECIMAL(14,12))
+        |    WHEN 4 THEN CAST('2.561606311644' AS DECIMAL(14,12))
+        |    WHEN 5 THEN CAST('2.948459118879' AS DECIMAL(14,12))
+        |    WHEN 6 THEN CAST('3.304666305987' AS DECIMAL(14,12))
+        |    WHEN 7 THEN CAST('3.637999639320' AS DECIMAL(14,12))
+        |    WHEN 8 THEN CAST('3.953464516106' AS DECIMAL(14,12))
+        |    WHEN 9 THEN CAST('4.254494511770' AS DECIMAL(14,12))
+        |    ELSE CAST('4.543559338088' AS DECIMAL(14,12)) END) - (CASE b
+        |    WHEN 0 THEN CAST('0.000000000000' AS DECIMAL(14,12))
+        |    WHEN 1 THEN CAST('1.000000000000' AS DECIMAL(14,12))
+        |    WHEN 2 THEN CAST('1.630929753571' AS DECIMAL(14,12))
+        |    WHEN 3 THEN CAST('2.130929753571' AS DECIMAL(14,12))
+        |    WHEN 4 THEN CAST('2.561606311644' AS DECIMAL(14,12))
+        |    WHEN 5 THEN CAST('2.948459118879' AS DECIMAL(14,12))
+        |    WHEN 6 THEN CAST('3.304666305987' AS DECIMAL(14,12))
+        |    WHEN 7 THEN CAST('3.637999639320' AS DECIMAL(14,12))
+        |    WHEN 8 THEN CAST('3.953464516106' AS DECIMAL(14,12))
+        |    WHEN 9 THEN CAST('4.254494511770' AS DECIMAL(14,12))
+        |    ELSE CAST('4.543559338088' AS DECIMAL(14,12)) END))
+        |   AS DECIMAL(38,12)) AS idcg FROM wp)
+        |SELECT n_ranked,
+        | CAST(CAST(dcg AS VARCHAR) AS DOUBLE) AS dcg_10,
+        | CAST(CAST(idcg AS VARCHAR) AS DOUBLE) AS idcg_10,
+        | CASE WHEN idcg > 0 THEN
+        |   CAST(CAST(dcg AS VARCHAR) AS DOUBLE)
+        |     / CAST(CAST(idcg AS VARCHAR) AS DOUBLE)
+        |  ELSE CAST('nan' AS DOUBLE) END AS ndcg_10
+        |FROM d1 CROSS JOIN idcg ORDER BY n_ranked""".stripMargin,
+
+    // QTE replay: quantile_cont per (grp, arm) — the pinned exact-
+    // quantile pair — joined on grp, one IEEE subtraction per q
+    "analytics_qte" ->
+      """WITH ev AS (SELECT event_type AS grp,
+        |  CAST(user_id % 2 AS INTEGER) AS arm, value FROM events
+        | WHERE value IS NOT NULL),
+        |per AS (SELECT grp, arm,
+        |  quantile_cont(value, 0.25) AS q25,
+        |  quantile_cont(value, 0.5) AS q50,
+        |  quantile_cont(value, 0.75) AS q75
+        | FROM ev GROUP BY 1, 2),
+        |c AS (SELECT grp, q25 AS q25_control, q50 AS q50_control,
+        |  q75 AS q75_control FROM per WHERE arm = 0),
+        |t AS (SELECT grp, q25 AS q25_treat, q50 AS q50_treat,
+        |  q75 AS q75_treat FROM per WHERE arm = 1)
+        |SELECT c.grp, q25_control, q25_treat,
+        | q25_treat - q25_control AS qte_25,
+        | q50_control, q50_treat, q50_treat - q50_control AS qte_50,
+        | q75_control, q75_treat, q75_treat - q75_control AS qte_75
+        |FROM c JOIN t USING (grp) ORDER BY grp""".stripMargin,
 
     // weekly-spectrum replay: quantized 12-dp trig basis (string ->
     // decimal parse is parity-safe), exact decimal product sums, the

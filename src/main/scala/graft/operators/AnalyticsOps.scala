@@ -537,6 +537,90 @@ object AnalyticsOps {
       .select(col("rank"), col("doc_id"), col("n_terms"), col("score"))
   }
 
+  /** nDCG@10 of the BM25 ranking (Järvelin & Kekäläinen, TOIS 2002 —
+    * public): the retrieval-quality number that checks not just
+    * WHETHER relevant documents come back but whether the MOST
+    * relevant come back FIRST. Graded relevance is term coverage —
+    * how many of the query terms the document contains (0..|q|) — the
+    * deterministic label a self-supervised eval can compute at corpus
+    * scale; gain(rel) = 2^rel − 1 (exact integers), discount
+    * w_r = 1/log₂(r+1) for r = 1..10 quantized once to 12-dp DECIMAL
+    * literals (the trig-basis recipe: the libm call happens zero
+    * times at query time), so DCG = Σ gain·w is EXACT decimal
+    * arithmetic. IDCG needs no ranking at all: equal-relevance ties
+    * are gain-equal, so the ideal top-10 is determined by the COUNTS
+    * per relevance level — IDCG = Σ_level gain(l)·(W(hi) − W(lo))
+    * with W the 11 prefix-sum literals of the discounts. The one
+    * IEEE step is the final dcg/idcg division.
+    *
+    * Scale: rel is a per-row expression; DCG joins a 10-row ranked
+    * list (broadcast); IDCG is ONE count aggregation. Output:
+    * (n_ranked, dcg_10, idcg_10, ndcg_10). */
+  def ndcgAt10(documents: DataFrame, queryTerms: Seq[String])
+      : DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.size <= 3,
+      "term-coverage relevance is graded 0..3 here (gain table)")
+    val wLit = Seq("1.000000000000", "0.630929753571",
+      "0.500000000000", "0.430676558073", "0.386852807235",
+      "0.356207187108", "0.333333333333", "0.315464876786",
+      "0.301029995664", "0.289064826318")
+    val cumLit = Seq("0.000000000000", "1.000000000000",
+      "1.630929753571", "2.130929753571", "2.561606311644",
+      "2.948459118879", "3.304666305987", "3.637999639320",
+      "3.953464516106", "4.254494511770", "4.543559338088")
+    val cdec = DecimalType(14, 12)
+    val sdec = DecimalType(38, 12)
+    val rel = documents.select(col("doc_id"),
+      size(array_intersect(
+        array_distinct(split(trim(lower(col("text"))), "\\s+")),
+        lit(queryTerms.toArray))).as("rel"))
+    // gain(rel) = 2^rel - 1 over the 0..3 coverage grades; gains
+    // stay DECIMAL(20,0) so gain x weight never hits the 38-digit
+    // precision cap (a (38,12)x(14,12) product would)
+    val gdec = DecimalType(20, 0)
+    val gain = when(col("rel") === 3, lit(7L)).when(col("rel") === 2,
+      lit(3L)).when(col("rel") === 1, lit(1L)).otherwise(lit(0L))
+      .cast(gdec)
+    val wByRank = (2 to 10).foldLeft(
+      when(col("rank") === 1, lit(wLit(0)).cast(cdec))) { (acc, r) =>
+      acc.when(col("rank") === r, lit(wLit(r - 1)).cast(cdec))
+    }
+    val ranked = bm25TopDocs(documents, queryTerms, k = 10)
+      .select(col("doc_id"), col("rank"))
+    // the 10-row ranked list broadcasts INTO the rel scan — never the
+    // corpus-sized relevance relation the other way
+    val dcg = rel.join(broadcast(ranked), "doc_id")
+      .agg(count(lit(1)).as("n_ranked"),
+        coalesce(sum((gain * wByRank).cast(sdec)),
+          lit(0L).cast(sdec)).as("dcg"))
+    // ideal ordering from level counts alone: rel-3 docs fill ranks
+    // 1..min(c3,10), rel-2 the next slots, rel-1 the rest
+    val counts = rel.agg(
+      sum(when(col("rel") === 3, 1L).otherwise(0L)).as("c3"),
+      sum(when(col("rel") === 2, 1L).otherwise(0L)).as("c2"),
+      sum(when(col("rel") === 1, 1L).otherwise(0L)).as("c1"))
+    def wPrefix(slots: Column): Column =
+      cumLit.zipWithIndex.tail.foldLeft(
+        when(slots <= 0, lit(cumLit(0)).cast(cdec))) {
+        case (acc, (w, i)) => acc.when(slots === i, lit(w).cast(cdec))
+      }.otherwise(lit(cumLit(10)).cast(cdec))
+    val a = least(col("c3"), lit(10L))
+    val b = least(col("c3") + col("c2"), lit(10L))
+    val c = least(col("c3") + col("c2") + col("c1"), lit(10L))
+    val idcg = counts.select(
+      (lit(7L).cast(gdec) * wPrefix(a) +
+        lit(3L).cast(gdec) * (wPrefix(b) - wPrefix(a)) +
+        lit(1L).cast(gdec) * (wPrefix(c) - wPrefix(b))).cast(sdec)
+        .as("idcg"))
+    dcg.crossJoin(broadcast(idcg))
+      .select(col("n_ranked"),
+        col("dcg").cast("double").as("dcg_10"),
+        col("idcg").cast("double").as("idcg_10"),
+        when(col("idcg") > lit(0L).cast(sdec),
+          col("dcg").cast("double") / col("idcg").cast("double"))
+          .otherwise(lit(Double.NaN)).as("ndcg_10"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09 —
     * public) of two rankings over the same id space — the standard way
     * to combine a lexical retriever (BM25) with a vector retriever
@@ -2565,6 +2649,39 @@ object AnalyticsOps {
         (n * lit(ratioA).cast(dec) * lit(ratioB).cast(dec))
           .cast(dec).cast("double")).as("chi2"))
       .withColumn("srm", col("chi2") > lit(3.841458820694124))
+  }
+
+  /** Quantile treatment effects (Doksum 1974; Koenker–Bassett 1978's
+    * motivation — public): the per-quantile complement of the
+    * mean-effect readouts — a treatment that helps the median user
+    * but hurts the tail is INVISIBLE to Welch/CUPED means, and QTE is
+    * the standard way experimentation platforms see it. Per group and
+    * quantile q ∈ {.25, .5, .75}: the exact linearly-interpolated
+    * order statistic per arm (the `percentile`/quantile_cont pair the
+    * exact-quantile family already pins cross-engine) and the
+    * difference qte_q = q_treat − q_control — one IEEE subtraction.
+    *
+    * Scale: one (grp, arm) exact-percentile aggregation (Spark's
+    * ObjectHashAggregate over the value multiset — the same cost
+    * class as the existing exact-quantile queries; swap in the KLL
+    * sketch family when values-per-group outgrow memory), then a
+    * k-row self-join. */
+  def quantileTreatmentEffect(df: DataFrame, groupCol: String,
+      armCol: String, valueCol: String): DataFrame = {
+    val qs = Seq(25, 50, 75)
+    val aggs = qs.map(q =>
+      percentile(col(valueCol), lit(q / 100.0)).as(s"q$q"))
+    val per = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(armCol).as("arm"))
+      .agg(aggs.head, aggs.tail: _*)
+    val ctrl = per.where(col("arm") === 0)
+      .select(col("grp") +: qs.map(q => col(s"q$q").as(s"q${q}_control")): _*)
+    val treat = per.where(col("arm") === 1)
+      .select(col("grp") +: qs.map(q => col(s"q$q").as(s"q${q}_treat")): _*)
+    ctrl.join(broadcast(treat), Seq("grp"))
+      .select(col("grp") +: qs.flatMap(q => Seq(
+        col(s"q${q}_control"), col(s"q${q}_treat"),
+        (col(s"q${q}_treat") - col(s"q${q}_control")).as(s"qte_$q"))): _*)
   }
 
   /** Weekly spectral strength: the single-frequency periodogram of

@@ -43,6 +43,68 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(out("a")._3 > 0.25)
   }
 
+  test("ndcgAt10: a coverage-ordered corpus scores exactly 1, the " +
+      "IDCG matches the hand-computed prefix-weight decomposition") {
+    // symmetric term dfs (each of hash/scan/filter in exactly 4
+    // docs), equal doc lengths -> BM25 score strictly orders by
+    // coverage level, so DCG = IDCG exactly
+    val docs = Seq(
+      (1L, "hash scan filter pad"),
+      (2L, "hash scan pad pad"), (3L, "scan filter pad pad"),
+      (4L, "hash filter pad pad"),
+      (5L, "hash pad pad pad"), (6L, "scan pad pad pad"),
+      (7L, "filter pad pad pad"),
+      (8L, "pad pad pad pad"), (9L, "pad pad pad pad"),
+      (10L, "pad pad pad pad"), (11L, "pad pad pad pad"),
+      (12L, "pad pad pad pad")).toDF("doc_id", "text")
+    val out = AnalyticsOps.ndcgAt10(docs, Seq("hash", "scan", "filter"))
+      .as[(Long, Double, Double, Double)].head()
+    assert(out._1 == 7L, s"7 docs carry at least one term: $out")
+    // IDCG = 7*W(1) + 3*(W(4)-W(1)) + 1*(W(7)-W(4)) on the 12-dp grid
+    val expIdcg = 7.0 * 1.0 + 3.0 * (2.561606311644 - 1.0) +
+      (3.637999639320 - 2.561606311644)
+    assert(math.abs(out._3 - expIdcg) < 1e-9, s"idcg: $out vs $expIdcg")
+    assert(out._4 == 1.0, s"coverage-ordered ranking is ideal: $out")
+
+    // no relevant docs at all: idcg = 0 -> NaN pin
+    val none = Seq((1L, "pad pad"), (2L, "pad")).toDF("doc_id", "text")
+    val nOut = AnalyticsOps.ndcgAt10(none, Seq("hash", "scan", "filter"))
+      .as[(Long, Double, Double, Double)].head()
+    assert(nOut._1 == 0L && nOut._4.isNaN)
+  }
+
+  test("quantileTreatmentEffect: interpolated per-arm quantiles and " +
+      "their differences; a pure tail move is invisible at q25/q50 " +
+      "but visible at the mean (the readout's whole point, inverted)") {
+    val ctrl = Seq(10.0, 20.0, 30.0, 40.0, 50.0).map(("g", 0, _))
+    val treat = Seq(10.0, 25.0, 35.0, 45.0, 55.0).map(("g", 1, _))
+    val out = AnalyticsOps.quantileTreatmentEffect(
+        (ctrl ++ treat).toDF("grp", "arm", "v"), "grp", "arm", "v")
+      .select("q25_control", "q25_treat", "qte_25", "q50_control",
+        "q50_treat", "qte_50", "q75_control", "q75_treat", "qte_75")
+      .as[(Double, Double, Double, Double, Double, Double, Double,
+        Double, Double)].head()
+    assert(out == ((20.0, 25.0, 5.0, 30.0, 35.0, 5.0, 40.0, 45.0, 5.0)))
+
+    // tail-only move: quantiles at/below q75 identical, so every QTE
+    // is 0 even though the mean moved by 20 — the complementary blind
+    // spot that makes running BOTH readouts the standard practice
+    val tail = Seq(10.0, 20.0, 30.0, 40.0, 150.0).map(("g", 1, _))
+    val t2 = AnalyticsOps.quantileTreatmentEffect(
+        (ctrl ++ tail).toDF("grp", "arm", "v"), "grp", "arm", "v")
+      .select("qte_25", "qte_50", "qte_75")
+      .as[(Double, Double, Double)].head()
+    assert(t2 == ((0.0, 0.0, 0.0)))
+
+    // interpolation: 4 control points 0,10,20,30 -> q25 = 7.5
+    val interp = AnalyticsOps.quantileTreatmentEffect(
+        (Seq(0.0, 10.0, 20.0, 30.0).map(("g", 0, _)) ++
+          Seq(0.0, 10.0, 20.0, 30.0).map(("g", 1, _)))
+          .toDF("grp", "arm", "v"), "grp", "arm", "v")
+      .select("q25_control", "qte_25").as[(Double, Double)].head()
+    assert(interp == ((7.5, 0.0)))
+  }
+
   test("weeklySpectrum: a pure week-period sinusoid reads strength " +
       "~1, a period-2 alternation reads ~0, a constant series pins " +
       "NaN, and the statistic matches a direct recomputation") {

@@ -3334,6 +3334,22 @@ object SparkEntry {
           "event_type", "is_ref")
         .orderBy("bin")),
 
+    // ---- MRR / P@10 / recall@10 / AP@10 of the BM25 ranking ----
+    "retrieval_metrics" -> ((s, dir) =>
+      // the binary-relevance companions of retrieval_ndcg, same
+      // query terms, same self-supervised labels
+      AnalyticsOps.retrievalMetricsAt10(t(s, dir, "documents"),
+          Seq("hash", "scan", "filter"))
+        .orderBy("n_relevant")),
+
+    // ---- Page–Hinkley drift monitor on the daily value series ----
+    "ts_page_hinkley" -> ((s, dir) =>
+      // CUSUM's adaptive-mean sibling: drift away from wherever the
+      // series has BEEN, not from a fixed reference
+      AnalyticsOps.pageHinkley(events(s, dir), "event_type", "ts",
+          "value")
+        .orderBy("grp", "day")),
+
     // ---- nDCG@10 of the BM25 ranking (self-supervised grades) ----
     "retrieval_ndcg" -> ((s, dir) =>
       // does BM25 put the MOST term-covered docs first — the ranking-
@@ -10062,6 +10078,107 @@ object SparkEntry {
         |   * (CAST(lng AS DOUBLE) / 1e12) AS psi_term,
         | psi_total
         |FROM terms CROSS JOIN tot ORDER BY bin""".stripMargin,
+
+    // retrieval-metrics replay: the same BM25 block, binary labels,
+    // exact-integer MRR/P/R, AP terms on the 1e-12 grid
+    "retrieval_metrics" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        | FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        | FROM tok GROUP BY doc_id, token),
+        |qtf AS (SELECT * FROM tf WHERE token IN ('hash','scan','filter')),
+        |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        | FROM qtf GROUP BY token),
+        |dls AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        | FROM tf GROUP BY doc_id),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(dl) AS BIGINT) AS total_len FROM dls),
+        |sc AS (SELECT q.doc_id, q.token,
+        |  ((CAST(st.n_docs - d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |    / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+        |  * (CAST(q.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+        |    / (CAST(q.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |      * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+        |        * (CAST(l.dl AS DOUBLE)
+        |          / (CAST(st.total_len AS DOUBLE)
+        |            / CAST(st.n_docs AS DOUBLE)))))) AS score
+        | FROM qtf q JOIN dfq d ON q.token = d.token
+        | JOIN dls l ON q.doc_id = l.doc_id CROSS JOIN st),
+        |pv AS (SELECT doc_id,
+        |  max(CASE WHEN token = 'hash' THEN score END) AS s1,
+        |  max(CASE WHEN token = 'scan' THEN score END) AS s2,
+        |  max(CASE WHEN token = 'filter' THEN score END) AS s3
+        | FROM sc GROUP BY doc_id),
+        |tot AS (SELECT doc_id,
+        |  ((coalesce(s1, CAST(0 AS DOUBLE)) + coalesce(s2, CAST(0 AS DOUBLE)))
+        |    + coalesce(s3, CAST(0 AS DOUBLE))) AS score
+        | FROM pv),
+        |ranked AS (SELECT doc_id, rank FROM (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+        |  FROM tot) WHERE rank <= 10),
+        |rel AS (SELECT doc_id,
+        |  CAST(count(DISTINCT token) AS INTEGER) >= 2 AS r FROM tok
+        | WHERE token IN ('hash','scan','filter') GROUP BY 1),
+        |jj AS (SELECT ranked.doc_id, rank,
+        |  coalesce(r, FALSE) AS r FROM ranked
+        | LEFT JOIN rel ON ranked.doc_id = rel.doc_id),
+        |totals AS (SELECT CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_relevant FROM rel),
+        |base AS (SELECT
+        |  CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |  MIN(CASE WHEN r THEN rank END) AS first_rel FROM jj),
+        |cum AS (SELECT a.rank AS rank, a.r AS r,
+        |  CAST(SUM(CASE WHEN b.r THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS cum_rel
+        | FROM jj a JOIN jj b ON b.rank <= a.rank GROUP BY 1, 2),
+        |ap AS (SELECT coalesce(SUM(CASE WHEN r THEN
+        |   CAST(CAST(cum_rel AS DOUBLE) / CAST(rank AS DOUBLE)
+        |     AS DECIMAL(18,12)) END), CAST(0 AS DECIMAL(18,12)))
+        |  AS ap_num FROM cum)
+        |SELECT n_relevant, hits AS hits_10,
+        | coalesce(CAST(1 AS DOUBLE) / CAST(first_rel AS DOUBLE),
+        |   CAST(0 AS DOUBLE)) AS mrr,
+        | CAST(hits AS DOUBLE) / CAST(10 AS DOUBLE) AS p_at_10,
+        | CASE WHEN n_relevant > 0 THEN
+        |   CAST(hits AS DOUBLE) / CAST(n_relevant AS DOUBLE)
+        |  ELSE CAST('nan' AS DOUBLE) END AS recall_at_10,
+        | CASE WHEN LEAST(n_relevant, 10) > 0 THEN
+        |   CAST(CAST(ap_num AS VARCHAR) AS DOUBLE)
+        |     / CAST(LEAST(n_relevant, 10) AS DOUBLE)
+        |  ELSE CAST('nan' AS DOUBLE) END AS ap_10
+        |FROM base CROSS JOIN totals CROSS JOIN ap
+        |ORDER BY n_relevant""".stripMargin,
+
+    // Page-Hinkley replay: adaptive-mean drift terms on the 1e-6
+    // grid, exact decimal cumulative sum + running max
+    "ts_page_hinkley" ->
+      """WITH d AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+        |  SUM(CAST(value AS DECIMAL(18,4))) AS x
+        | FROM events GROUP BY 1, 2),
+        |c AS (SELECT grp, day, x,
+        |  CAST(count(*) OVER w AS BIGINT) AS t, SUM(x) OVER w AS s
+        | FROM d WINDOW w AS (PARTITION BY grp ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tm AS (SELECT grp, day, x,
+        |  CAST(CAST(CAST(x AS VARCHAR) AS DOUBLE)
+        |    - CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(t AS DOUBLE)
+        |    - CAST(0 AS DOUBLE) AS DECIMAL(38,6)) AS term
+        | FROM c),
+        |mm AS (SELECT grp, day, x, SUM(term) OVER w AS m
+        | FROM tm WINDOW w AS (PARTITION BY grp ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |mx AS (SELECT grp, day, x, m, MAX(m) OVER w AS m_max
+        | FROM mm WINDOW w AS (PARTITION BY grp ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT grp, day,
+        | CAST(CAST(x AS VARCHAR) AS DOUBLE) AS x,
+        | CAST(CAST(m AS VARCHAR) AS DOUBLE) AS m,
+        | CAST(CAST(m_max - m AS VARCHAR) AS DOUBLE) AS ph,
+        | CAST(CAST(m_max - m AS VARCHAR) AS DOUBLE)
+        |   > CAST(500 AS DOUBLE) AS alarm
+        |FROM mx ORDER BY grp, day""".stripMargin,
 
     // nDCG replay: the rrf oracle's BM25 block for the top-10, term-
     // coverage grades, 12-dp discount literals, exact decimal DCG,

@@ -621,6 +621,68 @@ object AnalyticsOps {
           .otherwise(lit(Double.NaN)).as("ndcg_10"))
   }
 
+  /** The binary-relevance retrieval metrics that accompany
+    * [[ndcgAt10]] on every eval dashboard (public classics —
+    * Voorhees' TREC definitions): binary relevance = "covers at least
+    * TWO distinct query terms" — strictly harder than the retriever's
+    * own admission criterion (any one term), because a label the
+    * ranker satisfies by construction measures nothing. Over the BM25
+    * top-10:
+    *   MRR        = 1 / rank of the first relevant hit (0 if none)
+    *   P@10       = hits / 10
+    *   recall@10  = hits / R    (R = all relevant docs in the corpus)
+    *   AP@10      = Σ_{i : rel_i} (cum_rel(i)/i) / min(R, 10)
+    * MRR/P/R are exact-integer aggregations with one final division
+    * each; AP's per-rank precision terms are single IEEE divisions of
+    * small exact integers, each quantized to the 10⁻¹² grid (HALF_UP
+    * both engines via the VARCHAR-routed downcast oracle-side) and
+    * summed in EXACT decimal — a 10-term double sum would be
+    * association-ordered, the quantized sum is order-free.
+    *
+    * Scale: the 10-row ranked list broadcasts into the relevance
+    * scan; cum_rel comes from a 10×10 broadcast self-join — no
+    * window, nothing corpus-shaped after the scans. */
+  def retrievalMetricsAt10(documents: DataFrame,
+      queryTerms: Seq[String]): DataFrame = {
+    val qdec = DecimalType(18, 12)
+    val rel = documents.select(col("doc_id"),
+      (size(array_intersect(
+        array_distinct(split(trim(lower(col("text"))), "\\s+")),
+        lit(queryTerms.toArray))) >= 2).as("r"))
+    val ranked = bm25TopDocs(documents, queryTerms, k = 10)
+      .select(col("doc_id"), col("rank"))
+    val joined = rel.join(broadcast(ranked), "doc_id")
+      .select(col("doc_id"), col("rank"), col("r"))
+    val totals = rel.agg(
+      sum(when(col("r"), 1L).otherwise(0L)).as("n_relevant"))
+    val base = joined.agg(
+      sum(when(col("r"), 1L).otherwise(0L)).as("hits"),
+      min(when(col("r"), col("rank"))).as("first_rel"))
+    // cum_rel(i) over the 10-row list via broadcast self-join — the
+    // windowless spelling of a cumulative count
+    val cum = joined.as("a")
+      .join(broadcast(joined.as("b")), col("b.rank") <= col("a.rank"))
+      .groupBy(col("a.rank").as("rank"), col("a.r").as("r"))
+      .agg(sum(when(col("b.r"), 1L).otherwise(0L)).as("cum_rel"))
+    val apNum = cum.agg(coalesce(
+      sum(when(col("r"),
+        (col("cum_rel").cast("double") / col("rank").cast("double"))
+          .cast(qdec))),
+      lit(0L).cast(qdec)).as("ap_num"))
+    base.crossJoin(broadcast(totals)).crossJoin(broadcast(apNum))
+      .select(col("n_relevant"), col("hits").as("hits_10"),
+        coalesce(lit(1.0) / col("first_rel").cast("double"), lit(0.0))
+          .as("mrr"),
+        (col("hits").cast("double") / lit(10.0)).as("p_at_10"),
+        when(col("n_relevant") > 0L,
+          col("hits").cast("double") / col("n_relevant").cast("double"))
+          .otherwise(lit(Double.NaN)).as("recall_at_10"),
+        when(least(col("n_relevant"), lit(10L)) > 0L,
+          col("ap_num").cast("double") /
+            least(col("n_relevant"), lit(10L)).cast("double"))
+          .otherwise(lit(Double.NaN)).as("ap_10"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09 —
     * public) of two rankings over the same id space — the standard way
     * to combine a lexical retriever (BM25) with a vector retriever
@@ -2649,6 +2711,51 @@ object AnalyticsOps {
         (n * lit(ratioA).cast(dec) * lit(ratioB).cast(dec))
           .cast(dec).cast("double")).as("chi2"))
       .withColumn("srm", col("chi2") > lit(3.841458820694124))
+  }
+
+  /** Page–Hinkley drift monitor over the daily series (Page 1954;
+    * Hinkley 1971 — public; the change-detection fold concept-drift
+    * monitors run beside CUSUM): per group, with the daily totals x_t
+    * and the RUNNING mean x̄_t (CUSUM tests against a FIXED reference
+    * — PH's adaptive mean is what detects drift away from wherever
+    * the series has been so far):
+    *   m_T = Σ_{t≤T} (x_t − x̄_t − δ),   PH_T = max_{t≤T} m_t − m_T,
+    *   alarm when PH_T > λ.
+    * Determinism: x and its prefix sums are exact decimals; each
+    * per-day term is one fixed IEEE tree (x − S_t/t − δ) QUANTIZED to
+    * the 10⁻⁶ grid before the cumulative sum — a windowed DOUBLE sum
+    * is association-ordered (segment trees vs running folds), the
+    * quantized decimal sum is order-free; the running max is a
+    * decimal max (order-free by definition).
+    *
+    * Scale: the calendar-collapse law — one aggregation to the daily
+    * relation; all three windows run per group on calendar-bounded
+    * rows. Output per (grp, day): x, m, ph, alarm. */
+  def pageHinkley(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, delta: Double = 0.0,
+      lambda: Double = 500.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qdec = DecimalType(38, 6)
+    val daily = df.groupBy(col(groupCol).as("grp"),
+        to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast(DecimalType(18, 4))).as("x"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("t", count(lit(1)).over(w))
+      .withColumn("s", sum(col("x")).over(w))
+    val term = (col("x").cast("double") -
+      col("s").cast("double") / col("t").cast("double") -
+      lit(delta)).cast(qdec)
+    val scored = cum.withColumn("term", term)
+      .withColumn("m", sum(col("term")).over(w))
+      .withColumn("m_max", max(col("m")).over(w))
+    scored.select(col("grp"), col("day"),
+      col("x").cast("double").as("x"),
+      col("m").cast("double").as("m"),
+      (col("m_max") - col("m")).cast("double").as("ph"),
+      ((col("m_max") - col("m")).cast("double") > lit(lambda))
+        .as("alarm"))
   }
 
   /** Quantile treatment effects (Doksum 1974; Koenker–Bassett 1978's

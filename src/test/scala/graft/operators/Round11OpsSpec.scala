@@ -43,6 +43,69 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(out("a")._3 > 0.25)
   }
 
+  test("retrievalMetricsAt10: perfect front-loading reads MRR/AP/" +
+      "recall 1, overflow relevance caps recall at 10/R, a barren " +
+      "corpus pins the NaN/zero split") {
+    // 1 doc covers 3 terms, 3 docs cover 2 -> R = 4, all in the top 4
+    val docs = Seq(
+      (1L, "hash scan filter pad"),
+      (2L, "hash scan pad pad"), (3L, "scan filter pad pad"),
+      (4L, "hash filter pad pad"),
+      (5L, "hash pad pad pad"), (6L, "scan pad pad pad"),
+      (7L, "filter pad pad pad"),
+      (8L, "pad pad pad pad")).toDF("doc_id", "text")
+    val out = AnalyticsOps.retrievalMetricsAt10(docs,
+        Seq("hash", "scan", "filter"))
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    // (n_relevant, hits_10, mrr, p_at_10, recall_at_10, ap_10)
+    assert(out == ((4L, 4L, 1.0, 0.4, 1.0, 1.0)))
+
+    // 13 relevant docs, only 10 slots: recall = 10/13, AP stays 1
+    val many = (Seq((1L, "hash scan filter pad")) ++
+      (2L to 13L).map(i => (i, "hash scan pad pad")) ++
+      (14L to 20L).map(i => (i, "pad pad pad pad")))
+      .toDF("doc_id", "text")
+    val m = AnalyticsOps.retrievalMetricsAt10(many,
+        Seq("hash", "scan", "filter"))
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(m._1 == 13L && m._2 == 10L && m._3 == 1.0 && m._4 == 1.0)
+    assert(m._5 == 10.0 / 13.0 && m._6 == 1.0)
+
+    // nothing covers two terms: hits 0, mrr 0, recall/AP NaN
+    val barren = Seq((1L, "hash pad"), (2L, "scan pad"))
+      .toDF("doc_id", "text")
+    val b = AnalyticsOps.retrievalMetricsAt10(barren,
+        Seq("hash", "scan", "filter"))
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(b._1 == 0L && b._2 == 0L && b._3 == 0.0 && b._4 == 0.0)
+    assert(b._5.isNaN && b._6.isNaN)
+  }
+
+  test("pageHinkley: a level DROP raises the adaptive-mean drift " +
+      "statistic past the threshold the day it happens; the stable " +
+      "prefix stays at exactly 0") {
+    val rows = (0 until 20).map { d =>
+      val ts = java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 2, 1).plusDays(d).atTime(9, 0))
+      ("g", ts, if (d < 10) 100.0 else 0.0)
+    }
+    val out = AnalyticsOps.pageHinkley(rows.toDF("grp", "ts", "v"),
+        "grp", "ts", "v", delta = 0.0, lambda = 50.0)
+      .select("day", "ph", "alarm")
+      .as[(java.sql.Date, Double, Boolean)].collect()
+      .sortBy(_._1.toString)
+    assert(out.length == 20)
+    // stable prefix: running mean equals the value, every term 0
+    out.take(10).foreach { case (_, ph, alarm) =>
+      assert(ph == 0.0 && !alarm)
+    }
+    // day 11: term = 0 - 1000/11 ~ -90.909; PH jumps past lambda=50
+    assert(out(10)._2 > 90.0 && out(10)._2 < 91.0 && out(10)._3)
+    // PH only grows while the series stays below its history
+    assert(out.drop(10).map(_._2).sliding(2).forall(p => p(1) > p(0)))
+    assert(out.drop(10).forall(_._3))
+  }
+
   test("ndcgAt10: a coverage-ordered corpus scores exactly 1, the " +
       "IDCG matches the hand-computed prefix-weight decomposition") {
     // symmetric term dfs (each of hash/scan/filter in exactly 4

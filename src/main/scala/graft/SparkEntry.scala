@@ -3334,6 +3334,17 @@ object SparkEntry {
           "event_type", "is_ref")
         .orderBy("bin")),
 
+    // ---- classifier eval of the language-ID heuristic ----
+    "text_classifier_eval" -> ((s, dir) =>
+      // the langid predictor graded against the true lang column:
+      // per-class precision/recall/F1 + accuracy + multiclass MCC
+      AnalyticsOps.classifierEval(
+          t(s, dir, "documents")
+            .withColumn("toks", TextOps.tokens(col("text")))
+            .withColumn("pred", TextOps.langIdFromTokens(col("toks"))),
+          "lang", "pred")
+        .orderBy("cls")),
+
     // ---- MRR / P@10 / recall@10 / AP@10 of the BM25 ranking ----
     "retrieval_metrics" -> ((s, dir) =>
       // the binary-relevance companions of retrieval_ndcg, same
@@ -4769,6 +4780,63 @@ object SparkEntry {
          |SELECT doc_id,
          | CASE WHEN m <= 0 THEN 'und' $cases END AS lang_pred, lang
          |FROM hm ORDER BY doc_id""".stripMargin
+    },
+
+    // classifier-eval replay: the langid oracle's prediction block,
+    // confusion counts, exact HUGEINT products, SEPARATE square roots
+    // (sqrt(a)*sqrt(b) != sqrt(a*b) in IEEE — and a*b would overflow)
+    "text_classifier_eval" -> {
+      val hitCols = TextOps.LangMarkers.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(toks, tk -> list_contains($lst, tk))) AS h_$lang"
+      }.mkString(", ")
+      val langs = TextOps.LangMarkers.map(_._1)
+      val m = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN h_$l = m THEN '$l'").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, $duckTokens AS toks FROM documents),
+         |h AS (SELECT doc_id, lang, $hitCols FROM t),
+         |hm AS (SELECT *, $m AS m FROM h),
+         |pr AS (SELECT lang AS t,
+         |  CASE WHEN m <= 0 THEN 'und' $cases END AS p FROM hm
+         | WHERE lang IS NOT NULL),
+         |cm AS (SELECT t, p, CAST(count(*) AS BIGINT) AS n FROM pr
+         | WHERE p IS NOT NULL GROUP BY 1, 2),
+         |tc AS (SELECT t AS cls, CAST(SUM(n) AS BIGINT) AS t_k
+         | FROM cm GROUP BY 1),
+         |pc AS (SELECT p AS cls, CAST(SUM(n) AS BIGINT) AS p_k
+         | FROM cm GROUP BY 1),
+         |tpc AS (SELECT t AS cls, n AS tp FROM cm WHERE t = p),
+         |per AS (SELECT coalesce(tc.cls, pc.cls) AS cls,
+         |  coalesce(t_k, 0) AS t_k, coalesce(p_k, 0) AS p_k,
+         |  coalesce(tp, 0) AS tp
+         | FROM tc FULL JOIN pc ON tc.cls = pc.cls
+         | LEFT JOIN tpc ON coalesce(tc.cls, pc.cls) = tpc.cls),
+         |tot AS (SELECT CAST(SUM(tp) AS BIGINT) AS corr,
+         |  CAST(SUM(t_k) AS BIGINT) AS s,
+         |  SUM(CAST(p_k AS HUGEINT) * t_k) AS spt,
+         |  SUM(CAST(p_k AS HUGEINT) * p_k) AS sp2,
+         |  SUM(CAST(t_k AS HUGEINT) * t_k) AS st2 FROM per),
+         |hd AS (SELECT
+         |  CAST(corr AS DOUBLE) / CAST(s AS DOUBLE) AS accuracy,
+         |  CASE WHEN CAST(s AS HUGEINT) * s - sp2 > 0
+         |    AND CAST(s AS HUGEINT) * s - st2 > 0
+         |   THEN CAST(CAST(CAST(corr AS HUGEINT) * s - spt AS VARCHAR)
+         |       AS DOUBLE)
+         |     / (sqrt(CAST(CAST(CAST(s AS HUGEINT) * s - sp2
+         |          AS VARCHAR) AS DOUBLE))
+         |        * sqrt(CAST(CAST(CAST(s AS HUGEINT) * s - st2
+         |          AS VARCHAR) AS DOUBLE)))
+         |   ELSE CAST('nan' AS DOUBLE) END AS mcc FROM tot)
+         |SELECT cls, t_k, p_k, tp,
+         | CASE WHEN p_k > 0 THEN CAST(tp AS DOUBLE) / CAST(p_k AS DOUBLE)
+         |  ELSE CAST('nan' AS DOUBLE) END AS precision,
+         | CASE WHEN t_k > 0 THEN CAST(tp AS DOUBLE) / CAST(t_k AS DOUBLE)
+         |  ELSE CAST('nan' AS DOUBLE) END AS recall,
+         | CASE WHEN p_k + t_k > 0 THEN
+         |   CAST(2 * tp AS DOUBLE) / CAST(p_k + t_k AS DOUBLE)
+         |  ELSE CAST('nan' AS DOUBLE) END AS f1,
+         | accuracy, mcc
+         |FROM per CROSS JOIN hd ORDER BY cls""".stripMargin
     },
 
     "text_fingerprint" ->

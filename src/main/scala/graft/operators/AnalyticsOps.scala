@@ -2713,6 +2713,76 @@ object AnalyticsOps {
       .withColumn("srm", col("chi2") > lit(3.841458820694124))
   }
 
+  /** Multiclass classifier evaluation (the standard sheet: per-class
+    * precision/recall/F1 plus overall accuracy and Gorodkin's
+    * multiclass Matthews correlation R_K, Comput Biol Chem 2004 —
+    * public; the one summary number that stays honest under class
+    * imbalance, where accuracy lies). From the confusion counts
+    * alone: with s total rows, corr = Σ tp, per-class predicted p_k
+    * and true t_k counts,
+    *   MCC = (corr·s − Σ p_k·t_k) /
+    *         (√(s² − Σp_k²) · √(s² − Σt_k²))
+    * — every operand an exact DECIMAL(38,0) integer product; the two
+    * square roots stay SEPARATE (√a·√b ≠ √(a·b) in IEEE, and a·b
+    * would also overflow 38 digits); a degenerate denominator (all
+    * rows one class) pins NaN.
+    *
+    * Scale: ONE (true, pred) aggregation — the confusion relation is
+    * k² rows whatever the corpus; everything after is k-row joins and
+    * a singleton broadcast. */
+  def classifierEval(df: DataFrame, trueCol: String,
+      predCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    // the confusion relation feeds THREE aggregations and the k-row
+    // joins — checkpoint the k² rows once so the (possibly expensive)
+    // prediction expression scans the corpus exactly once
+    val cm = df.where(col(trueCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(trueCol).as("t"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val tCnt = cm.groupBy(col("t").as("cls")).agg(sum(col("n")).as("t_k"))
+    val pCnt = cm.groupBy(col("p").as("cls")).agg(sum(col("n")).as("p_k"))
+    val tpC = cm.where(col("t") === col("p"))
+      .select(col("t").as("cls"), col("n").as("tp"))
+    val per = tCnt.join(pCnt, Seq("cls"), "full_outer")
+      .join(tpC, Seq("cls"), "left_outer")
+      .select(col("cls"), coalesce(col("t_k"), lit(0L)).as("t_k"),
+        coalesce(col("p_k"), lit(0L)).as("p_k"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+    val totals = per.agg(
+      sum(col("tp")).as("corr"), sum(col("t_k")).as("s"),
+      sum((col("p_k").cast(dec) * col("t_k").cast(dec)).cast(dec))
+        .as("spt"),
+      sum((col("p_k").cast(dec) * col("p_k").cast(dec)).cast(dec))
+        .as("sp2"),
+      sum((col("t_k").cast(dec) * col("t_k").cast(dec)).cast(dec))
+        .as("st2"))
+    val sD = col("s").cast(dec)
+    val num = (col("corr").cast(dec) * sD - col("spt")).cast(dec)
+    val dp = (sD * sD - col("sp2")).cast(dec)
+    val dt = (sD * sD - col("st2")).cast(dec)
+    val head = totals.select(
+      (col("corr").cast("double") / col("s").cast("double"))
+        .as("accuracy"),
+      when(dp > lit(0L).cast(dec) && dt > lit(0L).cast(dec),
+        num.cast("double") /
+          (sqrt(dp.cast("double")) * sqrt(dt.cast("double"))))
+        .otherwise(lit(Double.NaN)).as("mcc"))
+    per.crossJoin(broadcast(head))
+      .select(col("cls"), col("t_k"), col("p_k"), col("tp"),
+        when(col("p_k") > 0L,
+          col("tp").cast("double") / col("p_k").cast("double"))
+          .otherwise(lit(Double.NaN)).as("precision"),
+        when(col("t_k") > 0L,
+          col("tp").cast("double") / col("t_k").cast("double"))
+          .otherwise(lit(Double.NaN)).as("recall"),
+        when(col("p_k") + col("t_k") > 0L,
+          (lit(2L) * col("tp")).cast("double") /
+            (col("p_k") + col("t_k")).cast("double"))
+          .otherwise(lit(Double.NaN)).as("f1"),
+        col("accuracy"), col("mcc"))
+  }
+
   /** Page–Hinkley drift monitor over the daily series (Page 1954;
     * Hinkley 1971 — public; the change-detection fold concept-drift
     * monitors run beside CUSUM): per group, with the daily totals x_t

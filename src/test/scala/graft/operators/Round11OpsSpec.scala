@@ -43,6 +43,36 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(out("a")._3 > 0.25)
   }
 
+  test("classifierEval: hand-computed confusion sheet — per-class " +
+      "P/R/F1, accuracy, multiclass MCC; a never-predicted class " +
+      "reads NaN precision; a one-class pool pins MCC NaN") {
+    val pairs = Seq.fill(3)(("a", "a")) ++ Seq(("a", "b")) ++
+      Seq.fill(2)(("b", "b")) ++ Seq(("b", "a")) ++
+      Seq(("c", "c"), ("c", "a"), ("d", "a"))
+    val out = AnalyticsOps.classifierEval(
+        pairs.toDF("t", "p"), "t", "p")
+      .select("cls", "t_k", "p_k", "tp", "precision", "recall", "f1",
+        "accuracy", "mcc")
+      .as[(String, Long, Long, Long, Double, Double, Double, Double,
+        Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set("a", "b", "c", "d"))
+    val a = out("a")
+    assert(a._2 == 4 && a._3 == 6 && a._4 == 3)
+    assert(a._5 == 3.0 / 6.0 && a._6 == 3.0 / 4.0 && a._7 == 6.0 / 10.0)
+    // never-predicted class: precision NaN, recall 0, f1 0
+    val d = out("d")
+    assert(d._3 == 0 && d._5.isNaN && d._6 == 0.0 && d._7 == 0.0)
+    // s=10, corr=6; spt=35, sp2=46, st2=30 ->
+    // mcc = 25 / (sqrt(54) * sqrt(70)); accuracy = 0.6
+    assert(a._8 == 6.0 / 10.0)
+    assert(a._9 == 25.0 / (math.sqrt(54.0) * math.sqrt(70.0)))
+    // one-class pool: accuracy 1, MCC degenerate -> NaN
+    val one = AnalyticsOps.classifierEval(
+        Seq.fill(5)(("x", "x")).toDF("t", "p"), "t", "p")
+      .select("accuracy", "mcc").as[(Double, Double)].head()
+    assert(one._1 == 1.0 && one._2.isNaN)
+  }
+
   test("retrievalMetricsAt10: perfect front-loading reads MRR/AP/" +
       "recall 1, overflow relevance caps recall at 10/R, a barren " +
       "corpus pins the NaN/zero split") {

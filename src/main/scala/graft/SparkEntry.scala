@@ -3334,6 +3334,32 @@ object SparkEntry {
           "event_type", "is_ref")
         .orderBy("bin")),
 
+    // ---- Heaps' law vocabulary-growth exponent ----
+    "text_heaps_law" -> ((s, dir) =>
+      // how much NEW vocabulary the next 10x of this source brings —
+      // the longitudinal companion of text_vocab_richness
+      AnalyticsOps.heapsLaw(t(s, dir, "documents"))
+        .orderBy("n_points")),
+
+    // ---- Holm FWER step-down over the randomization sheet ----
+    "analytics_holm_fwer" -> ((s, dir) =>
+      // the guardrail-metric regime: not one false rejection, under
+      // any dependence — the FWER complement of analytics_rand_fdr's
+      // BH step-up over the SAME p-value sheet. alpha = 1/10, NOT
+      // 1/20: the B=64 randomization grid's minimum p is 1/65 >
+      // 0.05/m, so Holm at 0.05 is VACUOUS at this resolution — the
+      // discreteness fact every randomization-test user must know
+      // (raise B or alpha; we document by raising alpha)
+      AnalyticsOps.holmStepDown(
+          AnalyticsOps.randomizationFdr(
+            events(s, dir)
+              .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
+              .withColumn("succ", (col("value") > lit(50.0)).cast("int")),
+            "event_type", "user_id", "arm", "succ")
+            .select(col("grp"), col("p_num")),
+          "grp", "p_num", pDen = 65L, alphaNum = 1L, alphaDen = 10L)
+        .orderBy("grp")),
+
     // ---- classifier eval of the language-ID heuristic ----
     "text_classifier_eval" -> ((s, dir) =>
       // the langid predictor graded against the true lang column:
@@ -10112,6 +10138,117 @@ object SparkEntry {
         | CAST(r.p_num AS DOUBLE) / 65.0 AS p_value, r.bh_rank,
         | r.bh_rank <= kk.bh_k AS reject
         |FROM rk r CROSS JOIN kk ORDER BY r.grp""".stripMargin,
+
+    // Holm replay: the rand_fdr oracle's p-value sheet, then the
+    // step-down in pure integer arithmetic (first failing rank blocks
+    // everything after)
+    "analytics_holm_fwer" ->
+      """WITH ev AS (SELECT event_type AS grp, user_id,
+        |  CAST(user_id % 2 AS INTEGER) AS arm,
+        |  CAST(CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS succ FROM events),
+        |hs AS (SELECT grp, user_id, succ, chunk,
+        |  md5(CAST(user_id AS VARCHAR) || ':'
+        |    || CAST(chunk AS VARCHAR)) AS hh
+        | FROM ev, (SELECT unnest(range(0, 4)) AS chunk)),
+        |bits AS (SELECT grp, succ, chunk * 16 + pos AS r,
+        |  (ascii(substr(hh, CAST(2 * pos + 2 AS INTEGER), 1))
+        |   - CASE WHEN ascii(substr(hh, CAST(2 * pos + 2 AS INTEGER),
+        |       1)) >= 97 THEN 87 ELSE 48 END) % 2 AS bit
+        | FROM hs, (SELECT unnest(range(0, 16)) AS pos)),
+        |rep AS (SELECT grp, r, CAST(SUM(bit) AS BIGINT) AS cb,
+        |  CAST(SUM(bit * succ) AS BIGINT) AS sb
+        | FROM bits GROUP BY 1, 2),
+        |base AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(succ) AS BIGINT) AS x,
+        |  CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_a,
+        |  CAST(SUM(CASE WHEN arm = 0 THEN succ ELSE 0 END) AS BIGINT)
+        |    AS x_a
+        | FROM ev GROUP BY 1),
+        |obs AS (SELECT grp, n, x, n_a, x_a,
+        |  CASE WHEN n_a = 0 OR n - n_a = 0 THEN NULL
+        |   ELSE CAST(abs(CAST(x_a AS HUGEINT) * (n - n_a)
+        |       - CAST(x - x_a AS HUGEINT) * n_a) AS DOUBLE)
+        |     / CAST(CAST(n_a AS HUGEINT) * (n - n_a) AS DOUBLE)
+        |  END AS t_obs FROM base),
+        |tb AS (SELECT rep.grp, rep.r,
+        |  CASE WHEN cb = 0 OR o.n - cb = 0 THEN NULL
+        |   ELSE CAST(abs(CAST(sb AS HUGEINT) * (o.n - cb)
+        |       - CAST(o.x - sb AS HUGEINT) * cb) AS DOUBLE)
+        |     / CAST(CAST(cb AS HUGEINT) * (o.n - cb) AS DOUBLE)
+        |  END AS t_b
+        | FROM rep JOIN obs o ON rep.grp = o.grp),
+        |pv AS (SELECT o.grp,
+        |  CAST(CASE WHEN o.t_obs IS NULL THEN 65
+        |   ELSE 1 + SUM(CASE WHEN t.t_b IS NULL OR t.t_b >= o.t_obs
+        |     THEN 1 ELSE 0 END) END AS BIGINT) AS p_num
+        | FROM obs o JOIN tb t ON t.grp = o.grp
+        | GROUP BY o.grp, o.t_obs),
+        |rk AS (SELECT grp, p_num,
+        |  CAST(row_number() OVER (ORDER BY p_num, grp) AS BIGINT)
+        |    AS holm_rank FROM pv),
+        |kk AS (SELECT coalesce(MIN(CASE WHEN NOT (p_num * 10
+        |      * ((SELECT count(*) FROM rk) - holm_rank + 1) <= 65)
+        |    THEN holm_rank END) - 1,
+        |   (SELECT count(*) FROM rk)) AS holm_k FROM rk)
+        |SELECT r.grp, r.p_num, r.holm_rank,
+        | r.holm_rank <= kk.holm_k AS reject
+        |FROM rk r CROSS JOIN kk ORDER BY r.grp""".stripMargin,
+
+    // Heaps replay: first-seen new-type counts, window prefix sums,
+    // lnG grid points, the /n-first OLS clearing as a fixed IEEE tree
+    "text_heaps_law" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        | FROM documents),
+        |tk AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks
+        | FROM tk GROUP BY 1),
+        |nt AS (SELECT fs AS doc_id, CAST(count(*) AS BIGINT)
+        |   AS new_types
+        | FROM (SELECT token, MIN(doc_id) AS fs FROM tk GROUP BY 1)
+        | GROUP BY 1),
+        |d AS (SELECT pd.doc_id, n_toks,
+        |  coalesce(new_types, 0) AS new_types
+        | FROM pd LEFT JOIN nt ON pd.doc_id = nt.doc_id),
+        |c AS (SELECT doc_id,
+        |  CAST(SUM(n_toks) OVER w AS BIGINT) AS cum_tokens,
+        |  CAST(SUM(new_types) OVER w AS BIGINT) AS cum_types
+        | FROM d WINDOW w AS (ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (SELECT
+        |  CAST(floor(ln(CAST(cum_tokens AS DOUBLE)) * 1e12) AS BIGINT)
+        |    AS x,
+        |  CAST(floor(ln(CAST(cum_types AS DOUBLE)) * 1e12) AS BIGINT)
+        |    AS y
+        | FROM c WHERE cum_tokens >= 1 AND cum_types >= 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |  SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |  SUM(CAST(x AS HUGEINT) * x) AS sxx FROM p),
+        |vt AS (SELECT CAST(MAX(cum_types) AS BIGINT) AS vocab,
+        |  CAST(MAX(cum_tokens) AS BIGINT) AS tokens FROM c),
+        |f AS (SELECT n,
+        |  CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / 1e12 AS mx,
+        |  CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / 1e12 AS my,
+        |  CAST(CAST(sxy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / 1e24 AS rxy,
+        |  CAST(CAST(sxx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / 1e24 AS rxx
+        | FROM s),
+        |g AS (SELECT n, rxy - mx * my AS cov, rxx - mx * mx AS vx,
+        |  mx, my FROM f)
+        |SELECT n AS n_points,
+        | CASE WHEN n >= 2 AND vx > CAST(0 AS DOUBLE)
+        |  THEN cov / vx ELSE CAST('nan' AS DOUBLE) END AS beta,
+        | CASE WHEN n >= 2 AND vx > CAST(0 AS DOUBLE)
+        |  THEN my - cov / vx * mx ELSE CAST('nan' AS DOUBLE) END
+        |   AS ln_k,
+        | vocab, tokens
+        |FROM g CROSS JOIN vt ORDER BY n_points""".stripMargin,
 
     // PSI replay: add-one smoothed bin shares, ln(p/q) as the exact
     // integer-operand difference lnG(a*N2) - lnG(b*N1) on the 1e-12

@@ -2419,6 +2419,100 @@ object AnalyticsOps {
         col("bh_rank"), (col("bh_rank") <= col("bh_k")).as("reject"))
   }
 
+  /** Holm–Bonferroni step-down (Holm 1979 — public) over a sheet of
+    * rational p-values — the FWER companion of the BH step-up in
+    * [[randomizationFdr]]: BH controls the EXPECTED false-discovery
+    * fraction, Holm guarantees (under any dependence) that the chance
+    * of even ONE false rejection stays below α — the guardrail-metric
+    * regime, where a single false alarm pages someone. Rejects ranks
+    * 1..k where k+1 is the FIRST rank failing
+    * p_(i) ≤ α/(m − i + 1) — pure integer arithmetic on the rational
+    * p numerators (p_num/pDen vs αNum/αDen cross-multiplied), the
+    * rank from the same broadcast m² self-join as BH (no window).
+    * Step-down means one early failure blocks everything after it,
+    * even later p-values that would pass their own threshold. */
+  def holmStepDown(sheet: DataFrame, idCol: String, pNumCol: String,
+      pDen: Long, alphaNum: Long = 1L, alphaDen: Long = 20L)
+      : DataFrame = {
+    val s = sheet.select(col(idCol).as("id"), col(pNumCol).as("p_num"))
+      .localCheckpoint(true)
+    val ranked = s.as("l").join(
+        broadcast(s.select(col("id").as("rg"), col("p_num").as("rp"))),
+        col("rp") < col("p_num") ||
+          (col("rp") === col("p_num") && col("rg") <= col("id")))
+      .groupBy(col("id"), col("p_num"))
+      .agg(count(lit(1)).as("holm_rank"))
+    val m = s.count()
+    val pass = col("p_num") * lit(alphaDen) *
+      (lit(m) - col("holm_rank") + lit(1L)) <= lit(alphaNum * pDen)
+    val cut = ranked.agg(coalesce(
+      min(when(!pass, col("holm_rank"))) - lit(1L), lit(m))
+      .as("holm_k"))
+    ranked.crossJoin(broadcast(cut))
+      .select(col("id").as(idCol), col("p_num"), col("holm_rank"),
+        (col("holm_rank") <= col("holm_k")).as("reject"))
+  }
+
+  /** Heaps' law fit (Heaps 1978; Herdan — public): vocabulary grows
+    * as V(n) ≈ K·n^β with the token count n; β (typically 0.4–0.6
+    * for natural language) is the growth exponent a curator reads to
+    * extrapolate "how much NEW vocabulary will the next 10× of this
+    * source bring" — the longitudinal companion of the Chao1 point
+    * estimate. Fit: per-doc new-type counts (each type charged to its
+    * FIRST document), cumulative tokens/types via the two-phase
+    * bucketed prefix scan (no single-partition window), both logs
+    * grid-floored on integer operands, and the OLS slope cleared as
+    *   β = (Σxy/n − (Σx/n)(Σy/n)) / (Σx²/n − (Σx/n)²)
+    * — sums EXACT DECIMAL(38,0) over grid BIGINTs, the clearing a
+    * fixed IEEE tree (the /n-first form keeps every operand under 38
+    * digits at any corpus size). Output: (n_points, beta, ln_k,
+    * vocab, tokens). */
+  def heapsLaw(documents: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val toks = documents.select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+    val perDoc = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"))
+    val newTypes = toks.groupBy(col("token"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("new_types"))
+    val docs = perDoc.join(newTypes, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+    val cumT = RelationalOps
+      .distributedPrefixSum(docs, "doc_id", "n_toks")
+      .withColumnRenamed("cum", "cum_tokens")
+    val cum2 = RelationalOps
+      .distributedPrefixSum(cumT, "doc_id", "new_types")
+      .withColumnRenamed("cum", "cum_types")
+    def lnG(x: Column): Column =
+      floor(log(x.cast("double")) * lit(1e12)).cast("long")
+    val pts = cum2.where(col("cum_tokens") >= 1L &&
+        col("cum_types") >= 1L)
+      .select(lnG(col("cum_tokens")).as("x"),
+        lnG(col("cum_types")).as("y"))
+    val sums = pts.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum((col("x").cast(dec) * col("y").cast(dec)).cast(dec)).as("sxy"),
+      sum((col("x").cast(dec) * col("x").cast(dec)).cast(dec)).as("sxx"))
+    val nD = col("n").cast("double")
+    val mx = col("sx").cast("double") / nD / lit(1e12)
+    val my = col("sy").cast("double") / nD / lit(1e12)
+    val cov = col("sxy").cast("double") / nD / lit(1e24) - mx * my
+    val vx = col("sxx").cast("double") / nD / lit(1e24) - mx * mx
+    val vocabTok = cum2.agg(max(col("cum_types")).as("vocab"),
+      max(col("cum_tokens")).as("tokens"))
+    sums.crossJoin(broadcast(vocabTok))
+      .select(col("n").as("n_points"),
+        when(col("n") >= 2L && vx > lit(0.0), cov / vx)
+          .otherwise(lit(Double.NaN)).as("beta"),
+        when(col("n") >= 2L && vx > lit(0.0), my - cov / vx * mx)
+          .otherwise(lit(Double.NaN)).as("ln_k"),
+        col("vocab"), col("tokens"))
+  }
+
   /** Population Stability Index between a reference and a current
     * slice of the same relation (the credit-scoring drift metric,
     * Siddiqi 2006 — public; the monitoring statistic data pipelines

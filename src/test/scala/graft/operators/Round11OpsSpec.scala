@@ -43,6 +43,52 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(out("a")._3 > 0.25)
   }
 
+  test("holmStepDown: the first failing rank blocks everything after " +
+      "it, even later p-values that pass their own threshold") {
+    // m = 4, pDen = 100, alpha = 1/20; thresholds by rank:
+    // r1: p*20*4 <= 100 -> p <= 1.25 ; r2: p*20*3 <= 100 -> p <= 1.66
+    // r3: p*20*2 <= 100 -> p <= 2.5  ; r4: p*20*1 <= 100 -> p <= 5
+    val sheet = Seq(("m1", 1L), ("m2", 2L), ("m3", 2L), ("m4", 4L))
+      .toDF("metric", "p_num")
+    val out = AnalyticsOps.holmStepDown(sheet, "metric", "p_num",
+        pDen = 100L)
+      .select("metric", "holm_rank", "reject")
+      .as[(String, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // ranks: m1=1 (p=1 passes), m2=2 (p=2 FAILS 1.66), m3=3, m4=4 —
+    // m4's p=4 would pass its own rank-4 threshold (5) but the
+    // step-down stops at rank 2
+    assert(out("m1")._2 == 1 && out("m1")._3)
+    assert(out("m2")._2 == 2 && !out("m2")._3)
+    assert(out("m3")._2 == 3 && !out("m3")._3)
+    assert(out("m4")._2 == 4 && !out("m4")._3,
+      "step-down must block m4 despite its own threshold passing")
+    // all-pass sheet: everything rejects
+    val all = AnalyticsOps.holmStepDown(
+        Seq(("a", 1L), ("b", 1L)).toDF("metric", "p_num"),
+        "metric", "p_num", pDen = 100L)
+      .select("reject").as[Boolean].collect()
+    assert(all.forall(identity))
+  }
+
+  test("heapsLaw: an all-unique corpus fits beta exactly 1, a " +
+      "saturated vocabulary fits ~0, totals line up") {
+    val unique = (0 until 5).map(d =>
+      (d.toLong, (0 until 10).map(i => s"w${d}_$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val u = AnalyticsOps.heapsLaw(unique)
+      .as[(Long, Double, Double, Long, Long)].head()
+    assert(u._1 == 5L && u._4 == 50L && u._5 == 50L)
+    assert(u._2 == 1.0, s"cum_types == cum_tokens forces beta 1: $u")
+    assert(u._3 == 0.0)
+    // the same 3 words forever: no growth after doc 0
+    val sat = (0 until 10).map(d => (d.toLong, "a b c"))
+      .toDF("doc_id", "text")
+    val s2 = AnalyticsOps.heapsLaw(sat)
+      .as[(Long, Double, Double, Long, Long)].head()
+    assert(s2._4 == 3L && s2._5 == 30L)
+    assert(math.abs(s2._2) < 1e-9, s"saturated vocab has ~0 slope: $s2")
+  }
+
   test("classifierEval: hand-computed confusion sheet — per-class " +
       "P/R/F1, accuracy, multiclass MCC; a never-predicted class " +
       "reads NaN precision; a one-class pool pins MCC NaN") {

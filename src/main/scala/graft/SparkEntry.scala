@@ -3334,6 +3334,28 @@ object SparkEntry {
           "event_type", "is_ref")
         .orderBy("bin")),
 
+    // ---- mutual information between event type and weekday ----
+    "analytics_mutual_info" -> ((s, dir) => {
+      // the dependence-STRENGTH companion of analytics_chi_square on
+      // the same contingency pair: nats carried + normalized [0,1]
+      val ev = events(s, dir).withColumn("dow_bucket",
+        pmod(unix_date(to_date(col("ts"))), lit(7)).cast("long"))
+      AnalyticsOps.mutualInformation(ev, "event_type", "dow_bucket")
+        .orderBy("n")
+    }),
+
+    // ---- local bridges of the halving graph ----
+    "graph_local_bridges" -> ((s, dir) => {
+      // same halving edges as graph_triangles: edges with zero
+      // triangle support are the community-connecting weak ties
+      val c = t(s, dir, "customer").where(col("c_custkey") > 3)
+      val edges = c.select(col("c_custkey").as("src"),
+          expr("c_custkey div 2").as("dst"))
+        .union(c.select(col("c_custkey").as("src"),
+          expr("c_custkey div 4").as("dst")))
+      GraphOps.localBridges(edges).orderBy("u", "v")
+    }),
+
     // ---- Heaps' law vocabulary-growth exponent ----
     "text_heaps_law" -> ((s, dir) =>
       // how much NEW vocabulary the next 10x of this source brings —
@@ -10138,6 +10160,69 @@ object SparkEntry {
         | CAST(r.p_num AS DOUBLE) / 65.0 AS p_value, r.bh_rank,
         | r.bh_rank <= kk.bh_k AS reject
         |FROM rk r CROSS JOIN kk ORDER BY r.grp""".stripMargin,
+
+    // MI replay: contingency counts, every ln on an integer-valued
+    // product (grid-floored), exact HUGEINT accumulations, final /N
+    // divisions + one sqrt
+    "analytics_mutual_info" ->
+      """WITH ev AS (SELECT event_type AS a,
+        |  CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT)
+        |    AS b FROM events
+        | WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o
+        | FROM ev GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS n_a FROM c GROUP BY 1),
+        |ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS n_b FROM c GROUP BY 1),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c),
+        |j AS (SELECT o, n_a, n_b, n FROM c
+        | JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN t),
+        |mi AS (SELECT MAX(n) AS n, SUM(CAST(o AS HUGEINT)
+        |   * (CAST(floor(ln(CAST(CAST(o AS HUGEINT) * n AS DOUBLE))
+        |        * 1e12) AS BIGINT)
+        |      - CAST(floor(ln(CAST(CAST(n_a AS HUGEINT) * n_b
+        |         AS DOUBLE)) * 1e12) AS BIGINT))) AS mi_sum FROM j),
+        |ha AS (SELECT SUM(CAST(n_a AS HUGEINT)
+        |   * (CAST(floor(ln(CAST(n AS DOUBLE)) * 1e12) AS BIGINT)
+        |      - CAST(floor(ln(CAST(n_a AS DOUBLE)) * 1e12) AS BIGINT)))
+        |  AS ha_sum FROM rt CROSS JOIN t),
+        |hb AS (SELECT SUM(CAST(n_b AS HUGEINT)
+        |   * (CAST(floor(ln(CAST(n AS DOUBLE)) * 1e12) AS BIGINT)
+        |      - CAST(floor(ln(CAST(n_b AS DOUBLE)) * 1e12) AS BIGINT)))
+        |  AS hb_sum FROM ct CROSS JOIN t),
+        |f AS (SELECT n,
+        |  CAST(CAST(mi_sum AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / 1e12 AS mi,
+        |  CAST(CAST(ha_sum AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / 1e12 AS h_a,
+        |  CAST(CAST(hb_sum AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / 1e12 AS h_b
+        | FROM mi CROSS JOIN ha CROSS JOIN hb)
+        |SELECT n, mi, h_a, h_b,
+        | CASE WHEN h_a > CAST(0 AS DOUBLE) AND h_b > CAST(0 AS DOUBLE)
+        |  THEN mi / sqrt(h_a * h_b) ELSE CAST('nan' AS DOUBLE) END
+        |   AS nmi
+        |FROM f ORDER BY n""".stripMargin,
+
+    // local-bridges replay: per-edge triangle support by direct
+    // common-neighbor counting (the oracle needs the result, not the
+    // oriented-wedge plan)
+    "graph_local_bridges" ->
+      """WITH c AS (SELECT c_custkey AS k FROM customer
+        |  WHERE c_custkey > 3),
+        |e0 AS (SELECT k AS src, k // 2 AS dst FROM c
+        | UNION ALL SELECT k, k // 4 FROM c),
+        |und AS (SELECT DISTINCT LEAST(src, dst) AS u,
+        |  GREATEST(src, dst) AS v FROM e0 WHERE src <> dst),
+        |adj AS (SELECT u AS node, v AS nb FROM und
+        | UNION ALL SELECT v, u FROM und),
+        |sup AS (SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS s
+        | FROM und e JOIN adj x ON x.node = e.u
+        | JOIN adj y ON y.node = e.v AND y.nb = x.nb
+        | GROUP BY 1, 2)
+        |SELECT und.u, und.v, coalesce(s, 0) AS support,
+        | coalesce(s, 0) = 0 AS is_bridge
+        |FROM und LEFT JOIN sup ON und.u = sup.u AND und.v = sup.v
+        |ORDER BY und.u, und.v""".stripMargin,
 
     // Holm replay: the rand_fdr oracle's p-value sheet, then the
     // step-down in pure integer arithmetic (first failing rank blocks

@@ -1359,6 +1359,59 @@ object AnalyticsOps {
           .as("chi2_term"))
   }
 
+  /** Mutual information + normalized MI between two categorical
+    * columns (Shannon 1948; NMI per Strehl & Ghosh JMLR'02 — public):
+    * the DEPENDENCE-STRENGTH companion of [[chiSquare]] — χ² says
+    * whether an association is detectable, MI says how many nats of
+    * information one column carries about the other, and
+    * NMI = MI/√(H_a·H_b) puts it on the comparable [0, 1] scale
+    * feature-selection and clustering-agreement pipelines use. Pure
+    * count arithmetic:
+    *   MI  = Σ_ij (n_ij/N)·ln(n_ij·N / (n_i·n_j))
+    *   H_a = Σ_i (n_i/N)·ln(N/n_i)     (likewise H_b)
+    * — every ln operand an integer-valued product (the pinned class),
+    * grid-floored; each sum accumulates n·Δln in EXACT DECIMAL(38,0);
+    * the only IEEE steps are the final /N divisions, one square root,
+    * and the NMI ratio. A constant column (H = 0) pins NMI to NaN.
+    *
+    * Scale: the contingency shape — one (a, b) aggregation, bounded-
+    * level margins broadcast back, one final collapse. */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
+    val rowT = cells.groupBy(col("a")).agg(sum(col("o")).as("n_a"))
+    val colT = cells.groupBy(col("b")).agg(sum(col("o")).as("n_b"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    def lnG(x: Column): Column =
+      floor(log(x.cast("double")) * lit(1e12)).cast("long")
+    val joined = cells.join(broadcast(rowT), "a")
+      .join(broadcast(colT), "b").crossJoin(broadcast(tot))
+    val miGrid = joined.agg(
+      sum((col("o").cast(dec) *
+        (lnG(col("o").cast(dec) * col("n").cast(dec)) -
+          lnG(col("n_a").cast(dec) * col("n_b").cast(dec))))
+        .cast(dec)).as("mi_sum"),
+      max(col("n")).as("n"))
+    val hOf = (margin: DataFrame, cnt: String) =>
+      margin.crossJoin(broadcast(tot)).agg(
+        sum((col(cnt).cast(dec) * (lnG(col("n")) - lnG(col(cnt))))
+          .cast(dec)).as("h_sum"))
+    val ha = hOf(rowT, "n_a").select(col("h_sum").as("ha_sum"))
+    val hb = hOf(colT, "n_b").select(col("h_sum").as("hb_sum"))
+    val nD = col("n").cast("double")
+    val mi = col("mi_sum").cast("double") / nD / lit(1e12)
+    val haD = col("ha_sum").cast("double") / nD / lit(1e12)
+    val hbD = col("hb_sum").cast("double") / nD / lit(1e12)
+    miGrid.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .select(col("n"), mi.as("mi"), haD.as("h_a"), hbD.as("h_b"),
+        when(haD > lit(0.0) && hbD > lit(0.0),
+          mi / sqrt(haD * hbD)).otherwise(lit(Double.NaN)).as("nmi"))
+  }
+
   /** CUPED variance-reduced A/B effect (Deng, Xu, Kohavi & Walker,
     * WSDM 2013, public): adjust each unit's post-period metric Y by its
     * PRE-period covariate X — Y' = Y − θ·(X − X̄) with

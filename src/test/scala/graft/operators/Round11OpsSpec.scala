@@ -43,6 +43,54 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(out("a")._3 > 0.25)
   }
 
+  test("mutualInformation: an exact product distribution reads MI " +
+      "exactly 0, a bijection reads NMI ~1 with H = ln 2, a constant " +
+      "column pins NMI NaN") {
+    // perfectly independent: every cell n_ij*N == n_a*n_b, so the two
+    // grid logs cancel EXACTLY
+    val indep = (for (a <- Seq("x", "y"); b <- Seq(0L, 1L);
+      _ <- 1 to 25) yield (a, b)).toDF("a", "b")
+    val i = AnalyticsOps.mutualInformation(indep, "a", "b")
+      .select("mi", "nmi").as[(Double, Double)].head()
+    assert(i._1 == 0.0 && i._2 == 0.0)
+    // bijection: MI = H_a = H_b = ln 2 (balanced two classes)
+    val bij = (Seq.fill(30)(("x", 0L)) ++ Seq.fill(30)(("y", 1L)))
+      .toDF("a", "b")
+    val bb = AnalyticsOps.mutualInformation(bij, "a", "b")
+      .select("mi", "h_a", "h_b", "nmi")
+      .as[(Double, Double, Double, Double)].head()
+    assert(math.abs(bb._2 - math.log(2.0)) < 1e-9)
+    assert(math.abs(bb._1 - bb._2) < 1e-9)
+    assert(math.abs(bb._4 - 1.0) < 1e-9)
+    // constant column: zero entropy -> NaN NMI, MI 0
+    val const = Seq.fill(20)(("x", 0L)).toDF("a", "b")
+    val cc = AnalyticsOps.mutualInformation(const, "a", "b")
+      .select("mi", "nmi").as[(Double, Double)].head()
+    assert(cc._1 == 0.0 && cc._2.isNaN)
+  }
+
+  test("localBridges: triangle edges carry their support count, the " +
+      "pendant and chain edges are the bridges, a shared edge " +
+      "supports two triangles") {
+    // triangle {1,2,3} + second triangle {2,3,4} sharing edge (2,3),
+    // pendant (4,5), chain (5,6)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val out = GraphOps.localBridges(edges)
+      .select("u", "v", "support", "is_bridge")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out.size == 7)
+    assert(out((2L, 3L))._3 == 2 && !out((2L, 3L))._4,
+      "the shared edge supports both triangles")
+    Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).foreach { e =>
+      assert(out(e)._3 == 1 && !out(e)._4, s"$e supports one triangle")
+    }
+    Seq((4L, 5L), (5L, 6L)).foreach { e =>
+      assert(out(e)._3 == 0 && out(e)._4, s"$e is a local bridge")
+    }
+  }
+
   test("holmStepDown: the first failing rank blocks everything after " +
       "it, even later p-values that pass their own threshold") {
     // m = 4, pDen = 100, alpha = 1/20; thresholds by rank:

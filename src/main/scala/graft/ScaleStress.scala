@@ -420,7 +420,8 @@ object ScaleStress {
       "ts_holt_winters", "ts_theil_sen", "ts_kalman_level",
       "ts_mann_kendall", "analytics_rand_fdr", "analytics_msprt",
       "analytics_psi", "analytics_kruskal_wallis",
-      "analytics_trend_test")
+      "analytics_trend_test", "ts_page_hinkley", "ts_weekly_spectrum",
+      "analytics_mutual_info")
     if (only.isEmpty || only.exists(evFams.contains)) {
       val nEvents = 100000L * scale
       val ev = synthEvents(spark, nEvents).localCheckpoint(true)
@@ -506,6 +507,22 @@ object ScaleStress {
             pmod(unix_date(to_date(col("ts"))), lit(7)).cast("long"))
             .withColumn("succ", (col("value") > lit(500.0)).cast("int")),
           "event_type", "dow", "succ")
+      }
+      // Page-Hinkley + weekly spectrum: the calendar-collapse law —
+      // candidates = the daily relation, INVARIANT in n
+      run("ts_page_hinkley", nEvents, 60L * 3) {
+        AnalyticsOps.pageHinkley(ev, "event_type", "ts", "value")
+      }
+      run("ts_weekly_spectrum", nEvents, 60L * 3) {
+        AnalyticsOps.weeklySpectrum(ev, "event_type", "ts", "value")
+      }
+      // mutual information: the contingency shape — candidates = the
+      // (types x 7 dow) cell relation, INVARIANT in n
+      run("analytics_mutual_info", nEvents, 3L * 7) {
+        AnalyticsOps.mutualInformation(
+          ev.withColumn("dow",
+            pmod(unix_date(to_date(col("ts"))), lit(7)).cast("long")),
+          "event_type", "dow")
       }
       ev.unpersist()
     }

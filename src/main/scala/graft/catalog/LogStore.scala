@@ -642,6 +642,35 @@ class LogStore(spark: SparkSession, val root: String,
     commit(v + 1, Seq(writeSegment(read(v))), old)
   }
 
+  /** DESCRIBE HISTORY — the operations audit every transactional
+    * table owes its operators: one row per committed version with the
+    * action profile (segments added/removed, change-data segments,
+    * stream txn id, vacuum horizon) and the derived operation label
+    * (APPEND / STREAMING APPEND / DELETE-OR-COMPACT / RESTORE-OR-
+    * MERGE shapes are distinguishable by their add/remove mix; the
+    * log stores actions, not intents, so the label is the honest
+    * reconstruction). Reads each version file once — O(V) by nature
+    * (it IS the history); snapshot resolution never calls this. */
+  def describeHistory(): DataFrame = {
+    import spark.implicits._
+    val latest = latestVersion()
+    require(latest >= 0, s"no log at $root")
+    val rows = (0L to latest).map { v =>
+      val (adds, removes, txns, vacs, cdcs) = readActions(v)
+      val op =
+        if (vacs.nonEmpty) "VACUUM"
+        else if (txns.nonEmpty) "STREAMING APPEND"
+        else if (adds.nonEmpty && removes.nonEmpty) "REWRITE"
+        else if (removes.nonEmpty) "REMOVE"
+        else "APPEND"
+      (v, adds.size, removes.size, cdcs.size,
+        txns.headOption.map(_.toString).orNull,
+        vacs.headOption.map(_.toString).orNull, op)
+    }
+    rows.toDF("version", "n_added", "n_removed", "n_cdc", "txn",
+      "vacuum_horizon", "operation")
+  }
+
   /** RESTORE the table to the content of an earlier `version` — the
     * Delta RESTORE semantics: rollback is a NEW forward commit whose
     * actions re-add the segments live at `version` and remove the

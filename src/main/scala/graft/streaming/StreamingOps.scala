@@ -628,6 +628,89 @@ object StreamingOps {
       .foreachBatch(maintainDpCountState(statePath, groupCol) _)
       .start()
 
+  /** Bounded-state streaming dedup via a Bloom filter — the
+    * FIXED-MEMORY answer to "have I ingested this key before" when
+    * the exact seen-set would grow with the stream forever (the
+    * standard trade: a false positive DROPS a genuinely-new row with
+    * probability ≈ fill⁴, never emits a duplicate; size [bits] to the
+    * expected key volume). State is ONE row — (bloom_hex, n_keys,
+    * _batch_id) — whatever the stream's length; the filter k = 4
+    * positions use the same md5-slice recipe as the LogStore segment
+    * blooms, computed by a codegen'd expression per row (no UDF).
+    * Batch-id fenced like every maintainer here. */
+  def maintainBloomDedupState(statePath: String, keyCol: String,
+      bits: Int = 4096)(batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val state = s.read.parquet(statePath)
+    val lastApplied = state
+      .agg(coalesce(max(col("_batch_id")), lit(Long.MinValue)))
+      .head.getLong(0)
+    if (lastApplied < batchId) {
+      val prior = state.select(col("bloom_hex"), col("n_keys"))
+        .collect().headOption
+      val hex = prior.map(_.getString(0)).getOrElse("0" * (bits / 4))
+      val nKeys = prior.map(_.getLong(1)).getOrElse(0L)
+      val arr = new Array[Boolean](bits)
+      hex.zipWithIndex.foreach { case (c, i) =>
+        val v = Integer.parseInt(String.valueOf(c), 16)
+        (0 until 4).foreach(b => if ((v & (1 << b)) != 0)
+          arr(i * 4 + b) = true)
+      }
+      // distinct NEW keys this batch = rows the prior bloom can't
+      // already claim (counted before their own bits land)
+      val fresh = bloomNewRows(batch, keyCol, hex, bits)
+        .select(col(keyCol).cast("string").as("k")).distinct()
+      val newKeys = fresh.count()
+      val posCols = (0 until 4).map { i =>
+        pmod(conv(substring(md5(col("k").cast("binary")), 1 + 8 * i, 8),
+          16, 10).cast("long"), lit(bits.toLong)).cast("int")
+      }
+      fresh.select(explode(array(posCols: _*)).as("p"))
+        .distinct().collect().foreach(r => arr(r.getInt(0)) = true)
+      val outHex = arr.grouped(4).map { nib =>
+        Integer.toHexString((if (nib(0)) 1 else 0) |
+          (if (nib(1)) 2 else 0) | (if (nib(2)) 4 else 0) |
+          (if (nib(3)) 8 else 0))
+      }.mkString
+      import s.implicits._
+      graft.operators.MergeOps.replaceTable(s,
+        Seq((outHex, nKeys + newKeys, batchId))
+          .toDF("bloom_hex", "n_keys", "_batch_id"),
+        statePath)
+    }
+  }
+
+  /** The read side of [[maintainBloomDedupState]]: the rows of
+    * `batch` whose key the maintained bloom CANNOT have seen — i.e.
+    * at least one of its 4 bit positions is clear. Codegen'd
+    * per-row expression against the broadcast-literal hex; no UDF,
+    * no join. */
+  def bloomDedupNew(spark: SparkSession, statePath: String,
+      batch: DataFrame, keyCol: String, bits: Int = 4096): DataFrame =
+    bloomNewRows(batch,
+      keyCol, spark.read.parquet(statePath)
+        .select(col("bloom_hex")).head.getString(0), bits)
+
+  private def bloomNewRows(batch: DataFrame, keyCol: String,
+      hex: String, bits: Int): DataFrame = {
+    // the hex bitset rides as an int-array literal; per-row bit test
+    // is element_at + mask — all codegen'd builtins, no UDF
+    val nibbles: Array[Int] =
+      hex.toArray.map(c => Integer.parseInt(String.valueOf(c), 16))
+    val allSet = (0 until 4).map { i =>
+      val pos = pmod(conv(substring(md5(col(keyCol).cast("string")
+        .cast("binary")), 1 + 8 * i, 8), 16, 10).cast("long"),
+        lit(bits.toLong)).cast("int")
+      val nib = element_at(lit(nibbles),
+        (pos / lit(4)).cast("int") + lit(1))
+      val mask = when(pos % lit(4) === 0, lit(1))
+        .when(pos % lit(4) === 1, lit(2))
+        .when(pos % lit(4) === 2, lit(4)).otherwise(lit(8))
+      nib.bitwiseAND(mask) =!= lit(0)
+    }.reduce(_ && _)
+    batch.where(!allSet)
+  }
+
   /** The live experiment monitor as a real stream: exposure/outcome
     * rows land as files, each micro-batch folds into the mSPRT daily
     * state — the always-valid p-value is then readable at ANY moment

@@ -468,6 +468,26 @@ class LogStoreSpec extends AnyFunSuite {
     assert(ids(t.read()) == (1L to 80L).toSet)
   }
 
+  test("describeHistory: one audit row per version with the honest " +
+      "action profile and operation label") {
+    val t = fresh()
+    t.append((1L to 5L).toDF("id"))        // v0 APPEND
+    t.appendStream((6L to 8L).toDF("id"), batchId = 0L) // v1 STREAMING
+    t.deleteWhere("id < 3")                // v2 REWRITE (+ cdc)
+    t.compact()                            // v3 REWRITE
+    t.vacuum(retainLast = 2)               // v4 VACUUM
+    val h = t.describeHistory()
+      .select("version", "n_added", "n_removed", "n_cdc", "operation")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(h.map(_._1).toSeq == (0L to 4L))
+    assert(h(0)._5 == "APPEND" && h(0)._2 == 1 && h(0)._3 == 0)
+    assert(h(1)._5 == "STREAMING APPEND")
+    assert(h(2)._5 == "REWRITE" && h(2)._2 == 1 && h(2)._3 == 2 &&
+      h(2)._4 == 1, s"delete adds 1, removes 2, emits cdc: ${h(2)}")
+    assert(h(3)._5 == "REWRITE" && h(3)._3 == 1)
+    assert(h(4)._5 == "VACUUM")
+  }
+
   test("restore: rollback is a forward commit — content returns to " +
       "the target version, nothing is rewritten, the pre-restore " +
       "state stays time-travelable, vacuumed targets refuse") {

@@ -234,6 +234,35 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(after === batchOut(b0.unionByName(b1)))
   }
 
+  test("streaming bloom dedup: fixed-memory seen-filter — new keys " +
+      "pass, seen keys are claimed, the counter tracks distinct new " +
+      "keys, replay is fenced") {
+    val base = Files.createTempDirectory("graft-bloomdedup").toString
+    val statePath = s"$base/state"
+    Seq.empty[(String, Long, Long)]
+      .toDF("bloom_hex", "n_keys", "_batch_id").write.parquet(statePath)
+
+    def keys(r: Range) = r.map(i => s"key-$i.example").toDF("k")
+    StreamingOps.maintainBloomDedupState(statePath, "k")(keys(0 to 9), 0L)
+    // overlap batch: only the 5 genuinely-new keys survive the filter
+    val survivors = StreamingOps
+      .bloomDedupNew(spark, statePath, keys(5 to 14), "k")
+      .as[String].collect().toSet
+    assert(survivors == (10 to 14).map(i => s"key-$i.example").toSet,
+      s"seen keys must be claimed, new ones pass: $survivors")
+    StreamingOps.maintainBloomDedupState(statePath, "k")(keys(5 to 14), 1L)
+    val st = spark.read.parquet(statePath)
+      .select("n_keys", "_batch_id").as[(Long, Long)].head()
+    assert(st == ((15L, 1L)), s"10 + 5 distinct new keys: $st")
+    // everything already ingested is claimed now
+    assert(StreamingOps.bloomDedupNew(spark, statePath,
+      keys(0 to 14), "k").count() == 0L)
+    // replayed micro-batch is a no-op under the batch-id fence
+    StreamingOps.maintainBloomDedupState(statePath, "k")(keys(0 to 9), 0L)
+    assert(spark.read.parquet(statePath).select("n_keys")
+      .as[Long].head() == 15L)
+  }
+
   test("streamingMsprtMonitor: a REAL file stream feeds the daily " +
       "state; the always-valid readout equals the batch monitor") {
     import graft.operators.AnalyticsOps

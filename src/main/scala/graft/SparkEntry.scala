@@ -3334,6 +3334,31 @@ object SparkEntry {
           "event_type", "is_ref")
         .orderBy("bin")),
 
+    // ---- TOST equivalence on the conversion rates ----
+    "analytics_tost" -> ((s, dir) =>
+      // the question the z-test cannot answer: are the arms the SAME
+      // within delta = 1/20 — failing to reject is not equivalence
+      AnalyticsOps.tostEquivalence(
+          events(s, dir)
+            .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
+            .withColumn("succ", (col("value") > lit(50.0)).cast("int")),
+          "event_type", "arm", "succ")
+        .orderBy("grp")),
+
+    // ---- CMH stratified association across the week ----
+    "analytics_cmh" -> ((s, dir) =>
+      // the Simpson's-paradox-proof readout: does treatment move the
+      // rate WITHIN each weekday stratum, mix confound removed
+      AnalyticsOps.cmhTest(
+          events(s, dir)
+            .where(col("value").isNotNull)
+            .withColumn("dow",
+              pmod(unix_date(to_date(col("ts"))), lit(7)).cast("long"))
+            .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
+            .withColumn("succ", (col("value") > lit(50.0)).cast("int")),
+          "event_type", "dow", "arm", "succ")
+        .orderBy("grp")),
+
     // ---- mutual information between event type and weekday ----
     "analytics_mutual_info" -> ((s, dir) => {
       // the dependence-STRENGTH companion of analytics_chi_square on
@@ -10160,6 +10185,107 @@ object SparkEntry {
         | CAST(r.p_num AS DOUBLE) / 65.0 AS p_value, r.bh_rank,
         | r.bh_rank <= kk.bh_k AS reject
         |FROM rk r CROSS JOIN kk ORDER BY r.grp""".stripMargin,
+
+    // TOST replay: exact cross-product delta, unpooled se as the
+    // mirrored IEEE tree, parsed-literal margin and z critical
+    "analytics_tost" ->
+      """WITH ev AS (SELECT event_type AS grp,
+        |  CAST(user_id % 2 AS INTEGER) AS arm,
+        |  CAST(CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS succ FROM events),
+        |g AS (SELECT grp,
+        |  CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_a,
+        |  CAST(SUM(CASE WHEN arm = 0 THEN succ ELSE 0 END) AS BIGINT)
+        |    AS x_a,
+        |  CAST(SUM(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_b,
+        |  CAST(SUM(CASE WHEN arm <> 0 THEN succ ELSE 0 END) AS BIGINT)
+        |    AS x_b
+        | FROM ev GROUP BY 1),
+        |f AS (SELECT grp, n_a, x_a, n_b, x_b,
+        |  CAST(CAST(x_a AS HUGEINT) * n_b
+        |    - CAST(x_b AS HUGEINT) * n_a AS DOUBLE)
+        |   / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE) AS delta,
+        |  sqrt((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |     * (CAST(1 AS DOUBLE)
+        |        - CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |     / CAST(n_a AS DOUBLE)
+        |   + (CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |     * (CAST(1 AS DOUBLE)
+        |        - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |     / CAST(n_b AS DOUBLE)) AS se
+        | FROM g),
+        |w AS (SELECT grp, n_a, x_a, n_b, x_b, delta, se,
+        |  (delta + CAST(1 AS DOUBLE) / CAST(20 AS DOUBLE)) / se
+        |    AS z_low,
+        |  (delta - CAST(1 AS DOUBLE) / CAST(20 AS DOUBLE)) / se
+        |    AS z_up
+        | FROM f)
+        |SELECT grp, n_a, x_a, n_b, x_b, delta, se, z_low, z_up,
+        | z_low > CAST(1.6448536269514722 AS DOUBLE)
+        |  AND z_up < -CAST(1.6448536269514722 AS DOUBLE) AS equivalent
+        |FROM w ORDER BY grp""".stripMargin,
+
+    // CMH replay: per-stratum E/V/OR terms as fixed IEEE trees over
+    // exact HUGEINT cell products, each floored onto the 1e-6 grid
+    // and summed exactly; final square + two divisions
+    "analytics_cmh" ->
+      """WITH ev AS (SELECT event_type AS grp,
+        |  CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT)
+        |    AS k,
+        |  CAST(user_id % 2 AS INTEGER) AS arm,
+        |  CAST(CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS succ FROM events WHERE value IS NOT NULL),
+        |cl AS (SELECT grp, k,
+        |  CAST(SUM(CASE WHEN arm = 0 AND succ <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS a,
+        |  CAST(SUM(CASE WHEN arm = 0 AND succ = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS b,
+        |  CAST(SUM(CASE WHEN arm <> 0 AND succ <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS c,
+        |  CAST(SUM(CASE WHEN arm <> 0 AND succ = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS d
+        | FROM ev GROUP BY 1, 2),
+        |t AS (SELECT grp, a,
+        |  CAST(a + b + c + d AS HUGEINT) AS n,
+        |  CAST(a + b AS HUGEINT) AS ab, CAST(c + d AS HUGEINT) AS cd,
+        |  CAST(a + c AS HUGEINT) AS ac, CAST(b + d AS HUGEINT) AS bd,
+        |  CAST(a AS HUGEINT) * d AS adp, CAST(b AS HUGEINT) * c AS bcp
+        | FROM cl),
+        |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_strata,
+        |  CAST(SUM(a) AS BIGINT) AS sum_a,
+        |  SUM(CAST(floor(CAST(ab * ac AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * 1e6) AS HUGEINT)) AS se_grid,
+        |  SUM(CASE WHEN n > 1 THEN
+        |    CAST(floor(CAST(ab * cd * ac * bd AS DOUBLE)
+        |      / CAST(n * n * (n - 1) AS DOUBLE) * 1e6) AS HUGEINT)
+        |   ELSE 0 END) AS sv_grid,
+        |  SUM(CAST(floor(CAST(adp AS DOUBLE)
+        |    / CAST(n AS DOUBLE) * 1e6) AS HUGEINT)) AS son_grid,
+        |  SUM(CAST(floor(CAST(bcp AS DOUBLE)
+        |    / CAST(n AS DOUBLE) * 1e6) AS HUGEINT)) AS sod_grid
+        | FROM t GROUP BY 1),
+        |f AS (SELECT grp, n_strata, sum_a,
+        |  CAST(CAST(se_grid AS VARCHAR) AS DOUBLE) / 1e6 AS expected,
+        |  CAST(CAST(sv_grid AS VARCHAR) AS DOUBLE) / 1e6 AS variance,
+        |  CAST(sum_a AS DOUBLE)
+        |    - CAST(CAST(se_grid AS VARCHAR) AS DOUBLE) / 1e6 AS num,
+        |  son_grid, sod_grid
+        | FROM g),
+        |w AS (SELECT grp, n_strata, sum_a, expected, variance,
+        |  CASE WHEN variance > CAST(0 AS DOUBLE)
+        |   THEN num * num / variance ELSE CAST(0 AS DOUBLE) END
+        |    AS chi2,
+        |  son_grid, sod_grid
+        | FROM f)
+        |SELECT grp, n_strata, sum_a, expected, variance, chi2,
+        | chi2 > CAST(3.841458820694124 AS DOUBLE) AS assoc,
+        | CASE WHEN sod_grid > 0 THEN
+        |   CAST(CAST(son_grid AS VARCHAR) AS DOUBLE)
+        |     / CAST(CAST(sod_grid AS VARCHAR) AS DOUBLE)
+        |  ELSE CAST('nan' AS DOUBLE) END AS or_mh
+        |FROM w ORDER BY grp""".stripMargin,
 
     // MI replay: contingency counts, every ln on an integer-valued
     // product (grid-floored), exact HUGEINT accumulations, final /N

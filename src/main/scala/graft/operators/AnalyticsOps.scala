@@ -2365,6 +2365,116 @@ object AnalyticsOps {
             lit(1.0) / col("n_b").cast("double")))).as("z"))
   }
 
+  /** TOST equivalence test on two-arm conversion rates (Schuirmann
+    * 1987 — public): the readout for the question the z-test CANNOT
+    * answer — "are these two arms the SAME, within a margin δ" —
+    * because failing to reject ≠ equivalence. Two one-sided tests at
+    * level α against the margins ±δ:
+    *   z_low = (Δ̂ + δ)/se   must exceed  z_{1−α}
+    *   z_up  = (Δ̂ − δ)/se   must fall below −z_{1−α}
+    * with Δ̂ = p_a − p_b as one IEEE division of exact cross products
+    * and the UNPOOLED se = √(p_a(1−p_a)/n_a + p_b(1−p_b)/n_b) (the
+    * pooled-variance shortcut assumes the null of equality — exactly
+    * what TOST does not assume). δ and z_{0.95} = 1.6448536269514722
+    * are parsed literals; the margin is rational (num/den) so δ
+    * parses identically everywhere. `equivalent` requires BOTH
+    * one-sided rejections — the interval (Δ̂ ± z·se) ⊂ (−δ, δ).
+    *
+    * Scale: ONE map-side-combined aggregation to |groups| rows. */
+  def tostEquivalence(df: DataFrame, groupCol: String, armCol: String,
+      successCol: String, marginNum: Long = 1L,
+      marginDen: Long = 20L): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val a = col(armCol) === 0
+    val s = col(successCol).cast("long")
+    val agg = df.groupBy(col(groupCol).as("grp")).agg(
+      count(when(a, lit(1))).as("n_a"),
+      sum(when(a, s)).cast("long").as("x_a"),
+      count(when(!a, lit(1))).as("n_b"),
+      sum(when(!a, s)).cast("long").as("x_b"))
+    val delta = (col("x_a").cast(dec) * col("n_b").cast(dec) -
+      col("x_b").cast(dec) * col("n_a").cast(dec)).cast("double") /
+      (col("n_a").cast(dec) * col("n_b").cast(dec)).cast("double")
+    val pa = col("x_a").cast("double") / col("n_a").cast("double")
+    val pb = col("x_b").cast("double") / col("n_b").cast("double")
+    val se = sqrt(pa * (lit(1.0) - pa) / col("n_a").cast("double") +
+      pb * (lit(1.0) - pb) / col("n_b").cast("double"))
+    val margin = lit(marginNum.toDouble) / lit(marginDen.toDouble)
+    val zCrit = lit(1.6448536269514722)
+    val zLow = (delta + margin) / se
+    val zUp = (delta - margin) / se
+    agg.select(col("grp"), col("n_a"), col("x_a"), col("n_b"),
+      col("x_b"), delta.as("delta"), se.as("se"),
+      zLow.as("z_low"), zUp.as("z_up"),
+      (zLow > zCrit && zUp < -zCrit).as("equivalent"))
+  }
+
+  /** Cochran–Mantel–Haenszel stratified 2×2 association (Mantel &
+    * Haenszel 1959; Cochran 1954 — public): the Simpson's-paradox-
+    * proof readout — does the treatment move the rate WITHIN strata,
+    * with the between-stratum mix confound removed. Per stratum k
+    * with cells (a, b, c, d), n = a+b+c+d:
+    *   E_k = (a+b)(a+c)/n,   V_k = (a+b)(c+d)(a+c)(b+d)/(n²(n−1))
+    *   χ²_CMH = (Σa − ΣE)² / ΣV        (df = 1)
+    *   OR_MH  = Σ(a·d/n) / Σ(b·c/n)    (the pooled odds ratio)
+    * Per-stratum E, V and the two OR terms are single fixed IEEE
+    * trees over exact DECIMAL(38,0) cell products, each FLOORED onto
+    * the 10⁻⁶ grid and summed in exact decimal (the dsum discipline —
+    * a stratum-ordered double sum would be association-dependent);
+    * the final clearing is one square and two divisions. Degenerate
+    * ΣV = 0 pins χ² to 0; OR_MH pins NaN when its denominator sum
+    * is 0. Strata with n < 2 carry no variance and no evidence.
+    *
+    * Scale: ONE (grp, stratum) aggregation to the cell relation
+    * (groups × strata rows), one collapse to |groups|. */
+  def cmhTest(df: DataFrame, groupCol: String, stratumCol: String,
+      armCol: String, successCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val arm0 = col(armCol) === 0
+    val succ = col(successCol).cast("long") =!= 0L
+    val cells = df
+      .where(col(stratumCol).isNotNull && col(successCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(stratumCol).as("k"))
+      .agg(sum(when(arm0 && succ, 1L).otherwise(0L)).as("a"),
+        sum(when(arm0 && !succ, 1L).otherwise(0L)).as("b"),
+        sum(when(!arm0 && succ, 1L).otherwise(0L)).as("c"),
+        sum(when(!arm0 && !succ, 1L).otherwise(0L)).as("d"))
+    def dc(c: Column): Column = c.cast(dec)
+    val ab = (dc(col("a")) + dc(col("b"))).cast(dec)
+    val cd = (dc(col("c")) + dc(col("d"))).cast(dec)
+    val ac = (dc(col("a")) + dc(col("c"))).cast(dec)
+    val bd = (dc(col("b")) + dc(col("d"))).cast(dec)
+    val n = (ab + cd).cast(dec)
+    val eK = (ab * ac).cast(dec).cast("double") / n.cast("double")
+    val vNum = (ab * cd * ac * bd).cast(dec)
+    val vDen = (n * n * (n - lit(1L).cast(dec))).cast(dec)
+    val vK = vNum.cast("double") / vDen.cast("double")
+    val orNumK = (dc(col("a")) * dc(col("d"))).cast(dec)
+      .cast("double") / n.cast("double")
+    val orDenK = (dc(col("b")) * dc(col("c"))).cast(dec)
+      .cast("double") / n.cast("double")
+    def grid(c: Column): Column = floor(c * lit(1e6)).cast(dec)
+    val g = cells.groupBy(col("grp")).agg(
+      sum(col("a")).as("sum_a"),
+      sum(grid(eK)).as("se_grid"),
+      sum(when(n > lit(1L).cast(dec), grid(vK))
+        .otherwise(lit(0L).cast(dec))).as("sv_grid"),
+      sum(grid(orNumK)).as("son_grid"),
+      sum(grid(orDenK)).as("sod_grid"),
+      count(lit(1)).as("n_strata"))
+    val num = col("sum_a").cast("double") -
+      col("se_grid").cast("double") / lit(1e6)
+    val vD = col("sv_grid").cast("double") / lit(1e6)
+    val chi2 = when(vD > lit(0.0), num * num / vD).otherwise(lit(0.0))
+    g.select(col("grp"), col("n_strata"), col("sum_a"),
+      (col("se_grid").cast("double") / lit(1e6)).as("expected"),
+      vD.as("variance"), chi2.as("chi2"),
+      (chi2 > lit(3.841458820694124)).as("assoc"),
+      when(col("sod_grid") > lit(0L).cast(dec),
+        col("son_grid").cast("double") / col("sod_grid").cast("double"))
+        .otherwise(lit(Double.NaN)).as("or_mh"))
+  }
+
   /** Multiple-testing control for a metric sheet: a deterministic
     * Monte-Carlo randomization test per group (Fisher 1935; the
     * two-sample random-reassignment form) followed by the

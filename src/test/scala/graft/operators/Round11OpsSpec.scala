@@ -43,6 +43,69 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(out("a")._3 > 0.25)
   }
 
+  test("tostEquivalence: identical well-powered arms prove " +
+      "equivalence, an underpowered identical pair does NOT, a real " +
+      "difference fails one side") {
+    def arms(nA: Int, xA: Int, nB: Int, xB: Int) =
+      ((0 until nA).map(i => ("g", 0, if (i < xA) 1 else 0)) ++
+        (0 until nB).map(i => ("g", 1, if (i < xB) 1 else 0)))
+        .toDF("grp", "arm", "succ")
+    val big = AnalyticsOps.tostEquivalence(
+        arms(2000, 1000, 2000, 1000), "grp", "arm", "succ")
+      .select("delta", "se", "z_low", "equivalent")
+      .as[(Double, Double, Double, Boolean)].head()
+    val seExp = math.sqrt(0.5 * (1.0 - 0.5) / 2000 +
+      0.5 * (1.0 - 0.5) / 2000)
+    assert(big._1 == 0.0 && big._2 == seExp)
+    assert(big._3 == (0.0 + 1.0 / 20.0) / seExp)
+    assert(big._4, "4000 identical subjects prove the 5% margin")
+    // same truth, tiny n: TOST correctly refuses to call equivalence
+    val small = AnalyticsOps.tostEquivalence(
+        arms(10, 5, 10, 5), "grp", "arm", "succ")
+      .select("equivalent").as[Boolean].head()
+    assert(!small, "failing to reject is NOT equivalence")
+    // a real 30-point gap: the upper one-sided test fails
+    val gap = AnalyticsOps.tostEquivalence(
+        arms(2000, 1300, 2000, 700), "grp", "arm", "succ")
+      .select("delta", "equivalent").as[(Double, Boolean)].head()
+    assert(gap._1 == 0.3 && !gap._2)
+  }
+
+  test("cmhTest: the hand-computed stratified sheet — grid-exact E/V " +
+      "sums, CMH chi2, the Mantel-Haenszel pooled OR, and the n=1 " +
+      "stratum carrying no variance") {
+    def stratum(k: Long, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)(("g", k, 0, 1)) ++ Seq.fill(b)(("g", k, 0, 0)) ++
+        Seq.fill(c)(("g", k, 1, 1)) ++ Seq.fill(d)(("g", k, 1, 0))
+    val rows = stratum(0L, 16, 4, 8, 12) ++ stratum(1L, 2, 8, 1, 9)
+    val out = AnalyticsOps.cmhTest(
+        rows.toDF("grp", "k", "arm", "succ"), "grp", "k", "arm", "succ")
+      .select("n_strata", "sum_a", "expected", "variance", "chi2",
+        "assoc", "or_mh")
+      .as[(Long, Long, Double, Double, Double, Boolean, Double)].head()
+    def g(x: Double) = math.floor(x * 1e6)
+    // stratum A: n=40 E=12 V=153600/62400 adn=4.8 bcn=0.8
+    // stratum B: n=20 E=1.5 V=5100/7600   adn=0.9 bcn=0.4
+    val sv = g(20.0 * 20 * 24 * 16 / (40.0 * 40 * 39)) +
+      g(10.0 * 10 * 3 * 17 / (20.0 * 20 * 19))
+    val se = g(20.0 * 24 / 40) + g(10.0 * 3 / 20)
+    assert(out._1 == 2 && out._2 == 18)
+    assert(out._3 == se / 1e6 && out._4 == sv / 1e6)
+    val num = 18.0 - se / 1e6
+    assert(out._5 == num * num / (sv / 1e6) && out._6,
+      s"hand CMH chi2 ~6.46 trips: $out")
+    assert(out._7 == (g(192.0 / 40) + g(18.0 / 20)) /
+      (g(32.0 / 40) + g(8.0 / 20)))
+    // a single-row stratum must contribute no variance and not crash
+    val withTiny = rows ++ stratum(2L, 1, 0, 0, 0)
+    val t2 = AnalyticsOps.cmhTest(
+        withTiny.toDF("grp", "k", "arm", "succ"), "grp", "k", "arm",
+        "succ")
+      .select("n_strata", "variance")
+      .as[(Long, Double)].head()
+    assert(t2._1 == 3 && t2._2 == out._4)
+  }
+
   test("mutualInformation: an exact product distribution reads MI " +
       "exactly 0, a bijection reads NMI ~1 with H = ln 2, a constant " +
       "column pins NMI NaN") {

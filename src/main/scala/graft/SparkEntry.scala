@@ -3334,6 +3334,26 @@ object SparkEntry {
           "event_type", "is_ref")
         .orderBy("bin")),
 
+    // ---- Kendall tau-b between the view and click daily series ----
+    "ts_kendall_tau" -> ((s, dir) =>
+      // the fully-robust companion of ts_cross_correlation: pair
+      // orderings only, so one outlier day cannot move it
+      AnalyticsOps.kendallTau(events(s, dir), "event_type", "ts",
+          "view", "click")
+        .orderBy("n_days")),
+
+    // ---- double-sweep diameter bound of the halving graph ----
+    "graph_double_sweep" -> ((s, dir) => {
+      // two BFS sweeps: exact on trees, tight on real graphs; iters
+      // sized to the halving graph's radius
+      val c = t(s, dir, "customer").where(col("c_custkey") > 3)
+      val edges = c.select(col("c_custkey").as("src"),
+          expr("c_custkey div 2").as("dst"))
+        .union(c.select(col("c_custkey").as("src"),
+          expr("c_custkey div 4").as("dst")))
+      GraphOps.doubleSweepDiameter(edges, iters = 16).orderBy("seed")
+    }),
+
     // ---- TOST equivalence on the conversion rates ----
     "analytics_tost" -> ((s, dir) =>
       // the question the z-test cannot answer: are the arms the SAME
@@ -10185,6 +10205,77 @@ object SparkEntry {
         | CAST(r.p_num AS DOUBLE) / 65.0 AS p_value, r.bh_rank,
         | r.bh_rank <= kk.bh_k AS reject
         |FROM rk r CROSS JOIN kk ORDER BY r.grp""".stripMargin,
+
+    // Kendall tau-b replay: calendar-collapsed pair signs, exact
+    // integer concordance counts, separate square roots
+    "ts_kendall_tau" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS x,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS y
+        | FROM events WHERE event_type IN ('view', 'click')
+        | GROUP BY 1),
+        |p AS (SELECT r.x - l.x AS dx, r.y - l.y AS dy
+        | FROM daily l JOIN daily r ON l.day < r.day),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+        |  CAST(SUM(CASE WHEN (dx > 0 AND dy > 0)
+        |    OR (dx < 0 AND dy < 0) THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |  CAST(SUM(CASE WHEN (dx > 0 AND dy < 0)
+        |    OR (dx < 0 AND dy > 0) THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+        |  CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS tx,
+        |  CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ty FROM p),
+        |d AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+        |SELECT n_days, n0, nc, nd, tx, ty,
+        | CASE WHEN CAST(n0 - tx AS DOUBLE) > CAST(0 AS DOUBLE)
+        |   AND CAST(n0 - ty AS DOUBLE) > CAST(0 AS DOUBLE)
+        |  THEN CAST(nc - nd AS DOUBLE)
+        |    / (sqrt(CAST(n0 - tx AS DOUBLE))
+        |       * sqrt(CAST(n0 - ty AS DOUBLE)))
+        |  ELSE CAST('nan' AS DOUBLE) END AS tau_b
+        |FROM a CROSS JOIN d ORDER BY n_days""".stripMargin,
+
+    // double-sweep replay: two unrolled 16-round BFS relaxations,
+    // argmax with (dist desc, node asc) tie-breaks
+    "graph_double_sweep" -> {
+      // MATERIALIZED: each round references its predecessor twice —
+      // an inlining planner would expand the chain exponentially
+      def rounds(pfx: String, n: Int) = (1 to n).map { i =>
+        s"""$pfx$i AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+           |  SELECT node, dist FROM $pfx${i - 1}
+           |  UNION ALL SELECT a.node, d.dist + 1
+           |  FROM adj a JOIN $pfx${i - 1} d ON a.nb = d.node)
+           | GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH c0 AS (SELECT c_custkey AS k FROM customer
+         |  WHERE c_custkey > 3),
+         |e0 AS (SELECT k AS src, k // 2 AS dst FROM c0
+         | UNION ALL SELECT k, k // 4 FROM c0),
+         |und AS (SELECT DISTINCT least(src, dst) AS u,
+         |  greatest(src, dst) AS v FROM e0
+         | WHERE least(src, dst) <> greatest(src, dst)),
+         |adj AS MATERIALIZED (SELECT u AS node, v AS nb FROM und
+         | UNION ALL SELECT v, u FROM und),
+         |nodes AS (SELECT DISTINCT node FROM adj),
+         |s0 AS (SELECT MIN(node) AS node FROM nodes),
+         |p0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM s0),
+         |${rounds("p", 16)},
+         |f1 AS (SELECT node AS far1, CAST(dist AS BIGINT) AS ecc1
+         |  FROM p16 ORDER BY dist DESC, node ASC LIMIT 1),
+         |q0 AS (SELECT far1 AS node, CAST(0 AS BIGINT) AS dist
+         |  FROM f1),
+         |${rounds("q", 16)},
+         |f2 AS (SELECT node AS far2, CAST(dist AS BIGINT)
+         |   AS diameter_lb
+         |  FROM q16 ORDER BY dist DESC, node ASC LIMIT 1),
+         |r AS (SELECT CAST(count(*) AS BIGINT) AS n_reached FROM q16)
+         |SELECT s0.node AS seed, ecc1, far1, diameter_lb, far2,
+         | n_reached
+         |FROM s0 CROSS JOIN f1 CROSS JOIN f2 CROSS JOIN r
+         |ORDER BY seed""".stripMargin
+    },
 
     // TOST replay: exact cross-product delta, unpooled se as the
     // mirrored IEEE tree, parsed-literal margin and z critical

@@ -3040,6 +3040,56 @@ object AnalyticsOps {
         col("accuracy"), col("mcc"))
   }
 
+  /** Kendall τ-b rank correlation between two daily series (Kendall
+    * 1938; the τ-b tie correction — public): the fully-robust
+    * companion of Pearson cross-correlation — depends only on pair
+    * ORDERINGS, so one outlier day cannot move it. Both series
+    * collapse to the shared calendar first, then every day pair
+    * (i < j) is scored concordant/discordant/tied by exact integer
+    * sign products:
+    *   τ_b = (n_c − n_d) / (√(n₀ − T_x) · √(n₀ − T_y))
+    * with n₀ the pair count and T the pairs tied in each series —
+    * all exact integers; the roots stay separate (IEEE). Degenerate
+    * (a constant series) pins NaN.
+    *
+    * Scale: the calendar-collapse law — the pair join is days²-
+    * bounded whatever the event count (the Theil–Sen economics); ONE
+    * aggregation scores all pairs. */
+  def kendallTau(df: DataFrame, groupCol: String, tsCol: String,
+      seriesA: String, seriesB: String): DataFrame = {
+    val daily = df.where(col(groupCol).isin(seriesA, seriesB))
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(when(col(groupCol) === seriesA, 1L).otherwise(0L))
+        .as("x"),
+        sum(when(col(groupCol) === seriesB, 1L).otherwise(0L))
+          .as("y"))
+    val pairs = daily.as("l").join(daily.as("r"),
+        col("l.day") < col("r.day"))
+      .select(
+        (col("r.x") - col("l.x")).as("dx"),
+        (col("r.y") - col("l.y")).as("dy"))
+    val agg = pairs.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("dx") > 0 && col("dy") > 0, 1L)
+        .when(col("dx") < 0 && col("dy") < 0, 1L)
+        .otherwise(0L)).as("nc"),
+      sum(when(col("dx") > 0 && col("dy") < 0, 1L)
+        .when(col("dx") < 0 && col("dy") > 0, 1L)
+        .otherwise(0L)).as("nd"),
+      sum(when(col("dx") === 0, 1L).otherwise(0L)).as("tx"),
+      sum(when(col("dy") === 0, 1L).otherwise(0L)).as("ty"))
+    val days = daily.agg(count(lit(1)).as("n_days"))
+    val a = (col("n0") - col("tx")).cast("double")
+    val b = (col("n0") - col("ty")).cast("double")
+    agg.crossJoin(broadcast(days))
+      .select(col("n_days"), col("n0"), col("nc"), col("nd"),
+        col("tx"), col("ty"),
+        when(a > lit(0.0) && b > lit(0.0),
+          (col("nc") - col("nd")).cast("double") /
+            (sqrt(a) * sqrt(b)))
+          .otherwise(lit(Double.NaN)).as("tau_b"))
+  }
+
   /** Page–Hinkley drift monitor over the daily series (Page 1954;
     * Hinkley 1971 — public; the change-detection fold concept-drift
     * monitors run beside CUSUM): per group, with the daily totals x_t

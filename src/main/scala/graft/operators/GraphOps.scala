@@ -590,6 +590,40 @@ object GraphOps {
     dist
   }
 
+  /** Double-sweep diameter lower bound (Magnien, Latapy & Habib 2009
+    * — public): the two-BFS estimate that is exact on trees and
+    * empirically tight on real graphs — BFS from any node, then BFS
+    * again from the farthest node found; the second eccentricity
+    * lower-bounds the diameter. Each sweep is [[shortestHops]]'s
+    * superstep plan capped at `iters` hops (the cap bounds the
+    * answer: a capped sweep reports min(ecc, iters) — size iters to
+    * the expected radius). The two argmax reads are 1-row
+    * TakeOrdered collects with (dist desc, node asc) tie-breaks —
+    * deterministic everywhere. Output one row:
+    * (seed, ecc1, far1, diameter_lb, far2, n_reached). */
+  def doubleSweepDiameter(edges: DataFrame, iters: Int): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val nodes = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node"))).distinct()
+    val s0 = nodes.agg(min(col("node")).as("node"))
+    val d1 = shortestHops(edges, s0, iters)
+    val f1 = d1.orderBy(col("dist").desc, col("node").asc).limit(1)
+      .select(col("node").as("far1"), col("dist").as("ecc1"))
+    val d2 = shortestHops(edges,
+      f1.select(col("far1").as("node")), iters)
+    val f2 = d2.orderBy(col("dist").desc, col("node").asc).limit(1)
+      .select(col("node").as("far2"), col("dist").as("diameter_lb"))
+    val reach = d2.agg(count(lit(1)).as("n_reached"))
+    s0.select(col("node").as("seed"))
+      .crossJoin(broadcast(f1)).crossJoin(broadcast(f2))
+      .crossJoin(broadcast(reach))
+      .select(col("seed"), col("ecc1"), col("far1"),
+        col("diameter_lb"), col("far2"), col("n_reached"))
+  }
+
   /** Harmonic closeness centrality from a LANDMARK sample (Boldi &
     * Vigna 2014 form: Σ 1/d over reached nodes — finite under
     * disconnection, unlike classic closeness): per-source BFS to

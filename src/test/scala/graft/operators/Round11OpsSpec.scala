@@ -43,6 +43,51 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(out("a")._3 > 0.25)
   }
 
+  test("kendallTau: monotone series read +1/-1, the tied fixture " +
+      "reads the hand tau-b of 0.5") {
+    def series(xs: Seq[Int], ys: Seq[Int]) =
+      xs.zipWithIndex.flatMap { case (x, d) =>
+        val day = java.sql.Timestamp.valueOf(
+          java.time.LocalDate.of(2024, 4, 1).plusDays(d).atTime(8, 0))
+        Seq.fill(x)(("view", day)) ++ Seq.fill(ys(d))(("click", day))
+      }.toDF("event_type", "ts")
+    def tau(xs: Seq[Int], ys: Seq[Int]): (Long, Long, Long, Double) = {
+      val r = AnalyticsOps.kendallTau(series(xs, ys), "event_type",
+          "ts", "view", "click")
+        .select("nc", "nd", "n0", "tau_b")
+        .as[(Long, Long, Long, Double)].head()
+      r
+    }
+    // sqrt(6)*sqrt(6) != 6 in IEEE — mirror the exact tree
+    val perfect = 6.0 / (math.sqrt(6.0) * math.sqrt(6.0))
+    assert(tau(Seq(1, 2, 3, 4), Seq(1, 2, 3, 4)) ==
+      ((6L, 0L, 6L, perfect)))
+    assert(tau(Seq(1, 2, 3, 4), Seq(4, 3, 2, 1))._4 == -perfect)
+    // x=(1,1,2), y=(1,2,2): nc=1 nd=0 tx=1 ty=1 -> 1/(sqrt2*sqrt2)
+    val t3 = tau(Seq(1, 1, 2), Seq(1, 2, 2))
+    assert(t3._1 == 1 && t3._2 == 0 && t3._3 == 3)
+    assert(t3._4 == 1.0 / (math.sqrt(2.0) * math.sqrt(2.0)))
+  }
+
+  test("doubleSweepDiameter: exact on a path, exact on a star, and " +
+      "honestly capped by iters") {
+    def run(edges: Seq[(Long, Long)], iters: Int) =
+      GraphOps.doubleSweepDiameter(
+        edges.toDF("src", "dst"), iters)
+        .select("seed", "ecc1", "far1", "diameter_lb", "far2")
+        .as[(Long, Long, Long, Long, Long)].head()
+    // path 1-2-3-4-5: both sweeps span it
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val p = run(path, iters = 8)
+    assert(p == ((1L, 4L, 5L, 4L, 1L)))
+    // star 0-{1..5}: first sweep ecc 1, second finds the true 2
+    val star = (1L to 5L).map(i => (0L, i))
+    val s2 = run(star, iters = 8)
+    assert(s2._1 == 0L && s2._2 == 1L && s2._4 == 2L)
+    // the cap is honest: iters=2 on the path reports 2, not 4
+    assert(run(path, iters = 2)._4 == 2L)
+  }
+
   test("tostEquivalence: identical well-powered arms prove " +
       "equivalence, an underpowered identical pair does NOT, a real " +
       "difference fails one side") {

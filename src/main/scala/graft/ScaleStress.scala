@@ -421,7 +421,7 @@ object ScaleStress {
       "ts_mann_kendall", "analytics_rand_fdr", "analytics_msprt",
       "analytics_psi", "analytics_kruskal_wallis",
       "analytics_trend_test", "ts_page_hinkley", "ts_weekly_spectrum",
-      "analytics_mutual_info")
+      "analytics_mutual_info", "ts_kendall_tau")
     if (only.isEmpty || only.exists(evFams.contains)) {
       val nEvents = 100000L * scale
       val ev = synthEvents(spark, nEvents).localCheckpoint(true)
@@ -515,6 +515,12 @@ object ScaleStress {
       }
       run("ts_weekly_spectrum", nEvents, 60L * 3) {
         AnalyticsOps.weeklySpectrum(ev, "event_type", "ts", "value")
+      }
+      // Kendall tau-b: the pair join is DAYS-bounded (the Theil-Sen
+      // economics) — candidates = day pairs, INVARIANT in n
+      run("ts_kendall_tau", nEvents, 180L * 179 / 2) {
+        AnalyticsOps.kendallTau(ev, "event_type", "ts", "view",
+          "click")
       }
       // mutual information: the contingency shape — candidates = the
       // (types x 7 dow) cell relation, INVARIANT in n

@@ -602,7 +602,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "final rank over a LIMIT k relation", max = 1, boundedByLimit),
     "retrieval_rrf" -> WindowWaiver(
       "fusion rank over two top-k lists (plus the BM25 arm's own " +
-        "rank-over-limit)", max = 2, boundedByLimit)
+        "rank-over-limit)", max = 2, boundedByLimit),
+    "retrieval_ndcg" -> WindowWaiver(
+      "the BM25 arm's rank over its LIMIT-10 relation", max = 1,
+      boundedByLimit),
+    "retrieval_metrics" -> WindowWaiver(
+      "the BM25 arm's rank over its LIMIT-10 relation", max = 1,
+      boundedByLimit)
   )
 
   /** The audit for one executed plan — extracted so a test can prove

@@ -199,6 +199,11 @@ object ScaleStress {
         System.err.println(s"[scale] ${out.last.json}")
       }
 
+    // Heaps fit: two bucketed prefix scans over the DOC relation —
+    // wall must track docs linearly; candidates = the doc checkpoints
+    run("text_heaps_law", nDocs, nDocs) {
+      AnalyticsOps.heapsLaw(docs)
+    }
     run("dedup_prefix_jaccard", nDocs,
         Dedup.prefixCandidateCount(docs, 3, 0.5)) {
       Dedup.prefixJaccardPairs(docs, 3, 0.5)

@@ -820,6 +820,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"PSI is one aggregation + singleton broadcasts, never a window")
   }
 
+  test("JSD: one corpus exchange, totals and grid terms ride " +
+      "broadcasts — no shuffle join, no window (the PSI shape)") {
+    val df = q("analytics_jsd")
+    val plan = planOf(df)
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing in the JSD plan justifies a shuffle join:\n$plan")
+    val windows = flatten(df.queryExecution.executedPlan)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty, "JSD is aggregation + singleton broadcasts")
+  }
+
+  test("vocab richness + Heaps: the corpus collapses to the token/" +
+      "type relations — no cartesian, no unpartitioned corpus window") {
+    Seq("text_vocab_richness", "text_heaps_law").foreach { name =>
+      val df = q(name)
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must never go cartesian:\n$plan")
+      // heaps' prefix scans are the two-phase bucketed form: any
+      // single-partition window may only consume the bucket relation
+      val singles = flatten(df.queryExecution.executedPlan)
+        .collect { case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w }
+      assert(singles.forall(_.child.output.exists(_.name == "_bsum")),
+        s"$name: a single-partition window may only consume the " +
+          s"bounded bucket-offsets relation:\n$plan")
+    }
+  }
+
   test("Kruskal-Wallis: rank joins are equi-joins on the cent key — " +
       "no cartesian, no nested loop; every window is bucket- or " +
       "group-partitioned") {

@@ -185,6 +185,35 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(after === batchPsi(b0.unionByName(b1)))
   }
 
+  test("one maintained bin table serves BOTH drift readouts: the JSD " +
+      "release over PSI-maintained state is bit-identical to the " +
+      "batch JSD of the whole stream") {
+    import graft.operators.AnalyticsOps
+    val base = Files.createTempDirectory("graft-jsd").toString
+    val statePath = s"$base/state"
+    val b0 = (Seq.fill(30)(("a", true)) ++ Seq.fill(10)(("b", true)) ++
+      Seq.fill(12)(("a", false)) ++ Seq.fill(18)(("b", false)))
+      .toDF("bin", "is_ref")
+    val b1 = (Seq.fill(5)(("b", true)) ++ Seq.fill(20)(("c", false)) ++
+      Seq.fill(7)(("a", false))).toDF("bin", "is_ref")
+    Seq.empty[(String, Long, Long)].toDF("bin", "c_ref", "c_cur")
+      .withColumn("_batch_id", lit(-1L)).write.parquet(statePath)
+    StreamingOps.maintainPsiState(statePath, "bin", "is_ref")(b0, 0L)
+    StreamingOps.maintainPsiState(statePath, "bin", "is_ref")(b1, 1L)
+    val released = AnalyticsOps.jsdFromBinCounts(
+        spark.read.parquet(statePath)
+          .select(col("bin"), col("c_ref"), col("c_cur")))
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSet
+    val batch = AnalyticsOps.jsdDrift(b0.unionByName(b1), "bin",
+        "is_ref")
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSet
+    assert(released === batch,
+      "jsdFromBinCounts over the PSI maintainer's state must equal " +
+        "the batch JSD — one state table, two drift readouts")
+  }
+
   test("streaming mSPRT: the always-valid readout over maintained " +
       "daily state after N micro-batches is bit-identical to the " +
       "batch monitor of the whole stream; replay is fenced") {

@@ -468,6 +468,29 @@ class LogStoreSpec extends AnyFunSuite {
     assert(ids(t.read()) == (1L to 80L).toSet)
   }
 
+  test("restore x bloom interplay: a RESTORE re-publishes segments " +
+      "WITH their Bloom filters, so point lookups skip identically " +
+      "after the rollback") {
+    val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
+    val t = new LogStore(spark, dir, bloomCol = Some("k"))
+    def seg(keys: Seq[String]) =
+      keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("k", "v")
+    t.append(seg(Seq("alpha.example", "beta.example")))   // v0
+    t.append(seg(Seq("gamma.example")))                   // v1
+    t.deleteWhere("k = 'alpha.example'")                  // v2
+    val (preMiss, preScan, _) = t.pointLookup("alpha.example")
+    assert(preMiss.count() == 0L,
+      s"deleted key gone at v2 (scanned $preScan)")
+    t.restore(1)                                          // v3
+    // the restored segments carry their original add actions — bloom
+    // included — so the lookup both FINDS the row and SKIPS the
+    // unrelated segment
+    val (hit, scanned, live) = t.pointLookup("alpha.example")
+    assert(hit.count() == 1L && live == 2 && scanned == 1,
+      s"restored bloom must still skip: scanned $scanned of $live")
+  }
+
   test("describeHistory: one audit row per version with the honest " +
       "action profile and operation label") {
     val t = fresh()

@@ -426,7 +426,7 @@ object ScaleStress {
       "ts_mann_kendall", "analytics_rand_fdr", "analytics_msprt",
       "analytics_psi", "analytics_kruskal_wallis",
       "analytics_trend_test", "ts_page_hinkley", "ts_weekly_spectrum",
-      "analytics_mutual_info", "ts_kendall_tau")
+      "analytics_mutual_info", "ts_kendall_tau", "analytics_qte")
     if (only.isEmpty || only.exists(evFams.contains)) {
       val nEvents = 100000L * scale
       val ev = synthEvents(spark, nEvents).localCheckpoint(true)
@@ -520,6 +520,16 @@ object ScaleStress {
       }
       run("ts_weekly_spectrum", nEvents, 60L * 3) {
         AnalyticsOps.weeklySpectrum(ev, "event_type", "ts", "value")
+      }
+      // QTE: the exact per-(grp, arm) percentile aggregation — the
+      // one new family whose state grows with DISTINCT VALUES per
+      // group (the documented KLL-swap threshold); candidates = the
+      // value multiset the ObjectHashAggregate holds
+      run("analytics_qte", nEvents,
+          ev.select(col("event_type"), col("value")).distinct().count()) {
+        AnalyticsOps.quantileTreatmentEffect(
+          ev.withColumn("arm", pmod(col("user_id"), lit(2)).cast("int")),
+          "event_type", "arm", "value")
       }
       // Kendall tau-b: the pair join is DAYS-bounded (the Theil-Sen
       // economics) — candidates = day pairs, INVARIANT in n

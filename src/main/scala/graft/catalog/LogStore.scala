@@ -264,7 +264,10 @@ class LogStore(spark: SparkSession, val root: String,
   private def maybeCheckpoint(v: Long): Unit =
     if (v > 0 && v % checkpointInterval == 0)
       try checkpoint(v)
-      catch { case e: java.io.IOException =>
+      // NonFatal, not just IOException: a corrupt log line surfaces as
+      // NumberFormatException, Hadoop wraps I/O in RuntimeExceptions —
+      // none of them may fail a commit that already durably landed
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[logstore] checkpoint at $v failed: $e") }
 
   /** Loud refusal of reads behind the vacuum horizon: those
@@ -680,8 +683,19 @@ class LogStore(spark: SparkSession, val root: String,
     * an erasure), and concurrent readers keep snapshot isolation.
     * Restoring behind the vacuum horizon refuses loudly via the same
     * guard as time travel: those segments may be physically gone.
-    * Returns the new version. */
+    * Returns the new version.
+    *
+    * RESTORE is a DATA change and must say so in the change feed: the
+    * commit carries a true cdc segment — every row of a departing
+    * segment as `delete`, every row of a returning segment as
+    * `insert` (segments are immutable, so the segment-set diff IS the
+    * row-set diff). Without it, `readChanges` would classify the
+    * restore as a dataChange=false rewrite (compaction's shape) and
+    * every incremental consumer would silently diverge from the
+    * snapshot it claims to mirror — the one lie a change feed must
+    * never tell. */
   def restore(version: Long): Long = {
+    import org.apache.spark.sql.functions.{lit => flit}
     val latest = latestVersion()
     require(version >= 0 && version <= latest,
       s"cannot restore to $version (latest is $latest)")
@@ -692,7 +706,22 @@ class LogStore(spark: SparkSession, val root: String,
     val targetNames = target.map(_.name).toSet
     val adds = target.filterNot(s => curNames.contains(s.name))
     val removes = cur.map(_.name).filterNot(targetNames.contains)
-    commit(latest + 1, adds, removes)
+    val cdc =
+      if (adds.isEmpty && removes.isEmpty) Nil // no-op restore
+      else {
+        val departing = removes.map(s =>
+          spark.read.parquet(s"$root/$s")
+            .withColumn("_change_type", flit("delete")))
+        val returning = adds.map(s =>
+          spark.read.parquet(s"$root/${s.name}")
+            .withColumn("_change_type", flit("insert")))
+        // allowMissingColumns: the rollback may span a schema
+        // evolution — both shapes belong in one feed segment
+        val all = (departing ++ returning)
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+        Seq(writeChangeSegment(all))
+      }
+    commit(latest + 1, adds, removes, cdc = cdc)
   }
 
   final case class MergeResult(version: Long, rewritten: Int, live: Int)
@@ -732,6 +761,11 @@ class LogStore(spark: SparkSession, val root: String,
         s"updates are not unique on '$keyCol' (e.g. key ${dup.head.get(0)}" +
           s" appears ${dup.head.getLong(1)} times) — ambiguous MERGE")
     val v = latestVersion()
+    // the same write-side gate as append/appendStream: without it a
+    // type-mutated shared column is silently WIDENED by the
+    // survivors-union into the rewritten segment while untouched
+    // segments keep the old type — coexisting-types corruption
+    enforceSchema(updates, v)
     val live = liveSegmentInfos(v)
     val touched =
       if (statsCol.contains(keyCol)) {
@@ -775,29 +809,45 @@ class LogStore(spark: SparkSession, val root: String,
     * so later readers refuse vacuumed versions LOUDLY instead of
     * returning a silently-incomplete snapshot.
     *
-    * `orphanMinAgeMs` guards the one race physical deletion has: a
+    * `orphanMinAgeMs` guards one race physical deletion has: a
     * concurrent writer that has written its segment but not yet
     * committed looks exactly like a crash orphan. Segments younger
-    * than the guard are left alone (the paper's time-based retention;
-    * production deployments set this to hours, tests to 0). */
+    * than the guard are left alone — the paper's time-based
+    * retention, so the DEFAULT is a conservative hour (production
+    * deployments size it to their longest write; tests opt into 0).
+    *
+    * Ordering is the other half of that race's fix: the horizon is
+    * COMMITTED before anything is deleted. A writer that raced its
+    * commit into vacuum's slot surfaces as ConcurrentCommitException
+    * while every byte is still on disk — never the reverse (segments
+    * destroyed first, conflict discovered after). The keep set is
+    * computed AFTER that commit from a re-read of the log, so any
+    * commit that landed in between is honored; commits landing during
+    * the delete pass itself are covered by the age guard. */
   def vacuum(retainLast: Int,
-      orphanMinAgeMs: Long = 0L): VacuumResult = {
+      orphanMinAgeMs: Long = 3600L * 1000): VacuumResult = {
     require(retainLast >= 1, "must retain at least the latest version")
     val latest = latestVersion()
     require(latest >= 0, s"no log at $root")
     val prior = replayTo(latest)
     val horizon =
       math.max(prior.vacuumHorizon, math.max(0L, latest - retainLast + 1))
+    // publish the horizon FIRST: a lost commit race aborts the vacuum
+    // with zero deletions instead of deleting a racer's segments
+    val v = commit(latest + 1, Nil, Nil, vacuumHorizon = Some(horizon))
     // keep = every segment live in SOME retained snapshot: the live
-    // set at the horizon plus everything added after it. Change-data
-    // segments are kept while their VERSION is retained — readChanges
-    // refuses ranges behind the horizon, so their payloads can go.
+    // set at the horizon plus everything added after it — including
+    // commits that landed between our commit and this listing.
+    // Change-data segments are kept while their VERSION is retained —
+    // readChanges refuses ranges behind the horizon, so their
+    // payloads can go.
+    val top = latestVersion()
     val keep = scala.collection.mutable.HashSet.empty[String]
     keep ++= replayTo(horizon).live.keys
     val keepCdc = scala.collection.mutable.HashSet.empty[String]
-    (horizon to latest).foreach { v =>
-      val a = readActions(v)
-      if (v > horizon) keep ++= a._1.map(_.name)
+    (horizon to top).foreach { ver =>
+      val a = readActions(ver)
+      if (ver > horizon) keep ++= a._1.map(_.name)
       keepCdc ++= a._5
     }
     val cutoff = System.currentTimeMillis() - orphanMinAgeMs
@@ -810,7 +860,6 @@ class LogStore(spark: SparkSession, val root: String,
       }
       .map(_.getPath.getName).toSeq
     doomed.foreach(s => fs.delete(new Path(s"$root/$s"), true))
-    val v = commit(latest + 1, Nil, Nil, vacuumHorizon = Some(horizon))
     VacuumResult(v, doomed)
   }
 }

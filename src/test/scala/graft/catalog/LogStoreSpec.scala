@@ -182,7 +182,7 @@ class LogStoreSpec extends AnyFunSuite {
 
     // vacuum: change payloads behind the horizon are physically
     // reclaimed and the read refuses loudly; at/after it still works
-    val r = t.vacuum(retainLast = 2) // latest=4 → horizon=3
+    val r = t.vacuum(retainLast = 2, orphanMinAgeMs = 0L) // horizon=3
     assert(r.deleted.exists(_.startsWith("cdc-")),
       "v2's change segment is behind the horizon — reclaimed")
     intercept[IllegalStateException] { t.readChanges(0) }
@@ -371,7 +371,7 @@ class LogStoreSpec extends AnyFunSuite {
     t.append((6L to 9L).toDF("id"))   // v1
     t.compact()                       // v2: v0/v1 segments now dead
     t.append((10L to 12L).toDF("id")) // v3
-    val res = t.vacuum(retainLast = 2) // horizon = v2
+    val res = t.vacuum(retainLast = 2, orphanMinAgeMs = 0L) // horizon=v2
     assert(res.deleted.size == 2,
       s"the two pre-compaction segments must be reclaimed: $res")
     // inside the horizon: both retained snapshots read exactly
@@ -397,14 +397,13 @@ class LogStoreSpec extends AnyFunSuite {
     val t = new LogStore(spark, dir)
     t.append((1L to 3L).toDF("id"))
     (100L to 105L).toDF("id").write.parquet(dir + "/seg-orphan")
-    // guard set to an hour: the just-written orphan could be a racing
-    // writer's uncommitted segment — spared
-    assert(t.vacuum(retainLast = 10,
-      orphanMinAgeMs = 3600L * 1000).deleted.isEmpty)
+    // the DEFAULT guard (an hour): the just-written orphan could be a
+    // racing writer's uncommitted segment — spared without opting in
+    assert(t.vacuum(retainLast = 10).deleted.isEmpty)
     assert(ids(t.read()) == (1L to 3L).toSet)
     // guard at 0 (test mode): the orphan is provably unreferenced by
     // any retained snapshot - reclaimed, table content untouched
-    val res = t.vacuum(retainLast = 10)
+    val res = t.vacuum(retainLast = 10, orphanMinAgeMs = 0L)
     assert(res.deleted == Seq("seg-orphan"))
     assert(ids(t.read()) == (1L to 3L).toSet)
   }
@@ -594,5 +593,146 @@ class LogStoreSpec extends AnyFunSuite {
     val (lateDf, sLate, _) = t3.pointLookup("late-arrival.example")
     assert(sLate == 1 && lateDf.count() == 1L,
       "the key only the bloom-less segment holds is still found")
+  }
+
+  test("RESTORE is a data change in the feed: an incremental consumer " +
+      "stays equal to the snapshot across deleteWhere→restore and " +
+      "append→restore, and the feed fold reconstructs every state") {
+    import graft.streaming.StreamingOps
+    import org.apache.spark.sql.types.DecimalType
+    val t = new LogStore(spark,
+      Files.createTempDirectory("graft-log").toString + "/tbl",
+      statsCol = Some("id"))
+    val statePath =
+      Files.createTempDirectory("graft-rsync").toString + "/state"
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("grp")).agg(count(lit(1)).as("cnt"),
+        sum(col("v").cast(DecimalType(18, 4))).as("sm"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("grp"), col("cnt"), col("sm").cast("double"))
+        .as[(String, Long, Double)].collect().toSet
+    def stateRows() = rows(spark.read.parquet(statePath))
+    def sync() = StreamingOps.syncSumCountFromLog(spark, t, statePath,
+      "id", "grp", "v")
+
+    agg(Seq.empty[(Long, String, Double)].toDF("id", "grp", "v"))
+      .withColumn("_synced_version", lit(-1L)).write.parquet(statePath)
+    t.append(Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("id", "grp", "v"))                 // v0
+    t.deleteWhere("grp = 'a'")                 // v1
+    sync()
+    assert(stateRows() == rows(agg(t.read())),
+      "consumer absorbed the delete")
+
+    // the verdict's concrete failure: rows come BACK via restore — the
+    // feed must say so, or every incremental consumer diverges forever
+    t.restore(0)                               // v2
+    sync()
+    assert(stateRows() == rows(agg(t.read())),
+      "restore re-added rows; the feed must emit them, not stay silent")
+
+    // the other direction: restore rolls BACK an append — the feed
+    // must emit deletes for the departing rows
+    t.append(Seq((9L, "c", 9.0)).toDF("id", "grp", "v")) // v3
+    sync()
+    t.restore(2)                               // v4
+    sync()
+    assert(stateRows() == rows(agg(t.read())),
+      "restore rolled an append back; the feed must emit its deletes")
+
+    // the raw-feed fold invariant survives restores: removals before
+    // additions per version onto an empty map ⇒ the latest snapshot
+    val ch = t.readChanges(0)
+      .select("id", "grp", "v", "_change_type", "_commit_version")
+      .as[(Long, String, Double, String, Long)].collect()
+    val state = scala.collection.mutable.Map.empty[Long, (String, Double)]
+    ch.groupBy(_._5).toSeq.sortBy(_._1).foreach { case (_, cs) =>
+      cs.filter(c => c._4 == "delete" || c._4 == "update_preimage")
+        .foreach(c => state -= c._1)
+      cs.filter(c => c._4 == "insert" || c._4 == "update_postimage")
+        .foreach(c => state(c._1) = (c._2, c._3))
+    }
+    assert(state.toMap == t.read().as[(Long, String, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap,
+      "the feed fold must reconstruct the post-restore snapshot")
+    // and a no-op restore (target == current content) changes nothing
+    val vNoop = t.restore(t.latestVersion())
+    assert(t.readChanges(vNoop, vNoop).count() == 0,
+      "a no-op restore is dataChange=false")
+  }
+
+  test("vacuum publishes the retention horizon BEFORE deleting: a " +
+      "racing commit aborts the vacuum with every byte still on disk") {
+    val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
+    @volatile var raceOnce = false
+    val t: LogStore = new LogStore(spark, dir) {
+      override private[graft] def commit(expected: Long, adds: Seq[Segment],
+          removes: Seq[String], txn: Option[Long],
+          vacuumHorizon: Option[Long], cdc: Seq[String]): Long = {
+        if (raceOnce) {
+          raceOnce = false
+          // the racing writer: segment written AND published at the
+          // very version slot this commit is about to claim
+          (100L to 103L).toDF("id").write.parquet(s"$dir/seg-racer")
+          val p = new org.apache.hadoop.fs.Path(
+            f"$dir/_log/$expected%08d.json")
+          val rfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val out = rfs.create(p, false)
+          out.write("{\"add\":\"seg-racer\"}\n".getBytes("UTF-8"))
+          out.close()
+        }
+        super.commit(expected, adds, removes, txn, vacuumHorizon, cdc)
+      }
+    }
+    t.append((1L to 4L).toDF("id"))   // v0
+    t.append((5L to 9L).toDF("id"))   // v1
+    t.compact()                       // v2 — v0/v1 segments now dead
+    val dead = (t.liveSegments(0) ++ t.liveSegments(1)).toSet
+    raceOnce = true
+    intercept[t.ConcurrentCommitException] {
+      t.vacuum(retainLast = 1, orphanMinAgeMs = 0L)
+    }
+    // NOTHING was deleted: the dead segments (vacuum's targets) and
+    // the racer's published segment all survive the lost race
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("seg-")).toSet
+    assert(dead.subsetOf(onDisk), s"dead segments must survive: $onDisk")
+    assert(onDisk.contains("seg-racer"),
+      "the racing writer's published segment must survive")
+    assert(ids(t.read()) == (1L to 9L).toSet ++ (100L to 103L).toSet,
+      "the racer's commit is fully readable after the aborted vacuum")
+    // the retry honors the racer's segment and reclaims only the dead
+    val res = t.vacuum(retainLast = 1, orphanMinAgeMs = 0L)
+    assert(!res.deleted.contains("seg-racer") &&
+      dead.subsetOf(res.deleted.toSet))
+    assert(ids(t.read()) == (1L to 9L).toSet ++ (100L to 103L).toSet)
+  }
+
+  test("merge enforces schema like append: a type-mutated shared " +
+      "column is refused loudly and the table is untouched") {
+    val t = fresh()
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException] {
+      t.merge(Seq(("1", "x")).toDF("id", "v"), "id") // id STRING vs LONG
+    }
+    assert(e.getMessage.contains("schema enforcement"), e.getMessage)
+    assert(t.latestVersion() == 0L)
+    assert(t.read().as[(Long, String)].collect().toMap == Map(1L -> "a"))
+  }
+
+  test("a failed checkpoint — ANY non-fatal error, not just " +
+      "IOException — never fails the commit that already landed") {
+    val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
+    val t: LogStore = new LogStore(spark, dir, checkpointInterval = 1) {
+      override def checkpoint(v: Long): Unit =
+        throw new NumberFormatException("corrupt log line during replay")
+    }
+    t.append((1L to 3L).toDF("id"))        // v0 (no trigger at 0)
+    val v1 = t.append((4L to 6L).toDF("id")) // v1 triggers the throw
+    assert(v1 == 1L, "the commit landed; the checkpoint failure is " +
+      "best-effort noise, whatever exception class it wears")
+    assert(ids(t.read()) == (1L to 6L).toSet)
   }
 }

@@ -624,6 +624,37 @@ object ScaleStress {
         r.rewritten.toLong)
       System.err.println(s"[scale] ${out.last.json}")
     }
+    // LogStore OPTIMIZE cost vs table size — the cost ∝ rewritten-
+    // bytes claim: the recluster moves every live row exactly once
+    // through ONE range shuffle + one partitioned write (never one
+    // filtered scan per output segment), so wall time must grow
+    // ~linearly as the table grows 10× per decade (candidates = rows
+    // rewritten), with the skip payoff pinned by requiring the
+    // clustered stats to prune a 5% range read to ≤2 of 8 segments.
+    if (only.isEmpty || only.contains("src_log_optimize")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-opt").toString + "/tbl"
+      val store = new graft.catalog.LogStore(spark, root,
+        statsCol = Some("id"))
+      val nSegs = 10 * scale
+      val rowsPerSeg = 10000L
+      (0 until nSegs).foreach { i =>
+        // curve-OBLIVIOUS ingest: every segment spans the whole domain
+        store.append(spark.range(rowsPerSeg).toDF("n")
+          .select((col("n") * nSegs + i).as("id")))
+      }
+      val (sec, r) = time { store.optimize(8, col("id")) }
+      require(r.rewritten == nSegs && r.produced == 8,
+        s"optimize must recluster all $nSegs segments into 8: $r")
+      val domain = nSegs * rowsPerSeg
+      val (_, scanned, live) = store.readRange(
+        (domain / 2).toString, (domain / 2 + domain / 20).toString)
+      require(live == 8 && scanned <= 2,
+        s"clustered stats must prune the 5% range: $scanned of $live")
+      out += Measurement("src_log_optimize", scale, domain, sec,
+        domain)
+      System.err.println(s"[scale] ${out.last.json}")
+    }
     // LogStore snapshot RESOLUTION cost vs log length — the claim the
     // checkpoint layer exists for: liveSegmentInfos + lastTxn seed
     // from the newest `.checkpoint` and replay only the suffix, so

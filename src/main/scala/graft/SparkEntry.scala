@@ -759,6 +759,23 @@ object SparkEntry {
         .toDF().orderBy("media_id")
     }),
 
+    "mm_decoded_png" -> ((s, dir) => {
+      // REAL compressed-image decode: payloads are genuine PNGs
+      // (zlib/DEFLATE IDAT, per-row filters, chunk CRCs) synthesized
+      // from the corpus on the PGM raster geometry, and
+      // extractPngFeatures genuinely inflates + unfilters them. The
+      // oracle recomputes decoded-raster facts (dims, mean, pixel
+      // md5) relationally — the wire bytes are compression, not
+      // arithmetic, so they stay Spark-side (byte_len dropped here;
+      // PngCodecSpec pins the container format itself).
+      Multimodal.extractPngFeatures(s,
+          Multimodal.withPngPayload(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("channels"), col("mean_level"), col("raster_md5"))
+        .orderBy("media_id")
+    }),
+
     "mm_decoded_rgb" -> ((s, dir) =>
       // P6 (RGB) decode through the same codec seam: per-channel means
       // from the interleaved raster; malformed payloads degrade to
@@ -1664,6 +1681,81 @@ object SparkEntry {
         .groupBy(col("_change_type"), col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy("_change_type", "lang")
+    }),
+
+    "src_multistats_log" -> ((s, dir) => {
+      // multi-column segment stats — the real pruning mix: events
+      // quartered into (early/late date) × (low/high user) segments,
+      // then a date+key conjunctive read that must open exactly ONE
+      // of four where date-only stats would open two. Scanned counts
+      // ride as literals; the aggregate is the full-scan filter's
+      // (pruning is never a semantics change).
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"), to_date(col("ts")).as("d"))
+      val uMax = ev.agg(max(col("user_id")).cast("long")).head.getLong(0)
+      val uMid = uMax / 2
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-mst").toString + "/tbl"
+      val store = new graft.catalog.LogStore(s, root,
+        statsCol = Some("d"), statsCols = Seq("user_id"))
+      val cut = lit("2024-01-15").cast("date")
+      store.append(ev.where(col("d") < cut && col("user_id") < uMid))
+      store.append(ev.where(col("d") < cut && col("user_id") >= uMid))
+      store.append(ev.where(col("d") >= cut && col("user_id") < uMid))
+      store.append(ev.where(col("d") >= cut && col("user_id") >= uMid))
+      val (lo, hi) = (uMax / 4, uMid - 1)
+      val (rows, both, live) = store.readRangeAll(Seq(
+        ("d", "2024-01-20", "2024-01-25"),
+        ("user_id", lo.toString, hi.toString)))
+      val (_, dateOnly, _) =
+        store.readRangeOn("d", "2024-01-20", "2024-01-25")
+      rows.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .withColumn("segments_scanned", lit(both))
+        .withColumn("date_only_scanned", lit(dateOnly))
+        .withColumn("segments_live", lit(live))
+        .orderBy("event_type")
+    }),
+
+    "src_optimize_log" -> ((s, dir) => {
+      // OPTIMIZE as the skip-rate story, end to end: a lineitem slice
+      // keyed by the Hilbert index of (l_orderkey, l_partkey) is
+      // ingested in four curve-OBLIVIOUS hash slices — every segment
+      // spans the whole curve, stats prune nothing — then
+      // optimize(8, h) reclusters. The same rectangle scan runs
+      // before and after: the pre counts and the post improvement
+      // ride as literals, the aggregate pins snapshot invariance, and
+      // the feed row count pins dataChange=false. Transactional
+      // mechanics (rollback safety, orphan reclaim) are LogStoreSpec's.
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .withColumn("h", graft.operators.LayoutOps.hilbertValue(
+          col("l_orderkey"), col("l_partkey"), order = 16))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-opt").toString + "/tbl"
+      val store = new graft.catalog.LogStore(s, root,
+        statsCol = Some("h"))
+      (0 until 4).foreach(i =>
+        store.append(li.where(pmod(col("l_orderkey"), lit(4)) === i)))
+      def rect() = graft.operators.LayoutOps.rectScanClustered(store,
+        "l_orderkey", "l_partkey", 100, 100, 400, 400, order = 16,
+        hilbert = true)
+      val (_, preScanned, preLive) = rect()
+      val res = store.optimize(8, col("h"))
+      val (rows, postScanned, postLive) = rect()
+      rows.agg(count(lit(1)).as("n_rect"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .withColumn("segments_before", lit(preLive))
+        .withColumn("pre_scanned", lit(preScanned))
+        .withColumn("segments_after", lit(res.produced))
+        .withColumn("optimize_improves_skip",
+          lit(postScanned < preScanned && postScanned * 2 <= postLive))
+        .withColumn("feed_rows",
+          lit(store.readChanges(res.version, res.version).count()))
+        .withColumn("snapshot_rows", lit(store.read().count()))
+        .withColumn("snapshot_invariant",
+          lit(store.read(res.version - 1).count() ==
+            store.read().count()))
     }),
 
     "src_bucketed_join" -> ((s, dir) => {
@@ -5489,6 +5581,27 @@ object SparkEntry {
         | md5(payload) AS feature_hash
         |FROM f ORDER BY media_id""".stripMargin,
 
+    // PNG: the oracle rebuilds the DECODED raster (text + space pad on
+    // the shared PGM geometry) and recomputes its facts; the container
+    // (zlib, filters, CRCs) is exercised Spark-side and spec-pinned
+    "mm_decoded_png" ->
+      """WITH t AS (SELECT doc_id AS media_id, text,
+        |  octet_length(encode(text)) AS n FROM documents),
+        |d AS (SELECT media_id, text, n, 8 + (n % 57) AS w FROM t),
+        |e AS (SELECT media_id, text, n, w,
+        |  (greatest(n, 1) + w - 1) // w AS h FROM d),
+        |f AS (SELECT media_id, n, w, h,
+        |  text || repeat(' ', w * h - n) AS raster,
+        |  CAST(coalesce(list_sum(list_transform(string_split(text, ''),
+        |    x -> ord(x))), 0) + 32 * (w * h - n) AS BIGINT) AS graysum
+        | FROM e)
+        |SELECT media_id,
+        | CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        | CAST(1 AS INTEGER) AS channels,
+        | CAST(graysum AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_level,
+        | md5(raster) AS raster_md5
+        |FROM f ORDER BY media_id""".stripMargin,
+
     // P6 twin of mm_decoded_features: rebuilds the exact PPM payload
     // bytes as an ASCII string and recomputes per-channel means from
     // positional codepoints (channel = (pos-1) mod 3; padding is ' ')
@@ -6622,6 +6735,42 @@ object SparkEntry {
         |   AS BIGINT) AS n_v0
         |FROM documents WHERE lang != 'de'
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // quadrant layout: date+key prune opens 1 of 4, date-only opens 2
+    "src_multistats_log" ->
+      """WITH b AS (SELECT CAST(max(user_id)//4 AS BIGINT) AS lo,
+        |  CAST(max(user_id)//2 - 1 AS BIGINT) AS hi FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value,
+        | CAST(1 AS INTEGER) AS segments_scanned,
+        | CAST(2 AS INTEGER) AS date_only_scanned,
+        | CAST(4 AS INTEGER) AS segments_live
+        |FROM events, b
+        |WHERE CAST(ts AS DATE)
+        |    BETWEEN DATE '2024-01-20' AND DATE '2024-01-25'
+        |  AND user_id BETWEEN b.lo AND b.hi
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the optimize rewrite is layout-only: the oracle is the plain
+    // rectangle aggregate plus the pinned skip literals (4 oblivious
+    // segments all scanned before; 8 clustered ones after, strictly
+    // fewer scanned; zero feed rows; row count unchanged)
+    "src_optimize_log" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rect,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(4 AS INTEGER) AS segments_before,
+        | CAST(4 AS INTEGER) AS pre_scanned,
+        | CAST(8 AS INTEGER) AS segments_after,
+        | TRUE AS optimize_improves_skip,
+        | CAST(0 AS BIGINT) AS feed_rows,
+        | (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey <= 2000) AS snapshot_rows,
+        | TRUE AS snapshot_invariant
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 100 AND 400
+        |  AND l_partkey BETWEEN 100 AND 400""".stripMargin,
 
     // bucketing is plan-layout only — the oracle is the plain join+agg
     "src_bucketed_join" ->

@@ -49,10 +49,15 @@ class LogStore(spark: SparkSession, val root: String,
     statsCol: Option[String] = None,
     checkpointInterval: Int = 10,
     bloomCol: Option[String] = None,
-    bloomBits: Int = 4096) {
+    bloomBits: Int = 4096,
+    statsCols: Seq[String] = Nil) {
   require(checkpointInterval > 0, "checkpointInterval must be positive")
   require(bloomBits > 0 && bloomBits % 4 == 0,
     "bloomBits must be a positive multiple of 4 (hex-serialized)")
+  // extra stats column NAMES ride inside one quoted log value, so the
+  // line-oriented grammar needs them free of its three delimiters
+  statsCols.foreach(c => require(!c.exists("|;\"\n".contains(_)),
+    s"stats column name '$c' may not contain | ; quote or newline"))
 
   final class ConcurrentCommitException(v: Long)
     extends RuntimeException(s"version $v was committed concurrently")
@@ -122,12 +127,17 @@ class LogStore(spark: SparkSession, val root: String,
   }
 
   /** One published segment with its optional [statsCol] min/max —
-    * the skipping index. `num` records whether the bounds compare
-    * numerically (stored as strings either way, so the log format
-    * stays line-oriented). */
+    * the skipping index — plus per-column bounds for every extra
+    * [statsCols] entry (`extra`: column → (min, max, numeric)). Real
+    * query mixes prune on more than one dimension (a date AND a key
+    * AND a curve index); one column of stats forces every other
+    * predicate to open all segments. `num` records whether the bounds
+    * compare numerically (stored as strings either way, so the log
+    * format stays line-oriented). */
   final case class Segment(name: String, min: Option[String],
       max: Option[String], num: Boolean,
-      bloom: Option[String] = None) {
+      bloom: Option[String] = None,
+      extra: Map[String, (String, String, Boolean)] = Map.empty) {
     /** Could this segment contain a row with statsCol in [lo, hi]?
       * No stats ⇒ must assume yes (the safe default that makes stats
       * strictly an optimization). */
@@ -137,6 +147,25 @@ class LogStore(spark: SparkSession, val root: String,
         else mn <= hi && mx >= lo
       case _ => true
     }
+
+    /** The recorded bounds of stats column `c`, whichever slot they
+      * ride in (the primary min/max fields or the extra map). */
+    def boundsOf(c: String): Option[(String, String, Boolean)] =
+      if (statsCol.contains(c)) (min, max) match {
+        case (Some(mn), Some(mx)) => Some((mn, mx, num))
+        case _ => None
+      }
+      else extra.get(c)
+
+    /** [[mayOverlap]] generalized to ANY recorded stats column — the
+      * same no-stats ⇒ must-scan safe default per column. */
+    def mayOverlapOn(c: String, lo: String, hi: String): Boolean =
+      boundsOf(c) match {
+        case Some((mn, mx, n)) =>
+          if (n) mn.toDouble <= hi.toDouble && mx.toDouble >= lo.toDouble
+          else mn <= hi && mx >= lo
+        case None => true
+      }
 
     /** Could this segment contain a row whose [bloomCol] hashes to
       * these bit positions? A Bloom filter has NO false negatives, so
@@ -172,10 +201,16 @@ class LogStore(spark: SparkSession, val root: String,
       finally in.close()
     val addRe = ("\"add\"\\s*:\\s*\"([^\"]+)\"" +
       "(?:,\"min\":\"([^\"]*)\",\"max\":\"([^\"]*)\",\"num\":(true|false))?" +
-      "(?:,\"bloom\":\"([0-9a-f]*)\")?").r
+      "(?:,\"bloom\":\"([0-9a-f]*)\")?" +
+      "(?:,\"xs\":\"([^\"]*)\")?").r
     val adds = addRe.findAllMatchIn(body).map { m =>
+      val extra = Option(m.group(6)).filter(_.nonEmpty)
+        .map(_.split(';').map { e =>
+          val Array(c, lo, hi, n) = e.split('|')
+          c -> (lo, hi, n == "t")
+        }.toMap).getOrElse(Map.empty[String, (String, String, Boolean)])
       Segment(m.group(1), Option(m.group(2)), Option(m.group(3)),
-        m.group(4) == "true", Option(m.group(5)))
+        m.group(4) == "true", Option(m.group(5)), extra)
     }.toSeq
     val rem = "\"remove\"\\s*:\\s*\"([^\"]+)\"".r
       .findAllMatchIn(body).map(_.group(1)).toSeq
@@ -353,17 +388,47 @@ class LogStore(spark: SparkSession, val root: String,
     * callers (and the spec) can see the skip rate. */
   def readRange(lo: String, hi: String,
       version: Long = Long.MaxValue): (DataFrame, Int, Int) = {
-    import org.apache.spark.sql.functions.{col => fcol, lit => flit}
     val c = statsCol.getOrElse(
       throw new IllegalStateException("no statsCol configured"))
+    readRangeAll(Seq((c, lo, hi)), version)
+  }
+
+  /** [[readRange]] on ANY configured stats column — primary or one of
+    * the extra [statsCols]. */
+  def readRangeOn(c: String, lo: String, hi: String,
+      version: Long = Long.MaxValue): (DataFrame, Int, Int) =
+    readRangeAll(Seq((c, lo, hi)), version)
+
+  /** Conjunctive multi-column data skipping: scan only the live
+    * segments whose recorded bounds may overlap EVERY (column, lo,
+    * hi) predicate — the query shape of a real partition-pruned read
+    * (a date slice AND a key range AND a curve interval), where any
+    * one dimension's stats alone would open most of the table. Each
+    * predicate column must be a configured stats column (primary or
+    * extra); segments missing bounds for a column are always scanned
+    * for that column (the per-column safe default), so the result set
+    * is EXACTLY the full scan's — the row-level filters are applied
+    * to whatever survives. Returns (dataframe, scanned, live). */
+  def readRangeAll(preds: Seq[(String, String, String)],
+      version: Long = Long.MaxValue): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col => fcol, lit => flit}
+    require(preds.nonEmpty, "readRangeAll needs at least one predicate")
+    preds.foreach { case (c, _, _) =>
+      require(statsCol.contains(c) || statsCols.contains(c),
+        s"'$c' is not a configured stats column (statsCol/statsCols)")
+    }
     val live = liveSegmentInfos(version)
-    val hit = live.filter(_.mayOverlap(lo, hi))
+    val hit = live.filter(s =>
+      preds.forall { case (c, lo, hi) => s.mayOverlapOn(c, lo, hi) })
     if (hit.isEmpty)
       return (read(version).where(flit(false)), 0, live.size)
-    val scan = spark.read.parquet(hit.map(s => s"$root/${s.name}"): _*)
-    val dt = scan.schema(c).dataType
-    (scan.where(fcol(c).between(flit(lo).cast(dt), flit(hi).cast(dt))),
-      hit.size, live.size)
+    val scan = spark.read.option("mergeSchema", "true")
+      .parquet(hit.map(s => s"$root/${s.name}"): _*)
+    val filtered = preds.foldLeft(scan) { case (df, (c, lo, hi)) =>
+      val dt = df.schema(c).dataType
+      df.where(fcol(c).between(flit(lo).cast(dt), flit(hi).cast(dt)))
+    }
+    (filtered, hit.size, live.size)
   }
 
   /** Bloom-skipped point lookup: scan only the live segments whose
@@ -459,35 +524,56 @@ class LogStore(spark: SparkSession, val root: String,
     }.mkString
   }
 
-  private def writeSegment(df: DataFrame): Segment = {
-    val name = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
-    df.write.parquet(s"$root/$name")
-    val base = statsCol match {
-      case Some(c) if df.columns.contains(c) =>
-        import org.apache.spark.sql.functions.{max => fmax, min => fmin, col => fcol}
-        import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+  /** The add-action metadata (stats + bloom) of an ALREADY-written
+    * segment directory, computed by reading it back — shared by
+    * [[writeSegment]] (the one-DataFrame-one-segment path) and
+    * [[optimize]] (which writes many segments in one clustered pass
+    * and publishes each directory separately). */
+  private def segmentMeta(name: String, columns: Seq[String]): Segment = {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin, col => fcol}
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+    val wanted = (statsCol.toSeq ++ statsCols).distinct
+      .filter(columns.contains)
+    val base =
+      if (wanted.isEmpty) Segment(name, None, None, num = false)
+      else {
         val written = spark.read.parquet(s"$root/$name")
-        val dt = written.schema(c).dataType
-        require(dt.isInstanceOf[NumericType] || dt == DateType ||
-            dt == TimestampType,
-          s"statsCol '$c' is $dt; only numeric/date/timestamp columns " +
-            "can carry segment stats (their serialized bounds are " +
-            "guaranteed safe in the line-oriented log)")
-        val row = written
-          .agg(fmin(fcol(c)).cast("string"), fmax(fcol(c)).cast("string"))
-          .head()
-        val num = dt.isInstanceOf[NumericType]
-        if (row.isNullAt(0)) Segment(name, None, None, num)
-        else Segment(name, Some(row.getString(0)), Some(row.getString(1)),
-          num)
-      case _ => Segment(name, None, None, num = false)
-    }
+        wanted.foreach { c =>
+          val dt = written.schema(c).dataType
+          require(dt.isInstanceOf[NumericType] || dt == DateType ||
+              dt == TimestampType,
+            s"statsCol '$c' is $dt; only numeric/date/timestamp columns " +
+              "can carry segment stats (their serialized bounds are " +
+              "guaranteed safe in the line-oriented log)")
+        }
+        // ONE agg computes every column's bounds — per-segment stats
+        // cost stays a single 2k-number pass however many columns ride
+        val exprs = wanted.flatMap(c => Seq(
+          fmin(fcol(c)).cast("string"), fmax(fcol(c)).cast("string")))
+        val row = written.agg(exprs.head, exprs.tail: _*).head()
+        val perCol = wanted.zipWithIndex.flatMap { case (c, i) =>
+          if (row.isNullAt(2 * i)) None
+          else Some(c -> (row.getString(2 * i), row.getString(2 * i + 1),
+            written.schema(c).dataType.isInstanceOf[NumericType]))
+        }.toMap
+        val primaryNum = statsCol.exists(c => columns.contains(c) &&
+          written.schema(c).dataType.isInstanceOf[NumericType])
+        val prim = statsCol.flatMap(perCol.get)
+        Segment(name, prim.map(_._1), prim.map(_._2), primaryNum,
+          extra = perCol -- statsCol.toSeq)
+      }
     bloomCol match {
-      case Some(c) if df.columns.contains(c) =>
+      case Some(c) if columns.contains(c) =>
         base.copy(bloom =
           Some(buildBloom(spark.read.parquet(s"$root/$name"), c)))
       case _ => base
     }
+  }
+
+  private def writeSegment(df: DataFrame): Segment = {
+    val name = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
+    df.write.parquet(s"$root/$name")
+    segmentMeta(name, df.columns)
   }
 
   private def addJson(s: Segment): String = {
@@ -499,7 +585,15 @@ class LogStore(spark: SparkSession, val root: String,
     // the hex alphabet is quote- and newline-free by construction, so
     // the line-oriented grammar needs no escaping layer for blooms
     val bloom = s.bloom.map(h => s""","bloom":"$h"""").getOrElse("")
-    s"""{"add":"${s.name}"$stats$bloom}"""
+    // extra stats ride as one quoted value: col|min|max|num;col2|… —
+    // names are delimiter-checked at construction, values are
+    // numeric/date/timestamp strings (delimiter-free by type)
+    val xs =
+      if (s.extra.isEmpty) ""
+      else s.extra.toSeq.sortBy(_._1).map { case (c, (lo, hi, n)) =>
+        s"$c|$lo|$hi|${if (n) "t" else "f"}"
+      }.mkString(""","xs":"""", ";", "\"")
+    s"""{"add":"${s.name}"$stats$bloom$xs}"""
   }
 
   /** Publish a commit at `expected` version via create-exclusive —
@@ -645,6 +739,72 @@ class LogStore(spark: SparkSession, val root: String,
     commit(v + 1, Seq(writeSegment(read(v))), old)
   }
 
+  final case class OptimizeResult(version: Long, rewritten: Int,
+      produced: Int)
+
+  /** OPTIMIZE — the periodic maintenance command a 100 TB table runs
+    * weekly: rewrite the live segment set into `targetSegments`
+    * segments RANGE-CLUSTERED on `clusterBy` (typically a
+    * space-filling-curve index column — hilbertValue / zValue
+    * materialized at ingest — set as the [statsCol]), so per-segment
+    * min/max become tight disjoint ranges and the skipping reads
+    * ([[readRange]] / [[readRanges]] / rectScanClustered) prune most
+    * of the table instead of none of it. Same rows, new layout:
+    *
+    *  - snapshot-invariant: ONE commit adds the clustered segments
+    *    and removes every prior live one; readers pinned to the old
+    *    version keep their snapshot, time travel intact.
+    *  - dataChange=false: the commit carries no cdc action, and
+    *    [[readChanges]] classifies an adds+removes commit without one
+    *    as contributing NOTHING — incremental consumers skip the
+    *    rewrite entirely (the same contract as [[compact]]).
+    *  - read-modify-write: lands at readVersion+1 or throws
+    *    [[ConcurrentCommitException]] — a racing append can never be
+    *    silently dropped by the rewrite. Output segments whose commit
+    *    lost the race are crash orphans; [[vacuum]]'s orphan path
+    *    reclaims them.
+    *
+    * With no `clusterBy` this degrades to pure BIN-PACKING:
+    * compaction into `targetSegments` evenly-sized segments — the
+    * small-files fix with a bounded output count (a round-robin
+    * shuffle instead of a range one).
+    *
+    * Scale shape: cost ∝ rewritten bytes — exactly one shuffle (the
+    * range partitioner over the cluster key) across the live data and
+    * one parquet write, partitioned so each range bucket lands as its
+    * own directory in a single pass (never one filtered scan per
+    * output segment); the per-segment stats reads that follow are a
+    * 2-number agg per segment. */
+  def optimize(targetSegments: Int, clusterBy: org.apache.spark.sql.Column*)
+      : OptimizeResult = {
+    import org.apache.spark.sql.functions.{col => fcol, spark_partition_id}
+    require(targetSegments >= 1, "targetSegments must be positive")
+    val v = latestVersion()
+    val old = liveSegments(v)
+    val data = read(v)
+    val arranged =
+      if (clusterBy.isEmpty) data.repartition(targetSegments)
+      else data.repartitionByRange(targetSegments, clusterBy: _*)
+    // one pass: every range bucket written as its own directory via a
+    // partitioned write on the (constant-per-task) partition id, then
+    // each bucket directory renamed into place as a segment
+    val tmpName = s"opt-${java.util.UUID.randomUUID().toString.take(12)}"
+    val tmp = s"$root/_$tmpName"
+    arranged.withColumn("_opt_bucket", spark_partition_id())
+      .write.partitionBy("_opt_bucket").parquet(tmp)
+    val buckets = fs.listStatus(new Path(tmp))
+      .map(_.getPath.getName).filter(_.startsWith("_opt_bucket="))
+      .sortBy(_.stripPrefix("_opt_bucket=").toInt)
+    val adds = buckets.toSeq.map { b =>
+      val name = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
+      if (!fs.rename(new Path(s"$tmp/$b"), new Path(s"$root/$name")))
+        throw new java.io.IOException(s"rename of $b to $name failed")
+      segmentMeta(name, data.columns)
+    }
+    fs.delete(new Path(tmp), true)
+    OptimizeResult(commit(v + 1, adds, old), old.size, adds.size)
+  }
+
   /** DESCRIBE HISTORY — the operations audit every transactional
     * table owes its operators: one row per committed version with the
     * action profile (segments added/removed, change-data segments,
@@ -652,13 +812,19 @@ class LogStore(spark: SparkSession, val root: String,
     * (APPEND / STREAMING APPEND / DELETE-OR-COMPACT / RESTORE-OR-
     * MERGE shapes are distinguishable by their add/remove mix; the
     * log stores actions, not intents, so the label is the honest
-    * reconstruction). Reads each version file once — O(V) by nature
-    * (it IS the history); snapshot resolution never calls this. */
-  def describeHistory(): DataFrame = {
+    * reconstruction). `limit` bounds the audit to the NEWEST n
+    * versions — the operator's question is almost always "what just
+    * happened", and reading only those version files makes the answer
+    * O(n) whatever the table's age; the default (full history) reads
+    * each version file once — O(V) by nature (it IS the history).
+    * Snapshot resolution never calls this. */
+  def describeHistory(limit: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
+    require(limit >= 1, "limit must be positive")
     val latest = latestVersion()
     require(latest >= 0, s"no log at $root")
-    val rows = (0L to latest).map { v =>
+    val from = if (limit > latest) 0L else latest - limit + 1
+    val rows = (from to latest).map { v =>
       val (adds, removes, txns, vacs, cdcs) = readActions(v)
       val op =
         if (vacs.nonEmpty) "VACUUM"
@@ -856,7 +1022,8 @@ class LogStore(spark: SparkSession, val root: String,
         val n = st.getPath.getName
         st.isDirectory && st.getModificationTime <= cutoff &&
         ((n.startsWith("seg-") && !keep.contains(n)) ||
-          (n.startsWith("cdc-") && !keepCdc.contains(n)))
+          (n.startsWith("cdc-") && !keepCdc.contains(n)) ||
+          n.startsWith("_opt-")) // a crashed optimize's staging dir
       }
       .map(_.getPath.getName).toSeq
     doomed.foreach(s => fs.delete(new Path(s"$root/$s"), true))

@@ -30,54 +30,16 @@ object GraphOps {
     * duplicate/reverse edges are normalized away. Output: one row
     * `(n_wedges, n_triangles)` — the wedge count doubles as the join's
     * cost audit. */
-  def triangleCount(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .where(col("u") =!= col("v")).distinct()
-    val deg = und.select(col("u").as("node"))
-      .union(und.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val oriented = und
-      .join(deg.as("du"), col("u") === col("du.node"))
-      .join(deg.as("dv"), col("v") === col("dv.node"))
-      .select(
-        when(col("du.deg") < col("dv.deg") ||
-            (col("du.deg") === col("dv.deg") && col("u") < col("v")),
-          struct(col("u").as("s"), col("v").as("t"),
-            col("dv.deg").as("tdeg")))
-          .otherwise(struct(col("v").as("s"), col("u").as("t"),
-            col("du.deg").as("tdeg"))).as("e"))
-      .select(col("e.s").as("s"), col("e.t").as("t"),
-        col("e.tdeg").as("tdeg"))
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.s") === col("e2.s") &&
-          (col("e1.tdeg") < col("e2.tdeg") ||
-            (col("e1.tdeg") === col("e2.tdeg") &&
-              col("e1.t") < col("e2.t"))))
-      .select(col("e1.t").as("b"), col("e2.t").as("c"))
-    // one pass: flag-join the closing edge (unique after distinct), so
-    // wedge count and triangle count come from a single aggregation
-    wedges.join(oriented.select(col("s"), col("t"), lit(1L).as("hit")),
-        col("b") === col("s") && col("c") === col("t"), "left")
-      .agg(count(lit(1)).as("n_wedges"),
-        coalesce(sum(col("hit")), lit(0L)).as("n_triangles"))
-  }
-
-  /** Local bridges (Granovetter 1973's "weak ties" made structural —
-    * public): an edge is a local bridge iff its endpoints share NO
-    * common neighbor — removing it leaves no 2-hop detour, so these
-    * are the edges that actually connect communities (every
-    * triangle-supported edge is redundant at distance 2). Emits every
-    * undirected edge with its triangle SUPPORT (how many triangles
-    * contain it) and the bridge flag (support = 0).
-    *
-    * Scale: the [[triangleCount]] degree-oriented wedge plan — each
-    * triangle is found exactly once at its π-smallest apex
-    * (O(m^1.5) wedges, hub-safe) and then charged to its THREE edges
-    * with one explode + one (u, v) aggregation; the raw
-    * edge-anchored Σ deg(u) join this replaces collapses on hubs. */
-  def localBridges(edges: DataFrame): DataFrame = {
+  /** The shared degree-ordered wedge machinery of the triangle family
+    * ([[triangleCount]] / [[localBridges]] /
+    * [[localClusteringCoefficient]]): normalize to distinct undirected
+    * edges, compute degrees, orient every edge from its
+    * degree-π-smaller endpoint (ties by id), and enumerate each wedge
+    * exactly once at its apex. Returns (und(u,v), deg(node,deg),
+    * oriented(s,t,tdeg), wedges(a,b,c)) — all lazy plans, so a caller
+    * that drops a column pays nothing for it. */
+  private def orientedWedges(edges: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val und = edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
@@ -104,6 +66,35 @@ object GraphOps {
               col("e1.t") < col("e2.t"))))
       .select(col("e1.s").as("a"), col("e1.t").as("b"),
         col("e2.t").as("c"))
+    (und, deg, oriented, wedges)
+  }
+
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val (_, _, oriented, wedges) = orientedWedges(edges)
+    // one pass: flag-join the closing edge (unique after distinct), so
+    // wedge count and triangle count come from a single aggregation
+    wedges.select(col("b"), col("c"))
+      .join(oriented.select(col("s"), col("t"), lit(1L).as("hit")),
+        col("b") === col("s") && col("c") === col("t"), "left")
+      .agg(count(lit(1)).as("n_wedges"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_triangles"))
+  }
+
+  /** Local bridges (Granovetter 1973's "weak ties" made structural —
+    * public): an edge is a local bridge iff its endpoints share NO
+    * common neighbor — removing it leaves no 2-hop detour, so these
+    * are the edges that actually connect communities (every
+    * triangle-supported edge is redundant at distance 2). Emits every
+    * undirected edge with its triangle SUPPORT (how many triangles
+    * contain it) and the bridge flag (support = 0).
+    *
+    * Scale: the [[triangleCount]] degree-oriented wedge plan — each
+    * triangle is found exactly once at its π-smallest apex
+    * (O(m^1.5) wedges, hub-safe) and then charged to its THREE edges
+    * with one explode + one (u, v) aggregation; the raw
+    * edge-anchored Σ deg(u) join this replaces collapses on hubs. */
+  def localBridges(edges: DataFrame): DataFrame = {
+    val (und, _, oriented, wedges) = orientedWedges(edges)
     val tris = wedges.join(oriented.select(col("s"), col("t")),
       col("b") === col("s") && col("c") === col("t"))
     val triEdges = tris.select(explode(array(
@@ -136,32 +127,7 @@ object GraphOps {
     * integer-operand IEEE divide; nodes of degree < 2 read 0.
     * Output: (node, deg, n_tri, lcc). */
   def localClusteringCoefficient(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .where(col("u") =!= col("v")).distinct()
-    val deg = und.select(col("u").as("node"))
-      .union(und.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val oriented = und
-      .join(deg.as("du"), col("u") === col("du.node"))
-      .join(deg.as("dv"), col("v") === col("dv.node"))
-      .select(
-        when(col("du.deg") < col("dv.deg") ||
-            (col("du.deg") === col("dv.deg") && col("u") < col("v")),
-          struct(col("u").as("s"), col("v").as("t"),
-            col("dv.deg").as("tdeg")))
-          .otherwise(struct(col("v").as("s"), col("u").as("t"),
-            col("du.deg").as("tdeg"))).as("e"))
-      .select(col("e.s").as("s"), col("e.t").as("t"),
-        col("e.tdeg").as("tdeg"))
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.s") === col("e2.s") &&
-          (col("e1.tdeg") < col("e2.tdeg") ||
-            (col("e1.tdeg") === col("e2.tdeg") &&
-              col("e1.t") < col("e2.t"))))
-      .select(col("e1.s").as("a"), col("e1.t").as("b"),
-        col("e2.t").as("c"))
+    val (_, deg, oriented, wedges) = orientedWedges(edges)
     val tri = wedges.join(oriented.select(col("s"), col("t")),
         col("b") === col("s") && col("c") === col("t"), "left_semi")
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
@@ -567,8 +533,15 @@ object GraphOps {
     *
     * Scale per round: one adjacency⋈frontier shuffle plus a min
     * aggregation — O(E) per round, localCheckpoint superstep barrier,
-    * no driver state. (For high-diameter graphs swap in pointer
-    * doubling; web/social corpora sit at diameter ≲ 20.) */
+    * no driver state. FIXPOINT early exit: with unit hops a node's
+    * first-assigned distance is already minimal, so the reached-node
+    * count grows strictly until the frontier dies — when a round
+    * reaches nobody new, every remaining round is a provable no-op
+    * and the loop stops (`iters` stays the hard cap for graphs whose
+    * eccentricity exceeds it). The per-round count is a driver-side
+    * read of the just-checkpointed relation — noise against the
+    * superstep shuffle it saves. (For high-diameter graphs swap in
+    * pointer doubling; web/social corpora sit at diameter ≲ 20.) */
   def shortestHops(edges: DataFrame, seeds: DataFrame,
       iters: Int, checkpoint: Boolean = true): DataFrame = {
     val und = edges
@@ -580,12 +553,18 @@ object GraphOps {
       .localCheckpoint(true)
     var dist = seeds.select(col("node")).distinct()
       .select(col("node"), lit(0L).as("dist"))
-    for (_ <- 1 to iters) {
+    var reached = dist.count()
+    var round = 0
+    var fixed = false
+    while (round < iters && !fixed) {
+      round += 1
       val relaxed = adj.join(dist, adj("nb") === dist("node"))
         .select(adj("node"), (col("dist") + lit(1L)).as("dist"))
       dist = dist.union(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
       if (checkpoint) dist = dist.localCheckpoint(true)
+      val n = dist.count()
+      if (n == reached) fixed = true else reached = n
     }
     dist
   }
@@ -648,7 +627,12 @@ object GraphOps {
       .localCheckpoint(true)
     var dist = seeds.select(col("node")).distinct()
       .select(col("node").as("source"), col("node"), lit(0L).as("dist"))
-    for (_ <- 1 to iters) {
+    // the same fixpoint early exit as shortestHops, per (source, node)
+    var reached = dist.count()
+    var round = 0
+    var fixed = false
+    while (round < iters && !fixed) {
+      round += 1
       val relaxed = adj.join(dist, adj("nb") === dist("node"))
         .select(col("source"), adj("node").as("node"),
           (col("dist") + lit(1L)).as("dist"))
@@ -657,6 +641,8 @@ object GraphOps {
         .groupBy(col("source"), col("node"))
         .agg(min(col("dist")).as("dist"))
       if (checkpoint) dist = dist.localCheckpoint(true)
+      val n = dist.count()
+      if (n == reached) fixed = true else reached = n
     }
     dist.where(col("dist") > 0)
       .groupBy(col("source"))

@@ -170,6 +170,291 @@ object Multimodal {
     }
   }
 
+  final case class PngImage(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte])
+
+  final case class PngFeatures(media_id: Long, byte_len: Long,
+      width: Option[Int], height: Option[Int], channels: Option[Int],
+      mean_level: Option[Double], raster_md5: Option[String])
+
+  /** Minimal canonical PNG codec (ISO/IEC 15948 / RFC 2083 — public
+    * spec): 8-bit greyscale (colour type 0), truecolour (2) and
+    * truecolour-with-alpha (6), non-interlaced — the real-corpus
+    * image format behind the same mapPartitions seam as the Netpbm
+    * and WAV codecs. Decode handles the full per-row filter set
+    * (None/Sub/Up/Average/Paeth), multi-chunk IDAT streams, ancillary
+    * chunk skipping and per-chunk CRC verification; encode writes a
+    * caller-chosen filter and IDAT split so the spec can round-trip
+    * every decode path. zlib via `java.util.zip` — pure JVM, no
+    * imageio/native dependency. Malformed input throws
+    * IllegalArgumentException (callers choose fail vs null-not-fail,
+    * same policy as the other codecs). */
+  object PngCodec {
+    private val SIG = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a,
+      0x1a, 0x0a).map(_.toByte)
+
+    private def be32(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte,
+        v.toByte)
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a)
+      val pb = math.abs(p - b)
+      val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    private def writeChunk(out: java.io.ByteArrayOutputStream,
+        typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length), 0, 4)
+      val t = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(t, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32
+      crc.update(t)
+      crc.update(data)
+      out.write(be32(crc.getValue.toInt), 0, 4)
+    }
+
+    /** Encode `pixels` (row-major, interleaved channels) as a PNG.
+      * `filter` (0–4) is applied to every row; `idatChunkBytes`
+      * splits the zlib stream across IDAT chunks (real encoders do —
+      * the decoder must reassemble). */
+    def encode(pixels: Array[Byte], width: Int, height: Int,
+        channels: Int = 1, filter: Int = 0,
+        idatChunkBytes: Int = Int.MaxValue): Array[Byte] = {
+      require(channels == 1 || channels == 3 || channels == 4,
+        s"channels $channels not in {1, 3, 4}")
+      require(filter >= 0 && filter <= 4, s"filter $filter")
+      require(idatChunkBytes > 0, "idatChunkBytes must be positive")
+      val stride = width * channels
+      require(pixels.length == stride * height,
+        s"raster size ${pixels.length} != $width x $height x $channels")
+      val raw = new Array[Byte](height * (1 + stride))
+      var y = 0
+      while (y < height) {
+        raw(y * (1 + stride)) = filter.toByte
+        var x = 0
+        while (x < stride) {
+          val cur = pixels(y * stride + x) & 0xff
+          val left =
+            if (x >= channels) pixels(y * stride + x - channels) & 0xff
+            else 0
+          val up = if (y > 0) pixels((y - 1) * stride + x) & 0xff else 0
+          val ul =
+            if (x >= channels && y > 0)
+              pixels((y - 1) * stride + x - channels) & 0xff
+            else 0
+          val f = filter match {
+            case 0 => cur
+            case 1 => cur - left
+            case 2 => cur - up
+            case 3 => cur - (left + up) / 2
+            case 4 => cur - paeth(left, up, ul)
+          }
+          raw(y * (1 + stride) + 1 + x) = f.toByte
+          x += 1
+        }
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw)
+      deflater.finish()
+      val zout = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished())
+        zout.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      val z = zout.toByteArray
+      val colorType = channels match {
+        case 1 => 0
+        case 3 => 2
+        case 4 => 6
+      }
+      val ihdr = be32(width) ++ be32(height) ++
+        Array[Byte](8, colorType.toByte, 0, 0, 0)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(SIG, 0, SIG.length)
+      writeChunk(out, "IHDR", ihdr)
+      var off = 0
+      while (off < z.length || off == 0) {
+        val n = math.min(idatChunkBytes, z.length - off)
+        writeChunk(out, "IDAT",
+          java.util.Arrays.copyOfRange(z, off, off + n))
+        off += math.max(n, 1) // emit ≥1 IDAT even for an empty stream
+      }
+      writeChunk(out, "IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
+    /** Parse a PNG: signature, chunk walk with CRC checks, IHDR
+      * validation (8-bit depth, colour type 0/2/6, no interlace),
+      * IDAT reassembly + inflate, per-row unfilter. Throws
+      * IllegalArgumentException on ANY malformation. */
+    def decode(payload: Array[Byte]): PngImage = {
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"PNG decode: $msg")
+      if (payload.length < 8 ||
+          !SIG.indices.forall(i => payload(i) == SIG(i)))
+        fail("bad signature")
+      def u32(at: Int): Int =
+        ((payload(at) & 0xff) << 24) | ((payload(at + 1) & 0xff) << 16) |
+          ((payload(at + 2) & 0xff) << 8) | (payload(at + 3) & 0xff)
+      var pos = 8
+      var width = -1
+      var height = -1
+      var channels = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done) {
+        if (pos + 8 > payload.length) fail("truncated chunk header")
+        val len = u32(pos)
+        if (len < 0 || pos.toLong + 12 + len > payload.length)
+          fail("truncated chunk")
+        val typ = new String(payload, pos + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val crc = new java.util.zip.CRC32
+        crc.update(payload, pos + 4, 4 + len)
+        if (crc.getValue.toInt != u32(pos + 8 + len))
+          fail(s"$typ crc mismatch")
+        typ match {
+          case "IHDR" =>
+            if (len != 13) fail("IHDR length")
+            width = u32(pos + 8)
+            height = u32(pos + 12)
+            val depth = payload(pos + 16) & 0xff
+            if (depth != 8) fail(s"unsupported bit depth $depth")
+            channels = (payload(pos + 17) & 0xff) match {
+              case 0 => 1
+              case 2 => 3
+              case 6 => 4
+              case c => fail(s"unsupported colour type $c")
+            }
+            if ((payload(pos + 18) & 0xff) != 0 ||
+                (payload(pos + 19) & 0xff) != 0)
+              fail("nonstandard compression/filter method")
+            if ((payload(pos + 20) & 0xff) != 0)
+              fail("interlaced PNG unsupported")
+            if (width <= 0 || height <= 0 ||
+                width.toLong * height * channels > (1L << 30))
+              fail(s"bad dimensions ${width}x$height")
+          case "IDAT" =>
+            if (width < 0) fail("IDAT before IHDR")
+            idat.write(payload, pos + 8, len)
+          case "IEND" => done = true
+          case _ => () // ancillary chunk: skip
+        }
+        pos += 12 + len
+      }
+      if (width < 0) fail("missing IHDR")
+      val stride = width * channels
+      val raw = new Array[Byte](height * (1 + stride))
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      try {
+        while (off < raw.length && !inf.finished()) {
+          val n =
+            try inf.inflate(raw, off, raw.length - off)
+            catch {
+              case e: java.util.zip.DataFormatException =>
+                fail(s"corrupt zlib stream: ${e.getMessage}")
+            }
+          if (n == 0 && inf.needsInput()) fail("truncated pixel data")
+          off += n
+        }
+      } finally inf.end()
+      if (off != raw.length) fail("truncated pixel data")
+      val px = new Array[Byte](height * stride)
+      var y = 0
+      while (y < height) {
+        val ft = raw(y * (1 + stride)) & 0xff
+        if (ft > 4) fail(s"bad row filter $ft")
+        var x = 0
+        while (x < stride) {
+          val v = raw(y * (1 + stride) + 1 + x) & 0xff
+          val left =
+            if (x >= channels) px(y * stride + x - channels) & 0xff
+            else 0
+          val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
+          val ul =
+            if (x >= channels && y > 0)
+              px((y - 1) * stride + x - channels) & 0xff
+            else 0
+          val r = ft match {
+            case 0 => v
+            case 1 => v + left
+            case 2 => v + up
+            case 3 => v + (left + up) / 2
+            case 4 => v + paeth(left, up, ul)
+          }
+          px(y * stride + x) = r.toByte
+          x += 1
+        }
+        y += 1
+      }
+      PngImage(width, height, channels, px)
+    }
+  }
+
+  /** Synthesize REAL PNG payloads from the corpus — the same raster
+    * geometry as [[withPgmPayload]] (width 8 + n mod 57, space-padded
+    * greyscale), so the decoded-pixel oracle is shared arithmetic;
+    * the bytes on the wire are genuine compressed PNG. */
+  def withPngPayload(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = Option(text).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val w = 8 + (bytes.length % 57)
+        val h = math.max(1, (bytes.length + w - 1) / w)
+        val padded = java.util.Arrays.copyOf(bytes, w * h)
+        java.util.Arrays.fill(padded, bytes.length, w * h, ' '.toByte)
+        (id, PngCodec.encode(padded, w, h), "image/png")
+      }
+      .toDF("media_id", "payload", "media_type")
+  }
+
+  /** Decode + feature extraction over PNG payloads through the same
+    * mapPartitions seam, null-not-fail policy: dimensions, channel
+    * count, mean level over the DECODED raster, and the decoded-pixel
+    * md5 (the compressed wire bytes are not oracle arithmetic; the
+    * raster is). A malformed payload degrades to null decode columns
+    * (byte_len survives), never a task failure. */
+  def extractPngFeatures(spark: SparkSession, media: DataFrame)
+      : Dataset[PngFeatures] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, payload) =>
+          try {
+            val img = PngCodec.decode(payload)
+            var sum = 0L
+            var i = 0
+            while (i < img.pixels.length) {
+              sum += img.pixels(i) & 0xff
+              i += 1
+            }
+            md.reset()
+            val digest = md.digest(img.pixels)
+              .map("%02x".format(_)).mkString
+            PngFeatures(id, payload.length.toLong, Some(img.width),
+              Some(img.height), Some(img.channels),
+              Some(sum.toDouble / img.pixels.length), Some(digest))
+          } catch {
+            case _: IllegalArgumentException =>
+              PngFeatures(id, payload.length.toLong, None, None, None,
+                None, None)
+          }
+        }
+      }
+  }
+
   /** Attach a binary payload column (here: the UTF-8 bytes of `text` —
     * a stand-in for real image bytes) plus media-type metadata. */
   def withBinaryPayload(documents: DataFrame): DataFrame =

@@ -924,6 +924,81 @@ object StreamingOps {
       }
       .start()
 
+  /** One micro-batch of the LogStore→LogStore pipeline: absorb every
+    * source commit past the target's cursor — `readChanges(last+1,
+    * latest)`, O(changed rows) — through `transform` into the target
+    * as ONE committed version. The cursor is the target's own `txn`
+    * fence carrying the last absorbed SOURCE version, so the
+    * exactly-once contract lives in the target table's log, not in
+    * any consumer-side state: a crash-restarted, duplicated or
+    * concurrent sync sees latest ≤ fence and is a no-op, and N syncs
+    * land the target exactly where one big batch would.
+    *
+    * Append-only by contract: a non-insert change (delete, a merge's
+    * images — including what a RESTORE emits) throws loudly, because
+    * blindly appending it would corrupt the target; row-level
+    * mirroring needs keys (the [[graft.catalog.LogStore.merge]] path)
+    * and aggregate mirroring has the maintainAggState /
+    * [[syncSumCountFromLog]] family. A source vacuumed PAST the
+    * cursor also throws (readChanges' horizon refusal) — the consumer
+    * must resync from a snapshot, never silently skip a gap. Commits
+    * that changed no data (compaction, optimize, vacuum) advance the
+    * cursor for free with no target segment.
+    *
+    * Returns the source version now absorbed (-1 = empty source). */
+  def syncLogToLog(source: graft.catalog.LogStore,
+      target: graft.catalog.LogStore,
+      transform: DataFrame => DataFrame = identity): Long = {
+    val last = math.max(target.lastTxn(), -1L)
+    val latest = source.latestVersion()
+    if (latest <= last) return last // fenced: nothing new to absorb
+    val changes = source.readChanges(last + 1, latest)
+    val bad = changes.where(col("_change_type") =!= "insert").limit(1)
+      .select(col("_change_type"), col("_commit_version")).collect()
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"append-only log sync hit a '${bad.head.getString(0)}' change " +
+          s"at source version ${bad.head.getLong(1)}: row-level " +
+          "deletes/updates need a keyed merge or the aggregate " +
+          "maintainers, not a blind append")
+    val rows = transform(
+      changes.drop("_change_type", "_commit_version"))
+    if (target.appendStream(rows, batchId = latest) < 0)
+      throw new IllegalStateException(
+        s"target fence moved concurrently past $latest — two sync " +
+          "drivers on one target")
+    latest
+  }
+
+  /** The LogStore-as-streaming-source wiring: a continuous
+    * StreamingQuery that tails source-table commits and lands each
+    * batch of new ones in the target table, exactly once, through
+    * `transform` — LogStore A → streaming transform → LogStore B with
+    * no hand-wired maintainer. A rate stream is the micro-batch CLOCK
+    * only (one tick per `intervalMs`); all progress state is the
+    * target's txn fence via [[syncLogToLog]], so the Spark checkpoint
+    * is disposable — losing it (or pointing two differently-
+    * checkpointed queries at one target) cannot double-absorb a
+    * commit, and a restart resumes from the fence wherever the clock
+    * left off. A vacuum past the cursor or a non-insert change
+    * surfaces as a stream error (StreamingQueryException), never a
+    * silent gap. */
+  def logToLogStream(spark: SparkSession,
+      source: graft.catalog.LogStore, target: graft.catalog.LogStore,
+      checkpointDir: String,
+      transform: DataFrame => DataFrame = identity,
+      intervalMs: Long = 500L): StreamingQuery =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", 1).load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(intervalMs))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        syncLogToLog(source, target, transform); ()
+      }
+      .start()
+
   /** Streaming KMV upkeep: a file stream of raw rows keeps the
     * per-group theta-sketch state table current; distinct estimates
     * (and theta set algebra) read the tiny state table, never the

@@ -508,6 +508,18 @@ class LogStoreSpec extends AnyFunSuite {
       h(2)._4 == 1, s"delete adds 1, removes 2, emits cdc: ${h(2)}")
     assert(h(3)._5 == "REWRITE" && h(3)._3 == 1)
     assert(h(4)._5 == "VACUUM")
+    // LIMIT: "what just happened" reads ONLY the newest-n version
+    // files — proven by deleting an old one: the limited audit never
+    // opens it, the full audit (which must) now fails
+    assert(t.describeHistory(2).select("version").as[Long].collect()
+      .toSeq == Seq(3L, 4L))
+    val fs = new org.apache.hadoop.fs.Path(t.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      t.root + "/_log/00000000.json"), false)
+    assert(t.describeHistory(2).select("version").as[Long].collect()
+      .toSeq == Seq(3L, 4L), "newest-2 must not touch version 0")
+    intercept[Exception] { t.describeHistory() }
   }
 
   test("restore: rollback is a forward commit — content returns to " +
@@ -708,6 +720,122 @@ class LogStoreSpec extends AnyFunSuite {
     assert(!res.deleted.contains("seg-racer") &&
       dead.subsetOf(res.deleted.toSet))
     assert(ids(t.read()) == (1L to 9L).toSet ++ (100L to 103L).toSet)
+  }
+
+  test("optimize: range-clustering on the stats column turns useless " +
+      "segment stats into tight disjoint ranges — same rows, better " +
+      "skip rate, dataChange=false, old snapshot intact") {
+    val t = new LogStore(spark,
+      Files.createTempDirectory("graft-log").toString + "/tbl",
+      statsCol = Some("id"))
+    // curve-OBLIVIOUS ingest: four appends interleaved mod 4, so every
+    // segment spans nearly the whole id range and stats prune nothing
+    (0 until 4).foreach { i =>
+      t.append((1L to 1000L).filter(_ % 4 == i).toDF("id"))
+    }
+    val pre = t.latestVersion()
+    val (_, preScanned, preLive) = t.readRange("100", "150")
+    assert(preLive == 4 && preScanned == 4,
+      "interleaved ingest: every segment overlaps every range")
+
+    val res = t.optimize(4, col("id"))
+    assert(res.rewritten == 4 && res.produced >= 2 &&
+      res.produced <= 4, s"clustered rewrite: $res")
+    assert(t.liveSegments().size == res.produced)
+    // same rows, exactly
+    assert(ids(t.read()) == (1L to 1000L).toSet)
+    // the skip rate is what the rewrite buys: a 5% range now opens
+    // ~one segment instead of all of them
+    val (df, postScanned, postLive) = t.readRange("100", "150")
+    assert(postLive == res.produced && postScanned < preScanned &&
+      postScanned <= 2, s"clustered stats must prune: $postScanned")
+    assert(ids(df) == (100L to 150L).toSet,
+      "pruning is an optimization, never a semantics change")
+    // snapshot invariance: the pre-optimize version still reads its
+    // own (interleaved) segment list
+    assert(ids(t.read(pre)) == (1L to 1000L).toSet)
+    assert(t.liveSegments(pre).size == 4)
+    // dataChange=false: the feed skips the rewrite entirely
+    assert(t.readChanges(res.version, res.version).count() == 0,
+      "optimize moved bytes but changed no data")
+
+    // bin-pack mode (no cluster key): small files collapse to the
+    // target count, rows identical
+    val tb = fresh()
+    (1 to 6).foreach(i => tb.append(Seq(i.toLong).toDF("id")))
+    val rb = tb.optimize(2)
+    assert(rb.rewritten == 6 && rb.produced == 2)
+    assert(tb.liveSegments().size == 2)
+    assert(ids(tb.read()) == (1L to 6L).toSet)
+  }
+
+  test("multi-column stats: every configured column's bounds ride the " +
+      "add action, prune independently AND conjunctively, survive " +
+      "checkpoints, and degrade per-column to always-scan") {
+    val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
+    val t = new LogStore(spark, dir, statsCol = Some("a"),
+      statsCols = Seq("b"), checkpointInterval = 2)
+    def seg(as: Range, bs: Range) =
+      as.zip(bs).map { case (a, b) => (a.toLong, b.toLong) }
+        .toDF("a", "b")
+    // a quadrant layout: (a low/high) × (b low/high), so one-column
+    // pruning opens two segments and two-column pruning opens one
+    t.append(seg(0 to 99, 0 to 99))
+    t.append(seg(0 to 99, 1000 to 1099))
+    t.append(seg(1000 to 1099, 0 to 99))
+    t.append(seg(1000 to 1099, 1000 to 1099))
+
+    val (dfA, sA, lA) = t.readRangeOn("a", "10", "20")
+    assert(lA == 4 && sA == 2, s"a-only prune: $sA of $lA")
+    val (dfB, sB, _) = t.readRangeOn("b", "1010", "1020")
+    assert(sB == 2, s"b-only prune: $sB")
+    val (dfAB, sAB, _) = t.readRangeAll(
+      Seq(("a", "10", "20"), ("b", "1010", "1020")))
+    assert(sAB == 1, s"conjunctive prune must intersect: $sAB")
+    // pruning never changes semantics: each equals the full-scan filter
+    assert(dfAB.count() ==
+      t.read().where(col("a").between(10, 20) &&
+        col("b").between(1010, 1020)).count())
+    assert(dfA.count() == t.read().where(col("a").between(10, 20)).count())
+    assert(dfB.count() ==
+      t.read().where(col("b").between(1010, 1020)).count())
+
+    // checkpoint round trip: a fresh handle seeded from the checkpoint
+    // prunes identically (the xs grammar survives re-serialization)
+    t.checkpoint()
+    val t2 = new LogStore(spark, dir, statsCol = Some("a"),
+      statsCols = Seq("b"))
+    val (_, s2, l2) = t2.readRangeAll(
+      Seq(("a", "10", "20"), ("b", "1010", "1020")))
+    assert(l2 == 4 && s2 == 1)
+
+    // cross-column safety: a segment written by a store that recorded
+    // only column a is ALWAYS scanned for b-predicates, never skipped
+    val tOnlyA = new LogStore(spark, dir, statsCol = Some("a"))
+    tOnlyA.append(seg(5000 to 5010, 5000 to 5010))
+    val t3 = new LogStore(spark, dir, statsCol = Some("a"),
+      statsCols = Seq("b"))
+    val (_, s3, l3) = t3.readRangeOn("b", "1010", "1020")
+    assert(l3 == 5 && s3 == 3,
+      s"the b-stats-less segment must be assumed to overlap: $s3 of $l3")
+    // but its a-bounds still prune (per-column independence)
+    val (_, s4, _) = t3.readRangeOn("a", "10", "20")
+    assert(s4 == 2, s"a-pruning unaffected by the mixed config: $s4")
+    // an unconfigured predicate column refuses loudly
+    intercept[IllegalArgumentException] { t3.readRangeOn("z", "0", "1") }
+    // a string extra stats column is refused at write time like the
+    // primary (its serialized bounds could break the line grammar)
+    val tBad = new LogStore(spark,
+      Files.createTempDirectory("graft-log").toString + "/tbl",
+      statsCol = Some("a"), statsCols = Seq("s"))
+    intercept[IllegalArgumentException] {
+      tBad.append(Seq((1L, "x|y;z")).toDF("a", "s"))
+    }
+    // a delimiter-bearing extra stats column NAME is refused at
+    // construction
+    intercept[IllegalArgumentException] {
+      new LogStore(spark, dir, statsCols = Seq("bad|name"))
+    }
   }
 
   test("merge enforces schema like append: a type-mutated shared " +

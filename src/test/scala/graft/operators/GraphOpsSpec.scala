@@ -135,4 +135,33 @@ class GraphOpsSpec extends AnyFunSuite {
       < 1e-12)
     assert(math.abs(pr(0L) - (1.0 - 0.85) / 3) < 1e-12)
   }
+
+  test("shortestHops fixpoint early exit ≡ the capped full run when " +
+      "the eccentricity is far below the cap; the cap still binds " +
+      "when it is not") {
+    import graft.operators.GraphOps
+    // a 5-path plus a disconnected pair: eccentricity from node 1 is
+    // 4, so a 1000-round cap MUST exit at the fixpoint (a non-exiting
+    // loop would run a thousand supersteps here — unmissable)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("node"), col("dist")).as[(Long, Long)]
+        .collect().toMap
+    val full = toMap(GraphOps.shortestHops(edges, seeds, iters = 1000))
+    assert(full == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> 4L), "exact hops, unreached component absent")
+    assert(full == toMap(GraphOps.shortestHops(edges, seeds, iters = 4)),
+      "early exit must equal the exactly-sized run")
+    // the cap is still a cap: 2 rounds reach 2 hops
+    assert(toMap(GraphOps.shortestHops(edges, seeds, iters = 2)) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // the same exit in the multi-source per-source family
+    val h = GraphOps.harmonicCloseness(edges,
+      Seq(1L, 10L).toDF("node"), iters = 1000)
+      .select(col("source"), col("n_reached"))
+      .as[(Long, Long)].collect().toMap
+    assert(h == Map(1L -> 4L, 10L -> 1L))
+  }
 }

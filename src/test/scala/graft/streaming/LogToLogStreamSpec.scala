@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.catalog.LogStore
+
+/** The LogStore-as-streaming-source contract: table→table pipelines
+  * absorb the source's change feed exactly once with all progress
+  * state in the target's own log — equal to a batch recompute across
+  * restarts, replays and lost Spark checkpoints, and LOUD on the two
+  * things a blind tail must never skip (non-insert changes, vacuumed
+  * gaps). */
+class LogToLogStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(statsCol: Option[String] = None) = new LogStore(
+    spark, Files.createTempDirectory("graft-l2l").toString + "/tbl",
+    statsCol = statsCol)
+
+  private val xform: org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.DataFrame =
+    df => df.where(col("id") % 2 === 0)
+      .withColumn("doubled", col("id") * 2)
+
+  private def rows(t: LogStore): Set[(Long, Long)] =
+    t.read().select(col("id"), col("doubled"))
+      .as[(Long, Long)].collect().toSet
+
+  private def expect(src: LogStore): Set[(Long, Long)] =
+    xform(src.read()).select(col("id"), col("doubled"))
+      .as[(Long, Long)].collect().toSet
+
+  test("syncLogToLog: N incremental syncs ≡ one batch transform — " +
+      "across replays, restarts (fresh handles) and dataChange=false " +
+      "commits; the fence lives in the target's log") {
+    val src = fresh()
+    val tgt = fresh()
+    src.append((1L to 10L).toDF("id"))                 // v0
+    src.append((11L to 20L).toDF("id"))                // v1
+    assert(StreamingOps.syncLogToLog(src, tgt, xform) == 1L)
+    assert(rows(tgt) == expect(src))
+
+    // replayed sync: fenced no-op — no new target version
+    val tv = tgt.latestVersion()
+    assert(StreamingOps.syncLogToLog(src, tgt, xform) == 1L)
+    assert(tgt.latestVersion() == tv, "a replay must not commit")
+
+    // restart: brand-new handles (no consumer-side state survives),
+    // plus a compaction in the absorbed range (contributes nothing)
+    src.append((21L to 30L).toDF("id"))                // v2
+    src.compact()                                      // v3: no data change
+    val src2 = new LogStore(spark, src.root)
+    val tgt2 = new LogStore(spark, tgt.root)
+    assert(StreamingOps.syncLogToLog(src2, tgt2, xform) == 3L)
+    assert(rows(tgt2) == expect(src2),
+      "incremental across a restart must equal the batch recompute")
+    assert(rows(tgt2) ==
+      (2L to 30L by 2).map(i => (i, i * 2)).toSet)
+  }
+
+  test("logToLogStream: a real StreamingQuery tails commits exactly " +
+      "once, and a LOST Spark checkpoint cannot double-absorb (the " +
+      "fence is table state, not checkpoint state)") {
+    val src = fresh()
+    val tgt = fresh()
+    val ckpt = Files.createTempDirectory("graft-l2l-ck").toString
+    src.append((1L to 10L).toDF("id"))
+    def awaitTarget(want: Set[(Long, Long)]): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+          (tgt.latestVersion() < 0 || rows(tgt) != want))
+        Thread.sleep(100)
+      assert(rows(tgt) == want)
+    }
+    val q = StreamingOps.logToLogStream(spark, src, tgt,
+      s"$ckpt/a", xform, intervalMs = 100L)
+    try {
+      awaitTarget(expect(src))
+      src.append((11L to 20L).toDF("id"))
+      awaitTarget(expect(src))
+    } finally q.stop()
+    // "lose" the checkpoint: restart under a DIFFERENT checkpoint dir
+    // — the rate clock restarts from scratch, the fence does not
+    val nVersions = tgt.latestVersion()
+    val q2 = StreamingOps.logToLogStream(spark, src, tgt,
+      s"$ckpt/b", xform, intervalMs = 100L)
+    try {
+      src.append((21L to 30L).toDF("id"))
+      awaitTarget(expect(src))
+      assert(tgt.latestVersion() == nVersions + 1,
+        "exactly one new target commit for one new source commit — " +
+          "no re-absorption of already-fenced versions")
+    } finally q2.stop()
+  }
+
+  test("the two silent-gap hazards are LOUD: a non-insert change " +
+      "refuses (blind append would corrupt), and a source vacuumed " +
+      "past the cursor refuses (resync, never skip)") {
+    val src = fresh()
+    val tgt = fresh()
+    src.append((1L to 10L).toDF("id"))
+    StreamingOps.syncLogToLog(src, tgt, xform)
+    src.deleteWhere("id = 3")
+    val e = intercept[IllegalStateException] {
+      StreamingOps.syncLogToLog(src, tgt, xform)
+    }
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+
+    val src2 = fresh()
+    val tgt2 = fresh()
+    src2.append((1L to 5L).toDF("id"))                 // v0
+    StreamingOps.syncLogToLog(src2, tgt2, xform)       // cursor = 0
+    src2.append((6L to 9L).toDF("id"))                 // v1
+    src2.compact()                                     // v2
+    src2.vacuum(retainLast = 1, orphanMinAgeMs = 0L)   // horizon = 2
+    val e2 = intercept[IllegalStateException] {
+      StreamingOps.syncLogToLog(src2, tgt2, xform)
+    }
+    assert(e2.getMessage.contains("vacuum"), e2.getMessage)
+  }
+}

@@ -624,6 +624,29 @@ object ScaleStress {
         r.rewritten.toLong)
       System.err.println(s"[scale] ${out.last.json}")
     }
+    // LogStore stats-pruned DELETE cost vs table size — the same
+    // pruning claim as merge, on the delete path: a 100-row range
+    // purge whose bounds hit ONE segment's stats range rewrites that
+    // segment alone, so delete cost must stay ~flat as the table
+    // grows 10× per decade (candidates = segments rewritten, pinned
+    // at 1 whatever the size — the full-table counterfactual of
+    // deleteWhere is nSegs× the rewrite volume).
+    if (only.isEmpty || only.contains("src_log_delete")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-del").toString + "/tbl"
+      val store = new graft.catalog.LogStore(spark, root,
+        statsCol = Some("id"))
+      val nSegs = 10 * scale
+      (0 until nSegs).foreach { i =>
+        store.append(spark.range(i * 1000L, i * 1000L + 1000L)
+          .toDF("id").withColumn("v", lit("a")))
+      }
+      val (sec, r) = time { store.deleteRange("id", "5100", "5200") }
+      require(r.rewritten == 1, s"pruning must hit one segment: $r")
+      out += Measurement("src_log_delete", scale, nSegs.toLong, sec,
+        r.rewritten.toLong)
+      System.err.println(s"[scale] ${out.last.json}")
+    }
     // LogStore OPTIMIZE cost vs table size — the cost ∝ rewritten-
     // bytes claim: the recluster moves every live row exactly once
     // through ONE range shuffle + one partitioned write (never one

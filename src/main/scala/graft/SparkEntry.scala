@@ -1683,6 +1683,35 @@ object SparkEntry {
         .orderBy("_change_type", "lang")
     }),
 
+    "src_deleterange_log" -> ((s, dir) => {
+      // stats-pruned delete: three doc_id-disjoint segments, a range
+      // purge that must rewrite exactly ONE of them (the others carry
+      // over untouched), a provably-empty range that must be a
+      // commit-free no-op, and the feed carrying exactly the deleted
+      // rows — all pinned as literal columns the oracle checks
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-drl").toString + "/tbl"
+      val store = new graft.catalog.LogStore(s, root,
+        statsCol = Some("doc_id"))
+      store.append(docs.where(col("doc_id") < 150))
+      store.append(docs.where(col("doc_id") >= 150 &&
+        col("doc_id") < 300))
+      store.append(docs.where(col("doc_id") >= 300))
+      val r = store.deleteRange("doc_id", "160", "260")
+      val miss = store.deleteRange("doc_id", "1000000", "2000000")
+      store.read().groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .withColumn("del_rewritten", lit(r.rewritten))
+        .withColumn("del_live", lit(r.live))
+        .withColumn("miss_rewritten", lit(miss.rewritten))
+        .withColumn("miss_noop",
+          lit(store.latestVersion() == r.version))
+        .withColumn("feed_deletes",
+          lit(store.readChanges(r.version, r.version).count()))
+        .orderBy("lang")
+    }),
+
     "src_multistats_log" -> ((s, dir) => {
       // multi-column segment stats — the real pruning mix: events
       // quartered into (early/late date) × (low/high user) segments,
@@ -6734,6 +6763,20 @@ object SparkEntry {
         | CAST(CASE WHEN lang = 'en' THEN count(*) ELSE 0 END
         |   AS BIGINT) AS n_v0
         |FROM documents WHERE lang != 'de'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the delete rewrite prunes to the one overlapping segment; the
+    // result is the complement of the purged range, the feed its body
+    "src_deleterange_log" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS chars,
+        | CAST(1 AS INTEGER) AS del_rewritten,
+        | CAST(3 AS INTEGER) AS del_live,
+        | CAST(0 AS INTEGER) AS miss_rewritten,
+        | TRUE AS miss_noop,
+        | (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id BETWEEN 160 AND 260) AS feed_deletes
+        |FROM documents WHERE doc_id NOT BETWEEN 160 AND 260
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // quadrant layout: date+key prune opens 1 of 4, date-only opens 2

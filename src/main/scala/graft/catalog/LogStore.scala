@@ -731,6 +731,65 @@ class LogStore(spark: SparkSession, val root: String,
       cdc = Seq(writeChangeSegment(gone)))
   }
 
+  final case class DeleteResult(version: Long, rewritten: Int, live: Int)
+
+  /** Stats-pruned logical delete — the 100 TB form of [[deleteWhere]]:
+    * remove the rows whose stats column `c` lies in [lo, hi],
+    * rewriting ONLY the live segments whose recorded bounds may
+    * overlap the range — every other segment carries over untouched in
+    * the same commit (the pruning contract of [[merge]], applied to
+    * deletes: a one-day retention purge on a date-clustered 100 TB
+    * table rewrites that day's segments, not the table). Works on any
+    * configured stats column (primary or extra); segments without
+    * bounds for `c` are rewritten (the per-column safe default). Rows
+    * with NULL in `c` never match a range and are always kept. The
+    * deleted rows land in the commit's change segment as `delete`
+    * rows — the same CDF event [[deleteWhere]] emits. A range no
+    * segment can contain is a NO-OP: no rewrite, no commit. */
+  def deleteRange(c: String, lo: String, hi: String): DeleteResult = {
+    import org.apache.spark.sql.functions.{coalesce => fcoalesce,
+      col => fcol, lit => flit, not => fnot}
+    require(statsCol.contains(c) || statsCols.contains(c),
+      s"'$c' is not a configured stats column (statsCol/statsCols)")
+    val v = latestVersion()
+    val live = liveSegmentInfos(v)
+    val touched = live.filter(_.mayOverlapOn(c, lo, hi))
+    if (touched.isEmpty) return DeleteResult(v, 0, live.size)
+    val data = spark.read.option("mergeSchema", "true")
+      .parquet(touched.map(s => s"$root/${s.name}"): _*)
+    val dt = data.schema(c).dataType
+    val cond = fcol(c).between(flit(lo).cast(dt), flit(hi).cast(dt))
+    val kept = data.where(fnot(fcoalesce(cond, flit(false))))
+    val gone = data.where(cond)
+      .withColumn("_change_type", flit("delete"))
+    DeleteResult(
+      commit(v + 1, Seq(writeSegment(kept)), touched.map(_.name),
+        cdc = Seq(writeChangeSegment(gone))),
+      touched.size, live.size)
+  }
+
+  /** Optimistic-retry wrapper for BLIND appends: on a lost commit
+    * race, re-read latest and retry (the paper's retry loop), bounded
+    * by `maxAttempts`. Correct ONLY because a blind append's content
+    * does not depend on the snapshot it lands on; read-modify-write
+    * transactions (merge, optimize, deleteRange) must re-DERIVE from
+    * the new snapshot instead — blindly recommitting those here would
+    * reintroduce exactly the lost updates the version check exists to
+    * prevent, which is why they do not get a retry wrapper. */
+  def appendWithRetry(df: DataFrame, maxAttempts: Int = 5): Long = {
+    require(maxAttempts >= 1, "need at least one attempt")
+    var attempt = 1
+    while (true) {
+      try return append(df)
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Compaction: same rows, one segment — the small-files fix. The
     * snapshot BEFORE compaction remains readable at its version. */
   def compact(): Long = {

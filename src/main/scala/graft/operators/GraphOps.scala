@@ -538,10 +538,15 @@ object GraphOps {
     * count grows strictly until the frontier dies — when a round
     * reaches nobody new, every remaining round is a provable no-op
     * and the loop stops (`iters` stays the hard cap for graphs whose
-    * eccentricity exceeds it). The per-round count is a driver-side
-    * read of the just-checkpointed relation — noise against the
-    * superstep shuffle it saves. (For high-diameter graphs swap in
-    * pointer doubling; web/social corpora sit at diameter ≲ 20.) */
+    * eccentricity exceeds it). The count IS the superstep barrier: the
+    * per-round localCheckpoint is LAZY and the count() materializes
+    * it — one action per round exactly as before, with the fixpoint
+    * signal riding the job that already had to run. With
+    * checkpoint=false there is no per-round barrier to read a signal
+    * from (forcing one would evaluate the uncheckpointed lineage
+    * O(iters²)), so the loop runs the full cap — the old behavior.
+    * (For high-diameter graphs swap in pointer doubling; web/social
+    * corpora sit at diameter ≲ 20.) */
   def shortestHops(edges: DataFrame, seeds: DataFrame,
       iters: Int, checkpoint: Boolean = true): DataFrame = {
     val und = edges
@@ -553,7 +558,7 @@ object GraphOps {
       .localCheckpoint(true)
     var dist = seeds.select(col("node")).distinct()
       .select(col("node"), lit(0L).as("dist"))
-    var reached = dist.count()
+    var reached = -1L
     var round = 0
     var fixed = false
     while (round < iters && !fixed) {
@@ -562,9 +567,14 @@ object GraphOps {
         .select(adj("node"), (col("dist") + lit(1L)).as("dist"))
       dist = dist.union(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      if (checkpoint) dist = dist.localCheckpoint(true)
-      val n = dist.count()
-      if (n == reached) fixed = true else reached = n
+      if (checkpoint) {
+        dist = dist.localCheckpoint(false)
+        // one RDD-level count materializes the lazy checkpoint AND
+        // reads the fixpoint signal — one job per round, no extra
+        // Catalyst query for the signal
+        val n = dist.queryExecution.toRdd.count()
+        if (n == reached) fixed = true else reached = n
+      }
     }
     dist
   }
@@ -627,8 +637,9 @@ object GraphOps {
       .localCheckpoint(true)
     var dist = seeds.select(col("node")).distinct()
       .select(col("node").as("source"), col("node"), lit(0L).as("dist"))
-    // the same fixpoint early exit as shortestHops, per (source, node)
-    var reached = dist.count()
+    // the same lazy-checkpoint-materializing fixpoint early exit as
+    // shortestHops, per (source, node)
+    var reached = -1L
     var round = 0
     var fixed = false
     while (round < iters && !fixed) {
@@ -640,9 +651,11 @@ object GraphOps {
         .union(relaxed)
         .groupBy(col("source"), col("node"))
         .agg(min(col("dist")).as("dist"))
-      if (checkpoint) dist = dist.localCheckpoint(true)
-      val n = dist.count()
-      if (n == reached) fixed = true else reached = n
+      if (checkpoint) {
+        dist = dist.localCheckpoint(false)
+        val n = dist.queryExecution.toRdd.count()
+        if (n == reached) fixed = true else reached = n
+      }
     }
     dist.where(col("dist") > 0)
       .groupBy(col("source"))

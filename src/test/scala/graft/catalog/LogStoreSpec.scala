@@ -838,6 +838,80 @@ class LogStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteRange: a stats-pruned delete rewrites ONLY overlapping " +
+      "segments, misses are commit-free no-ops, NULL key rows always " +
+      "survive, and the feed emits exactly the deleted rows") {
+    val t = new LogStore(spark,
+      Files.createTempDirectory("graft-log").toString + "/tbl",
+      statsCol = Some("id"))
+    t.append((1L to 100L).toDF("id"))
+    t.append((1000L to 1100L).toDF("id"))
+    t.append((5000L to 5100L).toDF("id"))
+    val before = t.liveSegments()
+    val all = (1L to 100L) ++ (1000L to 1100L) ++ (5000L to 5100L)
+    val r = t.deleteRange("id", "1050", "1060")
+    assert(r.rewritten == 1 && r.live == 3,
+      s"only the [1000,1100] segment overlaps: $r")
+    assert(ids(t.read()) == all.toSet -- (1050L to 1060L))
+    // the two untouched segments carried over as THE SAME segments
+    assert(t.liveSegments().toSet.intersect(before.toSet).size == 2,
+      "non-overlapping segments must not be rewritten")
+    // pre-delete snapshot intact; the feed carries exactly the deletes
+    assert(ids(t.read(r.version - 1)) == all.toSet)
+    val ch = t.readChanges(r.version, r.version)
+    assert(ch.select(col("_change_type")).distinct()
+      .as[String].collect().toSeq == Seq("delete"))
+    assert(ids(ch.drop("_change_type", "_commit_version")) ==
+      (1050L to 1060L).toSet)
+    // a range NO segment can contain: no rewrite, no commit at all
+    val miss = t.deleteRange("id", "200", "900")
+    assert(miss.rewritten == 0 && t.latestVersion() == r.version,
+      s"provably-empty delete must be commit-free: $miss")
+    // NULL stats values never match a range — always kept
+    val tn = new LogStore(spark,
+      Files.createTempDirectory("graft-log").toString + "/tbl",
+      statsCol = Some("id"))
+    tn.append(Seq((Option(1L), "a"), (Option.empty[Long], "n"),
+      (Option(150L), "b")).toDF("id", "v"))
+    tn.deleteRange("id", "100", "200")
+    assert(tn.read().select(col("v")).as[String].collect().toSet ==
+      Set("a", "n"), "the NULL-key row must survive")
+    // an unconfigured column refuses loudly
+    intercept[IllegalArgumentException] { t.deleteRange("z", "0", "1") }
+  }
+
+  test("appendWithRetry: a blind append retries through lost commit " +
+      "races and lands; exhaustion rethrows the conflict") {
+    val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
+    @volatile var racesLeft = 0
+    val t: LogStore = new LogStore(spark, dir) {
+      override private[graft] def commit(expected: Long, adds: Seq[Segment],
+          removes: Seq[String], txn: Option[Long],
+          vacuumHorizon: Option[Long], cdc: Seq[String]): Long = {
+        if (racesLeft > 0) {
+          racesLeft -= 1
+          // a racing writer claims the slot with a metadata-only commit
+          val p = new org.apache.hadoop.fs.Path(
+            f"$dir/_log/$expected%08d.json")
+          val rfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val out = rfs.create(p, false)
+          out.write("{\"txn\":999}\n".getBytes("UTF-8"))
+          out.close()
+        }
+        super.commit(expected, adds, removes, txn, vacuumHorizon, cdc)
+      }
+    }
+    t.append((1L to 3L).toDF("id"))          // v0
+    racesLeft = 2
+    val v = t.appendWithRetry((4L to 6L).toDF("id"), maxAttempts = 3)
+    assert(v == 3L, s"two lost races then success: landed at $v")
+    assert(ids(t.read()) == (1L to 6L).toSet)
+    racesLeft = 5
+    intercept[t.ConcurrentCommitException] {
+      t.appendWithRetry((7L to 9L).toDF("id"), maxAttempts = 2)
+    }
+  }
+
   test("merge enforces schema like append: a type-mutated shared " +
       "column is refused loudly and the table is untouched") {
     val t = fresh()

@@ -759,6 +759,48 @@ object SparkEntry {
         .toDF().orderBy("media_id")
     }),
 
+    "mm_decoded_jpeg" -> ((s, dir) => {
+      // LOSSY real-corpus decode: payloads are genuine baseline JPEGs
+      // (DCT + quantization + Huffman + byte stuffing) on the shared
+      // raster geometry. Exact oracle facts: the header dims and
+      // channel count, plus mean_close — the decoded mean within the
+      // DC-quantization error bound (±2) of the relationally-computed
+      // source mean (the mean of a full block depends on DC alone, so
+      // quantized AC noise cannot move it). Pixel-level fidelity
+      // bounds are JpegCodecSpec's.
+      val docs = t(s, dir, "documents")
+      val src = docs
+        .withColumn("btxt", expr("coalesce(text, '')"))
+        .withColumn("n", expr("octet_length(btxt)"))
+        .withColumn("w", expr("8 + n % 57"))
+        .withColumn("h", expr("greatest(CAST(1 AS BIGINT), " +
+          "CAST((n + w - 1) DIV w AS BIGINT))"))
+        .withColumn("sumv", expr("aggregate(split(btxt, ''), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + ascii(x))"))
+        .select(col("doc_id").as("media_id"),
+          ((col("sumv") + lit(32L) * (col("w") * col("h") - col("n")))
+            .cast("double") /
+            (col("w") * col("h")).cast("double")).as("source_mean"))
+      Multimodal.extractJpegFeatures(s,
+          Multimodal.withJpegPayload(docs).join(src, "media_id"))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("channels"), col("mean_close"))
+        .orderBy("media_id")
+    }),
+
+    "mm_resize_pixels" -> ((s, dir) =>
+      // the PIXEL half of resize: decode → aspect-preserving
+      // nearest-neighbor decimation capped at 16 → stats + md5 of the
+      // RESIZED raster. Pure integer source indexing, so the oracle
+      // recomputes the exact resized bytes positionally from the
+      // reconstructed raster string — the output pixels themselves
+      // are hash-checked, not just the plumbing.
+      Multimodal.resizeFeatures(s,
+          Multimodal.withPgmPayload(t(s, dir, "documents")),
+          maxDim = 16)
+        .toDF().orderBy("media_id")),
+
     "mm_decoded_png" -> ((s, dir) => {
       // REAL compressed-image decode: payloads are genuine PNGs
       // (zlib/DEFLATE IDAT, per-row filters, chunk CRCs) synthesized
@@ -5609,6 +5651,55 @@ object SparkEntry {
         | CAST(graysum AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_gray,
         | md5(payload) AS feature_hash
         |FROM f ORDER BY media_id""".stripMargin,
+
+    // JPEG is lossy: the oracle pins the exact header facts and the
+    // DC-bound mean agreement; pixel tolerances live in the spec
+    "mm_decoded_jpeg" ->
+      """WITH t AS (SELECT doc_id AS media_id,
+        |  octet_length(encode(text)) AS n FROM documents),
+        |d AS (SELECT media_id, n, 8 + (n % 57) AS w FROM t),
+        |e AS (SELECT media_id, n, w,
+        |  (greatest(n, 1) + w - 1) // w AS h FROM d)
+        |SELECT media_id, CAST(w AS INTEGER) AS width,
+        | CAST(h AS INTEGER) AS height,
+        | CAST(1 AS INTEGER) AS channels,
+        | TRUE AS mean_close
+        |FROM e ORDER BY media_id""".stripMargin,
+
+    // nearest-neighbor resize, recomputed positionally: out(y,x) =
+    // raster[(y*h//oh)*w + x*w//ow]; dims by the identical
+    // IEEE floor(w * (16/max)) rule, clamped to >= 1
+    "mm_resize_pixels" ->
+      """WITH t AS (SELECT doc_id AS media_id, text,
+        |  octet_length(encode(text)) AS n FROM documents),
+        |d AS (SELECT media_id, text, n, 8 + (n % 57) AS w FROM t),
+        |e AS (SELECT media_id, text, n, w,
+        |  (greatest(n, 1) + w - 1) // w AS h FROM d),
+        |f AS (SELECT media_id, w, h,
+        |  text || repeat(' ', w * h - n) AS raster FROM e),
+        |g AS (SELECT media_id, w, h, raster,
+        |  CASE WHEN greatest(w, h) > 16 THEN greatest(1,
+        |    CAST(FLOOR(CAST(w AS DOUBLE) * (CAST(16 AS DOUBLE) /
+        |      CAST(greatest(w, h) AS DOUBLE))) AS INTEGER))
+        |   ELSE w END AS ow,
+        |  CASE WHEN greatest(w, h) > 16 THEN greatest(1,
+        |    CAST(FLOOR(CAST(h AS DOUBLE) * (CAST(16 AS DOUBLE) /
+        |      CAST(greatest(w, h) AS DOUBLE))) AS INTEGER))
+        |   ELSE h END AS oh FROM f),
+        |r AS (SELECT media_id, w, h, ow, oh,
+        |  array_to_string(list_transform(range(0, ow * oh), p ->
+        |    substr(raster, CAST(((p // ow) * h // oh) * w +
+        |      ((p % ow) * w // ow) AS INTEGER) + 1, 1)), '') AS rz
+        | FROM g)
+        |SELECT media_id, CAST(w AS INTEGER) AS width,
+        | CAST(h AS INTEGER) AS height,
+        | CAST(ow AS INTEGER) AS out_width,
+        | CAST(oh AS INTEGER) AS out_height,
+        | CAST(coalesce(list_sum(list_transform(string_split(rz, ''),
+        |   x -> ord(x))), 0) AS DOUBLE) / CAST(ow * oh AS DOUBLE)
+        |   AS mean_out,
+        | md5(rz) AS out_md5
+        |FROM r ORDER BY media_id""".stripMargin,
 
     // PNG: the oracle rebuilds the DECODED raster (text + space pad on
     // the shared PGM geometry) and recomputes its facts; the container

@@ -455,6 +455,644 @@ object Multimodal {
       }
   }
 
+  final case class JpegImage(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte])
+
+  final case class JpegFeatures(media_id: Long, byte_len: Long,
+      width: Option[Int], height: Option[Int], channels: Option[Int],
+      mean_level: Option[Double], mean_close: Option[Boolean])
+
+  /** Baseline JPEG codec (ITU-T T.81 / ISO 10918-1, public spec):
+    * sequential DCT, 8-bit, grayscale or 4:4:4 YCbCr (no chroma
+    * subsampling), canonical Huffman entropy coding with byte
+    * stuffing — the LOSSY real-corpus format completing the image
+    * seam (PNG covers the lossless one). Pure JVM, no imageio.
+    *
+    * Decode is fully general over its supported profile: DQT/DHT/
+    * SOF0/SOS marker walk, canonical Huffman tables rebuilt from any
+    * DHT (mincode/maxcode/valptr), FF00 unstuffing, DC prediction,
+    * AC run-length, dequantize + dezigzag, separable double-precision
+    * IDCT, level shift + clamp, block-padding crop, JFIF YCbCr→RGB.
+    * Progressive (SOF2), 12-bit, arithmetic coding, subsampled or
+    * restart-interval streams refuse LOUDLY — a decode must never
+    * guess. Encode writes the same profile with FIXED-LENGTH
+    * canonical Huffman tables (all 12 DC size symbols at 4 bits, all
+    * 162 AC symbols at 8 bits — a valid prefix code by the DHT
+    * grammar, chosen over the Annex K optimum because correctness
+    * here beats compression ratio) and edge-replicated block padding.
+    *
+    * Determinism: every transform is fixed-order double arithmetic +
+    * rounding on the JVM — encode∘decode is bit-stable across runs,
+    * so specs can pin exact reconstructions; quantization makes the
+    * roundtrip LOSSY by design (tolerance-asserted, with the all-ones
+    * quant table as the near-lossless control). */
+  object JpegCodec {
+    private val zigzag: Array[Int] = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+    /** The T.81 Annex K.1 example luminance quantizer — the standard
+      * "quality 50" table every tutorial and library ships. */
+    val stdQuant: Array[Int] = Array(
+      16, 11, 10, 16, 24, 40, 51, 61,
+      12, 12, 14, 19, 26, 58, 60, 55,
+      14, 13, 16, 24, 40, 57, 69, 56,
+      14, 17, 22, 29, 51, 87, 80, 62,
+      18, 22, 37, 56, 68, 109, 103, 77,
+      24, 35, 55, 64, 81, 104, 113, 92,
+      49, 64, 78, 87, 103, 121, 120, 101,
+      72, 92, 95, 98, 112, 100, 103, 99)
+
+    /** Near-lossless control table (every step 1): isolates DCT/IDCT
+      * rounding from quantization loss in the specs. */
+    val unitQuant: Array[Int] = Array.fill(64)(1)
+
+    // encode-side fixed-length canonical tables: DC sizes 0..11 at 4
+    // bits (codes 0..11, all-ones 15 unused), AC symbols at 8 bits
+    // (codes 0..161, all-ones 255 unused)
+    private val dcSymbols: Array[Int] = (0 to 11).toArray
+    private val acSymbols: Array[Int] = {
+      val syms = scala.collection.mutable.ArrayBuffer(0x00, 0xf0)
+      for (run <- 0 to 15; size <- 1 to 10) syms += ((run << 4) | size)
+      syms.toArray.sorted
+    }
+    private val dcCode: Map[Int, (Int, Int)] =
+      dcSymbols.zipWithIndex.map { case (s, i) => s -> (i, 4) }.toMap
+    private val acCode: Map[Int, (Int, Int)] =
+      acSymbols.zipWithIndex.map { case (s, i) => s -> (i, 8) }.toMap
+
+    private def fdctQuant(block: Array[Double], quant: Array[Int])
+        : Array[Int] = {
+      // separable forward DCT-II, fixed evaluation order
+      val tmp = new Array[Double](64)
+      val out = new Array[Int](64)
+      var u = 0
+      while (u < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var y = 0
+          while (y < 8) {
+            s += block(x * 8 + y) *
+              math.cos((2 * y + 1) * u * math.Pi / 16)
+            y += 1
+          }
+          tmp(x * 8 + u) = s
+          x += 1
+        }
+        u += 1
+      }
+      var v = 0
+      while (v < 8) {
+        var u2 = 0
+        while (u2 < 8) {
+          var s = 0.0
+          var x = 0
+          while (x < 8) {
+            s += tmp(x * 8 + u2) *
+              math.cos((2 * x + 1) * v * math.Pi / 16)
+            x += 1
+          }
+          val cu = if (u2 == 0) 1.0 / math.sqrt(2) else 1.0
+          val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+          val coeff = 0.25 * cu * cv * s
+          out(v * 8 + u2) =
+            math.round(coeff / quant(v * 8 + u2)).toInt
+          u2 += 1
+        }
+        v += 1
+      }
+      out
+    }
+
+    private def dequantIdct(coefZz: Array[Int], quant: Array[Int])
+        : Array[Int] = {
+      val f = new Array[Double](64)
+      var i = 0
+      while (i < 64) {
+        f(zigzag(i)) = coefZz(i).toDouble * quant(zigzag(i))
+        i += 1
+      }
+      val out = new Array[Int](64)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var v = 0
+          while (v < 8) {
+            var u = 0
+            while (u < 8) {
+              val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+              val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+              s += cu * cv * f(v * 8 + u) *
+                math.cos((2 * x + 1) * u * math.Pi / 16) *
+                math.cos((2 * y + 1) * v * math.Pi / 16)
+              u += 1
+            }
+            v += 1
+          }
+          val p = math.round(s / 4.0 + 128.0).toInt
+          out(y * 8 + x) = math.max(0, math.min(255, p))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    private final class BitWriter {
+      val out = new java.io.ByteArrayOutputStream()
+      private var acc = 0L
+      private var nbits = 0
+      def put(code: Int, len: Int): Unit = {
+        acc = (acc << len) | (code & ((1L << len) - 1))
+        nbits += len
+        while (nbits >= 8) {
+          val b = ((acc >>> (nbits - 8)) & 0xff).toInt
+          out.write(b)
+          if (b == 0xff) out.write(0x00) // byte stuffing
+          nbits -= 8
+        }
+      }
+      def flush(): Unit = if (nbits > 0) put(0x7f, 8 - nbits) // 1-pad
+    }
+
+    private def sizeOf(v: Int): Int = {
+      var m = math.abs(v)
+      var n = 0
+      while (m != 0) { m >>= 1; n += 1 }
+      n
+    }
+
+    /** Encode `pixels` (row-major; 1 = gray, 3 = interleaved RGB) as a
+      * baseline JFIF JPEG with quantizer `quant` (zigzag-natural
+      * order, applied to every component). */
+    def encode(pixels: Array[Byte], width: Int, height: Int,
+        channels: Int = 1, quant: Array[Int] = stdQuant): Array[Byte] = {
+      require(channels == 1 || channels == 3, s"channels $channels")
+      require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
+        "quant must be 64 steps in [1, 255]")
+      require(pixels.length == width * height * channels, "raster size")
+      require(width > 0 && height > 0, "degenerate dims")
+      // component planes, level-shift applied at block fill
+      val planes: Array[Array[Int]] =
+        if (channels == 1)
+          Array(pixels.map(_ & 0xff))
+        else {
+          val y = new Array[Int](width * height)
+          val cb = new Array[Int](width * height)
+          val cr = new Array[Int](width * height)
+          var i = 0
+          while (i < width * height) {
+            val r = pixels(3 * i) & 0xff
+            val g = pixels(3 * i + 1) & 0xff
+            val b = pixels(3 * i + 2) & 0xff
+            y(i) = math.max(0, math.min(255, math.round(
+              0.299 * r + 0.587 * g + 0.114 * b).toInt))
+            cb(i) = math.max(0, math.min(255, math.round(
+              -0.168736 * r - 0.331264 * g + 0.5 * b + 128).toInt))
+            cr(i) = math.max(0, math.min(255, math.round(
+              0.5 * r - 0.418688 * g - 0.081312 * b + 128).toInt))
+            i += 1
+          }
+          Array(y, cb, cr)
+        }
+      val bw = math.ceil(width / 8.0).toInt
+      val bh = math.ceil(height / 8.0).toInt
+      val writer = new BitWriter
+      val lastDc = new Array[Int](channels)
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          var c = 0
+          while (c < channels) {
+            val block = new Array[Double](64)
+            var yy = 0
+            while (yy < 8) {
+              val sy = math.min(height - 1, by * 8 + yy)
+              var xx = 0
+              while (xx < 8) {
+                val sx = math.min(width - 1, bx * 8 + xx)
+                block(yy * 8 + xx) = planes(c)(sy * width + sx) - 128.0
+                xx += 1
+              }
+              yy += 1
+            }
+            val q = fdctQuant(block, quant)
+            // zigzag-order the quantized coefficients
+            val zz = new Array[Int](64)
+            var i = 0
+            while (i < 64) { zz(i) = q(zigzag(i)); i += 1 }
+            val dcDiff = zz(0) - lastDc(c)
+            lastDc(c) = zz(0)
+            val dsz = sizeOf(dcDiff)
+            val (dcode, dlen) = dcCode(dsz)
+            writer.put(dcode, dlen)
+            if (dsz > 0) {
+              val bitsVal =
+                if (dcDiff >= 0) dcDiff else dcDiff + (1 << dsz) - 1
+              writer.put(bitsVal, dsz)
+            }
+            var k = 1
+            while (k < 64) {
+              var run = 0
+              while (k < 64 && zz(k) == 0) { run += 1; k += 1 }
+              if (k == 64) {
+                val (c0, l0) = acCode(0x00) // EOB
+                writer.put(c0, l0)
+              } else {
+                while (run >= 16) {
+                  val (cz, lz) = acCode(0xf0) // ZRL
+                  writer.put(cz, lz)
+                  run -= 16
+                }
+                val v = zz(k)
+                val sz = sizeOf(v)
+                val (ca, la) = acCode((run << 4) | sz)
+                writer.put(ca, la)
+                val bitsVal = if (v >= 0) v else v + (1 << sz) - 1
+                writer.put(bitsVal, sz)
+                k += 1
+              }
+            }
+            c += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      writer.flush()
+      val scan = writer.out.toByteArray
+      // assemble the container
+      val out = new java.io.ByteArrayOutputStream()
+      def u16(v: Int): Unit = { out.write(v >>> 8); out.write(v & 0xff) }
+      def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+      marker(0xd8) // SOI
+      marker(0xdb) // DQT (table 0, 8-bit)
+      u16(2 + 1 + 64)
+      out.write(0x00)
+      zigzag.foreach(z => out.write(quant(z))) // stored in zigzag order
+      marker(0xc0) // SOF0
+      u16(8 + 3 * channels)
+      out.write(8) // precision
+      u16(height); u16(width)
+      out.write(channels)
+      (0 until channels).foreach { c =>
+        out.write(c + 1) // component id
+        out.write(0x11)  // 1x1 sampling — no subsampling
+        out.write(0)     // quant table 0
+      }
+      def dht(clazz: Int, id: Int, lengths: Array[Int],
+          vals: Array[Int]): Unit = {
+        marker(0xc4)
+        u16(2 + 1 + 16 + vals.length)
+        out.write((clazz << 4) | id)
+        lengths.foreach(out.write)
+        vals.foreach(out.write)
+      }
+      val dcLens = Array.tabulate(16)(i => if (i == 3) dcSymbols.length
+        else 0) // all DC symbols at length 4
+      val acLens = Array.tabulate(16)(i => if (i == 7) acSymbols.length
+        else 0) // all AC symbols at length 8
+      dht(0, 0, dcLens, dcSymbols)
+      dht(1, 0, acLens, acSymbols)
+      marker(0xda) // SOS
+      u16(6 + 2 * channels)
+      out.write(channels)
+      (0 until channels).foreach { c =>
+        out.write(c + 1)
+        out.write(0x00) // DC table 0 / AC table 0
+      }
+      out.write(0); out.write(63); out.write(0) // Ss/Se/Ah-Al
+      out.write(scan, 0, scan.length)
+      marker(0xd9) // EOI
+      out.toByteArray
+    }
+
+    private final class Huff(bits: Array[Int], vals: Array[Int]) {
+      // canonical decode tables (T.81 F.2.2.3)
+      val minCode = new Array[Int](17)
+      val maxCode = new Array[Int](17)
+      val valPtr = new Array[Int](17)
+      locally {
+        var code = 0
+        var k = 0
+        var l = 1
+        while (l <= 16) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += bits(l - 1)
+          k += bits(l - 1)
+          maxCode(l) = code - 1
+          if (bits(l - 1) == 0) maxCode(l) = -1
+          code <<= 1
+          l += 1
+        }
+      }
+      def decode(br: BitReader): Int = {
+        var code = br.bit()
+        var l = 1
+        while (l <= 16 && (maxCode(l) < 0 || code > maxCode(l))) {
+          code = (code << 1) | br.bit()
+          l += 1
+        }
+        if (l > 16)
+          throw new IllegalArgumentException(
+            "JPEG decode: invalid huffman code")
+        vals(valPtr(l) + code - minCode(l))
+      }
+    }
+
+    private final class BitReader(data: Array[Byte], var pos: Int) {
+      private var acc = 0
+      private var nbits = 0
+      def bit(): Int = {
+        if (nbits == 0) {
+          if (pos >= data.length)
+            throw new IllegalArgumentException(
+              "JPEG decode: truncated scan")
+          val b = data(pos) & 0xff
+          pos += 1
+          if (b == 0xff) {
+            if (pos >= data.length)
+              throw new IllegalArgumentException(
+                "JPEG decode: truncated scan")
+            val next = data(pos) & 0xff
+            if (next == 0x00) pos += 1 // stuffed byte
+            else throw new IllegalArgumentException(
+              f"JPEG decode: unexpected marker ff$next%02x in scan")
+          }
+          acc = b
+          nbits = 8
+        }
+        nbits -= 1
+        (acc >>> nbits) & 1
+      }
+      def receive(n: Int): Int = {
+        var v = 0
+        var i = 0
+        while (i < n) { v = (v << 1) | bit(); i += 1 }
+        v
+      }
+    }
+
+    private def extend(v: Int, size: Int): Int =
+      if (size == 0) 0
+      else if (v < (1 << (size - 1))) v - (1 << size) + 1
+      else v
+
+    /** Parse a baseline JPEG within the supported profile; throws
+      * IllegalArgumentException on any malformation or unsupported
+      * feature. Returns gray (1ch) or interleaved RGB (3ch). */
+    def decode(payload: Array[Byte]): JpegImage = {
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"JPEG decode: $msg")
+      if (payload.length < 4 || (payload(0) & 0xff) != 0xff ||
+          (payload(1) & 0xff) != 0xd8) fail("bad SOI")
+      var pos = 2
+      def u16(at: Int): Int = {
+        if (at + 1 >= payload.length) fail("truncated")
+        ((payload(at) & 0xff) << 8) | (payload(at + 1) & 0xff)
+      }
+      // a marker segment's declared length, bounds-checked against the
+      // actual payload — a truncation mid-segment fails loudly here
+      // instead of surfacing as a raw index error
+      def seg(at: Int): Int = {
+        val len = u16(at)
+        if (len < 2 || at + len > payload.length)
+          fail("truncated segment")
+        len
+      }
+      val quants = new Array[Array[Int]](4)
+      val dcTabs = new Array[Huff](4)
+      val acTabs = new Array[Huff](4)
+      var width = -1
+      var height = -1
+      var nComp = 0
+      var compQuant: Array[Int] = null
+      var scanStart = -1
+      var compDc: Array[Int] = null
+      var compAc: Array[Int] = null
+      while (scanStart < 0) {
+        if (pos + 1 >= payload.length) fail("no SOS before EOF")
+        if ((payload(pos) & 0xff) != 0xff) fail("lost marker sync")
+        val m = payload(pos + 1) & 0xff
+        pos += 2
+        m match {
+          case 0xd9 => fail("EOI before scan")
+          case 0x01 => () // TEM, no payload
+          case _ if m >= 0xd0 && m <= 0xd7 => () // RSTn, no payload
+          case 0xc0 =>
+            val len = seg(pos)
+            if ((payload(pos + 2) & 0xff) != 8) fail("not 8-bit")
+            height = u16(pos + 3)
+            width = u16(pos + 5)
+            nComp = payload(pos + 7) & 0xff
+            if (nComp != 1 && nComp != 3)
+              fail(s"unsupported component count $nComp")
+            compQuant = new Array[Int](nComp)
+            (0 until nComp).foreach { c =>
+              val samp = payload(pos + 9 + 3 * c) & 0xff
+              if (samp != 0x11)
+                fail("chroma subsampling unsupported (4:4:4 only)")
+              compQuant(c) = payload(pos + 10 + 3 * c) & 0xff
+            }
+            pos += len
+          case 0xc4 =>
+            val len = seg(pos)
+            var p = pos + 2
+            while (p < pos + len) {
+              val tc = (payload(p) & 0xff) >> 4
+              val th = payload(p) & 0x0f
+              val bits = Array.tabulate(16)(i => payload(p + 1 + i) & 0xff)
+              val n = bits.sum
+              if (p + 17 + n > pos + len) fail("DHT overrun")
+              val vals = Array.tabulate(n)(i => payload(p + 17 + i) & 0xff)
+              val h = new Huff(bits, vals)
+              if (tc == 0) dcTabs(th) = h else acTabs(th) = h
+              p += 17 + n
+            }
+            pos += len
+          case 0xdb =>
+            val len = seg(pos)
+            var p = pos + 2
+            while (p < pos + len) {
+              if (((payload(p) & 0xff) >> 4) != 0)
+                fail("16-bit quant tables unsupported")
+              val id = payload(p) & 0x0f
+              val q = new Array[Int](64)
+              var i = 0
+              while (i < 64) {
+                q(zigzag(i)) = payload(p + 1 + i) & 0xff
+                i += 1
+              }
+              quants(id) = q
+              p += 65
+            }
+            pos += len
+          case 0xda =>
+            val len = seg(pos)
+            val ns = payload(pos + 2) & 0xff
+            if (ns != nComp) fail("partial scans unsupported")
+            compDc = new Array[Int](nComp)
+            compAc = new Array[Int](nComp)
+            (0 until ns).foreach { c =>
+              val t = payload(pos + 4 + 2 * c) & 0xff
+              compDc(c) = t >> 4
+              compAc(c) = t & 0x0f
+            }
+            scanStart = pos + len
+          case 0xc1 => fail("extended sequential unsupported")
+          case 0xc2 => fail("progressive JPEG unsupported")
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd |
+              0xce | 0xcf => fail(f"SOF ff$m%02x unsupported")
+          case 0xdd => fail("restart intervals unsupported")
+          case _ =>
+            pos += seg(pos) // APPn/COM/etc: skip
+        }
+      }
+      if (width <= 0 || height <= 0) fail("missing SOF")
+      if (width.toLong * height * nComp > (1L << 30)) fail("too large")
+      (0 until nComp).foreach { c =>
+        if (quants(compQuant(c)) == null) fail("missing quant table")
+        if (dcTabs(compDc(c)) == null || acTabs(compAc(c)) == null)
+          fail("missing huffman table")
+      }
+      val bw = math.ceil(width / 8.0).toInt
+      val bh = math.ceil(height / 8.0).toInt
+      val planes = Array.fill(nComp)(new Array[Int](bw * 8 * bh * 8))
+      val br = new BitReader(payload, scanStart)
+      val lastDc = new Array[Int](nComp)
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          var c = 0
+          while (c < nComp) {
+            val zz = new Array[Int](64)
+            val dsz = dcTabs(compDc(c)).decode(br)
+            if (dsz > 11) fail("bad DC size")
+            lastDc(c) += extend(br.receive(dsz), dsz)
+            zz(0) = lastDc(c)
+            var k = 1
+            while (k < 64) {
+              val rs = acTabs(compAc(c)).decode(br)
+              val run = rs >> 4
+              val sz = rs & 0x0f
+              if (sz == 0) {
+                if (run == 15) k += 16 // ZRL
+                else k = 64            // EOB
+              } else {
+                k += run
+                if (k > 63) fail("AC run overflow")
+                zz(k) = extend(br.receive(sz), sz)
+                k += 1
+              }
+            }
+            val px = dequantIdct(zz, quants(compQuant(c)))
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                planes(c)((by * 8 + yy) * bw * 8 + bx * 8 + xx) =
+                  px(yy * 8 + xx)
+                xx += 1
+              }
+              yy += 1
+            }
+            c += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      // crop the block padding; color-convert if 3 components
+      val out = new Array[Byte](width * height * nComp)
+      val stride = bw * 8
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          if (nComp == 1)
+            out(y * width + x) = planes(0)(y * stride + x).toByte
+          else {
+            val yv = planes(0)(y * stride + x).toDouble
+            val cb = planes(1)(y * stride + x) - 128.0
+            val cr = planes(2)(y * stride + x) - 128.0
+            def clamp(d: Double): Byte =
+              math.max(0, math.min(255, math.round(d).toInt)).toByte
+            out(3 * (y * width + x)) = clamp(yv + 1.402 * cr)
+            out(3 * (y * width + x) + 1) =
+              clamp(yv - 0.344136 * cb - 0.714136 * cr)
+            out(3 * (y * width + x) + 2) = clamp(yv + 1.772 * cb)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      JpegImage(width, height, nComp, out)
+    }
+  }
+
+  /** Synthesize REAL baseline JPEGs from the corpus on the shared PGM
+    * raster geometry — genuinely DCT-coded, quantized, Huffman-packed
+    * bytes on the wire. */
+  def withJpegPayload(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = Option(text).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val w = 8 + (bytes.length % 57)
+        val h = math.max(1, (bytes.length + w - 1) / w)
+        val padded = java.util.Arrays.copyOf(bytes, w * h)
+        java.util.Arrays.fill(padded, bytes.length, w * h, ' '.toByte)
+        (id, JpegCodec.encode(padded, w, h), "image/jpeg")
+      }
+      .toDF("media_id", "payload", "media_type")
+  }
+
+  /** Decode + feature extraction over JPEG payloads, null-not-fail.
+    * JPEG is LOSSY, so the oracle-checkable facts are the exact
+    * header dims plus `mean_close` — whether the decoded mean sits
+    * within the DC-quantization error bound (±2) of the source
+    * raster mean, recomputed here against the same geometry rule the
+    * fixture used. The decoded mean itself rides for inspection. */
+  def extractJpegFeatures(spark: SparkSession, media: DataFrame)
+      : Dataset[JpegFeatures] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"),
+        col("source_mean").cast("double"))
+      .as[(Long, Array[Byte], Double)]
+      .mapPartitions { it =>
+        it.map { case (id, payload, srcMean) =>
+          try {
+            val img = JpegCodec.decode(payload)
+            var sum = 0L
+            var i = 0
+            while (i < img.pixels.length) {
+              sum += img.pixels(i) & 0xff
+              i += 1
+            }
+            val mean = sum.toDouble / img.pixels.length
+            JpegFeatures(id, payload.length.toLong, Some(img.width),
+              Some(img.height), Some(img.channels), Some(mean),
+              Some(math.abs(mean - srcMean) <= 2.0))
+          } catch {
+            case _: IllegalArgumentException =>
+              JpegFeatures(id, payload.length.toLong, None, None, None,
+                None, None)
+          }
+        }
+      }
+  }
+
   /** Attach a binary payload column (here: the UTF-8 bytes of `text` —
     * a stand-in for real image bytes) plus media-type metadata. */
   def withBinaryPayload(documents: DataFrame): DataFrame =
@@ -590,6 +1228,77 @@ object Multimodal {
         .otherwise(w).as("out_width"),
       when(needs, floor(h.cast("double") * scale).cast("int"))
         .otherwise(h).as("out_height"))
+  }
+
+  final case class ResizedFeatures(media_id: Long, width: Int,
+      height: Int, out_width: Int, out_height: Int, mean_out: Double,
+      out_md5: String)
+
+  /** Nearest-neighbor raster resize — the PIXEL half of the resize
+    * stage ([[resizeDims]] plans WHAT to resize to; this does it):
+    * out(y, x) = in((y·h) div oh, (x·w) div ow) — pure integer index
+    * arithmetic, so any engine (and the DuckDB oracle, positionally
+    * over the reconstructed raster string) reproduces the output
+    * bytes EXACTLY. The standard cheap decimation for thumbnail/
+    * feature pipelines; interpolating kernels layer on the same seam. */
+  private[graft] def resizeNearest(pixels: Array[Byte], w: Int, h: Int,
+      ow: Int, oh: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && ow > 0 && oh > 0, "degenerate dims")
+    val out = new Array[Byte](ow * oh)
+    var y = 0
+    while (y < oh) {
+      val sy = (y.toLong * h / oh).toInt
+      var x = 0
+      while (x < ow) {
+        val sx = (x.toLong * w / ow).toInt
+        out(y * ow + x) = pixels(sy * w + sx)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode + RESIZE + feature extraction over grayscale PGM payloads:
+    * the full pixel pipeline through one mapPartitions seam — parse,
+    * aspect-preserving target dims capped at `maxDim` (the identical
+    * floor(w·scale) rule as [[resizeDims]], so the two stages can
+    * never disagree), nearest-neighbor decimation, then mean + md5 of
+    * the RESIZED raster. Every step is integer/IEEE-deterministic, so
+    * the resized bytes are oracle arithmetic, not just plumbing. */
+  def resizeFeatures(spark: SparkSession, media: DataFrame,
+      maxDim: Int): Dataset[ResizedFeatures] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, payload) =>
+          val img = PgmCodec.decode(payload)
+          val needs = math.max(img.width, img.height) > maxDim
+          val scale =
+            maxDim.toDouble / math.max(img.width, img.height).toDouble
+          // clamp to ≥1: a 64x1 banner scaled by 1/4 must stay a row,
+          // not vanish
+          val ow = if (needs)
+            math.max(1, math.floor(img.width.toDouble * scale).toInt)
+          else img.width
+          val oh = if (needs)
+            math.max(1, math.floor(img.height.toDouble * scale).toInt)
+          else img.height
+          val out = resizeNearest(img.pixels, img.width, img.height,
+            ow, oh)
+          var sum = 0L
+          var i = 0
+          while (i < out.length) {
+            sum += out(i) & 0xff
+            i += 1
+          }
+          md.reset()
+          val digest = md.digest(out).map("%02x".format(_)).mkString
+          ResizedFeatures(id, img.width, img.height, ow, oh,
+            sum.toDouble / out.length, digest)
+        }
+      }
   }
 
   /** Frame sampling for video-like media: emit every `step`-th frame

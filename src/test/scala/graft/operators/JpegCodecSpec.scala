@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Multimodal.JpegCodec
+
+/** The baseline JPEG codec's contract: lossy-but-bounded roundtrips
+  * (tight under the unit quantizer, DC-bounded means under the
+  * standard one), exact container facts, bit-stable determinism,
+  * loud refusal of every unsupported profile, and the null-not-fail
+  * Spark seam. */
+class JpegCodecSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def raster(n: Int, seed: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var s = seed
+    var i = 0
+    while (i < n) {
+      s = s * 1103515245 + 12345
+      out(i) = (32 + ((s >>> 16) & 0x3f)).toByte // mid-range, text-like
+      i += 1
+    }
+    out
+  }
+
+  private def maxErr(a: Array[Byte], b: Array[Byte]): Int =
+    a.zip(b).map { case (x, y) =>
+      math.abs((x & 0xff) - (y & 0xff)) }.max
+
+  test("roundtrip bounds: a uniform image survives the standard " +
+      "quantizer within rounding; noise survives the unit quantizer " +
+      "within DCT rounding; dims crop exactly off block padding") {
+    val flat = Array.fill[Byte](20 * 13)(97)
+    val dFlat = JpegCodec.decode(JpegCodec.encode(flat, 20, 13))
+    assert(dFlat.width == 20 && dFlat.height == 13 &&
+      dFlat.channels == 1)
+    assert(maxErr(dFlat.pixels, flat) <= 1,
+      "a constant block is pure DC — only rounding may move it")
+
+    val noisy = raster(18 * 7, seed = 5)
+    val dNoise = JpegCodec.decode(
+      JpegCodec.encode(noisy, 18, 7, quant = JpegCodec.unitQuant))
+    assert(dNoise.width == 18 && dNoise.height == 7)
+    assert(maxErr(dNoise.pixels, noisy) <= 2,
+      "unit quantization isolates DCT/IDCT rounding")
+
+    // standard quantizer on noise: lossy, but the mean of every FULL
+    // block rides the DC coefficient alone
+    val w = 24; val h = 16
+    val img = raster(w * h, seed = 9)
+    val dec = JpegCodec.decode(JpegCodec.encode(img, w, h))
+    def mean(a: Array[Byte]) =
+      a.map(_ & 0xff).sum.toDouble / a.length
+    assert(math.abs(mean(dec.pixels) - mean(img)) <= 2.0,
+      s"DC quantization bounds the mean: ${mean(dec.pixels)} vs " +
+        s"${mean(img)}")
+    // determinism: encode and decode are bit-stable across runs
+    assert(java.util.Arrays.equals(
+      JpegCodec.encode(img, w, h), JpegCodec.encode(img, w, h)))
+    assert(java.util.Arrays.equals(dec.pixels,
+      JpegCodec.decode(JpegCodec.encode(img, w, h)).pixels))
+  }
+
+  test("RGB 4:4:4 roundtrip through the JFIF color transform stays " +
+      "within the transform+DCT rounding budget under unit quant") {
+    val px = raster(11 * 9 * 3, seed = 21)
+    val dec = JpegCodec.decode(
+      JpegCodec.encode(px, 11, 9, channels = 3,
+        quant = JpegCodec.unitQuant))
+    assert(dec.width == 11 && dec.height == 9 && dec.channels == 3)
+    assert(maxErr(dec.pixels, px) <= 4,
+      "YCbCr is a rounded change of basis — small, bounded loss")
+  }
+
+  test("unsupported profiles and malformations refuse loudly") {
+    val good = JpegCodec.encode(raster(16 * 8, 3), 16, 8)
+    def expectFail(bytes: Array[Byte], what: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        JpegCodec.decode(bytes)
+      }
+      assert(e.getMessage.startsWith("JPEG decode:"), s"$what: $e")
+    }
+    expectFail("not a jpeg".getBytes("US-ASCII"), "SOI")
+    expectFail(good.dropRight(12), "truncated scan")
+    // SOF0 -> SOF2: progressive must refuse before anything is parsed
+    val sofAt = {
+      var i = 2
+      while (!((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0))
+        i += 1
+      i
+    }
+    val prog = good.clone(); prog(sofAt + 1) = 0xc2.toByte
+    expectFail(prog, "progressive")
+    // sampling factor 2x2: subsampled streams refuse
+    val sub = good.clone()
+    sub(sofAt + 2 + 7 + 1 + 1) = 0x22.toByte // component 1 sampling
+    expectFail(sub, "subsampling")
+  }
+
+  test("the Spark seam: corpus JPEGs decode to the exact header " +
+      "facts with DC-bounded means; a corrupted payload degrades to " +
+      "a null row") {
+    val texts = Map(1L -> "the quick brown fox jumps over it",
+      2L -> "z" * 120, 3L -> "")
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    def srcMean(text: String): Double = {
+      val b = text.getBytes("UTF-8")
+      val w = 8 + b.length % 57
+      val h = math.max(1, (b.length + w - 1) / w)
+      (b.map(_ & 0xff).sum.toDouble + 32.0 * (w * h - b.length)) /
+        (w * h)
+    }
+    // attach the per-doc source means driver-side (3 rows)
+    val rows = Multimodal.withJpegPayload(docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1),
+        r.getString(2), srcMean(texts(r.getLong(0)))))
+    val withMeans = rows.toSeq
+      .toDF("media_id", "payload", "media_type", "source_mean")
+    val f = Multimodal.extractJpegFeatures(spark, withMeans)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(f(1L).width.contains(8 + 33 % 57) &&
+      f(1L).height.contains(1) && f(1L).channels.contains(1))
+    assert(f(1L).mean_close.contains(true))
+    assert(f(2L).width.contains(8 + 120 % 57) &&
+      f(2L).mean_close.contains(true))
+    assert(f(3L).width.contains(8) && f(3L).height.contains(1),
+      "empty text is one all-pad block")
+    // doc 2 truncated mid-scan: null row, others unaffected
+    val corrupted = rows.map { case (id, p, t, m) =>
+      (id, if (id == 2L) p.take(p.length / 2) else p, t, m)
+    }.toSeq.toDF("media_id", "payload", "media_type", "source_mean")
+    val g = Multimodal.extractJpegFeatures(spark, corrupted)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(g(2L).width.isEmpty && g(2L).mean_close.isEmpty &&
+      g(2L).byte_len > 0)
+    assert(g(1L).width == f(1L).width)
+  }
+}

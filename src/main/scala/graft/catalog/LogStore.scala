@@ -332,6 +332,30 @@ class LogStore(spark: SparkSession, val root: String,
   def liveSegments(version: Long = Long.MaxValue): Seq[String] =
     liveSegmentInfos(version).map(_.name)
 
+  /** TIMESTAMP AS OF resolution — the other half of time travel: the
+    * newest version whose commit file landed at-or-before `tsMillis`.
+    * Version-file modification times ARE commit times and are
+    * nondecreasing in version (commits are sequential), so this is a
+    * backward walk from latest — O(versions newer than ts), the cold
+    * path by construction. A timestamp predating the table refuses
+    * loudly; one behind the vacuum horizon refuses at read time via
+    * the same guard as numeric time travel. */
+  def versionAsOf(tsMillis: Long): Long = {
+    val latest = latestVersion()
+    require(latest >= 0, s"no log at $root")
+    var v = latest
+    while (v >= 0 &&
+        fs.getFileStatus(versionPath(v)).getModificationTime > tsMillis)
+      v -= 1
+    require(v >= 0,
+      s"timestamp $tsMillis predates the table's first commit")
+    v
+  }
+
+  /** Snapshot read at a wall-clock instant ("what did the table say
+    * yesterday 09:00"): [[read]] at [[versionAsOf]]. */
+  def readAsOf(tsMillis: Long): DataFrame = read(versionAsOf(tsMillis))
+
   /** The last stream-transaction id recorded in the log, or
     * Long.MinValue — the replay fence of [[appendStream]] (the
     * paper's `txn` action). Checkpoint-seeded: O(actions since the

@@ -509,6 +509,13 @@ object Multimodal {
       * rounding from quantization loss in the specs. */
     val unitQuant: Array[Int] = Array.fill(64)(1)
 
+    // cos((2x+1)·u·π/16) for x, u in 0..7 — the entire DCT basis; the
+    // inner loops must read a table, not call math.cos 4096× per block
+    private val cosT: Array[Array[Double]] = Array.tabulate(8, 8)(
+      (x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+    private val cNorm: Array[Double] = Array.tabulate(8)(
+      u => if (u == 0) 1.0 / math.sqrt(2) else 1.0)
+
     // encode-side fixed-length canonical tables: DC sizes 0..11 at 4
     // bits (codes 0..11, all-ones 15 unused), AC symbols at 8 bits
     // (codes 0..161, all-ones 255 unused)
@@ -535,8 +542,7 @@ object Multimodal {
           var s = 0.0
           var y = 0
           while (y < 8) {
-            s += block(x * 8 + y) *
-              math.cos((2 * y + 1) * u * math.Pi / 16)
+            s += block(x * 8 + y) * cosT(y)(u)
             y += 1
           }
           tmp(x * 8 + u) = s
@@ -551,13 +557,10 @@ object Multimodal {
           var s = 0.0
           var x = 0
           while (x < 8) {
-            s += tmp(x * 8 + u2) *
-              math.cos((2 * x + 1) * v * math.Pi / 16)
+            s += tmp(x * 8 + u2) * cosT(x)(v)
             x += 1
           }
-          val cu = if (u2 == 0) 1.0 / math.sqrt(2) else 1.0
-          val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
-          val coeff = 0.25 * cu * cv * s
+          val coeff = 0.25 * cNorm(u2) * cNorm(v) * s
           out(v * 8 + u2) =
             math.round(coeff / quant(v * 8 + u2)).toInt
           u2 += 1
@@ -575,24 +578,33 @@ object Multimodal {
         f(zigzag(i)) = coefZz(i).toDouble * quant(zigzag(i))
         i += 1
       }
+      // separable inverse: rows first (u → x), then columns (v → y)
+      val tmp = new Array[Double](64)
+      var v = 0
+      while (v < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var u = 0
+          while (u < 8) {
+            s += cNorm(u) * f(v * 8 + u) * cosT(x)(u)
+            u += 1
+          }
+          tmp(v * 8 + x) = s
+          x += 1
+        }
+        v += 1
+      }
       val out = new Array[Int](64)
       var y = 0
       while (y < 8) {
         var x = 0
         while (x < 8) {
           var s = 0.0
-          var v = 0
-          while (v < 8) {
-            var u = 0
-            while (u < 8) {
-              val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
-              val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
-              s += cu * cv * f(v * 8 + u) *
-                math.cos((2 * x + 1) * u * math.Pi / 16) *
-                math.cos((2 * y + 1) * v * math.Pi / 16)
-              u += 1
-            }
-            v += 1
+          var v2 = 0
+          while (v2 < 8) {
+            s += cNorm(v2) * tmp(v2 * 8 + x) * cosT(y)(v2)
+            v2 += 1
           }
           val p = math.round(s / 4.0 + 128.0).toInt
           out(y * 8 + x) = math.max(0, math.min(255, p))

@@ -838,6 +838,23 @@ class LogStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("timestamp time travel: readAsOf resolves to the newest commit " +
+      "at-or-before the instant; pre-creation timestamps refuse") {
+    val t = fresh()
+    t.append((1L to 3L).toDF("id"))            // v0
+    Thread.sleep(60)
+    val betweenV0andV1 = System.currentTimeMillis()
+    Thread.sleep(60)
+    t.append((4L to 6L).toDF("id"))            // v1
+    Thread.sleep(60)
+    t.deleteWhere("id = 1")                    // v2
+    assert(t.versionAsOf(betweenV0andV1) == 0L)
+    assert(ids(t.readAsOf(betweenV0andV1)) == (1L to 3L).toSet)
+    assert(ids(t.readAsOf(System.currentTimeMillis())) ==
+      (2L to 6L).toSet, "a now-timestamp reads the latest snapshot")
+    intercept[IllegalArgumentException] { t.versionAsOf(1000L) }
+  }
+
   test("deleteRange: a stats-pruned delete rewrites ONLY overlapping " +
       "segments, misses are commit-free no-ops, NULL key rows always " +
       "survive, and the feed emits exactly the deleted rows") {

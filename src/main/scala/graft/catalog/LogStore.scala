@@ -923,6 +923,34 @@ class LogStore(spark: SparkSession, val root: String,
       "vacuum_horizon", "operation")
   }
 
+  /** DESCRIBE DETAIL — the one-row operational snapshot every
+    * transactional table owes its operators (the companion of
+    * [[describeHistory]]'s per-version audit): current version, live
+    * segment count and physical bytes, how many segments carry
+    * skipping stats / Bloom filters (the pruning-readiness numbers a
+    * 100 TB operator actually watches — a table whose writes predate
+    * the stats config prunes nothing), the vacuum horizon, the newest
+    * checkpoint and the last stream txn. O(live segments) filesystem
+    * summaries — an ops command, never on the read path. */
+  def describeDetail(): DataFrame = {
+    import spark.implicits._
+    val latest = latestVersion()
+    require(latest >= 0, s"no log at $root")
+    val st = replayTo(latest)
+    val segs = st.live.values.toSeq
+    val bytes = segs.map(s =>
+      fs.getContentSummary(new Path(s"$root/${s.name}")).getLength).sum
+    Seq((root, latest, segs.size.toLong, bytes,
+      segs.count(s => s.min.nonEmpty || s.extra.nonEmpty).toLong,
+      segs.count(_.bloom.nonEmpty).toLong,
+      st.vacuumHorizon,
+      latestCheckpointAtOrBelow(latest).getOrElse(-1L),
+      if (st.maxTxn == Long.MinValue) -1L else st.maxTxn))
+      .toDF("location", "version", "n_segments", "total_bytes",
+        "n_with_stats", "n_with_bloom", "vacuum_horizon",
+        "last_checkpoint", "last_txn")
+  }
+
   /** RESTORE the table to the content of an earlier `version` — the
     * Delta RESTORE semantics: rollback is a NEW forward commit whose
     * actions re-add the segments live at `version` and remove the

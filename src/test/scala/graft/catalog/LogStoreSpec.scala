@@ -838,6 +838,37 @@ class LogStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("describeDetail: the one-row ops snapshot carries the live " +
+      "layout, pruning readiness, horizon, checkpoint and txn fence") {
+    val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
+    val t = new LogStore(spark, dir, statsCol = Some("id"),
+      bloomCol = Some("k"), checkpointInterval = 2)
+    def seg(r: Range) = r.map(i => (i.toLong, s"k$i")).toDF("id", "k")
+    t.append(seg(1 to 10))                        // v0
+    t.appendStream(seg(11 to 20), batchId = 5L)   // v1 (+checkpoint)
+    t.append(seg(21 to 30))                       // v2
+    t.vacuum(retainLast = 2)                      // v3: horizon 1
+    val d = t.describeDetail().collect().head
+    assert(d.getAs[String]("location") == dir)
+    assert(d.getAs[Long]("version") == 3L)
+    assert(d.getAs[Long]("n_segments") == 3L)
+    assert(d.getAs[Long]("total_bytes") > 0L)
+    assert(d.getAs[Long]("n_with_stats") == 3L &&
+      d.getAs[Long]("n_with_bloom") == 3L,
+      "every segment carries its skipping metadata")
+    assert(d.getAs[Long]("vacuum_horizon") == 1L)
+    assert(d.getAs[Long]("last_checkpoint") == 2L)
+    assert(d.getAs[Long]("last_txn") == 5L)
+    // a stats-less table reports zero pruning readiness, not a lie
+    val plain = fresh()
+    plain.append((1L to 3L).toDF("id"))
+    val p = plain.describeDetail().collect().head
+    assert(p.getAs[Long]("n_with_stats") == 0L &&
+      p.getAs[Long]("n_with_bloom") == 0L &&
+      p.getAs[Long]("last_txn") == -1L &&
+      p.getAs[Long]("vacuum_horizon") == -1L)
+  }
+
   test("timestamp time travel: readAsOf resolves to the newest commit " +
       "at-or-before the instant; pre-creation timestamps refuse") {
     val t = fresh()

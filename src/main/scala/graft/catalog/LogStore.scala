@@ -1075,6 +1075,76 @@ class LogStore(spark: SparkSession, val root: String,
       touched.size, live.size)
   }
 
+  /** Apply a NET keyed change set — `upserts` replace-or-insert by
+    * `keyCol`, `deleteKeys` remove — in ONE fenced commit: the
+    * consumer side of keyed CDC mirroring
+    * ([[graft.streaming.StreamingOps.mirrorLogToLog]]), where a batch
+    * of absorbed source commits must land atomically (readers see the
+    * whole batch or none) and exactly once (`batchId` rides the same
+    * txn fence as [[appendStream]]; a replay returns -1 and changes
+    * nothing). Copy-on-write is stats-pruned over the UNION of upsert
+    * and delete key ranges when `keyCol` is the stats column — the
+    * same one-segment economics as [[merge]]/[[deleteRange]]. The
+    * commit writes its own truthful cdc segment (pre/post images,
+    * inserts, deletes), so mirrors can themselves be mirrored.
+    * `upserts` must be key-unique and disjoint from `deleteKeys` — a
+    * NET change set cannot say both. */
+  def applyChanges(upserts: DataFrame, deleteKeys: DataFrame,
+      keyCol: String, batchId: Long): Long = {
+    import org.apache.spark.sql.functions.{col => fcol, count => fcount,
+      lit => flit, max => fmax, min => fmin}
+    if (batchId <= lastTxn()) return -1L
+    val dup = upserts.groupBy(fcol(keyCol))
+      .agg(fcount(flit(1)).as("n")).where(fcol("n") > 1).limit(1)
+      .collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"upserts are not unique on '$keyCol' — ambiguous change set")
+    val dels = deleteKeys.select(fcol(keyCol)).distinct()
+    if (upserts.join(dels, Seq(keyCol), "left_semi").limit(1)
+        .collect().nonEmpty)
+      throw new IllegalArgumentException(
+        s"a key appears in both upserts and deletes — not a NET set")
+    val v = latestVersion()
+    enforceSchema(upserts, v)
+    val live =
+      if (v < 0) Seq.empty[Segment] else liveSegmentInfos(v)
+    val allKeys = upserts.select(fcol(keyCol)).unionByName(dels)
+    val touched =
+      if (live.isEmpty) Seq.empty[Segment]
+      else if (statsCol.contains(keyCol)) {
+        val b = allKeys.agg(fmin(fcol(keyCol)).cast("string"),
+          fmax(fcol(keyCol)).cast("string")).head()
+        if (b.isNullAt(0)) Seq.empty[Segment]
+        else live.filter(_.mayOverlap(b.getString(0), b.getString(1)))
+      } else live
+    val touchedData =
+      if (touched.isEmpty) upserts.limit(0)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(touched.map(s => s"$root/${s.name}"): _*)
+    val survivors = touchedData
+      .join(allKeys, Seq(keyCol), "left_anti")
+    val rewritten = survivors.unionByName(upserts,
+      allowMissingColumns = true)
+    val upsertKeys = upserts.select(fcol(keyCol))
+    val matched = touchedData.select(fcol(keyCol))
+      .join(upsertKeys, Seq(keyCol), "left_semi")
+    val changes = touchedData
+      .join(upsertKeys, Seq(keyCol), "left_semi")
+      .withColumn("_change_type", flit("update_preimage"))
+      .unionByName(upserts.join(matched, Seq(keyCol), "left_semi")
+        .withColumn("_change_type", flit("update_postimage")),
+        allowMissingColumns = true)
+      .unionByName(upserts.join(matched, Seq(keyCol), "left_anti")
+        .withColumn("_change_type", flit("insert")),
+        allowMissingColumns = true)
+      .unionByName(touchedData.join(dels, Seq(keyCol), "left_semi")
+        .withColumn("_change_type", flit("delete")),
+        allowMissingColumns = true)
+    commit(v + 1, Seq(writeSegment(rewritten)), touched.map(_.name),
+      txn = Some(batchId), cdc = Seq(writeChangeSegment(changes)))
+  }
+
   final case class VacuumResult(version: Long, deleted: Seq[String])
 
   /** Physical cleanup behind a retention horizon. After

@@ -970,6 +970,80 @@ object StreamingOps {
     latest
   }
 
+  /** Collapse a multi-version change feed to its NET per-key effect:
+    * the newest event per key wins, and within one commit an
+    * insert/postimage outranks a preimage/delete (a restore's
+    * delete+reinsert churn of an unchanged row nets to the row — the
+    * fold rule "removals before additions within a version", applied
+    * per key). Returns (upserts — final row per surviving changed
+    * key, feed columns stripped; deleteKeys — keys whose final event
+    * is a delete). One key-partitioned window over O(changed rows).
+    * A preimage can never be a key's final event alone: its commit
+    * wrote the matching postimage at higher rank. */
+  def netChanges(changes: DataFrame, keyCol: String)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = changes.withColumn("_net_rank",
+      when(col("_change_type").isin("insert", "update_postimage"),
+        lit(2)).otherwise(lit(1)))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("_commit_version").desc, col("_net_rank").desc)
+    val top = ranked.withColumn("_net_rn", row_number().over(w))
+      .where(col("_net_rn") === 1)
+    (top.where(col("_net_rank") === 2)
+      .drop("_change_type", "_commit_version", "_net_rank", "_net_rn"),
+      top.where(col("_net_rank") === 1 &&
+          col("_change_type") === "delete")
+        .select(col(keyCol)))
+  }
+
+  /** One micro-batch of KEYED CDC mirroring — the general form of
+    * [[syncLogToLog]] for sources that delete, merge and restore, not
+    * just append: the source's change feed past the cursor is
+    * collapsed to its net per-key effect ([[netChanges]]) and applied
+    * to the target in ONE fenced commit
+    * ([[graft.catalog.LogStore.applyChanges]]), so after every sync
+    * the target's content EQUALS the source snapshot it has reached —
+    * exactly-once across restarts/replays (the cursor is the target's
+    * txn fence), atomic per batch, O(changed rows) per sync, and the
+    * target emits its own truthful feed (mirrors can be mirrored).
+    * A source vacuumed past the cursor refuses loudly via
+    * readChanges' horizon guard — resync from a snapshot, never skip.
+    * Returns the source version now absorbed (-1 = empty source). */
+  def mirrorLogToLog(source: graft.catalog.LogStore,
+      target: graft.catalog.LogStore, keyCol: String): Long = {
+    val last = math.max(target.lastTxn(), -1L)
+    val latest = source.latestVersion()
+    if (latest <= last) return last
+    val (upserts, deleteKeys) =
+      netChanges(source.readChanges(last + 1, latest), keyCol)
+    if (target.applyChanges(upserts, deleteKeys, keyCol,
+        batchId = latest) < 0)
+      throw new IllegalStateException(
+        s"target fence moved concurrently past $latest — two mirror " +
+          "drivers on one target")
+    latest
+  }
+
+  /** Continuous keyed mirroring as a StreamingQuery — the
+    * [[logToLogStream]] wiring with [[mirrorLogToLog]] as the batch
+    * body: same rate-source clock, same disposable Spark checkpoint
+    * (all progress state is the target's txn fence). */
+  def mirrorLogToLogStream(spark: SparkSession,
+      source: graft.catalog.LogStore, target: graft.catalog.LogStore,
+      keyCol: String, checkpointDir: String,
+      intervalMs: Long = 500L): StreamingQuery =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", 1).load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(intervalMs))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        mirrorLogToLog(source, target, keyCol); ()
+      }
+      .start()
+
   /** The LogStore-as-streaming-source wiring: a continuous
     * StreamingQuery that tails source-table commits and lands each
     * batch of new ones in the target table, exactly once, through

@@ -98,6 +98,57 @@ class LogToLogStreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("mirrorLogToLog: the target tracks a source through appends, " +
+      "merges, deletes and RESTORE — content-equal after every sync, " +
+      "atomic per batch, replay-fenced, and itself mirrorable") {
+    val src = fresh(statsCol = Some("id"))
+    val tgt = fresh(statsCol = Some("id"))
+    def rowsOf(t: LogStore) = t.read().select(col("id"), col("v"))
+      .as[(Long, String)].collect().toSet
+    def sync() = StreamingOps.mirrorLogToLog(src, tgt, "id")
+
+    src.append(Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "v"))
+    sync()
+    assert(rowsOf(tgt) == rowsOf(src))
+
+    // one batch absorbing a merge AND a delete, netted per key
+    src.merge(Seq((2L, "B"), (9L, "c")).toDF("id", "v"), "id") // v1
+    src.deleteWhere("id = 1")                                  // v2
+    sync()
+    assert(rowsOf(tgt) == rowsOf(src))
+    assert(rowsOf(tgt) == Set(2L -> "B", 3L -> "b", 9L -> "c"))
+
+    // insert-then-delete inside one batch nets to ABSENT; a restore's
+    // delete+reinsert churn nets to the surviving rows
+    src.append(Seq((50L, "t")).toDF("id", "v"))                // v3
+    src.deleteWhere("id = 50")                                 // v4
+    src.restore(2)                                             // v5
+    sync()
+    assert(rowsOf(tgt) == rowsOf(src),
+      "mirror must survive churn and rollback in one net batch")
+
+    // replay: fenced no-op — no new target commit
+    val tv = tgt.latestVersion()
+    sync()
+    assert(tgt.latestVersion() == tv)
+
+    // the mirror's own feed is truthful: a SECOND-order mirror of the
+    // target converges to the same content
+    val tgt2 = fresh(statsCol = Some("id"))
+    StreamingOps.mirrorLogToLog(tgt, tgt2, "id")
+    assert(rowsOf(tgt2) == rowsOf(tgt))
+
+    // applyChanges refuses non-NET sets loudly
+    intercept[IllegalArgumentException] {
+      tgt.applyChanges(Seq((2L, "x")).toDF("id", "v"),
+        Seq(Tuple1(2L)).toDF("id"), "id", batchId = 999L)
+    }
+    intercept[IllegalArgumentException] {
+      tgt.applyChanges(Seq((7L, "x"), (7L, "y")).toDF("id", "v"),
+        Seq.empty[Tuple1[Long]].toDF("id"), "id", batchId = 999L)
+    }
+  }
+
   test("the two silent-gap hazards are LOUD: a non-insert change " +
       "refuses (blind append would corrupt), and a source vacuumed " +
       "past the cursor refuses (resync, never skip)") {

@@ -1829,6 +1829,54 @@ object SparkEntry {
             store.read().count()))
     }),
 
+    "src_optimize_where" -> ((s, dir) => {
+      // SUBSET OPTIMIZE — the 100 TB form of the weekly maintenance
+      // command: six segments (a healthy low range, four
+      // hash-sliced ones spanning [100, 400) whose stats prune
+      // nothing, a healthy high range), then optimizeWhere
+      // re-clusters ONLY the middle range. Pinned: 4 rewritten / 2
+      // carried over as the SAME segments (by name), the probe's
+      // skip improves inside the selected range, zero feed rows
+      // (dataChange=false), snapshot invariance, and a
+      // provably-empty selection is a commit-free no-op.
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-optw").toString + "/tbl"
+      val store = new graft.catalog.LogStore(s, root,
+        statsCol = Some("doc_id"))
+      store.append(docs.where(col("doc_id") < 100))
+      (0 until 4).foreach(i => store.append(
+        docs.where(col("doc_id") >= 100 && col("doc_id") < 400 &&
+          pmod(col("doc_id"), lit(4)) === i)))
+      store.append(docs.where(col("doc_id") >= 400))
+      val keepNames = store.liveSegmentInfos()
+        .filterNot(_.mayOverlapOn("doc_id", "100", "399"))
+        .map(_.name).toSet
+      val (_, preScanned, _) = store.readRangeOn("doc_id", "200", "260")
+      val r = store.optimizeWhere(4, Seq(("doc_id", "100", "399")),
+        clusterBy = Seq(col("doc_id")))
+      val (_, postScanned, _) = store.readRangeOn("doc_id", "200", "260")
+      val afterNames = store.liveSegmentInfos().map(_.name).toSet
+      val vTop = store.latestVersion()
+      val miss = store.optimizeWhere(2, Seq(("doc_id", "900000", "999999")))
+      store.read().groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .withColumn("rewritten", lit(r.rewritten))
+        .withColumn("carried", lit(r.carried))
+        .withColumn("produced", lit(r.produced))
+        .withColumn("pre_scanned", lit(preScanned))
+        .withColumn("carried_same", lit(keepNames.subsetOf(afterNames)))
+        .withColumn("optimize_improves_skip",
+          lit(postScanned < preScanned))
+        .withColumn("feed_rows",
+          lit(store.readChanges(r.version, r.version).count()))
+        .withColumn("snapshot_invariant",
+          lit(store.read(r.version - 1).count() == store.read().count()))
+        .withColumn("noop_pinned",
+          lit(miss.rewritten == 0 && store.latestVersion() == vTop))
+        .orderBy("lang")
+    }),
+
     "src_bucketed_join" -> ((s, dir) => {
       // the storage-layout half of the 100 TB join strategy, end to
       // end: orders and lineitem co-bucketed on the order key at write
@@ -6905,6 +6953,25 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 100 AND 400
         |  AND l_partkey BETWEEN 100 AND 400""".stripMargin,
+
+    // subset optimize is layout-only: the oracle is the plain
+    // aggregate plus the pinned selection literals (4 of 6 segments
+    // rewritten into 4, 2 carried by name, probe opens 4 before,
+    // strictly fewer after, silent feed, invariant snapshot, free
+    // no-op on an empty selection)
+    "src_optimize_where" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS chars,
+        | CAST(4 AS INTEGER) AS rewritten,
+        | CAST(2 AS INTEGER) AS carried,
+        | CAST(4 AS INTEGER) AS produced,
+        | CAST(4 AS INTEGER) AS pre_scanned,
+        | TRUE AS carried_same,
+        | TRUE AS optimize_improves_skip,
+        | CAST(0 AS BIGINT) AS feed_rows,
+        | TRUE AS snapshot_invariant,
+        | TRUE AS noop_pinned
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // bucketing is plan-layout only — the oracle is the plain join+agg
     "src_bucketed_join" ->

@@ -134,6 +134,18 @@ class LogStore(spark: SparkSession, val root: String,
     * predicate to open all segments. `num` records whether the bounds
     * compare numerically (stored as strings either way, so the log
     * format stays line-oriented). */
+  /** Exact numeric bound compare — BigDecimal, so pruning stays
+    * correct at 64-bit integer extremes (String.toDouble rounds past
+    * 2^53, and a rounding-induced false non-overlap on the WRITE path
+    * — deleteRange, applyChanges — would let rows that should be
+    * rewritten silently survive). NaN/Infinity spellings (a double
+    * stats column's legal extremes) fall back to IEEE compare, where
+    * they are exact by definition. */
+  private def numLe(a: String, b: String): Boolean =
+    try BigDecimal(a) <= BigDecimal(b)
+    catch { case _: NumberFormatException =>
+      java.lang.Double.parseDouble(a) <= java.lang.Double.parseDouble(b) }
+
   final case class Segment(name: String, min: Option[String],
       max: Option[String], num: Boolean,
       bloom: Option[String] = None,
@@ -143,7 +155,7 @@ class LogStore(spark: SparkSession, val root: String,
       * strictly an optimization). */
     def mayOverlap(lo: String, hi: String): Boolean = (min, max) match {
       case (Some(mn), Some(mx)) =>
-        if (num) mn.toDouble <= hi.toDouble && mx.toDouble >= lo.toDouble
+        if (num) numLe(mn, hi) && numLe(lo, mx)
         else mn <= hi && mx >= lo
       case _ => true
     }
@@ -162,7 +174,7 @@ class LogStore(spark: SparkSession, val root: String,
     def mayOverlapOn(c: String, lo: String, hi: String): Boolean =
       boundsOf(c) match {
         case Some((mn, mx, n)) =>
-          if (n) mn.toDouble <= hi.toDouble && mx.toDouble >= lo.toDouble
+          if (n) numLe(mn, hi) && numLe(lo, mx)
           else mn <= hi && mx >= lo
         case None => true
       }
@@ -683,6 +695,19 @@ class LogStore(spark: SparkSession, val root: String,
       txn = Some(batchId))
   }
 
+  /** Advance the stream-txn fence WITHOUT a data segment — the
+    * zero-rows twin of [[appendStream]] for micro-batches that carry
+    * nothing (a sync absorbing only dataChange=false source commits:
+    * compaction, optimize, vacuum). The cursor moves in one txn-only
+    * commit, no parquet write, no junk empty segment accumulating in
+    * the target, and readChanges classifies the commit as contributing
+    * nothing (no adds, no cdc). Same fencing contract: a replay
+    * returns -1 and changes nothing. */
+  def commitFence(batchId: Long): Long = {
+    if (batchId <= lastTxn()) return -1L
+    commit(latestVersion() + 1, Nil, Nil, txn = Some(batchId))
+  }
+
   /** Write a CHANGE-DATA segment (rows + their `_change_type`) —
     * published by the `cdc` action, invisible to snapshot reads. */
   private def writeChangeSegment(df: DataFrame): String = {
@@ -823,7 +848,7 @@ class LogStore(spark: SparkSession, val root: String,
   }
 
   final case class OptimizeResult(version: Long, rewritten: Int,
-      produced: Int)
+      produced: Int, carried: Int = 0)
 
   /** OPTIMIZE — the periodic maintenance command a 100 TB table runs
     * weekly: rewrite the live segment set into `targetSegments`
@@ -860,17 +885,27 @@ class LogStore(spark: SparkSession, val root: String,
     * 2-number agg per segment. */
   def optimize(targetSegments: Int, clusterBy: org.apache.spark.sql.Column*)
       : OptimizeResult = {
-    import org.apache.spark.sql.functions.{col => fcol, spark_partition_id}
     require(targetSegments >= 1, "targetSegments must be positive")
     val v = latestVersion()
     val old = liveSegments(v)
     val data = read(v)
+    val adds = rewriteClustered(data, targetSegments, clusterBy)
+    OptimizeResult(commit(v + 1, adds, old), old.size, adds.size)
+  }
+
+  /** The clustered-rewrite kernel shared by [[optimize]] and
+    * [[optimizeWhere]]: one range shuffle (or round-robin when no
+    * cluster key) across `data` and ONE partitioned parquet write —
+    * every bucket lands as its own directory in a single pass, never
+    * one filtered scan per output segment — then each bucket renamed
+    * into place and its stats read back. Returns the add actions;
+    * nothing is published until the caller commits. */
+  private def rewriteClustered(data: DataFrame, targetSegments: Int,
+      clusterBy: Seq[org.apache.spark.sql.Column]): Seq[Segment] = {
+    import org.apache.spark.sql.functions.spark_partition_id
     val arranged =
       if (clusterBy.isEmpty) data.repartition(targetSegments)
       else data.repartitionByRange(targetSegments, clusterBy: _*)
-    // one pass: every range bucket written as its own directory via a
-    // partitioned write on the (constant-per-task) partition id, then
-    // each bucket directory renamed into place as a segment
     val tmpName = s"opt-${java.util.UUID.randomUUID().toString.take(12)}"
     val tmp = s"$root/_$tmpName"
     arranged.withColumn("_opt_bucket", spark_partition_id())
@@ -885,7 +920,103 @@ class LogStore(spark: SparkSession, val root: String,
       segmentMeta(name, data.columns)
     }
     fs.delete(new Path(tmp), true)
-    OptimizeResult(commit(v + 1, adds, old), old.size, adds.size)
+    adds
+  }
+
+  /** Physical size of one live segment directory — an ops-command
+    * helper (never on the read path): one filesystem summary call. */
+  private def segmentBytes(s: Segment): Long =
+    fs.getContentSummary(new Path(s"$root/${s.name}")).getLength
+
+  /** SUBSET OPTIMIZE — the form the weekly maintenance command must
+    * take on a 100 TB table, where a full-table rewrite
+    * ([[optimize]]) is not a command, it's an outage: rewrite ONLY
+    * the live segments that need it, carrying every other segment
+    * over untouched (the same segments, by name) in the same commit —
+    * the pruning contract [[deleteRange]] and [[mergeKeyed]] already
+    * follow, applied to layout maintenance. Cost ∝ SELECTED bytes,
+    * never table bytes.
+    *
+    * Selection is the intersection of the selectors given (at least
+    * one required):
+    *  - `preds` (col, lo, hi)*: segments whose recorded stats may
+    *    overlap EVERY predicate — "re-cluster this key range / this
+    *    day". Columns must be configured stats columns; segments
+    *    without bounds for a column are selected for it (the safe
+    *    default — an unknown segment may need the rewrite).
+    *  - `minSegmentBytes` > 0: segments physically smaller than the
+    *    threshold — "fix the small files", Delta's OPTIMIZE file
+    *    filter. Sizing is one filesystem summary per candidate,
+    *    driver-side, ops-command economics.
+    *
+    * An empty selection is a commit-free NO-OP (version unchanged) —
+    * running maintenance on a healthy table must cost nothing.
+    * Everything else matches [[optimize]]: snapshot-invariant single
+    * commit, dataChange=false in the feed, read-modify-write
+    * concurrency (a racing append surfaces as
+    * [[ConcurrentCommitException]], never a lost row). */
+  def optimizeWhere(targetSegments: Int,
+      preds: Seq[(String, String, String)] = Nil,
+      minSegmentBytes: Long = 0L,
+      clusterBy: Seq[org.apache.spark.sql.Column] = Nil)
+      : OptimizeResult = {
+    require(targetSegments >= 1, "targetSegments must be positive")
+    require(preds.nonEmpty || minSegmentBytes > 0L,
+      "subset optimize needs a selector: stats predicates and/or a " +
+        "small-segment byte threshold (optimize() is the full rewrite)")
+    preds.foreach { case (c, _, _) =>
+      require(statsCol.contains(c) || statsCols.contains(c),
+        s"'$c' is not a configured stats column (statsCol/statsCols)")
+    }
+    val v = latestVersion()
+    val live = liveSegmentInfos(v)
+    val selected = live.filter { s =>
+      preds.forall { case (c, lo, hi) => s.mayOverlapOn(c, lo, hi) } &&
+      (minSegmentBytes <= 0L || segmentBytes(s) < minSegmentBytes)
+    }
+    if (selected.isEmpty)
+      return OptimizeResult(v, 0, 0, carried = live.size)
+    val data = spark.read.option("mergeSchema", "true")
+      .parquet(selected.map(s => s"$root/${s.name}"): _*)
+    val adds = rewriteClustered(data, targetSegments, clusterBy)
+    OptimizeResult(
+      commit(v + 1, adds, selected.map(_.name)),
+      selected.size, adds.size, carried = live.size - selected.size)
+  }
+
+  final case class MaintainResult(triggered: Boolean, smallBefore: Int,
+      result: Option[OptimizeResult])
+
+  /** Auto bin-pack policy — the hands-off wrapper a streaming ingest
+    * (one small segment per micro-batch) needs: when the number of
+    * live segments under `minSegmentBytes` reaches
+    * `smallSegmentLimit`, run a size-selected [[optimizeWhere]] that
+    * bin-packs JUST those segments into ceil(smallBytes /
+    * maxSegmentBytes) outputs (re-clustered on `clusterBy` when
+    * given), carrying every healthy segment over untouched. Below the
+    * threshold it is a commit-free no-op, so calling it after every
+    * ingest batch is safe — the table's segment count stays bounded
+    * at O(smallSegmentLimit + bigSegments) forever. The same
+    * small-count rides in [[describeDetail]]'s readiness numbers. */
+  def maintainLayout(minSegmentBytes: Long, smallSegmentLimit: Int = 8,
+      maxSegmentBytes: Long = 128L << 20,
+      clusterBy: Seq[org.apache.spark.sql.Column] = Nil)
+      : MaintainResult = {
+    require(minSegmentBytes > 0L, "minSegmentBytes must be positive")
+    require(smallSegmentLimit >= 2,
+      "a limit below 2 would rewrite after every append")
+    require(maxSegmentBytes >= minSegmentBytes,
+      "maxSegmentBytes must be at least minSegmentBytes")
+    val v = latestVersion()
+    if (v < 0) return MaintainResult(triggered = false, 0, None)
+    val live = liveSegmentInfos(v)
+    val small = live.map(segmentBytes).filter(_ < minSegmentBytes)
+    if (small.size < smallSegmentLimit)
+      return MaintainResult(triggered = false, small.size, None)
+    val outs = math.max(1L,
+      (small.sum + maxSegmentBytes - 1) / maxSegmentBytes).toInt
+    MaintainResult(triggered = true, small.size,
+      Some(optimizeWhere(outs, Nil, minSegmentBytes, clusterBy)))
   }
 
   /** DESCRIBE HISTORY — the operations audit every transactional
@@ -930,25 +1061,29 @@ class LogStore(spark: SparkSession, val root: String,
     * skipping stats / Bloom filters (the pruning-readiness numbers a
     * 100 TB operator actually watches — a table whose writes predate
     * the stats config prunes nothing), the vacuum horizon, the newest
-    * checkpoint and the last stream txn. O(live segments) filesystem
-    * summaries — an ops command, never on the read path. */
-  def describeDetail(): DataFrame = {
+    * checkpoint and the last stream txn. `smallBytes` sets the
+    * [[maintainLayout]] small-segment rule for the `n_small_segments`
+    * readiness column (0 = report none small) — the number an
+    * operator watches to know bin-packing is due. O(live segments)
+    * filesystem summaries — an ops command, never on the read
+    * path. */
+  def describeDetail(smallBytes: Long = 0L): DataFrame = {
     import spark.implicits._
     val latest = latestVersion()
     require(latest >= 0, s"no log at $root")
     val st = replayTo(latest)
     val segs = st.live.values.toSeq
-    val bytes = segs.map(s =>
-      fs.getContentSummary(new Path(s"$root/${s.name}")).getLength).sum
-    Seq((root, latest, segs.size.toLong, bytes,
+    val sizes = segs.map(segmentBytes)
+    Seq((root, latest, segs.size.toLong, sizes.sum,
       segs.count(s => s.min.nonEmpty || s.extra.nonEmpty).toLong,
       segs.count(_.bloom.nonEmpty).toLong,
+      if (smallBytes <= 0L) 0L else sizes.count(_ < smallBytes).toLong,
       st.vacuumHorizon,
       latestCheckpointAtOrBelow(latest).getOrElse(-1L),
       if (st.maxTxn == Long.MinValue) -1L else st.maxTxn))
       .toDF("location", "version", "n_segments", "total_bytes",
-        "n_with_stats", "n_with_bloom", "vacuum_horizon",
-        "last_checkpoint", "last_txn")
+        "n_with_stats", "n_with_bloom", "n_small_segments",
+        "vacuum_horizon", "last_checkpoint", "last_txn")
   }
 
   /** RESTORE the table to the content of an earlier `version` — the
@@ -1027,16 +1162,31 @@ class LogStore(spark: SparkSession, val root: String,
     * readVersion+1 or throws [[ConcurrentCommitException]], so a
     * racing writer can never have its rows silently dropped by a merge
     * that rewrote segments it never read. */
-  def merge(updates: DataFrame, keyCol: String): MergeResult = {
+  def merge(updates: DataFrame, keyCol: String): MergeResult =
+    mergeKeyed(updates, Seq(keyCol))
+
+  /** [[merge]] over a COMPOSITE business key (the repo's own
+    * latest-record-wins key is (shop, billing_date)): match, dup
+    * detection and the change feed all key on the full column tuple —
+    * no concatenation workaround, no delimiter-collision hazard.
+    * Stats pruning keys on the LEADING stats column: when [statsCol]
+    * is one of `keyCols`, only segments overlapping the updates' range
+    * in THAT column are rewritten — the clustered-table economics
+    * survive the composite key. */
+  def mergeKeyed(updates: DataFrame, keyCols: Seq[String]): MergeResult = {
     import org.apache.spark.sql.functions.{col => fcol, count => fcount,
       lit => flit, max => fmax, min => fmin}
-    val dup = updates.groupBy(fcol(keyCol))
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val keys = keyCols.map(fcol)
+    val dup = updates.groupBy(keys: _*)
       .agg(fcount(flit(1)).as("n")).where(fcol("n") > 1).limit(1)
       .collect()
     if (dup.nonEmpty)
       throw new IllegalArgumentException(
-        s"updates are not unique on '$keyCol' (e.g. key ${dup.head.get(0)}" +
-          s" appears ${dup.head.getLong(1)} times) — ambiguous MERGE")
+        s"updates are not unique on (${keyCols.mkString(", ")}) (e.g. " +
+          s"key ${dup.head.toSeq.dropRight(1).mkString("(", ", ", ")")}" +
+          s" appears ${dup.head.getLong(keyCols.size)} times) — " +
+          "ambiguous MERGE")
     val v = latestVersion()
     // the same write-side gate as append/appendStream: without it a
     // type-mutated shared column is silently WIDENED by the
@@ -1044,30 +1194,31 @@ class LogStore(spark: SparkSession, val root: String,
     // segments keep the old type — coexisting-types corruption
     enforceSchema(updates, v)
     val live = liveSegmentInfos(v)
-    val touched =
-      if (statsCol.contains(keyCol)) {
-        val b = updates.agg(fmin(fcol(keyCol)).cast("string"),
-          fmax(fcol(keyCol)).cast("string")).head()
+    val touched = statsCol.filter(keyCols.contains) match {
+      case Some(pc) =>
+        val b = updates.agg(fmin(fcol(pc)).cast("string"),
+          fmax(fcol(pc)).cast("string")).head()
         if (b.isNullAt(0)) Seq.empty[Segment] // no update rows
         else live.filter(_.mayOverlap(b.getString(0), b.getString(1)))
-      } else live
+      case None => live
+    }
     val touchedData =
       if (touched.isEmpty) updates.limit(0)
       else spark.read.parquet(touched.map(s => s"$root/${s.name}"): _*)
     val survivors = touchedData
-      .join(updates.select(fcol(keyCol)), Seq(keyCol), "left_anti")
+      .join(updates.select(keys: _*), keyCols, "left_anti")
     val rewritten = survivors.unionByName(updates)
     // the commit's change feed: replaced old rows as update_preimage,
     // their replacements as update_postimage, new keys as insert
-    val matchedKeys = touchedData.select(fcol(keyCol))
+    val matchedKeys = touchedData.select(keys: _*)
     val changes = touchedData
-      .join(updates.select(fcol(keyCol)), Seq(keyCol), "left_semi")
+      .join(updates.select(keys: _*), keyCols, "left_semi")
       .withColumn("_change_type", flit("update_preimage"))
       .unionByName(updates
-        .join(matchedKeys, Seq(keyCol), "left_semi")
+        .join(matchedKeys, keyCols, "left_semi")
         .withColumn("_change_type", flit("update_postimage")))
       .unionByName(updates
-        .join(matchedKeys, Seq(keyCol), "left_anti")
+        .join(matchedKeys, keyCols, "left_anti")
         .withColumn("_change_type", flit("insert")))
     MergeResult(
       commit(v + 1, Seq(writeSegment(rewritten)), touched.map(_.name),
@@ -1090,55 +1241,73 @@ class LogStore(spark: SparkSession, val root: String,
     * `upserts` must be key-unique and disjoint from `deleteKeys` — a
     * NET change set cannot say both. */
   def applyChanges(upserts: DataFrame, deleteKeys: DataFrame,
-      keyCol: String, batchId: Long): Long = {
+      keyCol: String, batchId: Long): Long =
+    applyChangesKeyed(upserts, deleteKeys, Seq(keyCol), batchId)
+
+  /** [[applyChanges]] over a COMPOSITE business key: uniqueness,
+    * disjointness, match and the change feed all key on the full
+    * column tuple; stats pruning keys on the LEADING stats column
+    * (when [statsCol] is one of `keyCols`) — the same clustered-table
+    * economics as [[mergeKeyed]]. `deleteKeys` must carry every key
+    * column. An all-empty change set (no upserts, no deletes)
+    * advances the fence with a txn-only commit — no empty segment. */
+  def applyChangesKeyed(upserts: DataFrame, deleteKeys: DataFrame,
+      keyCols: Seq[String], batchId: Long): Long = {
     import org.apache.spark.sql.functions.{col => fcol, count => fcount,
       lit => flit, max => fmax, min => fmin}
+    require(keyCols.nonEmpty, "applyChanges needs at least one key column")
     if (batchId <= lastTxn()) return -1L
-    val dup = upserts.groupBy(fcol(keyCol))
+    val keys = keyCols.map(fcol)
+    val dup = upserts.groupBy(keys: _*)
       .agg(fcount(flit(1)).as("n")).where(fcol("n") > 1).limit(1)
       .collect()
     if (dup.nonEmpty)
       throw new IllegalArgumentException(
-        s"upserts are not unique on '$keyCol' — ambiguous change set")
-    val dels = deleteKeys.select(fcol(keyCol)).distinct()
-    if (upserts.join(dels, Seq(keyCol), "left_semi").limit(1)
+        s"upserts are not unique on (${keyCols.mkString(", ")}) — " +
+          "ambiguous change set")
+    val dels = deleteKeys.select(keys: _*).distinct()
+    if (upserts.join(dels, keyCols, "left_semi").limit(1)
         .collect().nonEmpty)
       throw new IllegalArgumentException(
         s"a key appears in both upserts and deletes — not a NET set")
+    if (upserts.isEmpty && dels.isEmpty)
+      return commitFence(batchId)
     val v = latestVersion()
     enforceSchema(upserts, v)
     val live =
       if (v < 0) Seq.empty[Segment] else liveSegmentInfos(v)
-    val allKeys = upserts.select(fcol(keyCol)).unionByName(dels)
+    val allKeys = upserts.select(keys: _*).unionByName(dels)
     val touched =
       if (live.isEmpty) Seq.empty[Segment]
-      else if (statsCol.contains(keyCol)) {
-        val b = allKeys.agg(fmin(fcol(keyCol)).cast("string"),
-          fmax(fcol(keyCol)).cast("string")).head()
-        if (b.isNullAt(0)) Seq.empty[Segment]
-        else live.filter(_.mayOverlap(b.getString(0), b.getString(1)))
-      } else live
+      else statsCol.filter(keyCols.contains) match {
+        case Some(pc) =>
+          val b = allKeys.agg(fmin(fcol(pc)).cast("string"),
+            fmax(fcol(pc)).cast("string")).head()
+          if (b.isNullAt(0)) Seq.empty[Segment]
+          else live.filter(_.mayOverlap(b.getString(0), b.getString(1)))
+        case None => live
+      }
     val touchedData =
       if (touched.isEmpty) upserts.limit(0)
       else spark.read.option("mergeSchema", "true")
         .parquet(touched.map(s => s"$root/${s.name}"): _*)
     val survivors = touchedData
-      .join(allKeys, Seq(keyCol), "left_anti")
+      .join(allKeys, keyCols, "left_anti")
     val rewritten = survivors.unionByName(upserts,
       allowMissingColumns = true)
-    val upsertKeys = upserts.select(fcol(keyCol))
-    val matched = touchedData.select(fcol(keyCol))
-      .join(upsertKeys, Seq(keyCol), "left_semi")
+    val upsertKeys = upserts.select(keys: _*)
+    val matched = touchedData.select(keys: _*)
+      .join(upsertKeys, keyCols, "left_semi")
     val changes = touchedData
-      .join(upsertKeys, Seq(keyCol), "left_semi")
+      .join(upsertKeys, keyCols, "left_semi")
       .withColumn("_change_type", flit("update_preimage"))
-      .unionByName(upserts.join(matched, Seq(keyCol), "left_semi")
+      .unionByName(upserts.join(matched, keyCols, "left_semi")
         .withColumn("_change_type", flit("update_postimage")),
         allowMissingColumns = true)
-      .unionByName(upserts.join(matched, Seq(keyCol), "left_anti")
+      .unionByName(upserts.join(matched, keyCols, "left_anti")
         .withColumn("_change_type", flit("insert")),
         allowMissingColumns = true)
-      .unionByName(touchedData.join(dels, Seq(keyCol), "left_semi")
+      .unionByName(touchedData.join(dels, keyCols, "left_semi")
         .withColumn("_change_type", flit("delete")),
         allowMissingColumns = true)
     commit(v + 1, Seq(writeSegment(rewritten)), touched.map(_.name),
@@ -1198,15 +1367,26 @@ class LogStore(spark: SparkSession, val root: String,
       keepCdc ++= a._5
     }
     val cutoff = System.currentTimeMillis() - orphanMinAgeMs
-    val doomed = fs.listStatus(new Path(root))
-      .filter { st =>
+    val (doomed, sparedByAge) = {
+      val dead = fs.listStatus(new Path(root)).filter { st =>
         val n = st.getPath.getName
-        st.isDirectory && st.getModificationTime <= cutoff &&
+        st.isDirectory &&
         ((n.startsWith("seg-") && !keep.contains(n)) ||
           (n.startsWith("cdc-") && !keepCdc.contains(n)) ||
           n.startsWith("_opt-")) // a crashed optimize's staging dir
       }
-      .map(_.getPath.getName).toSeq
+      (dead.filter(_.getModificationTime <= cutoff)
+        .map(_.getPath.getName).toSeq,
+        dead.count(_.getModificationTime > cutoff))
+    }
+    // operators sizing space-reclaim automation must be able to SEE
+    // why a vacuum deleted nothing: the age guard is a safety default
+    // (it shields in-flight writers), not a silent no-op
+    if (sparedByAge > 0)
+      System.err.println(s"[logstore] vacuum at $root spared " +
+        s"$sparedByAge dead segment(s) younger than the " +
+        s"orphanMinAgeMs=$orphanMinAgeMs guard; re-run after the guard " +
+        "elapses (or lower it) to reclaim them")
     doomed.foreach(s => fs.delete(new Path(s"$root/$s"), true))
     VacuumResult(v, doomed)
   }

@@ -899,13 +899,18 @@ object Multimodal {
           case 0x01 => () // TEM, no payload
           case _ if m >= 0xd0 && m <= 0xd7 => () // RSTn, no payload
           case 0xc0 =>
+            // every field read below is bounds-checked against the
+            // DECLARED length, not just the payload array: a lying
+            // header must fail the contract's way, never misparse
             val len = seg(pos)
+            if (len < 8) fail("SOF0 segment too short")
             if ((payload(pos + 2) & 0xff) != 8) fail("not 8-bit")
             height = u16(pos + 3)
             width = u16(pos + 5)
             nComp = payload(pos + 7) & 0xff
             if (nComp != 1 && nComp != 3)
               fail(s"unsupported component count $nComp")
+            if (len < 8 + 3 * nComp) fail("SOF0 component table overrun")
             compQuant = new Array[Int](nComp)
             (0 until nComp).foreach { c =>
               val samp = payload(pos + 9 + 3 * c) & 0xff
@@ -918,6 +923,7 @@ object Multimodal {
             val len = seg(pos)
             var p = pos + 2
             while (p < pos + len) {
+              if (p + 17 > pos + len) fail("DHT overrun")
               val tc = (payload(p) & 0xff) >> 4
               val th = payload(p) & 0x0f
               val bits = Array.tabulate(16)(i => payload(p + 1 + i) & 0xff)
@@ -933,6 +939,7 @@ object Multimodal {
             val len = seg(pos)
             var p = pos + 2
             while (p < pos + len) {
+              if (p + 65 > pos + len) fail("DQT overrun")
               if (((payload(p) & 0xff) >> 4) != 0)
                 fail("16-bit quant tables unsupported")
               val id = payload(p) & 0x0f
@@ -948,7 +955,9 @@ object Multimodal {
             pos += len
           case 0xda =>
             val len = seg(pos)
+            if (len < 3) fail("SOS segment too short")
             val ns = payload(pos + 2) & 0xff
+            if (len < 2 + 1 + 2 * ns + 3) fail("SOS component table overrun")
             if (ns != nComp) fail("partial scans unsupported")
             compDc = new Array[Int](nComp)
             compAc = new Array[Int](nComp)
@@ -1097,7 +1106,12 @@ object Multimodal {
               Some(img.height), Some(img.channels), Some(mean),
               Some(math.abs(mean - srcMean) <= 2.0))
           } catch {
-            case _: IllegalArgumentException =>
+            // NonFatal, not just IllegalArgumentException: the
+            // null-not-fail policy must hold even if a malformation
+            // slips past the validators as a raw runtime error — at
+            // 100 TB one corrupt payload degrades to a null row,
+            // never a dead stage
+            case scala.util.control.NonFatal(_) =>
               JpegFeatures(id, payload.length.toLong, None, None, None,
                 None, None)
           }

@@ -961,9 +961,15 @@ object StreamingOps {
           s"at source version ${bad.head.getLong(1)}: row-level " +
           "deletes/updates need a keyed merge or the aggregate " +
           "maintainers, not a blind append")
-    val rows = transform(
-      changes.drop("_change_type", "_commit_version"))
-    if (target.appendStream(rows, batchId = latest) < 0)
+    // all absorbed commits were dataChange=false (compact / optimize /
+    // vacuum): advance the cursor with a txn-only fence commit — no
+    // parquet write, no junk empty segment accumulating in the target
+    val moved =
+      if (changes.isEmpty) target.commitFence(batchId = latest)
+      else target.appendStream(
+        transform(changes.drop("_change_type", "_commit_version")),
+        batchId = latest)
+    if (moved < 0)
       throw new IllegalStateException(
         s"target fence moved concurrently past $latest — two sync " +
           "drivers on one target")
@@ -979,22 +985,53 @@ object StreamingOps {
     * key, feed columns stripped; deleteKeys — keys whose final event
     * is a delete). One key-partitioned window over O(changed rows).
     * A preimage can never be a key's final event alone: its commit
-    * wrote the matching postimage at higher rank. */
+    * wrote the matching postimage at higher rank.
+    *
+    * Duplicate-key sources refuse LOUDLY: two same-key upsert events
+    * in one commit (e.g. an append carrying the key twice) tie at the
+    * top (version, rank), and row_number's arbitrary pick would
+    * quietly land ONE of them in a mirror that then no longer equals
+    * the source snapshot — the same ambiguity
+    * [[graft.catalog.LogStore.applyChanges]] rejects for non-unique
+    * upserts, detected here where the tie is still visible. Tied
+    * DELETE events are harmless (removing a key twice nets to
+    * removed) and pass. */
   def netChanges(changes: DataFrame, keyCol: String)
+      : (DataFrame, DataFrame) = netChangesKeyed(changes, Seq(keyCol))
+
+  /** [[netChanges]] over a COMPOSITE business key — the general form
+    * (this repo's own latest-record-wins key is (shop, billing_date)):
+    * the window partitions on every key column, ties are detected on
+    * the full tuple, and deleteKeys carries all key columns. */
+  def netChangesKeyed(changes: DataFrame, keyCols: Seq[String])
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "netChanges needs at least one key column")
+    val keys = keyCols.map(col)
     val ranked = changes.withColumn("_net_rank",
       when(col("_change_type").isin("insert", "update_postimage"),
         lit(2)).otherwise(lit(1)))
-    val w = Window.partitionBy(col(keyCol))
+    val w = Window.partitionBy(keys: _*)
       .orderBy(col("_commit_version").desc, col("_net_rank").desc)
+    val wTies = Window.partitionBy(
+      keys ++ Seq(col("_commit_version"), col("_net_rank")): _*)
     val top = ranked.withColumn("_net_rn", row_number().over(w))
+      .withColumn("_net_ties", count(lit(1)).over(wTies))
       .where(col("_net_rn") === 1)
+    val dup = top.where(col("_net_rank") === 2 && col("_net_ties") > 1)
+      .limit(1).select(keys: _*).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"change feed is not unique on (${keyCols.mkString(", ")}): " +
+          s"key ${dup.head.toSeq.mkString("(", ", ", ")")} has tied " +
+          "upsert events in one commit — a keyed mirror of a " +
+          "duplicate-key source is ambiguous")
     (top.where(col("_net_rank") === 2)
-      .drop("_change_type", "_commit_version", "_net_rank", "_net_rn"),
+      .drop("_change_type", "_commit_version", "_net_rank", "_net_rn",
+        "_net_ties"),
       top.where(col("_net_rank") === 1 &&
           col("_change_type") === "delete")
-        .select(col(keyCol)))
+        .select(keys: _*))
   }
 
   /** One micro-batch of KEYED CDC mirroring — the general form of
@@ -1011,14 +1048,30 @@ object StreamingOps {
     * readChanges' horizon guard — resync from a snapshot, never skip.
     * Returns the source version now absorbed (-1 = empty source). */
   def mirrorLogToLog(source: graft.catalog.LogStore,
-      target: graft.catalog.LogStore, keyCol: String): Long = {
+      target: graft.catalog.LogStore, keyCol: String): Long =
+    mirrorLogToLogKeyed(source, target, Seq(keyCol))
+
+  /** [[mirrorLogToLog]] over a COMPOSITE business key: net collapse
+    * and apply both key on the full column tuple
+    * ([[netChangesKeyed]] / [[graft.catalog.LogStore.applyChangesKeyed]]),
+    * and stats pruning on the LEADING key column is preserved when it
+    * is the target's statsCol. A batch of absorbed commits that all
+    * changed no data (compact / optimize / vacuum) advances the
+    * cursor with a txn-only fence commit — no empty segment. */
+  def mirrorLogToLogKeyed(source: graft.catalog.LogStore,
+      target: graft.catalog.LogStore, keyCols: Seq[String]): Long = {
     val last = math.max(target.lastTxn(), -1L)
     val latest = source.latestVersion()
     if (latest <= last) return last
-    val (upserts, deleteKeys) =
-      netChanges(source.readChanges(last + 1, latest), keyCol)
-    if (target.applyChanges(upserts, deleteKeys, keyCol,
-        batchId = latest) < 0)
+    val changes = source.readChanges(last + 1, latest)
+    val moved =
+      if (changes.isEmpty) target.commitFence(batchId = latest)
+      else {
+        val (upserts, deleteKeys) = netChangesKeyed(changes, keyCols)
+        target.applyChangesKeyed(upserts, deleteKeys, keyCols,
+          batchId = latest)
+      }
+    if (moved < 0)
       throw new IllegalStateException(
         s"target fence moved concurrently past $latest — two mirror " +
           "drivers on one target")

@@ -972,6 +972,148 @@ class LogStoreSpec extends AnyFunSuite {
     assert(t.read().as[(Long, String)].collect().toMap == Map(1L -> "a"))
   }
 
+  test("stats bounds compare EXACTLY at 64-bit integer extremes: " +
+      "beyond 2^53 a double compare blurs adjacent longs into ties — " +
+      "the BigDecimal compare keeps pruning (and its write-path " +
+      "users) precise") {
+    val big = 9007199254740992L // 2^53
+    val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
+    val t = new LogStore(spark, dir, statsCol = Some("id"))
+    t.append(Seq(big).toDF("id"))          // bounds [2^53, 2^53]
+    t.append(Seq(big + 2).toDF("id"))      // bounds [2^53+2, 2^53+2]
+    // probe [2^53+1, 2^53+1]: disjoint from BOTH segments exactly,
+    // but toDouble rounds 2^53+1 down to 2^53 and would scan (and,
+    // on the write path, rewrite) segment one
+    val probe = (big + 1).toString
+    val (_, scanned, live) = t.readRange(probe, probe)
+    assert(live == 2 && scanned == 0,
+      s"exact compare must prune both segments, scanned $scanned")
+    val del = t.deleteRange("id", probe, probe)
+    assert(del.rewritten == 0,
+      "an exactly-empty range must be a rewrite-free no-op at 2^53+1")
+    assert(t.read().as[Long].collect().toSet == Set(big, big + 2))
+    // and a range that DOES cover a segment still rewrites it
+    val del2 = t.deleteRange("id", (big + 2).toString, (big + 2).toString)
+    assert(del2.rewritten == 1)
+    assert(t.read().as[Long].collect().toSet == Set(big))
+  }
+
+  test("mergeKeyed: a composite (id, d) business key matches on the " +
+      "tuple, prunes on the LEADING stats column, and emits a " +
+      "truthful tuple-keyed change feed") {
+    val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
+    val t = new LogStore(spark, dir, statsCol = Some("id"))
+    // two id-disjoint segments; ids repeat across d within each
+    t.append(Seq((1L, "d1", "a"), (1L, "d2", "b"), (2L, "d1", "c"))
+      .toDF("id", "d", "v"))
+    t.append(Seq((100L, "d1", "x"), (101L, "d2", "y"))
+      .toDF("id", "d", "v"))
+    // updates touch only the low-id range: ONE segment rewritten
+    val r = t.mergeKeyed(
+      Seq((1L, "d2", "B"), (3L, "d3", "n")).toDF("id", "d", "v"),
+      Seq("id", "d"))
+    assert(r.rewritten == 1 && r.live == 2,
+      "leading-column stats pruning must survive the composite key")
+    assert(t.read().select(col("id"), col("d"), col("v"))
+      .as[(Long, String, String)].collect().toSet ==
+      Set((1L, "d1", "a"), (1L, "d2", "B"), (2L, "d1", "c"),
+        (3L, "d3", "n"), (100L, "d1", "x"), (101L, "d2", "y")))
+    // the feed keys on the tuple: exactly one pre/post pair for
+    // (1, d2) and one insert for (3, d3) — (1, d1) untouched
+    val feed = t.readChanges(r.version, r.version)
+      .select(col("_change_type"), col("id"), col("d"))
+      .as[(String, Long, String)].collect().toSet
+    assert(feed == Set(("update_preimage", 1L, "d2"),
+      ("update_postimage", 1L, "d2"), ("insert", 3L, "d3")))
+    // duplicate TUPLE refusal (same id twice with same d)
+    val e = intercept[IllegalArgumentException] {
+      t.mergeKeyed(Seq((5L, "d1", "p"), (5L, "d1", "q"))
+        .toDF("id", "d", "v"), Seq("id", "d"))
+    }
+    assert(e.getMessage.contains("not unique"), e.getMessage)
+    // same id with DIFFERENT d is two distinct keys — legal
+    val r2 = t.mergeKeyed(Seq((5L, "d1", "p"), (5L, "d2", "q"))
+      .toDF("id", "d", "v"), Seq("id", "d"))
+    assert(r2.version > r.version)
+  }
+
+  test("optimizeWhere: a predicate-selected rewrite touches ONLY " +
+      "overlapping segments — the others carry over as the SAME " +
+      "segments, the feed stays silent, snapshots invariant, and an " +
+      "empty selection is a commit-free no-op") {
+    val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
+    val t = new LogStore(spark, dir, statsCol = Some("id"))
+    t.append((1L to 100L).toDF("id"))     // [1, 100]
+    t.append((101L to 200L).toDF("id"))   // [101, 200]
+    t.append((501L to 600L).toDF("id"))   // [501, 600]
+    val before = t.liveSegmentInfos()
+    val untouched = before.filter(_.mayOverlapOn("id", "501", "600"))
+      .map(_.name).toSet
+    assert(untouched.size == 1)
+
+    // re-cluster the low range only: 2 selected → 4 outputs, 1 carried
+    val r = t.optimizeWhere(4, Seq(("id", "1", "200")),
+      clusterBy = Seq(col("id")))
+    assert(r.rewritten == 2 && r.produced == 4 && r.carried == 1)
+    val after = t.liveSegmentInfos()
+    assert(after.size == 5)
+    assert(untouched.subsetOf(after.map(_.name).toSet),
+      "the non-overlapping segment must survive BY NAME — carried " +
+        "over, not rewritten")
+    assert(ids(t.read()) == ((1L to 200L) ++ (501L to 600L)).toSet)
+    assert(ids(t.read(r.version - 1)) == ids(t.read()),
+      "snapshot-invariant: the pre-optimize version reads the same rows")
+    assert(t.readChanges(r.version, r.version).count() == 0,
+      "a layout-only rewrite is dataChange=false in the feed")
+    // the selected range is now tightly clustered: a 20-id probe
+    // opens at most 2 of the 5 live segments (range-partitioner
+    // boundaries are sampled, so it may straddle one edge)
+    val (_, scanned, live) = t.readRange("120", "140")
+    assert(live == 5 && scanned <= 2,
+      s"post-optimize probe must prune: scanned $scanned of $live")
+
+    // a range no live segment can contain: no commit, version pinned
+    val v = t.latestVersion()
+    val miss = t.optimizeWhere(4, Seq(("id", "9000", "9999")))
+    assert(miss.rewritten == 0 && miss.version == v &&
+      t.latestVersion() == v, "empty selection must cost nothing")
+  }
+
+  test("maintainLayout: tiny ingest appends accumulate until the " +
+      "small-segment limit trips a size-selected bin-pack — bounded " +
+      "segment count forever, healthy segments untouched, then " +
+      "commit-free silence") {
+    val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
+    val t = new LogStore(spark, dir, statsCol = Some("id"))
+    // one "healthy" big segment (stays untouched throughout)
+    t.append((1000L to 5000L).toDF("id"))
+    val bigName = t.liveSegmentInfos().head.name
+    val bigBytes = t.describeDetail().collect()
+      .head.getAs[Long]("total_bytes")
+    val threshold = bigBytes // every 1-row append is under this
+    // tiny streaming-style appends
+    (1L to 7L).foreach { i =>
+      t.append(Seq(i).toDF("id"))
+      val m = t.maintainLayout(threshold, smallSegmentLimit = 6)
+      if (i < 5) assert(!m.triggered && m.smallBefore == i.toInt)
+    }
+    // the 6th small segment tripped the pack at i=6: afterwards the
+    // live set is the big segment + 1 packed + whatever arrived since
+    val live = t.liveSegmentInfos()
+    assert(live.size <= 4,
+      s"segment count must stay bounded, got ${live.size}")
+    assert(live.map(_.name).contains(bigName),
+      "the healthy segment must never be selected by the size rule")
+    assert(ids(t.read()) == ((1L to 7L) ++ (1000L to 5000L)).toSet)
+    // readiness numbers agree with the policy's rule
+    val d = t.describeDetail(smallBytes = threshold).collect().head
+    assert(d.getAs[Long]("n_small_segments") == live.size - 1L)
+    // below the limit: commit-free no-op
+    val v = t.latestVersion()
+    val quiet = t.maintainLayout(threshold, smallSegmentLimit = 6)
+    assert(!quiet.triggered && t.latestVersion() == v)
+  }
+
   test("a failed checkpoint — ANY non-fatal error, not just " +
       "IOException — never fails the commit that already landed") {
     val dir = Files.createTempDirectory("graft-log").toString + "/tbl"

@@ -101,6 +101,46 @@ class JpegCodecSpec extends AnyFunSuite {
     expectFail(sub, "subsampling")
   }
 
+  test("EVERY truncation and every lying segment length fails the " +
+      "contract's way — IllegalArgumentException, never a raw index " +
+      "error escaping to kill a task") {
+    val good = JpegCodec.encode(raster(20 * 9, 5), 20, 9)
+    // exhaustive prefix sweep: decode(prefix) must either succeed
+    // (truncation past the last needed scan byte) or throw IAE
+    (0 until good.length).foreach { n =>
+      try { JpegCodec.decode(good.take(n)); () }
+      catch {
+        case _: IllegalArgumentException => () // the contract
+        case other: Throwable =>
+          fail(s"truncation at $n escaped as $other")
+      }
+    }
+    // lying declared lengths: shrink each marker segment's length
+    // field so its table would read past the declared end
+    def findMarker(m: Int): Int = {
+      var i = 2
+      while (!((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == m))
+        i += 1
+      i
+    }
+    def withLen(at: Int, len: Int): Array[Byte] = {
+      val b = good.clone()
+      b(at + 2) = ((len >> 8) & 0xff).toByte
+      b(at + 3) = (len & 0xff).toByte
+      b
+    }
+    for (m <- Seq(0xc0, 0xc4, 0xdb, 0xda); shortLen <- Seq(2, 3, 8)) {
+      val at = findMarker(m)
+      try { JpegCodec.decode(withLen(at, shortLen)); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case other: Throwable =>
+          fail(f"marker ff$m%02x with lying length $shortLen " +
+            s"escaped as $other")
+      }
+    }
+  }
+
   test("the Spark seam: corpus JPEGs decode to the exact header " +
       "facts with DC-bounded means; a corrupted payload degrades to " +
       "a null row") {

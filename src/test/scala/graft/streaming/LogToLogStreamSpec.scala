@@ -149,6 +149,128 @@ class LogToLogStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("a maintenance-only batch advances the cursor with a txn-only " +
+      "fence commit: no empty segment lands in the target (sync AND " +
+      "mirror paths)") {
+    val src = fresh()
+    val tgt = fresh()
+    src.append((1L to 10L).toDF("id"))
+    StreamingOps.syncLogToLog(src, tgt, xform)
+    val segsBefore = tgt.liveSegments().size
+    val vBefore = tgt.latestVersion()
+    src.compact()          // dataChange=false
+    src.compact()          // and another
+    assert(StreamingOps.syncLogToLog(src, tgt, xform) ==
+      src.latestVersion())
+    assert(tgt.latestVersion() == vBefore + 1,
+      "the cursor must advance in ONE commit")
+    assert(tgt.liveSegments().size == segsBefore,
+      "a fence commit must not add any segment — empty or otherwise")
+    assert(tgt.lastTxn() == src.latestVersion())
+    assert(rows(tgt) == expect(src), "content untouched by the fence")
+    // the fence commit contributes NOTHING to the target's own feed
+    assert(tgt.readChanges(tgt.latestVersion(), tgt.latestVersion())
+      .count() == 0)
+
+    // same contract on the keyed mirror path
+    val msrc = fresh(statsCol = Some("id"))
+    val mtgt = fresh(statsCol = Some("id"))
+    msrc.append(Seq((1L, "a")).toDF("id", "v"))
+    StreamingOps.mirrorLogToLog(msrc, mtgt, "id")
+    val (mv, msegs) = (mtgt.latestVersion(), mtgt.liveSegments().size)
+    msrc.compact()
+    StreamingOps.mirrorLogToLog(msrc, mtgt, "id")
+    assert(mtgt.latestVersion() == mv + 1 &&
+      mtgt.liveSegments().size == msegs,
+      "mirror fence: one txn-only commit, zero segments")
+    assert(mtgt.lastTxn() == msrc.latestVersion())
+  }
+
+  test("netChanges refuses duplicate-key sources LOUDLY: two same-key " +
+      "rows in one commit would be silently collapsed by the window's " +
+      "arbitrary tie-break — the mirror must throw, not guess") {
+    val src = fresh(statsCol = Some("id"))
+    val tgt = fresh(statsCol = Some("id"))
+    src.append(Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.mirrorLogToLog(src, tgt, "id")
+    }
+    assert(e.getMessage.contains("not unique"), e.getMessage)
+    // tied DELETE events are harmless (removing twice nets to removed):
+    // a feed whose only tie is on deletes must pass
+    val src2 = fresh(statsCol = Some("id"))
+    val tgt2 = fresh(statsCol = Some("id"))
+    src2.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    src2.deleteWhere("id = 1")
+    StreamingOps.mirrorLogToLog(src2, tgt2, "id")
+    assert(tgt2.read().select(col("id")).as[Long].collect().toSet ==
+      Set(2L))
+  }
+
+  test("composite-key mirroring: a (id, d) business key tracks the " +
+      "source through mergeKeyed / delete / restore churn — " +
+      "content-equal after every sync, no concatenation workaround") {
+    def freshKeyed() = new LogStore(spark,
+      Files.createTempDirectory("graft-l2lk").toString + "/tbl",
+      statsCol = Some("id"))
+    val src = freshKeyed()
+    val tgt = freshKeyed()
+    val keys = Seq("id", "d")
+    def rowsOf(t: LogStore) = t.read()
+      .select(col("id"), col("d"), col("v"))
+      .as[(Long, String, String)].collect().toSet
+    def sync() = StreamingOps.mirrorLogToLogKeyed(src, tgt, keys)
+
+    // two rows share id, two share d — only the TUPLE is unique
+    src.append(Seq((1L, "d1", "a"), (1L, "d2", "b"), (2L, "d1", "c"))
+      .toDF("id", "d", "v"))
+    sync()
+    assert(rowsOf(tgt) == rowsOf(src))
+
+    // composite merge: updates (1,d2) only — (1,d1) must survive
+    src.mergeKeyed(Seq((1L, "d2", "B"), (3L, "d9", "n"))
+      .toDF("id", "d", "v"), keys)
+    src.deleteWhere("id = 2 AND d = 'd1'")
+    sync()
+    assert(rowsOf(tgt) == rowsOf(src))
+    assert(rowsOf(tgt) ==
+      Set((1L, "d1", "a"), (1L, "d2", "B"), (3L, "d9", "n")))
+
+    // restore churn nets correctly on the tuple
+    src.restore(0)
+    sync()
+    assert(rowsOf(tgt) == rowsOf(src))
+    assert(rowsOf(tgt) ==
+      Set((1L, "d1", "a"), (1L, "d2", "b"), (2L, "d1", "c")))
+
+    // replay fence + second-order mirror
+    val tv = tgt.latestVersion()
+    sync()
+    assert(tgt.latestVersion() == tv)
+    val tgt2 = freshKeyed()
+    StreamingOps.mirrorLogToLogKeyed(tgt, tgt2, keys)
+    assert(rowsOf(tgt2) == rowsOf(tgt))
+
+    // composite refusals: same-tuple dup upserts; key in both sides
+    intercept[IllegalArgumentException] {
+      tgt.applyChangesKeyed(
+        Seq((7L, "d1", "x"), (7L, "d1", "y")).toDF("id", "d", "v"),
+        Seq.empty[(Long, String)].toDF("id", "d"), keys, batchId = 999L)
+    }
+    intercept[IllegalArgumentException] {
+      tgt.applyChangesKeyed(
+        Seq((1L, "d1", "x")).toDF("id", "d", "v"),
+        Seq((1L, "d1")).toDF("id", "d"), keys, batchId = 999L)
+    }
+    // same id in upserts and deletes is FINE when the d differs — the
+    // tuple is the key
+    tgt.applyChangesKeyed(
+      Seq((1L, "d1", "z")).toDF("id", "d", "v"),
+      Seq((1L, "d2")).toDF("id", "d"), keys,
+      batchId = tgt.lastTxn() + 1)
+    assert(rowsOf(tgt) == Set((1L, "d1", "z"), (2L, "d1", "c")))
+  }
+
   test("the two silent-gap hazards are LOUD: a non-insert change " +
       "refuses (blind append would corrupt), and a source vacuumed " +
       "past the cursor refuses (resync, never skip)") {

@@ -451,6 +451,37 @@ object SparkEntry {
       StreamingOps.tumblingCounts(events(s, dir), "1 hour")
         .orderBy("window_start", "event_type")),
 
+    "stream_log_feed" -> ((s, dir) => {
+      // the NATIVE change-feed source end to end: an events slice
+      // ingested into a LogStore across three commits (plus a
+      // compaction the feed must classify as nothing), then
+      // spark.readStream.format("graft-log") → daily aggregation →
+      // run to completion. Offsets are commit versions; the oracle is
+      // the plain batch aggregate of the same slice — the stream and
+      // the table must agree exactly.
+      val ev = events(s, dir).where(col("event_id") <= 20000)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("ts"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-slf").toString + "/tbl"
+      val store = new graft.catalog.LogStore(s, root)
+      store.append(ev.where(pmod(col("event_id"), lit(3)) === 0))
+      store.append(ev.where(pmod(col("event_id"), lit(3)) === 1))
+      store.compact()
+      store.append(ev.where(pmod(col("event_id"), lit(3)) === 2))
+      val agg = s.readStream.format("graft-log")
+        .option("path", root).load()
+        .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName("stream_log_feed_mem").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("stream_log_feed_mem")
+        .select(col("d").cast("string").as("d"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("d", "event_type")
+    }),
+
     // ---- LLM-pipeline: dedup ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents")).orderBy("text_hash")),
@@ -5010,6 +5041,16 @@ object SparkEntry {
     "stream_tumbling_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | count(*) AS n FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the native feed source's windowed run must equal the batch
+    // aggregate of the same slice — the stream IS the table
+    "stream_log_feed" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value
+        |FROM events WHERE event_id <= 20000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "dedup_exact" ->

@@ -344,20 +344,35 @@ class LogStore(spark: SparkSession, val root: String,
   def liveSegments(version: Long = Long.MaxValue): Seq[String] =
     liveSegmentInfos(version).map(_.name)
 
+  /** The recorded commit wall-clock of version `v`: the in-log `ts`
+    * action stamped by [[commit]] — durable log CONTENT, so time
+    * resolution survives a `cp -r`, an object-store upload or any
+    * backup that rewrites file mtimes. Logs written before stamping
+    * existed fall back to the version file's mtime (the best
+    * available evidence there). */
+  private def commitTimeOf(v: Long): Long = {
+    val in = fs.open(versionPath(v))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    "\"ts\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(body)
+      .map(_.group(1).toLong)
+      .getOrElse(fs.getFileStatus(versionPath(v)).getModificationTime)
+  }
+
   /** TIMESTAMP AS OF resolution — the other half of time travel: the
-    * newest version whose commit file landed at-or-before `tsMillis`.
-    * Version-file modification times ARE commit times and are
-    * nondecreasing in version (commits are sequential), so this is a
-    * backward walk from latest — O(versions newer than ts), the cold
-    * path by construction. A timestamp predating the table refuses
-    * loudly; one behind the vacuum horizon refuses at read time via
-    * the same guard as numeric time travel. */
+    * newest version whose recorded commit time ([[commitTimeOf]] —
+    * in-log stamp, mtime fallback for pre-stamp logs) is at-or-before
+    * `tsMillis`. Commit times are nondecreasing in version (commits
+    * are sequential), so this is a backward walk from latest —
+    * O(versions newer than ts), the cold path by construction. A
+    * timestamp predating the table refuses loudly; one behind the
+    * vacuum horizon refuses at read time via the same guard as
+    * numeric time travel. */
   def versionAsOf(tsMillis: Long): Long = {
     val latest = latestVersion()
     require(latest >= 0, s"no log at $root")
     var v = latest
-    while (v >= 0 &&
-        fs.getFileStatus(versionPath(v)).getModificationTime > tsMillis)
+    while (v >= 0 && commitTimeOf(v) > tsMillis)
       v -= 1
     require(v >= 0,
       s"timestamp $tsMillis predates the table's first commit")
@@ -645,7 +660,11 @@ class LogStore(spark: SparkSession, val root: String,
       vacuumHorizon: Option[Long] = None,
       cdc: Seq[String] = Nil): Long = {
     fs.mkdirs(new Path(logDir))
-    val body = (adds.map(addJson) ++
+    // the commit wall-clock is LOG CONTENT (`ts` action), not file
+    // metadata: TIMESTAMP AS OF must survive a cp -r, an
+    // object-store upload, or a backup-restore that rewrites mtimes
+    val body = (Seq(s"""{"ts":${System.currentTimeMillis()}}""") ++
+      adds.map(addJson) ++
       removes.map(s => s"""{"remove":"$s"}""") ++
       txn.map(id => s"""{"txn":$id}""").toSeq ++
       vacuumHorizon.map(h => s"""{"vacuum":$h}""").toSeq ++
@@ -778,6 +797,30 @@ class LogStore(spark: SparkSession, val root: String,
       .withColumn("_change_type", flit("delete"))
     commit(v + 1, Seq(writeSegment(kept)), old,
       cdc = Seq(writeChangeSegment(gone)))
+  }
+
+  /** The current vacuum horizon (oldest fully-readable version; -1 =
+    * never vacuumed) — the guard a streaming consumer checks before
+    * planning a read over historical versions. */
+  def currentVacuumHorizon(): Long = {
+    val latest = latestVersion()
+    if (latest < 0) -1L else replayTo(latest).vacuumHorizon
+  }
+
+  /** The change-bearing segment directories of version `v`, with the
+    * implied change type when the commit's shape implies one — the
+    * per-version planning unit of the native streaming source
+    * ([[graft.sources.LogStreamProvider]]): an explicit cdc segment
+    * carries its own `_change_type` column (None); a pure-add commit
+    * IS its inserts (Some("insert")); a rewrite without a cdc action
+    * (compact / optimize / vacuum / fence) changed nothing (empty). */
+  private[graft] def changeSegmentsOf(v: Long)
+      : Seq[(String, Option[String])] = {
+    val (adds, removes, _, _, cdcs) = readActions(v)
+    if (cdcs.nonEmpty) cdcs.map(c => (c, None))
+    else if (removes.isEmpty && adds.nonEmpty)
+      adds.map(a => (a.name, Some("insert")))
+    else Nil
   }
 
   final case class DeleteResult(version: Long, rewritten: Int, live: Int)
@@ -1046,12 +1089,12 @@ class LogStore(spark: SparkSession, val root: String,
         else if (adds.nonEmpty && removes.nonEmpty) "REWRITE"
         else if (removes.nonEmpty) "REMOVE"
         else "APPEND"
-      (v, adds.size, removes.size, cdcs.size,
+      (v, commitTimeOf(v), adds.size, removes.size, cdcs.size,
         txns.headOption.map(_.toString).orNull,
         vacs.headOption.map(_.toString).orNull, op)
     }
-    rows.toDF("version", "n_added", "n_removed", "n_cdc", "txn",
-      "vacuum_horizon", "operation")
+    rows.toDF("version", "commit_time_ms", "n_added", "n_removed",
+      "n_cdc", "txn", "vacuum_horizon", "operation")
   }
 
   /** DESCRIBE DETAIL — the one-row operational snapshot every

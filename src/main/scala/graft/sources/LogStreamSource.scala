@@ -1,0 +1,353 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, PrimitiveType}
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.catalog.LogStore
+
+/** The [[graft.catalog.LogStore]] change feed as a NATIVE DataSource
+  * V2 streaming source — `spark.readStream.format("graft-log")
+  * .option("path", root).load()` — so a transactional table's
+  * commits compose with the WHOLE streaming engine: watermarks,
+  * windowed aggregations, stream-static joins, any sink. This
+  * replaces the rate-clock + foreachBatch wiring (a scheduler hack
+  * that could only do table→table sync) with the thing it stood in
+  * for: a `MicroBatchStream` whose OFFSETS ARE COMMIT VERSIONS.
+  *
+  *  - **Offsets = versions.** `latestOffset` is the table's newest
+  *    committed version; `planInputPartitions(a, b)` plans exactly
+  *    the change feed of versions (a, b] — each cdc segment's rows
+  *    verbatim, each pure-add commit's rows as implied inserts, each
+  *    dataChange=false commit (compact / optimize / vacuum / fence)
+  *    as nothing, the readChanges classification bit for bit. The
+  *    engine's checkpoint stores plain version numbers, so restart
+  *    resumes mid-history with no source-side state.
+  *  - **One partition per parquet file** of each change segment —
+  *    executor parallelism scales with the data of the batch, not
+  *    with versions.
+  *  - **Readers are plain parquet-hadoop** ([[GroupReadSupport]])
+  *    over immutable segment files, converting records straight to
+  *    `InternalRow` against the inferred schema (schema-evolved old
+  *    segments read null in added columns, by name). No driver
+  *    materialization anywhere: the driver plans file paths, the
+  *    executors read bytes.
+  *  - **Vacuum refuses loudly.** Planning a range behind the vacuum
+  *    horizon throws (surfacing as a stream error), mirroring
+  *    `readChanges` — a tail must resync from a snapshot, never skip
+  *    a gap silently.
+  *
+  * Options: `path` (table root, required); `startingVersion` (first
+  * version to stream, default 0 — i.e. the full history — or
+  * `latest` to tail only commits after stream start);
+  * `maxVersionsPerTrigger` (admission control: cap the commits
+  * absorbed per micro-batch, default unbounded).
+  *
+  * Schema: the current snapshot's (flat columns only — the
+  * line-of-business shape LogStore tables carry) plus
+  * `_change_type STRING` and `_commit_version LONG`, the same feed
+  * columns `readChanges` emits. */
+class LogStreamProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-log"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LogStreamSource.feedSchema(
+      LogStreamSource.requirePath(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new LogStreamTable(schema,
+      properties.get("path"),
+      Option(properties.get("startingVersion")),
+      Option(properties.get("maxVersionsPerTrigger")).map(_.toLong))
+}
+
+object LogStreamSource {
+  private[sources] def requirePath(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "graft-log needs .option(\"path\", <table root>)")
+    p
+  }
+
+  private val supported: Set[DataType] = Set(BooleanType, ByteType,
+    ShortType, IntegerType, LongType, FloatType, DoubleType, StringType,
+    BinaryType, DateType, TimestampType, TimestampNTZType)
+
+  /** Snapshot schema + feed columns, every field nullable (old
+    * segments may predate evolved columns). Nested types refuse
+    * loudly — the executor-side Group converter is scalar by design. */
+  private[sources] def feedSchema(root: String): StructType = {
+    val spark = SparkSession.active
+    val snap = new LogStore(spark, root).read().schema
+    snap.fields.foreach { f =>
+      require(supported.contains(f.dataType) ||
+          f.dataType.isInstanceOf[DecimalType],
+        s"graft-log streams flat columns; '${f.name}' is ${f.dataType}")
+    }
+    StructType(snap.fields.toSeq.map(_.copy(nullable = true)) ++ Seq(
+      StructField("_change_type", StringType, nullable = true),
+      StructField("_commit_version", LongType, nullable = false)))
+  }
+}
+
+final class LogStreamTable(schema: StructType, root: String,
+    startingVersion: Option[String], maxVersionsPerTrigger: Option[Long])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_log($root)"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LogStreamScan(schema, root,
+        startingVersion, maxVersionsPerTrigger)
+    }
+}
+
+final class LogStreamScan(schema: StructType, root: String,
+    startingVersion: Option[String], maxVersionsPerTrigger: Option[Long])
+    extends Scan {
+  override def readSchema(): StructType = schema
+  override def description(): String = s"GraftLogStream($root)"
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    new LogMicroBatchStream(schema, root, startingVersion,
+      maxVersionsPerTrigger)
+}
+
+/** One version-interval offset: the newest version ABSORBED so far
+  * (-1 = nothing yet). */
+final case class LogStreamOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+final class LogMicroBatchStream(schema: StructType, root: String,
+    startingVersion: Option[String], maxVersionsPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  private def spark = SparkSession.active
+  private def store = new LogStore(spark, root)
+
+  // Trigger.AvailableNow: pin the end of history at prepare time so
+  // the run drains THESE versions (in read-limit-sized batches via
+  // the admission-control cap) and then terminates
+  @volatile private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(store.latestVersion())
+
+  override def initialOffset(): Offset = {
+    val from = startingVersion match {
+      case Some("latest") => store.latestVersion() + 1
+      case Some(v) => v.toLong
+      case None => 0L
+    }
+    require(from >= 0, s"bad startingVersion $from")
+    LogStreamOffset(from - 1)
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[LogStreamOffset].version
+    val latest0 = store.latestVersion()
+    val latest = availableNowEnd
+      .map(math.min(latest0, _)).getOrElse(latest0)
+    val capped = maxVersionsPerTrigger
+      .map(m => math.min(latest, from + m)).getOrElse(latest)
+    LogStreamOffset(math.max(capped, from))
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control latestOffset is used")
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = "\"version\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalArgumentException(
+        s"bad graft-log offset: $json"))
+    LogStreamOffset(m.group(1).toLong)
+  }
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[LogStreamOffset].version + 1
+    val to = end.asInstanceOf[LogStreamOffset].version
+    if (to < from) return Array.empty
+    val s = store
+    val horizon = s.currentVacuumHorizon()
+    if (from < horizon)
+      throw new IllegalStateException(
+        s"versions [$from, ${horizon - 1}] were vacuumed (horizon " +
+          s"$horizon): the change stream must resync from a " +
+          "snapshot, never skip a gap silently")
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    (from to to).flatMap { v =>
+      s.changeSegmentsOf(v).flatMap { case (seg, implied) =>
+        fs.listStatus(new Path(s"$root/$seg"))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(f => LogStreamPartition(f.getPath.toString, v, implied)
+            : InputPartition)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship the session's Hadoop conf as a plain map — executors on a
+    // real cluster need the filesystem credentials/settings the
+    // driver planned with, and Configuration itself is not
+    // Java-serializable
+    val conf = spark.sessionState.newHadoopConf()
+    val entries = conf.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    new LogStreamReaderFactory(schema, entries)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class LogStreamPartition(file: String, version: Long,
+    implied: Option[String]) extends InputPartition
+
+final class LogStreamReaderFactory(schema: StructType,
+    confEntries: Array[(String, String)]) extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LogStreamPartition]
+    val conf = new Configuration(false)
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
+    new LogStreamPartitionReader(schema, p, conf)
+  }
+}
+
+/** Executor-side reader: plain parquet-hadoop record reads over one
+  * immutable segment file, converted to InternalRow against the feed
+  * schema by NAME (missing columns → null: schema evolution; the feed
+  * columns → the partition's constants or the file's own). */
+final class LogStreamPartitionReader(schema: StructType,
+    p: LogStreamPartition, conf: Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
+      .withConf(conf).build()
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val gt = current.getType
+    val vals = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      val f = schema.fields(i)
+      vals(i) = f.name match {
+        case "_commit_version" => p.version
+        case "_change_type" if p.implied.isDefined =>
+          UTF8String.fromString(p.implied.get)
+        case name =>
+          if (!gt.containsField(name)) null
+          else {
+            val idx = gt.getFieldIndex(name)
+            if (current.getFieldRepetitionCount(idx) == 0) null
+            else LogStreamPartitionReader.convert(current, idx,
+              gt.getType(idx).asPrimitiveType(), f.dataType)
+          }
+      }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = reader.close()
+}
+
+object LogStreamPartitionReader {
+  /** One parquet primitive value → Spark internal representation,
+    * covering every physical encoding Spark's writer emits for the
+    * supported flat types (INT96 and INT64 milli/micro/nano
+    * timestamps, int/long/binary decimals, DATE int32). */
+  private[sources] def convert(g: Group, idx: Int, pt: PrimitiveType,
+      dt: DataType): Any = dt match {
+    case BooleanType => g.getBoolean(idx, 0)
+    case ByteType => g.getInteger(idx, 0).toByte
+    case ShortType => g.getInteger(idx, 0).toShort
+    case IntegerType | DateType => g.getInteger(idx, 0)
+    case LongType => g.getLong(idx, 0)
+    case FloatType => g.getFloat(idx, 0)
+    case DoubleType => g.getDouble(idx, 0)
+    case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+    case BinaryType => g.getBinary(idx, 0).getBytes
+    case TimestampType | TimestampNTZType =>
+      pt.getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT96 =>
+          int96ToMicros(g.getInt96(idx, 0).getBytes)
+        case PrimitiveTypeName.INT64 =>
+          val raw = g.getLong(idx, 0)
+          pt.getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit match {
+                case TimeUnit.MILLIS => raw * 1000L
+                case TimeUnit.MICROS => raw
+                case TimeUnit.NANOS => Math.floorDiv(raw, 1000L)
+              }
+            case _ => raw // bare int64: micros by Spark convention
+          }
+        case other => throw new IllegalArgumentException(
+          s"unsupported timestamp encoding $other")
+      }
+    case d: DecimalType =>
+      pt.getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT32 =>
+          Decimal(g.getInteger(idx, 0).toLong, d.precision, d.scale)
+        case PrimitiveTypeName.INT64 =>
+          Decimal(g.getLong(idx, 0), d.precision, d.scale)
+        case PrimitiveTypeName.BINARY |
+            PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY =>
+          Decimal(BigDecimal(new java.math.BigInteger(
+            g.getBinary(idx, 0).getBytes), d.scale), d.precision, d.scale)
+        case other => throw new IllegalArgumentException(
+          s"unsupported decimal encoding $other")
+      }
+    case other => throw new IllegalArgumentException(
+      s"graft-log streams flat columns; got $other")
+  }
+
+  /** INT96 timestamp: 8 LE bytes nanos-of-day + 4 LE bytes Julian
+    * day → micros since epoch (the classic Impala/Hive encoding
+    * Spark still writes by default in some configs). */
+  private def int96ToMicros(b: Array[Byte]): Long = {
+    val buf = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nanosOfDay = buf.getLong
+    val julianDay = buf.getInt
+    (julianDay - 2440588L) * 86400000000L + Math.floorDiv(nanosOfDay, 1000L)
+  }
+}

@@ -1078,51 +1078,91 @@ object StreamingOps {
     latest
   }
 
-  /** Continuous keyed mirroring as a StreamingQuery — the
-    * [[logToLogStream]] wiring with [[mirrorLogToLog]] as the batch
-    * body: same rate-source clock, same disposable Spark checkpoint
-    * (all progress state is the target's txn fence). */
+  /** The feed slice a micro-batch should absorb: rows of versions the
+    * target's txn fence has not recorded yet. The NATIVE source's
+    * offsets (Spark checkpoint) and the target's fence are
+    * independent cursors that can skew either way — a lost checkpoint
+    * replays old versions (all behind the fence → empty slice), a
+    * re-pointed checkpoint can cover versions the fence already
+    * absorbed (filtered here) — so exactly-once holds under ANY
+    * offset/fence combination, not just the happy path. */
+  private def freshSlice(batch: DataFrame,
+      target: graft.catalog.LogStore): (DataFrame, Long) = {
+    val cursor = math.max(target.lastTxn(), -1L)
+    val fresh = batch.where(col("_commit_version") > cursor)
+    val top = fresh.agg(max(col("_commit_version"))).head()
+    (fresh, if (top.isNullAt(0)) -1L else top.getLong(0))
+  }
+
+  /** Continuous keyed mirroring as a StreamingQuery over the NATIVE
+    * change-feed source ([[graft.sources.LogStreamProvider]]): the
+    * micro-batch DATA is the source's own feed slice — offsets are
+    * commit versions in the Spark checkpoint — and each slice lands
+    * through [[netChangesKeyed]] + `applyChangesKeyed` in one fenced
+    * target commit. The Spark checkpoint remains disposable: the
+    * fence filter ([[freshSlice]]) makes a lost or re-pointed
+    * checkpoint unable to double-absorb a version. */
   def mirrorLogToLogStream(spark: SparkSession,
       source: graft.catalog.LogStore, target: graft.catalog.LogStore,
       keyCol: String, checkpointDir: String,
       intervalMs: Long = 500L): StreamingQuery =
-    spark.readStream.format("rate")
-      .option("rowsPerSecond", 1).load()
+    spark.readStream.format("graft-log")
+      .option("path", source.root).load()
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger
         .ProcessingTime(intervalMs))
-      .foreachBatch { (_: DataFrame, _: Long) =>
-        mirrorLogToLog(source, target, keyCol); ()
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (fresh, top) = freshSlice(batch, target)
+        if (top >= 0) {
+          val (upserts, deleteKeys) = netChangesKeyed(fresh, Seq(keyCol))
+          target.applyChangesKeyed(upserts, deleteKeys, Seq(keyCol),
+            batchId = top)
+        }
+        ()
       }
       .start()
 
-  /** The LogStore-as-streaming-source wiring: a continuous
-    * StreamingQuery that tails source-table commits and lands each
-    * batch of new ones in the target table, exactly once, through
-    * `transform` — LogStore A → streaming transform → LogStore B with
-    * no hand-wired maintainer. A rate stream is the micro-batch CLOCK
-    * only (one tick per `intervalMs`); all progress state is the
-    * target's txn fence via [[syncLogToLog]], so the Spark checkpoint
-    * is disposable — losing it (or pointing two differently-
-    * checkpointed queries at one target) cannot double-absorb a
-    * commit, and a restart resumes from the fence wherever the clock
-    * left off. A vacuum past the cursor or a non-insert change
-    * surfaces as a stream error (StreamingQueryException), never a
-    * silent gap. */
+  /** The LogStore-as-streaming-source wiring on the NATIVE source: a
+    * continuous StreamingQuery whose micro-batches ARE the source's
+    * change feed — `spark.readStream.format("graft-log")` with commit
+    * versions as offsets — landing each slice in the target table
+    * exactly once through `transform`. Progress is double-guarded:
+    * the Spark checkpoint schedules (restart resumes mid-history from
+    * the stored version offset), and the target's txn fence decides
+    * (a lost/re-pointed checkpoint cannot double-absorb — the fence
+    * filter drops already-landed versions, and a full replay is a
+    * no-op). A vacuum past the offset or a non-insert change surfaces
+    * as a stream error (StreamingQueryException), never a silent
+    * gap. */
   def logToLogStream(spark: SparkSession,
       source: graft.catalog.LogStore, target: graft.catalog.LogStore,
       checkpointDir: String,
       transform: DataFrame => DataFrame = identity,
       intervalMs: Long = 500L): StreamingQuery =
-    spark.readStream.format("rate")
-      .option("rowsPerSecond", 1).load()
+    spark.readStream.format("graft-log")
+      .option("path", source.root).load()
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger
         .ProcessingTime(intervalMs))
-      .foreachBatch { (_: DataFrame, _: Long) =>
-        syncLogToLog(source, target, transform); ()
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (fresh, top) = freshSlice(batch, target)
+        if (top >= 0) {
+          val bad = fresh.where(col("_change_type") =!= "insert")
+            .limit(1).select(col("_change_type"), col("_commit_version"))
+            .collect()
+          if (bad.nonEmpty)
+            throw new IllegalStateException(
+              s"append-only log sync hit a '${bad.head.getString(0)}' " +
+                s"change at source version ${bad.head.getLong(1)}: " +
+                "row-level deletes/updates need the keyed mirror " +
+                "(mirrorLogToLogStream), not a blind append")
+          target.appendStream(
+            transform(fresh.drop("_change_type", "_commit_version")),
+            batchId = top)
+        }
+        ()
       }
       .start()
 

@@ -1037,6 +1037,36 @@ class LogStoreSpec extends AnyFunSuite {
     assert(r2.version > r.version)
   }
 
+  test("TIMESTAMP AS OF resolves from LOG CONTENT: rewritten file " +
+      "mtimes (a cp -r, a backup-restore) cannot move the answer, " +
+      "and describeHistory carries the durable commit clock") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
+    val t = new LogStore(spark, dir)
+    t.append((1L to 3L).toDF("id"))            // v0
+    Thread.sleep(20)
+    val betweenV0V1 = System.currentTimeMillis()
+    Thread.sleep(20)
+    t.append((4L to 6L).toDF("id"))            // v1
+    assert(t.versionAsOf(betweenV0V1) == 0L)
+    // corrupt every version file's mtime far into the future — the
+    // mtime-based walk would now claim NO version is old enough
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(s"$dir/_log"))
+      .filter(_.getPath.getName.endsWith(".json"))
+      .foreach(f => fs.setTimes(f.getPath,
+        System.currentTimeMillis() + 86400000L, -1L))
+    assert(t.versionAsOf(betweenV0V1) == 0L,
+      "resolution must read the in-log ts stamp, not file metadata")
+    assert(ids(t.readAsOf(betweenV0V1)) == Set(1L, 2L, 3L))
+    // the audit surfaces the same durable clock, nondecreasing
+    val times = t.describeHistory()
+      .select(col("commit_time_ms")).as[Long].collect()
+    assert(times.length == 2 && times(0) <= times(1))
+    assert(times(0) < betweenV0V1 && times(1) > betweenV0V1)
+  }
+
   test("optimizeWhere: a predicate-selected rewrite touches ONLY " +
       "overlapping segments — the others carry over as the SAME " +
       "segments, the feed stays silent, snapshots invariant, and an " +

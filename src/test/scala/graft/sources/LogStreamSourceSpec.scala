@@ -1,0 +1,189 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.catalog.LogStore
+
+/** The native change-feed source's contract: feed parity with
+  * readChanges bit for bit, version offsets that restart mid-history
+  * from the Spark checkpoint, admission control, full streaming
+  * composition (windowed aggregation ≡ batch), exact scalar-type
+  * round-trips, and the loud vacuum refusal. */
+class LogStreamSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(statsCol: Option[String] = None) = new LogStore(
+    spark, Files.createTempDirectory("graft-lss").toString + "/tbl",
+    statsCol = statsCol)
+
+  private def stream(root: String, opts: Map[String, String] = Map.empty)
+      : DataFrame =
+    opts.foldLeft(spark.readStream.format("graft-log")
+      .option("path", root)) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+
+  private def drain(df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  test("feed parity: the streamed rows are EXACTLY readChanges(0) — " +
+      "implied inserts, cdc segments verbatim, dataChange=false " +
+      "commits contributing nothing") {
+    val t = fresh(statsCol = Some("id"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))     // v0 inserts
+    t.append(Seq((3L, "c")).toDF("id", "v"))                // v1 inserts
+    t.merge(Seq((2L, "B"), (9L, "z")).toDF("id", "v"), "id") // v2 images
+    t.deleteWhere("id = 1")                                 // v3 delete
+    t.compact()                                             // v4 nothing
+    def shape(df: DataFrame) = df
+      .select(col("id"), col("v"), col("_change_type"),
+        col("_commit_version"))
+      .as[(Long, String, String, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val streamed = shape(drain(stream(t.root), "lss_parity"))
+    val batch = shape(t.readChanges(0))
+    assert(streamed == batch,
+      "the native source must reproduce the feed multiset exactly")
+    assert(streamed.keys.exists(_._3 == "update_preimage") &&
+      streamed.keys.exists(_._3 == "delete"),
+      "the churn actually exercised cdc segments")
+  }
+
+  test("offsets are commit versions: a restarted query resumes " +
+      "MID-HISTORY from the checkpoint and absorbs each version " +
+      "exactly once (file-sink proof)") {
+    val t = fresh()
+    val base = Files.createTempDirectory("graft-lss-r").toString
+    val (out, ckpt) = (s"$base/out", s"$base/ckpt")
+    t.append((1L to 5L).toDF("id"))                          // v0
+    t.append((6L to 10L).toDF("id"))                         // v1
+    def run(): Unit = {
+      val q = stream(t.root).writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).format("parquet")
+        .start(out)
+      try q.awaitTermination() finally q.stop()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == 10L)
+    t.append((11L to 13L).toDF("id"))                        // v2
+    t.append((14L to 15L).toDF("id"))                        // v3
+    run() // restart: must plan ONLY versions (1, 3]
+    val rows = spark.read.parquet(out)
+      .select(col("id"), col("_commit_version"))
+      .as[(Long, Long)].collect().toSeq
+    assert(rows.length == 15, s"exactly once: ${rows.length} rows")
+    assert(rows.toSet == ((1L to 5L).map((_, 0L)) ++
+      (6L to 10L).map((_, 1L)) ++ (11L to 13L).map((_, 2L)) ++
+      (14L to 15L).map((_, 3L))).toSet)
+  }
+
+  test("admission control: maxVersionsPerTrigger bounds the versions " +
+      "absorbed per micro-batch; startingVersion skips history") {
+    val t = fresh()
+    (0 until 5).foreach(i =>
+      t.append(Seq(i.toLong).toDF("id")))                    // v0..v4
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = stream(t.root, Map("maxVersionsPerTrigger" -> "2"))
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-lss-a").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        batches += df.select(col("_commit_version"))
+          .as[Long].collect().toSet
+        ()
+      }.start()
+    try q.awaitTermination() finally q.stop()
+    val nonEmpty = batches.filter(_.nonEmpty)
+    assert(nonEmpty.forall(_.size <= 2),
+      s"every micro-batch must absorb at most 2 versions: $batches")
+    assert(nonEmpty.size >= 3 &&
+      nonEmpty.flatten.toSet == (0L to 4L).toSet)
+
+    // startingVersion: only v3+ stream; "latest" sees only NEW commits
+    val from3 = drain(stream(t.root,
+      Map("startingVersion" -> "3")), "lss_sv")
+    assert(from3.select(col("_commit_version")).as[Long]
+      .collect().toSet == Set(3L, 4L))
+  }
+
+  test("full streaming composition: a windowed aggregation over the " +
+      "feed equals the batch aggregation of readChanges — the thing " +
+      "the rate-clock hack could never do") {
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-05-01 $h%02d:$m%02d:00")
+    val t = fresh()
+    t.append(Seq((ts(9, 10), 3L), (ts(9, 50), 4L), (ts(10, 5), 10L))
+      .toDF("ts", "n"))
+    t.append(Seq((ts(10, 40), 20L), (ts(11, 1), 100L)).toDF("ts", "n"))
+    t.compact()
+    t.append(Seq((ts(9, 59), 5L)).toDF("ts", "n"))
+    def agg(df: DataFrame) = df
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("cnt"))
+      .select(col("w.start").cast("string"), col("total"), col("cnt"))
+    val q = agg(stream(t.root)).writeStream
+      .outputMode("complete").format("memory")
+      .queryName("lss_win").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("lss_win")
+      .as[(String, Long, Long)].collect().toSet
+    val batch = agg(t.readChanges(0))
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.size == 3,
+      s"windowed agg over the native feed must equal batch: $streamed")
+  }
+
+  test("scalar types round-trip exactly through the executor-side " +
+      "Group converter: long, int, double, string, boolean, date, " +
+      "timestamp, decimal, binary, null") {
+    val t = fresh()
+    val df = Seq(
+      (1L, 7, 2.5, "héllo", true, java.sql.Date.valueOf("2024-02-29"),
+        java.sql.Timestamp.valueOf("2024-02-29 23:59:59.123456"),
+        BigDecimal("12345.6789"), Array[Byte](1, 2, -3),
+        Option("x")),
+      (2L, -9, -0.125, "", false, java.sql.Date.valueOf("1969-12-31"),
+        java.sql.Timestamp.valueOf("1969-12-31 23:00:00.000001"),
+        BigDecimal("-0.0001"), Array.empty[Byte],
+        None: Option[String]))
+      .toDF("l", "i", "d", "s", "b", "dt", "ts", "dec", "bin", "opt")
+    t.append(df)
+    val got = drain(stream(t.root), "lss_types")
+      .drop("_change_type", "_commit_version")
+    def canon(x: DataFrame) = x.select(col("l"), col("i"), col("d"),
+        col("s"), col("b"), col("dt").cast("string"),
+        col("ts").cast("string"), col("dec").cast("string"),
+        hex(col("bin")), col("opt"))
+      .as[(Long, Int, Double, String, Boolean, String, String, String,
+        String, Option[String])].collect().toSet
+    assert(canon(got) == canon(t.read()),
+      "every scalar must survive the parquet Group conversion exactly")
+  }
+
+  test("a vacuumed gap refuses LOUDLY: planning versions behind the " +
+      "horizon is a stream error, never a silent skip") {
+    val t = fresh()
+    t.append((1L to 5L).toDF("id"))           // v0
+    t.append((6L to 9L).toDF("id"))           // v1
+    t.compact()                               // v2
+    t.vacuum(retainLast = 1, orphanMinAgeMs = 0L) // horizon = 2
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(stream(t.root), "lss_vac")
+    }
+    assert(e.getCause != null &&
+      String.valueOf(e.getCause.getMessage).contains("vacuum"),
+      s"got: ${e.getCause}")
+  }
+}

@@ -820,6 +820,45 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "mm_decoded_jpeg420" -> ((s, dir) => {
+      // the dominant wild-corpus JPEG profile: REAL 4:2:0 payloads
+      // (2x2-sampled luma, box-averaged chroma, MCU-interleaved
+      // scan) on a full-MCU RGB geometry, decoded through the
+      // general MCU path. Exact oracle facts: header dims + channel
+      // count, plus per-channel mean agreement (block means ride on
+      // DC alone; full MCUs make the chroma box average
+      // mean-preserving) — the source channel means are computed
+      // relationally here, so a decode drift breaks the booleans.
+      val docs = t(s, dir, "documents")
+      val src = docs
+        .withColumn("btxt", expr("coalesce(text, '')"))
+        .withColumn("n", expr("octet_length(btxt)"))
+        .withColumn("w", expr("16 * (1 + n % 3)"))
+        .withColumn("nrows", expr(
+          "greatest(CAST(1 AS BIGINT), CAST((n + 3*w - 1) DIV (3*w) AS BIGINT))"))
+        .withColumn("h", expr("16 * ((nrows + 15) DIV 16)"))
+        .withColumn("npx", col("w") * col("h"))
+        .withColumn("sr", expr("aggregate(transform(split(btxt, ''), " +
+          "(x, i) -> IF(i % 3 = 0, CAST(ascii(x) AS BIGINT), " +
+          "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("sg", expr("aggregate(transform(split(btxt, ''), " +
+          "(x, i) -> IF(i % 3 = 1, CAST(ascii(x) AS BIGINT), " +
+          "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("sb", expr("aggregate(transform(split(btxt, ''), " +
+          "(x, i) -> IF(i % 3 = 2, CAST(ascii(x) AS BIGINT), " +
+          "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .select(col("doc_id").as("media_id"),
+          ((col("sr") + lit(32L) * (col("npx") - expr("CAST((n + 2) DIV 3 AS BIGINT)")))
+            .cast("double") / col("npx").cast("double")).as("r_mean"),
+          ((col("sg") + lit(32L) * (col("npx") - expr("CAST((n + 1) DIV 3 AS BIGINT)")))
+            .cast("double") / col("npx").cast("double")).as("g_mean"),
+          ((col("sb") + lit(32L) * (col("npx") - expr("CAST(n DIV 3 AS BIGINT)")))
+            .cast("double") / col("npx").cast("double")).as("b_mean"))
+      Multimodal.extractJpeg420Features(s,
+          Multimodal.withJpeg420Payload(docs).join(src, "media_id"))
+        .toDF().orderBy("media_id")
+    }),
+
     "mm_resize_pixels" -> ((s, dir) =>
       // the PIXEL half of resize: decode → aspect-preserving
       // nearest-neighbor decimation capped at 16 → stats + md5 of the
@@ -830,6 +869,18 @@ object SparkEntry {
       Multimodal.resizeFeatures(s,
           Multimodal.withPgmPayload(t(s, dir, "documents")),
           maxDim = 16)
+        .toDF().orderBy("media_id")),
+
+    "mm_resize_area" -> ((s, dir) =>
+      // the ANTI-ALIASED resize kernel: decode → the same
+      // aspect-preserving dims → area-average decimation (box pixel
+      // sums over the floor partition, integer divide) → stats + md5
+      // of the RESIZED raster. All-integer box arithmetic, so the
+      // oracle recomputes the exact resized bytes positionally —
+      // kernel output hash-checked, not just plumbing.
+      Multimodal.resizeFeatures(s,
+          Multimodal.withPgmPayload(t(s, dir, "documents")),
+          maxDim = 16, kernel = "area")
         .toDF().orderBy("media_id")),
 
     "mm_decoded_png" -> ((s, dir) => {
@@ -5755,6 +5806,23 @@ object SparkEntry {
         | TRUE AS mean_close
         |FROM e ORDER BY media_id""".stripMargin,
 
+    // 4:2:0 is lossy: the oracle pins the full-MCU geometry facts
+    // and the per-channel mean booleans (the source channel means
+    // the booleans compare against are computed relationally on the
+    // Spark side with oracle-grade arithmetic)
+    "mm_decoded_jpeg420" ->
+      """WITH t AS (SELECT doc_id AS media_id,
+        |  octet_length(encode(coalesce(text, ''))) AS n FROM documents),
+        |d AS (SELECT media_id, n, 16 * (1 + n % 3) AS w FROM t),
+        |e AS (SELECT media_id, w,
+        |  16 * ((greatest(1, (n + 3*w - 1) // (3*w)) + 15) // 16) AS h
+        | FROM d)
+        |SELECT media_id, CAST(w AS INTEGER) AS width,
+        | CAST(h AS INTEGER) AS height,
+        | CAST(3 AS INTEGER) AS channels,
+        | TRUE AS r_close, TRUE AS g_close, TRUE AS b_close
+        |FROM e ORDER BY media_id""".stripMargin,
+
     // nearest-neighbor resize, recomputed positionally: out(y,x) =
     // raster[(y*h//oh)*w + x*w//ow]; dims by the identical
     // IEEE floor(w * (16/max)) rule, clamped to >= 1
@@ -5779,6 +5847,56 @@ object SparkEntry {
         |  array_to_string(list_transform(range(0, ow * oh), p ->
         |    substr(raster, CAST(((p // ow) * h // oh) * w +
         |      ((p % ow) * w // ow) AS INTEGER) + 1, 1)), '') AS rz
+        | FROM g)
+        |SELECT media_id, CAST(w AS INTEGER) AS width,
+        | CAST(h AS INTEGER) AS height,
+        | CAST(ow AS INTEGER) AS out_width,
+        | CAST(oh AS INTEGER) AS out_height,
+        | CAST(coalesce(list_sum(list_transform(string_split(rz, ''),
+        |   x -> ord(x))), 0) AS DOUBLE) / CAST(ow * oh AS DOUBLE)
+        |   AS mean_out,
+        | md5(rz) AS out_md5
+        |FROM r ORDER BY media_id""".stripMargin,
+
+    // area-average resize, recomputed positionally: out(y,x) = the
+    // box sum over [y*h//oh, (y+1)*h//oh) x [x*w//ow, (x+1)*w//ow)
+    // (clamped to >= 1 px) integer-divided by its count — the exact
+    // kernel arithmetic, then md5 of the reassembled bytes
+    "mm_resize_area" ->
+      """WITH t AS (SELECT doc_id AS media_id, text,
+        |  octet_length(encode(text)) AS n FROM documents),
+        |d AS (SELECT media_id, text, n, 8 + (n % 57) AS w FROM t),
+        |e AS (SELECT media_id, text, n, w,
+        |  (greatest(n, 1) + w - 1) // w AS h FROM d),
+        |f AS (SELECT media_id, w, h,
+        |  text || repeat(' ', w * h - n) AS raster FROM e),
+        |g AS (SELECT media_id, w, h, raster,
+        |  CASE WHEN greatest(w, h) > 16 THEN greatest(1,
+        |    CAST(FLOOR(CAST(w AS DOUBLE) * (CAST(16 AS DOUBLE) /
+        |      CAST(greatest(w, h) AS DOUBLE))) AS INTEGER))
+        |   ELSE w END AS ow,
+        |  CASE WHEN greatest(w, h) > 16 THEN greatest(1,
+        |    CAST(FLOOR(CAST(h AS DOUBLE) * (CAST(16 AS DOUBLE) /
+        |      CAST(greatest(w, h) AS DOUBLE))) AS INTEGER))
+        |   ELSE h END AS oh FROM f),
+        |r AS (SELECT media_id, w, h, ow, oh,
+        |  array_to_string(list_transform(range(0, ow * oh), p ->
+        |    chr(CAST(
+        |      list_sum(flatten(list_transform(
+        |        range((p // ow) * h // oh,
+        |          greatest((p // ow) * h // oh + 1,
+        |            ((p // ow) + 1) * h // oh)),
+        |        sy -> list_transform(
+        |          range((p % ow) * w // ow,
+        |            greatest((p % ow) * w // ow + 1,
+        |              ((p % ow) + 1) * w // ow)),
+        |          sx -> ord(substr(raster,
+        |            CAST(sy * w + sx AS INTEGER) + 1, 1)))))) //
+        |      ((greatest((p // ow) * h // oh + 1,
+        |          ((p // ow) + 1) * h // oh) - (p // ow) * h // oh) *
+        |       (greatest((p % ow) * w // ow + 1,
+        |          ((p % ow) + 1) * w // ow) - (p % ow) * w // ow))
+        |    AS INTEGER))), '') AS rz
         | FROM g)
         |SELECT media_id, CAST(w AS INTEGER) AS width,
         | CAST(h AS INTEGER) AS height,

@@ -641,16 +641,23 @@ object Multimodal {
 
     /** Encode `pixels` (row-major; 1 = gray, 3 = interleaved RGB) as a
       * baseline JFIF JPEG with quantizer `quant` (zigzag-natural
-      * order, applied to every component). */
+      * order, applied to every component). `subsample` (3-channel
+      * only) writes 4:2:0 — luma at 2x2 sampling, chroma planes
+      * box-averaged to half resolution and MCU-interleaved as
+      * YYYYCbCr per 16x16 macroblock, the dominant wild-corpus
+      * profile. */
     def encode(pixels: Array[Byte], width: Int, height: Int,
-        channels: Int = 1, quant: Array[Int] = stdQuant): Array[Byte] = {
+        channels: Int = 1, quant: Array[Int] = stdQuant,
+        subsample: Boolean = false): Array[Byte] = {
       require(channels == 1 || channels == 3, s"channels $channels")
+      require(!subsample || channels == 3,
+        "4:2:0 subsampling needs 3 channels")
       require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
         "quant must be 64 steps in [1, 255]")
       require(pixels.length == width * height * channels, "raster size")
       require(width > 0 && height > 0, "degenerate dims")
-      // component planes, level-shift applied at block fill
-      val planes: Array[Array[Int]] =
+      // full-resolution component planes
+      val full: Array[Array[Int]] =
         if (channels == 1)
           Array(pixels.map(_ & 0xff))
         else {
@@ -672,70 +679,130 @@ object Multimodal {
           }
           Array(y, cb, cr)
         }
-      val bw = math.ceil(width / 8.0).toInt
-      val bh = math.ceil(height / 8.0).toInt
+      // per-component sampling factors + (possibly downsampled) planes
+      val sampH = Array.tabulate(channels)(c =>
+        if (subsample && c == 0) 2 else 1)
+      val sampV = sampH.clone()
+      val hMax = sampH.max
+      val vMax = sampV.max
+      // component plane dims at its own resolution
+      val compW = Array.tabulate(channels)(c =>
+        (width * sampH(c) + hMax - 1) / hMax)
+      val compH = Array.tabulate(channels)(c =>
+        (height * sampV(c) + vMax - 1) / vMax)
+      val planes: Array[Array[Int]] = Array.tabulate(channels) { c =>
+        if (compW(c) == width && compH(c) == height) full(c)
+        else {
+          // 2x2 box average with edge replication, round half up —
+          // integer arithmetic so the transform is engine-exact
+          val p = new Array[Int](compW(c) * compH(c))
+          var cy = 0
+          while (cy < compH(c)) {
+            var cx = 0
+            while (cx < compW(c)) {
+              var sum = 0
+              var dy = 0
+              while (dy < 2) {
+                val sy = math.min(height - 1, 2 * cy + dy)
+                var dx = 0
+                while (dx < 2) {
+                  val sx = math.min(width - 1, 2 * cx + dx)
+                  sum += full(c)(sy * width + sx)
+                  dx += 1
+                }
+                dy += 1
+              }
+              p(cy * compW(c) + cx) = (sum + 2) / 4
+              cx += 1
+            }
+            cy += 1
+          }
+          p
+        }
+      }
+      val mcuCols = (width + 8 * hMax - 1) / (8 * hMax)
+      val mcuRows = (height + 8 * vMax - 1) / (8 * vMax)
       val writer = new BitWriter
       val lastDc = new Array[Int](channels)
-      var by = 0
-      while (by < bh) {
-        var bx = 0
-        while (bx < bw) {
+
+      def encodeBlock(c: Int, blockRow: Int, blockCol: Int): Unit = {
+        val w = compW(c)
+        val h = compH(c)
+        val block = new Array[Double](64)
+        var yy = 0
+        while (yy < 8) {
+          val sy = math.min(h - 1, blockRow * 8 + yy)
+          var xx = 0
+          while (xx < 8) {
+            val sx = math.min(w - 1, blockCol * 8 + xx)
+            block(yy * 8 + xx) = planes(c)(sy * w + sx) - 128.0
+            xx += 1
+          }
+          yy += 1
+        }
+        val q = fdctQuant(block, quant)
+        // zigzag-order the quantized coefficients
+        val zz = new Array[Int](64)
+        var i = 0
+        while (i < 64) { zz(i) = q(zigzag(i)); i += 1 }
+        val dcDiff = zz(0) - lastDc(c)
+        lastDc(c) = zz(0)
+        val dsz = sizeOf(dcDiff)
+        val (dcode, dlen) = dcCode(dsz)
+        writer.put(dcode, dlen)
+        if (dsz > 0) {
+          val bitsVal =
+            if (dcDiff >= 0) dcDiff else dcDiff + (1 << dsz) - 1
+          writer.put(bitsVal, dsz)
+        }
+        var k = 1
+        while (k < 64) {
+          var run = 0
+          while (k < 64 && zz(k) == 0) { run += 1; k += 1 }
+          if (k == 64) {
+            val (c0, l0) = acCode(0x00) // EOB
+            writer.put(c0, l0)
+          } else {
+            while (run >= 16) {
+              val (cz, lz) = acCode(0xf0) // ZRL
+              writer.put(cz, lz)
+              run -= 16
+            }
+            val v = zz(k)
+            val sz = sizeOf(v)
+            val (ca, la) = acCode((run << 4) | sz)
+            writer.put(ca, la)
+            val bitsVal = if (v >= 0) v else v + (1 << sz) - 1
+            writer.put(bitsVal, sz)
+            k += 1
+          }
+        }
+      }
+
+      // MCU-interleaved scan (T.81 A.2.3): per macroblock, each
+      // component contributes sampV×sampH blocks in raster order —
+      // with all factors 1 this degrades to the plain per-block
+      // interleave of the 4:4:4 path
+      var my = 0
+      while (my < mcuRows) {
+        var mx = 0
+        while (mx < mcuCols) {
           var c = 0
           while (c < channels) {
-            val block = new Array[Double](64)
-            var yy = 0
-            while (yy < 8) {
-              val sy = math.min(height - 1, by * 8 + yy)
-              var xx = 0
-              while (xx < 8) {
-                val sx = math.min(width - 1, bx * 8 + xx)
-                block(yy * 8 + xx) = planes(c)(sy * width + sx) - 128.0
-                xx += 1
+            var v = 0
+            while (v < sampV(c)) {
+              var hh = 0
+              while (hh < sampH(c)) {
+                encodeBlock(c, my * sampV(c) + v, mx * sampH(c) + hh)
+                hh += 1
               }
-              yy += 1
-            }
-            val q = fdctQuant(block, quant)
-            // zigzag-order the quantized coefficients
-            val zz = new Array[Int](64)
-            var i = 0
-            while (i < 64) { zz(i) = q(zigzag(i)); i += 1 }
-            val dcDiff = zz(0) - lastDc(c)
-            lastDc(c) = zz(0)
-            val dsz = sizeOf(dcDiff)
-            val (dcode, dlen) = dcCode(dsz)
-            writer.put(dcode, dlen)
-            if (dsz > 0) {
-              val bitsVal =
-                if (dcDiff >= 0) dcDiff else dcDiff + (1 << dsz) - 1
-              writer.put(bitsVal, dsz)
-            }
-            var k = 1
-            while (k < 64) {
-              var run = 0
-              while (k < 64 && zz(k) == 0) { run += 1; k += 1 }
-              if (k == 64) {
-                val (c0, l0) = acCode(0x00) // EOB
-                writer.put(c0, l0)
-              } else {
-                while (run >= 16) {
-                  val (cz, lz) = acCode(0xf0) // ZRL
-                  writer.put(cz, lz)
-                  run -= 16
-                }
-                val v = zz(k)
-                val sz = sizeOf(v)
-                val (ca, la) = acCode((run << 4) | sz)
-                writer.put(ca, la)
-                val bitsVal = if (v >= 0) v else v + (1 << sz) - 1
-                writer.put(bitsVal, sz)
-                k += 1
-              }
+              v += 1
             }
             c += 1
           }
-          bx += 1
+          mx += 1
         }
-        by += 1
+        my += 1
       }
       writer.flush()
       val scan = writer.out.toByteArray
@@ -755,7 +822,7 @@ object Multimodal {
       out.write(channels)
       (0 until channels).foreach { c =>
         out.write(c + 1) // component id
-        out.write(0x11)  // 1x1 sampling — no subsampling
+        out.write((sampH(c) << 4) | sampV(c)) // sampling factors
         out.write(0)     // quant table 0
       }
       def dht(clazz: Int, id: Int, lengths: Array[Int],
@@ -886,6 +953,8 @@ object Multimodal {
       var height = -1
       var nComp = 0
       var compQuant: Array[Int] = null
+      var sampH: Array[Int] = null
+      var sampV: Array[Int] = null
       var scanStart = -1
       var compDc: Array[Int] = null
       var compAc: Array[Int] = null
@@ -912,11 +981,25 @@ object Multimodal {
               fail(s"unsupported component count $nComp")
             if (len < 8 + 3 * nComp) fail("SOF0 component table overrun")
             compQuant = new Array[Int](nComp)
+            sampH = new Array[Int](nComp)
+            sampV = new Array[Int](nComp)
             (0 until nComp).foreach { c =>
               val samp = payload(pos + 9 + 3 * c) & 0xff
-              if (samp != 0x11)
-                fail("chroma subsampling unsupported (4:4:4 only)")
+              sampH(c) = samp >> 4
+              sampV(c) = samp & 0x0f
               compQuant(c) = payload(pos + 10 + 3 * c) & 0xff
+            }
+            // supported sampling profiles: a single-component scan is
+            // non-interleaved per T.81 (declared factors are inert —
+            // common in wild grayscale files); 3 components must be
+            // 4:4:4 (all 1x1) or 4:2:0 (luma 2x2, chroma 1x1)
+            if (nComp == 1) { sampH(0) = 1; sampV(0) = 1 }
+            else {
+              val ok444 = sampH.forall(_ == 1) && sampV.forall(_ == 1)
+              val ok420 = sampH(0) == 2 && sampV(0) == 2 &&
+                (1 until nComp).forall(c => sampH(c) == 1 && sampV(c) == 1)
+              if (!ok444 && !ok420)
+                fail("sampling unsupported (4:4:4 and 4:2:0 only)")
             }
             pos += len
           case 0xc4 =>
@@ -983,67 +1066,92 @@ object Multimodal {
         if (dcTabs(compDc(c)) == null || acTabs(compAc(c)) == null)
           fail("missing huffman table")
       }
-      val bw = math.ceil(width / 8.0).toInt
-      val bh = math.ceil(height / 8.0).toInt
-      val planes = Array.fill(nComp)(new Array[Int](bw * 8 * bh * 8))
+      val hMax = sampH.max
+      val vMax = sampV.max
+      val mcuCols = (width + 8 * hMax - 1) / (8 * hMax)
+      val mcuRows = (height + 8 * vMax - 1) / (8 * vMax)
+      // each component's plane at its OWN resolution, block-padded
+      val stride = Array.tabulate(nComp)(c => mcuCols * sampH(c) * 8)
+      val planes = Array.tabulate(nComp)(c =>
+        new Array[Int](stride(c) * mcuRows * sampV(c) * 8))
       val br = new BitReader(payload, scanStart)
       val lastDc = new Array[Int](nComp)
-      var by = 0
-      while (by < bh) {
-        var bx = 0
-        while (bx < bw) {
+
+      def decodeBlock(c: Int, blockRow: Int, blockCol: Int): Unit = {
+        val zz = new Array[Int](64)
+        val dsz = dcTabs(compDc(c)).decode(br)
+        if (dsz > 11) fail("bad DC size")
+        lastDc(c) += extend(br.receive(dsz), dsz)
+        zz(0) = lastDc(c)
+        var k = 1
+        while (k < 64) {
+          val rs = acTabs(compAc(c)).decode(br)
+          val run = rs >> 4
+          val sz = rs & 0x0f
+          if (sz == 0) {
+            if (run == 15) k += 16 // ZRL
+            else k = 64            // EOB
+          } else {
+            k += run
+            if (k > 63) fail("AC run overflow")
+            zz(k) = extend(br.receive(sz), sz)
+            k += 1
+          }
+        }
+        val px = dequantIdct(zz, quants(compQuant(c)))
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            planes(c)((blockRow * 8 + yy) * stride(c) +
+              blockCol * 8 + xx) = px(yy * 8 + xx)
+            xx += 1
+          }
+          yy += 1
+        }
+      }
+
+      // MCU-interleaved entropy decode (T.81 A.2.3) — the exact
+      // mirror of the encoder's block order; all factors 1 degrades
+      // to the plain per-block interleave
+      var my = 0
+      while (my < mcuRows) {
+        var mx = 0
+        while (mx < mcuCols) {
           var c = 0
           while (c < nComp) {
-            val zz = new Array[Int](64)
-            val dsz = dcTabs(compDc(c)).decode(br)
-            if (dsz > 11) fail("bad DC size")
-            lastDc(c) += extend(br.receive(dsz), dsz)
-            zz(0) = lastDc(c)
-            var k = 1
-            while (k < 64) {
-              val rs = acTabs(compAc(c)).decode(br)
-              val run = rs >> 4
-              val sz = rs & 0x0f
-              if (sz == 0) {
-                if (run == 15) k += 16 // ZRL
-                else k = 64            // EOB
-              } else {
-                k += run
-                if (k > 63) fail("AC run overflow")
-                zz(k) = extend(br.receive(sz), sz)
-                k += 1
+            var v = 0
+            while (v < sampV(c)) {
+              var hh = 0
+              while (hh < sampH(c)) {
+                decodeBlock(c, my * sampV(c) + v, mx * sampH(c) + hh)
+                hh += 1
               }
-            }
-            val px = dequantIdct(zz, quants(compQuant(c)))
-            var yy = 0
-            while (yy < 8) {
-              var xx = 0
-              while (xx < 8) {
-                planes(c)((by * 8 + yy) * bw * 8 + bx * 8 + xx) =
-                  px(yy * 8 + xx)
-                xx += 1
-              }
-              yy += 1
+              v += 1
             }
             c += 1
           }
-          bx += 1
+          mx += 1
         }
-        by += 1
+        my += 1
       }
-      // crop the block padding; color-convert if 3 components
+      // crop the block padding; upsample subsampled chroma by
+      // replication (JFIF's permitted nearest upsampling); color-
+      // convert if 3 components
       val out = new Array[Byte](width * height * nComp)
-      val stride = bw * 8
+      def sample(c: Int, y: Int, x: Int): Int =
+        planes(c)((y * sampV(c) / vMax) * stride(c) +
+          (x * sampH(c) / hMax))
       var y = 0
       while (y < height) {
         var x = 0
         while (x < width) {
           if (nComp == 1)
-            out(y * width + x) = planes(0)(y * stride + x).toByte
+            out(y * width + x) = sample(0, y, x).toByte
           else {
-            val yv = planes(0)(y * stride + x).toDouble
-            val cb = planes(1)(y * stride + x) - 128.0
-            val cr = planes(2)(y * stride + x) - 128.0
+            val yv = sample(0, y, x).toDouble
+            val cb = sample(1, y, x) - 128.0
+            val cr = sample(2, y, x) - 128.0
             def clamp(d: Double): Byte =
               math.max(0, math.min(255, math.round(d).toInt)).toByte
             out(3 * (y * width + x)) = clamp(yv + 1.402 * cr)
@@ -1077,6 +1185,76 @@ object Multimodal {
         (id, JpegCodec.encode(padded, w, h), "image/jpeg")
       }
       .toDF("media_id", "payload", "media_type")
+  }
+
+  /** Synthesize REAL 4:2:0 baseline JPEGs from the corpus: each doc's
+    * UTF-8 bytes become an interleaved RGB raster whose dims are
+    * MULTIPLES OF 16 (w = 16·(1 + n mod 3); h = rows rounded up to
+    * 16) — full MCUs and exact 2x2 chroma partitions, so per-channel
+    * means survive the subsample within the DC bound and the oracle
+    * can recompute them relationally. Space-padded to fill. */
+  def withJpeg420Payload(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = Option(text).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = bytes.length
+        val w = 16 * (1 + n % 3)
+        val rows = math.max(1, (n + 3 * w - 1) / (3 * w))
+        val h = 16 * ((rows + 15) / 16)
+        val padded = java.util.Arrays.copyOf(bytes, w * h * 3)
+        java.util.Arrays.fill(padded, n, w * h * 3, ' '.toByte)
+        (id, JpegCodec.encode(padded, w, h, channels = 3,
+          subsample = true), "image/jpeg")
+      }
+      .toDF("media_id", "payload", "media_type")
+  }
+
+  final case class Jpeg420Features(media_id: Long, width: Option[Int],
+      height: Option[Int], channels: Option[Int], r_close: Option[Boolean],
+      g_close: Option[Boolean], b_close: Option[Boolean])
+
+  /** Decode + per-channel mean agreement over 4:2:0 JPEG payloads,
+    * null-not-fail. Block means depend on DC alone (AC basis functions
+    * are zero-sum) and full-MCU geometry makes the chroma box average
+    * mean-preserving, so each decoded channel mean sits within a
+    * conservative ±6 of the source channel mean (DC quantization ≤1
+    * per plane + per-stage rounding, through the ≤1.772-gain color
+    * transform). The oracle recomputes source channel means
+    * relationally and pins the booleans. */
+  def extractJpeg420Features(spark: SparkSession, media: DataFrame)
+      : Dataset[Jpeg420Features] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"),
+        col("r_mean").cast("double"), col("g_mean").cast("double"),
+        col("b_mean").cast("double"))
+      .as[(Long, Array[Byte], Double, Double, Double)]
+      .mapPartitions { it =>
+        it.map { case (id, payload, rm, gm, bm) =>
+          try {
+            val img = JpegCodec.decode(payload)
+            require(img.channels == 3, "expected RGB")
+            val sums = new Array[Long](3)
+            var i = 0
+            while (i < img.pixels.length) {
+              sums(i % 3) += img.pixels(i) & 0xff
+              i += 1
+            }
+            val n = img.pixels.length / 3
+            def close(sum: Long, src: Double): Boolean =
+              math.abs(sum.toDouble / n - src) <= 6.0
+            Jpeg420Features(id, Some(img.width), Some(img.height),
+              Some(img.channels), Some(close(sums(0), rm)),
+              Some(close(sums(1), gm)), Some(close(sums(2), bm)))
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              Jpeg420Features(id, None, None, None, None, None, None)
+          }
+        }
+      }
   }
 
   /** Decode + feature extraction over JPEG payloads, null-not-fail.
@@ -1285,15 +1463,59 @@ object Multimodal {
     out
   }
 
+  /** Area-average (box-sum) raster resize — the ANTI-ALIASED kernel a
+    * training-data image pipeline actually downscales with (nearest
+    * decimation drops pixels; area averaging integrates them): the
+    * source splits into the floor-partition boxes
+    * [y·h div oh, (y+1)·h div oh) × [x·w div ow, (x+1)·w div ow)
+    * (clamped to ≥1 px for upscales, where the kernel degrades to
+    * nearest) and out(y, x) = the box's pixel sum div its count —
+    * pure INTEGER arithmetic end to end, so the oracle recomputes the
+    * exact resized bytes positionally, md5 and all. */
+  private[graft] def resizeArea(pixels: Array[Byte], w: Int, h: Int,
+      ow: Int, oh: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && ow > 0 && oh > 0, "degenerate dims")
+    val out = new Array[Byte](ow * oh)
+    var y = 0
+    while (y < oh) {
+      val sy0 = (y.toLong * h / oh).toInt
+      val sy1 = math.max(sy0 + 1, ((y + 1).toLong * h / oh).toInt)
+      var x = 0
+      while (x < ow) {
+        val sx0 = (x.toLong * w / ow).toInt
+        val sx1 = math.max(sx0 + 1, ((x + 1).toLong * w / ow).toInt)
+        var sum = 0L
+        var sy = sy0
+        while (sy < sy1) {
+          var sx = sx0
+          while (sx < sx1) {
+            sum += pixels(sy * w + sx) & 0xff
+            sx += 1
+          }
+          sy += 1
+        }
+        out(y * ow + x) =
+          (sum / ((sy1 - sy0).toLong * (sx1 - sx0))).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Decode + RESIZE + feature extraction over grayscale PGM payloads:
     * the full pixel pipeline through one mapPartitions seam — parse,
     * aspect-preserving target dims capped at `maxDim` (the identical
     * floor(w·scale) rule as [[resizeDims]], so the two stages can
-    * never disagree), nearest-neighbor decimation, then mean + md5 of
-    * the RESIZED raster. Every step is integer/IEEE-deterministic, so
-    * the resized bytes are oracle arithmetic, not just plumbing. */
+    * never disagree), decimation by the chosen `kernel` ("nearest" or
+    * anti-aliased "area"), then mean + md5 of the RESIZED raster.
+    * Every step is integer/IEEE-deterministic, so the resized bytes
+    * are oracle arithmetic, not just plumbing. */
   def resizeFeatures(spark: SparkSession, media: DataFrame,
-      maxDim: Int): Dataset[ResizedFeatures] = {
+      maxDim: Int, kernel: String = "nearest")
+      : Dataset[ResizedFeatures] = {
+    require(kernel == "nearest" || kernel == "area",
+      s"unknown resize kernel '$kernel'")
     import spark.implicits._
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -1311,8 +1533,11 @@ object Multimodal {
           val oh = if (needs)
             math.max(1, math.floor(img.height.toDouble * scale).toInt)
           else img.height
-          val out = resizeNearest(img.pixels, img.width, img.height,
-            ow, oh)
+          val out =
+            if (kernel == "area")
+              resizeArea(img.pixels, img.width, img.height, ow, oh)
+            else resizeNearest(img.pixels, img.width, img.height,
+              ow, oh)
           var sum = 0L
           var i = 0
           while (i < out.length) {

@@ -95,10 +95,80 @@ class JpegCodecSpec extends AnyFunSuite {
     }
     val prog = good.clone(); prog(sofAt + 1) = 0xc2.toByte
     expectFail(prog, "progressive")
-    // sampling factor 2x2: subsampled streams refuse
-    val sub = good.clone()
-    sub(sofAt + 2 + 7 + 1 + 1) = 0x22.toByte // component 1 sampling
-    expectFail(sub, "subsampling")
+    // 4:2:2 (2x1 luma) is NOT in the supported profile: refuse
+    val color = JpegCodec.encode(raster(16 * 8 * 3, 3), 16, 8,
+      channels = 3)
+    val sofC = {
+      var i = 2
+      while (!((color(i) & 0xff) == 0xff && (color(i + 1) & 0xff) == 0xc0))
+        i += 1
+      i
+    }
+    val sub422 = color.clone()
+    sub422(sofC + 2 + 7 + 1 + 1) = 0x21.toByte // luma sampling 2x1
+    expectFail(sub422, "4:2:2")
+    // a single-component scan is non-interleaved per T.81: a wild
+    // grayscale file declaring 2x2 factors must decode IDENTICALLY
+    // to its 1x1 twin, not refuse
+    val gray22 = good.clone()
+    gray22(sofAt + 2 + 7 + 1 + 1) = 0x22.toByte
+    assert(JpegCodec.decode(gray22).pixels.toSeq ==
+      JpegCodec.decode(good).pixels.toSeq)
+  }
+
+  test("4:2:0 roundtrip: subsampled chroma survives within bounded " +
+      "error, luma is untouched by the subsampling, and the wire " +
+      "really carries quarter-size chroma") {
+    // a smooth color gradient (subsampling-friendly content)
+    val (w, h) = (32, 16)
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      px(3 * (y * w + x)) = (40 + 4 * x).toByte
+      px(3 * (y * w + x) + 1) = (200 - 3 * y).toByte
+      px(3 * (y * w + x) + 2) = (60 + 2 * x + 3 * y).toByte
+    }
+    val flat420 = JpegCodec.encode(px, w, h, channels = 3,
+      quant = JpegCodec.unitQuant, subsample = true)
+    val flat444 = JpegCodec.encode(px, w, h, channels = 3,
+      quant = JpegCodec.unitQuant)
+    val d420 = JpegCodec.decode(flat420)
+    assert(d420.width == w && d420.height == h && d420.channels == 3)
+    // near-lossless quantizer: error is subsampling + rounding only
+    val maxErr = px.indices.map(i =>
+      math.abs((d420.pixels(i) & 0xff) - (px(i) & 0xff))).max
+    assert(maxErr <= 8,
+      s"smooth-gradient 4:2:0 roundtrip drifted $maxErr levels")
+    // the subsampled stream is genuinely smaller: 6 blocks per MCU
+    // instead of 12 for the same 16x16 area
+    assert(flat420.length < flat444.length,
+      s"420=${flat420.length} must be < 444=${flat444.length}")
+    // determinism: byte-stable across runs
+    assert(java.util.Arrays.equals(flat420,
+      JpegCodec.encode(px, w, h, channels = 3,
+        quant = JpegCodec.unitQuant, subsample = true)))
+    // standard quantizer also decodes (the corpus path)
+    val dStd = JpegCodec.decode(JpegCodec.encode(px, w, h,
+      channels = 3, subsample = true))
+    assert(dStd.width == w && dStd.height == h && dStd.channels == 3)
+  }
+
+  test("4:2:0 with dims NOT multiples of 16 exercises edge-replicated " +
+      "partial MCUs and still round-trips") {
+    val (w, h) = (19, 13)
+    val px = Array.tabulate(w * h * 3)(i => (32 + (i * 7) % 64).toByte)
+    val dec = JpegCodec.decode(
+      JpegCodec.encode(px, w, h, channels = 3, subsample = true))
+    assert(dec.width == w && dec.height == h && dec.channels == 3)
+    assert(dec.pixels.length == w * h * 3)
+    // plausibility: mean within the DC + chroma-average bound
+    def mean(a: Array[Byte], c: Int) = {
+      val vs = a.indices.collect { case i if i % 3 == c => a(i) & 0xff }
+      vs.sum.toDouble / vs.length
+    }
+    (0 until 3).foreach { c =>
+      assert(math.abs(mean(dec.pixels, c) - mean(px, c)) <= 6.0,
+        s"channel $c mean drifted")
+    }
   }
 
   test("EVERY truncation and every lying segment length fails the " +

@@ -27,6 +27,39 @@ class ResizeKernelSpec extends AnyFunSuite {
       .toSeq == Seq[Byte](1, 1, 2, 2))
   }
 
+  test("resizeArea: hand-checked box averages, exact-partition " +
+      "downscale preserves the mean, uniform images are invariant, " +
+      "and upscale degrades to nearest") {
+    // 4x4 -> 2x2: each output = floor(mean of its 2x2 box)
+    val in = (0 until 16).map(_.toByte).toArray
+    val out = Multimodal.resizeArea(in, 4, 4, 2, 2)
+    // boxes: {0,1,4,5}=10/4=2, {2,3,6,7}=18/4=4, {8,9,12,13}=42/4=10,
+    // {10,11,14,15}=50/4=12
+    assert(out.toSeq == Seq[Byte](2, 4, 10, 12))
+    // 3x1 -> 2x1: boxes [0,1) and [1,3): floor((8+9)/2)=8
+    assert(Multimodal.resizeArea(Array[Byte](7, 8, 9), 3, 1, 2, 1)
+      .toSeq == Seq[Byte](7, 8))
+    // uniform stays uniform under ANY scale (no ringing, no drift)
+    val flat = Array.fill(35 * 7)(77.toByte)
+    assert(Multimodal.resizeArea(flat, 35, 7, 11, 3)
+      .forall(_ == 77.toByte))
+    // exact-partition downscale (6x1 -> 3x1): means are exact
+    assert(Multimodal.resizeArea(
+      Array[Byte](10, 20, 30, 40, 50, 60), 6, 1, 3, 1)
+      .toSeq == Seq[Byte](15, 35, 55))
+    // upscale: 1-px boxes == nearest
+    assert(Multimodal.resizeArea(Array[Byte](1, 2), 2, 1, 4, 1).toSeq ==
+      Multimodal.resizeNearest(Array[Byte](1, 2), 2, 1, 4, 1).toSeq)
+    // anti-aliasing that nearest lacks: decimating an alternating
+    // stripe pattern averages it instead of sampling one phase
+    val stripes = Array.tabulate(16)(i => if (i % 2 == 0) 0.toByte
+      else 100.toByte)
+    assert(Multimodal.resizeArea(stripes, 16, 1, 8, 1)
+      .forall(_ == 50.toByte))
+    assert(Multimodal.resizeNearest(stripes, 16, 1, 8, 1)
+      .forall(_ == 0.toByte))
+  }
+
   test("resizeFeatures: the full decode→resize→digest pipeline matches " +
       "hand arithmetic, keeps small images untouched, and a 64-wide " +
       "banner stays a row (clamp)") {

@@ -678,6 +678,38 @@ object ScaleStress {
         domain)
       System.err.println(s"[scale] ${out.last.json}")
     }
+    // LogStore SUBSET OPTIMIZE cost vs table size — the cost ∝
+    // SELECTED bytes claim that makes weekly maintenance viable at
+    // 100 TB: a predicate-selected recluster of a FIXED 2-segment key
+    // range must stay ~flat as the table grows 10× per decade, with
+    // every other segment carried over untouched in the same commit
+    // (candidates = segments rewritten, pinned at 2; the full
+    // optimize counterfactual is the src_log_optimize row, linear in
+    // TABLE bytes).
+    if (only.isEmpty || only.contains("src_log_optimize_where")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-optw").toString + "/tbl"
+      val store = new graft.catalog.LogStore(spark, root,
+        statsCol = Some("id"))
+      val nSegs = 10 * scale
+      val rowsPerSeg = 10000L
+      (0 until nSegs).foreach { i =>
+        store.append(spark.range(i * rowsPerSeg, (i + 1) * rowsPerSeg)
+          .toDF("id"))
+      }
+      val (sec, r) = time {
+        store.optimizeWhere(4,
+          Seq(("id", (3 * rowsPerSeg).toString,
+            (5 * rowsPerSeg - 1).toString)),
+          clusterBy = Seq(col("id")))
+      }
+      require(r.rewritten == 2 && r.produced == 4 &&
+        r.carried == nSegs - 2,
+        s"subset optimize must touch exactly the 2 selected segments: $r")
+      out += Measurement("src_log_optimize_where", scale, nSegs.toLong,
+        sec, r.rewritten.toLong)
+      System.err.println(s"[scale] ${out.last.json}")
+    }
     // LogStore snapshot RESOLUTION cost vs log length — the claim the
     // checkpoint layer exists for: liveSegmentInfos + lastTxn seed
     // from the newest `.checkpoint` and replay only the suffix, so

@@ -1959,6 +1959,28 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "src_feed_batch" -> ((s, dir) => {
+      // CDF backfill as a plain DataFrame: the change feed read
+      // through the BATCH side of the native graft-log source (two
+      // appends = implied inserts, a delete's cdc rows verbatim, the
+      // compaction contributing nothing), aggregated by change type —
+      // the audit/backfill path an incremental consumer bootstraps
+      // from, with the whole batch optimizer behind it.
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sfb").toString + "/tbl"
+      val store = new graft.catalog.LogStore(s, root,
+        statsCol = Some("doc_id"))
+      store.append(docs.where(col("doc_id") < 250))
+      store.append(docs.where(col("doc_id") >= 250))
+      store.deleteWhere("lang = 'ja'")
+      store.compact()
+      s.read.format("graft-log").option("path", root).load()
+        .groupBy(col("_change_type"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("_change_type", "lang")
+    }),
+
     "src_bucketed_join" -> ((s, dir) => {
       // the storage-layout half of the 100 TB join strategy, end to
       // end: orders and lineitem co-bucketed on the order key at write
@@ -7131,6 +7153,22 @@ object SparkEntry {
         | TRUE AS snapshot_invariant,
         | TRUE AS noop_pinned
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the batch feed is inserts (every doc, via the two appends) +
+    // the delete's rows; the delete-rewrite's add and the compaction
+    // contribute nothing
+    "src_feed_batch" ->
+      """SELECT * FROM (
+        | SELECT 'insert' AS _change_type, lang,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        | FROM documents GROUP BY lang
+        | UNION ALL
+        | SELECT 'delete' AS _change_type, lang,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        | FROM documents WHERE lang = 'ja' GROUP BY lang)
+        |ORDER BY _change_type, lang""".stripMargin,
 
     // bucketing is plan-layout only — the oracle is the plain join+agg
     "src_bucketed_join" ->

@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -63,6 +63,14 @@ import graft.catalog.LogStore
   * `maxVersionsPerTrigger` (admission control: cap the commits
   * absorbed per micro-batch, default unbounded).
   *
+  * The same provider also serves BATCH reads of the feed —
+  * `spark.read.format("graft-log").option("path", root)` with
+  * `changesFrom`/`changesTo` version bounds (default full history) —
+  * the CDF backfill/audit path; and the connector prunes columns
+  * ([[SupportsPushDownRequiredColumns]]), so narrow projections
+  * convert only the requested fields per record. Snapshot reads stay
+  * `LogStore.read()`.
+  *
   * Schema: the current snapshot's (flat columns only — the
   * line-of-business shape LogStore tables carry) plus
   * `_change_type STRING` and `_commit_version LONG`, the same feed
@@ -79,7 +87,9 @@ class LogStreamProvider extends TableProvider with DataSourceRegister {
     new LogStreamTable(schema,
       properties.get("path"),
       Option(properties.get("startingVersion")),
-      Option(properties.get("maxVersionsPerTrigger")).map(_.toLong))
+      Option(properties.get("maxVersionsPerTrigger")).map(_.toLong),
+      Option(properties.get("changesFrom")).map(_.toLong),
+      Option(properties.get("changesTo")).map(_.toLong))
 }
 
 object LogStreamSource {
@@ -112,29 +122,108 @@ object LogStreamSource {
 }
 
 final class LogStreamTable(schema: StructType, root: String,
-    startingVersion: Option[String], maxVersionsPerTrigger: Option[Long])
+    startingVersion: Option[String], maxVersionsPerTrigger: Option[Long],
+    changesFrom: Option[Long], changesTo: Option[Long])
     extends Table with SupportsRead {
   override def name(): String = s"graft_log($root)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+      .asJava
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new LogStreamScan(schema, root,
-        startingVersion, maxVersionsPerTrigger)
-    }
+    new LogStreamScanBuilder(schema, root, startingVersion,
+      maxVersionsPerTrigger, changesFrom, changesTo)
+}
+
+/** Column pruning at the connector ([[SupportsPushDownRequiredColumns]]):
+  * the executor-side Group converter materializes ONLY the requested
+  * columns — a 2-column projection over a wide feed converts 2 fields
+  * per record, and `.explain` shows the narrow ReadSchema. */
+final class LogStreamScanBuilder(schema: StructType, root: String,
+    startingVersion: Option[String], maxVersionsPerTrigger: Option[Long],
+    changesFrom: Option[Long], changesTo: Option[Long])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new LogStreamScan(required, root,
+    startingVersion, maxVersionsPerTrigger, changesFrom, changesTo)
 }
 
 final class LogStreamScan(schema: StructType, root: String,
-    startingVersion: Option[String], maxVersionsPerTrigger: Option[Long])
-    extends Scan {
+    startingVersion: Option[String], maxVersionsPerTrigger: Option[Long],
+    changesFrom: Option[Long], changesTo: Option[Long]) extends Scan {
   override def readSchema(): StructType = schema
   override def description(): String = s"GraftLogStream($root)"
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
     new LogMicroBatchStream(schema, root, startingVersion,
       maxVersionsPerTrigger)
+  override def toBatch: Batch =
+    new LogFeedBatch(schema, root, changesFrom, changesTo)
+}
+
+/** BATCH read of the change feed — `spark.read.format("graft-log")`
+  * with `changesFrom`/`changesTo` version options (defaults: the full
+  * readable history): the same per-version planning and executor-side
+  * readers as the streaming path, so CDF backfills and audits run as
+  * plain DataFrames with the engine's whole optimizer behind them.
+  * Snapshot reads stay `LogStore.read()` — a batch over this source
+  * is by definition the FEED (the Delta `readChangeFeed` shape). */
+final class LogFeedBatch(schema: StructType, root: String,
+    changesFrom: Option[Long], changesTo: Option[Long]) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val store = new LogStore(spark, root)
+    val latest = store.latestVersion()
+    require(latest >= 0, s"no log at $root")
+    val to = math.min(changesTo.getOrElse(latest), latest)
+    val from = changesFrom.getOrElse(0L)
+    require(from >= 0 && from <= to,
+      s"bad change range [$from, $to]")
+    LogStreamPlanning.partitionsFor(spark, store, root, from, to)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    LogStreamPlanning.readerFactory(SparkSession.active, schema)
+}
+
+/** The shared planning kernel of the batch and micro-batch paths:
+  * change-bearing segment files of versions [from, to], one partition
+  * per parquet file, behind the same vacuum-horizon refusal. */
+private[sources] object LogStreamPlanning {
+  def partitionsFor(spark: SparkSession, store: LogStore, root: String,
+      from: Long, to: Long): Array[InputPartition] = {
+    if (to < from) return Array.empty
+    val horizon = store.currentVacuumHorizon()
+    if (from < horizon)
+      throw new IllegalStateException(
+        s"versions [$from, ${horizon - 1}] were vacuumed (horizon " +
+          s"$horizon): the change feed must resync from a snapshot, " +
+          "never skip a gap silently")
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    (from to to).flatMap { v =>
+      store.changeSegmentsOf(v).flatMap { case (seg, implied) =>
+        fs.listStatus(new Path(s"$root/$seg"))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(f => LogStreamPartition(f.getPath.toString, v, implied)
+            : InputPartition)
+      }
+    }.toArray
+  }
+
+  def readerFactory(spark: SparkSession,
+      schema: StructType): PartitionReaderFactory = {
+    // ship the session's Hadoop conf as a plain map — executors on a
+    // real cluster need the filesystem credentials/settings the
+    // driver planned with, and Configuration itself is not
+    // Java-serializable
+    val conf = spark.sessionState.newHadoopConf()
+    val entries = conf.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    new LogStreamReaderFactory(schema, entries)
+  }
 }
 
 /** One version-interval offset: the newest version ABSORBED so far
@@ -192,39 +281,13 @@ final class LogMicroBatchStream(schema: StructType, root: String,
   }
 
   override def planInputPartitions(start: Offset,
-      end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[LogStreamOffset].version + 1
-    val to = end.asInstanceOf[LogStreamOffset].version
-    if (to < from) return Array.empty
-    val s = store
-    val horizon = s.currentVacuumHorizon()
-    if (from < horizon)
-      throw new IllegalStateException(
-        s"versions [$from, ${horizon - 1}] were vacuumed (horizon " +
-          s"$horizon): the change stream must resync from a " +
-          "snapshot, never skip a gap silently")
-    val fs = new Path(root).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    (from to to).flatMap { v =>
-      s.changeSegmentsOf(v).flatMap { case (seg, implied) =>
-        fs.listStatus(new Path(s"$root/$seg"))
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .map(f => LogStreamPartition(f.getPath.toString, v, implied)
-            : InputPartition)
-      }
-    }.toArray
-  }
+      end: Offset): Array[InputPartition] =
+    LogStreamPlanning.partitionsFor(spark, store, root,
+      start.asInstanceOf[LogStreamOffset].version + 1,
+      end.asInstanceOf[LogStreamOffset].version)
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // ship the session's Hadoop conf as a plain map — executors on a
-    // real cluster need the filesystem credentials/settings the
-    // driver planned with, and Configuration itself is not
-    // Java-serializable
-    val conf = spark.sessionState.newHadoopConf()
-    val entries = conf.iterator().asScala
-      .map(e => (e.getKey, e.getValue)).toArray
-    new LogStreamReaderFactory(schema, entries)
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    LogStreamPlanning.readerFactory(spark, schema)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

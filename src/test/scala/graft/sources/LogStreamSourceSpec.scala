@@ -172,6 +172,67 @@ class LogStreamSourceSpec extends AnyFunSuite {
       "every scalar must survive the parquet Group conversion exactly")
   }
 
+  test("BATCH feed reads: spark.read over the source equals " +
+      "readChanges, changesFrom/changesTo slice by version, and the " +
+      "vacuum refusal holds on the batch path too") {
+    val t = fresh(statsCol = Some("id"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))      // v0
+    t.merge(Seq((2L, "B")).toDF("id", "v"), "id")            // v1
+    t.deleteWhere("id = 1")                                  // v2
+    def batchRead(opts: (String, String)*) =
+      opts.foldLeft(spark.read.format("graft-log")
+        .option("path", t.root)) { case (r, (k, v)) => r.option(k, v) }
+        .load()
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("v"), col("_change_type"),
+        col("_commit_version"))
+      .as[(Long, String, String, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(shape(batchRead()) == shape(t.readChanges(0)),
+      "the full batch feed must equal readChanges(0)")
+    assert(shape(batchRead("changesFrom" -> "1")) ==
+      shape(t.readChanges(1)))
+    assert(shape(batchRead("changesFrom" -> "1", "changesTo" -> "1")) ==
+      shape(t.readChanges(1, 1)))
+    // the feed composes with the full batch optimizer: an aggregate
+    val n = batchRead().groupBy(col("_change_type")).count()
+      .as[(String, Long)].collect().toMap
+    assert(n("delete") == 1L && n("update_postimage") == 1L)
+
+    val t2 = fresh()
+    t2.append((1L to 5L).toDF("id"))
+    t2.compact()
+    t2.vacuum(retainLast = 1, orphanMinAgeMs = 0L)
+    val e = intercept[Exception] {
+      spark.read.format("graft-log").option("path", t2.root)
+        .load().count()
+    }
+    assert(String.valueOf(e.getMessage).contains("vacuum") ||
+      (e.getCause != null &&
+        String.valueOf(e.getCause.getMessage).contains("vacuum")),
+      s"got: $e")
+  }
+
+  test("column pruning reaches the connector: a narrow projection " +
+      "plans a scan whose output is ONLY the requested columns") {
+    val t = fresh()
+    t.append(Seq((1L, "a", 2.5), (2L, "b", 3.5)).toDF("id", "v", "x"))
+    val df = spark.read.format("graft-log").option("path", t.root)
+      .load().select(col("id"))
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "expected a DSv2 BatchScanExec")
+    assert(scans.head.output.map(_.name) == Seq("id"),
+      s"pruned scan must read only [id]: ${scans.head.output}")
+    assert(df.as[Long].collect().toSet == Set(1L, 2L))
+    // pruned reads stay correct on the streaming path as well
+    val got = drain(stream(t.root).select(col("v"),
+      col("_commit_version")), "lss_prune")
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 0L), ("b", 0L)))
+  }
+
   test("a vacuumed gap refuses LOUDLY: planning versions behind the " +
       "horizon is a stream error, never a silent skip") {
     val t = fresh()

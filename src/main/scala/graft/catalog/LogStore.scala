@@ -194,20 +194,24 @@ class LogStore(spark: SparkSession, val root: String,
   }
 
   /** Parse one action file (version OR checkpoint — same grammar):
-    * (adds, removes, txns, vacuum horizons, cdc segments). One JSON
-    * object per line:
+    * (adds, removes, txns, vacuum horizons, cdc segments, schemas).
+    * One JSON object per line:
     * `{"add":"seg"[,"min":"..","max":"..","num":true]}`,
     * `{"remove":"seg"}`, `{"txn":<id>}` (the idempotent-stream
     * fence), `{"vacuum":<horizon>}` (the oldest still-readable
-    * version after a vacuum), or `{"cdc":"seg"}` (a change-data
+    * version after a vacuum), `{"cdc":"seg"}` (a change-data
     * segment — the Delta CDF action; per-version EVENT data, never
     * part of the replayed live state, so checkpoints do not carry
-    * it). Flat line-oriented JSON on purpose — greppable, and a regex
-    * parse with no library dependency. The min/max strings are
-    * guaranteed quote-free because [statsCol] is restricted to
+    * it), or `{"schema":"<base64 StructType json>"}` (the Delta
+    * paper's METADATA action: the table schema as log content, so
+    * write-side validation and read planning never open data-file
+    * footers — base64 keeps the line grammar quote-free). Flat
+    * line-oriented JSON on purpose — greppable, and a regex parse
+    * with no library dependency. The min/max strings are guaranteed
+    * quote-free because [statsCol] is restricted to
     * numeric/date/timestamp columns at write time. */
-  private def parseActions(p: Path)
-      : (Seq[Segment], Seq[String], Seq[Long], Seq[Long], Seq[String]) = {
+  private def parseActions(p: Path): (Seq[Segment], Seq[String],
+      Seq[Long], Seq[Long], Seq[String], Seq[String]) = {
     val in = fs.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -232,20 +236,25 @@ class LogStore(spark: SparkSession, val root: String,
       .findAllMatchIn(body).map(_.group(1).toLong).toSeq
     val cdcs = "\"cdc\"\\s*:\\s*\"([^\"]+)\"".r
       .findAllMatchIn(body).map(_.group(1)).toSeq
-    (adds, rem, txns, vacs, cdcs)
+    val schemas = "\"schema\"\\s*:\\s*\"([A-Za-z0-9+/=]*)\"".r
+      .findAllMatchIn(body).map(_.group(1)).toSeq
+    (adds, rem, txns, vacs, cdcs, schemas)
   }
 
-  private def readActions(v: Long)
-      : (Seq[Segment], Seq[String], Seq[Long], Seq[Long], Seq[String]) =
+  private def readActions(v: Long): (Seq[Segment], Seq[String],
+      Seq[Long], Seq[Long], Seq[String], Seq[String]) =
     parseActions(versionPath(v))
 
   /** The fully-replayed log state at some version: the live segment
-    * set (insertion-ordered), the max stream-txn id seen, and the
-    * vacuum horizon (oldest version whose snapshot is still
-    * physically complete; -1 = never vacuumed). */
+    * set (insertion-ordered), the max stream-txn id seen, the vacuum
+    * horizon (oldest version whose snapshot is still physically
+    * complete; -1 = never vacuumed), and the recorded table schema
+    * (base64 StructType json; None on logs written before the
+    * metadata action existed). */
   private final case class LogState(
       live: scala.collection.mutable.LinkedHashMap[String, Segment],
-      var maxTxn: Long, var vacuumHorizon: Long)
+      var maxTxn: Long, var vacuumHorizon: Long,
+      var schemaB64: Option[String] = None)
 
   /** Replay the log up to `upTo` inclusive, seeding from the newest
     * checkpoint at-or-below it — O(#actions since checkpoint), never
@@ -256,23 +265,48 @@ class LogStore(spark: SparkSession, val root: String,
       Long.MinValue, -1L)
     val from = latestCheckpointAtOrBelow(upTo) match {
       case Some(cp) =>
-        val (adds, _, txns, vacs, _) = parseActions(checkpointPath(cp))
+        val (adds, _, txns, vacs, _, schemas) =
+          parseActions(checkpointPath(cp))
         adds.foreach(a => state.live(a.name) = a)
         txns.foreach(t => state.maxTxn = math.max(state.maxTxn, t))
         vacs.foreach(h =>
           state.vacuumHorizon = math.max(state.vacuumHorizon, h))
+        schemas.lastOption.foreach(s => state.schemaB64 = Some(s))
         cp + 1
       case None => 0L
     }
     (from to upTo).foreach { v =>
-      val (adds, removes, txns, vacs, _) = readActions(v)
+      val (adds, removes, txns, vacs, _, schemas) = readActions(v)
       adds.foreach(a => state.live(a.name) = a)
       removes.foreach(state.live -= _)
       txns.foreach(t => state.maxTxn = math.max(state.maxTxn, t))
       vacs.foreach(h =>
         state.vacuumHorizon = math.max(state.vacuumHorizon, h))
+      schemas.lastOption.foreach(s => state.schemaB64 = Some(s))
     }
     state
+  }
+
+  private def encodeSchema(s: org.apache.spark.sql.types.StructType)
+      : String = java.util.Base64.getEncoder.encodeToString(
+    s.json.getBytes(StandardCharsets.UTF_8))
+
+  private def decodeSchema(b: String)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.util.Base64.getDecoder.decode(b),
+        StandardCharsets.UTF_8))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** The table schema RECORDED IN THE LOG at `version` (the metadata
+    * action), when one exists — the cumulative union of every
+    * appended shape up to that version. None only on logs written
+    * before schema stamping existed. */
+  def recordedSchema(version: Long = Long.MaxValue)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val latest = latestVersion()
+    if (latest < 0) return None
+    replayTo(math.min(version, latest)).schemaB64.map(decodeSchema)
   }
 
   /** Snapshot the fully-replayed state at version `v` to
@@ -291,7 +325,8 @@ class LogStore(spark: SparkSession, val root: String,
        else Nil) ++
       (if (st.vacuumHorizon >= 0)
          Seq(s"""{"vacuum":${st.vacuumHorizon}}""")
-       else Nil)
+       else Nil) ++
+      st.schemaB64.map(s => s"""{"schema":"$s"}""").toSeq
     val out = fs.create(checkpointPath(at), true)
     try out.write(lines.mkString("", "\n", "\n")
       .getBytes(StandardCharsets.UTF_8))
@@ -405,8 +440,18 @@ class LogStore(spark: SparkSession, val root: String,
     val segs = liveSegments(version)
     if (segs.isEmpty)
       throw new IllegalStateException(s"empty table at $root")
-    spark.read.option("mergeSchema", "true")
-      .parquet(segs.map(s => s"$root/$s"): _*)
+    // plan from the RECORDED schema when the log carries one — zero
+    // data-file footers opened, whatever the segment count (the
+    // metadata-action payoff; parquet fills absent columns with null,
+    // which is exactly the evolution semantics). Pre-stamp logs fall
+    // back to footer merging.
+    recordedSchema(version) match {
+      case Some(sc) =>
+        spark.read.schema(sc).parquet(segs.map(s => s"$root/$s"): _*)
+      case None =>
+        spark.read.option("mergeSchema", "true")
+          .parquet(segs.map(s => s"$root/$s"): _*)
+    }
   }
 
   /** Schema ENFORCEMENT (the paper's write-side half of evolution):
@@ -414,12 +459,21 @@ class LogStore(spark: SparkSession, val root: String,
     * a shared column must keep its exact type; silently coexisting
     * (id INT) and (id STRING) segments is the data-lake corruption
     * mode transactional tables exist to prevent. Validation runs
-    * against the snapshot the WRITER read (its base version) — the
-    * optimistic-concurrency stance: a conflicting concurrent commit
-    * is the commit slot's problem, not the validator's. */
-  private def enforceSchema(df: DataFrame, version: Long): Unit = {
-    if (version < 0) return
-    val current = read(version).schema
+    * against the schema RECORDED IN THE LOG at the writer's base
+    * version (the metadata action — O(replay), no data-file footer is
+    * ever opened; pre-stamp logs derive it once from a read and stamp
+    * it), and the optimistic-concurrency stance holds: a conflicting
+    * concurrent commit is the commit slot's problem, not the
+    * validator's. Returns the schema action this write must commit —
+    * Some(b64) when it initializes, evolves, or back-fills the
+    * recorded schema; None when the recorded schema already covers
+    * the write. */
+  private def enforceSchema(df: DataFrame, version: Long)
+      : Option[String] = {
+    if (version < 0) return Some(encodeSchema(df.schema))
+    val st = replayTo(math.min(version, latestVersion()))
+    val current = st.schemaB64.map(decodeSchema)
+      .getOrElse(read(version).schema) // legacy pre-stamp log
     df.schema.fields.foreach { f =>
       current.find(_.name == f.name).foreach { c =>
         if (c.dataType != f.dataType)
@@ -429,6 +483,11 @@ class LogStore(spark: SparkSession, val root: String,
               "evolved table adds columns, it never mutates types")
       }
     }
+    val newCols = df.schema.fields
+      .filterNot(f => current.fieldNames.contains(f.name))
+    if (newCols.isEmpty && st.schemaB64.nonEmpty) None
+    else Some(encodeSchema(org.apache.spark.sql.types.StructType(
+      current.fields ++ newCols)))
   }
 
   /** Data-skipping read: scan ONLY the live segments whose
@@ -658,12 +717,14 @@ class LogStore(spark: SparkSession, val root: String,
   private[graft] def commit(expected: Long, adds: Seq[Segment],
       removes: Seq[String], txn: Option[Long] = None,
       vacuumHorizon: Option[Long] = None,
-      cdc: Seq[String] = Nil): Long = {
+      cdc: Seq[String] = Nil,
+      schema: Option[String] = None): Long = {
     fs.mkdirs(new Path(logDir))
     // the commit wall-clock is LOG CONTENT (`ts` action), not file
     // metadata: TIMESTAMP AS OF must survive a cp -r, an
     // object-store upload, or a backup-restore that rewrites mtimes
     val body = (Seq(s"""{"ts":${System.currentTimeMillis()}}""") ++
+      schema.map(s => s"""{"schema":"$s"}""").toSeq ++
       adds.map(addJson) ++
       removes.map(s => s"""{"remove":"$s"}""") ++
       txn.map(id => s"""{"txn":$id}""").toSeq ++
@@ -695,8 +756,8 @@ class LogStore(spark: SparkSession, val root: String,
       baseVersion: Long = Long.MinValue): Long = {
     val base =
       if (baseVersion == Long.MinValue) latestVersion() else baseVersion
-    enforceSchema(df, base)
-    commit(base + 1, Seq(writeSegment(df)), Nil)
+    val schemaAct = enforceSchema(df, base)
+    commit(base + 1, Seq(writeSegment(df)), Nil, schema = schemaAct)
   }
 
   /** Idempotent streaming append — the paper's `txn` action: the
@@ -709,9 +770,9 @@ class LogStore(spark: SparkSession, val root: String,
   def appendStream(df: DataFrame, batchId: Long): Long = {
     if (batchId <= lastTxn()) return -1L
     val base = latestVersion()
-    enforceSchema(df, base)
+    val schemaAct = enforceSchema(df, base)
     commit(base + 1, Seq(writeSegment(df)), Nil,
-      txn = Some(batchId))
+      txn = Some(batchId), schema = schemaAct)
   }
 
   /** Advance the stream-txn fence WITHOUT a data segment — the
@@ -763,7 +824,7 @@ class LogStore(spark: SparkSession, val root: String,
       s"bad change range [$fromVersion, $toVersion]")
     requireReadable(fromVersion, replayTo(latest).vacuumHorizon)
     val parts = (fromVersion to upTo).flatMap { v =>
-      val (adds, removes, _, _, cdcs) = readActions(v)
+      val (adds, removes, _, _, cdcs, _) = readActions(v)
       if (cdcs.nonEmpty)
         cdcs.map(c => spark.read.parquet(s"$root/$c")
           .withColumn("_commit_version", flit(v)))
@@ -816,7 +877,7 @@ class LogStore(spark: SparkSession, val root: String,
     * (compact / optimize / vacuum / fence) changed nothing (empty). */
   private[graft] def changeSegmentsOf(v: Long)
       : Seq[(String, Option[String])] = {
-    val (adds, removes, _, _, cdcs) = readActions(v)
+    val (adds, removes, _, _, cdcs, _) = readActions(v)
     if (cdcs.nonEmpty) cdcs.map(c => (c, None))
     else if (removes.isEmpty && adds.nonEmpty)
       adds.map(a => (a.name, Some("insert")))
@@ -1082,7 +1143,7 @@ class LogStore(spark: SparkSession, val root: String,
     require(latest >= 0, s"no log at $root")
     val from = if (limit > latest) 0L else latest - limit + 1
     val rows = (from to latest).map { v =>
-      val (adds, removes, txns, vacs, cdcs) = readActions(v)
+      val (adds, removes, txns, vacs, cdcs, _) = readActions(v)
       val op =
         if (vacs.nonEmpty) "VACUUM"
         else if (txns.nonEmpty) "STREAMING APPEND"
@@ -1235,7 +1296,7 @@ class LogStore(spark: SparkSession, val root: String,
     // type-mutated shared column is silently WIDENED by the
     // survivors-union into the rewritten segment while untouched
     // segments keep the old type — coexisting-types corruption
-    enforceSchema(updates, v)
+    val schemaAct = enforceSchema(updates, v)
     val live = liveSegmentInfos(v)
     val touched = statsCol.filter(keyCols.contains) match {
       case Some(pc) =>
@@ -1265,7 +1326,7 @@ class LogStore(spark: SparkSession, val root: String,
         .withColumn("_change_type", flit("insert")))
     MergeResult(
       commit(v + 1, Seq(writeSegment(rewritten)), touched.map(_.name),
-        cdc = Seq(writeChangeSegment(changes))),
+        cdc = Seq(writeChangeSegment(changes)), schema = schemaAct),
       touched.size, live.size)
   }
 
@@ -1316,7 +1377,7 @@ class LogStore(spark: SparkSession, val root: String,
     if (upserts.isEmpty && dels.isEmpty)
       return commitFence(batchId)
     val v = latestVersion()
-    enforceSchema(upserts, v)
+    val schemaAct = enforceSchema(upserts, v)
     val live =
       if (v < 0) Seq.empty[Segment] else liveSegmentInfos(v)
     val allKeys = upserts.select(keys: _*).unionByName(dels)
@@ -1354,7 +1415,8 @@ class LogStore(spark: SparkSession, val root: String,
         .withColumn("_change_type", flit("delete")),
         allowMissingColumns = true)
     commit(v + 1, Seq(writeSegment(rewritten)), touched.map(_.name),
-      txn = Some(batchId), cdc = Seq(writeChangeSegment(changes)))
+      txn = Some(batchId), cdc = Seq(writeChangeSegment(changes)),
+      schema = schemaAct)
   }
 
   final case class VacuumResult(version: Long, deleted: Seq[String])

@@ -680,7 +680,8 @@ class LogStoreSpec extends AnyFunSuite {
     val t: LogStore = new LogStore(spark, dir) {
       override private[graft] def commit(expected: Long, adds: Seq[Segment],
           removes: Seq[String], txn: Option[Long],
-          vacuumHorizon: Option[Long], cdc: Seq[String]): Long = {
+          vacuumHorizon: Option[Long], cdc: Seq[String],
+          schema: Option[String]): Long = {
         if (raceOnce) {
           raceOnce = false
           // the racing writer: segment written AND published at the
@@ -693,7 +694,8 @@ class LogStoreSpec extends AnyFunSuite {
           out.write("{\"add\":\"seg-racer\"}\n".getBytes("UTF-8"))
           out.close()
         }
-        super.commit(expected, adds, removes, txn, vacuumHorizon, cdc)
+        super.commit(expected, adds, removes, txn, vacuumHorizon, cdc,
+          schema)
       }
     }
     t.append((1L to 4L).toDF("id"))   // v0
@@ -935,7 +937,8 @@ class LogStoreSpec extends AnyFunSuite {
     val t: LogStore = new LogStore(spark, dir) {
       override private[graft] def commit(expected: Long, adds: Seq[Segment],
           removes: Seq[String], txn: Option[Long],
-          vacuumHorizon: Option[Long], cdc: Seq[String]): Long = {
+          vacuumHorizon: Option[Long], cdc: Seq[String],
+          schema: Option[String]): Long = {
         if (racesLeft > 0) {
           racesLeft -= 1
           // a racing writer claims the slot with a metadata-only commit
@@ -946,7 +949,8 @@ class LogStoreSpec extends AnyFunSuite {
           out.write("{\"txn\":999}\n".getBytes("UTF-8"))
           out.close()
         }
-        super.commit(expected, adds, removes, txn, vacuumHorizon, cdc)
+        super.commit(expected, adds, removes, txn, vacuumHorizon, cdc,
+          schema)
       }
     }
     t.append((1L to 3L).toDF("id"))          // v0
@@ -1035,6 +1039,41 @@ class LogStoreSpec extends AnyFunSuite {
     val r2 = t.mergeKeyed(Seq((5L, "d1", "p"), (5L, "d2", "q"))
       .toDF("id", "d", "v"), Seq("id", "d"))
     assert(r2.version > r.version)
+  }
+
+  test("schema rides the LOG (the paper's metadata action): writes " +
+      "validate against recorded state, evolution updates it in the " +
+      "same commit, reads plan from it, time travel returns the old " +
+      "shape, and checkpoints carry it") {
+    val t = fresh()
+    t.append(Seq((1L, "a")).toDF("id", "v"))                // v0
+    assert(t.recordedSchema().map(_.fieldNames.toSeq)
+      .contains(Seq("id", "v")))
+    t.append(Seq((2L, "b", 3.5)).toDF("id", "v", "x"))      // v1 evolves
+    assert(t.recordedSchema().map(_.fieldNames.toSeq)
+      .contains(Seq("id", "v", "x")))
+    assert(t.read().columns.toSeq == Seq("id", "v", "x"))
+    assert(t.read().select(col("id"), col("x"))
+      .as[(Long, Option[Double])].collect().toSet ==
+      Set((1L, None), (2L, Some(3.5))))
+    // time travel returns the OLD shape: schema state replays too
+    assert(t.read(0).columns.toSeq == Seq("id", "v"))
+    // type mutation refused from the recorded schema — no footer read
+    intercept[IllegalArgumentException] {
+      t.append(Seq(("oops", "y")).toDF("id", "v"))
+    }
+    // a subset-column append is legal and does not shrink the schema
+    t.append(Seq((3L, "c")).toDF("id", "v"))                // v2
+    assert(t.read().columns.toSeq == Seq("id", "v", "x"))
+    assert(t.read().where(col("id") === 3).select(col("x"))
+      .as[Option[Double]].head().isEmpty)
+    // checkpoints carry the schema state: a checkpoint-seeded fresh
+    // handle resolves it without replaying the stamped commits
+    t.checkpoint()
+    val t2 = new LogStore(spark, t.root)
+    assert(t2.recordedSchema().map(_.fieldNames.toSeq)
+      .contains(Seq("id", "v", "x")))
+    assert(t2.read().columns.toSeq == Seq("id", "v", "x"))
   }
 
   test("TIMESTAMP AS OF resolves from LOG CONTENT: rewritten file " +

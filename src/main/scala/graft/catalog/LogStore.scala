@@ -54,10 +54,13 @@ class LogStore(spark: SparkSession, val root: String,
   require(checkpointInterval > 0, "checkpointInterval must be positive")
   require(bloomBits > 0 && bloomBits % 4 == 0,
     "bloomBits must be a positive multiple of 4 (hex-serialized)")
-  // extra stats column NAMES ride inside one quoted log value, so the
-  // line-oriented grammar needs them free of its three delimiters
-  statsCols.foreach(c => require(!c.exists("|;\"\n".contains(_)),
-    s"stats column name '$c' may not contain | ; quote or newline"))
+  // configured column NAMES ride inside quoted log values (the `xs`
+  // stats grammar and the `props` table-configuration action), so the
+  // line-oriented grammar needs them free of its delimiters
+  (statsCol.toSeq ++ bloomCol.toSeq ++ statsCols).foreach(c =>
+    require(!c.exists("|;\"\n=,".contains(_)),
+      s"configured column name '$c' may not contain | ; = , quote " +
+        "or newline"))
 
   final class ConcurrentCommitException(v: Long)
     extends RuntimeException(s"version $v was committed concurrently")
@@ -179,6 +182,21 @@ class LogStore(spark: SparkSession, val root: String,
         case None => true
       }
 
+    /** One-sided [[mayOverlapOn]] forms — the shapes pushed-down
+      * comparison filters (`c >= v` / `c <= v`) reduce to. Same safe
+      * default: no recorded bounds ⇒ must scan. */
+    def mayHaveAtLeast(c: String, lo: String): Boolean =
+      boundsOf(c) match {
+        case Some((_, mx, n)) => if (n) numLe(lo, mx) else mx >= lo
+        case None => true
+      }
+
+    def mayHaveAtMost(c: String, hi: String): Boolean =
+      boundsOf(c) match {
+        case Some((mn, _, n)) => if (n) numLe(mn, hi) else mn <= hi
+        case None => true
+      }
+
     /** Could this segment contain a row whose [bloomCol] hashes to
       * these bit positions? A Bloom filter has NO false negatives, so
       * "any queried bit clear" is a PROOF of absence; no bloom ⇒ must
@@ -211,7 +229,7 @@ class LogStore(spark: SparkSession, val root: String,
     * quote-free because [statsCol] is restricted to
     * numeric/date/timestamp columns at write time. */
   private def parseActions(p: Path): (Seq[Segment], Seq[String],
-      Seq[Long], Seq[Long], Seq[String], Seq[String]) = {
+      Seq[Long], Seq[Long], Seq[String], Seq[String], Seq[String]) = {
     val in = fs.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -238,11 +256,13 @@ class LogStore(spark: SparkSession, val root: String,
       .findAllMatchIn(body).map(_.group(1)).toSeq
     val schemas = "\"schema\"\\s*:\\s*\"([A-Za-z0-9+/=]*)\"".r
       .findAllMatchIn(body).map(_.group(1)).toSeq
-    (adds, rem, txns, vacs, cdcs, schemas)
+    val props = "\"props\"\\s*:\\s*\"([^\"]*)\"".r
+      .findAllMatchIn(body).map(_.group(1)).toSeq
+    (adds, rem, txns, vacs, cdcs, schemas, props)
   }
 
   private def readActions(v: Long): (Seq[Segment], Seq[String],
-      Seq[Long], Seq[Long], Seq[String], Seq[String]) =
+      Seq[Long], Seq[Long], Seq[String], Seq[String], Seq[String]) =
     parseActions(versionPath(v))
 
   /** The fully-replayed log state at some version: the live segment
@@ -254,7 +274,8 @@ class LogStore(spark: SparkSession, val root: String,
   private final case class LogState(
       live: scala.collection.mutable.LinkedHashMap[String, Segment],
       var maxTxn: Long, var vacuumHorizon: Long,
-      var schemaB64: Option[String] = None)
+      var schemaB64: Option[String] = None,
+      var propsStr: Option[String] = None)
 
   /** Replay the log up to `upTo` inclusive, seeding from the newest
     * checkpoint at-or-below it — O(#actions since checkpoint), never
@@ -265,24 +286,26 @@ class LogStore(spark: SparkSession, val root: String,
       Long.MinValue, -1L)
     val from = latestCheckpointAtOrBelow(upTo) match {
       case Some(cp) =>
-        val (adds, _, txns, vacs, _, schemas) =
+        val (adds, _, txns, vacs, _, schemas, props) =
           parseActions(checkpointPath(cp))
         adds.foreach(a => state.live(a.name) = a)
         txns.foreach(t => state.maxTxn = math.max(state.maxTxn, t))
         vacs.foreach(h =>
           state.vacuumHorizon = math.max(state.vacuumHorizon, h))
         schemas.lastOption.foreach(s => state.schemaB64 = Some(s))
+        props.lastOption.foreach(p => state.propsStr = Some(p))
         cp + 1
       case None => 0L
     }
     (from to upTo).foreach { v =>
-      val (adds, removes, txns, vacs, _, schemas) = readActions(v)
+      val (adds, removes, txns, vacs, _, schemas, props) = readActions(v)
       adds.foreach(a => state.live(a.name) = a)
       removes.foreach(state.live -= _)
       txns.foreach(t => state.maxTxn = math.max(state.maxTxn, t))
       vacs.foreach(h =>
         state.vacuumHorizon = math.max(state.vacuumHorizon, h))
       schemas.lastOption.foreach(s => state.schemaB64 = Some(s))
+      props.lastOption.foreach(p => state.propsStr = Some(p))
     }
     state
   }
@@ -309,6 +332,41 @@ class LogStore(spark: SparkSession, val root: String,
     replayTo(math.min(version, latest)).schemaB64.map(decodeSchema)
   }
 
+  /** This store's skipping configuration serialized as the `props`
+    * table-configuration action — `k=v` pairs joined by `;` (column
+    * names are delimiter-checked at construction, bloomBits is a
+    * number): the statsCol / statsCols / bloomCol / bloomBits a writer
+    * was constructed with, recorded as LOG CONTENT so a reader that
+    * knows only the table PATH (the DSv2 connector, a new team, a
+    * different codebase) can reconstruct the skipping setup instead of
+    * guessing which segment-stat belongs to which column. None when
+    * nothing is configured. */
+  private def encodeProps: Option[String] = {
+    val parts =
+      statsCol.map(c => s"statsCol=$c").toSeq ++
+      (if (statsCols.isEmpty) Nil
+       else Seq(s"statsCols=${statsCols.mkString(",")}")) ++
+      bloomCol.map(c => s"bloomCol=$c;bloomBits=$bloomBits").toSeq
+    if (parts.isEmpty) None else Some(parts.mkString(";"))
+  }
+
+  /** The table configuration RECORDED IN THE LOG at `version` (the
+    * `props` action) — the raw `k=v;…` string; None on tables whose
+    * writers carried no skipping config (or predate stamping). */
+  def recordedProps(version: Long = Long.MaxValue): Option[String] = {
+    val latest = latestVersion()
+    if (latest < 0) return None
+    replayTo(math.min(version, latest)).propsStr
+  }
+
+  /** The columns this store records skipping stats for (primary +
+    * extras) — what a pushdown layer may prune on. */
+  def configuredStatsColumns: Seq[String] =
+    (statsCol.toSeq ++ statsCols).distinct
+
+  /** The column this store builds per-segment Bloom filters over. */
+  def configuredBloomColumn: Option[String] = bloomCol
+
   /** Snapshot the fully-replayed state at version `v` to
     * `_log/<v>.checkpoint` — same line-JSON grammar as version files.
     * Idempotent (the content is a function of the immutable prefix
@@ -326,7 +384,8 @@ class LogStore(spark: SparkSession, val root: String,
       (if (st.vacuumHorizon >= 0)
          Seq(s"""{"vacuum":${st.vacuumHorizon}}""")
        else Nil) ++
-      st.schemaB64.map(s => s"""{"schema":"$s"}""").toSeq
+      st.schemaB64.map(s => s"""{"schema":"$s"}""").toSeq ++
+      st.propsStr.map(p => s"""{"props":"$p"}""").toSeq
     val out = fs.create(checkpointPath(at), true)
     try out.write(lines.mkString("", "\n", "\n")
       .getBytes(StandardCharsets.UTF_8))
@@ -464,17 +523,21 @@ class LogStore(spark: SparkSession, val root: String,
     * ever opened; pre-stamp logs derive it once from a read and stamp
     * it), and the optimistic-concurrency stance holds: a conflicting
     * concurrent commit is the commit slot's problem, not the
-    * validator's. Returns the schema action this write must commit —
-    * Some(b64) when it initializes, evolves, or back-fills the
-    * recorded schema; None when the recorded schema already covers
-    * the write. */
-  private def enforceSchema(df: DataFrame, version: Long)
-      : Option[String] = {
-    if (version < 0) return Some(encodeSchema(df.schema))
+    * validator's. Returns the metadata actions this write must
+    * commit: the schema action (Some(b64) when it initializes,
+    * evolves, or back-fills the recorded schema; None when already
+    * covered) and the props action (Some when this writer carries a
+    * skipping configuration the log does not yet record — the
+    * table-properties stamp rides the same write-side gate). */
+  private[graft] def enforceSchema(
+      writeSchema: org.apache.spark.sql.types.StructType, version: Long)
+      : (Option[String], Option[String]) = {
+    val propsAct = encodeProps // compared against the recorded below
+    if (version < 0) return (Some(encodeSchema(writeSchema)), propsAct)
     val st = replayTo(math.min(version, latestVersion()))
     val current = st.schemaB64.map(decodeSchema)
       .getOrElse(read(version).schema) // legacy pre-stamp log
-    df.schema.fields.foreach { f =>
+    writeSchema.fields.foreach { f =>
       current.find(_.name == f.name).foreach { c =>
         if (c.dataType != f.dataType)
           throw new IllegalArgumentException(
@@ -483,11 +546,13 @@ class LogStore(spark: SparkSession, val root: String,
               "evolved table adds columns, it never mutates types")
       }
     }
-    val newCols = df.schema.fields
+    val newCols = writeSchema.fields
       .filterNot(f => current.fieldNames.contains(f.name))
-    if (newCols.isEmpty && st.schemaB64.nonEmpty) None
-    else Some(encodeSchema(org.apache.spark.sql.types.StructType(
-      current.fields ++ newCols)))
+    val schemaAct =
+      if (newCols.isEmpty && st.schemaB64.nonEmpty) None
+      else Some(encodeSchema(org.apache.spark.sql.types.StructType(
+        current.fields ++ newCols)))
+    (schemaAct, propsAct.filterNot(st.propsStr.contains))
   }
 
   /** Data-skipping read: scan ONLY the live segments whose
@@ -718,13 +783,15 @@ class LogStore(spark: SparkSession, val root: String,
       removes: Seq[String], txn: Option[Long] = None,
       vacuumHorizon: Option[Long] = None,
       cdc: Seq[String] = Nil,
-      schema: Option[String] = None): Long = {
+      schema: Option[String] = None,
+      props: Option[String] = None): Long = {
     fs.mkdirs(new Path(logDir))
     // the commit wall-clock is LOG CONTENT (`ts` action), not file
     // metadata: TIMESTAMP AS OF must survive a cp -r, an
     // object-store upload, or a backup-restore that rewrites mtimes
     val body = (Seq(s"""{"ts":${System.currentTimeMillis()}}""") ++
       schema.map(s => s"""{"schema":"$s"}""").toSeq ++
+      props.map(p => s"""{"props":"$p"}""").toSeq ++
       adds.map(addJson) ++
       removes.map(s => s"""{"remove":"$s"}""") ++
       txn.map(id => s"""{"txn":$id}""").toSeq ++
@@ -756,8 +823,9 @@ class LogStore(spark: SparkSession, val root: String,
       baseVersion: Long = Long.MinValue): Long = {
     val base =
       if (baseVersion == Long.MinValue) latestVersion() else baseVersion
-    val schemaAct = enforceSchema(df, base)
-    commit(base + 1, Seq(writeSegment(df)), Nil, schema = schemaAct)
+    val (schemaAct, propsAct) = enforceSchema(df.schema, base)
+    commit(base + 1, Seq(writeSegment(df)), Nil, schema = schemaAct,
+      props = propsAct)
   }
 
   /** Idempotent streaming append — the paper's `txn` action: the
@@ -770,9 +838,9 @@ class LogStore(spark: SparkSession, val root: String,
   def appendStream(df: DataFrame, batchId: Long): Long = {
     if (batchId <= lastTxn()) return -1L
     val base = latestVersion()
-    val schemaAct = enforceSchema(df, base)
+    val (schemaAct, propsAct) = enforceSchema(df.schema, base)
     commit(base + 1, Seq(writeSegment(df)), Nil,
-      txn = Some(batchId), schema = schemaAct)
+      txn = Some(batchId), schema = schemaAct, props = propsAct)
   }
 
   /** Advance the stream-txn fence WITHOUT a data segment — the
@@ -824,7 +892,7 @@ class LogStore(spark: SparkSession, val root: String,
       s"bad change range [$fromVersion, $toVersion]")
     requireReadable(fromVersion, replayTo(latest).vacuumHorizon)
     val parts = (fromVersion to upTo).flatMap { v =>
-      val (adds, removes, _, _, cdcs, _) = readActions(v)
+      val (adds, removes, _, _, cdcs, _, _) = readActions(v)
       if (cdcs.nonEmpty)
         cdcs.map(c => spark.read.parquet(s"$root/$c")
           .withColumn("_commit_version", flit(v)))
@@ -877,7 +945,7 @@ class LogStore(spark: SparkSession, val root: String,
     * (compact / optimize / vacuum / fence) changed nothing (empty). */
   private[graft] def changeSegmentsOf(v: Long)
       : Seq[(String, Option[String])] = {
-    val (adds, removes, _, _, cdcs, _) = readActions(v)
+    val (adds, removes, _, _, cdcs, _, _) = readActions(v)
     if (cdcs.nonEmpty) cdcs.map(c => (c, None))
     else if (removes.isEmpty && adds.nonEmpty)
       adds.map(a => (a.name, Some("insert")))
@@ -1143,7 +1211,7 @@ class LogStore(spark: SparkSession, val root: String,
     require(latest >= 0, s"no log at $root")
     val from = if (limit > latest) 0L else latest - limit + 1
     val rows = (from to latest).map { v =>
-      val (adds, removes, txns, vacs, cdcs, _) = readActions(v)
+      val (adds, removes, txns, vacs, cdcs, _, _) = readActions(v)
       val op =
         if (vacs.nonEmpty) "VACUUM"
         else if (txns.nonEmpty) "STREAMING APPEND"
@@ -1296,7 +1364,7 @@ class LogStore(spark: SparkSession, val root: String,
     // type-mutated shared column is silently WIDENED by the
     // survivors-union into the rewritten segment while untouched
     // segments keep the old type — coexisting-types corruption
-    val schemaAct = enforceSchema(updates, v)
+    val (schemaAct, propsAct) = enforceSchema(updates.schema, v)
     val live = liveSegmentInfos(v)
     val touched = statsCol.filter(keyCols.contains) match {
       case Some(pc) =>
@@ -1326,7 +1394,8 @@ class LogStore(spark: SparkSession, val root: String,
         .withColumn("_change_type", flit("insert")))
     MergeResult(
       commit(v + 1, Seq(writeSegment(rewritten)), touched.map(_.name),
-        cdc = Seq(writeChangeSegment(changes)), schema = schemaAct),
+        cdc = Seq(writeChangeSegment(changes)), schema = schemaAct,
+        props = propsAct),
       touched.size, live.size)
   }
 
@@ -1377,7 +1446,7 @@ class LogStore(spark: SparkSession, val root: String,
     if (upserts.isEmpty && dels.isEmpty)
       return commitFence(batchId)
     val v = latestVersion()
-    val schemaAct = enforceSchema(upserts, v)
+    val (schemaAct, propsAct) = enforceSchema(upserts.schema, v)
     val live =
       if (v < 0) Seq.empty[Segment] else liveSegmentInfos(v)
     val allKeys = upserts.select(keys: _*).unionByName(dels)
@@ -1416,7 +1485,7 @@ class LogStore(spark: SparkSession, val root: String,
         allowMissingColumns = true)
     commit(v + 1, Seq(writeSegment(rewritten)), touched.map(_.name),
       txn = Some(batchId), cdc = Seq(writeChangeSegment(changes)),
-      schema = schemaAct)
+      schema = schemaAct, props = propsAct)
   }
 
   final case class VacuumResult(version: Long, deleted: Seq[String])
@@ -1494,5 +1563,76 @@ class LogStore(spark: SparkSession, val root: String,
         "elapses (or lower it) to reclaim them")
     doomed.foreach(s => fs.delete(new Path(s"$root/$s"), true))
     VacuumResult(v, doomed)
+  }
+
+  /** Publish ALREADY-WRITTEN segment directories as ONE append
+    * commit — the driver-side commit half of a distributed write path
+    * (the DSv2 `graft-log` sink): executors write parquet files into
+    * staged `seg-*` directories, the driver calls this once with the
+    * directory names. Per segment the usual add-action metadata is
+    * computed (skipping stats + Bloom per this store's config — the
+    * same [[segmentMeta]] every internal writer uses), schema
+    * enforcement runs against the recorded metadata action, and the
+    * commit lands with blind-append retry semantics (content does not
+    * depend on the snapshot, so rebase-and-retry is safe). With `txn`
+    * this is the exactly-once streaming-epoch form: a replayed epoch
+    * (txn ≤ the recorded fence) publishes NOTHING and returns -1 — the
+    * caller owns deleting its staged directories. Until this returns,
+    * the staged segments are invisible to every reader; if the caller
+    * dies first they are crash orphans [[vacuum]] reclaims. */
+  def publishSegments(names: Seq[String],
+      writeSchema: org.apache.spark.sql.types.StructType,
+      txn: Option[Long] = None, maxAttempts: Int = 5): Long = {
+    require(names.nonEmpty, "nothing to publish")
+    require(maxAttempts >= 1, "need at least one attempt")
+    val columns = writeSchema.fieldNames.toSeq
+    lazy val adds = names.map(segmentMeta(_, columns))
+    var attempt = 1
+    while (true) {
+      if (txn.exists(_ <= lastTxn())) return -1L
+      val base = latestVersion()
+      val (schemaAct, propsAct) = enforceSchema(writeSchema, base)
+      try return commit(base + 1, adds, Nil, txn = txn,
+        schema = schemaAct, props = propsAct)
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+}
+
+object LogStore {
+  /** Construct a store CONFIGURED FROM THE LOG: the `props`
+    * table-configuration action (statsCol / statsCols / bloomCol /
+    * bloomBits) recorded by past writers is read back and applied, so
+    * a reader that knows only the PATH — the DSv2 connector, an ops
+    * job, another codebase — gets the same segment-pruning behavior as
+    * the writing code, without out-of-band configuration. A table with
+    * no recorded props (never configured, or pre-stamp) degrades to a
+    * plain store: every read correct, no pruning — the same safe
+    * default as a segment without stats. */
+  def configured(spark: SparkSession, root: String,
+      checkpointInterval: Int = 10): LogStore = {
+    val plain = new LogStore(spark, root,
+      checkpointInterval = checkpointInterval)
+    plain.recordedProps() match {
+      case None => plain
+      case Some(p) =>
+        val kv = p.split(';').iterator.filter(_.contains('='))
+          .map { e =>
+            val i = e.indexOf('=')
+            (e.take(i), e.drop(i + 1))
+          }.toMap
+        new LogStore(spark, root,
+          statsCol = kv.get("statsCol"),
+          checkpointInterval = checkpointInterval,
+          bloomCol = kv.get("bloomCol"),
+          bloomBits = kv.get("bloomBits").map(_.toInt).getOrElse(4096),
+          statsCols = kv.get("statsCols").toSeq
+            .flatMap(_.split(',').toSeq).filter(_.nonEmpty))
+    }
   }
 }

@@ -17,9 +17,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -68,19 +68,24 @@ import graft.catalog.LogStore
   * `changesFrom`/`changesTo` version bounds (default full history) —
   * the CDF backfill/audit path; and the connector prunes columns
   * ([[SupportsPushDownRequiredColumns]]), so narrow projections
-  * convert only the requested fields per record. Snapshot reads stay
-  * `LogStore.read()`.
+  * convert only the requested fields per record. SNAPSHOT reads ride
+  * `.option("mode", "snapshot")` ([[LogSnapshotScanBuilder]]): the
+  * live rows with filter pushdown mapped to segment skipping and
+  * `versionAsOf`/`timestampAsOf` time travel.
   *
   * Schema: the current snapshot's (flat columns only — the
-  * line-of-business shape LogStore tables carry) plus
-  * `_change_type STRING` and `_commit_version LONG`, the same feed
-  * columns `readChanges` emits. */
+  * line-of-business shape LogStore tables carry) plus, on the feed
+  * paths, `_change_type STRING` and `_commit_version LONG`, the same
+  * feed columns `readChanges` emits. */
 class LogStreamProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-log"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    LogStreamSource.feedSchema(
-      LogStreamSource.requirePath(options))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val root = LogStreamSource.requirePath(options)
+    if (LogStreamSource.isSnapshot(options.get("mode")))
+      LogStreamSource.snapshotSchema(root)
+    else LogStreamSource.feedSchema(root)
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -89,7 +94,11 @@ class LogStreamProvider extends TableProvider with DataSourceRegister {
       Option(properties.get("startingVersion")),
       Option(properties.get("maxVersionsPerTrigger")).map(_.toLong),
       Option(properties.get("changesFrom")).map(_.toLong),
-      Option(properties.get("changesTo")).map(_.toLong))
+      Option(properties.get("changesTo")).map(_.toLong),
+      snapshot = LogStreamSource.isSnapshot(properties.get("mode")),
+      versionAsOf = Option(properties.get("versionAsOf")).map(_.toLong),
+      timestampAsOf =
+        Option(properties.get("timestampAsOf")).map(_.toLong))
 }
 
 object LogStreamSource {
@@ -104,26 +113,41 @@ object LogStreamSource {
     ShortType, IntegerType, LongType, FloatType, DoubleType, StringType,
     BinaryType, DateType, TimestampType, TimestampNTZType)
 
-  /** Snapshot schema + feed columns, every field nullable (old
-    * segments may predate evolved columns). Nested types refuse
-    * loudly — the executor-side Group converter is scalar by design. */
-  private[sources] def feedSchema(root: String): StructType = {
+  private[sources] def isSnapshot(mode: String): Boolean =
+    mode != null && (mode.toLowerCase match {
+      case "snapshot" => true
+      case "cdf" | "changes" => false
+      case other => throw new IllegalArgumentException(
+        s"graft-log mode '$other'; expected 'snapshot' or 'cdf'")
+    })
+
+  /** The table's own columns, every field nullable (old segments may
+    * predate evolved columns), scalar-checked — the shared base of the
+    * snapshot and feed schemas. */
+  private[sources] def snapshotSchema(root: String): StructType = {
     val spark = SparkSession.active
-    val snap = new LogStore(spark, root).read().schema
+    val store = new LogStore(spark, root)
+    val snap = store.recordedSchema().getOrElse(store.read().schema)
     snap.fields.foreach { f =>
       require(supported.contains(f.dataType) ||
           f.dataType.isInstanceOf[DecimalType],
         s"graft-log streams flat columns; '${f.name}' is ${f.dataType}")
     }
-    StructType(snap.fields.toSeq.map(_.copy(nullable = true)) ++ Seq(
+    StructType(snap.fields.toSeq.map(_.copy(nullable = true)))
+  }
+
+  /** Snapshot schema + feed columns. */
+  private[sources] def feedSchema(root: String): StructType =
+    StructType(snapshotSchema(root).fields.toSeq ++ Seq(
       StructField("_change_type", StringType, nullable = true),
       StructField("_commit_version", LongType, nullable = false)))
-  }
 }
 
 final class LogStreamTable(schema: StructType, root: String,
     startingVersion: Option[String], maxVersionsPerTrigger: Option[Long],
-    changesFrom: Option[Long], changesTo: Option[Long])
+    changesFrom: Option[Long], changesTo: Option[Long],
+    snapshot: Boolean = false, versionAsOf: Option[Long] = None,
+    timestampAsOf: Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String = s"graft_log($root)"
   override def schema(): StructType = schema
@@ -132,7 +156,10 @@ final class LogStreamTable(schema: StructType, root: String,
       .asJava
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new LogStreamScanBuilder(schema, root, startingVersion,
+    if (snapshot)
+      new LogSnapshotScanBuilder(schema, root, versionAsOf,
+        timestampAsOf)
+    else new LogStreamScanBuilder(schema, root, startingVersion,
       maxVersionsPerTrigger, changesFrom, changesTo)
 }
 
@@ -412,5 +439,195 @@ object LogStreamPartitionReader {
     val nanosOfDay = buf.getLong
     val julianDay = buf.getInt
     (julianDay - 2440588L) * 86400000000L + Math.floorDiv(nanosOfDay, 1000L)
+  }
+}
+
+/** SNAPSHOT reads through the connector —
+  * `spark.read.format("graft-log").option("mode", "snapshot")` — the
+  * other half of the DSv2 surface: the table's LIVE rows (not the
+  * feed), with
+  *
+  *  - **filter pushdown mapped to segment skipping**
+  *    ([[SupportsPushDownFilters]]): comparison/equality/IN predicates
+  *    on the table's RECORDED stats columns prune whole segments by
+  *    their logged min/max BEFORE any parquet footer opens, and
+  *    equality on the recorded Bloom column prunes by the segment
+  *    Bloom filters — the `readRangeAll`/`pointLookup` economics,
+  *    delivered through plain `df.where(...)` with the predicates
+  *    visible as PushedFilters in `.explain`. Every pushed filter is
+  *    ALSO kept as a residual (Spark re-applies it row-level), so
+  *    pruning is strictly an optimization — the result set is exactly
+  *    the full scan's.
+  *  - **time travel**: `versionAsOf` (a commit version) or
+  *    `timestampAsOf` (epoch millis, resolved via the in-log commit
+  *    stamps) pin the snapshot; vacuumed versions refuse loudly.
+  *  - **configuration from the log**: which columns carry stats / a
+  *    Bloom filter is read from the table's recorded `props` action
+  *    ([[graft.catalog.LogStore.configured]]) — the reader needs only
+  *    the path.
+  *
+  * Column pruning and the executor-side readers are shared with the
+  * feed path. */
+final class LogSnapshotScanBuilder(schema: StructType, root: String,
+    versionAsOf: Option[Long], timestampAsOf: Option[Long])
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = schema
+  private var pushed: Array[Filter] = Array.empty
+  private lazy val store =
+    LogStore.configured(SparkSession.active, root)
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(LogSnapshotPruning.isPrunable(store, _))
+    filters // ALL filters stay residual: pruning is segment-level only
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new LogSnapshotScan(required, root,
+    versionAsOf, timestampAsOf, pushed)
+}
+
+final class LogSnapshotScan(schema: StructType, root: String,
+    versionAsOf: Option[Long], timestampAsOf: Option[Long],
+    filters: Array[Filter]) extends Scan {
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"GraftLogSnapshot($root) PushedFilters: " +
+      filters.mkString("[", ", ", "]")
+  override def toBatch: Batch =
+    new LogSnapshotBatch(schema, root, versionAsOf, timestampAsOf,
+      filters)
+}
+
+final class LogSnapshotBatch(schema: StructType, root: String,
+    versionAsOf: Option[Long], timestampAsOf: Option[Long],
+    filters: Array[Filter]) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val store = LogStore.configured(spark, root)
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    val version = versionAsOf.getOrElse(
+      timestampAsOf.map(store.versionAsOf).getOrElse(Long.MaxValue))
+    val (names, _) =
+      LogSnapshotPruning.selectSegments(store, version, filters)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    names.flatMap { seg =>
+      fs.listStatus(new Path(s"$root/$seg"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => LogStreamPartition(f.getPath.toString, -1L, None)
+          : InputPartition)
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    LogStreamPlanning.readerFactory(SparkSession.active, schema)
+}
+
+/** The segment-pruning kernel of the snapshot path: which live
+  * segments can a pushed filter set NOT rule out. Sound by
+  * construction — every decision funnels through the store's own
+  * `mayOverlapOn`/`mayHaveAtLeast`/`mayHaveAtMost`/`mayContain`, whose
+  * no-stats default is "must scan"; literals that cannot be converted
+  * to the logged string form LOSSLESSLY never prune (integers, longs,
+  * decimals, dates are exact; float/double compare numerically via
+  * BigDecimal; strings prune only the Bloom column, where the probe is
+  * the same cast-to-string the filter build used; timestamps never
+  * prune — their string form is format-sensitive). */
+private[sources] object LogSnapshotPruning {
+  import graft.catalog.LogStore
+
+  /** Literal → the logged stats string form, when the conversion is
+    * exact; None = never prune on this literal. */
+  private def statsStr(v: Any): Option[String] = v match {
+    case null => None
+    case _: java.lang.Integer | _: java.lang.Long |
+        _: java.lang.Short | _: java.lang.Byte |
+        _: java.lang.Float | _: java.lang.Double |
+        _: java.math.BigDecimal => Some(v.toString)
+    case d: BigDecimal => Some(d.toString)
+    case d: java.sql.Date => Some(d.toString)
+    case d: java.time.LocalDate => Some(d.toString)
+    case _ => None
+  }
+
+  /** Literal → the Bloom probe string: must equal Spark's
+    * cast-to-string of the column value EXACTLY (a mismatched probe
+    * would skip a segment that holds the key), so only types whose
+    * toString provably matches qualify. */
+  private def bloomStr(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case u: UTF8String => Some(u.toString)
+    case _: java.lang.Integer | _: java.lang.Long |
+        _: java.lang.Short | _: java.lang.Byte => Some(v.toString)
+    case d: java.sql.Date => Some(d.toString)
+    case d: java.time.LocalDate => Some(d.toString)
+    case _ => None
+  }
+
+  private def isStats(store: LogStore, c: String): Boolean =
+    store.configuredStatsColumns.contains(c)
+  private def isBloom(store: LogStore, c: String): Boolean =
+    store.configuredBloomColumn.contains(c)
+
+  /** Can this filter shape contribute ANY pruning on this table's
+    * recorded columns? (What `pushedFilters` reports.) */
+  def isPrunable(store: LogStore, f: Filter): Boolean = f match {
+    case EqualTo(c, v) =>
+      (isStats(store, c) && statsStr(v).nonEmpty) ||
+        (isBloom(store, c) && bloomStr(v).nonEmpty)
+    case EqualNullSafe(c, v) => v != null && isPrunable(store,
+      EqualTo(c, v))
+    case GreaterThan(c, v) => isStats(store, c) && statsStr(v).nonEmpty
+    case GreaterThanOrEqual(c, v) =>
+      isStats(store, c) && statsStr(v).nonEmpty
+    case LessThan(c, v) => isStats(store, c) && statsStr(v).nonEmpty
+    case LessThanOrEqual(c, v) =>
+      isStats(store, c) && statsStr(v).nonEmpty
+    case In(c, vs) => vs.nonEmpty &&
+      vs.forall(v => isPrunable(store, EqualTo(c, v)))
+    case And(l, r) => isPrunable(store, l) || isPrunable(store, r)
+    case Or(l, r) => isPrunable(store, l) && isPrunable(store, r)
+    case _ => false
+  }
+
+  /** Could segment `seg` contain a row matching `f`? Conservative in
+    * every uncertain direction. */
+  private def mayMatch(store: LogStore, seg: LogStore#Segment,
+      f: Filter): Boolean = f match {
+    case EqualTo(c, v) =>
+      statsStr(v).forall(s => seg.mayOverlapOn(c, s, s)) &&
+        (!isBloom(store, c) || bloomStr(v).forall(k =>
+          seg.mayContain(store.bloomPositions(k))))
+    case EqualNullSafe(c, v) if v != null =>
+      mayMatch(store, seg, EqualTo(c, v))
+    case GreaterThan(c, v) =>
+      statsStr(v).forall(seg.mayHaveAtLeast(c, _))
+    case GreaterThanOrEqual(c, v) =>
+      statsStr(v).forall(seg.mayHaveAtLeast(c, _))
+    case LessThan(c, v) =>
+      statsStr(v).forall(seg.mayHaveAtMost(c, _))
+    case LessThanOrEqual(c, v) =>
+      statsStr(v).forall(seg.mayHaveAtMost(c, _))
+    case In(c, vs) =>
+      vs.isEmpty || vs.exists(v => mayMatch(store, seg, EqualTo(c, v)))
+    case And(l, r) =>
+      mayMatch(store, seg, l) && mayMatch(store, seg, r)
+    case Or(l, r) =>
+      mayMatch(store, seg, l) || mayMatch(store, seg, r)
+    case _ => true
+  }
+
+  /** (surviving segment names, live segment count) at `version`. */
+  def selectSegments(store: LogStore, version: Long,
+      filters: Array[Filter]): (Seq[String], Int) = {
+    val live = store.liveSegmentInfos(version)
+    val keep = live.filter(seg =>
+      filters.forall(f => mayMatch(store, seg, f)))
+    (keep.map(_.name), live.size)
   }
 }

@@ -681,7 +681,7 @@ class LogStoreSpec extends AnyFunSuite {
       override private[graft] def commit(expected: Long, adds: Seq[Segment],
           removes: Seq[String], txn: Option[Long],
           vacuumHorizon: Option[Long], cdc: Seq[String],
-          schema: Option[String]): Long = {
+          schema: Option[String], props: Option[String]): Long = {
         if (raceOnce) {
           raceOnce = false
           // the racing writer: segment written AND published at the
@@ -695,7 +695,7 @@ class LogStoreSpec extends AnyFunSuite {
           out.close()
         }
         super.commit(expected, adds, removes, txn, vacuumHorizon, cdc,
-          schema)
+          schema, props)
       }
     }
     t.append((1L to 4L).toDF("id"))   // v0
@@ -938,7 +938,7 @@ class LogStoreSpec extends AnyFunSuite {
       override private[graft] def commit(expected: Long, adds: Seq[Segment],
           removes: Seq[String], txn: Option[Long],
           vacuumHorizon: Option[Long], cdc: Seq[String],
-          schema: Option[String]): Long = {
+          schema: Option[String], props: Option[String]): Long = {
         if (racesLeft > 0) {
           racesLeft -= 1
           // a racing writer claims the slot with a metadata-only commit
@@ -950,7 +950,7 @@ class LogStoreSpec extends AnyFunSuite {
           out.close()
         }
         super.commit(expected, adds, removes, txn, vacuumHorizon, cdc,
-          schema)
+          schema, props)
       }
     }
     t.append((1L to 3L).toDF("id"))          // v0
@@ -1195,5 +1195,102 @@ class LogStoreSpec extends AnyFunSuite {
     assert(v1 == 1L, "the commit landed; the checkpoint failure is " +
       "best-effort noise, whatever exception class it wears")
     assert(ids(t.read()) == (1L to 6L).toSet)
+  }
+
+  // ---- table properties (the `props` configuration action) ----
+
+  test("props action: a configured writer stamps its skipping setup " +
+      "into the log once, and LogStore.configured reconstructs the " +
+      "same pruning behavior from the PATH alone") {
+    val root = Files.createTempDirectory("graft-props").toString + "/tbl"
+    val writer = new LogStore(spark, root, statsCol = Some("id"),
+      bloomCol = Some("k"), bloomBits = 4096, statsCols = Seq("d"))
+    writer.append(Seq((1L, "a", 10), (2L, "b", 11))
+      .toDF("id", "k", "d"))
+    writer.append(Seq((100L, "x", 90), (200L, "y", 91))
+      .toDF("id", "k", "d"))
+    assert(writer.recordedProps() ==
+      Some("statsCol=id;statsCols=d;bloomCol=k;bloomBits=4096"))
+    // the stamp lands once, not per commit
+    val log = new java.io.File(s"$root/_log").listFiles()
+      .filter(_.getName.endsWith(".json"))
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath)))
+    assert(log.count(_.contains("\"props\"")) == 1,
+      "an unchanged configuration must not restamp every commit")
+    // a reader that knows only the path prunes like the writer
+    val reader = LogStore.configured(spark, root)
+    val (df, scanned, live) = reader.readRangeOn("id", "100", "200")
+    assert(live == 2 && scanned == 1, "primary stats pruning must work")
+    assert(df.select(col("id")).as[Long].collect().toSet ==
+      Set(100L, 200L))
+    val (_, s2, _) = reader.readRangeOn("d", "90", "91")
+    assert(s2 == 1, "extra stats column pruning must work")
+    val (lk, s3, _) = reader.pointLookup("a")
+    assert(s3 == 1 && lk.count() == 1, "bloom pruning must work")
+  }
+
+  test("props: an unconfigured table records nothing and configured() " +
+      "degrades to a plain store; props survive checkpoints") {
+    val plainT = fresh()
+    plainT.append((1L to 3L).toDF("id"))
+    assert(plainT.recordedProps().isEmpty)
+    assert(LogStore.configured(spark, plainT.root)
+      .configuredStatsColumns.isEmpty)
+
+    // checkpoint carry: enough commits to cross the interval, then a
+    // fresh replay (which seeds from the checkpoint) still sees props
+    val root = Files.createTempDirectory("graft-props2").toString + "/t"
+    val w = new LogStore(spark, root, statsCol = Some("id"),
+      checkpointInterval = 3)
+    (1 to 7).foreach(i => w.append(Seq(i.toLong).toDF("id")))
+    val r = new LogStore(spark, root, checkpointInterval = 3)
+    assert(r.recordedProps() == Some("statsCol=id"),
+      "the checkpoint must re-serialize the props action")
+  }
+
+  // ---- publishSegments (the DSv2 sink's commit half) ----
+
+  test("publishSegments: staged directories become ONE visible commit " +
+      "with full stats/bloom metadata; invisible before, fenced on " +
+      "txn replay") {
+    val root = Files.createTempDirectory("graft-pub").toString + "/tbl"
+    val t = new LogStore(spark, root, statsCol = Some("id"),
+      bloomCol = Some("k"))
+    t.append(Seq((1L, "a")).toDF("id", "k"))
+    // stage two segment dirs the way a distributed writer would
+    val df2 = Seq((10L, "x"), (11L, "y")).toDF("id", "k")
+    val df3 = Seq((20L, "z")).toDF("id", "k")
+    df2.write.parquet(s"$root/seg-pub-a")
+    df3.write.parquet(s"$root/seg-pub-b")
+    assert(ids(t.read()) == Set(1L), "staged segments must be invisible")
+    val v = t.publishSegments(Seq("seg-pub-a", "seg-pub-b"),
+      df2.schema, txn = Some(7L))
+    assert(v == t.latestVersion())
+    assert(ids(t.read()) == Set(1L, 10L, 11L, 20L))
+    // both published segments carry stats + bloom like any internal write
+    val pubs = t.liveSegmentInfos()
+      .filter(s => s.name == "seg-pub-a" || s.name == "seg-pub-b")
+    assert(pubs.size == 2 &&
+      pubs.forall(s => s.min.nonEmpty && s.bloom.nonEmpty))
+    val (_, scanned, live) = t.readRange("10", "11")
+    assert(live == 3 && scanned == 1)
+    // exactly-once: a replayed epoch publishes nothing
+    df3.write.parquet(s"$root/seg-pub-c")
+    assert(t.publishSegments(Seq("seg-pub-c"), df3.schema,
+      txn = Some(7L)) == -1L)
+    assert(ids(t.read()) == Set(1L, 10L, 11L, 20L))
+  }
+
+  test("publishSegments runs schema enforcement: a type-mutated " +
+      "shared column refuses with the table untouched") {
+    val t = fresh()
+    t.append(Seq(1L).toDF("id"))
+    val bad = Seq("oops").toDF("id")
+    bad.write.parquet(s"${t.root}/seg-pub-bad")
+    val e = intercept[IllegalArgumentException] {
+      t.publishSegments(Seq("seg-pub-bad"), bad.schema)
+    }
+    assert(e.getMessage.contains("never mutates types"))
+    assert(ids(t.read()) == Set(1L))
   }
 }

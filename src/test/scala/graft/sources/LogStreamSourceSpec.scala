@@ -247,4 +247,83 @@ class LogStreamSourceSpec extends AnyFunSuite {
       String.valueOf(e.getCause.getMessage).contains("vacuum"),
       s"got: ${e.getCause}")
   }
+
+  // ---- snapshot mode ----
+
+  private def snapshot(root: String, opts: Map[String, String] = Map.empty)
+      : DataFrame =
+    opts.foldLeft(spark.read.format("graft-log")
+      .option("path", root).option("mode", "snapshot")) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
+
+  test("snapshot mode reads the LIVE rows (not the feed) and time " +
+      "travels by version and by timestamp") {
+    val t = fresh(statsCol = Some("id"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.merge(Seq((2L, "B"), (3L, "c")).toDF("id", "v"), "id")
+    t.deleteWhere("id = 1")
+    def rows(df: DataFrame) = df.select(col("id"), col("v"))
+      .as[(Long, String)].collect().toSet
+    assert(rows(snapshot(t.root)) == Set((2L, "B"), (3L, "c")))
+    assert(rows(snapshot(t.root, Map("versionAsOf" -> "0"))) ==
+      Set((1L, "a"), (2L, "b")))
+    // timestamp travel via the in-log commit stamp of version 0
+    val ts0 = t.describeHistory().where(col("version") === 0)
+      .select(col("commit_time_ms")).as[Long].head()
+    assert(rows(snapshot(t.root,
+      Map("timestampAsOf" -> ts0.toString))) ==
+      Set((1L, "a"), (2L, "b")))
+    // the snapshot schema carries no feed columns
+    assert(!snapshot(t.root).columns.contains("_change_type"))
+  }
+
+  test("snapshot pushdown prunes segments by the logged stats and " +
+      "bloom — configured FROM THE LOG — while results stay exactly " +
+      "the full scan's") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual,
+      In, LessThanOrEqual}
+    val root = Files.createTempDirectory("graft-snap").toString + "/tbl"
+    val w = new LogStore(spark, root, statsCol = Some("id"),
+      bloomCol = Some("k"))
+    w.append((1L to 100L).map(i => (i, s"k$i")).toDF("id", "k"))
+    w.append((101L to 200L).map(i => (i, s"k$i")).toDF("id", "k"))
+    w.append((201L to 300L).map(i => (i, s"k$i")).toDF("id", "k"))
+    // the reader store is reconstructed from the log's props action
+    val r = LogStore.configured(spark, root)
+    def kept(fs: org.apache.spark.sql.sources.Filter*) =
+      LogSnapshotPruning.selectSegments(r, Long.MaxValue,
+        fs.toArray)._1.size
+    assert(kept(GreaterThanOrEqual("id", 120L),
+      LessThanOrEqual("id", 150L)) == 1,
+      "a one-segment range must open one of three segments")
+    assert(kept(EqualTo("k", "k250")) == 1,
+      "a bloom point probe must open one segment")
+    assert(kept(In("id", Array(5L, 205L))) == 2,
+      "an IN set spanning two segments must open exactly those")
+    // end to end: the pushed predicates never change the result set
+    val viaConnector = snapshot(root)
+      .where(col("id").between(120L, 150L))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+      .as[(Long, Long)].head()
+    assert(viaConnector == ((31L, (120L to 150L).sum)))
+    val point = snapshot(root).where(col("k") === "k250")
+      .select(col("id")).as[Long].collect().toSeq
+    assert(point == Seq(250L))
+    // the plan advertises what it pruned on
+    val plan = snapshot(root).where(col("id") >= 120L && col("id") <= 150L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"),
+      s"pushdown must be visible in the plan, got:\n$plan")
+  }
+
+  test("snapshot mode on a table with NO recorded props never prunes " +
+      "but stays exactly correct (the safe default)") {
+    val t = fresh() // plain writer: no stats, no props action
+    t.append((1L to 50L).toDF("id"))
+    t.append((51L to 90L).toDF("id"))
+    val got = snapshot(t.root).where(col("id") > 80L)
+      .select(col("id")).as[Long].collect().toSet
+    assert(got == (81L to 90L).toSet)
+  }
 }

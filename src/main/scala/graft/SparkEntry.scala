@@ -1981,6 +1981,37 @@ object SparkEntry {
         .orderBy("_change_type", "lang")
     }),
 
+    "src_connector_rt" -> ((s, dir) => {
+      // the full DSv2 round trip: a configured table appended to by
+      // the programmatic API AND by the connector SINK (executors
+      // write staged parquet files, the driver publishes ONE commit
+      // through the same stats/schema gate), then read back through
+      // the connector's SNAPSHOT mode with the range predicate pushed
+      // down to segment skipping. Pinned as a literal: the stats
+      // probe opens 1 of the 2 segments — the connector-written one
+      // carries real bounds — while the result set is exactly the
+      // full scan's.
+      val ev = events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-crt").toString + "/tbl"
+      val store = new graft.catalog.LogStore(s, root,
+        statsCol = Some("event_id"))
+      store.append(ev.where(col("event_id") < 500))
+      ev.where(col("event_id") >= 500).write.format("graft-log")
+        .option("path", root).mode("append").save()
+      val reader = graft.catalog.LogStore.configured(s, root)
+      val (_, scanned, live) =
+        reader.readRangeOn("event_id", "600", "900")
+      s.read.format("graft-log").option("path", root)
+        .option("mode", "snapshot").load()
+        .where(col("event_id").between(600, 900))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .withColumn("pruned", lit(scanned == 1 && live == 2))
+        .orderBy("event_type")
+    }),
+
     "src_bucketed_join" -> ((s, dir) => {
       // the storage-layout half of the 100 TB join strategy, end to
       // end: orders and lineitem co-bucketed on the order key at write
@@ -7169,6 +7200,16 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS chars
         | FROM documents WHERE lang = 'ja' GROUP BY lang)
         |ORDER BY _change_type, lang""".stripMargin,
+
+    // the connector write/read plumbing is transparent — the oracle is
+    // the plain filtered aggregate; `pruned` pins the skip as TRUE
+    "src_connector_rt" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value,
+        | TRUE AS pruned
+        |FROM events WHERE event_id BETWEEN 600 AND 900
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // bucketing is plan-layout only — the oracle is the plain join+agg
     "src_bucketed_join" ->

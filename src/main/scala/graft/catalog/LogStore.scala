@@ -1547,7 +1547,8 @@ class LogStore(spark: SparkSession, val root: String,
         st.isDirectory &&
         ((n.startsWith("seg-") && !keep.contains(n)) ||
           (n.startsWith("cdc-") && !keepCdc.contains(n)) ||
-          n.startsWith("_opt-")) // a crashed optimize's staging dir
+          n.startsWith("_opt-") || // a crashed optimize's staging dir
+          n.startsWith("_stage-")) // a crashed DSv2 write's staging dir
       }
       (dead.filter(_.getModificationTime <= cutoff)
         .map(_.getPath.getName).toSeq,

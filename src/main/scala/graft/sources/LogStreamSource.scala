@@ -15,7 +15,8 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
@@ -127,6 +128,9 @@ object LogStreamSource {
   private[sources] def snapshotSchema(root: String): StructType = {
     val spark = SparkSession.active
     val store = new LogStore(spark, root)
+    // a path with no log yet infers an EMPTY schema — the write-path
+    // case (creating the table); reads refuse loudly at planning
+    if (store.latestVersion() < 0) return new StructType()
     val snap = store.recordedSchema().getOrElse(store.read().schema)
     snap.fields.foreach { f =>
       require(supported.contains(f.dataType) ||
@@ -148,12 +152,16 @@ final class LogStreamTable(schema: StructType, root: String,
     changesFrom: Option[Long], changesTo: Option[Long],
     snapshot: Boolean = false, versionAsOf: Option[Long] = None,
     timestampAsOf: Option[Long] = None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_log($root)"
   override def schema(): StructType = schema
+  // ACCEPT_ANY_SCHEMA: Spark's by-name write check would refuse the
+  // add-a-column evolution the table contractually accepts; schema
+  // validation is the commit gate's job (enforceSchema at publish)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
-      .asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     if (snapshot)
@@ -161,6 +169,8 @@ final class LogStreamTable(schema: StructType, root: String,
         timestampAsOf)
     else new LogStreamScanBuilder(schema, root, startingVersion,
       maxVersionsPerTrigger, changesFrom, changesTo)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new LogWriteBuilder(root, info)
 }
 
 /** Column pruning at the connector ([[SupportsPushDownRequiredColumns]]):
@@ -240,17 +250,18 @@ private[sources] object LogStreamPlanning {
     }.toArray
   }
 
-  def readerFactory(spark: SparkSession,
-      schema: StructType): PartitionReaderFactory = {
-    // ship the session's Hadoop conf as a plain map — executors on a
-    // real cluster need the filesystem credentials/settings the
-    // driver planned with, and Configuration itself is not
-    // Java-serializable
-    val conf = spark.sessionState.newHadoopConf()
-    val entries = conf.iterator().asScala
+  /** The session's Hadoop conf as a plain serializable map —
+    * executors on a real cluster need the filesystem
+    * credentials/settings the driver planned with, and Configuration
+    * itself is not Java-serializable. Shared by the reader and writer
+    * factories. */
+  def confEntries(spark: SparkSession): Array[(String, String)] =
+    spark.sessionState.newHadoopConf().iterator().asScala
       .map(e => (e.getKey, e.getValue)).toArray
-    new LogStreamReaderFactory(schema, entries)
-  }
+
+  def readerFactory(spark: SparkSession,
+      schema: StructType): PartitionReaderFactory =
+    new LogStreamReaderFactory(schema, confEntries(spark))
 }
 
 /** One version-interval offset: the newest version ABSORBED so far

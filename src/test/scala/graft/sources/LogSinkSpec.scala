@@ -1,0 +1,179 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.catalog.LogStore
+
+/** The DSv2 write path's contract: batch appends land as one
+  * committed version with full stats/bloom metadata, table creation
+  * and schema evolution work through the connector, type mutation
+  * refuses loudly, streaming writes are exactly-once under checkpoint
+  * loss, empty epochs advance the fence without junk segments, and
+  * staging directories never leak into the table. */
+class LogSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext =
+    spark.sqlContext
+
+  private def tmp() =
+    Files.createTempDirectory("graft-sink").toString + "/tbl"
+
+  private def writeBatch(df: DataFrame, root: String): Unit =
+    df.write.format("graft-log").option("path", root)
+      .mode("append").save()
+
+  test("batch write CREATES a table: one version, recorded schema, " +
+      "readable through every path") {
+    val root = tmp()
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    writeBatch(df, root)
+    val t = new LogStore(spark, root)
+    assert(t.latestVersion() == 0L)
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      (1L to 100L).map(i => (i, s"v$i")).toSet)
+    assert(t.recordedSchema().map(_.fieldNames.toSeq) ==
+      Some(Seq("id", "v")),
+      "the connector write must stamp the metadata action")
+    // and the connector's own snapshot path reads it back
+    val viaConnector = spark.read.format("graft-log")
+      .option("path", root).option("mode", "snapshot").load()
+    assert(viaConnector.count() == 100L)
+  }
+
+  test("batch write APPENDS to a configured table with the same " +
+      "stats/bloom metadata as a programmatic append — the pruning " +
+      "economics survive the connector") {
+    val root = tmp()
+    val t = new LogStore(spark, root, statsCol = Some("id"),
+      bloomCol = Some("k"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "k"))
+    writeBatch(Seq((100L, "x"), (101L, "y")).toDF("id", "k"), root)
+    val r = LogStore.configured(spark, root)
+    assert(r.latestVersion() == 1L)
+    val (df, scanned, live) = r.readRange("100", "101")
+    assert(live == 2 && scanned == 1,
+      "the connector-written segment must carry range stats")
+    assert(df.count() == 2)
+    val (lk, s2, _) = r.pointLookup("x")
+    assert(s2 == 1 && lk.count() == 1,
+      "the connector-written segment must carry a bloom filter")
+    // no staging residue
+    val residue = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("_stage-"))
+    assert(residue.isEmpty, s"staging must be cleaned: ${residue.toSeq}")
+  }
+
+  test("schema evolution through the connector: a new column unions " +
+      "into the recorded schema, old rows read null; a type mutation " +
+      "refuses loudly") {
+    val root = tmp()
+    writeBatch(Seq((1L, "a")).toDF("id", "v"), root)
+    writeBatch(Seq((2L, "b", 9.5)).toDF("id", "v", "score"), root)
+    val t = new LogStore(spark, root)
+    val rows = t.read().select(col("id"), col("score"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(rows == Map(1L -> None, 2L -> Some(9.5)))
+    val e = intercept[Exception] {
+      writeBatch(Seq(("oops", "c")).toDF("id", "v"), root)
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("never mutates types") ||
+        Option(e.getCause).exists(
+          _.getMessage.contains("never mutates types"))))
+    assert(t.read().count() == 2, "the refused write must land nothing")
+  }
+
+  test("unsupported (nested) column types refuse at write planning") {
+    val root = tmp()
+    val e = intercept[Exception] {
+      Seq((1L, Seq(1, 2))).toDF("id", "xs")
+        .write.format("graft-log").option("path", root)
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("flat columns"))
+  }
+
+  test("streaming write is exactly-once: one fenced commit per epoch, " +
+      "and a FULL replay (checkpoint deleted) re-lands nothing") {
+    val root = tmp()
+    val ckpt = Files.createTempDirectory("graft-sink-ck").toString
+
+    def run(checkpoint: String): Unit = {
+      val in = MemoryStream[(Long, String)]
+      in.addData((1L, "a"), (2L, "b")) // epoch 0
+      val q = in.toDF().toDF("id", "v").writeStream
+        .format("graft-log").option("path", root)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        in.addData((3L, "c")) // epoch 1
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+
+    run(ckpt)
+    val t = new LogStore(spark, root)
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(t.latestVersion() == 1L, "one commit per epoch")
+    assert(t.lastTxn() == 1L, "the epoch id rides the txn fence")
+
+    // the disaster drill: lose the Spark checkpoint entirely and
+    // replay the same epochs — the table fence must block every one
+    run(Files.createTempDirectory("graft-sink-ck2").toString)
+    assert(t.read().count() == 3,
+      "replayed epochs must publish nothing")
+    assert(t.latestVersion() == 1L, "no new versions on replay")
+  }
+
+  test("an empty epoch advances the fence with a txn-only commit — " +
+      "no junk segment") {
+    val root = tmp()
+    val in = MemoryStream[(Long, String)]
+    in.addData((1L, "a")) // epoch 0: data
+    val q = in.toDF().toDF("id", "v")
+      .where(col("id") > 100L) // epoch filter: everything dropped
+      .writeStream.format("graft-log").option("path", root)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sink-ck3").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      in.addData((2L, "b")) // epoch 1: also filtered to empty
+      q.processAllAvailable()
+    } finally q.stop()
+    val t = new LogStore(spark, root)
+    // both epochs were empty: with no table yet, epoch 0 is a pure
+    // no-op (no log to fence); once SOME epoch lands data the fence
+    // advances — exercise that half with a data-bearing epoch too
+    assert(t.latestVersion() == -1L,
+      "all-empty epochs on a nonexistent table must create nothing")
+
+    val in2 = MemoryStream[(Long, String)]
+    in2.addData((1L, "x"))      // epoch 0: data → creates the table
+    val q2 = in2.toDF().toDF("id", "v")
+      .where(col("id") < 100L)
+      .writeStream.format("graft-log").option("path", root)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sink-ck4").toString)
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      in2.addData((500L, "y"))  // epoch 1: filtered to empty → fence
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(t.read().count() == 1)
+    assert(t.lastTxn() == 1L,
+      "the empty epoch must advance the fence")
+    assert(t.liveSegmentInfos().size == 1,
+      "the empty epoch must not add a segment")
+  }
+}

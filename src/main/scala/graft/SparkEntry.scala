@@ -820,6 +820,22 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "mm_decoded_jpeg_prog" -> ((s, dir) => {
+      // PROGRESSIVE JPEG (SOF2, spectral selection + successive
+      // approximation — the dominant non-baseline wild profile) at
+      // corpus scale: every document encoded BOTH ways (rotating
+      // gray / RGB 4:4:4 / RGB 4:2:0 by doc id) and both streams
+      // decoded through the general decoder. Progressive is a pure
+      // reordering of the same quantized coefficients, so the decoded
+      // rasters must agree BYTE FOR BYTE — pinned per document as the
+      // bit_identical literal, alongside the exact geometry facts.
+      Multimodal.extractJpegProgFeatures(s, t(s, dir, "documents"))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("channels"), col("bit_identical"))
+        .orderBy("media_id")
+    }),
+
     "mm_decoded_jpeg420" -> ((s, dir) => {
       // the dominant wild-corpus JPEG profile: REAL 4:2:0 payloads
       // (2x2-sampled luma, box-averaged chroma, MCU-interleaved
@@ -5857,6 +5873,23 @@ object SparkEntry {
         | CAST(h AS INTEGER) AS height,
         | CAST(1 AS INTEGER) AS channels,
         | TRUE AS mean_close
+        |FROM e ORDER BY media_id""".stripMargin,
+
+    // progressive carries the same coefficients as baseline: the
+    // oracle pins the geometry facts and bit_identical = TRUE
+    "mm_decoded_jpeg_prog" ->
+      """WITH t AS (SELECT doc_id AS media_id, doc_id % 3 AS m,
+        |  octet_length(encode(coalesce(text, ''))) AS n FROM documents),
+        |d AS (SELECT media_id, m, n, 8 + (n % 57) AS w FROM t),
+        |e AS (SELECT media_id, m, w,
+        |  CASE WHEN m = 0 THEN greatest(1, (n + w - 1) // w)
+        |       ELSE greatest(1, (n + 3*w - 1) // (3*w)) END AS h
+        | FROM d)
+        |SELECT media_id, CAST(w AS INTEGER) AS width,
+        | CAST(h AS INTEGER) AS height,
+        | CAST(CASE WHEN m = 0 THEN 1 ELSE 3 END AS INTEGER)
+        |   AS channels,
+        | TRUE AS bit_identical
         |FROM e ORDER BY media_id""".stripMargin,
 
     // 4:2:0 is lossy: the oracle pins the full-MCU geometry facts

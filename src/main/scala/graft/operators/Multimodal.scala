@@ -469,11 +469,14 @@ object Multimodal {
     * seam (PNG covers the lossless one). Pure JVM, no imageio.
     *
     * Decode is fully general over its supported profile: DQT/DHT/
-    * SOF0/SOS marker walk, canonical Huffman tables rebuilt from any
-    * DHT (mincode/maxcode/valptr), FF00 unstuffing, DC prediction,
+    * SOF0/SOF2/SOS marker walk, canonical Huffman tables rebuilt from
+    * any DHT (mincode/maxcode/valptr), FF00 unstuffing, DC prediction,
     * AC run-length, dequantize + dezigzag, separable double-precision
     * IDCT, level shift + clamp, block-padding crop, JFIF YCbCr→RGB.
-    * Progressive (SOF2), 12-bit, arithmetic coding, subsampled or
+    * PROGRESSIVE (SOF2) decodes in full generality within the
+    * profile: spectral selection, successive approximation (DC and AC
+    * first/refinement passes, EOBn runs, correction bits), tables
+    * redefined between scans. 12-bit, arithmetic coding, 4:2:2 and
     * restart-interval streams refuse LOUDLY — a decode must never
     * guess. Encode writes the same profile with FIXED-LENGTH
     * canonical Huffman tables (all 12 DC size symbols at 4 bits, all
@@ -529,6 +532,12 @@ object Multimodal {
       dcSymbols.zipWithIndex.map { case (s, i) => s -> (i, 4) }.toMap
     private val acCode: Map[Int, (Int, Int)] =
       acSymbols.zipWithIndex.map { case (s, i) => s -> (i, 8) }.toMap
+    // the progressive AC alphabet adds the EOBn run symbols
+    // (r<<4)|0 for r = 1..14 — end-of-band runs up to 32767 blocks
+    private val acSymbolsProg: Array[Int] =
+      (acSymbols ++ (1 to 14).map(_ << 4)).sorted
+    private val acCodeProg: Map[Int, (Int, Int)] =
+      acSymbolsProg.zipWithIndex.map { case (s, i) => s -> (i, 8) }.toMap
 
     private def fdctQuant(block: Array[Double], quant: Array[Int])
         : Array[Int] = {
@@ -639,23 +648,17 @@ object Multimodal {
       n
     }
 
-    /** Encode `pixels` (row-major; 1 = gray, 3 = interleaved RGB) as a
-      * baseline JFIF JPEG with quantizer `quant` (zigzag-natural
-      * order, applied to every component). `subsample` (3-channel
-      * only) writes 4:2:0 — luma at 2x2 sampling, chroma planes
-      * box-averaged to half resolution and MCU-interleaved as
-      * YYYYCbCr per 16x16 macroblock, the dominant wild-corpus
-      * profile. */
-    def encode(pixels: Array[Byte], width: Int, height: Int,
-        channels: Int = 1, quant: Array[Int] = stdQuant,
-        subsample: Boolean = false): Array[Byte] = {
-      require(channels == 1 || channels == 3, s"channels $channels")
-      require(!subsample || channels == 3,
-        "4:2:0 subsampling needs 3 channels")
-      require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
-        "quant must be 64 steps in [1, 255]")
-      require(pixels.length == width * height * channels, "raster size")
-      require(width > 0 && height > 0, "degenerate dims")
+    /** Component planes + sampling geometry shared by the baseline
+      * and progressive encoders: RGB→YCbCr (BT.601 full-range, the
+      * JFIF matrix), optional 2x2 box-averaged chroma downsample
+      * (round half up, edge replication — integer arithmetic so the
+      * transform is engine-exact), and the MCU grid dims. */
+    private final case class Prep(planes: Array[Array[Int]],
+        sampH: Array[Int], sampV: Array[Int], compW: Array[Int],
+        compH: Array[Int], mcuCols: Int, mcuRows: Int)
+
+    private def preparePlanes(pixels: Array[Byte], width: Int,
+        height: Int, channels: Int, subsample: Boolean): Prep = {
       // full-resolution component planes
       val full: Array[Array[Int]] =
         if (channels == 1)
@@ -693,8 +696,6 @@ object Multimodal {
       val planes: Array[Array[Int]] = Array.tabulate(channels) { c =>
         if (compW(c) == width && compH(c) == height) full(c)
         else {
-          // 2x2 box average with edge replication, round half up —
-          // integer arithmetic so the transform is engine-exact
           val p = new Array[Int](compW(c) * compH(c))
           var cy = 0
           while (cy < compH(c)) {
@@ -720,31 +721,60 @@ object Multimodal {
           p
         }
       }
-      val mcuCols = (width + 8 * hMax - 1) / (8 * hMax)
-      val mcuRows = (height + 8 * vMax - 1) / (8 * vMax)
+      Prep(planes, sampH, sampV, compW, compH,
+        (width + 8 * hMax - 1) / (8 * hMax),
+        (height + 8 * vMax - 1) / (8 * vMax))
+    }
+
+    /** One 8x8 block's quantized coefficients in ZIGZAG order:
+      * edge-replicated sampling from the component plane, forward DCT,
+      * quantization — the block kernel shared by both encoders. */
+    private def blockZz(plane: Array[Int], w: Int, h: Int,
+        blockRow: Int, blockCol: Int, quant: Array[Int]): Array[Int] = {
+      val block = new Array[Double](64)
+      var yy = 0
+      while (yy < 8) {
+        val sy = math.min(h - 1, blockRow * 8 + yy)
+        var xx = 0
+        while (xx < 8) {
+          val sx = math.min(w - 1, blockCol * 8 + xx)
+          block(yy * 8 + xx) = plane(sy * w + sx) - 128.0
+          xx += 1
+        }
+        yy += 1
+      }
+      val q = fdctQuant(block, quant)
+      val zz = new Array[Int](64)
+      var i = 0
+      while (i < 64) { zz(i) = q(zigzag(i)); i += 1 }
+      zz
+    }
+
+    /** Encode `pixels` (row-major; 1 = gray, 3 = interleaved RGB) as a
+      * baseline JFIF JPEG with quantizer `quant` (zigzag-natural
+      * order, applied to every component). `subsample` (3-channel
+      * only) writes 4:2:0 — luma at 2x2 sampling, chroma planes
+      * box-averaged to half resolution and MCU-interleaved as
+      * YYYYCbCr per 16x16 macroblock, the dominant wild-corpus
+      * profile. */
+    def encode(pixels: Array[Byte], width: Int, height: Int,
+        channels: Int = 1, quant: Array[Int] = stdQuant,
+        subsample: Boolean = false): Array[Byte] = {
+      require(channels == 1 || channels == 3, s"channels $channels")
+      require(!subsample || channels == 3,
+        "4:2:0 subsampling needs 3 channels")
+      require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
+        "quant must be 64 steps in [1, 255]")
+      require(pixels.length == width * height * channels, "raster size")
+      require(width > 0 && height > 0, "degenerate dims")
+      val prep = preparePlanes(pixels, width, height, channels, subsample)
+      import prep.{planes, sampH, sampV, compW, compH, mcuCols, mcuRows}
       val writer = new BitWriter
       val lastDc = new Array[Int](channels)
 
       def encodeBlock(c: Int, blockRow: Int, blockCol: Int): Unit = {
-        val w = compW(c)
-        val h = compH(c)
-        val block = new Array[Double](64)
-        var yy = 0
-        while (yy < 8) {
-          val sy = math.min(h - 1, blockRow * 8 + yy)
-          var xx = 0
-          while (xx < 8) {
-            val sx = math.min(w - 1, blockCol * 8 + xx)
-            block(yy * 8 + xx) = planes(c)(sy * w + sx) - 128.0
-            xx += 1
-          }
-          yy += 1
-        }
-        val q = fdctQuant(block, quant)
-        // zigzag-order the quantized coefficients
-        val zz = new Array[Int](64)
-        var i = 0
-        while (i < 64) { zz(i) = q(zigzag(i)); i += 1 }
+        val zz = blockZz(planes(c), compW(c), compH(c), blockRow,
+          blockCol, quant)
         val dcDiff = zz(0) - lastDc(c)
         lastDc(c) = zz(0)
         val dsz = sizeOf(dcDiff)
@@ -852,6 +882,298 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** Encode the same supported profiles as [[encode]] but as a
+      * PROGRESSIVE (SOF2) stream with SUCCESSIVE APPROXIMATION — the
+      * scan script the wild corpus actually carries (cjpeg-style):
+      *
+      *   1. DC first, all components interleaved (Ss=Se=0, Al=1)
+      *   2. per component: AC first, band 1..63 at Al=1 (EOBn runs)
+      *   3. DC refinement (Ah=1, Al=0 — one raw bit per block)
+      *   4. per component: AC refinement (Ah=1, Al=0 — correction
+      *      bits, ±1 insertions, buffered-bit EOB runs)
+      *
+      * The quantized coefficients are EXACTLY the baseline encoder's
+      * (same [[blockZz]] kernel), progressive being a pure reordering
+      * of the same data — so decode(encodeProgressive(x)) must equal
+      * decode(encode(x)) BIT FOR BIT, which is what the spec pins. */
+    def encodeProgressive(pixels: Array[Byte], width: Int, height: Int,
+        channels: Int = 1, quant: Array[Int] = stdQuant,
+        subsample: Boolean = false): Array[Byte] = {
+      require(channels == 1 || channels == 3, s"channels $channels")
+      require(!subsample || channels == 3,
+        "4:2:0 subsampling needs 3 channels")
+      require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
+        "quant must be 64 steps in [1, 255]")
+      require(pixels.length == width * height * channels, "raster size")
+      require(width > 0 && height > 0, "degenerate dims")
+      val prep = preparePlanes(pixels, width, height, channels, subsample)
+      import prep.{planes, sampH, sampV, compW, compH, mcuCols, mcuRows}
+      // all coefficients up front: the scans are reorderings
+      val gridW = Array.tabulate(channels)(c => mcuCols * sampH(c))
+      val gridH = Array.tabulate(channels)(c => mcuRows * sampV(c))
+      val coef: Array[Array[Array[Int]]] = Array.tabulate(channels) { c =>
+        Array.tabulate(gridW(c) * gridH(c)) { b =>
+          blockZz(planes(c), compW(c), compH(c),
+            b / gridW(c), b % gridW(c), quant)
+        }
+      }
+
+      // ---- entropy coders for the four scan kinds ----
+      def dcFirstScan(al: Int): Array[Byte] = {
+        val w = new BitWriter
+        val lastDc = new Array[Int](channels)
+        def one(c: Int, b: Int): Unit = {
+          val v = coef(c)(b)(0) >> al // DC point transform: arith shift
+          val diff = v - lastDc(c)
+          lastDc(c) = v
+          val s = sizeOf(diff)
+          val (dc, dl) = dcCode(s)
+          w.put(dc, dl)
+          if (s > 0)
+            w.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+        }
+        forEachMcuBlock(one)
+        w.flush(); w.out.toByteArray
+      }
+
+      def dcRefineScan(al: Int): Array[Byte] = {
+        val w = new BitWriter
+        forEachMcuBlock((c, b) => w.put((coef(c)(b)(0) >> al) & 1, 1))
+        w.flush(); w.out.toByteArray
+      }
+
+      // interleaved MCU order over every component's blocks — the
+      // same traversal as the baseline scan, used by both DC scans
+      def forEachMcuBlock(f: (Int, Int) => Unit): Unit = {
+        var my = 0
+        while (my < mcuRows) {
+          var mx = 0
+          while (mx < mcuCols) {
+            var c = 0
+            while (c < channels) {
+              var v = 0
+              while (v < sampV(c)) {
+                var hh = 0
+                while (hh < sampH(c)) {
+                  f(c, (my * sampV(c) + v) * gridW(c) +
+                    mx * sampH(c) + hh)
+                  hh += 1
+                }
+                v += 1
+              }
+              c += 1
+            }
+            mx += 1
+          }
+          my += 1
+        }
+      }
+
+      // non-interleaved single-component block coverage: the
+      // component's OWN ceil dims, not the MCU-padded grid
+      def compBlocks(c: Int): (Int, Int) =
+        ((compW(c) + 7) / 8, (compH(c) + 7) / 8)
+
+      def acFirstScan(c: Int, ss: Int, se: Int, al: Int): Array[Byte] = {
+        val w = new BitWriter
+        var eobrun = 0
+        def flushEob(): Unit = if (eobrun > 0) {
+          var r = 0
+          while ((2 << r) <= eobrun) r += 1 // floor(log2)
+          val (ec, el) = acCodeProg(r << 4)
+          w.put(ec, el)
+          if (r > 0) w.put(eobrun - (1 << r), r)
+          eobrun = 0
+        }
+        def pt(v: Int): Int = if (v >= 0) v >> al else -((-v) >> al)
+        val (bw, bh) = compBlocks(c)
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            val zz = coef(c)(by * gridW(c) + bx)
+            var last = se
+            while (last >= ss && pt(zz(last)) == 0) last -= 1
+            if (last < ss) {
+              eobrun += 1
+              if (eobrun == 0x7fff) flushEob()
+            } else {
+              flushEob()
+              var run = 0
+              var k = ss
+              while (k <= last) {
+                val v = pt(zz(k))
+                if (v == 0) run += 1
+                else {
+                  while (run >= 16) {
+                    val (zc, zl) = acCodeProg(0xf0)
+                    w.put(zc, zl)
+                    run -= 16
+                  }
+                  val s = sizeOf(v)
+                  val (ac, alen) = acCodeProg((run << 4) | s)
+                  w.put(ac, alen)
+                  w.put(if (v >= 0) v else v + (1 << s) - 1, s)
+                  run = 0
+                }
+                k += 1
+              }
+              if (last < se) eobrun += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        flushEob()
+        w.flush(); w.out.toByteArray
+      }
+
+      def acRefineScan(c: Int, ss: Int, se: Int, al: Int): Array[Byte] = {
+        val w = new BitWriter
+        var eobrun = 0
+        // correction bits buffered until the symbol that carries them
+        val pending = scala.collection.mutable.ArrayBuffer.empty[Int]
+        def emitPending(): Unit = {
+          pending.foreach(w.put(_, 1)); pending.clear()
+        }
+        def flushEob(): Unit = if (eobrun > 0) {
+          var r = 0
+          while ((2 << r) <= eobrun) r += 1
+          val (ec, el) = acCodeProg(r << 4)
+          w.put(ec, el)
+          if (r > 0) w.put(eobrun - (1 << r), r)
+          eobrun = 0
+          emitPending()
+        }
+        def pt(v: Int): Int = if (v >= 0) v >> al else -((-v) >> al)
+        val (bw, bh) = compBlocks(c)
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            val zz = coef(c)(by * gridW(c) + bx)
+            // EOB position: the last NEWLY-significant coefficient
+            // (|pt| == 1; anything larger was sent in an earlier scan)
+            var eobPos = ss - 1
+            var k = ss
+            while (k <= se) {
+              if (math.abs(pt(zz(k))) == 1) eobPos = k
+              k += 1
+            }
+            if (eobPos < ss) {
+              // no new coefficients: the whole band folds into the
+              // EOB run; corrections for already-known coefficients
+              // ride the buffer in block order
+              eobrun += 1
+              k = ss
+              while (k <= se) {
+                val t = math.abs(pt(zz(k)))
+                if (t > 1) pending += (t & 1)
+                k += 1
+              }
+              if (eobrun == 0x7fff) flushEob()
+            } else {
+              flushEob()
+              var run = 0
+              k = ss
+              while (k <= eobPos) {
+                val t = pt(zz(k))
+                val a = math.abs(t)
+                if (a == 0) run += 1
+                else {
+                  // ZRLs flush at ANY nonzero coefficient (T.81 G.7 /
+                  // the libjpeg note): a previously-significant
+                  // coefficient beyond the 16-zero span must buffer
+                  // its correction bit AFTER the ZRL that the decoder
+                  // will consume first, or the bit lands inside the
+                  // wrong symbol's window
+                  while (run > 15) {
+                    val (zc, zl) = acCodeProg(0xf0)
+                    w.put(zc, zl)
+                    run -= 16
+                    emitPending()
+                  }
+                  if (a > 1) pending += (a & 1)
+                  else {
+                    val (ac, alen) = acCodeProg((run << 4) | 1)
+                    w.put(ac, alen)
+                    w.put(if (t > 0) 1 else 0, 1) // sign of the new ±1
+                    emitPending()
+                    run = 0
+                  }
+                }
+                k += 1
+              }
+              if (eobPos < se) {
+                eobrun += 1
+                k = eobPos + 1
+                while (k <= se) {
+                  val t = math.abs(pt(zz(k)))
+                  if (t > 1) pending += (t & 1)
+                  k += 1
+                }
+              }
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        flushEob()
+        w.flush(); w.out.toByteArray
+      }
+
+      // ---- container ----
+      val out = new java.io.ByteArrayOutputStream()
+      def u16(v: Int): Unit = { out.write(v >>> 8); out.write(v & 0xff) }
+      def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+      marker(0xd8) // SOI
+      marker(0xdb) // DQT
+      u16(2 + 1 + 64)
+      out.write(0x00)
+      zigzag.foreach(z => out.write(quant(z)))
+      marker(0xc2) // SOF2: progressive DCT
+      u16(8 + 3 * channels)
+      out.write(8)
+      u16(height); u16(width)
+      out.write(channels)
+      (0 until channels).foreach { c =>
+        out.write(c + 1)
+        out.write((sampH(c) << 4) | sampV(c))
+        out.write(0)
+      }
+      def dht(clazz: Int, id: Int, lengths: Array[Int],
+          vals: Array[Int]): Unit = {
+        marker(0xc4)
+        u16(2 + 1 + 16 + vals.length)
+        out.write((clazz << 4) | id)
+        lengths.foreach(out.write)
+        vals.foreach(out.write)
+      }
+      dht(0, 0, Array.tabulate(16)(i =>
+        if (i == 3) dcSymbols.length else 0), dcSymbols)
+      dht(1, 0, Array.tabulate(16)(i =>
+        if (i == 7) acSymbolsProg.length else 0), acSymbolsProg)
+      def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int,
+          entropy: Array[Byte]): Unit = {
+        marker(0xda)
+        u16(6 + 2 * comps.length)
+        out.write(comps.length)
+        comps.foreach { c =>
+          out.write(c + 1)
+          out.write(0x00)
+        }
+        out.write(ss); out.write(se); out.write((ah << 4) | al)
+        out.write(entropy, 0, entropy.length)
+      }
+      val all = 0 until channels
+      sos(all, 0, 0, 0, 1, dcFirstScan(1))
+      all.foreach(c => sos(Seq(c), 1, 63, 0, 1, acFirstScan(c, 1, 63, 1)))
+      sos(all, 0, 0, 1, 0, dcRefineScan(0))
+      all.foreach(c => sos(Seq(c), 1, 63, 1, 0, acRefineScan(c, 1, 63, 0)))
+      marker(0xd9) // EOI
+      out.toByteArray
+    }
+
     private final class Huff(bits: Array[Int], vals: Array[Int]) {
       // canonical decode tables (T.81 F.2.2.3)
       val minCode = new Array[Int](17)
@@ -924,9 +1246,16 @@ object Multimodal {
       else if (v < (1 << (size - 1))) v - (1 << size) + 1
       else v
 
-    /** Parse a baseline JPEG within the supported profile; throws
-      * IllegalArgumentException on any malformation or unsupported
-      * feature. Returns gray (1ch) or interleaved RGB (3ch). */
+    /** Parse a JPEG within the supported profile — BASELINE (SOF0)
+      * or PROGRESSIVE (SOF2, spectral selection + successive
+      * approximation, the wild corpus's dominant non-baseline form);
+      * throws IllegalArgumentException on any malformation or
+      * unsupported feature. Progressive accumulates the quantized
+      * coefficients across scans (DC first/refine interleaved, AC
+      * first/refine per component with EOBn runs and correction bits)
+      * and IDCTs once at EOI — a progressive stream carrying the same
+      * coefficients as a baseline one decodes BIT-IDENTICALLY.
+      * Returns gray (1ch) or interleaved RGB (3ch). */
     def decode(payload: Array[Byte]): JpegImage = {
       def fail(msg: String): Nothing =
         throw new IllegalArgumentException(s"JPEG decode: $msg")
@@ -952,13 +1281,76 @@ object Multimodal {
       var width = -1
       var height = -1
       var nComp = 0
+      var progressive = false
+      var compIds: Array[Int] = null
       var compQuant: Array[Int] = null
       var sampH: Array[Int] = null
       var sampV: Array[Int] = null
-      var scanStart = -1
       var compDc: Array[Int] = null
       var compAc: Array[Int] = null
-      while (scanStart < 0) {
+
+      // DHT/DQT parsing shared by the header loop and (progressive)
+      // the between-scan loop — tables may be redefined mid-stream
+      def readDht(at: Int, len: Int): Unit = {
+        var p = at + 2
+        while (p < at + len) {
+          if (p + 17 > at + len) fail("DHT overrun")
+          val tc = (payload(p) & 0xff) >> 4
+          val th = payload(p) & 0x0f
+          val bits = Array.tabulate(16)(i => payload(p + 1 + i) & 0xff)
+          val n = bits.sum
+          if (p + 17 + n > at + len) fail("DHT overrun")
+          val vals = Array.tabulate(n)(i => payload(p + 17 + i) & 0xff)
+          val h = new Huff(bits, vals)
+          if (tc == 0) dcTabs(th) = h else acTabs(th) = h
+          p += 17 + n
+        }
+      }
+      def readDqt(at: Int, len: Int): Unit = {
+        var p = at + 2
+        while (p < at + len) {
+          if (p + 65 > at + len) fail("DQT overrun")
+          if (((payload(p) & 0xff) >> 4) != 0)
+            fail("16-bit quant tables unsupported")
+          val id = payload(p) & 0x0f
+          val q = new Array[Int](64)
+          var i = 0
+          while (i < 64) {
+            q(zigzag(i)) = payload(p + 1 + i) & 0xff
+            i += 1
+          }
+          quants(id) = q
+          p += 65
+        }
+      }
+
+      // one scan header: component list (matched by ID to the SOF
+      // order), entropy selectors, spectral band, approximation bits
+      final case class ScanInfo(comps: Array[Int], ss: Int, se: Int,
+          ah: Int, al: Int, dataStart: Int)
+      def parseSos(at: Int, len: Int): ScanInfo = {
+        if (len < 3) fail("SOS segment too short")
+        val ns = payload(at + 2) & 0xff
+        if (len < 2 + 1 + 2 * ns + 3) fail("SOS component table overrun")
+        if (ns < 1 || ns > nComp) fail(s"bad scan component count $ns")
+        val comps = new Array[Int](ns)
+        (0 until ns).foreach { i =>
+          val id = payload(at + 3 + 2 * i) & 0xff
+          val c = compIds.indexOf(id)
+          if (c < 0) fail(s"scan names unknown component id $id")
+          comps(i) = c
+          val t = payload(at + 4 + 2 * i) & 0xff
+          compDc(c) = t >> 4
+          compAc(c) = t & 0x0f
+        }
+        val ss = payload(at + 3 + 2 * ns) & 0xff
+        val se = payload(at + 4 + 2 * ns) & 0xff
+        val ahal = payload(at + 5 + 2 * ns) & 0xff
+        ScanInfo(comps, ss, se, ahal >> 4, ahal & 0x0f, at + len)
+      }
+
+      var firstScan: ScanInfo = null
+      while (firstScan == null) {
         if (pos + 1 >= payload.length) fail("no SOS before EOF")
         if ((payload(pos) & 0xff) != 0xff) fail("lost marker sync")
         val m = payload(pos + 1) & 0xff
@@ -967,23 +1359,29 @@ object Multimodal {
           case 0xd9 => fail("EOI before scan")
           case 0x01 => () // TEM, no payload
           case _ if m >= 0xd0 && m <= 0xd7 => () // RSTn, no payload
-          case 0xc0 =>
+          case 0xc0 | 0xc2 =>
+            if (width >= 0) fail("duplicate SOF")
+            progressive = m == 0xc2
             // every field read below is bounds-checked against the
             // DECLARED length, not just the payload array: a lying
             // header must fail the contract's way, never misparse
             val len = seg(pos)
-            if (len < 8) fail("SOF0 segment too short")
+            if (len < 8) fail("SOF segment too short")
             if ((payload(pos + 2) & 0xff) != 8) fail("not 8-bit")
             height = u16(pos + 3)
             width = u16(pos + 5)
             nComp = payload(pos + 7) & 0xff
             if (nComp != 1 && nComp != 3)
               fail(s"unsupported component count $nComp")
-            if (len < 8 + 3 * nComp) fail("SOF0 component table overrun")
+            if (len < 8 + 3 * nComp) fail("SOF component table overrun")
+            compIds = new Array[Int](nComp)
             compQuant = new Array[Int](nComp)
             sampH = new Array[Int](nComp)
             sampV = new Array[Int](nComp)
+            compDc = new Array[Int](nComp)
+            compAc = new Array[Int](nComp)
             (0 until nComp).foreach { c =>
+              compIds(c) = payload(pos + 8 + 3 * c) & 0xff
               val samp = payload(pos + 9 + 3 * c) & 0xff
               sampH(c) = samp >> 4
               sampV(c) = samp & 0x0f
@@ -1004,54 +1402,16 @@ object Multimodal {
             pos += len
           case 0xc4 =>
             val len = seg(pos)
-            var p = pos + 2
-            while (p < pos + len) {
-              if (p + 17 > pos + len) fail("DHT overrun")
-              val tc = (payload(p) & 0xff) >> 4
-              val th = payload(p) & 0x0f
-              val bits = Array.tabulate(16)(i => payload(p + 1 + i) & 0xff)
-              val n = bits.sum
-              if (p + 17 + n > pos + len) fail("DHT overrun")
-              val vals = Array.tabulate(n)(i => payload(p + 17 + i) & 0xff)
-              val h = new Huff(bits, vals)
-              if (tc == 0) dcTabs(th) = h else acTabs(th) = h
-              p += 17 + n
-            }
+            readDht(pos, len)
             pos += len
           case 0xdb =>
             val len = seg(pos)
-            var p = pos + 2
-            while (p < pos + len) {
-              if (p + 65 > pos + len) fail("DQT overrun")
-              if (((payload(p) & 0xff) >> 4) != 0)
-                fail("16-bit quant tables unsupported")
-              val id = payload(p) & 0x0f
-              val q = new Array[Int](64)
-              var i = 0
-              while (i < 64) {
-                q(zigzag(i)) = payload(p + 1 + i) & 0xff
-                i += 1
-              }
-              quants(id) = q
-              p += 65
-            }
+            readDqt(pos, len)
             pos += len
           case 0xda =>
-            val len = seg(pos)
-            if (len < 3) fail("SOS segment too short")
-            val ns = payload(pos + 2) & 0xff
-            if (len < 2 + 1 + 2 * ns + 3) fail("SOS component table overrun")
-            if (ns != nComp) fail("partial scans unsupported")
-            compDc = new Array[Int](nComp)
-            compAc = new Array[Int](nComp)
-            (0 until ns).foreach { c =>
-              val t = payload(pos + 4 + 2 * c) & 0xff
-              compDc(c) = t >> 4
-              compAc(c) = t & 0x0f
-            }
-            scanStart = pos + len
+            if (width < 0) fail("SOS before SOF")
+            firstScan = parseSos(pos, seg(pos))
           case 0xc1 => fail("extended sequential unsupported")
-          case 0xc2 => fail("progressive JPEG unsupported")
           case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd |
               0xce | 0xcf => fail(f"SOF ff$m%02x unsupported")
           case 0xdd => fail("restart intervals unsupported")
@@ -1061,11 +1421,6 @@ object Multimodal {
       }
       if (width <= 0 || height <= 0) fail("missing SOF")
       if (width.toLong * height * nComp > (1L << 30)) fail("too large")
-      (0 until nComp).foreach { c =>
-        if (quants(compQuant(c)) == null) fail("missing quant table")
-        if (dcTabs(compDc(c)) == null || acTabs(compAc(c)) == null)
-          fail("missing huffman table")
-      }
       val hMax = sampH.max
       val vMax = sampV.max
       val mcuCols = (width + 8 * hMax - 1) / (8 * hMax)
@@ -1074,67 +1429,311 @@ object Multimodal {
       val stride = Array.tabulate(nComp)(c => mcuCols * sampH(c) * 8)
       val planes = Array.tabulate(nComp)(c =>
         new Array[Int](stride(c) * mcuRows * sampV(c) * 8))
-      val br = new BitReader(payload, scanStart)
-      val lastDc = new Array[Int](nComp)
 
-      def decodeBlock(c: Int, blockRow: Int, blockCol: Int): Unit = {
-        val zz = new Array[Int](64)
-        val dsz = dcTabs(compDc(c)).decode(br)
-        if (dsz > 11) fail("bad DC size")
-        lastDc(c) += extend(br.receive(dsz), dsz)
-        zz(0) = lastDc(c)
-        var k = 1
-        while (k < 64) {
-          val rs = acTabs(compAc(c)).decode(br)
-          val run = rs >> 4
-          val sz = rs & 0x0f
-          if (sz == 0) {
-            if (run == 15) k += 16 // ZRL
-            else k = 64            // EOB
-          } else {
-            k += run
-            if (k > 63) fail("AC run overflow")
-            zz(k) = extend(br.receive(sz), sz)
-            k += 1
-          }
+      if (!progressive) {
+        // ---- baseline: one scan, blocks IDCT'd as they decode ----
+        val si = firstScan
+        if (si.comps.length != nComp) fail("partial scans unsupported")
+        if (si.ss != 0 || si.se != 63 || si.ah != 0 || si.al != 0)
+          fail("baseline scan must cover the full band")
+        (0 until nComp).foreach { c =>
+          if (quants(compQuant(c)) == null) fail("missing quant table")
+          if (dcTabs(compDc(c)) == null || acTabs(compAc(c)) == null)
+            fail("missing huffman table")
         }
-        val px = dequantIdct(zz, quants(compQuant(c)))
-        var yy = 0
-        while (yy < 8) {
-          var xx = 0
-          while (xx < 8) {
-            planes(c)((blockRow * 8 + yy) * stride(c) +
-              blockCol * 8 + xx) = px(yy * 8 + xx)
-            xx += 1
-          }
-          yy += 1
-        }
-      }
+        val br = new BitReader(payload, si.dataStart)
+        val lastDc = new Array[Int](nComp)
 
-      // MCU-interleaved entropy decode (T.81 A.2.3) — the exact
-      // mirror of the encoder's block order; all factors 1 degrades
-      // to the plain per-block interleave
-      var my = 0
-      while (my < mcuRows) {
-        var mx = 0
-        while (mx < mcuCols) {
-          var c = 0
-          while (c < nComp) {
-            var v = 0
-            while (v < sampV(c)) {
-              var hh = 0
-              while (hh < sampH(c)) {
-                decodeBlock(c, my * sampV(c) + v, mx * sampH(c) + hh)
-                hh += 1
-              }
-              v += 1
+        def decodeBlock(c: Int, blockRow: Int, blockCol: Int): Unit = {
+          val zz = new Array[Int](64)
+          val dsz = dcTabs(compDc(c)).decode(br)
+          if (dsz > 11) fail("bad DC size")
+          lastDc(c) += extend(br.receive(dsz), dsz)
+          zz(0) = lastDc(c)
+          var k = 1
+          while (k < 64) {
+            val rs = acTabs(compAc(c)).decode(br)
+            val run = rs >> 4
+            val sz = rs & 0x0f
+            if (sz == 0) {
+              if (run == 15) k += 16 // ZRL
+              else k = 64            // EOB
+            } else {
+              k += run
+              if (k > 63) fail("AC run overflow")
+              zz(k) = extend(br.receive(sz), sz)
+              k += 1
             }
-            c += 1
           }
-          mx += 1
+          val px = dequantIdct(zz, quants(compQuant(c)))
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              planes(c)((blockRow * 8 + yy) * stride(c) +
+                blockCol * 8 + xx) = px(yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
         }
-        my += 1
+
+        // MCU-interleaved entropy decode (T.81 A.2.3) — the exact
+        // mirror of the encoder's block order; all factors 1 degrades
+        // to the plain per-block interleave
+        var my = 0
+        while (my < mcuRows) {
+          var mx = 0
+          while (mx < mcuCols) {
+            var c = 0
+            while (c < nComp) {
+              var v = 0
+              while (v < sampV(c)) {
+                var hh = 0
+                while (hh < sampH(c)) {
+                  decodeBlock(c, my * sampV(c) + v, mx * sampH(c) + hh)
+                  hh += 1
+                }
+                v += 1
+              }
+              c += 1
+            }
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        // ---- progressive: coefficients accumulate across scans ----
+        val gridW = Array.tabulate(nComp)(c => mcuCols * sampH(c))
+        val gridH = Array.tabulate(nComp)(c => mcuRows * sampV(c))
+        val coef = Array.tabulate(nComp)(c =>
+          new Array[Int](gridW(c) * gridH(c) * 64))
+        val lastDc = new Array[Int](nComp)
+
+        // component's true dims (the non-interleaved block coverage)
+        def compDims(c: Int): (Int, Int) =
+          ((width * sampH(c) + hMax - 1) / hMax,
+            (height * sampV(c) + vMax - 1) / vMax)
+
+        def decodeScan(si: ScanInfo): Int = {
+          if (si.ss == 0 && si.se != 0) fail("DC scan must have Se=0")
+          if (si.ss > 0 && si.comps.length != 1)
+            fail("AC scans are single-component")
+          if (si.se > 63 || (si.ss > 0 && si.ss > si.se))
+            fail("bad spectral band")
+          if (si.ah != 0 && si.ah != si.al + 1)
+            fail("bad successive approximation sequence")
+          if (si.al > 13) fail("bad approximation shift")
+          si.comps.foreach { c =>
+            if (si.ss == 0 && si.ah == 0 && dcTabs(compDc(c)) == null)
+              fail("missing huffman table")
+            if (si.ss > 0 && acTabs(compAc(c)) == null)
+              fail("missing huffman table")
+          }
+          val br = new BitReader(payload, si.dataStart)
+          var eobrun = 0
+          java.util.Arrays.fill(lastDc, 0)
+
+          def dcFirst(c: Int, bi: Int): Unit = {
+            val dsz = dcTabs(compDc(c)).decode(br)
+            if (dsz > 11) fail("bad DC size")
+            lastDc(c) += extend(br.receive(dsz), dsz)
+            coef(c)(bi) = lastDc(c) << si.al
+          }
+          def dcRefine(c: Int, bi: Int): Unit =
+            if (br.bit() == 1) coef(c)(bi) |= (1 << si.al)
+
+          def acFirst(c: Int, bi: Int): Unit = {
+            if (eobrun > 0) { eobrun -= 1; return }
+            var k = si.ss
+            while (k <= si.se) {
+              val rs = acTabs(compAc(c)).decode(br)
+              val r = rs >> 4
+              val s = rs & 0x0f
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL
+                else {
+                  // EOBn: 2^r + extra blocks END here, this one included
+                  eobrun = (1 << r) - 1 +
+                    (if (r > 0) br.receive(r) else 0)
+                  k = si.se + 1
+                }
+              } else {
+                k += r
+                if (k > si.se) fail("AC run overflow")
+                coef(c)(bi + k) = extend(br.receive(s), s) << si.al
+                k += 1
+              }
+            }
+          }
+
+          def acRefine(c: Int, bi: Int): Unit = {
+            val p1 = 1 << si.al
+            // a correction bit may only strengthen a coefficient that
+            // does not already carry this scan's bit (G.1.2.3)
+            def correct(idx: Int): Unit =
+              if (br.bit() == 1 && (coef(c)(idx) & p1) == 0)
+                coef(c)(idx) += (if (coef(c)(idx) >= 0) p1 else -p1)
+            var k = si.ss
+            if (eobrun == 0) {
+              var ended = false
+              while (!ended && k <= si.se) {
+                val rs = acTabs(compAc(c)).decode(br)
+                var r = rs >> 4
+                val s = rs & 0x0f
+                var newval = 0
+                if (s != 0) {
+                  if (s != 1) fail("refinement magnitude must be 1")
+                  newval = if (br.bit() == 1) p1 else -p1
+                } else if (r != 15) {
+                  eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+                  ended = true
+                }
+                if (!ended) {
+                  // advance to the (r+1)-th zero-HISTORY position (or
+                  // past 16 for ZRL), refining the nonzero
+                  // coefficients passed over on the way
+                  var placed = false
+                  while (!placed && k <= si.se) {
+                    val idx = bi + k
+                    if (coef(c)(idx) != 0) correct(idx)
+                    else if (r == 0) {
+                      if (s != 0) coef(c)(idx) = newval
+                      placed = true
+                    } else r -= 1
+                    k += 1
+                  }
+                  if (!placed && s != 0)
+                    fail("refinement position overflow")
+                }
+              }
+            }
+            if (eobrun > 0) {
+              // inside an EOB run: only correction bits remain
+              while (k <= si.se) {
+                val idx = bi + k
+                if (coef(c)(idx) != 0) correct(idx)
+                k += 1
+              }
+              eobrun -= 1
+            }
+          }
+
+          def handle(c: Int, bi: Int): Unit =
+            if (si.ss == 0) {
+              if (si.ah == 0) dcFirst(c, bi) else dcRefine(c, bi)
+            } else {
+              if (si.ah == 0) acFirst(c, bi) else acRefine(c, bi)
+            }
+
+          if (si.comps.length > 1) {
+            // interleaved (DC scans): MCU order over every component
+            var my = 0
+            while (my < mcuRows) {
+              var mx = 0
+              while (mx < mcuCols) {
+                si.comps.foreach { c =>
+                  var v = 0
+                  while (v < sampV(c)) {
+                    var hh = 0
+                    while (hh < sampH(c)) {
+                      handle(c, ((my * sampV(c) + v) * gridW(c) +
+                        mx * sampH(c) + hh) * 64)
+                      hh += 1
+                    }
+                    v += 1
+                  }
+                }
+                mx += 1
+              }
+              my += 1
+            }
+          } else {
+            // non-interleaved: the component's own ceil-dims coverage
+            val c = si.comps(0)
+            val (cw, ch) = compDims(c)
+            val bw = (cw + 7) / 8
+            val bh = (ch + 7) / 8
+            var by = 0
+            while (by < bh) {
+              var bx = 0
+              while (bx < bw) {
+                handle(c, (by * gridW(c) + bx) * 64)
+                bx += 1
+              }
+              by += 1
+            }
+          }
+          br.pos
+        }
+
+        // the next marker after a scan's entropy data: stuffed ff00
+        // pairs belong to leftover entropy, ff fill bytes are legal
+        // padding before the marker itself
+        def nextMarker(from: Int): Int = {
+          var p = from
+          while (p + 1 < payload.length) {
+            if ((payload(p) & 0xff) == 0xff) {
+              val n = payload(p + 1) & 0xff
+              if (n == 0x00) p += 2
+              else if (n == 0xff) p += 1
+              else return p
+            } else p += 1
+          }
+          fail("no marker after scan")
+        }
+
+        var cur = nextMarker(decodeScan(firstScan))
+        var done = false
+        while (!done) {
+          if (cur + 1 >= payload.length) fail("no EOI")
+          val m = payload(cur + 1) & 0xff
+          cur += 2
+          m match {
+            case 0xd9 => done = true
+            case 0x01 => ()
+            case _ if m >= 0xd0 && m <= 0xd7 =>
+              fail("restart markers unsupported")
+            case 0xc4 =>
+              val len = seg(cur); readDht(cur, len); cur += len
+            case 0xdb =>
+              val len = seg(cur); readDqt(cur, len); cur += len
+            case 0xda =>
+              cur = nextMarker(decodeScan(parseSos(cur, seg(cur))))
+            case 0xc0 | 0xc1 | 0xc2 => fail("duplicate SOF")
+            case 0xdd => fail("restart intervals unsupported")
+            case _ =>
+              cur += seg(cur)
+          }
+        }
+
+        // everything received: dequantize + IDCT every block
+        (0 until nComp).foreach { c =>
+          if (quants(compQuant(c)) == null) fail("missing quant table")
+          val q = quants(compQuant(c))
+          var b = 0
+          val nBlocks = gridW(c) * gridH(c)
+          val zz = new Array[Int](64)
+          while (b < nBlocks) {
+            System.arraycopy(coef(c), b * 64, zz, 0, 64)
+            val px = dequantIdct(zz, q)
+            val blockRow = b / gridW(c)
+            val blockCol = b % gridW(c)
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                planes(c)((blockRow * 8 + yy) * stride(c) +
+                  blockCol * 8 + xx) = px(yy * 8 + xx)
+                xx += 1
+              }
+              yy += 1
+            }
+            b += 1
+          }
+        }
       }
+
       // crop the block padding; upsample subsampled chroma by
       // replication (JFIF's permitted nearest upsampling); color-
       // convert if 3 components
@@ -1165,6 +1764,59 @@ object Multimodal {
       }
       JpegImage(width, height, nComp, out)
     }
+  }
+
+  final case class JpegProgFeatures(media_id: Long,
+      width: Option[Int], height: Option[Int], channels: Option[Int],
+      bit_identical: Option[Boolean])
+
+  /** Progressive-vs-baseline equivalence at the Spark seam: the same
+    * corpus raster encoded BOTH ways (baseline SOF0; progressive SOF2
+    * with the full successive-approximation scan script), both decoded
+    * through the general decoder, reconstructions compared BYTE FOR
+    * BYTE. Progressive is a pure reordering of the same quantized
+    * coefficients, so any divergence is a codec bug — the oracle pins
+    * `bit_identical` as a literal TRUE per document. Rasters rotate
+    * gray / RGB 4:4:4 / RGB 4:2:0 by doc id, so every entropy path
+    * (interleaved DC, per-component EOBn AC bands, correction bits,
+    * subsampled MCU geometry) runs at corpus scale. Null-not-fail
+    * like every media extractor. */
+  def extractJpegProgFeatures(spark: SparkSession, documents: DataFrame)
+      : Dataset[JpegProgFeatures] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          try {
+            val bytes = Option(text).getOrElse("")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val mode = (id % 3).toInt
+            val ch = if (mode == 0) 1 else 3
+            val w = 8 + (bytes.length % 57)
+            val h = math.max(1,
+              (bytes.length + ch * w - 1) / (ch * w))
+            val padded = java.util.Arrays.copyOf(bytes, w * h * ch)
+            java.util.Arrays.fill(padded, bytes.length, w * h * ch,
+              ' '.toByte)
+            val sub = mode == 2
+            val base = JpegCodec.encode(padded, w, h, channels = ch,
+              subsample = sub)
+            val prog = JpegCodec.encodeProgressive(padded, w, h,
+              channels = ch, subsample = sub)
+            val db = JpegCodec.decode(base)
+            val dp = JpegCodec.decode(prog)
+            JpegProgFeatures(id, Some(dp.width), Some(dp.height),
+              Some(dp.channels),
+              Some(dp.width == db.width && dp.height == db.height &&
+                dp.channels == db.channels &&
+                java.util.Arrays.equals(dp.pixels, db.pixels)))
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              JpegProgFeatures(id, None, None, None, None)
+          }
+        }
+      }
   }
 
   /** Synthesize REAL baseline JPEGs from the corpus on the shared PGM

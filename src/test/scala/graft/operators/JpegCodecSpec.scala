@@ -86,7 +86,9 @@ class JpegCodecSpec extends AnyFunSuite {
     }
     expectFail("not a jpeg".getBytes("US-ASCII"), "SOI")
     expectFail(good.dropRight(12), "truncated scan")
-    // SOF0 -> SOF2: progressive must refuse before anything is parsed
+    // SOF0 relabeled SOF2 is a MALFORMED progressive stream (its
+    // single scan claims the full band, illegal in progressive):
+    // still refuses loudly, never guesses
     val sofAt = {
       var i = 2
       while (!((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0))
@@ -248,5 +250,126 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(g(2L).width.isEmpty && g(2L).mean_close.isEmpty &&
       g(2L).byte_len > 0)
     assert(g(1L).width == f(1L).width)
+  }
+
+  // ---- progressive (SOF2) ----
+
+  test("progressive ≡ baseline BIT FOR BIT: spectral selection + " +
+      "successive approximation reorder the same coefficients, so " +
+      "the reconstructions must be identical — every profile, " +
+      "partial MCUs included") {
+    val cases = Seq(
+      (20, 13, 1, false, JpegCodec.stdQuant),  // gray, partial blocks
+      (16, 16, 1, false, JpegCodec.unitQuant), // gray, exact blocks
+      (8, 8, 1, false, JpegCodec.stdQuant),    // single block
+      (24, 17, 3, false, JpegCodec.stdQuant),  // RGB 4:4:4
+      (32, 32, 3, true, JpegCodec.stdQuant),   // RGB 4:2:0 full MCUs
+      (20, 13, 3, true, JpegCodec.stdQuant))   // RGB 4:2:0 partial MCU
+    cases.zipWithIndex.foreach { case ((w, h, ch, sub, q), i) =>
+      val px = raster(w * h * ch, 1000 + i)
+      val base = JpegCodec.decode(
+        JpegCodec.encode(px, w, h, channels = ch, quant = q,
+          subsample = sub))
+      val prog = JpegCodec.decode(
+        JpegCodec.encodeProgressive(px, w, h, channels = ch, quant = q,
+          subsample = sub))
+      assert(prog.width == base.width && prog.height == base.height &&
+        prog.channels == base.channels, s"case $i dims")
+      assert(prog.pixels.toSeq == base.pixels.toSeq,
+        s"case $i: progressive and baseline reconstructions diverged")
+    }
+  }
+
+  test("progressive EOB runs: a flat image (every AC band empty — " +
+      "maximal EOBn runs) and a sparse one (isolated features — " +
+      "long runs broken by coefficient blocks) both roundtrip " +
+      "identically to baseline") {
+    val flat = Array.fill[Byte](64 * 48)(119)
+    assert(JpegCodec.decode(JpegCodec.encodeProgressive(flat, 64, 48))
+      .pixels.toSeq ==
+      JpegCodec.decode(JpegCodec.encode(flat, 64, 48)).pixels.toSeq)
+    // one bright dot per 16x16 region: most blocks fold into EOB
+    // runs, a few carry coefficients — exercises run flush ordering
+    val sparse = Array.fill[Byte](64 * 48)(90)
+    (0 until 48 by 16).foreach(y => (0 until 64 by 16).foreach(x =>
+      sparse(y * 64 + x) = -1)) // 255
+    assert(JpegCodec.decode(
+      JpegCodec.encodeProgressive(sparse, 64, 48)).pixels.toSeq ==
+      JpegCodec.decode(JpegCodec.encode(sparse, 64, 48)).pixels.toSeq)
+  }
+
+  test("progressive is deterministic on the wire and refuses " +
+      "malformations loudly (truncation, bad approximation sequence)") {
+    val px = raster(24 * 16, 7)
+    val a = JpegCodec.encodeProgressive(px, 24, 16)
+    val b = JpegCodec.encodeProgressive(px, 24, 16)
+    assert(a.toSeq == b.toSeq, "byte-stable")
+    intercept[IllegalArgumentException] {
+      JpegCodec.decode(a.dropRight(8)) // truncated: lost EOI or scan
+    }
+    // tamper the FIRST SOS's approximation byte (Al=1 -> Ah=3,Al=1
+    // would claim a refinement without the preceding pass)
+    val sosAt = {
+      var i = 2
+      while (!((a(i) & 0xff) == 0xff && (a(i + 1) & 0xff) == 0xda))
+        i += 1
+      i
+    }
+    val ns = a(sosAt + 4) & 0xff
+    val bad = a.clone()
+    bad(sosAt + 4 + 1 + 2 * ns + 2) = 0x31.toByte // Ah=3, Al=1
+    val e = intercept[IllegalArgumentException] {
+      JpegCodec.decode(bad)
+    }
+    assert(e.getMessage.contains("successive approximation"))
+  }
+
+  test("refinement ZRL ordering: a strong low-frequency coefficient " +
+      "stranded between a 16+ zero run and a late ±1 keeps its " +
+      "correction bit in the right symbol window") {
+    // pixels synthesized from a chosen spectrum: one mid-band cosine
+    // (a previously-significant coefficient ~20 zigzag positions in)
+    // plus a faint checkerboard (a ±1 at zigzag 63), zeros between —
+    // the exact shape that misorders correction bits if ZRLs flush
+    // only at newly-significant coefficients
+    val w = 24; val h = 16
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = 128.0 +
+          20.0 * math.cos((2 * (y % 8) + 1) * 5 * math.Pi / 16) +
+          3.0 * math.cos((2 * (y % 8) + 1) * 7 * math.Pi / 16) *
+            math.cos((2 * (x % 8) + 1) * 7 * math.Pi / 16)
+        px(y * w + x) = math.max(0, math.min(255, math.round(v).toInt))
+          .toByte
+        x += 1
+      }
+      y += 1
+    }
+    val base = JpegCodec.decode(
+      JpegCodec.encode(px, w, h, quant = JpegCodec.unitQuant))
+    val prog = JpegCodec.decode(
+      JpegCodec.encodeProgressive(px, w, h, quant = JpegCodec.unitQuant))
+    assert(prog.pixels.toSeq == base.pixels.toSeq)
+  }
+
+  test("the progressive Spark seam: gray / 4:4:4 / 4:2:0 corpus " +
+      "payloads all decode bit-identically to their baseline twins; " +
+      "null text degrades to a row, not a failure") {
+    val docs = Seq(
+      (0L, "gray payload exercising the single-component scans"),
+      (1L, "an rgb 4:4:4 document with enough text to span blocks"),
+      (2L, "and the 4:2:0 twin covering the interleaved MCU path"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rows = Multimodal.extractJpegProgFeatures(spark, docs)
+      .collect().sortBy(_.media_id)
+    assert(rows.length == 4)
+    assert(rows.forall(_.bit_identical.contains(true)),
+      s"every payload must reconstruct identically: ${rows.toSeq}")
+    assert(rows(0).channels.contains(1) &&
+      rows(1).channels.contains(3) && rows(2).channels.contains(3))
   }
 }

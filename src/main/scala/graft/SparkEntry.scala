@@ -2028,6 +2028,43 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "src_sql_catalog" -> ((s, dir) => {
+      // the engine from PURE SQL: a GraftLogCatalog registered on the
+      // session, CREATE TABLE with the skipping config as
+      // TBLPROPERTIES, two INSERT INTO ... SELECT commits, SQL time
+      // travel (VERSION AS OF 1 must see exactly the first insert —
+      // pinned as a literal), and the headline aggregate read back
+      // through the catalog's snapshot scan with the range predicate
+      // pushed down to segment skipping.
+      val cat = "graftsql"
+      if (!s.conf.getAll.contains(s"spark.sql.catalog.$cat")) {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-sqlcat").toString
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.GraftLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      }
+      val tbl = s"$cat.bench.ev_${java.util.UUID.randomUUID()
+        .toString.take(8)}"
+      events(s, dir).select(col("event_id"), col("event_type"),
+        col("value")).createOrReplaceTempView("src_sqlcat_events")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.bench")
+      s.sql(s"CREATE TABLE $tbl (event_id BIGINT, event_type STRING, " +
+        "value DOUBLE) TBLPROPERTIES ('statsCol' = 'event_id')")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM src_sqlcat_events " +
+        "WHERE event_id < 500")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM src_sqlcat_events " +
+        "WHERE event_id >= 500")
+      val v1 = s.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 1")
+        .head().getLong(0)
+      s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value
+        |FROM $tbl WHERE event_id BETWEEN 600 AND 900
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        .withColumn("v1_pinned", lit(v1 == 500L))
+    }),
+
     "src_bucketed_join" -> ((s, dir) => {
       // the storage-layout half of the 100 TB join strategy, end to
       // end: orders and lineitem co-bucketed on the order key at write
@@ -7241,6 +7278,16 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
         |   AS sum_value,
         | TRUE AS pruned
+        |FROM events WHERE event_id BETWEEN 600 AND 900
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the SQL catalog is plumbing — the oracle is the plain filtered
+    // aggregate; v1_pinned pins the time-travel count as TRUE
+    "src_sql_catalog" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value,
+        | TRUE AS v1_pinned
         |FROM events WHERE event_id BETWEEN 600 AND 900
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -498,7 +498,16 @@ class LogStore(spark: SparkSession, val root: String,
   def read(version: Long = Long.MaxValue): DataFrame = {
     val segs = liveSegments(version)
     if (segs.isEmpty)
-      throw new IllegalStateException(s"empty table at $root")
+      // a CREATED-but-empty table (schema recorded, no segments yet —
+      // the CREATE TABLE → INSERT flow) reads as zero rows of its
+      // recorded shape; a directory with no log at all stays a loud
+      // error (liveSegments threw above)
+      return recordedSchema(version) match {
+        case Some(sc) => spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), sc)
+        case None =>
+          throw new IllegalStateException(s"empty table at $root")
+      }
     // plan from the RECORDED schema when the log carries one — zero
     // data-file footers opened, whatever the segment count (the
     // metadata-action payoff; parquet fills absent columns with null,
@@ -809,6 +818,18 @@ class LogStore(spark: SparkSession, val root: String,
     finally out.close()
     maybeCheckpoint(expected)
     expected
+  }
+
+  /** CREATE TABLE: initialize an EMPTY table — version 0 carries only
+    * the schema metadata action (plus this store's props), no data
+    * segment. The SQL-catalog flow (CREATE then INSERT) and any
+    * pipeline that declares shape before first data both need the
+    * table to EXIST with a recorded schema; reads return zero rows of
+    * that shape. Refuses if the table already exists. */
+  def create(schema: org.apache.spark.sql.types.StructType): Long = {
+    require(latestVersion() < 0, s"table already exists at $root")
+    commit(0L, Nil, Nil, schema = Some(encodeSchema(schema)),
+      props = encodeProps)
   }
 
   /** Append `df` as a new version; returns the committed version.

@@ -1,0 +1,228 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.catalog.LogStore
+
+/** The transactional tables as a SQL CATALOG — the surface that makes
+  * the engine usable from pure SQL, no Scala API in sight:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *     "graft.sources.GraftLogCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.root", "/data/tables")
+  *
+  *   CREATE TABLE graft.sales.orders (id BIGINT, amount DOUBLE)
+  *     TBLPROPERTIES ('statsCol' = 'id', 'bloomCol' = 'region')
+  *   INSERT INTO graft.sales.orders SELECT ...
+  *   SELECT * FROM graft.sales.orders WHERE id BETWEEN 10 AND 20
+  *   SELECT * FROM graft.sales.orders VERSION AS OF 3
+  *   SELECT * FROM graft.sales.orders TIMESTAMP AS OF '...'
+  * }}}
+  *
+  *  - **Layout**: one directory per table under the configured
+  *    `root`, namespaces as intermediate directories; a directory IS
+  *    a table iff it carries a `_log`. No metastore — the transaction
+  *    log is the single source of truth, so the same paths stay fully
+  *    usable through the programmatic API and the `graft-log` format.
+  *  - **CREATE TABLE** initializes version 0 with the schema metadata
+  *    action; `statsCol` / `statsCols` / `bloomCol` / `bloomBits`
+  *    TBLPROPERTIES become the table's recorded skipping
+  *    configuration (the `props` action) — every later writer,
+  *    SQL or programmatic, inherits it from the log.
+  *  - **Reads** are the connector's snapshot scan: filter pushdown to
+  *    segment stats/Bloom skipping, column pruning, and SQL time
+  *    travel (`VERSION AS OF` / `TIMESTAMP AS OF`) resolved through
+  *    the in-log commit stamps.
+  *  - **Writes** (INSERT INTO / INSERT BY NAME / CTAS /
+  *    DataFrame saveAsTable-style appends) ride the DSv2 sink:
+  *    staged executor files, one published commit, the table's own
+  *    schema-enforcement gate.
+  *  - **ALTER TABLE refuses loudly** — a LogStore schema evolves by
+  *    WRITING evolved rows (the add-columns contract), never by
+  *    catalog-side DDL mutation; renames/drops are filesystem moves
+  *    guarded by existence checks.
+  */
+class GraftLogCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var rootDir: String = _
+
+  private def spark = SparkSession.active
+  private def fs: FileSystem = new Path(rootDir).getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    rootDir = options.get("root")
+    require(rootDir != null && rootDir.nonEmpty,
+      s"catalog '$name' needs spark.sql.catalog.$name.root = <dir>")
+  }
+
+  override def name(): String = catalogName
+
+  // path safety: identifier parts become directory names, so they may
+  // not traverse ("..", "/") or hide ("" / ".") — refuse loudly
+  private def validPart(p: String): Boolean =
+    p.nonEmpty && p != "." && p != ".." &&
+      !p.contains("/") && !p.contains("\\")
+
+  private def dirOf(parts: Seq[String]): String = {
+    parts.foreach(p => require(validPart(p),
+      s"illegal identifier part '$p'"))
+    (rootDir +: parts).mkString("/")
+  }
+
+  private def tableDir(ident: Identifier): String =
+    dirOf(ident.namespace.toSeq :+ ident.name)
+
+  private def isTable(dir: String): Boolean =
+    fs.exists(new Path(s"$dir/_log"))
+
+  // ---- tables ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = dirOf(namespace.toSeq)
+    if (!fs.exists(new Path(dir)))
+      throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(new Path(dir)).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => isTable(s"$dir/$n"))
+      .sorted
+      .map(Identifier.of(namespace, _))
+  }
+
+  private def snapshotTable(ident: Identifier, versionAsOf: Option[Long],
+      timestampAsOf: Option[Long]): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    new LogStreamTable(LogStreamSource.snapshotSchema(dir), dir,
+      None, None, None, None, snapshot = true,
+      versionAsOf = versionAsOf, timestampAsOf = timestampAsOf,
+      acceptAnySchema = false)
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    snapshotTable(ident, None, None)
+
+  /** SQL `VERSION AS OF <v>`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    snapshotTable(ident, Some(version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-log versions are commit numbers; got '$version'"))),
+      None)
+
+  /** SQL `TIMESTAMP AS OF <ts>` — Spark hands MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    snapshotTable(ident, None, Some(Math.floorDiv(timestamp, 1000L)))
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft-log tables manage their own layout (cluster via " +
+        "OPTIMIZE/statsCol), PARTITIONED BY is not supported")
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala
+    val store = new LogStore(spark, dir,
+      statsCol = props.get("statsCol"),
+      checkpointInterval =
+        props.get("checkpointInterval").map(_.toInt).getOrElse(10),
+      bloomCol = props.get("bloomCol"),
+      bloomBits = props.get("bloomBits").map(_.toInt).getOrElse(4096),
+      statsCols = props.get("statsCols").toSeq
+        .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty))
+    store.create(schema)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft-log schemas evolve by WRITING evolved rows (columns may " +
+        "be added by any append; types never mutate) — ALTER TABLE " +
+        "has nothing safe to do here")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) return false
+    fs.delete(new Path(dir), true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    val to = tableDir(newIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    if (fs.exists(new Path(to)))
+      throw new TableAlreadyExistsException(newIdent)
+    fs.mkdirs(new Path(to).getParent)
+    if (!fs.rename(new Path(from), new Path(to)))
+      throw new java.io.IOException(s"rename $from -> $to failed")
+  }
+
+  // ---- namespaces (plain directories without a _log) ----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(rootDir)
+    if (!fs.exists(root)) return Array.empty
+    fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => !isTable(s"$rootDir/$n") && n != "_log")
+      .sorted
+      .map(Array(_))
+  }
+
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Array.empty // single-level namespaces
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || (fs.exists(new Path(dirOf(namespace.toSeq))) &&
+      !isTable(dirOf(namespace.toSeq)))
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    val dir = dirOf(namespace.toSeq)
+    if (fs.exists(new Path(dir)))
+      throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(new Path(dir))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft-log namespaces carry no metadata to alter")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val dir = dirOf(namespace.toSeq)
+    if (!namespaceExists(namespace) || namespace.isEmpty) return false
+    if (!cascade && fs.listStatus(new Path(dir)).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty")
+    fs.delete(new Path(dir), true)
+  }
+}

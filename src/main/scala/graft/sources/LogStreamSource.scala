@@ -151,17 +151,25 @@ final class LogStreamTable(schema: StructType, root: String,
     startingVersion: Option[String], maxVersionsPerTrigger: Option[Long],
     changesFrom: Option[Long], changesTo: Option[Long],
     snapshot: Boolean = false, versionAsOf: Option[Long] = None,
-    timestampAsOf: Option[Long] = None)
+    timestampAsOf: Option[Long] = None,
+    acceptAnySchema: Boolean = true)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_log($root)"
   override def schema(): StructType = schema
-  // ACCEPT_ANY_SCHEMA: Spark's by-name write check would refuse the
-  // add-a-column evolution the table contractually accepts; schema
-  // validation is the commit gate's job (enforceSchema at publish)
-  override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.ACCEPT_ANY_SCHEMA).asJava
+  // ACCEPT_ANY_SCHEMA (path-based format only): Spark's write check
+  // would refuse the add-a-column evolution the table contractually
+  // accepts; schema validation is the commit gate's job
+  // (enforceSchema at publish). CATALOG-loaded tables must NOT
+  // advertise it — SQL INSERT relies on Spark's store-assignment
+  // resolution to cast literals to the table schema by position, and
+  // skipping it would land untyped col1/col2/... columns.
+  override def capabilities(): util.Set[TableCapability] = {
+    val base: Set[TableCapability] =
+      Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
+    (if (acceptAnySchema) base + TableCapability.ACCEPT_ANY_SCHEMA
+     else base).asJava
+  }
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     if (snapshot)

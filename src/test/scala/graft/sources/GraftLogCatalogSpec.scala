@@ -1,0 +1,143 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.catalog.LogStore
+
+/** The SQL catalog's contract: CREATE/INSERT/SELECT round trips with
+  * TBLPROPERTIES becoming the recorded skipping config, SQL time
+  * travel through the in-log commit stamps, pushdown surviving the
+  * SQL path, DDL safety (drop/rename/refusals), and full
+  * interoperability with the programmatic API on the same paths. */
+class GraftLogCatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // one catalog instance per suite, rooted in a temp dir
+  private lazy val root = {
+    val dir = Files.createTempDirectory("graft-cat").toString
+    spark.conf.set("spark.sql.catalog.gtest",
+      "graft.sources.GraftLogCatalog")
+    spark.conf.set("spark.sql.catalog.gtest.root", dir)
+    dir
+  }
+
+  test("CREATE TABLE + INSERT + SELECT round trip, TBLPROPERTIES " +
+      "become the recorded skipping config, and the programmatic API " +
+      "reads the same path") {
+    root // force catalog registration
+    spark.sql("CREATE NAMESPACE gtest.sales")
+    spark.sql("""CREATE TABLE gtest.sales.orders
+      | (id BIGINT, region STRING, amount DOUBLE)
+      | TBLPROPERTIES ('statsCol' = 'id', 'bloomCol' = 'region')
+      |""".stripMargin)
+    // a created-but-empty table reads as zero rows of its shape
+    assert(spark.sql("SELECT * FROM gtest.sales.orders").count() == 0)
+    spark.sql("""INSERT INTO gtest.sales.orders VALUES
+      | (1, 'emea', 10.5), (2, 'apac', 20.0), (3, 'emea', 7.25)
+      |""".stripMargin)
+    spark.sql("""INSERT INTO gtest.sales.orders VALUES
+      | (100, 'amer', 1.0), (200, 'amer', 2.0)""".stripMargin)
+    val got = spark.sql(
+      """SELECT region, CAST(count(*) AS BIGINT) AS n,
+        | sum(amount) AS s
+        |FROM gtest.sales.orders GROUP BY region ORDER BY region"""
+        .stripMargin).as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("amer", 2L, 3.0), ("apac", 1L, 20.0),
+      ("emea", 2L, 17.75)))
+    // the TBLPROPERTIES landed as the props action: a path-only
+    // reader prunes on them
+    val store = LogStore.configured(spark, s"$root/sales/orders")
+    assert(store.recordedProps() ==
+      Some("statsCol=id;bloomCol=region;bloomBits=4096"))
+    val (_, scanned, live) = store.readRange("100", "200")
+    assert(live == 2 && scanned == 1,
+      "the SQL-inserted segments must carry usable stats")
+    val (lk, s2, _) = store.pointLookup("apac")
+    assert(s2 == 1 && lk.count() == 1)
+  }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF resolve " +
+      "through the log") {
+    root
+    spark.sql("CREATE TABLE gtest.tt (id BIGINT)")
+    spark.sql("INSERT INTO gtest.tt VALUES (1), (2)")   // version 1
+    spark.sql("INSERT INTO gtest.tt VALUES (3)")        // version 2
+    assert(spark.sql("SELECT * FROM gtest.tt").count() == 3)
+    assert(spark.sql("SELECT * FROM gtest.tt VERSION AS OF 1")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    // timestamp travel: the instant of version 1's commit stamp
+    val ts1 = new LogStore(spark, s"$root/tt").describeHistory()
+      .where(col("version") === 1).select(col("commit_time_ms"))
+      .as[Long].head()
+    val lit = new java.sql.Timestamp(ts1).toString
+    assert(spark.sql(
+      s"SELECT * FROM gtest.tt TIMESTAMP AS OF '$lit'")
+      .as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("pushdown survives the SQL path: the plan advertises " +
+      "PushedFilters on the stats column") {
+    root
+    spark.sql("CREATE TABLE gtest.pd (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('statsCol' = 'id')")
+    spark.sql("INSERT INTO gtest.pd SELECT id, CAST(id AS STRING) " +
+      "FROM range(1000)")
+    val df = spark.sql("SELECT * FROM gtest.pd WHERE id >= 990")
+    assert(df.count() == 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"),
+      s"expected pushdown in:\n$plan")
+  }
+
+  test("DDL safety: duplicate create refuses, drop removes, rename " +
+      "moves, ALTER refuses loudly, missing table refuses") {
+    root
+    spark.sql("CREATE TABLE gtest.ddl (id BIGINT)")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gtest.ddl (id BIGINT)")
+    }
+    intercept[Exception] { // ALTER has nothing safe to do
+      spark.sql("ALTER TABLE gtest.ddl ADD COLUMN x INT")
+    }
+    spark.sql("INSERT INTO gtest.ddl VALUES (7)")
+    spark.sql("ALTER TABLE gtest.ddl RENAME TO ddl2")
+    assert(spark.sql("SELECT * FROM gtest.ddl2").as[Long].head() == 7L)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gtest.ddl").collect()
+    }
+    spark.sql("DROP TABLE gtest.ddl2")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gtest.ddl2").collect()
+    }
+    // SHOW TABLES sees only directories with a _log
+    spark.sql("CREATE TABLE gtest.visible (id BIGINT)")
+    val names = spark.sql("SHOW TABLES IN gtest")
+      .select(col("tableName")).as[String].collect().toSet
+    assert(names.contains("visible") && !names.contains("ddl2"))
+  }
+
+  test("schema evolution through SQL INSERT BY NAME: added columns " +
+      "union in, type mutations refuse — the table's own gate, not " +
+      "Spark's") {
+    root
+    spark.sql("CREATE TABLE gtest.evo (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gtest.evo VALUES (1, 'a')")
+    // a wider write evolves the schema (ACCEPT_ANY_SCHEMA defers to
+    // the log's gate, which allows added columns)
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score")
+      .write.format("graft-log")
+      .option("path", s"$root/evo").mode("append").save()
+    val rows = spark.sql("SELECT id, score FROM gtest.evo")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(rows == Map(1L -> None, 2L -> Some(9.5)))
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gtest.evo VALUES ('oops', 'c', 1.0)")
+    }
+    assert(e.getMessage != null)
+  }
+}

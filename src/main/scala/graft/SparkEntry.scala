@@ -2028,6 +2028,34 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "src_agg_pushdown_log" -> ((s, dir) => {
+      // the O(segments) aggregate: COUNT(*)/MIN/MAX over a
+      // transactional table answered FROM THE LOG's per-segment row
+      // counts and bounds — zero data scanned (at 100 TB: metadata vs
+      // table). The plan carrying the stats-aggregate marker is
+      // pinned as a literal; the values must equal the plain
+      // computation's exactly.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-aggpd").toString + "/tbl"
+      val store = new graft.catalog.LogStore(s, root,
+        statsCol = Some("doc_id"), statsCols = Seq("n_chars"))
+      store.append(docs.where(pmod(col("doc_id"), lit(3)) === 0))
+      store.append(docs.where(pmod(col("doc_id"), lit(3)) === 1))
+      store.append(docs.where(pmod(col("doc_id"), lit(3)) === 2))
+      val aggDf = s.read.format("graft-log").option("path", root)
+        .option("mode", "snapshot").load()
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+      val fromLog = aggDf.queryExecution.executedPlan.toString
+        .contains("GraftLogStatsAggregate")
+      aggDf.withColumn("answered_from_log", lit(fromLog))
+    }),
+
     "src_sql_catalog" -> ((s, dir) => {
       // the engine from PURE SQL: a GraftLogCatalog registered on the
       // session, CREATE TABLE with the skipping config as
@@ -7280,6 +7308,15 @@ object SparkEntry {
         | TRUE AS pruned
         |FROM events WHERE event_id BETWEEN 600 AND 900
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the stats aggregate must EQUAL the plain computation; the
+    // marker boolean pins that the log, not a scan, answered it
+    "src_agg_pushdown_log" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        | TRUE AS answered_from_log
+        |FROM documents""".stripMargin,
 
     // the SQL catalog is plumbing — the oracle is the plain filtered
     // aggregate; v1_pinned pins the time-travel count as TRUE

@@ -152,7 +152,8 @@ class LogStore(spark: SparkSession, val root: String,
   final case class Segment(name: String, min: Option[String],
       max: Option[String], num: Boolean,
       bloom: Option[String] = None,
-      extra: Map[String, (String, String, Boolean)] = Map.empty) {
+      extra: Map[String, (String, String, Boolean)] = Map.empty,
+      rows: Option[Long] = None) {
     /** Could this segment contain a row with statsCol in [lo, hi]?
       * No stats ⇒ must assume yes (the safe default that makes stats
       * strictly an optimization). */
@@ -236,7 +237,8 @@ class LogStore(spark: SparkSession, val root: String,
     val addRe = ("\"add\"\\s*:\\s*\"([^\"]+)\"" +
       "(?:,\"min\":\"([^\"]*)\",\"max\":\"([^\"]*)\",\"num\":(true|false))?" +
       "(?:,\"bloom\":\"([0-9a-f]*)\")?" +
-      "(?:,\"xs\":\"([^\"]*)\")?").r
+      "(?:,\"xs\":\"([^\"]*)\")?" +
+      "(?:,\"rows\":(\\d+))?").r
     val adds = addRe.findAllMatchIn(body).map { m =>
       val extra = Option(m.group(6)).filter(_.nonEmpty)
         .map(_.split(';').map { e =>
@@ -244,7 +246,8 @@ class LogStore(spark: SparkSession, val root: String,
           c -> (lo, hi, n == "t")
         }.toMap).getOrElse(Map.empty[String, (String, String, Boolean)])
       Segment(m.group(1), Option(m.group(2)), Option(m.group(3)),
-        m.group(4) == "true", Option(m.group(5)), extra)
+        m.group(4) == "true", Option(m.group(5)), extra,
+        Option(m.group(7)).map(_.toLong))
     }.toSeq
     val rem = "\"remove\"\\s*:\\s*\"([^\"]+)\"".r
       .findAllMatchIn(body).map(_.group(1)).toSeq
@@ -718,10 +721,14 @@ class LogStore(spark: SparkSession, val root: String,
     import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
     val wanted = (statsCol.toSeq ++ statsCols).distinct
       .filter(columns.contains)
+    val written = spark.read.parquet(s"$root/$name")
+    // exact row count from the parquet footers (a metadata-only job):
+    // rides the add action so COUNT(*) is answerable in O(segments)
+    val nRows = written.count()
     val base =
-      if (wanted.isEmpty) Segment(name, None, None, num = false)
+      if (wanted.isEmpty)
+        Segment(name, None, None, num = false, rows = Some(nRows))
       else {
-        val written = spark.read.parquet(s"$root/$name")
         wanted.foreach { c =>
           val dt = written.schema(c).dataType
           require(dt.isInstanceOf[NumericType] || dt == DateType ||
@@ -744,12 +751,11 @@ class LogStore(spark: SparkSession, val root: String,
           written.schema(c).dataType.isInstanceOf[NumericType])
         val prim = statsCol.flatMap(perCol.get)
         Segment(name, prim.map(_._1), prim.map(_._2), primaryNum,
-          extra = perCol -- statsCol.toSeq)
+          extra = perCol -- statsCol.toSeq, rows = Some(nRows))
       }
     bloomCol match {
       case Some(c) if columns.contains(c) =>
-        base.copy(bloom =
-          Some(buildBloom(spark.read.parquet(s"$root/$name"), c)))
+        base.copy(bloom = Some(buildBloom(written, c)))
       case _ => base
     }
   }
@@ -777,7 +783,10 @@ class LogStore(spark: SparkSession, val root: String,
       else s.extra.toSeq.sortBy(_._1).map { case (c, (lo, hi, n)) =>
         s"$c|$lo|$hi|${if (n) "t" else "f"}"
       }.mkString(""","xs":"""", ";", "\"")
-    s"""{"add":"${s.name}"$stats$bloom$xs}"""
+    // the exact row count rides every add action: the O(segments)
+    // answer to COUNT(*) (aggregate pushdown), and free accounting
+    val rows = s.rows.map(n => s""","rows":$n""").getOrElse("")
+    s"""{"add":"${s.name}"$stats$bloom$xs$rows}"""
   }
 
   /** Publish a commit at `expected` version via create-exclusive —

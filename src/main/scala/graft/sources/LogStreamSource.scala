@@ -18,7 +18,9 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or}
 import org.apache.spark.sql.types._
@@ -490,9 +492,10 @@ object LogStreamPartitionReader {
 final class LogSnapshotScanBuilder(schema: StructType, root: String,
     versionAsOf: Option[Long], timestampAsOf: Option[Long])
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
+  private var statsAnswer: Option[(StructType, Array[Any])] = None
   private lazy val store =
     LogStore.configured(SparkSession.active, root)
 
@@ -506,8 +509,157 @@ final class LogSnapshotScanBuilder(schema: StructType, root: String,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new LogSnapshotScan(required, root,
-    versionAsOf, timestampAsOf, pushed)
+  // ---- aggregate pushdown: COUNT(*)/MIN/MAX answered FROM THE LOG,
+  // O(segments), zero data scanned. Spark only offers the aggregation
+  // when every filter was fully pushed — and this source keeps all
+  // filters residual — so the offer arrives exactly for the bare
+  // global-aggregate shape the log can answer. Unanswerable pieces
+  // (grouping, Count(col) — null counts are not recorded, a legacy
+  // segment without row counts, a column missing bounds on any
+  // segment, a non-orderable stats type) refuse, and Spark plans the
+  // ordinary scan+aggregate instead — pushdown is strictly an
+  // optimization.
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    LogStatsAggregate.answer(store, snapshotVersion, agg, schema)
+      .nonEmpty
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    statsAnswer =
+      LogStatsAggregate.answer(store, snapshotVersion, agg, schema)
+    statsAnswer.nonEmpty
+  }
+
+  private def snapshotVersion: Long = {
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    versionAsOf.getOrElse(
+      timestampAsOf.map(store.versionAsOf).getOrElse(Long.MaxValue))
+  }
+
+  override def build(): Scan = statsAnswer match {
+    case Some((aggSchema, row)) =>
+      new LogStatsAggScan(root, aggSchema, row)
+    case None => new LogSnapshotScan(required, root,
+      versionAsOf, timestampAsOf, pushed)
+  }
+}
+
+/** The log-answered aggregate: one scan, one partition, ONE row —
+  * the values were already resolved from segment metadata at
+  * planning time. */
+final class LogStatsAggScan(root: String, aggSchema: StructType,
+    row: Array[Any]) extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"GraftLogStatsAggregate($root) answered from segment metadata"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LogStatsAggPartition(row))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LogStatsAggReaderFactory
+}
+
+final case class LogStatsAggPartition(row: Array[Any])
+  extends InputPartition
+
+final class LogStatsAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var served = false
+      private val values =
+        partition.asInstanceOf[LogStatsAggPartition].row
+      override def next(): Boolean = !served
+      override def get(): InternalRow = {
+        served = true
+        new GenericInternalRow(values.clone())
+      }
+      override def close(): Unit = ()
+    }
+}
+
+private[sources] object LogStatsAggregate {
+  import graft.catalog.LogStore
+
+  private def singleField(e: org.apache.spark.sql.connector
+      .expressions.Expression): Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 =>
+      Some(r.fieldNames()(0))
+    case _ => None
+  }
+
+  /** The ordering key of a recorded bound — exact for every supported
+    * stats type. None = not orderable here, refuse the push. */
+  private def orderKey(s: String, dt: DataType): Option[BigDecimal] =
+    try dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+          DoubleType | _: DecimalType => Some(BigDecimal(s))
+      case DateType =>
+        Some(BigDecimal(java.time.LocalDate.parse(s).toEpochDay))
+      case _ => None
+    } catch { case _: Exception => None } // NaN/Infinity/garbage
+
+  /** The bound back as Spark's INTERNAL value for `dt`. */
+  private def internal(s: String, dt: DataType): Any = dt match {
+    case ByteType => s.toByte
+    case ShortType => s.toShort
+    case IntegerType => s.toInt
+    case LongType => s.toLong
+    case FloatType => s.toFloat
+    case DoubleType => s.toDouble
+    case d: DecimalType =>
+      org.apache.spark.sql.types.Decimal(BigDecimal(s), d.precision,
+        d.scale)
+    case DateType =>
+      java.time.LocalDate.parse(s).toEpochDay.toInt
+    case other => throw new IllegalArgumentException(s"$other")
+  }
+
+  /** Try to answer the whole aggregation from the snapshot's segment
+    * metadata: (output schema, the single result row) — or None. */
+  def answer(store: LogStore, version: Long, agg: Aggregation,
+      tableSchema: StructType): Option[(StructType, Array[Any])] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val segs =
+      try store.liveSegmentInfos(version)
+      catch { case _: Exception => return None }
+    val fields = Array.newBuilder[StructField]
+    val values = Array.newBuilder[Any]
+    agg.aggregateExpressions.zipWithIndex.foreach { case (f, i) =>
+      f match {
+        case _: CountStar =>
+          if (!segs.forall(_.rows.nonEmpty)) return None // legacy segs
+          fields += StructField(s"agg_$i", LongType, nullable = false)
+          values += segs.map(_.rows.get).sum
+        case m: Min =>
+          val c = singleField(m.column).getOrElse(return None)
+          val dt = tableSchema.find(_.name == c)
+            .getOrElse(return None).dataType
+          val bounds = segs.map(_.boundsOf(c))
+          if (bounds.exists(_.isEmpty)) return None // unknowable seg
+          val keyed = bounds.flatten.map { case (lo, _, _) =>
+            (orderKey(lo, dt).getOrElse(return None), lo)
+          }
+          fields += StructField(s"agg_$i", dt, nullable = true)
+          values += (if (keyed.isEmpty) null
+                     else internal(keyed.minBy(_._1)._2, dt))
+        case m: Max =>
+          val c = singleField(m.column).getOrElse(return None)
+          val dt = tableSchema.find(_.name == c)
+            .getOrElse(return None).dataType
+          val bounds = segs.map(_.boundsOf(c))
+          if (bounds.exists(_.isEmpty)) return None
+          val keyed = bounds.flatten.map { case (_, hi, _) =>
+            (orderKey(hi, dt).getOrElse(return None), hi)
+          }
+          fields += StructField(s"agg_$i", dt, nullable = true)
+          values += (if (keyed.isEmpty) null
+                     else internal(keyed.maxBy(_._1)._2, dt))
+        case _ => return None // AVG/SUM/Count(col): not answerable
+      }
+    }
+    Some((StructType(fields.result()), values.result()))
+  }
 }
 
 final class LogSnapshotScan(schema: StructType, root: String,

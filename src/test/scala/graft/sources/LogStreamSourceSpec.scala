@@ -326,4 +326,49 @@ class LogStreamSourceSpec extends AnyFunSuite {
       .select(col("id")).as[Long].collect().toSet
     assert(got == (81L to 90L).toSet)
   }
+
+  test("aggregate pushdown: COUNT(*)/MIN/MAX answered FROM THE LOG " +
+      "(plan-visible), falling back to a real scan for filters, " +
+      "legacy segments, and unanswerable functions") {
+    val root = Files.createTempDirectory("graft-agg").toString + "/tbl"
+    val w = new LogStore(spark, root, statsCol = Some("id"))
+    w.append((10L to 40L).map(i => (i, i * 2.0)).toDF("id", "v"))
+    w.append((100L to 140L).map(i => (i, i * 2.0)).toDF("id", "v"))
+    w.append((7L to 9L).map(i => (i, i * 2.0)).toDF("id", "v"))
+    def agg(df: org.apache.spark.sql.DataFrame) = df.agg(
+      count(lit(1)).as("n"), min(col("id")).as("lo"),
+      max(col("id")).as("hi"))
+    val answered = agg(snapshot(root))
+    assert(answered.as[(Long, Long, Long)].head() == ((75L, 7L, 140L)))
+    assert(answered.queryExecution.executedPlan.toString
+      .contains("GraftLogStatsAggregate"),
+      "the bare global aggregate must be answered from segment metadata")
+    // a filter makes per-row work unavoidable: no stats answer, same
+    // result as the real computation
+    val filtered = agg(snapshot(root).where(col("id") >= 100L))
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("GraftLogStatsAggregate"))
+    assert(filtered.as[(Long, Long, Long)].head() == ((41L, 100L, 140L)))
+    // AVG is not answerable from min/max/rows: full fallback
+    val avg = snapshot(root).agg(org.apache.spark.sql.functions
+      .avg(col("id")).as("a"))
+    assert(!avg.queryExecution.executedPlan.toString
+      .contains("GraftLogStatsAggregate"))
+    assert(avg.as[Double].head() > 0)
+    // a legacy segment (committed without a row count) blocks COUNT
+    // pushdown but never the answer
+    (1000L to 1004L).toDF("id").write.parquet(s"$root/seg-legacy")
+    w.commit(w.latestVersion() + 1,
+      Seq(w.Segment("seg-legacy", None, None, num = false)), Nil)
+    val legacy = snapshot(root).agg(count(lit(1)).as("n"))
+    assert(!legacy.queryExecution.executedPlan.toString
+      .contains("GraftLogStatsAggregate"))
+    assert(legacy.as[Long].head() == 80L)
+    // time travel composes: the version-0 snapshot answers ITS count
+    val v0 = snapshot(root, Map("versionAsOf" -> "0"))
+      .agg(count(lit(1)).as("n"))
+    assert(v0.as[Long].head() == 31L)
+    assert(v0.queryExecution.executedPlan.toString
+      .contains("GraftLogStatsAggregate"))
+  }
 }

@@ -710,6 +710,42 @@ object ScaleStress {
         sec, r.rewritten.toLong)
       System.err.println(s"[scale] ${out.last.json}")
     }
+    // Log-answered AGGREGATE cost vs table size — the zero-scan
+    // claim: COUNT(*)/MIN/MAX over a snapshot are answered from the
+    // per-segment row counts and bounds recorded in the log, so the
+    // aggregate must stay ~flat as the table grows 10 -> 100 -> 1000
+    // live segments AND must never open a data file. One real segment
+    // plus N-1 metadata-only fakes (rows + bounds committed, no
+    // parquet on disk): a correct answer is PROOF no scan happened —
+    // any fallback would die on the missing files. The scan
+    // counterfactual opens all N segments.
+    if (only.isEmpty || only.contains("src_log_agg")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-agg").toString + "/tbl"
+      val store = new graft.catalog.LogStore(spark, root,
+        statsCol = Some("id"), checkpointInterval = 1000000)
+      val nSegs = 10 * scale
+      store.append(spark.range(0L, 1000L).toDF("id"))
+      (1 until nSegs).foreach { s =>
+        store.commit(store.latestVersion() + 1,
+          Seq(store.Segment(s"seg-fake-$s", Some((s * 1000L).toString),
+            Some((s * 1000L + 999L).toString), num = true, None,
+            Map.empty, rows = Some(1000L))), Nil)
+      }
+      import org.apache.spark.sql.functions.{count => fcount,
+        lit => flit, max => fmax, min => fmin}
+      val (sec, row) = time {
+        spark.read.format("graft-log").option("path", root)
+          .option("mode", "snapshot").load()
+          .agg(fcount(flit(1)), fmin(col("id")), fmax(col("id")))
+          .head()
+      }
+      require(row.getLong(0) == 1000L * nSegs && row.getLong(1) == 0L &&
+        row.getLong(2) == nSegs * 1000L - 1,
+        s"log-answered aggregate must be exact: $row")
+      out += Measurement("src_log_agg", scale, nSegs.toLong, sec, 0L)
+      System.err.println(s"[scale] ${out.last.json}")
+    }
     // LogStore snapshot RESOLUTION cost vs log length — the claim the
     // checkpoint layer exists for: liveSegmentInfos + lastTxn seed
     // from the newest `.checkpoint` and replay only the suffix, so

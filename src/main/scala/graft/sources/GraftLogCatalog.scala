@@ -112,8 +112,33 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces {
       acceptAnySchema = false)
   }
 
-  override def loadTable(ident: Identifier): Table =
-    snapshotTable(ident, None, None)
+  /** `table$changes` / `table$history` / `table$detail` — the
+    * Iceberg-style METADATA TABLES, so the change feed and the ops
+    * views are plain SQL too: `SELECT * FROM cat.ns.t$changes` (also
+    * streamable: `spark.readStream.table("cat.ns.t$changes")`),
+    * `... t$history` (the per-version audit), `... t$detail` (the
+    * one-row ops snapshot). Everything else resolves as the snapshot
+    * table. */
+  override def loadTable(ident: Identifier): Table = {
+    val dollar = ident.name.indexOf('$')
+    if (dollar > 0) {
+      val dir = dirOf(ident.namespace.toSeq :+
+        ident.name.substring(0, dollar))
+      if (!isTable(dir)) throw new NoSuchTableException(ident)
+      ident.name.substring(dollar + 1) match {
+        case "changes" =>
+          new LogStreamTable(LogStreamSource.feedSchema(dir), dir,
+            None, None, None, None)
+        case "history" => new LogDriverTable(s"${ident.name}($dir)",
+          () => LogStore.configured(SparkSession.active, dir)
+            .describeHistory())
+        case "detail" => new LogDriverTable(s"${ident.name}($dir)",
+          () => LogStore.configured(SparkSession.active, dir)
+            .describeDetail())
+        case _ => throw new NoSuchTableException(ident)
+      }
+    } else snapshotTable(ident, None, None)
+  }
 
   /** SQL `VERSION AS OF <v>`. */
   override def loadTable(ident: Identifier, version: String): Table =
@@ -132,6 +157,8 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces {
     require(partitions.isEmpty,
       "graft-log tables manage their own layout (cluster via " +
         "OPTIMIZE/statsCol), PARTITIONED BY is not supported")
+    require(!ident.name.contains('$'),
+      "'$' names the metadata tables (t$changes/t$history/t$detail)")
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     val props = properties.asScala
@@ -225,4 +252,39 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces {
         s"namespace ${namespace.mkString(".")} is not empty")
     fs.delete(new Path(dir), true)
   }
+}
+
+/** A driver-computed metadata view as a DSv2 table ([[LocalScan]]):
+  * the rows are small by nature (one per version / one per table), so
+  * they materialize on the driver at scan time — never on the data
+  * path. */
+final class LogDriverTable(label: String,
+    compute: () => org.apache.spark.sql.DataFrame)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+
+  private lazy val df = compute()
+
+  override def name(): String = s"graft_log_$label"
+  override def schema(): StructType = df.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.Collections.singleton(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = df.schema
+        override def description(): String = name()
+        override def rows()
+            : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+          val enc = org.apache.spark.sql.catalyst.encoders
+            .RowEncoder.encoderFor(df.schema)
+          val ser = org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder(enc).createSerializer()
+          df.collect().map(r => ser(r).copy())
+        }
+      }
+    }
 }

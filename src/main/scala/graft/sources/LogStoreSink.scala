@@ -64,15 +64,32 @@ final class LogWriteBuilder(root: String, info: LogicalWriteInfo)
       require(LogParquetWrite.writable(f.dataType),
         s"graft-log stores flat columns; '${f.name}' is ${f.dataType}")
     }
-    new LogWrite(root, schema)
+    // auto-maintenance (write options): when `maintainMinBytes` is
+    // set, each successful commit is followed by a maintainLayout
+    // pass — a streaming ingest (one small segment per epoch) keeps
+    // its segment count bounded forever, hands-off
+    val opts = info.options()
+    val maintain = Option(opts.get("maintainMinBytes")).map { mb =>
+      MaintainOpts(mb.toLong,
+        Option(opts.get("maintainSmallLimit")).map(_.toInt)
+          .getOrElse(8),
+        Option(opts.get("maintainMaxBytes")).map(_.toLong)
+          .getOrElse(128L << 20))
+    }
+    new LogWrite(root, schema, maintain)
   }
 }
 
-final class LogWrite(root: String, schema: StructType) extends Write {
+final case class MaintainOpts(minBytes: Long, smallLimit: Int,
+    maxBytes: Long)
+
+final class LogWrite(root: String, schema: StructType,
+    maintain: Option[MaintainOpts]) extends Write {
   override def description(): String = s"GraftLogWrite($root)"
-  override def toBatch: BatchWrite = new LogBatchWrite(root, schema)
+  override def toBatch: BatchWrite =
+    new LogBatchWrite(root, schema, maintain)
   override def toStreaming: StreamingWrite =
-    new LogStreamingWrite(root, schema)
+    new LogStreamingWrite(root, schema, maintain)
 }
 
 final case class LogWriteMessage(file: Option[String])
@@ -80,7 +97,8 @@ final case class LogWriteMessage(file: Option[String])
 
 /** One batch append: all task files → one `seg-*` directory → one
   * committed version. */
-final class LogBatchWrite(root: String, schema: StructType)
+final class LogBatchWrite(root: String, schema: StructType,
+    maintain: Option[MaintainOpts] = None)
     extends BatchWrite {
   private val stage = s"_stage-${UUID.randomUUID().toString.take(12)}"
 
@@ -91,7 +109,7 @@ final class LogBatchWrite(root: String, schema: StructType)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     LogSinkCommit.publish(root, s"$root/$stage", schema,
-      messages, txn = None)
+      messages, txn = None, maintain = maintain)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     LogSinkCommit.cleanup(SparkSession.active, s"$root/$stage")
@@ -100,7 +118,8 @@ final class LogBatchWrite(root: String, schema: StructType)
 /** One streaming query: per EPOCH, its own staging directory (so an
   * in-flight epoch is never confused with an abandoned one), one
   * `seg-*` directory, one fenced commit. */
-final class LogStreamingWrite(root: String, schema: StructType)
+final class LogStreamingWrite(root: String, schema: StructType,
+    maintain: Option[MaintainOpts] = None)
     extends StreamingWrite {
   private val stagePrefix = s"$root/_stage-${
     UUID.randomUUID().toString.take(12)}"
@@ -113,7 +132,7 @@ final class LogStreamingWrite(root: String, schema: StructType)
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     LogSinkCommit.publish(root, s"$stagePrefix-e$epochId", schema,
-      messages, txn = Some(epochId))
+      messages, txn = Some(epochId), maintain = maintain)
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
@@ -128,7 +147,8 @@ private[sources] object LogSinkCommit {
     * speculative race and all. A fenced streaming replay (publish
     * returns -1) discards the staged segment instead. */
   def publish(root: String, stageDir: String, schema: StructType,
-      messages: Array[WriterCommitMessage], txn: Option[Long]): Unit = {
+      messages: Array[WriterCommitMessage], txn: Option[Long],
+      maintain: Option[MaintainOpts] = None): Unit = {
     val spark = SparkSession.active
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -158,6 +178,17 @@ private[sources] object LogSinkCommit {
     if (v == -1L) // fenced replay: the epoch already landed
       fs.delete(new Path(s"$root/$segName"), true)
     cleanup(spark, stageDir)
+    // post-commit maintenance: below the threshold it is a commit-free
+    // no-op; NOTHING here may fail the epoch that already landed —
+    // a lost maintenance race (concurrent writer) just waits for the
+    // next batch
+    if (v != -1L) maintain.foreach { m =>
+      try store.maintainLayout(m.minBytes, m.smallLimit, m.maxBytes)
+      catch {
+        case scala.util.control.NonFatal(e) => System.err.println(
+          s"[graft-log] post-commit maintainLayout at $root skipped: $e")
+      }
+    }
   }
 
   def cleanup(spark: SparkSession, stageDir: String): Unit = {

@@ -140,4 +140,46 @@ class GraftLogCatalogSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("metadata tables: t$changes is the SQL change feed (batch AND " +
+      "streamable), t$history the per-version audit, t$detail the ops " +
+      "snapshot") {
+    root
+    spark.sql("CREATE TABLE gtest.meta (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gtest.meta VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO gtest.meta VALUES (3, 'c')")
+    new LogStore(spark, s"$root/meta").deleteWhere("id = 1")
+    val feed = spark.sql(
+      """SELECT _change_type, CAST(count(*) AS BIGINT) AS n
+        |FROM gtest.`meta$changes` GROUP BY 1 ORDER BY 1""".stripMargin)
+      .as[(String, Long)].collect().toMap
+    assert(feed == Map("insert" -> 3L, "delete" -> 1L))
+    val hist = spark.sql("SELECT version, operation FROM " +
+      "gtest.`meta$history` ORDER BY version")
+      .as[(Long, String)].collect().toSeq
+    assert(hist.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    assert(hist.last._2 == "REWRITE" && hist(1)._2 == "APPEND")
+    val detail = spark.sql(
+      "SELECT version, n_segments FROM gtest.`meta$detail`")
+      .as[(Long, Long)].head()
+    assert(detail == ((3L, 1L)),
+      "the delete rewrote both insert segments into one")
+    // the feed composes with the streaming engine straight from SQL
+    val q = spark.readStream.table("gtest.`meta$changes`")
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cat_meta_feed").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("cat_meta_feed")
+      .as[(String, Long)].collect().toMap ==
+      Map("insert" -> 3L, "delete" -> 1L))
+    // '$' is reserved for metadata tables
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gtest.`bad$name` (id BIGINT)")
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gtest.`meta$nope`").collect()
+    }
+  }
 }

@@ -176,4 +176,35 @@ class LogSinkSpec extends AnyFunSuite {
     assert(t.liveSegmentInfos().size == 1,
       "the empty epoch must not add a segment")
   }
+
+  test("auto-maintenance: a streaming ingest with maintainMinBytes " +
+      "keeps its live segment count bounded, content intact, and the " +
+      "maintenance commits stay out of the change feed") {
+    val root = tmp()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("id", "v").writeStream
+      .format("graft-log").option("path", root)
+      .option("maintainMinBytes", (1L << 20).toString) // all tiny
+      .option("maintainSmallLimit", "3")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sink-maint").toString)
+      .outputMode("append").start()
+    try {
+      (0 until 6).foreach { e =>
+        in.addData((e.toLong, s"v$e"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val t = new LogStore(spark, root)
+    assert(t.read().count() == 6, "every epoch's rows must survive")
+    val live = t.liveSegmentInfos().size
+    assert(live <= 3,
+      s"the bin-pack policy must bound the segment count, got $live")
+    // maintenance rewrites are dataChange=false: the feed is exactly
+    // the six inserts
+    val feed = t.readChanges(0).groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(feed == Map("insert" -> 6L))
+  }
 }

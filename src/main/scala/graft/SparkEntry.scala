@@ -2093,6 +2093,73 @@ object SparkEntry {
         .withColumn("v1_pinned", lit(v1 == 500L))
     }),
 
+    "src_sql_delete" -> ((s, dir) => {
+      // SQL DML end to end: DELETE FROM with a closed range on the
+      // stats column (the stats-pruned deleteRange path) and a
+      // general IN predicate (copy-on-write), both honest CDF
+      // events; the remainder aggregated through the catalog's
+      // snapshot scan. The oracle recomputes the remainder on the
+      // source table.
+      val cat = "graftsql"
+      if (!s.conf.getAll.contains(s"spark.sql.catalog.$cat")) {
+        val r0 = java.nio.file.Files
+          .createTempDirectory("graft-sqlcat").toString
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.GraftLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", r0)
+      }
+      val tbl = s"$cat.bench.del_${java.util.UUID.randomUUID()
+        .toString.take(8)}"
+      events(s, dir).select(col("event_id"), col("event_type"),
+        col("value")).createOrReplaceTempView("src_sqldel_events")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.bench")
+      s.sql(s"CREATE TABLE $tbl (event_id BIGINT, event_type STRING, " +
+        "value DOUBLE) TBLPROPERTIES ('statsCol' = 'event_id')")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM src_sqldel_events")
+      s.sql(s"DELETE FROM $tbl WHERE event_id >= 100 AND " +
+        "event_id <= 199")
+      s.sql(s"DELETE FROM $tbl WHERE event_id IN (5, 10, 15)")
+      s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value
+        |FROM $tbl GROUP BY event_type ORDER BY event_type"""
+        .stripMargin)
+    }),
+
+    "src_clustered_write" -> ((s, dir) => {
+      // clustered INGEST: the DSv2 sink with clusterBy asks Spark to
+      // range-distribute + sort before the writers
+      // (RequiresDistributionAndOrdering) and publishes each task
+      // file as its own segment — per-segment bounds are tight
+      // disjoint ranges, so a narrow probe opens 1 of 8 segments
+      // FROM THE FIRST WRITE, no OPTIMIZE pass (pinned as a
+      // literal). The filtered aggregate must equal the source's.
+      val ev = events(s, dir).select(col("event_id"),
+        col("event_type"), col("value"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-clw").toString + "/tbl"
+      new graft.catalog.LogStore(s, root,
+        statsCol = Some("event_id")).create(ev.schema)
+      ev.write.format("graft-log").option("path", root)
+        .option("clusterBy", "event_id")
+        .option("clusterPartitions", "8")
+        .mode("append").save()
+      val reader = graft.catalog.LogStore.configured(s, root)
+      val (_, scanned, live) =
+        reader.readRangeOn("event_id", "300", "420")
+      s.read.format("graft-log").option("path", root)
+        .option("mode", "snapshot").load()
+        .where(col("event_id").between(300, 420))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .withColumn("first_write_prunes",
+          // the range partitioner SAMPLES its boundaries, so one may
+          // land inside the probe window: 1 segment in the common
+          // case, 2 at a boundary — either way 6+ of 8 pruned
+          lit(scanned <= 2 && live == 8))
+        .orderBy("event_type")
+    }),
+
     "src_bucketed_join" -> ((s, dir) => {
       // the storage-layout half of the 100 TB join strategy, end to
       // end: orders and lineitem co-bucketed on the order key at write
@@ -7307,6 +7374,27 @@ object SparkEntry {
         |   AS sum_value,
         | TRUE AS pruned
         |FROM events WHERE event_id BETWEEN 600 AND 900
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // SQL DELETE is semantics, not plumbing: the oracle recomputes
+    // the remainder on the source rows
+    "src_sql_delete" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value
+        |FROM events
+        |WHERE NOT (event_id BETWEEN 100 AND 199)
+        |  AND event_id NOT IN (5, 10, 15)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // clustered ingest is layout only — the oracle is the plain
+    // filtered aggregate; first_write_prunes pins the 1-of-8 probe
+    "src_clustered_write" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value,
+        | TRUE AS first_write_prunes
+        |FROM events WHERE event_id BETWEEN 300 AND 420
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the stats aggregate must EQUAL the plain computation; the

@@ -15,7 +15,9 @@ import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 
@@ -76,7 +78,19 @@ final class LogWriteBuilder(root: String, info: LogicalWriteInfo)
         Option(opts.get("maintainMaxBytes")).map(_.toLong)
           .getOrElse(128L << 20))
     }
-    new LogWrite(root, schema, maintain)
+    // clustered ingest: `clusterBy=col[,col2]` asks Spark (via
+    // RequiresDistributionAndOrdering) to RANGE-distribute and sort
+    // the rows before they reach the writers, and the commit then
+    // publishes each task file as ITS OWN segment — per-segment
+    // bounds become tight disjoint ranges, so skipping reads prune
+    // from the FIRST write, no post-hoc OPTIMIZE needed
+    val clusterBy = Option(opts.get("clusterBy")).toSeq
+      .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty)
+    clusterBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"clusterBy column '$c' is not in the write schema"))
+    val clusterParts =
+      Option(opts.get("clusterPartitions")).map(_.toInt).getOrElse(0)
+    new LogWrite(root, schema, maintain, clusterBy, clusterParts)
   }
 }
 
@@ -84,12 +98,25 @@ final case class MaintainOpts(minBytes: Long, smallLimit: Int,
     maxBytes: Long)
 
 final class LogWrite(root: String, schema: StructType,
-    maintain: Option[MaintainOpts]) extends Write {
+    maintain: Option[MaintainOpts], clusterBy: Seq[String] = Nil,
+    clusterParts: Int = 0)
+    extends Write with RequiresDistributionAndOrdering {
   override def description(): String = s"GraftLogWrite($root)"
+
+  private def sortOrders: Array[SortOrder] = clusterBy.map(c =>
+    Expressions.sort(Expressions.column(c), SortDirection.ASCENDING,
+      NullOrdering.NULLS_FIRST)).toArray
+  override def requiredDistribution(): Distribution =
+    if (clusterBy.isEmpty) Distributions.unspecified()
+    else Distributions.ordered(sortOrders)
+  override def requiredOrdering(): Array[SortOrder] =
+    if (clusterBy.isEmpty) Array.empty else sortOrders
+  override def requiredNumPartitions(): Int = clusterParts
+
   override def toBatch: BatchWrite =
-    new LogBatchWrite(root, schema, maintain)
+    new LogBatchWrite(root, schema, maintain, clusterBy.nonEmpty)
   override def toStreaming: StreamingWrite =
-    new LogStreamingWrite(root, schema, maintain)
+    new LogStreamingWrite(root, schema, maintain, clusterBy.nonEmpty)
 }
 
 final case class LogWriteMessage(file: Option[String])
@@ -98,7 +125,8 @@ final case class LogWriteMessage(file: Option[String])
 /** One batch append: all task files → one `seg-*` directory → one
   * committed version. */
 final class LogBatchWrite(root: String, schema: StructType,
-    maintain: Option[MaintainOpts] = None)
+    maintain: Option[MaintainOpts] = None,
+    fileAsSegment: Boolean = false)
     extends BatchWrite {
   private val stage = s"_stage-${UUID.randomUUID().toString.take(12)}"
 
@@ -109,7 +137,8 @@ final class LogBatchWrite(root: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     LogSinkCommit.publish(root, s"$root/$stage", schema,
-      messages, txn = None, maintain = maintain)
+      messages, txn = None, maintain = maintain,
+      fileAsSegment = fileAsSegment)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     LogSinkCommit.cleanup(SparkSession.active, s"$root/$stage")
@@ -119,7 +148,8 @@ final class LogBatchWrite(root: String, schema: StructType,
   * in-flight epoch is never confused with an abandoned one), one
   * `seg-*` directory, one fenced commit. */
 final class LogStreamingWrite(root: String, schema: StructType,
-    maintain: Option[MaintainOpts] = None)
+    maintain: Option[MaintainOpts] = None,
+    fileAsSegment: Boolean = false)
     extends StreamingWrite {
   private val stagePrefix = s"$root/_stage-${
     UUID.randomUUID().toString.take(12)}"
@@ -132,7 +162,8 @@ final class LogStreamingWrite(root: String, schema: StructType,
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     LogSinkCommit.publish(root, s"$stagePrefix-e$epochId", schema,
-      messages, txn = Some(epochId), maintain = maintain)
+      messages, txn = Some(epochId), maintain = maintain,
+      fileAsSegment = fileAsSegment)
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
@@ -148,7 +179,8 @@ private[sources] object LogSinkCommit {
     * returns -1) discards the staged segment instead. */
   def publish(root: String, stageDir: String, schema: StructType,
       messages: Array[WriterCommitMessage], txn: Option[Long],
-      maintain: Option[MaintainOpts] = None): Unit = {
+      maintain: Option[MaintainOpts] = None,
+      fileAsSegment: Boolean = false): Unit = {
     val spark = SparkSession.active
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -166,17 +198,26 @@ private[sources] object LogSinkCommit {
       cleanup(spark, stageDir)
       return
     }
-    val segName = s"seg-${UUID.randomUUID().toString.take(12)}"
-    fs.mkdirs(new Path(s"$root/$segName"))
-    files.foreach { f =>
-      val from = new Path(f)
-      if (!fs.rename(from, new Path(s"$root/$segName/${from.getName}")))
-        throw new java.io.IOException(s"staging rename of $f failed")
+    // one segment for the whole commit (the append shape), or —
+    // clustered ingest — one segment PER TASK FILE, so each range-
+    // partitioned file carries its own tight bounds in the log
+    val groups: Seq[Seq[String]] =
+      if (fileAsSegment) files.toSeq.map(Seq(_)) else Seq(files.toSeq)
+    val segNames = groups.map { group =>
+      val segName = s"seg-${UUID.randomUUID().toString.take(12)}"
+      fs.mkdirs(new Path(s"$root/$segName"))
+      group.foreach { f =>
+        val from = new Path(f)
+        if (!fs.rename(from,
+            new Path(s"$root/$segName/${from.getName}")))
+          throw new java.io.IOException(s"staging rename of $f failed")
+      }
+      segName
     }
     val store = LogStore.configured(spark, root)
-    val v = store.publishSegments(Seq(segName), schema, txn = txn)
+    val v = store.publishSegments(segNames, schema, txn = txn)
     if (v == -1L) // fenced replay: the epoch already landed
-      fs.delete(new Path(s"$root/$segName"), true)
+      segNames.foreach(s => fs.delete(new Path(s"$root/$s"), true))
     cleanup(spark, stageDir)
     // post-commit maintenance: below the threshold it is a commit-free
     // no-op; NOTHING here may fail the epoch that already landed —

@@ -15,14 +15,14 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or}
+import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -155,7 +155,8 @@ final class LogStreamTable(schema: StructType, root: String,
     snapshot: Boolean = false, versionAsOf: Option[Long] = None,
     timestampAsOf: Option[Long] = None,
     acceptAnySchema: Boolean = true)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete {
   override def name(): String = s"graft_log($root)"
   override def schema(): StructType = schema
   // ACCEPT_ANY_SCHEMA (path-based format only): Spark's write check
@@ -181,6 +182,150 @@ final class LogStreamTable(schema: StructType, root: String,
       maxVersionsPerTrigger, changesFrom, changesTo)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LogWriteBuilder(root, info)
+
+  // ---- SQL DELETE FROM / TRUNCATE (SupportsDelete) ----
+  // The implicitly-ANDed filters become ONE logical delete commit:
+  // a closed range (>=, <=, =) on a configured stats column takes the
+  // stats-pruned deleteRange path (rewrite only the overlapping
+  // segments); anything else translates to a predicate for the
+  // general copy-on-write delete. NULL semantics are SQL's: a row
+  // where the predicate is NULL is NOT deleted (the translator wraps
+  // the predicate in coalesce(..., false)). Untranslatable filters
+  // refuse at canDeleteWhere, so Spark reports a clear error instead
+  // of a wrong delete.
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    LogDeleteSql.rangeOf(
+      LogStore.configured(SparkSession.active, root), filters)
+      .nonEmpty ||
+      filters.forall(LogDeleteSql.sql(_).nonEmpty)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val store = LogStore.configured(SparkSession.active, root)
+    LogDeleteSql.rangeOf(store, filters) match {
+      case Some((c, lo, hi)) =>
+        store.deleteRange(c, lo, hi)
+      case None =>
+        val preds = filters.map(f => LogDeleteSql.sql(f).getOrElse(
+          throw new UnsupportedOperationException(
+            s"cannot translate $f to a delete predicate")))
+        val pred =
+          if (preds.isEmpty) "true" else preds.mkString("(", ") AND (", ")")
+        store.deleteWhere(s"coalesce(($pred), false)")
+    }
+  }
+}
+
+/** Filter → Spark SQL predicate text, and the closed-range fast path
+  * for [[graft.catalog.LogStore.deleteRange]]. Conservative by
+  * construction: any literal or shape that cannot be rendered
+  * LOSSLESSLY refuses (None), and the caller surfaces that refusal
+  * loudly rather than deleting the wrong rows. */
+private[sources] object LogDeleteSql {
+  import graft.catalog.LogStore
+
+  private def ident(c: String): String = "`" + c.replace("`", "``") + "`"
+
+  private def lit(v: Any): Option[String] = v match {
+    case null => None
+    case s: String => Some("'" +
+      s.replace("\\", "\\\\").replace("'", "\\'") + "'")
+    case u: UTF8String => lit(u.toString)
+    case b: java.lang.Boolean => Some(b.toString)
+    case n @ (_: java.lang.Byte | _: java.lang.Short |
+        _: java.lang.Integer | _: java.lang.Long) => Some(n.toString)
+    case f: java.lang.Float =>
+      if (java.lang.Float.isFinite(f)) Some(s"CAST($f AS FLOAT)")
+      else None
+    case d: java.lang.Double =>
+      if (java.lang.Double.isFinite(d)) Some(s"CAST($d AS DOUBLE)")
+      else None
+    case d: java.math.BigDecimal => Some(d.toPlainString + "BD")
+    case d: BigDecimal => Some(d.underlying.toPlainString + "BD")
+    case d: java.sql.Date => Some(s"DATE'$d'")
+    case d: java.time.LocalDate => Some(s"DATE'$d'")
+    case t: java.sql.Timestamp => Some(s"TIMESTAMP'$t'")
+    case _ => None
+  }
+
+  /** One filter as predicate text (None = untranslatable). */
+  def sql(f: Filter): Option[String] = f match {
+    case AlwaysTrue() => Some("true")
+    case AlwaysFalse() => Some("false")
+    case EqualTo(c, v) => lit(v).map(l => s"(${ident(c)} = $l)")
+    case EqualNullSafe(c, null) => Some(s"(${ident(c)} IS NULL)")
+    case EqualNullSafe(c, v) => lit(v).map(l => s"(${ident(c)} <=> $l)")
+    case GreaterThan(c, v) => lit(v).map(l => s"(${ident(c)} > $l)")
+    case GreaterThanOrEqual(c, v) =>
+      lit(v).map(l => s"(${ident(c)} >= $l)")
+    case LessThan(c, v) => lit(v).map(l => s"(${ident(c)} < $l)")
+    case LessThanOrEqual(c, v) =>
+      lit(v).map(l => s"(${ident(c)} <= $l)")
+    case In(c, vs) =>
+      if (vs.isEmpty) Some("false")
+      else {
+        val ls = vs.map(lit)
+        if (ls.exists(_.isEmpty)) None
+        else Some(s"(${ident(c)} IN (${ls.flatten.mkString(", ")}))")
+      }
+    case IsNull(c) => Some(s"(${ident(c)} IS NULL)")
+    case IsNotNull(c) => Some(s"(${ident(c)} IS NOT NULL)")
+    case And(l, r) => for (a <- sql(l); b <- sql(r))
+      yield s"($a AND $b)"
+    case Or(l, r) => for (a <- sql(l); b <- sql(r))
+      yield s"($a OR $b)"
+    case Not(ch) => sql(ch).map(s => s"(NOT $s)")
+    case _ => None
+  }
+
+  /** The stats-pruned fast path: every filter a CLOSED bound (=, >=,
+    * <=) on the SAME configured stats column with an exactly-
+    * stringable literal → deleteRange(c, lo, hi). Strict bounds must
+    * NOT take this path (deleteRange is inclusive). */
+  def rangeOf(store: LogStore, filters: Array[Filter])
+      : Option[(String, String, String)] = {
+    if (filters.isEmpty) return None
+    def statsStr(v: Any): Option[String] = v match {
+      case null => None
+      case _: java.lang.Byte | _: java.lang.Short |
+          _: java.lang.Integer | _: java.lang.Long |
+          _: java.math.BigDecimal => Some(v.toString)
+      case d: BigDecimal => Some(d.toString)
+      case d: java.sql.Date => Some(d.toString)
+      case d: java.time.LocalDate => Some(d.toString)
+      case _ => None
+    }
+    var col: String = null
+    var lo: Option[String] = None
+    var hi: Option[String] = None
+    filters.foreach {
+      case EqualTo(c, v) if col == null || col == c =>
+        val s = statsStr(v).getOrElse(return None)
+        col = c
+        lo = Some(lo.filter(l => bdGe(l, s)).getOrElse(s))
+        hi = Some(hi.filter(h => bdLe(h, s)).getOrElse(s))
+      case GreaterThanOrEqual(c, v) if col == null || col == c =>
+        val s = statsStr(v).getOrElse(return None)
+        col = c
+        lo = Some(lo.filter(l => bdGe(l, s)).getOrElse(s))
+      case LessThanOrEqual(c, v) if col == null || col == c =>
+        val s = statsStr(v).getOrElse(return None)
+        col = c
+        hi = Some(hi.filter(h => bdLe(h, s)).getOrElse(s))
+      case _ => return None
+    }
+    if (col == null || lo.isEmpty || hi.isEmpty) return None
+    if (!store.configuredStatsColumns.contains(col)) return None
+    // equality/ranges on DATE columns compare lexicographically in
+    // the store; numerics via BigDecimal — both already exact
+    Some((col, lo.get, hi.get))
+  }
+
+  private def bdGe(a: String, b: String): Boolean =
+    try BigDecimal(a) >= BigDecimal(b)
+    catch { case _: NumberFormatException => a >= b }
+  private def bdLe(a: String, b: String): Boolean =
+    try BigDecimal(a) <= BigDecimal(b)
+    catch { case _: NumberFormatException => a <= b }
 }
 
 /** Column pruning at the connector ([[SupportsPushDownRequiredColumns]]):

@@ -182,4 +182,83 @@ class GraftLogCatalogSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM gtest.`meta$nope`").collect()
     }
   }
+
+  test("SQL DELETE FROM: a closed range on the stats column takes the " +
+      "stats-pruned path (untouched segments carried by name), a " +
+      "general predicate takes copy-on-write, NULL rows follow SQL " +
+      "semantics, and TRUNCATE empties; history intact throughout") {
+    root
+    spark.sql("CREATE TABLE gtest.del (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('statsCol' = 'id')")
+    spark.sql("INSERT INTO gtest.del SELECT id, CAST(id AS STRING) " +
+      "FROM range(0, 100)")                            // seg A: 0..99
+    spark.sql("INSERT INTO gtest.del SELECT id, CAST(id AS STRING) " +
+      "FROM range(1000, 1100)")                        // seg B: 1000..1099
+    spark.sql("INSERT INTO gtest.del VALUES (CAST(NULL AS BIGINT), 'n')")
+    val store = LogStore.configured(spark, s"$root/del")
+    val before = store.liveSegmentInfos().map(_.name).toSet
+    // closed range touching only seg B
+    spark.sql("DELETE FROM gtest.del WHERE id >= 1050 AND id <= 1059")
+    assert(spark.sql("SELECT count(*) FROM gtest.del").head().getLong(0)
+      == 191L)
+    val after = store.liveSegmentInfos().map(_.name).toSet
+    assert(before.count(after.contains) == 1,
+      "the range delete must carry segment A over by name; B overlaps " +
+        "and the null-row segment has no id bounds (rewritten by the " +
+        "safe default) — its row survives the rewrite")
+    // a NULL-id row survives a value predicate (SQL semantics)
+    spark.sql("DELETE FROM gtest.del WHERE id < 10 OR v = '1070'")
+    val left = spark.sql(
+      "SELECT count(*), sum(CAST(id IS NULL AS INT)) FROM gtest.del")
+      .as[(Long, Long)].head()
+    assert(left == ((180L, 1L)),
+      "10 low ids + the '1070' row deleted; the null row survives")
+    // the deletes are honest CDF events: 10 (range) + 11 (predicate)
+    val feed = store.readChanges(0)
+      .where(col("_change_type") === "delete").count()
+    assert(feed == 21L)
+    spark.sql("TRUNCATE TABLE gtest.del")
+    assert(spark.sql("SELECT count(*) FROM gtest.del").head().getLong(0)
+      == 0L)
+    assert(store.read(3).count() == 201L,
+      "pre-delete snapshots stay time-travelable")
+  }
+
+  test("clustered INSERT (clusterBy write option): each range-" +
+      "partitioned task file lands as its own segment with tight " +
+      "bounds, so skipping reads prune from the FIRST write") {
+    root
+    val dir = s"$root/clustered"
+    spark.range(0, 100000).toDF("id")
+      .withColumn("v", col("id") * 2)
+      .write.format("graft-log").option("path", dir)
+      .option("statsColBoot", "ignored") // no-op: exercise unknown opt
+      .option("clusterBy", "id").option("clusterPartitions", "8")
+      .mode("append").save()
+    // configure stats AFTER the fact? No — bounds need statsCol at
+    // write; create via a configured table instead
+    val dir2 = s"$root/clustered2"
+    new LogStore(spark, dir2, statsCol = Some("id"))
+      .create(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType))))
+    spark.range(0, 100000).toDF("id")
+      .withColumn("v", col("id") * 2)
+      .write.format("graft-log").option("path", dir2)
+      .option("clusterBy", "id").option("clusterPartitions", "8")
+      .mode("append").save()
+    val store = LogStore.configured(spark, dir2)
+    val segs = store.liveSegmentInfos()
+    assert(segs.size == 8, s"8 range partitions -> 8 segments: ${segs.size}")
+    assert(segs.forall(s => s.min.nonEmpty && s.rows.nonEmpty))
+    // disjoint tight ranges: a narrow probe opens exactly 1 of 8
+    val (df, scanned, live) = store.readRange("20000", "20100")
+    assert(live == 8 && scanned == 1,
+      s"clustered ingest must prune without OPTIMIZE: $scanned/$live")
+    assert(df.count() == 101L)
+    // and the rows all arrived
+    assert(store.read().count() == 100000L)
+  }
 }

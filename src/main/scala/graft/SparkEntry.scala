@@ -2093,6 +2093,43 @@ object SparkEntry {
         .withColumn("v1_pinned", lit(v1 == 500L))
     }),
 
+    "stream_table_tail" -> ((s, dir) => {
+      // STREAMING A TABLE (readStream.table on the catalog): the
+      // first micro-batch is the initial snapshot, later batches the
+      // append tail, a compaction mid-history contributes nothing —
+      // the aggregate over the stream must equal the batch aggregate
+      // of the table's rows exactly.
+      val cat = "graftsql"
+      if (!s.conf.getAll.contains(s"spark.sql.catalog.$cat")) {
+        val r0 = java.nio.file.Files
+          .createTempDirectory("graft-sqlcat").toString
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.GraftLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", r0)
+      }
+      val short = s"tail_${java.util.UUID.randomUUID().toString.take(8)}"
+      val tbl = s"$cat.bench.$short"
+      events(s, dir).select(col("event_id"), col("event_type"),
+        col("value")).createOrReplaceTempView("src_tail_events")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.bench")
+      s.sql(s"CREATE TABLE $tbl (event_id BIGINT, event_type STRING, " +
+        "value DOUBLE) TBLPROPERTIES ('statsCol' = 'event_id')")
+      (0 until 3).foreach { i =>
+        s.sql(s"INSERT INTO $tbl SELECT * FROM src_tail_events " +
+          s"WHERE event_id % 3 = $i")
+        if (i == 1) new graft.catalog.LogStore(s,
+          s"${s.conf.get(s"spark.sql.catalog.$cat.root")}/bench/$short")
+          .compact()
+      }
+      val q = s.readStream.table(tbl)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("stream_table_tail_mem").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("stream_table_tail_mem").orderBy("event_type")
+    }),
+
     "src_sql_delete" -> ((s, dir) => {
       // SQL DML end to end: DELETE FROM with a closed range on the
       // stats column (the stats-pruned deleteRange path) and a
@@ -7375,6 +7412,13 @@ object SparkEntry {
         | TRUE AS pruned
         |FROM events WHERE event_id BETWEEN 600 AND 900
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the table stream must equal the table: the plain aggregate
+    "stream_table_tail" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // SQL DELETE is semantics, not plumbing: the oracle recomputes
     // the remainder on the source rows

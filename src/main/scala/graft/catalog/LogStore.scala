@@ -982,6 +982,14 @@ class LogStore(spark: SparkSession, val root: String,
     else Nil
   }
 
+  /** One commit's action shape (add names, removes, cdc segments) —
+    * what a tailing consumer needs to classify it. */
+  private[graft] def commitShape(v: Long)
+      : (Seq[String], Seq[String], Seq[String]) = {
+    val a = readActions(v)
+    (a._1.map(_.name), a._2, a._5)
+  }
+
   final case class DeleteResult(version: Long, rewritten: Int, live: Int)
 
   /** Stats-pruned logical delete — the 100 TB form of [[deleteWhere]]:

@@ -817,6 +817,88 @@ final class LogSnapshotScan(schema: StructType, root: String,
   override def toBatch: Batch =
     new LogSnapshotBatch(schema, root, versionAsOf, timestampAsOf,
       filters)
+  // `spark.readStream.table("cat.ns.t")`: INITIAL SNAPSHOT + append-
+  // only TAIL (the Delta table-stream semantics) — the first micro
+  // batch is the live rows at stream start, later batches are the
+  // appends, exactly-once by version offsets. Rewrite commits refuse
+  // loudly: the table's schema has no _change_type column to make a
+  // delete distinguishable — the full feed lives on `t$changes`.
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream = {
+    require(versionAsOf.isEmpty && timestampAsOf.isEmpty,
+      "cannot STREAM a time-travel snapshot")
+    new LogTableStream(root, schema)
+  }
+}
+
+/** The snapshot-then-tail micro-batch stream behind
+  * `readStream.table`: offset -2 = "snapshot pending"; the first
+  * planned range (-2, V] is the live segment set at V as implied
+  * inserts, every later (a, b] is the append tail. dataChange=false
+  * rewrites (compact/optimize/fence/vacuum horizon) contribute
+  * nothing; a DATA-changing rewrite (delete/merge/restore — any cdc
+  * commit) refuses loudly — an append-mode consumer of the bare table
+  * cannot represent it. */
+final class LogTableStream(root: String, schema: StructType)
+    extends MicroBatchStream {
+  private def spark = SparkSession.active
+  private def store = new LogStore(spark, root)
+
+  override def initialOffset(): Offset = LogStreamOffset(-2L)
+
+  override def latestOffset(): Offset =
+    LogStreamOffset(math.max(store.latestVersion(),
+      -1L)) // an empty table stays pre-snapshot at -1
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = "\"version\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalArgumentException(
+        s"bad graft-log offset: $json"))
+    LogStreamOffset(m.group(1).toLong)
+  }
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[LogStreamOffset].version
+    val to = end.asInstanceOf[LogStreamOffset].version
+    if (to < 0) return Array.empty
+    val st = store
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def filesOf(seg: String, v: Long): Seq[InputPartition] =
+      fs.listStatus(new Path(s"$root/$seg"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => LogStreamPartition(f.getPath.toString, v, None)
+          : InputPartition).toSeq
+    if (from <= -2L) {
+      // the initial snapshot: the live set at `to`, whole
+      st.liveSegmentInfos(to).flatMap(s => filesOf(s.name, to)).toArray
+    } else {
+      val horizon = st.currentVacuumHorizon()
+      if (from + 1 < horizon)
+        throw new IllegalStateException(
+          s"versions [${from + 1}, ${horizon - 1}] were vacuumed " +
+            s"(horizon $horizon): restart the stream to resync from " +
+            "a fresh snapshot")
+      (from + 1 to to).flatMap { v =>
+        val (adds, removes, cdcs) = st.commitShape(v)
+        if (cdcs.nonEmpty)
+          throw new IllegalStateException(
+            s"version $v changed existing rows (delete/merge/" +
+              "restore): a bare-table stream is append-only — " +
+              "stream the `t$changes` metadata table for the full " +
+              "change feed")
+        else if (removes.nonEmpty) Nil // dataChange=false rewrite
+        else adds.flatMap(filesOf(_, v))
+      }.toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    LogStreamPlanning.readerFactory(spark, schema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final class LogSnapshotBatch(schema: StructType, root: String,

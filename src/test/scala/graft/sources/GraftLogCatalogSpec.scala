@@ -261,4 +261,47 @@ class GraftLogCatalogSpec extends AnyFunSuite {
     // and the rows all arrived
     assert(store.read().count() == 100000L)
   }
+
+  test("readStream.table: initial snapshot + append-only tail, " +
+      "exactly-once across restart, compaction invisible, rewrite " +
+      "refuses loudly toward t$changes") {
+    root
+    spark.sql("CREATE TABLE gtest.ts (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gtest.ts VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO gtest.ts VALUES (3, 'c')")
+    val ckpt = Files.createTempDirectory("graft-tstream").toString
+    val sink = Files.createTempDirectory("graft-tsink").toString
+
+    def run(): Unit = {
+      val q = spark.readStream.table("gtest.ts")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    run()
+    def got() = spark.read.parquet(sink)
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(got() == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "the first batch must be the full snapshot")
+    // appends + a compaction land while the stream is down; restart
+    // must deliver EXACTLY the new rows (offsets in the checkpoint)
+    spark.sql("INSERT INTO gtest.ts VALUES (4, 'd')")
+    new LogStore(spark, s"$root/ts").compact()
+    spark.sql("INSERT INTO gtest.ts VALUES (5, 'e')")
+    run()
+    assert(got() == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"),
+      (5L, "e")),
+      "the tail must deliver appends once and the compaction never")
+    // a data-changing rewrite cannot ride a bare-table stream
+    spark.sql("DELETE FROM gtest.ts WHERE id = 1")
+    val e = intercept[Exception] { run() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("append-only")),
+      s"rewrites must refuse loudly, got: ${msgs(e)}")
+  }
 }

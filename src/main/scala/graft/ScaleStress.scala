@@ -647,6 +647,31 @@ object ScaleStress {
         r.rewritten.toLong)
       System.err.println(s"[scale] ${out.last.json}")
     }
+    // Deletion-vector point delete vs table size — the merge-on-read
+    // claim: a 100-row range delete on a clustered table writes a
+    // (file, position) sidecar for the ONE stats-pruned candidate
+    // segment and rewrites NOTHING (candidates = segments touched,
+    // pinned at 1; data bytes rewritten = 0 by construction), so cost
+    // stays ~flat as the table grows 10× per decade. Read it against
+    // src_log_delete directly above — the copy-on-write counterfactual
+    // at the same shape, which pays the full segment rewrite.
+    if (only.isEmpty || only.contains("src_dv_delete")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-dv").toString + "/tbl"
+      val store = new graft.catalog.LogStore(spark, root,
+        statsCol = Some("id"))
+      val nSegs = 10 * scale
+      (0 until nSegs).foreach { i =>
+        store.append(spark.range(i * 1000L, i * 1000L + 1000L)
+          .toDF("id").withColumn("v", lit("a")))
+      }
+      val (sec, r) = time { store.deleteRangeDV("id", "5100", "5199") }
+      require(r.touched == 1 && r.deletedRows == 100L,
+        s"pruning must vector one segment: $r")
+      out += Measurement("src_dv_delete", scale, nSegs.toLong, sec,
+        r.touched.toLong)
+      System.err.println(s"[scale] ${out.last.json}")
+    }
     // LogStore OPTIMIZE cost vs table size — the cost ∝ rewritten-
     // bytes claim: the recluster moves every live row exactly once
     // through ONE range shuffle + one partitioned write (never one

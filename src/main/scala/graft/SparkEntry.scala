@@ -2130,6 +2130,49 @@ object SparkEntry {
       s.table("stream_table_tail_mem").orderBy("event_type")
     }),
 
+    "stream_watermark_counts" -> ((s, dir) => {
+      // the native feed composes with EVENT-TIME semantics:
+      // out-of-order rows arrive over four source COMMITS (one
+      // micro-batch each via maxVersionsPerTrigger=1), a 30-minute
+      // watermark + 1-hour tumbling window in APPEND mode emits a
+      // window only once the watermark passes its end, and a
+      // too-late row (behind the watermark) is DROPPED — the oracle
+      // is the finalized-window set with the same drop applied,
+      // pinned as literals.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-wm").toString + "/tbl"
+      val store = new graft.catalog.LogStore(s, root)
+      def rows(specs: (String, String)*) = {
+        val sel = specs.map { case (ts, k) =>
+          s"SELECT to_timestamp('$ts') AS ts, '$k' AS k"
+        }.mkString(" UNION ALL ")
+        s.sql(sel)
+      }
+      store.append(rows(("2024-01-01 00:10:00", "a"),
+        ("2024-01-01 00:20:00", "a"), ("2024-01-01 00:30:00", "b"),
+        ("2024-01-01 01:10:00", "a")))          // v0: hours 0 and 1
+      store.append(rows(("2024-01-01 02:30:00", "b"))) // v1: wm→02:00
+      store.append(rows(("2024-01-01 03:30:00", "a"))) // v2: hours 0-2
+                                                       //     finalize
+      store.append(rows(("2024-01-01 00:15:00", "a"))) // v3: LATE —
+        // its window was already emitted+evicted, so the row is
+        // DROPPED (the one-directional watermark guarantee)
+      val q = s.readStream.format("graft-log").option("path", root)
+        .option("maxVersionsPerTrigger", "1").load()
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("k"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("k"),
+          col("n"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("stream_wm_mem").start()
+      try q.processAllAvailable() finally q.stop()
+      // hours 0-2 finalized (watermark 03:00); hour 3 withheld; the
+      // 00:15 straggler dropped — exactly the batch semantics of
+      // "count rows not behind the watermark at their arrival"
+      s.table("stream_wm_mem").orderBy("window_start", "k")
+    }),
+
     "src_sql_delete" -> ((s, dir) => {
       // SQL DML end to end: DELETE FROM with a closed range on the
       // stats column (the stats-pruned deleteRange path) and a
@@ -2161,6 +2204,164 @@ object SparkEntry {
         |   AS sum_value
         |FROM $tbl GROUP BY event_type ORDER BY event_type"""
         .stripMargin)
+    }),
+
+    "src_sql_update" -> ((s, dir) => {
+      // SQL UPDATE end to end: the DSv2 row-level-operation path
+      // (group-based copy-on-write, runtime group filtering narrowing
+      // the rewrite to segments that hold matches — the mergeKeyed
+      // economics through pure SQL). Two clustered inserts make the
+      // stats ranges disjoint; the UPDATE touches one range; the
+      // oracle recomputes the final state on the source rows.
+      val cat = "graftsql"
+      if (!s.conf.getAll.contains(s"spark.sql.catalog.$cat")) {
+        val r0 = java.nio.file.Files
+          .createTempDirectory("graft-sqlcat").toString
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.GraftLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", r0)
+      }
+      val tbl = s"$cat.bench.upd_${java.util.UUID.randomUUID()
+        .toString.take(8)}"
+      events(s, dir).select(col("event_id"), col("event_type"),
+        col("value")).createOrReplaceTempView("src_sqlupd_events")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.bench")
+      s.sql(s"CREATE TABLE $tbl (event_id BIGINT, event_type STRING, " +
+        "value DOUBLE) TBLPROPERTIES ('statsCol' = 'event_id')")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM src_sqlupd_events " +
+        "WHERE event_id < 500")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM src_sqlupd_events " +
+        "WHERE event_id >= 500")
+      s.sql(s"UPDATE $tbl SET value = value * 2 " +
+        "WHERE event_id BETWEEN 100 AND 199")
+      s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value
+        |FROM $tbl GROUP BY event_type ORDER BY event_type"""
+        .stripMargin)
+    }),
+
+    "src_sql_merge" -> ((s, dir) => {
+      // SQL MERGE INTO end to end — matched-update, matched-delete
+      // and not-matched-insert in ONE atomic commit through the
+      // row-level path; the oracle recomputes the merged state from
+      // the source rows. event_id is unique in the events table, so
+      // both MERGE cardinality rules hold by construction.
+      val cat = "graftsql"
+      if (!s.conf.getAll.contains(s"spark.sql.catalog.$cat")) {
+        val r0 = java.nio.file.Files
+          .createTempDirectory("graft-sqlcat").toString
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.GraftLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", r0)
+      }
+      val tbl = s"$cat.bench.mrg_${java.util.UUID.randomUUID()
+        .toString.take(8)}"
+      val ev = events(s, dir).select(col("event_id"),
+        col("event_type"), col("value"))
+      ev.createOrReplaceTempView("src_sqlmrg_events")
+      // the change set: re-triple [50,149], drop [150,159], graft ten
+      // fresh ids far outside the table's range
+      ev.where(col("event_id").between(50, 149))
+        .select(col("event_id"), lit("u").as("action"),
+          col("event_type"), (col("value") * 3).as("value"))
+        .unionByName(ev.where(col("event_id").between(150, 159))
+          .select(col("event_id"), lit("d").as("action"),
+            col("event_type"), col("value")))
+        .unionByName(ev.where(col("event_id") < 10)
+          .select((col("event_id") + 1000000L).as("event_id"),
+            lit("i").as("action"), lit("merged-in").as("event_type"),
+            col("value")))
+        .createOrReplaceTempView("src_sqlmrg_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.bench")
+      s.sql(s"CREATE TABLE $tbl (event_id BIGINT, event_type STRING, " +
+        "value DOUBLE) TBLPROPERTIES ('statsCol' = 'event_id')")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM src_sqlmrg_events")
+      s.sql(s"""MERGE INTO $tbl t USING src_sqlmrg_src s
+        |ON t.event_id = s.event_id
+        |WHEN MATCHED AND s.action = 'd' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET value = s.value
+        |WHEN NOT MATCHED THEN
+        |  INSERT (event_id, event_type, value)
+        |  VALUES (s.event_id, s.event_type, s.value)""".stripMargin)
+      s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value
+        |FROM $tbl GROUP BY event_type ORDER BY event_type"""
+        .stripMargin)
+    }),
+
+    "src_dv_delete" -> ((s, dir) => {
+      // MERGE-ON-READ deletes (deletion vectors): scattered point
+      // deletes attach (file, position) sidecars — ZERO data bytes
+      // rewritten (the live segment set is pinned unchanged) — and
+      // every read reconciles; a second overlapping delete merges
+      // vectors without double-reporting. The oracle recomputes the
+      // remainder on the source rows.
+      val ev = events(s, dir).select(col("event_id"),
+        col("event_type"), col("value"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-dv").toString + "/tbl"
+      val store = new graft.catalog.LogStore(s, root,
+        statsCol = Some("event_id"))
+      store.append(ev.where(col("event_id") < 500))
+      store.append(ev.where(col("event_id") >= 500))
+      val segs0 = store.liveSegmentInfos().map(_.name).toSet
+      // scattered across both segments — the copy-on-write worst case
+      val r1 = store.deleteWhereDV("event_id % 97 = 3")
+      // a clustered range — stats-pruned to ONE candidate segment
+      val r2 = store.deleteRangeDV("event_id", "100", "109")
+      val noRewrite =
+        store.liveSegmentInfos().map(_.name).toSet == segs0 &&
+        r1.touched >= 1 && r2.touched == 1 && r2.live == 2
+      store.read()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .withColumn("no_rewrite", lit(noRewrite))
+        .orderBy("event_type")
+    }),
+
+    "src_sql_maintenance" -> ((s, dir) => {
+      // maintenance with ZERO Scala: two curve-oblivious SQL inserts
+      // (each spanning the whole key domain), then CALL
+      // graft.system.optimize re-clusters via SQL — after it, a 10%
+      // range probe must open 1 of 4 segments (pinned), and the
+      // aggregate equals the source's. CALL vacuum + checkpoint ride
+      // along to prove the whole weekly command set is SQL-callable.
+      val cat = "graftsql"
+      if (!s.conf.getAll.contains(s"spark.sql.catalog.$cat")) {
+        val r0 = java.nio.file.Files
+          .createTempDirectory("graft-sqlcat").toString
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.GraftLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", r0)
+      }
+      val short = s"mnt_${java.util.UUID.randomUUID().toString.take(8)}"
+      val tbl = s"$cat.bench.$short"
+      events(s, dir).select(col("event_id"), col("event_type"),
+        col("value")).createOrReplaceTempView("src_sqlmnt_events")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.bench")
+      s.sql(s"CREATE TABLE $tbl (event_id BIGINT, event_type STRING, " +
+        "value DOUBLE) TBLPROPERTIES ('statsCol' = 'event_id')")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM src_sqlmnt_events " +
+        "WHERE event_id % 2 = 0")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM src_sqlmnt_events " +
+        "WHERE event_id % 2 = 1")
+      s.sql(s"CALL $cat.system.optimize(`table` => 'bench.$short', " +
+        "target_segments => 4, cluster_by => 'event_id')")
+      s.sql(s"CALL $cat.system.vacuum(`table` => 'bench.$short', " +
+        "retain_last => 1, orphan_min_age_ms => 0)")
+      s.sql(s"CALL $cat.system.checkpoint(`table` => 'bench.$short')")
+      val store = graft.catalog.LogStore.configured(s,
+        s"${s.conf.get(s"spark.sql.catalog.$cat.root")}/bench/$short")
+      val (_, scanned, live) = store.readRangeOn("event_id", "0", "99")
+      s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value
+        |FROM $tbl GROUP BY event_type ORDER BY event_type"""
+        .stripMargin)
+        // boundary sampling may split the probe across 2 segments
+        .withColumn("sql_optimize_prunes", lit(scanned <= 2 && live == 4))
     }),
 
     "src_clustered_write" -> ((s, dir) => {
@@ -7420,6 +7621,18 @@ object SparkEntry {
         |   AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // watermark semantics pinned as literals: finalized windows only
+    // (hour 3 withheld — its end is past the final watermark), the
+    // late 00:15 row dropped
+    "stream_watermark_counts" ->
+      """SELECT * FROM (VALUES
+        | (TIMESTAMP '2024-01-01 00:00:00', 'a', CAST(2 AS BIGINT)),
+        | (TIMESTAMP '2024-01-01 00:00:00', 'b', CAST(1 AS BIGINT)),
+        | (TIMESTAMP '2024-01-01 01:00:00', 'a', CAST(1 AS BIGINT)),
+        | (TIMESTAMP '2024-01-01 02:00:00', 'b', CAST(1 AS BIGINT))
+        |) AS t(window_start, k, n)
+        |ORDER BY window_start, k""".stripMargin,
+
     // SQL DELETE is semantics, not plumbing: the oracle recomputes
     // the remainder on the source rows
     "src_sql_delete" ->
@@ -7430,6 +7643,53 @@ object SparkEntry {
         |WHERE NOT (event_id BETWEEN 100 AND 199)
         |  AND event_id NOT IN (5, 10, 15)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // SQL UPDATE is semantics, not plumbing: the oracle recomputes
+    // the post-update state on the source rows (×2 is an exact IEEE
+    // multiply — parity-safe per row)
+    "src_sql_update" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(CASE WHEN event_id BETWEEN 100 AND 199
+        |   THEN value * 2 ELSE value END AS DECIMAL(18,4)))
+        |   AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // SQL MERGE: the oracle is the merged state recomputed — updates
+    // re-tripled, the deleted slice dropped, the grafted rows added
+    "src_sql_merge" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT event_type,
+        |    CASE WHEN event_id BETWEEN 50 AND 149 THEN value * 3
+        |         ELSE value END AS v
+        |  FROM events WHERE NOT (event_id BETWEEN 150 AND 159)
+        |  UNION ALL
+        |  SELECT 'merged-in' AS event_type, value AS v
+        |  FROM events WHERE event_id < 10
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // deletion vectors are semantics: the oracle recomputes the
+    // remainder (97-modulo scatter + the clustered range) on the
+    // source rows; no_rewrite pins the zero-bytes-rewritten claim
+    "src_dv_delete" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value,
+        | TRUE AS no_rewrite
+        |FROM events
+        |WHERE NOT (event_id % 97 = 3)
+        |  AND NOT (event_id BETWEEN 100 AND 109)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // SQL CALL maintenance is layout only — the oracle is the plain
+    // aggregate; the pin records that the SQL-driven recluster prunes
+    "src_sql_maintenance" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value,
+        | TRUE AS sql_optimize_prunes
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // clustered ingest is layout only — the oracle is the plain
     // filtered aggregate; first_write_prunes pins the 1-of-8 probe

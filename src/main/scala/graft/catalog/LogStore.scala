@@ -153,7 +153,13 @@ class LogStore(spark: SparkSession, val root: String,
       max: Option[String], num: Boolean,
       bloom: Option[String] = None,
       extra: Map[String, (String, String, Boolean)] = Map.empty,
-      rows: Option[Long] = None) {
+      rows: Option[Long] = None,
+      dv: Option[(String, Long)] = None) {
+    /** Rows visible in this segment after its deletion vector, when
+      * both counts are known. */
+    def liveRows: Option[Long] =
+      rows.map(n => n - dv.map(_._2).getOrElse(0L))
+
     /** Could this segment contain a row with statsCol in [lo, hi]?
       * No stats ⇒ must assume yes (the safe default that makes stats
       * strictly an optimization). */
@@ -212,8 +218,15 @@ class LogStore(spark: SparkSession, val root: String,
     }
   }
 
-  /** Parse one action file (version OR checkpoint — same grammar):
-    * (adds, removes, txns, vacuum horizons, cdc segments, schemas).
+  /** One parsed action file. `dvs` are DELETION-VECTOR attachments:
+    * (segment, dv directory, deleted-row count) — an empty directory
+    * string clears the vector (restore's undo). */
+  private final case class Actions(adds: Seq[Segment],
+      removes: Seq[String], txns: Seq[Long], vacs: Seq[Long],
+      cdcs: Seq[String], schemas: Seq[String], props: Seq[String],
+      dvs: Seq[(String, String, Long)])
+
+  /** Parse one action file (version OR checkpoint — same grammar).
     * One JSON object per line:
     * `{"add":"seg"[,"min":"..","max":"..","num":true]}`,
     * `{"remove":"seg"}`, `{"txn":<id>}` (the idempotent-stream
@@ -221,16 +234,19 @@ class LogStore(spark: SparkSession, val root: String,
     * version after a vacuum), `{"cdc":"seg"}` (a change-data
     * segment — the Delta CDF action; per-version EVENT data, never
     * part of the replayed live state, so checkpoints do not carry
-    * it), or `{"schema":"<base64 StructType json>"}` (the Delta
+    * it), `{"schema":"<base64 StructType json>"}` (the Delta
     * paper's METADATA action: the table schema as log content, so
     * write-side validation and read planning never open data-file
-    * footers — base64 keeps the line grammar quote-free). Flat
-    * line-oriented JSON on purpose — greppable, and a regex parse
-    * with no library dependency. The min/max strings are guaranteed
-    * quote-free because [statsCol] is restricted to
+    * footers — base64 keeps the line grammar quote-free), or
+    * `{"dv":"seg","dvf":"dv-dir","dvr":N}` (a deletion-vector
+    * attachment: merge-on-read point deletes — the segment stays,
+    * reads reconcile against the vector; add actions may carry the
+    * same `dvf`/`dvr` fields so checkpoints and restores replay DV
+    * state). Flat line-oriented JSON on purpose — greppable, and a
+    * regex parse with no library dependency. The min/max strings are
+    * guaranteed quote-free because [statsCol] is restricted to
     * numeric/date/timestamp columns at write time. */
-  private def parseActions(p: Path): (Seq[Segment], Seq[String],
-      Seq[Long], Seq[Long], Seq[String], Seq[String], Seq[String]) = {
+  private def parseActions(p: Path): Actions = {
     val in = fs.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -238,7 +254,8 @@ class LogStore(spark: SparkSession, val root: String,
       "(?:,\"min\":\"([^\"]*)\",\"max\":\"([^\"]*)\",\"num\":(true|false))?" +
       "(?:,\"bloom\":\"([0-9a-f]*)\")?" +
       "(?:,\"xs\":\"([^\"]*)\")?" +
-      "(?:,\"rows\":(\\d+))?").r
+      "(?:,\"rows\":(\\d+))?" +
+      "(?:,\"dvf\":\"([^\"]*)\",\"dvr\":(\\d+))?").r
     val adds = addRe.findAllMatchIn(body).map { m =>
       val extra = Option(m.group(6)).filter(_.nonEmpty)
         .map(_.split(';').map { e =>
@@ -247,7 +264,9 @@ class LogStore(spark: SparkSession, val root: String,
         }.toMap).getOrElse(Map.empty[String, (String, String, Boolean)])
       Segment(m.group(1), Option(m.group(2)), Option(m.group(3)),
         m.group(4) == "true", Option(m.group(5)), extra,
-        Option(m.group(7)).map(_.toLong))
+        Option(m.group(7)).map(_.toLong),
+        Option(m.group(8)).filter(_.nonEmpty)
+          .map(f => (f, m.group(9).toLong)))
     }.toSeq
     val rem = "\"remove\"\\s*:\\s*\"([^\"]+)\"".r
       .findAllMatchIn(body).map(_.group(1)).toSeq
@@ -261,12 +280,13 @@ class LogStore(spark: SparkSession, val root: String,
       .findAllMatchIn(body).map(_.group(1)).toSeq
     val props = "\"props\"\\s*:\\s*\"([^\"]*)\"".r
       .findAllMatchIn(body).map(_.group(1)).toSeq
-    (adds, rem, txns, vacs, cdcs, schemas, props)
+    val dvs = "\"dv\"\\s*:\\s*\"([^\"]+)\",\"dvf\":\"([^\"]*)\",\"dvr\":(\\d+)".r
+      .findAllMatchIn(body).map(m => (m.group(1), m.group(2),
+        m.group(3).toLong)).toSeq
+    Actions(adds, rem, txns, vacs, cdcs, schemas, props, dvs)
   }
 
-  private def readActions(v: Long): (Seq[Segment], Seq[String],
-      Seq[Long], Seq[Long], Seq[String], Seq[String], Seq[String]) =
-    parseActions(versionPath(v))
+  private def readActions(v: Long): Actions = parseActions(versionPath(v))
 
   /** The fully-replayed log state at some version: the live segment
     * set (insertion-ordered), the max stream-txn id seen, the vacuum
@@ -287,29 +307,30 @@ class LogStore(spark: SparkSession, val root: String,
     val state = LogState(
       scala.collection.mutable.LinkedHashMap.empty[String, Segment],
       Long.MinValue, -1L)
+    def apply(a: Actions): Unit = {
+      a.adds.foreach(x => state.live(x.name) = x)
+      a.removes.foreach(state.live -= _)
+      // DV attachments re-point a LIVE segment's deletion vector; an
+      // empty dv directory clears it (restore's undo)
+      a.dvs.foreach { case (seg, f, n) =>
+        state.live.get(seg).foreach { s =>
+          state.live(seg) =
+            s.copy(dv = if (f.isEmpty) None else Some((f, n)))
+        }
+      }
+      a.txns.foreach(t => state.maxTxn = math.max(state.maxTxn, t))
+      a.vacs.foreach(h =>
+        state.vacuumHorizon = math.max(state.vacuumHorizon, h))
+      a.schemas.lastOption.foreach(s => state.schemaB64 = Some(s))
+      a.props.lastOption.foreach(p => state.propsStr = Some(p))
+    }
     val from = latestCheckpointAtOrBelow(upTo) match {
       case Some(cp) =>
-        val (adds, _, txns, vacs, _, schemas, props) =
-          parseActions(checkpointPath(cp))
-        adds.foreach(a => state.live(a.name) = a)
-        txns.foreach(t => state.maxTxn = math.max(state.maxTxn, t))
-        vacs.foreach(h =>
-          state.vacuumHorizon = math.max(state.vacuumHorizon, h))
-        schemas.lastOption.foreach(s => state.schemaB64 = Some(s))
-        props.lastOption.foreach(p => state.propsStr = Some(p))
+        apply(parseActions(checkpointPath(cp)))
         cp + 1
       case None => 0L
     }
-    (from to upTo).foreach { v =>
-      val (adds, removes, txns, vacs, _, schemas, props) = readActions(v)
-      adds.foreach(a => state.live(a.name) = a)
-      removes.foreach(state.live -= _)
-      txns.foreach(t => state.maxTxn = math.max(state.maxTxn, t))
-      vacs.foreach(h =>
-        state.vacuumHorizon = math.max(state.vacuumHorizon, h))
-      schemas.lastOption.foreach(s => state.schemaB64 = Some(s))
-      props.lastOption.foreach(p => state.propsStr = Some(p))
-    }
+    (from to upTo).foreach(v => apply(readActions(v)))
     state
   }
 
@@ -499,12 +520,12 @@ class LogStore(spark: SparkSession, val root: String,
     * segments carry, so time travel returns the old shape), and
     * [[append]] enforces that shared columns never mutate type. */
   def read(version: Long = Long.MaxValue): DataFrame = {
-    val segs = liveSegments(version)
+    val segs = liveSegmentInfos(version)
     if (segs.isEmpty)
       // a CREATED-but-empty table (schema recorded, no segments yet —
       // the CREATE TABLE → INSERT flow) reads as zero rows of its
       // recorded shape; a directory with no log at all stays a loud
-      // error (liveSegments threw above)
+      // error (liveSegmentInfos threw above)
       return recordedSchema(version) match {
         case Some(sc) => spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), sc)
@@ -516,12 +537,66 @@ class LogStore(spark: SparkSession, val root: String,
     // metadata-action payoff; parquet fills absent columns with null,
     // which is exactly the evolution semantics). Pre-stamp logs fall
     // back to footer merging.
-    recordedSchema(version) match {
-      case Some(sc) =>
-        spark.read.schema(sc).parquet(segs.map(s => s"$root/$s"): _*)
-      case None =>
-        spark.read.option("mergeSchema", "true")
-          .parquet(segs.map(s => s"$root/$s"): _*)
+    scanSegments(segs, recordedSchema(version))
+  }
+
+  /** The DV-AWARE segment scan every read path funnels through: the
+    * rows of `segs` minus their deletion vectors. Segments without a
+    * vector scan exactly as before (zero overhead — the common case
+    * stays one plain parquet scan); segments WITH one reconcile by an
+    * anti-join of (file, position) against their dv parquet — the
+    * merge-on-read half of [[deleteWhereDV]]. Positions come from the
+    * file source's `_metadata.row_index`, which is file-global and
+    * stable because segments are immutable. The DV side is tiny by
+    * construction (∝ deleted rows), so the join broadcasts. */
+  private def scanSegments(segs: Seq[Segment],
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col => fcol,
+      element_at, split => fsplit}
+    def rawRead(names: Seq[String]): DataFrame = schema match {
+      case Some(sc) => spark.read.schema(sc)
+        .parquet(names.map(s => s"$root/$s"): _*)
+      case None => spark.read.option("mergeSchema", "true")
+        .parquet(names.map(s => s"$root/$s"): _*)
+    }
+    val (dved, plain) = segs.partition(_.dv.nonEmpty)
+    val plainDf =
+      if (plain.isEmpty) None else Some(rawRead(plain.map(_.name)))
+    val dvedDf =
+      if (dved.isEmpty) None
+      else {
+        val base = rawRead(dved.map(_.name))
+          .withColumn("_dv_seg",
+            element_at(fsplit(fcol("_metadata.file_path"), "/"), -2))
+          .withColumn("_dv_file", fcol("_metadata.file_name"))
+          .withColumn("_dv_pos", fcol("_metadata.row_index"))
+        val dvRows = spark.read
+          .parquet(dved.flatMap(s =>
+            s.dv.map(d => s"$root/${d._1}")): _*)
+          .withColumn("_dv_seg",
+            element_at(fsplit(fcol("_metadata.file_path"), "/"), -2))
+        // dv files carry (file, pos); their own directory name — the
+        // dv dir — maps back to the segment via the live state
+        val dvToSeg = dved.flatMap(s =>
+          s.dv.map(d => (d._1, s.name))).toMap
+        val mapped = {
+          import org.apache.spark.sql.functions.typedLit
+          dvRows.withColumn("_dv_seg",
+            element_at(typedLit(dvToSeg), fcol("_dv_seg")))
+        }
+        Some(base.join(
+          broadcast(mapped.select(fcol("_dv_seg"),
+            fcol("file").as("_dv_file"), fcol("pos").as("_dv_pos"))),
+          Seq("_dv_seg", "_dv_file", "_dv_pos"), "left_anti")
+          .drop("_dv_seg", "_dv_file", "_dv_pos"))
+      }
+    (plainDf, dvedDf) match {
+      case (Some(p), Some(d)) => p.unionByName(d)
+      case (Some(p), None) => p
+      case (None, Some(d)) => d
+      case (None, None) =>
+        throw new IllegalStateException("scanSegments on no segments")
     }
   }
 
@@ -609,8 +684,7 @@ class LogStore(spark: SparkSession, val root: String,
       preds.forall { case (c, lo, hi) => s.mayOverlapOn(c, lo, hi) })
     if (hit.isEmpty)
       return (read(version).where(flit(false)), 0, live.size)
-    val scan = spark.read.option("mergeSchema", "true")
-      .parquet(hit.map(s => s"$root/${s.name}"): _*)
+    val scan = scanSegments(hit, None)
     val filtered = preds.foldLeft(scan) { case (df, (c, lo, hi)) =>
       val dt = df.schema(c).dataType
       df.where(fcol(c).between(flit(lo).cast(dt), flit(hi).cast(dt)))
@@ -641,7 +715,7 @@ class LogStore(spark: SparkSession, val root: String,
     val hit = live.filter(_.mayContain(pos))
     if (hit.isEmpty)
       return (read(version).where(flit(false)), 0, live.size)
-    val scan = spark.read.parquet(hit.map(s => s"$root/${s.name}"): _*)
+    val scan = scanSegments(hit, None)
     (scan.where(fcol(c).cast("string") === flit(key)),
       hit.size, live.size)
   }
@@ -664,8 +738,7 @@ class LogStore(spark: SparkSession, val root: String,
       ranges.exists { case (lo, hi) => s.mayOverlap(lo, hi) })
     if (hit.isEmpty)
       return (read(version).where(flit(false)), 0, live.size)
-    (spark.read.parquet(hit.map(s => s"$root/${s.name}"): _*),
-      hit.size, live.size)
+    (scanSegments(hit, None), hit.size, live.size)
   }
 
   /** Write `df` as a fresh immutable segment and return its add
@@ -786,7 +859,11 @@ class LogStore(spark: SparkSession, val root: String,
     // the exact row count rides every add action: the O(segments)
     // answer to COUNT(*) (aggregate pushdown), and free accounting
     val rows = s.rows.map(n => s""","rows":$n""").getOrElse("")
-    s"""{"add":"${s.name}"$stats$bloom$xs$rows}"""
+    // deletion-vector state rides re-adds (restore) and checkpoints,
+    // so replay reconstructs it without the original dv action
+    val dv = s.dv.map { case (f, n) => s""","dvf":"$f","dvr":$n""" }
+      .getOrElse("")
+    s"""{"add":"${s.name}"$stats$bloom$xs$rows$dv}"""
   }
 
   /** Publish a commit at `expected` version via create-exclusive —
@@ -802,7 +879,8 @@ class LogStore(spark: SparkSession, val root: String,
       vacuumHorizon: Option[Long] = None,
       cdc: Seq[String] = Nil,
       schema: Option[String] = None,
-      props: Option[String] = None): Long = {
+      props: Option[String] = None,
+      dvs: Seq[(String, String, Long)] = Nil): Long = {
     fs.mkdirs(new Path(logDir))
     // the commit wall-clock is LOG CONTENT (`ts` action), not file
     // metadata: TIMESTAMP AS OF must survive a cp -r, an
@@ -814,7 +892,9 @@ class LogStore(spark: SparkSession, val root: String,
       removes.map(s => s"""{"remove":"$s"}""") ++
       txn.map(id => s"""{"txn":$id}""").toSeq ++
       vacuumHorizon.map(h => s"""{"vacuum":$h}""").toSeq ++
-      cdc.map(s => s"""{"cdc":"$s"}"""))
+      cdc.map(s => s"""{"cdc":"$s"}""") ++
+      dvs.map { case (seg, f, n) =>
+        s"""{"dv":"$seg","dvf":"$f","dvr":$n}""" })
       .mkString("", "\n", "\n")
     val out = try fs.create(versionPath(expected), false)
       catch {
@@ -922,7 +1002,7 @@ class LogStore(spark: SparkSession, val root: String,
       s"bad change range [$fromVersion, $toVersion]")
     requireReadable(fromVersion, replayTo(latest).vacuumHorizon)
     val parts = (fromVersion to upTo).flatMap { v =>
-      val (adds, removes, _, _, cdcs, _, _) = readActions(v)
+      val Actions(adds, removes, _, _, cdcs, _, _, _) = readActions(v)
       if (cdcs.nonEmpty)
         cdcs.map(c => spark.read.parquet(s"$root/$c")
           .withColumn("_commit_version", flit(v)))
@@ -975,7 +1055,7 @@ class LogStore(spark: SparkSession, val root: String,
     * (compact / optimize / vacuum / fence) changed nothing (empty). */
   private[graft] def changeSegmentsOf(v: Long)
       : Seq[(String, Option[String])] = {
-    val (adds, removes, _, _, cdcs, _, _) = readActions(v)
+    val Actions(adds, removes, _, _, cdcs, _, _, _) = readActions(v)
     if (cdcs.nonEmpty) cdcs.map(c => (c, None))
     else if (removes.isEmpty && adds.nonEmpty)
       adds.map(a => (a.name, Some("insert")))
@@ -984,10 +1064,14 @@ class LogStore(spark: SparkSession, val root: String,
 
   /** One commit's action shape (add names, removes, cdc segments) —
     * what a tailing consumer needs to classify it. */
+  /** One commit's action shape (add names, removes, cdc segments,
+    * dv attachments) — what a tailing consumer needs to classify it. */
   private[graft] def commitShape(v: Long)
       : (Seq[String], Seq[String], Seq[String]) = {
     val a = readActions(v)
-    (a._1.map(_.name), a._2, a._5)
+    // a DV attachment is a data change a bare-table (append-only)
+    // consumer cannot represent — surface it like a cdc commit
+    (a.adds.map(_.name), a.removes, a.cdcs ++ a.dvs.map(_._2))
   }
 
   final case class DeleteResult(version: Long, rewritten: Int, live: Int)
@@ -1014,17 +1098,224 @@ class LogStore(spark: SparkSession, val root: String,
     val live = liveSegmentInfos(v)
     val touched = live.filter(_.mayOverlapOn(c, lo, hi))
     if (touched.isEmpty) return DeleteResult(v, 0, live.size)
-    val data = spark.read.option("mergeSchema", "true")
-      .parquet(touched.map(s => s"$root/${s.name}"): _*)
+    val data = scanSegments(touched, None)
     val dt = data.schema(c).dataType
     val cond = fcol(c).between(flit(lo).cast(dt), flit(hi).cast(dt))
     val kept = data.where(fnot(fcoalesce(cond, flit(false))))
     val gone = data.where(cond)
       .withColumn("_change_type", flit("delete"))
     DeleteResult(
-      commit(v + 1, Seq(writeSegment(kept)), touched.map(_.name),
+      commitRevalidated(v, Seq(writeSegment(kept)),
+        touched.map(_.name),
+        ReadSet(touched.map(_.name).toSet, Some((c, lo, hi))),
         cdc = Seq(writeChangeSegment(gone))),
       touched.size, live.size)
+  }
+
+  final case class DvDeleteResult(version: Long, touched: Int,
+      deletedRows: Long, live: Int)
+
+  /** MERGE-ON-READ point delete — deletion vectors, the 100 TB answer
+    * to GDPR-style SCATTERED deletes that copy-on-write cannot price:
+    * [[deleteWhere]]/[[deleteRange]] rewrite every overlapping
+    * segment, so a 10-row delete against a cold 1 GB segment costs
+    * 1 GB; this writes a DV SIDECAR instead — (file, position) rows,
+    * one `dv-*` parquet directory per touched segment — and attaches
+    * it in one commit (`dv` actions). Cost ∝ matched rows + a
+    * position scan of the candidate segments; ZERO data bytes are
+    * rewritten. Every read path reconciles through [[scanSegments]]'s
+    * anti-join; a second delete on the same segment MERGES positions
+    * (the old vector's rows union the new — and already-deleted rows
+    * never re-match, so the feed never double-reports); the deleted
+    * rows land in the commit's change segment as honest `delete`
+    * events. Rewrites that replace a segment (optimize / merge /
+    * delete / compact) consume its vector; `optimizeWhere(withDeletes
+    * = true)` is the explicit DV-compaction selector.
+    *
+    * Stats bounds stay as written — a superset after deletion, so
+    * segment pruning remains sound; MIN/MAX aggregate pushdown
+    * refuses dv-carrying segments (the extremum may be deleted) while
+    * COUNT(*) stays exact via the recorded per-vector row counts.
+    *
+    * Prior snapshots are untouched: time travel before the commit
+    * reads the segment whole (the vector is version-scoped state,
+    * like any other action). A no-match delete is a commit-free
+    * no-op. */
+  def deleteWhereDV(predicate: String): DvDeleteResult = {
+    val v = latestVersion()
+    dvDelete(liveSegmentInfos(v), predicate, v)
+  }
+
+  /** [[deleteWhereDV]] with stats pruning: only segments whose
+    * recorded bounds on `c` may overlap [lo, hi] are position-scanned
+    * — the candidate-selection economics of [[deleteRange]], with the
+    * DV write replacing the segment rewrite. */
+  def deleteRangeDV(c: String, lo: String, hi: String): DvDeleteResult = {
+    require(statsCol.contains(c) || statsCols.contains(c),
+      s"'$c' is not a configured stats column (statsCol/statsCols)")
+    val v = latestVersion()
+    val live = liveSegmentInfos(v)
+    val touched = live.filter(_.mayOverlapOn(c, lo, hi))
+    val dt = recordedSchema(v).flatMap(_.find(_.name == c))
+      .map(_.dataType.sql).getOrElse("STRING")
+    dvDelete(touched,
+      s"`$c` BETWEEN CAST('$lo' AS $dt) AND CAST('$hi' AS $dt)", v,
+      live.size, range = Some((c, lo, hi)))
+  }
+
+  private def dvDelete(candidates: Seq[Segment], predicate: String,
+      v: Long, liveCount: Int = -1,
+      range: Option[(String, String, String)] = None): DvDeleteResult = {
+    import org.apache.spark.sql.functions.{coalesce => fcoalesce,
+      col => fcol, count => fcount, element_at, expr => fexpr,
+      lit => flit, split => fsplit}
+    val live = if (liveCount >= 0) liveCount else candidates.size
+    if (candidates.isEmpty) return DvDeleteResult(v, 0, 0L, live)
+    // candidate rows + their physical coordinates (attached BEFORE
+    // any join — file metadata only resolves on the scan relation);
+    // rows ALREADY in a vector are anti-joined out up front, so they
+    // never re-delete and never re-report in the feed
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(candidates.map(s => s"$root/${s.name}"): _*)
+      .withColumn("_dv_seg",
+        element_at(fsplit(fcol("_metadata.file_path"), "/"), -2))
+      .withColumn("_dv_file", fcol("_metadata.file_name"))
+      .withColumn("_dv_pos", fcol("_metadata.row_index"))
+    val priorDv = candidates.filter(_.dv.nonEmpty).map { s =>
+      spark.read.parquet(s"$root/${s.dv.get._1}")
+        .select(flit(s.name).as("_dv_seg"), fcol("file").as("_dv_file"),
+          fcol("pos").as("_dv_pos"))
+    }
+    val positioned =
+      if (priorDv.isEmpty) raw
+      else raw.join(
+        org.apache.spark.sql.functions.broadcast(
+          priorDv.reduce(_.unionByName(_))),
+        Seq("_dv_seg", "_dv_file", "_dv_pos"), "left_anti")
+    // SQL NULL semantics: a NULL predicate never deletes
+    val matched = positioned
+      .where(fcoalesce(fexpr(s"($predicate)"), flit(false)))
+      .cache()
+    try {
+      val perSeg = matched.groupBy(fcol("_dv_seg"))
+        .agg(fcount(flit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (perSeg.isEmpty) return DvDeleteResult(v, 0, 0L, live)
+      val bySeg = candidates.map(s => s.name -> s).toMap
+      // new vector content per touched segment: prior positions ∪ new
+      val newPositions = matched
+        .select(fcol("_dv_seg"), fcol("_dv_file").as("file"),
+          fcol("_dv_pos").as("pos"))
+      val oldDv = candidates.filter(s =>
+          perSeg.contains(s.name) && s.dv.nonEmpty)
+        .map { s =>
+          spark.read.parquet(s"$root/${s.dv.get._1}")
+            .select(flit(s.name).as("_dv_seg"), fcol("file"),
+              fcol("pos"))
+        }
+      val combined = oldDv.foldLeft(newPositions)(_.unionByName(_))
+      // one partitioned write, then each bucket renamed to its dv dir
+      val tmp = s"$root/_opt-dv-${java.util.UUID.randomUUID()
+        .toString.take(12)}"
+      combined.write.partitionBy("_dv_seg").parquet(tmp)
+      val dvActions = perSeg.keys.toSeq.sorted.map { seg =>
+        val dvName = s"dv-${java.util.UUID.randomUUID().toString
+          .take(12)}"
+        if (!fs.rename(new Path(s"$tmp/_dv_seg=$seg"),
+            new Path(s"$root/$dvName")))
+          throw new java.io.IOException(s"dv rename for $seg failed")
+        val totalDeleted =
+          perSeg(seg) + bySeg(seg).dv.map(_._2).getOrElse(0L)
+        (seg, dvName, totalDeleted)
+      }
+      fs.delete(new Path(tmp), true)
+      // the honest CDF events: exactly the newly-deleted rows
+      val gone = matched
+        .drop("_dv_seg", "_dv_file", "_dv_pos")
+        .withColumn("_change_type", flit("delete"))
+      val version = commitRevalidated(v, Nil, Nil,
+        // the vectors were derived from the touched segments' content
+        // + prior vectors; an unbounded predicate may match any
+        // concurrently-added row
+        ReadSet(dvActions.map(_._1).toSet, range,
+          matchesAnyNewRow = range.isEmpty),
+        cdc = Seq(writeChangeSegment(gone)), dvActions = dvActions)
+      DvDeleteResult(version, dvActions.size,
+        perSeg.values.sum, live)
+    } finally matched.unpersist()
+  }
+
+  /** What a read-modify-write transaction READ — the evidence its
+    * conflict re-validation checks a concurrent winner against:
+    * `readSegments` are the live segments whose content the loser's
+    * outcome depends on (the ones it rewrites, or attaches a vector
+    * to); `range` is the key/predicate interval (on a stats column)
+    * its row selection was bounded by; `matchesAnyNewRow` says the
+    * selection cannot be bounded (an unpruned merge, an arbitrary
+    * predicate) — any concurrently-added row might have matched. */
+  private[graft] final case class ReadSet(readSegments: Set[String],
+      range: Option[(String, String, String)] = None,
+      matchesAnyNewRow: Boolean = false)
+
+  /** Delta-style CONFLICT RE-VALIDATION for read-modify-write
+    * commits — the difference between "a concurrent append makes the
+    * weekly maintenance job re-run wholesale" and "disjoint writers
+    * simply both land": on a lost commit race, instead of giving up,
+    * re-examine every winner commit between the version this
+    * transaction READ and the current head. The loser may re-commit
+    * its UNCHANGED actions at the new head iff every winner is
+    * DISJOINT from its read set:
+    *
+    *  - no winner removed (or re-wrote, or attached a deletion vector
+    *    to) a segment in `readSegments` — the loser's rewrite was
+    *    derived from content that no longer exists;
+    *  - no winner added a segment whose recorded stats may overlap
+    *    the loser's `range` — rows the loser's selection SHOULD have
+    *    seen (the write-serializable read-predicate check; winners
+    *    without usable stats conflict by the safe default);
+    *  - `matchesAnyNewRow` transactions conflict with ANY added
+    *    segment.
+    *
+    * Anything non-disjoint rethrows the original
+    * [[ConcurrentCommitException]] — the caller re-derives from a
+    * fresh snapshot, exactly as before. Vacuum-horizon and fence
+    * commits are always compatible (they change no live content). */
+  private[graft] def commitRevalidated(readVersion: Long,
+      adds: Seq[Segment], removes: Seq[String],
+      readSet: ReadSet,
+      txn: Option[Long] = None, cdc: Seq[String] = Nil,
+      schema: Option[String] = None, props: Option[String] = None,
+      dvActions: Seq[(String, String, Long)] = Nil,
+      maxAttempts: Int = 5): Long = {
+    require(maxAttempts >= 1, "need at least one attempt")
+    var base = readVersion
+    var attempt = 1
+    while (true) {
+      try return commit(base + 1, adds, removes, txn = txn, cdc = cdc,
+        schema = schema, props = props, dvs = dvActions)
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e
+          val latest = latestVersion()
+          (base + 1 to latest).foreach { v =>
+            val a = readActions(v)
+            if (a.removes.exists(readSet.readSegments.contains))
+              throw e // our source content was rewritten/removed
+            if (a.dvs.exists(d => readSet.readSegments.contains(d._1)))
+              throw e // our source content gained a deletion vector
+            if (a.adds.nonEmpty) {
+              if (readSet.matchesAnyNewRow) throw e
+              readSet.range.foreach { case (c, lo, hi) =>
+                if (a.adds.exists(_.mayOverlapOn(c, lo, hi)))
+                  throw e // a new row our selection should have seen
+              }
+            }
+          }
+          base = latest
+          attempt += 1
+      }
+    }
+    -1L // unreachable
   }
 
   /** Optimistic-retry wrapper for BLIND appends: on a lost commit
@@ -1054,7 +1345,10 @@ class LogStore(spark: SparkSession, val root: String,
   def compact(): Long = {
     val v = latestVersion()
     val old = liveSegments(v)
-    commit(v + 1, Seq(writeSegment(read(v))), old)
+    // layout-only: concurrent appends are compatible (re-validated),
+    // touching the compacted segments is not
+    commitRevalidated(v, Seq(writeSegment(read(v))), old,
+      ReadSet(old.toSet))
   }
 
   final case class OptimizeResult(version: Long, rewritten: Int,
@@ -1100,7 +1394,12 @@ class LogStore(spark: SparkSession, val root: String,
     val old = liveSegments(v)
     val data = read(v)
     val adds = rewriteClustered(data, targetSegments, clusterBy)
-    OptimizeResult(commit(v + 1, adds, old), old.size, adds.size)
+    // layout-only rewrite: a concurrent APPEND is compatible (its
+    // segment simply stays un-optimized this round) — only a writer
+    // that touched the segments being replaced is a real conflict
+    OptimizeResult(
+      commitRevalidated(v, adds, old, ReadSet(old.toSet)),
+      old.size, adds.size)
   }
 
   /** The clustered-rewrite kernel shared by [[optimize]] and
@@ -1168,29 +1467,37 @@ class LogStore(spark: SparkSession, val root: String,
   def optimizeWhere(targetSegments: Int,
       preds: Seq[(String, String, String)] = Nil,
       minSegmentBytes: Long = 0L,
-      clusterBy: Seq[org.apache.spark.sql.Column] = Nil)
+      clusterBy: Seq[org.apache.spark.sql.Column] = Nil,
+      withDeletes: Boolean = false)
       : OptimizeResult = {
     require(targetSegments >= 1, "targetSegments must be positive")
-    require(preds.nonEmpty || minSegmentBytes > 0L,
-      "subset optimize needs a selector: stats predicates and/or a " +
-        "small-segment byte threshold (optimize() is the full rewrite)")
+    require(preds.nonEmpty || minSegmentBytes > 0L || withDeletes,
+      "subset optimize needs a selector: stats predicates, a " +
+        "small-segment byte threshold, and/or withDeletes " +
+        "(optimize() is the full rewrite)")
     preds.foreach { case (c, _, _) =>
       require(statsCol.contains(c) || statsCols.contains(c),
         s"'$c' is not a configured stats column (statsCol/statsCols)")
     }
     val v = latestVersion()
     val live = liveSegmentInfos(v)
+    // withDeletes: DV COMPACTION — also select every segment carrying
+    // a deletion vector, so the weekly maintenance pass folds
+    // merge-on-read debt back into clean segments (the rewrite reads
+    // DV-aware; the replaced segment's vector dies with it)
     val selected = live.filter { s =>
-      preds.forall { case (c, lo, hi) => s.mayOverlapOn(c, lo, hi) } &&
-      (minSegmentBytes <= 0L || segmentBytes(s) < minSegmentBytes)
+      (preds.forall { case (c, lo, hi) => s.mayOverlapOn(c, lo, hi) } &&
+        (preds.nonEmpty || minSegmentBytes > 0L) &&
+        (minSegmentBytes <= 0L || segmentBytes(s) < minSegmentBytes)) ||
+      (withDeletes && s.dv.nonEmpty)
     }
     if (selected.isEmpty)
       return OptimizeResult(v, 0, 0, carried = live.size)
-    val data = spark.read.option("mergeSchema", "true")
-      .parquet(selected.map(s => s"$root/${s.name}"): _*)
+    val data = scanSegments(selected, None)
     val adds = rewriteClustered(data, targetSegments, clusterBy)
     OptimizeResult(
-      commit(v + 1, adds, selected.map(_.name)),
+      commitRevalidated(v, adds, selected.map(_.name),
+        ReadSet(selected.map(_.name).toSet)),
       selected.size, adds.size, carried = live.size - selected.size)
   }
 
@@ -1249,10 +1556,13 @@ class LogStore(spark: SparkSession, val root: String,
     require(latest >= 0, s"no log at $root")
     val from = if (limit > latest) 0L else latest - limit + 1
     val rows = (from to latest).map { v =>
-      val (adds, removes, txns, vacs, cdcs, _, _) = readActions(v)
+      val Actions(adds, removes, txns, vacs, cdcs, _, _, dvs) =
+        readActions(v)
       val op =
         if (vacs.nonEmpty) "VACUUM"
         else if (txns.nonEmpty) "STREAMING APPEND"
+        else if (dvs.nonEmpty && adds.isEmpty && removes.isEmpty)
+          "DELETE (DV)"
         else if (adds.nonEmpty && removes.nonEmpty) "REWRITE"
         else if (removes.nonEmpty) "REMOVE"
         else "APPEND"
@@ -1326,11 +1636,27 @@ class LogStore(spark: SparkSession, val root: String,
     val cur = liveSegmentInfos(latest)
     val curNames = cur.map(_.name).toSet
     val targetNames = target.map(_.name).toSet
+    val curByName = cur.map(s => s.name -> s).toMap
     val adds = target.filterNot(s => curNames.contains(s.name))
     val removes = cur.map(_.name).filterNot(targetNames.contains)
+    // deletion-vector drift: a segment live at BOTH versions whose dv
+    // state differs changes rows without changing names — the restore
+    // must re-point (or clear) the vector too. Re-added segments
+    // carry their dv inside the add action (addJson), so only the
+    // shared ones need explicit dv actions.
+    val dvFixes = target.filter(s => curByName.get(s.name)
+        .exists(_.dv != s.dv))
+      .map(s => (s.name, s.dv.map(_._1).getOrElse(""),
+        s.dv.map(_._2).getOrElse(0L)))
     val cdc =
-      if (adds.isEmpty && removes.isEmpty) Nil // no-op restore
-      else {
+      if (adds.isEmpty && removes.isEmpty && dvFixes.isEmpty)
+        Nil // no-op restore
+      else if (dvFixes.isEmpty &&
+          adds.forall(_.dv.isEmpty) &&
+          removes.forall(n => curByName(n).dv.isEmpty)) {
+        // the fast path: pure segment-set diff (no vectors anywhere
+        // in it) — segments are immutable, so the set diff IS the
+        // row diff
         val departing = removes.map(s =>
           spark.read.parquet(s"$root/$s")
             .withColumn("_change_type", flit("delete")))
@@ -1342,8 +1668,29 @@ class LogStore(spark: SparkSession, val root: String,
         val all = (departing ++ returning)
           .reduce(_.unionByName(_, allowMissingColumns = true))
         Seq(writeChangeSegment(all))
+      } else {
+        // vectors involved: the row diff is the dv-aware snapshot
+        // diff — exceptAll each way (identical carried rows cancel),
+        // both sides projected onto the latest recorded shape so a
+        // rollback across a schema evolution still aligns
+        import org.apache.spark.sql.functions.{col => fcol}
+        val before = read(latest)
+        val afterSnap = read(version)
+        val sc = recordedSchema(latest).getOrElse(before.schema)
+        def proj(df: DataFrame): DataFrame =
+          df.select(sc.fields.toSeq.map { f =>
+            (if (df.columns.contains(f.name)) fcol(f.name)
+             else flit(null).cast(f.dataType)).as(f.name)
+          }: _*)
+        val b = proj(before)
+        val a = proj(afterSnap)
+        val all = b.exceptAll(a)
+          .withColumn("_change_type", flit("delete"))
+          .unionByName(a.exceptAll(b)
+            .withColumn("_change_type", flit("insert")))
+        Seq(writeChangeSegment(all))
       }
-    commit(latest + 1, adds, removes, cdc = cdc)
+    commit(latest + 1, adds, removes, cdc = cdc, dvs = dvFixes)
   }
 
   final case class MergeResult(version: Long, rewritten: Int, live: Int)
@@ -1404,17 +1751,18 @@ class LogStore(spark: SparkSession, val root: String,
     // segments keep the old type — coexisting-types corruption
     val (schemaAct, propsAct) = enforceSchema(updates.schema, v)
     val live = liveSegmentInfos(v)
-    val touched = statsCol.filter(keyCols.contains) match {
+    val (touched, keyRange) = statsCol.filter(keyCols.contains) match {
       case Some(pc) =>
         val b = updates.agg(fmin(fcol(pc)).cast("string"),
           fmax(fcol(pc)).cast("string")).head()
-        if (b.isNullAt(0)) Seq.empty[Segment] // no update rows
-        else live.filter(_.mayOverlap(b.getString(0), b.getString(1)))
-      case None => live
+        if (b.isNullAt(0)) (Seq.empty[Segment], None) // no update rows
+        else (live.filter(_.mayOverlap(b.getString(0), b.getString(1))),
+          Some((pc, b.getString(0), b.getString(1))))
+      case None => (live, None)
     }
     val touchedData =
       if (touched.isEmpty) updates.limit(0)
-      else spark.read.parquet(touched.map(s => s"$root/${s.name}"): _*)
+      else scanSegments(touched, None)
     val survivors = touchedData
       .join(updates.select(keys: _*), keyCols, "left_anti")
     val rewritten = survivors.unionByName(updates)
@@ -1431,7 +1779,12 @@ class LogStore(spark: SparkSession, val root: String,
         .join(matchedKeys, keyCols, "left_anti")
         .withColumn("_change_type", flit("insert")))
     MergeResult(
-      commit(v + 1, Seq(writeSegment(rewritten)), touched.map(_.name),
+      commitRevalidated(v, Seq(writeSegment(rewritten)),
+        touched.map(_.name),
+        // unpruned merges may match ANY concurrently-added row; key-
+        // range-pruned ones conflict only with overlapping adds
+        ReadSet(touched.map(_.name).toSet, keyRange,
+          matchesAnyNewRow = keyRange.isEmpty && touched.nonEmpty),
         cdc = Seq(writeChangeSegment(changes)), schema = schemaAct,
         props = propsAct),
       touched.size, live.size)
@@ -1500,8 +1853,7 @@ class LogStore(spark: SparkSession, val root: String,
       }
     val touchedData =
       if (touched.isEmpty) upserts.limit(0)
-      else spark.read.option("mergeSchema", "true")
-        .parquet(touched.map(s => s"$root/${s.name}"): _*)
+      else scanSegments(touched, None)
     val survivors = touchedData
       .join(allKeys, keyCols, "left_anti")
     val rewritten = survivors.unionByName(upserts,
@@ -1571,12 +1923,21 @@ class LogStore(spark: SparkSession, val root: String,
     // payloads can go.
     val top = latestVersion()
     val keep = scala.collection.mutable.HashSet.empty[String]
-    keep ++= replayTo(horizon).live.keys
+    val keepDv = scala.collection.mutable.HashSet.empty[String]
+    val horizonState = replayTo(horizon)
+    keep ++= horizonState.live.keys
+    keepDv ++= horizonState.live.values.flatMap(_.dv.map(_._1))
     val keepCdc = scala.collection.mutable.HashSet.empty[String]
     (horizon to top).foreach { ver =>
       val a = readActions(ver)
-      if (ver > horizon) keep ++= a._1.map(_.name)
-      keepCdc ++= a._5
+      if (ver > horizon) {
+        keep ++= a.adds.map(_.name)
+        // dv dirs referenced by retained versions stay — whether
+        // attached by a dv action or carried on a re-add (restore)
+        keepDv ++= a.adds.flatMap(_.dv.map(_._1))
+        keepDv ++= a.dvs.map(_._2).filter(_.nonEmpty)
+      }
+      keepCdc ++= a.cdcs
     }
     val cutoff = System.currentTimeMillis() - orphanMinAgeMs
     val (doomed, sparedByAge) = {
@@ -1585,6 +1946,7 @@ class LogStore(spark: SparkSession, val root: String,
         st.isDirectory &&
         ((n.startsWith("seg-") && !keep.contains(n)) ||
           (n.startsWith("cdc-") && !keepCdc.contains(n)) ||
+          (n.startsWith("dv-") && !keepDv.contains(n)) ||
           n.startsWith("_opt-") || // a crashed optimize's staging dir
           n.startsWith("_stage-")) // a crashed DSv2 write's staging dir
       }
@@ -1619,6 +1981,76 @@ class LogStore(spark: SparkSession, val root: String,
     * caller owns deleting its staged directories. Until this returns,
     * the staged segments are invisible to every reader; if the caller
     * dies first they are crash orphans [[vacuum]] reclaims. */
+  /** Publish a copy-on-write REPLACE as one commit: already-written
+    * segment directories (`adds` — staged by a distributed write,
+    * e.g. the DSv2 row-level-operation path behind SQL UPDATE /
+    * MERGE INTO) replace exactly `removes`, the live segments the
+    * writing query READ at `readVersion`. Read-modify-write
+    * concurrency: the commit lands at readVersion+1 or throws
+    * [[ConcurrentCommitException]] — a racing writer can never have
+    * its rows silently dropped by a rewrite that never read them.
+    *
+    * The change feed stays truthful without the writer knowing which
+    * rows changed: the commit's cdc segment is the MINIMAL MULTISET
+    * DIFF of old vs new content — rows carried over unchanged cancel
+    * out; a changed row appears as delete(old) + insert(new) in the
+    * same commit (keyed consumers net that to the upsert:
+    * [[graft.streaming.StreamingOps.netChangesKeyed]] ranks the
+    * insert above the delete within one version); a removed row is a
+    * lone delete, a new row a lone insert. Cost: one exceptAll each
+    * way over the REPLACED bytes only — the same ∝-selected economics
+    * as the rewrite itself. */
+  def publishReplace(adds: Seq[String], removes: Seq[String],
+      writeSchema: org.apache.spark.sql.types.StructType,
+      readVersion: Long): Long = {
+    import org.apache.spark.sql.functions.{col => fcol, lit => flit}
+    require(adds.nonEmpty || removes.nonEmpty, "nothing to replace")
+    val (schemaAct, propsAct) = enforceSchema(writeSchema, readVersion)
+    val addMeta = adds.map(segmentMeta(_, writeSchema.fieldNames.toSeq))
+    // the diff is aligned on the post-write table shape: old segments
+    // read null in evolved columns (the usual evolution semantics)
+    val target = schemaAct.map(decodeSchema)
+      .orElse(recordedSchema(math.min(readVersion, latestVersion())))
+      .getOrElse(writeSchema)
+    def project(df: DataFrame): DataFrame =
+      df.select(target.fields.toSeq.map { f =>
+        (if (df.columns.contains(f.name)) fcol(f.name)
+         else flit(null).cast(f.dataType)).as(f.name)
+      }: _*)
+    def empty: DataFrame = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), target)
+    // the OLD side reads DV-AWARE (a replaced segment's already-
+    // deleted rows must not reappear as feed deletes); the new
+    // segments are fresh directories with no vectors
+    val removedInfos = {
+      val v = latestVersion()
+      if (v < 0) Nil
+      else {
+        val byName = liveSegmentInfos(math.min(readVersion, v))
+          .map(s => s.name -> s).toMap
+        removes.flatMap(byName.get)
+      }
+    }
+    val before =
+      if (removedInfos.isEmpty) empty
+      else project(scanSegments(removedInfos, None))
+    val after =
+      if (adds.isEmpty) empty
+      else project(spark.read.option("mergeSchema", "true")
+        .parquet(adds.map(d => s"$root/$d"): _*))
+    val changes = before.exceptAll(after)
+      .withColumn("_change_type", flit("delete"))
+      .unionByName(after.exceptAll(before)
+        .withColumn("_change_type", flit("insert")))
+    // the replaced content's selection condition lives in the SQL
+    // plan, not here — conservative re-validation: any concurrent
+    // ADD may have matched it (maintenance/fence winners still pass)
+    commitRevalidated(readVersion, addMeta, removes,
+      ReadSet(removes.toSet, matchesAnyNewRow = true),
+      cdc = Seq(writeChangeSegment(changes)), schema = schemaAct,
+      props = propsAct)
+  }
+
   def publishSegments(names: Seq[String],
       writeSchema: org.apache.spark.sql.types.StructType,
       txn: Option[Long] = None, maxAttempts: Int = 5): Long = {

@@ -53,7 +53,8 @@ import graft.catalog.LogStore
   *    catalog-side DDL mutation; renames/drops are filesystem moves
   *    guarded by existence checks.
   */
-class GraftLogCatalog extends TableCatalog with SupportsNamespaces {
+class GraftLogCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var rootDir: String = _
 
@@ -72,10 +73,17 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces {
   override def name(): String = catalogName
 
   // path safety: identifier parts become directory names, so they may
-  // not traverse ("..", "/") or hide ("" / ".") — refuse loudly
+  // not traverse ("..", "/") or hide ("" / ".") — refuse loudly.
+  // Engine-reserved names are refused too: a namespace or table named
+  // `_log` would make its PARENT directory classify as a table
+  // (isTable checks for a `_log` child), and `seg-*`/`cdc-*`/`dv-*`/
+  // `_`-prefixed names collide with the data/staging directories the
+  // store itself writes under a table root.
   private def validPart(p: String): Boolean =
     p.nonEmpty && p != "." && p != ".." &&
-      !p.contains("/") && !p.contains("\\")
+      !p.contains("/") && !p.contains("\\") &&
+      !p.startsWith("_") && !p.startsWith("seg-") &&
+      !p.startsWith("cdc-") && !p.startsWith("dv-")
 
   private def dirOf(parts: Seq[String]): String = {
     parts.foreach(p => require(validPart(p),
@@ -85,6 +93,17 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces {
 
   private def tableDir(ident: Identifier): String =
     dirOf(ident.namespace.toSeq :+ ident.name)
+
+  /** A table path from `ns.t` parts, through the same identifier
+    * rules as every other catalog surface — the stored procedures'
+    * resolver; refuses paths that are not tables. */
+  private[sources] def resolveTableDir(parts: Seq[String]): String = {
+    val dir = dirOf(parts)
+    if (!isTable(dir))
+      throw new NoSuchTableException(
+        Identifier.of(parts.init.toArray, parts.last))
+    dir
+  }
 
   private def isTable(dir: String): Boolean =
     fs.exists(new Path(s"$dir/_log"))
@@ -128,7 +147,7 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces {
       ident.name.substring(dollar + 1) match {
         case "changes" =>
           new LogStreamTable(LogStreamSource.feedSchema(dir), dir,
-            None, None, None, None)
+            None, None, None, None, readOnly = true)
         case "history" => new LogDriverTable(s"${ident.name}($dir)",
           () => LogStore.configured(SparkSession.active, dir)
             .describeHistory())
@@ -198,6 +217,40 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces {
     if (!fs.rename(new Path(from), new Path(to)))
       throw new java.io.IOException(s"rename $from -> $to failed")
   }
+
+  // ---- stored procedures (SQL CALL): the maintenance commands ----
+  // CALL graft.system.optimize/maintain/vacuum/checkpoint — see
+  // [[GraftProcedure]]; `system` is a virtual namespace (no
+  // directory), so procedure names can never collide with tables.
+
+  private def procedureOf(name: String)
+      : Option[org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure] = name match {
+    case "optimize" => Some(new OptimizeProcedure(this))
+    case "maintain" => Some(new MaintainProcedure(this))
+    case "vacuum" => Some(new VacuumProcedure(this))
+    case "checkpoint" => Some(new CheckpointProcedure(this))
+    case _ => None
+  }
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure = {
+    val inSystem = ident.namespace.isEmpty ||
+      ident.namespace.sameElements(Array("system"))
+    (if (inSystem) procedureOf(ident.name) else None).getOrElse(
+      throw new RuntimeException(
+        s"procedure ${ident.namespace.mkString(".")}.${ident.name} " +
+          s"not found; $catalogName.system has: optimize, maintain, " +
+          "vacuum, checkpoint"))
+  }
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array("checkpoint", "maintain", "optimize", "vacuum")
+        .map(Identifier.of(Array("system"), _))
+    else Array.empty
 
   // ---- namespaces (plain directories without a _log) ----
 

@@ -1,0 +1,256 @@
+package graft.sources
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.MetadataColumn
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.types._
+
+import graft.catalog.LogStore
+
+/** SQL `UPDATE` / `MERGE INTO` / general `DELETE` on graft-log tables
+  * — the DSv2 GROUP-BASED row-level operation path
+  * ([[org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations]]),
+  * riding the same copy-on-write, stats-pruned economics as the
+  * programmatic [[graft.catalog.LogStore.mergeKeyed]]:
+  *
+  *  - **The group is the segment.** Spark's rewrite
+  *    (`RewriteUpdateTable` / `RewriteMergeIntoTable`) reads whole
+  *    groups through this operation's scan, recomputes their contents
+  *    (carried-over + updated + inserted rows — ALL expression
+  *    semantics are Spark's, this connector never evaluates an
+  *    assignment), and writes them back; the commit replaces exactly
+  *    the scanned segments in one version
+  *    ([[graft.catalog.LogStore.publishReplace]]).
+  *  - **Runtime group filtering keeps it ∝ matching bytes**: the scan
+  *    implements [[SupportsRuntimeV2Filtering]] on the `_segment`
+  *    metadata column, so Spark first runs a matching-groups subquery
+  *    (`SELECT DISTINCT _segment WHERE <cond>` — itself stats-pruned
+  *    through the snapshot scan's pushdown) and narrows the rewrite
+  *    to segments that actually hold matches. A 10-row UPDATE on a
+  *    clustered 100 TB table rewrites the overlapping segments, not
+  *    the table.
+  *  - **Read-modify-write concurrency**: the scan pins the version it
+  *    read; the commit lands at readVersion+1 or throws — a racing
+  *    writer is never silently overwritten.
+  *  - **The change feed stays truthful** via publishReplace's minimal
+  *    multiset diff (delete(old)+insert(new) per changed row), which
+  *    keyed mirrors net to the upsert.
+  *
+  * Plain `DELETE FROM` keeps its existing fast paths: Spark's
+  * `OptimizeMetadataOnlyDeleteFromTable` converts eligible deletes
+  * back to the [[LogStreamTable.deleteWhere]] metadata path
+  * (stats-pruned `deleteRange` / predicate copy-on-write); only
+  * conditions that path cannot express fall through to this one. */
+final class GraftRowLevelOperationBuilder(root: String,
+    info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new GraftRowLevelOperation(root, info.command)
+}
+
+final class GraftRowLevelOperation(root: String, cmd: Command)
+    extends RowLevelOperation {
+  // the scan/write coordination point: Spark builds the scan and the
+  // write from the SAME operation instance (both driver-side), so the
+  // write's commit reads the scan's final — post-runtime-filter —
+  // segment selection and pinned version
+  @volatile private[sources] var scanRef: GraftRowLevelScan = _
+
+  override def command(): Command = cmd
+  override def description(): String = s"GraftRowLevel($cmd, $root)"
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : ScanBuilder = new GraftRowLevelScanBuilder(root, this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = {
+        val schema = info.schema()
+        schema.fields.foreach { f =>
+          require(LogParquetWrite.writable(f.dataType),
+            s"graft-log stores flat columns; '${f.name}' is " +
+              s"${f.dataType}")
+        }
+        new GraftReplaceWrite(root, schema,
+          GraftRowLevelOperation.this)
+      }
+    }
+
+  // the rewrite must read `_segment` through the row-level scan: it
+  // is the grouping attribute the runtime group filter resolves
+  // against (the write-side projections strip it back out — metadata
+  // never lands in the table)
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_segment"))
+}
+
+final class GraftRowLevelScanBuilder(root: String,
+    op: GraftRowLevelOperation) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = _
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = {
+    val store = LogStore.configured(SparkSession.active, root)
+    val schema = Option(required).getOrElse(
+      LogStreamSource.snapshotSchema(root))
+    val scan = new GraftRowLevelScan(root, store, schema)
+    op.scanRef = scan
+    scan
+  }
+}
+
+/** The group scan: all live segments of the pinned version, narrowed
+  * at runtime by the `_segment IN (...)` predicate Spark derives from
+  * the matching-groups subquery. One partition per parquet file —
+  * executor parallelism scales with the selected data. */
+final class GraftRowLevelScan(root: String, store: LogStore,
+    schema: StructType) extends Scan with Batch
+    with SupportsRuntimeV2Filtering {
+
+  private[sources] val readVersion: Long = store.latestVersion()
+  @volatile private[sources] var selectedInfos: Seq[LogStore#Segment] =
+    if (readVersion < 0) Nil else store.liveSegmentInfos(readVersion)
+  private[sources] def selected: Seq[String] = selectedInfos.map(_.name)
+
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"GraftRowLevelScan($root) segments=${selected.size}"
+  override def toBatch: Batch = this
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_segment"))
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.foreach { p =>
+      GraftSegmentPredicate.inValues(p).foreach { vals =>
+        selectedInfos = selectedInfos.filter(s => vals.contains(s.name))
+      }
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    selectedInfos.flatMap { seg =>
+      fs.listStatus(new Path(s"$root/${seg.name}"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => LogStreamPartition(f.getPath.toString, -1L, None,
+          seg.dv.map(d => s"$root/${d._1}")): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    LogStreamPlanning.readerFactory(SparkSession.active, schema)
+}
+
+/** The `_segment IN (...)` / `_segment = ...` runtime predicates the
+  * group-filtering rule hands the scan, decoded conservatively: any
+  * shape not provably about `_segment` is ignored (the scan then
+  * rewrites more than strictly needed — correct, never wrong). */
+private[sources] object GraftSegmentPredicate {
+  private def isSegmentRef(e: org.apache.spark.sql.connector
+      .expressions.Expression): Boolean = e match {
+    case r: NamedReference => r.fieldNames.sameElements(Array("_segment"))
+    case _ => false
+  }
+
+  def inValues(p: Predicate): Option[Set[String]] = p.name() match {
+    case "IN" =>
+      val ch = p.children()
+      if (ch.isEmpty || !isSegmentRef(ch.head)) None
+      else {
+        val lits = ch.tail.collect { case l: Literal[_] => l }
+        if (lits.length != ch.length - 1) None
+        else Some(lits.map(l => String.valueOf(l.value)).toSet)
+      }
+    case "=" => p.children() match {
+      case Array(r, l: Literal[_]) if isSegmentRef(r) =>
+        Some(Set(String.valueOf(l.value)))
+      case Array(l: Literal[_], r) if isSegmentRef(r) =>
+        Some(Set(String.valueOf(l.value)))
+      case _ => None
+    }
+    case _ => None
+  }
+}
+
+/** The replace write: executors stage parquet files (the same
+  * [[LogDataWriterFactory]] as the append sink), the driver's commit
+  * renames them into one fresh segment and publishes it as a
+  * copy-on-write replacement of the scan's final segment selection —
+  * via [[graft.catalog.LogStore.publishReplace]], which owns schema
+  * enforcement, stats/bloom metadata, the truthful cdc diff, and the
+  * readVersion+1 concurrency check. */
+final class GraftReplaceWrite(root: String, schema: StructType,
+    op: GraftRowLevelOperation) extends Write {
+  override def description(): String = s"GraftReplaceWrite($root)"
+  override def toBatch: BatchWrite =
+    new GraftReplaceBatchWrite(root, schema, op)
+}
+
+final class GraftReplaceBatchWrite(root: String, schema: StructType,
+    op: GraftRowLevelOperation) extends BatchWrite {
+  private val stage = s"_stage-${UUID.randomUUID().toString.take(12)}"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new LogDataWriterFactory(s"$root/$stage", schema,
+      LogStreamPlanning.confEntries(SparkSession.active))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val files = messages.collect { case LogWriteMessage(Some(f)) => f }
+    val scan = op.scanRef
+    require(scan != null,
+      "row-level write committed without its scan — not a ReplaceData plan")
+    val removes = scan.selected
+    if (files.isEmpty && removes.isEmpty) {
+      // nothing matched anywhere (e.g. UPDATE whose condition selects
+      // no group): version unchanged, no junk commit
+      LogSinkCommit.cleanup(spark, s"$root/$stage")
+      return
+    }
+    val adds =
+      if (files.isEmpty) Nil // every row of the groups deleted
+      else {
+        val segName = s"seg-${UUID.randomUUID().toString.take(12)}"
+        fs.mkdirs(new Path(s"$root/$segName"))
+        files.foreach { f =>
+          val from = new Path(f)
+          if (!fs.rename(from,
+              new Path(s"$root/$segName/${from.getName}")))
+            throw new java.io.IOException(
+              s"staging rename of $f failed")
+        }
+        Seq(segName)
+      }
+    val store = LogStore.configured(spark, root)
+    store.publishReplace(adds, removes, schema, scan.readVersion)
+    LogSinkCommit.cleanup(spark, s"$root/$stage")
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    LogSinkCommit.cleanup(SparkSession.active, s"$root/$stage")
+}
+
+/** The `_segment` metadata column: which data segment directory holds
+  * the row — the grouping attribute of the row-level operation path,
+  * and a handy provenance probe
+  * (`SELECT _segment, count(*) FROM t GROUP BY 1`). */
+object GraftSegmentMetadataColumn extends MetadataColumn {
+  override def name(): String = "_segment"
+  override def dataType(): DataType = StringType
+  override def isNullable: Boolean = false
+  override def comment(): String =
+    "name of the data segment directory holding the row"
+}

@@ -154,6 +154,10 @@ final class LogStreamingWrite(root: String, schema: StructType,
   private val stagePrefix = s"$root/_stage-${
     UUID.randomUUID().toString.take(12)}"
 
+  // the factory gets the bare prefix; each task APPENDS its epoch
+  // (createWriter's epochId) so files land in the exact per-epoch
+  // directory commit/abort operate on — epoch isolation is real, an
+  // abort(epochId) removes precisely the files its epoch staged
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new LogDataWriterFactory(stagePrefix, schema,
@@ -251,13 +255,15 @@ final class LogDataWriterFactory(stageDir: String, schema: StructType,
       taskId: Long): DataWriter[InternalRow] =
     new LogDataWriter(
       s"$stageDir/part-$partitionId-$taskId.parquet", schema, conf)
-  // the streaming form: the epoch is already IN stageDir (the driver
-  // passes the per-epoch staging path), the file name only needs the
-  // task identity
+  // the streaming form: stageDir is the QUERY prefix — the epoch id
+  // completes it to the per-epoch staging directory the driver's
+  // commit(epochId)/abort(epochId) operate on, so epochs never share
+  // a staging dir and abort cleanup actually removes what was written
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new LogDataWriter(
-      s"$stageDir/part-$partitionId-$taskId.parquet", schema, conf)
+      s"$stageDir-e$epochId/part-$partitionId-$taskId.parquet", schema,
+      conf)
 }
 
 /** Executor-side writer: one task, one parquet file, opened LAZILY on

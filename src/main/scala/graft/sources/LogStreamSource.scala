@@ -154,9 +154,12 @@ final class LogStreamTable(schema: StructType, root: String,
     changesFrom: Option[Long], changesTo: Option[Long],
     snapshot: Boolean = false, versionAsOf: Option[Long] = None,
     timestampAsOf: Option[Long] = None,
-    acceptAnySchema: Boolean = true)
+    acceptAnySchema: Boolean = true,
+    readOnly: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete {
+    with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft_log($root)"
   override def schema(): StructType = schema
   // ACCEPT_ANY_SCHEMA (path-based format only): Spark's write check
@@ -166,11 +169,20 @@ final class LogStreamTable(schema: StructType, root: String,
   // advertise it — SQL INSERT relies on Spark's store-assignment
   // resolution to cast literals to the table schema by position, and
   // skipping it would land untyped col1/col2/... columns.
+  // READ-ONLY tables (the `t$changes` metadata view) advertise no
+  // write/delete capability at all: an INSERT INTO t$changes would
+  // append feed-shaped rows (silently evolving _change_type into the
+  // base table) and a DELETE FROM t$changes would delete BASE rows —
+  // both refuse at analysis instead.
   override def capabilities(): util.Set[TableCapability] = {
-    val base: Set[TableCapability] =
-      Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
-        TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
-    (if (acceptAnySchema) base + TableCapability.ACCEPT_ANY_SCHEMA
+    val reads: Set[TableCapability] =
+      Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    val base =
+      if (readOnly) reads
+      else reads + TableCapability.BATCH_WRITE +
+        TableCapability.STREAMING_WRITE
+    (if (acceptAnySchema && !readOnly)
+       base + TableCapability.ACCEPT_ANY_SCHEMA
      else base).asJava
   }
   override def newScanBuilder(
@@ -180,8 +192,32 @@ final class LogStreamTable(schema: StructType, root: String,
         timestampAsOf)
     else new LogStreamScanBuilder(schema, root, startingVersion,
       maxVersionsPerTrigger, changesFrom, changesTo)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (readOnly) throw new UnsupportedOperationException(
+      s"${name()} is a read-only metadata table — write to the base " +
+        "table instead")
     new LogWriteBuilder(root, info)
+  }
+
+  // SQL UPDATE / MERGE INTO (and the general-predicate DELETE):
+  // group-based copy-on-write over segments, runtime-group-filtered —
+  // see [[GraftRowLevelOperationBuilder]]. The feed/metadata views
+  // refuse: row-level DML targets the TABLE, not a changes stream.
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (readOnly) throw new UnsupportedOperationException(
+      s"${name()} is a read-only metadata table — run DML against " +
+        "the base table instead")
+    if (!snapshot) throw new UnsupportedOperationException(
+      "row-level operations run on the snapshot table, not the " +
+        "change feed")
+    new GraftRowLevelOperationBuilder(root, info)
+  }
+
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftSegmentMetadataColumn)
 
   // ---- SQL DELETE FROM / TRUNCATE (SupportsDelete) ----
   // The implicitly-ANDed filters become ONE logical delete commit:
@@ -194,12 +230,15 @@ final class LogStreamTable(schema: StructType, root: String,
   // refuse at canDeleteWhere, so Spark reports a clear error instead
   // of a wrong delete.
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    LogDeleteSql.rangeOf(
+    !readOnly && (LogDeleteSql.rangeOf(
       LogStore.configured(SparkSession.active, root), filters)
       .nonEmpty ||
-      filters.forall(LogDeleteSql.sql(_).nonEmpty)
+      filters.forall(LogDeleteSql.sql(_).nonEmpty))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    if (readOnly) throw new UnsupportedOperationException(
+      s"${name()} is a read-only metadata table — DELETE FROM the " +
+        "base table instead")
     val store = LogStore.configured(SparkSession.active, root)
     LogDeleteSql.rangeOf(store, filters) match {
       case Some((c, lo, hi)) =>
@@ -487,7 +526,8 @@ final class LogMicroBatchStream(schema: StructType, root: String,
 }
 
 final case class LogStreamPartition(file: String, version: Long,
-    implied: Option[String]) extends InputPartition
+    implied: Option[String],
+    dvDir: Option[String] = None) extends InputPartition
 
 final class LogStreamReaderFactory(schema: StructType,
     confEntries: Array[(String, String)]) extends PartitionReaderFactory {
@@ -512,9 +552,57 @@ final class LogStreamPartitionReader(schema: StructType,
     ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
       .withConf(conf).build()
   private var current: Group = _
+  // the `_segment` metadata column: the data directory holding this
+  // file — served only when the file itself carries no such column
+  // (a real `_segment` data column shadows the metadata one, matching
+  // Spark's conflict rule)
+  private val segName =
+    UTF8String.fromString(new Path(p.file).getParent.getName)
+
+  // merge-on-read reconciliation: the segment's deletion vector,
+  // narrowed to THIS file's positions — read executor-side (the
+  // vector is ∝ deleted rows; a production variant would ship a
+  // roaring bitmap). Records are skipped by file-sequential index,
+  // which equals the write path's `_metadata.row_index` because
+  // segment files are immutable.
+  private val deleted: java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    p.dvDir.foreach { dir =>
+      val fileName = new Path(p.file).getName
+      val fs = new Path(dir).getFileSystem(conf)
+      fs.listStatus(new Path(dir))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach { st =>
+          val r = ParquetReader.builder(new GroupReadSupport(),
+            st.getPath).withConf(conf).build()
+          try {
+            var g = r.read()
+            while (g != null) {
+              val gt = g.getType
+              val fi = gt.getFieldIndex("file")
+              val pi = gt.getFieldIndex("pos")
+              if (g.getFieldRepetitionCount(fi) > 0 &&
+                  new String(g.getBinary(fi, 0).getBytes,
+                    java.nio.charset.StandardCharsets.UTF_8)
+                    == fileName)
+                set.add(g.getLong(pi, 0))
+              g = r.read()
+            }
+          } finally r.close()
+        }
+    }
+    set
+  }
+  private var rowIdx: Long = -1L
 
   override def next(): Boolean = {
     current = reader.read()
+    rowIdx += 1
+    while (current != null && !deleted.isEmpty &&
+        deleted.contains(rowIdx)) {
+      current = reader.read()
+      rowIdx += 1
+    }
     current != null
   }
 
@@ -528,6 +616,7 @@ final class LogStreamPartitionReader(schema: StructType,
         case "_commit_version" => p.version
         case "_change_type" if p.implied.isDefined =>
           UTF8String.fromString(p.implied.get)
+        case "_segment" if !gt.containsField("_segment") => segName
         case name =>
           if (!gt.containsField(name)) null
           else {
@@ -775,8 +864,12 @@ private[sources] object LogStatsAggregate {
         case _: CountStar =>
           if (!segs.forall(_.rows.nonEmpty)) return None // legacy segs
           fields += StructField(s"agg_$i", LongType, nullable = false)
-          values += segs.map(_.rows.get).sum
+          // deletion vectors subtract exactly (positions are
+          // distinct), so COUNT(*) stays log-answerable on dv tables
+          values += segs.map(_.liveRows.get).sum
         case m: Min =>
+          // a deletion vector may have removed the recorded extremum
+          if (segs.exists(_.dv.nonEmpty)) return None
           val c = singleField(m.column).getOrElse(return None)
           val dt = tableSchema.find(_.name == c)
             .getOrElse(return None).dataType
@@ -789,6 +882,7 @@ private[sources] object LogStatsAggregate {
           values += (if (keyed.isEmpty) null
                      else internal(keyed.minBy(_._1)._2, dt))
         case m: Max =>
+          if (segs.exists(_.dv.nonEmpty)) return None
           val c = singleField(m.column).getOrElse(return None)
           val dt = tableSchema.find(_.name == c)
             .getOrElse(return None).dataType
@@ -865,14 +959,17 @@ final class LogTableStream(root: String, schema: StructType)
     val st = store
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    def filesOf(seg: String, v: Long): Seq[InputPartition] =
+    def filesOf(seg: String, v: Long,
+        dvDir: Option[String] = None): Seq[InputPartition] =
       fs.listStatus(new Path(s"$root/$seg"))
         .filter(_.getPath.getName.endsWith(".parquet"))
-        .map(f => LogStreamPartition(f.getPath.toString, v, None)
+        .map(f => LogStreamPartition(f.getPath.toString, v, None, dvDir)
           : InputPartition).toSeq
     if (from <= -2L) {
-      // the initial snapshot: the live set at `to`, whole
-      st.liveSegmentInfos(to).flatMap(s => filesOf(s.name, to)).toArray
+      // the initial snapshot: the live set at `to`, whole (deletion
+      // vectors reconciled — the snapshot is the LIVE rows)
+      st.liveSegmentInfos(to).flatMap(s => filesOf(s.name, to,
+        s.dv.map(d => s"$root/${d._1}"))).toArray
     } else {
       val horizon = st.currentVacuumHorizon()
       if (from + 1 < horizon)
@@ -911,15 +1008,15 @@ final class LogSnapshotBatch(schema: StructType, root: String,
       "versionAsOf and timestampAsOf are mutually exclusive")
     val version = versionAsOf.getOrElse(
       timestampAsOf.map(store.versionAsOf).getOrElse(Long.MaxValue))
-    val (names, _) =
+    val (segs, _) =
       LogSnapshotPruning.selectSegments(store, version, filters)
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    names.flatMap { seg =>
-      fs.listStatus(new Path(s"$root/$seg"))
+    segs.flatMap { seg =>
+      fs.listStatus(new Path(s"$root/${seg.name}"))
         .filter(_.getPath.getName.endsWith(".parquet"))
-        .map(f => LogStreamPartition(f.getPath.toString, -1L, None)
-          : InputPartition)
+        .map(f => LogStreamPartition(f.getPath.toString, -1L, None,
+          seg.dv.map(d => s"$root/${d._1}")): InputPartition)
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1020,12 +1117,12 @@ private[sources] object LogSnapshotPruning {
     case _ => true
   }
 
-  /** (surviving segment names, live segment count) at `version`. */
+  /** (surviving segments, live segment count) at `version`. */
   def selectSegments(store: LogStore, version: Long,
-      filters: Array[Filter]): (Seq[String], Int) = {
+      filters: Array[Filter]): (Seq[LogStore#Segment], Int) = {
     val live = store.liveSegmentInfos(version)
     val keep = live.filter(seg =>
       filters.forall(f => mayMatch(store, seg, f)))
-    (keep.map(_.name), live.size)
+    (keep, live.size)
   }
 }

@@ -681,7 +681,8 @@ class LogStoreSpec extends AnyFunSuite {
       override private[graft] def commit(expected: Long, adds: Seq[Segment],
           removes: Seq[String], txn: Option[Long],
           vacuumHorizon: Option[Long], cdc: Seq[String],
-          schema: Option[String], props: Option[String]): Long = {
+          schema: Option[String], props: Option[String],
+          dvs: Seq[(String, String, Long)]): Long = {
         if (raceOnce) {
           raceOnce = false
           // the racing writer: segment written AND published at the
@@ -695,7 +696,7 @@ class LogStoreSpec extends AnyFunSuite {
           out.close()
         }
         super.commit(expected, adds, removes, txn, vacuumHorizon, cdc,
-          schema, props)
+          schema, props, dvs)
       }
     }
     t.append((1L to 4L).toDF("id"))   // v0
@@ -938,7 +939,8 @@ class LogStoreSpec extends AnyFunSuite {
       override private[graft] def commit(expected: Long, adds: Seq[Segment],
           removes: Seq[String], txn: Option[Long],
           vacuumHorizon: Option[Long], cdc: Seq[String],
-          schema: Option[String], props: Option[String]): Long = {
+          schema: Option[String], props: Option[String],
+          dvs: Seq[(String, String, Long)]): Long = {
         if (racesLeft > 0) {
           racesLeft -= 1
           // a racing writer claims the slot with a metadata-only commit
@@ -950,7 +952,7 @@ class LogStoreSpec extends AnyFunSuite {
           out.close()
         }
         super.commit(expected, adds, removes, txn, vacuumHorizon, cdc,
-          schema, props)
+          schema, props, dvs)
       }
     }
     t.append((1L to 3L).toDF("id"))          // v0

@@ -304,4 +304,48 @@ class GraftLogCatalogSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("append-only")),
       s"rewrites must refuse loudly, got: ${msgs(e)}")
   }
+
+  test("metadata tables are READ-ONLY: INSERT INTO t$changes and " +
+      "DELETE FROM t$changes refuse; the base table is untouched") {
+    root
+    spark.sql("CREATE TABLE gtest.ro (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gtest.ro VALUES (1, 'a'), (2, 'b')")
+    // an INSERT would append feed-shaped rows and silently evolve
+    // _change_type/_commit_version into the base table's schema
+    intercept[Exception] {
+      spark.sql("INSERT INTO gtest.`ro$changes` VALUES " +
+        "(3, 'c', 'insert', 9)")
+    }
+    // a DELETE rooted at the base dir would delete BASE rows
+    intercept[Exception] {
+      spark.sql("DELETE FROM gtest.`ro$changes` WHERE id = 1")
+    }
+    assert(spark.sql("SELECT count(*) FROM gtest.ro").head().getLong(0)
+      == 2L, "refused writes must leave the base table untouched")
+    assert(spark.sql("SELECT count(*) FROM gtest.`ro$changes`")
+      .head().getLong(0) == 2L, "the feed still reads")
+    val store = LogStore.configured(spark, s"$root/ro")
+    assert(store.latestVersion() == 1L,
+      "no extra version may land from the refused writes")
+  }
+
+  test("engine-reserved identifier parts refuse: a table or " +
+      "namespace named _log (or seg-*/cdc-*/_*) would corrupt the " +
+      "directory-layout classification") {
+    root
+    for (bad <- Seq("_log", "_stage-x", "seg-abc", "cdc-abc", "dv-abc")) {
+      val e = intercept[Exception] {
+        spark.sql(s"CREATE TABLE gtest.ns1.`$bad` (id BIGINT)")
+      }
+      assert(e.getMessage.contains("illegal identifier part"),
+        s"'$bad' must refuse as a table name, got: ${e.getMessage}")
+      val n = intercept[Exception] {
+        spark.sql(s"CREATE NAMESPACE gtest.`$bad`")
+      }
+      assert(n.getMessage.contains("illegal identifier part"),
+        s"'$bad' must refuse as a namespace, got: ${n.getMessage}")
+    }
+    // the corruption this pins against: gtest.ns1._log existing makes
+    // isTable(root/ns1) true and misclassifies the NAMESPACE forever
+  }
 }

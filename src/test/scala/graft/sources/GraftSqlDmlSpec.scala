@@ -1,0 +1,167 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.catalog.LogStore
+
+/** SQL UPDATE / MERGE INTO through the DSv2 row-level-operation path:
+  * copy-on-write at segment granularity, runtime group filtering
+  * keeping untouched segments carried BY NAME, a truthful change
+  * feed (minimal multiset diff), snapshot isolation, and the
+  * `_segment` metadata column. */
+class GraftSqlDmlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val root = {
+    val dir = Files.createTempDirectory("graft-dml").toString
+    spark.conf.set("spark.sql.catalog.gdml",
+      "graft.sources.GraftLogCatalog")
+    spark.conf.set("spark.sql.catalog.gdml.root", dir)
+    dir
+  }
+
+  private def mkTable(name: String): LogStore = {
+    root
+    spark.sql(s"CREATE TABLE gdml.$name (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('statsCol' = 'id')")
+    spark.sql(s"INSERT INTO gdml.$name SELECT id, " +
+      "CAST(id AS STRING) FROM range(0, 100)")        // seg A: 0..99
+    spark.sql(s"INSERT INTO gdml.$name SELECT id, " +
+      "CAST(id AS STRING) FROM range(1000, 1100)")    // seg B: 1000..1099
+    LogStore.configured(spark, s"$root/$name")
+  }
+
+  test("SQL UPDATE: assignments land, runtime group filtering " +
+      "carries non-matching segments BY NAME, the feed is a truthful " +
+      "delete+insert diff, and the pre-update snapshot survives") {
+    val store = mkTable("upd")
+    val before = store.liveSegmentInfos().map(_.name).toSet
+    val vBefore = store.latestVersion()
+    spark.sql("UPDATE gdml.upd SET v = concat('u-', v) " +
+      "WHERE id >= 1050 AND id <= 1059")
+    // content: exactly the ten rows updated
+    val got = spark.sql("SELECT count(*), " +
+      "sum(CAST(v LIKE 'u-%' AS INT)) FROM gdml.upd")
+      .as[(Long, Long)].head()
+    assert(got == ((200L, 10L)))
+    assert(spark.sql("SELECT v FROM gdml.upd WHERE id = 1055")
+      .head().getString(0) == "u-1055")
+    // economics: segment A (0..99) holds no match — carried by name
+    val after = store.liveSegmentInfos().map(_.name).toSet
+    assert(before.count(after.contains) == 1,
+      s"the non-matching segment must carry over by name " +
+        s"(before=$before after=$after)")
+    assert(store.latestVersion() == vBefore + 1, "one commit")
+    // the feed: ten delete(old) + ten insert(new) in ONE commit —
+    // the minimal multiset diff (190 carried rows cancel out)
+    val feed = store.readChanges(vBefore + 1)
+      .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(feed == Map("delete" -> 10L, "insert" -> 10L))
+    // snapshot isolation: the pre-update version still reads old rows
+    assert(store.read(vBefore).where(col("v").startsWith("u-"))
+      .count() == 0L)
+    // the _segment metadata attribute never lands in the table
+    assert(store.recordedSchema().map(_.fieldNames.toSeq) ==
+      Some(Seq("id", "v")))
+  }
+
+  test("SQL UPDATE matching nothing commits nothing") {
+    val store = mkTable("upd0")
+    val v = store.latestVersion()
+    spark.sql("UPDATE gdml.upd0 SET v = 'x' WHERE id = 777777")
+    assert(store.latestVersion() == v,
+      "a no-match UPDATE must not burn a version")
+    assert(spark.sql("SELECT count(*) FROM gdml.upd0")
+      .head().getLong(0) == 200L)
+  }
+
+  test("SQL MERGE INTO: matched-update, matched-delete and " +
+      "not-matched-insert in one atomic commit, stats-pruned to the " +
+      "touched segments, with a truthful net feed") {
+    val store = mkTable("mrg")
+    val before = store.liveSegmentInfos().map(_.name).toSet
+    val vBefore = store.latestVersion()
+    Seq((1050L, "m-1050"), (1051L, "DELETE_ME"), (5000L, "m-5000"))
+      .toDF("id", "v").createOrReplaceTempView("dml_src")
+    spark.sql("""MERGE INTO gdml.mrg t USING dml_src s ON t.id = s.id
+      |WHEN MATCHED AND s.v = 'DELETE_ME' THEN DELETE
+      |WHEN MATCHED THEN UPDATE SET v = s.v
+      |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+      |""".stripMargin)
+    assert(store.latestVersion() == vBefore + 1, "one atomic commit")
+    val cnt = spark.sql("SELECT count(*) FROM gdml.mrg")
+      .head().getLong(0)
+    assert(cnt == 200L, "one delete + one insert nets to 200")
+    assert(spark.sql("SELECT v FROM gdml.mrg WHERE id = 1050")
+      .head().getString(0) == "m-1050")
+    assert(spark.sql("SELECT count(*) FROM gdml.mrg WHERE id = 1051")
+      .head().getLong(0) == 0L)
+    assert(spark.sql("SELECT v FROM gdml.mrg WHERE id = 5000")
+      .head().getString(0) == "m-5000")
+    // segment A (0..99) holds no source key: carried by name
+    val after = store.liveSegmentInfos().map(_.name).toSet
+    assert(before.count(after.contains) == 1,
+      s"MERGE must not rewrite non-matching segments " +
+        s"(before=$before after=$after)")
+    // the feed nets per key to exactly the merge's effect: updated
+    // and deleted old rows as delete, updated-new + inserted as insert
+    val feed = store.readChanges(vBefore + 1)
+      .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(feed == Map("delete" -> 2L, "insert" -> 2L),
+      s"minimal diff expected, got $feed")
+  }
+
+  test("a keyed mirror of a SQL-updated table equals the table: the " +
+      "delete+insert diff nets to the upsert through netChangesKeyed") {
+    val store = mkTable("mirr")
+    val targetRoot = Files.createTempDirectory("graft-dml-mirror")
+      .toString + "/t"
+    val target = new LogStore(spark, targetRoot, statsCol = Some("id"))
+    graft.streaming.StreamingOps.mirrorLogToLogKeyed(store, target,
+      Seq("id"))
+    spark.sql("UPDATE gdml.mirr SET v = 'mm' WHERE id IN (3, 1003)")
+    graft.streaming.StreamingOps.mirrorLogToLogKeyed(store, target,
+      Seq("id"))
+    val want = spark.sql("SELECT id, v FROM gdml.mirr")
+      .as[(Long, String)].collect().toSet
+    val got = target.read().select("id", "v")
+      .as[(Long, String)].collect().toSet
+    assert(got == want, "mirror must equal the source snapshot")
+    assert(got.contains((3L, "mm")) && got.contains((1003L, "mm")))
+  }
+
+  test("the _segment metadata column is queryable and matches the " +
+      "live segment set") {
+    val store = mkTable("segcol")
+    val segs = spark.sql(
+      "SELECT DISTINCT _segment FROM gdml.segcol ORDER BY _segment")
+      .as[String].collect().toSet
+    assert(segs == store.liveSegmentInfos().map(_.name).toSet)
+    // and it never leaks into SELECT *
+    assert(!spark.sql("SELECT * FROM gdml.segcol").columns
+      .contains("_segment"))
+  }
+
+  test("general-predicate DELETE (not expressible as a metadata " +
+      "delete) falls through to the row-level path and stays correct") {
+    val store = mkTable("gdel")
+    val vBefore = store.latestVersion()
+    // id % 7 has no Filter translation → not a metadata delete
+    spark.sql("DELETE FROM gdml.gdel WHERE id % 7 = 0 AND id < 100")
+    val left = spark.sql("SELECT count(*) FROM gdml.gdel")
+      .head().getLong(0)
+    assert(left == 200L - 15L) // 0,7,...,98
+    assert(store.latestVersion() == vBefore + 1)
+    val feed = store.readChanges(vBefore + 1)
+      .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(feed == Map("delete" -> 15L))
+  }
+}

@@ -207,4 +207,35 @@ class LogSinkSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(feed == Map("insert" -> 6L))
   }
+
+  test("per-epoch staging isolation: epochs write into THEIR OWN " +
+      "_stage-*-e<epoch> directory and each commit removes it — no " +
+      "staging residue outlives the query") {
+    val root = tmp()
+    val in = MemoryStream[(Long, String)]
+    in.addData((1L, "a"), (2L, "b")) // epoch 0
+    val q = in.toDF().toDF("id", "v").writeStream
+      .format("graft-log").option("path", root)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sink-ck5").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      in.addData((3L, "c")) // epoch 1
+      q.processAllAvailable()
+    } finally q.stop()
+    val t = new LogStore(spark, root)
+    assert(t.read().count() == 3 && t.latestVersion() == 1L)
+    // the broken shape this pins against: all epochs writing into one
+    // shared bare-prefix dir that no commit's cleanup ever targeted,
+    // accumulating files for the query's lifetime (and matching
+    // vacuum's _stage-* orphan pattern while STILL ACTIVE)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val residue = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("_stage-"))
+    assert(residue.isEmpty,
+      s"staging dirs must die with their epoch's commit, found: " +
+        residue.mkString(", "))
+  }
 }

@@ -371,4 +371,53 @@ class LogStreamSourceSpec extends AnyFunSuite {
     assert(v0.queryExecution.executedPlan.toString
       .contains("GraftLogStatsAggregate"))
   }
+
+  test("watermarked event-time aggregation over the native feed: " +
+      "out-of-order commits through withWatermark + tumbling window " +
+      "≡ the batch counterpart with the same late-row drops") {
+    val root = Files.createTempDirectory("graft-wm").toString + "/tbl"
+    val store = new LogStore(spark, root)
+    def rows(specs: (String, String)*) = {
+      val sel = specs.map { case (ts, k) =>
+        s"SELECT to_timestamp('$ts') AS ts, '$k' AS k"
+      }.mkString(" UNION ALL ")
+      spark.sql(sel)
+    }
+    store.append(rows(("2024-01-01 00:10:00", "a"),
+      ("2024-01-01 00:20:00", "a"), ("2024-01-01 00:30:00", "b"),
+      ("2024-01-01 01:10:00", "a")))
+    store.append(rows(("2024-01-01 02:30:00", "b"))) // wm → 02:00
+    store.append(rows(("2024-01-01 03:30:00", "a"))) // hours 0-2 emit
+    store.append(rows(("2024-01-01 00:15:00", "a"))) // LATE: its
+      // window was already emitted+evicted → guaranteed dropped
+    val q = spark.readStream.format("graft-log").option("path", root)
+      .option("maxVersionsPerTrigger", "1").load()
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("string").as("w"), col("k"),
+        col("n"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wm_spec_mem").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("wm_spec_mem")
+      .as[(String, String, Long)].collect().toSet
+    // the batch counterpart: drop the row that arrived behind the
+    // watermark, keep windows whose end the final watermark (03:00)
+    // passed — hour 3 is withheld, exactly like the stream
+    val batch = store.read()
+      .where(col("ts") =!= expr("to_timestamp('2024-01-01 00:15:00')"))
+      .groupBy(window(col("ts"), "1 hour"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("window.end") <=
+        expr("to_timestamp('2024-01-01 03:00:00')"))
+      .select(col("window.start").cast("string").as("w"), col("k"),
+        col("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream $streamed must equal the dropped-late batch $batch")
+    assert(streamed.size == 4 &&
+      streamed.contains(("2024-01-01 00:00:00", "a", 2L)),
+      "the late straggler must not count")
+  }
 }

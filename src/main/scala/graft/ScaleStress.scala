@@ -647,29 +647,67 @@ object ScaleStress {
         r.rewritten.toLong)
       System.err.println(s"[scale] ${out.last.json}")
     }
-    // Deletion-vector point delete vs table size — the merge-on-read
-    // claim: a 100-row range delete on a clustered table writes a
-    // (file, position) sidecar for the ONE stats-pruned candidate
-    // segment and rewrites NOTHING (candidates = segments touched,
-    // pinned at 1; data bytes rewritten = 0 by construction), so cost
-    // stays ~flat as the table grows 10× per decade. Read it against
-    // src_log_delete directly above — the copy-on-write counterfactual
-    // at the same shape, which pays the full segment rewrite.
+    // Deletion-vector point delete vs SEGMENT BYTES — the
+    // merge-on-read claim stated honestly: a 100-row point delete
+    // must WRITE ∝ DELETED ROWS, not ∝ the bytes of the segment that
+    // happens to hold them. Both paths prune to the ONE candidate
+    // segment by stats; the copy-on-write twin (`_cow`, deleteRange
+    // on an identical table) then REWRITES that segment — its write
+    // volume grows 10× per decade as rows grow inside the fixed
+    // 10-segment layout — while the DV path writes a 100-position
+    // sidecar whose size is INVARIANT. The candidates column records
+    // exactly that: NEW BYTES WRITTEN by the delete (dv dir vs
+    // rewritten segment + both paths' cdc). Wall time at MB-scale
+    // segments is fixed-job-overhead noise; the bytes accounting is
+    // the deterministic form of the claim that survives to 1 GB
+    // segments, where the cow rewrite is the outage.
     if (only.isEmpty || only.contains("src_dv_delete")) {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-scale-dv").toString + "/tbl"
-      val store = new graft.catalog.LogStore(spark, root,
-        statsCol = Some("id"))
-      val nSegs = 10 * scale
-      (0 until nSegs).foreach { i =>
-        store.append(spark.range(i * 1000L, i * 1000L + 1000L)
-          .toDF("id").withColumn("v", lit("a")))
+      val rowsPerSeg = 10000L * scale
+      def seed(): graft.catalog.LogStore = {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-scale-dv").toString + "/tbl"
+        val store = new graft.catalog.LogStore(spark, root,
+          statsCol = Some("id"))
+        (0 until 10).foreach { i =>
+          store.append(spark.range(i * rowsPerSeg,
+            (i + 1) * rowsPerSeg).toDF("id")
+            .withColumn("v", lit("a")))
+        }
+        store
       }
-      val (sec, r) = time { store.deleteRangeDV("id", "5100", "5199") }
+      def dirBytes(root: String, prefixes: Set[String],
+          exclude: Set[String]): Long = {
+        val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(new org.apache.hadoop.fs.Path(root))
+          .filter(st => st.isDirectory &&
+            prefixes.exists(st.getPath.getName.startsWith) &&
+            !exclude.contains(st.getPath.getName))
+          .map(st => fs.getContentSummary(st.getPath).getLength).sum
+      }
+      val dvStore = seed()
+      val preDv = dvStore.liveSegments().toSet
+      val lo = 5 * rowsPerSeg + 100
+      val (sec, r) = time {
+        dvStore.deleteRangeDV("id", lo.toString, (lo + 99).toString)
+      }
       require(r.touched == 1 && r.deletedRows == 100L,
         s"pruning must vector one segment: $r")
-      out += Measurement("src_dv_delete", scale, nSegs.toLong, sec,
-        r.touched.toLong)
+      val dvBytes = dirBytes(dvStore.root, Set("dv-", "seg-", "cdc-"),
+        exclude = preDv)
+      out += Measurement("src_dv_delete", scale, rowsPerSeg, sec,
+        dvBytes)
+      System.err.println(s"[scale] ${out.last.json}")
+      val cowStore = seed()
+      val preCow = cowStore.liveSegments().toSet
+      val (secC, rc) = time {
+        cowStore.deleteRange("id", lo.toString, (lo + 99).toString)
+      }
+      require(rc.rewritten == 1, s"same one-segment prune: $rc")
+      val cowBytes = dirBytes(cowStore.root, Set("dv-", "seg-", "cdc-"),
+        exclude = preCow)
+      out += Measurement("src_dv_delete_cow", scale, rowsPerSeg, secC,
+        cowBytes)
       System.err.println(s"[scale] ${out.last.json}")
     }
     // LogStore OPTIMIZE cost vs table size — the cost ∝ rewritten-
@@ -797,6 +835,52 @@ object ScaleStress {
       require(resolved._2 == nCommits - 1L, "txn fence must resolve")
       out += Measurement("src_log_snapshot", scale, nCommits.toLong,
         sec, resolved._1.toLong)
+      System.err.println(s"[scale] ${out.last.json}")
+    }
+    // Checkpoint-served pruning vs table AGE — the 10⁶-segment claim:
+    // skipping decisions must be answerable from the `_last_checkpoint`
+    // snapshot (which carries every live segment's stats + Bloom + row
+    // counts + dv state) WITHOUT replaying the action log. The table
+    // ages 10× per decade in COMMITS (fake stats-bearing segments, no
+    // parquet); the measured work is a full resolution + stats prune
+    // (liveSegmentInfos + mayOverlap). The `_replay` twin is the
+    // counterfactual: an identical table that never checkpointed, where
+    // the same question must re-read EVERY version file — linear in
+    // table age, the cost the checkpoint exists to delete.
+    if (only.isEmpty || only.contains("src_ckpt_prune")) {
+      def age(root: String, nCommits: Int, interval: Int)
+          : graft.catalog.LogStore = {
+        val store = new graft.catalog.LogStore(spark, root,
+          statsCol = Some("id"), checkpointInterval = interval)
+        (0 until nCommits).foreach { i =>
+          store.commit(i.toLong,
+            Seq(store.Segment(s"seg-$i", Some((i * 10).toString),
+              Some((i * 10 + 9).toString), num = true,
+              bloom = Some("f" * 1024), rows = Some(100L))), Nil)
+        }
+        store
+      }
+      val nCommits = 1000 * scale
+      val withCk = age(java.nio.file.Files
+        .createTempDirectory("graft-scale-ck").toString + "/t",
+        nCommits, interval = 100)
+      val (sec, hit) = time {
+        withCk.liveSegmentInfos()
+          .count(_.mayOverlap("5000", "5090"))
+      }
+      out += Measurement("src_ckpt_prune", scale, nCommits.toLong,
+        sec, hit.toLong)
+      System.err.println(s"[scale] ${out.last.json}")
+      val noCk = age(java.nio.file.Files
+        .createTempDirectory("graft-scale-nock").toString + "/t",
+        nCommits, interval = Int.MaxValue)
+      val (secR, hitR) = time {
+        noCk.liveSegmentInfos()
+          .count(_.mayOverlap("5000", "5090"))
+      }
+      require(hit == hitR, "both paths must prune identically")
+      out += Measurement("src_ckpt_prune_replay", scale,
+        nCommits.toLong, secR, hitR.toLong)
       System.err.println(s"[scale] ${out.last.json}")
     }
     docs.unpersist(); emb.unpersist(); vals.unpersist(); edges.unpersist()

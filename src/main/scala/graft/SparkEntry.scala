@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{AnalyticsOps, BillingOps, BloomOps, Dedup, GraphOps, MergeOps, Multimodal, PipelineOps, RelationalOps, Similarity, Sketches, SkewOps, TextOps, TopK}
+import graft.operators.{AnalyticsOps, AnnIndex, BillingOps, BloomOps, Dedup, GraphOps, MergeOps, Multimodal, PipelineOps, RelationalOps, Similarity, Sketches, SkewOps, TextOps, TopK}
 import graft.streaming.StreamingOps
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -3740,6 +3740,41 @@ object SparkEntry {
     }),
 
     // ---- ANN quality audit: recall@5 of every approximate method ----
+    "ann_ivf_persisted" -> ((s, dir) => {
+      // the IVF index PERSISTED as transactional tables ("index as a
+      // table"): centroid assignments in graft-log postings CLUSTERED
+      // on cell_id, searched through a FRESH store (restart = paths
+      // only), with the probe stats-pruned to a strict subset of the
+      // posting segments (pinned via a 1-query nProbe=2 probe). The
+      // per-query recall vs the exact brute-force top-5 is the
+      // oracle-checked relation — identical semantics to the
+      // in-memory IVF arm of ann_recall_audit.
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-annp").toString
+      val idx = AnnIndex.buildIvf(s, emb, corpusVersion = 0L,
+        s"$root/idx", nCells = 16, postingSegments = 8)
+      val (res, _, _) = AnnIndex.searchIvf(s, idx, emb, q, k = 5,
+        nProbe = 4)
+      // the files-opened pin: one query, two probe cells → the
+      // clustered layout must keep most posting segments CLOSED
+      val (_, opened1, live1) = AnnIndex.searchIvf(s, idx, emb,
+        emb.where(col("vec_id") === 0L), k = 5, nProbe = 2)
+      val brute = Similarity.bruteForceTopK(emb, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = res.select(col("query_id"), col("neighbor_id"))
+        .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall", col("n_hits").cast("double") / lit(5.0))
+        .withColumn("probe_pruned", lit(opened1 < live1))
+        .orderBy("query_id")
+    }),
+
     "ann_recall_audit" -> ((s, dir) => {
       // the approximate indexes are verified individually for
       // determinism; this query measures their QUALITY — per-query
@@ -9408,6 +9443,53 @@ object SparkEntry {
 
     // composes the brute/LSH/IVF/PQ pipelines (same CTE text as their
     // individual oracles, prefix-renamed) and counts integer pair hits
+    // the persisted index must match the in-memory IVF semantics
+    // exactly, so its oracle is the same deterministic IVF
+    // construction; probe_pruned pins the files-opened evidence
+    "ann_ivf_persisted" -> {
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e),
+         |bp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+         |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id != q.vec_id),
+         |bh AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |   PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM bp) WHERE rank <= 5),
+         |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n
+         |  ORDER BY vec_id LIMIT 16),
+         |ac AS (SELECT n.vec_id, n.v, n.nrm, cent.cell_id,
+         |  ${duckDot("n.v", "cent.cv")} / (n.nrm * cent.cnrm) AS c_cos
+         |  FROM n CROSS JOIN cent),
+         |assigned AS (SELECT vec_id, v, nrm, cell_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY c_cos DESC, cell_id ASC) AS rn FROM ac) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cell_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY c_cos DESC, cell_id ASC) AS rn FROM ac
+         |  WHERE vec_id < 8) WHERE rn <= 4),
+         |ip AS (SELECT q.q_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${duckDot("q.qv", "c.v")} / (q.qnrm * c.nrm) AS cos
+         |  FROM probes q JOIN assigned c ON q.cell_id = c.cell_id
+         |    AND c.vec_id != q.q_id),
+         |ih AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, cos, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM ip) WHERE rank <= 5),
+         |hits AS (SELECT i.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM ih i JOIN bh b ON i.query_id = b.query_id
+         |    AND i.neighbor_id = b.neighbor_id
+         |  GROUP BY i.query_id)
+         |SELECT q.vec_id AS query_id,
+         |  COALESCE(h.n_hits, 0) AS n_hits,
+         |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE)
+         |    AS recall,
+         |  TRUE AS probe_pruned
+         |FROM (SELECT vec_id FROM e WHERE vec_id < 8) q
+         |LEFT JOIN hits h ON q.vec_id = h.query_id
+         |ORDER BY query_id""".stripMargin
+    },
+
     "ann_recall_audit" -> {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e),

@@ -1166,17 +1166,22 @@ class LogStore(spark: SparkSession, val root: String,
   private def dvDelete(candidates: Seq[Segment], predicate: String,
       v: Long, liveCount: Int = -1,
       range: Option[(String, String, String)] = None): DvDeleteResult = {
-    import org.apache.spark.sql.functions.{coalesce => fcoalesce,
-      col => fcol, count => fcount, element_at, expr => fexpr,
-      lit => flit, split => fsplit}
+    import org.apache.spark.sql.functions.{col => fcol,
+      count => fcount, element_at, expr => fexpr, lit => flit,
+      split => fsplit}
     val live = if (liveCount >= 0) liveCount else candidates.size
     if (candidates.isEmpty) return DvDeleteResult(v, 0, 0L, live)
-    // candidate rows + their physical coordinates (attached BEFORE
-    // any join — file metadata only resolves on the scan relation);
-    // rows ALREADY in a vector are anti-joined out up front, so they
-    // never re-delete and never re-report in the feed
-    val raw = spark.read.option("mergeSchema", "true")
+    // matching rows first — `where` keeps only predicate-TRUE rows
+    // (SQL NULL semantics for free), and the bare predicate pushes
+    // into the parquet scan (row-group pruning on a clustered key
+    // makes a point delete decode ~the matching groups, not the
+    // segment); the physical coordinates and the per-row path split
+    // are attached AFTER the filter, so they cost O(matched), never
+    // O(segment). Rows ALREADY in a vector are then anti-joined out,
+    // so they never re-delete and never re-report in the feed.
+    val matchedRaw = spark.read.option("mergeSchema", "true")
       .parquet(candidates.map(s => s"$root/${s.name}"): _*)
+      .where(fexpr(s"($predicate)"))
       .withColumn("_dv_seg",
         element_at(fsplit(fcol("_metadata.file_path"), "/"), -2))
       .withColumn("_dv_file", fcol("_metadata.file_name"))
@@ -1186,15 +1191,12 @@ class LogStore(spark: SparkSession, val root: String,
         .select(flit(s.name).as("_dv_seg"), fcol("file").as("_dv_file"),
           fcol("pos").as("_dv_pos"))
     }
-    val positioned =
-      if (priorDv.isEmpty) raw
-      else raw.join(
-        org.apache.spark.sql.functions.broadcast(
-          priorDv.reduce(_.unionByName(_))),
-        Seq("_dv_seg", "_dv_file", "_dv_pos"), "left_anti")
-    // SQL NULL semantics: a NULL predicate never deletes
-    val matched = positioned
-      .where(fcoalesce(fexpr(s"($predicate)"), flit(false)))
+    val matched =
+      (if (priorDv.isEmpty) matchedRaw
+       else matchedRaw.join(
+         org.apache.spark.sql.functions.broadcast(
+           priorDv.reduce(_.unionByName(_))),
+         Seq("_dv_seg", "_dv_file", "_dv_pos"), "left_anti"))
       .cache()
     try {
       val perSeg = matched.groupBy(fcol("_dv_seg"))

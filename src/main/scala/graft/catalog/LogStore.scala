@@ -50,7 +50,8 @@ class LogStore(spark: SparkSession, val root: String,
     checkpointInterval: Int = 10,
     bloomCol: Option[String] = None,
     bloomBits: Int = 4096,
-    statsCols: Seq[String] = Nil) {
+    statsCols: Seq[String] = Nil,
+    dvDeletes: Boolean = false) {
   require(checkpointInterval > 0, "checkpointInterval must be positive")
   require(bloomBits > 0 && bloomBits % 4 == 0,
     "bloomBits must be a positive multiple of 4 (hex-serialized)")
@@ -370,9 +371,16 @@ class LogStore(spark: SparkSession, val root: String,
       statsCol.map(c => s"statsCol=$c").toSeq ++
       (if (statsCols.isEmpty) Nil
        else Seq(s"statsCols=${statsCols.mkString(",")}")) ++
-      bloomCol.map(c => s"bloomCol=$c;bloomBits=$bloomBits").toSeq
+      bloomCol.map(c => s"bloomCol=$c;bloomBits=$bloomBits").toSeq ++
+      (if (dvDeletes) Seq("dvDeletes=true") else Nil)
     if (parts.isEmpty) None else Some(parts.mkString(";"))
   }
+
+  /** Whether this table opted into MERGE-ON-READ deletes (the
+    * `dvDeletes` table property): declarative delete surfaces (SQL
+    * DELETE FROM) route row deletes through [[deleteWhereDV]] /
+    * [[deleteRangeDV]] instead of copy-on-write segment rewrites. */
+  def dvDeleteMode: Boolean = dvDeletes
 
   /** The table configuration RECORDED IN THE LOG at `version` (the
     * `props` action) — the raw `k=v;…` string; None on tables whose
@@ -2105,7 +2113,8 @@ object LogStore {
           bloomCol = kv.get("bloomCol"),
           bloomBits = kv.get("bloomBits").map(_.toInt).getOrElse(4096),
           statsCols = kv.get("statsCols").toSeq
-            .flatMap(_.split(',').toSeq).filter(_.nonEmpty))
+            .flatMap(_.split(',').toSeq).filter(_.nonEmpty),
+          dvDeletes = kv.get("dvDeletes").contains("true"))
     }
   }
 }

@@ -188,7 +188,8 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
       bloomCol = props.get("bloomCol"),
       bloomBits = props.get("bloomBits").map(_.toInt).getOrElse(4096),
       statsCols = props.get("statsCols").toSeq
-        .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty))
+        .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty),
+      dvDeletes = props.get("dvDeletes").exists(_.toBoolean))
     store.create(schema)
     loadTable(ident)
   }

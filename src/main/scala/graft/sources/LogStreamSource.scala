@@ -240,16 +240,25 @@ final class LogStreamTable(schema: StructType, root: String,
       s"${name()} is a read-only metadata table — DELETE FROM the " +
         "base table instead")
     val store = LogStore.configured(SparkSession.active, root)
+    // dvDeletes tables route row deletes merge-on-read — zero bytes
+    // rewritten; TRUNCATE (no filters) stays copy-on-write: vectoring
+    // EVERY row would cost more than the one-segment empty rewrite
+    val dv = store.dvDeleteMode && filters.nonEmpty
     LogDeleteSql.rangeOf(store, filters) match {
       case Some((c, lo, hi)) =>
-        store.deleteRange(c, lo, hi)
+        if (dv) store.deleteRangeDV(c, lo, hi)
+        else store.deleteRange(c, lo, hi)
       case None =>
         val preds = filters.map(f => LogDeleteSql.sql(f).getOrElse(
           throw new UnsupportedOperationException(
             s"cannot translate $f to a delete predicate")))
         val pred =
           if (preds.isEmpty) "true" else preds.mkString("(", ") AND (", ")")
-        store.deleteWhere(s"coalesce(($pred), false)")
+        // deleteWhereDV's `where(pred)` already has SQL NULL
+        // semantics; the copy-on-write path needs the coalesce for
+        // its NOT(pred) KEEP side
+        if (dv) store.deleteWhereDV(pred)
+        else store.deleteWhere(s"coalesce(($pred), false)")
     }
   }
 }

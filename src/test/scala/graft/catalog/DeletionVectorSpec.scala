@@ -164,6 +164,37 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(store.read().count() == 45L)
   }
 
+  test("SQL DELETE rides deletion vectors when the table opts in " +
+      "(TBLPROPERTIES dvDeletes): range + IN deletes attach vectors " +
+      "with the segment set unchanged; TRUNCATE stays copy-on-write") {
+    val dir = Files.createTempDirectory("graft-dvsql2").toString
+    spark.conf.set("spark.sql.catalog.gdvd",
+      "graft.sources.GraftLogCatalog")
+    spark.conf.set("spark.sql.catalog.gdvd.root", dir)
+    spark.sql("CREATE TABLE gdvd.t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('statsCol' = 'id', 'dvDeletes' = 'true')")
+    spark.sql("INSERT INTO gdvd.t SELECT id, CAST(id AS STRING) " +
+      "FROM range(0, 100)")
+    spark.sql("INSERT INTO gdvd.t SELECT id, CAST(id AS STRING) " +
+      "FROM range(1000, 1100)")
+    val store = LogStore.configured(spark, s"$dir/t")
+    assert(store.dvDeleteMode, "the property must ride the log")
+    val segs0 = store.liveSegmentInfos().map(_.name).toSet
+    spark.sql("DELETE FROM gdvd.t WHERE id >= 1050 AND id <= 1059")
+    spark.sql("DELETE FROM gdvd.t WHERE id IN (5, 10)")
+    assert(spark.sql("SELECT count(*) FROM gdvd.t").head().getLong(0)
+      == 188L)
+    assert(store.liveSegmentInfos().map(_.name).toSet == segs0,
+      "dvDeletes: no segment may be rewritten by a SQL DELETE")
+    assert(store.liveSegmentInfos().count(_.dv.nonEmpty) == 2)
+    // the feed stays honest through the SQL path
+    assert(store.readChanges(3)
+      .where(col("_change_type") === "delete").count() == 12L)
+    spark.sql("TRUNCATE TABLE gdvd.t")
+    assert(spark.sql("SELECT count(*) FROM gdvd.t").head().getLong(0)
+      == 0L)
+  }
+
   test("SQL UPDATE through the row-level path on a dv table does " +
       "not resurrect deleted rows") {
     val dir = Files.createTempDirectory("graft-dvsql").toString

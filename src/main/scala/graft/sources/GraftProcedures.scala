@@ -88,7 +88,11 @@ private[sources] final class OptimizeProcedure(
     inDefault("where_lo", StringType, "CAST(NULL AS STRING)"),
     inDefault("where_hi", StringType, "CAST(NULL AS STRING)"),
     inDefault("min_segment_bytes", LongType, "CAST(0 AS BIGINT)"),
-    inDefault("cluster_by", StringType, "CAST(NULL AS STRING)"))
+    inDefault("cluster_by", StringType, "CAST(NULL AS STRING)"),
+    // DV COMPACTION selector: also rewrite every segment carrying a
+    // deletion vector, folding merge-on-read debt back into clean
+    // segments — the weekly command for a dvDeletes table
+    inDefault("with_deletes", BooleanType, "false"))
 
   private val out = StructType(Seq(
     StructField("version", LongType, nullable = false),
@@ -110,10 +114,12 @@ private[sources] final class OptimizeProcedure(
       }
     val minBytes = input.getLong(5)
     val cluster = clusterCols(input, 6)
+    val withDeletes = !input.isNullAt(7) && input.getBoolean(7)
     val r =
-      if (preds.isEmpty && minBytes <= 0L)
+      if (preds.isEmpty && minBytes <= 0L && !withDeletes)
         store.optimize(target, cluster: _*)
-      else store.optimizeWhere(target, preds, minBytes, cluster)
+      else store.optimizeWhere(target, preds, minBytes, cluster,
+        withDeletes)
     one(out, Array(r.version, r.rewritten, r.produced, r.carried))
   }
 }

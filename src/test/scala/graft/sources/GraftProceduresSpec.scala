@@ -114,6 +114,27 @@ class GraftProceduresSpec extends AnyFunSuite {
       == 2L, "vacuum never touches live rows")
   }
 
+  test("CALL optimize(with_deletes): SQL-driven DV compaction — only " +
+      "the vector-carrying segment rewritten, debt folded away") {
+    root
+    spark.sql("CREATE TABLE gproc.t5 (id BIGINT) " +
+      "TBLPROPERTIES ('statsCol' = 'id', 'dvDeletes' = 'true')")
+    spark.sql("INSERT INTO gproc.t5 SELECT id FROM range(0, 100)")
+    spark.sql("INSERT INTO gproc.t5 SELECT id FROM range(1000, 1100)")
+    spark.sql("DELETE FROM gproc.t5 WHERE id >= 10 AND id <= 19")
+    val store = LogStore.configured(spark, s"$root/t5")
+    assert(store.liveSegmentInfos().count(_.dv.nonEmpty) == 1,
+      "the SQL DELETE must have attached a vector, not rewritten")
+    val r = spark.sql("CALL gproc.system.optimize(`table` => 't5', " +
+      "target_segments => 1, with_deletes => true)")
+      .as[(Long, Int, Int, Int)].head()
+    assert(r._2 == 1 && r._4 == 1,
+      s"only the dv segment selected, the clean one carried: $r")
+    assert(store.liveSegmentInfos().count(_.dv.nonEmpty) == 0)
+    assert(spark.sql("SELECT count(*) FROM gproc.t5").head().getLong(0)
+      == 190L, "compaction must not resurrect the deleted rows")
+  }
+
   test("unknown procedures and non-table arguments refuse loudly") {
     root
     val e = intercept[Exception] {

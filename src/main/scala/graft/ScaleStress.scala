@@ -710,6 +710,48 @@ object ScaleStress {
         cowBytes)
       System.err.println(s"[scale] ${out.last.json}")
     }
+    // DV LIFECYCLE POLICY — merge-on-read must stay hands-off: as
+    // UN-COMPACTED vector rows grow 10× per decade inside a FIXED
+    // 10×100k-row layout (0.5% → 5% → 50% per-segment pressure), the
+    // reconciling snapshot read's cost must stay ~flat (the anti-join
+    // is dominated by the data scan; the dv side stays a bounded
+    // broadcast), and once a segment crosses the maintain policy's
+    // pressure fraction (0.3 here → trips only at the 100× step) the
+    // debt is folded back into clean segments — remaining dv rows
+    // (the candidates column of the `_after` row) drop to ZERO while
+    // the lighter scales keep theirs untouched (no premature
+    // rewrites). Read timings before vs after bracket the claim.
+    if (only.isEmpty || only.contains("src_dv_policy")) {
+      val rowsPerSeg = 100000L
+      val dvPerSeg = 500L * scale
+      val stride = rowsPerSeg / dvPerSeg // 200 / 20 / 2 — exact
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-dvp").toString + "/tbl"
+      val store = new graft.catalog.LogStore(spark, root,
+        statsCol = Some("id"))
+      (0 until 10).foreach { i =>
+        store.append(spark.range(i * rowsPerSeg,
+          (i + 1) * rowsPerSeg).toDF("id")
+          .withColumn("v", lit("a")))
+      }
+      val r = store.deleteWhereDV(s"id % $stride = 0")
+      require(r.touched == 10 && r.deletedRows == dvPerSeg * 10,
+        s"even scatter across all segments expected: $r")
+      val (secRead, _) = time(exhaust(store.read()))
+      out += Measurement("src_dv_policy", scale, rowsPerSeg * 10,
+        secRead, r.deletedRows)
+      System.err.println(s"[scale] ${out.last.json}")
+      val m = store.maintainLayout(1L, dvFraction = 0.3)
+      val expectTrip = dvPerSeg.toDouble / rowsPerSeg >= 0.3
+      require(m.triggered == expectTrip,
+        s"pressure rule fired wrong at scale $scale: $m")
+      val (secAfter, _) = time(exhaust(store.read()))
+      val remaining = store.liveSegmentInfos()
+        .flatMap(_.dv.map(_._2)).sum
+      out += Measurement("src_dv_policy_after", scale,
+        rowsPerSeg * 10, secAfter, remaining)
+      System.err.println(s"[scale] ${out.last.json}")
+    }
     // LogStore OPTIMIZE cost vs table size — the cost ∝ rewritten-
     // bytes claim: the recluster moves every live row exactly once
     // through ONE range shuffle + one partitioned write (never one

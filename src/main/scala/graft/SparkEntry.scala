@@ -2364,6 +2364,55 @@ object SparkEntry {
         .withColumn("sql_optimize_prunes", lit(scanned <= 2 && live == 4))
     }),
 
+    "src_sql_evolve" -> ((s, dir) => {
+      // ALTER TABLE ADD COLUMN as a METADATA-ONLY schema commit: the
+      // pre-evolution insert carries (event_id, event_type) only;
+      // ALTER adds `value` with ZERO data bytes (the live segment set
+      // is pinned unchanged); the post-evolution insert carries it.
+      // Old rows read null in the new column — the aggregate's
+      // sum_value therefore counts only the post-evolution slice —
+      // and time travel to the pre-ALTER version still presents the
+      // 2-column shape (pinned). The oracle recomputes the final
+      // state on the source rows.
+      val cat = "graftsql"
+      if (!s.conf.getAll.contains(s"spark.sql.catalog.$cat")) {
+        val r0 = java.nio.file.Files
+          .createTempDirectory("graft-sqlcat").toString
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.GraftLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", r0)
+      }
+      val short = s"evo_${java.util.UUID.randomUUID().toString.take(8)}"
+      val tbl = s"$cat.bench.$short"
+      events(s, dir).select(col("event_id"), col("event_type"),
+        col("value")).createOrReplaceTempView("src_sqlevo_events")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.bench")
+      s.sql(s"CREATE TABLE $tbl (event_id BIGINT, event_type STRING) " +
+        "TBLPROPERTIES ('statsCol' = 'event_id')")
+      s.sql(s"INSERT INTO $tbl SELECT event_id, event_type " +
+        "FROM src_sqlevo_events WHERE event_id < 500")
+      val store = graft.catalog.LogStore.configured(s,
+        s"${s.conf.get(s"spark.sql.catalog.$cat.root")}/bench/$short")
+      val vOld = store.latestVersion()
+      val segsBefore = store.liveSegmentInfos().map(_.name).toSet
+      s.sql(s"ALTER TABLE $tbl ADD COLUMN value DOUBLE")
+      val metadataOnly =
+        store.liveSegmentInfos().map(_.name).toSet == segsBefore &&
+        store.latestVersion() == vOld + 1
+      s.sql(s"INSERT INTO $tbl SELECT event_id, event_type, value " +
+        "FROM src_sqlevo_events WHERE event_id >= 500")
+      val oldShape = s.sql(
+        s"SELECT * FROM $tbl VERSION AS OF $vOld").columns.toSeq ==
+        Seq("event_id", "event_type")
+      s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(value) AS BIGINT) AS n_valued,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value
+        |FROM $tbl GROUP BY event_type ORDER BY event_type"""
+        .stripMargin)
+        .withColumn("evolve_pins", lit(metadataOnly && oldShape))
+    }),
+
     "src_clustered_write" -> ((s, dir) => {
       // clustered INGEST: the DSv2 sink with clusterBy asks Spark to
       // range-distribute + sort before the writers
@@ -7724,6 +7773,19 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
         |   AS sum_value,
         | TRUE AS sql_optimize_prunes
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ALTER ADD COLUMN is metadata-only: the oracle recomputes the
+    // evolved state on the source rows — pre-evolution rows carry
+    // NULL in the added column (n_valued counts only the new slice);
+    // evolve_pins records zero-data-bytes + old-shape time travel
+    "src_sql_evolve" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(CASE WHEN event_id >= 500 THEN value END)
+        |   AS BIGINT) AS n_valued,
+        | CAST(SUM(CAST(CASE WHEN event_id >= 500 THEN value END
+        |   AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        | TRUE AS evolve_pins
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // clustered ingest is layout only — the oracle is the plain

@@ -555,8 +555,16 @@ class LogStore(spark: SparkSession, val root: String,
     * anti-join of (file, position) against their dv parquet — the
     * merge-on-read half of [[deleteWhereDV]]. Positions come from the
     * file source's `_metadata.row_index`, which is file-global and
-    * stable because segments are immutable. The DV side is tiny by
-    * construction (∝ deleted rows), so the join broadcasts. */
+    * stable because segments are immutable.
+    *
+    * The DV side is tiny by construction (∝ deleted rows), so the
+    * join broadcasts — UP TO [[LogStore.DvBroadcastRowLimit]] recorded
+    * vector rows. Past it (compaction neglected while scattered
+    * deletes accumulated), forcing a broadcast would OOM the driver
+    * long before the data became unreadable; the hint is dropped and
+    * the anti-join runs shuffled, bounded by executor memory instead.
+    * [[maintainLayout]]'s vector-pressure rule exists so tables never
+    * live in that regime for long. */
   private def scanSegments(segs: Seq[Segment],
       schema: Option[org.apache.spark.sql.types.StructType])
       : DataFrame = {
@@ -593,14 +601,29 @@ class LogStore(spark: SparkSession, val root: String,
           dvRows.withColumn("_dv_seg",
             element_at(typedLit(dvToSeg), fcol("_dv_seg")))
         }
-        Some(base.join(
-          broadcast(mapped.select(fcol("_dv_seg"),
-            fcol("file").as("_dv_file"), fcol("pos").as("_dv_pos"))),
-          Seq("_dv_seg", "_dv_file", "_dv_pos"), "left_anti")
-          .drop("_dv_seg", "_dv_file", "_dv_pos"))
+        val dvSide = mapped.select(fcol("_dv_seg"),
+          fcol("file").as("_dv_file"), fcol("pos").as("_dv_pos"))
+        // recorded per-vector row counts bound the broadcast decision
+        // without touching the dv parquet; the ceiling is operator-
+        // tunable per session (driver heap budgets differ)
+        val totalDvRows = dved.flatMap(_.dv.map(_._2)).sum
+        val limit = spark.conf.getOption("graft.dv.broadcastRowLimit")
+          .map(_.toLong).getOrElse(LogStore.DvBroadcastRowLimit)
+        val joined =
+          if (totalDvRows <= limit)
+            base.join(broadcast(dvSide),
+              Seq("_dv_seg", "_dv_file", "_dv_pos"), "left_anti")
+          else base.join(dvSide,
+            Seq("_dv_seg", "_dv_file", "_dv_pos"), "left_anti")
+        Some(joined.drop("_dv_seg", "_dv_file", "_dv_pos"))
       }
     (plainDf, dvedDf) match {
-      case (Some(p), Some(d)) => p.unionByName(d)
+      // allowMissingColumns: on pruned paths (schema=None) each group
+      // merges its OWN segments' schemas, so per-segment evolution
+      // drift across the plain/DV split must null-fill, exactly as the
+      // single mergeSchema scan did before the split existed
+      case (Some(p), Some(d)) =>
+        p.unionByName(d, allowMissingColumns = true)
       case (Some(p), None) => p
       case (None, Some(d)) => d
       case (None, None) =>
@@ -917,6 +940,50 @@ class LogStore(spark: SparkSession, val root: String,
     expected
   }
 
+  /** ALTER TABLE ADD COLUMN as a METADATA-ONLY commit: the log
+    * already versions the table schema (the metadata action), and
+    * parquet null-fills absent columns, so adding NULLABLE columns
+    * needs zero data bytes — one commit carrying the evolved schema
+    * action. Existing segments read null in the new columns from the
+    * instant the commit lands; time travel before it returns the old
+    * shape (the schema action is version-scoped state like any
+    * other). Non-nullable additions refuse: old rows CANNOT satisfy
+    * the constraint without a rewrite, and silently weakening it to
+    * nullable would lie to readers. Duplicate names refuse (case-
+    * sensitive, matching [[enforceSchema]]'s match rule). Blind
+    * metadata commit: on a lost race it re-derives the current schema
+    * and retries — adding a column commutes with data commits, and
+    * racing metadata changes re-check the duplicate rule against the
+    * fresh schema. */
+  def addColumns(cols: org.apache.spark.sql.types.StructType,
+      maxAttempts: Int = 5): Long = {
+    require(cols.nonEmpty, "ADD COLUMN needs at least one column")
+    require(maxAttempts >= 1, "need at least one attempt")
+    cols.foreach(f => require(f.nullable,
+      s"ADD COLUMN '${f.name}' must be nullable — existing rows have " +
+        "no value for it; a NOT NULL addition needs a rewrite"))
+    var attempt = 1
+    while (true) {
+      val v = latestVersion()
+      require(v >= 0, s"no log at $root")
+      val st = replayTo(v)
+      val current = st.schemaB64.map(decodeSchema)
+        .getOrElse(read(v).schema) // legacy pre-stamp log
+      cols.foreach(f => require(!current.fieldNames.contains(f.name),
+        s"column '${f.name}' already exists"))
+      val evolved = org.apache.spark.sql.types.StructType(
+        current.fields ++ cols.fields)
+      try return commit(v + 1, Nil, Nil,
+        schema = Some(encodeSchema(evolved)))
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+
   /** CREATE TABLE: initialize an EMPTY table — version 0 carries only
     * the schema metadata action (plus this store's props), no data
     * segment. The SQL-catalog flow (CREATE then INSERT) and any
@@ -1150,50 +1217,71 @@ class LogStore(spark: SparkSession, val root: String,
     * like any other action). A no-match delete is a commit-free
     * no-op. */
   def deleteWhereDV(predicate: String): DvDeleteResult = {
+    import org.apache.spark.sql.functions.{expr => fexpr}
     val v = latestVersion()
-    dvDelete(liveSegmentInfos(v), predicate, v)
+    dvDelete(liveSegmentInfos(v), _.where(fexpr(s"($predicate)")), v)
   }
 
   /** [[deleteWhereDV]] with stats pruning: only segments whose
     * recorded bounds on `c` may overlap [lo, hi] are position-scanned
     * — the candidate-selection economics of [[deleteRange]], with the
-    * DV write replacing the segment rewrite. */
+    * DV write replacing the segment rewrite. The predicate is built
+    * with Column expressions against the scanned data's own type —
+    * the same data-typed comparison as [[deleteRange]], no SQL string
+    * interpolation to break on exotic bound spellings. */
   def deleteRangeDV(c: String, lo: String, hi: String): DvDeleteResult = {
+    import org.apache.spark.sql.functions.{col => fcol, lit => flit}
     require(statsCol.contains(c) || statsCols.contains(c),
       s"'$c' is not a configured stats column (statsCol/statsCols)")
     val v = latestVersion()
     val live = liveSegmentInfos(v)
     val touched = live.filter(_.mayOverlapOn(c, lo, hi))
-    val dt = recordedSchema(v).flatMap(_.find(_.name == c))
-      .map(_.dataType.sql).getOrElse("STRING")
     dvDelete(touched,
-      s"`$c` BETWEEN CAST('$lo' AS $dt) AND CAST('$hi' AS $dt)", v,
-      live.size, range = Some((c, lo, hi)))
+      df => {
+        val dt = df.schema(c).dataType
+        df.where(fcol(c).between(flit(lo).cast(dt), flit(hi).cast(dt)))
+      }, v, live.size, range = Some((c, lo, hi)))
   }
 
-  private def dvDelete(candidates: Seq[Segment], predicate: String,
+  /** Merge-on-read delete BY KEY SET — the distributed form scattered
+    * key deletes need when the key list is itself a DataFrame (a
+    * change feed's deleted ids, a GDPR manifest): rows whose `keyCols`
+    * tuple appears in `keys` gain deletion-vector entries, selected by
+    * a semi-join instead of a driver-side IN-list, so the key set
+    * never collects. Same economics and commit shape as
+    * [[deleteWhereDV]]; an unbounded key set may match any
+    * concurrently-added row (conservative re-validation). */
+  def deleteKeysDV(keys: DataFrame, keyCols: Seq[String])
+      : DvDeleteResult = {
+    require(keyCols.nonEmpty, "deleteKeysDV needs at least one key column")
+    import org.apache.spark.sql.functions.{col => fcol}
+    val v = latestVersion()
+    dvDelete(liveSegmentInfos(v),
+      _.join(keys.select(keyCols.map(fcol): _*).distinct(),
+        keyCols, "left_semi"), v)
+  }
+
+  private def dvDelete(candidates: Seq[Segment],
+      select: DataFrame => DataFrame,
       v: Long, liveCount: Int = -1,
       range: Option[(String, String, String)] = None): DvDeleteResult = {
     import org.apache.spark.sql.functions.{col => fcol,
-      count => fcount, element_at, expr => fexpr, lit => flit,
-      split => fsplit}
+      count => fcount, element_at, lit => flit, split => fsplit}
     val live = if (liveCount >= 0) liveCount else candidates.size
     if (candidates.isEmpty) return DvDeleteResult(v, 0, 0L, live)
-    // matching rows first — `where` keeps only predicate-TRUE rows
-    // (SQL NULL semantics for free), and the bare predicate pushes
-    // into the parquet scan (row-group pruning on a clustered key
-    // makes a point delete decode ~the matching groups, not the
-    // segment); the physical coordinates and the per-row path split
-    // are attached AFTER the filter, so they cost O(matched), never
-    // O(segment). Rows ALREADY in a vector are then anti-joined out,
-    // so they never re-delete and never re-report in the feed.
-    val matchedRaw = spark.read.option("mergeSchema", "true")
+    // matching rows first — `select` keeps only matching rows (a
+    // `where` with SQL NULL semantics, or a semi-join for key sets);
+    // a bare predicate still pushes into the parquet scan below the
+    // metadata projection (row-group pruning on a clustered key makes
+    // a point delete decode ~the matching groups, not the segment).
+    // Rows ALREADY in a vector are then anti-joined out, so they
+    // never re-delete and never re-report in the feed.
+    val matchedRaw = select(spark.read.option("mergeSchema", "true")
       .parquet(candidates.map(s => s"$root/${s.name}"): _*)
-      .where(fexpr(s"($predicate)"))
       .withColumn("_dv_seg",
         element_at(fsplit(fcol("_metadata.file_path"), "/"), -2))
       .withColumn("_dv_file", fcol("_metadata.file_name"))
-      .withColumn("_dv_pos", fcol("_metadata.row_index"))
+      .withColumn("_dv_pos", fcol("_metadata.row_index")))
     val priorDv = candidates.filter(_.dv.nonEmpty).map { s =>
       spark.read.parquet(s"$root/${s.dv.get._1}")
         .select(flit(s.name).as("_dv_seg"), fcol("file").as("_dv_file"),
@@ -1313,6 +1401,15 @@ class LogStore(spark: SparkSession, val root: String,
               throw e // our source content was rewritten/removed
             if (a.dvs.exists(d => readSet.readSegments.contains(d._1)))
               throw e // our source content gained a deletion vector
+            // a winner that changed table METADATA (schema evolution /
+            // a props re-stamp) always conflicts: replay takes the
+            // LAST schema action, so re-committing our own (computed
+            // against the read snapshot) — or even a data action
+            // validated against the stale schema — would clobber or
+            // bypass the winner's evolution (Delta's conflict checker
+            // likewise fails any transaction racing a metadata change)
+            if (a.schemas.nonEmpty || a.props.nonEmpty)
+              throw e
             if (a.adds.nonEmpty) {
               if (readSet.matchesAnyNewRow) throw e
               readSet.range.foreach { case (c, lo, hi) =>
@@ -1447,6 +1544,19 @@ class LogStore(spark: SparkSession, val root: String,
   private def segmentBytes(s: Segment): Long =
     fs.getContentSummary(new Path(s"$root/${s.name}")).getLength
 
+  /** A segment's VECTOR PRESSURE: deleted rows / total rows, from the
+    * recorded counts alone (no I/O). 0 without a vector; a vector on
+    * a segment with no recorded row count reads as full pressure —
+    * the safe default for a maintenance selector (at worst one
+    * unnecessary rewrite, never an unreadably-degraded scan). */
+  private def dvPressure(s: Segment): Double = s.dv match {
+    case None => 0.0
+    case Some((_, n)) => s.rows match {
+      case Some(total) if total > 0 => n.toDouble / total.toDouble
+      case _ => 1.0
+    }
+  }
+
   /** SUBSET OPTIMIZE — the form the weekly maintenance command must
     * take on a 100 TB table, where a full-table rewrite
     * ([[optimize]]) is not a command, it's an outage: rewrite ONLY
@@ -1467,6 +1577,16 @@ class LogStore(spark: SparkSession, val root: String,
     *    threshold — "fix the small files", Delta's OPTIMIZE file
     *    filter. Sizing is one filesystem summary per candidate,
     *    driver-side, ops-command economics.
+    *  - `withDeletes`: every segment carrying a deletion vector —
+    *    the explicit full DV-compaction selector.
+    *  - `minDvFraction` > 0: segments whose VECTOR PRESSURE (recorded
+    *    dv rows / recorded rows) reached the fraction — the targeted
+    *    DV compaction: fold merge-on-read debt back into clean
+    *    segments only where it is actually heavy, leaving
+    *    lightly-vectored cold segments alone (rewriting a 1 GB
+    *    segment to drop 10 tombstones is the cost model DVs exist to
+    *    avoid). A dv-carrying segment with no recorded row count is
+    *    selected (the safe default — unknown pressure may be high).
     *
     * An empty selection is a commit-free NO-OP (version unchanged) —
     * running maintenance on a healthy table must cost nothing.
@@ -1478,13 +1598,17 @@ class LogStore(spark: SparkSession, val root: String,
       preds: Seq[(String, String, String)] = Nil,
       minSegmentBytes: Long = 0L,
       clusterBy: Seq[org.apache.spark.sql.Column] = Nil,
-      withDeletes: Boolean = false)
+      withDeletes: Boolean = false,
+      minDvFraction: Double = 0.0)
       : OptimizeResult = {
     require(targetSegments >= 1, "targetSegments must be positive")
-    require(preds.nonEmpty || minSegmentBytes > 0L || withDeletes,
+    require(minDvFraction >= 0.0 && minDvFraction <= 1.0,
+      "minDvFraction is a fraction of a segment's rows")
+    require(preds.nonEmpty || minSegmentBytes > 0L || withDeletes ||
+        minDvFraction > 0.0,
       "subset optimize needs a selector: stats predicates, a " +
-        "small-segment byte threshold, and/or withDeletes " +
-        "(optimize() is the full rewrite)")
+        "small-segment byte threshold, withDeletes and/or " +
+        "minDvFraction (optimize() is the full rewrite)")
     preds.foreach { case (c, _, _) =>
       require(statsCol.contains(c) || statsCols.contains(c),
         s"'$c' is not a configured stats column (statsCol/statsCols)")
@@ -1499,7 +1623,8 @@ class LogStore(spark: SparkSession, val root: String,
       (preds.forall { case (c, lo, hi) => s.mayOverlapOn(c, lo, hi) } &&
         (preds.nonEmpty || minSegmentBytes > 0L) &&
         (minSegmentBytes <= 0L || segmentBytes(s) < minSegmentBytes)) ||
-      (withDeletes && s.dv.nonEmpty)
+      (withDeletes && s.dv.nonEmpty) ||
+      (minDvFraction > 0.0 && dvPressure(s) >= minDvFraction)
     }
     if (selected.isEmpty)
       return OptimizeResult(v, 0, 0, carried = live.size)
@@ -1512,38 +1637,65 @@ class LogStore(spark: SparkSession, val root: String,
   }
 
   final case class MaintainResult(triggered: Boolean, smallBefore: Int,
-      result: Option[OptimizeResult])
+      result: Option[OptimizeResult], dvPressured: Int = 0)
 
-  /** Auto bin-pack policy — the hands-off wrapper a streaming ingest
-    * (one small segment per micro-batch) needs: when the number of
-    * live segments under `minSegmentBytes` reaches
-    * `smallSegmentLimit`, run a size-selected [[optimizeWhere]] that
-    * bin-packs JUST those segments into ceil(smallBytes /
-    * maxSegmentBytes) outputs (re-clustered on `clusterBy` when
-    * given), carrying every healthy segment over untouched. Below the
-    * threshold it is a commit-free no-op, so calling it after every
-    * ingest batch is safe — the table's segment count stays bounded
-    * at O(smallSegmentLimit + bigSegments) forever. The same
-    * small-count rides in [[describeDetail]]'s readiness numbers. */
+  /** Auto bin-pack + DV-compaction policy — the hands-off wrapper a
+    * streaming ingest (one small segment per micro-batch) or a
+    * merge-on-read delete stream needs. Two independent debt rules:
+    *
+    *  - **small files**: when the number of live segments under
+    *    `minSegmentBytes` reaches `smallSegmentLimit`, bin-pack JUST
+    *    those segments into ceil(smallBytes / maxSegmentBytes)
+    *    outputs (re-clustered on `clusterBy` when given), carrying
+    *    every healthy segment over untouched.
+    *  - **vector pressure**: when ANY segment's deletion vector holds
+    *    ≥ `dvFraction` of its recorded rows, rewrite exactly the
+    *    pressured segments (consuming their vectors) — merge-on-read
+    *    stays hands-off: scattered deletes write cheap sidecars, and
+    *    the read-side reconciliation cost is folded back into clean
+    *    segments before it compounds. `dvFraction` = 0 disables.
+    *
+    * Below both thresholds it is a commit-free no-op, so calling it
+    * after every ingest/delete batch is safe — segment count stays
+    * bounded and vector debt stays fractional forever. Both debt
+    * counts ride in the result (and [[describeDetail]]'s readiness
+    * numbers cover the small-file half). */
   def maintainLayout(minSegmentBytes: Long, smallSegmentLimit: Int = 8,
       maxSegmentBytes: Long = 128L << 20,
-      clusterBy: Seq[org.apache.spark.sql.Column] = Nil)
+      clusterBy: Seq[org.apache.spark.sql.Column] = Nil,
+      dvFraction: Double = 0.5)
       : MaintainResult = {
     require(minSegmentBytes > 0L, "minSegmentBytes must be positive")
     require(smallSegmentLimit >= 2,
       "a limit below 2 would rewrite after every append")
     require(maxSegmentBytes >= minSegmentBytes,
       "maxSegmentBytes must be at least minSegmentBytes")
+    require(dvFraction >= 0.0 && dvFraction <= 1.0,
+      "dvFraction is a fraction of a segment's rows (0 disables)")
     val v = latestVersion()
     if (v < 0) return MaintainResult(triggered = false, 0, None)
     val live = liveSegmentInfos(v)
     val small = live.map(segmentBytes).filter(_ < minSegmentBytes)
-    if (small.size < smallSegmentLimit)
-      return MaintainResult(triggered = false, small.size, None)
+    val pressured =
+      if (dvFraction <= 0.0) 0
+      else live.count(dvPressure(_) >= dvFraction)
+    val packSmall = small.size >= smallSegmentLimit
+    if (!packSmall && pressured == 0)
+      return MaintainResult(triggered = false, small.size, None, 0)
+    // size the output count by EVERYTHING this pass will rewrite —
+    // the packed smalls plus the pressured segments' physical bytes
+    val pressuredBytes =
+      if (pressured == 0) 0L
+      else live.filter(dvPressure(_) >= dvFraction)
+        .map(segmentBytes).sum
+    val packBytes = (if (packSmall) small.sum else 0L) + pressuredBytes
     val outs = math.max(1L,
-      (small.sum + maxSegmentBytes - 1) / maxSegmentBytes).toInt
+      (packBytes + maxSegmentBytes - 1) / maxSegmentBytes).toInt
     MaintainResult(triggered = true, small.size,
-      Some(optimizeWhere(outs, Nil, minSegmentBytes, clusterBy)))
+      Some(optimizeWhere(outs, Nil,
+        if (packSmall) minSegmentBytes else 0L, clusterBy,
+        minDvFraction = if (pressured > 0) dvFraction else 0.0)),
+      pressured)
   }
 
   /** DESCRIBE HISTORY — the operations audit every transactional
@@ -2086,6 +2238,15 @@ class LogStore(spark: SparkSession, val root: String,
 }
 
 object LogStore {
+  /** Ceiling on RECORDED deletion-vector rows a snapshot scan will
+    * reconcile by broadcast anti-join. A (seg, file, pos) row costs
+    * ~100 bytes in the driver-built hash relation, so 2²⁰ rows is
+    * ~100 MB — the top of what a shared driver should pin per query.
+    * Above it the reconciliation joins shuffled (executor-bounded);
+    * the vector-pressure rule in [[LogStore.maintainLayout]] is the
+    * policy that keeps tables out of that regime. */
+  private[graft] val DvBroadcastRowLimit: Long = 1L << 20
+
   /** Construct a store CONFIGURED FROM THE LOG: the `props`
     * table-configuration action (statsCol / statsCols / bloomCol /
     * bloomBits) recorded by past writers is read back and applied, so

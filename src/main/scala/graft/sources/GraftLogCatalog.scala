@@ -73,17 +73,26 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
   override def name(): String = catalogName
 
   // path safety: identifier parts become directory names, so they may
-  // not traverse ("..", "/") or hide ("" / ".") — refuse loudly.
-  // Engine-reserved names are refused too: a namespace or table named
-  // `_log` would make its PARENT directory classify as a table
-  // (isTable checks for a `_log` child), and `seg-*`/`cdc-*`/`dv-*`/
-  // `_`-prefixed names collide with the data/staging directories the
-  // store itself writes under a table root.
+  // not traverse ("..", "/") or hide ("" / ".") — refuse loudly on
+  // EVERY operation; `_log` exactly stays blocked everywhere because a
+  // namespace or table named `_log` makes its PARENT directory
+  // classify as a table (isTable checks for a `_log` child).
   private def validPart(p: String): Boolean =
     p.nonEmpty && p != "." && p != ".." &&
-      !p.contains("/") && !p.contains("\\") &&
-      !p.startsWith("_") && !p.startsWith("seg-") &&
-      !p.startsWith("cdc-") && !p.startsWith("dv-")
+      !p.contains("/") && !p.contains("\\") && p != "_log"
+
+  // engine-reserved names — `seg-*`/`cdc-*`/`dv-*`/`_`-prefixed
+  // collide with the data/staging directories the store itself writes
+  // under a table root. Enforced at CREATE/RENAME time only: a table
+  // that somehow exists under such a name (pre-rule logs, an external
+  // copy) must stay reachable for DROP/RENAME, or it is stuck forever.
+  private def reservedPart(p: String): Boolean =
+    p.startsWith("_") || p.startsWith("seg-") ||
+      p.startsWith("cdc-") || p.startsWith("dv-")
+
+  private def requireCreatable(parts: Seq[String]): Unit =
+    parts.foreach(p => require(!reservedPart(p),
+      s"illegal identifier part '$p' (engine-reserved prefix)"))
 
   private def dirOf(parts: Seq[String]): String = {
     parts.foreach(p => require(validPart(p),
@@ -125,7 +134,22 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
       timestampAsOf: Option[Long]): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    new LogStreamTable(LogStreamSource.snapshotSchema(dir), dir,
+    // time travel presents the schema AS OF the target version — a
+    // query behind an ADD COLUMN evolution sees the old shape, same
+    // as the programmatic read(version)
+    val schema = (versionAsOf, timestampAsOf) match {
+      case (None, None) => LogStreamSource.snapshotSchema(dir)
+      case _ =>
+        val store = LogStore.configured(spark, dir)
+        val v = versionAsOf.getOrElse(
+          store.versionAsOf(timestampAsOf.get))
+        store.recordedSchema(v) match {
+          case Some(sc) => StructType(
+            sc.fields.toSeq.map(_.copy(nullable = true)))
+          case None => LogStreamSource.snapshotSchema(dir)
+        }
+    }
+    new LogStreamTable(schema, dir,
       None, None, None, None, snapshot = true,
       versionAsOf = versionAsOf, timestampAsOf = timestampAsOf,
       acceptAnySchema = false)
@@ -178,6 +202,7 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
         "OPTIMIZE/statsCol), PARTITIONED BY is not supported")
     require(!ident.name.contains('$'),
       "'$' names the metadata tables (t$changes/t$history/t$detail)")
+    requireCreatable(ident.namespace.toSeq :+ ident.name)
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     val props = properties.asScala
@@ -194,12 +219,45 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
+  /** The one safe DDL evolution: `ALTER TABLE ... ADD COLUMN`
+    * (nullable, top-level, flat-writable type) commits a
+    * METADATA-ONLY schema action — zero data bytes, old segments read
+    * null, time travel keeps the old shape
+    * ([[graft.catalog.LogStore.addColumns]]). Everything else keeps
+    * the reasoned refusal: types never mutate (coexisting-types
+    * corruption), drops/renames would orphan recorded stats and lie
+    * to time travel — those evolve by writing evolved rows or by a
+    * CTAS migration. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-log schemas evolve by WRITING evolved rows (columns may " +
-        "be added by any append; types never mutate) — ALTER TABLE " +
-        "has nothing safe to do here")
+      changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.size != changes.size)
+      throw new UnsupportedOperationException(
+        "graft-log ALTER TABLE supports ADD COLUMN (nullable) only — " +
+          "schemas otherwise evolve by WRITING evolved rows (columns " +
+          "may be added by any append; types never mutate)")
+    val fields = adds.map { a =>
+      require(a.fieldNames.length == 1,
+        "graft-log stores flat columns; nested ADD COLUMN " +
+          s"'${a.fieldNames.mkString(".")}' is not supported")
+      require(a.position() == null,
+        "column positions are not supported (the log appends new " +
+          "columns after the existing shape)")
+      require(a.isNullable,
+        s"added column '${a.fieldNames()(0)}' must be nullable — " +
+          "existing rows have no value for it")
+      require(LogParquetWrite.writable(a.dataType()),
+        s"graft-log stores flat columns; '${a.fieldNames()(0)}' is " +
+          s"${a.dataType()}")
+      org.apache.spark.sql.types.StructField(a.fieldNames()(0),
+        a.dataType(), nullable = true)
+    }
+    LogStore.configured(spark, dir)
+      .addColumns(StructType(fields.toArray))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
@@ -209,6 +267,7 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = {
+    requireCreatable(newIdent.namespace.toSeq :+ newIdent.name)
     val from = tableDir(oldIdent)
     val to = tableDir(newIdent)
     if (!isTable(from)) throw new NoSuchTableException(oldIdent)
@@ -286,6 +345,7 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
 
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
+    requireCreatable(namespace.toSeq)
     val dir = dirOf(namespace.toSeq)
     if (fs.exists(new Path(dir)))
       throw new NamespaceAlreadyExistsException(namespace)

@@ -127,19 +127,23 @@ private[sources] final class OptimizeProcedure(
 private[sources] final class MaintainProcedure(
     catalog: GraftLogCatalog) extends GraftProcedure("maintain", catalog) {
   override def description(): String =
-    "hands-off bin-pack policy: commit-free no-op below the " +
-      "small-segment threshold"
+    "hands-off bin-pack + DV-compaction policy: commit-free no-op " +
+      "below the small-segment and vector-pressure thresholds"
   override def parameters(): Array[ProcedureParameter] = Array(
     in("table", StringType),
     in("min_segment_bytes", LongType),
     inDefault("small_limit", IntegerType, "8"),
     inDefault("max_segment_bytes", LongType,
       s"CAST(${128L << 20} AS BIGINT)"),
-    inDefault("cluster_by", StringType, "CAST(NULL AS STRING)"))
+    inDefault("cluster_by", StringType, "CAST(NULL AS STRING)"),
+    // vector pressure: rewrite any segment whose deletion vector
+    // holds >= this fraction of its rows (0 disables the rule)
+    inDefault("dv_fraction", DoubleType, "CAST(0.5 AS DOUBLE)"))
 
   private val out = StructType(Seq(
     StructField("triggered", BooleanType, nullable = false),
     StructField("small_before", IntegerType, nullable = false),
+    StructField("dv_pressured", IntegerType, nullable = false),
     StructField("version", LongType, nullable = true),
     StructField("rewritten", IntegerType, nullable = true),
     StructField("produced", IntegerType, nullable = true)))
@@ -147,8 +151,9 @@ private[sources] final class MaintainProcedure(
   override def call(input: InternalRow): util.Iterator[Scan] = {
     val store = storeOf(input)
     val r = store.maintainLayout(input.getLong(1), input.getInt(2),
-      input.getLong(3), clusterCols(input, 4))
-    one(out, Array(r.triggered, r.smallBefore,
+      input.getLong(3), clusterCols(input, 4),
+      dvFraction = if (input.isNullAt(5)) 0.5 else input.getDouble(5))
+    one(out, Array(r.triggered, r.smallBefore, r.dvPressured,
       r.result.map(o => o.version: Any).orNull,
       r.result.map(o => o.rewritten: Any).orNull,
       r.result.map(o => o.produced: Any).orNull))

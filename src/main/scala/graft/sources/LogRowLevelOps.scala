@@ -216,8 +216,19 @@ final class GraftReplaceBatchWrite(root: String, schema: StructType,
     val removes = scan.selected
     if (files.isEmpty && removes.isEmpty) {
       // nothing matched anywhere (e.g. UPDATE whose condition selects
-      // no group): version unchanged, no junk commit
+      // no group): version unchanged, no junk commit — PROVIDED the
+      // table really is unchanged since the pinned read. The runtime
+      // group-filter subquery plans its own snapshot scan, so a commit
+      // landing between the two plannings (optimize replacing a
+      // matching segment) can prune the IN-list ∩ selection to empty;
+      // treating that as a no-op would silently drop the DML and
+      // bypass the OCC check. Re-verify head == readVersion and throw
+      // the usual conflict otherwise so the caller retries.
       LogSinkCommit.cleanup(spark, s"$root/$stage")
+      val store = LogStore.configured(spark, root)
+      val latest = store.latestVersion()
+      if (latest != scan.readVersion)
+        throw new store.ConcurrentCommitException(latest)
       return
     }
     val adds =

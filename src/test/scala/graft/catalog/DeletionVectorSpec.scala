@@ -55,6 +55,28 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(feed == Map("delete" -> 3L))
   }
 
+  test("the DV/plain scan split survives per-segment schema " +
+      "evolution on pruned paths: drifted shapes null-fill across " +
+      "the split exactly like the single mergeSchema scan") {
+    val root = tmp()
+    val store = new LogStore(spark, root, statsCol = Some("id"))
+    // seg A: the pre-evolution shape; seg B evolves with `extra`
+    store.append((0L until 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    store.append((10L until 20L).map(i => (i, s"v$i", s"x$i"))
+      .toDF("id", "v", "extra"))
+    // vector on seg B only → a pruned read (schema=None) spans one
+    // plain group (A) and one DV group (B) with drifted shapes
+    val r = store.deleteRangeDV("id", "15", "15")
+    assert(r.touched == 1 && r.deletedRows == 1L)
+    val (df, scanned, live) = store.readRangeOn("id", "0", "19")
+    assert(scanned == 2 && live == 2)
+    assert(df.count() == 19L, "15 gone, both shapes read")
+    assert(df.where(col("id") < 10L && col("extra").isNull)
+      .count() == 10L, "pre-evolution rows null-fill the added column")
+    assert(df.where(col("id") === 16L && col("extra") === "x16")
+      .count() == 1L)
+  }
+
   test("a second DV delete on the same segment MERGES positions, " +
       "and already-deleted rows never re-match or re-report") {
     val root = tmp()
@@ -128,6 +150,57 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(r.rewritten == 1, s"only the dv segment selected, got $r")
     assert(store.liveSegmentInfos().count(_.dv.nonEmpty) == 0)
     assert(store.read().count() == 190L)
+  }
+
+  test("maintainLayout triggers on VECTOR PRESSURE: light vectors are " +
+      "a commit-free no-op, a mostly-deleted segment is rewritten " +
+      "(vector consumed) while clean segments carry by name") {
+    val root = tmp()
+    val store = seeded(root) // seg A: 0-99, seg B: 1000-1099
+    val big = store.describeDetail().collect()
+      .head.getAs[Long]("total_bytes")
+    // 10% pressure on seg B: below the 50% rule → hands-off
+    store.deleteRangeDV("id", "1000", "1009")
+    val v1 = store.latestVersion()
+    val calm = store.maintainLayout(big, smallSegmentLimit = 100)
+    assert(!calm.triggered && calm.dvPressured == 0 &&
+      store.latestVersion() == v1,
+      s"10% vectored must stay a no-op, got $calm")
+    // 60% pressure: the policy folds the debt back into a clean segment
+    store.deleteRangeDV("id", "1010", "1059")
+    val before = store.liveSegmentInfos()
+    val aName = before.find(_.dv.isEmpty).get.name
+    val m = store.maintainLayout(big, smallSegmentLimit = 100)
+    assert(m.triggered && m.dvPressured == 1, s"got $m")
+    val after = store.liveSegmentInfos()
+    assert(after.map(_.name).contains(aName),
+      "the clean segment must carry over BY NAME")
+    assert(after.forall(_.dv.isEmpty),
+      "the rewrite must consume the vector")
+    assert(store.read().count() == 140L)
+    // dataChange=false: the compaction contributes nothing to the feed
+    assert(store.readChanges(m.result.get.version).count() == 0L)
+    // and the policy is quiet again
+    val v2 = store.latestVersion()
+    assert(!store.maintainLayout(big, smallSegmentLimit = 100).triggered
+      && store.latestVersion() == v2)
+  }
+
+  test("read-side reconciliation is BOUNDED: past the configured dv " +
+      "row ceiling the anti-join drops its broadcast hint (executor-" +
+      "bounded shuffle) and reads stay correct") {
+    val root = tmp()
+    val store = seeded(root)
+    store.deleteWhereDV("id IN (5, 7, 1005)")
+    def hinted(): Boolean = store.read().queryExecution
+      .optimizedPlan.toString.contains("strategy=broadcast")
+    assert(hinted(), "small vectors broadcast by default")
+    spark.conf.set("graft.dv.broadcastRowLimit", "0")
+    try {
+      assert(!hinted(), "past the ceiling the hint must be dropped")
+      assert(store.read().count() == 197L,
+        "the shuffled reconciliation reads the same rows")
+    } finally spark.conf.unset("graft.dv.broadcastRowLimit")
   }
 
   test("checkpointed replay reconstructs DV state, restore undoes a " +

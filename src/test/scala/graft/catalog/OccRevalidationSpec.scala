@@ -22,7 +22,8 @@ class OccRevalidationSpec extends AnyFunSuite {
     * table stays fully readable afterwards. */
   private def racingStore(dir: String,
       racerRows: Option[(Long, Long)],
-      racerStats: Boolean): (LogStore, () => Unit) = {
+      racerStats: Boolean,
+      racerSchemaB64: Option[String] = None): (LogStore, () => Unit) = {
     @volatile var armed = false
     val t: LogStore = new LogStore(spark, dir, statsCol = Some("id")) {
       override private[graft] def commit(expected: Long,
@@ -42,12 +43,15 @@ class OccRevalidationSpec extends AnyFunSuite {
               else s"""{"add":"seg-racer-$expected"}"""
             case None => """{"txn":424242}""" // a fence-style winner
           }
+          val line2 = racerSchemaB64
+            .map(b => line + "\n" + s"""{"schema":"$b"}""")
+            .getOrElse(line)
           val p = new org.apache.hadoop.fs.Path(
             f"$dir/_log/$expected%08d.json")
           val rfs = p.getFileSystem(
             spark.sparkContext.hadoopConfiguration)
           val out = rfs.create(p, false)
-          out.write((line + "\n").getBytes("UTF-8"))
+          out.write((line2 + "\n").getBytes("UTF-8"))
           out.close()
         }
         super.commit(expected, adds, removes, txn, vacuumHorizon, cdc,
@@ -146,5 +150,35 @@ class OccRevalidationSpec extends AnyFunSuite {
     seeded(t2)
     arm2()
     intercept[Exception] { t2.deleteRangeDV("id", "100", "109") }
+  }
+
+  test("a winner carrying a METADATA action always conflicts: the " +
+      "loser must re-derive instead of re-committing a schema/props " +
+      "computed against the pre-evolution snapshot") {
+    // the winner appends a DISJOINT key range (8000-8100 vs the
+    // loser's 100-109 delete — re-validation would pass on data
+    // grounds alone) AND evolves the schema with an `extra` column.
+    // Replay takes the LAST schema action, so a loser allowed to
+    // re-commit at the new head could clobber that evolution; the
+    // metadata-change rule makes it conflict instead.
+    val evolved = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.StringType)))
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      evolved.json.getBytes("UTF-8"))
+    val dir = Files.createTempDirectory("graft-occ").toString + "/t"
+    val (t, arm) = racingStore(dir, Some((8000L, 8100L)),
+      racerStats = true, racerSchemaB64 = Some(b64))
+    seeded(t)
+    arm()
+    intercept[Exception] { t.deleteRange("id", "100", "109") }
+    // the winner's evolution is intact — nothing stale overwrote it
+    assert(t.recordedSchema().exists(_.fieldNames.contains("extra")),
+      "the concurrent winner's schema action must survive")
+    assert(t.read().count() == 2101L, "no delete may have landed")
   }
 }

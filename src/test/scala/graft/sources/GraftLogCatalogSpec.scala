@@ -101,8 +101,8 @@ class GraftLogCatalogSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("CREATE TABLE gtest.ddl (id BIGINT)")
     }
-    intercept[Exception] { // ALTER has nothing safe to do
-      spark.sql("ALTER TABLE gtest.ddl ADD COLUMN x INT")
+    intercept[Exception] { // type mutation / drops stay refused
+      spark.sql("ALTER TABLE gtest.ddl DROP COLUMN id")
     }
     spark.sql("INSERT INTO gtest.ddl VALUES (7)")
     spark.sql("ALTER TABLE gtest.ddl RENAME TO ddl2")
@@ -347,5 +347,74 @@ class GraftLogCatalogSpec extends AnyFunSuite {
     }
     // the corruption this pins against: gtest.ns1._log existing makes
     // isTable(root/ns1) true and misclassifies the NAMESPACE forever
+  }
+
+  test("ALTER TABLE ADD COLUMN is a METADATA-ONLY schema commit: " +
+      "zero data bytes, old segments read null, new appends carry " +
+      "the column, time travel keeps the old shape; unsafe ALTERs " +
+      "and unsafe ADDs keep refusing") {
+    root
+    spark.sql("CREATE TABLE gtest.evoddl (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('statsCol' = 'id')")
+    spark.sql("INSERT INTO gtest.evoddl SELECT id, 'old' FROM range(0, 5)")
+    val store = LogStore.configured(spark, s"$root/evoddl")
+    val vOld = store.latestVersion()
+    val segsBefore = store.liveSegmentInfos().map(_.name).toSet
+    spark.sql("ALTER TABLE gtest.evoddl ADD COLUMN score DOUBLE")
+    // metadata-only: same live segments, one new version, no data dirs
+    assert(store.liveSegmentInfos().map(_.name).toSet == segsBefore)
+    assert(store.latestVersion() == vOld + 1)
+    // old rows read null in the added column
+    assert(spark.sql(
+      "SELECT count(*) FROM gtest.evoddl WHERE score IS NULL")
+      .head().getLong(0) == 5L)
+    // new appends carry it
+    spark.sql("INSERT INTO gtest.evoddl VALUES (100, 'new', 9.5)")
+    assert(spark.sql("SELECT sum(score) FROM gtest.evoddl")
+      .head().getDouble(0) == 9.5)
+    // time travel BEFORE the evolution returns the old 2-column shape
+    assert(spark.sql(
+      s"SELECT * FROM gtest.evoddl VERSION AS OF $vOld").columns.toSeq ==
+      Seq("id", "v"))
+    // multiple columns in one statement
+    spark.sql("ALTER TABLE gtest.evoddl ADD COLUMNS (a INT, b STRING)")
+    assert(spark.table("gtest.evoddl").columns.toSeq ==
+      Seq("id", "v", "score", "a", "b"))
+    // refusals: NOT NULL, duplicate, nested, non-ADD changes
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.evoddl ADD COLUMN nn INT NOT NULL")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.evoddl ADD COLUMN score DOUBLE")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.evoddl RENAME COLUMN v TO w")
+    }
+  }
+
+  test("a PRE-EXISTING table under a reserved name stays reachable " +
+      "for SELECT and DROP (the prefix rule gates create/rename only)") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns1")
+    spark.sql("CREATE TABLE gtest.ns1.mv_src (id BIGINT)")
+    spark.sql("INSERT INTO gtest.ns1.mv_src VALUES (1), (2), (3)")
+    // simulate a table that predates the reserved-prefix rule (or was
+    // copied in externally): rename the DIRECTORY out from under the
+    // catalog
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/ns1/mv_src"),
+      new org.apache.hadoop.fs.Path(s"$root/ns1/seg-orphan")))
+    // reachable: reads work, DROP works — the user can dig out
+    assert(spark.sql("SELECT count(*) FROM gtest.ns1.`seg-orphan`")
+      .head().getLong(0) == 3L)
+    spark.sql("DROP TABLE gtest.ns1.`seg-orphan`")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/ns1/seg-orphan")))
+    // but CREATE under the reserved name still refuses
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gtest.ns1.`seg-orphan` (id BIGINT)")
+    }
+    assert(e.getMessage.contains("illegal identifier part"))
   }
 }

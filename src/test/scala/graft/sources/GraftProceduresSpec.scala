@@ -86,6 +86,27 @@ class GraftProceduresSpec extends AnyFunSuite {
       == 4L)
   }
 
+  test("CALL maintain folds VECTOR PRESSURE: dv_fraction selects " +
+      "mostly-deleted segments for rewrite, light ones stay put") {
+    root
+    spark.sql("CREATE TABLE gproc.t3dv (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('statsCol' = 'id', 'dvDeletes' = 'true')")
+    spark.sql("INSERT INTO gproc.t3dv SELECT id, 'a' FROM range(0, 100)")
+    spark.sql("INSERT INTO gproc.t3dv SELECT id, 'a' " +
+      "FROM range(1000, 1100)")
+    val store = LogStore.configured(spark, s"$root/t3dv")
+    store.deleteRangeDV("id", "1000", "1059") // 60% of segment B
+    val r = spark.sql("CALL gproc.system.maintain(" +
+      "`table` => 't3dv', min_segment_bytes => 1, " +
+      "dv_fraction => CAST(0.5 AS DOUBLE))").head()
+    assert(r.getBoolean(0) && r.getInt(2) == 1,
+      s"one pressured segment must trigger, got $r")
+    assert(store.liveSegmentInfos().forall(_.dv.isEmpty),
+      "the rewrite consumes the vector")
+    assert(spark.sql("SELECT count(*) FROM gproc.t3dv")
+      .head().getLong(0) == 140L)
+  }
+
   test("CALL vacuum + checkpoint: the horizon lands, history shows " +
       "it, and the age guard holds by default (opt-out explicit)") {
     root

@@ -81,6 +81,37 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       .head().getLong(0) == 200L)
   }
 
+  test("a zero-group rewrite is a silent no-op ONLY when the table " +
+      "is unchanged since the pinned read — a commit landing between " +
+      "scan planning and write commit throws, never vanishes") {
+    import spark.implicits._
+    val store = mkTable("updrace")
+    val dir = s"$root/updrace"
+    val op = new GraftRowLevelOperation(dir,
+      org.apache.spark.sql.connector.write.RowLevelOperation
+        .Command.UPDATE)
+    val scan = op.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build()
+      .asInstanceOf[GraftRowLevelScan]
+    // the runtime group filter found no matching groups (the
+    // matching-groups subquery planned against a NEWER snapshot can
+    // legitimately intersect the pinned selection to empty)
+    scan.selectedInfos = Nil
+    val write = new GraftReplaceBatchWrite(dir,
+      store.recordedSchema().get, op)
+    // control: unchanged table → genuine no-op, no commit, no throw
+    val v0 = store.latestVersion()
+    write.commit(Array.empty)
+    assert(store.latestVersion() == v0)
+    // race: a commit lands after the scan pinned its version — the
+    // zero-group "no-op" must surface as a conflict, not silence
+    store.append(Seq((5000L, "racer")).toDF("id", "v"))
+    val write2 = new GraftReplaceBatchWrite(dir,
+      store.recordedSchema().get, op)
+    intercept[Exception] { write2.commit(Array.empty) }
+  }
+
   test("SQL MERGE INTO: matched-update, matched-delete and " +
       "not-matched-insert in one atomic commit, stats-pruned to the " +
       "touched segments, with a truthful net feed") {

@@ -3824,6 +3824,30 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    "ann_ivf_trained_persisted" -> ((s, dir) => {
+      // the TRAINED persisted index: k-means centroids stored as the
+      // centroids table's OWN vectors (index state, not corpus rows),
+      // training config in the table properties, postings clustered
+      // on cell_id — searched through a FRESH store (restart = paths
+      // only) with results IDENTICAL to the in-memory ivfTopKTrained,
+      // which is exactly what the k-means-replaying oracle computes.
+      // probe_pruned pins the files-opened evidence on a 1-query
+      // nProbe=2 probe.
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-anntp").toString
+      val idx = AnnIndex.buildIvfTrained(s, emb, corpusVersion = 0L,
+        s"$root/idx", nCells = 16, iters = 2, postingSegments = 8)
+      val (res, _, _) = AnnIndex.searchIvf(s, idx, emb, q, k = 5,
+        nProbe = 4)
+      val (_, opened1, live1) = AnnIndex.searchIvf(s, idx, emb,
+        emb.where(col("vec_id") === 0L), k = 5, nProbe = 2)
+      res.select(col("query_id"), col("rank"), col("neighbor_id"))
+        .withColumn("probe_pruned", lit(opened1 < live1))
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_recall_audit" -> ((s, dir) => {
       // the approximate indexes are verified individually for
       // determinism; this query measures their QUALITY — per-query
@@ -5067,7 +5091,8 @@ object SparkEntry {
     * centroids per query by the TRAINING metric (d ASC, cid ASC), then
     * exact cosine over the probed cells' members. */
   private def duckIvfTrainedSql(nCells: Int, iters: Int, dims: Int,
-      nProbe: Int, k: Int, queryPred: String = "vec_id < 8"): String =
+      nProbe: Int, k: Int, queryPred: String = "vec_id < 8",
+      extraCols: String = ""): String =
     s"""WITH ${duckKMeansChain(nCells, iters, dims)},
        |n AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e),
        |probes AS (SELECT vec_id AS q_id, cid FROM (
@@ -5083,7 +5108,8 @@ object SparkEntry {
        |r AS (SELECT query_id, neighbor_id, row_number() OVER (
        |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
        |  AS rank FROM p)
-       |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= $k
+       |SELECT query_id, rank, neighbor_id$extraCols FROM r
+       |WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
   /** Trained-PQ oracle: the m independent per-subspace Lloyd runs of
@@ -6183,6 +6209,13 @@ object SparkEntry {
 
     "ann_ivf_trained" -> duckIvfTrainedSql(nCells = 16, iters = 2,
       dims = 64, nProbe = 4, k = 5),
+
+    // the trained PERSISTED index must match ivfTopKTrained exactly,
+    // so its oracle is the same k-means-replaying construction;
+    // probe_pruned pins the files-opened evidence
+    "ann_ivf_trained_persisted" -> duckIvfTrainedSql(nCells = 16,
+      iters = 2, dims = 64, nProbe = 4, k = 5,
+      extraCols = ", TRUE AS probe_pruned"),
 
     // replicates the SQ8 pipeline end to end: per-dim [min,max] over
     // the corpus, floor(x+0.5) half-up byte codes clamped to [0,255],

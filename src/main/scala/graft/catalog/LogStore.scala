@@ -51,7 +51,8 @@ class LogStore(spark: SparkSession, val root: String,
     bloomCol: Option[String] = None,
     bloomBits: Int = 4096,
     statsCols: Seq[String] = Nil,
-    dvDeletes: Boolean = false) {
+    dvDeletes: Boolean = false,
+    extraProps: Map[String, String] = Map.empty) {
   require(checkpointInterval > 0, "checkpointInterval must be positive")
   require(bloomBits > 0 && bloomBits % 4 == 0,
     "bloomBits must be a positive multiple of 4 (hex-serialized)")
@@ -62,6 +63,16 @@ class LogStore(spark: SparkSession, val root: String,
     require(!c.exists("|;\"\n=,".contains(_)),
       s"configured column name '$c' may not contain | ; = , quote " +
         "or newline"))
+  // application-level properties (an index's training config, a
+  // pipeline's contract version) ride the SAME `props` action — keys
+  // must avoid the engine-owned names and both halves the grammar's
+  // delimiters
+  extraProps.foreach { case (k, v) =>
+    require(!LogStore.EngineProps.contains(k),
+      s"extra prop '$k' collides with an engine-owned property")
+    require(k.nonEmpty && !(k + v).exists(";\"\n=".contains(_)),
+      s"extra prop '$k' may not contain ; = quote or newline")
+  }
 
   final class ConcurrentCommitException(v: Long)
     extends RuntimeException(s"version $v was committed concurrently")
@@ -372,9 +383,22 @@ class LogStore(spark: SparkSession, val root: String,
       (if (statsCols.isEmpty) Nil
        else Seq(s"statsCols=${statsCols.mkString(",")}")) ++
       bloomCol.map(c => s"bloomCol=$c;bloomBits=$bloomBits").toSeq ++
-      (if (dvDeletes) Seq("dvDeletes=true") else Nil)
+      (if (dvDeletes) Seq("dvDeletes=true") else Nil) ++
+      extraProps.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
     if (parts.isEmpty) None else Some(parts.mkString(";"))
   }
+
+  /** One recorded table property by key — engine-owned or extra; the
+    * read half of [[extraProps]] (an index's training config read back
+    * from the PATH alone). */
+  def recordedProp(key: String,
+      version: Long = Long.MaxValue): Option[String] =
+    recordedProps(version).toSeq
+      .flatMap(_.split(';').iterator.filter(_.contains('=')))
+      .collectFirst {
+        case e if e.take(e.indexOf('=')) == key =>
+          e.drop(e.indexOf('=') + 1)
+      }
 
   /** Whether this table opted into MERGE-ON-READ deletes (the
     * `dvDeletes` table property): declarative delete surfaces (SQL
@@ -2238,6 +2262,12 @@ class LogStore(spark: SparkSession, val root: String,
 }
 
 object LogStore {
+  /** The property keys the engine itself owns in the `props` action;
+    * [[configured]] maps them to constructor fields and everything
+    * else round-trips as [[LogStore!.extraProps]]. */
+  private[catalog] val EngineProps: Set[String] =
+    Set("statsCol", "statsCols", "bloomCol", "bloomBits", "dvDeletes")
+
   /** Ceiling on RECORDED deletion-vector rows a snapshot scan will
     * reconcile by broadcast anti-join. A (seg, file, pos) row costs
     * ~100 bytes in the driver-built hash relation, so 2²⁰ rows is
@@ -2275,7 +2305,11 @@ object LogStore {
           bloomBits = kv.get("bloomBits").map(_.toInt).getOrElse(4096),
           statsCols = kv.get("statsCols").toSeq
             .flatMap(_.split(',').toSeq).filter(_.nonEmpty),
-          dvDeletes = kv.get("dvDeletes").contains("true"))
+          dvDeletes = kv.get("dvDeletes").contains("true"),
+          // application props round-trip: a configured() writer must
+          // re-stamp them, never silently drop them from the action
+          extraProps = kv.view.filterKeys(!EngineProps.contains(_))
+            .toMap)
     }
   }
 }

@@ -14,12 +14,18 @@ import graft.functions.VectorFunctions.{vec_dot, vec_norm}
   * maintenance, stats-skipped reads) instead of inventing an index
   * file format:
   *
-  *  - `centroids` table: (cell_id, vec_id, nrm) — the deterministic
-  *    codebook ([[Similarity.ivfTopK]]'s policy: the first nCells
-  *    corpus vectors by vec_id), k rows, vector payloads stay IN the
-  *    corpus (fetched by id at search time — the DiskANN-style
-  *    external-storage shape; an index never duplicates 100 TB of
-  *    floats).
+  *  - `centroids` table: the codebook, under either coarse-quantizer
+  *    policy. DETERMINISTIC (the [[Similarity.ivfTopK]] policy: the
+  *    first nCells corpus vectors by vec_id) stores (cell_id, vec_id,
+  *    nrm) — vector payloads stay IN the corpus (fetched by id at
+  *    search time — the DiskANN-style external-storage shape; an
+  *    index never duplicates 100 TB of floats). TRAINED (the
+  *    [[Similarity.ivfTopKTrained]] policy: k-means centroids, the
+  *    Faiss design) stores (cell_id, embedding) — k trained mean
+  *    vectors are index state, not corpus rows — with the training
+  *    config (`ivfPolicy`/`ivfCells`/`ivfIters`) recorded as table
+  *    PROPERTIES in the log, so a path-only reader reconstructs the
+  *    exact search semantics with no out-of-band configuration.
   *  - `postings` table: (cell_id, vec_id, nrm), statsCol = cell_id,
   *    ingested CLUSTERED on cell_id through the DSv2 sink
   *    (`clusterBy` + one segment per range file) — per-segment
@@ -29,19 +35,33 @@ import graft.functions.VectorFunctions.{vec_dot, vec_norm}
   *    reports exactly how many opened — the files-opened pin).
   *  - **Search** (ANY process, no shared state — a restart is just
   *    `LogStore.configured(path)`): per-query nProbe cells from the
-  *    k-row codebook (driver literals, same argmax expressions as the
-  *    in-memory IVF), a multi-range pruned postings read, candidate
-  *    ids joined back to the corpus for exact cosine, top-k window.
-  *    Results are IDENTICAL to [[Similarity.ivfTopK]] — same
+  *    k-row codebook (driver literals, the same argmax/argmin
+  *    expressions as the in-memory IVF arms), a multi-range pruned
+  *    postings read, candidate ids joined back to the corpus for
+  *    exact cosine, top-k window. Results are IDENTICAL to
+  *    [[Similarity.ivfTopK]] / [[Similarity.ivfTopKTrained]] — same
   *    assignment, same probes, same cosine expression.
   *  - **Incremental maintenance from the corpus change feed**:
-  *    [[maintainIvf]] absorbs commits past the index's txn cursor
-  *    (append-only corpora; the fence makes replays no-ops), assigns
-  *    new vectors to their cells, and appends postings — O(new rows)
-  *    per sync, never a rebuild. */
+  *    [[maintainIvf]] absorbs commits past the index's txn cursor —
+  *    inserts (and update postimages) are assigned and appended;
+  *    DELETES (and update preimages) propagate as merge-on-read
+  *    deletion-vector entries on the postings table
+  *    ([[graft.catalog.LogStore.deleteKeysDV]] — the index dogfoods
+  *    the table layer's own delete machinery), with DV pressure
+  *    folded back by the maintain policy. O(changed rows) writes per
+  *    sync, never a rebuild; the fence makes replays no-ops. */
 object AnnIndex {
 
   final case class IvfIndex(centroidsRoot: String, postingsRoot: String)
+
+  /** The rehydrated codebook, by policy. Deterministic cells carry
+    * the centroid's corpus vec_id (vector fetched from the corpus);
+    * trained cells carry the trained mean itself. */
+  private sealed trait Codebook
+  private final case class CorpusBook(
+      cents: Array[(Long, Seq[Float], Double)]) extends Codebook
+  private final case class TrainedBook(
+      cents: Array[Seq[Double]]) extends Codebook
 
   private def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding"),
@@ -56,20 +76,54 @@ object AnnIndex {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
 
-  private def assignExpr(
-      cents: Array[(Long, Seq[Float], Double)]): Column = {
-    def cellCos(cEmb: Seq[Float], cNrm: Double): Column =
-      vec_dot(col("embedding"), typedLit(cEmb)) / (col("nrm") * lit(cNrm))
-    -greatest(cents.map { case (cid, ce, cn) =>
-      struct(cellCos(ce, cn).as("c"), lit(-cid).as("negid"))
-    }: _*).getField("negid")
+  /** Cell assignment under the codebook's own metric — cosine argmax
+    * for the deterministic book (ties to the LOWER cell id, the
+    * ivfTopK rule), squared-L2 argmin for the trained book (the
+    * kmAssign rule, identical IEEE term order). Long-typed. */
+  private def assignExpr(book: Codebook): Column = book match {
+    case CorpusBook(cents) =>
+      def cellCos(cEmb: Seq[Float], cNrm: Double): Column =
+        vec_dot(col("embedding"), typedLit(cEmb)) /
+          (col("nrm") * lit(cNrm))
+      -greatest(cents.map { case (cid, ce, cn) =>
+        struct(cellCos(ce, cn).as("c"), lit(-cid).as("negid"))
+      }: _*).getField("negid")
+    case TrainedBook(cents) =>
+      val vv = vec_dot(col("embedding"), col("embedding"))
+      least(cents.zipWithIndex.map { case (c, cid) =>
+        val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+        struct((vv - lit(2.0) * vec_dot(col("embedding"), typedLit(c)) +
+          lit(cc)).as("d"), lit(cid.toLong).as("cid"))
+      }: _*).getField("cid")
   }
 
-  /** Build the index tables under `dir` ("centroids" / "postings").
-    * The postings ingest is range-clustered on cell_id with one
-    * segment per task file, so skipping works from the FIRST write —
-    * no post-hoc OPTIMIZE. The index cursor (txn fence) records the
-    * corpus version it covers, making [[maintainIvf]] exactly-once. */
+  /** Per-query probe cells: a sorted (score, cell_id) struct array
+    * sliced to nProbe — best-cosine-first for the deterministic book,
+    * smallest-distance-first for the trained one (each the exact
+    * expression of its in-memory twin). */
+  private def probeStructs(book: Codebook): Column = book match {
+    case CorpusBook(cents) =>
+      array_sort(array(cents.map { case (cid, ce, cn) =>
+        struct((-(vec_dot(col("embedding"), typedLit(ce)) /
+          (col("nrm") * lit(cn)))).as("negc"),
+          lit(cid).as("cell_id"))
+      }: _*))
+    case TrainedBook(cents) =>
+      val qVv = vec_dot(col("embedding"), col("embedding"))
+      array_sort(array(cents.zipWithIndex.map { case (c, cid) =>
+        val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+        struct((qVv - lit(2.0) * vec_dot(col("embedding"),
+          typedLit(c)) + lit(cc)).as("d"),
+          lit(cid.toLong).as("cell_id"))
+      }: _*))
+  }
+
+  /** Build the index tables under `dir` ("centroids" / "postings")
+    * with the DETERMINISTIC first-nCells-by-id codebook. The postings
+    * ingest is range-clustered on cell_id with one segment per task
+    * file, so skipping works from the FIRST write — no post-hoc
+    * OPTIMIZE. The index cursor (txn fence) records the corpus
+    * version it covers, making [[maintainIvf]] exactly-once. */
   def buildIvf(spark: SparkSession, corpus: DataFrame,
       corpusVersion: Long, dir: String, nCells: Int = 16,
       postingSegments: Int = 8): IvfIndex = {
@@ -79,10 +133,47 @@ object AnnIndex {
     val centRows = cents.map { case (cid, _, nrm) => (cid, cid, nrm) }
       .toSeq
     import spark.implicits._
-    new LogStore(spark, idx.centroidsRoot)
+    new LogStore(spark, idx.centroidsRoot,
+      extraProps = Map("ivfPolicy" -> "deterministic",
+        "ivfCells" -> nCells.toString))
       .append(centRows.toDF("cell_id", "vec_id", "nrm"))
+    writePostings(spark, idx, corpus, CorpusBook(cents),
+      corpusVersion, postingSegments)
+    idx
+  }
+
+  /** [[buildIvf]] with a TRAINED coarse quantizer: the
+    * [[Similarity.kMeansCentroids]] codebook (first-k-by-id init,
+    * `iters` Lloyd rounds — deterministic), persisted as the
+    * centroids table's OWN vectors with the training config in the
+    * table properties. Search matches [[Similarity.ivfTopKTrained]]
+    * exactly. */
+  def buildIvfTrained(spark: SparkSession, corpus: DataFrame,
+      corpusVersion: Long, dir: String, nCells: Int = 16,
+      iters: Int = 2, postingSegments: Int = 8): IvfIndex = {
+    require(nCells >= 2, s"nCells must be >= 2, got $nCells")
+    val idx = IvfIndex(s"$dir/centroids", s"$dir/postings")
+    val cents = Similarity.kMeansCentroids(
+      corpus.select(col("vec_id"), col("embedding")), nCells, iters)
+    import spark.implicits._
+    new LogStore(spark, idx.centroidsRoot,
+      extraProps = Map("ivfPolicy" -> "trained",
+        "ivfCells" -> nCells.toString, "ivfIters" -> iters.toString))
+      .append(cents.zipWithIndex
+        .map { case (c, cid) => (cid.toLong, c) }.toSeq
+        .toDF("cell_id", "embedding"))
+    writePostings(spark, idx, corpus, TrainedBook(cents),
+      corpusVersion, postingSegments)
+    idx
+  }
+
+  /** The shared postings ingest: assign under the book's metric,
+    * range-cluster on cell_id, fence at the covered corpus version. */
+  private def writePostings(spark: SparkSession, idx: IvfIndex,
+      corpus: DataFrame, book: Codebook, corpusVersion: Long,
+      postingSegments: Int): Unit = {
     val postings = withNorm(corpus)
-      .withColumn("cell_id", assignExpr(cents))
+      .withColumn("cell_id", assignExpr(book))
       .select(col("cell_id"), col("vec_id"), col("nrm"))
     val store = new LogStore(spark, idx.postingsRoot,
       statsCol = Some("cell_id"))
@@ -93,75 +184,120 @@ object AnnIndex {
       .mode("append").save()
     // the cursor: which corpus version this index covers
     store.commitFence(corpusVersion)
-    idx
   }
 
-  /** Absorb corpus commits past the index cursor (append-only
-    * corpora): new vectors assigned and appended as postings in ONE
-    * fenced commit — a replay (or an already-current index) is a
-    * no-op. Returns the corpus version now covered. */
+  /** Absorb corpus commits past the index cursor: inserts and update
+    * postimages are assigned under the persisted codebook and
+    * appended; deletes and update preimages drop their postings as
+    * DELETION-VECTOR entries ([[graft.catalog.LogStore.deleteKeysDV]]
+    * — zero posting bytes rewritten), with vector pressure folded
+    * back by the postings table's own maintain policy (re-clustered
+    * on cell_id, so the files-opened economics survive compaction).
+    * Everything lands behind ONE txn fence — a replay (or an
+    * already-current index) is a no-op; the unfenced delete commit is
+    * safe to replay because already-vectored rows never re-match.
+    * A DETERMINISTIC codebook anchored on a now-deleted corpus vector
+    * refuses loudly (its vector can no longer be fetched — rebuild,
+    * or use the trained policy, whose centroids are index state).
+    * Returns the corpus version now covered. */
   def maintainIvf(spark: SparkSession, corpusStore: LogStore,
       idx: IvfIndex, nCells: Int = 16): Long = {
     val postings = LogStore.configured(spark, idx.postingsRoot)
     val cursor = math.max(postings.lastTxn(), -1L)
     val latest = corpusStore.latestVersion()
     if (latest <= cursor) return cursor
-    val changes = corpusStore.readChanges(cursor + 1, latest)
-    val bad = changes.where(col("_change_type") =!= "insert").limit(1)
-      .collect()
-    if (bad.nonEmpty)
-      throw new IllegalStateException(
-        "IVF maintenance mirrors an APPEND-ONLY corpus; a " +
-          "delete/update in the feed needs a rebuild (or a keyed " +
-          "mirror strategy)")
-    val cents = loadCodebook(spark, idx, corpusStore.read())
-    val fresh = withNorm(changes
-      .drop("_change_type", "_commit_version"))
-      .withColumn("cell_id", assignExpr(cents))
-      .select(col("cell_id"), col("vec_id"), col("nrm"))
-    val moved = postings.appendStream(fresh, batchId = latest)
-    if (moved < 0)
-      throw new IllegalStateException(
-        s"index cursor moved concurrently past $latest — two " +
-          "maintenance drivers on one index")
-    latest
+    val changes = corpusStore.readChanges(cursor + 1, latest).cache()
+    try {
+      val removedKeys = changes
+        .where(col("_change_type")
+          .isin("delete", "update_preimage"))
+        .select(col("vec_id")).distinct()
+      val added = changes
+        .where(col("_change_type").isin("insert", "update_postimage"))
+      val book = loadCodebook(spark, idx, corpusStore.read())
+      book match {
+        case CorpusBook(cents) =>
+          val centIds = cents.map(_._1)
+          val hit = removedKeys
+            .where(col("vec_id").isin(centIds.toSeq: _*))
+            .limit(1).collect()
+          if (hit.nonEmpty)
+            throw new IllegalStateException(
+              s"corpus vector ${hit.head.getLong(0)} anchors a " +
+                "deterministic IVF centroid and was deleted — the " +
+                "codebook can no longer be rehydrated from the " +
+                "corpus; rebuild the index (or build with the " +
+                "trained policy, whose centroids are index state)")
+        case TrainedBook(_) => () // centroids are index-owned state
+      }
+      if (removedKeys.limit(1).collect().nonEmpty) {
+        postings.deleteKeysDV(removedKeys, Seq("vec_id"))
+        // fold heavy vector debt back into clean cell-clustered
+        // segments — the hands-off policy, dogfooded
+        postings.maintainLayout(1L, dvFraction = 0.5,
+          clusterBy = Seq(col("cell_id")))
+      }
+      val fresh = withNorm(added
+        .select(col("vec_id"), col("embedding")))
+        .withColumn("cell_id", assignExpr(book))
+        .select(col("cell_id"), col("vec_id"), col("nrm"))
+      val moved =
+        if (fresh.limit(1).collect().isEmpty)
+          postings.commitFence(latest)
+        else postings.appendStream(fresh, batchId = latest)
+      if (moved < 0)
+        throw new IllegalStateException(
+          s"index cursor moved concurrently past $latest — two " +
+            "maintenance drivers on one index")
+      latest
+    } finally changes.unpersist()
   }
 
-  /** The persisted codebook re-hydrated: centroid ids from the
-    * centroids table (k rows), their VECTORS fetched from the corpus
-    * by id — the index never duplicates vector payloads. */
+  /** The persisted codebook re-hydrated, by recorded policy: trained
+    * centroids read back directly (k rows of index-owned vectors);
+    * deterministic centroid ids resolved to their VECTORS from the
+    * corpus (the index never duplicates corpus payloads). */
   private def loadCodebook(spark: SparkSession, idx: IvfIndex,
-      corpus: DataFrame): Array[(Long, Seq[Float], Double)] = {
+      corpus: DataFrame): Codebook = {
     val centStore = LogStore.configured(spark, idx.centroidsRoot)
-    val centIds = centStore.read().select("cell_id", "vec_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    val centVecs = withNorm(corpus)
-      .where(col("vec_id").isin(centIds.values.toSeq: _*))
-      .collect()
-      .map(r => r.getLong(0) -> (r.getSeq[Float](1), r.getDouble(2)))
-      .toMap
-    centIds.toSeq.sortBy(_._1).map { case (cid, vid) =>
-      val (emb, nrm) = centVecs(vid)
-      (cid, emb, nrm)
-    }.toArray
+    val df = centStore.read()
+    if (df.columns.contains("embedding")) {
+      val rows = df.select(col("cell_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      require(rows.map(_._1).sameElements(rows.indices.map(_.toLong)),
+        "trained codebook cell ids must be contiguous from 0")
+      TrainedBook(rows.map(_._2.toSeq))
+    } else {
+      val centIds = df.select("cell_id", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val centVecs = withNorm(corpus)
+        .where(col("vec_id").isin(centIds.values.toSeq: _*))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getSeq[Float](1), r.getDouble(2)))
+        .toMap
+      CorpusBook(centIds.toSeq.sortBy(_._1).map { case (cid, vid) =>
+        val (emb, nrm) = centVecs.getOrElse(vid,
+          throw new IllegalStateException(
+            s"centroid corpus vector $vid is gone — rebuild the index"))
+        (cid, emb, nrm)
+      }.toArray)
+    }
   }
 
   /** Search through the PERSISTED index — `(results, opened, live)`:
     * `opened` is the number of posting segments the multi-range
     * pruned read actually opened, `live` the total — the
     * files-opened evidence a 100 TB probe hinges on. Results match
-    * [[Similarity.ivfTopK]] exactly. */
+    * [[Similarity.ivfTopK]] (deterministic codebook) or
+    * [[Similarity.ivfTopKTrained]] (trained codebook) exactly. */
   def searchIvf(spark: SparkSession, idx: IvfIndex, corpus: DataFrame,
       queries: DataFrame, k: Int = 5, nProbe: Int = 4)
       : (DataFrame, Int, Int) = {
-    val cents = loadCodebook(spark, idx, corpus)
-    def cellCos(cEmb: Seq[Float], cNrm: Double): Column =
-      vec_dot(col("embedding"), typedLit(cEmb)) / (col("nrm") * lit(cNrm))
-    val probeStructs = array_sort(array(cents.map { case (cid, ce, cn) =>
-      struct((-cellCos(ce, cn)).as("negc"), lit(cid).as("cell_id"))
-    }: _*))
+    val book = loadCodebook(spark, idx, corpus)
     val probes = withNorm(queries)
-      .withColumn("probe", explode(slice(probeStructs, 1, nProbe)))
+      .withColumn("probe", explode(slice(probeStructs(book), 1, nProbe)))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("probe.cell_id").as("cell_id"))
       .localCheckpoint(true) // probed twice: ranges + the join

@@ -98,17 +98,113 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("maintenance refuses a non-append corpus change loudly") {
+  test("delete-aware maintenance: corpus deletes land as DV entries " +
+      "on the postings (zero posting bytes rewritten), an updated " +
+      "vector moves cells, and search equals an index REBUILT from " +
+      "the post-change corpus") {
+    val dir = Files.createTempDirectory("graft-annidx").toString
+    val corpusStore = new LogStore(spark, s"$dir/corpus",
+      statsCol = Some("vec_id"))
+    corpusStore.append(corpusDf(128))
+    val idx = AnnIndex.buildIvf(spark, corpusStore.read(),
+      corpusStore.latestVersion(), s"$dir/idx", nCells = 16,
+      postingSegments = 4)
+    val postings = LogStore.configured(spark, idx.postingsRoot)
+    val postSegsBefore = postings.liveSegmentInfos().map(_.name).toSet
+    // non-centroid deletes (centroids anchor on ids 0-15) + an UPDATE
+    // that moves vec 60 to cluster 5's bump (via the keyed merge, so
+    // the feed carries pre/post images)
+    corpusStore.deleteWhere("vec_id IN (100, 101, 55)")
+    val moved = Array.tabulate(dims)(d =>
+      (if (d == 10) 10f else 0f)).toSeq
+    corpusStore.merge(Seq((60L, moved)).toDF("vec_id", "embedding"),
+      "vec_id")
+    val covered = AnnIndex.maintainIvf(spark, corpusStore, idx,
+      nCells = 16)
+    assert(covered == corpusStore.latestVersion())
+    // replay: no-op
+    assert(AnnIndex.maintainIvf(spark, corpusStore, idx,
+      nCells = 16) == covered)
+    // the deletes were merge-on-read: original posting segments are
+    // all still live (vectors attached, nothing rewritten)
+    assert(postSegsBefore.subsetOf(
+      postings.liveSegmentInfos().map(_.name).toSet),
+      "deletes must not rewrite posting segments")
+    assert(postings.read().count() == 125L,
+      "3 deleted postings gone; the moved vector re-posted once")
+    // parity: the maintained index answers EXACTLY like one rebuilt
+    // from the post-change corpus (same first-16 codebook policy)
+    val corpus = corpusStore.read()
+    val queries = corpus.where(col("vec_id").isin(1L, 60L, 120L))
+    val (res, _, _) = AnnIndex.searchIvf(spark, idx, corpus, queries,
+      k = 5, nProbe = 4)
+    val want = Similarity.ivfTopK(corpus, queries, k = 5, nCells = 16,
+        nProbe = 4)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val got = res.select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == want)
+    assert(!got.exists(r => Set(100L, 101L, 55L).contains(r._3)),
+      "deleted vectors must never surface as neighbors")
+  }
+
+  test("a DELETED deterministic centroid refuses loudly (the " +
+      "codebook anchors on corpus rows); the TRAINED codebook " +
+      "survives the same delete — its centroids are index state") {
     val dir = Files.createTempDirectory("graft-annidx").toString
     val corpusStore = new LogStore(spark, s"$dir/corpus")
     corpusStore.append(corpusDf(64))
-    val idx = AnnIndex.buildIvf(spark, corpusStore.read(),
-      corpusStore.latestVersion(), s"$dir/idx", nCells = 8,
-      postingSegments = 2)
-    corpusStore.deleteWhere("vec_id = 3")
+    val v = corpusStore.latestVersion()
+    val idx = AnnIndex.buildIvf(spark, corpusStore.read(), v,
+      s"$dir/idx", nCells = 8, postingSegments = 2)
+    val trained = AnnIndex.buildIvfTrained(spark, corpusStore.read(),
+      v, s"$dir/idxT", nCells = 8, iters = 1, postingSegments = 2)
+    corpusStore.deleteWhere("vec_id = 3") // anchors centroid 3
     val e = intercept[IllegalStateException] {
       AnnIndex.maintainIvf(spark, corpusStore, idx, nCells = 8)
     }
-    assert(e.getMessage.contains("APPEND-ONLY"))
+    assert(e.getMessage.contains("centroid") &&
+      e.getMessage.contains("rebuild"))
+    // the trained twin absorbs it
+    val covered = AnnIndex.maintainIvf(spark, corpusStore, trained,
+      nCells = 8)
+    assert(covered == corpusStore.latestVersion())
+    val postings = LogStore.configured(spark, trained.postingsRoot)
+    assert(postings.read().where(col("vec_id") === 3L).count() == 0L)
+    val corpus = corpusStore.read()
+    val (res, _, _) = AnnIndex.searchIvf(spark, trained, corpus,
+      corpus.where(col("vec_id") === 11L), k = 5, nProbe = 8)
+    assert(!res.select("neighbor_id").as[Long].collect().contains(3L))
+  }
+
+  test("TRAINED persisted index: restart search equals the in-memory " +
+      "ivfTopKTrained exactly, the probe stats-prunes, and the " +
+      "training config rides the table properties") {
+    val dir = Files.createTempDirectory("graft-annidx").toString
+    val corpusStore = new LogStore(spark, s"$dir/corpus")
+    corpusStore.append(corpusDf(256))
+    val corpus = corpusStore.read()
+    val idx = AnnIndex.buildIvfTrained(spark, corpus,
+      corpusStore.latestVersion(), s"$dir/idx", nCells = 16,
+      iters = 2, postingSegments = 8)
+    val queries = corpus.where(col("vec_id") < 4)
+    val (res, opened, live) = AnnIndex.searchIvf(spark, idx, corpus,
+      queries, k = 5, nProbe = 2)
+    val got = res.select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val want = Similarity.ivfTopKTrained(corpus, queries, k = 5,
+        nCells = 16, nProbe = 2, iters = 2)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == want,
+      "persisted trained search must equal ivfTopKTrained")
+    assert(live == 8 && opened < live,
+      s"stats-pruned probe expected: opened $opened of $live")
+    // the config is LOG CONTENT — a path-only reader sees the policy
+    val cents = LogStore.configured(spark, idx.centroidsRoot)
+    assert(cents.recordedProp("ivfPolicy") == Some("trained"))
+    assert(cents.recordedProp("ivfIters") == Some("2"))
+    assert(cents.recordedProp("ivfCells") == Some("16"))
   }
 }

@@ -2188,7 +2188,8 @@ class LogStore(spark: SparkSession, val root: String,
     * as the rewrite itself. */
   def publishReplace(adds: Seq[String], removes: Seq[String],
       writeSchema: org.apache.spark.sql.types.StructType,
-      readVersion: Long): Long = {
+      readVersion: Long,
+      range: Option[(String, String, String)] = None): Long = {
     import org.apache.spark.sql.functions.{col => fcol, lit => flit}
     require(adds.nonEmpty || removes.nonEmpty, "nothing to replace")
     val (schemaAct, propsAct) = enforceSchema(writeSchema, readVersion)
@@ -2228,11 +2229,15 @@ class LogStore(spark: SparkSession, val root: String,
       .withColumn("_change_type", flit("delete"))
       .unionByName(after.exceptAll(before)
         .withColumn("_change_type", flit("insert")))
-    // the replaced content's selection condition lives in the SQL
-    // plan, not here — conservative re-validation: any concurrent
-    // ADD may have matched it (maintenance/fence winners still pass)
+    // `range` is the writing query's selection bound on a stats
+    // column (the row-level scan's pushed-predicate range): a
+    // concurrent ADD outside it cannot hold a row this rewrite should
+    // have seen, so disjoint SQL writers re-validate past each other.
+    // Without one, conservative re-validation: any concurrent ADD may
+    // have matched (maintenance/fence winners still pass).
     commitRevalidated(readVersion, addMeta, removes,
-      ReadSet(removes.toSet, matchesAnyNewRow = true),
+      ReadSet(removes.toSet, range,
+        matchesAnyNewRow = range.isEmpty),
       cdc = Seq(writeChangeSegment(changes)), schema = schemaAct,
       props = propsAct)
   }

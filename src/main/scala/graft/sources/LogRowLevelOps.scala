@@ -93,31 +93,120 @@ final class GraftRowLevelOperation(root: String, cmd: Command)
 
 final class GraftRowLevelScanBuilder(root: String,
     op: GraftRowLevelOperation) extends ScanBuilder
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = _
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** The DML condition's table-only conjuncts, pushed by Spark's
+    * GroupBasedRowLevelOperationScanPlanning rule. ALL of them are
+    * returned as residuals — a group scan returns WHOLE groups, so
+    * nothing may be filtered row-wise here; the conjuncts are used
+    * for (a) static stats pruning of the group selection and (b) the
+    * commit's range-bounded conflict re-validation. */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
+
+  /** Per-stats-column [lo, hi] bounds implied by the pushed
+    * conjuncts — NUMERIC values only (their string forms compare
+    * consistently with the logged bounds; date/timestamp spellings
+    * are not guaranteed to, so they stay conservative). Strict
+    * comparisons widen to inclusive bounds — always safe. */
+  private def impliedBounds(store: LogStore)
+      : Seq[(String, Option[String], Option[String])] = {
+    import org.apache.spark.sql.sources._
+    val cols = store.configuredStatsColumns
+    def num(v: Any): Option[BigDecimal] = v match {
+      case n: Byte => Some(BigDecimal(n.toInt))
+      case n: Short => Some(BigDecimal(n.toInt))
+      case n: Int => Some(BigDecimal(n))
+      case n: Long => Some(BigDecimal(n))
+      case n: Float => Some(BigDecimal(n.toDouble))
+      case n: Double => Some(BigDecimal(n))
+      case n: java.math.BigDecimal => Some(BigDecimal(n))
+      case _ => None
+    }
+    val lo = scala.collection.mutable.Map.empty[String, BigDecimal]
+    val hi = scala.collection.mutable.Map.empty[String, BigDecimal]
+    def tightenLo(c: String, v: BigDecimal): Unit =
+      lo(c) = lo.get(c).map(_.max(v)).getOrElse(v)
+    def tightenHi(c: String, v: BigDecimal): Unit =
+      hi(c) = hi.get(c).map(_.min(v)).getOrElse(v)
+    pushed.foreach {
+      case EqualTo(c, v) if cols.contains(c) =>
+        num(v).foreach { d => tightenLo(c, d); tightenHi(c, d) }
+      case GreaterThan(c, v) if cols.contains(c) =>
+        num(v).foreach(tightenLo(c, _))
+      case GreaterThanOrEqual(c, v) if cols.contains(c) =>
+        num(v).foreach(tightenLo(c, _))
+      case LessThan(c, v) if cols.contains(c) =>
+        num(v).foreach(tightenHi(c, _))
+      case LessThanOrEqual(c, v) if cols.contains(c) =>
+        num(v).foreach(tightenHi(c, _))
+      case In(c, vs) if cols.contains(c) && vs.nonEmpty =>
+        val ds = vs.toSeq.map(num)
+        if (ds.forall(_.nonEmpty)) {
+          tightenLo(c, ds.flatten.min); tightenHi(c, ds.flatten.max)
+        }
+      case _ => () // disjunctions, strings, dates: conservative
+    }
+    cols.filter(c => lo.contains(c) || hi.contains(c))
+      .map(c => (c, lo.get(c).map(_.toString), hi.get(c).map(_.toString)))
+  }
+
   override def build(): Scan = {
     val store = LogStore.configured(SparkSession.active, root)
     val schema = Option(required).getOrElse(
       LogStreamSource.snapshotSchema(root))
-    val scan = new GraftRowLevelScan(root, store, schema)
+    val bounds = impliedBounds(store)
+    // the fully-bounded column (primary stats column first) becomes
+    // the commit's conflict-check range: concurrent appends outside
+    // it cannot hold rows this DML's selection should have seen
+    val range = bounds.collectFirst {
+      case (c, Some(l), Some(h)) => (c, l, h)
+    }
+    val scan = new GraftRowLevelScan(root, store, schema, bounds, range)
     op.scanRef = scan
     scan
   }
 }
 
 /** The group scan: all live segments of the pinned version, narrowed
-  * at runtime by the `_segment IN (...)` predicate Spark derives from
+  * STATICALLY by the pushed condition's stats bounds (segments whose
+  * logged min/max cannot hold a match are never groups) and at
+  * runtime by the `_segment IN (...)` predicate Spark derives from
   * the matching-groups subquery. One partition per parquet file —
-  * executor parallelism scales with the selected data. */
+  * executor parallelism scales with the selected data. `predRange`
+  * is the condition's closed bound on a stats column, handed to the
+  * commit so DISJOINT concurrent writers re-validate past each other
+  * instead of conflicting on any add. */
 final class GraftRowLevelScan(root: String, store: LogStore,
-    schema: StructType) extends Scan with Batch
+    schema: StructType,
+    bounds: Seq[(String, Option[String], Option[String])] = Nil,
+    private[sources] val predRange: Option[(String, String, String)] =
+      None) extends Scan with Batch
     with SupportsRuntimeV2Filtering {
 
   private[sources] val readVersion: Long = store.latestVersion()
   @volatile private[sources] var selectedInfos: Seq[LogStore#Segment] =
-    if (readVersion < 0) Nil else store.liveSegmentInfos(readVersion)
+    if (readVersion < 0) Nil
+    else store.liveSegmentInfos(readVersion).filter(s =>
+      bounds.forall {
+        case (c, Some(lo), Some(hi)) => s.mayOverlapOn(c, lo, hi)
+        case (c, Some(lo), None) => s.mayHaveAtLeast(c, lo)
+        case (c, None, Some(hi)) => s.mayHaveAtMost(c, hi)
+        case _ => true
+      })
   private[sources] def selected: Seq[String] = selectedInfos.map(_.name)
 
   override def readSchema(): StructType = schema
@@ -246,7 +335,8 @@ final class GraftReplaceBatchWrite(root: String, schema: StructType,
         Seq(segName)
       }
     val store = LogStore.configured(spark, root)
-    store.publishReplace(adds, removes, schema, scan.readVersion)
+    store.publishReplace(adds, removes, schema, scan.readVersion,
+      range = scan.predRange)
     LogSinkCommit.cleanup(spark, s"$root/$stage")
   }
 

@@ -81,6 +81,66 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       .head().getLong(0) == 200L)
   }
 
+  test("DISJOINT interleaved SQL writers both land: the pushed " +
+      "predicate range rides the ReadSet, so an UPDATE re-validates " +
+      "past a concurrent out-of-range append — and conflicts with an " +
+      "overlapping one; the pushed bounds also stats-prune the group " +
+      "selection statically") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    val store = mkTable("updrange")
+    val dir = s"$root/updrange"
+    def plannedUpdate(): (GraftRowLevelOperation, GraftRowLevelScan) = {
+      val op = new GraftRowLevelOperation(dir,
+        org.apache.spark.sql.connector.write.RowLevelOperation
+          .Command.UPDATE)
+      val sb = op.newScanBuilder(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap()))
+        .asInstanceOf[GraftRowLevelScanBuilder]
+      // what GroupBasedRowLevelOperationScanPlanning pushes for
+      // WHERE id BETWEEN 1000 AND 1099
+      sb.pushFilters(Array(GreaterThanOrEqual("id", 1000L),
+        LessThanOrEqual("id", 1099L)))
+      (op, sb.build().asInstanceOf[GraftRowLevelScan])
+    }
+    def stageAndCommit(op: GraftRowLevelOperation,
+        scan: GraftRowLevelScan): Unit = {
+      // the rewritten group content Spark's ReplaceData would stage
+      val rewritten = spark.read.parquet(
+          scan.selected.map(s => s"$dir/$s"): _*)
+        .withColumn("v", concat(lit("u-"), col("v")))
+      val staged = Files.createTempDirectory("graft-dml-stage").toString
+      rewritten.coalesce(1).write.mode("overwrite").parquet(staged)
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(staged))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        .map(_.toString)
+      new GraftReplaceBatchWrite(dir, store.recordedSchema().get, op)
+        .commit(files.map(f => LogWriteMessage(Some(f)): org.apache
+          .spark.sql.connector.write.WriterCommitMessage))
+    }
+    // the pushed bounds statically prune the group selection to the
+    // one overlapping segment — no runtime subquery needed
+    val (op1, scan1) = plannedUpdate()
+    assert(scan1.selected.size == 1,
+      s"static stats prune expected 1 of 2 segments: ${scan1.selected}")
+    assert(scan1.predRange == Some(("id", "1000", "1099")))
+    // a DISJOINT append lands between planning and commit
+    store.append(Seq((5000L, "late")).toDF("id", "v"))
+    stageAndCommit(op1, scan1) // re-validates past the append
+    assert(spark.sql("SELECT count(*) FROM gdml.updrange " +
+      "WHERE v LIKE 'u-%'").head().getLong(0) == 100L,
+      "the UPDATE landed")
+    assert(spark.sql("SELECT count(*) FROM gdml.updrange " +
+      "WHERE id = 5000").head().getLong(0) == 1L,
+      "the concurrent append landed too")
+    // an OVERLAPPING append (id inside [1000, 1099]) must conflict
+    val (op2, scan2) = plannedUpdate()
+    store.append(Seq((1050L, "racer")).toDF("id", "v"))
+    intercept[Exception] { stageAndCommit(op2, scan2) }
+  }
+
   test("a zero-group rewrite is a silent no-op ONLY when the table " +
       "is unchanged since the pinned read — a commit landing between " +
       "scan planning and write commit throws, never vanishes") {

@@ -2130,6 +2130,42 @@ object SparkEntry {
       s.table("stream_table_tail_mem").orderBy("event_type")
     }),
 
+    "stream_upsert_state" -> ((s, dir) => {
+      // UPDATE-MODE aggregation → keyed upserts into a graft-log
+      // table, exactly once ACROSS A RESTART: phase 1 streams half
+      // the events (one commit per micro-batch) into a per-type
+      // (n, sum) state table via foreachBatch + applyChangesKeyed
+      // (txn-fenced); the query is then STOPPED, the other half
+      // lands in the source, and a NEW query on the same checkpoint
+      // resumes — aggregation state from the streaming checkpoint,
+      // table cursor from the fence. The final table must equal the
+      // batch aggregate of ALL events exactly (the oracle), with no
+      // double-applied or missing micro-batch.
+      val ev = events(s, dir).select(col("event_id"),
+        col("event_type"), col("value"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-ups").toString
+      val srcRoot = s"$base/src"
+      val tgt = new graft.catalog.LogStore(s, s"$base/state")
+      val src = new graft.catalog.LogStore(s, srcRoot)
+      src.append(ev.where(col("event_id") % 4 === 0))
+      src.append(ev.where(col("event_id") % 4 === 1))
+      def agg(): DataFrame = s.readStream.format("graft-log")
+        .option("path", srcRoot)
+        .option("maxVersionsPerTrigger", "1").load()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      val q1 = graft.streaming.StreamingOps.upsertAggToLog(agg(),
+        tgt, Seq("event_type"), s"$base/ckpt")
+      try q1.processAllAvailable() finally q1.stop()
+      src.append(ev.where(col("event_id") % 4 === 2))
+      src.append(ev.where(col("event_id") % 4 === 3))
+      val q2 = graft.streaming.StreamingOps.upsertAggToLog(agg(),
+        tgt, Seq("event_type"), s"$base/ckpt")
+      try q2.processAllAvailable() finally q2.stop()
+      tgt.read().orderBy("event_type")
+    }),
+
     "stream_watermark_counts" -> ((s, dir) => {
       // the native feed composes with EVENT-TIME semantics:
       // out-of-order rows arrive over four source COMMITS (one
@@ -7733,6 +7769,14 @@ object SparkEntry {
 
     // the table stream must equal the table: the plain aggregate
     "stream_table_tail" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the streaming upsert sink must converge to the batch aggregate
+    // of everything it consumed — across the restart, exactly once
+    "stream_upsert_state" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
         |   AS sum_value

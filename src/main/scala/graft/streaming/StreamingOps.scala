@@ -222,6 +222,39 @@ object StreamingOps {
       .foreachBatch(idempotentBatchAppend(store, schema) _)
       .start()
 
+  /** UPDATE-MODE streaming aggregation → KEYED UPSERTS into a
+    * graft-log table, exactly once — the write-side twin of the keyed
+    * change-feed mirror ([[mirrorLogToLogKeyed]] consumes a table's
+    * changes; this PRODUCES a latest-state table from a live
+    * aggregation). Update mode emits only the keys whose aggregate
+    * changed in the micro-batch; each batch lands through
+    * [[graft.catalog.LogStore.applyChangesKeyed]] as one fenced
+    * commit (replace-or-insert by `keyCols`, stats-pruned when the
+    * leading key is the table's stats column), so:
+    *
+    *  - at-least-once foreachBatch delivery → exactly-once table
+    *    content (the txn fence makes a replayed batch a no-op);
+    *  - a RESTART resumes from the streaming checkpoint's aggregation
+    *    state and the table's fence — no double-applied deltas, no
+    *    gaps;
+    *  - readers see each micro-batch's upserts atomically, and the
+    *    target's own change feed stays truthful (pre/post images), so
+    *    the state table can itself be mirrored.
+    *
+    * The table is ALWAYS the batch aggregate of everything consumed —
+    * the streaming answer to "keep a latest-state table live". */
+  def upsertAggToLog(aggregated: DataFrame,
+      target: graft.catalog.LogStore, keyCols: Seq[String],
+      checkpointDir: String): StreamingQuery =
+    aggregated.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dels = batch.limit(0).select(keyCols.map(col): _*)
+        target.applyChangesKeyed(batch, dels, keyCols, batchId): Unit
+      }
+      .start()
+
   /** One micro-batch of streaming aggregate maintenance: fold a batch
     * of `RelationalOps.snapshotDiff` change rows into the stored
     * per-key (cnt, sm) state at `statePath` — the streaming face of

@@ -271,6 +271,54 @@ class LogToLogStreamSpec extends AnyFunSuite {
     assert(rowsOf(tgt) == Set((1L, "d1", "z"), (2L, "d1", "c")))
   }
 
+  test("upsertAggToLog: an update-mode aggregation lands as fenced " +
+      "keyed upserts — the state table equals the batch aggregate " +
+      "across a RESTART, and a replayed batch id is a no-op") {
+    val base = Files.createTempDirectory("graft-ups").toString
+    val src = new LogStore(spark, s"$base/src")
+    val tgt = new LogStore(spark, s"$base/state")
+    src.append((0L until 40L).map(i => (i, s"k${i % 3}")).toDF("id", "k"))
+    src.append((40L until 80L).map(i => (i, s"k${i % 3}")).toDF("id", "k"))
+    def agg() = spark.readStream.format("graft-log")
+      .option("path", src.root)
+      .option("maxVersionsPerTrigger", "1").load()
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+    val q1 = StreamingOps.upsertAggToLog(agg(), tgt, Seq("k"),
+      s"$base/ckpt")
+    try q1.processAllAvailable() finally q1.stop()
+    def state(): Map[String, (Long, Long)] = tgt.read()
+      .select(col("k"), col("n"), col("s"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def want(): Map[String, (Long, Long)] = src.read()
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(state() == want(), "phase 1 state must equal the batch agg")
+    // a REPLAYED batch id changes nothing (the fence in the target log)
+    val vBefore = tgt.latestVersion()
+    val replay = tgt.applyChangesKeyed(
+      tgt.read(), tgt.read().select(col("k")).limit(0), Seq("k"),
+      batchId = tgt.lastTxn())
+    assert(replay == -1L && tgt.latestVersion() == vBefore,
+      "a replayed micro-batch must be a no-op")
+    // RESTART: more source commits, a NEW query on the same checkpoint
+    src.append((80L until 120L).map(i => (i, s"k${i % 3}")).toDF("id", "k"))
+    val q2 = StreamingOps.upsertAggToLog(agg(), tgt, Seq("k"),
+      s"$base/ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(state() == want(),
+      "post-restart state must equal the batch aggregate exactly")
+    // the state table is itself a truthful change-feed producer: the
+    // last commit carries pre/post images, so it can be mirrored on
+    val feed = tgt.readChanges(tgt.latestVersion())
+      .groupBy(col("_change_type")).count()
+      .as[(String, Long)].collect().toMap
+    assert(feed.keySet.subsetOf(Set("update_preimage",
+      "update_postimage", "insert")))
+  }
+
   test("the two silent-gap hazards are LOUD: a non-insert change " +
       "refuses (blind append would corrupt), and a source vacuumed " +
       "past the cursor refuses (resync, never skip)") {

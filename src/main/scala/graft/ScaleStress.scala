@@ -925,6 +925,50 @@ object ScaleStress {
         nCommits.toLong, secR, hitR.toLong)
       System.err.println(s"[scale] ${out.last.json}")
     }
+    // Checkpoint WIDTH — the one-big-JSON-file question: the
+    // `_last_checkpoint` snapshot carries a line per LIVE segment
+    // (stats + a 1 KB Bloom here — the realistic heavy shape), so a
+    // WIDE table (10⁴ → 10⁵ live segments per decade, all live, fake
+    // metadata-only commits) pays O(live) to write it and O(live) to
+    // seed resolution from it. The measurement: a full
+    // checkpoint-seeded resolution + stats prune (sec) with the
+    // checkpoint's byte size as the candidates column. Linear-with-
+    // small-constant is the acceptance bar — if the parse or write
+    // curve bends super-linear, the fix is a multi-part (sharded)
+    // checkpoint like Delta's.
+    if (only.isEmpty || only.contains("src_ckpt_wide")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-ckw").toString + "/t"
+      val store = new graft.catalog.LogStore(spark, root,
+        statsCol = Some("id"), checkpointInterval = Int.MaxValue)
+      val nSegs = 10000 * scale
+      val perCommit = 1000
+      (0 until nSegs / perCommit).foreach { c =>
+        store.commit(c.toLong,
+          (0 until perCommit).map { j =>
+            val i = c * perCommit + j
+            store.Segment(s"seg-$i", Some((i * 10).toString),
+              Some((i * 10 + 9).toString), num = true,
+              bloom = Some("f" * 1024), rows = Some(100L))
+          }, Nil)
+      }
+      val (secW, _) = time(store.checkpoint())
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val ckBytes = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$root/_log"))
+        .filter(_.getPath.getName.endsWith(".checkpoint"))
+        .map(_.getLen).sum
+      System.err.println(
+        s"[scale] ckpt_wide write: $secW s, $ckBytes bytes")
+      val (sec, hit) = time {
+        store.liveSegmentInfos().count(_.mayOverlap("50000", "50990"))
+      }
+      require(hit >= 90 && hit <= 110, s"prune sanity: $hit")
+      out += Measurement("src_ckpt_wide", scale, nSegs.toLong, sec,
+        ckBytes)
+      System.err.println(s"[scale] ${out.last.json}")
+    }
     docs.unpersist(); emb.unpersist(); vals.unpersist(); edges.unpersist()
     out.toSeq
   }

@@ -342,7 +342,20 @@ class LogStore(spark: SparkSession, val root: String,
         cp + 1
       case None => 0L
     }
-    (from to upTo).foreach(v => apply(readActions(v)))
+    (from to upTo).foreach { v =>
+      // a missing version file means vacuum's LOG TRIM removed the
+      // prefix behind the horizon's checkpoint — same loud refusal
+      // as time travel behind the horizon, never a raw I/O error
+      val a =
+        try readActions(v)
+        catch { case _: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"version $v was log-trimmed by vacuum (behind the " +
+              "retention horizon's checkpoint); this snapshot is no " +
+              "longer replayable")
+        }
+      apply(a)
+    }
     state
   }
 
@@ -522,10 +535,20 @@ class LogStore(spark: SparkSession, val root: String,
     val latest = latestVersion()
     require(latest >= 0, s"no log at $root")
     var v = latest
-    while (v >= 0 && commitTimeOf(v) > tsMillis)
+    // the walk may reach log-trimmed territory (vacuum deleted
+    // version files behind the horizon's checkpoint): the instant
+    // then resolves to an unreadable snapshot — the same loud refusal
+    // as numeric time travel behind the horizon
+    while (v >= 0 && fs.exists(versionPath(v)) &&
+        commitTimeOf(v) > tsMillis)
       v -= 1
     require(v >= 0,
       s"timestamp $tsMillis predates the table's first commit")
+    if (!fs.exists(versionPath(v)))
+      throw new IllegalStateException(
+        s"timestamp $tsMillis resolves behind the vacuum horizon " +
+          "(its version files were trimmed); time travel is only " +
+          "complete at or after the horizon")
     v
   }
 
@@ -1741,7 +1764,11 @@ class LogStore(spark: SparkSession, val root: String,
     val latest = latestVersion()
     require(latest >= 0, s"no log at $root")
     val from = if (limit > latest) 0L else latest - limit + 1
-    val rows = (from to latest).map { v =>
+    // versions whose files were log-trimmed (vacuum behind the
+    // horizon's checkpoint) drop out of the audit — the history that
+    // still exists is reported, never a crash on the part that doesn't
+    val rows = (from to latest)
+      .filter(v => fs.exists(versionPath(v))).map { v =>
       val Actions(adds, removes, txns, vacs, cdcs, _, _, dvs) =
         readActions(v)
       val op =
@@ -2064,7 +2091,8 @@ class LogStore(spark: SparkSession, val root: String,
       schema = schemaAct, props = propsAct)
   }
 
-  final case class VacuumResult(version: Long, deleted: Seq[String])
+  final case class VacuumResult(version: Long, deleted: Seq[String],
+      trimmedLogFiles: Int = 0)
 
   /** Physical cleanup behind a retention horizon. After
     * `vacuum(retainLast = k)`, the newest `k` committed versions
@@ -2149,7 +2177,34 @@ class LogStore(spark: SparkSession, val root: String,
         s"orphanMinAgeMs=$orphanMinAgeMs guard; re-run after the guard " +
         "elapses (or lower it) to reclaim them")
     doomed.foreach(s => fs.delete(new Path(s"$root/$s"), true))
-    VacuumResult(v, doomed)
+    // LOG TRIM — the bounded-_log-directory half of retention
+    // (Delta's log cleanup): version files STRICTLY BEHIND the newest
+    // checkpoint at-or-below the horizon can never be read again —
+    // every readable snapshot (≥ horizon) replays from a checkpoint
+    // ≥ that one, and reads behind the horizon already refuse loudly
+    // — so they are physically deleted, along with superseded
+    // checkpoint files. Without this a streaming writer's table
+    // carries O(table-age) log files forever; with it the directory
+    // is O(retained versions + interval). One listing, version-parsed
+    // — never per-file existence probes.
+    val trimmed = latestCheckpointAtOrBelow(horizon) match {
+      case Some(cp) if cp > 0 =>
+        val dead = fs.listStatus(new Path(logDir))
+          .map(_.getPath)
+          .filter { p =>
+            val n = p.getName
+            val vOf =
+              if (n.endsWith(".json")) n.stripSuffix(".json").toLongOption
+              else if (n.endsWith(".checkpoint"))
+                n.stripSuffix(".checkpoint").toLongOption
+              else None
+            vOf.exists(_ < cp)
+          }
+        dead.foreach(fs.delete(_, false))
+        dead.length
+      case _ => 0
+    }
+    VacuumResult(v, doomed, trimmed)
   }
 
   /** Publish ALREADY-WRITTEN segment directories as ONE append

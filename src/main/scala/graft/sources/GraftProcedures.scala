@@ -173,12 +173,13 @@ private[sources] final class VacuumProcedure(
 
   private val out = StructType(Seq(
     StructField("version", LongType, nullable = false),
-    StructField("n_deleted", IntegerType, nullable = false)))
+    StructField("n_deleted", IntegerType, nullable = false),
+    StructField("n_log_trimmed", IntegerType, nullable = false)))
 
   override def call(input: InternalRow): util.Iterator[Scan] = {
     val store = storeOf(input)
     val r = store.vacuum(input.getInt(1), input.getLong(2))
-    one(out, Array(r.version, r.deleted.size))
+    one(out, Array(r.version, r.deleted.size, r.trimmedLogFiles))
   }
 }
 

@@ -519,7 +519,11 @@ class LogStoreSpec extends AnyFunSuite {
       t.root + "/_log/00000000.json"), false)
     assert(t.describeHistory(2).select("version").as[Long].collect()
       .toSeq == Seq(3L, 4L), "newest-2 must not touch version 0")
-    intercept[Exception] { t.describeHistory() }
+    // the FULL audit degrades GRACEFULLY over the missing prefix (the
+    // shape vacuum's log trim leaves): surviving versions reported,
+    // never a raw I/O crash
+    assert(t.describeHistory().select("version").as[Long].collect()
+      .toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
   test("restore: rollback is a forward commit — content returns to " +
@@ -549,6 +553,48 @@ class LogStoreSpec extends AnyFunSuite {
     tv.vacuum(retainLast = 1)
     val e = intercept[IllegalStateException] { tv.restore(0) }
     assert(e.getMessage.contains("vacuum"))
+  }
+
+  test("vacuum TRIMS the action log behind the horizon's checkpoint: " +
+      "the _log directory stays bounded, everything inside the " +
+      "horizon reads unchanged, trimmed history degrades loudly (time " +
+      "travel) or gracefully (the audit), never as a raw I/O error") {
+    val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
+    val t = new LogStore(spark, dir, checkpointInterval = 5)
+    (0 until 12).foreach(i => t.append(Seq(i.toLong).toDF("id")))
+    // horizon = 10; newest checkpoint at-or-below it = v10
+    val res = t.vacuum(retainLast = 2, orphanMinAgeMs = 0L)
+    assert(res.trimmedLogFiles > 0, s"expected a trim, got $res")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val logFiles = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/_log"))
+      .map(_.getPath.getName).toSet
+    assert(!logFiles.exists(n => n.endsWith(".json") &&
+      n.stripSuffix(".json").toLong < 10L),
+      s"version files behind the horizon checkpoint must be gone: " +
+        s"$logFiles")
+    assert(!logFiles.exists(n => n.endsWith(".checkpoint") &&
+      n.stripSuffix(".checkpoint").toLong < 10L),
+      "superseded checkpoints must be gone")
+    // inside the horizon: snapshot + time travel read exactly
+    assert(ids(t.read()) == (0L to 11L).toSet)
+    assert(ids(t.read(10)) == (0L to 10L).toSet)
+    // a fresh path-only handle resolves from the surviving checkpoint
+    assert(ids(new LogStore(spark, dir).read()) == (0L to 11L).toSet)
+    // behind the horizon: the usual loud refusal, not FileNotFound
+    val e = intercept[IllegalStateException] { t.read(3) }
+    assert(e.getMessage.contains("vacuum"))
+    // a timestamp resolving into the trimmed prefix refuses loudly too
+    val e2 = intercept[IllegalStateException] { t.versionAsOf(0L) }
+    assert(e2.getMessage.contains("trimmed") ||
+      e2.getMessage.contains("horizon"))
+    // the audit reports the surviving suffix, skipping trimmed rows
+    val hist = t.describeHistory().select(col("version"))
+      .as[Long].collect().toSeq
+    assert(hist == (10L to 12L), s"surviving versions only: $hist")
+    // and history bounded by limit still works
+    assert(t.describeHistory(limit = 2).count() == 2L)
   }
 
   test("bloom skipping: point lookups scan only segments whose filter " +

@@ -117,12 +117,13 @@ class GraftProceduresSpec extends AnyFunSuite {
     store.compact() // leaves two dead segments
     // default guard: young dead segments are spared
     val spared = spark.sql("CALL gproc.system.vacuum(" +
-      "`table` => 't4', retain_last => 1)").as[(Long, Int)].head()
+      "`table` => 't4', retain_last => 1)")
+      .as[(Long, Int, Int)].head()
     assert(spared._2 == 0, "the 1h age guard must spare young orphans")
     // explicit opt-out reclaims them
     val gone = spark.sql("CALL gproc.system.vacuum(" +
       "`table` => 't4', retain_last => 1, orphan_min_age_ms => 0)")
-      .as[(Long, Int)].head()
+      .as[(Long, Int, Int)].head()
     assert(gone._2 == 2, s"both dead segments reclaimed, got $gone")
     val ck = spark.sql("CALL gproc.system.checkpoint(`table` => 't4')")
       .head().getLong(0)

@@ -2448,6 +2448,45 @@ object SparkEntry {
         .withColumn("evolve_pins", lit(metadataOnly && oldShape))
     }),
 
+    "src_log_trim" -> ((s, dir) => {
+      // BOUNDED _log DIRECTORY: 8 streaming-style commits age the log
+      // (checkpoint at v4); vacuum publishes the horizon (v6),
+      // reclaims nothing data-side (every segment is live) but TRIMS
+      // the four version files behind the horizon's checkpoint
+      // (v0-v3 < v4 — the checkpoint itself stays, it seeds replay).
+      // Snapshot content and time travel at the horizon are unchanged
+      // (pinned), reads behind it refuse loudly (pinned), and the
+      // aggregate equals the source's.
+      val ev = events(s, dir).select(col("event_id"),
+        col("event_type"), col("value"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-trim").toString + "/tbl"
+      val store = new graft.catalog.LogStore(s, root,
+        checkpointInterval = 4)
+      (0 until 8).foreach(i =>
+        store.append(ev.where(col("event_id") % 8 === i)))
+      val res = store.vacuum(retainLast = 2, orphanMinAgeMs = 0L)
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val remaining = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$root/_log"))
+        .map(_.getPath.getName).filter(_.endsWith(".json"))
+        .map(_.stripSuffix(".json").toLong)
+      val horizonReads =
+        store.read(6).count() == ev.where(col("event_id") % 8 < 7)
+          .count()
+      val behindRefuses =
+        try { store.read(2).count(); false }
+        catch { case _: IllegalStateException => true }
+      val pins = res.trimmedLogFiles == 4 &&
+        remaining.min == 4L && horizonReads && behindRefuses
+      store.read()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .withColumn("log_trim_pins", lit(pins))
+        .orderBy("event_type")
+    }),
+
     "src_clustered_write" -> ((s, dir) => {
       // clustered INGEST: the DSv2 sink with clusterBy asks Spark to
       // range-distribute + sort before the writers
@@ -7863,6 +7902,15 @@ object SparkEntry {
         | CAST(SUM(CAST(CASE WHEN event_id >= 500 THEN value END
         |   AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         | TRUE AS evolve_pins
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // log trim is retention only — the oracle is the plain aggregate;
+    // log_trim_pins records the bounded-directory + refusal evidence
+    "src_log_trim" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value,
+        | TRUE AS log_trim_pins
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // clustered ingest is layout only — the oracle is the plain

@@ -1813,10 +1813,16 @@ class LogStore(spark: SparkSession, val root: String,
       if (smallBytes <= 0L) 0L else sizes.count(_ < smallBytes).toLong,
       st.vacuumHorizon,
       latestCheckpointAtOrBelow(latest).getOrElse(-1L),
-      if (st.maxTxn == Long.MinValue) -1L else st.maxTxn))
+      if (st.maxTxn == Long.MinValue) -1L else st.maxTxn,
+      // VECTOR DEBT — the merge-on-read numbers an operator watches
+      // to know DV compaction is due (the maintainLayout dvFraction
+      // rule fires on the per-segment form of the same counts)
+      segs.count(_.dv.nonEmpty).toLong,
+      segs.flatMap(_.dv.map(_._2)).sum))
       .toDF("location", "version", "n_segments", "total_bytes",
         "n_with_stats", "n_with_bloom", "n_small_segments",
-        "vacuum_horizon", "last_checkpoint", "last_txn")
+        "vacuum_horizon", "last_checkpoint", "last_txn",
+        "n_dv_segments", "dv_rows")
   }
 
   /** RESTORE the table to the content of an earlier `version` — the

@@ -228,6 +228,36 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     assert(got.contains((3L, "mm")) && got.contains((1003L, "mm")))
   }
 
+  test("row-level DML composes with ALTER TABLE ADD COLUMN: UPDATE " +
+      "and MERGE across the evolution read null-backfilled rows and " +
+      "write the evolved shape") {
+    val store = mkTable("updevo")
+    spark.sql("ALTER TABLE gdml.updevo ADD COLUMN score DOUBLE")
+    // the evolved column is assignable where old rows carried nothing
+    spark.sql("UPDATE gdml.updevo SET score = CAST(id AS DOUBLE) " +
+      "WHERE id BETWEEN 0 AND 49")
+    assert(spark.sql("SELECT count(*) FROM gdml.updevo " +
+      "WHERE score IS NOT NULL").head().getLong(0) == 50L)
+    assert(spark.sql("SELECT count(*) FROM gdml.updevo " +
+      "WHERE score IS NULL").head().getLong(0) == 150L)
+    // MERGE writes the evolved shape too
+    import spark.implicits._
+    Seq((1000L, "m", 9.0), (7777L, "new", 1.5))
+      .toDF("id", "v", "score").createOrReplaceTempView("updevo_src")
+    spark.sql("""MERGE INTO gdml.updevo t USING updevo_src s
+      |ON t.id = s.id
+      |WHEN MATCHED THEN UPDATE SET v = s.v, score = s.score
+      |WHEN NOT MATCHED THEN INSERT (id, v, score)
+      |  VALUES (s.id, s.v, s.score)""".stripMargin)
+    assert(spark.sql("SELECT v, score FROM gdml.updevo WHERE id = 1000")
+      .as[(String, Double)].head() == (("m", 9.0)))
+    assert(spark.sql("SELECT count(*) FROM gdml.updevo")
+      .head().getLong(0) == 201L)
+    // the recorded schema stayed the evolved union throughout
+    assert(store.recordedSchema().get.fieldNames.toSeq ==
+      Seq("id", "v", "score"))
+  }
+
   test("the _segment metadata column is queryable and matches the " +
       "live segment set") {
     val store = mkTable("segcol")

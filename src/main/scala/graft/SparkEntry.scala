@@ -2448,6 +2448,53 @@ object SparkEntry {
         .withColumn("evolve_pins", lit(metadataOnly && oldShape))
     }),
 
+    "src_sql_setprops" -> ((s, dir) => {
+      // config AFTER the fact: a table created with NO skipping
+      // config gains statsCol via ALTER TABLE SET TBLPROPERTIES —
+      // the next insert carries stats and a narrow probe prunes it
+      // while the pre-config segment takes the always-scan safe
+      // default; REPLACING statsCol then clears the old positional
+      // bounds in the same metadata-only commit (probing the new
+      // column against the old column's numbers would mis-prune).
+      // The aggregate equals the source's throughout.
+      val cat = "graftsql"
+      if (!s.conf.getAll.contains(s"spark.sql.catalog.$cat")) {
+        val r0 = java.nio.file.Files
+          .createTempDirectory("graft-sqlcat").toString
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.GraftLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", r0)
+      }
+      val short = s"prp_${java.util.UUID.randomUUID().toString.take(8)}"
+      val tbl = s"$cat.bench.$short"
+      events(s, dir).select(col("event_id"), col("event_type"),
+        col("value")).createOrReplaceTempView("src_sqlprp_events")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.bench")
+      s.sql(s"CREATE TABLE $tbl (event_id BIGINT, event_type STRING, " +
+        "value DOUBLE)")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM src_sqlprp_events " +
+        "WHERE event_id < 500")
+      s.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+        "('statsCol' = 'event_id')")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM src_sqlprp_events " +
+        "WHERE event_id >= 500")
+      val dirT = s"${s.conf.get(s"spark.sql.catalog.$cat.root")}" +
+        s"/bench/$short"
+      val st1 = graft.catalog.LogStore.configured(s, dirT)
+      val (_, scanned, live) = st1.readRangeOn("event_id", "0", "100")
+      val prunes = live == 2 && scanned == 1
+      s.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+        "('statsCol' = 'value')")
+      val cleared = graft.catalog.LogStore.configured(s, dirT)
+        .liveSegmentInfos().forall(_.min.isEmpty)
+      s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value
+        |FROM $tbl GROUP BY event_type ORDER BY event_type"""
+        .stripMargin)
+        .withColumn("setprops_pins", lit(prunes && cleared))
+    }),
+
     "src_log_trim" -> ((s, dir) => {
       // BOUNDED _log DIRECTORY: 8 streaming-style commits age the log
       // (checkpoint at v4); vacuum publishes the horizon (v6),
@@ -7902,6 +7949,16 @@ object SparkEntry {
         | CAST(SUM(CAST(CASE WHEN event_id >= 500 THEN value END
         |   AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         | TRUE AS evolve_pins
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // SET TBLPROPERTIES is metadata only — the oracle is the plain
+    // aggregate; setprops_pins records the config-after-the-fact
+    // prune and the positional-bounds clearance
+    "src_sql_setprops" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value,
+        | TRUE AS setprops_pins
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // log trim is retention only — the oracle is the plain aggregate;

@@ -390,16 +390,9 @@ class LogStore(spark: SparkSession, val root: String,
     * different codebase) can reconstruct the skipping setup instead of
     * guessing which segment-stat belongs to which column. None when
     * nothing is configured. */
-  private def encodeProps: Option[String] = {
-    val parts =
-      statsCol.map(c => s"statsCol=$c").toSeq ++
-      (if (statsCols.isEmpty) Nil
-       else Seq(s"statsCols=${statsCols.mkString(",")}")) ++
-      bloomCol.map(c => s"bloomCol=$c;bloomBits=$bloomBits").toSeq ++
-      (if (dvDeletes) Seq("dvDeletes=true") else Nil) ++
-      extraProps.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
-    if (parts.isEmpty) None else Some(parts.mkString(";"))
-  }
+  private def encodeProps: Option[String] =
+    LogStore.encodePropsFrom(statsCol, statsCols, bloomCol, bloomBits,
+      dvDeletes, extraProps)
 
   /** One recorded table property by key — engine-owned or extra; the
     * read half of [[extraProps]] (an index's training config read back
@@ -1022,6 +1015,110 @@ class LogStore(spark: SparkSession, val root: String,
         current.fields ++ cols.fields)
       try return commit(v + 1, Nil, Nil,
         schema = Some(encodeSchema(evolved)))
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES as a metadata-only props
+    * commit: change the table's recorded skipping configuration (and
+    * application extras) for every FUTURE write — existing segments
+    * keep their recorded metadata and degrade per the usual safe
+    * defaults (no bounds for a column ⇒ always scanned). `sets` maps
+    * keys to new values, `removes` clears keys; the result is
+    * re-encoded canonically and committed as one props action.
+    *
+    * Transitions that would make EXISTING metadata lie are handled by
+    * CLEARING it in the same commit (affected live segments are
+    * re-added with the stale fields dropped — metadata-only, zero
+    * data bytes, dataChange=false in the feed via an empty cdc
+    * marker):
+    *  - replacing `statsCol`: the primary min/max slot is positional
+    *    (recorded for whatever column was configured at write time),
+    *    so probing the NEW column against old bounds would prune
+    *    wrong rows — re-adds drop primary bounds; old segments then
+    *    take the no-bounds always-scan safe default until an
+    *    OPTIMIZE re-derives them under the new config.
+    *  - changing `bloomCol` or `bloomBits`: old filters are
+    *    keyed/sized under the old config and a mismatched probe has
+    *    FALSE NEGATIVES — re-adds drop the filters.
+    *  - `statsCols` edits, `dvDeletes` toggles, removals, and
+    *    application extras never touch segment metadata (named
+    *    bounds / write-routing / unconsulted filters are all safe
+    *    stale). */
+  def setProperties(sets: Map[String, String],
+      removes: Set[String] = Set.empty, maxAttempts: Int = 5): Long = {
+    require(sets.nonEmpty || removes.nonEmpty, "nothing to change")
+    require(maxAttempts >= 1, "need at least one attempt")
+    sets.foreach { case (k, v) =>
+      require(k.nonEmpty && !(k + v).exists(";\"\n=".contains(_)),
+        s"property '$k' may not contain ; = quote or newline")
+    }
+    (sets.keySet ++ removes).foreach(k =>
+      require(k != "checkpointInterval",
+        "checkpointInterval is per-writer runtime config, not table " +
+          "state"))
+    var attempt = 1
+    while (true) {
+      val v = latestVersion()
+      require(v >= 0, s"no log at $root")
+      val cur = recordedProps(v).toSeq
+        .flatMap(_.split(';').iterator.filter(_.contains('=')))
+        .map { e =>
+          val i = e.indexOf('=')
+          (e.take(i), e.drop(i + 1))
+        }.toMap
+      val next = (cur ++ sets) -- removes
+      val live = liveSegmentInfos(v)
+      def changed(k: String): Boolean = cur.get(k) != next.get(k)
+      // stale-metadata clearance (see the contract above): segments
+      // whose recorded primary bounds / Bloom filters belong to the
+      // OLD config are re-added with those fields dropped
+      val dropStats = changed("statsCol") && cur.contains("statsCol") &&
+        next.contains("statsCol")
+      val dropBloom = next.contains("bloomCol") &&
+        cur.contains("bloomCol") &&
+        (changed("bloomCol") || changed("bloomBits"))
+      val reAdds = live.filter(s =>
+          (dropStats && s.min.nonEmpty) ||
+          (dropBloom && s.bloom.nonEmpty))
+        .map { s =>
+          val a = if (dropStats)
+            s.copy(min = None, max = None, num = false) else s
+          if (dropBloom) a.copy(bloom = None) else a
+        }
+      val nextStats = next.get("statsCol")
+      val nextStatsCols = next.get("statsCols").toSeq
+        .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty)
+      val nextBloom = next.get("bloomCol")
+      val nextBits = next.get("bloomBits").map(_.toInt).getOrElse(4096)
+      (nextStats.toSeq ++ nextBloom.toSeq ++ nextStatsCols).foreach(c =>
+        require(!c.exists("|;\"\n=,".contains(_)),
+          s"configured column name '$c' may not contain | ; = , " +
+            "quote or newline"))
+      require(nextBits > 0 && nextBits % 4 == 0,
+        "bloomBits must be a positive multiple of 4 (hex-serialized)")
+      val extras = next.view
+        .filterKeys(!LogStore.EngineProps.contains(_)).toMap
+      val encoded = LogStore.encodePropsFrom(nextStats, nextStatsCols,
+        nextBloom, nextBits,
+        next.get("dvDeletes").contains("true"), extras)
+      // an empty cdc marker keeps the re-add commit dataChange=false:
+      // without it the change feed would read the re-added segments
+      // as fresh inserts and every mirror would double its rows
+      val cdcMarker =
+        if (reAdds.isEmpty) Nil
+        else {
+          import org.apache.spark.sql.functions.{lit => flit}
+          Seq(writeChangeSegment(read(v).limit(0).repartition(1)
+            .withColumn("_change_type", flit(""))))
+        }
+      try return commit(v + 1, reAdds, Nil, cdc = cdcMarker,
+        props = Some(encoded.getOrElse("")))
       catch {
         case e: ConcurrentCommitException =>
           if (attempt >= maxAttempts) throw e
@@ -1769,7 +1866,7 @@ class LogStore(spark: SparkSession, val root: String,
     // still exists is reported, never a crash on the part that doesn't
     val rows = (from to latest)
       .filter(v => fs.exists(versionPath(v))).map { v =>
-      val Actions(adds, removes, txns, vacs, cdcs, _, _, dvs) =
+      val Actions(adds, removes, txns, vacs, cdcs, schemas, props, dvs) =
         readActions(v)
       val op =
         if (vacs.nonEmpty) "VACUUM"
@@ -1778,6 +1875,10 @@ class LogStore(spark: SparkSession, val root: String,
           "DELETE (DV)"
         else if (adds.nonEmpty && removes.nonEmpty) "REWRITE"
         else if (removes.nonEmpty) "REMOVE"
+        else if (adds.isEmpty && cdcs.isEmpty && schemas.nonEmpty)
+          "METADATA (SCHEMA)" // create / ALTER ADD COLUMN
+        else if (adds.isEmpty && cdcs.isEmpty && props.nonEmpty)
+          "METADATA (PROPERTIES)" // ALTER SET/UNSET TBLPROPERTIES
         else "APPEND"
       (v, commitTimeOf(v), adds.size, removes.size, cdcs.size,
         txns.headOption.map(_.toString).orNull,
@@ -2333,6 +2434,23 @@ object LogStore {
     * else round-trips as [[LogStore!.extraProps]]. */
   private[catalog] val EngineProps: Set[String] =
     Set("statsCol", "statsCols", "bloomCol", "bloomBits", "dvDeletes")
+
+  /** The canonical `props` action encoding — shared by the
+    * constructor-config stamp and [[LogStore!.setProperties]], so a
+    * re-stamp comparison never sees two spellings of one config. */
+  private[catalog] def encodePropsFrom(statsCol: Option[String],
+      statsCols: Seq[String], bloomCol: Option[String], bloomBits: Int,
+      dvDeletes: Boolean, extraProps: Map[String, String])
+      : Option[String] = {
+    val parts =
+      statsCol.map(c => s"statsCol=$c").toSeq ++
+      (if (statsCols.isEmpty) Nil
+       else Seq(s"statsCols=${statsCols.mkString(",")}")) ++
+      bloomCol.map(c => s"bloomCol=$c;bloomBits=$bloomBits").toSeq ++
+      (if (dvDeletes) Seq("dvDeletes=true") else Nil) ++
+      extraProps.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+    if (parts.isEmpty) None else Some(parts.mkString(";"))
+  }
 
   /** Ceiling on RECORDED deletion-vector rows a snapshot scan will
     * reconcile by broadcast anti-join. A (seg, file, pos) row costs

@@ -233,11 +233,20 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val adds = changes.collect { case a: TableChange.AddColumn => a }
-    if (adds.size != changes.size)
+    val sets = changes.collect { case s: TableChange.SetProperty => s }
+    val unsets = changes.collect {
+      case r: TableChange.RemoveProperty => r }
+    if (adds.size + sets.size + unsets.size != changes.size)
       throw new UnsupportedOperationException(
-        "graft-log ALTER TABLE supports ADD COLUMN (nullable) only — " +
-          "schemas otherwise evolve by WRITING evolved rows (columns " +
-          "may be added by any append; types never mutate)")
+        "graft-log ALTER TABLE supports ADD COLUMN (nullable) and " +
+          "SET/UNSET TBLPROPERTIES only — schemas otherwise evolve " +
+          "by WRITING evolved rows (columns may be added by any " +
+          "append; types never mutate)")
+    if (sets.nonEmpty || unsets.nonEmpty)
+      LogStore.configured(spark, dir).setProperties(
+        sets.map(s => s.property -> s.value).toMap,
+        unsets.map(_.property).toSet)
+    if (adds.isEmpty) return loadTable(ident)
     val fields = adds.map { a =>
       require(a.fieldNames.length == 1,
         "graft-log stores flat columns; nested ADD COLUMN " +

@@ -392,6 +392,70 @@ class GraftLogCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES: skipping config changes " +
+      "are metadata-only commits; a statsCol replacement CLEARS the " +
+      "old positional bounds (never mis-prunes), the feed stays " +
+      "silent, and application extras round-trip") {
+    root
+    spark.sql("CREATE TABLE gtest.props (id BIGINT, id2 BIGINT, " +
+      "v STRING)")
+    spark.sql("INSERT INTO gtest.props SELECT id, id + 10000, 'a' " +
+      "FROM range(0, 100)")                     // seg A: no stats
+    spark.sql("ALTER TABLE gtest.props SET TBLPROPERTIES " +
+      "('statsCol' = 'id', 'pipelineVersion' = '7')")
+    spark.sql("INSERT INTO gtest.props SELECT id, id + 10000, 'b' " +
+      "FROM range(1000, 1100)")                 // seg B: id stats
+    val s1 = LogStore.configured(spark, s"$root/props")
+    assert(s1.recordedProp("pipelineVersion") == Some("7"))
+    val (_, scanned1, live1) = s1.readRangeOn("id", "5000", "6000")
+    assert(live1 == 2 && scanned1 == 1,
+      "seg B prunes by its new stats; pre-config seg A always scans")
+    // REPLACING statsCol clears seg B's positional bounds in the same
+    // commit — probing id2 against id's numbers would mis-prune
+    val feedBefore = spark.sql(
+      "SELECT count(*) FROM gtest.`props$changes`").head().getLong(0)
+    spark.sql("ALTER TABLE gtest.props SET TBLPROPERTIES " +
+      "('statsCol' = 'id2')")
+    val s2 = LogStore.configured(spark, s"$root/props")
+    assert(s2.liveSegmentInfos().forall(_.min.isEmpty),
+      "old primary bounds must be cleared, not reinterpreted")
+    spark.sql("INSERT INTO gtest.props SELECT id, id + 10000, 'c' " +
+      "FROM range(5000, 5100)")                 // seg C: id2 stats
+    val (_, scanned2, live2) = s2.readRangeOn("id2", "0", "100")
+    assert(live2 == 3 && scanned2 == 2,
+      s"seg C prunes on id2, A and B take the safe default: " +
+        s"$scanned2 of $live2")
+    // metadata-only: content identical, the feed saw NOTHING from the
+    // props commit (the empty cdc marker keeps dataChange=false)
+    assert(spark.sql("SELECT count(*) FROM gtest.props")
+      .head().getLong(0) == 300L)
+    assert(spark.sql("SELECT count(*) FROM gtest.`props$changes`")
+      .head().getLong(0) == feedBefore + 100L,
+      "only seg C's insert may appear in the feed")
+    // the audit labels the metadata commits honestly
+    val ops = spark.sql("SELECT operation FROM gtest.`props$history`")
+      .as[String].collect()
+    assert(ops.contains("METADATA (PROPERTIES)"))
+    // UNSET: pruning config removed, reads stay correct
+    spark.sql("ALTER TABLE gtest.props UNSET TBLPROPERTIES " +
+      "('statsCol')")
+    val s3 = LogStore.configured(spark, s"$root/props")
+    intercept[Exception] { s3.readRangeOn("id2", "0", "1") }
+    assert(spark.sql("SELECT count(*) FROM gtest.props")
+      .head().getLong(0) == 300L)
+    // dvDeletes toggled ON via SQL: DELETE now rides vectors
+    spark.sql("ALTER TABLE gtest.props SET TBLPROPERTIES " +
+      "('dvDeletes' = 'true')")
+    val segs = LogStore.configured(spark, s"$root/props")
+      .liveSegmentInfos().map(_.name).toSet
+    spark.sql("DELETE FROM gtest.props WHERE id IN (0, 1000, 5000)")
+    val s4 = LogStore.configured(spark, s"$root/props")
+    assert(s4.liveSegmentInfos().map(_.name).toSet == segs,
+      "the SQL DELETE must attach vectors, not rewrite")
+    assert(spark.sql("SELECT count(*) FROM gtest.props")
+      .head().getLong(0) == 297L)
+  }
+
   test("a PRE-EXISTING table under a reserved name stays reachable " +
       "for SELECT and DROP (the prefix rule gates create/rename only)") {
     root

@@ -2448,6 +2448,52 @@ object SparkEntry {
         .withColumn("evolve_pins", lit(metadataOnly && oldShape))
     }),
 
+    "src_sql_overwrite" -> ((s, dir) => {
+      // INSERT OVERWRITE is ONE atomic replace commit: the new
+      // content in, every prior live segment out, at readVersion+1
+      // (never truncate-then-append with a window in between); the
+      // prior snapshot stays time-travelable and the change feed is
+      // the honest diff (old rows as deletes, new as inserts). The
+      // oracle recomputes the overwritten content from the source.
+      val cat = "graftsql"
+      if (!s.conf.getAll.contains(s"spark.sql.catalog.$cat")) {
+        val r0 = java.nio.file.Files
+          .createTempDirectory("graft-sqlcat").toString
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.GraftLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", r0)
+      }
+      val short = s"ovw_${java.util.UUID.randomUUID().toString.take(8)}"
+      val tbl = s"$cat.bench.$short"
+      events(s, dir).select(col("event_id"), col("event_type"),
+        col("value")).createOrReplaceTempView("src_sqlovw_events")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.bench")
+      s.sql(s"CREATE TABLE $tbl (event_id BIGINT, event_type STRING, " +
+        "value DOUBLE) TBLPROPERTIES ('statsCol' = 'event_id')")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM src_sqlovw_events " +
+        "WHERE event_id % 2 = 0")
+      val store = graft.catalog.LogStore.configured(s,
+        s"${s.conf.get(s"spark.sql.catalog.$cat.root")}/bench/$short")
+      val vBefore = store.latestVersion()
+      val nEven = store.read().count()
+      s.sql(s"INSERT OVERWRITE $tbl SELECT * FROM src_sqlovw_events " +
+        "WHERE event_id % 2 = 1")
+      val oneCommit = store.latestVersion() == vBefore + 1
+      val travels = store.read(vBefore).count() == nEven
+      val feed = store.readChanges(vBefore + 1)
+        .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val honest = feed.getOrElse("delete", 0L) == nEven &&
+        feed.getOrElse("insert", 0L) == store.read().count()
+      s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value
+        |FROM $tbl GROUP BY event_type ORDER BY event_type"""
+        .stripMargin)
+        .withColumn("overwrite_pins",
+          lit(oneCommit && travels && honest))
+    }),
+
     "src_sql_setprops" -> ((s, dir) => {
       // config AFTER the fact: a table created with NO skipping
       // config gains statsCol via ALTER TABLE SET TBLPROPERTIES —
@@ -7950,6 +7996,17 @@ object SparkEntry {
         |   AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         | TRUE AS evolve_pins
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // INSERT OVERWRITE is semantics: the oracle recomputes the
+    // overwritten content; overwrite_pins records one-commit
+    // atomicity, time travel, and the honest diff feed
+    "src_sql_overwrite" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value,
+        | TRUE AS overwrite_pins
+        |FROM events WHERE event_id % 2 = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // SET TBLPROPERTIES is metadata only — the oracle is the plain
     // aggregate; setprops_pins records the config-after-the-fact

@@ -59,7 +59,17 @@ import graft.catalog.LogStore
   * one O(segment) stats pass, and the optimistic-retry loop makes
   * concurrent writers safe. */
 final class LogWriteBuilder(root: String, info: LogicalWriteInfo)
-    extends WriteBuilder {
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  // INSERT OVERWRITE / df.write.mode("overwrite"): Spark signals a
+  // full-table overwrite as truncate-then-append on ONE builder; the
+  // sink turns it into ONE atomic publishReplace commit (new segments
+  // in, every prior live segment out, honest minimal-diff feed, prior
+  // snapshots time-travelable). Filter-scoped overwrites are not
+  // offered (no SupportsOverwrite) — Spark refuses them loudly.
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
   override def build(): Write = {
     val schema = info.schema()
     schema.fields.foreach { f =>
@@ -90,7 +100,8 @@ final class LogWriteBuilder(root: String, info: LogicalWriteInfo)
       s"clusterBy column '$c' is not in the write schema"))
     val clusterParts =
       Option(opts.get("clusterPartitions")).map(_.toInt).getOrElse(0)
-    new LogWrite(root, schema, maintain, clusterBy, clusterParts)
+    new LogWrite(root, schema, maintain, clusterBy, clusterParts,
+      overwrite)
   }
 }
 
@@ -99,7 +110,7 @@ final case class MaintainOpts(minBytes: Long, smallLimit: Int,
 
 final class LogWrite(root: String, schema: StructType,
     maintain: Option[MaintainOpts], clusterBy: Seq[String] = Nil,
-    clusterParts: Int = 0)
+    clusterParts: Int = 0, overwrite: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
   override def description(): String = s"GraftLogWrite($root)"
 
@@ -114,9 +125,18 @@ final class LogWrite(root: String, schema: StructType,
   override def requiredNumPartitions(): Int = clusterParts
 
   override def toBatch: BatchWrite =
-    new LogBatchWrite(root, schema, maintain, clusterBy.nonEmpty)
-  override def toStreaming: StreamingWrite =
+    new LogBatchWrite(root, schema, maintain, clusterBy.nonEmpty,
+      overwrite)
+  override def toStreaming: StreamingWrite = {
+    // complete-mode streaming would overwrite per epoch; the keyed
+    // upsert sink (StreamingOps.upsertAggToLog) is the supported
+    // latest-state shape — refusing beats silently appending
+    if (overwrite) throw new UnsupportedOperationException(
+      "graft-log streaming writes are append-mode (epoch-fenced); " +
+        "for a latest-state table use update mode with " +
+        "StreamingOps.upsertAggToLog")
     new LogStreamingWrite(root, schema, maintain, clusterBy.nonEmpty)
+  }
 }
 
 final case class LogWriteMessage(file: Option[String])
@@ -126,7 +146,8 @@ final case class LogWriteMessage(file: Option[String])
   * committed version. */
 final class LogBatchWrite(root: String, schema: StructType,
     maintain: Option[MaintainOpts] = None,
-    fileAsSegment: Boolean = false)
+    fileAsSegment: Boolean = false,
+    overwrite: Boolean = false)
     extends BatchWrite {
   private val stage = s"_stage-${UUID.randomUUID().toString.take(12)}"
 
@@ -136,7 +157,10 @@ final class LogBatchWrite(root: String, schema: StructType,
       LogStreamPlanning.confEntries(SparkSession.active))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    LogSinkCommit.publish(root, s"$root/$stage", schema,
+    if (overwrite)
+      LogSinkCommit.publishOverwrite(root, s"$root/$stage", schema,
+        messages, fileAsSegment = fileAsSegment)
+    else LogSinkCommit.publish(root, s"$root/$stage", schema,
       messages, txn = None, maintain = maintain,
       fileAsSegment = fileAsSegment)
 
@@ -202,22 +226,7 @@ private[sources] object LogSinkCommit {
       cleanup(spark, stageDir)
       return
     }
-    // one segment for the whole commit (the append shape), or —
-    // clustered ingest — one segment PER TASK FILE, so each range-
-    // partitioned file carries its own tight bounds in the log
-    val groups: Seq[Seq[String]] =
-      if (fileAsSegment) files.toSeq.map(Seq(_)) else Seq(files.toSeq)
-    val segNames = groups.map { group =>
-      val segName = s"seg-${UUID.randomUUID().toString.take(12)}"
-      fs.mkdirs(new Path(s"$root/$segName"))
-      group.foreach { f =>
-        val from = new Path(f)
-        if (!fs.rename(from,
-            new Path(s"$root/$segName/${from.getName}")))
-          throw new java.io.IOException(s"staging rename of $f failed")
-      }
-      segName
-    }
+    val segNames = stageToSegments(fs, root, files.toSeq, fileAsSegment)
     val store = LogStore.configured(spark, root)
     val v = store.publishSegments(segNames, schema, txn = txn)
     if (v == -1L) // fenced replay: the epoch already landed
@@ -234,6 +243,60 @@ private[sources] object LogSinkCommit {
           s"[graft-log] post-commit maintainLayout at $root skipped: $e")
       }
     }
+  }
+
+  /** Move the message-named staged files into fresh `seg-*`
+    * directories — one segment per commit (the append shape) or one
+    * per task file (clustered ingest: each range-partitioned file
+    * carries its own tight bounds in the log). */
+  private def stageToSegments(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, files: Seq[String],
+      fileAsSegment: Boolean): Seq[String] = {
+    val groups: Seq[Seq[String]] =
+      if (fileAsSegment) files.map(Seq(_)) else Seq(files)
+    groups.map { group =>
+      val segName = s"seg-${UUID.randomUUID().toString.take(12)}"
+      fs.mkdirs(new Path(s"$root/$segName"))
+      group.foreach { f =>
+        val from = new Path(f)
+        if (!fs.rename(from,
+            new Path(s"$root/$segName/${from.getName}")))
+          throw new java.io.IOException(s"staging rename of $f failed")
+      }
+      segName
+    }
+  }
+
+  /** INSERT OVERWRITE / mode("overwrite"): the staged files REPLACE
+    * the table's entire live content in ONE commit
+    * ([[graft.catalog.LogStore.publishReplace]] — readVersion+1 OCC,
+    * schema enforcement, stats/Bloom metadata, honest minimal-diff
+    * change feed; prior snapshots stay time-travelable at their
+    * versions). An overwrite with ZERO rows is an atomic truncate;
+    * one against an empty/nonexistent table degrades to the plain
+    * first publish. */
+  def publishOverwrite(root: String, stageDir: String,
+      schema: StructType, messages: Array[WriterCommitMessage],
+      fileAsSegment: Boolean = false): Unit = {
+    val spark = SparkSession.active
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val files = messages.collect { case LogWriteMessage(Some(f)) => f }
+    val store = LogStore.configured(spark, root)
+    val readVersion = store.latestVersion()
+    val removes =
+      if (readVersion < 0) Nil else store.liveSegments(readVersion)
+    if (files.isEmpty && removes.isEmpty) {
+      cleanup(spark, stageDir) // overwriting nothing with nothing
+      return
+    }
+    // zero staged files = atomic truncate: no segment directory may
+    // be created (an empty seg dir is unreadable and unreferenced)
+    val segNames =
+      if (files.isEmpty) Nil
+      else stageToSegments(fs, root, files.toSeq, fileAsSegment)
+    store.publishReplace(segNames, removes, schema, readVersion)
+    cleanup(spark, stageDir)
   }
 
   def cleanup(spark: SparkSession, stageDir: String): Unit = {

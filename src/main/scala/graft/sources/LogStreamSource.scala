@@ -180,7 +180,10 @@ final class LogStreamTable(schema: StructType, root: String,
     val base =
       if (readOnly) reads
       else reads + TableCapability.BATCH_WRITE +
-        TableCapability.STREAMING_WRITE
+        TableCapability.STREAMING_WRITE +
+        // INSERT OVERWRITE / mode("overwrite"): truncate-then-append
+        // as ONE atomic publishReplace commit (LogWriteBuilder)
+        TableCapability.TRUNCATE
     (if (acceptAnySchema && !readOnly)
        base + TableCapability.ACCEPT_ANY_SCHEMA
      else base).asJava

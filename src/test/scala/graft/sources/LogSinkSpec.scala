@@ -238,4 +238,60 @@ class LogSinkSpec extends AnyFunSuite {
       s"staging dirs must die with their epoch's commit, found: " +
         residue.mkString(", "))
   }
+  test("OVERWRITE is one atomic replace commit: new content in, old " +
+      "out, honest diff feed, prior snapshot time-travels; a zero-row " +
+      "overwrite is an atomic truncate; streaming overwrite refuses") {
+    val root = tmp()
+    writeBatch((1L to 50L).map(i => (i, "old")).toDF("id", "v"), root)
+    writeBatch((51L to 80L).map(i => (i, "old")).toDF("id", "v"), root)
+    val t = new LogStore(spark, root)
+    val vBefore = t.latestVersion()
+    (100L to 120L).map(i => (i, "new")).toDF("id", "v")
+      .write.format("graft-log").option("path", root)
+      .mode("overwrite").save()
+    assert(t.latestVersion() == vBefore + 1,
+      "an overwrite is ONE commit, not truncate + append")
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      (100L to 120L).map(i => (i, "new")).toSet)
+    // prior snapshots stay readable at their versions
+    assert(t.read(vBefore).count() == 80L)
+    // the feed is the honest diff: 80 deletes + 21 inserts
+    val feed = t.readChanges(vBefore + 1)
+      .groupBy(col("_change_type")).count()
+      .as[(String, Long)].collect().toMap
+    assert(feed == Map("delete" -> 80L, "insert" -> 21L), s"got $feed")
+    // SQL INSERT OVERWRITE rides the same path
+    val dir2 = Files.createTempDirectory("graft-sink").toString
+    spark.conf.set("spark.sql.catalog.gow",
+      "graft.sources.GraftLogCatalog")
+    spark.conf.set("spark.sql.catalog.gow.root", dir2)
+    spark.sql("CREATE TABLE gow.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gow.t SELECT id, 'a' FROM range(0, 10)")
+    spark.sql(
+      "INSERT OVERWRITE gow.t SELECT id, 'b' FROM range(100, 105)")
+    assert(spark.sql("SELECT count(*) FROM gow.t").head().getLong(0)
+      == 5L)
+    assert(spark.sql(
+      "SELECT count(*) FROM gow.t WHERE v = 'a'").head().getLong(0)
+      == 0L)
+    // zero-row overwrite = atomic truncate, content gone, history kept
+    spark.sql("INSERT OVERWRITE gow.t SELECT id, 'c' FROM range(0) ")
+    assert(spark.sql("SELECT count(*) FROM gow.t").head().getLong(0)
+      == 0L)
+    // streaming + overwrite refuses loudly
+    val src = MemoryStream[Long]
+    val e = intercept[Exception] {
+      src.toDF().toDF("id")
+        .writeStream.format("graft-log")
+        .option("path", tmp())
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-sink-ck").toString)
+        .outputMode("complete")
+        .start()
+    }
+    def msgs(x: Throwable): String =
+      if (x == null) "" else x.getMessage + " " + msgs(x.getCause)
+    assert(msgs(e).contains("append-mode") ||
+      msgs(e).toLowerCase.contains("complete"))
+  }
 }

@@ -1926,6 +1926,25 @@ class LogStore(spark: SparkSession, val root: String,
         "n_dv_segments", "dv_rows")
   }
 
+  /** DESCRIBE SEGMENTS — one row per LIVE segment with its recorded
+    * log metadata (row count, deletion-vector rows, primary bounds,
+    * extra-stats columns, Bloom presence) plus its physical bytes:
+    * the per-file ops view behind [[describeDetail]]'s totals — where
+    * an operator looks to see WHICH segments carry vector debt or
+    * missing stats. O(live) filesystem summaries, never on the read
+    * path. */
+  def describeSegments(): DataFrame = {
+    import spark.implicits._
+    val latest = latestVersion()
+    require(latest >= 0, s"no log at $root")
+    replayTo(latest).live.values.toSeq.map { s =>
+      (s.name, segmentBytes(s), s.rows.getOrElse(-1L),
+        s.dv.map(_._2).getOrElse(0L), s.min.orNull, s.max.orNull,
+        s.extra.keys.toSeq.sorted.mkString(","), s.bloom.nonEmpty)
+    }.toDF("segment", "bytes", "rows", "dv_rows", "min", "max",
+      "extra_stats_columns", "has_bloom")
+  }
+
   /** RESTORE the table to the content of an earlier `version` — the
     * Delta RESTORE semantics: rollback is a NEW forward commit whose
     * actions re-add the segments live at `version` and remove the

@@ -178,6 +178,9 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
         case "detail" => new LogDriverTable(s"${ident.name}($dir)",
           () => LogStore.configured(SparkSession.active, dir)
             .describeDetail())
+        case "segments" => new LogDriverTable(s"${ident.name}($dir)",
+          () => LogStore.configured(SparkSession.active, dir)
+            .describeSegments())
         case _ => throw new NoSuchTableException(ident)
       }
     } else snapshotTable(ident, None, None)

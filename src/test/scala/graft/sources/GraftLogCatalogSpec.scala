@@ -392,6 +392,29 @@ class GraftLogCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("t$segments: the per-file ops view — recorded rows/bounds/" +
+      "vector debt per live segment, straight SQL") {
+    root
+    spark.sql("CREATE TABLE gtest.segs (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('statsCol' = 'id', 'dvDeletes' = 'true')")
+    spark.sql("INSERT INTO gtest.segs SELECT id, 'a' FROM range(0, 50)")
+    spark.sql("INSERT INTO gtest.segs SELECT id, 'a' " +
+      "FROM range(1000, 1100)")
+    spark.sql("DELETE FROM gtest.segs WHERE id >= 1000 AND id <= 1009")
+    val rows = spark.sql("SELECT segment, rows, dv_rows, min, max, " +
+      "has_bloom FROM gtest.`segs$segments` ORDER BY min")
+      .as[(String, Long, Long, String, String, Boolean)].collect()
+    assert(rows.length == 2)
+    assert(rows(0)._2 == 50L && rows(0)._3 == 0L &&
+      rows(0)._4 == "0" && rows(0)._5 == "49" && !rows(0)._6)
+    assert(rows(1)._2 == 100L && rows(1)._3 == 10L,
+      s"segment B must show its 10 vector rows: ${rows(1)}")
+    // totals agree with the one-row detail view
+    val d = spark.sql("SELECT n_segments, dv_rows FROM " +
+      "gtest.`segs$detail`").as[(Long, Long)].head()
+    assert(d == ((2L, 10L)))
+  }
+
   test("ALTER TABLE SET/UNSET TBLPROPERTIES: skipping config changes " +
       "are metadata-only commits; a statsCol replacement CLEARS the " +
       "old positional bounds (never mis-prunes), the feed stays " +

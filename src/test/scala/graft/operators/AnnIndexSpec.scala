@@ -178,6 +178,41 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!res.select("neighbor_id").as[Long].collect().contains(3L))
   }
 
+  test("heavy corpus deletes trip the postings table's DV-compaction " +
+      "policy inside maintainIvf: vectors folded into clean " +
+      "cell-clustered segments, search still exact") {
+    val dir = Files.createTempDirectory("graft-annidx").toString
+    val corpusStore = new LogStore(spark, s"$dir/corpus",
+      statsCol = Some("vec_id"))
+    corpusStore.append(corpusDf(128))
+    val idx = AnnIndex.buildIvf(spark, corpusStore.read(),
+      corpusStore.latestVersion(), s"$dir/idx", nCells = 16,
+      postingSegments = 2)
+    // delete ~60% of the corpus (every non-centroid id >= 16 with
+    // id % 5 != 0) — far past the 0.5 pressure rule on the 2 posting
+    // segments
+    corpusStore.deleteWhere("vec_id >= 16 AND vec_id % 5 != 0")
+    AnnIndex.maintainIvf(spark, corpusStore, idx, nCells = 16)
+    val postings = LogStore.configured(spark, idx.postingsRoot)
+    assert(postings.liveSegmentInfos().forall(_.dv.isEmpty),
+      "the pressure rule must consume the vectors")
+    val nLive = corpusStore.read().count()
+    assert(postings.read().count() == nLive)
+    // search parity with the in-memory IVF on the surviving corpus
+    val corpus = corpusStore.read()
+    val queries = corpus.where(col("vec_id") === 20L)
+    val (res, opened, live) = AnnIndex.searchIvf(spark, idx, corpus,
+      queries, k = 5, nProbe = 4)
+    val want = Similarity.ivfTopK(corpus, queries, k = 5, nCells = 16,
+        nProbe = 4)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(res.select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet == want)
+    // the compaction re-clustered on cell_id: skipping still works
+    assert(opened <= live)
+  }
+
   test("TRAINED persisted index: restart search equals the in-memory " +
       "ivfTopKTrained exactly, the probe stats-prunes, and the " +
       "training config rides the table properties") {

@@ -1076,12 +1076,15 @@ class LogStore(spark: SparkSession, val root: String,
       val live = liveSegmentInfos(v)
       def changed(k: String): Boolean = cur.get(k) != next.get(k)
       // stale-metadata clearance (see the contract above): segments
-      // whose recorded primary bounds / Bloom filters belong to the
-      // OLD config are re-added with those fields dropped
-      val dropStats = changed("statsCol") && cur.contains("statsCol") &&
-        next.contains("statsCol")
+      // whose recorded primary bounds / Bloom filters may belong to a
+      // DIFFERENT config are re-added with those fields dropped. The
+      // rule keys on the NEW config naming a column while the name
+      // (or bloom sizing) CHANGES — including from-absent, so an
+      // UNSET-then-SET two-step can never smuggle bounds recorded for
+      // the old column past the clearance (the log does not attribute
+      // the positional slot to a column; only a clean slate is safe).
+      val dropStats = changed("statsCol") && next.contains("statsCol")
       val dropBloom = next.contains("bloomCol") &&
-        cur.contains("bloomCol") &&
         (changed("bloomCol") || changed("bloomBits"))
       val reAdds = live.filter(s =>
           (dropStats && s.min.nonEmpty) ||

@@ -466,6 +466,18 @@ class GraftLogCatalogSpec extends AnyFunSuite {
     intercept[Exception] { s3.readRangeOn("id2", "0", "1") }
     assert(spark.sql("SELECT count(*) FROM gtest.props")
       .head().getLong(0) == 300L)
+    // the UNSET-then-SET two-step cannot smuggle stale bounds past
+    // the clearance: seg C still carries id2 bounds after the UNSET
+    // above; re-SETTING statsCol to a DIFFERENT column must clear
+    // them (the positional slot is unattributed — only a clean slate
+    // is safe)
+    spark.sql("ALTER TABLE gtest.props SET TBLPROPERTIES " +
+      "('statsCol' = 'id')")
+    assert(LogStore.configured(spark, s"$root/props")
+      .liveSegmentInfos().forall(_.min.isEmpty),
+      "bounds recorded under id2 must not be probed as id bounds")
+    spark.sql("ALTER TABLE gtest.props UNSET TBLPROPERTIES " +
+      "('statsCol')")
     // dvDeletes toggled ON via SQL: DELETE now rides vectors
     spark.sql("ALTER TABLE gtest.props SET TBLPROPERTIES " +
       "('dvDeletes' = 'true')")

@@ -131,8 +131,12 @@ final class GraftRowLevelScanBuilder(root: String,
       case n: Short => Some(BigDecimal(n.toInt))
       case n: Int => Some(BigDecimal(n))
       case n: Long => Some(BigDecimal(n))
-      case n: Float => Some(BigDecimal(n.toDouble))
-      case n: Double => Some(BigDecimal(n))
+      // NaN/Infinity have no BigDecimal form (and NaN never equals or
+      // orders anyway) — conservative: no bound derived
+      case n: Float if !n.isNaN && !n.isInfinite =>
+        Some(BigDecimal(n.toDouble))
+      case n: Double if !n.isNaN && !n.isInfinite =>
+        Some(BigDecimal(n))
       case n: java.math.BigDecimal => Some(BigDecimal(n))
       case _ => None
     }

@@ -2541,6 +2541,58 @@ object SparkEntry {
         .withColumn("setprops_pins", lit(prunes && cleared))
     }),
 
+    "src_string_stats" -> ((s, dir) => {
+      // STRING segment stats end-to-end through pure SQL: a table
+      // whose statsCol is a zero-padded STRING key (orders like the
+      // int it encodes), four disjoint-range inserts, then a
+      // string-keyed UPDATE. Pins: the UPDATE's pushed string
+      // equality statically pruned the rewrite to ONE segment (the
+      // other three carried by name), and a point readRange probe
+      // opens 1 of 4 files. The final aggregate equals the oracle's
+      // CASE-rewritten computation exactly.
+      val cat = "graftsql"
+      if (!s.conf.getAll.contains(s"spark.sql.catalog.$cat")) {
+        val r0 = java.nio.file.Files
+          .createTempDirectory("graft-sqlcat").toString
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.GraftLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", r0)
+      }
+      val short = s"str_${java.util.UUID.randomUUID().toString.take(8)}"
+      val tbl = s"$cat.bench.$short"
+      events(s, dir)
+        .where(col("event_id") < 1000)
+        .select(lpad(col("event_id").cast("string"), 8, "0").as("skey"),
+          col("event_type"), col("value"))
+        .createOrReplaceTempView("src_strstats_events")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.bench")
+      s.sql(s"CREATE TABLE $tbl (skey STRING, event_type STRING, " +
+        "value DOUBLE) TBLPROPERTIES ('statsCol' = 'skey')")
+      Seq(("00000000", "00000250"), ("00000250", "00000500"),
+        ("00000500", "00000750"), ("00000750", "00001000")).foreach {
+        case (lo, hi) => s.sql(s"INSERT INTO $tbl SELECT * FROM " +
+          s"src_strstats_events WHERE skey >= '$lo' AND skey < '$hi'")
+      }
+      val dirT = s"${s.conf.get(s"spark.sql.catalog.$cat.root")}" +
+        s"/bench/$short"
+      val st = graft.catalog.LogStore.configured(s, dirT)
+      val before = st.liveSegmentInfos().map(_.name).toSet
+      s.sql(s"UPDATE $tbl SET value = value * CAST(2.0 AS DOUBLE) " +
+        "WHERE skey = '00000123'")
+      val after = st.liveSegmentInfos().map(_.name).toSet
+      val rewroteOne =
+        (before -- after).size == 1 && (after -- before).size == 1
+      val (_, opened, live) = st.readRangeOn("skey",
+        "00000123", "00000123")
+      val pins = rewroteOne && live == 4 && opened == 1
+      s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value
+        |FROM $tbl GROUP BY event_type ORDER BY event_type"""
+        .stripMargin)
+        .withColumn("string_stats_pins", lit(pins))
+    }),
+
     "src_log_trim" -> ((s, dir) => {
       // BOUNDED _log DIRECTORY: 8 streaming-style commits age the log
       // (checkpoint at v4); vacuum publishes the horizon (v6),
@@ -8017,6 +8069,21 @@ object SparkEntry {
         |   AS sum_value,
         | TRUE AS setprops_pins
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the string-keyed UPDATE must land on exactly its rows — the
+    // oracle rewrites them with CASE; string_stats_pins records the
+    // 1-of-4 static prune evidence
+    "src_string_stats" ->
+      """WITH src AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id = 123 THEN value * 2 ELSE value END
+        |      AS value
+        |  FROM events WHERE event_id < 1000)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value,
+        | TRUE AS string_stats_pins
+        |FROM src GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // log trim is retention only — the oracle is the plain aggregate;
     // log_trim_pins records the bounded-directory + refusal evidence

@@ -312,33 +312,36 @@ class LogStore(spark: SparkSession, val root: String,
       var schemaB64: Option[String] = None,
       var propsStr: Option[String] = None)
 
+  private def emptyState(): LogState = LogState(
+    scala.collection.mutable.LinkedHashMap.empty[String, Segment],
+    Long.MinValue, -1L)
+
+  private def applyActions(state: LogState, a: Actions): Unit = {
+    a.adds.foreach(x => state.live(x.name) = x)
+    a.removes.foreach(state.live -= _)
+    // DV attachments re-point a LIVE segment's deletion vector; an
+    // empty dv directory clears it (restore's undo)
+    a.dvs.foreach { case (seg, f, n) =>
+      state.live.get(seg).foreach { s =>
+        state.live(seg) =
+          s.copy(dv = if (f.isEmpty) None else Some((f, n)))
+      }
+    }
+    a.txns.foreach(t => state.maxTxn = math.max(state.maxTxn, t))
+    a.vacs.foreach(h =>
+      state.vacuumHorizon = math.max(state.vacuumHorizon, h))
+    a.schemas.lastOption.foreach(s => state.schemaB64 = Some(s))
+    a.props.lastOption.foreach(p => state.propsStr = Some(p))
+  }
+
   /** Replay the log up to `upTo` inclusive, seeding from the newest
     * checkpoint at-or-below it — O(#actions since checkpoint), never
     * O(V) once the table checkpoints. */
   private def replayTo(upTo: Long): LogState = {
-    val state = LogState(
-      scala.collection.mutable.LinkedHashMap.empty[String, Segment],
-      Long.MinValue, -1L)
-    def apply(a: Actions): Unit = {
-      a.adds.foreach(x => state.live(x.name) = x)
-      a.removes.foreach(state.live -= _)
-      // DV attachments re-point a LIVE segment's deletion vector; an
-      // empty dv directory clears it (restore's undo)
-      a.dvs.foreach { case (seg, f, n) =>
-        state.live.get(seg).foreach { s =>
-          state.live(seg) =
-            s.copy(dv = if (f.isEmpty) None else Some((f, n)))
-        }
-      }
-      a.txns.foreach(t => state.maxTxn = math.max(state.maxTxn, t))
-      a.vacs.foreach(h =>
-        state.vacuumHorizon = math.max(state.vacuumHorizon, h))
-      a.schemas.lastOption.foreach(s => state.schemaB64 = Some(s))
-      a.props.lastOption.foreach(p => state.propsStr = Some(p))
-    }
+    val state = emptyState()
     val from = latestCheckpointAtOrBelow(upTo) match {
       case Some(cp) =>
-        apply(parseActions(checkpointPath(cp)))
+        applyActions(state, parseActions(checkpointPath(cp)))
         cp + 1
       case None => 0L
     }
@@ -354,9 +357,87 @@ class LogStore(spark: SparkSession, val root: String,
               "retention horizon's checkpoint); this snapshot is no " +
               "longer replayable")
         }
-      apply(a)
+      applyActions(state, a)
     }
     state
+  }
+
+  /** The trim gate: true iff the checkpoint at `cp` REPLAYS — parsing
+    * it yields exactly the state the version files still on disk
+    * replay to. Checkpoint writes are best-effort and NON-ATOMIC
+    * (`fs.create` then write; a crash mid-write leaves a truncated
+    * file the line-regex parser happily reads as FEWER actions), so
+    * an existence check alone would let vacuum's log trim delete the
+    * only full-replay recovery path and seed every later read from a
+    * silently wrong snapshot. Delta guards the same way — a
+    * checkpoint is only trusted after a validated write. The truth
+    * side replays WITHOUT cp's checkpoint, from the oldest base the
+    * already-trimmed prefix forces: version 0 when it survives, else
+    * the newest checkpoint at-or-below the oldest surviving version
+    * file (the one a previous trim validated before deleting its
+    * prefix). Any parse failure, missing file, or state mismatch →
+    * false → the trim is skipped, never the vacuum failed. */
+  private def checkpointReplayable(cp: Long): Boolean = try {
+    val claimed = emptyState()
+    applyActions(claimed, parseActions(checkpointPath(cp)))
+    replayIndependent(cp) match {
+      case None => false
+      case Some(truth) =>
+        claimed.live.toSeq == truth.live.toSeq &&
+          claimed.maxTxn == truth.maxTxn &&
+          claimed.vacuumHorizon == truth.vacuumHorizon &&
+          claimed.schemaB64 == truth.schemaB64 &&
+          claimed.propsStr == truth.propsStr
+    }
+  } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Replay to `upTo` WITHOUT trusting the checkpoint at `upTo`:
+    * seeds from version 0 when it survives, else from the newest
+    * OLDER checkpoint the already-trimmed prefix forces (one a
+    * previous trim validated before deleting its prefix). None when
+    * no independent base exists or a needed file is unreadable. */
+  private def replayIndependent(upTo: Long): Option[LogState] = try {
+    val truth = emptyState()
+    val names = fs.listStatus(new Path(logDir)).map(_.getPath.getName)
+    val jsonVs = names.filter(_.endsWith(".json"))
+      .flatMap(_.stripSuffix(".json").toLongOption)
+    if (jsonVs.isEmpty) return None
+    val minJson = jsonVs.min
+    val from =
+      if (minJson == 0) 0L
+      else {
+        val bases = names.filter(_.endsWith(".checkpoint"))
+          .flatMap(_.stripSuffix(".checkpoint").toLongOption)
+          .filter(c => c <= minJson && c < upTo)
+        if (bases.isEmpty) return None
+        applyActions(truth, parseActions(checkpointPath(bases.max)))
+        bases.max + 1
+      }
+    (from to upTo).foreach(v => applyActions(truth, readActions(v)))
+    Some(truth)
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Validate-and-HEAL gate for a checkpoint a deletion pass is about
+    * to replay through: a crash-truncated checkpoint replays to a
+    * SUBSET of the live set, and a keep-set computed from that subset
+    * would physically delete live segments. When the checkpoint does
+    * not faithfully replay, it is REWRITTEN from an independent
+    * replay of the version files (the content is a pure function of
+    * the immutable prefix, so overwrite is safe); when no independent
+    * base survives to repair from, the caller must refuse. */
+  private def repairCheckpointIfNeeded(cp: Long): Unit = {
+    if (checkpointReplayable(cp)) return
+    replayIndependent(cp) match {
+      case Some(truth) =>
+        System.err.println(s"[logstore] checkpoint $cp at $root did " +
+          "not faithfully replay its version files (likely a crashed " +
+          "checkpoint write) — rewritten from the surviving log")
+        writeCheckpointFile(cp, truth)
+      case None => throw new IllegalStateException(
+        s"checkpoint $cp at $root does not replay and no independent " +
+          "version-file base survives to repair it from — refusing " +
+          "to continue (restore the _log directory from backup)")
+    }
   }
 
   private def encodeSchema(s: org.apache.spark.sql.types.StructType)
@@ -439,7 +520,10 @@ class LogStore(spark: SparkSession, val root: String,
     val latest = latestVersion()
     require(latest >= 0, s"no log at $root")
     val at = math.min(v, latest)
-    val st = replayTo(at)
+    writeCheckpointFile(at, replayTo(at))
+  }
+
+  private def writeCheckpointFile(at: Long, st: LogState): Unit = {
     val lines = st.live.values.map(addJson).toSeq ++
       (if (st.maxTxn != Long.MinValue) Seq(s"""{"txn":${st.maxTxn}}""")
        else Nil) ++
@@ -862,7 +946,8 @@ class LogStore(spark: SparkSession, val root: String,
     * and publishes each directory separately). */
   private def segmentMeta(name: String, columns: Seq[String]): Segment = {
     import org.apache.spark.sql.functions.{max => fmax, min => fmin, col => fcol}
-    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+    import org.apache.spark.sql.types.{DateType, NumericType, StringType,
+      TimestampType}
     val wanted = (statsCol.toSeq ++ statsCols).distinct
       .filter(columns.contains)
     val written = spark.read.parquet(s"$root/$name")
@@ -876,10 +961,11 @@ class LogStore(spark: SparkSession, val root: String,
         wanted.foreach { c =>
           val dt = written.schema(c).dataType
           require(dt.isInstanceOf[NumericType] || dt == DateType ||
-              dt == TimestampType,
-            s"statsCol '$c' is $dt; only numeric/date/timestamp columns " +
-              "can carry segment stats (their serialized bounds are " +
-              "guaranteed safe in the line-oriented log)")
+              dt == TimestampType || dt == StringType,
+            s"statsCol '$c' is $dt; only numeric/date/timestamp/string " +
+              "columns can carry segment stats (numeric/date/timestamp " +
+              "spellings are grammar-safe by type; string bounds are " +
+              "gated per-segment by safeStringBound)")
         }
         // ONE agg computes every column's bounds — per-segment stats
         // cost stays a single 2k-number pass however many columns ride
@@ -888,8 +974,17 @@ class LogStore(spark: SparkSession, val root: String,
         val row = written.agg(exprs.head, exprs.tail: _*).head()
         val perCol = wanted.zipWithIndex.flatMap { case (c, i) =>
           if (row.isNullAt(2 * i)) None
-          else Some(c -> (row.getString(2 * i), row.getString(2 * i + 1),
-            written.schema(c).dataType.isInstanceOf[NumericType]))
+          else {
+            val (lo, hi) = (row.getString(2 * i), row.getString(2 * i + 1))
+            // string bounds only when BOTH spellings are inert in the
+            // line grammar AND order-stable — else this segment-column
+            // records nothing and reads degrade to always-scan
+            if (written.schema(c).dataType == StringType &&
+                !(LogStore.safeStringBound(lo) &&
+                  LogStore.safeStringBound(hi))) None
+            else Some(c -> (lo, hi,
+              written.schema(c).dataType.isInstanceOf[NumericType]))
+          }
         }.toMap
         val primaryNum = statsCol.exists(c => columns.contains(c) &&
           written.schema(c).dataType.isInstanceOf[NumericType])
@@ -1525,6 +1620,40 @@ class LogStore(spark: SparkSession, val root: String,
     * [[ConcurrentCommitException]] — the caller re-derives from a
     * fresh snapshot, exactly as before. Vacuum-horizon and fence
     * commits are always compatible (they change no live content). */
+  /** The compatibility test [[commitRevalidated]] applies to each
+    * winner in `(from, to]`, reusable on its own: true iff every
+    * winner is DISJOINT from the read set —
+    *
+    *  - none removed / rewrote / attached a deletion vector to a
+    *    `readSegments` member;
+    *  - none changed table METADATA (a schema evolution or props
+    *    re-stamp conflicts with any racing transaction: replay takes
+    *    the LAST schema action, so re-committing content computed
+    *    against the stale snapshot would clobber or bypass it —
+    *    Delta's conflict checker fails these the same way);
+    *  - no added segment may hold a row the reader's selection
+    *    should have seen: `matchesAnyNewRow` readers conflict with
+    *    ANY add, `range` readers with adds whose stats may overlap.
+    *
+    * Fence and vacuum-horizon commits change no live content and are
+    * always compatible. Besides the retry loop, the row-level no-op
+    * path uses this directly: a DML whose selection came back EMPTY
+    * commits nothing, but may declare a clean no-op only if nothing
+    * that landed since its pinned read could have changed that. */
+  private[graft] def winnersDisjoint(from: Long, to: Long,
+      readSet: ReadSet): Boolean =
+    (from + 1 to to).forall { v =>
+      val a = readActions(v)
+      !a.removes.exists(readSet.readSegments.contains) &&
+        !a.dvs.exists(d => readSet.readSegments.contains(d._1)) &&
+        a.schemas.isEmpty && a.props.isEmpty &&
+        (a.adds.isEmpty ||
+          (!readSet.matchesAnyNewRow && readSet.range.forall {
+            case (c, lo, hi) =>
+              !a.adds.exists(_.mayOverlapOn(c, lo, hi))
+          }))
+    }
+
   private[graft] def commitRevalidated(readVersion: Long,
       adds: Seq[Segment], removes: Seq[String],
       readSet: ReadSet,
@@ -1542,29 +1671,7 @@ class LogStore(spark: SparkSession, val root: String,
         case e: ConcurrentCommitException =>
           if (attempt >= maxAttempts) throw e
           val latest = latestVersion()
-          (base + 1 to latest).foreach { v =>
-            val a = readActions(v)
-            if (a.removes.exists(readSet.readSegments.contains))
-              throw e // our source content was rewritten/removed
-            if (a.dvs.exists(d => readSet.readSegments.contains(d._1)))
-              throw e // our source content gained a deletion vector
-            // a winner that changed table METADATA (schema evolution /
-            // a props re-stamp) always conflicts: replay takes the
-            // LAST schema action, so re-committing our own (computed
-            // against the read snapshot) — or even a data action
-            // validated against the stale schema — would clobber or
-            // bypass the winner's evolution (Delta's conflict checker
-            // likewise fails any transaction racing a metadata change)
-            if (a.schemas.nonEmpty || a.props.nonEmpty)
-              throw e
-            if (a.adds.nonEmpty) {
-              if (readSet.matchesAnyNewRow) throw e
-              readSet.range.foreach { case (c, lo, hi) =>
-                if (a.adds.exists(_.mayOverlapOn(c, lo, hi)))
-                  throw e // a new row our selection should have seen
-              }
-            }
-          }
+          if (!winnersDisjoint(base, latest, readSet)) throw e
           base = latest
           attempt += 1
       }
@@ -2252,6 +2359,13 @@ class LogStore(spark: SparkSession, val root: String,
     require(retainLast >= 1, "must retain at least the latest version")
     val latest = latestVersion()
     require(latest >= 0, s"no log at $root")
+    // Every physical deletion below derives from replays that SEED
+    // from checkpoint files, and checkpoint writes are best-effort /
+    // non-atomic — a crash-truncated checkpoint replays to a subset
+    // of the live set and the keep-set computed from it would delete
+    // LIVE segments. Validate (and heal) the checkpoint this replay
+    // seeds from before trusting it with a delete decision.
+    latestCheckpointAtOrBelow(latest).foreach(repairCheckpointIfNeeded)
     val prior = replayTo(latest)
     val horizon =
       math.max(prior.vacuumHorizon, math.max(0L, latest - retainLast + 1))
@@ -2267,6 +2381,9 @@ class LogStore(spark: SparkSession, val root: String,
     val top = latestVersion()
     val keep = scala.collection.mutable.HashSet.empty[String]
     val keepDv = scala.collection.mutable.HashSet.empty[String]
+    // the horizon replay may seed from an OLDER checkpoint than the
+    // one validated above — same heal-before-trust rule
+    latestCheckpointAtOrBelow(horizon).foreach(repairCheckpointIfNeeded)
     val horizonState = replayTo(horizon)
     keep ++= horizonState.live.keys
     keepDv ++= horizonState.live.values.flatMap(_.dv.map(_._1))
@@ -2317,6 +2434,16 @@ class LogStore(spark: SparkSession, val root: String,
     // is O(retained versions + interval). One listing, version-parsed
     // — never per-file existence probes.
     val trimmed = latestCheckpointAtOrBelow(horizon) match {
+      case Some(cp) if cp > 0 && !checkpointReplayable(cp) =>
+        // a truncated/corrupt checkpoint (crashed best-effort write)
+        // must never become the only copy of the history it claims to
+        // snapshot — skip the trim, keep the replayable prefix, and
+        // say so: the next successful checkpoint unblocks trimming
+        System.err.println(s"[logstore] vacuum at $root skipped the " +
+          s"log trim: checkpoint $cp does not faithfully replay the " +
+          "version files behind it (likely a crashed checkpoint " +
+          "write); re-run after the next checkpoint")
+        0
       case Some(cp) if cp > 0 =>
         val dead = fs.listStatus(new Path(logDir))
           .map(_.getPath)
@@ -2473,6 +2600,22 @@ object LogStore {
       extraProps.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
     if (parts.isEmpty) None else Some(parts.mkString(";"))
   }
+
+  /** True iff a STRING segment bound is recordable: its spelling is
+    * inert in the line-oriented log grammar (no quote / backslash /
+    * newline, none of the `xs` field's `|` `;` delimiters), printable
+    * ASCII, non-empty, and short. Values outside the set record NO
+    * bounds for that segment-column — always-scan, never mis-prune.
+    * ASCII-only is also what keeps the two orderings bounds
+    * participate in — Scala's UTF-16 `String` compare (the skipping
+    * checks) and Spark's UTF-8 binary collation (which computed the
+    * min/max) — in agreement on every comparison that involves a
+    * bound: at the first differing position, ASCII-vs-anything orders
+    * identically under both encodings. */
+  private[graft] def safeStringBound(s: String): Boolean =
+    s.nonEmpty && s.length <= 96 &&
+      s.forall(ch => ch >= ' ' && ch <= '~' && ch != '"' &&
+        ch != '\\' && ch != '|' && ch != ';')
 
   /** Ceiling on RECORDED deletion-vector rows a snapshot scan will
     * reconcile by broadcast anti-join. A (seg, file, pos) row costs

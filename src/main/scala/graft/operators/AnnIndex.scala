@@ -212,7 +212,24 @@ object AnnIndex {
         .where(col("_change_type")
           .isin("delete", "update_preimage"))
         .select(col("vec_id")).distinct()
-      val added = changes
+      // A multi-commit range can touch one vec_id several times
+      // (insert-then-update, two upserts, insert-then-delete while
+      // the cursor lagged). Appending every insert/postimage row
+      // would land duplicate or orphan postings — intermediate
+      // postimages are never vectored (removedKeys only clears
+      // PRE-EXISTING postings), so a stale (cell_id, nrm) row would
+      // make searchIvf rank the same neighbor twice. Reduce the feed
+      // to the FINAL action per vec_id (latest commit; within one
+      // commit an update's postimage outranks its preimage) and
+      // append only keys whose final action still leaves a row.
+      val finality = when(
+        col("_change_type") === "update_preimage", 0).otherwise(1)
+      val lastAction = changes
+        .withColumn("_rn", row_number().over(Window
+          .partitionBy("vec_id")
+          .orderBy(col("_commit_version").desc, finality.desc)))
+        .where(col("_rn") === 1).drop("_rn")
+      val added = lastAction
         .where(col("_change_type").isin("insert", "update_postimage"))
       val book = loadCodebook(spark, idx, corpusStore.read())
       book match {

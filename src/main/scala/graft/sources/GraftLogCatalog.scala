@@ -344,8 +344,25 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
     Array.empty // single-level namespaces
   }
 
+  /** True iff `namespace` could legally BE a namespace: no
+    * engine-reserved part anywhere, and no strict prefix that is
+    * itself a table. The CREATE/RENAME-only relaxation of the
+    * reserved-prefix rule is for TABLES (a stuck table must stay
+    * reachable for DROP/RENAME); namespace operations get no such
+    * relaxation — `seg-*`/`cdc-*`/`dv-*`/`_*` directories are the
+    * store's own data/staging dirs, and resolving one as a namespace
+    * would let `DROP NAMESPACE ... CASCADE` delete a live segment out
+    * of a table whose log still references it. Likewise any path
+    * passing THROUGH a table root points at table internals, never at
+    * a namespace. */
+  private def legalNamespacePath(namespace: Array[String]): Boolean =
+    !namespace.exists(reservedPart) &&
+      (1 until namespace.length).forall(i =>
+        !isTable(dirOf(namespace.take(i).toSeq)))
+
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty || (fs.exists(new Path(dirOf(namespace.toSeq))) &&
+    namespace.isEmpty || (legalNamespacePath(namespace) &&
+      fs.exists(new Path(dirOf(namespace.toSeq))) &&
       !isTable(dirOf(namespace.toSeq)))
 
   override def loadNamespaceMetadata(
@@ -358,6 +375,8 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
     requireCreatable(namespace.toSeq)
+    require(legalNamespacePath(namespace),
+      s"namespace ${namespace.mkString(".")} resolves inside a table")
     val dir = dirOf(namespace.toSeq)
     if (fs.exists(new Path(dir)))
       throw new NamespaceAlreadyExistsException(namespace)

@@ -118,9 +118,11 @@ final class GraftRowLevelScanBuilder(root: String,
     pushed
 
   /** Per-stats-column [lo, hi] bounds implied by the pushed
-    * conjuncts — NUMERIC values only (their string forms compare
-    * consistently with the logged bounds; date/timestamp spellings
-    * are not guaranteed to, so they stay conservative). Strict
+    * conjuncts — NUMERIC and plain-STRING values (their spellings
+    * compare consistently with the logged bounds: numerics as
+    * BigDecimal, safe-ASCII strings lexicographically, exactly the
+    * per-segment `num` flag's two compare modes; date/timestamp
+    * spellings are NOT guaranteed to and stay conservative). Strict
     * comparisons widen to inclusive bounds — always safe. */
   private def impliedBounds(store: LogStore)
       : Seq[(String, Option[String], Option[String])] = {
@@ -133,39 +135,85 @@ final class GraftRowLevelScanBuilder(root: String,
       case n: Long => Some(BigDecimal(n))
       // NaN/Infinity have no BigDecimal form (and NaN never equals or
       // orders anyway) — conservative: no bound derived
+      // Float goes through its SHORTEST round-trip repr (0.1f →
+      // "0.1"), the same spelling the log recorded for float stats;
+      // BigDecimal(n.toDouble) would widen to the double's decimal
+      // expansion ("0.10000000149011612") and compare inconsistently
+      // with the logged bounds — false non-overlap → skipped rows.
+      // Shortest reprs order like the floats themselves, so this is
+      // both exact and order-consistent.
       case n: Float if !n.isNaN && !n.isInfinite =>
-        Some(BigDecimal(n.toDouble))
+        Some(BigDecimal(n.toString))
       case n: Double if !n.isNaN && !n.isInfinite =>
         Some(BigDecimal(n))
       case n: java.math.BigDecimal => Some(BigDecimal(n))
       case _ => None
     }
+    // a string literal participates only when its spelling passes the
+    // same gate the WRITE side applied to the logged bounds — unsafe
+    // spellings (non-ASCII, grammar delimiters) derive nothing, and a
+    // segment whose values were unsafe recorded nothing: conservative
+    // from both ends, mis-pruning from neither
+    def str(v: Any): Option[String] = v match {
+      case s: String if LogStore.safeStringBound(s) => Some(s)
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        Some(u.toString).filter(LogStore.safeStringBound)
+      case _ => None
+    }
     val lo = scala.collection.mutable.Map.empty[String, BigDecimal]
     val hi = scala.collection.mutable.Map.empty[String, BigDecimal]
+    val slo = scala.collection.mutable.Map.empty[String, String]
+    val shi = scala.collection.mutable.Map.empty[String, String]
     def tightenLo(c: String, v: BigDecimal): Unit =
       lo(c) = lo.get(c).map(_.max(v)).getOrElse(v)
     def tightenHi(c: String, v: BigDecimal): Unit =
       hi(c) = hi.get(c).map(_.min(v)).getOrElse(v)
+    def tightenSLo(c: String, v: String): Unit =
+      slo(c) = slo.get(c).filter(_ > v).getOrElse(v)
+    def tightenSHi(c: String, v: String): Unit =
+      shi(c) = shi.get(c).filter(_ < v).getOrElse(v)
+    def bound(c: String, v: Any, isLo: Boolean, isHi: Boolean): Unit =
+      num(v) match {
+        case Some(d) =>
+          if (isLo) tightenLo(c, d)
+          if (isHi) tightenHi(c, d)
+        case None => str(v).foreach { s =>
+          if (isLo) tightenSLo(c, s)
+          if (isHi) tightenSHi(c, s)
+        }
+      }
     pushed.foreach {
       case EqualTo(c, v) if cols.contains(c) =>
-        num(v).foreach { d => tightenLo(c, d); tightenHi(c, d) }
+        bound(c, v, isLo = true, isHi = true)
       case GreaterThan(c, v) if cols.contains(c) =>
-        num(v).foreach(tightenLo(c, _))
+        bound(c, v, isLo = true, isHi = false)
       case GreaterThanOrEqual(c, v) if cols.contains(c) =>
-        num(v).foreach(tightenLo(c, _))
+        bound(c, v, isLo = true, isHi = false)
       case LessThan(c, v) if cols.contains(c) =>
-        num(v).foreach(tightenHi(c, _))
+        bound(c, v, isLo = false, isHi = true)
       case LessThanOrEqual(c, v) if cols.contains(c) =>
-        num(v).foreach(tightenHi(c, _))
+        bound(c, v, isLo = false, isHi = true)
       case In(c, vs) if cols.contains(c) && vs.nonEmpty =>
         val ds = vs.toSeq.map(num)
+        val ss = vs.toSeq.map(str)
         if (ds.forall(_.nonEmpty)) {
           tightenLo(c, ds.flatten.min); tightenHi(c, ds.flatten.max)
+        } else if (ss.forall(_.nonEmpty)) {
+          tightenSLo(c, ss.flatten.min); tightenSHi(c, ss.flatten.max)
         }
-      case _ => () // disjunctions, strings, dates: conservative
+      case _ => () // disjunctions, dates/timestamps: conservative
     }
-    cols.filter(c => lo.contains(c) || hi.contains(c))
-      .map(c => (c, lo.get(c).map(_.toString), hi.get(c).map(_.toString)))
+    // a column is either numeric-bounded or string-bounded; the
+    // impossible mixed case (one column, two literal types) derives
+    // nothing rather than guessing which ordering applies
+    cols.flatMap { c =>
+      val numeric = lo.contains(c) || hi.contains(c)
+      val strng = slo.contains(c) || shi.contains(c)
+      if (numeric && !strng)
+        Some((c, lo.get(c).map(_.toString), hi.get(c).map(_.toString)))
+      else if (strng && !numeric) Some((c, slo.get(c), shi.get(c)))
+      else None
+    }
   }
 
   override def build(): Scan = {
@@ -212,6 +260,14 @@ final class GraftRowLevelScan(root: String, store: LogStore,
         case _ => true
       })
   private[sources] def selected: Seq[String] = selectedInfos.map(_.name)
+
+  /** The STATIC (bounds-pruned, pre-runtime-filter) selection at the
+    * pinned version — the no-op commit path's read set: the runtime
+    * `_segment IN (...)` narrowing is derived from a separately-
+    * planned subquery scan, so only the static set is a faithful
+    * record of which segments this DML's conclusion depended on. */
+  private[sources] val staticSelection: Set[String] =
+    selectedInfos.map(_.name).toSet
 
   override def readSchema(): StructType = schema
   override def description(): String =
@@ -310,18 +366,27 @@ final class GraftReplaceBatchWrite(root: String, schema: StructType,
     if (files.isEmpty && removes.isEmpty) {
       // nothing matched anywhere (e.g. UPDATE whose condition selects
       // no group): version unchanged, no junk commit — PROVIDED the
-      // table really is unchanged since the pinned read. The runtime
-      // group-filter subquery plans its own snapshot scan, so a commit
-      // landing between the two plannings (optimize replacing a
-      // matching segment) can prune the IN-list ∩ selection to empty;
-      // treating that as a no-op would silently drop the DML and
-      // bypass the OCC check. Re-verify head == readVersion and throw
-      // the usual conflict otherwise so the caller retries.
+      // table really is unchanged in any way this DML could have
+      // seen. The runtime group-filter subquery plans its own
+      // snapshot scan, so a commit landing between the two plannings
+      // (optimize replacing a matching segment) can prune the
+      // IN-list ∩ selection to empty; treating that as a no-op would
+      // silently drop the DML and bypass the OCC check. But failing
+      // on ANY head movement is needlessly conservative — a fence, a
+      // vacuum horizon, or an append provably outside the pushed
+      // range cannot turn "no rows matched" into "rows matched", so
+      // the no-op re-validates winners with the same disjointness
+      // test commits use. Without a closed pushed range, any add
+      // might hold a matching row (matchesAnyNewRow).
       LogSinkCommit.cleanup(spark, s"$root/$stage")
       val store = LogStore.configured(spark, root)
       val latest = store.latestVersion()
-      if (latest != scan.readVersion)
-        throw new store.ConcurrentCommitException(latest)
+      if (latest != scan.readVersion) {
+        val readSet = store.ReadSet(scan.staticSelection,
+          scan.predRange, matchesAnyNewRow = scan.predRange.isEmpty)
+        if (!store.winnersDisjoint(scan.readVersion, latest, readSet))
+          throw new store.ConcurrentCommitException(latest)
+      }
       return
     }
     val adds =

@@ -1049,7 +1049,13 @@ private[sources] object LogSnapshotPruning {
   import graft.catalog.LogStore
 
   /** Literal → the logged stats string form, when the conversion is
-    * exact; None = never prune on this literal. */
+    * exact; None = never prune on this literal. Plain strings
+    * participate when their spelling passes the SAME gate the write
+    * side applied to the logged bounds ([[LogStore.safeStringBound]]):
+    * safe-ASCII both sides keeps the lexicographic skipping compare
+    * consistent with the UTF-8 binary collation that computed the
+    * min/max; segments whose values were unsafe recorded no bounds
+    * and always scan. */
   private def statsStr(v: Any): Option[String] = v match {
     case null => None
     case _: java.lang.Integer | _: java.lang.Long |
@@ -1059,6 +1065,9 @@ private[sources] object LogSnapshotPruning {
     case d: BigDecimal => Some(d.toString)
     case d: java.sql.Date => Some(d.toString)
     case d: java.time.LocalDate => Some(d.toString)
+    case s: String if LogStore.safeStringBound(s) => Some(s)
+    case u: UTF8String =>
+      Some(u.toString).filter(LogStore.safeStringBound)
     case _ => None
   }
 

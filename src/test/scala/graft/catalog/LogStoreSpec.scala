@@ -408,14 +408,29 @@ class LogStoreSpec extends AnyFunSuite {
     assert(ids(t.read()) == (1L to 3L).toSet)
   }
 
-  test("statsCol is restricted to types whose serialized bounds are " +
-      "log-safe; a string stats column is refused loudly") {
+  test("string stats columns: grammar-SAFE spellings record bounds " +
+      "and prune lexicographically; unsafe values (quotes, newlines, " +
+      "non-ASCII) record NOTHING for that segment — always-scan, " +
+      "never a broken log line, never a mis-prune") {
     val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
     val t = new LogStore(spark, dir, statsCol = Some("s"))
-    val e = intercept[IllegalArgumentException] {
-      t.append(Seq((1L, "a\"b\nc")).toDF("id", "s"))
-    }
-    assert(e.getMessage.contains("statsCol"))
+    // unsafe values: the append LANDS, the segment just carries no
+    // bounds (the old behavior refused the write outright — string
+    // keys are too useful at 100 TB for that to stand)
+    t.append(Seq((1L, "a\"b\nc")).toDF("id", "s"))
+    assert(t.liveSegmentInfos().last.min.isEmpty &&
+      t.liveSegmentInfos().last.max.isEmpty,
+      "grammar-unsafe string values must record no bounds")
+    t.append(Seq((2L, "mm"), (3L, "pp")).toDF("id", "s"))
+    val safeSeg = t.liveSegmentInfos().last
+    assert(safeSeg.min.contains("mm") && safeSeg.max.contains("pp"))
+    // out-of-range probe: the bounded segment skips, the bound-less
+    // one must be scanned (its content is unknowable from the log)
+    val (df0, s0, l0) = t.readRange("zz", "zz")
+    assert(l0 == 2 && s0 == 1 && df0.count() == 0,
+      s"safe seg skipped, unsafe seg scanned: $s0 of $l0")
+    val (df1, s1, _) = t.readRange("mm", "mm")
+    assert(s1 == 2 && df1.count() == 1)
     // date/timestamp stats serialize quote-free and skip correctly
     val td = new LogStore(spark,
       Files.createTempDirectory("graft-log").toString + "/tbl",
@@ -595,6 +610,76 @@ class LogStoreSpec extends AnyFunSuite {
     assert(hist == (10L to 12L), s"surviving versions only: $hist")
     // and history bounded by limit still works
     assert(t.describeHistory(limit = 2).count() == 2L)
+  }
+
+  test("vacuum never trusts a checkpoint that does not replay: a " +
+      "crash-truncated checkpoint (best-effort, non-atomic write) is " +
+      "HEALED from the surviving version files before any deletion — " +
+      "no live segment is lost, reads stay exact, the trim proceeds " +
+      "behind the repaired snapshot") {
+    val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
+    val t = new LogStore(spark, dir, checkpointInterval = 5)
+    (0 until 12).foreach(i => t.append(Seq(i.toLong).toDF("id")))
+    // simulate the crash: truncate the horizon checkpoint (v10) to its
+    // first line — it still EXISTS and PARSES (the line-regex parser
+    // happily reads fewer actions), it just replays to a subset. An
+    // existence-only gate would then (a) compute vacuum's keep-set
+    // from that subset and DELETE LIVE SEGMENTS, and (b) trim the
+    // version prefix that was the only full-replay recovery path.
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val cpPath = new org.apache.hadoop.fs.Path(
+      f"$dir/_log/${10L}%08d.checkpoint")
+    assert(fs.exists(cpPath), "the interval checkpoint must exist")
+    val in = fs.open(cpPath)
+    val firstLine = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().next() finally in.close()
+    val out = fs.create(cpPath, true)
+    try out.write((firstLine + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val res = t.vacuum(retainLast = 2, orphanMinAgeMs = 0L)
+    // healed, then business as usual: every row still reads, at the
+    // head AND at the horizon snapshot the repaired checkpoint seeds
+    assert(ids(t.read()) == (0L to 11L).toSet,
+      "no live segment may be lost to a truncated checkpoint")
+    assert(ids(t.read(10)) == (0L to 10L).toSet)
+    assert(res.trimmedLogFiles > 0,
+      s"the trim proceeds behind the HEALED checkpoint: $res")
+    // a fresh path-only handle resolves from the repaired checkpoint
+    assert(ids(new LogStore(spark, dir).read()) == (0L to 11L).toSet)
+  }
+
+  test("vacuum REFUSES (loudly, zero deletions) when a checkpoint " +
+      "does not replay and no independent version-file base survives " +
+      "to repair it from") {
+    val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
+    val t = new LogStore(spark, dir, checkpointInterval = 5)
+    (0 until 12).foreach(i => t.append(Seq(i.toLong).toDF("id")))
+    // a GOOD vacuum first: trims the prefix behind checkpoint v10,
+    // making that checkpoint the mandatory replay base
+    assert(t.vacuum(retainLast = 2, orphanMinAgeMs = 0L)
+      .trimmedLogFiles > 0)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val cpPath = new org.apache.hadoop.fs.Path(
+      f"$dir/_log/${10L}%08d.checkpoint")
+    val in = fs.open(cpPath)
+    val firstLine = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().next() finally in.close()
+    val out = fs.create(cpPath, true)
+    try out.write((firstLine + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val segsBefore = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("seg-")).toSet
+    val e = intercept[IllegalStateException] {
+      t.vacuum(retainLast = 2, orphanMinAgeMs = 0L)
+    }
+    assert(e.getMessage.contains("does not replay"),
+      s"unexpected refusal message: ${e.getMessage}")
+    val segsAfter = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("seg-")).toSet
+    assert(segsAfter == segsBefore,
+      "an unrepairable checkpoint must abort vacuum BEFORE any deletion")
   }
 
   test("bloom skipping: point lookups scan only segments whose filter " +
@@ -872,14 +957,22 @@ class LogStoreSpec extends AnyFunSuite {
     assert(s4 == 2, s"a-pruning unaffected by the mixed config: $s4")
     // an unconfigured predicate column refuses loudly
     intercept[IllegalArgumentException] { t3.readRangeOn("z", "0", "1") }
-    // a string extra stats column is refused at write time like the
-    // primary (its serialized bounds could break the line grammar)
-    val tBad = new LogStore(spark,
+    // a string EXTRA stats column records bounds only when the
+    // segment's min/max spellings are grammar-safe (the xs field's
+    // `|` `;` delimiters included); unsafe values record nothing for
+    // that segment-column and it always scans
+    val tStr = new LogStore(spark,
       Files.createTempDirectory("graft-log").toString + "/tbl",
       statsCol = Some("a"), statsCols = Seq("s"))
-    intercept[IllegalArgumentException] {
-      tBad.append(Seq((1L, "x|y;z")).toDF("a", "s"))
-    }
+    tStr.append(Seq((1L, "x|y;z")).toDF("a", "s"))
+    assert(!tStr.liveSegmentInfos().last.extra.contains("s"),
+      "delimiter-bearing string values must record no xs bounds")
+    tStr.append(Seq((2L, "kk"), (3L, "nn")).toDF("a", "s"))
+    assert(tStr.liveSegmentInfos().last.extra.get("s")
+      .contains(("kk", "nn", false)))
+    val (_, sS, lS) = tStr.readRangeOn("s", "zz", "zz")
+    assert(lS == 2 && sS == 1,
+      s"safe string xs bounds prune, unsafe segment scans: $sS of $lS")
     // a delimiter-bearing extra stats column NAME is refused at
     // construction
     intercept[IllegalArgumentException] {

@@ -149,6 +149,65 @@ class AnnIndexSpec extends AnyFunSuite {
       "deleted vectors must never surface as neighbors")
   }
 
+  test("a LAGGING cursor absorbing a multi-commit range reduces the " +
+      "feed to the FINAL action per vec_id: insert-then-update lands " +
+      "ONE posting (the final cell), insert-then-delete lands none, " +
+      "a twice-updated vector is never ranked twice") {
+    val dir = Files.createTempDirectory("graft-annidx").toString
+    val corpusStore = new LogStore(spark, s"$dir/corpus",
+      statsCol = Some("vec_id"))
+    corpusStore.append(corpusDf(128))
+    val idx = AnnIndex.buildIvf(spark, corpusStore.read(),
+      corpusStore.latestVersion(), s"$dir/idx", nCells = 16,
+      postingSegments = 4)
+    def bump(c: Int) = Array.tabulate(dims)(d =>
+      if (d == c * 2) 10f else 0f).toSeq
+    // all of this lands while the index cursor LAGS — the range the
+    // next sync absorbs holds several actions for the same keys
+    corpusStore.append(
+      Seq((2000L, bump(1))).toDF("vec_id", "embedding"))
+    corpusStore.merge(
+      Seq((2000L, bump(5))).toDF("vec_id", "embedding"), "vec_id")
+    corpusStore.append(
+      Seq((2001L, bump(2))).toDF("vec_id", "embedding"))
+    corpusStore.deleteWhere("vec_id = 2001")
+    corpusStore.merge(
+      Seq((60L, bump(3))).toDF("vec_id", "embedding"), "vec_id")
+    corpusStore.merge(
+      Seq((60L, bump(7))).toDF("vec_id", "embedding"), "vec_id")
+    val covered = AnnIndex.maintainIvf(spark, corpusStore, idx,
+      nCells = 16)
+    assert(covered == corpusStore.latestVersion())
+    val postings = LogStore.configured(spark, idx.postingsRoot)
+    val byKey = postings.read().groupBy("vec_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(byKey.getOrElse(2001L, 0L) == 0L,
+      "insert-then-delete must leave NO orphan posting")
+    assert(byKey.get(2000L).contains(1L),
+      s"insert-then-update must land exactly ONE posting, " +
+        s"got ${byKey.get(2000L)}")
+    assert(byKey.get(60L).contains(1L),
+      s"a twice-updated vector must hold exactly ONE posting, " +
+        s"got ${byKey.get(60L)}")
+    assert(byKey.values.forall(_ == 1L),
+      "no vec_id may hold duplicate postings")
+    // parity: search equals an index rebuilt from the final corpus,
+    // and no neighbor is ranked twice off a stale (cell_id, nrm) row
+    val corpus = corpusStore.read()
+    val queries = corpus.where(col("vec_id").isin(2000L, 60L, 1L))
+    val (res, _, _) = AnnIndex.searchIvf(spark, idx, corpus, queries,
+      k = 5, nProbe = 4)
+    val got = res.select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+    val want = Similarity.ivfTopK(corpus, queries, k = 5, nCells = 16,
+        nProbe = 4)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got.toSet == want)
+    assert(got.groupBy(r => (r._1, r._3)).forall(_._2.length == 1),
+      "no neighbor may be ranked twice for one query")
+  }
+
   test("a DELETED deterministic centroid refuses loudly (the " +
       "codebook anchors on corpus rows); the TRAINED codebook " +
       "survives the same delete — its centroids are index state") {

@@ -491,6 +491,49 @@ class GraftLogCatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 297L)
   }
 
+  test("namespace operations never resolve into table internals: " +
+      "DROP NAMESPACE ... CASCADE on a live segment directory " +
+      "refuses (the CREATE/RENAME-only relaxation of the reserved-" +
+      "prefix rule is for TABLES, not namespaces), and a namespace " +
+      "cannot be created inside a table root") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns1")
+    spark.sql("CREATE TABLE gtest.ns1.vic (id BIGINT)")
+    spark.sql("INSERT INTO gtest.ns1.vic VALUES (1), (2), (3)")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val seg = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/ns1/vic"))
+      .map(_.getPath.getName).find(_.startsWith("seg-")).get
+    // the attack this pins against: the segment dir exists and has no
+    // _log, so a relaxed namespaceExists would call it a namespace and
+    // CASCADE-delete it out of a table whose log still references it
+    intercept[Exception] {
+      spark.sql(s"DROP NAMESPACE gtest.ns1.vic.`$seg` CASCADE")
+    }
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/ns1/vic/$seg")),
+      "the live segment must survive the namespace op")
+    assert(spark.sql("SELECT count(*) FROM gtest.ns1.vic")
+      .head().getLong(0) == 3L, "the table must still read in full")
+    // non-reserved names inside a table root are table internals too
+    intercept[Exception] {
+      spark.sql("CREATE NAMESPACE gtest.ns1.vic.sub")
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/ns1/vic/sub")), "no directory may appear in a table root")
+    intercept[Exception] {
+      spark.sql("DROP NAMESPACE gtest.ns1.vic.`_log` CASCADE")
+    }
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/ns1/vic/_log")), "the log dir must survive")
+    // legitimate namespaces are untouched by the tightening
+    spark.sql("CREATE NAMESPACE gtest.nsdrop")
+    assert(spark.sql("SHOW NAMESPACES IN gtest").collect()
+      .map(_.getString(0)).contains("nsdrop"))
+    spark.sql("DROP NAMESPACE gtest.nsdrop")
+  }
+
   test("a PRE-EXISTING table under a reserved name stays reachable " +
       "for SELECT and DROP (the prefix rule gates create/rename only)") {
     root

@@ -172,6 +172,172 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     intercept[Exception] { write2.commit(Array.empty) }
   }
 
+  test("SQL UPDATE on a FLOAT stats column: derived bounds use the " +
+      "float's SHORTEST decimal repr (the spelling the log recorded) " +
+      "— matching rows are found, never silently skipped, and the " +
+      "out-of-range segment is still carried by name") {
+    root
+    spark.sql("CREATE TABLE gdml.fupd (id BIGINT, score FLOAT, " +
+      "v STRING) TBLPROPERTIES ('statsCol' = 'score')")
+    spark.sql("INSERT INTO gdml.fupd VALUES " +
+      "(1, CAST(0.1 AS FLOAT), 'a'), (2, CAST(0.2 AS FLOAT), 'b'), " +
+      "(3, CAST(0.3 AS FLOAT), 'c')")
+    spark.sql("INSERT INTO gdml.fupd VALUES " +
+      "(10, CAST(1.5 AS FLOAT), 'x'), (11, CAST(2.5 AS FLOAT), 'y')")
+    val store = LogStore.configured(spark, s"$root/fupd")
+    val before = store.liveSegmentInfos().map(_.name).toSet
+    val vBefore = store.latestVersion()
+    // the regression this pins: 0.1f widened through toDouble spells
+    // "0.10000000149011612", which does NOT overlap the logged
+    // ["0.1","0.3"] bounds as decimals — the segment would be
+    // statically pruned and the UPDATE would silently skip its rows
+    spark.sql("UPDATE gdml.fupd SET v = 'hit' " +
+      "WHERE score = CAST(0.1 AS FLOAT)")
+    assert(store.latestVersion() == vBefore + 1,
+      "the UPDATE must land — a float literal's bounds must compare " +
+        "consistently with the logged float stats")
+    assert(spark.sql("SELECT v FROM gdml.fupd WHERE id = 1")
+      .head().getString(0) == "hit")
+    assert(spark.sql("SELECT count(*) FROM gdml.fupd WHERE v = 'hit'")
+      .head().getLong(0) == 1L, "exactly one row matches 0.1f")
+    // the [1.5, 2.5] segment is out of the derived bounds: carried
+    val after = store.liveSegmentInfos().map(_.name).toSet
+    assert((before & after).size == 1 && (before -- after).size == 1,
+      s"only the overlapping segment may be rewritten: " +
+        s"before=$before after=$after")
+    // range DML on floats keeps working too (strict bound widening)
+    spark.sql("UPDATE gdml.fupd SET v = 'big' " +
+      "WHERE score > CAST(1.0 AS FLOAT)")
+    assert(spark.sql("SELECT count(*) FROM gdml.fupd WHERE v = 'big'")
+      .head().getLong(0) == 2L)
+  }
+
+  test("STRING stats column: a string equality statically prunes the " +
+      "group selection 1-of-N, the pushed string range rides the " +
+      "ReadSet so DISJOINT string-keyed UPDATEs interleave past each " +
+      "other (and overlapping ones conflict), and unsafe spellings " +
+      "degrade to always-scan — never mis-prune") {
+    import org.apache.spark.sql.sources.EqualTo
+    root
+    spark.sql("CREATE TABLE gdml.supd (shop STRING, v STRING) " +
+      "TBLPROPERTIES ('statsCol' = 'shop')")
+    spark.sql("INSERT INTO gdml.supd VALUES ('alpha','1'), ('beta','2')")
+    spark.sql("INSERT INTO gdml.supd VALUES ('mango','3'), ('nopal','4')")
+    val store = LogStore.configured(spark, s"$root/supd")
+    val dir = s"$root/supd"
+    def plannedUpdate(key: String)
+        : (GraftRowLevelOperation, GraftRowLevelScan) = {
+      val op = new GraftRowLevelOperation(dir,
+        org.apache.spark.sql.connector.write.RowLevelOperation
+          .Command.UPDATE)
+      val sb = op.newScanBuilder(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap()))
+        .asInstanceOf[GraftRowLevelScanBuilder]
+      sb.pushFilters(Array(EqualTo("shop", key)))
+      (op, sb.build().asInstanceOf[GraftRowLevelScan])
+    }
+    def stageAndCommit(op: GraftRowLevelOperation,
+        scan: GraftRowLevelScan): Unit = {
+      val rewritten = spark.read.parquet(
+          scan.selected.map(s => s"$dir/$s"): _*)
+        .withColumn("v", concat(lit("u-"), col("v")))
+      val staged = Files.createTempDirectory("graft-dml-stage").toString
+      rewritten.coalesce(1).write.mode("overwrite").parquet(staged)
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(staged))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        .map(_.toString)
+      new GraftReplaceBatchWrite(dir, store.recordedSchema().get, op)
+        .commit(files.map(f => LogWriteMessage(Some(f)): org.apache
+          .spark.sql.connector.write.WriterCommitMessage))
+    }
+    // static 1-of-N prune on the string bounds + the pushed range
+    val (op1, scan1) = plannedUpdate("beta")
+    assert(scan1.selected.size == 1,
+      s"'beta' must statically prune to the [alpha,beta] segment: " +
+        s"${scan1.selected}")
+    assert(scan1.predRange == Some(("shop", "beta", "beta")),
+      s"the string equality must ride as the ReadSet range: " +
+        s"${scan1.predRange}")
+    // a DISJOINT writer lands between planning and commit (a key
+    // outside [beta, beta]) — the range re-validates past it
+    spark.sql("INSERT INTO gdml.supd VALUES ('zebra','9')")
+    stageAndCommit(op1, scan1)
+    assert(spark.sql("SELECT v FROM gdml.supd WHERE shop = 'beta'")
+      .head().getString(0) == "u-2", "the string-keyed UPDATE landed")
+    assert(spark.sql("SELECT count(*) FROM gdml.supd")
+      .head().getLong(0) == 5L, "the concurrent insert landed too")
+    // an OVERLAPPING writer (same key) must conflict
+    val (op2, scan2) = plannedUpdate("mango")
+    spark.sql("INSERT INTO gdml.supd VALUES ('mango','5')")
+    intercept[Exception] { stageAndCommit(op2, scan2) }
+    // full-SQL end-to-end on the string key
+    spark.sql("UPDATE gdml.supd SET v = 'hit' WHERE shop = 'nopal'")
+    assert(spark.sql("SELECT v FROM gdml.supd WHERE shop = 'nopal'")
+      .head().getString(0) == "hit")
+    // unsafe spellings (a quote breaks the line grammar; non-ASCII
+    // breaks order agreement) record NO bounds: the segment always
+    // scans, rows stay reachable and exactly correct
+    spark.sql("INSERT INTO gdml.supd VALUES ('qu\"ote','6'), ('ünïcode','7')")
+    val unsafeSeg = store.liveSegmentInfos().last
+    assert(unsafeSeg.min.isEmpty && unsafeSeg.max.isEmpty,
+      s"grammar-unsafe string values must record NO bounds: $unsafeSeg")
+    spark.sql("UPDATE gdml.supd SET v = 'q' WHERE shop = 'qu\"ote'")
+    assert(spark.sql("SELECT v FROM gdml.supd WHERE shop = 'qu\"ote'")
+      .head().getString(0) == "q",
+      "rows with grammar-unsafe keys must stay updatable (always-scan)")
+    // read-path skipping: a point SELECT on the string stats column
+    // scans only overlapping segments (the readRange probe)
+    val (_, opened, live) = store.readRange("alpha", "alpha")
+    assert(opened < live,
+      s"string bounds must skip non-overlapping segments: $opened/$live")
+  }
+
+  test("a zero-group no-op re-validates winners like a commit: " +
+      "fences and out-of-range appends pass through (still a clean " +
+      "no-op, no version burned), an add inside the pushed range " +
+      "conflicts") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    val store = mkTable("updnoop")
+    val dir = s"$root/updnoop"
+    def plannedNoMatch(): (GraftRowLevelOperation, GraftRowLevelScan) = {
+      val op = new GraftRowLevelOperation(dir,
+        org.apache.spark.sql.connector.write.RowLevelOperation
+          .Command.UPDATE)
+      val sb = op.newScanBuilder(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap()))
+        .asInstanceOf[GraftRowLevelScanBuilder]
+      // WHERE id BETWEEN 500 AND 600 — a gap between the segments
+      sb.pushFilters(Array(GreaterThanOrEqual("id", 500L),
+        LessThanOrEqual("id", 600L)))
+      (op, sb.build().asInstanceOf[GraftRowLevelScan])
+    }
+    val (op1, scan1) = plannedNoMatch()
+    assert(scan1.selected.isEmpty,
+      s"the gap range must statically select no group: ${scan1.selected}")
+    // DISJOINT winners land after the pinned read: a txn fence and an
+    // append whose stats sit outside the pushed [500, 600] range
+    store.commitFence(42L)
+    store.append(Seq((5000L, "late")).toDF("id", "v"))
+    val v = store.latestVersion()
+    new GraftReplaceBatchWrite(dir, store.recordedSchema().get, op1)
+      .commit(Array.empty)
+    assert(store.latestVersion() == v,
+      "a provably-unaffected no-op DML must stay a clean no-op — no " +
+        "conflict, no junk commit")
+    // an add INSIDE the range: the 'no rows matched' conclusion is
+    // stale — conflict, exactly like a non-empty commit would
+    val (op2, _) = plannedNoMatch()
+    store.append(Seq((550L, "racer")).toDF("id", "v"))
+    intercept[Exception] {
+      new GraftReplaceBatchWrite(dir, store.recordedSchema().get, op2)
+        .commit(Array.empty)
+    }
+  }
+
   test("SQL MERGE INTO: matched-update, matched-delete and " +
       "not-matched-insert in one atomic commit, stats-pruned to the " +
       "touched segments, with a truthful net feed") {

@@ -928,46 +928,78 @@ object ScaleStress {
     // Checkpoint WIDTH — the one-big-JSON-file question: the
     // `_last_checkpoint` snapshot carries a line per LIVE segment
     // (stats + a 1 KB Bloom here — the realistic heavy shape), so a
-    // WIDE table (10⁴ → 10⁵ live segments per decade, all live, fake
-    // metadata-only commits) pays O(live) to write it and O(live) to
-    // seed resolution from it. The measurement: a full
-    // checkpoint-seeded resolution + stats prune (sec) with the
-    // checkpoint's byte size as the candidates column. Linear-with-
-    // small-constant is the acceptance bar — if the parse or write
-    // curve bends super-linear, the fix is a multi-part (sharded)
-    // checkpoint like Delta's.
+    // WIDE table (10⁴ → 10⁵ → 10⁶ live segments per decade, all
+    // live, fake metadata-only commits) pays O(live) to write it and
+    // O(live) to seed resolution from it. `src_ckpt_wide` measures
+    // the SHARDED format (multi-part + Bloom sidecars past
+    // checkpointShardRows): sec = a full STATS-ONLY resolution +
+    // prune (the sidecars are never read — the Bloom hex is ~90% of
+    // a line's weight), candidates = the bytes that resolution
+    // actually read (manifest + part files). The `_mono` twin forces
+    // the historical single-file format on identical content — its
+    // resolution re-reads every hex byte; the gap is what the shard
+    // split buys. Both prune identically (required).
     if (only.isEmpty || only.contains("src_ckpt_wide")) {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-scale-ckw").toString + "/t"
-      val store = new graft.catalog.LogStore(spark, root,
-        statsCol = Some("id"), checkpointInterval = Int.MaxValue)
       val nSegs = 10000 * scale
       val perCommit = 1000
-      (0 until nSegs / perCommit).foreach { c =>
-        store.commit(c.toLong,
-          (0 until perCommit).map { j =>
-            val i = c * perCommit + j
-            store.Segment(s"seg-$i", Some((i * 10).toString),
-              Some((i * 10 + 9).toString), num = true,
-              bloom = Some("f" * 1024), rows = Some(100L))
-          }, Nil)
+      def build(shardRows: Int): graft.catalog.LogStore = {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-scale-ckw").toString + "/t"
+        val store = new graft.catalog.LogStore(spark, root,
+          statsCol = Some("id"), checkpointInterval = Int.MaxValue,
+          checkpointShardRows = shardRows)
+        (0 until nSegs / perCommit).foreach { c =>
+          store.commit(c.toLong,
+            (0 until perCommit).map { j =>
+              val i = c * perCommit + j
+              store.Segment(s"seg-$i", Some((i * 10).toString),
+                Some((i * 10 + 9).toString), num = true,
+                bloom = Some("f" * 1024), rows = Some(100L))
+            }, Nil)
+        }
+        store
       }
-      val (secW, _) = time(store.checkpoint())
-      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      val ckBytes = fs.listStatus(
-          new org.apache.hadoop.fs.Path(s"$root/_log"))
-        .filter(_.getPath.getName.endsWith(".checkpoint"))
-        .map(_.getLen).sum
-      System.err.println(
-        s"[scale] ckpt_wide write: $secW s, $ckBytes bytes")
+      def ckBytes(store: graft.catalog.LogStore,
+          statsOnly: Boolean): Long = {
+        val fs = new org.apache.hadoop.fs.Path(store.root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(new org.apache.hadoop.fs.Path(
+            s"${store.root}/_log"))
+          .filter { st =>
+            val n = st.getPath.getName
+            n.contains(".checkpoint") &&
+              (!statsOnly || !n.contains(".bloom-"))
+          }.map(_.getLen).sum
+      }
+      val sharded = build(32768)
+      val (secWS, _) = time(sharded.checkpoint())
+      System.err.println(s"[scale] ckpt_wide sharded write: $secWS s, " +
+        s"${ckBytes(sharded, statsOnly = false)} bytes total")
       val (sec, hit) = time {
-        store.liveSegmentInfos().count(_.mayOverlap("50000", "50990"))
+        sharded.liveSegmentInfos().count(_.mayOverlap("50000", "50990"))
       }
       require(hit >= 90 && hit <= 110, s"prune sanity: $hit")
       out += Measurement("src_ckpt_wide", scale, nSegs.toLong, sec,
-        ckBytes)
+        ckBytes(sharded, statsOnly = true))
       System.err.println(s"[scale] ${out.last.json}")
+      // the mono counterfactual runs to 10⁵ — at 10⁶ the single-file
+      // form is not merely slow, its ~1.1 GB body overflows a single
+      // in-memory string on the READ side (the regex parse needs the
+      // whole body), so the 10⁶ mono point is the measured 10⁴→10⁵
+      // linearity extended one decade: ~23 s / ~1.1 GB per fresh
+      // resolution, vs the sharded form's measured sub-second
+      if (scale <= 10) {
+        val mono = build(Int.MaxValue)
+        val (secWM, _) = time(mono.checkpoint())
+        System.err.println(s"[scale] ckpt_wide mono write: $secWM s")
+        val (secM, hitM) = time {
+          mono.liveSegmentInfos().count(_.mayOverlap("50000", "50990"))
+        }
+        require(hit == hitM, "both formats must prune identically")
+        out += Measurement("src_ckpt_wide_mono", scale, nSegs.toLong,
+          secM, ckBytes(mono, statsOnly = false))
+        System.err.println(s"[scale] ${out.last.json}")
+      }
     }
     docs.unpersist(); emb.unpersist(); vals.unpersist(); edges.unpersist()
     out.toSeq

@@ -2541,6 +2541,58 @@ object SparkEntry {
         .withColumn("setprops_pins", lit(prunes && cleared))
     }),
 
+    "src_ckpt_shard" -> ((s, dir) => {
+      // MULTI-PART checkpoint end-to-end: 8 range-disjoint appends,
+      // a sharded checkpoint (threshold 2 → 4 part files + Bloom
+      // sidecars + a sub-KB manifest), then the covered version
+      // files are DESTROYED — everything below must resolve from the
+      // shard set alone. Pins: the sharded layout exists, a narrow
+      // range probe stats-prunes 1-of-8 WITHOUT touching a sidecar,
+      // and a Bloom point lookup (which does fetch sidecars) matches
+      // the full scan. The aggregate equals the source's.
+      // cache the ≤1000-row slice: 8 per-range appends otherwise
+      // re-scan the events parquet 8 times for 125 rows each
+      val ev = events(s, dir).where(col("event_id") < 1000)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .cache()
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ckshard").toString + "/tbl"
+      val store = new graft.catalog.LogStore(s, root,
+        statsCol = Some("event_id"), bloomCol = Some("event_type"),
+        checkpointInterval = 1000, checkpointShardRows = 2)
+      (0 until 8).foreach(i => store.append(
+        ev.where(col("event_id") >= i * 125 &&
+          col("event_id") < (i + 1) * 125)))
+      store.checkpoint()
+      val latest = store.latestVersion()
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      (0L until latest).foreach(v => fs.delete(
+        new org.apache.hadoop.fs.Path(f"$root/_log/$v%08d.json"),
+        false))
+      val files = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$root/_log"))
+        .map(_.getPath.getName).toSet
+      val layout = files.exists(_.contains(".checkpoint.part-")) &&
+        files.exists(_.contains(".checkpoint.bloom-")) &&
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(
+          f"$root/_log/$latest%08d.checkpoint")).getLen < 1024
+      val fresh = graft.catalog.LogStore.configured(s, root)
+      val (_, scanned, live) = fresh.readRangeOn("event_id",
+        "130", "200")
+      val typ = ev.select("event_type").orderBy("event_type")
+        .limit(1).collect().head.getString(0)
+      val (lk, _, _) = fresh.pointLookup(typ)
+      val lkOk = lk.count() ==
+        fresh.read().where(col("event_type") === typ).count()
+      val pins = layout && live == 8 && scanned == 1 && lkOk
+      fresh.read()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .withColumn("ckpt_shard_pins", lit(pins))
+        .orderBy("event_type")
+    }),
+
     "src_string_stats" -> ((s, dir) => {
       // STRING segment stats end-to-end through pure SQL: a table
       // whose statsCol is a zero-padded STRING key (orders like the
@@ -2560,10 +2612,13 @@ object SparkEntry {
       }
       val short = s"str_${java.util.UUID.randomUUID().toString.take(8)}"
       val tbl = s"$cat.bench.$short"
+      // cached: four range INSERT ... SELECTs re-read this ≤1000-row
+      // slice, not the events parquet
       events(s, dir)
         .where(col("event_id") < 1000)
         .select(lpad(col("event_id").cast("string"), 8, "0").as("skey"),
           col("event_type"), col("value"))
+        .cache()
         .createOrReplaceTempView("src_strstats_events")
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.bench")
       s.sql(s"CREATE TABLE $tbl (skey STRING, event_type STRING, " +
@@ -8069,6 +8124,17 @@ object SparkEntry {
         |   AS sum_value,
         | TRUE AS setprops_pins
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the sharded checkpoint is layout only — the oracle is the plain
+    // aggregate; ckpt_shard_pins records the part/sidecar layout,
+    // the 1-of-8 stats-only prune and the sidecar-served Bloom probe
+    "src_ckpt_shard" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value,
+        | TRUE AS ckpt_shard_pins
+        |FROM events WHERE event_id < 1000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the string-keyed UPDATE must land on exactly its rows — the
     // oracle rewrites them with CASE; string_stats_pins records the

@@ -52,7 +52,8 @@ class LogStore(spark: SparkSession, val root: String,
     bloomBits: Int = 4096,
     statsCols: Seq[String] = Nil,
     dvDeletes: Boolean = false,
-    extraProps: Map[String, String] = Map.empty) {
+    extraProps: Map[String, String] = Map.empty,
+    checkpointShardRows: Int = 32768) {
   require(checkpointInterval > 0, "checkpointInterval must be positive")
   require(bloomBits > 0 && bloomBits % 4 == 0,
     "bloomBits must be a positive multiple of 4 (hex-serialized)")
@@ -85,6 +86,10 @@ class LogStore(spark: SparkSession, val root: String,
     new Path(f"$logDir/$v%08d.json")
   private def checkpointPath(v: Long): Path =
     new Path(f"$logDir/$v%08d.checkpoint")
+  private def checkpointPartPath(v: Long, i: Int): Path =
+    new Path(f"$logDir/$v%08d.checkpoint.part-$i")
+  private def checkpointBloomPath(v: Long, i: Int): Path =
+    new Path(f"$logDir/$v%08d.checkpoint.bloom-$i")
   private def pointerPath: Path = new Path(s"$logDir/_last_checkpoint")
 
   /** The `_last_checkpoint` pointer (the paper's §3.3): the version of
@@ -258,10 +263,15 @@ class LogStore(spark: SparkSession, val root: String,
     * regex parse with no library dependency. The min/max strings are
     * guaranteed quote-free because [statsCol] is restricted to
     * numeric/date/timestamp columns at write time. */
-  private def parseActions(p: Path): Actions = {
+  private def readFileStr(p: Path): String = {
     val in = fs.open(p)
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def parseActions(p: Path): Actions = parseBody(readFileStr(p))
+
+  private def parseBody(body: String): Actions = {
     val addRe = ("\"add\"\\s*:\\s*\"([^\"]+)\"" +
       "(?:,\"min\":\"([^\"]*)\",\"max\":\"([^\"]*)\",\"num\":(true|false))?" +
       "(?:,\"bloom\":\"([0-9a-f]*)\")?" +
@@ -300,6 +310,73 @@ class LogStore(spark: SparkSession, val root: String,
 
   private def readActions(v: Long): Actions = parseActions(versionPath(v))
 
+  /** Parse checkpoint `cp` — single-file or MULTI-PART. A sharded
+    * checkpoint is a small MANIFEST (`{"ckptParts":K,"ckptBlooms":B}`
+    * plus the txn/vacuum/schema/props lines), K contiguous
+    * `.checkpoint.part-i` files of bloom-stripped add lines (parsed
+    * in parallel — resolution latency scales down with cores, not up
+    * with table width), and B `.checkpoint.bloom-i` SIDECAR files of
+    * `{"add":name,"bloom":hex}` lines. The Bloom hexes are ~90% of a
+    * wide checkpoint's bytes but only POINT-LOOKUP shapes consult
+    * them, so stats-only resolution (range scans, aggregates, DML
+    * bound pruning, appends) skips the sidecars entirely — that is
+    * the whole point of the split. `blooms = false` replays segments
+    * with `bloom = None`, whose [[Segment.mayContain]] answer is
+    * "must scan": forgetting the sidecars is never wrong, only
+    * unpruned. */
+  private def parseCheckpointActions(cp: Long, blooms: Boolean)
+      : Actions = {
+    val body = readFileStr(checkpointPath(cp))
+    val manifest = parseBody(body)
+    "\"ckptParts\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(body)
+      .map(_.group(1).toInt) match {
+      case None => manifest // single-file format: adds are inline
+      case Some(k) =>
+        val adds = parseCheckpointParts(cp, k)
+        val merged =
+          if (!blooms) adds
+          else {
+            val m = bloomSidecar(cp)
+            adds.map(s =>
+              if (s.bloom.isEmpty) s.copy(bloom = m.get(s.name)) else s)
+          }
+        manifest.copy(adds = merged)
+    }
+  }
+
+  /** Contiguous-order parallel parse of a sharded checkpoint's part
+    * files — concatenation by part index restores the exact live-set
+    * order the writer saw, which the heal validation compares. */
+  private def parseCheckpointParts(cp: Long, k: Int): Seq[Segment] =
+    if (k <= 1) parseActions(checkpointPartPath(cp, 0)).adds
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(k, 8))
+      try {
+        val futs = (0 until k).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Seq[Segment]] {
+            override def call(): Seq[Segment] =
+              parseActions(checkpointPartPath(cp, i)).adds
+          })
+        }
+        futs.flatMap(_.get())
+      } finally pool.shutdown()
+    }
+
+  /** The Bloom sidecar map of a sharded checkpoint: segment name →
+    * hex. Empty for single-file checkpoints (their blooms are
+    * inline). */
+  private def bloomSidecar(cp: Long): Map[String, String] = {
+    val prefix = f"$cp%08d.checkpoint.bloom-"
+    val d = new Path(logDir)
+    if (!fs.exists(d)) return Map.empty
+    fs.listStatus(d).map(_.getPath)
+      .filter(_.getName.startsWith(prefix))
+      .flatMap(p => parseActions(p).adds
+        .flatMap(s => s.bloom.map(s.name -> _)))
+      .toMap
+  }
+
   /** The fully-replayed log state at some version: the live segment
     * set (insertion-ordered), the max stream-txn id seen, the vacuum
     * horizon (oldest version whose snapshot is still physically
@@ -336,12 +413,17 @@ class LogStore(spark: SparkSession, val root: String,
 
   /** Replay the log up to `upTo` inclusive, seeding from the newest
     * checkpoint at-or-below it — O(#actions since checkpoint), never
-    * O(V) once the table checkpoints. */
-  private def replayTo(upTo: Long): LogState = {
+    * O(V) once the table checkpoints. `blooms = false` (the default)
+    * is the STATS-ONLY resolution: a sharded checkpoint's Bloom
+    * sidecars are skipped and segments answer `mayContain` with
+    * "must scan" — callers that probe Blooms or RE-SERIALIZE
+    * segments (point lookup, restore, props clearance, checkpoint
+    * writing) must pass true. */
+  private def replayTo(upTo: Long, blooms: Boolean = false): LogState = {
     val state = emptyState()
     val from = latestCheckpointAtOrBelow(upTo) match {
       case Some(cp) =>
-        applyActions(state, parseActions(checkpointPath(cp)))
+        applyActions(state, parseCheckpointActions(cp, blooms))
         cp + 1
       case None => 0L
     }
@@ -379,7 +461,7 @@ class LogStore(spark: SparkSession, val root: String,
     * false → the trim is skipped, never the vacuum failed. */
   private def checkpointReplayable(cp: Long): Boolean = try {
     val claimed = emptyState()
-    applyActions(claimed, parseActions(checkpointPath(cp)))
+    applyActions(claimed, parseCheckpointActions(cp, blooms = true))
     replayIndependent(cp) match {
       case None => false
       case Some(truth) =>
@@ -410,7 +492,8 @@ class LogStore(spark: SparkSession, val root: String,
           .flatMap(_.stripSuffix(".checkpoint").toLongOption)
           .filter(c => c <= minJson && c < upTo)
         if (bases.isEmpty) return None
-        applyActions(truth, parseActions(checkpointPath(bases.max)))
+        applyActions(truth,
+          parseCheckpointActions(bases.max, blooms = true))
         bases.max + 1
       }
     (from to upTo).foreach(v => applyActions(truth, readActions(v)))
@@ -520,11 +603,39 @@ class LogStore(spark: SparkSession, val root: String,
     val latest = latestVersion()
     require(latest >= 0, s"no log at $root")
     val at = math.min(v, latest)
-    writeCheckpointFile(at, replayTo(at))
+    // blooms = true: a checkpoint seeded from a prior SHARDED
+    // checkpoint must carry the sidecar hexes forward, or rewriting
+    // would silently shed every filter
+    writeCheckpointFile(at, replayTo(at, blooms = true))
   }
 
+  /** Serialize a replayed state as the checkpoint at `at`. Up to
+    * [checkpointShardRows] live segments it is ONE file, exactly the
+    * historical format. Past that it SHARDS Delta-style: contiguous
+    * `.checkpoint.part-i` files of bloom-stripped add lines, Bloom
+    * hexes moved into `.checkpoint.bloom-i` SIDECARS, and a small
+    * manifest (`ckptParts`/`ckptBlooms` + txn/vacuum/schema/props)
+    * written LAST into the `.checkpoint` name itself — manifest
+    * existence is the commit point, so a crash mid-shard leaves
+    * orphan part files (reclaimed by a later rewrite or trim) but
+    * never a half-visible checkpoint. At 10⁶ segments this keeps
+    * stats-only resolution reads ~10× lighter than the monolithic
+    * form (the hex is ~90% of an add line's weight) and lets the
+    * part parse fan out across cores. */
   private def writeCheckpointFile(at: Long, st: LogState): Unit = {
-    val lines = st.live.values.map(addJson).toSeq ++
+    // stream line-by-line: one buffered write per line, never a
+    // whole-file mkString — a monolithic 10⁶-segment checkpoint is
+    // ~1.1 GB, which overflows a single StringBuilder (and would pin
+    // the driver heap even where it fits)
+    def write(p: Path, lines: Iterable[String]): Unit = {
+      val out = new java.io.BufferedOutputStream(fs.create(p, true),
+        1 << 20)
+      try lines.foreach { l =>
+        out.write(l.getBytes(StandardCharsets.UTF_8))
+        out.write('\n')
+      } finally out.close()
+    }
+    val small =
       (if (st.maxTxn != Long.MinValue) Seq(s"""{"txn":${st.maxTxn}}""")
        else Nil) ++
       (if (st.vacuumHorizon >= 0)
@@ -532,10 +643,30 @@ class LogStore(spark: SparkSession, val root: String,
        else Nil) ++
       st.schemaB64.map(s => s"""{"schema":"$s"}""").toSeq ++
       st.propsStr.map(p => s"""{"props":"$p"}""").toSeq
-    val out = fs.create(checkpointPath(at), true)
-    try out.write(lines.mkString("", "\n", "\n")
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    val adds = st.live.values.toSeq
+    if (adds.size <= checkpointShardRows)
+      write(checkpointPath(at), adds.view.map(addJson) ++ small)
+    else {
+      // serialized lines stay lazy per shard — only one shard's worth
+      // of strings is ever resident
+      val parts = adds.grouped(checkpointShardRows).toSeq
+      parts.zipWithIndex.foreach { case (g, i) =>
+        write(checkpointPartPath(at, i),
+          g.view.map(s => addJson(s.copy(bloom = None))))
+      }
+      var bParts = 0
+      adds.iterator
+        .flatMap(s =>
+          s.bloom.map(h => s"""{"add":"${s.name}","bloom":"$h"}"""))
+        .grouped(checkpointShardRows)
+        .foreach { g =>
+          write(checkpointBloomPath(at, bParts), g)
+          bParts += 1
+        }
+      write(checkpointPath(at),
+        s"""{"ckptParts":${parts.size},"ckptBlooms":$bParts}""" +:
+          small)
+    }
     // advance (never regress) the `_last_checkpoint` pointer; a
     // checkpoint of an old version must not point resolution backwards
     if (readPointer().forall(_ < at)) {
@@ -569,16 +700,20 @@ class LogStore(spark: SparkSession, val root: String,
 
   /** The live segment set (with stats) at `version` (default:
     * latest): checkpoint-seeded replay — O(actions since the last
-    * checkpoint), independent of data size AND table age. */
-  def liveSegmentInfos(version: Long = Long.MaxValue): Seq[Segment] = {
+    * checkpoint), independent of data size AND table age. `blooms`
+    * opts into fetching a sharded checkpoint's Bloom sidecars —
+    * stats-only callers (the default) never pay for the hexes; a
+    * bloom-less segment conservatively answers "must scan". */
+  def liveSegmentInfos(version: Long = Long.MaxValue,
+      blooms: Boolean = false): Seq[Segment] = {
     val latest = latestVersion()
     require(latest >= 0, s"no log at $root")
     val upTo = math.min(version, latest)
     require(upTo >= 0, s"bad version $version")
-    val latestState = replayTo(latest)
+    val latestState = replayTo(latest, blooms)
     if (upTo == latest) return latestState.live.values.toSeq
     requireReadable(upTo, latestState.vacuumHorizon)
-    replayTo(upTo).live.values.toSeq
+    replayTo(upTo, blooms).live.values.toSeq
   }
 
   def liveSegments(version: Long = Long.MaxValue): Seq[String] =
@@ -866,7 +1001,7 @@ class LogStore(spark: SparkSession, val root: String,
     val c = bloomCol.getOrElse(
       throw new IllegalStateException("no bloomCol configured"))
     val pos = bloomPositions(key)
-    val live = liveSegmentInfos(version)
+    val live = liveSegmentInfos(version, blooms = true)
     val hit = live.filter(_.mayContain(pos))
     if (hit.isEmpty)
       return (read(version).where(flit(false)), 0, live.size)
@@ -1168,7 +1303,10 @@ class LogStore(spark: SparkSession, val root: String,
           (e.take(i), e.drop(i + 1))
         }.toMap
       val next = (cur ++ sets) -- removes
-      val live = liveSegmentInfos(v)
+      // blooms = true: the clearance re-serializes live segments, so
+      // sidecar hexes must be materialized or the re-add would shed
+      // the filters it meant to keep
+      val live = liveSegmentInfos(v, blooms = true)
       def changed(k: String): Boolean = cur.get(k) != next.get(k)
       // stale-metadata clearance (see the contract above): segments
       // whose recorded primary bounds / Bloom filters may belong to a
@@ -2015,7 +2153,7 @@ class LogStore(spark: SparkSession, val root: String,
     import spark.implicits._
     val latest = latestVersion()
     require(latest >= 0, s"no log at $root")
-    val st = replayTo(latest)
+    val st = replayTo(latest, blooms = true) // ops view: honest counts
     val segs = st.live.values.toSeq
     val sizes = segs.map(segmentBytes)
     Seq((root, latest, segs.size.toLong, sizes.sum,
@@ -2047,7 +2185,7 @@ class LogStore(spark: SparkSession, val root: String,
     import spark.implicits._
     val latest = latestVersion()
     require(latest >= 0, s"no log at $root")
-    replayTo(latest).live.values.toSeq.map { s =>
+    replayTo(latest, blooms = true).live.values.toSeq.map { s =>
       (s.name, segmentBytes(s), s.rows.getOrElse(-1L),
         s.dv.map(_._2).getOrElse(0L), s.min.orNull, s.max.orNull,
         s.extra.keys.toSeq.sorted.mkString(","), s.bloom.nonEmpty)
@@ -2080,9 +2218,11 @@ class LogStore(spark: SparkSession, val root: String,
     val latest = latestVersion()
     require(version >= 0 && version <= latest,
       s"cannot restore to $version (latest is $latest)")
-    // liveSegmentInfos(version) applies the vacuum-horizon refusal
-    val target = liveSegmentInfos(version)
-    val cur = liveSegmentInfos(latest)
+    // liveSegmentInfos(version) applies the vacuum-horizon refusal;
+    // blooms = true because returning segments are RE-SERIALIZED as
+    // add actions — the restored filters must skip identically
+    val target = liveSegmentInfos(version, blooms = true)
+    val cur = liveSegmentInfos(latest, blooms = true)
     val curNames = cur.map(_.name).toSet
     val targetNames = target.map(_.name).toSet
     val curByName = cur.map(s => s.name -> s).toMap
@@ -2449,11 +2589,18 @@ class LogStore(spark: SparkSession, val root: String,
           .map(_.getPath)
           .filter { p =>
             val n = p.getName
+            // NNNNNNNN.json | NNNNNNNN.checkpoint[.part-i|.bloom-i] —
+            // a sharded checkpoint's parts and sidecars share its
+            // version and are superseded together
             val vOf =
               if (n.endsWith(".json")) n.stripSuffix(".json").toLongOption
-              else if (n.endsWith(".checkpoint"))
-                n.stripSuffix(".checkpoint").toLongOption
-              else None
+              else {
+                val i = n.indexOf(".checkpoint")
+                if (i > 0 && (n.length == i + 11 ||
+                    n.charAt(i + 11) == '.'))
+                  n.take(i).toLongOption
+                else None
+              }
             vOf.exists(_ < cp)
           }
         dead.foreach(fs.delete(_, false))

@@ -1138,10 +1138,31 @@ private[sources] object LogSnapshotPruning {
     case _ => true
   }
 
-  /** (surviving segments, live segment count) at `version`. */
+  /** True iff `f` could consult a Bloom filter — the signal for
+    * fetching a sharded checkpoint's Bloom SIDECARS. Stats-only
+    * shapes resolve without ever reading the hexes (~90% of a wide
+    * checkpoint's bytes). */
+  private def consultsBloom(store: LogStore, f: Filter): Boolean =
+    f match {
+      case EqualTo(c, v) => isBloom(store, c) && bloomStr(v).nonEmpty
+      case EqualNullSafe(c, v) => v != null &&
+        consultsBloom(store, EqualTo(c, v))
+      case In(c, vs) =>
+        vs.exists(v => consultsBloom(store, EqualTo(c, v)))
+      case And(l, r) =>
+        consultsBloom(store, l) || consultsBloom(store, r)
+      case Or(l, r) =>
+        consultsBloom(store, l) || consultsBloom(store, r)
+      case _ => false
+    }
+
+  /** (surviving segments, live segment count) at `version`. Bloom
+    * sidecars are fetched ONLY when a Bloom-eligible predicate is
+    * present — every other shape stays a stats-only resolution. */
   def selectSegments(store: LogStore, version: Long,
       filters: Array[Filter]): (Seq[LogStore#Segment], Int) = {
-    val live = store.liveSegmentInfos(version)
+    val live = store.liveSegmentInfos(version,
+      blooms = filters.exists(consultsBloom(store, _)))
     val keep = live.filter(seg =>
       filters.forall(f => mayMatch(store, seg, f)))
     (keep, live.size)

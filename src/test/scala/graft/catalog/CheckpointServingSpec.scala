@@ -58,4 +58,84 @@ class CheckpointServingSpec extends AnyFunSuite {
     val segs = r.liveSegmentInfos()
     assert(segs.flatMap(_.liveRows).sum == 998L)
   }
+
+  test("MULTI-PART checkpoint round trip: past checkpointShardRows " +
+      "the snapshot shards into part files + Bloom SIDECARS behind a " +
+      "manifest; with the covered version files deleted, a fresh " +
+      "store resolves, stats-prunes WITHOUT reading a sidecar byte, " +
+      "bloom-prunes identically to the single-file form, reconciles " +
+      "DVs, a later checkpoint carries the sidecar hexes forward, " +
+      "and the trim reclaims a superseded shard set whole") {
+    val root = Files.createTempDirectory("graft-ckmp").toString + "/t"
+    // shard threshold 4: ten segments force 3 parts — the full
+    // multi-part machinery on a spec-sized table
+    val w = new LogStore(spark, root, statsCol = Some("id"),
+      bloomCol = Some("k"), checkpointInterval = 1000,
+      checkpointShardRows = 4)
+    (0 until 10).foreach { i =>
+      w.append((i * 100L until i * 100L + 100L)
+        .map(x => (x, s"k$x")).toDF("id", "k"))
+    }
+    w.deleteWhereDV("id IN (5, 205)")
+    w.checkpoint()
+    val latest = w.latestVersion()
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // the sharded layout is real: manifest + parts + bloom sidecars
+    val logFiles = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/_log"))
+      .map(_.getPath.getName).toSet
+    assert(logFiles.exists(_.contains(".checkpoint.part-")) &&
+      logFiles.exists(_.contains(".checkpoint.bloom-")),
+      s"expected part + bloom files, got $logFiles")
+    val manifestLen = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      f"$root/_log/$latest%08d.checkpoint")).getLen
+    assert(manifestLen < 1024,
+      s"the manifest must be small — adds live in the parts: $manifestLen")
+    (0L until latest).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        f"$root/_log/$v%08d.json"), false)
+    }
+    val r = new LogStore(spark, root, statsCol = Some("id"),
+      bloomCol = Some("k"), checkpointShardRows = 4)
+    assert(r.latestVersion() == latest)
+    // stats pruning: a stats-only resolution — correct from the
+    // parts alone (sidecars unread by construction: segments answer
+    // mayContain conservatively without them)
+    val (df, scanned, live) = r.readRange("300", "350")
+    assert(live == 10 && scanned == 1 && df.count() == 51L)
+    // bloom pruning: the sidecars ARE fetched for the point lookup
+    // and skip exactly like the inline form
+    val (lk, opened, _) = r.pointLookup("k777")
+    assert(opened == 1 && lk.count() == 1L)
+    // dv state rides the parts (not the sidecars)
+    assert(r.read().count() == 998L)
+    assert(r.recordedSchema().map(_.fieldNames.toSeq) ==
+      Some(Seq("id", "k")))
+    assert(r.liveSegmentInfos().flatMap(_.liveRows).sum == 998L)
+    val w2 = new LogStore(spark, root, statsCol = Some("id"),
+      bloomCol = Some("k"), checkpointInterval = 1000,
+      checkpointShardRows = 4)
+    w2.append(Seq((5000L, "k5000")).toDF("id", "k"))
+    w2.checkpoint() // a LATER sharded checkpoint, seeded from the first
+    val r2 = new LogStore(spark, root, statsCol = Some("id"),
+      bloomCol = Some("k"), checkpointShardRows = 4)
+    val (lk2, opened2, live2) = r2.pointLookup("k777")
+    assert(live2 == 11 && opened2 == 1 && lk2.count() == 1L,
+      s"hexes must survive checkpoint-over-checkpoint: opened $opened2 " +
+        s"of $live2")
+    // vacuum's log trim reclaims the SUPERSEDED sharded checkpoint's
+    // parts and sidecars together with its manifest
+    (0 until 3).foreach(i =>
+      w2.append(Seq((6000L + i, s"k${6000 + i}")).toDF("id", "k")))
+    w2.checkpoint()
+    val res = w2.vacuum(retainLast = 2, orphanMinAgeMs = 0L)
+    assert(res.trimmedLogFiles > 0)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_log"))
+      .map(_.getPath.getName).toSet
+    assert(!after.exists(_.startsWith(f"${latest}%08d.checkpoint")),
+      s"the superseded sharded checkpoint (manifest + parts + " +
+        s"sidecars) must be trimmed together: $after")
+    assert(r2.read().count() == 1002L)
+  }
 }

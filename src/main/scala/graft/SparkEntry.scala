@@ -2541,6 +2541,56 @@ object SparkEntry {
         .withColumn("setprops_pins", lit(prunes && cleared))
     }),
 
+    "src_sql_rename" -> ((s, dir) => {
+      // ALTER TABLE RENAME COLUMN via column mapping, end-to-end
+      // through pure SQL: a table filled under the OLD name, renamed
+      // (ONE metadata commit, zero new segments), then filled under
+      // the NEW name — both halves read as one column, time travel
+      // AS OF the pre-rename version still presents the old name,
+      // and the final aggregate equals the source recomputation.
+      val cat = "graftsql"
+      if (!s.conf.getAll.contains(s"spark.sql.catalog.$cat")) {
+        val r0 = java.nio.file.Files
+          .createTempDirectory("graft-sqlcat").toString
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.GraftLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", r0)
+      }
+      val short = s"rn_${java.util.UUID.randomUUID().toString.take(8)}"
+      val tbl = s"$cat.bench.$short"
+      events(s, dir).where(col("event_id") < 1000)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .cache()
+        .createOrReplaceTempView("src_rename_events")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.bench")
+      s.sql(s"CREATE TABLE $tbl (event_id BIGINT, etype STRING, " +
+        "value DOUBLE) TBLPROPERTIES ('statsCol' = 'event_id')")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM src_rename_events " +
+        "WHERE event_id < 500")
+      val dirT = s"${s.conf.get(s"spark.sql.catalog.$cat.root")}" +
+        s"/bench/$short"
+      val st = graft.catalog.LogStore.configured(s, dirT)
+      val vBefore = st.latestVersion()
+      val segsBefore = st.liveSegmentInfos().map(_.name).toSet
+      s.sql(s"ALTER TABLE $tbl RENAME COLUMN etype TO kind")
+      val metadataOnly = st.latestVersion() == vBefore + 1 &&
+        st.liveSegmentInfos().map(_.name).toSet == segsBefore
+      s.sql(s"INSERT INTO $tbl SELECT * FROM src_rename_events " +
+        "WHERE event_id >= 500")
+      val oldShape = s.sql(
+          s"SELECT * FROM $tbl VERSION AS OF $vBefore")
+        .columns.toSeq == Seq("event_id", "etype", "value")
+      val bothHalves = s.sql(s"SELECT count(*) FROM $tbl " +
+        "WHERE kind IS NOT NULL").head().getLong(0) ==
+        s.sql(s"SELECT count(*) FROM $tbl").head().getLong(0)
+      val pins = metadataOnly && oldShape && bothHalves
+      s.sql(s"""SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value
+        |FROM $tbl GROUP BY kind ORDER BY kind""".stripMargin)
+        .withColumn("rename_pins", lit(pins))
+    }),
+
     "src_ckpt_shard" -> ((s, dir) => {
       // MULTI-PART checkpoint end-to-end: 8 range-disjoint appends,
       // a sharded checkpoint (threshold 2 → 4 part files + Bloom
@@ -2591,6 +2641,52 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .withColumn("ckpt_shard_pins", lit(pins))
         .orderBy("event_type")
+    }),
+
+    "src_bloom_multi" -> ((s, dir) => {
+      // MULTI-COLUMN Bloom filters — the LLM-pipeline table shape
+      // (two high-cardinality keys, doc_id + url_hash): the primary
+      // bloomCol and a name-keyed bloomCols member each carry their
+      // own per-segment filter and point lookups on EITHER prune
+      // independently. Pins: the doc probe opens 1 of 4 segments,
+      // the url probe opens only its 2 matching segments, and after
+      // a bloomBits change the stale hexes are CLEARED (re-probe
+      // scans everything yet stays exact). The result is the two
+      // probes' rows — value-checked against the oracle.
+      val ev = events(s, dir).where(col("event_id") < 2000)
+        .select(col("event_id"),
+          concat(lit("doc-"), col("event_id")).as("doc_id"),
+          concat(lit("url-"), pmod(col("event_id"), lit(997)))
+            .as("url_hash"),
+          col("value"))
+        .cache()
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bloomx").toString + "/tbl"
+      val store = new graft.catalog.LogStore(s, root,
+        statsCol = Some("event_id"), bloomCol = Some("doc_id"),
+        bloomCols = Seq("url_hash"))
+      (0 until 4).foreach(i => store.append(
+        ev.where(col("event_id") >= i * 500 &&
+          col("event_id") < (i + 1) * 500)))
+      val (lk1, o1, l1) = store.pointLookup("doc-123")
+      val (lk2, o2, l2) = store.pointLookupOn("url_hash", "url-123")
+      val primaryPrunes = l1 == 4 && o1 == 1
+      val extraPrunes = l2 == 4 && o2 <= 2
+      // bloomBits change → every hex (primary AND name-keyed) is
+      // stale: cleared in the same metadata commit, never mis-probed
+      store.setProperties(Map("bloomBits" -> "8192"))
+      val st2 = graft.catalog.LogStore.configured(s, root)
+      val cleared = st2.liveSegmentInfos(blooms = true)
+        .forall(sg => sg.bloom.isEmpty && sg.bxs.isEmpty)
+      val (lk3, o3, _) = st2.pointLookupOn("url_hash", "url-123")
+      val rescans = o3 == 4 && lk3.count() == lk2.count()
+      val pins = primaryPrunes && extraPrunes && cleared && rescans
+      lk1.select(lit("doc-123").as("probe"), col("event_id"),
+          col("value"))
+        .unionByName(lk2.select(lit("url-123").as("probe"),
+          col("event_id"), col("value")))
+        .withColumn("bloom_multi_pins", lit(pins))
+        .orderBy("probe", "event_id")
     }),
 
     "src_string_stats" -> ((s, dir) => {
@@ -4120,6 +4216,109 @@ object SparkEntry {
       res.select(col("query_id"), col("rank"), col("neighbor_id"))
         .withColumn("probe_pruned", lit(opened1 < live1))
         .orderBy("query_id", "rank")
+    }),
+
+    "ann_ivf_drift_retrain" -> ((s, dir) => {
+      // the trained index's RETRAIN lifecycle end-to-end: built over
+      // HALF the corpus, then the other half arrives while the
+      // cursor lags and the drift trigger (an explicit tiny ratio —
+      // the genuine-drift recall story is AnnIndexSpec's) fires a
+      // generation-stamped fenced rebuild over the CURRENT corpus.
+      // The retrained index answers EXACTLY like ivfTopKTrained over
+      // the full corpus — which is the existing k-means-replaying
+      // oracle, untouched. drift_pins: both tables stamped gen 1,
+      // the rebuild re-recorded the training baseline, the probe
+      // still stats-prunes.
+      val emb = t(s, dir, "embeddings")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-anndrift").toString
+      val corpusStore = new graft.catalog.LogStore(s, s"$root/corpus",
+        statsCol = Some("vec_id"))
+      corpusStore.append(emb.where(col("vec_id") % 2 === 0))
+      val idx = AnnIndex.buildIvfTrained(s, corpusStore.read(),
+        corpusStore.latestVersion(), s"$root/idx", nCells = 16,
+        iters = 2, postingSegments = 8)
+      corpusStore.append(emb.where(col("vec_id") % 2 === 1))
+      AnnIndex.maintainIvf(s, corpusStore, idx, nCells = 16,
+        retrainDriftRatio = 1e-9)
+      val genC = graft.catalog.LogStore
+        .configured(s, idx.centroidsRoot).recordedProp("ivfGen")
+      val genP = graft.catalog.LogStore
+        .configured(s, idx.postingsRoot).recordedProp("ivfGen")
+      val rebaselined = graft.catalog.LogStore
+        .configured(s, idx.centroidsRoot)
+        .recordedProp("ivfTrainDist").exists(_.toDouble > 0)
+      val corpus = corpusStore.read()
+      val q = corpus.where(col("vec_id") < 8)
+      val (res, _, _) = AnnIndex.searchIvf(s, idx, corpus, q, k = 5,
+        nProbe = 4)
+      val (_, opened1, live1) = AnnIndex.searchIvf(s, idx, corpus,
+        corpus.where(col("vec_id") === 0L), k = 5, nProbe = 2)
+      val pins = genC.contains("1") && genP.contains("1") &&
+        rebaselined && opened1 < live1
+      res.select(col("query_id"), col("rank"), col("neighbor_id"))
+        .withColumn("drift_pins", lit(pins))
+        .orderBy("query_id", "rank")
+    }),
+
+    "stream_ivf_maintain" -> ((s, dir) => {
+      // STREAMING index maintenance: a foreachBatch driver tails the
+      // corpus feed and calls maintainIvf per micro-batch —
+      // exactly-once via the index's txn cursor whatever the stream
+      // delivers. Two legs ACROSS A RESTART (same checkpoint):
+      // appends + a delete, then more appends; the stream-fed index
+      // must answer like the ann_ivf_persisted construction over the
+      // FINAL corpus (the oracle replays it), with one posting per
+      // live vector and the cursor at the corpus head.
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sim").toString
+      val corpusStore = new graft.catalog.LogStore(s, s"$root/corpus",
+        statsCol = Some("vec_id"))
+      corpusStore.append(emb)
+      val idx = AnnIndex.buildIvf(s, corpusStore.read(),
+        corpusStore.latestVersion(), s"$root/idx", nCells = 16,
+        postingSegments = 8)
+      val ckpt = s"$root/ckpt"
+      // leg 1: fresh vectors land and two originals are deleted
+      corpusStore.append(emb
+        .where(col("vec_id") >= 100 && col("vec_id") < 130)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          col("embedding")))
+      corpusStore.deleteWhere("vec_id IN (40, 41)")
+      val q1 = graft.streaming.StreamingOps.maintainIvfStream(
+        s, s"$root/corpus", idx, ckpt, nCells = 16)
+      try q1.awaitTermination() finally if (q1.isActive) q1.stop()
+      // leg 2: RESTART — more movement, a new stream, same checkpoint
+      corpusStore.append(emb
+        .where(col("vec_id") >= 130 && col("vec_id") < 140)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          col("embedding")))
+      val q2 = graft.streaming.StreamingOps.maintainIvfStream(
+        s, s"$root/corpus", idx, ckpt, nCells = 16)
+      try q2.awaitTermination() finally if (q2.isActive) q2.stop()
+      val postings = graft.catalog.LogStore
+        .configured(s, idx.postingsRoot)
+      val corpus = corpusStore.read()
+      val exactlyOnce =
+        postings.lastTxn() == corpusStore.latestVersion() &&
+          postings.read().count() == corpus.count()
+      val q = corpus.where(col("vec_id") < 8)
+      val (res, _, _) = AnnIndex.searchIvf(s, idx, corpus, q, k = 5,
+        nProbe = 4)
+      val brute = Similarity.bruteForceTopK(corpus, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = res.select(col("query_id"), col("neighbor_id"))
+        .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall", col("n_hits").cast("double") / lit(5.0))
+        .withColumn("stream_maintain_pins", lit(exactlyOnce))
+        .orderBy("query_id")
     }),
 
     "ann_recall_audit" -> ((s, dir) => {
@@ -6491,6 +6690,13 @@ object SparkEntry {
       iters = 2, dims = 64, nProbe = 4, k = 5,
       extraCols = ", TRUE AS probe_pruned"),
 
+    // a RETRAINED index answers exactly like a fresh ivfTopKTrained
+    // over the final corpus — the SAME k-means-replaying oracle;
+    // drift_pins records the generation stamps + re-baselining
+    "ann_ivf_drift_retrain" -> duckIvfTrainedSql(nCells = 16,
+      iters = 2, dims = 64, nProbe = 4, k = 5,
+      extraCols = ", TRUE AS drift_pins"),
+
     // replicates the SQ8 pipeline end to end: per-dim [min,max] over
     // the corpus, floor(x+0.5) half-up byte codes clamped to [0,255],
     // decode from the CODES (min + code·scale), asymmetric cosine vs
@@ -8125,6 +8331,17 @@ object SparkEntry {
         | TRUE AS setprops_pins
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the rename is metadata only — the oracle aggregates the source
+    // under the NEW name; rename_pins records the one-commit /
+    // zero-segment / old-shape-time-travel evidence
+    "src_sql_rename" ->
+      """SELECT event_type AS kind, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_value,
+        | TRUE AS rename_pins
+        |FROM events WHERE event_id < 1000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the sharded checkpoint is layout only — the oracle is the plain
     // aggregate; ckpt_shard_pins records the part/sidecar layout,
     // the 1-of-8 stats-only prune and the sidecar-served Bloom probe
@@ -8135,6 +8352,19 @@ object SparkEntry {
         | TRUE AS ckpt_shard_pins
         |FROM events WHERE event_id < 1000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // each probe's ROWS are the correctness claim (pruning must never
+    // change results); bloom_multi_pins records the per-column skip +
+    // bits-change clearance evidence
+    "src_bloom_multi" ->
+      """SELECT probe, event_id, value, TRUE AS bloom_multi_pins
+        |FROM (
+        |  SELECT 'doc-123' AS probe, event_id, value FROM events
+        |  WHERE event_id < 2000 AND event_id = 123
+        |  UNION ALL
+        |  SELECT 'url-123' AS probe, event_id, value FROM events
+        |  WHERE event_id < 2000 AND event_id % 997 = 123)
+        |ORDER BY probe, event_id""".stripMargin,
 
     // the string-keyed UPDATE must land on exactly its rows — the
     // oracle rewrites them with CASE; string_stats_pins records the
@@ -9919,6 +10149,60 @@ object SparkEntry {
          |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE)
          |    AS recall,
          |  TRUE AS probe_pruned
+         |FROM (SELECT vec_id FROM e WHERE vec_id < 8) q
+         |LEFT JOIN hits h ON q.vec_id = h.query_id
+         |ORDER BY query_id""".stripMargin
+    },
+
+    // the stream-fed index must equal the deterministic-IVF
+    // construction over the FINAL corpus (originals minus the two
+    // deletes, plus the re-keyed copies) — the ann_ivf_persisted
+    // oracle with the mutated corpus CTE; stream_maintain_pins
+    // records the exactly-once cursor + one-posting-per-vector count
+    "stream_ivf_maintain" -> {
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |e AS (SELECT vec_id, v FROM base WHERE vec_id NOT IN (40, 41)
+         |  UNION ALL
+         |  SELECT vec_id + 100000, v FROM base
+         |  WHERE vec_id >= 100 AND vec_id < 140),
+         |n AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e),
+         |bp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+         |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id != q.vec_id),
+         |bh AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |   PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM bp) WHERE rank <= 5),
+         |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n
+         |  ORDER BY vec_id LIMIT 16),
+         |ac AS (SELECT n.vec_id, n.v, n.nrm, cent.cell_id,
+         |  ${duckDot("n.v", "cent.cv")} / (n.nrm * cent.cnrm) AS c_cos
+         |  FROM n CROSS JOIN cent),
+         |assigned AS (SELECT vec_id, v, nrm, cell_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY c_cos DESC, cell_id ASC) AS rn FROM ac) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cell_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY c_cos DESC, cell_id ASC) AS rn FROM ac
+         |  WHERE vec_id < 8) WHERE rn <= 4),
+         |ip AS (SELECT q.q_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${duckDot("q.qv", "c.v")} / (q.qnrm * c.nrm) AS cos
+         |  FROM probes q JOIN assigned c ON q.cell_id = c.cell_id
+         |    AND c.vec_id != q.q_id),
+         |ih AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, cos, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM ip) WHERE rank <= 5),
+         |hits AS (SELECT i.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM ih i JOIN bh b ON i.query_id = b.query_id
+         |    AND i.neighbor_id = b.neighbor_id
+         |  GROUP BY i.query_id)
+         |SELECT q.vec_id AS query_id,
+         |  COALESCE(h.n_hits, 0) AS n_hits,
+         |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE)
+         |    AS recall,
+         |  TRUE AS stream_maintain_pins
          |FROM (SELECT vec_id FROM e WHERE vec_id < 8) q
          |LEFT JOIN hits h ON q.vec_id = h.query_id
          |ORDER BY query_id""".stripMargin

@@ -53,14 +53,15 @@ class LogStore(spark: SparkSession, val root: String,
     statsCols: Seq[String] = Nil,
     dvDeletes: Boolean = false,
     extraProps: Map[String, String] = Map.empty,
-    checkpointShardRows: Int = 32768) {
+    checkpointShardRows: Int = 32768,
+    bloomCols: Seq[String] = Nil) {
   require(checkpointInterval > 0, "checkpointInterval must be positive")
   require(bloomBits > 0 && bloomBits % 4 == 0,
     "bloomBits must be a positive multiple of 4 (hex-serialized)")
   // configured column NAMES ride inside quoted log values (the `xs`
   // stats grammar and the `props` table-configuration action), so the
   // line-oriented grammar needs them free of its delimiters
-  (statsCol.toSeq ++ bloomCol.toSeq ++ statsCols).foreach(c =>
+  (statsCol.toSeq ++ bloomCol.toSeq ++ statsCols ++ bloomCols).foreach(c =>
     require(!c.exists("|;\"\n=,".contains(_)),
       s"configured column name '$c' may not contain | ; = , quote " +
         "or newline"))
@@ -171,7 +172,8 @@ class LogStore(spark: SparkSession, val root: String,
       bloom: Option[String] = None,
       extra: Map[String, (String, String, Boolean)] = Map.empty,
       rows: Option[Long] = None,
-      dv: Option[(String, Long)] = None) {
+      dv: Option[(String, Long)] = None,
+      bxs: Map[String, String] = Map.empty) {
     /** Rows visible in this segment after its deletion vector, when
       * both counts are known. */
     def liveRows: Option[Long] =
@@ -226,13 +228,21 @@ class LogStore(spark: SparkSession, val root: String,
       * "any queried bit clear" is a PROOF of absence; no bloom ⇒ must
       * assume yes (same safe default as the min/max stats). */
     def mayContain(positions: Seq[Int]): Boolean = bloom match {
-      case Some(hex) => positions.forall { p =>
-        val nib = hex.charAt(p / 4)
-        val v = java.lang.Integer.parseInt(String.valueOf(nib), 16)
-        (v & (1 << (p % 4))) != 0
-      }
+      case Some(hex) => LogStore.hexHasBits(hex, positions)
       case None => true
     }
+
+    /** [[mayContain]] generalized to ANY configured Bloom column —
+      * the primary [bloomCol]'s hex rides the anonymous `bloom`
+      * field, the extra [bloomCols]' hexes ride NAME-KEYED in `bxs`
+      * (the same primary-vs-extra split as the min/max stats). Same
+      * safe default: no recorded filter ⇒ must scan. */
+    def mayContainOn(c: String, positions: Seq[Int]): Boolean =
+      if (bloomCol.contains(c)) mayContain(positions)
+      else bxs.get(c) match {
+        case Some(hex) => LogStore.hexHasBits(hex, positions)
+        case None => true
+      }
   }
 
   /** One parsed action file. `dvs` are DELETION-VECTOR attachments:
@@ -276,6 +286,7 @@ class LogStore(spark: SparkSession, val root: String,
       "(?:,\"min\":\"([^\"]*)\",\"max\":\"([^\"]*)\",\"num\":(true|false))?" +
       "(?:,\"bloom\":\"([0-9a-f]*)\")?" +
       "(?:,\"xs\":\"([^\"]*)\")?" +
+      "(?:,\"bxs\":\"([^\"]*)\")?" +
       "(?:,\"rows\":(\\d+))?" +
       "(?:,\"dvf\":\"([^\"]*)\",\"dvr\":(\\d+))?").r
     val adds = addRe.findAllMatchIn(body).map { m =>
@@ -284,11 +295,17 @@ class LogStore(spark: SparkSession, val root: String,
           val Array(c, lo, hi, n) = e.split('|')
           c -> (lo, hi, n == "t")
         }.toMap).getOrElse(Map.empty[String, (String, String, Boolean)])
+      val bxs = Option(m.group(7)).filter(_.nonEmpty)
+        .map(_.split(';').map { e =>
+          val Array(c, h) = e.split('|')
+          c -> h
+        }.toMap).getOrElse(Map.empty[String, String])
       Segment(m.group(1), Option(m.group(2)), Option(m.group(3)),
         m.group(4) == "true", Option(m.group(5)), extra,
-        Option(m.group(7)).map(_.toLong),
-        Option(m.group(8)).filter(_.nonEmpty)
-          .map(f => (f, m.group(9).toLong)))
+        Option(m.group(8)).map(_.toLong),
+        Option(m.group(9)).filter(_.nonEmpty)
+          .map(f => (f, m.group(10).toLong)),
+        bxs)
     }.toSeq
     val rem = "\"remove\"\\s*:\\s*\"([^\"]+)\"".r
       .findAllMatchIn(body).map(_.group(1)).toSeq
@@ -337,8 +354,13 @@ class LogStore(spark: SparkSession, val root: String,
           if (!blooms) adds
           else {
             val m = bloomSidecar(cp)
-            adds.map(s =>
-              if (s.bloom.isEmpty) s.copy(bloom = m.get(s.name)) else s)
+            adds.map { s =>
+              if (s.bloom.nonEmpty || s.bxs.nonEmpty) s
+              else m.get(s.name) match {
+                case Some((b, x)) => s.copy(bloom = b, bxs = x)
+                case None => s
+              }
+            }
           }
         manifest.copy(adds = merged)
     }
@@ -364,16 +386,17 @@ class LogStore(spark: SparkSession, val root: String,
     }
 
   /** The Bloom sidecar map of a sharded checkpoint: segment name →
-    * hex. Empty for single-file checkpoints (their blooms are
-    * inline). */
-  private def bloomSidecar(cp: Long): Map[String, String] = {
+    * (primary hex, name-keyed extra hexes). Empty for single-file
+    * checkpoints (their blooms are inline). */
+  private def bloomSidecar(cp: Long)
+      : Map[String, (Option[String], Map[String, String])] = {
     val prefix = f"$cp%08d.checkpoint.bloom-"
     val d = new Path(logDir)
     if (!fs.exists(d)) return Map.empty
     fs.listStatus(d).map(_.getPath)
       .filter(_.getName.startsWith(prefix))
       .flatMap(p => parseActions(p).adds
-        .flatMap(s => s.bloom.map(s.name -> _)))
+        .map(s => s.name -> ((s.bloom, s.bxs))))
       .toMap
   }
 
@@ -556,7 +579,7 @@ class LogStore(spark: SparkSession, val root: String,
     * nothing is configured. */
   private def encodeProps: Option[String] =
     LogStore.encodePropsFrom(statsCol, statsCols, bloomCol, bloomBits,
-      dvDeletes, extraProps)
+      dvDeletes, extraProps, bloomCols)
 
   /** One recorded table property by key — engine-owned or extra; the
     * read half of [[extraProps]] (an index's training config read back
@@ -592,6 +615,11 @@ class LogStore(spark: SparkSession, val root: String,
 
   /** The column this store builds per-segment Bloom filters over. */
   def configuredBloomColumn: Option[String] = bloomCol
+
+  /** Every Bloom-filtered column — the primary plus the name-keyed
+    * extras, in config order. */
+  def configuredBloomColumns: Seq[String] =
+    (bloomCol.toSeq ++ bloomCols).distinct
 
   /** Snapshot the fully-replayed state at version `v` to
     * `_log/<v>.checkpoint` — same line-JSON grammar as version files.
@@ -652,12 +680,14 @@ class LogStore(spark: SparkSession, val root: String,
       val parts = adds.grouped(checkpointShardRows).toSeq
       parts.zipWithIndex.foreach { case (g, i) =>
         write(checkpointPartPath(at, i),
-          g.view.map(s => addJson(s.copy(bloom = None))))
+          g.view.map(s =>
+            addJson(s.copy(bloom = None, bxs = Map.empty))))
       }
       var bParts = 0
       adds.iterator
-        .flatMap(s =>
-          s.bloom.map(h => s"""{"add":"${s.name}","bloom":"$h"}"""))
+        .filter(s => s.bloom.nonEmpty || s.bxs.nonEmpty)
+        .map(s => addJson(Segment(s.name, None, None, num = false,
+          bloom = s.bloom, bxs = s.bxs)))
         .grouped(checkpointShardRows)
         .foreach { g =>
           write(checkpointBloomPath(at, bParts), g)
@@ -828,12 +858,34 @@ class LogStore(spark: SparkSession, val root: String,
       schema: Option[org.apache.spark.sql.types.StructType])
       : DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col => fcol,
-      element_at, split => fsplit}
+      element_at, lit => flit, split => fsplit}
+    // column mapping: data files hold PHYSICAL names — read with the
+    // physical schema (parquet matches by name; a renamed column's
+    // old files match its stable physical name, a re-added column's
+    // fresh col-uuid matches nothing old → null, exactly the
+    // no-resurrection contract), then project back to LOGICAL names
+    // once, after the dv reconciliation. Pruned paths (schema=None)
+    // pick the mapping up from the recorded schema — mapped tables
+    // always have one (the mapping lives in it).
+    val mapped = schema
+      .orElse(if (latestVersion() < 0) None
+        else replayTo(latestVersion()).schemaB64.map(decodeSchema))
+      .filter(LogStore.hasMapping)
     def rawRead(names: Seq[String]): DataFrame = schema match {
-      case Some(sc) => spark.read.schema(sc)
+      case Some(sc) => spark.read
+        .schema(LogStore.physicalSchema(sc))
         .parquet(names.map(s => s"$root/$s"): _*)
       case None => spark.read.option("mergeSchema", "true")
         .parquet(names.map(s => s"$root/$s"): _*)
+    }
+    def toLogical(df: DataFrame): DataFrame = mapped match {
+      case Some(sc) =>
+        df.select(sc.fields.toSeq.map { f =>
+          val p = LogStore.physicalName(f)
+          if (df.columns.contains(p)) fcol(p).as(f.name)
+          else flit(null).cast(f.dataType).as(f.name)
+        }: _*)
+      case None => df
     }
     val (dved, plain) = segs.partition(_.dv.nonEmpty)
     val plainDf =
@@ -876,7 +928,7 @@ class LogStore(spark: SparkSession, val root: String,
             Seq("_dv_seg", "_dv_file", "_dv_pos"), "left_anti")
         Some(joined.drop("_dv_seg", "_dv_file", "_dv_pos"))
       }
-    (plainDf, dvedDf) match {
+    toLogical((plainDf, dvedDf) match {
       // allowMissingColumns: on pruned paths (schema=None) each group
       // merges its OWN segments' schemas, so per-segment evolution
       // drift across the plain/DV split must null-fill, exactly as the
@@ -887,7 +939,7 @@ class LogStore(spark: SparkSession, val root: String,
       case (None, Some(d)) => d
       case (None, None) =>
         throw new IllegalStateException("scanSegments on no segments")
-    }
+    })
   }
 
   /** Schema ENFORCEMENT (the paper's write-side half of evolution):
@@ -923,13 +975,48 @@ class LogStore(spark: SparkSession, val root: String,
               "evolved table adds columns, it never mutates types")
       }
     }
+    val retired = LogStore.retiredPhysical(st.propsStr)
     val newCols = writeSchema.fields
       .filterNot(f => current.fieldNames.contains(f.name))
+      .map(assignPhysical(_, current, retired))
     val schemaAct =
       if (newCols.isEmpty && st.schemaB64.nonEmpty) None
       else Some(encodeSchema(org.apache.spark.sql.types.StructType(
         current.fields ++ newCols)))
     (schemaAct, propsAct.filterNot(st.propsStr.contains))
+  }
+
+  /** Every column the skipping machinery keys on — the RECORDED
+    * config union this handle's constructor config. Rename/drop of
+    * one refuses (bounds and Bloom filters key on the name). */
+  private def skippingColumns(propsStr: Option[String]): Set[String] = {
+    val rec = propsStr.toSeq.flatMap(_.split(';')).flatMap { e =>
+      if (e.startsWith("statsCol=") || e.startsWith("bloomCol="))
+        Seq(e.drop(e.indexOf('=') + 1))
+      else if (e.startsWith("statsCols="))
+        e.stripPrefix("statsCols=").split(',').toSeq.map(_.trim)
+      else Nil
+    }
+    rec.filter(_.nonEmpty).toSet ++ configuredStatsColumns ++ bloomCol
+  }
+
+  /** A NEW column keeps physical = logical unless that name is
+    * already claimed — by a live field's physical (a rename freed the
+    * logical name but its storage name lives on) or by a RETIRED
+    * physical (a dropped column's storage name) — in which case it
+    * gets a fresh `col-<uuid>`: old files' bytes under the claimed
+    * name can then never leak into the new column. */
+  private def assignPhysical(f: org.apache.spark.sql.types.StructField,
+      current: org.apache.spark.sql.types.StructType,
+      retired: Set[String]): org.apache.spark.sql.types.StructField = {
+    val taken = current.fields.map(LogStore.physicalName).toSet ++ retired
+    if (!taken.contains(f.name)) f
+    else f.copy(metadata =
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putString(LogStore.PhysicalNameKey,
+          s"col-${java.util.UUID.randomUUID().toString.take(12)}")
+        .build())
   }
 
   /** Data-skipping read: scan ONLY the live segments whose
@@ -997,12 +1084,22 @@ class LogStore(spark: SparkSession, val root: String,
     * rate. */
   def pointLookup(key: String,
       version: Long = Long.MaxValue): (DataFrame, Int, Int) = {
-    import org.apache.spark.sql.functions.{col => fcol, lit => flit}
     val c = bloomCol.getOrElse(
       throw new IllegalStateException("no bloomCol configured"))
+    pointLookupOn(c, key, version)
+  }
+
+  /** [[pointLookup]] on ANY configured Bloom column — the primary
+    * [bloomCol] or a name-keyed [bloomCols] member; each column's
+    * filters prune independently. */
+  def pointLookupOn(c: String, key: String,
+      version: Long = Long.MaxValue): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col => fcol, lit => flit}
+    require(bloomCol.contains(c) || bloomCols.contains(c),
+      s"'$c' is not a configured Bloom column (bloomCol/bloomCols)")
     val pos = bloomPositions(key)
     val live = liveSegmentInfos(version, blooms = true)
-    val hit = live.filter(_.mayContain(pos))
+    val hit = live.filter(_.mayContainOn(c, pos))
     if (hit.isEmpty)
       return (read(version).where(flit(false)), 0, live.size)
     val scan = scanSegments(hit, None)
@@ -1079,10 +1176,14 @@ class LogStore(spark: SparkSession, val root: String,
     * [[writeSegment]] (the one-DataFrame-one-segment path) and
     * [[optimize]] (which writes many segments in one clustered pass
     * and publishes each directory separately). */
-  private def segmentMeta(name: String, columns: Seq[String]): Segment = {
+  private def segmentMeta(name: String, columns: Seq[String],
+      mapping: Map[String, String] = Map.empty): Segment = {
     import org.apache.spark.sql.functions.{max => fmax, min => fmin, col => fcol}
     import org.apache.spark.sql.types.{DateType, NumericType, StringType,
       TimestampType}
+    // `columns` and the configured stats/bloom names are LOGICAL;
+    // the written parquet holds PHYSICAL names under column mapping
+    def phys(c: String): String = mapping.getOrElse(c, c)
     val wanted = (statsCol.toSeq ++ statsCols).distinct
       .filter(columns.contains)
     val written = spark.read.parquet(s"$root/$name")
@@ -1094,7 +1195,7 @@ class LogStore(spark: SparkSession, val root: String,
         Segment(name, None, None, num = false, rows = Some(nRows))
       else {
         wanted.foreach { c =>
-          val dt = written.schema(c).dataType
+          val dt = written.schema(phys(c)).dataType
           require(dt.isInstanceOf[NumericType] || dt == DateType ||
               dt == TimestampType || dt == StringType,
             s"statsCol '$c' is $dt; only numeric/date/timestamp/string " +
@@ -1105,7 +1206,8 @@ class LogStore(spark: SparkSession, val root: String,
         // ONE agg computes every column's bounds — per-segment stats
         // cost stays a single 2k-number pass however many columns ride
         val exprs = wanted.flatMap(c => Seq(
-          fmin(fcol(c)).cast("string"), fmax(fcol(c)).cast("string")))
+          fmin(fcol(phys(c))).cast("string"),
+          fmax(fcol(phys(c))).cast("string")))
         val row = written.agg(exprs.head, exprs.tail: _*).head()
         val perCol = wanted.zipWithIndex.flatMap { case (c, i) =>
           if (row.isNullAt(2 * i)) None
@@ -1114,30 +1216,84 @@ class LogStore(spark: SparkSession, val root: String,
             // string bounds only when BOTH spellings are inert in the
             // line grammar AND order-stable — else this segment-column
             // records nothing and reads degrade to always-scan
-            if (written.schema(c).dataType == StringType &&
+            if (written.schema(phys(c)).dataType == StringType &&
                 !(LogStore.safeStringBound(lo) &&
                   LogStore.safeStringBound(hi))) None
             else Some(c -> (lo, hi,
-              written.schema(c).dataType.isInstanceOf[NumericType]))
+              written.schema(phys(c)).dataType.isInstanceOf[NumericType]))
           }
         }.toMap
         val primaryNum = statsCol.exists(c => columns.contains(c) &&
-          written.schema(c).dataType.isInstanceOf[NumericType])
+          written.schema(phys(c)).dataType.isInstanceOf[NumericType])
         val prim = statsCol.flatMap(perCol.get)
         Segment(name, prim.map(_._1), prim.map(_._2), primaryNum,
           extra = perCol -- statsCol.toSeq, rows = Some(nRows))
       }
+    // extra bloom columns land NAME-KEYED (bxs) — same per-column
+    // independence as the extra stats
+    val withBxs = {
+      val extras = bloomCols.filter(columns.contains)
+        .map(c => c -> buildBloom(written, phys(c))).toMap
+      if (extras.isEmpty) base else base.copy(bxs = extras)
+    }
     bloomCol match {
       case Some(c) if columns.contains(c) =>
-        base.copy(bloom = Some(buildBloom(written, c)))
-      case _ => base
+        withBxs.copy(bloom = Some(buildBloom(written, phys(c))))
+      case _ => withBxs
     }
   }
 
-  private def writeSegment(df: DataFrame): Segment = {
+  /** logical→physical column map for a write: the EVOLVED schema when
+    * this commit carries one (a new column's physical assignment must
+    * govern the very write that introduces it), else the recorded
+    * schema; empty when the table has no column mapping — the
+    * identity fast path every pre-mapping table stays on. */
+  private def writeMapping(evolvedB64: Option[String])
+      : Map[String, String] = {
+    val sc = evolvedB64.map(decodeSchema)
+      .orElse(if (latestVersion() < 0) None
+        else recordedSchema(latestVersion()))
+    sc.filter(LogStore.hasMapping)
+      .map(_.fields.iterator
+        .map(f => f.name -> LogStore.physicalName(f)).toMap)
+      .getOrElse(Map.empty)
+  }
+
+  private def toPhysicalDf(df: DataFrame,
+      m: Map[String, String]): DataFrame =
+    if (m.isEmpty || df.columns.forall(c => m.getOrElse(c, c) == c)) df
+    else {
+      import org.apache.spark.sql.functions.{col => fcol}
+      df.select(df.columns.toSeq.map(c =>
+        fcol(c).as(m.getOrElse(c, c))): _*)
+    }
+
+  /** Physical→logical projection for RAW segment reads OUTSIDE
+    * [[scanSegments]] (the DV-delete candidate scan, the feed's
+    * insert-segment reads), with passthrough columns kept as-is.
+    * Identity when the table has no column mapping. */
+  private def rawToLogical(df: DataFrame,
+      keep: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.{col => fcol, lit => flit}
+    (if (latestVersion() < 0) None
+     else recordedSchema(latestVersion()))
+      .filter(LogStore.hasMapping) match {
+      case Some(s) =>
+        df.select(s.fields.toSeq.map { f =>
+          val p = LogStore.physicalName(f)
+          if (df.columns.contains(p)) fcol(p).as(f.name)
+          else flit(null).cast(f.dataType).as(f.name)
+        } ++ keep.map(fcol): _*)
+      case None => df
+    }
+  }
+
+  private def writeSegment(df: DataFrame,
+      evolvedB64: Option[String] = None): Segment = {
     val name = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
-    df.write.parquet(s"$root/$name")
-    segmentMeta(name, df.columns)
+    val m = writeMapping(evolvedB64)
+    toPhysicalDf(df, m).write.parquet(s"$root/$name")
+    segmentMeta(name, df.columns, m)
   }
 
   private def addJson(s: Segment): String = {
@@ -1157,6 +1313,11 @@ class LogStore(spark: SparkSession, val root: String,
       else s.extra.toSeq.sortBy(_._1).map { case (c, (lo, hi, n)) =>
         s"$c|$lo|$hi|${if (n) "t" else "f"}"
       }.mkString(""","xs":"""", ";", "\"")
+    // extra NAME-KEYED blooms (the multi-column filters): col|hex;…
+    val bxs =
+      if (s.bxs.isEmpty) ""
+      else s.bxs.toSeq.sortBy(_._1).map { case (c, h) => s"$c|$h" }
+        .mkString(""","bxs":"""", ";", "\"")
     // the exact row count rides every add action: the O(segments)
     // answer to COUNT(*) (aggregate pushdown), and free accounting
     val rows = s.rows.map(n => s""","rows":$n""").getOrElse("")
@@ -1164,7 +1325,7 @@ class LogStore(spark: SparkSession, val root: String,
     // so replay reconstructs it without the original dv action
     val dv = s.dv.map { case (f, n) => s""","dvf":"$f","dvr":$n""" }
       .getOrElse("")
-    s"""{"add":"${s.name}"$stats$bloom$xs$rows$dv}"""
+    s"""{"add":"${s.name}"$stats$bloom$xs$bxs$rows$dv}"""
   }
 
   /** Publish a commit at `expected` version via create-exclusive —
@@ -1241,10 +1402,130 @@ class LogStore(spark: SparkSession, val root: String,
         .getOrElse(read(v).schema) // legacy pre-stamp log
       cols.foreach(f => require(!current.fieldNames.contains(f.name),
         s"column '${f.name}' already exists"))
+      val retired = LogStore.retiredPhysical(st.propsStr)
       val evolved = org.apache.spark.sql.types.StructType(
-        current.fields ++ cols.fields)
+        current.fields ++
+          cols.fields.map(assignPhysical(_, current, retired)))
       try return commit(v + 1, Nil, Nil,
         schema = Some(encodeSchema(evolved)))
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** ALTER TABLE RENAME COLUMN as a METADATA-ONLY schema commit
+    * (Delta-style column mapping): the field keeps its stable
+    * PHYSICAL (on-disk) name — assigned now if it never had one — and
+    * only the logical name changes, so zero data bytes move, old
+    * segments keep reading through the mapping, and time travel
+    * presents the old name AS OF its version (the schema action is
+    * version-scoped state). A column carrying the skipping config
+    * (statsCol/statsCols/bloomCol) refuses: the recorded config and
+    * per-segment bounds key on the old name — re-point the
+    * TBLPROPERTIES first. */
+  def renameColumn(from: String, to: String,
+      maxAttempts: Int = 5): Long = {
+    require(from != to, "rename to the same name is a no-op")
+    require(to.nonEmpty && !to.exists("|;\"\n=,".contains(_)),
+      s"column name '$to' may not contain | ; = , quote or newline")
+    require(maxAttempts >= 1, "need at least one attempt")
+    var attempt = 1
+    while (true) {
+      val v = latestVersion()
+      require(v >= 0, s"no log at $root")
+      val st = replayTo(v)
+      // guard on the RECORDED config (plus this handle's): an
+      // unconfigured path handle must refuse just the same
+      require(!skippingColumns(st.propsStr).contains(from),
+        s"column '$from' carries the skipping config " +
+          "(statsCol/statsCols/bloomCol) — ALTER TBLPROPERTIES " +
+          "first, then rename")
+      val current = st.schemaB64.map(decodeSchema)
+        .getOrElse(read(v).schema)
+      require(current.fieldNames.contains(from),
+        s"no column '$from' to rename")
+      require(!current.fieldNames.contains(to),
+        s"column '$to' already exists")
+      val evolved = org.apache.spark.sql.types.StructType(
+        current.fields.map { f =>
+          if (f.name != from) f
+          else f.copy(name = to, metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString(LogStore.PhysicalNameKey,
+                LogStore.physicalName(f))
+              .build())
+        })
+      try return commit(v + 1, Nil, Nil,
+        schema = Some(encodeSchema(evolved)))
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** ALTER TABLE DROP COLUMN as a METADATA-ONLY commit: the field
+    * leaves the schema and its PHYSICAL name is RETIRED into the
+    * props action in the SAME commit — zero data bytes move, old
+    * snapshots time-travel with the column intact, and a later ADD
+    * COLUMN under the same logical name gets a fresh `col-<uuid>`
+    * physical so the dropped bytes can never resurrect (the
+    * drop-then-re-add contract). Skipping-config columns refuse like
+    * rename; dropping every column refuses. */
+  def dropColumns(names: Seq[String], maxAttempts: Int = 5): Long = {
+    require(names.nonEmpty, "DROP COLUMN needs at least one column")
+    require(maxAttempts >= 1, "need at least one attempt")
+    var attempt = 1
+    while (true) {
+      val v = latestVersion()
+      require(v >= 0, s"no log at $root")
+      val st = replayTo(v)
+      names.foreach(n => require(
+        !skippingColumns(st.propsStr).contains(n),
+        s"column '$n' carries the skipping config " +
+          "(statsCol/statsCols/bloomCol) — ALTER TBLPROPERTIES " +
+          "first, then drop"))
+      val current = st.schemaB64.map(decodeSchema)
+        .getOrElse(read(v).schema)
+      names.foreach(n => require(current.fieldNames.contains(n),
+        s"no column '$n' to drop"))
+      require(current.fields.length > names.length,
+        "cannot drop every column")
+      val dropped = current.fields.filter(f => names.contains(f.name))
+      val evolved = org.apache.spark.sql.types.StructType(
+        current.fields.filterNot(f => names.contains(f.name)))
+      // the retired set and the schema land in ONE commit — a crash
+      // between them could otherwise let a re-add reclaim the
+      // physical name and resurrect dropped bytes
+      val cur = recordedProps(v).toSeq
+        .flatMap(_.split(';').iterator.filter(_.contains('=')))
+        .map { e =>
+          val i = e.indexOf('='); (e.take(i), e.drop(i + 1))
+        }.toMap
+      val retired = (LogStore.retiredPhysical(st.propsStr) ++
+        dropped.map(LogStore.physicalName)).toSeq.sorted
+      val next = cur + ("graft.retiredPhysical" -> retired.mkString(","))
+      val extras = next.view
+        .filterKeys(!LogStore.EngineProps.contains(_)).toMap
+      val encoded = LogStore.encodePropsFrom(
+        next.get("statsCol"),
+        next.get("statsCols").toSeq.flatMap(_.split(',').toSeq)
+          .map(_.trim).filter(_.nonEmpty),
+        next.get("bloomCol"),
+        next.get("bloomBits").map(_.toInt).getOrElse(4096),
+        next.get("dvDeletes").contains("true"), extras,
+        next.get("bloomCols").toSeq.flatMap(_.split(',').toSeq)
+          .map(_.trim).filter(_.nonEmpty))
+      try return commit(v + 1, Nil, Nil,
+        schema = Some(encodeSchema(evolved)),
+        props = Some(encoded.getOrElse("")))
       catch {
         case e: ConcurrentCommitException =>
           if (attempt >= maxAttempts) throw e
@@ -1319,20 +1600,31 @@ class LogStore(spark: SparkSession, val root: String,
       val dropStats = changed("statsCol") && next.contains("statsCol")
       val dropBloom = next.contains("bloomCol") &&
         (changed("bloomCol") || changed("bloomBits"))
+      // the NAME-KEYED extra blooms (`bxs`) cannot be mis-attributed
+      // by a membership change (a column re-entering bloomCols finds
+      // its old hex still CORRECT — values are immutable and the hash
+      // is a pure function of value and bits); only a bloomBits
+      // change invalidates them, because the bit positions move
+      val dropBxs = changed("bloomBits")
       val reAdds = live.filter(s =>
           (dropStats && s.min.nonEmpty) ||
-          (dropBloom && s.bloom.nonEmpty))
+          (dropBloom && s.bloom.nonEmpty) ||
+          (dropBxs && s.bxs.nonEmpty))
         .map { s =>
           val a = if (dropStats)
             s.copy(min = None, max = None, num = false) else s
-          if (dropBloom) a.copy(bloom = None) else a
+          val b = if (dropBloom) a.copy(bloom = None) else a
+          if (dropBxs) b.copy(bxs = Map.empty) else b
         }
       val nextStats = next.get("statsCol")
       val nextStatsCols = next.get("statsCols").toSeq
         .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty)
       val nextBloom = next.get("bloomCol")
+      val nextBloomCols = next.get("bloomCols").toSeq
+        .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty)
       val nextBits = next.get("bloomBits").map(_.toInt).getOrElse(4096)
-      (nextStats.toSeq ++ nextBloom.toSeq ++ nextStatsCols).foreach(c =>
+      (nextStats.toSeq ++ nextBloom.toSeq ++ nextStatsCols ++
+        nextBloomCols).foreach(c =>
         require(!c.exists("|;\"\n=,".contains(_)),
           s"configured column name '$c' may not contain | ; = , " +
             "quote or newline"))
@@ -1342,7 +1634,7 @@ class LogStore(spark: SparkSession, val root: String,
         .filterKeys(!LogStore.EngineProps.contains(_)).toMap
       val encoded = LogStore.encodePropsFrom(nextStats, nextStatsCols,
         nextBloom, nextBits,
-        next.get("dvDeletes").contains("true"), extras)
+        next.get("dvDeletes").contains("true"), extras, nextBloomCols)
       // an empty cdc marker keeps the re-add commit dataChange=false:
       // without it the change feed would read the re-added segments
       // as fresh inserts and every mirror would double its rows
@@ -1389,8 +1681,8 @@ class LogStore(spark: SparkSession, val root: String,
     val base =
       if (baseVersion == Long.MinValue) latestVersion() else baseVersion
     val (schemaAct, propsAct) = enforceSchema(df.schema, base)
-    commit(base + 1, Seq(writeSegment(df)), Nil, schema = schemaAct,
-      props = propsAct)
+    commit(base + 1, Seq(writeSegment(df, schemaAct)), Nil,
+      schema = schemaAct, props = propsAct)
   }
 
   /** Idempotent streaming append — the paper's `txn` action: the
@@ -1404,7 +1696,7 @@ class LogStore(spark: SparkSession, val root: String,
     if (batchId <= lastTxn()) return -1L
     val base = latestVersion()
     val (schemaAct, propsAct) = enforceSchema(df.schema, base)
-    commit(base + 1, Seq(writeSegment(df)), Nil,
+    commit(base + 1, Seq(writeSegment(df, schemaAct)), Nil,
       txn = Some(batchId), schema = schemaAct, props = propsAct)
   }
 
@@ -1462,7 +1754,10 @@ class LogStore(spark: SparkSession, val root: String,
         cdcs.map(c => spark.read.parquet(s"$root/$c")
           .withColumn("_commit_version", flit(v)))
       else if (removes.isEmpty && adds.nonEmpty)
-        adds.map(a => spark.read.parquet(s"$root/${a.name}")
+        // rawToLogical: a plain append's insert events present the
+        // CURRENT logical names even when the files hold physical ones
+        adds.map(a => rawToLogical(
+          spark.read.parquet(s"$root/${a.name}"))
           .withColumn("_change_type", flit("insert"))
           .withColumn("_commit_version", flit(v)))
       else Nil // compaction / vacuum / metadata-only: no data change
@@ -1656,12 +1951,14 @@ class LogStore(spark: SparkSession, val root: String,
     // a point delete decode ~the matching groups, not the segment).
     // Rows ALREADY in a vector are then anti-joined out, so they
     // never re-delete and never re-report in the feed.
-    val matchedRaw = select(spark.read.option("mergeSchema", "true")
-      .parquet(candidates.map(s => s"$root/${s.name}"): _*)
-      .withColumn("_dv_seg",
-        element_at(fsplit(fcol("_metadata.file_path"), "/"), -2))
-      .withColumn("_dv_file", fcol("_metadata.file_name"))
-      .withColumn("_dv_pos", fcol("_metadata.row_index")))
+    val matchedRaw = select(rawToLogical(
+      spark.read.option("mergeSchema", "true")
+        .parquet(candidates.map(s => s"$root/${s.name}"): _*)
+        .withColumn("_dv_seg",
+          element_at(fsplit(fcol("_metadata.file_path"), "/"), -2))
+        .withColumn("_dv_file", fcol("_metadata.file_name"))
+        .withColumn("_dv_pos", fcol("_metadata.row_index")),
+      keep = Seq("_dv_seg", "_dv_file", "_dv_pos")))
     val priorDv = candidates.filter(_.dv.nonEmpty).map { s =>
       spark.read.parquet(s"$root/${s.dv.get._1}")
         .select(flit(s.name).as("_dv_seg"), fcol("file").as("_dv_file"),
@@ -1839,6 +2136,59 @@ class LogStore(spark: SparkSession, val root: String,
     -1L // unreachable
   }
 
+  /** Atomic REBUILD of a derived table: replace the ENTIRE live
+    * content with `df` (range-clustered like optimize when
+    * `clusterBy` is given), advance the stream-txn fence to
+    * `batchId`, and optionally update table properties — all in ONE
+    * commit. The shape an index/materialization maintainer needs for
+    * crash-consistent retrains: a crashed rebuild leaves the old
+    * content, old fence AND old props intact (the rebuild simply
+    * replays), a replayed `batchId` is a no-op returning -1, and a
+    * generation stamp in `setProps` becomes visible atomically WITH
+    * the content it describes. The commit is a data-changing rewrite
+    * with no cdc diff — feeds over a rebuilt table refuse loudly at
+    * that version, as they do for any uncatalogued rewrite (derived
+    * state is re-derived, not mirrored). */
+  def rebuildWithFence(df: DataFrame, batchId: Long,
+      targetSegments: Int = 8,
+      clusterBy: Seq[org.apache.spark.sql.Column] = Nil,
+      setProps: Map[String, String] = Map.empty): Long = {
+    if (batchId <= lastTxn()) return -1L
+    val v = latestVersion()
+    require(v >= 0, s"no log at $root")
+    val old = liveSegments(v)
+    val (schemaAct, propsAct0) = enforceSchema(df.schema, v)
+    val propsAct =
+      if (setProps.isEmpty) propsAct0
+      else {
+        setProps.foreach { case (k, vv) =>
+          require(k.nonEmpty && !(k + vv).exists(";\"\n=".contains(_)),
+            s"property '$k' may not contain ; = quote or newline")
+        }
+        val cur = recordedProps(v).toSeq
+          .flatMap(_.split(';').iterator.filter(_.contains('=')))
+          .map { e =>
+            val i = e.indexOf('='); (e.take(i), e.drop(i + 1))
+          }.toMap
+        val next = cur ++ setProps
+        val extras = next.view
+          .filterKeys(!LogStore.EngineProps.contains(_)).toMap
+        Some(LogStore.encodePropsFrom(
+          next.get("statsCol"),
+          next.get("statsCols").toSeq.flatMap(_.split(',').toSeq)
+            .map(_.trim).filter(_.nonEmpty),
+          next.get("bloomCol"),
+          next.get("bloomBits").map(_.toInt).getOrElse(4096),
+          next.get("dvDeletes").contains("true"), extras,
+          next.get("bloomCols").toSeq.flatMap(_.split(',').toSeq)
+            .map(_.trim).filter(_.nonEmpty))
+          .getOrElse(""))
+      }
+    val adds = rewriteClustered(df, targetSegments, clusterBy)
+    commit(v + 1, adds, old, txn = Some(batchId),
+      schema = schemaAct, props = propsAct)
+  }
+
   /** Compaction: same rows, one segment — the small-files fix. The
     * snapshot BEFORE compaction remains readable at its version. */
   def compact(): Long = {
@@ -1910,14 +2260,24 @@ class LogStore(spark: SparkSession, val root: String,
     * nothing is published until the caller commits. */
   private def rewriteClustered(data: DataFrame, targetSegments: Int,
       clusterBy: Seq[org.apache.spark.sql.Column]): Seq[Segment] = {
-    import org.apache.spark.sql.functions.spark_partition_id
+    import org.apache.spark.sql.functions.{col => fcol,
+      spark_partition_id}
     val arranged =
       if (clusterBy.isEmpty) data.repartition(targetSegments)
       else data.repartitionByRange(targetSegments, clusterBy: _*)
     val tmpName = s"opt-${java.util.UUID.randomUUID().toString.take(12)}"
     val tmp = s"$root/_$tmpName"
-    arranged.withColumn("_opt_bucket", spark_partition_id())
-      .write.partitionBy("_opt_bucket").parquet(tmp)
+    // under column mapping the rewrite must land PHYSICAL names —
+    // bucket first (the projection must not disturb the range
+    // partitioning capture), then rename
+    val m = writeMapping(None)
+    val bucketed = arranged.withColumn("_opt_bucket",
+      spark_partition_id())
+    val physical =
+      if (m.isEmpty) bucketed
+      else bucketed.select(data.columns.toSeq.map(c =>
+        fcol(c).as(m.getOrElse(c, c))) :+ fcol("_opt_bucket"): _*)
+    physical.write.partitionBy("_opt_bucket").parquet(tmp)
     val buckets = fs.listStatus(new Path(tmp))
       .map(_.getPath.getName).filter(_.startsWith("_opt_bucket="))
       .sortBy(_.stripPrefix("_opt_bucket=").toInt)
@@ -1925,7 +2285,7 @@ class LogStore(spark: SparkSession, val root: String,
       val name = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
       if (!fs.rename(new Path(s"$tmp/$b"), new Path(s"$root/$name")))
         throw new java.io.IOException(s"rename of $b to $name failed")
-      segmentMeta(name, data.columns)
+      segmentMeta(name, data.columns, m)
     }
     fs.delete(new Path(tmp), true)
     adds
@@ -2247,10 +2607,10 @@ class LogStore(spark: SparkSession, val root: String,
         // in it) — segments are immutable, so the set diff IS the
         // row diff
         val departing = removes.map(s =>
-          spark.read.parquet(s"$root/$s")
+          rawToLogical(spark.read.parquet(s"$root/$s"))
             .withColumn("_change_type", flit("delete")))
         val returning = adds.map(s =>
-          spark.read.parquet(s"$root/${s.name}")
+          rawToLogical(spark.read.parquet(s"$root/${s.name}"))
             .withColumn("_change_type", flit("insert")))
         // allowMissingColumns: the rollback may span a schema
         // evolution — both shapes belong in one feed segment
@@ -2368,7 +2728,7 @@ class LogStore(spark: SparkSession, val root: String,
         .join(matchedKeys, keyCols, "left_anti")
         .withColumn("_change_type", flit("insert")))
     MergeResult(
-      commitRevalidated(v, Seq(writeSegment(rewritten)),
+      commitRevalidated(v, Seq(writeSegment(rewritten, schemaAct)),
         touched.map(_.name),
         // unpruned merges may match ANY concurrently-added row; key-
         // range-pruned ones conflict only with overlapping adds
@@ -2462,7 +2822,8 @@ class LogStore(spark: SparkSession, val root: String,
       .unionByName(touchedData.join(dels, keyCols, "left_semi")
         .withColumn("_change_type", flit("delete")),
         allowMissingColumns = true)
-    commit(v + 1, Seq(writeSegment(rewritten)), touched.map(_.name),
+    commit(v + 1, Seq(writeSegment(rewritten, schemaAct)),
+      touched.map(_.name),
       txn = Some(batchId), cdc = Seq(writeChangeSegment(changes)),
       schema = schemaAct, props = propsAct)
   }
@@ -2651,7 +3012,8 @@ class LogStore(spark: SparkSession, val root: String,
     import org.apache.spark.sql.functions.{col => fcol, lit => flit}
     require(adds.nonEmpty || removes.nonEmpty, "nothing to replace")
     val (schemaAct, propsAct) = enforceSchema(writeSchema, readVersion)
-    val addMeta = adds.map(segmentMeta(_, writeSchema.fieldNames.toSeq))
+    val addMeta = adds.map(segmentMeta(_, writeSchema.fieldNames.toSeq,
+      writeMapping(None)))
     // the diff is aligned on the post-write table shape: old segments
     // read null in evolved columns (the usual evolution semantics)
     val target = schemaAct.map(decodeSchema)
@@ -2681,8 +3043,10 @@ class LogStore(spark: SparkSession, val root: String,
       else project(scanSegments(removedInfos, None))
     val after =
       if (adds.isEmpty) empty
-      else project(spark.read.option("mergeSchema", "true")
-        .parquet(adds.map(d => s"$root/$d"): _*))
+      // rawToLogical: the staged files hold PHYSICAL names under
+      // column mapping — the feed diff compares logical shapes
+      else project(rawToLogical(spark.read.option("mergeSchema", "true")
+        .parquet(adds.map(d => s"$root/$d"): _*)))
     val changes = before.exceptAll(after)
       .withColumn("_change_type", flit("delete"))
       .unionByName(after.exceptAll(before)
@@ -2706,12 +3070,30 @@ class LogStore(spark: SparkSession, val root: String,
     require(names.nonEmpty, "nothing to publish")
     require(maxAttempts >= 1, "need at least one attempt")
     val columns = writeSchema.fieldNames.toSeq
-    lazy val adds = names.map(segmentMeta(_, columns))
+    lazy val adds = names.map(segmentMeta(_, columns,
+      writeMapping(None)))
     var attempt = 1
     while (true) {
       if (txn.exists(_ <= lastTxn())) return -1L
       val base = latestVersion()
       val (schemaAct, propsAct) = enforceSchema(writeSchema, base)
+      // the staged files were already written (physical names resolved
+      // against the RECORDED mapping); a NEW column that enforceSchema
+      // had to re-map to a fresh col-uuid (its name collides with a
+      // dropped/renamed column's storage name) would leave the files
+      // holding the claimed name — resurrected bytes. Refuse with the
+      // workaround rather than publish a lie.
+      schemaAct.map(decodeSchema).foreach(_.fields.foreach { f =>
+        val written = writeSchema.fields.find(_.name == f.name)
+        written.foreach { w =>
+          if (LogStore.physicalName(f) != LogStore.physicalName(w) &&
+              !writeMapping(None).contains(f.name))
+            throw new IllegalArgumentException(
+              s"column '${f.name}' collides with a dropped/renamed " +
+                "column's storage name — run ALTER TABLE ADD COLUMN " +
+                "first (assigning its physical name), then write")
+        }
+      })
       try return commit(base + 1, adds, Nil, txn = txn,
         schema = schemaAct, props = propsAct)
       catch {
@@ -2729,24 +3111,58 @@ object LogStore {
     * [[configured]] maps them to constructor fields and everything
     * else round-trips as [[LogStore!.extraProps]]. */
   private[catalog] val EngineProps: Set[String] =
-    Set("statsCol", "statsCols", "bloomCol", "bloomBits", "dvDeletes")
+    Set("statsCol", "statsCols", "bloomCol", "bloomCols", "bloomBits",
+      "dvDeletes")
 
   /** The canonical `props` action encoding — shared by the
     * constructor-config stamp and [[LogStore!.setProperties]], so a
     * re-stamp comparison never sees two spellings of one config. */
   private[catalog] def encodePropsFrom(statsCol: Option[String],
       statsCols: Seq[String], bloomCol: Option[String], bloomBits: Int,
-      dvDeletes: Boolean, extraProps: Map[String, String])
+      dvDeletes: Boolean, extraProps: Map[String, String],
+      bloomCols: Seq[String] = Nil)
       : Option[String] = {
     val parts =
       statsCol.map(c => s"statsCol=$c").toSeq ++
       (if (statsCols.isEmpty) Nil
        else Seq(s"statsCols=${statsCols.mkString(",")}")) ++
       bloomCol.map(c => s"bloomCol=$c;bloomBits=$bloomBits").toSeq ++
+      (if (bloomCols.isEmpty) Nil
+       else Seq(s"bloomCols=${bloomCols.mkString(",")}" +
+         (if (bloomCol.isEmpty) s";bloomBits=$bloomBits" else ""))) ++
       (if (dvDeletes) Seq("dvDeletes=true") else Nil) ++
       extraProps.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
     if (parts.isEmpty) None else Some(parts.mkString(";"))
   }
+
+  /** COLUMN MAPPING (Delta-style logical→physical indirection): a
+    * field may carry its on-disk parquet name in StructField
+    * metadata under [[PhysicalNameKey]]. RENAME rewrites only the
+    * logical name (the physical stays — old segments keep reading);
+    * DROP hides the field and retires its physical name; a column
+    * (re-)added under a previously-used name gets a fresh
+    * `col-<uuid>` physical so dropped data can never resurrect. The
+    * mapping rides the schema action (StructType.json preserves
+    * metadata), so every reader that plans from the recorded schema
+    * sees it for free; fields without the key are identity-mapped —
+    * pre-mapping tables and segments stay byte-compatible. */
+  private[graft] val PhysicalNameKey = "graft.physical"
+
+  private[graft] def physicalName(
+      f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalNameKey))
+      f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  private[graft] def hasMapping(
+      sc: org.apache.spark.sql.types.StructType): Boolean =
+    sc.fields.exists(_.metadata.contains(PhysicalNameKey))
+
+  private[graft] def physicalSchema(
+      sc: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      sc.fields.map(f => f.copy(name = physicalName(f))))
 
   /** True iff a STRING segment bound is recordable: its spelling is
     * inert in the line-oriented log grammar (no quote / backslash /
@@ -2759,6 +3175,25 @@ object LogStore {
     * min/max) — in agreement on every comparison that involves a
     * bound: at the first differing position, ASCII-vs-anything orders
     * identically under both encodings. */
+  /** "Any queried bit clear" is a PROOF of absence — the Bloom
+    * membership test over a hex-serialized filter. */
+  private[catalog] def hexHasBits(hex: String,
+      positions: Seq[Int]): Boolean =
+    positions.forall { p =>
+      val nib = hex.charAt(p / 4)
+      val v = java.lang.Integer.parseInt(String.valueOf(nib), 16)
+      (v & (1 << (p % 4))) != 0
+    }
+
+  /** RETIRED physical names — dropped columns' storage names, kept in
+    * the props action so a later add can never reclaim them. */
+  private[graft] def retiredPhysical(propsStr: Option[String])
+      : Set[String] =
+    propsStr.toSeq.flatMap(_.split(';'))
+      .filter(_.startsWith("graft.retiredPhysical="))
+      .flatMap(_.stripPrefix("graft.retiredPhysical=").split(','))
+      .filter(_.nonEmpty).toSet
+
   private[graft] def safeStringBound(s: String): Boolean =
     s.nonEmpty && s.length <= 96 &&
       s.forall(ch => ch >= ' ' && ch <= '~' && ch != '"' &&
@@ -2805,7 +3240,9 @@ object LogStore {
           // application props round-trip: a configured() writer must
           // re-stamp them, never silently drop them from the action
           extraProps = kv.view.filterKeys(!EngineProps.contains(_))
-            .toMap)
+            .toMap,
+          bloomCols = kv.get("bloomCols").toSeq
+            .flatMap(_.split(',').toSeq).filter(_.nonEmpty))
     }
   }
 }

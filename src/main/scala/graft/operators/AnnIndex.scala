@@ -97,6 +97,18 @@ object AnnIndex {
       }: _*).getField("cid")
   }
 
+  /** Squared-L2 distance to the NEAREST trained centroid — the same
+    * struct-least and IEEE term order as [[assignExpr]]'s argmin, so
+    * the drift metric measures exactly what the assignment does. */
+  private def assignDistExpr(cents: Array[Seq[Double]]): Column = {
+    val vv = vec_dot(col("embedding"), col("embedding"))
+    least(cents.zipWithIndex.map { case (c, cid) =>
+      val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+      struct((vv - lit(2.0) * vec_dot(col("embedding"), typedLit(c)) +
+        lit(cc)).as("d"), lit(cid.toLong).as("cid"))
+    }: _*).getField("d")
+  }
+
   /** Per-query probe cells: a sorted (score, cell_id) struct array
     * sliced to nProbe — best-cosine-first for the deterministic book,
     * smallest-distance-first for the trained one (each the exact
@@ -155,10 +167,15 @@ object AnnIndex {
     val idx = IvfIndex(s"$dir/centroids", s"$dir/postings")
     val cents = Similarity.kMeansCentroids(
       corpus.select(col("vec_id"), col("embedding")), nCells, iters)
+    // the training-time assignment quality — the baseline the drift
+    // trigger in [[maintainIvf]] compares incoming batches against
+    val trainDist = withNorm(corpus)
+      .select(avg(assignDistExpr(cents)).as("d")).head().getDouble(0)
     import spark.implicits._
     new LogStore(spark, idx.centroidsRoot,
       extraProps = Map("ivfPolicy" -> "trained",
-        "ivfCells" -> nCells.toString, "ivfIters" -> iters.toString))
+        "ivfCells" -> nCells.toString, "ivfIters" -> iters.toString,
+        "ivfTrainDist" -> trainDist.toString))
       .append(cents.zipWithIndex
         .map { case (c, cid) => (cid.toLong, c) }.toSeq
         .toDF("cell_id", "embedding"))
@@ -199,12 +216,37 @@ object AnnIndex {
     * A DETERMINISTIC codebook anchored on a now-deleted corpus vector
     * refuses loudly (its vector can no longer be fetched — rebuild,
     * or use the trained policy, whose centroids are index state).
-    * Returns the corpus version now covered. */
+    *
+    * TRAINED codebooks also get a DRIFT-triggered retrain: the mean
+    * squared-L2 assignment distance of the incoming batch is compared
+    * against the training-time baseline recorded in the centroids
+    * table's `ivfTrainDist` property — past `retrainDriftRatio`×
+    * (distribution drift: recall would silently decay forever under
+    * the stale codebook), the whole index is REBUILT from the current
+    * corpus: new k-means centroids, postings reassigned, each table
+    * replaced in ONE fenced generation-stamped commit (centroids
+    * first). A crash between the two commits leaves the generations
+    * diverged — [[searchIvf]] refuses loudly on that, and the next
+    * maintainIvf call HEALS by finishing the postings rebuild from
+    * the already-persisted codebook. Pass `retrainDriftRatio = 0` to
+    * disable the trigger. Returns the corpus version now covered. */
   def maintainIvf(spark: SparkSession, corpusStore: LogStore,
-      idx: IvfIndex, nCells: Int = 16): Long = {
+      idx: IvfIndex, nCells: Int = 16,
+      retrainDriftRatio: Double = 3.0): Long = {
     val postings = LogStore.configured(spark, idx.postingsRoot)
+    val centStore = LogStore.configured(spark, idx.centroidsRoot)
     val cursor = math.max(postings.lastTxn(), -1L)
     val latest = corpusStore.latestVersion()
+    val genC = centStore.recordedProp("ivfGen").map(_.toLong)
+      .getOrElse(0L)
+    val genP = postings.recordedProp("ivfGen").map(_.toLong)
+      .getOrElse(0L)
+    if (genC > genP)
+      // a retrain crashed between its two commits: the new codebook
+      // is persisted, its postings are not — finish the rebuild (the
+      // feed is irrelevant; the rebuild covers the corpus at latest)
+      return rebuildPostings(spark, corpusStore, idx,
+        loadCodebook(spark, idx, corpusStore.read()), latest, genC)
     if (latest <= cursor) return cursor
     val changes = corpusStore.readChanges(cursor + 1, latest).cache()
     try {
@@ -232,6 +274,26 @@ object AnnIndex {
       val added = lastAction
         .where(col("_change_type").isin("insert", "update_postimage"))
       val book = loadCodebook(spark, idx, corpusStore.read())
+      // drift gate — BEFORE any mutation: a drifted batch means the
+      // codebook no longer describes the data; absorbing it
+      // incrementally would bake the decay in
+      book match {
+        case TrainedBook(cents) if retrainDriftRatio > 0 =>
+          val trainDist = centStore.recordedProp("ivfTrainDist")
+            .map(_.toDouble).filter(_ > 0)
+          trainDist.foreach { td =>
+            val row = withNorm(added
+              .select(col("vec_id"), col("embedding")))
+              .select(avg(assignDistExpr(cents)).as("d")).head()
+            val batchDist = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+            if (batchDist > retrainDriftRatio * td) {
+              System.err.println(s"[annindex] drift ${batchDist / td}x " +
+                s"training baseline at ${idx.postingsRoot} — retraining")
+              return retrainIvf(spark, corpusStore, idx, latest, genC)
+            }
+          }
+        case _ => ()
+      }
       book match {
         case CorpusBook(cents) =>
           val centIds = cents.map(_._1)
@@ -268,6 +330,58 @@ object AnnIndex {
             "maintenance drivers on one index")
       latest
     } finally changes.unpersist()
+  }
+
+  /** The DRIFTED-index retrain: new k-means codebook over the CURRENT
+    * corpus (same recorded cells/iters config), postings reassigned,
+    * each table replaced through ONE atomic
+    * [[graft.catalog.LogStore.rebuildWithFence]] commit carrying the
+    * bumped `ivfGen` stamp and (for centroids) the fresh
+    * `ivfTrainDist` baseline. Centroids land FIRST: a crash between
+    * the commits leaves generations diverged, which [[searchIvf]]
+    * refuses loudly and the next [[maintainIvf]] heals — never a
+    * silently-wrong probe against a half-rebuilt index. */
+  private def retrainIvf(spark: SparkSession, corpusStore: LogStore,
+      idx: IvfIndex, latest: Long, curGen: Long): Long = {
+    val centStore = LogStore.configured(spark, idx.centroidsRoot)
+    val nCells = centStore.recordedProp("ivfCells").map(_.toInt)
+      .getOrElse(16)
+    val iters = centStore.recordedProp("ivfIters").map(_.toInt)
+      .getOrElse(2)
+    val corpus = corpusStore.read()
+    val cents = Similarity.kMeansCentroids(
+      corpus.select(col("vec_id"), col("embedding")), nCells, iters)
+    val trainDist = withNorm(corpus)
+      .select(avg(assignDistExpr(cents)).as("d")).head().getDouble(0)
+    import spark.implicits._
+    val gen = curGen + 1
+    centStore.rebuildWithFence(
+      cents.zipWithIndex.map { case (c, cid) => (cid.toLong, c) }
+        .toSeq.toDF("cell_id", "embedding"),
+      batchId = latest, targetSegments = 1,
+      setProps = Map("ivfGen" -> gen.toString,
+        "ivfTrainDist" -> trainDist.toString))
+    rebuildPostings(spark, corpusStore, idx, TrainedBook(cents),
+      latest, gen)
+  }
+
+  /** The postings half of a rebuild: full reassignment of the current
+    * corpus under `book`, range-clustered on cell_id (preserving the
+    * files-opened probe economics), fenced at `latest` and stamped
+    * with `gen` in one commit. Also the HEAL step after a crashed
+    * retrain. */
+  private def rebuildPostings(spark: SparkSession,
+      corpusStore: LogStore, idx: IvfIndex, book: Codebook,
+      latest: Long, gen: Long): Long = {
+    val postings = LogStore.configured(spark, idx.postingsRoot)
+    val df = withNorm(corpusStore.read())
+      .withColumn("cell_id", assignExpr(book))
+      .select(col("cell_id"), col("vec_id"), col("nrm"))
+    val segs = math.max(postings.liveSegmentInfos().size, 1)
+    postings.rebuildWithFence(df, batchId = latest,
+      targetSegments = segs, clusterBy = Seq(col("cell_id")),
+      setProps = Map("ivfGen" -> gen.toString))
+    latest
   }
 
   /** The persisted codebook re-hydrated, by recorded policy: trained
@@ -312,6 +426,16 @@ object AnnIndex {
   def searchIvf(spark: SparkSession, idx: IvfIndex, corpus: DataFrame,
       queries: DataFrame, k: Int = 5, nProbe: Int = 4)
       : (DataFrame, Int, Int) = {
+    // generation guard: a retrain replaces codebook and postings in
+    // two commits — probing a new codebook against old assignments
+    // (or vice versa) would return silently-wrong neighbors
+    val genC = LogStore.configured(spark, idx.centroidsRoot)
+      .recordedProp("ivfGen").map(_.toLong).getOrElse(0L)
+    val genP = LogStore.configured(spark, idx.postingsRoot)
+      .recordedProp("ivfGen").map(_.toLong).getOrElse(0L)
+    require(genC == genP,
+      s"index generations diverge (centroids $genC vs postings " +
+        s"$genP) — a retrain was interrupted; run maintainIvf to heal")
     val book = loadCodebook(spark, idx, corpus)
     val probes = withNorm(queries)
       .withColumn("probe", explode(slice(probeStructs(book), 1, nProbe)))

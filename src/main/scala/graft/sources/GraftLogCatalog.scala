@@ -217,20 +217,23 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
       bloomBits = props.get("bloomBits").map(_.toInt).getOrElse(4096),
       statsCols = props.get("statsCols").toSeq
         .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty),
-      dvDeletes = props.get("dvDeletes").exists(_.toBoolean))
+      dvDeletes = props.get("dvDeletes").exists(_.toBoolean),
+      bloomCols = props.get("bloomCols").toSeq
+        .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty))
     store.create(schema)
     loadTable(ident)
   }
 
-  /** The one safe DDL evolution: `ALTER TABLE ... ADD COLUMN`
-    * (nullable, top-level, flat-writable type) commits a
-    * METADATA-ONLY schema action — zero data bytes, old segments read
-    * null, time travel keeps the old shape
-    * ([[graft.catalog.LogStore.addColumns]]). Everything else keeps
-    * the reasoned refusal: types never mutate (coexisting-types
-    * corruption), drops/renames would orphan recorded stats and lie
-    * to time travel — those evolve by writing evolved rows or by a
-    * CTAS migration. */
+  /** The safe DDL evolutions, every one a METADATA-ONLY commit:
+    * `ADD COLUMN` (nullable, top-level, flat-writable —
+    * [[graft.catalog.LogStore.addColumns]]), `RENAME COLUMN` and
+    * `DROP COLUMN` via column mapping (the physical name stays, only
+    * the logical view changes — [[graft.catalog.LogStore
+    * .renameColumn]]/[[graft.catalog.LogStore.dropColumns]]; columns
+    * carrying the skipping config refuse toward TBLPROPERTIES
+    * first), and SET/UNSET TBLPROPERTIES. Everything else keeps the
+    * reasoned refusal: types never mutate (coexisting-types
+    * corruption) — that evolves by CTAS migration. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val dir = tableDir(ident)
@@ -239,16 +242,35 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
     val sets = changes.collect { case s: TableChange.SetProperty => s }
     val unsets = changes.collect {
       case r: TableChange.RemoveProperty => r }
-    if (adds.size + sets.size + unsets.size != changes.size)
+    val renames = changes.collect {
+      case r: TableChange.RenameColumn => r }
+    val drops = changes.collect {
+      case d: TableChange.DeleteColumn => d }
+    if (adds.size + sets.size + unsets.size + renames.size +
+        drops.size != changes.size)
       throw new UnsupportedOperationException(
-        "graft-log ALTER TABLE supports ADD COLUMN (nullable) and " +
-          "SET/UNSET TBLPROPERTIES only — schemas otherwise evolve " +
-          "by WRITING evolved rows (columns may be added by any " +
-          "append; types never mutate)")
+        "graft-log ALTER TABLE supports ADD COLUMN (nullable), " +
+          "RENAME COLUMN, DROP COLUMN and SET/UNSET TBLPROPERTIES " +
+          "only — schemas otherwise evolve by WRITING evolved rows " +
+          "(columns may be added by any append; types never mutate)")
     if (sets.nonEmpty || unsets.nonEmpty)
       LogStore.configured(spark, dir).setProperties(
         sets.map(s => s.property -> s.value).toMap,
         unsets.map(_.property).toSet)
+    renames.foreach { r =>
+      require(r.fieldNames.length == 1,
+        "graft-log stores flat columns; nested RENAME COLUMN " +
+          s"'${r.fieldNames.mkString(".")}' is not supported")
+      LogStore.configured(spark, dir)
+        .renameColumn(r.fieldNames()(0), r.newName())
+    }
+    if (drops.nonEmpty) {
+      drops.foreach(d => require(d.fieldNames.length == 1,
+        "graft-log stores flat columns; nested DROP COLUMN " +
+          s"'${d.fieldNames.mkString(".")}' is not supported"))
+      LogStore.configured(spark, dir)
+        .dropColumns(drops.map(_.fieldNames()(0)).toSeq)
+    }
     if (adds.isEmpty) return loadTable(ident)
     val fields = adds.map { a =>
       require(a.fieldNames.length == 1,

@@ -351,7 +351,9 @@ final class GraftReplaceBatchWrite(root: String, schema: StructType,
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new LogDataWriterFactory(s"$root/$stage", schema,
+    new LogDataWriterFactory(s"$root/$stage",
+      LogDataWriterFactory.physicalFor(SparkSession.active, root,
+        schema),
       LogStreamPlanning.confEntries(SparkSession.active))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -153,7 +153,9 @@ final class LogBatchWrite(root: String, schema: StructType,
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new LogDataWriterFactory(s"$root/$stage", schema,
+    new LogDataWriterFactory(s"$root/$stage",
+      LogDataWriterFactory.physicalFor(SparkSession.active, root,
+        schema),
       LogStreamPlanning.confEntries(SparkSession.active))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -184,7 +186,9 @@ final class LogStreamingWrite(root: String, schema: StructType,
   // abort(epochId) removes precisely the files its epoch staged
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new LogDataWriterFactory(stagePrefix, schema,
+    new LogDataWriterFactory(stagePrefix,
+      LogDataWriterFactory.physicalFor(SparkSession.active, root,
+        schema),
       LogStreamPlanning.confEntries(SparkSession.active))
 
   override def commit(epochId: Long,
@@ -327,6 +331,34 @@ final class LogDataWriterFactory(stageDir: String, schema: StructType,
     new LogDataWriter(
       s"$stageDir-e$epochId/part-$partitionId-$taskId.parquet", schema,
       conf)
+}
+
+object LogDataWriterFactory {
+  /** The PHYSICAL write schema for a write of `schema` into the table
+    * at `root`: field names swapped per the table's RECORDED column
+    * mapping, matched by LOGICAL name — a plain DataFrame append
+    * carries no mapping metadata of its own, so the table's schema is
+    * the source of truth; fields unknown to the table (a write-side
+    * evolution) keep their own name. Identity for unmapped tables and
+    * first writes. Resolved DRIVER-side (factories serialize to
+    * executors). Rows arrive in the logical schema's POSITIONS, so
+    * renaming the fields is the whole translation. */
+  def physicalFor(spark: org.apache.spark.sql.SparkSession,
+      root: String, schema: StructType): StructType = {
+    import graft.catalog.LogStore
+    val recorded =
+      try {
+        val st = new LogStore(spark, root)
+        if (st.latestVersion() < 0) None else st.recordedSchema()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val byName = recorded
+      .map(_.fields.iterator
+        .map(f => f.name -> LogStore.physicalName(f)).toMap)
+      .getOrElse(Map.empty[String, String])
+    if (byName.forall { case (l, p) => l == p }) schema
+    else StructType(schema.fields.map(f =>
+      f.copy(name = byName.getOrElse(f.name, LogStore.physicalName(f)))))
+  }
 }
 
 /** Executor-side writer: one task, one parquet file, opened LAZILY on

@@ -135,9 +135,18 @@ object LogStreamSource {
     if (store.latestVersion() < 0) return new StructType()
     val snap = store.recordedSchema().getOrElse(store.read().schema)
     snap.fields.foreach { f =>
-      require(supported.contains(f.dataType) ||
-          f.dataType.isInstanceOf[DecimalType],
-        s"graft-log streams flat columns; '${f.name}' is ${f.dataType}")
+      // flat scalars plus ARRAYS OF scalars (embedding tables — the
+      // streaming index-maintenance loop tails them)
+      val ok = f.dataType match {
+        case dt if supported.contains(dt) => true
+        case _: DecimalType => true
+        case ArrayType(e, _) =>
+          supported.contains(e) || e.isInstanceOf[DecimalType]
+        case _ => false
+      }
+      require(ok,
+        s"graft-log streams flat columns and arrays of scalars; " +
+          s"'${f.name}' is ${f.dataType}")
     }
     StructType(snap.fields.toSeq.map(_.copy(nullable = true)))
   }
@@ -629,13 +638,22 @@ final class LogStreamPartitionReader(schema: StructType,
         case "_change_type" if p.implied.isDefined =>
           UTF8String.fromString(p.implied.get)
         case "_segment" if !gt.containsField("_segment") => segName
-        case name =>
+        case _ =>
+          // column mapping: files hold the field's PHYSICAL name —
+          // identity without mapping; a missing physical (an added
+          // or freshly re-added column) reads null, the evolution
+          // and no-resurrection semantics in one rule
+          val name = graft.catalog.LogStore.physicalName(f)
           if (!gt.containsField(name)) null
           else {
             val idx = gt.getFieldIndex(name)
             if (current.getFieldRepetitionCount(idx) == 0) null
-            else LogStreamPartitionReader.convert(current, idx,
-              gt.getType(idx).asPrimitiveType(), f.dataType)
+            else f.dataType match {
+              case at: ArrayType =>
+                LogStreamPartitionReader.convertArray(current, idx, at)
+              case dt => LogStreamPartitionReader.convert(current, idx,
+                gt.getType(idx).asPrimitiveType(), dt)
+            }
           }
       }
       i += 1
@@ -651,23 +669,72 @@ object LogStreamPartitionReader {
     * covering every physical encoding Spark's writer emits for the
     * supported flat types (INT96 and INT64 milli/micro/nano
     * timestamps, int/long/binary decimals, DATE int32). */
+  /** An ARRAY-of-scalars column from its parquet list encoding —
+    * Spark's standard 3-level (`repeated group list { element }`),
+    * the legacy 2-level (`repeated group bag { array }`), and the
+    * bare `repeated <primitive>` form all land here; the element
+    * values route through [[convert]] with the repetition ordinal. */
+  private[sources] def convertArray(g: Group, idx: Int,
+      at: ArrayType): Any = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val fieldType = g.getType.getType(idx)
+    if (fieldType.isPrimitive) {
+      // bare repeated primitive
+      val n = g.getFieldRepetitionCount(idx)
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        out(i) = convert(g, idx, fieldType.asPrimitiveType(),
+          at.elementType, i)
+        i += 1
+      }
+      return new GenericArrayData(out)
+    }
+    val outer = g.getGroup(idx, 0)
+    val ot = outer.getType
+    require(ot.getFieldCount == 1, s"unsupported list encoding: $ot")
+    val inner = ot.getType(0)
+    val n = outer.getFieldRepetitionCount(0)
+    val out = new Array[Any](n)
+    var i = 0
+    if (inner.isPrimitive) {
+      // legacy 2-level: repeated <primitive> directly in the group
+      while (i < n) {
+        out(i) = convert(outer, 0, inner.asPrimitiveType(),
+          at.elementType, i)
+        i += 1
+      }
+    } else {
+      // standard 3-level: repeated group list { optional element }
+      while (i < n) {
+        val e = outer.getGroup(0, i)
+        out(i) =
+          if (e.getFieldRepetitionCount(0) == 0) null
+          else convert(e, 0, e.getType.getType(0).asPrimitiveType(),
+            at.elementType, 0)
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
   private[sources] def convert(g: Group, idx: Int, pt: PrimitiveType,
-      dt: DataType): Any = dt match {
-    case BooleanType => g.getBoolean(idx, 0)
-    case ByteType => g.getInteger(idx, 0).toByte
-    case ShortType => g.getInteger(idx, 0).toShort
-    case IntegerType | DateType => g.getInteger(idx, 0)
-    case LongType => g.getLong(idx, 0)
-    case FloatType => g.getFloat(idx, 0)
-    case DoubleType => g.getDouble(idx, 0)
-    case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
-    case BinaryType => g.getBinary(idx, 0).getBytes
+      dt: DataType, rep: Int = 0): Any = dt match {
+    case BooleanType => g.getBoolean(idx, rep)
+    case ByteType => g.getInteger(idx, rep).toByte
+    case ShortType => g.getInteger(idx, rep).toShort
+    case IntegerType | DateType => g.getInteger(idx, rep)
+    case LongType => g.getLong(idx, rep)
+    case FloatType => g.getFloat(idx, rep)
+    case DoubleType => g.getDouble(idx, rep)
+    case StringType => UTF8String.fromBytes(g.getBinary(idx, rep).getBytes)
+    case BinaryType => g.getBinary(idx, rep).getBytes
     case TimestampType | TimestampNTZType =>
       pt.getPrimitiveTypeName match {
         case PrimitiveTypeName.INT96 =>
-          int96ToMicros(g.getInt96(idx, 0).getBytes)
+          int96ToMicros(g.getInt96(idx, rep).getBytes)
         case PrimitiveTypeName.INT64 =>
-          val raw = g.getLong(idx, 0)
+          val raw = g.getLong(idx, rep)
           pt.getLogicalTypeAnnotation match {
             case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
               t.getUnit match {
@@ -683,18 +750,19 @@ object LogStreamPartitionReader {
     case d: DecimalType =>
       pt.getPrimitiveTypeName match {
         case PrimitiveTypeName.INT32 =>
-          Decimal(g.getInteger(idx, 0).toLong, d.precision, d.scale)
+          Decimal(g.getInteger(idx, rep).toLong, d.precision, d.scale)
         case PrimitiveTypeName.INT64 =>
-          Decimal(g.getLong(idx, 0), d.precision, d.scale)
+          Decimal(g.getLong(idx, rep), d.precision, d.scale)
         case PrimitiveTypeName.BINARY |
             PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY =>
           Decimal(BigDecimal(new java.math.BigInteger(
-            g.getBinary(idx, 0).getBytes), d.scale), d.precision, d.scale)
+            g.getBinary(idx, rep).getBytes), d.scale),
+            d.precision, d.scale)
         case other => throw new IllegalArgumentException(
           s"unsupported decimal encoding $other")
       }
     case other => throw new IllegalArgumentException(
-      s"graft-log streams flat columns; got $other")
+      s"graft-log streams flat columns and arrays of scalars; got $other")
   }
 
   /** INT96 timestamp: 8 LE bytes nanos-of-day + 4 LE bytes Julian
@@ -1088,7 +1156,7 @@ private[sources] object LogSnapshotPruning {
   private def isStats(store: LogStore, c: String): Boolean =
     store.configuredStatsColumns.contains(c)
   private def isBloom(store: LogStore, c: String): Boolean =
-    store.configuredBloomColumn.contains(c)
+    store.configuredBloomColumns.contains(c)
 
   /** Can this filter shape contribute ANY pruning on this table's
     * recorded columns? (What `pushedFilters` reports.) */
@@ -1118,7 +1186,7 @@ private[sources] object LogSnapshotPruning {
     case EqualTo(c, v) =>
       statsStr(v).forall(s => seg.mayOverlapOn(c, s, s)) &&
         (!isBloom(store, c) || bloomStr(v).forall(k =>
-          seg.mayContain(store.bloomPositions(k))))
+          seg.mayContainOn(c, store.bloomPositions(k))))
     case EqualNullSafe(c, v) if v != null =>
       mayMatch(store, seg, EqualTo(c, v))
     case GreaterThan(c, v) =>

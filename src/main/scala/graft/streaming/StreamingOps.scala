@@ -243,6 +243,39 @@ object StreamingOps {
     *
     * The table is ALWAYS the batch aggregate of everything consumed —
     * the streaming answer to "keep a latest-state table live". */
+  /** STREAMING INDEX MAINTENANCE: tail the corpus table's native
+    * change feed and absorb every micro-batch into the persisted IVF
+    * index via [[graft.operators.AnnIndex.maintainIvf]]. The stream
+    * is only the SCHEDULER — the micro-batch content is discarded;
+    * maintainIvf re-reads the feed transactionally from the index's
+    * own txn cursor, so at-least-once foreachBatch delivery,
+    * overlapping batches, restarts (with or without the Spark
+    * checkpoint) and replays all collapse into the fence:
+    * stream-fed index ≡ batch-maintained index, exactly once.
+    * Deletes ride the same loop (the feed carries them; maintainIvf
+    * turns them into posting deletion vectors), and the trained
+    * policy's drift-triggered retrain fires from here too. With
+    * `availableNow` (the default) the query drains the current
+    * history and terminates — the cron-style maintenance shape; pass
+    * false for a long-running tail. */
+  def maintainIvfStream(spark: SparkSession, corpusRoot: String,
+      idx: graft.operators.AnnIndex.IvfIndex, checkpointDir: String,
+      nCells: Int = 16, availableNow: Boolean = true,
+      retrainDriftRatio: Double = 3.0): StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    val writer = spark.readStream.format("graft-log")
+      .option("path", corpusRoot).load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        val store = graft.catalog.LogStore.configured(spark, corpusRoot)
+        graft.operators.AnnIndex.maintainIvf(spark, store, idx,
+          nCells, retrainDriftRatio): Unit
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer).start()
+  }
+
   def upsertAggToLog(aggregated: DataFrame,
       target: graft.catalog.LogStore, keyCols: Seq[String],
       checkpointDir: String): StreamingQuery =

@@ -442,6 +442,97 @@ class LogStoreSpec extends AnyFunSuite {
     assert(df.count() == 1)
   }
 
+  test("MULTI-COLUMN Bloom filters: the primary and each name-keyed " +
+      "extra prune independently with zero false negatives, the " +
+      "hexes survive a SHARDED checkpoint's sidecars, a bloomCols " +
+      "membership change keeps the still-valid hexes, and only a " +
+      "bloomBits change clears them") {
+    val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
+    val t = new LogStore(spark, dir, statsCol = Some("id"),
+      bloomCol = Some("a"), bloomCols = Seq("b", "c"),
+      checkpointInterval = 1000, checkpointShardRows = 2)
+    // keys CLUSTER differently per column: b changes every 50 ids
+    // (one or two segments hold any b-key), c every 80 (a c-key can
+    // straddle two segments) — distinct per-column skip shapes
+    def seg(lo: Int) = (lo until lo + 100)
+      .map(i => (i.toLong, s"a$i", s"b${i / 50}", s"c${i / 80}"))
+      .toDF("id", "a", "b", "c")
+    (0 until 4).foreach(i => t.append(seg(i * 100)))
+    // every configured column prunes on ITS OWN filter
+    val (lkA, oA, lA) = t.pointLookup("a7")
+    assert(lA == 4 && oA == 1 && lkA.count() == 1L)
+    val (lkB, oB, _) = t.pointLookupOn("b", "b3")
+    assert(oB < 4 && lkB.count() ==
+      t.read().where(col("b") === "b3").count())
+    val (lkC, oC, _) = t.pointLookupOn("c", "c2")
+    assert(oC < 4 && lkC.count() ==
+      t.read().where(col("c") === "c2").count())
+    intercept[IllegalArgumentException] { t.pointLookupOn("id", "5") }
+    // hexes survive a SHARDED checkpoint: parts strip them, the
+    // sidecars carry primary AND name-keyed together
+    t.checkpoint()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val latest = t.latestVersion()
+    (0L until latest).foreach(v => fs.delete(
+      new org.apache.hadoop.fs.Path(f"$dir/_log/$v%08d.json"), false))
+    val r = LogStore.configured(spark, dir)
+    val (lkB2, oB2, _) = r.pointLookupOn("b", "b3")
+    assert(oB2 == oB && lkB2.count() == lkB.count(),
+      "sidecar-served extra blooms must prune identically")
+    // membership change: dropping c from the config leaves b's hexes
+    // VALID (name-keyed, value-derived) — no clearance, still pruning
+    r.setProperties(Map("bloomCols" -> "b"))
+    val r2 = LogStore.configured(spark, dir)
+    val (_, oB3, _) = r2.pointLookupOn("b", "b3")
+    assert(oB3 == oB, "a membership change must not shed valid hexes")
+    intercept[IllegalArgumentException] { r2.pointLookupOn("c", "c2") }
+    // re-entering keeps working too (the old hexes are still correct)
+    r2.setProperties(Map("bloomCols" -> "b,c"))
+    val r3 = LogStore.configured(spark, dir)
+    val (lkC2, oC2, _) = r3.pointLookupOn("c", "c2")
+    assert(oC2 == oC && lkC2.count() == lkC.count(),
+      "re-entering bloomCols must reuse the recorded hexes")
+  }
+
+  test("column mapping through the programmatic surfaces: rename " +
+      "then merge / DV delete / change feed / checkpoint round trip " +
+      "all speak the NEW logical name while the files keep the " +
+      "stable physical one") {
+    val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
+    val t = new LogStore(spark, dir, statsCol = Some("id"),
+      checkpointInterval = 3, dvDeletes = true)
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "label"))
+    t.renameColumn("label", "tag")
+    // merge keyed on id carries the renamed column through a rewrite
+    t.merge(Seq((2L, "B!"), (9L, "i")).toDF("id", "tag"), "id")
+    assert(t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "B!"), (3L, "c"), (9L, "i")))
+    // a DV delete whose predicate names the NEW column
+    t.deleteWhereDV("tag = 'c'")
+    assert(t.read().count() == 3L)
+    assert(t.read().where(col("tag") === "c").count() == 0L)
+    // the feed speaks the current logical name for plain appends
+    t.append(Seq((20L, "t")).toDF("id", "tag"))
+    val feed = t.readChanges(t.latestVersion(), t.latestVersion())
+    assert(feed.columns.contains("tag") && feed.count() == 1L)
+    // checkpoint + fresh path-only handle: the mapping rides the
+    // schema action, so resolution from the checkpoint keeps it
+    t.checkpoint()
+    val r = LogStore.configured(spark, dir)
+    assert(r.read().columns.toSeq == Seq("id", "tag"))
+    assert(r.read().where(col("tag") === "B!").count() == 1L)
+    // the physical name on disk really is the ORIGINAL — the whole
+    // point of the mapping (no segment rewrite at rename time)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val anySeg = r.liveSegmentInfos().head.name
+    val onDisk = spark.read.parquet(s"$dir/$anySeg").columns.toSeq
+    assert(onDisk.contains("label") && !onDisk.contains("tag"),
+      s"files must keep the physical name: $onDisk")
+  }
+
   test("a non-conflict I/O failure during commit is NOT misreported " +
       "as a concurrent commit") {
     val t = fresh()

@@ -272,6 +272,142 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(opened <= live)
   }
 
+  test("DRIFT-triggered retrain: a batch from a shifted distribution " +
+      "degrades recall under the stale codebook; maintainIvf detects " +
+      "the drift against the recorded training baseline, retrains as " +
+      "generation-stamped fenced rebuilds, and recall recovers to " +
+      "the fresh-build level EXACTLY") {
+    val dir = Files.createTempDirectory("graft-anndrift").toString
+    val corpusStore = new LogStore(spark, s"$dir/corpus",
+      statsCol = Some("vec_id"))
+    corpusStore.append(corpusDf(128)) // clusters on EVEN axes
+    val v0 = corpusStore.latestVersion()
+    // two identical indexes over the same corpus: one will absorb the
+    // drifted batch incrementally (trigger disabled), one will retrain
+    val idxInc = AnnIndex.buildIvfTrained(spark, corpusStore.read(),
+      v0, s"$dir/inc", nCells = 8, iters = 2, postingSegments = 4)
+    val idxRt = AnnIndex.buildIvfTrained(spark, corpusStore.read(),
+      v0, s"$dir/rt", nCells = 8, iters = 2, postingSegments = 4)
+    // the DRIFTED batch: bumps on ODD axes — far from every trained
+    // centroid, and big enough to dominate future queries
+    val drifted = (0 until 64).map { i =>
+      val id = 5000L + i
+      val cluster = (i % 8)
+      val v = Array.tabulate(dims)(d =>
+        (if (d == cluster * 2 + 1) 10f else 0f) +
+          0.1f * (((id * 31 + d * 7) % 13).toFloat))
+      (id, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    corpusStore.append(drifted)
+    val latest = corpusStore.latestVersion()
+    assert(AnnIndex.maintainIvf(spark, corpusStore, idxInc,
+      nCells = 8, retrainDriftRatio = 0) == latest)
+    assert(AnnIndex.maintainIvf(spark, corpusStore, idxRt,
+      nCells = 8) == latest)
+    // the trigger fired: generation stamped on BOTH tables, baseline
+    // re-recorded
+    val centRt = LogStore.configured(spark, idxRt.centroidsRoot)
+    val postRt = LogStore.configured(spark, idxRt.postingsRoot)
+    assert(centRt.recordedProp("ivfGen").contains("1") &&
+      postRt.recordedProp("ivfGen").contains("1"),
+      "the retrain must stamp both tables' generations")
+    assert(LogStore.configured(spark, idxInc.centroidsRoot)
+      .recordedProp("ivfGen").isEmpty,
+      "the disabled-trigger twin must not retrain")
+    // recall vs brute on drifted queries: the retrained index must
+    // strictly beat the stale-codebook twin...
+    val corpus = corpusStore.read()
+    val queries = corpus.where(col("vec_id") >= 5000L &&
+      col("vec_id") < 5008L)
+    def recallOf(idx: AnnIndex.IvfIndex): Double = {
+      val got = AnnIndex.searchIvf(spark, idx, corpus, queries,
+        k = 5, nProbe = 2)._1
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      val want = Similarity.bruteForceTopK(corpus, queries, k = 5)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      got.intersect(want).size.toDouble / want.size
+    }
+    val rInc = recallOf(idxInc)
+    val rRt = recallOf(idxRt)
+    assert(rRt > rInc,
+      s"retrained recall ($rRt) must beat the stale codebook ($rInc)")
+    // ...and EQUAL a fresh build over the same corpus (deterministic
+    // k-means init → identical codebook → identical results)
+    val idxFresh = AnnIndex.buildIvfTrained(spark, corpusStore.read(),
+      latest, s"$dir/fresh", nCells = 8, iters = 2,
+      postingSegments = 4)
+    val gotRt = AnnIndex.searchIvf(spark, idxRt, corpus, queries,
+      k = 5, nProbe = 2)._1
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val gotFresh = AnnIndex.searchIvf(spark, idxFresh, corpus, queries,
+      k = 5, nProbe = 2)._1
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(gotRt == gotFresh,
+      "the retrained index must answer exactly like a fresh build")
+    // a replayed maintain is a no-op (the rebuild is fenced)
+    assert(AnnIndex.maintainIvf(spark, corpusStore, idxRt,
+      nCells = 8) == latest)
+  }
+
+  test("a retrain CRASHED between its two commits refuses loudly at " +
+      "search (generation mismatch) and the next maintainIvf HEALS " +
+      "by finishing the postings rebuild from the persisted codebook") {
+    val dir = Files.createTempDirectory("graft-annheal").toString
+    val corpusStore = new LogStore(spark, s"$dir/corpus",
+      statsCol = Some("vec_id"))
+    corpusStore.append(corpusDf(128))
+    val v0 = corpusStore.latestVersion()
+    // the crashed index and a twin that will absorb the same history
+    // incrementally — the heal's expected answer
+    val idx = AnnIndex.buildIvfTrained(spark, corpusStore.read(),
+      v0, s"$dir/idx", nCells = 8, iters = 2, postingSegments = 4)
+    val idxRef = AnnIndex.buildIvfTrained(spark, corpusStore.read(),
+      v0, s"$dir/ref", nCells = 8, iters = 2, postingSegments = 4)
+    // the corpus moves (the commits whose drift triggered the
+    // retrain-in-progress) — a real crash window always has
+    // latest > the postings cursor
+    corpusStore.append(corpusDf(16, seedOffset = 2000L))
+    val latest = corpusStore.latestVersion()
+    // simulate the crash window: the centroids half of the retrain
+    // landed (same codebook content here, generation bumped), the
+    // postings half did not
+    val centStore = LogStore.configured(spark, idx.centroidsRoot)
+    val centRows = centStore.read().collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    centStore.rebuildWithFence(centRows.toDF("cell_id", "embedding"),
+      batchId = latest, targetSegments = 1,
+      setProps = Map("ivfGen" -> "1"))
+    val corpus = corpusStore.read()
+    val queries = corpus.where(col("vec_id") < 4)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.searchIvf(spark, idx, corpus, queries, k = 5,
+        nProbe = 2)
+    }
+    assert(e.getMessage.contains("generations diverge"),
+      s"the half-rebuilt index must refuse: ${e.getMessage}")
+    // heal: maintainIvf finishes the postings rebuild (full corpus
+    // reassignment under the persisted codebook, fenced at latest)
+    assert(AnnIndex.maintainIvf(spark, corpusStore, idx,
+      nCells = 8) == latest)
+    assert(LogStore.configured(spark, idx.postingsRoot)
+      .recordedProp("ivfGen").contains("1"))
+    // the twin absorbed the same commits incrementally under the SAME
+    // codebook — identical assignments, identical answers
+    assert(AnnIndex.maintainIvf(spark, corpusStore, idxRef,
+      nCells = 8, retrainDriftRatio = 0) == latest)
+    def results(i: AnnIndex.IvfIndex) =
+      AnnIndex.searchIvf(spark, i, corpus, queries, k = 5,
+        nProbe = 2)._1
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+    assert(results(idx) == results(idxRef),
+      "the healed index must answer exactly like the incremental twin")
+  }
+
   test("TRAINED persisted index: restart search equals the in-memory " +
       "ivfTopKTrained exactly, the probe stats-prunes, and the " +
       "training config rides the table properties") {

@@ -380,7 +380,9 @@ class GraftLogCatalogSpec extends AnyFunSuite {
     spark.sql("ALTER TABLE gtest.evoddl ADD COLUMNS (a INT, b STRING)")
     assert(spark.table("gtest.evoddl").columns.toSeq ==
       Seq("id", "v", "score", "a", "b"))
-    // refusals: NOT NULL, duplicate, nested, non-ADD changes
+    // refusals: NOT NULL, duplicate, unsupported changes (RENAME and
+    // DROP are now supported via column mapping — their own suites —
+    // but a type mutation keeps refusing)
     intercept[Exception] {
       spark.sql("ALTER TABLE gtest.evoddl ADD COLUMN nn INT NOT NULL")
     }
@@ -388,7 +390,7 @@ class GraftLogCatalogSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE gtest.evoddl ADD COLUMN score DOUBLE")
     }
     intercept[Exception] {
-      spark.sql("ALTER TABLE gtest.evoddl RENAME COLUMN v TO w")
+      spark.sql("ALTER TABLE gtest.evoddl ALTER COLUMN v TYPE INT")
     }
   }
 
@@ -532,6 +534,104 @@ class GraftLogCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SHOW NAMESPACES IN gtest").collect()
       .map(_.getString(0)).contains("nsdrop"))
     spark.sql("DROP NAMESPACE gtest.nsdrop")
+  }
+
+  test("ALTER TABLE RENAME COLUMN is a METADATA-ONLY commit via " +
+      "column mapping: zero data bytes, old segments read through " +
+      "the mapping, new writes land under the stable physical name, " +
+      "time travel shows the OLD name AS OF its version, and every " +
+      "downstream op (INSERT, UPDATE, DELETE, optimize, feed) keeps " +
+      "working on the new name") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.cmap")
+    spark.sql("CREATE TABLE gtest.cmap.rn (id BIGINT, label STRING) " +
+      "TBLPROPERTIES ('statsCol' = 'id')")
+    spark.sql("INSERT INTO gtest.cmap.rn VALUES (1,'a'), (2,'b'), (3,'c')")
+    val store = LogStore.configured(spark, s"$root/cmap/rn")
+    val vBefore = store.latestVersion()
+    val segsBefore = store.liveSegmentInfos().map(_.name).toSet
+    spark.sql("ALTER TABLE gtest.cmap.rn RENAME COLUMN label TO tag")
+    // metadata-only: one commit, zero new segments
+    assert(store.latestVersion() == vBefore + 1)
+    assert(store.liveSegmentInfos().map(_.name).toSet == segsBefore)
+    // old segments read through the mapping
+    assert(spark.sql("SELECT tag FROM gtest.cmap.rn WHERE id = 2")
+      .head().getString(0) == "b")
+    // new writes land under the STABLE physical name: append + read
+    spark.sql("INSERT INTO gtest.cmap.rn VALUES (4, 'd')")
+    assert(spark.sql(
+        "SELECT count(*) FROM gtest.cmap.rn WHERE tag IS NOT NULL")
+      .head().getLong(0) == 4L,
+      "old and new segments must agree on the renamed column")
+    // time travel: AS OF the pre-rename version shows the OLD name
+    val old = spark.sql(
+      s"SELECT * FROM gtest.cmap.rn VERSION AS OF $vBefore")
+    assert(old.columns.toSeq == Seq("id", "label"))
+    assert(old.where(col("id") === 2).head().getString(1) == "b")
+    // row-level DML on the renamed column
+    spark.sql("UPDATE gtest.cmap.rn SET tag = 'zz' WHERE id = 1")
+    assert(spark.sql("SELECT tag FROM gtest.cmap.rn WHERE id = 1")
+      .head().getString(0) == "zz")
+    spark.sql("DELETE FROM gtest.cmap.rn WHERE tag = 'd'")
+    assert(spark.sql("SELECT count(*) FROM gtest.cmap.rn")
+      .head().getLong(0) == 3L)
+    // maintenance rewrite keeps the mapping intact
+    store.compact()
+    assert(spark.sql("SELECT tag FROM gtest.cmap.rn WHERE id = 2")
+      .head().getString(0) == "b")
+    // programmatic surfaces read logical names too
+    assert(store.read().columns.toSeq == Seq("id", "tag"))
+    // renaming the stats column refuses with the workaround
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.cmap.rn RENAME COLUMN id TO key")
+    }
+    assert(e.getMessage.contains("TBLPROPERTIES"),
+      s"stats-column rename must refuse: ${e.getMessage}")
+  }
+
+  test("DROP COLUMN hides the field with zero data bytes; a column " +
+      "RE-ADDED under the same name gets a fresh physical name and " +
+      "NEVER resurrects the dropped bytes; time travel keeps the old " +
+      "shape") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.cmap")
+    spark.sql("CREATE TABLE gtest.cmap.dr " +
+      "(id BIGINT, secret STRING, keep STRING)")
+    spark.sql("INSERT INTO gtest.cmap.dr VALUES " +
+      "(1, 'hunter2', 'k1'), (2, 'hunter3', 'k2')")
+    val store = LogStore.configured(spark, s"$root/cmap/dr")
+    val vBefore = store.latestVersion()
+    val segsBefore = store.liveSegmentInfos().map(_.name).toSet
+    spark.sql("ALTER TABLE gtest.cmap.dr DROP COLUMN secret")
+    assert(store.latestVersion() == vBefore + 1,
+      "the drop is ONE metadata commit")
+    assert(store.liveSegmentInfos().map(_.name).toSet == segsBefore,
+      "zero data bytes move")
+    assert(spark.sql("SELECT * FROM gtest.cmap.dr").columns.toSeq ==
+      Seq("id", "keep"))
+    // time travel: the dropped column is intact AS OF its version
+    assert(spark.sql(
+        s"SELECT secret FROM gtest.cmap.dr VERSION AS OF $vBefore " +
+          "WHERE id = 1").head().getString(0) == "hunter2")
+    // RE-ADD the same name: fresh physical — the old bytes must NOT
+    // come back, not from old segments, not after new writes
+    spark.sql("ALTER TABLE gtest.cmap.dr ADD COLUMN secret STRING")
+    assert(spark.sql("SELECT secret FROM gtest.cmap.dr WHERE id = 1")
+      .head().isNullAt(0),
+      "the re-added column must read NULL off the old segments — " +
+        "anything else resurrects dropped data")
+    spark.sql("INSERT INTO gtest.cmap.dr VALUES (3, 'k3', 'new3')")
+    val got = spark.sql("SELECT id, secret FROM gtest.cmap.dr " +
+      "ORDER BY id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(got == Seq((1L, None), (2L, None), (3L, Some("new3"))),
+      s"only the post-re-add write may carry values: $got")
+    // drop-then-re-add-then-drop-then-re-add: each generation isolated
+    spark.sql("ALTER TABLE gtest.cmap.dr DROP COLUMN secret")
+    spark.sql("ALTER TABLE gtest.cmap.dr ADD COLUMN secret STRING")
+    assert(spark.sql("SELECT count(*) FROM gtest.cmap.dr " +
+        "WHERE secret IS NOT NULL").head().getLong(0) == 0L,
+      "the second re-add must not see the first generation either")
   }
 
   test("a PRE-EXISTING table under a reserved name stays reachable " +

@@ -172,6 +172,26 @@ class LogStreamSourceSpec extends AnyFunSuite {
       "every scalar must survive the parquet Group conversion exactly")
   }
 
+  test("ARRAYS of scalars stream through the Group converter: an " +
+      "embedding table's feed round-trips float/double/long arrays " +
+      "exactly (standard 3-level list encoding), empty arrays and " +
+      "null arrays included") {
+    val t = fresh()
+    val df = Seq(
+      (1L, Seq(1.5f, -2.25f, 0f), Seq(1.0, 2.0), Option(Seq(7L, 8L))),
+      (2L, Seq.empty[Float], Seq(-0.125), None: Option[Seq[Long]]))
+      .toDF("id", "emb", "dv", "lv")
+    t.append(df)
+    val got = drain(stream(t.root), "lss_arrays")
+      .drop("_change_type", "_commit_version")
+    def canon(x: DataFrame) = x
+      .select(col("id"), col("emb"), col("dv"), col("lv"))
+      .as[(Long, Seq[Float], Seq[Double], Option[Seq[Long]])]
+      .collect().toSet
+    assert(canon(got) == canon(t.read()),
+      "arrays must survive the parquet list conversion exactly")
+  }
+
   test("BATCH feed reads: spark.read over the source equals " +
       "readChanges, changesFrom/changesTo slice by version, and the " +
       "vacuum refusal holds on the batch path too") {

@@ -675,27 +675,43 @@ class LogStore(spark: SparkSession, val root: String,
     if (adds.size <= checkpointShardRows)
       write(checkpointPath(at), adds.view.map(addJson) ++ small)
     else {
-      // serialized lines stay lazy per shard — only one shard's worth
-      // of strings is ever resident
-      val parts = adds.grouped(checkpointShardRows).toSeq
-      parts.zipWithIndex.foreach { case (g, i) =>
-        write(checkpointPartPath(at, i),
-          g.view.map(s =>
-            addJson(s.copy(bloom = None, bxs = Map.empty))))
-      }
-      var bParts = 0
-      adds.iterator
-        .filter(s => s.bloom.nonEmpty || s.bxs.nonEmpty)
-        .map(s => addJson(Segment(s.name, None, None, num = false,
-          bloom = s.bloom, bxs = s.bxs)))
-        .grouped(checkpointShardRows)
-        .foreach { g =>
-          write(checkpointBloomPath(at, bParts), g)
-          bParts += 1
-        }
+      // shards serialize AND write in PARALLEL (independent files;
+      // serialized lines stay lazy per shard, so only ~poolSize
+      // shards' strings are ever resident); the manifest still lands
+      // LAST, strictly after every part — its existence is the
+      // commit point, so a crash mid-fan-out stays invisible
+      def shards(n: Int): Int =
+        (n + checkpointShardRows - 1) / checkpointShardRows
+      val k = shards(adds.size)
+      val withBloom = adds.filter(s =>
+        s.bloom.nonEmpty || s.bxs.nonEmpty)
+      val bk = shards(withBloom.size)
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(math.max(k + bk, 1), 8))
+      try {
+        def task(body: => Unit) =
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = body
+          })
+        val futs =
+          (0 until k).map { i =>
+            task(write(checkpointPartPath(at, i),
+              adds.view.slice(i * checkpointShardRows,
+                (i + 1) * checkpointShardRows)
+                .map(s => addJson(s.copy(bloom = None,
+                  bxs = Map.empty)))))
+          } ++
+          (0 until bk).map { i =>
+            task(write(checkpointBloomPath(at, i),
+              withBloom.view.slice(i * checkpointShardRows,
+                (i + 1) * checkpointShardRows)
+                .map(s => addJson(Segment(s.name, None, None,
+                  num = false, bloom = s.bloom, bxs = s.bxs)))))
+          }
+        futs.foreach(_.get())
+      } finally pool.shutdown()
       write(checkpointPath(at),
-        s"""{"ckptParts":${parts.size},"ckptBlooms":$bParts}""" +:
-          small)
+        s"""{"ckptParts":$k,"ckptBlooms":$bk}""" +: small)
     }
     // advance (never regress) the `_last_checkpoint` pointer; a
     // checkpoint of an old version must not point resolution backwards
@@ -2539,8 +2555,12 @@ class LogStore(spark: SparkSession, val root: String,
     * extra-stats columns, Bloom presence) plus its physical bytes:
     * the per-file ops view behind [[describeDetail]]'s totals — where
     * an operator looks to see WHICH segments carry vector debt or
-    * missing stats. O(live) filesystem summaries, never on the read
-    * path. */
+    * missing stats. O(live) DRIVER-SIDE filesystem summaries, never
+    * on the read path: interactive-fast to ~10⁴ live segments, slow
+    * past 10⁵ — an automated health check sweeping huge tables
+    * should sample or schedule it, not poll it; the aggregate
+    * totals in [[describeDetail]] answer most monitoring questions
+    * from the log alone. */
   def describeSegments(): DataFrame = {
     import spark.implicits._
     val latest = latestVersion()

@@ -523,10 +523,16 @@ class LogStoreSpec extends AnyFunSuite {
     val r = LogStore.configured(spark, dir)
     assert(r.read().columns.toSeq == Seq("id", "tag"))
     assert(r.read().where(col("tag") === "B!").count() == 1L)
+    // OPTIMIZE (the clustered rewrite) keeps the mapping: rewritten
+    // files stay physical, reads stay logical, skipping stats intact
+    r.optimize(2, col("id"))
+    assert(r.read().where(col("tag") === "B!").count() == 1L)
+    val (_, scanned, live) = r.readRange("20", "20")
+    assert(live == 2 && scanned == 1,
+      s"post-optimize bounds must still prune: $scanned of $live")
     // the physical name on disk really is the ORIGINAL — the whole
-    // point of the mapping (no segment rewrite at rename time)
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
+    // point of the mapping (no segment rewrite at rename time writes
+    // logical names, and neither does the optimize rewrite)
     val anySeg = r.liveSegmentInfos().head.name
     val onDisk = spark.read.parquet(s"$dir/$anySeg").columns.toSeq
     assert(onDisk.contains("label") && !onDisk.contains("tag"),

@@ -1001,6 +1001,60 @@ object ScaleStress {
         System.err.println(s"[scale] ${out.last.json}")
       }
     }
+    // INCREMENTAL checkpoint write — bytes-written ∝ CHANGED segments,
+    // not live segments: a wide table (10⁴ → 10⁵ → 10⁶ live, 1 KB
+    // Bloom per segment) takes a full sharded checkpoint (the
+    // `_full` twin — this is also the cost every r17 checkpoint paid
+    // regardless of delta), then 10 one-segment commits land and the
+    // next checkpoint carries every clean bucket BY NAME, rewriting
+    // only the ≤10 dirty buckets + manifest. sec = the incremental
+    // checkpoint wall; candidates = the bytes FRESHLY written under
+    // the new checkpoint's version prefix. Correctness is pinned by a
+    // full resolution equality against the live count.
+    if (only.isEmpty || only.contains("src_ckpt_incr")) {
+      val nSegs = 10000 * scale
+      val perCommit = 1000
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-cki").toString + "/t"
+      val store = new graft.catalog.LogStore(spark, root,
+        statsCol = Some("id"), checkpointInterval = Int.MaxValue,
+        checkpointShardRows = 32768)
+      (0 until nSegs / perCommit).foreach { c =>
+        store.commit(c.toLong,
+          (0 until perCommit).map { j =>
+            val i = c * perCommit + j
+            store.Segment(s"seg-$i", Some((i * 10).toString),
+              Some((i * 10 + 9).toString), num = true,
+              bloom = Some("f" * 1024), rows = Some(100L))
+          }, Nil)
+      }
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def bytesAt(v: Long): Long = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$root/_log"))
+        .filter(_.getPath.getName.startsWith(f"$v%08d.checkpoint"))
+        .map(_.getLen).sum
+      val (secFull, _) = time(store.checkpoint())
+      val base = store.latestVersion()
+      out += Measurement("src_ckpt_incr_full", scale, nSegs.toLong,
+        secFull, bytesAt(base))
+      System.err.println(s"[scale] ${out.last.json}")
+      (0 until 10).foreach { j =>
+        store.commit(base + 1 + j,
+          Seq(store.Segment(s"seg-incr-$j",
+            Some(((nSegs + j) * 10).toString),
+            Some(((nSegs + j) * 10 + 9).toString), num = true,
+            bloom = Some("f" * 1024), rows = Some(100L))), Nil)
+      }
+      val at = store.latestVersion()
+      val (secIncr, _) = time(store.checkpoint())
+      val live = store.liveSegmentInfos().size
+      require(live == nSegs + 10,
+        s"incremental checkpoint must replay whole: $live")
+      out += Measurement("src_ckpt_incr", scale, nSegs.toLong,
+        secIncr, bytesAt(at))
+      System.err.println(s"[scale] ${out.last.json}")
+    }
     docs.unpersist(); emb.unpersist(); vals.unpersist(); edges.unpersist()
     out.toSeq
   }

@@ -54,8 +54,11 @@ class LogStore(spark: SparkSession, val root: String,
     dvDeletes: Boolean = false,
     extraProps: Map[String, String] = Map.empty,
     checkpointShardRows: Int = 32768,
-    bloomCols: Seq[String] = Nil) {
+    bloomCols: Seq[String] = Nil,
+    checkpointBucketRows: Int = 1024) {
   require(checkpointInterval > 0, "checkpointInterval must be positive")
+  require(checkpointBucketRows > 0,
+    "checkpointBucketRows must be positive")
   require(bloomBits > 0 && bloomBits % 4 == 0,
     "bloomBits must be a positive multiple of 4 (hex-serialized)")
   // configured column NAMES ride inside quoted log values (the `xs`
@@ -282,20 +285,29 @@ class LogStore(spark: SparkSession, val root: String,
   private def parseActions(p: Path): Actions = parseBody(readFileStr(p))
 
   private def parseBody(body: String): Actions = {
+    // `bxs` (the name-keyed extra Blooms) is written AFTER the dv
+    // fields: a new optional field appended at the END of the grammar
+    // degrades gracefully for a reader that predates it — it loses at
+    // worst the filter (an optimization), never the trailing deletion
+    // vector (correctness: a dropped dvf/dvr would resurrect deleted
+    // rows). The reader accepts the field in BOTH positions because
+    // r17 writers emitted it between xs and rows.
     val addRe = ("\"add\"\\s*:\\s*\"([^\"]+)\"" +
       "(?:,\"min\":\"([^\"]*)\",\"max\":\"([^\"]*)\",\"num\":(true|false))?" +
       "(?:,\"bloom\":\"([0-9a-f]*)\")?" +
       "(?:,\"xs\":\"([^\"]*)\")?" +
       "(?:,\"bxs\":\"([^\"]*)\")?" +
       "(?:,\"rows\":(\\d+))?" +
-      "(?:,\"dvf\":\"([^\"]*)\",\"dvr\":(\\d+))?").r
+      "(?:,\"dvf\":\"([^\"]*)\",\"dvr\":(\\d+))?" +
+      "(?:,\"bxs\":\"([^\"]*)\")?").r
     val adds = addRe.findAllMatchIn(body).map { m =>
       val extra = Option(m.group(6)).filter(_.nonEmpty)
         .map(_.split(';').map { e =>
           val Array(c, lo, hi, n) = e.split('|')
           c -> (lo, hi, n == "t")
         }.toMap).getOrElse(Map.empty[String, (String, String, Boolean)])
-      val bxs = Option(m.group(7)).filter(_.nonEmpty)
+      val bxs = Option(m.group(7)).orElse(Option(m.group(11)))
+        .filter(_.nonEmpty)
         .map(_.split(';').map { e =>
           val Array(c, h) = e.split('|')
           c -> h
@@ -345,15 +357,35 @@ class LogStore(spark: SparkSession, val root: String,
       : Actions = {
     val body = readFileStr(checkpointPath(cp))
     val manifest = parseBody(body)
-    "\"ckptParts\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(body)
-      .map(_.group(1).toInt) match {
+    // v2 manifest: explicit per-bucket file lists (possibly carrying
+    // files from OLDER checkpoints by name — the incremental layout)
+    val v2Parts = LogStore.manifestFileList(body, "ckptPartFiles")
+    val partPaths: Option[Seq[Path]] = v2Parts match {
+      case Some(names) =>
+        Some(names.toSeq.filter(_ != "-").map(n => new Path(logDir, n)))
+      case None =>
+        // v1 manifest: contiguous part files at THIS version
+        "\"ckptParts\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(body)
+          .map(_.group(1).toInt)
+          .map(k => (0 until k).map(checkpointPartPath(cp, _)))
+    }
+    partPaths match {
       case None => manifest // single-file format: adds are inline
-      case Some(k) =>
-        val adds = parseCheckpointParts(cp, k)
+      case Some(paths) =>
+        val adds = parsePartPaths(paths)
         val merged =
           if (!blooms) adds
           else {
-            val m = bloomSidecar(cp)
+            val m = v2Parts match {
+              case Some(_) =>
+                // v2: bloom files listed explicitly in the manifest
+                val names = LogStore
+                  .manifestFileList(body, "ckptBloomFiles")
+                  .map(_.toSeq).getOrElse(Nil).filter(_ != "-")
+                names.flatMap(n => parseActions(new Path(logDir, n))
+                  .adds.map(s => s.name -> ((s.bloom, s.bxs)))).toMap
+              case None => bloomSidecar(cp)
+            }
             adds.map { s =>
               if (s.bloom.nonEmpty || s.bxs.nonEmpty) s
               else m.get(s.name) match {
@@ -366,24 +398,43 @@ class LogStore(spark: SparkSession, val root: String,
     }
   }
 
-  /** Contiguous-order parallel parse of a sharded checkpoint's part
-    * files — concatenation by part index restores the exact live-set
-    * order the writer saw, which the heal validation compares. */
-  private def parseCheckpointParts(cp: Long, k: Int): Seq[Segment] =
-    if (k <= 1) parseActions(checkpointPartPath(cp, 0)).adds
+  /** Deterministic-order parallel parse of a sharded checkpoint's
+    * part files — concatenation by bucket index; buckets are sorted
+    * by name internally, so the replayed live set is a pure function
+    * of the manifest (validation compares live SETS, never insertion
+    * order, which bucketing does not preserve). */
+  private def parsePartPaths(paths: Seq[Path]): Seq[Segment] =
+    if (paths.isEmpty) Nil
+    else if (paths.size == 1) parseActions(paths.head).adds
     else {
       val pool = java.util.concurrent.Executors
-        .newFixedThreadPool(math.min(k, 8))
+        .newFixedThreadPool(math.min(paths.size, 8))
       try {
-        val futs = (0 until k).map { i =>
+        val futs = paths.map { p =>
           pool.submit(new java.util.concurrent.Callable[Seq[Segment]] {
-            override def call(): Seq[Segment] =
-              parseActions(checkpointPartPath(cp, i)).adds
+            override def call(): Seq[Segment] = parseActions(p).adds
           })
         }
         futs.flatMap(_.get())
       } finally pool.shutdown()
     }
+
+  /** The data part files of the checkpoint at `cp`, when it is
+    * SHARDED — v2 manifests list them explicitly (including carried
+    * files from older checkpoints), v1 manifests imply a contiguous
+    * range at cp's own version. None for single-file checkpoints. */
+  private[catalog] def checkpointPartPaths(cp: Long)
+      : Option[Seq[Path]] = {
+    val body = readFileStr(checkpointPath(cp))
+    LogStore.manifestFileList(body, "ckptPartFiles") match {
+      case Some(names) =>
+        Some(names.toSeq.filter(_ != "-").map(n => new Path(logDir, n)))
+      case None =>
+        "\"ckptParts\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(body)
+          .map(_.group(1).toInt)
+          .map(k => (0 until k).map(checkpointPartPath(cp, _)))
+    }
+  }
 
   /** The Bloom sidecar map of a sharded checkpoint: segment name →
     * (primary hex, name-keyed extra hexes). Empty for single-file
@@ -486,15 +537,62 @@ class LogStore(spark: SparkSession, val root: String,
     val claimed = emptyState()
     applyActions(claimed, parseCheckpointActions(cp, blooms = true))
     replayIndependent(cp) match {
-      case None => false
+      case None =>
+        // No independent base means a PRIOR vacuum's log trim already
+        // deleted every version file and checkpoint behind cp — and a
+        // trim only ever runs AFTER validating exactly this
+        // checkpoint, so the trimmed prefix is itself the evidence of
+        // a past validation. Refusing here would wedge every healthy
+        // post-trim table (nothing can ever re-derive the deleted
+        // prefix). Trust is still gated twice: the on-disk layout
+        // must be the one a trim leaves (oldest surviving version
+        // file == cp, no older checkpoint — anything else is manual
+        // surgery, refuse), and the checkpoint must pass its OWN
+        // commit-marker consistency check, which catches a crash
+        // that truncated a post-trim rewrite of the file.
+        prefixTrimmedTo(cp) &&
+          checkpointSelfConsistent(cp).getOrElse(true)
       case Some(truth) =>
-        claimed.live.toSeq == truth.live.toSeq &&
+        // live SETS compare sorted by name: a bucketed (incremental)
+        // checkpoint does not preserve insertion order, which is not
+        // a semantic property of the live state
+        claimed.live.toSeq.sortBy(_._1) ==
+          truth.live.toSeq.sortBy(_._1) &&
           claimed.maxTxn == truth.maxTxn &&
           claimed.vacuumHorizon == truth.vacuumHorizon &&
           claimed.schemaB64 == truth.schemaB64 &&
           claimed.propsStr == truth.propsStr
     }
   } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** The on-disk layout a vacuum log trim leaves behind `cp`: the
+    * oldest surviving version file IS cp and no older checkpoint
+    * survives. Only this exact shape earns validated-by-the-prior-trim
+    * trust — a hand-deleted prefix does not match it (trims delete
+    * the full prefix or nothing). */
+  private def prefixTrimmedTo(cp: Long): Boolean = try {
+    val names = fs.listStatus(new Path(logDir)).map(_.getPath.getName)
+    val jsonVs = names.filter(_.endsWith(".json"))
+      .flatMap(_.stripSuffix(".json").toLongOption)
+    jsonVs.nonEmpty && jsonVs.min == cp &&
+      !names.filter(_.endsWith(".checkpoint"))
+        .flatMap(_.stripSuffix(".checkpoint").toLongOption)
+        .exists(_ < cp)
+  } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Self-consistency verdict from the checkpoint alone: the
+    * `ckptAdds` commit marker vs the actually-parsed add count —
+    * Some(false) is proof of truncation/corruption (or an unreadable
+    * part file), Some(true) proof the full live set is present; None
+    * on pre-marker checkpoints (no verdict either way). */
+  private def checkpointSelfConsistent(cp: Long): Option[Boolean] =
+    try {
+      "\"ckptAdds\"\\s*:\\s*(\\d+)".r
+        .findFirstMatchIn(readFileStr(checkpointPath(cp)))
+        .map(_.group(1).toLong)
+        .map(_ ==
+          parseCheckpointActions(cp, blooms = false).adds.size.toLong)
+    } catch { case scala.util.control.NonFatal(_) => Some(false) }
 
   /** Replay to `upTo` WITHOUT trusting the checkpoint at `upTo`:
     * seeds from version 0 when it survives, else from the newest
@@ -631,38 +729,134 @@ class LogStore(spark: SparkSession, val root: String,
     val latest = latestVersion()
     require(latest >= 0, s"no log at $root")
     val at = math.min(v, latest)
-    // blooms = true: a checkpoint seeded from a prior SHARDED
-    // checkpoint must carry the sidecar hexes forward, or rewriting
-    // would silently shed every filter
-    writeCheckpointFile(at, replayTo(at, blooms = true))
+    // the seed replays STATS-ONLY: a checkpoint seeded from a prior
+    // SHARDED checkpoint must carry the sidecar hexes forward (or
+    // rewriting would silently shed every filter), but fetching them
+    // is deferred into the write itself, which reads only the buckets
+    // it will re-serialize — carried buckets' hexes never leave their
+    // original files
+    val seed = latestCheckpointAtOrBelow(at)
+    writeCheckpointFile(at, replayTo(at, blooms = false),
+      carryFrom = seed.filter(_ < at), seedCkpt = seed)
   }
 
   /** Serialize a replayed state as the checkpoint at `at`. Up to
     * [checkpointShardRows] live segments it is ONE file, exactly the
-    * historical format. Past that it SHARDS Delta-style: contiguous
+    * historical format. Past that it SHARDS Delta-style: HASH-BUCKETED
     * `.checkpoint.part-i` files of bloom-stripped add lines, Bloom
-    * hexes moved into `.checkpoint.bloom-i` SIDECARS, and a small
-    * manifest (`ckptParts`/`ckptBlooms` + txn/vacuum/schema/props)
-    * written LAST into the `.checkpoint` name itself — manifest
-    * existence is the commit point, so a crash mid-shard leaves
-    * orphan part files (reclaimed by a later rewrite or trim) but
-    * never a half-visible checkpoint. At 10⁶ segments this keeps
-    * stats-only resolution reads ~10× lighter than the monolithic
-    * form (the hex is ~90% of an add line's weight) and lets the
-    * part parse fan out across cores. */
-  private def writeCheckpointFile(at: Long, st: LogState): Unit = {
+    * hexes moved into per-bucket `.checkpoint.bloom-i` SIDECARS, and a
+    * small manifest (the explicit `ckptPartFiles`/`ckptBloomFiles`
+    * lists + txn/vacuum/schema/props) written LAST into the
+    * `.checkpoint` name itself — manifest existence is the commit
+    * point, so a crash mid-shard leaves orphan part files (reclaimed
+    * by a later rewrite or trim) but never a half-visible checkpoint.
+    *
+    * The bucketing is what makes checkpoints INCREMENTAL (Delta's
+    * v2-checkpoint sidecar-carry-over idea): a segment's bucket is a
+    * pure function of its NAME, so a commit only dirties the buckets
+    * of the segments it touched. When `carryFrom` names the previous
+    * checkpoint (same bucket count), every CLEAN bucket's part and
+    * bloom file is referenced BY NAME from the new manifest instead of
+    * rewritten — bytes written per checkpoint ∝ changed segments, not
+    * live segments, which at 10⁶ segments is the difference between
+    * ~100 MB and ~1 MB per checkpoint interval. Vacuum's log trim
+    * parses surviving manifests and protects carried files until no
+    * manifest references them. Bucket count is a power of two sized
+    * from [checkpointBucketRows] (so it changes only at table-size
+    * doublings — a K change forces one full rewrite, amortized);
+    * buckets are sorted by segment name internally, so a checkpoint's
+    * content is a pure function of (live set, K) and validation
+    * compares live SETS, not insertion order.
+    *
+    * At 10⁶ segments this also keeps stats-only resolution reads ~10×
+    * lighter than the monolithic form (the hex is ~90% of an add
+    * line's weight) and lets the part parse fan out across cores. */
+  private def writeCheckpointFile(at: Long, st: LogState,
+      carryFrom: Option[Long] = None,
+      seedCkpt: Option[Long] = None): Unit = {
+    // Hexes may be MISSING on segments that rode in from a STATS-ONLY
+    // (blooms = false) seed — `seedCkpt` names that checkpoint, and
+    // its sidecars are fetched here before any bucket serializes.
+    // `restrict` narrows the fetch to the given bucket indices when
+    // the seed's sidecar layout is aligned with the current bucket
+    // count — the incremental case: clean buckets are carried by NAME
+    // and never re-serialized, so only DIRTY buckets' hexes are ever
+    // read. That makes the checkpoint's READ cost ∝ delta too, not
+    // just its write cost. A fetch failure degrades to missing hexes
+    // (conservative must-scan), the same class as a lost sidecar.
+    def fillHexesFromSeed(k: Int, restrict: Option[Set[Int]]): Unit =
+      seedCkpt.foreach { scp =>
+        try {
+          val body = readFileStr(checkpointPath(scp))
+          val files: Seq[Path] =
+            LogStore.manifestFileList(body, "ckptBloomFiles") match {
+              case Some(names) =>
+                (restrict match {
+                  case Some(bs) if names.length == k =>
+                    bs.toSeq.sorted.map(names(_))
+                  case _ => names.toSeq
+                }).filter(_ != "-").map(n => new Path(logDir, n))
+              case None =>
+                // v1 sharded seed: prefix-listed sidecars; a
+                // SINGLE-FILE seed carries hexes inline (stats-only
+                // replay keeps them — nothing to fill)
+                if (!body.contains("\"ckptParts\"")) Nil
+                else {
+                  val prefix = f"$scp%08d.checkpoint.bloom-"
+                  fs.listStatus(new Path(logDir)).map(_.getPath)
+                    .filter(_.getName.startsWith(prefix)).toSeq
+                }
+            }
+          if (files.nonEmpty) {
+            val m = files.flatMap(p => parseActions(p).adds
+              .map(s => s.name -> ((s.bloom, s.bxs)))).toMap
+            st.live.mapValuesInPlace { (_, s) =>
+              if (s.bloom.nonEmpty || s.bxs.nonEmpty) s
+              else m.get(s.name) match {
+                case Some((b, x)) => s.copy(bloom = b, bxs = x)
+                case None => s
+              }
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
     // stream line-by-line: one buffered write per line, never a
     // whole-file mkString — a monolithic 10⁶-segment checkpoint is
     // ~1.1 GB, which overflows a single StringBuilder (and would pin
-    // the driver heap even where it fits)
+    // the driver heap even where it fits).
+    // Every file lands via WRITE-TO-TEMP + RENAME (atomic on
+    // local/HDFS): the target NAME never exists in a partial state.
+    // This matters most for the manifest — `fs.create(path)` makes an
+    // EMPTY .checkpoint visible before the ckptParts line is written,
+    // and an empty manifest parses as a valid zero-add single-file
+    // checkpoint, so a concurrent reader catching that window would
+    // replay from an empty live set (worse than truncation, which
+    // loses only a suffix). Temp names are `_tmp-*`, which no listing
+    // (checkpoint, sidecar, trim version-parse) ever matches; crash
+    // orphans are reclaimed by vacuum's log trim.
     def write(p: Path, lines: Iterable[String]): Unit = {
-      val out = new java.io.BufferedOutputStream(fs.create(p, true),
+      val tmp = new Path(logDir,
+        s"_tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+      val out = new java.io.BufferedOutputStream(fs.create(tmp, true),
         1 << 20)
       try lines.foreach { l =>
         out.write(l.getBytes(StandardCharsets.UTF_8))
         out.write('\n')
       } finally out.close()
+      if (!fs.rename(tmp, p)) {
+        // idempotent rewrite of an existing checkpoint: some
+        // FileSystems refuse rename-onto-existing — replace explicitly
+        fs.delete(p, false)
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(s"rename $tmp -> $p failed")
+      }
     }
+    // the COMMIT MARKER: the live-set size, written as the manifest's
+    // (or single file's) first line. Parsed-adds-vs-marker mismatch is
+    // proof of corruption from the checkpoint alone — what lets a
+    // post-log-trim vacuum (no independent replay base left) still
+    // distinguish a healthy checkpoint from a truncated one.
+    val marker = Seq(s"""{"ckptAdds":${st.live.size}}""")
     val small =
       (if (st.maxTxn != Long.MinValue) Seq(s"""{"txn":${st.maxTxn}}""")
        else Nil) ++
@@ -671,47 +865,114 @@ class LogStore(spark: SparkSession, val root: String,
        else Nil) ++
       st.schemaB64.map(s => s"""{"schema":"$s"}""").toSeq ++
       st.propsStr.map(p => s"""{"props":"$p"}""").toSeq
-    val adds = st.live.values.toSeq
-    if (adds.size <= checkpointShardRows)
-      write(checkpointPath(at), adds.view.map(addJson) ++ small)
-    else {
-      // shards serialize AND write in PARALLEL (independent files;
-      // serialized lines stay lazy per shard, so only ~poolSize
-      // shards' strings are ever resident); the manifest still lands
-      // LAST, strictly after every part — its existence is the
-      // commit point, so a crash mid-fan-out stays invisible
-      def shards(n: Int): Int =
-        (n + checkpointShardRows - 1) / checkpointShardRows
-      val k = shards(adds.size)
-      val withBloom = adds.filter(s =>
-        s.bloom.nonEmpty || s.bxs.nonEmpty)
-      val bk = shards(withBloom.size)
-      val pool = java.util.concurrent.Executors
-        .newFixedThreadPool(math.min(math.max(k + bk, 1), 8))
+    if (st.live.size <= checkpointShardRows) {
+      fillHexesFromSeed(1, None)
+      write(checkpointPath(at),
+        marker ++ st.live.values.view.map(addJson) ++ small)
+    } else {
+      // bucket granularity: [checkpointBucketRows] per bucket, never
+      // coarser than the shard threshold itself (spec-sized configs
+      // with tiny thresholds still get real multi-part layouts)
+      val bucketRows =
+        math.min(checkpointBucketRows, checkpointShardRows)
+      // previous checkpoint's bucket layout, when it is v2 — both the
+      // carry source and the K-stickiness anchor
+      val prevLists: Option[(Long, Array[String], Array[String])] =
+        carryFrom.flatMap { pcp =>
+          try {
+            val body = readFileStr(checkpointPath(pcp))
+            (LogStore.manifestFileList(body, "ckptPartFiles"),
+              LogStore.manifestFileList(body, "ckptBloomFiles")) match {
+              case (Some(p), Some(b)) if p.length == b.length &&
+                  p.nonEmpty => Some((pcp, p, b))
+              case _ => None
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+      // K is STICKY: keep the previous bucket count while the average
+      // bucket stays under 2× the target — otherwise a table hovering
+      // at a power-of-two boundary would flap between layouts and
+      // every flap is a full rewrite. Fresh layouts size from the
+      // target directly.
+      val k = prevLists.map(_._2.length) match {
+        case Some(prevK) if st.live.size <= 2L * prevK * bucketRows =>
+          prevK
+        case _ => LogStore.bucketCountFor(st.live.size, bucketRows)
+      }
+      // carry-over: reference the previous checkpoint's file for every
+      // bucket no commit since then touched. Any parse failure or
+      // shape mismatch (different K, pre-v2 manifest, missing files)
+      // degrades to a FULL rewrite — carry is strictly an optimization.
+      val carried: Map[Int, (String, String)] = prevLists.flatMap {
+        case (pcp, parts, blooms) if parts.length == k =>
+          try {
+            // dirty = every bucket touched by a commit in (pcp, at]
+            val touched = (pcp + 1 to at).iterator.flatMap { v =>
+              val a = readActions(v)
+              a.adds.iterator.map(_.name) ++ a.removes.iterator ++
+                a.dvs.iterator.map(_._1)
+            }
+            val dirty = touched.map(LogStore.bucketOf(_, k)).toSet
+            Some((0 until k).iterator
+              .filterNot(dirty.contains)
+              .map(i => i -> ((parts(i), blooms(i)))).toMap)
+          } catch { case scala.util.control.NonFatal(_) => None }
+        case _ => None
+      }.getOrElse(Map.empty)
+      // sidecar hexes only for the buckets about to be SERIALIZED —
+      // carried buckets' hexes stay in their original files, unread
+      fillHexesFromSeed(k,
+        if (carried.isEmpty) None
+        else Some((0 until k).toSet -- carried.keySet))
+      // bucket membership is a pure function of the segment NAME —
+      // the content-stable sharding that makes carry-over sound
+      val byBucket = st.live.values.toSeq
+        .groupBy(s => LogStore.bucketOf(s.name, k))
+        .view.mapValues(_.sortBy(_.name)).toMap
+      // dirty buckets serialize AND write in PARALLEL (independent
+      // files; lines stay lazy per bucket, so only ~poolSize buckets'
+      // strings are ever resident); the manifest still lands LAST,
+      // strictly after every part — its existence is the commit
+      // point, so a crash mid-fan-out stays invisible
+      val partNames = new Array[String](k)
+      val bloomNames = new Array[String](k)
+      carried.foreach { case (i, (p, b)) =>
+        partNames(i) = p; bloomNames(i) = b
+      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
       try {
         def task(body: => Unit) =
           pool.submit(new java.util.concurrent.Callable[Unit] {
             override def call(): Unit = body
           })
-        val futs =
-          (0 until k).map { i =>
-            task(write(checkpointPartPath(at, i),
-              adds.view.slice(i * checkpointShardRows,
-                (i + 1) * checkpointShardRows)
-                .map(s => addJson(s.copy(bloom = None,
-                  bxs = Map.empty)))))
-          } ++
-          (0 until bk).map { i =>
-            task(write(checkpointBloomPath(at, i),
-              withBloom.view.slice(i * checkpointShardRows,
-                (i + 1) * checkpointShardRows)
-                .map(s => addJson(Segment(s.name, None, None,
-                  num = false, bloom = s.bloom, bxs = s.bxs)))))
+        val futs = (0 until k).filterNot(carried.contains).map { i =>
+          val bucket = byBucket.getOrElse(i, Nil)
+          val withBloom = bucket.filter(s =>
+            s.bloom.nonEmpty || s.bxs.nonEmpty)
+          partNames(i) =
+            if (bucket.isEmpty) "-"
+            else checkpointPartPath(at, i).getName
+          bloomNames(i) =
+            if (withBloom.isEmpty) "-"
+            else checkpointBloomPath(at, i).getName
+          task {
+            if (bucket.nonEmpty)
+              write(checkpointPartPath(at, i),
+                bucket.view.map(s => addJson(s.copy(bloom = None,
+                  bxs = Map.empty))))
+            if (withBloom.nonEmpty)
+              write(checkpointBloomPath(at, i),
+                withBloom.view.map(s => addJson(Segment(s.name, None,
+                  None, num = false, bloom = s.bloom, bxs = s.bxs))))
           }
+        }
         futs.foreach(_.get())
       } finally pool.shutdown()
       write(checkpointPath(at),
-        s"""{"ckptParts":$k,"ckptBlooms":$bk}""" +: small)
+        marker ++
+          (Seq(s"""{"ckptPartFiles":"${partNames.mkString(",")}"}""",
+            s"""{"ckptBloomFiles":"${bloomNames.mkString(",")}"}""") ++
+            small))
     }
     // advance (never regress) the `_last_checkpoint` pointer; a
     // checkpoint of an old version must not point resolution backwards
@@ -1004,16 +1265,22 @@ class LogStore(spark: SparkSession, val root: String,
 
   /** Every column the skipping machinery keys on — the RECORDED
     * config union this handle's constructor config. Rename/drop of
-    * one refuses (bounds and Bloom filters key on the name). */
+    * one refuses (bounds and Bloom filters key on the name). The
+    * name-keyed extra Blooms (`bloomCols`) are in the set for the
+    * same reason as the primaries: a rename would leave the recorded
+    * config naming a nonexistent logical column — point lookups fail
+    * at scan time and new segments silently stop building the
+    * filter. */
   private def skippingColumns(propsStr: Option[String]): Set[String] = {
     val rec = propsStr.toSeq.flatMap(_.split(';')).flatMap { e =>
       if (e.startsWith("statsCol=") || e.startsWith("bloomCol="))
         Seq(e.drop(e.indexOf('=') + 1))
-      else if (e.startsWith("statsCols="))
-        e.stripPrefix("statsCols=").split(',').toSeq.map(_.trim)
+      else if (e.startsWith("statsCols=") || e.startsWith("bloomCols="))
+        e.drop(e.indexOf('=') + 1).split(',').toSeq.map(_.trim)
       else Nil
     }
-    rec.filter(_.nonEmpty).toSet ++ configuredStatsColumns ++ bloomCol
+    rec.filter(_.nonEmpty).toSet ++ configuredStatsColumns ++
+      configuredBloomColumns
   }
 
   /** A NEW column keeps physical = logical unless that name is
@@ -1330,6 +1597,8 @@ class LogStore(spark: SparkSession, val root: String,
         s"$c|$lo|$hi|${if (n) "t" else "f"}"
       }.mkString(""","xs":"""", ";", "\"")
     // extra NAME-KEYED blooms (the multi-column filters): col|hex;…
+    // — emitted LAST (after dv), so a reader whose grammar predates
+    // the field loses only the filter, never the deletion vector
     val bxs =
       if (s.bxs.isEmpty) ""
       else s.bxs.toSeq.sortBy(_._1).map { case (c, h) => s"$c|$h" }
@@ -1341,7 +1610,7 @@ class LogStore(spark: SparkSession, val root: String,
     // so replay reconstructs it without the original dv action
     val dv = s.dv.map { case (f, n) => s""","dvf":"$f","dvr":$n""" }
       .getOrElse("")
-    s"""{"add":"${s.name}"$stats$bloom$xs$bxs$rows$dv}"""
+    s"""{"add":"${s.name}"$stats$bloom$xs$rows$dv$bxs}"""
   }
 
   /** Publish a commit at `expected` version via create-exclusive —
@@ -1458,8 +1727,8 @@ class LogStore(spark: SparkSession, val root: String,
       // unconfigured path handle must refuse just the same
       require(!skippingColumns(st.propsStr).contains(from),
         s"column '$from' carries the skipping config " +
-          "(statsCol/statsCols/bloomCol) — ALTER TBLPROPERTIES " +
-          "first, then rename")
+          "(statsCol/statsCols/bloomCol/bloomCols) — ALTER " +
+          "TBLPROPERTIES first, then rename")
       val current = st.schemaB64.map(decodeSchema)
         .getOrElse(read(v).schema)
       require(current.fieldNames.contains(from),
@@ -1506,8 +1775,8 @@ class LogStore(spark: SparkSession, val root: String,
       names.foreach(n => require(
         !skippingColumns(st.propsStr).contains(n),
         s"column '$n' carries the skipping config " +
-          "(statsCol/statsCols/bloomCol) — ALTER TBLPROPERTIES " +
-          "first, then drop"))
+          "(statsCol/statsCols/bloomCol/bloomCols) — ALTER " +
+          "TBLPROPERTIES first, then drop"))
       val current = st.schemaB64.map(decodeSchema)
         .getOrElse(read(v).schema)
       names.foreach(n => require(current.fieldNames.contains(n),
@@ -2966,13 +3235,33 @@ class LogStore(spark: SparkSession, val root: String,
           "write); re-run after the next checkpoint")
         0
       case Some(cp) if cp > 0 =>
-        val dead = fs.listStatus(new Path(logDir))
-          .map(_.getPath)
-          .filter { p =>
-            val n = p.getName
+        val all = fs.listStatus(new Path(logDir))
+        // incremental checkpoints CARRY part/bloom files from older
+        // checkpoints by name — every file a SURVIVING manifest
+        // (version ≥ cp) still references is protected until no
+        // manifest references it, whatever version its name carries
+        val referenced: Set[String] = all.iterator
+          .map(_.getPath.getName)
+          .filter(n => n.endsWith(".checkpoint") &&
+            n.stripSuffix(".checkpoint").toLongOption.exists(_ >= cp))
+          .flatMap { n =>
+            try {
+              val body = readFileStr(new Path(logDir, n))
+              (LogStore.manifestFileList(body, "ckptPartFiles")
+                .map(_.toSeq).getOrElse(Nil) ++
+                LogStore.manifestFileList(body, "ckptBloomFiles")
+                  .map(_.toSeq).getOrElse(Nil)).filter(_ != "-")
+            } catch {
+              case scala.util.control.NonFatal(_) => Nil
+            }
+          }.toSet
+        val dead = all
+          .filter { st =>
+            val n = st.getPath.getName
             // NNNNNNNN.json | NNNNNNNN.checkpoint[.part-i|.bloom-i] —
             // a sharded checkpoint's parts and sidecars share its
-            // version and are superseded together
+            // version and are superseded together (unless carried
+            // forward by a surviving manifest, above)
             val vOf =
               if (n.endsWith(".json")) n.stripSuffix(".json").toLongOption
               else {
@@ -2982,8 +3271,15 @@ class LogStore(spark: SparkSession, val root: String,
                   n.take(i).toLongOption
                 else None
               }
-            vOf.exists(_ < cp)
+            // `_tmp-*` are checkpoint-write staging files: normally
+            // sub-second-lived (renamed into place), so any survivor
+            // is a crash orphan — reclaimed behind the same age guard
+            // that shields in-flight writers
+            (vOf.exists(_ < cp) && !referenced.contains(n)) ||
+              (n.startsWith("_tmp-") &&
+                st.getModificationTime <= cutoff)
           }
+          .map(_.getPath)
         dead.foreach(fs.delete(_, false))
         dead.length
       case _ => 0
@@ -3218,6 +3514,34 @@ object LogStore {
     s.nonEmpty && s.length <= 96 &&
       s.forall(ch => ch >= ' ' && ch <= '~' && ch != '"' &&
         ch != '\\' && ch != '|' && ch != ';')
+
+  /** Sharded-checkpoint bucket count: the smallest power of two
+    * holding ~[bucketRows] segments per bucket, capped so the
+    * manifest's file lists stay small. Power-of-two sizing means K
+    * changes only at table-size doublings — each change forces one
+    * full (non-incremental) checkpoint rewrite, amortized over the
+    * doubling. */
+  private[catalog] def bucketCountFor(n: Int, bucketRows: Int): Int = {
+    val want = math.max(1, (n + bucketRows - 1) / bucketRows)
+    var k = 1
+    while (k < want && k < 4096) k <<= 1
+    k
+  }
+
+  /** A segment's checkpoint bucket — a pure function of its NAME
+    * (String.hashCode is spec-pinned, stable across JVMs), so bucket
+    * membership never shifts under inserts/removes elsewhere: the
+    * property that makes clean buckets carriable by reference. */
+  private[catalog] def bucketOf(name: String, k: Int): Int =
+    (name.hashCode & 0x7fffffff) % k
+
+  /** The explicit file list of a v2 sharded-checkpoint manifest
+    * (`"-"` = no file for that bucket); None on single-file and v1
+    * manifests. */
+  private[catalog] def manifestFileList(body: String,
+      key: String): Option[Array[String]] =
+    ("\"" + key + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(body)
+      .map(_.group(1).split(',').map(_.trim))
 
   /** Ceiling on RECORDED deletion-vector rows a snapshot scan will
     * reconcile by broadcast anti-join. A (seg, file, pos) row costs

@@ -124,8 +124,10 @@ class CheckpointServingSpec extends AnyFunSuite {
     assert(live2 == 11 && opened2 == 1 && lk2.count() == 1L,
       s"hexes must survive checkpoint-over-checkpoint: opened $opened2 " +
         s"of $live2")
-    // vacuum's log trim reclaims the SUPERSEDED sharded checkpoint's
-    // parts and sidecars together with its manifest
+    // vacuum's log trim reclaims the superseded sharded checkpoint's
+    // MANIFEST, and every part/sidecar no surviving manifest still
+    // references; files CARRIED FORWARD by a surviving (incremental)
+    // manifest are protected until superseded
     (0 until 3).foreach(i =>
       w2.append(Seq((6000L + i, s"k${6000 + i}")).toDF("id", "k")))
     w2.checkpoint()
@@ -133,9 +135,87 @@ class CheckpointServingSpec extends AnyFunSuite {
     assert(res.trimmedLogFiles > 0)
     val after = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_log"))
       .map(_.getPath.getName).toSet
-    assert(!after.exists(_.startsWith(f"${latest}%08d.checkpoint")),
-      s"the superseded sharded checkpoint (manifest + parts + " +
-        s"sidecars) must be trimmed together: $after")
+    assert(!after.contains(f"${latest}%08d.checkpoint"),
+      s"the superseded manifest must be trimmed: $after")
+    val stillReferenced = after
+      .filter(n => n.endsWith(".checkpoint"))
+      .flatMap { n =>
+        val in = fs.open(new org.apache.hadoop.fs.Path(s"$root/_log/$n"))
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString finally in.close()
+        ("\"ckptPartFiles\"\\s*:\\s*\"([^\"]*)\"".r
+          .findFirstMatchIn(body).map(_.group(1)).toSeq ++
+          "\"ckptBloomFiles\"\\s*:\\s*\"([^\"]*)\"".r
+            .findFirstMatchIn(body).map(_.group(1)).toSeq)
+          .flatMap(_.split(',')).filter(_ != "-")
+      }
+    after.filter(n => n.contains(".checkpoint.part-") ||
+        n.contains(".checkpoint.bloom-")).foreach { n =>
+      assert(stillReferenced.contains(n),
+        s"an unreferenced shard file must be trimmed: $n")
+    }
     assert(r2.read().count() == 1002L)
+  }
+
+  test("INCREMENTAL checkpoints: a commit rewrites only the buckets " +
+      "it touched — the manifest carries every clean bucket's part " +
+      "and sidecar BY NAME from the previous checkpoint; resolution " +
+      "from the carried layout alone is exact, and vacuum protects " +
+      "carried originals until no manifest references them") {
+    val root = Files.createTempDirectory("graft-ckinc").toString + "/t"
+    val w = new LogStore(spark, root, statsCol = Some("id"),
+      bloomCol = Some("k"), checkpointInterval = 1000,
+      checkpointShardRows = 4)
+    (0 until 32).foreach { i =>
+      w.append((i * 100L until i * 100L + 10L)
+        .map(x => (x, s"k$x")).toDF("id", "k"))
+    }
+    w.checkpoint() // FULL: 32 segments over 8 buckets
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val cp1 = w.latestVersion()
+    def logFiles() = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/_log"))
+      .map(_.getPath.getName).toSet
+    val full = logFiles().filter(_.startsWith(f"$cp1%08d.checkpoint."))
+    assert(full.count(_.contains(".part-")) >= 4,
+      s"expected a real multi-bucket layout: $full")
+    // ONE touched segment → the next checkpoint rewrites ≤1 bucket
+    w.append(Seq((9999L, "k9999")).toDF("id", "k"))
+    w.checkpoint()
+    val cp2 = w.latestVersion()
+    val freshFiles = logFiles().filter(_.startsWith(f"$cp2%08d"))
+    assert(freshFiles.count(_.contains(".part-")) <= 1 &&
+      freshFiles.count(_.contains(".bloom-")) <= 1,
+      s"write cost must be ∝ the delta, not the live set: $freshFiles")
+    // the manifest references the PREVIOUS checkpoint's files for
+    // every clean bucket
+    val in = fs.open(new org.apache.hadoop.fs.Path(
+      f"$root/_log/$cp2%08d.checkpoint"))
+    val manifest = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString finally in.close()
+    assert(manifest.contains(f"$cp1%08d.checkpoint.part-"),
+      s"clean buckets must be carried by name: $manifest")
+    // resolution from the carried layout ALONE (version files gone)
+    (0L until cp2).foreach(v => fs.delete(
+      new org.apache.hadoop.fs.Path(f"$root/_log/$v%08d.json"), false))
+    val r = LogStore.configured(spark, root)
+    assert(r.read().count() == 32 * 10 + 1L)
+    val (_, scanned, live) = r.readRange("300", "309")
+    assert(live == 33 && scanned == 1,
+      s"stats pruning through carried parts: $scanned of $live")
+    val (lk, opened, _) = r.pointLookup("k9999")
+    assert(opened == 1 && lk.count() == 1L,
+      "bloom pruning must reach carried sidecars AND the fresh bucket")
+    // vacuum: carried cp1 files survive (cp2's manifest references
+    // them), cp1's own manifest goes
+    val res = r.vacuum(retainLast = 1, orphanMinAgeMs = 0L)
+    assert(res.trimmedLogFiles > 0)
+    val after = logFiles()
+    assert(!after.contains(f"$cp1%08d.checkpoint"),
+      s"superseded manifest must go: $after")
+    assert(after.exists(n => n.startsWith(f"$cp1%08d.checkpoint.part-")),
+      s"carried originals must be vacuum-protected: $after")
+    assert(LogStore.configured(spark, root).read().count() == 321L)
   }
 }

@@ -1531,4 +1531,137 @@ class LogStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("never mutates types"))
     assert(ids(t.read()) == Set(1L))
   }
+
+  test("vacuum after a log trim stays healthy: the trimmed prefix is " +
+      "validated-by-the-prior-trim, so back-to-back vacuums (and a " +
+      "later one after more commits) never wedge on the checkpoint " +
+      "the first trim made mandatory") {
+    val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
+    val t = new LogStore(spark, dir, checkpointInterval = 5)
+    (0 until 12).foreach(i => t.append(Seq(i.toLong).toDF("id")))
+    // first vacuum trims every version file and checkpoint below v10
+    assert(t.vacuum(retainLast = 2, orphanMinAgeMs = 0L)
+      .trimmedLogFiles > 0)
+    // the r17 regression: the second vacuum found no independent
+    // replay base for checkpoint v10 (its prefix was just trimmed)
+    // and threw 'restore the _log directory from backup' on a
+    // perfectly healthy table
+    t.vacuum(retainLast = 2, orphanMinAgeMs = 0L) // must not throw
+    assert(ids(t.read()) == (0L to 11L).toSet)
+    // and the table is not subtly poisoned either: more commits, a
+    // fresh checkpoint, a third vacuum trims behind it as usual
+    (12 until 21).foreach(i => t.append(Seq(i.toLong).toDF("id")))
+    val res3 = t.vacuum(retainLast = 2, orphanMinAgeMs = 0L)
+    assert(res3.trimmedLogFiles > 0, s"expected a trim, got $res3")
+    assert(ids(t.read()) == (0L to 20L).toSet)
+    assert(ids(new LogStore(spark, dir).read()) == (0L to 20L).toSet)
+    // a checkpoint that is ACTUALLY truncated post-trim still refuses
+    // loudly (the commit marker disagrees with the parsed add count —
+    // never validated-by-trim blindly)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val cp = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/_log"))
+      .map(_.getPath.getName).filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong).max
+    val cpPath = new org.apache.hadoop.fs.Path(
+      f"$dir/_log/$cp%08d.checkpoint")
+    val in = fs.open(cpPath)
+    val firstLine = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().next() finally in.close()
+    assert(firstLine.contains("ckptAdds"),
+      s"the commit marker must lead the file: $firstLine")
+    val out = fs.create(cpPath, true)
+    try out.write((firstLine + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalStateException] {
+      t.vacuum(retainLast = 2, orphanMinAgeMs = 0L)
+    }
+    assert(e.getMessage.contains("does not replay"),
+      s"unexpected refusal: ${e.getMessage}")
+  }
+
+  test("extra Bloom columns (bloomCols) carry the skipping config: " +
+      "RENAME/DROP COLUMN refuses toward ALTER TBLPROPERTIES first, " +
+      "exactly like statsCol/bloomCol — never a recorded config " +
+      "naming a nonexistent logical column") {
+    val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
+    val t = new LogStore(spark, dir, bloomCol = Some("k"),
+      bloomCols = Seq("b", "c"))
+    t.append(Seq((1L, "k1", "b1", "c1")).toDF("id", "k", "b", "c"))
+    val e1 = intercept[IllegalArgumentException] {
+      t.renameColumn("b", "b2")
+    }
+    assert(e1.getMessage.contains("skipping config"))
+    val e2 = intercept[IllegalArgumentException] { t.dropColumns(Seq("c")) }
+    assert(e2.getMessage.contains("skipping config"))
+    // a PATH-ONLY handle (recorded props, no constructor config)
+    // refuses just the same — the guard keys on the log, not the handle
+    val r = new LogStore(spark, dir)
+    val e3 = intercept[IllegalArgumentException] {
+      r.renameColumn("c", "c2")
+    }
+    assert(e3.getMessage.contains("skipping config"))
+    // re-pointing the TBLPROPERTIES first unblocks the rename (via a
+    // fresh path-only handle — this writer's CONSTRUCTOR config still
+    // names c, and the guard honors both)
+    t.setProperties(Map("bloomCols" -> "b"))
+    val r2 = LogStore.configured(spark, dir)
+    r2.renameColumn("c", "c2")
+    assert(r2.read().columns.toSeq == Seq("id", "k", "b", "c2"))
+  }
+
+  test("grammar ordering: bxs rides AFTER the dv fields, so an add " +
+      "line carrying BOTH round-trips its deletion vector through a " +
+      "checkpoint — and r17's bxs-before-rows spelling still parses") {
+    val dir = Files.createTempDirectory("graft-log").toString + "/tbl"
+    val t = new LogStore(spark, dir, bloomCols = Seq("k"),
+      dvDeletes = true, checkpointInterval = 1000)
+    t.append((1L to 10L).map(i => (i, s"k$i")).toDF("id", "k"))
+    t.deleteWhereDV("id IN (3, 7)") // the same segment now has bxs AND dv
+    t.checkpoint()
+    // resolution from the checkpoint ALONE: delete the version files —
+    // if the parser lost the trailing dvf/dvr after bxs, the deleted
+    // rows would resurrect here
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val latest = t.latestVersion()
+    (0L until latest).foreach(v => fs.delete(
+      new org.apache.hadoop.fs.Path(f"$dir/_log/$v%08d.json"), false))
+    val r = LogStore.configured(spark, dir)
+    assert(ids(r.read()) == ((1L to 10L).toSet - 3L - 7L),
+      "dv state must survive a checkpoint whose adds carry bxs")
+    val (_, opened, live) = r.pointLookupOn("k", "k5")
+    assert(opened <= live, "the extra bloom must still be consulted")
+    // the r17 spelling (bxs BETWEEN xs and rows) parses identically:
+    // hand-write a version file in the old order and read it back
+    val dir2 = Files.createTempDirectory("graft-log").toString + "/tbl"
+    val t2 = new LogStore(spark, dir2, bloomCols = Seq("k"),
+      dvDeletes = true)
+    t2.append((1L to 4L).map(i => (i, s"k$i")).toDF("id", "k"))
+    t2.deleteWhereDV("id = 2")
+    val fs2 = new org.apache.hadoop.fs.Path(dir2).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val v0 = new org.apache.hadoop.fs.Path(f"$dir2/_log/${0L}%08d.json")
+    val body = {
+      val in2 = fs2.open(v0)
+      try scala.io.Source.fromInputStream(in2, "UTF-8").mkString
+      finally in2.close()
+    }
+    // rewrite v0 with bxs moved to the old pre-rows slot
+    val re = """("rows":\d+)(.*?)(,"bxs":"[^"]*")""".r
+    val oldOrder = body.linesIterator.map { l =>
+      re.findFirstMatchIn(l) match {
+        case Some(m) => l.substring(0, m.start) + m.group(3) +
+          m.group(1) + m.group(2) + l.substring(m.end)
+        case None => l
+      }
+    }.mkString("", "\n", "\n")
+    assert(oldOrder != body, "the rewrite must have moved a bxs field")
+    val o2 = fs2.create(v0, true)
+    try o2.write(oldOrder.getBytes("UTF-8")) finally o2.close()
+    val r2 = LogStore.configured(spark, dir2)
+    assert(ids(r2.read()) == Set(1L, 3L, 4L))
+    val (_, o2b, l2b) = r2.pointLookupOn("k", "k3")
+    assert(o2b <= l2b)
+  }
 }

@@ -2591,6 +2591,64 @@ object SparkEntry {
         .withColumn("rename_pins", lit(pins))
     }),
 
+    "src_sql_widen" -> ((s, dir) => {
+      // ALTER COLUMN TYPE widening end-to-end through pure SQL: a
+      // table filled NARROW (INT id, FLOAT score), widened to
+      // BIGINT/DOUBLE in two metadata-only commits (zero new
+      // segments), then filled with WIDE values past Int range — old
+      // int32/float bytes up-cast at scan time, time travel AS OF the
+      // pre-widen version presents the narrow types, and bound
+      // pruning on the WIDENED stats column still prunes (bounds
+      // recorded under INT spellings, probed as LONG — the BigDecimal
+      // compare). The aggregate equals the source recomputation.
+      val cat = "graftsql"
+      if (!s.conf.getAll.contains(s"spark.sql.catalog.$cat")) {
+        val r0 = java.nio.file.Files
+          .createTempDirectory("graft-sqlcat").toString
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.GraftLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", r0)
+      }
+      val short = s"wd_${java.util.UUID.randomUUID().toString.take(8)}"
+      val tbl = s"$cat.bench.$short"
+      events(s, dir).where(col("event_id") < 1000)
+        .select(col("event_id"), col("value")).cache()
+        .createOrReplaceTempView("src_widen_events")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.bench")
+      s.sql(s"CREATE TABLE $tbl (eid INT, score FLOAT) " +
+        "TBLPROPERTIES ('statsCol' = 'eid')")
+      s.sql(s"INSERT INTO $tbl SELECT CAST(event_id AS INT), " +
+        "CAST(value AS FLOAT) FROM src_widen_events WHERE event_id < 500")
+      val dirT = s"${s.conf.get(s"spark.sql.catalog.$cat.root")}" +
+        s"/bench/$short"
+      val st = graft.catalog.LogStore.configured(s, dirT)
+      val vNarrow = st.latestVersion()
+      val segsBefore = st.liveSegmentInfos().map(_.name).toSet
+      s.sql(s"ALTER TABLE $tbl ALTER COLUMN eid TYPE BIGINT")
+      s.sql(s"ALTER TABLE $tbl ALTER COLUMN score TYPE DOUBLE")
+      val metadataOnly = st.latestVersion() == vNarrow + 2 &&
+        st.liveSegmentInfos().map(_.name).toSet == segsBefore
+      // wide rows land past Int range — only a genuinely LONG column
+      // can hold them
+      s.sql(s"INSERT INTO $tbl SELECT CAST(event_id + 3000000000 " +
+        "AS BIGINT), CAST(value AS DOUBLE) FROM src_widen_events " +
+        "WHERE event_id >= 500")
+      val oldShape = s.sql(s"SELECT * FROM $tbl VERSION AS OF $vNarrow")
+        .schema.fields.map(f => f.dataType.simpleString).toSeq ==
+        Seq("int", "float")
+      val newShape = s.table(tbl).schema.fields
+        .map(_.dataType.simpleString).toSeq == Seq("bigint", "double")
+      val (_, scanned, live) = st.readRangeOn("eid", "100", "200")
+      val prunes = live == 2 && scanned == 1
+      val pins = metadataOnly && oldShape && newShape && prunes
+      s.sql(s"""SELECT eid % 10 AS g, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(eid) AS BIGINT) AS sum_eid,
+        | CAST(SUM(CAST(score AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_score
+        |FROM $tbl GROUP BY eid % 10 ORDER BY g""".stripMargin)
+        .withColumn("widen_pins", lit(pins))
+    }),
+
     "src_ckpt_shard" -> ((s, dir) => {
       // MULTI-PART checkpoint end-to-end: 8 range-disjoint appends,
       // a sharded checkpoint (threshold 2 → 4 part files + Bloom
@@ -8341,6 +8399,27 @@ object SparkEntry {
         | TRUE AS rename_pins
         |FROM events WHERE event_id < 1000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the widen is metadata only — the oracle recomputes both halves
+    // from the source (narrow half routed through FLOAT, wide half
+    // offset past Int range); widen_pins records the two-commit /
+    // zero-segment / old-shape-time-travel / widened-bound-prune
+    // evidence
+    "src_sql_widen" ->
+      """WITH t AS (
+        |  SELECT CAST(event_id AS BIGINT) AS eid,
+        |    CAST(CAST(value AS FLOAT) AS DOUBLE) AS score
+        |  FROM events WHERE event_id < 500
+        |  UNION ALL
+        |  SELECT CAST(event_id + 3000000000 AS BIGINT),
+        |    CAST(value AS DOUBLE)
+        |  FROM events WHERE event_id >= 500 AND event_id < 1000)
+        |SELECT eid % 10 AS g, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(eid) AS BIGINT) AS sum_eid,
+        | CAST(SUM(CAST(score AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS sum_score,
+        | TRUE AS widen_pins
+        |FROM t GROUP BY eid % 10 ORDER BY g""".stripMargin,
 
     // the sharded checkpoint is layout only — the oracle is the plain
     // aggregate; ckpt_shard_pins records the part/sidecar layout,

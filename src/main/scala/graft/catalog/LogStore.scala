@@ -1756,6 +1756,78 @@ class LogStore(spark: SparkSession, val root: String,
     -1L // unreachable
   }
 
+  /** ALTER TABLE ALTER COLUMN TYPE — WIDENING ONLY — as a
+    * METADATA-ONLY schema commit: BYTE→SHORT→INT→LONG along the
+    * integral family and FLOAT→DOUBLE re-type the LOGICAL column;
+    * existing segments keep their narrow physical bytes and every
+    * read path up-casts at scan time (Spark 4's parquet widening
+    * promotions on the native scan; the DSv2 Group reader mirrors
+    * them), so zero data bytes move and time travel presents the old
+    * type AS OF its version — the schema action is version-scoped
+    * state like any other. Writers after the widen must produce the
+    * WIDE type (the usual enforceSchema exactness; SQL INSERT casts
+    * to the table schema automatically).
+    *
+    * Widening a SKIPPING column is allowed — unlike rename/drop,
+    * nothing stops keying: recorded bounds are stored as strings and
+    * compared through BigDecimal, so a segment recorded under INT
+    * ('5'..'90') prunes correctly against LONG predicates, and a
+    * float bound's shortest-repr spelling parses to the same
+    * BigDecimal the widened double comparison uses.
+    *
+    * Everything else — narrowing (loses information), cross-family
+    * re-types (changes semantics), decimal precision moves — keeps
+    * the reasoned refusal: those evolve by CTAS migration. */
+  def widenColumn(name: String,
+      to: org.apache.spark.sql.types.DataType,
+      maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.types._
+    require(maxAttempts >= 1, "need at least one attempt")
+    def rank(dt: DataType): Option[Int] = dt match {
+      case ByteType => Some(1)
+      case ShortType => Some(2)
+      case IntegerType => Some(3)
+      case LongType => Some(4)
+      case _ => None
+    }
+    var attempt = 1
+    while (true) {
+      val v = latestVersion()
+      require(v >= 0, s"no log at $root")
+      val st = replayTo(v)
+      val current = st.schemaB64.map(decodeSchema)
+        .getOrElse(read(v).schema)
+      val f = current.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column '$name' to widen"))
+      val ok = (f.dataType, to) match {
+        case (a, b) if a == b => throw new IllegalArgumentException(
+          s"column '$name' is already $b")
+        case (FloatType, DoubleType) => true
+        case (a, b) => (rank(a), rank(b)) match {
+          case (Some(ra), Some(rb)) => ra < rb
+          case _ => false
+        }
+      }
+      require(ok,
+        s"ALTER COLUMN '$name' ${f.dataType} -> $to is not a widening " +
+          "(only BYTE->SHORT->INT->LONG and FLOAT->DOUBLE are " +
+          "metadata-only; anything else loses information or changes " +
+          "semantics and evolves by CTAS migration)")
+      val evolved = org.apache.spark.sql.types.StructType(
+        current.fields.map { g =>
+          if (g.name != name) g else g.copy(dataType = to)
+        })
+      try return commit(v + 1, Nil, Nil,
+        schema = Some(encodeSchema(evolved)))
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+
   /** ALTER TABLE DROP COLUMN as a METADATA-ONLY commit: the field
     * leaves the schema and its PHYSICAL name is RETIRED into the
     * props action in the SAME commit — zero data bytes move, old

@@ -231,9 +231,12 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
     * the logical view changes — [[graft.catalog.LogStore
     * .renameColumn]]/[[graft.catalog.LogStore.dropColumns]]; columns
     * carrying the skipping config refuse toward TBLPROPERTIES
-    * first), and SET/UNSET TBLPROPERTIES. Everything else keeps the
-    * reasoned refusal: types never mutate (coexisting-types
-    * corruption) — that evolves by CTAS migration. */
+    * first), `ALTER COLUMN TYPE` WIDENING (BYTE→SHORT→INT→LONG,
+    * FLOAT→DOUBLE — [[graft.catalog.LogStore.widenColumn]]; old
+    * segments up-cast at scan time), and SET/UNSET TBLPROPERTIES.
+    * Everything else keeps the reasoned refusal: types never
+    * narrow or cross families (coexisting-types corruption) — that
+    * evolves by CTAS migration. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val dir = tableDir(ident)
@@ -246,13 +249,16 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
       case r: TableChange.RenameColumn => r }
     val drops = changes.collect {
       case d: TableChange.DeleteColumn => d }
+    val retypes = changes.collect {
+      case t: TableChange.UpdateColumnType => t }
     if (adds.size + sets.size + unsets.size + renames.size +
-        drops.size != changes.size)
+        drops.size + retypes.size != changes.size)
       throw new UnsupportedOperationException(
         "graft-log ALTER TABLE supports ADD COLUMN (nullable), " +
-          "RENAME COLUMN, DROP COLUMN and SET/UNSET TBLPROPERTIES " +
-          "only — schemas otherwise evolve by WRITING evolved rows " +
-          "(columns may be added by any append; types never mutate)")
+          "RENAME COLUMN, DROP COLUMN, ALTER COLUMN TYPE (widening) " +
+          "and SET/UNSET TBLPROPERTIES only — schemas otherwise " +
+          "evolve by WRITING evolved rows (columns may be added by " +
+          "any append; types only ever WIDEN, never mutate)")
     if (sets.nonEmpty || unsets.nonEmpty)
       LogStore.configured(spark, dir).setProperties(
         sets.map(s => s.property -> s.value).toMap,
@@ -270,6 +276,13 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
           s"'${d.fieldNames.mkString(".")}' is not supported"))
       LogStore.configured(spark, dir)
         .dropColumns(drops.map(_.fieldNames()(0)).toSeq)
+    }
+    retypes.foreach { t =>
+      require(t.fieldNames.length == 1,
+        "graft-log stores flat columns; nested ALTER COLUMN " +
+          s"'${t.fieldNames.mkString(".")}' is not supported")
+      LogStore.configured(spark, dir)
+        .widenColumn(t.fieldNames()(0), t.newDataType())
     }
     if (adds.isEmpty) return loadTable(ident)
     val fields = adds.map { a =>

@@ -724,9 +724,19 @@ object LogStreamPartitionReader {
     case ByteType => g.getInteger(idx, rep).toByte
     case ShortType => g.getInteger(idx, rep).toShort
     case IntegerType | DateType => g.getInteger(idx, rep)
-    case LongType => g.getLong(idx, rep)
+    case LongType => pt.getPrimitiveTypeName match {
+      // ALTER COLUMN TYPE widening: old segments written before an
+      // INT→LONG widen keep int32 bytes — up-cast at read time,
+      // mirroring Spark's own parquet widening promotion
+      case PrimitiveTypeName.INT32 => g.getInteger(idx, rep).toLong
+      case _ => g.getLong(idx, rep)
+    }
     case FloatType => g.getFloat(idx, rep)
-    case DoubleType => g.getDouble(idx, rep)
+    case DoubleType => pt.getPrimitiveTypeName match {
+      // FLOAT→DOUBLE widening — exact by IEEE construction
+      case PrimitiveTypeName.FLOAT => g.getFloat(idx, rep).toDouble
+      case _ => g.getDouble(idx, rep)
+    }
     case StringType => UTF8String.fromBytes(g.getBinary(idx, rep).getBytes)
     case BinaryType => g.getBinary(idx, rep).getBytes
     case TimestampType | TimestampNTZType =>

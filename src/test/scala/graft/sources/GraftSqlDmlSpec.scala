@@ -451,4 +451,81 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(feed == Map("delete" -> 15L))
   }
+
+  test("ALTER COLUMN TYPE widening: INT->LONG and FLOAT->DOUBLE are " +
+      "metadata-only commits — old narrow segments up-cast at scan " +
+      "time on BOTH read paths, time travel shows the old type, " +
+      "bound pruning keeps working on a WIDENED stats column, and " +
+      "narrowing / cross-family changes refuse") {
+    root
+    spark.sql("CREATE TABLE gdml.widen (id INT, score FLOAT, v STRING)" +
+      " TBLPROPERTIES ('statsCol' = 'id')")
+    spark.sql("INSERT INTO gdml.widen VALUES " +
+      "(1, CAST(0.5 AS FLOAT), 'a'), (2, CAST(1.5 AS FLOAT), 'b')")
+    spark.sql("INSERT INTO gdml.widen VALUES " +
+      "(100, CAST(2.5 AS FLOAT), 'c'), (101, CAST(3.5 AS FLOAT), 'd')")
+    val store = LogStore.configured(spark, s"$root/widen")
+    val vNarrow = store.latestVersion()
+    spark.sql("ALTER TABLE gdml.widen ALTER COLUMN id TYPE BIGINT")
+    spark.sql("ALTER TABLE gdml.widen ALTER COLUMN score TYPE DOUBLE")
+    assert(store.latestVersion() == vNarrow + 2,
+      "two metadata-only commits, zero data bytes")
+    // post-widen writes land WIDE values beyond the narrow ranges
+    spark.sql("INSERT INTO gdml.widen VALUES " +
+      s"(${Int.MaxValue.toLong + 7L}L, CAST(9.5 AS DOUBLE), 'wide')")
+    // the SQL (DSv2 connector) read path: widened schema, old int32 /
+    // float bytes up-cast, new wide rows exact
+    val sqlTypes = spark.table("gdml.widen").schema
+      .fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(sqlTypes("id") == "bigint" && sqlTypes("score") == "double",
+      s"widened logical types must serve through SQL: $sqlTypes")
+    assert(spark.sql("SELECT sum(id) FROM gdml.widen").head().getLong(0)
+      == 1L + 2L + 100L + 101L + (Int.MaxValue.toLong + 7L))
+    assert(spark.sql(
+      "SELECT sum(CAST(score * 2 AS BIGINT)) FROM gdml.widen")
+      .head().getLong(0) == 1L + 3L + 5L + 7L + 19L)
+    // the programmatic (native parquet scan) read path agrees
+    assert(store.read().schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(store.read().agg(sum(col("id"))).head().getLong(0)
+      == 204L + Int.MaxValue.toLong + 7L)
+    // time travel presents the NARROW type as of its version
+    assert(store.read(vNarrow).schema("id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(spark.sql(
+      s"SELECT sum(id) FROM gdml.widen VERSION AS OF $vNarrow")
+      .head().getLong(0) == 204L)
+    // bound pruning on the WIDENED stats column: bounds were recorded
+    // under INT spellings, the probe is a LONG range — BigDecimal
+    // compare prunes exactly (1 of 3 segments overlaps 90..110)
+    val (_, scanned, live) = store.readRangeOn("id", "90", "110")
+    assert(live == 3 && scanned == 1,
+      s"widened stats column must keep pruning: $scanned of $live")
+    // and a stats-pruned SQL UPDATE through the row-level path still
+    // carries the non-matching narrow segments by name
+    val before = store.liveSegmentInfos().map(_.name).toSet
+    spark.sql("UPDATE gdml.widen SET v = 'u' WHERE id = 100L")
+    val after = store.liveSegmentInfos().map(_.name).toSet
+    assert((before & after).size == 2,
+      s"non-overlapping segments carried: before=$before after=$after")
+    assert(spark.sql("SELECT v FROM gdml.widen WHERE id = 100L")
+      .head().getString(0) == "u")
+    // refusals: SQL narrowing is stopped by Spark's own analyzer
+    // (AlterColumns admits up-casts only); the programmatic surface
+    // keeps its reasoned refusal for narrowing AND cross-family
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE gdml.widen ALTER COLUMN id TYPE INT")
+    }
+    assert(e1.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"))
+    val e2 = intercept[Exception] {
+      store.widenColumn("v",
+        org.apache.spark.sql.types.LongType)
+    }
+    assert(e2.getMessage.contains("not a widening"))
+    val e3 = intercept[Exception] {
+      store.widenColumn("score",
+        org.apache.spark.sql.types.FloatType)
+    }
+    assert(e3.getMessage.contains("not a widening"))
+  }
 }

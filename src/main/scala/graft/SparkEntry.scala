@@ -4276,6 +4276,58 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivf_filtered" -> ((s, dir) => {
+      // FILTERED (hybrid) ANN through the persisted index: the
+      // predicate (vec_id % 3 = 0 — a keep-list surrogate) rides the
+      // corpus side of the candidate fetch, so failing candidates
+      // never reach the cosine — never post-filtering a top-k. The
+      // relation is per-query recall@5 against the FILTERED
+      // brute-force truth at overProbe=2 (8 of 16 cells).
+      // filtered_pins: per-query recall at overProbe=2 is ≥ the
+      // plain-probe filtered recall (candidates are a superset), the
+      // probe still stats-prunes, and every returned neighbor
+      // satisfies the predicate.
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-annf").toString
+      val idx = AnnIndex.buildIvf(s, emb, corpusVersion = 0L,
+        s"$root/idx", nCells = 16, postingSegments = 8)
+      val keep = col("vec_id") % 3 === 0
+      val (res2, _, _) = AnnIndex.searchIvf(s, idx, emb, q, k = 5,
+        nProbe = 4, corpusFilter = Some(keep), overProbe = 2)
+      val (res1, _, _) = AnnIndex.searchIvf(s, idx, emb, q, k = 5,
+        nProbe = 4, corpusFilter = Some(keep))
+      val (_, opened1, live1) = AnnIndex.searchIvf(s, idx, emb,
+        emb.where(col("vec_id") === 0L), k = 5, nProbe = 2,
+        corpusFilter = Some(keep))
+      val brute = Similarity.bruteForceTopK(emb.where(keep), q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      def hitsOf(res: org.apache.spark.sql.DataFrame, out: String) =
+        res.select(col("query_id"), col("neighbor_id"))
+          .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as(out))
+      val h2 = hitsOf(res2, "n_hits")
+      val h1 = hitsOf(res1, "n_hits_1")
+      val allKept = res2.where(col("neighbor_id") % 3 =!= 0)
+        .limit(1).collect().isEmpty
+      val perQuery = q.select(col("vec_id").as("query_id"))
+        .join(h2, Seq("query_id"), "left")
+        .join(h1, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("n_hits_1"), lit(0L)).as("n_hits_1"))
+      val monotone = perQuery
+        .where(col("n_hits") < col("n_hits_1"))
+        .limit(1).collect().isEmpty
+      val pins = monotone && allKept && opened1 < live1
+      perQuery
+        .select(col("query_id"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(5.0)).as("recall"))
+        .withColumn("filtered_pins", lit(pins))
+        .orderBy("query_id")
+    }),
+
     "ann_ivf_drift_retrain" -> ((s, dir) => {
       // the trained index's RETRAIN lifecycle end-to-end: built over
       // HALF the corpus, then the other half arrives while the
@@ -10228,6 +10280,56 @@ object SparkEntry {
          |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE)
          |    AS recall,
          |  TRUE AS probe_pruned
+         |FROM (SELECT vec_id FROM e WHERE vec_id < 8) q
+         |LEFT JOIN hits h ON q.vec_id = h.query_id
+         |ORDER BY query_id""".stripMargin
+    },
+
+    // the filtered search replays the SAME deterministic-IVF
+    // construction with the predicate applied to candidates (and to
+    // the brute-force truth) and the probe widened to 8 cells —
+    // per-query hit counts are pure integers; filtered_pins records
+    // the monotone-recall / all-kept / stats-prune evidence
+    "ann_ivf_filtered" -> {
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e),
+         |bp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+         |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id != q.vec_id
+         |    AND c.vec_id % 3 = 0),
+         |bh AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |   PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM bp) WHERE rank <= 5),
+         |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n
+         |  ORDER BY vec_id LIMIT 16),
+         |ac AS (SELECT n.vec_id, n.v, n.nrm, cent.cell_id,
+         |  ${duckDot("n.v", "cent.cv")} / (n.nrm * cent.cnrm) AS c_cos
+         |  FROM n CROSS JOIN cent),
+         |assigned AS (SELECT vec_id, v, nrm, cell_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY c_cos DESC, cell_id ASC) AS rn FROM ac) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cell_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY c_cos DESC, cell_id ASC) AS rn FROM ac
+         |  WHERE vec_id < 8) WHERE rn <= 8),
+         |ip AS (SELECT q.q_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${duckDot("q.qv", "c.v")} / (q.qnrm * c.nrm) AS cos
+         |  FROM probes q JOIN assigned c ON q.cell_id = c.cell_id
+         |    AND c.vec_id != q.q_id AND c.vec_id % 3 = 0),
+         |ih AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, cos, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM ip) WHERE rank <= 5),
+         |hits AS (SELECT i.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM ih i JOIN bh b ON i.query_id = b.query_id
+         |    AND i.neighbor_id = b.neighbor_id
+         |  GROUP BY i.query_id)
+         |SELECT q.vec_id AS query_id,
+         |  COALESCE(h.n_hits, 0) AS n_hits,
+         |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE)
+         |    AS recall,
+         |  TRUE AS filtered_pins
          |FROM (SELECT vec_id FROM e WHERE vec_id < 8) q
          |LEFT JOIN hits h ON q.vec_id = h.query_id
          |ORDER BY query_id""".stripMargin

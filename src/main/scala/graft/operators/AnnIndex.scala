@@ -422,10 +422,24 @@ object AnnIndex {
     * pruned read actually opened, `live` the total — the
     * files-opened evidence a 100 TB probe hinges on. Results match
     * [[Similarity.ivfTopK]] (deterministic codebook) or
-    * [[Similarity.ivfTopKTrained]] (trained codebook) exactly. */
+    * [[Similarity.ivfTopKTrained]] (trained codebook) exactly.
+    *
+    * FILTERED (hybrid) search: `corpusFilter` is an optional
+    * predicate over the CORPUS columns (a keep-list flag, a language,
+    * a dedup verdict — the first real query an LLM-pipeline user
+    * asks is "top-k among docs WHERE …"). It is applied on the corpus
+    * side of the candidate fetch join, so Catalyst pushes it into the
+    * corpus scan and failing candidates never reach the cosine — NOT
+    * post-filtering of a top-k, which silently returns < k. Because a
+    * predicate thins every probed cell, `overProbe` widens the probe
+    * to nProbe×overProbe cells so k survives filtering — recall
+    * against the FILTERED brute-force truth is monotone in probed
+    * cells (more cells = a superset of candidates). */
   def searchIvf(spark: SparkSession, idx: IvfIndex, corpus: DataFrame,
-      queries: DataFrame, k: Int = 5, nProbe: Int = 4)
+      queries: DataFrame, k: Int = 5, nProbe: Int = 4,
+      corpusFilter: Option[Column] = None, overProbe: Int = 1)
       : (DataFrame, Int, Int) = {
+    require(overProbe >= 1, s"overProbe must be >= 1, got $overProbe")
     // generation guard: a retrain replaces codebook and postings in
     // two commits — probing a new codebook against old assignments
     // (or vice versa) would return silently-wrong neighbors
@@ -437,8 +451,10 @@ object AnnIndex {
       s"index generations diverge (centroids $genC vs postings " +
         s"$genP) — a retrain was interrupted; run maintainIvf to heal")
     val book = loadCodebook(spark, idx, corpus)
+    val probeCellsN = nProbe * overProbe
     val probes = withNorm(queries)
-      .withColumn("probe", explode(slice(probeStructs(book), 1, nProbe)))
+      .withColumn("probe",
+        explode(slice(probeStructs(book), 1, probeCellsN)))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("probe.cell_id").as("cell_id"))
       .localCheckpoint(true) // probed twice: ranges + the join
@@ -453,9 +469,12 @@ object AnnIndex {
       .where(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("q_emb"), col("q_nrm"),
         col("vec_id").as("neighbor_id"), col("nrm").as("c_nrm"))
-    // exact cosine: neighbor vectors fetched from the corpus by id
+    // exact cosine: neighbor vectors fetched from the corpus by id —
+    // the hybrid predicate rides THIS scan (pushed down by Catalyst),
+    // so filtered-out candidates never reach the cosine or the top-k
+    val corpusSide = corpusFilter.fold(corpus)(corpus.where)
     val joined = candidates
-      .join(corpus.select(col("vec_id").as("neighbor_id"),
+      .join(corpusSide.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_emb")), Seq("neighbor_id"))
       .select(col("q_id").as("query_id"), col("neighbor_id"),
         (vec_dot(col("q_emb"), col("c_emb")) /

@@ -437,4 +437,67 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(cents.recordedProp("ivfIters") == Some("2"))
     assert(cents.recordedProp("ivfCells") == Some("16"))
   }
+
+  test("FILTERED search: the corpus predicate thins candidates " +
+      "BEFORE the cosine (every neighbor satisfies it), over-probe " +
+      "recovers the k the filter eats, results equal the filtered " +
+      "in-memory construction, and the probe still stats-prunes") {
+    val dir = Files.createTempDirectory("graft-annflt").toString
+    val corpusStore = new LogStore(spark, s"$dir/corpus")
+    corpusStore.append(corpusDf(256))
+    val corpus = corpusStore.read()
+    val idx = AnnIndex.buildIvf(spark, corpus,
+      corpusStore.latestVersion(), s"$dir/idx", nCells = 16,
+      postingSegments = 8)
+    val queries = corpus.where(col("vec_id") < 4)
+    // cluster-uniform predicate (ids ≡ c mod 8 per cluster, so a
+    // mod-16 split keeps HALF of every cluster — the filter thins
+    // cells instead of blacking out whole clusters)
+    val keep = col("vec_id") % 16 < 8
+    val (res, opened, live) = AnnIndex.searchIvf(spark, idx, corpus,
+      queries, k = 5, nProbe = 2, corpusFilter = Some(keep),
+      overProbe = 3)
+    // every returned neighbor satisfies the predicate
+    assert(res.where(col("neighbor_id") % 16 >= 8).count() == 0L)
+    // the filter halves each cell: over-probe must still fill k
+    // for every query
+    val perQ = res.groupBy("query_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert((0L until 4L).forall(q => perQ.getOrElse(q, 0L) == 5L),
+      s"over-probe must recover k after filtering: $perQ")
+    // parity with the in-memory construction under the same filter
+    // and widened probe: candidates = probed cells ∩ keep
+    val got = res.select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val want = {
+      val full = Similarity.ivfTopK(corpus, queries, k = 256,
+        nCells = 16, nProbe = 6)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      full.where(col("neighbor_id") % 16 < 8)
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+    }
+    assert(got == want,
+      s"filtered persisted search must equal the filtered in-memory " +
+        s"construction (${got.size} vs ${want.size} rows)")
+    // stats pruning pin on a NARROW filtered probe (4 queries × 6
+    // over-probed cells above legitimately touch every segment)
+    val (_, opened1, live1) = AnnIndex.searchIvf(spark, idx, corpus,
+      queries.limit(1), k = 5, nProbe = 1, corpusFilter = Some(keep),
+      overProbe = 2)
+    assert(opened1 < live1,
+      s"the filtered probe must still stats-prune: $opened1 of $live1")
+    // a too-selective filter WITHOUT over-probe honestly returns < k
+    // (the recall knob exists precisely for this)
+    val (thin, _, _) = AnnIndex.searchIvf(spark, idx, corpus,
+      queries.limit(1), k = 5, nProbe = 1,
+      corpusFilter = Some(col("vec_id") % 64 === 1))
+    assert(thin.count() < 5L,
+      "a thin unwidened probe should come up short — that shortfall " +
+        "is what overProbe exists to fix")
+  }
 }

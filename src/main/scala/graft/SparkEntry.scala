@@ -4328,6 +4328,65 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    "ann_ivfpq_persisted" -> ((s, dir) => {
+      // the PERSISTED IVF-PQ index (IVFADC): PQ codes ride the
+      // postings table, so candidate scoring is ADC from the INDEX
+      // ALONE — the corpus is opened only for the exact-cosine rerank
+      // of the shortlist. Lifecycle exercised end-to-end: build over
+      // the initial corpus, then deletes + re-keyed appends absorbed
+      // by maintainIvfPq (codes carried through the final-action
+      // reduction), then a search that must equal the in-memory
+      // ivfPqTopK over the FINAL corpus — which is exactly what the
+      // k-codebook-replaying oracle computes. pq_pins: exactly-once
+      // cursor + one-posting-per-live-vector, postings probe pruned,
+      // corpus opens ∝ the rerank set (≤ shortlist ids) on a narrow
+      // probe.
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-annpq").toString
+      val corpusStore = new graft.catalog.LogStore(s, s"$root/corpus",
+        statsCol = Some("vec_id"))
+      // 8 range-disjoint corpus segments (vec_id-clustered), so the
+      // rerank fetch has real segments to prune
+      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val step = maxId / 8 + 1
+      (0 until 8).foreach(i => corpusStore.append(
+        emb.where(col("vec_id") >= i * step &&
+          col("vec_id") < (i + 1) * step)))
+      val idx = AnnIndex.buildIvfPq(s, corpusStore.read(),
+        corpusStore.latestVersion(), s"$root/idx", nCells = 16, m = 8,
+        dims = 64, ksub = 32, postingSegments = 8)
+      // corpus churn while the cursor lags: two deletes (non-codebook
+      // ids) and twenty re-keyed copies
+      corpusStore.deleteWhere("vec_id IN (40, 41)")
+      corpusStore.append(emb
+        .where(col("vec_id") >= 100 && col("vec_id") < 120)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          col("embedding")))
+      AnnIndex.maintainIvfPq(s, corpusStore, idx)
+      val postings = graft.catalog.LogStore
+        .configured(s, idx.postingsRoot)
+      val corpus = corpusStore.read()
+      val exactlyOnce =
+        postings.lastTxn() == corpusStore.latestVersion() &&
+          postings.read().count() == corpus.count()
+      val q = corpus.where(col("vec_id") < 8)
+      val scan = AnnIndex.searchIvfPq(s, idx, corpusStore, q, k = 5,
+        nProbe = 4, shortlist = 50)
+      val narrow = AnnIndex.searchIvfPq(s, idx, corpusStore,
+        corpus.where(col("vec_id") === 0L), k = 4, nProbe = 2,
+        shortlist = 4)
+      val pins = exactlyOnce &&
+        narrow.postingsOpened < narrow.postingsLive &&
+        narrow.corpusOpened <= 4 &&
+        narrow.corpusOpened < narrow.corpusLive
+      scan.results
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .withColumn("pq_pins", lit(pins))
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_ivf_drift_retrain" -> ((s, dir) => {
       // the trained index's RETRAIN lifecycle end-to-end: built over
       // HALF the corpus, then the other half arrives while the
@@ -10283,6 +10342,33 @@ object SparkEntry {
          |FROM (SELECT vec_id FROM e WHERE vec_id < 8) q
          |LEFT JOIN hits h ON q.vec_id = h.query_id
          |ORDER BY query_id""".stripMargin
+    },
+
+    // the persisted IVF-PQ must equal the in-memory IVFADC over the
+    // FINAL corpus (post-maintenance), so its oracle is the
+    // ann_ivfpq_topk chain with the mutated corpus CTE; pq_pins
+    // records the exactly-once / probe-pruned / rerank-bounded
+    // evidence
+    "ann_ivfpq_persisted" -> {
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |e AS (SELECT vec_id, v FROM base WHERE vec_id NOT IN (40, 41)
+         |  UNION ALL
+         |  SELECT vec_id + 100000, v FROM base
+         |  WHERE vec_id >= 100 AND vec_id < 120),
+         |n AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e),
+         |${duckIvfPqCtes(nCells = 16, nProbe = 4, m = 8, ksub = 32,
+            dims = 64, shortlist = 50)},
+         |pr AS (SELECT sl.query_id, sl.neighbor_id,
+         |  ${duckDot("qn.v", "cn.v")} / (qn.nrm * cn.nrm) AS cos
+         |  FROM sl JOIN n qn ON sl.query_id = qn.vec_id
+         |  JOIN n cn ON sl.neighbor_id = cn.vec_id),
+         |rr AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+         |  AS rank FROM pr)
+         |SELECT query_id, rank, neighbor_id, TRUE AS pq_pins
+         |FROM rr WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
     },
 
     // the filtered search replays the SAME deterministic-IVF

@@ -54,6 +54,23 @@ object AnnIndex {
 
   final case class IvfIndex(centroidsRoot: String, postingsRoot: String)
 
+  /** The persisted IVF-PQ (IVFADC) index: coarse centroids, the
+    * residual product-quantizer codebook, and PQ-coded postings —
+    * three transactional tables, fully self-contained (unlike the
+    * deterministic [[IvfIndex]], every codebook vector is INDEX
+    * state, so corpus churn can never orphan it). */
+  final case class IvfPqIndex(centroidsRoot: String, pqbookRoot: String,
+      postingsRoot: String)
+
+  /** [[searchIvfPq]]'s result + its files-opened evidence on BOTH
+    * tables: candidate scoring opened `postingsOpened` of
+    * `postingsLive` posting segments (probe pruning), and the corpus
+    * was opened ONLY for the final rerank set — `corpusOpened` of
+    * `corpusLive` segments, bounded by the shortlist, never by the
+    * candidate count. */
+  final case class IvfPqScan(results: DataFrame, postingsOpened: Int,
+      postingsLive: Int, corpusOpened: Int, corpusLive: Int)
+
   /** The rehydrated codebook, by policy. Deterministic cells carry
     * the centroid's corpus vec_id (vector fetched from the corpus);
     * trained cells carry the trained mean itself. */
@@ -264,14 +281,7 @@ object AnnIndex {
       // to the FINAL action per vec_id (latest commit; within one
       // commit an update's postimage outranks its preimage) and
       // append only keys whose final action still leaves a row.
-      val finality = when(
-        col("_change_type") === "update_preimage", 0).otherwise(1)
-      val lastAction = changes
-        .withColumn("_rn", row_number().over(Window
-          .partitionBy("vec_id")
-          .orderBy(col("_commit_version").desc, finality.desc)))
-        .where(col("_rn") === 1).drop("_rn")
-      val added = lastAction
+      val added = lastActionPerKey(changes)
         .where(col("_change_type").isin("insert", "update_postimage"))
       val book = loadCodebook(spark, idx, corpusStore.read())
       // drift gate — BEFORE any mutation: a drifted batch means the
@@ -391,6 +401,9 @@ object AnnIndex {
   private def loadCodebook(spark: SparkSession, idx: IvfIndex,
       corpus: DataFrame): Codebook = {
     val centStore = LogStore.configured(spark, idx.centroidsRoot)
+    require(!centStore.recordedProp("ivfPolicy").contains("ivfpq"),
+      s"${idx.centroidsRoot} belongs to an IVF-PQ index — search it " +
+        "through searchIvfPq")
     val df = centStore.read()
     if (df.columns.contains("embedding")) {
       val rows = df.select(col("cell_id"), col("embedding"))
@@ -486,5 +499,311 @@ object AnnIndex {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("cos")),
       opened, live)
+  }
+
+  /** Reduce a multi-commit change-feed range to the FINAL action per
+    * vec_id — latest commit wins; within one commit an update's
+    * postimage outranks its preimage. Shared by every maintainer: a
+    * lagging cursor's range can touch one key several times
+    * (insert-then-update, two upserts, insert-then-delete), and
+    * absorbing intermediate states would land duplicate or orphan
+    * postings. */
+  private def lastActionPerKey(changes: DataFrame): DataFrame = {
+    val finality = when(
+      col("_change_type") === "update_preimage", 0).otherwise(1)
+    changes
+      .withColumn("_rn", row_number().over(Window
+        .partitionBy("vec_id")
+        .orderBy(col("_commit_version").desc, finality.desc)))
+      .where(col("_rn") === 1).drop("_rn")
+  }
+
+  // ---------------------------------------------------------------
+  // IVF-PQ (IVFADC) persisted: ADC candidate scoring from the INDEX
+  // ALONE — the corpus is opened only for the final rerank set
+  // ---------------------------------------------------------------
+
+  /** The rehydrated IVF-PQ codebook state: coarse centroids by dense
+    * POSITION (the [[Similarity.ivfPqTopK]] rule) plus the flattened
+    * residual sub-codebooks — everything [[pqAssignExpr]]/encode/ADC
+    * need, loaded from the index tables alone. */
+  private final case class PqBook(cents: Array[(Seq[Float], Double)],
+      centFlat: Seq[Double], cwFlat: Seq[Double], ccFlat: Seq[Double],
+      m: Int, sub: Int, ksub: Int)
+
+  private def pqCellCos(ce: Seq[Float], cn: Double): Column =
+    vec_dot(col("embedding"), typedLit(ce)) / (col("nrm") * lit(cn))
+
+  /** Per-row argmax cell as the dense centroid position — ties to the
+    * lowest position, exactly [[Similarity.ivfPqTopK]]'s rule. */
+  private def pqAssignExpr(book: PqBook): Column =
+    (-greatest(book.cents.zipWithIndex.map { case ((ce, cn), pos) =>
+      struct(pqCellCos(ce, cn).as("c"), lit(-pos).as("negpos"))
+    }: _*).getField("negpos")).cast("int")
+
+  /** Sorted (−cos, cell_pos) probe structs for the query side. */
+  private def pqProbeStructs(book: PqBook): Column =
+    array_sort(array(book.cents.zipWithIndex.map { case ((ce, cn), pos) =>
+      struct((-pqCellCos(ce, cn)).as("negc"), lit(pos).as("cell_pos"))
+    }: _*))
+
+  /** Encode rows (vec_id, embedding) into the postings relation
+    * (cell_id, vec_id, code_0..m-1) under `book` — the residual PQ
+    * encode of [[Similarity.ivfPqTopK]], bit-identical by shared
+    * expression. */
+  private def pqEncodeRows(df: DataFrame, book: PqBook): DataFrame = {
+    import graft.functions.PqFunctions.pq_encode_res
+    val assigned = withNorm(df)
+      .withColumn("cell_pos", pqAssignExpr(book))
+    assigned
+      .select(col("vec_id"), col("cell_pos"),
+        pq_encode_res(col("embedding"), col("cell_pos"), book.m,
+          book.sub, book.ksub, book.cwFlat, book.ccFlat, book.centFlat)
+          .as("_codes"))
+      .select(col("cell_pos").cast("long").as("cell_id") +:
+        col("vec_id") +:
+        (0 until book.m).map(j =>
+          element_at(col("_codes"), j + 1).as(s"code_$j")): _*)
+  }
+
+  /** Build the PERSISTED IVF-PQ index (Jégou, Douze & Schmid's IVFADC,
+    * TPAMI'11 §V — public; deterministic codebooks per this codebase's
+    * policy, matching [[Similarity.ivfPqTopK]] exactly): under `dir`,
+    *
+    *  - `centroids`: (cell_id = dense position, embedding FLOAT[],
+    *    nrm) — the coarse quantizer's vectors are INDEX state, so the
+    *    codebook can never be orphaned by corpus churn;
+    *  - `pqbook`: (sub_id, code_id, cw DOUBLE[], cc) — the m×ksub
+    *    residual sub-codewords with their precomputed |c|²;
+    *  - `postings`: (cell_id, vec_id, code_0..m−1), statsCol=cell_id,
+    *    ingested CLUSTERED on cell_id — the m-BYTES-PER-VECTOR memory
+    *    shape that makes billion-scale ANN fit, with the candidate
+    *    SCORE computable from the postings alone (ADC): at 100 TB the
+    *    per-query work is a pruned read of probed posting cells plus
+    *    a corpus fetch of exactly the rerank set, never a scattered
+    *    per-candidate corpus lookup.
+    *
+    * The index cursor (txn fence) records the corpus version covered,
+    * making [[maintainIvfPq]] exactly-once. */
+  def buildIvfPq(spark: SparkSession, corpus: DataFrame,
+      corpusVersion: Long, dir: String, nCells: Int = 16, m: Int = 8,
+      dims: Int = 64, ksub: Int = 32, postingSegments: Int = 8)
+      : IvfPqIndex = {
+    require(dims % m == 0, "dims must split evenly into m subspaces")
+    require(nCells >= 2, s"nCells must be >= 2, got $nCells")
+    val sub = dims / m
+    val idx = IvfPqIndex(s"$dir/centroids", s"$dir/pqbook",
+      s"$dir/postings")
+    val cents = withNorm(corpus).orderBy(col("vec_id")).limit(nCells)
+      .collect()
+      .map(r => (r.getSeq[Float](1), r.getDouble(2)))
+    require(cents.length == nCells,
+      s"corpus has only ${cents.length} vectors; the deterministic " +
+        s"first-$nCells codebook needs at least nCells = $nCells")
+    val centFlat: Seq[Double] = cents.toSeq.flatMap(_._1.map(_.toDouble))
+    // residual codebook: the first ksub vectors' residuals w.r.t.
+    // their own assigned cells (ivfPqTopK's construction, replayed
+    // through the same expression arithmetic)
+    val preBook = PqBook(cents, centFlat, Nil, Nil, m, sub, ksub)
+    val cbRows = withNorm(corpus)
+      .withColumn("cell_pos", pqAssignExpr(preBook))
+      .orderBy(col("vec_id")).limit(ksub)
+      .select(col("embedding"), col("cell_pos"))
+      .collect().map(r => (r.getSeq[Float](0), r.getInt(1)))
+    require(cbRows.length == ksub,
+      s"corpus has only ${cbRows.length} vectors; the deterministic " +
+        s"first-$ksub residual codebook needs at least ksub = $ksub")
+    def resOf(emb: Seq[Float], pos: Int): IndexedSeq[Double] =
+      (0 until dims).map(d => emb(d).toDouble - centFlat(pos * dims + d))
+    val cbRes = cbRows.map { case (emb, pos) => resOf(emb, pos) }
+    def cw(j: Int, i: Int): Seq[Double] =
+      cbRes(i).slice(j * sub, (j + 1) * sub)
+    val cwFlat: Seq[Double] = for {
+      j <- 0 until m; i <- 0 until ksub; x <- cw(j, i)
+    } yield x
+    val ccFlat: Seq[Double] = for {
+      j <- 0 until m; i <- 0 until ksub
+    } yield cw(j, i).foldLeft(0.0)((a, x) => a + x * x)
+    val book = PqBook(cents, centFlat, cwFlat, ccFlat, m, sub, ksub)
+    import spark.implicits._
+    new LogStore(spark, idx.centroidsRoot,
+      extraProps = Map("ivfPolicy" -> "ivfpq",
+        "ivfCells" -> nCells.toString, "pqM" -> m.toString,
+        "pqKsub" -> ksub.toString, "pqDims" -> dims.toString))
+      .append(cents.toSeq.zipWithIndex
+        .map { case ((emb, nrm), pos) => (pos.toLong, emb, nrm) }
+        .toDF("cell_id", "embedding", "nrm"))
+    new LogStore(spark, idx.pqbookRoot)
+      .append((for { j <- 0 until m; i <- 0 until ksub } yield
+        (j.toLong, i.toLong, cw(j, i), ccFlat(j * ksub + i)))
+        .toDF("sub_id", "code_id", "cw", "cc"))
+    val postings = pqEncodeRows(
+      corpus.select(col("vec_id"), col("embedding")), book)
+    val store = new LogStore(spark, idx.postingsRoot,
+      statsCol = Some("cell_id"))
+    store.create(postings.schema)
+    postings.write.format("graft-log").option("path", idx.postingsRoot)
+      .option("clusterBy", "cell_id")
+      .option("clusterPartitions", postingSegments.toString)
+      .mode("append").save()
+    store.commitFence(corpusVersion)
+    idx
+  }
+
+  /** The persisted IVF-PQ codebook, rehydrated from the index tables
+    * alone (bounded collects: nCells + m·ksub rows). */
+  private def loadPqBook(spark: SparkSession, idx: IvfPqIndex)
+      : PqBook = {
+    val centStore = LogStore.configured(spark, idx.centroidsRoot)
+    require(centStore.recordedProp("ivfPolicy").contains("ivfpq"),
+      s"${idx.centroidsRoot} is not an IVF-PQ index")
+    val m = centStore.recordedProp("pqM").map(_.toInt).getOrElse(8)
+    val ksub = centStore.recordedProp("pqKsub").map(_.toInt).getOrElse(32)
+    val dims = centStore.recordedProp("pqDims").map(_.toInt).getOrElse(64)
+    val sub = dims / m
+    val centRows = centStore.read()
+      .select(col("cell_id"), col("embedding"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(centRows.map(_._1).sameElements(
+        centRows.indices.map(_.toLong)),
+      "IVF-PQ codebook cell ids must be contiguous from 0")
+    val cents = centRows.map(r => (r._2, r._3))
+    val centFlat: Seq[Double] = cents.toSeq.flatMap(_._1.map(_.toDouble))
+    val bookRows = LogStore.configured(spark, idx.pqbookRoot).read()
+      .select(col("sub_id"), col("code_id"), col("cw"), col("cc"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getSeq[Double](2), r.getDouble(3))))
+      .toMap
+    require(bookRows.size == m * ksub,
+      s"pqbook holds ${bookRows.size} codewords, expected ${m * ksub}")
+    val cwFlat: Seq[Double] = for {
+      j <- 0 until m; i <- 0 until ksub
+      x <- bookRows((j.toLong, i.toLong))._1
+    } yield x
+    val ccFlat: Seq[Double] = for { j <- 0 until m; i <- 0 until ksub }
+      yield bookRows((j.toLong, i.toLong))._2
+    PqBook(cents, centFlat, cwFlat, ccFlat, m, sub, ksub)
+  }
+
+  /** Search through the persisted IVF-PQ index. Results match
+    * [[Similarity.ivfPqTopK]] exactly (same assignment, probes,
+    * residual ADC, shortlist, exact-cosine rerank). The 100 TB shape
+    * this exists for: candidate SCORING reads only the probed posting
+    * cells (pruned by the clustered cell_id stats — never the
+    * corpus), and the corpus is opened solely to fetch the ≤
+    * queries×shortlist rerank vectors, by a stats-pruned id-range
+    * read against `corpusStore` — `corpusOpened ∝ rerank set`, the
+    * difference between re-reading kilobytes and re-reading the
+    * table per query batch. */
+  def searchIvfPq(spark: SparkSession, idx: IvfPqIndex,
+      corpusStore: LogStore, queries: DataFrame, k: Int = 5,
+      nProbe: Int = 4, shortlist: Int = 50): IvfPqScan = {
+    val book = loadPqBook(spark, idx)
+    import graft.functions.PqFunctions.pq_adc_tables_res
+    val probes = withNorm(queries)
+      .withColumn("probe",
+        explode(slice(pqProbeStructs(book), 1, nProbe)))
+      .select(col("vec_id").as("query_id"),
+        col("probe.cell_pos").cast("int").as("cell_pos"),
+        pq_adc_tables_res(col("embedding"),
+          col("probe.cell_pos").cast("int"), book.m, book.sub,
+          book.ksub, book.cwFlat, book.ccFlat, book.centFlat)
+          .as("_qds"))
+      .select(col("query_id") +:
+        col("cell_pos").cast("long").as("cell_id") +:
+        (0 until book.m).map(j =>
+          element_at(col("_qds"), j + 1).as(s"qd_$j")): _*)
+      .localCheckpoint(true) // probed twice: ranges + the join
+    val probeCells = probes.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val postStore = LogStore.configured(spark, idx.postingsRoot)
+    val (posted, pOpened, pLive) = postStore.readRanges(
+      probeCells.map(c => (c.toString, c.toString)).toSeq)
+    // ADC from the INDEX ALONE: per-candidate work is m element_at
+    // picks + a fixed-order m-term sum over the broadcast per-query
+    // tables — no corpus column is touched here
+    val adc = (0 until book.m).map(j =>
+      element_at(col(s"qd_$j"), col(s"code_$j") + 1)).reduceLeft(_ + _)
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
+    val sl = posted
+      .join(broadcast(probes), Seq("cell_id"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adc.as("approx_dist"))
+      .withColumn("rn", row_number().over(ws))
+      .where(col("rn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true) // the id set drives the pruned fetch
+    // corpus fetch for the RERANK SET ONLY: a multi-point stats-pruned
+    // read on vec_id (bounded driver collect: ≤ queries × shortlist)
+    val ids = sl.select("neighbor_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val (fetched, cOpened, cLive) =
+      if (ids.isEmpty) (corpusStore.read().limit(0), 0,
+        corpusStore.liveSegmentInfos().size)
+      else corpusStore.readRanges(
+        ids.map(i => (i.toString, i.toString)).toSeq)
+    val scored = sl
+      .join(withNorm(fetched.select(col("vec_id"), col("embedding")))
+        .as("c"), col("neighbor_id") === col("c.vec_id"))
+      .join(broadcast(withNorm(queries).as("q")),
+        col("query_id") === col("q.vec_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (vec_dot(col("q.embedding"), col("c.embedding")) /
+          (col("q.nrm") * col("c.nrm"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    IvfPqScan(scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id")),
+      pOpened, pLive, cOpened, cLive)
+  }
+
+  /** Absorb corpus commits past the IVF-PQ index cursor — the
+    * [[maintainIvf]] discipline with CODES carried through: the feed
+    * reduces to the final action per vec_id, deletes and update
+    * preimages land as deletion-vector entries on the postings,
+    * inserts and postimages are ENCODED under the persisted codebook
+    * (coarse assign + residual PQ — the codes ride the postings, so
+    * search never needs the corpus for scoring) and appended behind
+    * one txn fence. The codebook itself is index-owned state —
+    * corpus deletes can never orphan it (the deterministic IVF's
+    * anchored-centroid refusal has no analogue here). O(changed rows)
+    * writes per sync; replays are no-ops. */
+  def maintainIvfPq(spark: SparkSession, corpusStore: LogStore,
+      idx: IvfPqIndex): Long = {
+    val postings = LogStore.configured(spark, idx.postingsRoot)
+    val cursor = math.max(postings.lastTxn(), -1L)
+    val latest = corpusStore.latestVersion()
+    if (latest <= cursor) return cursor
+    val changes = corpusStore.readChanges(cursor + 1, latest).cache()
+    try {
+      val removedKeys = changes
+        .where(col("_change_type").isin("delete", "update_preimage"))
+        .select(col("vec_id")).distinct()
+      val added = lastActionPerKey(changes)
+        .where(col("_change_type").isin("insert", "update_postimage"))
+      if (removedKeys.limit(1).collect().nonEmpty) {
+        postings.deleteKeysDV(removedKeys, Seq("vec_id"))
+        postings.maintainLayout(1L, dvFraction = 0.5,
+          clusterBy = Seq(col("cell_id")))
+      }
+      val book = loadPqBook(spark, idx)
+      val fresh = pqEncodeRows(
+        added.select(col("vec_id"), col("embedding")), book)
+      val moved =
+        if (fresh.limit(1).collect().isEmpty)
+          postings.commitFence(latest)
+        else postings.appendStream(fresh, batchId = latest)
+      if (moved < 0)
+        throw new IllegalStateException(
+          s"index cursor moved concurrently past $latest — two " +
+            "maintenance drivers on one index")
+      latest
+    } finally changes.unpersist()
   }
 }

@@ -500,4 +500,90 @@ class AnnIndexSpec extends AnyFunSuite {
       "a thin unwidened probe should come up short — that shortfall " +
         "is what overProbe exists to fix")
   }
+
+  test("persisted IVF-PQ: build → RESTART → search equals the " +
+      "in-memory IVFADC exactly; ADC scores come from the index " +
+      "alone (corpus opened only for the rerank set — pinned on both " +
+      "tables); maintenance carries CODES through the final-action " +
+      "reduction and replays are no-ops") {
+    val dir = Files.createTempDirectory("graft-annpq").toString
+    val corpusStore = new LogStore(spark, s"$dir/corpus",
+      statsCol = Some("vec_id"))
+    // 8 range-disjoint corpus segments, so the rerank fetch has
+    // something real to prune
+    val base = corpusDf(256)
+    (0 until 8).foreach(i => corpusStore.append(
+      base.where(col("vec_id") >= i * 32 && col("vec_id") < (i + 1) * 32)))
+    val corpus = corpusStore.read()
+    val idx = AnnIndex.buildIvfPq(spark, corpus,
+      corpusStore.latestVersion(), s"$dir/idx", nCells = 16, m = 4,
+      dims = dims, ksub = 8, postingSegments = 8)
+    val queries = corpus.where(col("vec_id") < 4)
+    // RESTART: searchIvfPq reconstructs everything from paths alone
+    val scan = AnnIndex.searchIvfPq(spark, idx, corpusStore, queries,
+      k = 5, nProbe = 4, shortlist = 20)
+    val got = scan.results.select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val want = Similarity.ivfPqTopK(corpus, queries, k = 5,
+        nCells = 16, nProbe = 4, m = 4, dims = dims, ksub = 8,
+        shortlist = 20)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == want,
+      s"persisted IVF-PQ must equal the in-memory IVFADC " +
+        s"(${got.size} vs ${want.size} rows)")
+    // files-opened pins, BOTH tables, on a narrow probe: postings
+    // pruned by the clustered cell stats; corpus opened ∝ the
+    // shortlist ids, never the candidate count
+    val narrow = AnnIndex.searchIvfPq(spark, idx, corpusStore,
+      queries.limit(1), k = 4, nProbe = 2, shortlist = 4)
+    assert(narrow.postingsOpened < narrow.postingsLive,
+      s"probe must skip posting segments: ${narrow.postingsOpened} " +
+        s"of ${narrow.postingsLive}")
+    assert(narrow.corpusOpened <= 4 &&
+      narrow.corpusOpened < narrow.corpusLive,
+      s"corpus opens must track the RERANK SET (≤ 4 ids), not the " +
+        s"candidates: ${narrow.corpusOpened} of ${narrow.corpusLive}")
+    // maintenance: deletes (non-codebook ids), an update that moves a
+    // vector, fresh inserts — all while the cursor lags; codes must
+    // ride the final-action reduction
+    corpusStore.deleteWhere("vec_id IN (100, 101)")
+    def bump(c: Int) = Array.tabulate(dims)(d =>
+      if (d == c * 2) 10f else 0f).toSeq
+    corpusStore.merge(Seq((60L, bump(5))).toDF("vec_id", "embedding"),
+      "vec_id")
+    corpusStore.append(corpusDf(16, seedOffset = 2000L))
+    val covered = AnnIndex.maintainIvfPq(spark, corpusStore, idx)
+    assert(covered == corpusStore.latestVersion())
+    assert(AnnIndex.maintainIvfPq(spark, corpusStore, idx) == covered,
+      "a replayed sync must be a fenced no-op")
+    val postings = LogStore.configured(spark, idx.postingsRoot)
+    assert(postings.read().count() == 256L - 2L + 16L,
+      "2 deleted postings gone, 16 added, the moved vector once")
+    // parity with a FRESH in-memory IVFADC over the final corpus (the
+    // first-16/first-8 codebook rows are untouched, so the in-memory
+    // construction derives the SAME codebook the index persisted)
+    val corpus2 = corpusStore.read()
+    val q2 = corpus2.where(col("vec_id").isin(1L, 60L, 2000L))
+    val scan2 = AnnIndex.searchIvfPq(spark, idx, corpusStore, q2,
+      k = 5, nProbe = 4, shortlist = 20)
+    val got2 = scan2.results.select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val want2 = Similarity.ivfPqTopK(corpus2, q2, k = 5, nCells = 16,
+        nProbe = 4, m = 4, dims = dims, ksub = 8, shortlist = 20)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got2 == want2,
+      "the maintained index must answer like a fresh build over the " +
+        "final corpus")
+    assert(!got2.exists(r => Set(100L, 101L).contains(r._3)),
+      "deleted vectors must never surface as neighbors")
+    // the plain-IVF search path refuses an IVF-PQ index loudly
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.searchIvf(spark,
+        AnnIndex.IvfIndex(idx.centroidsRoot, idx.postingsRoot),
+        corpus2, q2)
+    }
+    assert(e.getMessage.contains("searchIvfPq"))
+  }
 }

@@ -1055,6 +1055,58 @@ object ScaleStress {
         secIncr, bytesAt(at))
       System.err.println(s"[scale] ${out.last.json}")
     }
+    // DISTRIBUTED t$segments — the per-file ops view past the driver
+    // threshold: a wide table (10⁴ → 10⁵ → 10⁶ live segments, stats +
+    // 1 KB Bloom each, sharded checkpoint) serves describeSegments as
+    // a distributed scan of the checkpoint part files (executors
+    // parse + measure; the driver replays only the suffix). sec = the
+    // full view materialized (count); the `_driver` twin forces the
+    // O(live) single-threaded driver walk on identical content —
+    // measured to 10⁵ (at 10⁶ it is minutes of driver time, the cost
+    // the distributed path exists to delete). Both must agree on the
+    // row count (required).
+    if (only.isEmpty || only.contains("src_segments")) {
+      val nSegs = 10000 * scale
+      val perCommit = 1000
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-seg").toString + "/t"
+      val store = new graft.catalog.LogStore(spark, root,
+        statsCol = Some("id"), checkpointInterval = Int.MaxValue,
+        checkpointShardRows = 4096)
+      (0 until nSegs / perCommit).foreach { c =>
+        store.commit(c.toLong,
+          (0 until perCommit).map { j =>
+            val i = c * perCommit + j
+            store.Segment(s"seg-$i", Some((i * 10).toString),
+              Some((i * 10 + 9).toString), num = true,
+              bloom = Some("f" * 1024), rows = Some(100L))
+          }, Nil)
+      }
+      store.checkpoint()
+      // a small suffix after the checkpoint — the merge path is part
+      // of what is measured
+      store.commit(store.latestVersion() + 1,
+        Seq(store.Segment("seg-suffix", Some("0"), Some("9"),
+          num = true, rows = Some(10L))), Seq("seg-7"))
+      val (sec, nDist) = time {
+        store.describeSegments(distributedOver = 1L).count()
+      }
+      require(nDist == nSegs.toLong,
+        s"distributed ops view row count: $nDist vs $nSegs")
+      out += Measurement("src_segments", scale, nSegs.toLong, sec,
+        nDist)
+      System.err.println(s"[scale] ${out.last.json}")
+      if (scale <= 10) {
+        val (secD, nDrv) = time {
+          store.describeSegments(distributedOver = Long.MaxValue)
+            .count()
+        }
+        require(nDrv == nDist, "both paths must agree")
+        out += Measurement("src_segments_driver", scale, nSegs.toLong,
+          secD, nDrv)
+        System.err.println(s"[scale] ${out.last.json}")
+      }
+    }
     docs.unpersist(); emb.unpersist(); vals.unpersist(); edges.unpersist()
     out.toSeq
   }

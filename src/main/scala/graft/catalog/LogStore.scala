@@ -285,22 +285,7 @@ class LogStore(spark: SparkSession, val root: String,
   private def parseActions(p: Path): Actions = parseBody(readFileStr(p))
 
   private def parseBody(body: String): Actions = {
-    // `bxs` (the name-keyed extra Blooms) is written AFTER the dv
-    // fields: a new optional field appended at the END of the grammar
-    // degrades gracefully for a reader that predates it — it loses at
-    // worst the filter (an optimization), never the trailing deletion
-    // vector (correctness: a dropped dvf/dvr would resurrect deleted
-    // rows). The reader accepts the field in BOTH positions because
-    // r17 writers emitted it between xs and rows.
-    val addRe = ("\"add\"\\s*:\\s*\"([^\"]+)\"" +
-      "(?:,\"min\":\"([^\"]*)\",\"max\":\"([^\"]*)\",\"num\":(true|false))?" +
-      "(?:,\"bloom\":\"([0-9a-f]*)\")?" +
-      "(?:,\"xs\":\"([^\"]*)\")?" +
-      "(?:,\"bxs\":\"([^\"]*)\")?" +
-      "(?:,\"rows\":(\\d+))?" +
-      "(?:,\"dvf\":\"([^\"]*)\",\"dvr\":(\\d+))?" +
-      "(?:,\"bxs\":\"([^\"]*)\")?").r
-    val adds = addRe.findAllMatchIn(body).map { m =>
+    val adds = LogStore.AddLineRe.findAllMatchIn(body).map { m =>
       val extra = Option(m.group(6)).filter(_.nonEmpty)
         .map(_.split(';').map { e =>
           val Array(c, lo, hi, n) = e.split('|')
@@ -2651,7 +2636,7 @@ class LogStore(spark: SparkSession, val root: String,
   /** Physical size of one live segment directory — an ops-command
     * helper (never on the read path): one filesystem summary call. */
   private def segmentBytes(s: Segment): Long =
-    fs.getContentSummary(new Path(s"$root/${s.name}")).getLength
+    LogStore.segmentBytesOf(fs, root, s.name)
 
   /** A segment's VECTOR PRESSURE: deleted rows / total rows, from the
     * recorded counts alone (no I/O). 0 without a vector; a vector on
@@ -2896,22 +2881,127 @@ class LogStore(spark: SparkSession, val root: String,
     * extra-stats columns, Bloom presence) plus its physical bytes:
     * the per-file ops view behind [[describeDetail]]'s totals — where
     * an operator looks to see WHICH segments carry vector debt or
-    * missing stats. O(live) DRIVER-SIDE filesystem summaries, never
-    * on the read path: interactive-fast to ~10⁴ live segments, slow
-    * past 10⁵ — an automated health check sweeping huge tables
-    * should sample or schedule it, not poll it; the aggregate
-    * totals in [[describeDetail]] answer most monitoring questions
-    * from the log alone. */
-  def describeSegments(): DataFrame = {
+    * missing stats.
+    *
+    * Up to `distributedOver` live segments this is the driver-side
+    * walk (interactive-fast at ops scale). PAST it — and whenever a
+    * sharded checkpoint covers the table — the view is served as a
+    * DISTRIBUTED SCAN of the checkpoint part files: executors parse
+    * the add lines (the same companion grammar as the driver) and
+    * compute the per-segment filesystem summaries, the driver only
+    * replays the ≤ checkpointInterval suffix commits for the handful
+    * of segments they touched, and the two halves union. At 10⁶ live
+    * segments that turns an O(live) single-threaded driver walk into
+    * one parallel job — the ops view stays pollable however wide the
+    * table grows. */
+  def describeSegments(distributedOver: Long = 65536L): DataFrame = {
     import spark.implicits._
     val latest = latestVersion()
     require(latest >= 0, s"no log at $root")
-    replayTo(latest, blooms = true).live.values.toSeq.map { s =>
-      (s.name, segmentBytes(s), s.rows.getOrElse(-1L),
-        s.dv.map(_._2).getOrElse(0L), s.min.orNull, s.max.orNull,
-        s.extra.keys.toSeq.sorted.mkString(","), s.bloom.nonEmpty)
+    val served = latestCheckpointAtOrBelow(latest).flatMap { cp =>
+      try {
+        val body = readFileStr(checkpointPath(cp))
+        val n = "\"ckptAdds\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(body)
+          .map(_.group(1).toLong)
+        (n, checkpointPartPaths(cp)) match {
+          case (Some(adds), Some(parts)) if adds > distributedOver =>
+            val blooms: Seq[Path] =
+              LogStore.manifestFileList(body, "ckptBloomFiles") match {
+                case Some(names) => names.toSeq.filter(_ != "-")
+                  .map(nm => new Path(logDir, nm))
+                case None =>
+                  val prefix = f"$cp%08d.checkpoint.bloom-"
+                  fs.listStatus(new Path(logDir)).map(_.getPath)
+                    .filter(_.getName.startsWith(prefix)).toSeq
+              }
+            Some(describeSegmentsDistributed(cp, latest, parts, blooms))
+          case _ => None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    served.getOrElse {
+      replayTo(latest, blooms = true).live.values.toSeq.map { s =>
+        (s.name, segmentBytes(s), s.rows.getOrElse(-1L),
+          s.dv.map(_._2).getOrElse(0L), s.min.orNull, s.max.orNull,
+          s.extra.keys.toSeq.sorted.mkString(","), s.bloom.nonEmpty)
+      }.toDF("segment", "bytes", "rows", "dv_rows", "min", "max",
+        "extra_stats_columns", "has_bloom")
+    }
+  }
+
+  /** The distributed half of [[describeSegments]]: checkpoint part
+    * files parsed and measured on EXECUTORS, the post-checkpoint
+    * suffix replayed driver-side for only the segments it touched.
+    * Parity with the driver walk is spec-pinned. */
+  private def describeSegmentsDistributed(cp: Long, latest: Long,
+      partPaths: Seq[Path], bloomPaths: Seq[Path]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, coalesce,
+      col => fcol, lit => flit}
+    val rootStr = root
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    // the suffix (≤ interval commits): which segments changed since
+    // the checkpoint, and their CURRENT records
+    val suffix = (cp + 1 to latest).map(readActions)
+    val touched: Set[String] = suffix.iterator.flatMap(a =>
+      a.adds.iterator.map(_.name) ++ a.removes.iterator ++
+        a.dvs.iterator.map(_._1)).toSet
+    // executors parse the part lines with the driver's own grammar
+    val parsed = spark.read.textFile(partPaths.map(_.toString): _*)
+      .flatMap(LogStore.parseAddLineForOps _)
+      .toDF("segment", "rows", "dv_rows", "min", "max",
+        "extra_stats_columns")
+    val hasBloom =
+      (if (bloomPaths.isEmpty) spark.emptyDataset[String]
+       else spark.read.textFile(bloomPaths.map(_.toString): _*)
+         .flatMap(LogStore.parseBloomLineName _))
+        .toDF("segment").withColumn("has_bloom", flit(true))
+    val joined = parsed.join(hasBloom, Seq("segment"), "left")
+      .withColumn("has_bloom",
+        coalesce(fcol("has_bloom"), flit(false)))
+    // bytes measured WHERE THE ROWS ARE: one filesystem summary per
+    // segment, fanned across executor threads
+    val untouchedDist = joined
+      .join(broadcast(touched.toSeq.toDF("segment")),
+        Seq("segment"), "left_anti")
+      .as[(String, Long, Long, String, String, String, Boolean)]
+      .mapPartitions { it =>
+        val efs = new Path(rootStr).getFileSystem(serConf.value)
+        it.map { case (name, rows, dvRows, mn, mx, xs, hb) =>
+          (name, LogStore.segmentBytesOf(efs, rootStr, name), rows,
+            dvRows, mn, mx, xs, hb)
+        }
+      }
+      .toDF("segment", "bytes", "rows", "dv_rows", "min", "max",
+        "extra_stats_columns", "has_bloom")
+    // the touched handful: seed from the distributed parse, replay
+    // the suffix over just those names, measure driver-side
+    val seeds = joined
+      .join(broadcast(touched.toSeq.toDF("segment")), Seq("segment"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), Option(r.getString(4)),
+        r.getString(5), r.getBoolean(6))))
+    val state = scala.collection.mutable.LinkedHashMap(seeds: _*)
+    suffix.foreach { a =>
+      a.adds.foreach(s => state(s.name) =
+        ((s.rows.getOrElse(-1L), s.dv.map(_._2).getOrElse(0L), s.min,
+          s.max, s.extra.keys.toSeq.sorted.mkString(","),
+          s.bloom.nonEmpty)))
+      a.removes.foreach(state -= _)
+      a.dvs.foreach { case (seg, f, n) =>
+        state.get(seg).foreach { t =>
+          state(seg) = t.copy(_2 = if (f.isEmpty) 0L else n)
+        }
+      }
+    }
+    val localRows = state.toSeq.map { case (name, t) =>
+      (name, LogStore.segmentBytesOf(fs, rootStr, name), t._1, t._2,
+        t._3.orNull, t._4.orNull, t._5, t._6)
     }.toDF("segment", "bytes", "rows", "dv_rows", "min", "max",
       "extra_stats_columns", "has_bloom")
+    untouchedDist.unionByName(localRows)
   }
 
   /** RESTORE the table to the content of an earlier `version` — the
@@ -3586,6 +3676,68 @@ object LogStore {
     s.nonEmpty && s.length <= 96 &&
       s.forall(ch => ch >= ' ' && ch <= '~' && ch != '"' &&
         ch != '\\' && ch != '|' && ch != ';')
+
+  /** The add-action line grammar. `bxs` (the name-keyed extra Blooms)
+    * is written AFTER the dv fields: a new optional field appended at
+    * the END of the grammar degrades gracefully for a reader that
+    * predates it — it loses at worst the filter (an optimization),
+    * never the trailing deletion vector (correctness: a dropped
+    * dvf/dvr would resurrect deleted rows). The reader accepts the
+    * field in BOTH positions because r17 writers emitted it between
+    * xs and rows. Companion-level so EXECUTORS can parse checkpoint
+    * part files with the exact driver grammar (the distributed
+    * t$segments scan). */
+  private[catalog] val AddLineRe =
+    ("\"add\"\\s*:\\s*\"([^\"]+)\"" +
+      "(?:,\"min\":\"([^\"]*)\",\"max\":\"([^\"]*)\",\"num\":(true|false))?" +
+      "(?:,\"bloom\":\"([0-9a-f]*)\")?" +
+      "(?:,\"xs\":\"([^\"]*)\")?" +
+      "(?:,\"bxs\":\"([^\"]*)\")?" +
+      "(?:,\"rows\":(\\d+))?" +
+      "(?:,\"dvf\":\"([^\"]*)\",\"dvr\":(\\d+))?" +
+      "(?:,\"bxs\":\"([^\"]*)\")?").r
+
+  /** Executor-side parse of one checkpoint PART line into the
+    * describeSegments row shape (sans bytes and has_bloom): (segment,
+    * rows, dv_rows, min, max, extra_stats_columns). Non-add lines
+    * (markers, txn/vacuum/schema/props) parse to None. Pure function
+    * of the line — the distributed ops scan maps it over
+    * spark.read.textFile of the part files. */
+  private[catalog] def parseAddLineForOps(line: String)
+      : Option[(String, Long, Long, String, String, String)] =
+    AddLineRe.findFirstMatchIn(line).map { m =>
+      val extraCols = Option(m.group(6)).filter(_.nonEmpty)
+        .map(_.split(';').map(e => e.take(e.indexOf('|')))
+          .sorted.mkString(","))
+        .getOrElse("")
+      (m.group(1),
+        Option(m.group(8)).map(_.toLong).getOrElse(-1L),
+        Option(m.group(9)).filter(_.nonEmpty)
+          .map(_ => m.group(10).toLong).getOrElse(0L),
+        m.group(2), m.group(3), extraCols)
+    }
+
+  /** Executor-side parse of one Bloom SIDECAR line: the segment name
+    * when the line carries a PRIMARY bloom hex (has_bloom's
+    * definition — name-keyed extras do not count, matching the
+    * driver-side view). */
+  private[catalog] def parseBloomLineName(line: String)
+      : Option[String] =
+    AddLineRe.findFirstMatchIn(line).collect {
+      case m if Option(m.group(5)).exists(_.nonEmpty) => m.group(1)
+    }
+
+  /** A segment directory's physical bytes — executor-callable (the
+    * distributed ops view). A missing directory reads 0: an ops VIEW
+    * reports, it never throws a whole table view away over one
+    * orphaned entry (the log-vs-disk mismatch shows up as 0 bytes
+    * against a recorded row count, which is exactly the signal an
+    * operator wants). */
+  private[catalog] def segmentBytesOf(
+      fs: org.apache.hadoop.fs.FileSystem, root: String,
+      name: String): Long =
+    try fs.getContentSummary(new Path(s"$root/$name")).getLength
+    catch { case _: java.io.FileNotFoundException => 0L }
 
   /** Sharded-checkpoint bucket count: the smallest power of two
     * holding ~[bucketRows] segments per bucket, capped so the

@@ -659,4 +659,41 @@ class GraftLogCatalogSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("illegal identifier part"))
   }
+
+  test("DISTRIBUTED segments ops view: past the threshold the ops view is " +
+      "served from the checkpoint part files by executors, with the " +
+      "post-checkpoint suffix (an append, a DV delete, a remove) " +
+      "replayed driver-side — row-for-row EQUAL to the driver walk") {
+    root
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dseg").toString + "/t"
+    val t = new LogStore(spark, dir, statsCol = Some("id"),
+      bloomCol = Some("k"), checkpointInterval = 1000,
+      checkpointShardRows = 4, dvDeletes = true)
+    (0 until 12).foreach { i =>
+      t.append((i * 100L until i * 100L + 20L)
+        .map(x => (x, s"k$x")).toDF("id", "k"))
+    }
+    t.checkpoint() // sharded: 12 segments over buckets
+    // suffix commits AFTER the checkpoint: every change class the
+    // merge must reconcile
+    t.append((5000L until 5020L).map(x => (x, s"k$x")).toDF("id", "k"))
+    t.deleteWhereDV("id IN (305, 306)") // dv on a checkpointed segment
+    t.deleteRange("id", "700", "719")   // removes one whole segment
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), Option(r.getString(4)),
+        Option(r.getString(5)), r.getString(6), r.getBoolean(7))).toSet
+    val driver = rows(t.describeSegments(distributedOver = Long.MaxValue))
+    val dist = rows(t.describeSegments(distributedOver = 1L))
+    assert(dist == driver,
+      s"distributed ops view must equal the driver walk:\n" +
+        s"only-dist=${dist -- driver}\nonly-driver=${driver -- dist}")
+    // 12 appends + 1 suffix append − the fully-covered segment,
+    // + its (empty) rewrite replacement = 13
+    assert(driver.size == 13, s"13 live segments expected: ${driver.size}")
+    assert(driver.exists(_._4 == 2L), "the DV suffix must show dv_rows")
+    assert(driver.forall(_._8), "every segment carries a bloom")
+    assert(driver.forall(_._2 > 0L), "bytes must be measured")
+  }
 }

@@ -4286,8 +4286,9 @@ object SparkEntry {
       // filtered_pins: per-query recall at overProbe=2 is ≥ the
       // plain-probe filtered recall (candidates are a superset), the
       // probe still stats-prunes, and every returned neighbor
-      // satisfies the predicate.
-      val emb = t(s, dir, "embeddings")
+      // satisfies the predicate. (cached: three searches + the
+      // brute-force arm re-read the corpus)
+      val emb = t(s, dir, "embeddings").cache()
       val q = emb.where(col("vec_id") < 8)
       val root = java.nio.file.Files
         .createTempDirectory("graft-annf").toString
@@ -4341,17 +4342,22 @@ object SparkEntry {
       // cursor + one-posting-per-live-vector, postings probe pruned,
       // corpus opens ∝ the rerank set (≤ shortlist ids) on a narrow
       // probe.
+      // cache: the range-sliced appends + the maintenance feed
+      // otherwise re-scan the embeddings parquet per slice
       val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
+        .select(col("vec_id"), col("embedding")).cache()
       val root = java.nio.file.Files
         .createTempDirectory("graft-annpq").toString
       val corpusStore = new graft.catalog.LogStore(s, s"$root/corpus",
         statsCol = Some("vec_id"))
-      // 8 range-disjoint corpus segments (vec_id-clustered), so the
-      // rerank fetch has real segments to prune
+      // 4 range-disjoint corpus segments (vec_id-clustered), so the
+      // rerank fetch has real segments to prune — the query is
+      // write-bearing by design (corpus staging + a 3-table index
+      // build + a maintenance cycle), so the segment count is kept
+      // at the minimum that still proves pruning
       val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
-      val step = maxId / 8 + 1
-      (0 until 8).foreach(i => corpusStore.append(
+      val step = maxId / 4 + 1
+      (0 until 4).foreach(i => corpusStore.append(
         emb.where(col("vec_id") >= i * step &&
           col("vec_id") < (i + 1) * step)))
       val idx = AnnIndex.buildIvfPq(s, corpusStore.read(),
@@ -4374,12 +4380,14 @@ object SparkEntry {
       val q = corpus.where(col("vec_id") < 8)
       val scan = AnnIndex.searchIvfPq(s, idx, corpusStore, q, k = 5,
         nProbe = 4, shortlist = 50)
+      // narrow probe: 3 rerank ids can touch at most 3 of the 4
+      // corpus segments — corpusOpened < corpusLive is structural
       val narrow = AnnIndex.searchIvfPq(s, idx, corpusStore,
-        corpus.where(col("vec_id") === 0L), k = 4, nProbe = 2,
-        shortlist = 4)
+        corpus.where(col("vec_id") === 0L), k = 3, nProbe = 2,
+        shortlist = 3)
       val pins = exactlyOnce &&
         narrow.postingsOpened < narrow.postingsLive &&
-        narrow.corpusOpened <= 4 &&
+        narrow.corpusOpened <= 3 &&
         narrow.corpusOpened < narrow.corpusLive
       scan.results
         .select(col("query_id"), col("rank"), col("neighbor_id"))

@@ -4395,6 +4395,143 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivfpq_filtered" -> ((s, dir) => {
+      // FILTERED (hybrid) search through the persisted IVF-PQ index:
+      // the filter attribute (tag = vec_id % 3 — a keep-list
+      // surrogate) is CARRIED IN THE POSTINGS at build time, so the
+      // predicate is evaluated from the INDEX ALONE — on the postings
+      // scan, BEFORE the ADC shortlist window (a passing candidate is
+      // never displaced by a filtered-out one; never post-filtering a
+      // top-k), with zero corpus reads until the exact-cosine rerank
+      // of the surviving shortlist. The oracle replays the same
+      // deterministic IVFADC chain with the predicate in the
+      // candidate CTE and the probe widened to nProbe×overProbe = 8
+      // cells. pqf_pins: every neighbor satisfies the predicate, the
+      // narrow probe still stats-prunes the postings, corpus opens
+      // track the rerank set.
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")).cache()
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-annpqf").toString
+      val corpusStore = new graft.catalog.LogStore(s, s"$root/corpus",
+        statsCol = Some("vec_id"))
+      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val step = maxId / 4 + 1
+      (0 until 4).foreach(i => corpusStore.append(emb
+        .where(col("vec_id") >= i * step &&
+          col("vec_id") < (i + 1) * step)
+        .withColumn("tag", col("vec_id") % 3)))
+      val corpus = corpusStore.read()
+      val idx = AnnIndex.buildIvfPq(s, corpus,
+        corpusStore.latestVersion(), s"$root/idx", nCells = 16, m = 8,
+        dims = 64, ksub = 32, postingSegments = 8,
+        carryCols = Seq("tag"))
+      val q = corpus.where(col("vec_id") < 8)
+      val keep = col("tag") === 0
+      val scan = AnnIndex.searchIvfPq(s, idx, corpusStore, q, k = 5,
+        nProbe = 4, shortlist = 50, postingsFilter = Some(keep),
+        overProbe = 2)
+      val narrow = AnnIndex.searchIvfPq(s, idx, corpusStore,
+        corpus.where(col("vec_id") === 0L), k = 3, nProbe = 1,
+        shortlist = 3, postingsFilter = Some(keep), overProbe = 2)
+      val allKept = scan.results
+        .where(col("neighbor_id") % 3 =!= 0)
+        .limit(1).collect().isEmpty
+      val pins = allKept &&
+        narrow.postingsOpened < narrow.postingsLive &&
+        narrow.corpusOpened <= 3 &&
+        narrow.corpusOpened < narrow.corpusLive
+      scan.results
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .withColumn("pqf_pins", lit(pins))
+        .orderBy("query_id", "rank")
+    }),
+
+    "stream_ivfpq_maintain" -> ((s, dir) => {
+      // STREAMING IVF-PQ maintenance: a foreachBatch driver tails the
+      // corpus feed and calls maintainIvfPq per micro-batch — the
+      // stream is only the scheduler; the index txn cursor makes
+      // delivery exactly-once. Deletes + re-keyed appends land while
+      // the cursor lags, one availableNow drain absorbs them (fresh
+      // vectors ENCODED under the persisted codebook, deletes as
+      // posting DVs), and the stream-fed index must answer exactly
+      // like the IVFADC construction over the FINAL corpus — the
+      // ann_ivfpq_persisted oracle. stream_pq_pins: cursor at the
+      // corpus head, one posting per live vector.
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")).cache()
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-spqm").toString
+      val corpusStore = new graft.catalog.LogStore(s, s"$root/corpus",
+        statsCol = Some("vec_id"))
+      corpusStore.append(emb)
+      val idx = AnnIndex.buildIvfPq(s, corpusStore.read(),
+        corpusStore.latestVersion(), s"$root/idx", nCells = 16, m = 8,
+        dims = 64, ksub = 32, postingSegments = 8)
+      corpusStore.deleteWhere("vec_id IN (40, 41)")
+      corpusStore.append(emb
+        .where(col("vec_id") >= 100 && col("vec_id") < 120)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          col("embedding")))
+      val q1 = graft.streaming.StreamingOps.maintainIvfPqStream(
+        s, s"$root/corpus", idx, s"$root/ckpt")
+      try q1.awaitTermination() finally if (q1.isActive) q1.stop()
+      val postings = graft.catalog.LogStore
+        .configured(s, idx.postingsRoot)
+      val corpus = corpusStore.read()
+      val exactlyOnce =
+        postings.lastTxn() == corpusStore.latestVersion() &&
+          postings.read().count() == corpus.count()
+      val q = corpus.where(col("vec_id") < 8)
+      val scan = AnnIndex.searchIvfPq(s, idx, corpusStore, q, k = 5,
+        nProbe = 4, shortlist = 50)
+      scan.results
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .withColumn("stream_pq_pins", lit(exactlyOnce))
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_maxsim_topk" -> ((s, dir) => {
+      // late-interaction (multi-vector / ColBERT-style) retrieval:
+      // each embedding is sliced into 4 contiguous 16-dim token
+      // vectors (a deterministic multi-vector surrogate the oracle
+      // replays with list slices); score(q,d) = Σ over the 4 query
+      // tokens of the max cosine against the doc's tokens. The
+      // per-token maxima are pivoted and summed in FIXED order on
+      // both sides, so the double score is bit-reproducible and the
+      // rank fully oracle-checkable. This is the brute-force arm —
+      // the truth ann_maxsim_pruned's candidate generation answers to.
+      val emb = t(s, dir, "embeddings")
+      val toks = array((0 until 4).map(j =>
+        slice(col("embedding"), j * 16 + 1, 16)): _*)
+      val docs = emb.select(col("vec_id"), toks.as("tokens"))
+      val q = docs.where(col("vec_id") < 8)
+      Similarity.maxSimTopK(docs, q, k = 5, qTokens = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_maxsim_pruned" -> ((s, dir) => {
+      // two-stage MaxSim (the PLAID/ColBERTv2 shape on this
+      // codebase's deterministic-codebook policy): doc tokens assign
+      // to the first-16-token codebook, each query token probes its 2
+      // nearest cells, candidates = probed-cell co-occurrence, exact
+      // MaxSim scores CANDIDATES ONLY. Deterministic end-to-end — the
+      // oracle replays codebook, assignment, probes, candidate set
+      // and the fixed-order pivot sum. pruned_pins: the scored-pair
+      // count is strictly sub-quadratic (candidates < |Q|×|D|).
+      val emb = t(s, dir, "embeddings")
+      val toks = array((0 until 4).map(j =>
+        slice(col("embedding"), j * 16 + 1, 16)): _*)
+      val docs = emb.select(col("vec_id"), toks.as("tokens"))
+      val q = docs.where(col("vec_id") < 8)
+      val (res, cand, full) = Similarity.maxSimTopKPruned(docs, q,
+        k = 5, qTokens = 4, nCells = 16, nProbe = 2)
+      res.select(col("query_id"), col("rank"), col("neighbor_id"))
+        .withColumn("pruned_pins", lit(cand < full))
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_ivf_drift_retrain" -> ((s, dir) => {
       // the trained index's RETRAIN lifecycle end-to-end: built over
       // HALF the corpus, then the other half arrives while the
@@ -5919,7 +6056,12 @@ object SparkEntry {
       // the query-set predicate is a parameter like nCells/nProbe so a
       // call site with a different query DataFrame cannot silently
       // compare against the wrong oracle shortlist
-      queryPred: String = "vec_id < 8"): String = {
+      queryPred: String = "vec_id < 8",
+      // the FILTERED (hybrid) search's candidate predicate, written
+      // over the `e2` (encoded-posting) alias — applied in contrib,
+      // i.e. BEFORE the shortlist window, exactly where searchIvfPq
+      // applies its postingsFilter
+      candPred: String = "TRUE"): String = {
     val sub = dims / m
     val adcSum = (0 until m)
       .map(j => s"max(CASE WHEN j = $j THEN d END)")
@@ -5968,7 +6110,8 @@ object SparkEntry {
        |${p}contrib AS (SELECT q.query_id, e2.vec_id AS neighbor_id,
        |  q.j, q.d
        |  FROM ${p}qd q JOIN ${p}enc e2 ON q.j = e2.j AND q.i = e2.code
-       |    AND q.cp = e2.cp AND e2.vec_id != q.query_id),
+       |    AND q.cp = e2.cp AND e2.vec_id != q.query_id
+       |    AND ($candPred)),
        |${p}tot AS (SELECT query_id, neighbor_id, $adcSum AS approx_dist
        |  FROM ${p}contrib GROUP BY 1, 2),
        |${p}sl AS (SELECT query_id, neighbor_id FROM (
@@ -10375,6 +10518,128 @@ object SparkEntry {
          |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
          |  AS rank FROM pr)
          |SELECT query_id, rank, neighbor_id, TRUE AS pq_pins
+         |FROM rr WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // the filtered IVF-PQ search replays the SAME deterministic
+    // IVFADC chain with the keep-list predicate injected into the
+    // candidate CTE (before the shortlist window — exactly where the
+    // carried-column filter applies) and the probe widened to
+    // nProbe×overProbe = 8 cells; pqf_pins records the all-kept /
+    // stats-prune / rerank-bounded evidence
+    "ann_ivfpq_filtered" -> {
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e),
+         |${duckIvfPqCtes(nCells = 16, nProbe = 8, m = 8, ksub = 32,
+            dims = 64, shortlist = 50,
+            candPred = "e2.vec_id % 3 = 0")},
+         |pr AS (SELECT sl.query_id, sl.neighbor_id,
+         |  ${duckDot("qn.v", "cn.v")} / (qn.nrm * cn.nrm) AS cos
+         |  FROM sl JOIN n qn ON sl.query_id = qn.vec_id
+         |  JOIN n cn ON sl.neighbor_id = cn.vec_id),
+         |rr AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+         |  AS rank FROM pr)
+         |SELECT query_id, rank, neighbor_id, TRUE AS pqf_pins
+         |FROM rr WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // the stream-fed IVF-PQ index must equal the IVFADC construction
+    // over the FINAL corpus (originals minus the two deletes, plus
+    // the twenty re-keyed copies) — the ann_ivfpq_persisted oracle;
+    // stream_pq_pins records the exactly-once cursor +
+    // one-posting-per-live-vector count
+    "stream_ivfpq_maintain" -> {
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |e AS (SELECT vec_id, v FROM base WHERE vec_id NOT IN (40, 41)
+         |  UNION ALL
+         |  SELECT vec_id + 100000, v FROM base
+         |  WHERE vec_id >= 100 AND vec_id < 120),
+         |n AS (SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e),
+         |${duckIvfPqCtes(nCells = 16, nProbe = 4, m = 8, ksub = 32,
+            dims = 64, shortlist = 50)},
+         |pr AS (SELECT sl.query_id, sl.neighbor_id,
+         |  ${duckDot("qn.v", "cn.v")} / (qn.nrm * cn.nrm) AS cos
+         |  FROM sl JOIN n qn ON sl.query_id = qn.vec_id
+         |  JOIN n cn ON sl.neighbor_id = cn.vec_id),
+         |rr AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+         |  AS rank FROM pr)
+         |SELECT query_id, rank, neighbor_id, TRUE AS stream_pq_pins
+         |FROM rr WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // MaxSim replay: 4 × 16-dim token slices, per-(query, doc,
+    // q_pos) max cosine, FIXED-ORDER pivot sum ((m0+m1)+m2)+m3 —
+    // the same association order the Spark arm's reduceLeft builds
+    "ann_maxsim_topk" -> {
+      val pivotSum = (0 until 4)
+        .map(j => s"max(CASE WHEN q_pos = $j THEN cos END)")
+        .reduceLeft((a, b) => s"($a + $b)")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |tok AS (SELECT vec_id, j AS pos, v[(j*16+1):((j+1)*16)] AS t
+         |  FROM e CROSS JOIN range(4) r(j)),
+         |tn AS (SELECT vec_id, pos, t, sqrt(${duckDot("t", "t")}) AS nrm
+         |  FROM tok),
+         |pairs AS (SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+         |  q.pos AS q_pos,
+         |  ${duckDot("q.t", "d.t")} / (q.nrm * d.nrm) AS cos
+         |  FROM tn q JOIN tn d ON q.vec_id < 8 AND d.vec_id != q.vec_id),
+         |pp AS (SELECT query_id, doc_id, $pivotSum AS maxsim
+         |  FROM pairs GROUP BY 1, 2),
+         |rr AS (SELECT query_id, doc_id AS neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY maxsim DESC, doc_id ASC) AS rank FROM pp)
+         |SELECT query_id, rank, neighbor_id FROM rr WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // the pruned arm replays codebook (first 16 tokens in (vec_id,
+    // pos) order), argmax assignment (c DESC, cell ASC), 2-cell
+    // probes, the candidate co-occurrence join, then the SAME exact
+    // MaxSim on candidates only
+    "ann_maxsim_pruned" -> {
+      val pivotSum = (0 until 4)
+        .map(j => s"max(CASE WHEN q_pos = $j THEN cos END)")
+        .reduceLeft((a, b) => s"($a + $b)")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |tok AS (SELECT vec_id, j AS pos, v[(j*16+1):((j+1)*16)] AS t
+         |  FROM e CROSS JOIN range(4) r(j)),
+         |tn AS (SELECT vec_id, pos, t, sqrt(${duckDot("t", "t")}) AS nrm
+         |  FROM tok),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id, pos) - 1
+         |    AS cell, t AS cv, nrm AS cnrm
+         |  FROM tn ORDER BY vec_id, pos LIMIT 16),
+         |ac AS (SELECT tn.vec_id, tn.pos, cent.cell,
+         |  ${duckDot("tn.t", "cent.cv")} / (tn.nrm * cent.cnrm) AS c
+         |  FROM tn CROSS JOIN cent),
+         |dassign AS (SELECT DISTINCT vec_id, cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, pos
+         |    ORDER BY c DESC, cell ASC) AS rn FROM ac) WHERE rn = 1),
+         |qprobe AS (SELECT DISTINCT vec_id AS query_id, cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, pos
+         |    ORDER BY c DESC, cell ASC) AS rn FROM ac
+         |  WHERE vec_id < 8) WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT q.query_id, d.vec_id AS doc_id
+         |  FROM qprobe q JOIN dassign d
+         |    ON q.cell = d.cell AND d.vec_id != q.query_id),
+         |pairs AS (SELECT c.query_id, c.doc_id, qt.pos AS q_pos,
+         |  ${duckDot("qt.t", "dt.t")} / (qt.nrm * dt.nrm) AS cos
+         |  FROM cand c JOIN tn qt ON qt.vec_id = c.query_id
+         |  JOIN tn dt ON dt.vec_id = c.doc_id),
+         |pp AS (SELECT query_id, doc_id, $pivotSum AS maxsim
+         |  FROM pairs GROUP BY 1, 2),
+         |rr AS (SELECT query_id, doc_id AS neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY maxsim DESC, doc_id ASC) AS rank FROM pp)
+         |SELECT query_id, rank, neighbor_id, TRUE AS pruned_pins
          |FROM rr WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin
     },

@@ -547,23 +547,28 @@ object AnnIndex {
       struct((-pqCellCos(ce, cn)).as("negc"), lit(pos).as("cell_pos"))
     }: _*))
 
-  /** Encode rows (vec_id, embedding) into the postings relation
-    * (cell_id, vec_id, code_0..m-1) under `book` — the residual PQ
-    * encode of [[Similarity.ivfPqTopK]], bit-identical by shared
-    * expression. */
-  private def pqEncodeRows(df: DataFrame, book: PqBook): DataFrame = {
+  /** Encode rows (vec_id, embedding, carry…) into the postings
+    * relation (cell_id, vec_id, code_0..m-1, carry…) under `book` —
+    * the residual PQ encode of [[Similarity.ivfPqTopK]], bit-identical
+    * by shared expression. `carryCols` ride along unchanged: they are
+    * the filter attributes a hybrid search evaluates index-alone. */
+  private def pqEncodeRows(df: DataFrame, book: PqBook,
+      carryCols: Seq[String] = Nil): DataFrame = {
     import graft.functions.PqFunctions.pq_encode_res
-    val assigned = withNorm(df)
+    // withNorm's projection would drop the carried attributes
+    val assigned = df.select(Seq(col("vec_id"), col("embedding"),
+        vec_norm(col("embedding")).as("nrm")) ++ carryCols.map(col): _*)
       .withColumn("cell_pos", pqAssignExpr(book))
     assigned
-      .select(col("vec_id"), col("cell_pos"),
+      .select(Seq(col("vec_id"), col("cell_pos"),
         pq_encode_res(col("embedding"), col("cell_pos"), book.m,
           book.sub, book.ksub, book.cwFlat, book.ccFlat, book.centFlat)
-          .as("_codes"))
+          .as("_codes")) ++ carryCols.map(col): _*)
       .select(col("cell_pos").cast("long").as("cell_id") +:
         col("vec_id") +:
-        (0 until book.m).map(j =>
-          element_at(col("_codes"), j + 1).as(s"code_$j")): _*)
+        ((0 until book.m).map(j =>
+          element_at(col("_codes"), j + 1).as(s"code_$j")) ++
+          carryCols.map(col)): _*)
   }
 
   /** Build the PERSISTED IVF-PQ index (Jégou, Douze & Schmid's IVFADC,
@@ -575,22 +580,47 @@ object AnnIndex {
     *    codebook can never be orphaned by corpus churn;
     *  - `pqbook`: (sub_id, code_id, cw DOUBLE[], cc) — the m×ksub
     *    residual sub-codewords with their precomputed |c|²;
-    *  - `postings`: (cell_id, vec_id, code_0..m−1), statsCol=cell_id,
-    *    ingested CLUSTERED on cell_id — the m-BYTES-PER-VECTOR memory
-    *    shape that makes billion-scale ANN fit, with the candidate
-    *    SCORE computable from the postings alone (ADC): at 100 TB the
-    *    per-query work is a pruned read of probed posting cells plus
-    *    a corpus fetch of exactly the rerank set, never a scattered
-    *    per-candidate corpus lookup.
+    *  - `postings`: (cell_id, vec_id, code_0..m−1, carry…),
+    *    statsCol=cell_id, ingested CLUSTERED on cell_id — the
+    *    m-BYTES-PER-VECTOR memory shape that makes billion-scale ANN
+    *    fit, with the candidate SCORE computable from the postings
+    *    alone (ADC): at 100 TB the per-query work is a pruned read of
+    *    probed posting cells plus a corpus fetch of exactly the
+    *    rerank set, never a scattered per-candidate corpus lookup.
+    *
+    * `carryCols` names scalar corpus columns copied into the postings
+    * at encode time (a keep-list flag, a language, a dedup verdict) so
+    * a FILTERED search can evaluate its predicate from the index
+    * alone — the payload-filter shape every production vector store
+    * converges on: at 100 TB a predicate that needed the corpus per
+    * candidate would re-open scattered corpus segments on every probe.
     *
     * The index cursor (txn fence) records the corpus version covered,
-    * making [[maintainIvfPq]] exactly-once. */
+    * making [[maintainIvfPq]] exactly-once (carried columns are
+    * re-copied from the change feed on every sync). */
   def buildIvfPq(spark: SparkSession, corpus: DataFrame,
       corpusVersion: Long, dir: String, nCells: Int = 16, m: Int = 8,
-      dims: Int = 64, ksub: Int = 32, postingSegments: Int = 8)
+      dims: Int = 64, ksub: Int = 32, postingSegments: Int = 8,
+      carryCols: Seq[String] = Nil)
       : IvfPqIndex = {
     require(dims % m == 0, "dims must split evenly into m subspaces")
     require(nCells >= 2, s"nCells must be >= 2, got $nCells")
+    val reservedPosting = Set("cell_id", "vec_id", "nrm", "cell_pos",
+      "_codes", "embedding")
+    carryCols.foreach { c =>
+      require(!reservedPosting.contains(c) && !c.matches("code_\\d+"),
+        s"carry column '$c' collides with a postings-schema name")
+      val dt = corpus.schema(c).dataType
+      val scalar = dt match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType => false
+        case _ => true
+      }
+      require(scalar,
+        s"carry column '$c' must be a scalar type for the clustered " +
+          s"postings write, got $dt")
+    }
     val sub = dims / m
     val idx = IvfPqIndex(s"$dir/centroids", s"$dir/pqbook",
       s"$dir/postings")
@@ -637,8 +667,9 @@ object AnnIndex {
       .append((for { j <- 0 until m; i <- 0 until ksub } yield
         (j.toLong, i.toLong, cw(j, i), ccFlat(j * ksub + i)))
         .toDF("sub_id", "code_id", "cw", "cc"))
-    val postings = pqEncodeRows(
-      corpus.select(col("vec_id"), col("embedding")), book)
+    val postings = pqEncodeRows(corpus.select(
+      (Seq("vec_id", "embedding") ++ carryCols).map(col): _*),
+      book, carryCols)
     val store = new LogStore(spark, idx.postingsRoot,
       statsCol = Some("cell_id"))
     store.create(postings.schema)
@@ -697,15 +728,30 @@ object AnnIndex {
     * queries×shortlist rerank vectors, by a stats-pruned id-range
     * read against `corpusStore` — `corpusOpened ∝ rerank set`, the
     * difference between re-reading kilobytes and re-reading the
-    * table per query batch. */
+    * table per query batch.
+    *
+    * FILTERED (hybrid) search: `postingsFilter` is an optional
+    * predicate over the CARRIED posting columns ([[buildIvfPq]]'s
+    * `carryCols`) evaluated on the postings scan itself — BEFORE the
+    * ADC shortlist window, so a passing candidate is never displaced
+    * from the shortlist by a filtered-out one and the result is
+    * never a post-filtered top-k that silently returns < k. Unlike
+    * [[searchIvf]]'s corpus-side predicate, this one never touches
+    * the corpus at all until the exact-cosine rerank: at 100 TB the
+    * filter costs m-bytes-plus-attrs per probed candidate, not a
+    * scattered corpus lookup. `overProbe` widens the probe to
+    * nProbe×overProbe cells so k survives a thinning predicate. */
   def searchIvfPq(spark: SparkSession, idx: IvfPqIndex,
       corpusStore: LogStore, queries: DataFrame, k: Int = 5,
-      nProbe: Int = 4, shortlist: Int = 50): IvfPqScan = {
+      nProbe: Int = 4, shortlist: Int = 50,
+      postingsFilter: Option[Column] = None, overProbe: Int = 1)
+      : IvfPqScan = {
+    require(overProbe >= 1, s"overProbe must be >= 1, got $overProbe")
     val book = loadPqBook(spark, idx)
     import graft.functions.PqFunctions.pq_adc_tables_res
     val probes = withNorm(queries)
       .withColumn("probe",
-        explode(slice(pqProbeStructs(book), 1, nProbe)))
+        explode(slice(pqProbeStructs(book), 1, nProbe * overProbe)))
       .select(col("vec_id").as("query_id"),
         col("probe.cell_pos").cast("int").as("cell_pos"),
         pq_adc_tables_res(col("embedding"),
@@ -729,7 +775,9 @@ object AnnIndex {
       element_at(col(s"qd_$j"), col(s"code_$j") + 1)).reduceLeft(_ + _)
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
-    val sl = posted
+    // the hybrid predicate rides the postings scan — index-alone,
+    // applied before the shortlist window
+    val sl = postingsFilter.fold(posted)(posted.where)
       .join(broadcast(probes), Seq("cell_id"))
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -793,8 +841,20 @@ object AnnIndex {
           clusterBy = Seq(col("cell_id")))
       }
       val book = loadPqBook(spark, idx)
-      val fresh = pqEncodeRows(
-        added.select(col("vec_id"), col("embedding")), book)
+      // carried filter attributes are whatever the postings schema
+      // holds beyond the IVFADC core — re-copied from the change feed
+      // so a hybrid predicate stays correct across maintenance
+      val carry = postings.read().schema.fieldNames.toSeq
+        .filterNot(n => n == "cell_id" || n == "vec_id" ||
+          n.matches("code_\\d+"))
+      val missingCarry = carry.filterNot(added.columns.contains)
+      require(missingCarry.isEmpty,
+        s"the corpus change feed lacks carried posting column(s) " +
+          s"${missingCarry.mkString(", ")} — carryCols must be " +
+          "corpus columns")
+      val fresh = pqEncodeRows(added.select(
+        (Seq("vec_id", "embedding") ++ carry).map(col): _*),
+        book, carry)
       val moved =
         if (fresh.limit(1).collect().isEmpty)
           postings.commitFence(latest)

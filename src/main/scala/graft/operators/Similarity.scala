@@ -137,6 +137,128 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  // ---------------------------------------------------------------
+  // Late interaction (multi-vector / MaxSim) retrieval
+  // ---------------------------------------------------------------
+
+  /** One row per token of a multi-vector relation (vec_id,
+    * tokens ARRAY<ARRAY<FLOAT>>): (id, pos, tok, nrm). The shared
+    * front half of the MaxSim operators. */
+  private def tokenRows(df: DataFrame, idOut: String, posOut: String,
+      tokOut: String, nrmOut: String): DataFrame =
+    df.select(col("vec_id").as(idOut),
+        posexplode(col("tokens")).as(Seq(posOut, tokOut)))
+      .withColumn(nrmOut, vec_norm(col(tokOut)))
+
+  /** The shared back half: per-(query, doc) MaxSim over a token-pair
+    * relation (query_id, doc_id, q_pos, cos) — per-query-token maxima
+    * pivoted into `qTokens` columns and summed in FIXED order, so the
+    * double-sum is bit-reproducible under any partitioning (a
+    * groupBy-sum of doubles would re-associate); doc token counts may
+    * vary freely (max is order-insensitive). */
+  private def maxSimRank(pairTok: DataFrame, k: Int,
+      qTokens: Int): DataFrame = {
+    val perPair = pairTok
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(max(when(col("q_pos") === 0, col("cos"))).as("m_0"),
+        (1 until qTokens).map(j =>
+          max(when(col("q_pos") === j, col("cos"))).as(s"m_$j")): _*)
+    val score = (0 until qTokens).map(j => col(s"m_$j"))
+      .reduceLeft(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("maxsim").desc, col("neighbor_id").asc)
+    perPair.withColumn("maxsim", score)
+      .withColumnRenamed("doc_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("maxsim"))
+  }
+
+  /** Late-interaction (multi-vector) retrieval — MaxSim (Khattab &
+    * Zaharia's ColBERT, SIGIR'20 §3.1, public): score(q, d) =
+    * Σ_{t ∈ q.tokens} max_{u ∈ d.tokens} cos(t, u). Both relations
+    * are (vec_id, tokens ARRAY<ARRAY<FLOAT>>); `qTokens` is the FIXED
+    * query token budget (ColBERT fixes the query length by design —
+    * it is also what makes the score a fixed-order sum, hence
+    * bit-reproducible). This is the brute-force arm: every query
+    * token against every doc token, queries broadcast — the oracle
+    * baseline [[maxSimTopKPruned]] is measured against. Output:
+    * (query_id, rank, neighbor_id, maxsim). */
+  def maxSimTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      qTokens: Int = 4): DataFrame = {
+    val d = tokenRows(corpus, "doc_id", "d_pos", "d_tok", "d_nrm")
+    val q = tokenRows(queries, "query_id", "q_pos", "q_tok", "q_nrm")
+    val cosE = vec_dot(col("q_tok"), col("d_tok")) /
+      (col("q_nrm") * col("d_nrm"))
+    maxSimRank(d
+      .join(broadcast(q), col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), col("q_pos"),
+        cosE.as("cos")), k, qTokens)
+  }
+
+  /** Pruned MaxSim — the two-stage shape production late-interaction
+    * systems converge on (per-token candidate generation over a
+    * centroid codebook, then exact MaxSim on the candidate set only —
+    * the design PLAID/ColBERTv2 describe publicly, re-derived on this
+    * codebase's deterministic-codebook policy): doc tokens are
+    * assigned to their argmax-cosine cell of the first-`nCells`
+    * token-space codebook (tokens in (vec_id, position) order); each
+    * query token probes its `nProbe` nearest cells; a doc is a
+    * CANDIDATE iff any of its tokens sits in any probed cell. Exact
+    * MaxSim then scores candidates only, so the scored-pair count
+    * tracks probed-cell co-occurrence, not |Q|×|D| — at 100 TB the
+    * candidate join is a shuffle on cell id over m-token rows, never
+    * an all-pairs product. Returns (results, candidatePairs,
+    * fullPairs) — the sub-quadratic evidence. */
+  def maxSimTopKPruned(corpus: DataFrame, queries: DataFrame,
+      k: Int = 5, qTokens: Int = 4, nCells: Int = 16, nProbe: Int = 2)
+      : (DataFrame, Long, Long) = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val d = tokenRows(corpus, "doc_id", "d_pos", "d_tok", "d_nrm")
+    val q = tokenRows(queries, "query_id", "q_pos", "q_tok", "q_nrm")
+    val cents = d.orderBy(col("doc_id"), col("d_pos")).limit(nCells)
+      .select(col("d_tok"), col("d_nrm")).collect()
+      .map(r => (r.getSeq[Float](0), r.getDouble(1)))
+    require(cents.length == nCells,
+      s"corpus has only ${cents.length} tokens; the deterministic " +
+        s"first-$nCells token codebook needs at least $nCells")
+    def cellCos(tok: Column, nrm: Column, ce: Seq[Float], cn: Double) =
+      vec_dot(tok, typedLit(ce)) / (nrm * lit(cn))
+    // argmax assignment, ties to the lower cell (the IVF discipline)
+    def assignCol(tok: Column, nrm: Column): Column =
+      (-greatest(cents.zipWithIndex.map { case ((ce, cn), pos) =>
+        struct(cellCos(tok, nrm, ce, cn).as("c"),
+          lit(-pos).as("negpos"))
+      }: _*).getField("negpos")).cast("long")
+    def probeCol(tok: Column, nrm: Column): Column =
+      slice(array_sort(array(cents.zipWithIndex.map {
+        case ((ce, cn), pos) =>
+          struct((-cellCos(tok, nrm, ce, cn)).as("negc"),
+            lit(pos.toLong).as("cell"))
+      }: _*)), 1, nProbe)
+    val dCells = d.select(col("doc_id"),
+      assignCol(col("d_tok"), col("d_nrm")).as("cell")).distinct()
+    val qCells = q.select(col("query_id"),
+        explode(probeCol(col("q_tok"), col("q_nrm"))).as("probe"))
+      .select(col("query_id"), col("probe.cell").as("cell"))
+      .distinct()
+    val candidates = dCells
+      .join(broadcast(qCells), Seq("cell"))
+      .where(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id")).distinct()
+      .localCheckpoint(true) // counted AND joined below
+    val cosE = vec_dot(col("q_tok"), col("d_tok")) /
+      (col("q_nrm") * col("d_nrm"))
+    val pairTok = candidates
+      .join(d, Seq("doc_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"), col("q_pos"),
+        cosE.as("cos"))
+    val full = corpus.count() * queries.count()
+    (maxSimRank(pairTok, k, qTokens), candidates.count(), full)
+  }
+
   /** Deterministic pseudo-random hyperplane sign for (plane p, dim d):
     * ±1 from the parity of the first hex digit of md5("p|d"). Data-
     * independent, hence driver-side; the same definition is replicable

@@ -276,6 +276,31 @@ object StreamingOps {
      else writer).start()
   }
 
+  /** [[maintainIvfStream]]'s IVF-PQ twin: tail the corpus feed and
+    * absorb each micro-batch via
+    * [[graft.operators.AnnIndex.maintainIvfPq]] — the same
+    * stream-is-only-the-scheduler discipline (the index's txn cursor
+    * makes at-least-once delivery, overlaps, restarts and replays
+    * collapse into the fence), with the PQ specifics riding the
+    * maintainer: fresh vectors are ENCODED under the persisted
+    * codebook, deletes land as posting DVs, and carried filter
+    * attributes re-copy from the feed. */
+  def maintainIvfPqStream(spark: SparkSession, corpusRoot: String,
+      idx: graft.operators.AnnIndex.IvfPqIndex, checkpointDir: String,
+      availableNow: Boolean = true): StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    val writer = spark.readStream.format("graft-log")
+      .option("path", corpusRoot).load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        val store = graft.catalog.LogStore.configured(spark, corpusRoot)
+        graft.operators.AnnIndex.maintainIvfPq(spark, store, idx): Unit
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer).start()
+  }
+
   def upsertAggToLog(aggregated: DataFrame,
       target: graft.catalog.LogStore, keyCols: Seq[String],
       checkpointDir: String): StreamingQuery =

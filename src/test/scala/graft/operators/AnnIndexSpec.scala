@@ -586,4 +586,138 @@ class AnnIndexSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("searchIvfPq"))
   }
+
+  test("FILTERED IVF-PQ: carried columns ride the postings so the " +
+      "predicate evaluates from the index alone, BEFORE the ADC " +
+      "shortlist (a passing candidate is never displaced by a " +
+      "filtered-out one); maintenance re-copies the carried values; " +
+      "carry-column validation refuses collisions and non-scalars") {
+    val dir = Files.createTempDirectory("graft-annpqflt").toString
+    val corpusStore = new LogStore(spark, s"$dir/corpus",
+      statsCol = Some("vec_id"))
+    // tag must NOT correlate with the cluster (= vec_id % 8), or a
+    // query's probed cells would hold no passing candidates at all:
+    // (vec_id / 8) % 4 cycles WITHIN each cluster
+    val base = corpusDf(256)
+      .withColumn("tag", (col("vec_id") / 8).cast("long") % 4)
+    (0 until 8).foreach(i => corpusStore.append(
+      base.where(col("vec_id") >= i * 32 && col("vec_id") < (i + 1) * 32)))
+    val corpus = corpusStore.read()
+    // validation first: name collisions and non-scalar types refuse
+    for (bad <- Seq("cell_id", "code_3", "embedding")) {
+      val err = intercept[IllegalArgumentException] {
+        AnnIndex.buildIvfPq(spark, corpus, 0L, s"$dir/bad-$bad",
+          nCells = 16, m = 4, dims = dims, ksub = 8,
+          carryCols = Seq(bad))
+      }
+      assert(err.getMessage.contains(bad))
+    }
+    val errArr = intercept[IllegalArgumentException] {
+      AnnIndex.buildIvfPq(spark,
+        corpus.withColumn("arr", array(col("vec_id"))), 0L,
+        s"$dir/bad-arr", nCells = 16, m = 4, dims = dims, ksub = 8,
+        carryCols = Seq("arr"))
+    }
+    assert(errArr.getMessage.contains("scalar"))
+    val idx = AnnIndex.buildIvfPq(spark, corpus,
+      corpusStore.latestVersion(), s"$dir/idx", nCells = 16, m = 4,
+      dims = dims, ksub = 8, postingSegments = 8,
+      carryCols = Seq("tag"))
+    val postings = LogStore.configured(spark, idx.postingsRoot)
+    assert(postings.read().columns.contains("tag"),
+      "the carried column must land in the postings schema")
+    val queries = corpus.where(col("vec_id") < 4)
+    val keep = col("tag") === 0
+    // a no-op predicate is bit-identical to no predicate (plumbing)
+    val plain = AnnIndex.searchIvfPq(spark, idx, corpusStore, queries,
+      k = 5, nProbe = 4, shortlist = 20)
+    val noop = AnnIndex.searchIvfPq(spark, idx, corpusStore, queries,
+      k = 5, nProbe = 4, shortlist = 20,
+      postingsFilter = Some(lit(true)))
+    assert(plain.results.select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet ==
+      noop.results.select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet)
+    // parity with the in-memory IVFADC under the same filter and the
+    // same widened probe: at a shortlist covering every candidate,
+    // filter-before-shortlist ≡ filter of the full exact ranking
+    // (exact-cosine order is preserved under filtering)
+    val scan = AnnIndex.searchIvfPq(spark, idx, corpusStore, queries,
+      k = 5, nProbe = 2, shortlist = 1000,
+      postingsFilter = Some(keep), overProbe = 2)
+    val got = scan.results.select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val full = Similarity.ivfPqTopK(corpus, queries, k = 512,
+      nCells = 16, nProbe = 4, m = 4, dims = dims, ksub = 8,
+      shortlist = 1000)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rank").asc)
+    val want = full
+      .where((col("neighbor_id") / 8).cast("long") % 4 === 0)
+      .withColumn("r2", row_number().over(w))
+      .where(col("r2") <= 5)
+      .select(col("query_id"), col("r2").cast("int"),
+        col("neighbor_id"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == want,
+      s"filtered persisted IVF-PQ must equal the filtered in-memory " +
+        s"IVFADC (${got.size} vs ${want.size} rows)")
+    assert(got.nonEmpty && got.forall(r => (r._3 / 8) % 4 == 0),
+      "every returned neighbor must satisfy the predicate")
+    // filter-BEFORE-shortlist: at a tight shortlist the filtered
+    // search fills k from PASSING candidates, where post-filtering
+    // the unfiltered shortlist would come up short
+    val tight = AnnIndex.searchIvfPq(spark, idx, corpusStore, queries,
+      k = 2, nProbe = 2, shortlist = 2, postingsFilter = Some(keep),
+      overProbe = 2)
+    val tightRows = tight.results.collect()
+    assert(tightRows.length == 4 * 2,
+      s"the tight filtered shortlist must still fill k for every " +
+        s"query, got ${tightRows.length} rows")
+    val unfiltered = AnnIndex.searchIvfPq(spark, idx, corpusStore,
+      queries, k = 2, nProbe = 4, shortlist = 2)
+    val postFiltered = unfiltered.results
+      .where((col("neighbor_id") / 8).cast("long") % 4 === 0).count()
+    assert(postFiltered < tightRows.length,
+      s"post-filtering the unfiltered shortlist must lose rows " +
+        s"($postFiltered vs ${tightRows.length}) — the reason the " +
+        "predicate applies before the window")
+    // overProbe validation
+    val eOp = intercept[IllegalArgumentException] {
+      AnnIndex.searchIvfPq(spark, idx, corpusStore, queries,
+        overProbe = 0)
+    }
+    assert(eOp.getMessage.contains("overProbe"))
+    // maintenance: a delete, a moved vector (tag changes with the
+    // update), and fresh inserts — carried values re-copied from the
+    // change feed
+    corpusStore.deleteWhere("vec_id IN (100, 101)")
+    def bump(c: Int) = Array.tabulate(dims)(d =>
+      if (d == c * 2) 10f else 0f).toSeq
+    corpusStore.merge(
+      Seq((64L, bump(5), 9L)).toDF("vec_id", "embedding", "tag"),
+      "vec_id")
+    corpusStore.append(corpusDf(16, seedOffset = 2000L)
+      .withColumn("tag", (col("vec_id") / 8).cast("long") % 4))
+    AnnIndex.maintainIvfPq(spark, corpusStore, idx)
+    val tags = postings.read().select("vec_id", "tag")
+      .as[(Long, Long)].collect().toMap
+    assert(!tags.contains(100L) && !tags.contains(101L),
+      "deleted postings must be gone")
+    assert(tags(64L) == 9L,
+      "an update postimage must carry its NEW attribute value")
+    assert((2000L until 2016L).forall(i => tags(i) == (i / 8) % 4),
+      "fresh inserts must carry their attributes")
+    // the moved vector's new tag=9 fails the predicate: it can never
+    // surface through the filtered search
+    val after = AnnIndex.searchIvfPq(spark, idx, corpusStore,
+      corpusStore.read().where(col("vec_id") < 4), k = 5, nProbe = 2,
+      shortlist = 1000, postingsFilter = Some(keep), overProbe = 2)
+    val afterRows = after.results
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!afterRows.contains(64L),
+      "a maintenance-updated attribute must take effect in the filter")
+    assert(afterRows.forall(id => tags(id) == 0L),
+      "post-maintenance filtered search must honor carried values")
+  }
 }

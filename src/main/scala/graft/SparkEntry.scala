@@ -4532,6 +4532,64 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "src_check_constraint" -> ((s, dir) => {
+      // CHECK constraints as the ingest data-quality gate: stage two
+      // valid lineitem slices behind `l_quantity >= 1 AND
+      // l_returnflag IS NOT NULL`, prove a violating batch refuses
+      // BEFORE any commit (version and count untouched), prove ANSI
+      // NULL passes (a literal probe row the oracle re-adds), prove
+      // the rename guard refuses a referenced column, then DROP the
+      // constraint and land the once-refused shape. The final table
+      // ≡ the two slices + the two literal rows — exactly what the
+      // oracle reconstructs. constraint_pins: refusal named the
+      // constraint, table untouched after it, rename refused while
+      // recorded.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_returnflag"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ckq").toString
+      val store = new graft.catalog.LogStore(s, s"$root/t")
+      store.append(li.where(col("l_orderkey") < 100))
+      store.addCheckConstraint("qty_floor",
+        "l_quantity >= 1 AND l_returnflag IS NOT NULL")
+      val v0 = store.latestVersion()
+      val n0 = store.read().count()
+      val refused = try {
+        store.append(li.where(col("l_orderkey") < 100)
+          .withColumn("l_quantity", -col("l_quantity")))
+        false
+      } catch { case scala.util.control.NonFatal(e) =>
+        Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).exists(t =>
+            Option(t.getMessage).exists(_.contains("qty_floor")))
+      }
+      val untouched = store.latestVersion() == v0 &&
+        store.read().count() == n0
+      val renameRefused = try {
+        store.renameColumn("l_quantity", "qty"); false
+      } catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("CHECK") }
+      store.append(li.where(col("l_orderkey") >= 100 &&
+        col("l_orderkey") < 200))
+      store.append(li.limit(1).select(
+        lit(-1L).as("l_orderkey"),
+        lit(null).cast("double").as("l_quantity"),
+        lit("Z").as("l_returnflag")))
+      store.dropCheckConstraint("qty_floor")
+      store.append(li.limit(1).select(
+        lit(-2L).as("l_orderkey"),
+        lit(-7.0).as("l_quantity"),
+        lit("Y").as("l_returnflag")))
+      val pins = refused && untouched && renameRefused
+      store.read()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .withColumn("constraint_pins", lit(pins))
+        .orderBy("l_returnflag")
+    }),
+
     "ann_ivf_drift_retrain" -> ((s, dir) => {
       // the trained index's RETRAIN lifecycle end-to-end: built over
       // HALF the corpus, then the other half arrives while the
@@ -10643,6 +10701,22 @@ object SparkEntry {
          |FROM rr WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    // the constraint-gated table's final content: the two slices
+    // that passed the gate plus the NULL probe row (ANSI: NULL
+    // passes) plus the post-drop row — the violating batch never
+    // landed, which is what this reconstruction asserts
+    "src_check_constraint" ->
+      s"""WITH staged AS (
+         |  SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
+         |  WHERE l_orderkey < 200
+         |  UNION ALL SELECT -1, NULL, 'Z'
+         |  UNION ALL SELECT -2, CAST(-7 AS DOUBLE), 'Y')
+         |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+         |    AS sum_qty,
+         |  TRUE AS constraint_pins
+         |FROM staged GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the filtered search replays the SAME deterministic-IVF
     // construction with the predicate applied to candidates (and to

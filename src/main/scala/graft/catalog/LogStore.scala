@@ -1560,8 +1560,31 @@ class LogStore(spark: SparkSession, val root: String,
       evolvedB64: Option[String] = None): Segment = {
     val name = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
     val m = writeMapping(evolvedB64)
-    toPhysicalDf(df, m).write.parquet(s"$root/$name")
+    toPhysicalDf(enforceChecks(df), m).write.parquet(s"$root/$name")
     segmentMeta(name, df.columns, m)
+  }
+
+  /** Every programmatic write that lands row bytes funnels through
+    * [[writeSegment]], so the recorded CHECK constraints attach here
+    * as throwing FILTERS: `assert_true` evaluates inside the write's
+    * own pass (codegen'd — never a second scan of the batch; the
+    * optimizer cannot drop the filter because `IsNull(assert_true)`
+    * is not provably true), and a FALSE row fails the Spark job
+    * BEFORE any commit — the table is untouched and the half-written
+    * segment directory is a crash orphan vacuum reclaims. NULL
+    * passes (ANSI CHECK). Rewrite paths (UPDATE survivors, OPTIMIZE)
+    * re-validate for free: their rows already satisfy the
+    * constraints, and an UPDATE that breaks one must refuse. */
+  private def enforceChecks(df: DataFrame): DataFrame = {
+    val v = latestVersion()
+    if (v < 0) return df
+    val cks = checkConstraintsOf(recordedProps(v))
+    if (cks.isEmpty) return df
+    import org.apache.spark.sql.functions.{assert_true, coalesce => fcoalesce, expr => fexpr, lit => flit}
+    cks.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, sql)) =>
+      d.where(assert_true(fcoalesce(fexpr(sql), flit(true)),
+        flit(s"CHECK constraint '$n' violated: $sql")).isNull)
+    }
   }
 
   private def addJson(s: Segment): String = {
@@ -1714,6 +1737,9 @@ class LogStore(spark: SparkSession, val root: String,
         s"column '$from' carries the skipping config " +
           "(statsCol/statsCols/bloomCol/bloomCols) — ALTER " +
           "TBLPROPERTIES first, then rename")
+      require(!constraintColumns(st.propsStr).contains(from),
+        s"column '$from' is referenced by a CHECK constraint — DROP " +
+          "the constraint first, then rename")
       val current = st.schemaB64.map(decodeSchema)
         .getOrElse(read(v).schema)
       require(current.fieldNames.contains(from),
@@ -1834,6 +1860,10 @@ class LogStore(spark: SparkSession, val root: String,
         s"column '$n' carries the skipping config " +
           "(statsCol/statsCols/bloomCol/bloomCols) — ALTER " +
           "TBLPROPERTIES first, then drop"))
+      names.foreach(n => require(
+        !constraintColumns(st.propsStr).contains(n),
+        s"column '$n' is referenced by a CHECK constraint — DROP " +
+          "the constraint first, then drop the column"))
       val current = st.schemaB64.map(decodeSchema)
         .getOrElse(read(v).schema)
       names.foreach(n => require(current.fieldNames.contains(n),
@@ -1996,6 +2026,97 @@ class LogStore(spark: SparkSession, val root: String,
       }
     }
     -1L // unreachable
+  }
+
+  /** The recorded CHECK constraints (name → SQL expression). The
+    * expression is stored base64url-without-padding under
+    * `constraint.<name>` — CHECK SQL routinely contains '=' and
+    * quotes, which the props grammar forbids in raw values. */
+  def checkConstraints(version: Long = Long.MaxValue)
+      : Map[String, String] =
+    if (latestVersion() < 0) Map.empty
+    else checkConstraintsOf(recordedProps(version))
+
+  private def checkConstraintsOf(propsStr: Option[String])
+      : Map[String, String] =
+    propsStr.toSeq.flatMap(_.split(';'))
+      .filter(e => e.startsWith("constraint.") && e.contains('='))
+      .map { e =>
+        val i = e.indexOf('=')
+        (e.take(i).drop("constraint.".length),
+          new String(java.util.Base64.getUrlDecoder.decode(
+            e.drop(i + 1)), StandardCharsets.UTF_8))
+      }.toMap
+
+  /** ANSI CHECK violation: the expression evaluating to FALSE (NULL
+    * passes). */
+  private def checkViolation(cond: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce => fcoalesce, lit => flit, not => fnot}
+    fnot(fcoalesce(cond, flit(true)))
+  }
+
+  /** Column names referenced by the recorded CHECK constraints —
+    * parsed from the stored SQL (every unresolved attribute leaf);
+    * the rename/drop refusal set: a stored expression names columns
+    * as text, so renaming one out from under it would break every
+    * subsequent write. */
+  private def constraintColumns(propsStr: Option[String]): Set[String] =
+    checkConstraintsOf(propsStr).values.toSeq.flatMap { sql =>
+      spark.sessionState.sqlParser.parseExpression(sql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head
+      }
+    }.toSet
+
+  /** ALTER TABLE ADD CONSTRAINT … CHECK (expr) — the ingest
+    * data-quality gate a training pipeline runs on (Delta's
+    * constraint lifecycle, re-derived): ANSI semantics (violation is
+    * the expression being FALSE; NULL passes), EXISTING rows are
+    * validated first (one stats-prunable scan — refuses with a sample
+    * offender), then the expression lands as a metadata-only property
+    * commit. From that commit on, every write that lands row bytes —
+    * append, streaming epoch, MERGE, UPDATE rewrite, the clustered
+    * DSv2 ingest — must satisfy it before its commit. A write racing
+    * the property commit is re-validated after it lands: on a late
+    * offender the constraint is removed again and the add refuses
+    * loudly — the log never records a constraint its data does not
+    * satisfy. */
+  def addCheckConstraint(name: String, exprSql: String): Long = {
+    require(name.nonEmpty &&
+      name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name '$name' must match [A-Za-z0-9_]+")
+    require(!checkConstraints().contains(name),
+      s"CHECK constraint '$name' already exists — DROP it first")
+    import org.apache.spark.sql.functions.{expr => fexpr}
+    // analysis of the filter is the type gate: an unresolvable or
+    // non-boolean expression refuses here, before anything commits
+    val offender =
+      read().where(checkViolation(fexpr(exprSql))).limit(1).collect()
+    require(offender.isEmpty,
+      s"cannot add CHECK constraint '$name' ($exprSql): an existing " +
+        s"row violates it: ${offender.mkString}")
+    val enc = java.util.Base64.getUrlEncoder.withoutPadding()
+      .encodeToString(exprSql.getBytes(StandardCharsets.UTF_8))
+    val v = setProperties(Map(s"constraint.$name" -> enc))
+    val late =
+      read().where(checkViolation(fexpr(exprSql))).limit(1).collect()
+    if (late.nonEmpty) {
+      setProperties(Map.empty, removes = Set(s"constraint.$name"))
+      throw new IllegalStateException(
+        s"CHECK constraint '$name' raced a write that violates it " +
+          s"(${late.mkString}) — constraint removed, add refused")
+    }
+    v
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT: metadata-only property removal —
+    * writes stop validating from the commit on; time travel before it
+    * still shows the constraint in `checkConstraints(version)`. */
+  def dropCheckConstraint(name: String): Long = {
+    require(checkConstraints().contains(name),
+      s"no CHECK constraint '$name' on this table")
+    setProperties(Map.empty, removes = Set(s"constraint.$name"))
   }
 
   /** CREATE TABLE: initialize an EMPTY table — version 0 carries only
@@ -3547,6 +3668,27 @@ class LogStore(spark: SparkSession, val root: String,
       txn: Option[Long] = None, maxAttempts: Int = 5): Long = {
     require(names.nonEmpty, "nothing to publish")
     require(maxAttempts >= 1, "need at least one attempt")
+    // the DSv2 ingest wrote its files executor-side, outside
+    // writeSegment's throwing-filter gate — recorded CHECK
+    // constraints validate the STAGED bytes here, before anything
+    // commits (one pushdown-friendly read of the batch, only for
+    // tables that carry constraints; on refusal the staged segments
+    // are crash orphans vacuum reclaims)
+    val cks = checkConstraints()
+    if (cks.nonEmpty) {
+      import org.apache.spark.sql.functions.{col => fcol, expr => fexpr}
+      val m = writeMapping(None)
+      val phys = spark.read.parquet(names.map(n => s"$root/$n"): _*)
+      val logical = phys.select(writeSchema.fields.toSeq.map(f =>
+        fcol(m.getOrElse(f.name, f.name)).as(f.name)): _*)
+      cks.toSeq.sortBy(_._1).foreach { case (n, sql) =>
+        val bad = logical.where(checkViolation(fexpr(sql)))
+          .limit(1).collect()
+        if (bad.nonEmpty) throw new IllegalArgumentException(
+          s"CHECK constraint '$n' ($sql) violated by the staged " +
+            s"write (${bad.mkString}) — nothing committed")
+      }
+    }
     val columns = writeSchema.fieldNames.toSeq
     lazy val adds = names.map(segmentMeta(_, columns,
       writeMapping(None)))

@@ -337,6 +337,10 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
     case "maintain" => Some(new MaintainProcedure(this))
     case "vacuum" => Some(new VacuumProcedure(this))
     case "checkpoint" => Some(new CheckpointProcedure(this))
+    case "add_check_constraint" =>
+      Some(new AddConstraintProcedure(this))
+    case "drop_check_constraint" =>
+      Some(new DropConstraintProcedure(this))
     case _ => None
   }
 
@@ -349,13 +353,15 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
       throw new RuntimeException(
         s"procedure ${ident.namespace.mkString(".")}.${ident.name} " +
           s"not found; $catalogName.system has: optimize, maintain, " +
-          "vacuum, checkpoint"))
+          "vacuum, checkpoint, add_check_constraint, " +
+          "drop_check_constraint"))
   }
 
   override def listProcedures(
       namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
-      Array("checkpoint", "maintain", "optimize", "vacuum")
+      Array("add_check_constraint", "checkpoint",
+          "drop_check_constraint", "maintain", "optimize", "vacuum")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 

@@ -199,3 +199,57 @@ private[sources] final class CheckpointProcedure(
     one(out, Array(store.latestVersion()))
   }
 }
+
+/** `CALL graft.system.add_check_constraint(`table` => 'ns.t',
+  * name => 'qty_positive', expr => 'l_quantity >= 0')` — the SQL face
+  * of [[graft.catalog.LogStore.addCheckConstraint]]: validates the
+  * existing rows, commits the constraint as metadata, and every
+  * subsequent write (INSERT, MERGE, UPDATE, streaming, clustered
+  * ingest) must satisfy it before its commit. */
+private[sources] final class AddConstraintProcedure(
+    catalog: GraftLogCatalog)
+    extends GraftProcedure("add_check_constraint", catalog) {
+  override def description(): String =
+    "add a CHECK constraint: validate existing rows, then gate every " +
+      "subsequent write on the expression (ANSI: NULL passes)"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    in("table", StringType),
+    in("name", StringType),
+    in("expr", StringType))
+
+  private val out = StructType(Seq(
+    StructField("version", LongType, nullable = false)))
+
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val store = storeOf(input)
+    require(!input.isNullAt(1) && !input.isNullAt(2),
+      "add_check_constraint needs name => ... and expr => ...")
+    val v = store.addCheckConstraint(
+      input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+    one(out, Array(v))
+  }
+}
+
+/** `CALL graft.system.drop_check_constraint(`table` => 'ns.t',
+  * name => 'qty_positive')` — metadata-only removal; writes stop
+  * validating from the commit on. */
+private[sources] final class DropConstraintProcedure(
+    catalog: GraftLogCatalog)
+    extends GraftProcedure("drop_check_constraint", catalog) {
+  override def description(): String =
+    "drop a CHECK constraint (metadata-only)"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    in("table", StringType),
+    in("name", StringType))
+
+  private val out = StructType(Seq(
+    StructField("version", LongType, nullable = false)))
+
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val store = storeOf(input)
+    require(!input.isNullAt(1),
+      "drop_check_constraint needs name => ...")
+    val v = store.dropCheckConstraint(input.getUTF8String(1).toString)
+    one(out, Array(v))
+  }
+}

@@ -1107,6 +1107,42 @@ object ScaleStress {
         System.err.println(s"[scale] ${out.last.json}")
       }
     }
+    // pruned MaxSim with the cell-count recipe (nCells ∝ corpus, the
+    // config a growing deployment runs): per-cell token occupancy
+    // stays bounded, so candidate pairs track probed-cell
+    // co-occurrence — near-flat per query — instead of |Q|×|D|
+    if (only.isEmpty || only.contains("ann_maxsim_pruned")) {
+      val toks = array((0 until 4).map(j =>
+        slice(col("embedding"), j * 16 + 1, 16)): _*)
+      val mvDocs = emb.select(col("vec_id"), toks.as("tokens"))
+      val mvQ = mvDocs.where(col("vec_id") < 8)
+      val (sec, cand) = time {
+        val (res, c, _) = Similarity.maxSimTopKPruned(mvDocs, mvQ,
+          k = 5, qTokens = 4, nCells = 16 * scale, nProbe = 2)
+        exhaust(res); c
+      }
+      out += Measurement("ann_maxsim_pruned", scale, nEmb, sec, cand)
+      System.err.println(s"[scale] ${out.last.json}")
+    }
+    // CHECK-constraint gate overhead: the same append with and
+    // without a recorded constraint — the throwing filter rides the
+    // write's own pass (codegen'd), so the gated wall must track the
+    // plain wall, not add a second scan of the batch
+    if (only.isEmpty || only.contains("src_check_gate")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-scale-ck").toString
+      val plain = new graft.catalog.LogStore(spark, s"$dir/plain")
+      val (secOff, _) = time { plain.append(vals) }
+      out += Measurement("src_check_gate_off", scale, nVals, secOff)
+      System.err.println(s"[scale] ${out.last.json}")
+      val gated = new graft.catalog.LogStore(spark, s"$dir/gated")
+      gated.create(vals.schema)
+      gated.addCheckConstraint("v_ok",
+        "value >= 0 AND value < 1000000 AND id IS NOT NULL")
+      val (secOn, _) = time { gated.append(vals) }
+      out += Measurement("src_check_gate_on", scale, nVals, secOn)
+      System.err.println(s"[scale] ${out.last.json}")
+    }
     docs.unpersist(); emb.unpersist(); vals.unpersist(); edges.unpersist()
     out.toSeq
   }

@@ -1578,13 +1578,27 @@ class LogStore(spark: SparkSession, val root: String,
   private def enforceChecks(df: DataFrame): DataFrame = {
     val v = latestVersion()
     if (v < 0) return df
-    val cks = checkConstraintsOf(recordedProps(v))
+    val propsStr = recordedProps(v)
+    val cks = checkConstraintsOf(propsStr)
     if (cks.isEmpty) return df
     import org.apache.spark.sql.functions.{assert_true, coalesce => fcoalesce, expr => fexpr, lit => flit}
-    cks.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, sql)) =>
-      d.where(assert_true(fcoalesce(fexpr(sql), flit(true)),
-        flit(s"CHECK constraint '$n' violated: $sql")).isNull)
+    // a NARROWER write legally omits columns (parquet null-fills at
+    // read): the constraint must see the NULLs those rows will have,
+    // so absent referenced columns pad in as typed null literals
+    // (ANSI: NULL passes) and drop back out before anything lands
+    lazy val recorded = replayTo(v).schemaB64.map(decodeSchema)
+    val padCols = constraintColumns(propsStr)
+      .diff(df.columns.toSet).toSeq.sorted
+      .flatMap(n => recorded
+        .flatMap(_.fields.find(_.name == n)).map(f => (n, f.dataType)))
+    val padded = padCols.foldLeft(df) { case (d, (n, dt)) =>
+      d.withColumn(n, flit(null).cast(dt)) }
+    val gated = cks.toSeq.sortBy(_._1).foldLeft(padded) {
+      case (d, (n, sql)) =>
+        d.where(assert_true(fcoalesce(fexpr(sql), flit(true)),
+          flit(s"CHECK constraint '$n' violated: $sql")).isNull)
     }
+    if (padCols.isEmpty) gated else gated.drop(padCols.map(_._1): _*)
   }
 
   private def addJson(s: Segment): String = {
@@ -3676,13 +3690,24 @@ class LogStore(spark: SparkSession, val root: String,
     // are crash orphans vacuum reclaims)
     val cks = checkConstraints()
     if (cks.nonEmpty) {
-      import org.apache.spark.sql.functions.{col => fcol, expr => fexpr}
+      import org.apache.spark.sql.functions.{col => fcol, expr => fexpr, lit => flit}
       val m = writeMapping(None)
       val phys = spark.read.parquet(names.map(n => s"$root/$n"): _*)
       val logical = phys.select(writeSchema.fields.toSeq.map(f =>
         fcol(m.getOrElse(f.name, f.name)).as(f.name)): _*)
+      // a narrower staged write legally omits columns — pad absent
+      // referenced columns as typed nulls (ANSI: NULL passes), same
+      // rule as the inline gate
+      val v = latestVersion()
+      val padded = constraintColumns(recordedProps(math.max(v, 0L)))
+        .diff(writeSchema.fieldNames.toSet).toSeq.sorted
+        .flatMap(n => (if (v < 0) None
+          else replayTo(v).schemaB64.map(decodeSchema))
+          .flatMap(_.fields.find(_.name == n)).map(f => (n, f.dataType)))
+        .foldLeft(logical) { case (d, (n, dt)) =>
+          d.withColumn(n, flit(null).cast(dt)) }
       cks.toSeq.sortBy(_._1).foreach { case (n, sql) =>
-        val bad = logical.where(checkViolation(fexpr(sql)))
+        val bad = padded.where(checkViolation(fexpr(sql)))
           .limit(1).collect()
         if (bad.nonEmpty) throw new IllegalArgumentException(
           s"CHECK constraint '$n' ($sql) violated by the staged " +

@@ -123,6 +123,33 @@ class CheckConstraintSpec extends AnyFunSuite {
     assert(store.read().columns.contains("amount"))
   }
 
+  test("a NARROWER write legally omits a constrained column: the " +
+      "gate sees the NULLs those rows read back as (ANSI: pass) on " +
+      "both the programmatic and the DSv2 staged paths, and the " +
+      "padding never lands in the segment") {
+    val dir = Files.createTempDirectory("graft-ck").toString
+    val store = new LogStore(spark, s"$dir/t")
+    store.append(Seq((1L, Some(5.0))).toDF("id", "qty"))
+    store.addCheckConstraint("qty_pos", "qty >= 0")
+    // narrow programmatic append: no qty column at all — the rows
+    // read back NULL there, which ANSI CHECK passes
+    store.append(Seq(Tuple1(2L)).toDF("id"))
+    val rows = store.read().select("id", "qty")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(rows == Map(1L -> Some(5.0), 2L -> None),
+      "the padding column must never land in the segment")
+    // narrow DSv2 append rides the staged validation's padding
+    Seq(Tuple1(3L)).toDF("id").write.format("graft-log")
+      .option("path", s"$dir/t").mode("append").save()
+    assert(store.read().count() == 3L)
+    // a violating WIDE write still refuses
+    val e = intercept[Exception] {
+      store.append(Seq((4L, Some(-1.0))).toDF("id", "qty"))
+    }
+    assert(messageChain(e).contains("qty_pos"))
+    assert(store.read().count() == 3L)
+  }
+
   test("the DSv2 clustered ingest validates STAGED bytes before the " +
       "commit (the executor-side writers bypass the inline filter), " +
       "and the SQL CALL surface adds/drops constraints") {

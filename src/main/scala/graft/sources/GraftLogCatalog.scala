@@ -72,6 +72,13 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  // advertise constraint DDL support so Spark's parser routes
+  // ALTER TABLE … ADD/DROP CONSTRAINT to alterTable
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   // path safety: identifier parts become directory names, so they may
   // not traverse ("..", "/") or hide ("" / ".") — refuse loudly on
   // EVERY operation; `_log` exactly stays blocked everywhere because a
@@ -251,14 +258,48 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
       case d: TableChange.DeleteColumn => d }
     val retypes = changes.collect {
       case t: TableChange.UpdateColumnType => t }
+    val conAdds = changes.collect {
+      case c: TableChange.AddConstraint => c }
+    val conDrops = changes.collect {
+      case d: TableChange.DropConstraint => d }
     if (adds.size + sets.size + unsets.size + renames.size +
-        drops.size + retypes.size != changes.size)
+        drops.size + retypes.size + conAdds.size + conDrops.size !=
+        changes.size)
       throw new UnsupportedOperationException(
         "graft-log ALTER TABLE supports ADD COLUMN (nullable), " +
-          "RENAME COLUMN, DROP COLUMN, ALTER COLUMN TYPE (widening) " +
+          "RENAME COLUMN, DROP COLUMN, ALTER COLUMN TYPE (widening), " +
+          "ADD/DROP CONSTRAINT ... CHECK " +
           "and SET/UNSET TBLPROPERTIES only — schemas otherwise " +
           "evolve by WRITING evolved rows (columns may be added by " +
           "any append; types only ever WIDEN, never mutate)")
+    // ALTER TABLE … ADD CONSTRAINT name CHECK (expr): the native SQL
+    // face of LogStore.addCheckConstraint — existing rows validated,
+    // then every write gated. Only CHECK is enforceable here; a
+    // PRIMARY KEY / UNIQUE / FOREIGN KEY this engine cannot enforce
+    // must refuse rather than record a lie.
+    conAdds.foreach { a =>
+      a.constraint() match {
+        case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          require(ck.enforced(),
+            "graft-log enforces every recorded CHECK constraint — " +
+              "NOT ENFORCED is not supported")
+          require(ck.predicateSql() != null,
+            "ADD CONSTRAINT needs the CHECK expression as SQL")
+          LogStore.configured(spark, dir)
+            .addCheckConstraint(ck.name(), ck.predicateSql())
+        case other => throw new UnsupportedOperationException(
+          "graft-log enforces CHECK constraints only (PRIMARY KEY / " +
+            s"UNIQUE / FOREIGN KEY are not enforceable): ${other.toDDL}")
+      }
+    }
+    conDrops.foreach { d =>
+      val store = LogStore.configured(spark, dir)
+      if (store.checkConstraints().contains(d.name())) {
+        store.dropCheckConstraint(d.name()): Unit
+      } else if (!d.ifExists())
+        throw new IllegalArgumentException(
+          s"no CHECK constraint '${d.name()}' on ${ident.name}")
+    }
     if (sets.nonEmpty || unsets.nonEmpty)
       LogStore.configured(spark, dir).setProperties(
         sets.map(s => s.property -> s.value).toMap,

@@ -171,6 +171,31 @@ final class LogStreamTable(schema: StructType, root: String,
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft_log($root)"
   override def schema(): StructType = schema
+  // the recorded CHECK constraints, advertised so Spark's own
+  // analyzer-side enforcement (ResolveTableConstraints) guards SQL
+  // INSERT plans too — defense in depth on top of the log's write
+  // gates, and DESCRIBE shows them. CATALOG-loaded tables only
+  // (!acceptAnySchema): there Spark's store assignment null-fills
+  // missing columns before the injected check-invariant filter, so
+  // it resolves. A PATH-based write contractually accepts NARROWER
+  // frames (ACCEPT_ANY_SCHEMA) with no such padding — advertising
+  // would fail analysis on a legal write; those stay gated by the
+  // log's own staged-bytes validation, which pads typed NULLs itself.
+  override def constraints(): Array[
+      org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    if (acceptAnySchema) Array.empty
+    else graft.catalog.LogStore.configured(
+        org.apache.spark.sql.SparkSession.active, root)
+      .checkConstraints().toSeq.sortBy(_._1).map { case (n, sql) =>
+        val b = org.apache.spark.sql.connector.catalog.constraints
+          .Constraint.check(n)
+        b.predicateSql(sql)
+        b.enforced(true)
+        b.validationStatus(org.apache.spark.sql.connector.catalog
+          .constraints.Constraint.ValidationStatus.VALID)
+        b.build(): org.apache.spark.sql.connector.catalog.constraints
+          .Constraint
+      }.toArray
   // ACCEPT_ANY_SCHEMA (path-based format only): Spark's write check
   // would refuse the add-a-column evolution the table contractually
   // accepts; schema validation is the commit gate's job

@@ -192,4 +192,48 @@ class CheckConstraintSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gcons.t")
       .as[Long].head() == before + 2)
   }
+
+  test("NATIVE SQL DDL: ALTER TABLE ADD/DROP CONSTRAINT ... CHECK " +
+      "routes through the catalog (SUPPORT_TABLE_CONSTRAINT), the " +
+      "table advertises recorded constraints back to Spark, " +
+      "non-CHECK kinds refuse, and an offending add refuses with " +
+      "nothing recorded") {
+    val root = Files.createTempDirectory("graft-ckddl").toString
+    spark.conf.set("spark.sql.catalog.gddl",
+      "graft.sources.GraftLogCatalog")
+    spark.conf.set("spark.sql.catalog.gddl.root", root)
+    spark.sql("CREATE TABLE gddl.t (id BIGINT, qty DOUBLE)")
+    spark.sql("INSERT INTO gddl.t VALUES (1, 5.0), (2, 6.0)")
+    spark.sql(
+      "ALTER TABLE gddl.t ADD CONSTRAINT qty_pos CHECK (qty >= 0)")
+    val store = LogStore.configured(spark, s"$root/t")
+    assert(store.checkConstraints() == Map("qty_pos" -> "qty >= 0"))
+    // a violating INSERT refuses (Spark-side analyzer enforcement or
+    // the log's own gate — either way, nothing lands)
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO gddl.t VALUES (3, -1.0)")
+    }
+    assert(messageChain(e1).toLowerCase.contains("qty_pos") ||
+      messageChain(e1).contains("CHECK"))
+    assert(spark.sql("SELECT count(*) FROM gddl.t").as[Long].head()
+      == 2L)
+    // an ADD over offending data refuses and records nothing
+    val e2 = intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE gddl.t ADD CONSTRAINT qty_big CHECK (qty > 100)")
+    }
+    assert(e2.getMessage != null)
+    assert(!store.checkConstraints().contains("qty_big"))
+    // DROP CONSTRAINT, then the once-refused row lands
+    spark.sql("ALTER TABLE gddl.t DROP CONSTRAINT qty_pos")
+    assert(store.checkConstraints().isEmpty)
+    spark.sql("INSERT INTO gddl.t VALUES (3, -1.0)")
+    assert(spark.sql("SELECT count(*) FROM gddl.t").as[Long].head()
+      == 3L)
+    // DROP of an unknown name refuses; IF EXISTS tolerates
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gddl.t DROP CONSTRAINT ghost")
+    }
+    spark.sql("ALTER TABLE gddl.t DROP CONSTRAINT IF EXISTS ghost")
+  }
 }

@@ -2104,7 +2104,28 @@ class LogStore(spark: SparkSession, val root: String,
       s"CHECK constraint '$name' already exists — DROP it first")
     import org.apache.spark.sql.functions.{expr => fexpr}
     // analysis of the filter is the type gate: an unresolvable or
-    // non-boolean expression refuses here, before anything commits
+    // non-boolean expression refuses here, before anything commits.
+    // The RESOLVED condition must also be deterministic and
+    // subquery-free — a rand() constraint would pass validation and
+    // then flake per write batch; a subquery would re-run per batch
+    // against a moving table (neither is a row-local invariant)
+    locally {
+      val probe = read().limit(0)
+        .where(checkViolation(fexpr(exprSql)))
+        .queryExecution.analyzed
+      val cond = probe.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.getOrElse(throw new IllegalStateException(
+        "constraint probe lost its filter"))
+      require(cond.deterministic,
+        s"CHECK constraint '$name' must be deterministic, got: " +
+          exprSql)
+      require(cond.collectFirst { case s: org.apache.spark.sql
+          .catalyst.expressions.SubqueryExpression => s }.isEmpty,
+        s"CHECK constraint '$name' may not contain a subquery: " +
+          exprSql)
+    }
     val offender =
       read().where(checkViolation(fexpr(exprSql))).limit(1).collect()
     require(offender.isEmpty,
@@ -2131,6 +2152,44 @@ class LogStore(spark: SparkSession, val root: String,
     require(checkConstraints().contains(name),
       s"no CHECK constraint '$name' on this table")
     setProperties(Map.empty, removes = Set(s"constraint.$name"))
+  }
+
+  /** The staged-bytes CHECK gate shared by every DSv2-landed commit
+    * ([[publishSegments]] for append/clustered ingest,
+    * [[publishReplace]] for INSERT OVERWRITE and the SQL
+    * UPDATE/MERGE/DELETE rewrites): those files were written
+    * executor-side, outside [[writeSegment]]'s throwing-filter pass,
+    * so the recorded constraints validate the staged segments here —
+    * one pushdown-friendly read of the batch, only for tables that
+    * carry constraints; on refusal the staged segments are crash
+    * orphans vacuum reclaims. A narrower staged write legally omits
+    * columns — absent referenced columns pad in as typed NULLs (ANSI:
+    * NULL passes), the same rule as the inline gate. */
+  private def validateStagedChecks(names: Seq[String],
+      writeSchema: org.apache.spark.sql.types.StructType): Unit = {
+    if (names.isEmpty) return
+    val cks = checkConstraints()
+    if (cks.isEmpty) return
+    import org.apache.spark.sql.functions.{col => fcol, expr => fexpr, lit => flit}
+    val m = writeMapping(None)
+    val phys = spark.read.parquet(names.map(n => s"$root/$n"): _*)
+    val logical = phys.select(writeSchema.fields.toSeq.map(f =>
+      fcol(m.getOrElse(f.name, f.name)).as(f.name)): _*)
+    val v = latestVersion()
+    val padded = constraintColumns(recordedProps(math.max(v, 0L)))
+      .diff(writeSchema.fieldNames.toSet).toSeq.sorted
+      .flatMap(n => (if (v < 0) None
+        else replayTo(v).schemaB64.map(decodeSchema))
+        .flatMap(_.fields.find(_.name == n)).map(f => (n, f.dataType)))
+      .foldLeft(logical) { case (d, (n, dt)) =>
+        d.withColumn(n, flit(null).cast(dt)) }
+    cks.toSeq.sortBy(_._1).foreach { case (n, sql) =>
+      val bad = padded.where(checkViolation(fexpr(sql)))
+        .limit(1).collect()
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"CHECK constraint '$n' ($sql) violated by the staged " +
+          s"write (${bad.mkString}) — nothing committed")
+    }
   }
 
   /** CREATE TABLE: initialize an EMPTY table — version 0 carries only
@@ -3164,6 +3223,20 @@ class LogStore(spark: SparkSession, val root: String,
     val latest = latestVersion()
     require(version >= 0 && version <= latest,
       s"cannot restore to $version (latest is $latest)")
+    // the restored content must satisfy the constraints recorded NOW
+    // (RESTORE re-adds old segments outside every write gate; the log
+    // never records a CHECK its live data violates) — DROP the
+    // constraint first to restore past it
+    locally {
+      import org.apache.spark.sql.functions.{expr => fexpr}
+      checkConstraints().toSeq.sortBy(_._1).foreach { case (n, sql) =>
+        val bad = read(version).where(checkViolation(fexpr(sql)))
+          .limit(1).collect()
+        if (bad.nonEmpty) throw new IllegalArgumentException(
+          s"RESTORE to $version violates CHECK constraint '$n' " +
+            s"($sql): ${bad.mkString} — DROP the constraint first")
+      }
+    }
     // liveSegmentInfos(version) applies the vacuum-horizon refusal;
     // blooms = true because returning segments are RE-SERIALIZED as
     // add actions — the restored filters must skip identically
@@ -3624,6 +3697,10 @@ class LogStore(spark: SparkSession, val root: String,
       range: Option[(String, String, String)] = None): Long = {
     import org.apache.spark.sql.functions.{col => fcol, lit => flit}
     require(adds.nonEmpty || removes.nonEmpty, "nothing to replace")
+    // INSERT OVERWRITE and the SQL UPDATE/MERGE/DELETE rewrites all
+    // land here with executor-written files — the staged gate is the
+    // only thing standing between a violating UPDATE and the commit
+    validateStagedChecks(adds, writeSchema)
     val (schemaAct, propsAct) = enforceSchema(writeSchema, readVersion)
     val addMeta = adds.map(segmentMeta(_, writeSchema.fieldNames.toSeq,
       writeMapping(None)))
@@ -3682,38 +3759,7 @@ class LogStore(spark: SparkSession, val root: String,
       txn: Option[Long] = None, maxAttempts: Int = 5): Long = {
     require(names.nonEmpty, "nothing to publish")
     require(maxAttempts >= 1, "need at least one attempt")
-    // the DSv2 ingest wrote its files executor-side, outside
-    // writeSegment's throwing-filter gate — recorded CHECK
-    // constraints validate the STAGED bytes here, before anything
-    // commits (one pushdown-friendly read of the batch, only for
-    // tables that carry constraints; on refusal the staged segments
-    // are crash orphans vacuum reclaims)
-    val cks = checkConstraints()
-    if (cks.nonEmpty) {
-      import org.apache.spark.sql.functions.{col => fcol, expr => fexpr, lit => flit}
-      val m = writeMapping(None)
-      val phys = spark.read.parquet(names.map(n => s"$root/$n"): _*)
-      val logical = phys.select(writeSchema.fields.toSeq.map(f =>
-        fcol(m.getOrElse(f.name, f.name)).as(f.name)): _*)
-      // a narrower staged write legally omits columns — pad absent
-      // referenced columns as typed nulls (ANSI: NULL passes), same
-      // rule as the inline gate
-      val v = latestVersion()
-      val padded = constraintColumns(recordedProps(math.max(v, 0L)))
-        .diff(writeSchema.fieldNames.toSet).toSeq.sorted
-        .flatMap(n => (if (v < 0) None
-          else replayTo(v).schemaB64.map(decodeSchema))
-          .flatMap(_.fields.find(_.name == n)).map(f => (n, f.dataType)))
-        .foldLeft(logical) { case (d, (n, dt)) =>
-          d.withColumn(n, flit(null).cast(dt)) }
-      cks.toSeq.sortBy(_._1).foreach { case (n, sql) =>
-        val bad = padded.where(checkViolation(fexpr(sql)))
-          .limit(1).collect()
-        if (bad.nonEmpty) throw new IllegalArgumentException(
-          s"CHECK constraint '$n' ($sql) violated by the staged " +
-            s"write (${bad.mkString}) — nothing committed")
-      }
-    }
+    validateStagedChecks(names, writeSchema)
     val columns = writeSchema.fieldNames.toSeq
     lazy val adds = names.map(segmentMeta(_, columns,
       writeMapping(None)))

@@ -236,4 +236,60 @@ class CheckConstraintSpec extends AnyFunSuite {
     }
     spark.sql("ALTER TABLE gddl.t DROP CONSTRAINT IF EXISTS ghost")
   }
+
+  test("every rewrite path is gated: a violating SQL UPDATE and a " +
+      "violating INSERT OVERWRITE refuse with the table untouched " +
+      "(both land via publishReplace, outside the inline filter); " +
+      "RESTORE to a pre-constraint version with offending data " +
+      "refuses toward DROP CONSTRAINT; nondeterministic and " +
+      "subquery expressions refuse at add time") {
+    val root = Files.createTempDirectory("graft-ckrw").toString
+    spark.conf.set("spark.sql.catalog.grw",
+      "graft.sources.GraftLogCatalog")
+    spark.conf.set("spark.sql.catalog.grw.root", root)
+    spark.sql("CREATE TABLE grw.t (id BIGINT, qty DOUBLE)")
+    spark.sql("INSERT INTO grw.t VALUES (1, -3.0), (2, 6.0)") // v2
+    val store = LogStore.configured(spark, s"$root/t")
+    val preConstraint = store.latestVersion()
+    spark.sql("UPDATE grw.t SET qty = 3.0 WHERE id = 1")
+    spark.sql(
+      "ALTER TABLE grw.t ADD CONSTRAINT qty_pos CHECK (qty >= 0)")
+    // SQL UPDATE writing a violating value refuses atomically
+    val v0 = store.latestVersion()
+    val e1 = intercept[Exception] {
+      spark.sql("UPDATE grw.t SET qty = -5.0 WHERE id = 2")
+    }
+    assert(messageChain(e1).contains("qty_pos"))
+    assert(store.latestVersion() == v0 &&
+      spark.sql("SELECT qty FROM grw.t WHERE id = 2")
+        .as[Double].head() == 6.0)
+    // INSERT OVERWRITE with a violating row refuses atomically
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE grw.t VALUES (9, -1.0)")
+    }
+    assert(messageChain(e2).contains("qty_pos"))
+    assert(store.latestVersion() == v0 &&
+      store.read().count() == 2L)
+    // RESTORE to the version whose data violates the constraint
+    // refuses; after DROP CONSTRAINT it goes through
+    val e3 = intercept[IllegalArgumentException] {
+      store.restore(preConstraint)
+    }
+    assert(e3.getMessage.contains("qty_pos"))
+    store.dropCheckConstraint("qty_pos")
+    store.restore(preConstraint)
+    assert(spark.sql("SELECT qty FROM grw.t WHERE id = 1")
+      .as[Double].head() == -3.0)
+    // nondeterministic / subquery constraint expressions refuse
+    val e4 = intercept[IllegalArgumentException] {
+      store.addCheckConstraint("flaky", "qty > rand()")
+    }
+    assert(e4.getMessage.contains("deterministic"))
+    val e5 = intercept[Exception] {
+      store.addCheckConstraint("subq",
+        "id IN (SELECT id FROM grw.t)")
+    }
+    assert(e5.getMessage != null)
+    assert(store.checkConstraints().isEmpty)
+  }
 }

@@ -156,6 +156,22 @@ object Similarity {
     * double-sum is bit-reproducible under any partitioning (a
     * groupBy-sum of doubles would re-associate); doc token counts may
     * vary freely (max is order-insensitive). */
+  /** The fixed query-token budget is load-bearing: a query with MORE
+    * tokens would silently drop the excess from the pivot sum, one
+    * with FEWER would null its whole score — both are silent garbage,
+    * so the budget is checked loudly (one tiny job on the
+    * already-small query side). */
+  private def requireQueryBudget(queries: DataFrame,
+      qTokens: Int): Unit = {
+    val off = queries
+      .where(size(col("tokens")) =!= qTokens)
+      .select(col("vec_id")).limit(1).collect()
+    require(off.isEmpty,
+      s"query ${off.mkString} does not carry exactly qTokens = " +
+        s"$qTokens token vectors — MaxSim's fixed-order sum needs " +
+        "the declared budget")
+  }
+
   private def maxSimRank(pairTok: DataFrame, k: Int,
       qTokens: Int): DataFrame = {
     val perPair = pairTok
@@ -187,6 +203,7 @@ object Similarity {
     * (query_id, rank, neighbor_id, maxsim). */
   def maxSimTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       qTokens: Int = 4): DataFrame = {
+    requireQueryBudget(queries, qTokens)
     val d = tokenRows(corpus, "doc_id", "d_pos", "d_tok", "d_nrm")
     val q = tokenRows(queries, "query_id", "q_pos", "q_tok", "q_nrm")
     val cosE = vec_dot(col("q_tok"), col("d_tok")) /
@@ -215,6 +232,7 @@ object Similarity {
       k: Int = 5, qTokens: Int = 4, nCells: Int = 16, nProbe: Int = 2)
       : (DataFrame, Long, Long) = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    requireQueryBudget(queries, qTokens)
     val d = tokenRows(corpus, "doc_id", "d_pos", "d_tok", "d_nrm")
     val q = tokenRows(queries, "query_id", "q_pos", "q_tok", "q_nrm")
     val cents = d.orderBy(col("doc_id"), col("d_pos")).limit(nCells)

@@ -99,7 +99,9 @@ class MaxSimSpec extends AnyFunSuite {
   }
 
   test("parameter validation: nProbe >= 1; the deterministic token " +
-      "codebook refuses a corpus with fewer tokens than nCells") {
+      "codebook refuses a corpus with fewer tokens than nCells; a " +
+      "query off the declared token budget refuses loudly (more " +
+      "tokens would silently truncate the sum, fewer would null it)") {
     val docs = docsDf(4) // 2+3+4+2 = 11 tokens
     val q = queriesDf(1, qTokens = 3, idOffset = 1000L)
     val e1 = intercept[IllegalArgumentException] {
@@ -107,8 +109,16 @@ class MaxSimSpec extends AnyFunSuite {
     }
     assert(e1.getMessage.contains("nProbe"))
     val e2 = intercept[IllegalArgumentException] {
-      Similarity.maxSimTopKPruned(docs, q, nCells = 64)
+      Similarity.maxSimTopKPruned(docs, q, qTokens = 3, nCells = 64)
     }
     assert(e2.getMessage.contains("codebook"))
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.maxSimTopK(docs, q, qTokens = 4)
+    }
+    assert(e3.getMessage.contains("qTokens"))
+    val e4 = intercept[IllegalArgumentException] {
+      Similarity.maxSimTopKPruned(docs, q, qTokens = 2, nCells = 8)
+    }
+    assert(e4.getMessage.contains("qTokens"))
   }
 }

@@ -1948,9 +1948,24 @@ class LogStore(spark: SparkSession, val root: String,
     *    bounds / write-routing / unconsulted filters are all safe
     *    stale). */
   def setProperties(sets: Map[String, String],
-      removes: Set[String] = Set.empty, maxAttempts: Int = 5): Long = {
+      removes: Set[String] = Set.empty, maxAttempts: Int = 5): Long =
+    setPropertiesImpl(sets, removes, maxAttempts,
+      engineManaged = false)
+
+  private def setPropertiesImpl(sets: Map[String, String],
+      removes: Set[String], maxAttempts: Int,
+      engineManaged: Boolean): Long = {
     require(sets.nonEmpty || removes.nonEmpty, "nothing to change")
     require(maxAttempts >= 1, "need at least one attempt")
+    // `constraint.*` is engine-managed state: a raw property set
+    // would smuggle a CHECK past addCheckConstraint's validation —
+    // and an unparseable payload would then fail EVERY subsequent
+    // write at the gate. Raw removes stay allowed (equivalent to
+    // DROP CONSTRAINT, which only ever unenforces).
+    if (!engineManaged) sets.keys.foreach(k =>
+      require(!k.startsWith("constraint."),
+        s"property '$k' is engine-managed — use addCheckConstraint " +
+          "/ ALTER TABLE ADD CONSTRAINT ... CHECK"))
     sets.foreach { case (k, v) =>
       require(k.nonEmpty && !(k + v).exists(";\"\n=".contains(_)),
         s"property '$k' may not contain ; = quote or newline")
@@ -2133,7 +2148,8 @@ class LogStore(spark: SparkSession, val root: String,
         s"row violates it: ${offender.mkString}")
     val enc = java.util.Base64.getUrlEncoder.withoutPadding()
       .encodeToString(exprSql.getBytes(StandardCharsets.UTF_8))
-    val v = setProperties(Map(s"constraint.$name" -> enc))
+    val v = setPropertiesImpl(Map(s"constraint.$name" -> enc),
+      Set.empty, 5, engineManaged = true)
     val late =
       read().where(checkViolation(fexpr(exprSql))).limit(1).collect()
     if (late.nonEmpty) {

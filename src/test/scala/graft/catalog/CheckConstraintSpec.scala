@@ -291,5 +291,17 @@ class CheckConstraintSpec extends AnyFunSuite {
     }
     assert(e5.getMessage != null)
     assert(store.checkConstraints().isEmpty)
+    // a RAW property set cannot smuggle a constraint past validation
+    // (an unparseable payload would brick every subsequent write)
+    val e6 = intercept[IllegalArgumentException] {
+      store.setProperties(Map("constraint.evil" -> "bm90LXNxbA"))
+    }
+    assert(e6.getMessage.contains("engine-managed"))
+    val e7 = intercept[Exception] {
+      spark.sql("ALTER TABLE grw.t SET TBLPROPERTIES " +
+        "('constraint.evil' = 'bm90LXNxbA')")
+    }
+    assert(messageChain(e7).contains("engine-managed"))
+    assert(store.checkConstraints().isEmpty)
   }
 }

@@ -4590,6 +4590,60 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "src_column_defaults" -> ((s, dir) => {
+      // CREATE-time column DEFAULTs end-to-end: the SQL surface
+      // fills narrow INSERTs and the DEFAULT keyword at analysis;
+      // the log's write funnel materializes the SAME literal for a
+      // programmatic narrow append (no write path null-fills a
+      // default-bearing column); a staged narrow path write refuses
+      // (executor files cannot be padded after the fact); ALTER-time
+      // defaults refuse (CREATE-time only — an added default would
+      // read differently for old and new rows from the same absent
+      // storage). Final content ≡ the oracle's literal
+      // reconstruction; default_pins records the two refusals.
+      import s.implicits._
+      val cat = "graftsql"
+      if (!s.conf.getAll.contains(s"spark.sql.catalog.$cat")) {
+        val r0 = java.nio.file.Files
+          .createTempDirectory("graft-sqlcat").toString
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.GraftLogCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", r0)
+      }
+      val short = s"df_${java.util.UUID.randomUUID().toString.take(8)}"
+      val tbl = s"$cat.bench.$short"
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.bench")
+      s.sql(s"CREATE TABLE $tbl (id BIGINT, " +
+        "qty DOUBLE DEFAULT 1.5, tag STRING DEFAULT 'en')")
+      s.sql(s"INSERT INTO $tbl (id) VALUES (1), (2)")
+      s.sql(s"INSERT INTO $tbl VALUES (3, DEFAULT, 'fr'), " +
+        "(4, 9.0, DEFAULT)")
+      val dirT = s"${s.conf.get(s"spark.sql.catalog.$cat.root")}" +
+        s"/bench/$short"
+      val store = graft.catalog.LogStore.configured(s, dirT)
+      // the programmatic narrow append rides the same default
+      store.append(Seq(Tuple1(5L)).toDF("id"))
+      def chain(e: Throwable): String =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+      val alterRefused = try {
+        s.sql(s"ALTER TABLE $tbl ADD COLUMN x DOUBLE DEFAULT 1.0")
+        false
+      } catch { case scala.util.control.NonFatal(e) =>
+        chain(e).contains("CREATE-time") }
+      val stagedRefused = try {
+        Seq(Tuple1(6L)).toDF("id").write.format("graft-log")
+          .option("path", dirT).mode("append").save()
+        false
+      } catch { case scala.util.control.NonFatal(e) =>
+        chain(e).contains("default-bearing") }
+      val pins = alterRefused && stagedRefused &&
+        store.read().count() == 5L
+      s.table(tbl).select(col("id"), col("qty"), col("tag"))
+        .withColumn("default_pins", lit(pins))
+        .orderBy("id")
+    }),
+
     "ann_ivf_drift_retrain" -> ((s, dir) => {
       // the trained index's RETRAIN lifecycle end-to-end: built over
       // HALF the corpus, then the other half arrives while the
@@ -10701,6 +10755,20 @@ object SparkEntry {
          |FROM rr WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    // the default-bearing table's final content is a pure literal
+    // reconstruction: ids 1,2 (narrow SQL), 3,4 (DEFAULT keyword
+    // mixes), 5 (programmatic narrow append — the log materialized
+    // the same literal); the refused staged row 6 never landed
+    "src_column_defaults" ->
+      s"""SELECT * FROM (VALUES
+         |  (CAST(1 AS BIGINT), CAST(1.5 AS DOUBLE), 'en', TRUE),
+         |  (CAST(2 AS BIGINT), CAST(1.5 AS DOUBLE), 'en', TRUE),
+         |  (CAST(3 AS BIGINT), CAST(1.5 AS DOUBLE), 'fr', TRUE),
+         |  (CAST(4 AS BIGINT), CAST(9 AS DOUBLE), 'en', TRUE),
+         |  (CAST(5 AS BIGINT), CAST(1.5 AS DOUBLE), 'en', TRUE))
+         |  AS t(id, qty, tag, default_pins)
+         |ORDER BY id""".stripMargin,
 
     // the constraint-gated table's final content: the two slices
     // that passed the gate plus the NULL probe row (ANSI: NULL

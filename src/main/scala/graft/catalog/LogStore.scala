@@ -1560,8 +1560,54 @@ class LogStore(spark: SparkSession, val root: String,
       evolvedB64: Option[String] = None): Segment = {
     val name = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
     val m = writeMapping(evolvedB64)
-    toPhysicalDf(enforceChecks(df), m).write.parquet(s"$root/$name")
-    segmentMeta(name, df.columns, m)
+    // defaults BEFORE the CHECK gate: a constraint over a
+    // default-bearing column must see the value that lands
+    val padded = padDefaults(df)
+    toPhysicalDf(enforceChecks(padded), m).write
+      .parquet(s"$root/$name")
+    segmentMeta(name, padded.columns, m)
+  }
+
+  /** CREATE-time column DEFAULTs materialize at write: a programmatic
+    * append that omits a default-bearing column gets the DEFAULT
+    * literal filled in — the same value Spark's analyzer fills on the
+    * SQL surface — so no write path ever leaves a default-bearing
+    * column to null-fill and reads agree everywhere. (The metadata
+    * key is Spark's own CURRENT_DEFAULT, which CREATE TABLE … DEFAULT
+    * records in the schema and the log round-trips.) */
+  private def padDefaults(df: DataFrame): DataFrame = {
+    val v = latestVersion()
+    if (v < 0) return df
+    val recorded = replayTo(v).schemaB64.map(decodeSchema)
+      .getOrElse(return df)
+    import org.apache.spark.sql.functions.{expr => fexpr}
+    recorded.fields
+      .filter(f => !df.columns.contains(f.name) &&
+        f.metadata.contains("CURRENT_DEFAULT"))
+      .foldLeft(df)((d, f) => d.withColumn(f.name,
+        fexpr(f.metadata.getString("CURRENT_DEFAULT"))
+          .cast(f.dataType)))
+  }
+
+  /** The DSv2 twin of [[padDefaults]]'s guarantee: executor-written
+    * staged files cannot be padded after the fact, so a staged write
+    * that omits a default-bearing column refuses — the SQL surface
+    * never hits this (Spark's analyzer fills DEFAULTs before the
+    * files are written); only a path-based narrow frame can. */
+  private def requireStagedDefaults(
+      writeSchema: org.apache.spark.sql.types.StructType): Unit = {
+    val v = latestVersion()
+    if (v < 0) return
+    val recorded = replayTo(v).schemaB64.map(decodeSchema)
+      .getOrElse(return)
+    val missing = recorded.fields.filter(f =>
+      f.metadata.contains("CURRENT_DEFAULT") &&
+        !writeSchema.fieldNames.contains(f.name)).map(_.name)
+    require(missing.isEmpty,
+      s"staged write omits default-bearing column(s) " +
+        s"${missing.mkString(", ")} — include the column (the SQL " +
+        "surface fills DEFAULTs at analysis) so the default is " +
+        "materialized, or drop the default")
   }
 
   /** Every programmatic write that lands row bytes funnels through
@@ -3716,6 +3762,7 @@ class LogStore(spark: SparkSession, val root: String,
     // INSERT OVERWRITE and the SQL UPDATE/MERGE/DELETE rewrites all
     // land here with executor-written files — the staged gate is the
     // only thing standing between a violating UPDATE and the commit
+    if (adds.nonEmpty) requireStagedDefaults(writeSchema)
     validateStagedChecks(adds, writeSchema)
     val (schemaAct, propsAct) = enforceSchema(writeSchema, readVersion)
     val addMeta = adds.map(segmentMeta(_, writeSchema.fieldNames.toSeq,
@@ -3775,6 +3822,7 @@ class LogStore(spark: SparkSession, val root: String,
       txn: Option[Long] = None, maxAttempts: Int = 5): Long = {
     require(names.nonEmpty, "nothing to publish")
     require(maxAttempts >= 1, "need at least one attempt")
+    requireStagedDefaults(writeSchema)
     validateStagedChecks(names, writeSchema)
     val columns = writeSchema.fieldNames.toSeq
     lazy val adds = names.map(segmentMeta(_, columns,

@@ -72,12 +72,17 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
-  // advertise constraint DDL support so Spark's parser routes
-  // ALTER TABLE … ADD/DROP CONSTRAINT to alterTable
+  // advertise constraint DDL + CREATE-time column DEFAULTs so
+  // Spark's parser routes ALTER TABLE … ADD/DROP CONSTRAINT here and
+  // accepts DEFAULT clauses in CREATE TABLE (the default rides the
+  // schema's CURRENT_DEFAULT metadata, which the log round-trips)
   override def capabilities(): util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   // path safety: identifier parts become directory names, so they may
   // not traverse ("..", "/") or hide ("" / ".") — refuse loudly on
@@ -336,6 +341,11 @@ class GraftLogCatalog extends TableCatalog with SupportsNamespaces
       require(a.isNullable,
         s"added column '${a.fieldNames()(0)}' must be nullable — " +
           "existing rows have no value for it")
+      require(a.defaultValue() == null,
+        s"added column '${a.fieldNames()(0)}' may not carry a " +
+          "DEFAULT: existing rows would read NULL from the same " +
+          "absent-column storage new rows read the default from — " +
+          "defaults are CREATE-time only in graft-log")
       require(LogParquetWrite.writable(a.dataType()),
         s"graft-log stores flat columns; '${a.fieldNames()(0)}' is " +
           s"${a.dataType()}")

@@ -3125,11 +3125,15 @@ class LogStore(spark: SparkSession, val root: String,
       // to know DV compaction is due (the maintainLayout dvFraction
       // rule fires on the per-segment form of the same counts)
       segs.count(_.dv.nonEmpty).toLong,
-      segs.flatMap(_.dv.map(_._2)).sum))
+      segs.flatMap(_.dv.map(_._2)).sum,
+      // the recorded CHECK constraints, in the ops view where an
+      // operator audits what every write is being gated on
+      checkConstraintsOf(st.propsStr).toSeq.sortBy(_._1)
+        .map { case (n, sql) => s"$n: $sql" }.mkString("; ")))
       .toDF("location", "version", "n_segments", "total_bytes",
         "n_with_stats", "n_with_bloom", "n_small_segments",
         "vacuum_horizon", "last_checkpoint", "last_txn",
-        "n_dv_segments", "dv_rows")
+        "n_dv_segments", "dv_rows", "check_constraints")
   }
 
   /** DESCRIBE SEGMENTS — one row per LIVE segment with its recorded

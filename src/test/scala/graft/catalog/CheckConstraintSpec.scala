@@ -61,10 +61,15 @@ class CheckConstraintSpec extends AnyFunSuite {
         .toDF("id", "qty", "tag"), batchId = 777L)
     }
     assert(messageChain(e3).contains("qty_pos"))
+    // the ops view shows what writes are gated on
+    assert(store.describeDetail().select("check_constraints")
+      .as[String].head() == "qty_pos: qty >= 0")
     // DROP CONSTRAINT: the same row now lands
     store.dropCheckConstraint("qty_pos")
     store.append(Seq((3L, Some(-1.0), "c")).toDF("id", "qty", "tag"))
     assert(store.read().count() == 5L)
+    assert(store.describeDetail().select("check_constraints")
+      .as[String].head() == "")
     // time travel still shows the constraint at its recorded versions
     assert(store.checkConstraints(v1).contains("qty_pos"))
   }

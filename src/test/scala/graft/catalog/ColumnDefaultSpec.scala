@@ -44,6 +44,10 @@ class ColumnDefaultSpec extends AnyFunSuite {
     val f = store.read().schema("qty")
     assert(f.metadata.contains("CURRENT_DEFAULT") &&
       f.metadata.getString("CURRENT_DEFAULT") == "1.5")
+    // UPDATE ... SET col = DEFAULT resolves through the same metadata
+    spark.sql("UPDATE gdef.t SET qty = DEFAULT WHERE id = 3")
+    assert(spark.sql("SELECT qty FROM gdef.t WHERE id = 3")
+      .as[Double].head() == 1.5)
   }
 
   test("programmatic narrow append materializes the DEFAULT literal " +

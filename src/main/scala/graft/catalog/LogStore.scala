@@ -1711,15 +1711,41 @@ class LogStore(spark: SparkSession, val root: String,
       dvs.map { case (seg, f, n) =>
         s"""{"dv":"$seg","dvf":"$f","dvr":$n}""" })
       .mkString("", "\n", "\n")
-    val out = try fs.create(versionPath(expected), false)
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          throw new ConcurrentCommitException(expected)
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new ConcurrentCommitException(expected)
-      }
+    // ATOMIC publish: the body lands in full under a `_tmp-` name (a
+    // name no listing matches; crash orphans are vacuum-reclaimed like
+    // the checkpoint staging files), then appears under the version
+    // name in one filesystem operation — a concurrent reader can never
+    // observe a created-but-unwritten commit file (an empty or partial
+    // version json replays as a schema-less no-action commit, turning
+    // a healthy table into "empty table" for the duration of the
+    // window). The publish op doubles as the create-EXCLUSIVE
+    // concurrency point: a hard link (local) refuses an existing
+    // destination atomically at the syscall level, and HDFS-style
+    // renames return false on an existing destination — either way a
+    // lost race maps to [[ConcurrentCommitException]], exactly as the
+    // old direct create(…, overwrite = false) did.
+    val target = versionPath(expected)
+    val tmp = new Path(logDir,
+      s"_tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    val out = fs.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if ("file" == fs.getScheme) {
+      try java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(target.toUri.getPath),
+        java.nio.file.Paths.get(tmp.toUri.getPath))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false)
+          throw new ConcurrentCommitException(expected)
+      }
+      fs.delete(tmp, false)
+    } else {
+      if (fs.exists(target) || !fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        throw new ConcurrentCommitException(expected)
+      }
+    }
     maybeCheckpoint(expected)
     expected
   }

@@ -473,8 +473,12 @@ object SparkEntry {
         .option("path", root).load()
         .groupBy(to_date(col("ts")).as("d"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-      val q = agg.writeStream.outputMode("complete").format("memory")
-        .queryName("stream_log_feed_mem").start()
+      // state partitions sized to the day×type key set, not the
+      // shuffle default — see withStatePartitions
+      val q = StreamingOps.withStatePartitions(s, 8) {
+        agg.writeStream.outputMode("complete").format("memory")
+          .queryName("stream_log_feed_mem").start()
+      }
       try q.processAllAvailable() finally q.stop()
       s.table("stream_log_feed_mem")
         .select(col("d").cast("string").as("d"), col("event_type"),
@@ -2155,12 +2159,14 @@ object SparkEntry {
         .option("path", srcRoot).load()
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      // state partitions sized to the key cardinality (a handful of
+      // event types), not the shuffle default — see withStatePartitions
       val q1 = graft.streaming.StreamingOps.upsertAggToLog(agg(),
-        tgt, Seq("event_type"), s"$base/ckpt")
+        tgt, Seq("event_type"), s"$base/ckpt", statePartitions = Some(8))
       try q1.processAllAvailable() finally q1.stop()
       src.append(ev.where(col("event_id") % 10 === 5))
       val q2 = graft.streaming.StreamingOps.upsertAggToLog(agg(),
-        tgt, Seq("event_type"), s"$base/ckpt")
+        tgt, Seq("event_type"), s"$base/ckpt", statePartitions = Some(8))
       try q2.processAllAvailable() finally q2.stop()
       tgt.read().orderBy("event_type")
     }),
@@ -2192,15 +2198,19 @@ object SparkEntry {
       store.append(rows(("2024-01-01 00:15:00", "a"))) // v3: LATE —
         // its window was already emitted+evicted, so the row is
         // DROPPED (the one-directional watermark guarantee)
-      val q = s.readStream.format("graft-log").option("path", root)
-        .option("maxVersionsPerTrigger", "1").load()
-        .withWatermark("ts", "30 minutes")
-        .groupBy(window(col("ts"), "1 hour"), col("k"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("window.start").as("window_start"), col("k"),
-          col("n"))
-        .writeStream.outputMode("append").format("memory")
-        .queryName("stream_wm_mem").start()
+      // state partitions sized to the bounded window×key set, not the
+      // shuffle default — see withStatePartitions
+      val q = StreamingOps.withStatePartitions(s, 8) {
+        s.readStream.format("graft-log").option("path", root)
+          .option("maxVersionsPerTrigger", "1").load()
+          .withWatermark("ts", "30 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("k"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("window_start"), col("k"),
+            col("n"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName("stream_wm_mem").start()
+      }
       try q.processAllAvailable() finally q.stop()
       // hours 0-2 finalized (watermark 03:00); hour 3 withheld; the
       // 00:15 straggler dropped — exactly the batch semantics of

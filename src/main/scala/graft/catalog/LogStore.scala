@@ -1439,13 +1439,36 @@ class LogStore(spark: SparkSession, val root: String,
     }.mkString
   }
 
+  /** Exact row count of a written segment directory from its parquet
+    * FOOTERS, read driver-side — a handful of small metadata reads,
+    * no Spark job. `written.count()` computes the same number but
+    * schedules a full job (scan stage + reduce stage) to do it; at
+    * one job per segment write that was a fixed tax on every commit
+    * in the system. */
+  private def footerRowCount(name: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    fs.listStatus(new Path(s"$root/$name")).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(p, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
   /** The add-action metadata (stats + bloom) of an ALREADY-written
     * segment directory, computed by reading it back — shared by
     * [[writeSegment]] (the one-DataFrame-one-segment path) and
     * [[optimize]] (which writes many segments in one clustered pass
     * and publishes each directory separately). */
   private def segmentMeta(name: String, columns: Seq[String],
-      mapping: Map[String, String] = Map.empty): Segment = {
+      mapping: Map[String, String] = Map.empty,
+      physSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Segment = {
     import org.apache.spark.sql.functions.{max => fmax, min => fmin, col => fcol}
     import org.apache.spark.sql.types.{DateType, NumericType, StringType,
       TimestampType}
@@ -1454,10 +1477,17 @@ class LogStore(spark: SparkSession, val root: String,
     def phys(c: String): String = mapping.getOrElse(c, c)
     val wanted = (statsCol.toSeq ++ statsCols).distinct
       .filter(columns.contains)
-    val written = spark.read.parquet(s"$root/$name")
-    // exact row count from the parquet footers (a metadata-only job):
-    // rides the add action so COUNT(*) is answerable in O(segments)
-    val nRows = written.count()
+    // callers that know the files' physical schema pass it, skipping
+    // the read-back footer inference (one Spark-side footer pass per
+    // segment write otherwise)
+    lazy val written = physSchema match {
+      case Some(sc) => spark.read.schema(sc).parquet(s"$root/$name")
+      case None => spark.read.parquet(s"$root/$name")
+    }
+    // exact row count straight from the parquet footers (driver-side,
+    // zero Spark jobs): rides the add action so COUNT(*) is
+    // answerable in O(segments)
+    val nRows = footerRowCount(name)
     val base =
       if (wanted.isEmpty)
         Segment(name, None, None, num = false, rows = Some(nRows))
@@ -1563,9 +1593,9 @@ class LogStore(spark: SparkSession, val root: String,
     // defaults BEFORE the CHECK gate: a constraint over a
     // default-bearing column must see the value that lands
     val padded = padDefaults(df)
-    toPhysicalDf(enforceChecks(padded), m).write
-      .parquet(s"$root/$name")
-    segmentMeta(name, padded.columns, m)
+    val physDf = toPhysicalDf(enforceChecks(padded), m)
+    physDf.write.parquet(s"$root/$name")
+    segmentMeta(name, padded.columns, m, Some(physDf.schema))
   }
 
   /** CREATE-time column DEFAULTs materialize at write: a programmatic
@@ -2909,7 +2939,11 @@ class LogStore(spark: SparkSession, val root: String,
       val name = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
       if (!fs.rename(new Path(s"$tmp/$b"), new Path(s"$root/$name")))
         throw new java.io.IOException(s"rename of $b to $name failed")
-      segmentMeta(name, data.columns, m)
+      // the bucket files hold the physical projection minus the
+      // partition column — that schema is known, skip re-inference
+      segmentMeta(name, data.columns, m, Some(org.apache.spark.sql.types
+        .StructType(physical.schema.fields
+          .filterNot(_.name == "_opt_bucket"))))
     }
     fs.delete(new Path(tmp), true)
     adds
@@ -3435,7 +3469,12 @@ class LogStore(spark: SparkSession, val root: String,
       lit => flit, max => fmax, min => fmin}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val keys = keyCols.map(fcol)
-    val dup = updates.groupBy(keys: _*)
+    // materialize the update set ONCE (O(changed rows) by the merge
+    // contract): the dup refusal, prune bounds, survivors anti-join,
+    // rewrite union and three change-feed branches below would
+    // otherwise each re-execute the caller's plan from scratch
+    val ups = updates.localCheckpoint(true)
+    val dup = ups.groupBy(keys: _*)
       .agg(fcount(flit(1)).as("n")).where(fcol("n") > 1).limit(1)
       .collect()
     if (dup.nonEmpty)
@@ -3449,11 +3488,11 @@ class LogStore(spark: SparkSession, val root: String,
     // type-mutated shared column is silently WIDENED by the
     // survivors-union into the rewritten segment while untouched
     // segments keep the old type — coexisting-types corruption
-    val (schemaAct, propsAct) = enforceSchema(updates.schema, v)
+    val (schemaAct, propsAct) = enforceSchema(ups.schema, v)
     val live = liveSegmentInfos(v)
     val (touched, keyRange) = statsCol.filter(keyCols.contains) match {
       case Some(pc) =>
-        val b = updates.agg(fmin(fcol(pc)).cast("string"),
+        val b = ups.agg(fmin(fcol(pc)).cast("string"),
           fmax(fcol(pc)).cast("string")).head()
         if (b.isNullAt(0)) (Seq.empty[Segment], None) // no update rows
         else (live.filter(_.mayOverlap(b.getString(0), b.getString(1))),
@@ -3461,21 +3500,26 @@ class LogStore(spark: SparkSession, val root: String,
       case None => (live, None)
     }
     val touchedData =
-      if (touched.isEmpty) updates.limit(0)
+      if (touched.isEmpty) ups.limit(0)
       else scanSegments(touched, None)
     val survivors = touchedData
-      .join(updates.select(keys: _*), keyCols, "left_anti")
-    val rewritten = survivors.unionByName(updates)
+      .join(ups.select(keys: _*), keyCols, "left_anti")
+    val rewritten = survivors.unionByName(ups)
     // the commit's change feed: replaced old rows as update_preimage,
-    // their replacements as update_postimage, new keys as insert
-    val matchedKeys = touchedData.select(keys: _*)
-    val changes = touchedData
-      .join(updates.select(keys: _*), keyCols, "left_semi")
+    // their replacements as update_postimage, new keys as insert.
+    // The preimage rows are O(changed) — materialize them so the
+    // matched-key probe for the postimage/insert split reads them
+    // back instead of re-scanning the touched segments twice more.
+    val preimages = touchedData
+      .join(ups.select(keys: _*), keyCols, "left_semi")
       .withColumn("_change_type", flit("update_preimage"))
-      .unionByName(updates
+      .localCheckpoint(true)
+    val matchedKeys = preimages.select(keys: _*)
+    val changes = preimages
+      .unionByName(ups
         .join(matchedKeys, keyCols, "left_semi")
         .withColumn("_change_type", flit("update_postimage")))
-      .unionByName(updates
+      .unionByName(ups
         .join(matchedKeys, keyCols, "left_anti")
         .withColumn("_change_type", flit("insert")))
     MergeResult(
@@ -3522,25 +3566,35 @@ class LogStore(spark: SparkSession, val root: String,
     require(keyCols.nonEmpty, "applyChanges needs at least one key column")
     if (batchId <= lastTxn()) return -1L
     val keys = keyCols.map(fcol)
-    val dup = upserts.groupBy(keys: _*)
+    // Materialize the change set ONCE. It is O(changed rows) by the
+    // CDC contract, and everything below — the uniqueness and
+    // disjointness refusals, the prune bounds, the survivors
+    // anti-join, the rewrite and the four change-feed branches —
+    // would otherwise re-execute the incoming plans from scratch. In
+    // the streaming-sink path (`upsertAggToLog`) `upserts` is a
+    // STATEFUL AGGREGATION whose every re-evaluation replays the
+    // state store: seven evaluations of a one-second plan was the
+    // whole cost of a five-row micro-batch.
+    val ups = upserts.localCheckpoint(true)
+    val dup = ups.groupBy(keys: _*)
       .agg(fcount(flit(1)).as("n")).where(fcol("n") > 1).limit(1)
       .collect()
     if (dup.nonEmpty)
       throw new IllegalArgumentException(
         s"upserts are not unique on (${keyCols.mkString(", ")}) — " +
           "ambiguous change set")
-    val dels = deleteKeys.select(keys: _*).distinct()
-    if (upserts.join(dels, keyCols, "left_semi").limit(1)
+    val dels = deleteKeys.select(keys: _*).distinct().localCheckpoint(true)
+    if (ups.join(dels, keyCols, "left_semi").limit(1)
         .collect().nonEmpty)
       throw new IllegalArgumentException(
         s"a key appears in both upserts and deletes — not a NET set")
-    if (upserts.isEmpty && dels.isEmpty)
+    if (ups.isEmpty && dels.isEmpty)
       return commitFence(batchId)
     val v = latestVersion()
-    val (schemaAct, propsAct) = enforceSchema(upserts.schema, v)
+    val (schemaAct, propsAct) = enforceSchema(ups.schema, v)
     val live =
       if (v < 0) Seq.empty[Segment] else liveSegmentInfos(v)
-    val allKeys = upserts.select(keys: _*).unionByName(dels)
+    val allKeys = ups.select(keys: _*).unionByName(dels)
     val touched =
       if (live.isEmpty) Seq.empty[Segment]
       else statsCol.filter(keyCols.contains) match {
@@ -3552,26 +3606,34 @@ class LogStore(spark: SparkSession, val root: String,
         case None => live
       }
     val touchedData =
-      if (touched.isEmpty) upserts.limit(0)
+      if (touched.isEmpty) ups.limit(0)
       else scanSegments(touched, None)
     val survivors = touchedData
       .join(allKeys, keyCols, "left_anti")
-    val rewritten = survivors.unionByName(upserts,
+    val rewritten = survivors.unionByName(ups,
       allowMissingColumns = true)
-    val upsertKeys = upserts.select(keys: _*)
-    val matched = touchedData.select(keys: _*)
-      .join(upsertKeys, keyCols, "left_semi")
-    val changes = touchedData
-      .join(upsertKeys, keyCols, "left_semi")
-      .withColumn("_change_type", flit("update_preimage"))
-      .unionByName(upserts.join(matched, keyCols, "left_semi")
+    // ONE tagged scan replaces the three touched-side semi-joins the
+    // change feed used to make (preimage, delete, and the matched-key
+    // probe): keys are unique per side and the two sides are disjoint
+    // (both just enforced), so an inner join against the tagged key
+    // set yields each touched row at most once with its change kind.
+    // The result is O(changed rows) — materialize it so the matched
+    // keys for the postimage/insert split don't re-scan the segments.
+    val keyKinds = ups.select(keys: _*)
+      .withColumn("_ct", flit("update_preimage"))
+      .unionByName(dels.withColumn("_ct", flit("delete")))
+    val oldChanges = touchedData.join(keyKinds, keyCols, "inner")
+      .withColumn("_change_type", fcol("_ct")).drop("_ct")
+      .localCheckpoint(true)
+    val matched = oldChanges
+      .where(fcol("_change_type") === "update_preimage")
+      .select(keys: _*)
+    val changes = oldChanges
+      .unionByName(ups.join(matched, keyCols, "left_semi")
         .withColumn("_change_type", flit("update_postimage")),
         allowMissingColumns = true)
-      .unionByName(upserts.join(matched, keyCols, "left_anti")
+      .unionByName(ups.join(matched, keyCols, "left_anti")
         .withColumn("_change_type", flit("insert")),
-        allowMissingColumns = true)
-      .unionByName(touchedData.join(dels, keyCols, "left_semi")
-        .withColumn("_change_type", flit("delete")),
         allowMissingColumns = true)
     commit(v + 1, Seq(writeSegment(rewritten, schemaAct)),
       touched.map(_.name),
@@ -3795,8 +3857,11 @@ class LogStore(spark: SparkSession, val root: String,
     if (adds.nonEmpty) requireStagedDefaults(writeSchema)
     validateStagedChecks(adds, writeSchema)
     val (schemaAct, propsAct) = enforceSchema(writeSchema, readVersion)
+    val replMapping = writeMapping(None)
     val addMeta = adds.map(segmentMeta(_, writeSchema.fieldNames.toSeq,
-      writeMapping(None)))
+      replMapping, Some(org.apache.spark.sql.types.StructType(
+        writeSchema.fields.map(f =>
+          f.copy(name = replMapping.getOrElse(f.name, f.name)))))))
     // the diff is aligned on the post-write table shape: old segments
     // read null in evolved columns (the usual evolution semantics)
     val target = schemaAct.map(decodeSchema)
@@ -3855,8 +3920,12 @@ class LogStore(spark: SparkSession, val root: String,
     requireStagedDefaults(writeSchema)
     validateStagedChecks(names, writeSchema)
     val columns = writeSchema.fieldNames.toSeq
-    lazy val adds = names.map(segmentMeta(_, columns,
-      writeMapping(None)))
+    lazy val adds = names.map { n =>
+      val m = writeMapping(None)
+      segmentMeta(n, columns, m,
+        Some(org.apache.spark.sql.types.StructType(writeSchema.fields
+          .map(f => f.copy(name = m.getOrElse(f.name, f.name))))))
+    }
     var attempt = 1
     while (true) {
       if (txn.exists(_ <= lastTxn())) return -1L

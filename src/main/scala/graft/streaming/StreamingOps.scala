@@ -32,6 +32,29 @@ final case class Scd2Closed(user_id: Long, state: String,
   */
 object StreamingOps {
 
+  /** Start a stateful streaming query with its STATE partition count
+    * sized to the aggregation's key cardinality instead of the
+    * session's shuffle-partition default. Spark pins a stateful
+    * query's state partitioning from `spark.sql.shuffle.partitions`
+    * at first start (it lands in the checkpoint's offset metadata and
+    * is immutable thereafter), so a low-cardinality aggregation — a
+    * handful of event types, a bounded window set — otherwise carries
+    * one state-store instance per shuffle partition FOREVER: every
+    * micro-batch pays that many state opens, delta files and commits
+    * for state that fits in one. That tax grows with cluster width
+    * (cores → shuffle partitions) while the useful work doesn't,
+    * which is exactly backwards; sizing by expected key count is
+    * scale-independent. The override is visible only to the queries
+    * `body` STARTS: StreamExecution clones the session synchronously
+    * inside `start()`, so the saved value is restored before anything
+    * else plans against this session. */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, saved)
+  }
+
   /** Batch-equivalent tumbling-window counts (shares semantics with the
     * streaming query below; oracle: date_trunc on the window start). */
   def tumblingCounts(events: DataFrame, window: String = "1 hour"): DataFrame =
@@ -301,10 +324,14 @@ object StreamingOps {
      else writer).start()
   }
 
+  /** `statePartitions` sizes the aggregation's state-store count to
+    * its key cardinality ([[withStatePartitions]]); None keeps the
+    * session default. */
   def upsertAggToLog(aggregated: DataFrame,
       target: graft.catalog.LogStore, keyCols: Seq[String],
-      checkpointDir: String): StreamingQuery =
-    aggregated.writeStream
+      checkpointDir: String,
+      statePartitions: Option[Int] = None): StreamingQuery = {
+    def go(): StreamingQuery = aggregated.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -312,6 +339,12 @@ object StreamingOps {
         target.applyChangesKeyed(batch, dels, keyCols, batchId): Unit
       }
       .start()
+    statePartitions match {
+      case Some(n) =>
+        withStatePartitions(aggregated.sparkSession, n)(go())
+      case None => go()
+    }
+  }
 
   /** One micro-batch of streaming aggregate maintenance: fold a batch
     * of `RelationalOps.snapshotDiff` change rows into the stored

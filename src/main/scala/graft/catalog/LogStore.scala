@@ -1416,28 +1416,10 @@ class LogStore(spark: SparkSession, val root: String,
     }
   }
 
-  /** Build the segment's Bloom hex from the DISTINCT bit positions of
-    * its [bloomCol] values — the position relation is bounded by
-    * [bloomBits], so the driver collect is O(bits) whatever the
-    * segment holds. */
-  private def buildBloom(written: DataFrame, c: String): String = {
-    import org.apache.spark.sql.functions.{array, col => fcol, conv,
-      explode, lit => flit, md5 => fmd5, pmod, substring => fsubstr}
-    val posCols = (0 until 4).map { i =>
-      pmod(conv(fsubstr(fmd5(fcol(c).cast("string")
-          .cast("binary")), 1 + 8 * i, 8), 16, 10).cast("long"),
-        flit(bloomBits.toLong)).cast("int")
-    }
-    val bits = new Array[Boolean](bloomBits)
-    written.where(fcol(c).isNotNull)
-      .select(explode(array(posCols: _*)).as("p"))
-      .distinct().collect().foreach(r => bits(r.getInt(0)) = true)
-    bits.grouped(4).map { nib =>
-      val v = (if (nib(0)) 1 else 0) | (if (nib(1)) 2 else 0) |
-        (if (nib(2)) 4 else 0) | (if (nib(3)) 8 else 0)
-      Integer.toHexString(v)
-    }.mkString
-  }
+  // (Bloom hexes are built batched in [[segmentsMeta]] — one
+  // distinct-positions job per publish, however many segments and
+  // bloom columns it carries; the hex serialization lives in
+  // [[LogStore.bloomHexOf]].)
 
   /** Exact row count of a written segment directory from its parquet
     * FOOTERS, read driver-side — a handful of small metadata reads,
@@ -1468,8 +1450,24 @@ class LogStore(spark: SparkSession, val root: String,
   private def segmentMeta(name: String, columns: Seq[String],
       mapping: Map[String, String] = Map.empty,
       physSchema: Option[org.apache.spark.sql.types.StructType] = None)
-      : Segment = {
-    import org.apache.spark.sql.functions.{max => fmax, min => fmin, col => fcol}
+      : Segment =
+    segmentsMeta(Seq(name), columns, mapping, physSchema).head
+
+  /** [[segmentMeta]] for a BATCH of directories sharing one write
+    * schema — the multi-segment publishes (clustered ingest, optimize
+    * buckets, staged DSv2 commits) otherwise pay one stats job and
+    * one bloom job PER SEGMENT. Here every segment's bounds come out
+    * of ONE grouped aggregation and every segment×column Bloom out of
+    * ONE distinct-positions job, with rows from the parquet footers —
+    * publish cost is one fixed set of jobs however many segments the
+    * commit carries. */
+  private def segmentsMeta(names: Seq[String], columns: Seq[String],
+      mapping: Map[String, String] = Map.empty,
+      physSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Seq[Segment] = {
+    import org.apache.spark.sql.functions.{array, col => fcol, conv,
+      element_at, explode, lit => flit, max => fmax, md5 => fmd5,
+      min => fmin, pmod, split => fsplit, substring => fsubstr}
     import org.apache.spark.sql.types.{DateType, NumericType, StringType,
       TimestampType}
     // `columns` and the configured stats/bloom names are LOGICAL;
@@ -1477,67 +1475,118 @@ class LogStore(spark: SparkSession, val root: String,
     def phys(c: String): String = mapping.getOrElse(c, c)
     val wanted = (statsCol.toSeq ++ statsCols).distinct
       .filter(columns.contains)
-    // callers that know the files' physical schema pass it, skipping
-    // the read-back footer inference (one Spark-side footer pass per
-    // segment write otherwise)
-    lazy val written = physSchema match {
-      case Some(sc) => spark.read.schema(sc).parquet(s"$root/$name")
-      case None => spark.read.parquet(s"$root/$name")
-    }
-    // exact row count straight from the parquet footers (driver-side,
-    // zero Spark jobs): rides the add action so COUNT(*) is
+    val wantedBlooms = (bloomCol.toSeq ++ bloomCols).distinct
+      .filter(columns.contains)
+    // exact row counts straight from the parquet footers (driver-side,
+    // zero Spark jobs): ride the add actions so COUNT(*) is
     // answerable in O(segments)
-    val nRows = footerRowCount(name)
-    val base =
-      if (wanted.isEmpty)
-        Segment(name, None, None, num = false, rows = Some(nRows))
+    val rowsOf = names.map(n => n -> footerRowCount(n)).toMap
+    if (wanted.isEmpty && wantedBlooms.isEmpty)
+      return names.map(n =>
+        Segment(n, None, None, num = false, rows = Some(rowsOf(n))))
+    // callers that know the files' physical schema pass it, skipping
+    // the read-back footer inference
+    val raw = physSchema match {
+      case Some(sc) =>
+        spark.read.schema(sc).parquet(names.map(n => s"$root/$n"): _*)
+      case None =>
+        spark.read.parquet(names.map(n => s"$root/$n"): _*)
+    }
+    val sch = raw.schema
+    wanted.foreach { c =>
+      val dt = sch(phys(c)).dataType
+      require(dt.isInstanceOf[NumericType] || dt == DateType ||
+          dt == TimestampType || dt == StringType,
+        s"statsCol '$c' is $dt; only numeric/date/timestamp/string " +
+          "columns can carry segment stats (numeric/date/timestamp " +
+          "spellings are grammar-safe by type; string bounds are " +
+          "gated per-segment by safeStringBound)")
+    }
+    def isNum(c: String): Boolean =
+      sch(phys(c)).dataType.isInstanceOf[NumericType]
+    val tagged = raw.withColumn("_seg_",
+      element_at(fsplit(fcol("_metadata.file_path"), "/"), -2))
+    // ONE grouped agg covers every segment × stats column
+    val statRows: Map[String, org.apache.spark.sql.Row] =
+      if (wanted.isEmpty) Map.empty
       else {
-        wanted.foreach { c =>
-          val dt = written.schema(phys(c)).dataType
-          require(dt.isInstanceOf[NumericType] || dt == DateType ||
-              dt == TimestampType || dt == StringType,
-            s"statsCol '$c' is $dt; only numeric/date/timestamp/string " +
-              "columns can carry segment stats (numeric/date/timestamp " +
-              "spellings are grammar-safe by type; string bounds are " +
-              "gated per-segment by safeStringBound)")
-        }
-        // ONE agg computes every column's bounds — per-segment stats
-        // cost stays a single 2k-number pass however many columns ride
         val exprs = wanted.flatMap(c => Seq(
           fmin(fcol(phys(c))).cast("string"),
           fmax(fcol(phys(c))).cast("string")))
-        val row = written.agg(exprs.head, exprs.tail: _*).head()
-        val perCol = wanted.zipWithIndex.flatMap { case (c, i) =>
-          if (row.isNullAt(2 * i)) None
-          else {
-            val (lo, hi) = (row.getString(2 * i), row.getString(2 * i + 1))
-            // string bounds only when BOTH spellings are inert in the
-            // line grammar AND order-stable — else this segment-column
-            // records nothing and reads degrade to always-scan
-            if (written.schema(phys(c)).dataType == StringType &&
-                !(LogStore.safeStringBound(lo) &&
-                  LogStore.safeStringBound(hi))) None
-            else Some(c -> (lo, hi,
-              written.schema(phys(c)).dataType.isInstanceOf[NumericType]))
-          }
-        }.toMap
-        val primaryNum = statsCol.exists(c => columns.contains(c) &&
-          written.schema(phys(c)).dataType.isInstanceOf[NumericType])
-        val prim = statsCol.flatMap(perCol.get)
-        Segment(name, prim.map(_._1), prim.map(_._2), primaryNum,
-          extra = perCol -- statsCol.toSeq, rows = Some(nRows))
+        tagged.groupBy(fcol("_seg_")).agg(exprs.head, exprs.tail: _*)
+          .collect().map(r => r.getString(0) -> r).toMap
       }
-    // extra bloom columns land NAME-KEYED (bxs) — same per-column
-    // independence as the extra stats
-    val withBxs = {
-      val extras = bloomCols.filter(columns.contains)
-        .map(c => c -> buildBloom(written, phys(c))).toMap
-      if (extras.isEmpty) base else base.copy(bxs = extras)
-    }
-    bloomCol match {
-      case Some(c) if columns.contains(c) =>
-        withBxs.copy(bloom = Some(buildBloom(written, phys(c))))
-      case _ => withBxs
+    // ONE distinct-positions job covers every segment × bloom column
+    // (the position relation is bounded by segments × columns ×
+    // [bloomBits], so the driver collect stays O(bits))
+    val bloomHex: Map[(String, String), String] =
+      if (wantedBlooms.isEmpty) Map.empty
+      else {
+        val posDfs = wantedBlooms.map { c =>
+          val posCols = (0 until 4).map { i =>
+            pmod(conv(fsubstr(fmd5(fcol(phys(c)).cast("string")
+                .cast("binary")), 1 + 8 * i, 8), 16, 10).cast("long"),
+              flit(bloomBits.toLong)).cast("int")
+          }
+          tagged.where(fcol(phys(c)).isNotNull)
+            .select(fcol("_seg_"), flit(c).as("_bcol_"),
+              explode(array(posCols: _*)).as("_p_"))
+        }
+        val bits = scala.collection.mutable.HashMap
+          .empty[(String, String), Array[Boolean]]
+        posDfs.reduce(_.unionByName(_)).distinct().collect()
+          .foreach { r =>
+            bits.getOrElseUpdate((r.getString(0), r.getString(1)),
+              new Array[Boolean](bloomBits))(r.getInt(2)) = true
+          }
+        bits.map { case (k, arr) =>
+          k -> LogStore.bloomHexOf(arr)
+        }.toMap
+      }
+    val zeroHex = LogStore.bloomHexOf(new Array[Boolean](bloomBits))
+    names.map { name =>
+      val base =
+        if (wanted.isEmpty)
+          Segment(name, None, None, num = false, rows = Some(rowsOf(name)))
+        else {
+          // a zero-row segment produces no grouped row: no bounds
+          val row = statRows.get(name)
+          val perCol = wanted.zipWithIndex.flatMap { case (c, i) =>
+            row match {
+              case Some(r) if !r.isNullAt(1 + 2 * i) =>
+                val (lo, hi) =
+                  (r.getString(1 + 2 * i), r.getString(2 + 2 * i))
+                // string bounds only when BOTH spellings are inert in
+                // the line grammar AND order-stable — else this
+                // segment-column records nothing and reads degrade to
+                // always-scan
+                if (sch(phys(c)).dataType == StringType &&
+                    !(LogStore.safeStringBound(lo) &&
+                      LogStore.safeStringBound(hi))) None
+                else Some(c -> (lo, hi, isNum(c)))
+              case _ => None
+            }
+          }.toMap
+          val primaryNum = statsCol.exists(c => columns.contains(c) &&
+            isNum(c))
+          val prim = statsCol.flatMap(perCol.get)
+          Segment(name, prim.map(_._1), prim.map(_._2), primaryNum,
+            extra = perCol -- statsCol.toSeq, rows = Some(rowsOf(name)))
+        }
+      // extra bloom columns land NAME-KEYED (bxs) — same per-column
+      // independence as the extra stats; a segment with zero non-null
+      // keys still records the empty (all-zero) filter
+      val withBxs = {
+        val extras = bloomCols.filter(columns.contains)
+          .map(c => c -> bloomHex.getOrElse((name, c), zeroHex)).toMap
+        if (extras.isEmpty) base else base.copy(bxs = extras)
+      }
+      bloomCol match {
+        case Some(c) if columns.contains(c) =>
+          withBxs.copy(bloom =
+            Some(bloomHex.getOrElse((name, c), zeroHex)))
+        case _ => withBxs
+      }
     }
   }
 
@@ -2935,16 +2984,18 @@ class LogStore(spark: SparkSession, val root: String,
     val buckets = fs.listStatus(new Path(tmp))
       .map(_.getPath.getName).filter(_.startsWith("_opt_bucket="))
       .sortBy(_.stripPrefix("_opt_bucket=").toInt)
-    val adds = buckets.toSeq.map { b =>
+    val names = buckets.toSeq.map { b =>
       val name = s"seg-${java.util.UUID.randomUUID().toString.take(12)}"
       if (!fs.rename(new Path(s"$tmp/$b"), new Path(s"$root/$name")))
         throw new java.io.IOException(s"rename of $b to $name failed")
-      // the bucket files hold the physical projection minus the
-      // partition column — that schema is known, skip re-inference
-      segmentMeta(name, data.columns, m, Some(org.apache.spark.sql.types
-        .StructType(physical.schema.fields
-          .filterNot(_.name == "_opt_bucket"))))
+      name
     }
+    // one batched stats/bloom pass over every bucket; the bucket
+    // files hold the physical projection minus the partition column —
+    // that schema is known, skip re-inference
+    val adds = segmentsMeta(names, data.columns, m,
+      Some(org.apache.spark.sql.types.StructType(physical.schema.fields
+        .filterNot(_.name == "_opt_bucket"))))
     fs.delete(new Path(tmp), true)
     adds
   }
@@ -3858,10 +3909,12 @@ class LogStore(spark: SparkSession, val root: String,
     validateStagedChecks(adds, writeSchema)
     val (schemaAct, propsAct) = enforceSchema(writeSchema, readVersion)
     val replMapping = writeMapping(None)
-    val addMeta = adds.map(segmentMeta(_, writeSchema.fieldNames.toSeq,
-      replMapping, Some(org.apache.spark.sql.types.StructType(
-        writeSchema.fields.map(f =>
-          f.copy(name = replMapping.getOrElse(f.name, f.name)))))))
+    val addMeta =
+      if (adds.isEmpty) Nil
+      else segmentsMeta(adds, writeSchema.fieldNames.toSeq,
+        replMapping, Some(org.apache.spark.sql.types.StructType(
+          writeSchema.fields.map(f =>
+            f.copy(name = replMapping.getOrElse(f.name, f.name))))))
     // the diff is aligned on the post-write table shape: old segments
     // read null in evolved columns (the usual evolution semantics)
     val target = schemaAct.map(decodeSchema)
@@ -3920,9 +3973,9 @@ class LogStore(spark: SparkSession, val root: String,
     requireStagedDefaults(writeSchema)
     validateStagedChecks(names, writeSchema)
     val columns = writeSchema.fieldNames.toSeq
-    lazy val adds = names.map { n =>
+    lazy val adds = {
       val m = writeMapping(None)
-      segmentMeta(n, columns, m,
+      segmentsMeta(names, columns, m,
         Some(org.apache.spark.sql.types.StructType(writeSchema.fields
           .map(f => f.copy(name = m.getOrElse(f.name, f.name))))))
     }
@@ -3961,6 +4014,16 @@ class LogStore(spark: SparkSession, val root: String,
 }
 
 object LogStore {
+  /** Hex serialization of a Bloom bit array — 4 bits per hex digit,
+    * bit (4j+k) contributing 2^k to digit j (the grammar every probe
+    * and sidecar parser reads back). */
+  private[catalog] def bloomHexOf(bits: Array[Boolean]): String =
+    bits.grouped(4).map { nib =>
+      val v = (if (nib(0)) 1 else 0) | (if (nib(1)) 2 else 0) |
+        (if (nib(2)) 4 else 0) | (if (nib(3)) 8 else 0)
+      Integer.toHexString(v)
+    }.mkString
+
   /** The property keys the engine itself owns in the `props` action;
     * [[configured]] maps them to constructor fields and everything
     * else round-trips as [[LogStore!.extraProps]]. */

@@ -4386,7 +4386,7 @@ object SparkEntry {
       val corpus = corpusStore.read()
       val exactlyOnce =
         postings.lastTxn() == corpusStore.latestVersion() &&
-          postings.read().count() == corpus.count()
+          postings.countRows() == corpusStore.countRows()
       val q = corpus.where(col("vec_id") < 8)
       val scan = AnnIndex.searchIvfPq(s, idx, corpusStore, q, k = 5,
         nProbe = 4, shortlist = 50)
@@ -4491,7 +4491,7 @@ object SparkEntry {
       val corpus = corpusStore.read()
       val exactlyOnce =
         postings.lastTxn() == corpusStore.latestVersion() &&
-          postings.read().count() == corpus.count()
+          postings.countRows() == corpusStore.countRows()
       val q = corpus.where(col("vec_id") < 8)
       val scan = AnnIndex.searchIvfPq(s, idx, corpusStore, q, k = 5,
         nProbe = 4, shortlist = 50)
@@ -4739,7 +4739,7 @@ object SparkEntry {
       val corpus = corpusStore.read()
       val exactlyOnce =
         postings.lastTxn() == corpusStore.latestVersion() &&
-          postings.read().count() == corpus.count()
+          postings.countRows() == corpusStore.countRows()
       val q = corpus.where(col("vec_id") < 8)
       val (res, _, _) = AnnIndex.searchIvf(s, idx, corpus, q, k = 5,
         nProbe = 4)

@@ -1078,6 +1078,18 @@ class LogStore(spark: SparkSession, val root: String,
     * segments; the snapshot's schema is the union of what its OWN
     * segments carry, so time travel returns the old shape), and
     * [[append]] enforces that shared columns never mutate type. */
+  /** Exact visible row count at `version` served from the log's
+    * recorded per-segment row counts minus deletion-vector rows —
+    * O(segments) driver metadata, zero data reads, zero Spark jobs
+    * (the aggregate-pushdown answer to COUNT(*) the `rows` stamp on
+    * every add action exists for). Falls back to counting the data
+    * when any live segment predates the stamp (legacy logs). */
+  def countRows(version: Long = Long.MaxValue): Long = {
+    val segs = liveSegmentInfos(version)
+    if (segs.forall(_.liveRows.nonEmpty)) segs.flatMap(_.liveRows).sum
+    else read(version).count()
+  }
+
   def read(version: Long = Long.MaxValue): DataFrame = {
     val segs = liveSegmentInfos(version)
     if (segs.isEmpty)
@@ -2654,9 +2666,22 @@ class LogStore(spark: SparkSession, val root: String,
     // a point delete decode ~the matching groups, not the segment).
     // Rows ALREADY in a vector are then anti-joined out, so they
     // never re-delete and never re-report in the feed.
+    // the recorded schema (physical names) is the superset of every
+    // candidate segment's file schema, so passing it explicitly reads
+    // evolved tables correctly (absent columns null-fill) WITHOUT the
+    // footer-merging job mergeSchema=true schedules per delete;
+    // pre-stamp legacy logs keep the mergeSchema read
+    val candPaths = candidates.map(s => s"$root/${s.name}")
+    val candReader = recordedSchema(v) match {
+      case Some(sc) => spark.read.schema(
+        org.apache.spark.sql.types.StructType(
+          sc.fields.map(f => f.copy(name = LogStore.physicalName(f)))))
+        .parquet(candPaths: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(candPaths: _*)
+    }
     val matchedRaw = select(rawToLogical(
-      spark.read.option("mergeSchema", "true")
-        .parquet(candidates.map(s => s"$root/${s.name}"): _*)
+      candReader
         .withColumn("_dv_seg",
           element_at(fsplit(fcol("_metadata.file_path"), "/"), -2))
         .withColumn("_dv_file", fcol("_metadata.file_name"))

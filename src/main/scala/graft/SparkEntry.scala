@@ -26,6 +26,29 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Run independent driver-blocking steps concurrently (the
+    * ann_recall_audit pattern): Spark schedules jobs from several
+    * driver threads FIFO, so a second search's tasks back-fill the
+    * executor slots the first one's tail leaves idle. Only for steps
+    * with no ordering dependency — results are identical by
+    * construction, just not serialized on the driver. */
+  private def par2[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fa = Future(a); val fb = Future(b)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+  }
+
+  private def par3[A, B, C](a: => A, b: => B, c: => C): (A, B, C) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fa = Future(a); val fb = Future(b); val fc = Future(c)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf),
+      Await.result(fc, Duration.Inf))
+  }
+
   /** The synthetic event log has stored `ts` as parquet TIMESTAMP(NANOS)
     * (read as long via the legacy conf, rebuilt as µs — same truncation
     * DuckDB applies when it narrows ns → µs) or, in newer generations, as
@@ -4305,13 +4328,18 @@ object SparkEntry {
       val idx = AnnIndex.buildIvf(s, emb, corpusVersion = 0L,
         s"$root/idx", nCells = 16, postingSegments = 8)
       val keep = col("vec_id") % 3 === 0
-      val (res2, _, _) = AnnIndex.searchIvf(s, idx, emb, q, k = 5,
-        nProbe = 4, corpusFilter = Some(keep), overProbe = 2)
-      val (res1, _, _) = AnnIndex.searchIvf(s, idx, emb, q, k = 5,
-        nProbe = 4, corpusFilter = Some(keep))
-      val (_, opened1, live1) = AnnIndex.searchIvf(s, idx, emb,
-        emb.where(col("vec_id") === 0L), k = 5, nProbe = 2,
-        corpusFilter = Some(keep))
+      // the three searches are independent driver-blocking jobs on
+      // one cached input — overlap them (§2.6 back-fill; the recall
+      // relation is unchanged)
+      val (res2, res1, narrow1) = par3(
+        AnnIndex.searchIvf(s, idx, emb, q, k = 5,
+          nProbe = 4, corpusFilter = Some(keep), overProbe = 2)._1,
+        AnnIndex.searchIvf(s, idx, emb, q, k = 5,
+          nProbe = 4, corpusFilter = Some(keep))._1,
+        AnnIndex.searchIvf(s, idx, emb,
+          emb.where(col("vec_id") === 0L), k = 5, nProbe = 2,
+          corpusFilter = Some(keep)))
+      val (_, opened1, live1) = narrow1
       val brute = Similarity.bruteForceTopK(emb.where(keep), q, k = 5)
         .select(col("query_id"), col("neighbor_id"))
       def hitsOf(res: org.apache.spark.sql.DataFrame, out: String) =
@@ -4388,13 +4416,16 @@ object SparkEntry {
         postings.lastTxn() == corpusStore.latestVersion() &&
           postings.countRows() == corpusStore.countRows()
       val q = corpus.where(col("vec_id") < 8)
-      val scan = AnnIndex.searchIvfPq(s, idx, corpusStore, q, k = 5,
-        nProbe = 4, shortlist = 50)
-      // narrow probe: 3 rerank ids can touch at most 3 of the 4
-      // corpus segments — corpusOpened < corpusLive is structural
-      val narrow = AnnIndex.searchIvfPq(s, idx, corpusStore,
-        corpus.where(col("vec_id") === 0L), k = 3, nProbe = 2,
-        shortlist = 3)
+      // the wide scan and the narrow files-opened probe are
+      // independent searches — overlap them (§2.6 back-fill)
+      val (scan, narrow) = par2(
+        AnnIndex.searchIvfPq(s, idx, corpusStore, q, k = 5,
+          nProbe = 4, shortlist = 50),
+        // narrow probe: 3 rerank ids can touch at most 3 of the 4
+        // corpus segments — corpusOpened < corpusLive is structural
+        AnnIndex.searchIvfPq(s, idx, corpusStore,
+          corpus.where(col("vec_id") === 0L), k = 3, nProbe = 2,
+          shortlist = 3))
       val pins = exactlyOnce &&
         narrow.postingsOpened < narrow.postingsLive &&
         narrow.corpusOpened <= 3 &&
@@ -4438,12 +4469,14 @@ object SparkEntry {
         carryCols = Seq("tag"))
       val q = corpus.where(col("vec_id") < 8)
       val keep = col("tag") === 0
-      val scan = AnnIndex.searchIvfPq(s, idx, corpusStore, q, k = 5,
-        nProbe = 4, shortlist = 50, postingsFilter = Some(keep),
-        overProbe = 2)
-      val narrow = AnnIndex.searchIvfPq(s, idx, corpusStore,
-        corpus.where(col("vec_id") === 0L), k = 3, nProbe = 1,
-        shortlist = 3, postingsFilter = Some(keep), overProbe = 2)
+      // independent searches — overlap them (§2.6 back-fill)
+      val (scan, narrow) = par2(
+        AnnIndex.searchIvfPq(s, idx, corpusStore, q, k = 5,
+          nProbe = 4, shortlist = 50, postingsFilter = Some(keep),
+          overProbe = 2),
+        AnnIndex.searchIvfPq(s, idx, corpusStore,
+          corpus.where(col("vec_id") === 0L), k = 3, nProbe = 1,
+          shortlist = 3, postingsFilter = Some(keep), overProbe = 2))
       val allKept = scan.results
         .where(col("neighbor_id") % 3 =!= 0)
         .limit(1).collect().isEmpty
@@ -4686,10 +4719,13 @@ object SparkEntry {
         .recordedProp("ivfTrainDist").exists(_.toDouble > 0)
       val corpus = corpusStore.read()
       val q = corpus.where(col("vec_id") < 8)
-      val (res, _, _) = AnnIndex.searchIvf(s, idx, corpus, q, k = 5,
-        nProbe = 4)
-      val (_, opened1, live1) = AnnIndex.searchIvf(s, idx, corpus,
-        corpus.where(col("vec_id") === 0L), k = 5, nProbe = 2)
+      // independent searches — overlap them (§2.6 back-fill)
+      val (wide, narrow) = par2(
+        AnnIndex.searchIvf(s, idx, corpus, q, k = 5, nProbe = 4),
+        AnnIndex.searchIvf(s, idx, corpus,
+          corpus.where(col("vec_id") === 0L), k = 5, nProbe = 2))
+      val res = wide._1
+      val (_, opened1, live1) = narrow
       val pins = genC.contains("1") && genP.contains("1") &&
         rebaselined && opened1 < live1
       res.select(col("query_id"), col("rank"), col("neighbor_id"))

@@ -2917,13 +2917,15 @@ object SparkEntry {
       // oracle-checks the results ride along unchanged)
       val store = new graft.catalog.BucketedStore(s)
       val tmp = "/tmp/graft_src/bucketed"
-      store.writeBucketedAt(
-        t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
-        "src_bj_orders", "o_orderkey", 8, s"$tmp/orders")
-      store.writeBucketedAt(
-        t(s, dir, "lineitem")
-          .select("l_orderkey", "l_quantity", "l_extendedprice"),
-        "src_bj_lineitem", "l_orderkey", 8, s"$tmp/lineitem")
+      // two independent bucketed table writes — overlap them (§2.6)
+      par2(
+        store.writeBucketedAt(
+          t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+          "src_bj_orders", "o_orderkey", 8, s"$tmp/orders"),
+        store.writeBucketedAt(
+          t(s, dir, "lineitem")
+            .select("l_orderkey", "l_quantity", "l_extendedprice"),
+          "src_bj_lineitem", "l_orderkey", 8, s"$tmp/lineitem"))
       store.table("src_bj_lineitem")
         .join(store.table("src_bj_orders"),
           col("l_orderkey") === col("o_orderkey"))

@@ -4394,12 +4394,11 @@ object SparkEntry {
       // rerank fetch has real segments to prune — the query is
       // write-bearing by design (corpus staging + a 3-table index
       // build + a maintenance cycle), so the segment count is kept
-      // at the minimum that still proves pruning
-      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
-      val step = maxId / 4 + 1
-      (0 until 4).foreach(i => corpusStore.append(
-        emb.where(col("vec_id") >= i * step &&
-          col("vec_id") < (i + 1) * step)))
+      // at the minimum that still proves pruning. Staged as ONE
+      // range-clustered commit (appendClustered — same 4 disjoint
+      // vec_id-range segments, one write + one metadata pass instead
+      // of four serial commits).
+      corpusStore.appendClustered(emb, col("vec_id"), 4)
       val idx = AnnIndex.buildIvfPq(s, corpusStore.read(),
         corpusStore.latestVersion(), s"$root/idx", nCells = 16, m = 8,
         dims = 64, ksub = 32, postingSegments = 8)
@@ -4458,12 +4457,10 @@ object SparkEntry {
         .createTempDirectory("graft-annpqf").toString
       val corpusStore = new graft.catalog.LogStore(s, s"$root/corpus",
         statsCol = Some("vec_id"))
-      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
-      val step = maxId / 4 + 1
-      (0 until 4).foreach(i => corpusStore.append(emb
-        .where(col("vec_id") >= i * step &&
-          col("vec_id") < (i + 1) * step)
-        .withColumn("tag", col("vec_id") % 3)))
+      // same 4-segment vec_id-clustered staging as
+      // ann_ivfpq_persisted, as ONE range-clustered commit
+      corpusStore.appendClustered(
+        emb.withColumn("tag", col("vec_id") % 3), col("vec_id"), 4)
       val corpus = corpusStore.read()
       val idx = AnnIndex.buildIvfPq(s, corpus,
         corpusStore.latestVersion(), s"$root/idx", nCells = 16, m = 8,

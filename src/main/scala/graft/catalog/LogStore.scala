@@ -2842,6 +2842,42 @@ class LogStore(spark: SparkSession, val root: String,
     -1L // unreachable
   }
 
+  /** Append `df` as `targetSegments` RANGE-CLUSTERED segments in ONE
+    * commit — the programmatic ingest twin of the DSv2 `clusterBy`
+    * sink for writers whose payloads that sink refuses (array
+    * columns: embeddings, token vectors). One range shuffle, one
+    * partitioned parquet write (every bucket lands as its own
+    * directory in a single pass — [[rewriteClustered]], the
+    * [[optimize]] kernel), one batched stats pass, one commit; the
+    * serial alternative is one commit per range slice, each paying
+    * its own write + metadata jobs. Defaults and CHECK constraints
+    * apply exactly as [[append]]; column mapping resolves against the
+    * recorded schema like every staged write. Blind-append retry
+    * semantics on a lost commit race. */
+  def appendClustered(df: DataFrame,
+      clusterBy: org.apache.spark.sql.Column, targetSegments: Int,
+      maxAttempts: Int = 5): Long = {
+    require(targetSegments >= 1, "targetSegments must be positive")
+    require(maxAttempts >= 1, "need at least one attempt")
+    var attempt = 1
+    while (true) {
+      val base = latestVersion()
+      val (schemaAct, propsAct) = enforceSchema(df.schema, base)
+      val adds = rewriteClustered(enforceChecks(padDefaults(df)),
+        targetSegments, Seq(clusterBy))
+      try return commit(base + 1, adds, Nil, schema = schemaAct,
+        props = propsAct)
+      catch {
+        case e: ConcurrentCommitException =>
+          // the written segments become crash orphans (vacuum
+          // reclaims); re-derive against the new head like append
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Optimistic-retry wrapper for BLIND appends: on a lost commit
     * race, re-read latest and retry (the paper's retry loop), bounded
     * by `maxAttempts`. Correct ONLY because a blind append's content

@@ -84,6 +84,33 @@ object AnnIndex {
     df.select(col("vec_id"), col("embedding"),
       vec_norm(col("embedding")).as("nrm"))
 
+  /** Collected rows rebuilt as a LocalRelation-backed DataFrame. The
+    * search paths collect their probe / shortlist relations ONCE
+    * (they are broadcast-sized by contract — every consumer is a
+    * broadcast join side or a driver collect already) and re-inject
+    * them locally: the broadcast build of a LocalRelation needs no
+    * Spark job, where an eager localCheckpoint + a distinct-collect +
+    * an RDD-backed broadcast build paid three. Values are the exact
+    * rows Spark computed — no re-evaluation, no drift. */
+  private def localDf(spark: SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.toSeq.asJava, schema)
+  }
+
+  /** Run two independent driver-blocking steps concurrently (guide
+    * §2.6): Spark schedules jobs from both threads FIFO, so the
+    * second step's tasks back-fill the first's idle tail. Results
+    * identical by construction — only driver serialization removed. */
+  private def par2[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fa = Future(a); val fb = Future(b)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+  }
+
   /** The deterministic codebook rows (cell_id, embedding, nrm) — the
     * first nCells corpus vectors by vec_id, collected driver-side
     * (k rows, bounded by construction). */
@@ -283,12 +310,18 @@ object AnnIndex {
       // append only keys whose final action still leaves a row.
       val added = lastActionPerKey(changes)
         .where(col("_change_type").isin("insert", "update_postimage"))
-      val book = loadCodebook(spark, idx, corpusStore.read())
+      // the gate aggregation (which also fills the cache) and the
+      // codebook rehydration are independent — overlap them (§2.6);
+      // one agg job answers both emptiness probes
+      val ((anyRemoved, anyAdded), book) = par2(
+        changeGate(changes),
+        loadCodebook(spark, idx, corpusStore.read()))
       // drift gate — BEFORE any mutation: a drifted batch means the
       // codebook no longer describes the data; absorbing it
-      // incrementally would bake the decay in
+      // incrementally would bake the decay in (an empty batch has
+      // batchDist 0 and can never trip the trigger — skip its job)
       book match {
-        case TrainedBook(cents) if retrainDriftRatio > 0 =>
+        case TrainedBook(cents) if retrainDriftRatio > 0 && anyAdded =>
           val trainDist = centStore.recordedProp("ivfTrainDist")
             .map(_.toDouble).filter(_ > 0)
           trainDist.foreach { td =>
@@ -305,7 +338,7 @@ object AnnIndex {
         case _ => ()
       }
       book match {
-        case CorpusBook(cents) =>
+        case CorpusBook(cents) if anyRemoved =>
           val centIds = cents.map(_._1)
           val hit = removedKeys
             .where(col("vec_id").isin(centIds.toSeq: _*))
@@ -317,9 +350,9 @@ object AnnIndex {
                 "codebook can no longer be rehydrated from the " +
                 "corpus; rebuild the index (or build with the " +
                 "trained policy, whose centroids are index state)")
-        case TrainedBook(_) => () // centroids are index-owned state
+        case _ => () // trained centroids are index-owned state
       }
-      if (removedKeys.limit(1).collect().nonEmpty) {
+      if (anyRemoved) {
         postings.deleteKeysDV(removedKeys, Seq("vec_id"))
         // fold heavy vector debt back into clean cell-clustered
         // segments — the hands-off policy, dogfooded
@@ -331,8 +364,7 @@ object AnnIndex {
         .withColumn("cell_id", assignExpr(book))
         .select(col("cell_id"), col("vec_id"), col("nrm"))
       val moved =
-        if (fresh.limit(1).collect().isEmpty)
-          postings.commitFence(latest)
+        if (!anyAdded) postings.commitFence(latest)
         else postings.appendStream(fresh, batchId = latest)
       if (moved < 0)
         throw new IllegalStateException(
@@ -465,14 +497,17 @@ object AnnIndex {
         s"$genP) — a retrain was interrupted; run maintainIvf to heal")
     val book = loadCodebook(spark, idx, corpus)
     val probeCellsN = nProbe * overProbe
-    val probes = withNorm(queries)
+    val probesPlan = withNorm(queries)
       .withColumn("probe",
         explode(slice(probeStructs(book), 1, probeCellsN)))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("probe.cell_id").as("cell_id"))
-      .localCheckpoint(true) // probed twice: ranges + the join
-    val probeCells = probes.select("cell_id").distinct()
-      .collect().map(_.getLong(0)).sorted
+    // ONE collect serves both consumers (the probed ranges and the
+    // broadcast join side) — fused from eager-checkpoint +
+    // distinct-collect + RDD broadcast build (3 jobs) into 1
+    val probeRows = probesPlan.collect()
+    val probes = localDf(spark, probeRows, probesPlan.schema)
+    val probeCells = probeRows.map(_.getLong(3)).distinct.sorted
     // the pruned read: one multi-range skipping scan of the postings
     val postStore = LogStore.configured(spark, idx.postingsRoot)
     val (posted, opened, live) = postStore.readRanges(
@@ -516,6 +551,32 @@ object AnnIndex {
         .partitionBy("vec_id")
         .orderBy(col("_commit_version").desc, finality.desc)))
       .where(col("_rn") === 1).drop("_rn")
+  }
+
+  /** ONE aggregation job answering both maintenance gates over a
+    * change-feed range: does any key need its postings cleared (any
+    * delete / update_preimage row), and does any key's FINAL action
+    * leave a row to append. The final action per key follows
+    * [[lastActionPerKey]] exactly — latest commit wins, a postimage
+    * outranks its preimage within one commit; (commit, finality) is
+    * unique per key, so the struct max picks the same row the window
+    * would. Replaces two sequential limit-1 probe jobs. */
+  private def changeGate(changes: DataFrame): (Boolean, Boolean) = {
+    val finality = when(
+      col("_change_type") === "update_preimage", 0).otherwise(1)
+    val row = changes.groupBy(col("vec_id"))
+      .agg(
+        max(when(col("_change_type")
+          .isin("delete", "update_preimage"), 1).otherwise(0)).as("rm"),
+        max(struct(col("_commit_version").as("v"), finality.as("f"),
+          col("_change_type").as("ct"))).as("last"))
+      .agg(max(col("rm")).as("anyrm"),
+        max(when(col("last.ct")
+          .isin("insert", "update_postimage"), 1).otherwise(0))
+          .as("anyadd"))
+      .head()
+    (!row.isNullAt(0) && row.getInt(0) == 1,
+      !row.isNullAt(1) && row.getInt(1) == 1)
   }
 
   // ---------------------------------------------------------------
@@ -692,22 +753,25 @@ object AnnIndex {
     val ksub = centStore.recordedProp("pqKsub").map(_.toInt).getOrElse(32)
     val dims = centStore.recordedProp("pqDims").map(_.toInt).getOrElse(64)
     val sub = dims / m
-    val centRows = centStore.read()
-      .select(col("cell_id"), col("embedding"), col("nrm"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
-      .sortBy(_._1)
+    // the two codebook tables are independent — overlap their
+    // driver-blocking collects (§2.6)
+    val (centRows, bookRows) = par2(
+      centStore.read()
+        .select(col("cell_id"), col("embedding"), col("nrm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+        .sortBy(_._1),
+      LogStore.configured(spark, idx.pqbookRoot).read()
+        .select(col("sub_id"), col("code_id"), col("cw"), col("cc"))
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getSeq[Double](2), r.getDouble(3))))
+        .toMap)
     require(centRows.map(_._1).sameElements(
         centRows.indices.map(_.toLong)),
       "IVF-PQ codebook cell ids must be contiguous from 0")
     val cents = centRows.map(r => (r._2, r._3))
     val centFlat: Seq[Double] = cents.toSeq.flatMap(_._1.map(_.toDouble))
-    val bookRows = LogStore.configured(spark, idx.pqbookRoot).read()
-      .select(col("sub_id"), col("code_id"), col("cw"), col("cc"))
-      .collect()
-      .map(r => ((r.getLong(0), r.getLong(1)),
-        (r.getSeq[Double](2), r.getDouble(3))))
-      .toMap
     require(bookRows.size == m * ksub,
       s"pqbook holds ${bookRows.size} codewords, expected ${m * ksub}")
     val cwFlat: Seq[Double] = for {
@@ -749,22 +813,35 @@ object AnnIndex {
     require(overProbe >= 1, s"overProbe must be >= 1, got $overProbe")
     val book = loadPqBook(spark, idx)
     import graft.functions.PqFunctions.pq_adc_tables_res
-    val probes = withNorm(queries)
+    // the query embedding + norm ride the probe rows so the rerank's
+    // query side comes from THIS one collect too (it used to re-scan
+    // `queries` for its broadcast build)
+    val probesPlan = withNorm(queries)
       .withColumn("probe",
         explode(slice(pqProbeStructs(book), 1, nProbe * overProbe)))
       .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
         col("probe.cell_pos").cast("int").as("cell_pos"),
         pq_adc_tables_res(col("embedding"),
           col("probe.cell_pos").cast("int"), book.m, book.sub,
           book.ksub, book.cwFlat, book.ccFlat, book.centFlat)
           .as("_qds"))
-      .select(col("query_id") +:
+      .select(col("query_id") +: col("q_emb") +: col("q_nrm") +:
         col("cell_pos").cast("long").as("cell_id") +:
         (0 until book.m).map(j =>
           element_at(col("_qds"), j + 1).as(s"qd_$j")): _*)
-      .localCheckpoint(true) // probed twice: ranges + the join
-    val probeCells = probes.select("cell_id").distinct()
-      .collect().map(_.getLong(0)).sorted
+    // ONE collect serves the probed ranges, the ADC broadcast side
+    // AND the rerank's query side — fused from eager-checkpoint +
+    // distinct-collect + two broadcast builds
+    val probeRows = probesPlan.collect()
+    val probes = localDf(spark, probeRows, probesPlan.schema)
+      .drop("q_emb", "q_nrm")
+    val queriesLocal = localDf(spark,
+      probeRows.groupBy(_.getLong(0)).map(_._2.head).toArray,
+      probesPlan.schema)
+      .select(col("query_id").as("vec_id"), col("q_emb").as("embedding"),
+        col("q_nrm").as("nrm"))
+    val probeCells = probeRows.map(_.getLong(3)).distinct.sorted
     val postStore = LogStore.configured(spark, idx.postingsRoot)
     val (posted, pOpened, pLive) = postStore.readRanges(
       probeCells.map(c => (c.toString, c.toString)).toSeq)
@@ -777,7 +854,7 @@ object AnnIndex {
       .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
     // the hybrid predicate rides the postings scan — index-alone,
     // applied before the shortlist window
-    val sl = postingsFilter.fold(posted)(posted.where)
+    val slPlan = postingsFilter.fold(posted)(posted.where)
       .join(broadcast(probes), Seq("cell_id"))
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -785,11 +862,14 @@ object AnnIndex {
       .withColumn("rn", row_number().over(ws))
       .where(col("rn") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(true) // the id set drives the pruned fetch
+    // ONE collect (bounded: ≤ queries × shortlist) serves the pruned
+    // corpus fetch AND the rerank join side — fused from
+    // eager-checkpoint + distinct-collect
+    val slRows = slPlan.collect()
+    val sl = localDf(spark, slRows, slPlan.schema)
     // corpus fetch for the RERANK SET ONLY: a multi-point stats-pruned
-    // read on vec_id (bounded driver collect: ≤ queries × shortlist)
-    val ids = sl.select("neighbor_id").distinct()
-      .collect().map(_.getLong(0)).sorted
+    // read on vec_id
+    val ids = slRows.map(_.getLong(1)).distinct.sorted
     val (fetched, cOpened, cLive) =
       if (ids.isEmpty) (corpusStore.read().limit(0), 0,
         corpusStore.liveSegmentInfos().size)
@@ -798,7 +878,7 @@ object AnnIndex {
     val scored = sl
       .join(withNorm(fetched.select(col("vec_id"), col("embedding")))
         .as("c"), col("neighbor_id") === col("c.vec_id"))
-      .join(broadcast(withNorm(queries).as("q")),
+      .join(broadcast(queriesLocal.as("q")),
         col("query_id") === col("q.vec_id"))
       .select(col("query_id"), col("neighbor_id"),
         (vec_dot(col("q.embedding"), col("c.embedding")) /
@@ -835,12 +915,16 @@ object AnnIndex {
         .select(col("vec_id")).distinct()
       val added = lastActionPerKey(changes)
         .where(col("_change_type").isin("insert", "update_postimage"))
-      if (removedKeys.limit(1).collect().nonEmpty) {
+      // the gate aggregation (which also fills the cache) and the
+      // codebook-table collects are independent — overlap them
+      // (§2.6); one agg job answers both emptiness probes
+      val ((anyRemoved, anyAdded), book) = par2(
+        changeGate(changes), loadPqBook(spark, idx))
+      if (anyRemoved) {
         postings.deleteKeysDV(removedKeys, Seq("vec_id"))
         postings.maintainLayout(1L, dvFraction = 0.5,
           clusterBy = Seq(col("cell_id")))
       }
-      val book = loadPqBook(spark, idx)
       // carried filter attributes are whatever the postings schema
       // holds beyond the IVFADC core — re-copied from the change feed
       // so a hybrid predicate stays correct across maintenance
@@ -856,8 +940,7 @@ object AnnIndex {
         (Seq("vec_id", "embedding") ++ carry).map(col): _*),
         book, carry)
       val moved =
-        if (fresh.limit(1).collect().isEmpty)
-          postings.commitFence(latest)
+        if (!anyAdded) postings.commitFence(latest)
         else postings.appendStream(fresh, batchId = latest)
       if (moved < 0)
         throw new IllegalStateException(

@@ -1172,7 +1172,11 @@ class LogStore(spark: SparkSession, val root: String,
             element_at(fsplit(fcol("_metadata.file_path"), "/"), -2))
           .withColumn("_dv_file", fcol("_metadata.file_name"))
           .withColumn("_dv_pos", fcol("_metadata.row_index"))
+        // dv files have ONE writer and a fixed shape — the explicit
+        // schema skips the footer-inference job every DV-aware scan
+        // otherwise pays
         val dvRows = spark.read
+          .schema(LogStore.dvSchema)
           .parquet(dved.flatMap(s =>
             s.dv.map(d => s"$root/${d._1}")): _*)
           .withColumn("_dv_seg",
@@ -1341,7 +1345,10 @@ class LogStore(spark: SparkSession, val root: String,
       preds.forall { case (c, lo, hi) => s.mayOverlapOn(c, lo, hi) })
     if (hit.isEmpty)
       return (read(version).where(flit(false)), 0, live.size)
-    val scan = scanSegments(hit, None)
+    // plan the pruned scan from the RECORDED schema like read() does —
+    // the mergeSchema fallback paid a footer-inference Spark job on
+    // EVERY pruned read (pre-stamp logs still fall back)
+    val scan = scanSegments(hit, recordedSchema(version))
     val filtered = preds.foldLeft(scan) { case (df, (c, lo, hi)) =>
       val dt = df.schema(c).dataType
       df.where(fcol(c).between(flit(lo).cast(dt), flit(hi).cast(dt)))
@@ -1382,7 +1389,9 @@ class LogStore(spark: SparkSession, val root: String,
     val hit = live.filter(_.mayContainOn(c, pos))
     if (hit.isEmpty)
       return (read(version).where(flit(false)), 0, live.size)
-    val scan = scanSegments(hit, None)
+    // recorded-schema planning — no footer-inference job (see
+    // readRangeAll); pre-stamp logs still fall back
+    val scan = scanSegments(hit, recordedSchema(version))
     (scan.where(fcol(c).cast("string") === flit(key)),
       hit.size, live.size)
   }
@@ -1405,7 +1414,9 @@ class LogStore(spark: SparkSession, val root: String,
       ranges.exists { case (lo, hi) => s.mayOverlap(lo, hi) })
     if (hit.isEmpty)
       return (read(version).where(flit(false)), 0, live.size)
-    (scanSegments(hit, None), hit.size, live.size)
+    // recorded-schema planning — no footer-inference job (see
+    // readRangeAll); pre-stamp logs still fall back
+    (scanSegments(hit, recordedSchema(version)), hit.size, live.size)
   }
 
   /** Write `df` as a fresh immutable segment and return its add
@@ -1433,25 +1444,102 @@ class LogStore(spark: SparkSession, val root: String,
   // bloom columns it carries; the hex serialization lives in
   // [[LogStore.bloomHexOf]].)
 
-  /** Exact row count of a written segment directory from its parquet
-    * FOOTERS, read driver-side — a handful of small metadata reads,
-    * no Spark job. `written.count()` computes the same number but
-    * schedules a full job (scan stage + reduce stage) to do it; at
-    * one job per segment write that was a fixed tax on every commit
-    * in the system. */
-  private def footerRowCount(name: String): Long = {
+  /** Exact row count — and, when `statCols` is non-empty, exact
+    * column BOUNDS — of a written segment directory from its parquet
+    * FOOTERS, read driver-side: a handful of small metadata reads, no
+    * Spark job. `written.count()` + a min/max aggregation compute the
+    * same values but schedule full jobs to do it; at one-plus jobs per
+    * segment write that was a fixed tax on every commit in the system.
+    *
+    * Bounds are requested only for types whose footer value spells
+    * IDENTICALLY to Spark's `cast(min(col) AS STRING)`: the integral
+    * family (decimal integer digits either way) and strings (the
+    * footer stores the exact bytes; parquet's STRING comparator and
+    * Spark's UTF8String ordering are both unsigned-lexicographic).
+    * Floating point (NaN poisons footer stats), decimals, dates and
+    * timestamps keep the aggregation-job path — their spellings are
+    * not trivially equal. Returns (rows, None) when any requested
+    * chunk lacks usable statistics (e.g. oversized string bounds
+    * dropped by the writer) — the caller falls back to the job. */
+  private def footerMeta(name: String,
+      statCols: Seq[(String, String, org.apache.spark.sql.types.DataType)])
+      : (Long, Option[Map[String, (String, String)]]) = {
+    import org.apache.spark.sql.types.StringType
     val conf = spark.sparkContext.hadoopConfiguration
+    var rows = 0L
+    // accumulated per LOGICAL column name: (min, max) as raw values
+    val longB = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    val strB = scala.collection.mutable.HashMap
+      .empty[String, (Array[Byte], Array[Byte])]
+    var usable = true
     fs.listStatus(new Path(s"$root/$name")).map(_.getPath)
       .filter { p =>
         val n = p.getName
         n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
       }
-      .map { p =>
+      .foreach { p =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(p, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
+        try {
+          rows += r.getRecordCount
+          if (statCols.nonEmpty) {
+            val blocks = r.getFooter.getBlocks
+            blocks.forEach { b =>
+              val byPath = new scala.collection.mutable.HashMap[String,
+                org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]()
+              b.getColumns.forEach(cc =>
+                byPath(cc.getPath.toDotString) = cc)
+              statCols.foreach { case (logical, phys, dt) =>
+                byPath.get(phys) match {
+                  case Some(cc) =>
+                    val st = cc.getStatistics
+                    if (st == null || st.isEmpty) usable = false
+                    else if (st.hasNonNullValue) {
+                      if (dt == StringType) {
+                        val lo = st.genericGetMin
+                          .asInstanceOf[org.apache.parquet.io.api.Binary]
+                          .getBytes
+                        val hi = st.genericGetMax
+                          .asInstanceOf[org.apache.parquet.io.api.Binary]
+                          .getBytes
+                        strB.get(logical) match {
+                          case Some((plo, phi)) => strB(logical) = (
+                            if (java.util.Arrays.compareUnsigned(lo, plo)
+                              < 0) lo else plo,
+                            if (java.util.Arrays.compareUnsigned(hi, phi)
+                              > 0) hi else phi)
+                          case None => strB(logical) = (lo, hi)
+                        }
+                      } else {
+                        val lo = st.genericGetMin
+                          .asInstanceOf[Number].longValue()
+                        val hi = st.genericGetMax
+                          .asInstanceOf[Number].longValue()
+                        longB.get(logical) match {
+                          case Some((plo, phi)) => longB(logical) =
+                            (math.min(lo, plo), math.max(hi, phi))
+                          case None => longB(logical) = (lo, hi)
+                        }
+                      }
+                    } else if (st.getNumNulls != cc.getValueCount)
+                      // not all-null yet no values: stats were dropped
+                      usable = false
+                  case None => usable = false
+                }
+              }
+            }
+          }
+        } finally r.close()
+      }
+    if (statCols.isEmpty) (rows, None)
+    else if (!usable) (rows, None)
+    else (rows, Some(
+      longB.map { case (c, (lo, hi)) =>
+        c -> (lo.toString, hi.toString) }.toMap ++
+      strB.map { case (c, (lo, hi)) =>
+        c -> (new String(lo, StandardCharsets.UTF_8),
+          new String(hi, StandardCharsets.UTF_8)) }.toMap))
   }
 
   /** The add-action metadata (stats + bloom) of an ALREADY-written
@@ -1485,26 +1573,44 @@ class LogStore(spark: SparkSession, val root: String,
     // `columns` and the configured stats/bloom names are LOGICAL;
     // the written parquet holds PHYSICAL names under column mapping
     def phys(c: String): String = mapping.getOrElse(c, c)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+      ShortType}
     val wanted = (statsCol.toSeq ++ statsCols).distinct
       .filter(columns.contains)
     val wantedBlooms = (bloomCol.toSeq ++ bloomCols).distinct
       .filter(columns.contains)
-    // exact row counts straight from the parquet footers (driver-side,
-    // zero Spark jobs): ride the add actions so COUNT(*) is
-    // answerable in O(segments)
-    val rowsOf = names.map(n => n -> footerRowCount(n)).toMap
+    // footer-derivable bounds (integral/string — see [[footerMeta]])
+    // need the physical types WITHOUT building the read-back relation;
+    // only writers that passed their physical schema qualify
+    val footerCols: Seq[(String, String,
+        org.apache.spark.sql.types.DataType)] =
+      physSchema match {
+        case Some(sc) if wanted.nonEmpty &&
+            wanted.forall(c => sc(phys(c)).dataType match {
+              case ByteType | ShortType | IntegerType | LongType |
+                   StringType => true
+              case _ => false
+            }) =>
+          wanted.map(c => (c, phys(c), sc(phys(c)).dataType))
+        case _ => Nil
+      }
+    // exact row counts (and, when derivable, bounds) straight from the
+    // parquet footers (driver-side, zero Spark jobs): ride the add
+    // actions so COUNT(*) — and most stats publishes — cost no job
+    val footerOf = names.map(n => n -> footerMeta(n, footerCols)).toMap
+    val rowsOf = footerOf.map { case (n, (r, _)) => n -> r }
     if (wanted.isEmpty && wantedBlooms.isEmpty)
       return names.map(n =>
         Segment(n, None, None, num = false, rows = Some(rowsOf(n))))
     // callers that know the files' physical schema pass it, skipping
     // the read-back footer inference
-    val raw = physSchema match {
+    lazy val raw = physSchema match {
       case Some(sc) =>
         spark.read.schema(sc).parquet(names.map(n => s"$root/$n"): _*)
       case None =>
         spark.read.parquet(names.map(n => s"$root/$n"): _*)
     }
-    val sch = raw.schema
+    lazy val sch = physSchema.getOrElse(raw.schema)
     wanted.foreach { c =>
       val dt = sch(phys(c)).dataType
       require(dt.isInstanceOf[NumericType] || dt == DateType ||
@@ -1516,11 +1622,19 @@ class LogStore(spark: SparkSession, val root: String,
     }
     def isNum(c: String): Boolean =
       sch(phys(c)).dataType.isInstanceOf[NumericType]
-    val tagged = raw.withColumn("_seg_",
+    lazy val tagged = raw.withColumn("_seg_",
       element_at(fsplit(fcol("_metadata.file_path"), "/"), -2))
-    // ONE grouped agg covers every segment × stats column
+    // every segment's footer bounds usable → the whole publish skips
+    // the stats aggregation job (values identical by construction —
+    // FooterStatsSpec pins the equivalence per type)
+    val footerBounds: Option[Map[String, Map[String, (String, String)]]] =
+      if (footerCols.nonEmpty && names.forall(n => footerOf(n)._2.nonEmpty))
+        Some(footerOf.map { case (n, (_, b)) => n -> b.get }.toMap)
+      else None
+    // ONE grouped agg covers every segment × stats column (the
+    // fallback for non-footer-derivable types or dropped footer stats)
     val statRows: Map[String, org.apache.spark.sql.Row] =
-      if (wanted.isEmpty) Map.empty
+      if (wanted.isEmpty || footerBounds.nonEmpty) Map.empty
       else {
         val exprs = wanted.flatMap(c => Seq(
           fmin(fcol(phys(c))).cast("string"),
@@ -1561,13 +1675,24 @@ class LogStore(spark: SparkSession, val root: String,
         if (wanted.isEmpty)
           Segment(name, None, None, num = false, rows = Some(rowsOf(name)))
         else {
-          // a zero-row segment produces no grouped row: no bounds
+          // a zero-row (or all-null) segment records no bounds —
+          // either source agrees
           val row = statRows.get(name)
-          val perCol = wanted.zipWithIndex.flatMap { case (c, i) =>
-            row match {
-              case Some(r) if !r.isNullAt(1 + 2 * i) =>
-                val (lo, hi) =
-                  (r.getString(1 + 2 * i), r.getString(2 + 2 * i))
+          val bounds: Map[String, (String, String)] =
+            footerBounds match {
+              case Some(fb) => fb(name)
+              case None => wanted.zipWithIndex.flatMap { case (c, i) =>
+                row match {
+                  case Some(r) if !r.isNullAt(1 + 2 * i) =>
+                    Some(c -> (r.getString(1 + 2 * i),
+                      r.getString(2 + 2 * i)))
+                  case _ => None
+                }
+              }.toMap
+            }
+          val perCol = wanted.flatMap { c =>
+            bounds.get(c) match {
+              case Some((lo, hi)) =>
                 // string bounds only when BOTH spellings are inert in
                 // the line grammar AND order-stable — else this
                 // segment-column records nothing and reads degrade to
@@ -1576,7 +1701,7 @@ class LogStore(spark: SparkSession, val root: String,
                     !(LogStore.safeStringBound(lo) &&
                       LogStore.safeStringBound(hi))) None
                 else Some(c -> (lo, hi, isNum(c)))
-              case _ => None
+              case None => None
             }
           }.toMap
           val primaryNum = statsCol.exists(c => columns.contains(c) &&
@@ -2463,27 +2588,60 @@ class LogStore(spark: SparkSession, val root: String,
     require(fromVersion >= 0 && fromVersion <= upTo,
       s"bad change range [$fromVersion, $toVersion]")
     requireReadable(fromVersion, replayTo(latest).vacuumHorizon)
-    val parts = (fromVersion to upTo).flatMap { v =>
+    import org.apache.spark.sql.functions.{col => fcol, element_at,
+      split => fsplit, typedLit}
+    // classify the range driver-side, then read each KIND in ONE
+    // batched scan (the per-segment reads paid one footer-inference
+    // job per commit); `_commit_version` is recovered from the
+    // segment directory name via a literal map — same value the
+    // per-version stamp carried
+    val cdcSegs = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    val addSegs = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    var firstKindCdc: Option[Boolean] = None
+    (fromVersion to upTo).foreach { v =>
       val Actions(adds, removes, _, _, cdcs, _, _, _) = readActions(v)
-      if (cdcs.nonEmpty)
-        cdcs.map(c => spark.read.parquet(s"$root/$c")
-          .withColumn("_commit_version", flit(v)))
-      else if (removes.isEmpty && adds.nonEmpty)
-        // rawToLogical: a plain append's insert events present the
-        // CURRENT logical names even when the files hold physical ones
-        adds.map(a => rawToLogical(
-          spark.read.parquet(s"$root/${a.name}"))
-          .withColumn("_change_type", flit("insert"))
-          .withColumn("_commit_version", flit(v)))
-      else Nil // compaction / vacuum / metadata-only: no data change
+      if (cdcs.nonEmpty) {
+        if (firstKindCdc.isEmpty) firstKindCdc = Some(true)
+        cdcs.foreach(c => cdcSegs += ((c, v)))
+      } else if (removes.isEmpty && adds.nonEmpty) {
+        // a plain append's insert events present the CURRENT logical
+        // names even when the files hold physical ones (rawToLogical)
+        if (firstKindCdc.isEmpty) firstKindCdc = Some(false)
+        adds.foreach(a => addSegs += ((a.name, v)))
+      } // else compaction / vacuum / metadata-only: no data change
     }
-    if (parts.isEmpty)
-      read(upTo).where(flit(false))
-        .withColumn("_change_type", flit(""))
-        .withColumn("_commit_version", flit(-1L))
-    // allowMissingColumns: a feed spanning a schema evolution carries
-    // both shapes — pre-evolution changes read null in added columns
-    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    def verStamp(m: Map[String, Long]) = element_at(typedLit(m),
+      element_at(fsplit(fcol("_metadata.file_path"), "/"), -2))
+    // mergeSchema within each batched read + allowMissingColumns on
+    // the union: a feed spanning a schema evolution carries both
+    // shapes — pre-evolution changes read null in added columns
+    val cdcDf =
+      if (cdcSegs.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(cdcSegs.map(c => s"$root/${c._1}").toSeq: _*)
+        .withColumn("_commit_version", verStamp(cdcSegs.toMap)))
+    val addsDf =
+      if (addSegs.isEmpty) None
+      else Some(rawToLogical(
+          spark.read.option("mergeSchema", "true")
+            .parquet(addSegs.map(a => s"$root/${a._1}").toSeq: _*)
+            .withColumn("_cv_tmp", verStamp(addSegs.toMap)),
+          keep = Seq("_cv_tmp"))
+        .withColumn("_change_type", flit("insert"))
+        .withColumn("_commit_version", fcol("_cv_tmp"))
+        .drop("_cv_tmp"))
+    (cdcDf, addsDf) match {
+      case (Some(c), Some(a)) =>
+        if (firstKindCdc.contains(true))
+          c.unionByName(a, allowMissingColumns = true)
+        else a.unionByName(c, allowMissingColumns = true)
+      case (Some(c), None) => c
+      case (None, Some(a)) => a
+      case (None, None) =>
+        read(upTo).where(flit(false))
+          .withColumn("_change_type", flit(""))
+          .withColumn("_commit_version", flit(-1L))
+    }
   }
 
   /** Logical delete: rewrite the rows NOT matching `predicate` into a
@@ -2688,7 +2846,8 @@ class LogStore(spark: SparkSession, val root: String,
         .withColumn("_dv_pos", fcol("_metadata.row_index")),
       keep = Seq("_dv_seg", "_dv_file", "_dv_pos")))
     val priorDv = candidates.filter(_.dv.nonEmpty).map { s =>
-      spark.read.parquet(s"$root/${s.dv.get._1}")
+      spark.read.schema(LogStore.dvSchema)
+        .parquet(s"$root/${s.dv.get._1}")
         .select(flit(s.name).as("_dv_seg"), fcol("file").as("_dv_file"),
           fcol("pos").as("_dv_pos"))
     }
@@ -2712,7 +2871,8 @@ class LogStore(spark: SparkSession, val root: String,
       val oldDv = candidates.filter(s =>
           perSeg.contains(s.name) && s.dv.nonEmpty)
         .map { s =>
-          spark.read.parquet(s"$root/${s.dv.get._1}")
+          spark.read.schema(LogStore.dvSchema)
+            .parquet(s"$root/${s.dv.get._1}")
             .select(flit(s.name).as("_dv_seg"), fcol("file"),
               fcol("pos"))
         }
@@ -4275,6 +4435,15 @@ object LogStore {
     * the vector-pressure rule in [[LogStore.maintainLayout]] is the
     * policy that keeps tables out of that regime. */
   private[graft] val DvBroadcastRowLimit: Long = 1L << 20
+
+  /** The fixed shape every deletion-vector parquet is written with:
+    * (file name, file-global row position). */
+  private[graft] val dvSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType)))
 
   /** Construct a store CONFIGURED FROM THE LOG: the `props`
     * table-configuration action (statsCol / statsCols / bloomCol /

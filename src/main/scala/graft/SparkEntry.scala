@@ -2591,10 +2591,10 @@ object SparkEntry {
       }
       val short = s"rn_${java.util.UUID.randomUUID().toString.take(8)}"
       val tbl = s"$cat.bench.$short"
-      events(s, dir).where(col("event_id") < 1000)
+      val evCached = events(s, dir).where(col("event_id") < 1000)
         .select(col("event_id"), col("event_type"), col("value"))
         .cache()
-        .createOrReplaceTempView("src_rename_events")
+      evCached.createOrReplaceTempView("src_rename_events")
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.bench")
       s.sql(s"CREATE TABLE $tbl (event_id BIGINT, etype STRING, " +
         "value DOUBLE) TBLPROPERTIES ('statsCol' = 'event_id')")
@@ -2610,6 +2610,7 @@ object SparkEntry {
         st.liveSegmentInfos().map(_.name).toSet == segsBefore
       s.sql(s"INSERT INTO $tbl SELECT * FROM src_rename_events " +
         "WHERE event_id >= 500")
+      evCached.unpersist() // last consumer done — never outlive the query
       val oldShape = s.sql(
           s"SELECT * FROM $tbl VERSION AS OF $vBefore")
         .columns.toSeq == Seq("event_id", "etype", "value")
@@ -2644,9 +2645,9 @@ object SparkEntry {
       }
       val short = s"wd_${java.util.UUID.randomUUID().toString.take(8)}"
       val tbl = s"$cat.bench.$short"
-      events(s, dir).where(col("event_id") < 1000)
+      val evCached = events(s, dir).where(col("event_id") < 1000)
         .select(col("event_id"), col("value")).cache()
-        .createOrReplaceTempView("src_widen_events")
+      evCached.createOrReplaceTempView("src_widen_events")
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.bench")
       s.sql(s"CREATE TABLE $tbl (eid INT, score FLOAT) " +
         "TBLPROPERTIES ('statsCol' = 'eid')")
@@ -2666,6 +2667,7 @@ object SparkEntry {
       s.sql(s"INSERT INTO $tbl SELECT CAST(event_id + 3000000000 " +
         "AS BIGINT), CAST(value AS DOUBLE) FROM src_widen_events " +
         "WHERE event_id >= 500")
+      evCached.unpersist() // last consumer done — never outlive the query
       val oldShape = s.sql(s"SELECT * FROM $tbl VERSION AS OF $vNarrow")
         .schema.fields.map(f => f.dataType.simpleString).toSeq ==
         Seq("int", "float")
@@ -2724,6 +2726,7 @@ object SparkEntry {
       val typ = ev.select("event_type").orderBy("event_type")
         .limit(1).collect().head.getString(0)
       val (lk, _, _) = fresh.pointLookup(typ)
+      ev.unpersist() // last consumer done — never outlive the query
       val lkOk = lk.count() ==
         fresh.read().where(col("event_type") === typ).count()
       val pins = layout && live == 8 && scanned == 1 && lkOk
@@ -2759,6 +2762,7 @@ object SparkEntry {
       (0 until 4).foreach(i => store.append(
         ev.where(col("event_id") >= i * 500 &&
           col("event_id") < (i + 1) * 500)))
+      ev.unpersist() // last consumer done — never outlive the query
       val (lk1, o1, l1) = store.pointLookup("doc-123")
       val (lk2, o2, l2) = store.pointLookupOn("url_hash", "url-123")
       val primaryPrunes = l1 == 4 && o1 == 1
@@ -2801,12 +2805,12 @@ object SparkEntry {
       val tbl = s"$cat.bench.$short"
       // cached: four range INSERT ... SELECTs re-read this ≤1000-row
       // slice, not the events parquet
-      events(s, dir)
+      val evCached = events(s, dir)
         .where(col("event_id") < 1000)
         .select(lpad(col("event_id").cast("string"), 8, "0").as("skey"),
           col("event_type"), col("value"))
         .cache()
-        .createOrReplaceTempView("src_strstats_events")
+      evCached.createOrReplaceTempView("src_strstats_events")
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.bench")
       s.sql(s"CREATE TABLE $tbl (skey STRING, event_type STRING, " +
         "value DOUBLE) TBLPROPERTIES ('statsCol' = 'skey')")
@@ -2815,6 +2819,7 @@ object SparkEntry {
         case (lo, hi) => s.sql(s"INSERT INTO $tbl SELECT * FROM " +
           s"src_strstats_events WHERE skey >= '$lo' AND skey < '$hi'")
       }
+      evCached.unpersist() // last consumer done — never outlive the query
       val dirT = s"${s.conf.get(s"spark.sql.catalog.$cat.root")}" +
         s"/bench/$short"
       val st = graft.catalog.LogStore.configured(s, dirT)
@@ -4362,6 +4367,10 @@ object SparkEntry {
         .where(col("n_hits") < col("n_hits_1"))
         .limit(1).collect().isEmpty
       val pins = monotone && allKept && opened1 < live1
+      // intra-query reuse is over (searches + pin probes); never let
+      // a base-table cache outlive its query — the returned relation
+      // recomputes from parquet
+      emb.unpersist()
       perQuery
         .select(col("query_id"), col("n_hits"),
           (col("n_hits").cast("double") / lit(5.0)).as("recall"))
@@ -4409,6 +4418,7 @@ object SparkEntry {
         .where(col("vec_id") >= 100 && col("vec_id") < 120)
         .select((col("vec_id") + 100000L).as("vec_id"),
           col("embedding")))
+      emb.unpersist() // staging + churn done — drop the slice cache
       AnnIndex.maintainIvfPq(s, corpusStore, idx)
       val postings = graft.catalog.LogStore
         .configured(s, idx.postingsRoot)
@@ -4461,6 +4471,7 @@ object SparkEntry {
       // ann_ivfpq_persisted, as ONE range-clustered commit
       corpusStore.appendClustered(
         emb.withColumn("tag", col("vec_id") % 3), col("vec_id"), 4)
+      emb.unpersist() // staging done — drop the slice cache
       val corpus = corpusStore.read()
       val idx = AnnIndex.buildIvfPq(s, corpus,
         corpusStore.latestVersion(), s"$root/idx", nCells = 16, m = 8,
@@ -4515,6 +4526,7 @@ object SparkEntry {
         .where(col("vec_id") >= 100 && col("vec_id") < 120)
         .select((col("vec_id") + 100000L).as("vec_id"),
           col("embedding")))
+      emb.unpersist() // staging + churn done — drop the slice cache
       val q1 = graft.streaming.StreamingOps.maintainIvfPqStream(
         s, s"$root/corpus", idx, s"$root/ckpt")
       try q1.awaitTermination() finally if (q1.isActive) q1.stop()

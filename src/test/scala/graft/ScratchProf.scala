@@ -44,8 +44,10 @@ object ScratchProf {
             val cs = Option(js.properties)
               .flatMap(p => Option(p.getProperty("callSite.short")))
               .getOrElse("")
+            val names = js.stageInfos.map(_.name.takeWhile(_ != '+'))
+              .mkString(" | ")
             println(s"[prof-job] ${js.jobId} stages=${js.stageInfos.size} " +
-              s"$cs $d")
+              s"$cs $d :: $names")
           }
         }
       })
@@ -66,7 +68,7 @@ object ScratchProf {
       case "q" =>
         // generic: run named queries twice with job counts; optional
         // 3rd arg "explain:<suffix>" dumps formatted plans to
-        // plans/r18/<name>_<suffix>.txt
+        // plans/r19/<name>_<suffix>.txt
         val names = args(1).split(',').toSeq
         val explainSuffix = args.drop(2).headOption
           .filter(_.startsWith("explain:")).map(_.stripPrefix("explain:"))
@@ -76,7 +78,7 @@ object ScratchProf {
             val df = fn(s, sfDir)
             val plan = df.queryExecution.explainString(
               org.apache.spark.sql.execution.FormattedMode)
-            val dir = java.nio.file.Paths.get("plans/r18")
+            val dir = java.nio.file.Paths.get("plans/r19")
             java.nio.file.Files.createDirectories(dir)
             java.nio.file.Files.writeString(
               dir.resolve(s"${name}_$suf.txt"), plan)

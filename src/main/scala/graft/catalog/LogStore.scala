@@ -2721,7 +2721,10 @@ class LogStore(spark: SparkSession, val root: String,
     val live = liveSegmentInfos(v)
     val touched = live.filter(_.mayOverlapOn(c, lo, hi))
     if (touched.isEmpty) return DeleteResult(v, 0, live.size)
-    val data = scanSegments(touched, None)
+    // recorded-schema planning — no footer-inference job; the rewrite
+    // and the feed land on the table's full recorded shape (evolved
+    // columns null-fill), exactly what readers present either way
+    val data = scanSegments(touched, recordedSchema(v))
     val dt = data.schema(c).dataType
     val cond = fcol(c).between(flit(lo).cast(dt), flit(hi).cast(dt))
     val kept = data.where(fnot(fcoalesce(cond, flit(false))))
@@ -3310,7 +3313,9 @@ class LogStore(spark: SparkSession, val root: String,
     }
     if (selected.isEmpty)
       return OptimizeResult(v, 0, 0, carried = live.size)
-    val data = scanSegments(selected, None)
+    // recorded-schema planning — no footer-inference job (see
+    // deleteRange); the rewrite lands on the full recorded shape
+    val data = scanSegments(selected, recordedSchema(v))
     val adds = rewriteClustered(data, targetSegments, clusterBy)
     OptimizeResult(
       commitRevalidated(v, adds, selected.map(_.name),
@@ -4162,12 +4167,20 @@ class LogStore(spark: SparkSession, val root: String,
     }
     val before =
       if (removedInfos.isEmpty) empty
-      else project(scanSegments(removedInfos, None))
+      // recorded-schema planning — no footer-inference job; project()
+      // normalizes to the target shape either way
+      else project(scanSegments(removedInfos,
+        recordedSchema(math.min(readVersion, latestVersion()))))
     val after =
       if (adds.isEmpty) empty
       // rawToLogical: the staged files hold PHYSICAL names under
-      // column mapping — the feed diff compares logical shapes
-      else project(rawToLogical(spark.read.option("mergeSchema", "true")
+      // column mapping — the feed diff compares logical shapes. The
+      // staged files were all written with the physical projection of
+      // writeSchema, so read with it explicitly (no inference job)
+      else project(rawToLogical(spark.read
+        .schema(org.apache.spark.sql.types.StructType(
+          writeSchema.fields.map(f =>
+            f.copy(name = replMapping.getOrElse(f.name, f.name)))))
         .parquet(adds.map(d => s"$root/$d"): _*)))
     val changes = before.exceptAll(after)
       .withColumn("_change_type", flit("delete"))

@@ -1566,8 +1566,9 @@ class LogStore(spark: SparkSession, val root: String,
       physSchema: Option[org.apache.spark.sql.types.StructType] = None)
       : Seq[Segment] = {
     import org.apache.spark.sql.functions.{array, col => fcol, conv,
-      element_at, explode, lit => flit, max => fmax, md5 => fmd5,
-      min => fmin, pmod, split => fsplit, substring => fsubstr}
+      element_at, explode, expr => fexpr, lit => flit, max => fmax,
+      md5 => fmd5, min => fmin, pmod, split => fsplit,
+      substring => fsubstr}
     import org.apache.spark.sql.types.{DateType, NumericType, StringType,
       TimestampType}
     // `columns` and the configured stats/bloom names are LOGICAL;
@@ -1642,9 +1643,15 @@ class LogStore(spark: SparkSession, val root: String,
         tagged.groupBy(fcol("_seg_")).agg(exprs.head, exprs.tail: _*)
           .collect().map(r => r.getString(0) -> r).toMap
       }
-    // ONE distinct-positions job covers every segment × bloom column
-    // (the position relation is bounded by segments × columns ×
-    // [bloomBits], so the driver collect stays O(bits))
+    // ONE bit_or-slot aggregation job covers every segment × bloom
+    // column. Each position folds into its 64-bit word driver-free:
+    // slot = p div 64, bit = p mod 64 — a bijection, so the final bit
+    // array is identical to the distinct-positions build this
+    // replaces. The scale difference is the shuffle: map-side partial
+    // aggregation collapses every partition to ≤ segments × columns ×
+    // ⌈bloomBits/64⌉ words BEFORE the exchange, where distinct()
+    // shuffled all 4×rows position rows (guide §2.3 "aggregate before
+    // you shuffle"); the driver collect stays O(bits).
     val bloomHex: Map[(String, String), String] =
       if (wantedBlooms.isEmpty) Map.empty
       else {
@@ -1660,10 +1667,22 @@ class LogStore(spark: SparkSession, val root: String,
         }
         val bits = scala.collection.mutable.HashMap
           .empty[(String, String), Array[Boolean]]
-        posDfs.reduce(_.unionByName(_)).distinct().collect()
+        posDfs.reduce(_.unionByName(_))
+          .groupBy(fcol("_seg_"), fcol("_bcol_"),
+            fexpr("_p_ div 64").cast("int").as("_s_"))
+          .agg(fexpr("bit_or(shiftleft(1L, _p_ % 64))").as("_w_"))
+          .collect()
           .foreach { r =>
-            bits.getOrElseUpdate((r.getString(0), r.getString(1)),
-              new Array[Boolean](bloomBits))(r.getInt(2)) = true
+            val arr = bits.getOrElseUpdate(
+              (r.getString(0), r.getString(1)),
+              new Array[Boolean](bloomBits))
+            val base = r.getInt(2) * 64
+            val w = r.getLong(3)
+            var k = 0
+            while (k < 64) {
+              if (((w >>> k) & 1L) != 0L) arr(base + k) = true
+              k += 1
+            }
           }
         bits.map { case (k, arr) =>
           k -> LogStore.bloomHexOf(arr)
@@ -1770,6 +1789,20 @@ class LogStore(spark: SparkSession, val root: String,
         } ++ keep.map(fcol): _*)
       case None => df
     }
+  }
+
+  /** Run two independent driver-blocking write steps concurrently
+    * (guide §2.6): Spark schedules jobs from both threads FIFO, so
+    * the second write's tasks back-fill the first's idle tail. Used
+    * by the copy-on-write paths whose kept-rows segment and cdc
+    * segment are independent reads of the same immutable snapshot —
+    * the commit that publishes both still happens strictly after. */
+  private def par2w[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fa = Future(a); val fb = Future(b)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
   }
 
   private def writeSegment(df: DataFrame,
@@ -2598,8 +2631,15 @@ class LogStore(spark: SparkSession, val root: String,
     val cdcSegs = scala.collection.mutable.ListBuffer.empty[(String, Long)]
     val addSegs = scala.collection.mutable.ListBuffer.empty[(String, Long)]
     var firstKindCdc: Option[Boolean] = None
+    var schemaChangedInRange = false
     (fromVersion to upTo).foreach { v =>
-      val Actions(adds, removes, _, _, cdcs, _, _, _) = readActions(v)
+      val Actions(adds, removes, _, _, cdcs, schemas, _, _) =
+        readActions(v)
+      // a schema action STRICTLY AFTER the range start means files in
+      // the range straddle two logical shapes (the action's own
+      // version writes under the NEW shape) — only then is the
+      // mergeSchema inference unavoidable
+      if (v > fromVersion && schemas.nonEmpty) schemaChangedInRange = true
       if (cdcs.nonEmpty) {
         if (firstKindCdc.isEmpty) firstKindCdc = Some(true)
         cdcs.foreach(c => cdcSegs += ((c, v)))
@@ -2610,6 +2650,16 @@ class LogStore(spark: SparkSession, val root: String,
         adds.foreach(a => addSegs += ((a.name, v)))
       } // else compaction / vacuum / metadata-only: no data change
     }
+    // recorded-schema planning (no footer-inference job) whenever the
+    // range is schema-STABLE: every segment in it was written under
+    // one logical shape — cdc segments hold that shape + _change_type
+    // (logical names), insert segments its physical projection;
+    // narrower writes null-fill by name exactly as mergeSchema would.
+    // Pre-stamp logs and ranges spanning a schema change keep the
+    // inference path.
+    val stableSchema: Option[org.apache.spark.sql.types.StructType] =
+      if (schemaChangedInRange) None
+      else replayTo(upTo).schemaB64.map(decodeSchema)
     def verStamp(m: Map[String, Long]) = element_at(typedLit(m),
       element_at(fsplit(fcol("_metadata.file_path"), "/"), -2))
     // mergeSchema within each batched read + allowMissingColumns on
@@ -2617,19 +2667,34 @@ class LogStore(spark: SparkSession, val root: String,
     // shapes — pre-evolution changes read null in added columns
     val cdcDf =
       if (cdcSegs.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .parquet(cdcSegs.map(c => s"$root/${c._1}").toSeq: _*)
-        .withColumn("_commit_version", verStamp(cdcSegs.toMap)))
+      else {
+        val rd = stableSchema match {
+          case Some(sc) => spark.read.schema(
+            org.apache.spark.sql.types.StructType(sc.fields :+
+              org.apache.spark.sql.types.StructField("_change_type",
+                org.apache.spark.sql.types.StringType)))
+          case None => spark.read.option("mergeSchema", "true")
+        }
+        Some(rd.parquet(cdcSegs.map(c => s"$root/${c._1}").toSeq: _*)
+          .withColumn("_commit_version", verStamp(cdcSegs.toMap)))
+      }
     val addsDf =
       if (addSegs.isEmpty) None
-      else Some(rawToLogical(
-          spark.read.option("mergeSchema", "true")
-            .parquet(addSegs.map(a => s"$root/${a._1}").toSeq: _*)
-            .withColumn("_cv_tmp", verStamp(addSegs.toMap)),
-          keep = Seq("_cv_tmp"))
-        .withColumn("_change_type", flit("insert"))
-        .withColumn("_commit_version", fcol("_cv_tmp"))
-        .drop("_cv_tmp"))
+      else {
+        val rd = stableSchema match {
+          case Some(sc) => spark.read.schema(
+            org.apache.spark.sql.types.StructType(sc.fields.map(f =>
+              f.copy(name = LogStore.physicalName(f)))))
+          case None => spark.read.option("mergeSchema", "true")
+        }
+        Some(rawToLogical(
+            rd.parquet(addSegs.map(a => s"$root/${a._1}").toSeq: _*)
+              .withColumn("_cv_tmp", verStamp(addSegs.toMap)),
+            keep = Seq("_cv_tmp"))
+          .withColumn("_change_type", flit("insert"))
+          .withColumn("_commit_version", fcol("_cv_tmp"))
+          .drop("_cv_tmp"))
+      }
     (cdcDf, addsDf) match {
       case (Some(c), Some(a)) =>
         if (firstKindCdc.contains(true))
@@ -2657,8 +2722,11 @@ class LogStore(spark: SparkSession, val root: String,
     val kept = read(v).where(s"NOT ($predicate)")
     val gone = read(v).where(predicate)
       .withColumn("_change_type", flit("delete"))
-    commit(v + 1, Seq(writeSegment(kept)), old,
-      cdc = Seq(writeChangeSegment(gone)))
+    // the kept rewrite and the cdc segment are independent scans of
+    // the same immutable snapshot — overlap their writes (§2.6)
+    val (keptSeg, goneSeg) =
+      par2w(writeSegment(kept), writeChangeSegment(gone))
+    commit(v + 1, Seq(keptSeg), old, cdc = Seq(goneSeg))
   }
 
   /** The current vacuum horizon (oldest fully-readable version; -1 =
@@ -2730,11 +2798,14 @@ class LogStore(spark: SparkSession, val root: String,
     val kept = data.where(fnot(fcoalesce(cond, flit(false))))
     val gone = data.where(cond)
       .withColumn("_change_type", flit("delete"))
+    // independent scans of the same immutable snapshot — overlap (§2.6)
+    val (keptSeg, goneSeg) =
+      par2w(writeSegment(kept), writeChangeSegment(gone))
     DeleteResult(
-      commitRevalidated(v, Seq(writeSegment(kept)),
+      commitRevalidated(v, Seq(keptSeg),
         touched.map(_.name),
         ReadSet(touched.map(_.name).toSet, Some((c, lo, hi))),
-        cdc = Seq(writeChangeSegment(gone))),
+        cdc = Seq(goneSeg)),
       touched.size, live.size)
   }
 
@@ -3799,14 +3870,18 @@ class LogStore(spark: SparkSession, val root: String,
       .unionByName(ups
         .join(matchedKeys, keyCols, "left_anti")
         .withColumn("_change_type", flit("insert")))
+    // the rewrite and the cdc segment read only checkpointed change
+    // sets + the immutable touched segments — overlap them (§2.6)
+    val (rewSeg, chSeg) = par2w(
+      writeSegment(rewritten, schemaAct), writeChangeSegment(changes))
     MergeResult(
-      commitRevalidated(v, Seq(writeSegment(rewritten, schemaAct)),
+      commitRevalidated(v, Seq(rewSeg),
         touched.map(_.name),
         // unpruned merges may match ANY concurrently-added row; key-
         // range-pruned ones conflict only with overlapping adds
         ReadSet(touched.map(_.name).toSet, keyRange,
           matchesAnyNewRow = keyRange.isEmpty && touched.nonEmpty),
-        cdc = Seq(writeChangeSegment(changes)), schema = schemaAct,
+        cdc = Seq(chSeg), schema = schemaAct,
         props = propsAct),
       touched.size, live.size)
   }
@@ -3912,9 +3987,13 @@ class LogStore(spark: SparkSession, val root: String,
       .unionByName(ups.join(matched, keyCols, "left_anti")
         .withColumn("_change_type", flit("insert")),
         allowMissingColumns = true)
-    commit(v + 1, Seq(writeSegment(rewritten, schemaAct)),
+    // the rewrite and the cdc segment read only checkpointed change
+    // sets + the immutable touched segments — overlap them (§2.6)
+    val (rewSeg, chSeg) = par2w(
+      writeSegment(rewritten, schemaAct), writeChangeSegment(changes))
+    commit(v + 1, Seq(rewSeg),
       touched.map(_.name),
-      txn = Some(batchId), cdc = Seq(writeChangeSegment(changes)),
+      txn = Some(batchId), cdc = Seq(chSeg),
       schema = schemaAct, props = propsAct)
   }
 

@@ -189,12 +189,15 @@ object AnnIndex {
     val centRows = cents.map { case (cid, _, nrm) => (cid, cid, nrm) }
       .toSeq
     import spark.implicits._
-    new LogStore(spark, idx.centroidsRoot,
-      extraProps = Map("ivfPolicy" -> "deterministic",
-        "ivfCells" -> nCells.toString))
-      .append(centRows.toDF("cell_id", "vec_id", "nrm"))
-    writePostings(spark, idx, corpus, CorpusBook(cents),
-      corpusVersion, postingSegments)
+    // independent tables, inputs driver-resident — overlap the tiny
+    // centroids append with the clustered postings ingest (§2.6)
+    par2(
+      new LogStore(spark, idx.centroidsRoot,
+        extraProps = Map("ivfPolicy" -> "deterministic",
+          "ivfCells" -> nCells.toString))
+        .append(centRows.toDF("cell_id", "vec_id", "nrm")),
+      writePostings(spark, idx, corpus, CorpusBook(cents),
+        corpusVersion, postingSegments))
     idx
   }
 
@@ -211,20 +214,24 @@ object AnnIndex {
     val idx = IvfIndex(s"$dir/centroids", s"$dir/postings")
     val cents = Similarity.kMeansCentroids(
       corpus.select(col("vec_id"), col("embedding")), nCells, iters)
-    // the training-time assignment quality — the baseline the drift
-    // trigger in [[maintainIvf]] compares incoming batches against
-    val trainDist = withNorm(corpus)
-      .select(avg(assignDistExpr(cents)).as("d")).head().getDouble(0)
     import spark.implicits._
-    new LogStore(spark, idx.centroidsRoot,
-      extraProps = Map("ivfPolicy" -> "trained",
-        "ivfCells" -> nCells.toString, "ivfIters" -> iters.toString,
-        "ivfTrainDist" -> trainDist.toString))
-      .append(cents.zipWithIndex
-        .map { case (c, cid) => (cid.toLong, c) }.toSeq
-        .toDF("cell_id", "embedding"))
-    writePostings(spark, idx, corpus, TrainedBook(cents),
-      corpusVersion, postingSegments)
+    // the drift-baseline probe + centroids append (sequential within:
+    // the append records trainDist) and the postings ingest are
+    // independent — overlap them (§2.6)
+    par2({
+      // the training-time assignment quality — the baseline the drift
+      // trigger in [[maintainIvf]] compares incoming batches against
+      val trainDist = withNorm(corpus)
+        .select(avg(assignDistExpr(cents)).as("d")).head().getDouble(0)
+      new LogStore(spark, idx.centroidsRoot,
+        extraProps = Map("ivfPolicy" -> "trained",
+          "ivfCells" -> nCells.toString, "ivfIters" -> iters.toString,
+          "ivfTrainDist" -> trainDist.toString))
+        .append(cents.zipWithIndex
+          .map { case (c, cid) => (cid.toLong, c) }.toSeq
+          .toDF("cell_id", "embedding"))
+    }, writePostings(spark, idx, corpus, TrainedBook(cents),
+      corpusVersion, postingSegments))
     idx
   }
 
@@ -602,6 +609,40 @@ object AnnIndex {
       struct(pqCellCos(ce, cn).as("c"), lit(-pos).as("negpos"))
     }: _*).getField("negpos")).cast("int")
 
+  /** [[pqAssignExpr]] replayed DRIVER-SIDE for rows already collected
+    * (the build-time residual codebook head): the same sequential
+    * double-accumulated dot product as [[graft.functions.VecDot]],
+    * the same cos = dot / (nrm · cn) term order, Spark's nan-safe
+    * double ordering (x == y covers -0.0 == 0.0; NaN greatest), and
+    * greatest-of-(c, -pos)'s keep-FIRST-on-tie rule — so the argmax
+    * is bit-identical to the expression's, without the second corpus
+    * TakeOrdered job it used to cost. */
+  private def assignPosDriver(emb: Seq[Float], nrm: Double,
+      cents: Array[(Seq[Float], Double)]): Int = {
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    // Spark's double ordering: plain < / > when ordered, otherwise
+    // x == y (which treats -0.0 == 0.0) → 0, else NaN is greatest
+    def cmp(x: Double, y: Double): Int =
+      if (x < y) -1 else if (x > y) 1 else if (x == y) 0
+      else if (java.lang.Double.isNaN(x) && java.lang.Double.isNaN(y)) 0
+      else if (java.lang.Double.isNaN(x)) 1 else -1
+    var best = 0
+    var bestC = dot(emb, cents(0)._1) / (nrm * cents(0)._2)
+    var p = 1
+    while (p < cents.length) {
+      val c = dot(emb, cents(p)._1) / (nrm * cents(p)._2)
+      if (cmp(c, bestC) > 0) { best = p; bestC = c }
+      p += 1
+    }
+    best
+  }
+
   /** Sorted (−cos, cell_pos) probe structs for the query side. */
   private def pqProbeStructs(book: PqBook): Column =
     array_sort(array(book.cents.zipWithIndex.map { case ((ce, cn), pos) =>
@@ -685,22 +726,26 @@ object AnnIndex {
     val sub = dims / m
     val idx = IvfPqIndex(s"$dir/centroids", s"$dir/pqbook",
       s"$dir/postings")
-    val cents = withNorm(corpus).orderBy(col("vec_id")).limit(nCells)
-      .collect()
+    // ONE head collect serves BOTH deterministic codebooks (guide
+    // §1.2): the coarse cells are the first nCells corpus vectors by
+    // vec_id and the residual sources the first ksub — a prefix of
+    // the same ordered head, so the second corpus-scan TakeOrdered
+    // job this used to pay carried no new information
+    val headRows = withNorm(corpus).orderBy(col("vec_id"))
+      .limit(math.max(nCells, ksub)).collect()
       .map(r => (r.getSeq[Float](1), r.getDouble(2)))
+    val cents = headRows.take(nCells)
     require(cents.length == nCells,
       s"corpus has only ${cents.length} vectors; the deterministic " +
         s"first-$nCells codebook needs at least nCells = $nCells")
     val centFlat: Seq[Double] = cents.toSeq.flatMap(_._1.map(_.toDouble))
     // residual codebook: the first ksub vectors' residuals w.r.t.
-    // their own assigned cells (ivfPqTopK's construction, replayed
-    // through the same expression arithmetic)
-    val preBook = PqBook(cents, centFlat, Nil, Nil, m, sub, ksub)
-    val cbRows = withNorm(corpus)
-      .withColumn("cell_pos", pqAssignExpr(preBook))
-      .orderBy(col("vec_id")).limit(ksub)
-      .select(col("embedding"), col("cell_pos"))
-      .collect().map(r => (r.getSeq[Float](0), r.getInt(1)))
+    // their own assigned cells (ivfPqTopK's construction; the argmax
+    // is [[pqAssignExpr]] replayed driver-side — same sequential
+    // double dot product, same nan-safe double ordering, same
+    // keep-first tie, so the assignment is bit-identical)
+    val cbRows = headRows.take(ksub)
+      .map { case (emb, nrm) => (emb, assignPosDriver(emb, nrm, cents)) }
     require(cbRows.length == ksub,
       s"corpus has only ${cbRows.length} vectors; the deterministic " +
         s"first-$ksub residual codebook needs at least ksub = $ksub")
@@ -717,28 +762,36 @@ object AnnIndex {
     } yield cw(j, i).foldLeft(0.0)((a, x) => a + x * x)
     val book = PqBook(cents, centFlat, cwFlat, ccFlat, m, sub, ksub)
     import spark.implicits._
-    new LogStore(spark, idx.centroidsRoot,
-      extraProps = Map("ivfPolicy" -> "ivfpq",
-        "ivfCells" -> nCells.toString, "pqM" -> m.toString,
-        "pqKsub" -> ksub.toString, "pqDims" -> dims.toString))
-      .append(cents.toSeq.zipWithIndex
-        .map { case ((emb, nrm), pos) => (pos.toLong, emb, nrm) }
-        .toDF("cell_id", "embedding", "nrm"))
-    new LogStore(spark, idx.pqbookRoot)
-      .append((for { j <- 0 until m; i <- 0 until ksub } yield
-        (j.toLong, i.toLong, cw(j, i), ccFlat(j * ksub + i)))
-        .toDF("sub_id", "code_id", "cw", "cc"))
-    val postings = pqEncodeRows(corpus.select(
-      (Seq("vec_id", "embedding") ++ carryCols).map(col): _*),
-      book, carryCols)
-    val store = new LogStore(spark, idx.postingsRoot,
-      statsCol = Some("cell_id"))
-    store.create(postings.schema)
-    postings.write.format("graft-log").option("path", idx.postingsRoot)
-      .option("clusterBy", "cell_id")
-      .option("clusterPartitions", postingSegments.toString)
-      .mode("append").save()
-    store.commitFence(corpusVersion)
+    // the three index tables are INDEPENDENT (own roots, own logs) and
+    // everything they need is already driver-resident — overlap the
+    // two tiny codebook appends with the corpus-sized clustered
+    // postings ingest (§2.6: their jobs back-fill its tail)
+    par2(
+      par2(
+        new LogStore(spark, idx.centroidsRoot,
+          extraProps = Map("ivfPolicy" -> "ivfpq",
+            "ivfCells" -> nCells.toString, "pqM" -> m.toString,
+            "pqKsub" -> ksub.toString, "pqDims" -> dims.toString))
+          .append(cents.toSeq.zipWithIndex
+            .map { case ((emb, nrm), pos) => (pos.toLong, emb, nrm) }
+            .toDF("cell_id", "embedding", "nrm")),
+        new LogStore(spark, idx.pqbookRoot)
+          .append((for { j <- 0 until m; i <- 0 until ksub } yield
+            (j.toLong, i.toLong, cw(j, i), ccFlat(j * ksub + i)))
+            .toDF("sub_id", "code_id", "cw", "cc"))), {
+        val postings = pqEncodeRows(corpus.select(
+          (Seq("vec_id", "embedding") ++ carryCols).map(col): _*),
+          book, carryCols)
+        val store = new LogStore(spark, idx.postingsRoot,
+          statsCol = Some("cell_id"))
+        store.create(postings.schema)
+        postings.write.format("graft-log")
+          .option("path", idx.postingsRoot)
+          .option("clusterBy", "cell_id")
+          .option("clusterPartitions", postingSegments.toString)
+          .mode("append").save()
+        store.commitFence(corpusVersion)
+      })
     idx
   }
 

@@ -3822,15 +3822,27 @@ class LogStore(spark: SparkSession, val root: String,
     // rewrite union and three change-feed branches below would
     // otherwise each re-execute the caller's plan from scratch
     val ups = updates.localCheckpoint(true)
-    val dup = ups.groupBy(keys: _*)
-      .agg(fcount(flit(1)).as("n")).where(fcol("n") > 1).limit(1)
-      .collect()
-    if (dup.nonEmpty)
+    // ONE aggregation job answers the dup refusal (with its example
+    // key) AND the stats-prune bounds — they are both per-key facts of
+    // the same checkpointed update set (guide §1.2); the two separate
+    // probe jobs this replaces re-read it twice
+    val pcOpt = statsCol.filter(keyCols.contains)
+    val probeCols =
+      Seq(fmax(org.apache.spark.sql.functions.when(fcol("_n") > 1,
+        org.apache.spark.sql.functions.struct(
+          fcol("_n").as("n") +: keys: _*))).as("dup")) ++
+      pcOpt.toSeq.flatMap(pc => Seq(fmin(fcol(pc)).cast("string"),
+        fmax(fcol(pc)).cast("string")))
+    val probe = ups.groupBy(keys: _*).agg(fcount(flit(1)).as("_n"))
+      .agg(probeCols.head, probeCols.tail: _*).head()
+    if (!probe.isNullAt(0)) {
+      val d = probe.getStruct(0)
       throw new IllegalArgumentException(
         s"updates are not unique on (${keyCols.mkString(", ")}) (e.g. " +
-          s"key ${dup.head.toSeq.dropRight(1).mkString("(", ", ", ")")}" +
-          s" appears ${dup.head.getLong(keyCols.size)} times) — " +
+          s"key ${d.toSeq.drop(1).mkString("(", ", ", ")")}" +
+          s" appears ${d.getLong(0)} times) — " +
           "ambiguous MERGE")
+    }
     val v = latestVersion()
     // the same write-side gate as append/appendStream: without it a
     // type-mutated shared column is silently WIDENED by the
@@ -3838,13 +3850,12 @@ class LogStore(spark: SparkSession, val root: String,
     // segments keep the old type — coexisting-types corruption
     val (schemaAct, propsAct) = enforceSchema(ups.schema, v)
     val live = liveSegmentInfos(v)
-    val (touched, keyRange) = statsCol.filter(keyCols.contains) match {
+    val (touched, keyRange) = pcOpt match {
       case Some(pc) =>
-        val b = ups.agg(fmin(fcol(pc)).cast("string"),
-          fmax(fcol(pc)).cast("string")).head()
-        if (b.isNullAt(0)) (Seq.empty[Segment], None) // no update rows
-        else (live.filter(_.mayOverlap(b.getString(0), b.getString(1))),
-          Some((pc, b.getString(0), b.getString(1))))
+        if (probe.isNullAt(1)) (Seq.empty[Segment], None) // no update rows
+        else (live.filter(_.mayOverlap(probe.getString(1),
+          probe.getString(2))),
+          Some((pc, probe.getString(1), probe.getString(2))))
       case None => (live, None)
     }
     val touchedData =
@@ -3928,19 +3939,37 @@ class LogStore(spark: SparkSession, val root: String,
     // state store: seven evaluations of a one-second plan was the
     // whole cost of a five-row micro-batch.
     val ups = upserts.localCheckpoint(true)
-    val dup = ups.groupBy(keys: _*)
-      .agg(fcount(flit(1)).as("n")).where(fcol("n") > 1).limit(1)
-      .collect()
-    if (dup.nonEmpty)
+    val dels = deleteKeys.select(keys: _*).distinct().localCheckpoint(true)
+    // ONE aggregation job over the two checkpointed change sets
+    // answers ALL FOUR gates — key uniqueness, upsert/delete
+    // disjointness, all-empty (fence-only), and the stats-prune
+    // bounds: they are per-key facts of the same tagged union (guide
+    // §1.2). The four separate probe jobs this replaces re-read the
+    // locals once each, per micro-batch in the streaming sink.
+    import org.apache.spark.sql.functions.{sum => fsum, when => fwhen}
+    val pcOpt = statsCol.filter(keyCols.contains)
+    val probeCols = Seq(
+      fmax(fcol("_nu")).as("maxu"),
+      fmax(fwhen(fcol("_nu") > 0 && fcol("_n") > fcol("_nu"), 1)
+        .otherwise(0)).as("overlap"),
+      fsum(fcol("_nu")).as("nu"),
+      fsum(fcol("_n") - fcol("_nu")).as("nd")) ++
+      pcOpt.toSeq.flatMap(pc => Seq(fmin(fcol(pc)).cast("string"),
+        fmax(fcol(pc)).cast("string")))
+    val probe = ups.select(keys :+ flit(1L).as("_u"): _*)
+      .unionByName(dels.select(keys :+ flit(0L).as("_u"): _*))
+      .groupBy(keys: _*)
+      .agg(fsum(fcol("_u")).as("_nu"), fcount(flit(1)).as("_n"))
+      .agg(probeCols.head, probeCols.tail: _*).head()
+    if (!probe.isNullAt(0) && probe.getLong(0) > 1)
       throw new IllegalArgumentException(
         s"upserts are not unique on (${keyCols.mkString(", ")}) — " +
           "ambiguous change set")
-    val dels = deleteKeys.select(keys: _*).distinct().localCheckpoint(true)
-    if (ups.join(dels, keyCols, "left_semi").limit(1)
-        .collect().nonEmpty)
+    if (!probe.isNullAt(1) && probe.getInt(1) == 1)
       throw new IllegalArgumentException(
         s"a key appears in both upserts and deletes — not a NET set")
-    if (ups.isEmpty && dels.isEmpty)
+    if (probe.isNullAt(2) ||
+        (probe.getLong(2) == 0L && probe.getLong(3) == 0L))
       return commitFence(batchId)
     val v = latestVersion()
     val (schemaAct, propsAct) = enforceSchema(ups.schema, v)
@@ -3949,12 +3978,11 @@ class LogStore(spark: SparkSession, val root: String,
     val allKeys = ups.select(keys: _*).unionByName(dels)
     val touched =
       if (live.isEmpty) Seq.empty[Segment]
-      else statsCol.filter(keyCols.contains) match {
+      else pcOpt match {
         case Some(pc) =>
-          val b = allKeys.agg(fmin(fcol(pc)).cast("string"),
-            fmax(fcol(pc)).cast("string")).head()
-          if (b.isNullAt(0)) Seq.empty[Segment]
-          else live.filter(_.mayOverlap(b.getString(0), b.getString(1)))
+          if (probe.isNullAt(4)) Seq.empty[Segment]
+          else live.filter(_.mayOverlap(probe.getString(4),
+            probe.getString(5)))
         case None => live
       }
     val touchedData =

@@ -46,8 +46,9 @@ object ScratchProf {
               .getOrElse("")
             val names = js.stageInfos.map(_.name.takeWhile(_ != '+'))
               .mkString(" | ")
+            val tasks = js.stageInfos.map(_.numTasks).mkString("/")
             println(s"[prof-job] ${js.jobId} stages=${js.stageInfos.size} " +
-              s"$cs $d :: $names")
+              s"tasks=$tasks $cs $d :: $names")
           }
         }
       })

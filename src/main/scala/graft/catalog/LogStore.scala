@@ -2951,32 +2951,37 @@ class LogStore(spark: SparkSession, val root: String,
               fcol("pos"))
         }
       val combined = oldDv.foldLeft(newPositions)(_.unionByName(_))
-      // one partitioned write, then each bucket renamed to its dv dir
-      val tmp = s"$root/_opt-dv-${java.util.UUID.randomUUID()
-        .toString.take(12)}"
-      combined.write.partitionBy("_dv_seg").parquet(tmp)
-      val dvActions = perSeg.keys.toSeq.sorted.map { seg =>
-        val dvName = s"dv-${java.util.UUID.randomUUID().toString
-          .take(12)}"
-        if (!fs.rename(new Path(s"$tmp/_dv_seg=$seg"),
-            new Path(s"$root/$dvName")))
-          throw new java.io.IOException(s"dv rename for $seg failed")
-        val totalDeleted =
-          perSeg(seg) + bySeg(seg).dv.map(_._2).getOrElse(0L)
-        (seg, dvName, totalDeleted)
-      }
-      fs.delete(new Path(tmp), true)
       // the honest CDF events: exactly the newly-deleted rows
       val gone = matched
         .drop("_dv_seg", "_dv_file", "_dv_pos")
         .withColumn("_change_type", flit("delete"))
+      // the vector write (+ per-segment renames) and the cdc segment
+      // both read only the cached `matched` set — overlap them (§2.6)
+      val (dvActions, goneSeg) = par2w({
+        // one partitioned write, then each bucket renamed to its dv dir
+        val tmp = s"$root/_opt-dv-${java.util.UUID.randomUUID()
+          .toString.take(12)}"
+        combined.write.partitionBy("_dv_seg").parquet(tmp)
+        val acts = perSeg.keys.toSeq.sorted.map { seg =>
+          val dvName = s"dv-${java.util.UUID.randomUUID().toString
+            .take(12)}"
+          if (!fs.rename(new Path(s"$tmp/_dv_seg=$seg"),
+              new Path(s"$root/$dvName")))
+            throw new java.io.IOException(s"dv rename for $seg failed")
+          val totalDeleted =
+            perSeg(seg) + bySeg(seg).dv.map(_._2).getOrElse(0L)
+          (seg, dvName, totalDeleted)
+        }
+        fs.delete(new Path(tmp), true)
+        acts
+      }, writeChangeSegment(gone))
       val version = commitRevalidated(v, Nil, Nil,
         // the vectors were derived from the touched segments' content
         // + prior vectors; an unbounded predicate may match any
         // concurrently-added row
         ReadSet(dvActions.map(_._1).toSet, range,
           matchesAnyNewRow = range.isEmpty),
-        cdc = Seq(writeChangeSegment(gone)), dvActions = dvActions)
+        cdc = Seq(goneSeg), dvActions = dvActions)
       DvDeleteResult(version, dvActions.size,
         perSeg.values.sum, live)
     } finally matched.unpersist()

@@ -4,9 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-/** Scratch profiling harness for the optimization round — NOT a test,
-  * run via `Test/runMain graft.ScratchProf`. Deleted before final
-  * commit. */
+/** Profiling harness for the optimization rounds — NOT a test, run
+  * via `Test/runMain graft.ScratchProf <mode>`. Committed as the
+  * measurement kit behind the job-count claims in
+  * OPTIMIZATION_r18/19.md (test scope only; never on the library's
+  * runtime path). */
 object ScratchProf {
   def time[T](label: String)(f: => T): T = {
     val t0 = System.nanoTime()
